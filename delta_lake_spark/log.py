@@ -1,0 +1,343 @@
+"""Transaction-log core: actions, atomic commit, snapshot replay, history.
+
+A table is a directory of parquet data files plus ``_delta_log/`` holding
+one JSON-lines file per version: ``_delta_log/{version:020d}.json``. Each
+line is one action object with exactly one of the keys ``metaData``,
+``add``, ``remove``, ``commitInfo`` — the shape published in the Delta
+Lake protocol (VLDB 2020 paper; see PAPERS.md). This module is pure
+Python (no Spark import) so the ACID layer is unit-testable on its own.
+
+Design notes for scale:
+  - snapshot replay is O(total #actions), cached per version, never per-row
+    (BASELINE.md requirement);
+  - commit atomicity uses ``os.link`` create-if-absent, the local-FS
+    analogue of an object store's put-if-absent — single serialization
+    point, optimistic concurrency (conflict -> ConcurrentModificationError,
+    caller may re-resolve and retry);
+  - data files are recorded by table-relative path so the table directory
+    is relocatable.
+
+Reference behaviors covered (SURVEY.md §2):
+  - versioned tables / time travel resolution: S4, S6
+    (reference delta_lake_rapid_start.py:256-260)
+  - DESCRIBE HISTORY / DeltaTable.history(): D9
+    (reference 05_compliance.py:142-148)
+  - DESCRIBE DETAIL: D8 (reference delta_lake_rapid_start.py:156-157)
+  - schema enforcement/evolution bookkeeping: M10/S11 (enforced in
+    writer.py against the snapshot schema stored here)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from .errors import (
+    ConcurrentModificationError,
+    TableNotFoundError,
+    VersionNotFoundError,
+)
+
+LOG_DIR = "_delta_log"
+
+
+def _utc_millis() -> int:
+    return int(time.time() * 1000)
+
+
+@dataclass
+class AddFile:
+    """An ``add`` action: a data file that is part of the table."""
+
+    path: str  # table-relative
+    partitionValues: dict[str, str | None] = field(default_factory=dict)
+    size: int = 0
+    numRecords: int | None = None
+    stats: dict[str, Any] | None = None  # {"minValues": {...}, "maxValues": {...}, "nullCount": {...}}
+    modificationTime: int = 0
+    dataChange: bool = True
+
+    def to_action(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "path": self.path,
+            "partitionValues": self.partitionValues,
+            "size": self.size,
+            "modificationTime": self.modificationTime,
+            "dataChange": self.dataChange,
+        }
+        if self.numRecords is not None:
+            d["numRecords"] = self.numRecords
+        if self.stats is not None:
+            d["stats"] = self.stats
+        return {"add": d}
+
+    @classmethod
+    def from_action(cls, d: dict[str, Any]) -> "AddFile":
+        return cls(
+            path=d["path"],
+            partitionValues=d.get("partitionValues", {}),
+            size=d.get("size", 0),
+            numRecords=d.get("numRecords"),
+            stats=d.get("stats"),
+            modificationTime=d.get("modificationTime", 0),
+            dataChange=d.get("dataChange", True),
+        )
+
+
+@dataclass
+class RemoveFile:
+    path: str
+    deletionTimestamp: int = 0
+    dataChange: bool = True
+
+    def to_action(self) -> dict[str, Any]:
+        return {
+            "remove": {
+                "path": self.path,
+                "deletionTimestamp": self.deletionTimestamp,
+                "dataChange": self.dataChange,
+            }
+        }
+
+
+@dataclass
+class Metadata:
+    """Table metadata: schema (Spark StructType json string), partitioning,
+    free-form configuration. Latest metaData action wins on replay."""
+
+    schemaString: str
+    partitionColumns: list[str] = field(default_factory=list)
+    configuration: dict[str, str] = field(default_factory=dict)
+    id: str = field(default_factory=lambda: uuid.uuid4().hex)
+    name: str | None = None
+    createdTime: int = field(default_factory=_utc_millis)
+
+    def to_action(self) -> dict[str, Any]:
+        return {
+            "metaData": {
+                "id": self.id,
+                "name": self.name,
+                "schemaString": self.schemaString,
+                "partitionColumns": self.partitionColumns,
+                "configuration": self.configuration,
+                "createdTime": self.createdTime,
+            }
+        }
+
+    @classmethod
+    def from_action(cls, d: dict[str, Any]) -> "Metadata":
+        return cls(
+            schemaString=d["schemaString"],
+            partitionColumns=d.get("partitionColumns", []),
+            configuration=d.get("configuration", {}),
+            id=d.get("id", uuid.uuid4().hex),
+            name=d.get("name"),
+            createdTime=d.get("createdTime", 0),
+        )
+
+
+@dataclass
+class CommitInfo:
+    operation: str
+    operationParameters: dict[str, Any] = field(default_factory=dict)
+    timestamp: int = field(default_factory=_utc_millis)
+    readVersion: int | None = None
+    operationMetrics: dict[str, Any] = field(default_factory=dict)
+
+    def to_action(self) -> dict[str, Any]:
+        return {
+            "commitInfo": {
+                "operation": self.operation,
+                "operationParameters": self.operationParameters,
+                "timestamp": self.timestamp,
+                "readVersion": self.readVersion,
+                "operationMetrics": self.operationMetrics,
+            }
+        }
+
+
+@dataclass
+class Snapshot:
+    """Materialized table state at one version: live files + metadata."""
+
+    version: int
+    metadata: Metadata
+    files: dict[str, AddFile]  # table-relative path -> AddFile
+
+    @property
+    def num_files(self) -> int:
+        return len(self.files)
+
+    @property
+    def size_bytes(self) -> int:
+        return sum(f.size for f in self.files.values())
+
+    @property
+    def num_records(self) -> int | None:
+        total = 0
+        for f in self.files.values():
+            if f.numRecords is None:
+                return None
+            total += f.numRecords
+        return total
+
+
+class DeltaLog:
+    """Reader/writer for one table's ``_delta_log`` directory."""
+
+    def __init__(self, table_path: str):
+        self.table_path = os.path.abspath(table_path)
+        self.log_path = os.path.join(self.table_path, LOG_DIR)
+        self._snapshot_cache: dict[int, Snapshot] = {}
+
+    # ---------- existence / versions ----------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_path) and bool(self._versions())
+
+    def _version_file(self, version: int) -> str:
+        return os.path.join(self.log_path, f"{version:020d}.json")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        out = []
+        for name in os.listdir(self.log_path):
+            if name.endswith(".json") and len(name) == 25:
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise TableNotFoundError(
+                f"{self.table_path} is not a delta_lake_spark table (no {LOG_DIR})"
+            )
+        return vs[-1]
+
+    # ---------- reading ----------
+
+    def _read_actions(self, version: int) -> list[dict[str, Any]]:
+        path = self._version_file(version)
+        if not os.path.exists(path):
+            raise VersionNotFoundError(
+                f"version {version} does not exist for table {self.table_path}"
+            )
+        with open(path, "r", encoding="utf-8") as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Replay the log up to ``version`` (default: latest).
+
+        Incremental: reuses the cached snapshot for ``version - 1`` when
+        present, so repeated reads replay only new commits — O(#new
+        actions), never O(history length) per call.
+        """
+        if version is None:
+            version = self.latest_version()
+        if version in self._snapshot_cache:
+            return self._snapshot_cache[version]
+        if version < 0:
+            raise VersionNotFoundError(f"negative version {version}")
+
+        base_version = -1
+        files: dict[str, AddFile] = {}
+        metadata: Metadata | None = None
+        # find the nearest cached ancestor to replay from
+        for v in sorted(self._snapshot_cache, reverse=True):
+            if v < version:
+                cached = self._snapshot_cache[v]
+                base_version = v
+                files = dict(cached.files)
+                metadata = cached.metadata
+                break
+
+        for v in range(base_version + 1, version + 1):
+            for action in self._read_actions(v):
+                if "add" in action:
+                    add = AddFile.from_action(action["add"])
+                    files[add.path] = add
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    metadata = Metadata.from_action(action["metaData"])
+
+        if metadata is None:
+            raise TableNotFoundError(
+                f"no metaData action found in log of {self.table_path}"
+            )
+        snap = Snapshot(version=version, metadata=metadata, files=files)
+        self._snapshot_cache[version] = snap
+        return snap
+
+    def history(self) -> list[dict[str, Any]]:
+        """Commit metadata, newest first (DESCRIBE HISTORY, reference D9)."""
+        out = []
+        for v in reversed(self._versions()):
+            info: dict[str, Any] = {"version": v}
+            for action in self._read_actions(v):
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    info.update(
+                        {
+                            "timestamp": ci.get("timestamp"),
+                            "operation": ci.get("operation"),
+                            "operationParameters": ci.get("operationParameters"),
+                            "readVersion": ci.get("readVersion"),
+                            "operationMetrics": ci.get("operationMetrics"),
+                        }
+                    )
+            out.append(info)
+        return out
+
+    # ---------- committing ----------
+
+    def commit(
+        self,
+        version: int,
+        actions: Iterable[dict[str, Any]],
+    ) -> int:
+        """Atomically write version file; raise on concurrent commit.
+
+        Uses write-to-temp + ``os.link`` (create-if-absent) so two writers
+        racing on the same version cannot both succeed — the local-FS
+        analogue of S3 put-if-absent / ADLS rename-if-absent.
+        """
+        os.makedirs(self.log_path, exist_ok=True)
+        target = self._version_file(version)
+        tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for action in actions:
+                fh.write(json.dumps(action, separators=(",", ":")) + "\n")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"version {version} of {self.table_path} was committed concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        self._snapshot_cache.pop(version, None)
+        return version
+
+    def commit_next(self, actions: list[dict[str, Any]], retries: int = 0) -> int:
+        """Commit at latest_version()+1 (or 0 for a new table)."""
+        attempt = 0
+        while True:
+            try:
+                version = self.latest_version() + 1
+            except TableNotFoundError:
+                version = 0
+            try:
+                return self.commit(version, actions)
+            except ConcurrentModificationError:
+                attempt += 1
+                if attempt > retries:
+                    raise

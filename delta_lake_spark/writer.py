@@ -1,0 +1,294 @@
+"""ACID write path: stage parquet via Spark, then atomically commit.
+
+Covers the reference's sinks (SURVEY.md §2.1/2.8):
+  - S7 append + partitionBy   (reference operations.py:23-36)
+  - S8 overwrite              (reference user.py:88-89)
+  - S11 mergeSchema evolution (reference delta_lake_rapid_start.py:565-571)
+  - M10 schema enforcement    (reference delta_lake_rapid_start.py:544-563)
+  - S12 convert parquet->delta(reference delta_lake_rapid_start.py:159-164)
+
+Layout: every commit stages its files under ``data/<commit-id>/`` inside
+the table directory (Spark writes them fully in parallel on executors);
+the commit then records table-relative paths in the log. Data files KEEP
+all columns, including partition columns — partition directories exist
+only to split files by partition value (so file-level pruning works) and
+to recover ``partitionValues`` for the log. Readers always receive an
+explicit file list from the log, never a directory listing, so there is
+no partition-inference ambiguity and no basePath recovery (verified
+against Spark 4.1: explicit-file reads do not infer partitions).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .errors import SchemaMismatchError
+from .log import AddFile, CommitInfo, DeltaLog, Metadata, RemoveFile, _utc_millis
+from .stats import file_stats
+
+PV_DIR_PREFIX = "__pv_"
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def schema_of(snapshot) -> StructType:
+    return StructType.fromJson(__import__("json").loads(snapshot.metadata.schemaString))
+
+
+def _nullable(schema: StructType) -> StructType:
+    """Parquet scans always surface columns as nullable; store the table
+    schema that way so written and read schemas agree exactly."""
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+
+
+def _evolve_schema(
+    table_schema: StructType, df_schema: StructType, merge_schema: bool
+) -> tuple[StructType, bool]:
+    """Schema enforcement (M10) / evolution (S11).
+
+    Returns (final_table_schema, changed). Rules (Delta semantics):
+      - common column with different type  -> SchemaMismatchError
+      - df column absent from table        -> error unless merge_schema,
+        in which case it is appended to the table schema
+      - table column absent from df        -> allowed (reader fills null)
+    """
+    by_name = {f.name: f for f in table_schema.fields}
+    extra = []
+    for f in df_schema.fields:
+        existing = by_name.get(f.name)
+        if existing is None:
+            extra.append(f)
+        elif existing.dataType != f.dataType:
+            raise SchemaMismatchError(
+                f"column '{f.name}': incoming type {f.dataType.simpleString()} "
+                f"!= table type {existing.dataType.simpleString()}"
+            )
+    if extra and not merge_schema:
+        raise SchemaMismatchError(
+            "incoming schema has columns not in the table: "
+            + ", ".join(f.name for f in extra)
+            + " (pass merge_schema=True to evolve)"
+        )
+    if not extra:
+        return table_schema, False
+    return StructType(list(table_schema.fields) + extra), True
+
+
+def _parse_partition_values(
+    rel_path: str, partition_by: list[str]
+) -> dict[str, str | None]:
+    """Recover partition values from ``__pv_col=value`` path segments."""
+    values: dict[str, str | None] = {}
+    for seg in rel_path.split(os.sep):
+        if "=" in seg and seg.startswith(PV_DIR_PREFIX):
+            k, _, v = seg.partition("=")
+            col = k[len(PV_DIR_PREFIX):]
+            if col in partition_by:
+                values[col] = None if v == HIVE_NULL else unquote(v)
+    return values
+
+
+def stage_files(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str],
+    data_change: bool = True,
+    collect_stats: bool = True,
+) -> list[AddFile]:
+    """Write df's data as parquet under data/<commit-id>/ and return the
+    AddFile actions (not yet committed). The Spark write is fully
+    distributed; only the footer-stat sweep runs on the driver."""
+    commit_rel = os.path.join("data", uuid.uuid4().hex[:16])
+    abs_dir = os.path.join(table_path, commit_rel)
+    if partition_by:
+        staged = df
+        for c in partition_by:
+            staged = staged.withColumn(PV_DIR_PREFIX + c, F.col(c).cast("string"))
+        staged.write.partitionBy(*[PV_DIR_PREFIX + c for c in partition_by]).parquet(
+            abs_dir
+        )
+    else:
+        df.write.parquet(abs_dir)
+
+    adds: list[AddFile] = []
+    for root, _dirs, names in os.walk(abs_dir):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            abs_file = os.path.join(root, name)
+            rel_file = os.path.relpath(abs_file, table_path)
+            num_records, stats = (None, None)
+            if collect_stats:
+                num_records, stats = file_stats(abs_file)
+            adds.append(
+                AddFile(
+                    path=rel_file,
+                    partitionValues=_parse_partition_values(rel_file, partition_by),
+                    size=os.path.getsize(abs_file),
+                    numRecords=num_records,
+                    stats=stats,
+                    modificationTime=_utc_millis(),
+                    dataChange=data_change,
+                )
+            )
+    return adds
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
+    operation: str | None = None,
+    operation_parameters: dict[str, Any] | None = None,
+) -> int:
+    """Append to / overwrite a versioned table; returns committed version.
+
+    Equivalent of the reference's
+    ``df.write.format("delta").mode(m).partitionBy(c).save(path)``
+    (operations.py:23-36). Append stages new files and commits ``add``
+    actions; overwrite additionally commits ``remove`` for every prior
+    live file (logical delete — the bytes stay for time travel until
+    VACUUM).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    log = DeltaLog(path)
+    table_exists = log.exists()
+
+    metadata: Metadata | None = None
+    removes: list[dict[str, Any]] = []
+    schema_changed = False
+
+    if table_exists:
+        snap = log.snapshot()
+        table_schema = schema_of(snap)
+        final_schema, schema_changed = _evolve_schema(
+            table_schema, _nullable(df.schema), merge_schema
+        )
+        if partition_by is None:
+            partition_by = list(snap.metadata.partitionColumns)
+        elif list(partition_by) != list(snap.metadata.partitionColumns):
+            raise SchemaMismatchError(
+                f"partitionBy {partition_by} != table partitioning "
+                f"{snap.metadata.partitionColumns}"
+            )
+        if schema_changed:
+            metadata = Metadata(
+                schemaString=final_schema.json(),
+                partitionColumns=partition_by,
+                configuration=snap.metadata.configuration,
+                id=snap.metadata.id,
+                createdTime=snap.metadata.createdTime,
+            )
+        if mode == "overwrite":
+            now = _utc_millis()
+            removes = [
+                RemoveFile(p, deletionTimestamp=now).to_action() for p in snap.files
+            ]
+    else:
+        partition_by = list(partition_by or [])
+        metadata = Metadata(
+            schemaString=_nullable(df.schema).json(), partitionColumns=partition_by
+        )
+
+    adds = stage_files(df, path, partition_by)
+    num_rows = sum(a.numRecords or 0 for a in adds)
+    commit_info = CommitInfo(
+        operation=operation or ("WRITE" if mode == "overwrite" else "APPEND"),
+        operationParameters=(operation_parameters or {"mode": mode, "partitionBy": partition_by}),
+        readVersion=log.snapshot().version if table_exists else None,
+        operationMetrics={
+            "numFiles": len(adds),
+            "numOutputRows": num_rows,
+            "numRemovedFiles": len(removes),
+        },
+    )
+    actions: list[dict[str, Any]] = [commit_info.to_action()]
+    if metadata is not None:
+        actions.append(metadata.to_action())
+    actions.extend(removes)
+    actions.extend(a.to_action() for a in adds)
+    return log.commit_next(actions, retries=3)
+
+
+def convert_to_delta(
+    spark, parquet_path: str, partition_schema: str | None = None
+) -> int:
+    """In-place convert an existing parquet directory to a versioned table
+    (S12; reference ``DeltaTable.convertToDelta`` at
+    delta_lake_rapid_start.py:159-164). Metadata-only: enumerates the
+    existing files and writes log version 0; no data is rewritten.
+
+    ``partition_schema`` is a DDL string like ``"p_device_id int"`` for
+    Hive-partitioned layouts. Converted hive-layout tables are flagged in
+    table configuration so the read path reconstructs partition columns
+    via Spark's basePath mechanism (their files do NOT contain the
+    partition columns, unlike natively written tables).
+    """
+    parquet_path = os.path.abspath(parquet_path)
+    log = DeltaLog(parquet_path)
+    if log.exists():
+        return log.latest_version()
+
+    part_struct = (
+        StructType.fromDDL(partition_schema) if partition_schema else StructType([])
+    )
+    part_cols = [f.name for f in part_struct.fields]
+
+    adds: list[AddFile] = []
+    sample_file: str | None = None
+    for root, _dirs, names in os.walk(parquet_path):
+        for name in names:
+            if not name.endswith(".parquet") or name.startswith("."):
+                continue
+            abs_file = os.path.join(root, name)
+            sample_file = abs_file
+            rel_file = os.path.relpath(abs_file, parquet_path)
+            pvals: dict[str, str | None] = {}
+            for seg in rel_file.split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    if k in part_cols:
+                        pvals[k] = None if v == HIVE_NULL else unquote(v)
+            num_records, stats = file_stats(abs_file)
+            adds.append(
+                AddFile(
+                    path=rel_file,
+                    partitionValues=pvals,
+                    size=os.path.getsize(abs_file),
+                    numRecords=num_records,
+                    stats=stats,
+                    modificationTime=_utc_millis(),
+                )
+            )
+    if sample_file is None:
+        raise SchemaMismatchError(f"no parquet files under {parquet_path}")
+
+    data_schema = spark.read.parquet(sample_file).schema
+    full_schema = _nullable(StructType(list(data_schema.fields) + list(part_struct.fields)))
+    configuration = {"layout": "hive"} if part_cols else {}
+    metadata = Metadata(
+        schemaString=full_schema.json(),
+        partitionColumns=part_cols,
+        configuration=configuration,
+    )
+    commit_info = CommitInfo(
+        operation="CONVERT",
+        operationParameters={"numFiles": len(adds)},
+        operationMetrics={"numConvertedFiles": len(adds)},
+    )
+    actions = [commit_info.to_action(), metadata.to_action()]
+    actions.extend(a.to_action() for a in adds)
+    return log.commit(0, actions)

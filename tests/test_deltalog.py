@@ -1,0 +1,119 @@
+"""Pure-Python unit tests for the transaction log (no Spark needed)."""
+
+import json
+import os
+
+import pytest
+
+from delta_lake_spark.errors import (
+    ConcurrentModificationError,
+    TableNotFoundError,
+    VersionNotFoundError,
+)
+from delta_lake_spark.log import AddFile, CommitInfo, DeltaLog, Metadata, RemoveFile
+
+SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _commit_v0(log: DeltaLog, files=("a.parquet", "b.parquet")):
+    actions = [
+        CommitInfo(operation="WRITE").to_action(),
+        Metadata(schemaString=SCHEMA).to_action(),
+    ]
+    actions += [AddFile(path=p, numRecords=10, size=100).to_action() for p in files]
+    return log.commit_next(actions)
+
+
+def test_commit_and_snapshot(tmp_path):
+    log = DeltaLog(str(tmp_path / "t"))
+    assert not log.exists()
+    v = _commit_v0(log)
+    assert v == 0
+    snap = log.snapshot()
+    assert snap.version == 0
+    assert set(snap.files) == {"a.parquet", "b.parquet"}
+    assert snap.num_records == 20
+
+
+def test_version_monotonicity_and_replay(tmp_path):
+    log = DeltaLog(str(tmp_path / "t"))
+    _commit_v0(log)
+    v1 = log.commit_next(
+        [
+            CommitInfo(operation="DELETE").to_action(),
+            RemoveFile(path="a.parquet").to_action(),
+            AddFile(path="c.parquet", numRecords=5, size=50).to_action(),
+        ]
+    )
+    assert v1 == 1
+    assert set(log.snapshot().files) == {"b.parquet", "c.parquet"}
+    # time travel to v0 still sees the original file set
+    assert set(log.snapshot(0).files) == {"a.parquet", "b.parquet"}
+
+
+def test_concurrent_commit_conflict(tmp_path):
+    log = DeltaLog(str(tmp_path / "t"))
+    _commit_v0(log)
+    log2 = DeltaLog(str(tmp_path / "t"))  # second writer, stale view
+    actions = [CommitInfo(operation="WRITE").to_action()]
+    log.commit(1, actions)
+    with pytest.raises(ConcurrentModificationError):
+        log2.commit(1, actions)
+    # commit_next with retries re-resolves the version
+    assert log2.commit_next(actions, retries=3) == 2
+
+
+def test_missing_version_raises(tmp_path):
+    log = DeltaLog(str(tmp_path / "t"))
+    _commit_v0(log)
+    with pytest.raises(VersionNotFoundError):
+        log.snapshot(7)
+
+
+def test_not_a_table(tmp_path):
+    log = DeltaLog(str(tmp_path / "nope"))
+    with pytest.raises(TableNotFoundError):
+        log.latest_version()
+
+
+def test_history_newest_first(tmp_path):
+    log = DeltaLog(str(tmp_path / "t"))
+    _commit_v0(log)
+    log.commit_next([CommitInfo(operation="DELETE").to_action()])
+    hist = log.history()
+    assert [h["version"] for h in hist] == [1, 0]
+    assert hist[0]["operation"] == "DELETE"
+    assert hist[1]["operation"] == "WRITE"
+
+
+def test_snapshot_cache_incremental(tmp_path):
+    log = DeltaLog(str(tmp_path / "t"))
+    _commit_v0(log)
+    log.snapshot()
+    for i in range(5):
+        log.commit_next(
+            [
+                CommitInfo(operation="APPEND").to_action(),
+                AddFile(path=f"x{i}.parquet", numRecords=1, size=10).to_action(),
+            ]
+        )
+    snap = log.snapshot()
+    assert snap.version == 5
+    assert len(snap.files) == 7
+
+
+def test_relocatable_log(tmp_path):
+    src = str(tmp_path / "t1")
+    log = DeltaLog(src)
+    _commit_v0(log)
+    dst = str(tmp_path / "t2")
+    os.rename(src, dst)
+    snap = DeltaLog(dst).snapshot()
+    assert set(snap.files) == {"a.parquet", "b.parquet"}

@@ -1,0 +1,132 @@
+"""ACID read/write path: append, overwrite, partitioning, time travel,
+schema enforcement/evolution, convert-to-delta. Mirrors the reference's
+expected-failure probes (SURVEY.md §5.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_spark import (
+    DataFileLostError,
+    DeltaTable,
+    SchemaMismatchError,
+    convert_to_delta,
+    read_delta,
+    write_delta,
+)
+
+
+def _events(spark, n=100, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).cast("int").alias("device_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+
+
+def test_append_roundtrip(spark, tmp_table):
+    df = _events(spark)
+    v = write_delta(df, tmp_table, mode="append")
+    assert v == 0
+    got = read_delta(spark, tmp_table)
+    assert got.count() == 100
+    assert got.dtypes == df.dtypes  # names/types survive; parquet reads are nullable
+    v2 = write_delta(_events(spark, 50, offset=100), tmp_table)
+    assert v2 == 1
+    assert read_delta(spark, tmp_table).count() == 150
+
+
+def test_overwrite_and_time_travel(spark, tmp_table):
+    write_delta(_events(spark, 100), tmp_table)
+    write_delta(_events(spark, 30), tmp_table, mode="overwrite")
+    assert read_delta(spark, tmp_table).count() == 30
+    assert read_delta(spark, tmp_table, version=0).count() == 100
+
+
+def test_partitioned_write_keeps_columns_and_prunes(spark, tmp_table):
+    write_delta(_events(spark, 100), tmp_table, partition_by=["device_id"])
+    got = read_delta(spark, tmp_table)
+    assert set(got.columns) == {"event_id", "device_id", "value"}
+    assert got.count() == 100
+    pruned = read_delta(spark, tmp_table, partition_filter={"device_id": 3})
+    assert pruned.count() == 20
+    assert pruned.select("device_id").distinct().collect()[0][0] == 3
+    # log records partition values on every file
+    snap = DeltaTable.forPath(spark, tmp_table)._log.snapshot()
+    assert all("device_id" in a.partitionValues for a in snap.files.values())
+
+
+def test_schema_enforcement_rejects_mismatch(spark, tmp_table):
+    write_delta(_events(spark, 10), tmp_table)
+    bad_type = _events(spark, 10).withColumn("value", F.col("value").cast("string"))
+    with pytest.raises(SchemaMismatchError):
+        write_delta(bad_type, tmp_table)
+    extra_col = _events(spark, 10).withColumn("device_type", F.lit("sensor"))
+    with pytest.raises(SchemaMismatchError):
+        write_delta(extra_col, tmp_table)
+
+
+def test_merge_schema_evolution(spark, tmp_table):
+    write_delta(_events(spark, 10), tmp_table)
+    evolved = _events(spark, 5, offset=10).withColumn("device_type", F.lit("sensor"))
+    write_delta(evolved, tmp_table, merge_schema=True)
+    got = read_delta(spark, tmp_table)
+    assert "device_type" in got.columns
+    assert got.count() == 15
+    # old rows read null for the new column
+    assert got.filter(F.col("device_type").isNull()).count() == 10
+
+
+def test_missing_columns_fill_null(spark, tmp_table):
+    write_delta(_events(spark, 10), tmp_table)
+    narrow = _events(spark, 5, offset=10).drop("value")
+    write_delta(narrow, tmp_table)
+    got = read_delta(spark, tmp_table)
+    assert got.filter(F.col("value").isNull()).count() == 5
+
+
+def test_convert_parquet_to_delta_partitioned(spark, tmp_path):
+    p = str(tmp_path / "plain")
+    _events(spark, 100).withColumnRenamed("device_id", "p_device_id").write.partitionBy(
+        "p_device_id"
+    ).parquet(p)
+    convert_to_delta(spark, p, "p_device_id int")
+    got = read_delta(spark, p)
+    assert got.count() == 100
+    assert dict(got.dtypes)["p_device_id"] == "int"
+    assert got.filter(F.col("p_device_id") == 2).count() == 20
+
+
+def test_vacuum_then_time_travel_fails(spark, tmp_table):
+    write_delta(_events(spark, 50), tmp_table)
+    write_delta(_events(spark, 20), tmp_table, mode="overwrite")
+    dt = DeltaTable.forPath(spark, tmp_table)
+    spark.conf.set("spark.delta_lake_spark.retentionDurationCheck.enabled", "false")
+    try:
+        deleted = dt.vacuum(0)
+    finally:
+        spark.conf.set("spark.delta_lake_spark.retentionDurationCheck.enabled", "true")
+    assert deleted  # v0's files are unreferenced now
+    assert read_delta(spark, tmp_table).count() == 20  # current still fine
+    with pytest.raises(DataFileLostError):
+        read_delta(spark, tmp_table, version=0).count()
+
+
+def test_vacuum_retention_safety(spark, tmp_table):
+    from delta_lake_spark import RetentionSafetyError
+
+    write_delta(_events(spark, 10), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    with pytest.raises(RetentionSafetyError):
+        dt.vacuum(0)
+
+
+def test_history_and_detail(spark, tmp_table):
+    write_delta(_events(spark, 10), tmp_table)
+    write_delta(_events(spark, 10, offset=10), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    hist = dt.history().collect()
+    assert [r.version for r in hist] == [1, 0]
+    assert hist[0].operation == "APPEND"
+    d = dt.detail().collect()[0]
+    assert d.format == "delta_lake_spark"
+    assert d.numFiles >= 1

@@ -1,0 +1,216 @@
+"""Mutation engine: DELETE / UPDATE / MERGE variants, matching the
+reference's usage shapes (SURVEY.md §2.8 M1-M7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_spark import (
+    DeltaTable,
+    MergeAmbiguityError,
+    read_delta,
+    write_delta,
+)
+
+
+def _readings(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("device_id"),
+        (F.col("id") % 5).cast("int").alias("p_device_id"),
+        (F.col("id").cast("double") * 2.0).alias("heartrate"),
+        F.lit("new").alias("status"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_table):
+    write_delta(_readings(spark), tmp_table, partition_by=["p_device_id"])
+    return DeltaTable.forPath(spark, tmp_table)
+
+
+def test_predicate_delete_prunes_files(spark, table, tmp_table):
+    """M5: delete('p_device_id = 4') rewrites only that partition."""
+    before = table._log.snapshot()
+    files_p4 = {
+        p for p, a in before.files.items() if a.partitionValues.get("p_device_id") == "4"
+    }
+    table.delete("p_device_id = 4")
+    after = table._log.snapshot()
+    removed = set(before.files) - set(after.files)
+    assert removed == files_p4  # only partition-4 files rewritten
+    got = read_delta(spark, tmp_table)
+    assert got.filter("p_device_id = 4").count() == 0
+    assert got.count() == 80
+
+
+def test_delete_all(spark, table, tmp_table):
+    table.delete()
+    assert read_delta(spark, tmp_table).count() == 0
+    assert read_delta(spark, tmp_table, version=0).count() == 100
+
+
+def test_update(spark, table, tmp_table):
+    table.update("heartrate < 20", {"status": "'low'"})
+    got = read_delta(spark, tmp_table)
+    assert got.filter("status = 'low'").count() == 10
+    assert got.filter("status = 'new'").count() == 90
+
+
+def test_merge_update_only(spark, table, tmp_table):
+    """M1: whenMatchedUpdate, the operations.py:149-166 shape."""
+    updates = spark.range(10).select(
+        F.col("id").alias("device_id"), F.lit("loaded").alias("new_status")
+    )
+    (
+        table.alias("bronze")
+        .merge(updates, "bronze.device_id = src.device_id", source_alias="src")
+        .whenMatchedUpdate(set={"status": "src.new_status"})
+        .execute()
+    )
+    got = read_delta(spark, tmp_table)
+    assert got.filter("status = 'loaded'").count() == 10
+    assert got.count() == 100
+
+
+def test_merge_delete_only(spark, table, tmp_table):
+    """M2: whenMatchedDelete, the utilities.py:61-73 shape."""
+    landed = spark.range(30).select(F.col("id").alias("device_id"))
+    (
+        table.alias("t")
+        .merge(landed, "t.device_id = s.device_id", source_alias="s")
+        .whenMatchedDelete()
+        .execute()
+    )
+    assert read_delta(spark, tmp_table).count() == 70
+
+
+def test_merge_full_upsert(spark, table, tmp_table):
+    """M3: update + insert in one transaction
+    (delta_lake_rapid_start.py:398-420)."""
+    upserts = spark.createDataFrame(
+        [(5, 1, 999.0, "updated"), (1000, 0, 50.0, "late"), (1001, 1, 60.0, "late")],
+        "device_id long, p_device_id int, heartrate double, status string",
+    )
+    (
+        table.alias("health_tracker")
+        .merge(upserts, "health_tracker.device_id = upserts.device_id", source_alias="upserts")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    got = read_delta(spark, tmp_table)
+    assert got.count() == 102
+    assert got.filter("device_id = 5").collect()[0].heartrate == 999.0
+    assert got.filter("status = 'late'").count() == 2
+
+
+def test_merge_insert_values_with_condition(spark, table, tmp_table):
+    src = spark.createDataFrame(
+        [(2000, 3, 70.0), (2001, 3, -1.0)],
+        "device_id long, p_device_id int, heartrate double",
+    )
+    (
+        table.alias("t")
+        .merge(src, "t.device_id = s.device_id", source_alias="s")
+        .whenNotMatchedInsert(
+            values={
+                "device_id": "s.device_id",
+                "p_device_id": "s.p_device_id",
+                "heartrate": "s.heartrate",
+                "status": "'inserted'",
+            },
+            condition="s.heartrate > 0",
+        )
+        .execute()
+    )
+    got = read_delta(spark, tmp_table)
+    assert got.filter("status = 'inserted'").count() == 1
+    assert got.count() == 101
+
+
+def test_merge_rlike_condition(spark, tmp_table):
+    """J4/M4: theta merge on RLIKE (05_compliance.py:100-107)."""
+    bronze = spark.createDataFrame(
+        [('{"user":"alice","v":1}',), ('{"user":"bob","v":2}',), ('{"user":"eve","v":3}',)],
+        "value string",
+    )
+    write_delta(bronze, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    deletions = spark.createDataFrame([("alice",), ("eve",)], "user_id string")
+    (
+        dt.alias("bronze")
+        .merge(deletions, "bronze.value RLIKE d.user_id", source_alias="d")
+        .whenMatchedDelete()
+        .execute()
+    )
+    got = read_delta(spark, tmp_table).collect()
+    assert len(got) == 1 and "bob" in got[0].value
+
+
+def test_merge_ambiguity_raises(spark, table):
+    dup_src = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "device_id long, new_status string"
+    )
+    with pytest.raises(MergeAmbiguityError):
+        (
+            table.alias("t")
+            .merge(dup_src, "t.device_id = s.device_id", source_alias="s")
+            .whenMatchedUpdate(set={"status": "s.new_status"})
+            .execute()
+        )
+
+
+def test_merge_untouched_files_not_rewritten(spark, table):
+    """Touched-file pruning: merging updates for one partition leaves the
+    other partitions' files in place (SURVEY.md §4 MERGE pruning)."""
+    before = set(table._log.snapshot().files)
+    updates = spark.createDataFrame([(0, "x")], "device_id long, new_status string")
+    (
+        table.alias("t")
+        .merge(updates, "t.device_id = s.device_id AND t.p_device_id = 0", source_alias="s")
+        .whenMatchedUpdate(set={"status": "s.new_status"})
+        .execute()
+    )
+    after = set(table._log.snapshot().files)
+    untouched_kept = before & after
+    # only partition-0 file(s) rewritten; >= other 4 partitions untouched
+    assert len(before - after) <= len(before) - 4
+    assert len(untouched_kept) >= 4
+
+
+def test_time_travel_scrub_and_restore(spark, table, tmp_table):
+    """M7: read old version, scrub a column, upsert back
+    (delta_lake_rapid_start.py:595-629)."""
+    table.delete("device_id < 10")  # v1
+    old = read_delta(spark, tmp_table, version=0).filter("device_id < 10")
+    scrubbed = old.withColumn("status", F.lit(None).cast("string"))
+    (
+        table.alias("t")
+        .merge(scrubbed, "t.device_id = s.device_id", source_alias="s")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    got = read_delta(spark, tmp_table)
+    assert got.count() == 100
+    assert got.filter("status IS NULL").count() == 10
+
+
+def test_restore_version(spark, table, tmp_table):
+    table.delete("p_device_id = 1")
+    table.restore(0)
+    assert read_delta(spark, tmp_table).count() == 100
+
+
+def test_optimize_compacts_small_files(spark, tmp_table):
+    for i in range(5):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id")), tmp_table
+        )
+    dt = DeltaTable.forPath(spark, tmp_table)
+    before = dt._log.snapshot().num_files
+    dt.optimize(target_file_bytes=1024 * 1024)
+    after_snap = dt._log.snapshot()
+    assert after_snap.num_files < before
+    assert read_delta(spark, tmp_table).count() == 50
+    hist = dt.history().collect()
+    assert hist[0].operation == "OPTIMIZE"

@@ -1,0 +1,33 @@
+"""Large-scale data-pipeline operators beyond the reference surface:
+deduplication, similarity search, text analysis, multimodal columns.
+
+All operators are (DataFrame, ...) -> DataFrame compositions of built-in
+pyspark.sql.functions (JVM-side, whole-stage-codegen friendly); Python
+touches data only in the explicitly-marked pandas-UDF paths
+(multimodal decode), batched via Arrow.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from .similarity import cosine_topk, ivf_topk, lsh_ann_pairs
+from .text import fingerprint, lang_id, quality_score, token_stats
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "lsh_ann_pairs",
+    "ivf_topk",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+]

@@ -1,0 +1,238 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+  - cosine_topk:   brute-force exact top-k — the correctness baseline.
+                   Queries are broadcast; similarity is computed with
+                   built-in higher-order functions (zip_with/aggregate),
+                   entirely JVM-side, and top-k per query uses a window
+                   (TakeOrdered-style, no global sort).
+  - lsh_ann_pairs: random-hyperplane LSH bucketing — the 100 TB path.
+                   Deterministic planes (seeded numpy), b bands; only
+                   bucket-colliding pairs are scored.
+  - ivf_topk:      inverted-file index: k-means-free deterministic
+                   centroid sample, route each query to nprobe nearest
+                   cells, score only those cells' vectors.
+
+Scale notes: brute force is O(|Q| x |N|) — fine for |Q| small (it's a
+broadcast nested loop with no shuffle); the LSH/IVF variants exist
+because at 10^9+ vectors the cross product must be pruned. All variants
+avoid Python row loops; math stays in codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_col(a, b):
+    """Cosine similarity between two array<numeric> columns (double)."""
+    return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns: query_id, neighbor_id, rank (1..k), sim (double).
+    Deterministic: ties broken by ascending neighbor id.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    n = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__nv"),
+    )
+    joined = n.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity_col(F.col("__qv"), F.col("__nv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_ann_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Approximate near-neighbor PAIRS via random-hyperplane LSH.
+
+    Sign-bit signature of ``n_planes`` deterministic hyperplanes, split
+    into ``bands``; pairs colliding in any band are scored exactly and
+    filtered by cosine >= threshold. Returns id_1, id_2, sim.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    bits = [
+        (_dot(F.col("__v"), F.array(*[F.lit(x) for x in p])) > 0).cast("int").alias(f"bit{i}")
+        for i, p in enumerate(planes)
+    ]
+    sig = v.select(id_col, "__v", *bits)
+    width = n_planes // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "", *[F.col(f"bit{bi * width + j}") for j in range(width)]
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        id_col, "__v", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "__v", "bb.band", "bb.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            F.col("a.__v").alias("v1"),
+            F.col("b.__v").alias("v2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_1", "id_2", cosine_similarity_col(F.col("v1"), F.col("v2")).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (every (n/n_cells)-th vector
+    by id — a k-means-free seeding that keeps the operator reproducible),
+    assign vectors to their nearest centroid, probe the ``nprobe``
+    closest cells per query, exact top-k within the probed cells.
+
+    Returns: query_id, neighbor_id, rank, sim. Approximate: recall
+    depends on nprobe/n_cells; nprobe = n_cells degrades to exact.
+    """
+    w_rank = Window.orderBy(F.col(id_col))
+    ranked = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__rn", F.row_number().over(w_rank))
+    total = ranked.count()
+    step = max(1, total // n_cells)
+    centroids = (
+        ranked.filter((F.col("__rn") - 1) % step == 0)
+        .limit(n_cells)
+        .select(
+            F.col("__rn").alias("cell_id"), F.col("__v").alias("__cv")
+        )
+    )
+
+    # assign every vector to its nearest centroid (broadcast centroids)
+    scored = ranked.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "__v",
+        "cell_id",
+        cosine_similarity_col(F.col("__v"), F.col("__cv")).alias("__cs"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("__cs").desc(), F.col("cell_id").asc()
+    )
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "__v", "cell_id")
+    )
+
+    # route queries to nprobe nearest cells
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    q_scored = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "__qv",
+        "cell_id",
+        cosine_similarity_col(F.col("__qv"), F.col("__cv")).alias("__cs"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__cs").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("__r", F.row_number().over(w_probe))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "__qv", "cell_id")
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored_cand = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity_col(F.col("__qv"), F.col("__v")).alias("sim"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored_cand.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

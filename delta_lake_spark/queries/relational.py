@@ -1,0 +1,640 @@
+"""Relational query surface over the TPC-H-ish test tables, covering
+SURVEY.md §2.3-2.7/2.9: scans, projections, casts, filters (SQL-string,
+Column, isin, RLIKE), equi- and non-equi joins, semi/anti joins,
+aggregations, windows (lag/lead, ranking), union, top-k, from_json.
+
+Cross-engine determinism convention (oracle = DuckDB):
+  - money/quantity arithmetic goes through DECIMAL (source doubles are
+    exactly 2dp, so the cast is lossless and sums are exact and
+    associative — bit-identical across engines and partition orders),
+    then the final value is cast back to DOUBLE;
+  - every computed column is aliased identically here and in the SQL;
+  - integer outputs are cast to long (DuckDB aggregates return BIGINT);
+  - orderings that feed LIMIT always carry a unique tiebreak key.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; ORACLE_SQL
+holds the DuckDB-ANSI equivalent keyed by the same name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long (legacy conf, dynamically settable)
+    and truncate to microseconds exactly as DuckDB does. Session tz pinned
+    to UTC so the ntz conversion is the identity on the stored instant."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+    )
+
+def _dec(col, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# q01 pricing summary (TPC-H Q1 shape; reference A1 multi-agg pattern)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 shipping-priority top-k (TPC-H Q3 shape; J1 joins + A1 + O1 top-k)
+# --------------------------------------------------------------------------
+
+def q02_top_unshipped_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q02_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 regional revenue (TPC-H Q5 shape; deep join tree, broadcast dims)
+# --------------------------------------------------------------------------
+
+def q03_region_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            revenue.cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q03_SQL = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 gold aggregate over events (reference A1: groupby agg avg/max/stddev,
+# delta_lake_rapid_start.py:185-198)
+# --------------------------------------------------------------------------
+
+def q04_events_gold(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+        (F.sum(_dec("value")).cast("double") / F.count("*")).alias("avg_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.stddev("value"), 6).alias("std_value"),
+    )
+
+
+_Q04_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+  MAX(value) AS max_value,
+  ROUND(STDDEV_SAMP(value), 6) AS std_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 filtered daily counts (reference A3: where + groupby date + orderBy,
+# delta_lake_rapid_start.py:283-290)
+# --------------------------------------------------------------------------
+
+def q05_daily_low_values(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.where(F.col("value") < 10)
+        .groupBy(F.to_date("ts").alias("dte"))
+        .agg(F.count("value").alias("n_low"))
+        .orderBy("dte")
+    )
+
+
+_Q05_SQL = """
+SELECT CAST(ts AS DATE) AS dte, COUNT(value) AS n_low
+FROM events WHERE value < 10 GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 from_json extraction (reference P5/§2.9 from_json over props;
+# 02_bronze_to_silver.py:228-240)
+# --------------------------------------------------------------------------
+
+def q06_json_extract(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "nested_json", F.from_json("props", "k INT")
+    ).select("event_type", F.col("nested_json.k").alias("k"))
+    return (
+        parsed.groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("k") < 10)
+    )
+
+
+_Q06_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n
+FROM events GROUP BY 1 HAVING k < 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 RLIKE filter (reference P10; 01_raw_to_bronze.py:191-193)
+# --------------------------------------------------------------------------
+
+def q07_rlike(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike("merge [a-z]+ join"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_Q07_SQL = """
+SELECT lang, COUNT(*) AS n_docs
+FROM documents WHERE regexp_matches(text, 'merge [a-z]+ join')
+GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 isin + top-k (reference P9 isin + O1 orderBy/limit)
+# --------------------------------------------------------------------------
+
+def q08_urgent_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"]))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+_Q08_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 quarantine split counts (reference P7/P11 clean-vs-quarantine
+# pattern, operations.py:41-47)
+# --------------------------------------------------------------------------
+
+def q09_quarantine_split(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("value") < 1, 1)).alias("n_quarantined"),
+        F.count(F.when(F.col("value") >= 1, 1)).alias("n_clean"),
+    )
+
+
+_Q09_SQL = """
+SELECT event_type, COUNT(*) AS n_total,
+  COUNT(CASE WHEN value < 1 THEN 1 END) AS n_quarantined,
+  COUNT(CASE WHEN value >= 1 THEN 1 END) AS n_clean
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 lag/lead interpolation (reference W1/W2,
+# delta_lake_rapid_start.py:325-352)
+# --------------------------------------------------------------------------
+
+def q10_interpolate(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    next_v = F.lead("value").over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            prev_v.alias("prev_value"),
+            next_v.alias("next_value"),
+            F.when(F.col("value") < 10, (prev_v + next_v) / 2)
+            .otherwise(F.col("value"))
+            .alias("repaired"),
+        )
+        .filter(F.col("value") < 10)
+    )
+
+
+_Q10_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+    LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+  FROM events
+)
+SELECT event_id, user_id, value, prev_value, next_value,
+  CASE WHEN value < 10 THEN (prev_value + next_value) / 2 ELSE value END AS repaired
+FROM w WHERE value < 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 union of update/insert slices (reference O3,
+# delta_lake_rapid_start.py:391-396)
+# --------------------------------------------------------------------------
+
+def q11_union_slices(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    inserts = orders.filter(F.col("o_orderdate") >= "2001-06-01").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return (
+        updates.union(inserts)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_all"), F.count_distinct("o_orderkey").alias("n_distinct"))
+    )
+
+
+_Q11_SQL = """
+WITH u AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+)
+SELECT o_orderstatus, COUNT(*) AS n_all, COUNT(DISTINCT o_orderkey) AS n_distinct
+FROM u GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 ordered batch slice (reference O1: orderBy + limit batch slicing,
+# utilities.py:49)
+# --------------------------------------------------------------------------
+
+def q12_batch_slice(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+_Q12_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events ORDER BY ts ASC, event_id ASC LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 ranking window (row_number per group — beyond reference's lag/lead)
+# --------------------------------------------------------------------------
+
+def q13_top_customers_per_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "rank", "c_custkey", "c_acctbal")
+    )
+
+
+_Q13_SQL = """
+WITH ranked AS (
+  SELECT n_name, c_custkey, c_acctbal,
+    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, rank, c_custkey, c_acctbal FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 group-having (active customers)
+# --------------------------------------------------------------------------
+
+def q14_active_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    counts = (
+        orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+    )
+    return counts.join(cust, counts.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "n_orders"
+    )
+
+
+_Q14_SQL = """
+SELECT c_custkey, c_name, n_orders FROM (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+) JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 anti join (customers with no orders; SURVEY §2.4 "semi/anti arise
+# internally" — here surfaced as a query op)
+# --------------------------------------------------------------------------
+
+def q15_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_Q15_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 semi join (customers with at least one urgent order)
+# --------------------------------------------------------------------------
+
+def q16_customers_with_urgent_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_Q16_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 min/max per group (reference A1 family)
+# --------------------------------------------------------------------------
+
+def q17_brand_price_stats(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.count("*").alias("n_parts"),
+        F.count_distinct("p_type").alias("n_types"),
+    )
+
+
+_Q17_SQL = """
+SELECT p_brand, MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
+  COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types
+FROM part GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 casts + scalar functions (reference P2/P3/§2.9: cast, date parts,
+# concat/lit)
+# --------------------------------------------------------------------------
+
+def q18_casts_projection(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+            F.dayofmonth("l_shipdate").cast("long").alias("ship_day"),
+            F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias("flag_status"),
+            F.col("l_quantity").cast("int").cast("long").alias("qty_int"),
+            F.round(F.col("l_extendedprice"), 0).alias("price_rounded"),
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT l_orderkey,
+  CAST(l_shipdate AS DATE) AS ship_date,
+  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+  CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+  CAST(dayofmonth(l_shipdate) AS BIGINT) AS ship_day,
+  l_returnflag || '/' || l_linestatus AS flag_status,
+  CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty_int,
+  ROUND(l_extendedprice, 0) AS price_rounded
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 small-dimension broadcast join chain (reference J1 fact-to-dim)
+# --------------------------------------------------------------------------
+
+def q19_supplier_per_region(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 as-of join (custom operator Spark lacks as a primitive; composed
+# from union + last(ignorenulls) window — the scalable pattern)
+# --------------------------------------------------------------------------
+
+def q20_asof_login_before_purchase(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("__is_p")
+    )
+    logins = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("__is_p"),
+    )
+    unioned = purchases.unionByName(logins)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("__is_p").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last_login = F.last(
+        F.when(F.col("__is_p") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        unioned.withColumn("last_signup_ts", last_login)
+        .filter(F.col("__is_p") == 1)
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+    )
+
+
+_Q20_SQL = """
+SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_unshipped_orders": q02_top_unshipped_orders,
+    "q03_region_revenue": q03_region_revenue,
+    "q04_events_gold": q04_events_gold,
+    "q05_daily_low_values": q05_daily_low_values,
+    "q06_json_extract": q06_json_extract,
+    "q07_rlike": q07_rlike,
+    "q08_urgent_topk": q08_urgent_topk,
+    "q09_quarantine_split": q09_quarantine_split,
+    "q10_interpolate": q10_interpolate,
+    "q11_union_slices": q11_union_slices,
+    "q12_batch_slice": q12_batch_slice,
+    "q13_top_customers_per_nation": q13_top_customers_per_nation,
+    "q14_active_customers": q14_active_customers,
+    "q15_customers_without_orders": q15_customers_without_orders,
+    "q16_customers_with_urgent_orders": q16_customers_with_urgent_orders,
+    "q17_brand_price_stats": q17_brand_price_stats,
+    "q18_casts_projection": q18_casts_projection,
+    "q19_supplier_per_region": q19_supplier_per_region,
+    "q20_asof_login_before_purchase": q20_asof_login_before_purchase,
+}
+
+ORACLE_SQL = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q02_top_unshipped_orders": _Q02_SQL,
+    "q03_region_revenue": _Q03_SQL,
+    "q04_events_gold": _Q04_SQL,
+    "q05_daily_low_values": _Q05_SQL,
+    "q06_json_extract": _Q06_SQL,
+    "q07_rlike": _Q07_SQL,
+    "q08_urgent_topk": _Q08_SQL,
+    "q09_quarantine_split": _Q09_SQL,
+    "q10_interpolate": _Q10_SQL,
+    "q11_union_slices": _Q11_SQL,
+    "q12_batch_slice": _Q12_SQL,
+    "q13_top_customers_per_nation": _Q13_SQL,
+    "q14_active_customers": _Q14_SQL,
+    "q15_customers_without_orders": _Q15_SQL,
+    "q16_customers_with_urgent_orders": _Q16_SQL,
+    "q17_brand_price_stats": _Q17_SQL,
+    "q18_casts_projection": _Q18_SQL,
+    "q19_supplier_per_region": _Q19_SQL,
+    "q20_asof_login_before_purchase": _Q20_SQL,
+}

@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run each Spark query
+and its DuckDB oracle on the same parquet, compare row count + columns +
+order-insensitive values. Used by test_oracle_diff.py and runnable
+directly:  python tests/oracle_harness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_con(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def compare(name: str, spark_df, con, oracle_sql: str) -> tuple[bool, str]:
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(oracle_sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
+    sn, dn = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+    if sn != dn:
+        diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        return False, f"values differ, first diffs: {diff}"
+    return True, f"OK ({len(s_rows)} rows)"
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    con = duckdb_con(sf_dir)
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            if name not in oracles:
+                n = df.count()
+                print(f"  {name:40s} rows-only ({n} rows)")
+                continue
+            ok, msg = compare(name, df, con, oracles[name])
+            print(f"{'✓' if ok else '✗'} {name:40s} {msg}")
+            if not ok:
+                failed.append(name)
+        except Exception as e:
+            print(f"✗ {name:40s} EXCEPTION {type(e).__name__}: {str(e)[:200]}")
+            failed.append(name)
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from delta_lake_spark import read_delta, write_delta
+    from delta_lake_spark.queries.relational import _events
 
     sf_dir = "/root/testdata/sf0.001"
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     table = os.path.join(tempfile.gettempdir(), "dls_entry_gold")
     shutil.rmtree(table, ignore_errors=True)
     write_delta(events, table, mode="overwrite")

@@ -31,11 +31,14 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _affine_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Affine (a, b) pairs sized so a * hash32 + b stays within a signed
+    64-bit long under ANSI mode: a < 2^29, b < 2^31, hash < 2^32."""
     out = []
-    a, b = seed * 2 + 1, seed + 7
+    state = seed * 6364136223846793005 + 1442695040888963407
     for _ in range(k):
-        a = (a * 6364136223846793005 + 1442695040888963407) % _MERSENNE
-        b = (b * 6364136223846793005 + 1442695040888963407) % _MERSENNE
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 33) % (1 << 29)
+        b = (state >> 2) % (1 << 31)
         out.append((a | 1, b))
     return out
 
@@ -123,7 +126,8 @@ def minhash_signatures(
     maps mod a Mersenne prime — fully deterministic across runs and
     cluster sizes. One aggregation (map-side partial mins)."""
     params = _affine_params(k, seed)
-    base = F.hash("shingle").cast("long")
+    # murmur3 int mapped to unsigned 32-bit so a*h+b < 2^61 (no overflow)
+    base = F.hash("shingle").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
     mins = [
         F.min(((F.lit(a) * base + F.lit(b)) % F.lit(_MERSENNE))).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
@@ -254,7 +258,9 @@ def simhash_pairs(
     sig = F.lit(0).cast("long")
     for i in range(bits):
         sig = sig.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
         )
     signatures = agg.select(F.col(id_col), sig.alias("simhash"))
 

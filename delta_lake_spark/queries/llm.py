@@ -1,0 +1,294 @@
+"""LLM-training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — over the documents/embeddings tables.
+
+Oracle-checked wherever ANSI SQL can express the semantics; the
+approximate operators (simhash banding, hyperplane LSH, IVF) are
+rows-only checks, with their exact counterparts oracle-checked so the
+approximate outputs are cross-validated in tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import decode_image_features, documents_as_media
+from ..operators.similarity import cosine_topk, ivf_topk, lsh_ann_pairs
+from ..operators.text import fingerprint, lang_id, quality_score, token_stats
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def q30_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q30_SQL = """
+SELECT MIN(doc_id) AS doc_id
+FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+"""
+
+
+def q31_dedup_ngram_jaccard(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.6
+    )
+    return pairs.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+# exact pairwise jaccard over word 3-gram shingles via inverted index
+_Q31_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+  WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, ROUND(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = id_1
+JOIN sizes s2 ON s2.doc_id = id_2
+WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+"""
+
+
+def q32_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidates verified by exact jaccard — with k=64/b=16
+    the verified output equals the exact inverted-index result (recall
+    at j>=0.6 is ~1), so it shares q31's oracle."""
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.6, k=64, bands=16
+    )
+    return pairs.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q33_dedup_simhash(spark, sf_dir):
+    """SimHash banded near-dup pairs (hash-function-specific: rows-only
+    check; cross-validated against jaccard pairs in tests)."""
+    return simhash_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", bits=64, max_hamming=3, bands=4
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def q34_embedding_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+_Q34_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q35_embedding_lsh_pairs(spark, sf_dir):
+    """Hyperplane-LSH near-duplicate vector pairs (approximate: rows-only
+    check; recall measured against brute force in tests)."""
+    return lsh_ann_pairs(
+        _emb(spark, sf_dir), id_col="vec_id", vec_col="embedding",
+        dim=64, n_planes=16, bands=4, threshold=0.4,
+    ).select("id_1", "id_2", F.round("sim", 6).alias("sim"))
+
+
+def q36_embedding_ivf_topk(spark, sf_dir):
+    """IVF-routed approximate top-k (rows-only check; recall vs brute
+    force asserted in tests)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q37_token_stats(spark, sf_dir):
+    out = token_stats(_docs(spark, sf_dir), "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("re_tokens").cast("long").alias("re_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+_Q37_SQL = r"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+  length(text) AS n_chars
+FROM documents
+"""
+
+
+def q38_quality_score(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q38_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id,
+  ROUND(n_tokens, 6) AS n_tokens,
+  ROUND((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_tok_len,
+  ROUND(n_uniq / n_tokens, 6) AS uniq_ratio,
+  ROUND(alpha_chars / n_chars, 6) AS alpha_ratio,
+  ROUND(least(n_tokens / 100.0, 1.0) * 0.3 + (n_uniq / n_tokens) * 0.4
+        + (alpha_chars / n_chars) * 0.3, 6) AS quality
+FROM base
+"""
+
+
+def q39_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q39_SQL = r"""
+WITH scores AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS score_en,
+    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los)\b')) AS score_es,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein)\b')) AS score_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une)\b')) AS score_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+    WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+    ELSE 'fr'
+  END AS pred_lang,
+  score_de, score_en, score_es, score_fr
+FROM scores
+"""
+
+
+def q40_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q40_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def q41_multimodal_features(spark, sf_dir):
+    media = documents_as_media(_docs(spark, sf_dir))
+    feats = decode_image_features(media)  # stubbed decode; real Arrow plumbing
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("head_byte").cast("long").alias("head_byte"),
+        "byte_sum",
+        F.col("fake_width").cast("long").alias("fake_width"),
+        F.col("fake_height").cast("long").alias("fake_height"),
+    )
+
+
+# documents are pure ASCII (verified), so octet_length == length and
+# byte values == codepoints; byte_sum folds per-char codepoints.
+_Q41_SQL = """
+SELECT doc_id AS media_id,
+  octet_length(encode(text)) AS n_bytes,
+  ord(substr(text, 1, 1)) AS head_byte,
+  list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS byte_sum,
+  octet_length(encode(text)) % 640 AS fake_width,
+  octet_length(encode(text)) % 480 AS fake_height
+FROM documents
+"""
+
+
+QUERIES = {
+    "q30_dedup_exact": q30_dedup_exact,
+    "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
+    "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
+    "q33_dedup_simhash": q33_dedup_simhash,
+    "q34_embedding_cosine_topk": q34_embedding_cosine_topk,
+    "q35_embedding_lsh_pairs": q35_embedding_lsh_pairs,
+    "q36_embedding_ivf_topk": q36_embedding_ivf_topk,
+    "q37_token_stats": q37_token_stats,
+    "q38_quality_score": q38_quality_score,
+    "q39_lang_id": q39_lang_id,
+    "q40_fingerprint": q40_fingerprint,
+    "q41_multimodal_features": q41_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "q30_dedup_exact": _Q30_SQL,
+    "q31_dedup_ngram_jaccard": _Q31_SQL,
+    "q32_dedup_minhash_lsh": _Q31_SQL,  # same semantics, LSH-accelerated
+    "q34_embedding_cosine_topk": _Q34_SQL,
+    "q37_token_stats": _Q37_SQL,
+    "q38_quality_score": _Q38_SQL,
+    "q39_lang_id": _Q39_SQL,
+    "q40_fingerprint": _Q40_SQL,
+    "q41_multimodal_features": _Q41_SQL,
+}

@@ -1,0 +1,295 @@
+"""Delta-format mutation queries: each builds a versioned table in a
+scratch directory, applies mutations through the engine (MERGE / DELETE
+/ schema evolution / OPTIMIZE / time travel), then returns a DataFrame
+summarizing the post-state. The DuckDB oracle expresses the expected
+post-state RELATIONALLY from the source tables (SURVEY.md §5.2), so the
+whole ACID path — log commits, file rewrites, snapshot resolution — is
+value-checked, not just row-counted.
+
+Scratch tables live under /tmp/dls_query_tables/<name>, recreated per
+run for determinism.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..reader import read_delta
+from ..table import DeltaTable
+from ..writer import write_delta
+from .relational import _dec, _events, _t
+
+_SCRATCH = "/tmp/dls_query_tables"
+
+
+def _fresh(name: str) -> str:
+    path = os.path.join(_SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return path
+
+
+# --------------------------------------------------------------------------
+# q50 MERGE full upsert (M3) -> aggregate post-state
+# --------------------------------------------------------------------------
+
+def q50_delta_merge_upsert(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    path = _fresh("merge_upsert")
+    write_delta(orders, path)
+
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("9-NEW").alias("o_orderpriority"),
+    )
+    source = updates.unionByName(inserts)
+
+    dt = DeltaTable.forPath(spark, path)
+    (
+        dt.alias("t")
+        .merge(source, "t.o_orderkey = s.o_orderkey", source_alias="s")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+_Q50_SQL = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+         o_totalprice, o_orderdate, '9-NEW' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+final AS (
+  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM final GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q51 DELETE + time travel (M5 + S6) -> current and v0 counts
+# --------------------------------------------------------------------------
+
+def q51_delta_delete_timetravel(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    path = _fresh("delete_tt")
+    write_delta(ev, path)
+    DeltaTable.forPath(spark, path).delete("event_type = 'error'")
+    cur = read_delta(spark, path).count()
+    v0 = read_delta(spark, path, version=0).count()
+    return spark.createDataFrame(
+        [(cur, v0)], "current_count long, v0_count long"
+    )
+
+
+_Q51_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM events WHERE event_type <> 'error') AS current_count,
+  (SELECT COUNT(*) FROM events) AS v0_count
+"""
+
+
+# --------------------------------------------------------------------------
+# q52 MERGE delete-only with status semantics (M1/M2 bronze-status shape)
+# --------------------------------------------------------------------------
+
+def q52_delta_status_merge(spark, sf_dir):
+    """The reference's bronze status lifecycle (operations.py:149-166):
+    mark loaded rows, quarantine negatives, count by status."""
+    ev = _events(spark, sf_dir).withColumn("status", F.lit("new"))
+    path = _fresh("status_merge")
+    write_delta(ev, path)
+    dt = DeltaTable.forPath(spark, path)
+
+    clean = _events(spark, sf_dir).filter(F.col("value") >= 1).select("event_id")
+    (
+        dt.alias("bronze")
+        .merge(clean, "bronze.event_id = clean.event_id", source_alias="clean")
+        .whenMatchedUpdate(set={"status": "'loaded'"})
+        .execute()
+    )
+    bad = _events(spark, sf_dir).filter(F.col("value") < 1).select("event_id")
+    (
+        dt.alias("bronze")
+        .merge(bad, "bronze.event_id = bad.event_id", source_alias="bad")
+        .whenMatchedUpdate(set={"status": "'quarantined'"})
+        .execute()
+    )
+    return (
+        read_delta(spark, path)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_Q52_SQL = """
+SELECT CASE WHEN value >= 1 THEN 'loaded' ELSE 'quarantined' END AS status,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q53 schema evolution append (S11) -> null/non-null counts per column
+# --------------------------------------------------------------------------
+
+def q53_delta_schema_evolution(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    path = _fresh("schema_evo")
+    write_delta(docs.filter(F.col("doc_id") % 2 == 0), path)
+    evolved = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality_tier", F.when(F.col("n_chars") > 300, "long").otherwise("short")
+    )
+    write_delta(evolved, path, merge_schema=True)
+    got = read_delta(spark, path)
+    return got.groupBy("quality_tier").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+_Q53_SQL = """
+SELECT CASE WHEN doc_id % 2 = 1 THEN (CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END) END AS quality_tier,
+       COUNT(*) AS n, SUM(n_chars) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q54 OPTIMIZE preserves data (compaction no-op on content)
+# --------------------------------------------------------------------------
+
+def q54_delta_optimize_roundtrip(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    path = _fresh("optimize_rt")
+    for i in range(5):  # five small appends -> many small files
+        write_delta(ev.filter(F.col("event_id") % 5 == i), path)
+    dt = DeltaTable.forPath(spark, path)
+    before_files = dt._log.snapshot().num_files
+    dt.optimize(target_file_bytes=64 * 1024 * 1024)
+    after_files = dt._log.snapshot().num_files
+    assert after_files < before_files, "compaction must reduce file count"
+    return (
+        read_delta(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_Q54_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q55 convert-to-delta on partitioned parquet (S12) + partition-pruned read
+# --------------------------------------------------------------------------
+
+def q55_delta_convert_parquet(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "p_type", F.col("event_type")
+    )
+    path = _fresh("convert")
+    ev.write.partitionBy("p_type").parquet(path)
+    DeltaTable.convertToDelta(spark, path, "p_type string")
+    got = read_delta(spark, path, partition_filter={"p_type": "purchase"})
+    return got.groupBy("p_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+_Q55_SQL = """
+SELECT event_type AS p_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q56 rollback-by-reinsert from old version (M6, 05_compliance.py:203-209)
+# --------------------------------------------------------------------------
+
+def q56_delta_rollback_reinsert(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    path = _fresh("rollback")
+    write_delta(ev, path)  # v0
+    dt = DeltaTable.forPath(spark, path)
+    dt.delete("user_id = 7")  # v1: GDPR-style delete
+    # restore user 7's purchase rows from v0 (INSERT INTO ... VERSION AS OF)
+    old = read_delta(spark, path, version=0).filter(
+        (F.col("user_id") == 7) & (F.col("event_type") == "purchase")
+    )
+    write_delta(old, path)  # v2 append
+    return (
+        read_delta(spark, path)
+        .filter(F.col("user_id") == 7)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_Q56_SQL = """
+SELECT event_type, COUNT(*) AS n
+FROM events WHERE user_id = 7 AND event_type = 'purchase'
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "q50_delta_merge_upsert": q50_delta_merge_upsert,
+    "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
+    "q52_delta_status_merge": q52_delta_status_merge,
+    "q53_delta_schema_evolution": q53_delta_schema_evolution,
+    "q54_delta_optimize_roundtrip": q54_delta_optimize_roundtrip,
+    "q55_delta_convert_parquet": q55_delta_convert_parquet,
+    "q56_delta_rollback_reinsert": q56_delta_rollback_reinsert,
+}
+
+ORACLE_SQL = {
+    "q50_delta_merge_upsert": _Q50_SQL,
+    "q51_delta_delete_timetravel": _Q51_SQL,
+    "q52_delta_status_merge": _Q52_SQL,
+    "q53_delta_schema_evolution": _Q53_SQL,
+    "q54_delta_optimize_roundtrip": _Q54_SQL,
+    "q55_delta_convert_parquet": _Q55_SQL,
+    "q56_delta_rollback_reinsert": _Q56_SQL,
+}

@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Usage: python bench.py [--all]  (--all benches every registered query;
+default is the headline subset used for round-over-round tracking).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_unshipped_orders",
+    "q03_region_revenue",
+    "q04_events_gold",
+    "q10_interpolate",
+    "q13_top_customers_per_nation",
+    "q20_asof_login_before_purchase",
+    "q31_dedup_ngram_jaccard",
+    "q32_dedup_minhash_lsh",
+    "q34_embedding_cosine_topk",
+    "q37_token_stats",
+    "q40_fingerprint",
+    "q50_delta_merge_upsert",
+    "q51_delta_delete_timetravel",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from delta_lake_spark.queries import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("delta_lake_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = list(QUERIES) if "--all" in sys.argv else HEADLINE
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        # warm the JVM/plan cache lightly by building the plan first
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -162,6 +162,7 @@ def minhash_lsh_pairs(
     """
     rows = k // bands
     sh = word_shingles(df, text_col, id_col, n).cache()
+    sh.count()  # materialize once: reused by signatures, sizes, and verify
     if max_doc_freq is not None:
         n_docs = sh.select(id_col).distinct().count()
         hot = (
@@ -201,14 +202,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification restricted to candidates
+    # exact verification restricted to candidates: start FROM the (small)
+    # candidate set so intersection rows are only materialized for pairs
+    # that banded together — never the full inverted-index cross product
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh1 = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    sh2 = sh.select(F.col(id_col).alias("id_2"), "shingle")
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
-        .join(candidates, ["id_1", "id_2"], "left_semi")
+        candidates.join(sh1, "id_1")
+        .join(sh2, ["id_2", "shingle"])
         .groupBy("id_1", "id_2")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -274,6 +274,40 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q57 streaming availableNow windowed aggregation (SURVEY §2.10 increment)
+# --------------------------------------------------------------------------
+
+def q57_streaming_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window counts computed by an actual
+    Structured Streaming query (availableNow drain into a memory sink);
+    the batch-SQL oracle proves stream==batch equivalence."""
+    from ..streaming.incremental import run_windowed_stream
+
+    ev = _events(spark, sf_dir)
+    path = _fresh("stream_src")
+    ev.write.parquet(path)
+    out = run_windowed_stream(
+        spark,
+        path,
+        _fresh("stream_ckpt"),
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        query_name="q57_windowed",
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+_Q57_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -282,9 +316,11 @@ QUERIES = {
     "q54_delta_optimize_roundtrip": q54_delta_optimize_roundtrip,
     "q55_delta_convert_parquet": q55_delta_convert_parquet,
     "q56_delta_rollback_reinsert": q56_delta_rollback_reinsert,
+    "q57_streaming_windowed_counts": q57_streaming_windowed_counts,
 }
 
 ORACLE_SQL = {
+    "q57_streaming_windowed_counts": _Q57_SQL,
     "q50_delta_merge_upsert": _Q50_SQL,
     "q51_delta_delete_timetravel": _Q51_SQL,
     "q52_delta_status_merge": _Q52_SQL,

@@ -1,0 +1,104 @@
+"""Structured Streaming increment: the checkpointed incremental loads
+the reference hand-rolls with its bronze ``status`` bookkeeping
+(SURVEY.md §2.10 — 01_raw_to_bronze.py:216-227 contrasts the batch
+course with the streaming variant; untilStreamIsReady at
+utilities.py:78-84 is its only streaming touch-point).
+
+``stream_table_to_table`` replaces the status lifecycle: a file-source
+stream over a directory of parquet (or our table's data files) with a
+checkpoint directory remembers exactly which files were processed, and
+``Trigger.availableNow`` drains everything pending then stops —
+the modern equivalent of the reference's "ingest N hours then MERGE
+the slice away" loop, with exactly-once bookkeeping for free.
+
+``windowed_event_counts`` adds the watermarked tumbling-window
+aggregation for late data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_table_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    schema: str | None = None,
+    transform=None,
+    timeout_sec: int = 120,
+) -> None:
+    """Drain all pending files from source_dir into a parquet sink with
+    availableNow semantics; incremental across calls via the checkpoint.
+
+    The sink is plain parquet here (Structured Streaming's file sink
+    maintains its own exactly-once manifest under _spark_metadata);
+    convert_to_delta can lift the result into a versioned table.
+    """
+    reader = spark.readStream
+    if schema:
+        reader = reader.schema(schema)
+    src = reader.parquet(source_dir)
+    if transform is not None:
+        src = transform(src)
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — works on a
+    streaming OR batch DataFrame (same expression, Catalyst plans the
+    stateful version under a stream)."""
+    # watermarks require TIMESTAMP (with-tz) event time; session tz is
+    # pinned UTC by the events loader so this cast is instant-preserving
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    query_name: str = "dls_windowed_counts",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Run the watermarked windowed aggregation over a parquet directory
+    as an availableNow stream into an in-memory sink; returns the result
+    as a DataFrame once the stream drains."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    agg = windowed_event_counts(src)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)

@@ -1,0 +1,214 @@
+"""Thin SQL front-end for the table-format statements stock Spark can't
+parse without delta-spark: MERGE INTO, DELETE FROM, VACUUM, DESCRIBE
+HISTORY/DETAIL, VERSION AS OF, CREATE/DROP TABLE USING DELTA, INSERT
+INTO. Everything else passes straight to ``spark.sql`` over the
+catalog's refreshed views (SURVEY.md §3.2/§7.2 chose this dispatch
+route over a Catalyst extension — the reference's own library code uses
+the Python builder API underneath, operations.py:149-166).
+
+Covers the reference's SQL shapes:
+  - MERGE INTO t USING s ON <cond> WHEN MATCHED [AND c] THEN
+    UPDATE SET a = b / DELETE; WHEN NOT MATCHED THEN INSERT * /(...)
+    VALUES (...)                 (05_compliance.py:100-138, M4)
+  - SELECT ... FROM t VERSION AS OF n   (05_compliance.py:161-167, S6)
+  - INSERT INTO t SELECT ... [VERSION AS OF n]  (:203-209, M6)
+  - VACUUM t RETAIN n HOURS             (:295-304, M8)
+  - DESCRIBE HISTORY / DETAIL t         (:142-148, D8/D9)
+  - CREATE TABLE t USING DELTA LOCATION '...' / DROP TABLE (D2/D5)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .catalog import Catalog
+from .table import DeltaTable
+from .writer import write_delta
+
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>[\w.]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<cond>.+?)"
+    r"(?P<clauses>\s+WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CLAUSE_RE = re.compile(
+    r"WHEN\s+(?P<notm>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\))"
+    r"(?=\s+WHEN\s+|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_VERSION_AS_OF_RE = re.compile(
+    r"(?P<table>[\w.]+)\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)", re.IGNORECASE
+)
+
+
+def _parse_assignments(text: str) -> dict[str, str]:
+    """Split 'a = expr, b = expr' respecting parens/quotes."""
+    out: dict[str, str] = {}
+    depth = 0
+    in_str: str | None = None
+    current = []
+    parts = []
+    for ch in text:
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(current))
+            current = []
+            continue
+        current.append(ch)
+    if current:
+        parts.append("".join(current))
+    for part in parts:
+        k, _, v = part.partition("=")
+        out[k.strip().split(".")[-1]] = v.strip()
+    return out
+
+
+def _exec_merge(catalog: Catalog, m: re.Match) -> DataFrame:
+    spark = catalog.spark
+    target_name = m.group("target")
+    t_alias = m.group("talias") or target_name
+    source_name = m.group("source")
+    s_alias = m.group("salias") or source_name
+    cond = m.group("cond").strip()
+
+    dt = DeltaTable.forPath(spark, catalog.path_of(target_name)).alias(t_alias)
+    source_df = spark.table(source_name)  # view or refreshed catalog table
+    builder = dt.merge(source_df, cond, source_alias=s_alias)
+
+    for cm in _CLAUSE_RE.finditer(m.group("clauses")):
+        action = cm.group("action").strip()
+        clause_cond = cm.group("cond")
+        if cm.group("notm"):
+            if re.match(r"INSERT\s*\*", action, re.IGNORECASE):
+                builder.when_not_matched_insert_all(condition=clause_cond)
+            else:
+                im = re.match(
+                    r"INSERT\s*\((?P<cols>.+?)\)\s*VALUES\s*\((?P<vals>.+)\)",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                cols = [c.strip() for c in im.group("cols").split(",")]
+                vals = re.split(r",(?![^()]*\))", im.group("vals"))
+                builder.when_not_matched_insert(
+                    values=dict(zip(cols, [v.strip() for v in vals])),
+                    condition=clause_cond,
+                )
+        elif re.match(r"DELETE", action, re.IGNORECASE):
+            builder.when_matched_delete(condition=clause_cond)
+        else:
+            set_text = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
+            builder.when_matched_update(
+                set=_parse_assignments(set_text), condition=clause_cond
+            )
+    builder.execute()
+    catalog.refresh(target_name)
+    return spark.createDataFrame([(True,)], "merged boolean")
+
+
+def sql(catalog: Catalog, statement: str) -> DataFrame:
+    """Execute one statement; returns a DataFrame result (possibly a
+    one-row status frame for DDL/DML)."""
+    spark = catalog.spark
+    s = statement.strip().rstrip(";")
+
+    m = re.match(
+        r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+USING\s+DELTA"
+        r"\s+LOCATION\s+'(?P<loc>[^']+)'\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        catalog.register(m.group("name"), m.group("loc"))
+        return spark.createDataFrame([(m.group("name"),)], "registered string")
+
+    m = re.match(
+        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        catalog.unregister(m.group("name"))
+        return spark.createDataFrame([(m.group("name"),)], "dropped string")
+
+    m = re.match(
+        r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        return DeltaTable.forPath(spark, catalog.path_of(m.group("name"))).history()
+
+    m = re.match(r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[\w.]+)\s*$", s, re.IGNORECASE)
+    if m:
+        return DeltaTable.forPath(spark, catalog.path_of(m.group("name"))).detail()
+
+    m = re.match(
+        r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+(?P<hours>[\d.]+)\s+HOURS?)?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        hours = float(m.group("hours")) if m.group("hours") else 168.0
+        deleted = DeltaTable.forPath(spark, catalog.path_of(m.group("name"))).vacuum(
+            hours
+        )
+        return spark.createDataFrame([(len(deleted),)], "files_deleted long")
+
+    m = re.match(
+        r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        dt.delete(m.group("pred"))
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(True,)], "deleted boolean")
+
+    m = _MERGE_RE.match(s)
+    if m:
+        catalog.refresh_all()
+        return _exec_merge(catalog, m)
+
+    m = re.match(
+        r"^\s*INSERT\s+INTO\s+(?P<name>[\w.]+)\s+(?P<select>SELECT\s+.+)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        catalog.refresh_all()
+        select_text = _rewrite_time_travel(catalog, m.group("select"))
+        df = spark.sql(select_text)
+        write_delta(df, catalog.path_of(m.group("name")), operation="INSERT")
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(True,)], "inserted boolean")
+
+    # plain query — refresh views, rewrite VERSION AS OF, delegate
+    catalog.refresh_all()
+    return spark.sql(_rewrite_time_travel(catalog, s))
+
+
+def _rewrite_time_travel(catalog: Catalog, statement: str) -> str:
+    """Rewrite ``t VERSION AS OF n`` to a temp view pinned at version n
+    (resolution pins the snapshot's file list BEFORE optimization, so
+    pruning applies to that version's files — SURVEY.md §3.2)."""
+
+    def repl(m: re.Match) -> str:
+        name, version = m.group("table"), int(m.group("version"))
+        if name not in catalog.names():
+            return m.group(0)
+        view = f"__{name}_v{version}"
+        catalog.refresh(name, version=version).createOrReplaceTempView(view)
+        return view
+
+    return _VERSION_AS_OF_RE.sub(repl, statement)

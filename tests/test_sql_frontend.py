@@ -1,0 +1,102 @@
+"""SQL front-end: the reference's compliance-pipeline SQL shapes
+(05_compliance.py) running end-to-end against our catalog + engine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_spark import write_delta
+from delta_lake_spark.catalog import Catalog
+from delta_lake_spark.sql import sql
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    users = spark.createDataFrame(
+        [
+            (1, '{"user":"alice","v":10}', "new"),
+            (2, '{"user":"bob","v":20}', "new"),
+            (3, '{"user":"eve","v":30}', "new"),
+            (4, '{"user":"mallory","v":40}', "new"),
+        ],
+        "user_id long, value string, status string",
+    )
+    path = str(tmp_path / "silver")
+    write_delta(users, path)
+    cat = Catalog(spark)
+    sql(cat, f"CREATE TABLE health_silver USING DELTA LOCATION '{path}'")
+    return cat
+
+
+def test_select_over_view(spark, catalog):
+    got = sql(catalog, "SELECT COUNT(*) AS n FROM health_silver").collect()
+    assert got[0].n == 4
+
+
+def test_sql_merge_delete_rlike(spark, catalog):
+    """GDPR delete via MERGE with RLIKE condition (05_compliance.py:100-107)."""
+    spark.createDataFrame([("alice",), ("eve",)], "user string") \
+        .createOrReplaceTempView("deletion_users")
+    sql(
+        catalog,
+        "MERGE INTO health_silver AS t USING deletion_users AS d "
+        "ON t.value RLIKE d.user "
+        "WHEN MATCHED THEN DELETE",
+    )
+    got = sql(catalog, "SELECT user_id FROM health_silver ORDER BY user_id").collect()
+    assert [r.user_id for r in got] == [2, 4]
+
+
+def test_sql_merge_update_and_insert(spark, catalog):
+    spark.createDataFrame(
+        [(1, "loaded"), (99, "late")], "user_id long, new_status string"
+    ).createOrReplaceTempView("updates")
+    sql(
+        catalog,
+        "MERGE INTO health_silver AS t USING updates AS u ON t.user_id = u.user_id "
+        "WHEN MATCHED THEN UPDATE SET status = u.new_status "
+        "WHEN NOT MATCHED THEN INSERT (user_id, value, status) "
+        "VALUES (u.user_id, '{}', u.new_status)",
+    )
+    rows = {
+        r.user_id: r.status
+        for r in sql(catalog, "SELECT user_id, status FROM health_silver").collect()
+    }
+    assert rows[1] == "loaded" and rows[99] == "late" and rows[2] == "new"
+
+
+def test_sql_delete_and_time_travel_and_insert_back(spark, catalog):
+    """Rollback-by-reinsert (05_compliance.py:203-209): DELETE, then
+    INSERT INTO ... SELECT * FROM t VERSION AS OF 0 WHERE ..."""
+    sql(catalog, "DELETE FROM health_silver WHERE user_id <= 2")
+    assert sql(catalog, "SELECT COUNT(*) AS n FROM health_silver").collect()[0].n == 2
+    # v0 still visible through time travel
+    n_v0 = sql(
+        catalog, "SELECT COUNT(*) AS n FROM health_silver VERSION AS OF 0"
+    ).collect()[0].n
+    assert n_v0 == 4
+    sql(
+        catalog,
+        "INSERT INTO health_silver "
+        "SELECT * FROM health_silver VERSION AS OF 0 WHERE user_id = 1",
+    )
+    got = sql(catalog, "SELECT user_id FROM health_silver ORDER BY user_id").collect()
+    assert [r.user_id for r in got] == [1, 3, 4]
+
+
+def test_sql_describe_history_and_vacuum(spark, catalog):
+    sql(catalog, "DELETE FROM health_silver WHERE user_id = 1")
+    hist = sql(catalog, "DESCRIBE HISTORY health_silver").collect()
+    assert hist[0].operation == "DELETE"
+    detail = sql(catalog, "DESCRIBE DETAIL health_silver").collect()[0]
+    assert detail.format == "delta_lake_spark"
+    # low-retention vacuum refuses until the safety flag is disabled
+    from delta_lake_spark import RetentionSafetyError
+
+    with pytest.raises(RetentionSafetyError):
+        sql(catalog, "VACUUM health_silver RETAIN 0 HOURS")
+    spark.conf.set("spark.delta_lake_spark.retentionDurationCheck.enabled", "false")
+    try:
+        out = sql(catalog, "VACUUM health_silver RETAIN 0 HOURS").collect()[0]
+        assert out.files_deleted >= 1
+    finally:
+        spark.conf.set("spark.delta_lake_spark.retentionDurationCheck.enabled", "true")

@@ -1,0 +1,160 @@
+"""Operator-level tests: dedup family cross-validation, similarity
+recall, text analysis edge cases, multimodal plumbing shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from delta_lake_spark.operators.multimodal import (
+    decode_image_features,
+    documents_as_media,
+    frame_sample,
+)
+from delta_lake_spark.operators.similarity import cosine_topk, ivf_topk
+from delta_lake_spark.operators.text import lang_id, token_stats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    kept = exact_dedup(docs, "text", "doc_id")
+    assert kept.count() == docs.select(F.lower("text")).distinct().count()
+
+
+def test_word_shingles_count(spark, docs):
+    sh = word_shingles(docs, "text", "doc_id", n=3)
+    one = docs.filter("doc_id = 0").select("text").collect()[0].text
+    n_words = len(one.split())
+    got = sh.filter("doc_id = 0").count()
+    assert got <= n_words - 2  # distinct shingles <= positions
+
+
+def test_minhash_lsh_equals_exact(spark, docs):
+    """The LSH-accelerated pairs must equal the exact inverted-index
+    result at this threshold (recall calibration guard)."""
+    exact = {
+        (r.id_1, r.id_2)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6).collect()
+    }
+    lsh = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.6).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    """SimHash pairs should substantially overlap the jaccard near-dups
+    (different signal, same injected duplicates)."""
+    jac = {
+        (r.id_1, r.id_2)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    }
+    sim = {
+        (r.id_1, r.id_2)
+        for r in simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert len(jac) > 0
+    assert len(jac & sim) / len(jac) >= 0.5  # recall of simhash vs jaccard dups
+    assert all(h.hamming <= 3 for h in simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3
+    ).collect())
+
+
+def test_cosine_topk_is_exact_and_ranked(spark, emb):
+    out = cosine_topk(emb, emb.filter("vec_id = 0"), k=5).collect()
+    assert len(out) == 5
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.neighbor_id != 0 for r in out)
+    # brute-force ground truth via pandas
+    import numpy as np
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    q = mat[pdf.vec_id == 0][0]
+    sims_np = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = [
+        int(pdf.vec_id.iloc[i])
+        for i in np.argsort(-sims_np)
+        if int(pdf.vec_id.iloc[i]) != 0
+    ][:5]
+    assert [r.neighbor_id for r in out] == order
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF with nprobe=4/16 cells should recover most of the exact top-k."""
+    exact = cosine_topk(emb, emb.filter("vec_id < 3"), k=10).collect()
+    approx = ivf_topk(emb, emb.filter("vec_id < 3"), k=10, n_cells=16, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    exact = cosine_topk(emb, emb.filter("vec_id = 1"), k=5).collect()
+    full = ivf_topk(emb, emb.filter("vec_id = 1"), k=5, n_cells=8, nprobe=8).collect()
+    assert [(r.neighbor_id) for r in exact] == [(r.neighbor_id) for r in full]
+
+
+def test_token_stats_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "  padded  "), (3, "a-b c_d 42!")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in token_stats(df, "text", "doc_id").collect()}
+    assert rows[1].ws_tokens == 2
+    assert rows[2].ws_tokens == 1
+    assert rows[3].re_tokens == 8  # a,-,b,c,_,d,42,!
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "el gato y la casa de los perros"),
+            (3, "der hund und die katze ist ein tier"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.pred_lang for r in lang_id(df, "text", "doc_id").collect()}
+    assert rows == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = documents_as_media(docs)
+    feats = decode_image_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    # n_bytes of utf-8 == n_chars for ASCII corpus
+    assert joined.filter(F.col("n_bytes") != F.col("n_chars")).count() == 0
+    # stub decode raises for the real path, clearly marked
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media, real_decode=True)
+
+
+def test_frame_sample_explodes(spark, docs):
+    media = documents_as_media(docs.limit(10))
+    frames = frame_sample(media, every_n_bytes=64)
+    counts = {r.media_id: r.n for r in frames.groupBy("media_id").agg(
+        F.count("*").alias("n")).collect()}
+    lens = {r.media_id: r.n_bytes for r in decode_image_features(media).collect()}
+    for mid, n in counts.items():
+        assert n == -(-lens[mid] // 64)  # ceil(len/64) frames

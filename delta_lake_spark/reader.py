@@ -35,6 +35,7 @@ def read_delta(
     path: str,
     version: int | None = None,
     partition_filter: dict[str, object] | None = None,
+    predicate: str | None = None,
 ) -> DataFrame:
     """Read a versioned table as a DataFrame.
 
@@ -42,8 +43,13 @@ def read_delta(
     existence check makes post-VACUUM time travel fail loudly, matching
     the reference's expected-failure probe (05_compliance.py:346-354).
     ``partition_filter`` maps partition column -> exact value; files of
-    other partitions are pruned from the scan entirely.
+    other partitions are pruned from the scan entirely. ``predicate``
+    (a conjunctive SQL string) additionally prunes files whose log
+    min/max stats prove no row can match — data skipping; the caller
+    still applies the real filter to the returned DataFrame.
     """
+    from .skipping import prune_adds
+
     path = os.path.abspath(path)
     log = DeltaLog(path)
     snap = log.snapshot(version)
@@ -57,6 +63,7 @@ def read_delta(
             for a in adds
             if all(a.partitionValues.get(k) == v for k, v in wanted.items())
         ]
+    adds, _skipped = prune_adds(adds, predicate)
 
     files = [os.path.join(path, a.path) for a in adds]
     if version is not None:

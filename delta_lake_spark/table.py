@@ -369,8 +369,22 @@ class DeltaTable:
 
     # ---------- mutations ----------
 
-    def _touched_files(self, cond: Column) -> list[str]:
-        df = self.toDF().select("*", F.col("_metadata.file_path").alias(_FILE_COL))
+    def _touched_files(self, cond: Column, cond_str: str | None = None) -> list[str]:
+        """Exact touched-file discovery: one scan with _metadata.file_path,
+        pre-pruned by log stats when the condition is a simple SQL string
+        (data skipping — at scale the FIND scan touches only files whose
+        min/max ranges overlap the predicate)."""
+        from .skipping import prune_adds
+
+        snap = self._log.snapshot()
+        adds = list(snap.files.values())
+        if cond_str:
+            adds, _ = prune_adds(adds, cond_str)
+        if not adds:
+            return []
+        df = self._read_files([a.path for a in adds]).select(
+            "*", F.col("_metadata.file_path").alias(_FILE_COL)
+        )
         rows = df.filter(cond).select(_FILE_COL).distinct().collect()
         return sorted(_rel_file(r[_FILE_COL], self.path) for r in rows)
 
@@ -388,7 +402,9 @@ class DeltaTable:
             touched = sorted(snap.files)
             adds = []
         else:
-            touched = self._touched_files(cond)
+            touched = self._touched_files(
+                cond, condition if isinstance(condition, str) else None
+            )
             if not touched:
                 return snap.version
             kept = self._read_files(touched).filter(
@@ -415,7 +431,9 @@ class DeltaTable:
         snap = self._log.snapshot()
         schema = schema_of(snap)
         cond = _as_column(condition)
-        touched = self._touched_files(cond)
+        touched = self._touched_files(
+            cond, condition if isinstance(condition, str) else None
+        )
         if not touched:
             return snap.version
         df = self._read_files(touched)

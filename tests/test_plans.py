@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale (SURVEY.md §4) must survive refactors — predicate pushdown and
+column pruning into our explicit-file delta scans, broadcast joins for
+dims, top-k as TakeOrdered, no cartesian products."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from delta_lake_spark import read_delta, write_delta
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_delta_scan_pushdown_and_pruning(spark, tmp_table):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    write_delta(li, tmp_table)
+    df = (
+        read_delta(spark, tmp_table)
+        .filter("l_orderkey = 42")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "EqualTo(l_orderkey,42)" in plan  # filter reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey",
+        "l_quantity",
+    }  # column pruning: only the projected columns are read
+
+
+def test_q02_broadcasts_dim_and_takeordered(spark):
+    from delta_lake_spark.queries.relational import q02_top_unshipped_orders
+
+    plan = _plan(q02_top_unshipped_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan  # top-k, not global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_q03_no_cartesian_no_nested_loop(spark):
+    from delta_lake_spark.queries.relational import q03_region_revenue
+
+    plan = _plan(q03_region_revenue(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_filter_prunes_scan_files(spark, tmp_table):
+    ev = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).cast("int").alias("bucket")
+    )
+    write_delta(ev, tmp_table, partition_by=["bucket"])
+    full = read_delta(spark, tmp_table)
+    pruned = read_delta(spark, tmp_table, partition_filter={"bucket": 3})
+    n_full = full.rdd.getNumPartitions()
+    # pruned scan reads only that partition's files
+    assert pruned.count() == 100
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_merge_source_broadcast_for_small_updates(spark, tmp_table):
+    """The touched-file discovery join should not degrade to cartesian."""
+    from delta_lake_spark import DeltaTable
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    write_delta(li, tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = spark.createDataFrame([(1, 99.0)], "k long, v double")
+    with_file = dt.toDF().select(
+        "*", F.col("_metadata.file_path").alias("__f")
+    ).alias("t")
+    probe = with_file.join(src.alias("s"), F.expr("t.l_orderkey = s.k"), "left_semi")
+    plan = _plan(probe)
+    assert "CartesianProduct" not in plan

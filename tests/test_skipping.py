@@ -1,0 +1,78 @@
+"""Data skipping: file pruning from log min/max stats."""
+
+from pyspark.sql import functions as F
+
+from delta_lake_spark import DeltaTable, read_delta, write_delta
+from delta_lake_spark.log import AddFile
+from delta_lake_spark.skipping import file_may_match, parse_conjuncts, prune_adds
+
+
+def _add(mins, maxs, pv=None):
+    return AddFile(
+        path="f.parquet",
+        partitionValues=pv or {},
+        stats={"minValues": mins, "maxValues": maxs, "nullCount": {}},
+    )
+
+
+def test_parse_conjuncts():
+    assert parse_conjuncts("a = 1 AND b < 2.5") == [("a", "=", 1), ("b", "<", 2.5)]
+    assert parse_conjuncts("s = 'x'") == [("s", "=", "x")]
+    assert parse_conjuncts("k IN (1, 2, 3)") == [("k", "IN", [1, 2, 3])]
+    assert parse_conjuncts("a = b") is None  # col-col: not skippable
+    assert parse_conjuncts("a RLIKE 'x'") is None
+
+
+def test_file_may_match_ranges():
+    add = _add({"x": 10, "s": "carol"}, {"x": 20, "s": "frank"})
+    assert file_may_match(add, [("x", "=", 15)])
+    assert not file_may_match(add, [("x", "=", 25)])
+    assert not file_may_match(add, [("x", "<", 10)])
+    assert file_may_match(add, [("x", "<=", 10)])
+    assert not file_may_match(add, [("x", ">", 20)])
+    assert file_may_match(add, [("x", ">=", 20)])
+    assert not file_may_match(add, [("s", "=", "alice")])
+    assert file_may_match(add, [("s", "=", "dave")])
+    assert file_may_match(add, [("y", "=", 99)])  # no stats for y -> keep
+
+
+def test_partition_value_beats_stats():
+    add = _add({}, {}, pv={"p": "3"})
+    assert file_may_match(add, [("p", "=", 3)])
+    assert not file_may_match(add, [("p", "=", 4)])
+    assert not file_may_match(add, [("p", "IN", [1, 2])])
+    assert file_may_match(add, [("p", "IN", [3, 4])])
+
+
+def test_end_to_end_scan_skips_files(spark, tmp_table):
+    # 10 appends with disjoint id ranges -> 10+ files with tight stats
+    for i in range(10):
+        write_delta(
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            tmp_table,
+        )
+    full = read_delta(spark, tmp_table)
+    pruned = read_delta(spark, tmp_table, predicate="id = 450")
+    assert len(pruned.inputFiles()) == 1
+    assert len(full.inputFiles()) >= 10
+    assert pruned.filter("id = 450").count() == 1
+    # unparseable predicate: no pruning, still correct
+    nop = read_delta(spark, tmp_table, predicate="id = v")
+    assert len(nop.inputFiles()) == len(full.inputFiles())
+
+
+def test_delete_scans_only_overlapping_files(spark, tmp_table):
+    for i in range(10):
+        write_delta(
+            spark.range(i * 100, (i + 1) * 100).select(F.col("id")).coalesce(1),
+            tmp_table,
+        )
+    dt = DeltaTable.forPath(spark, tmp_table)
+    before = set(dt._log.snapshot().files)
+    dt.delete("id >= 850")
+    after = set(dt._log.snapshot().files)
+    # only the files overlapping [850, inf) were rewritten
+    assert len(before - after) == 2  # ranges 800-899 and 900-999
+    assert read_delta(spark, tmp_table).count() == 850

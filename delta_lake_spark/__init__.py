@@ -18,12 +18,16 @@ from .errors import (
     TableNotFoundError,
     VersionNotFoundError,
 )
+from .catalog import Catalog
 from .log import DeltaLog, Snapshot
 from .reader import read_delta
+from .sql import sql
 from .table import DeltaTable
 from .writer import convert_to_delta, write_delta
 
 __all__ = [
+    "Catalog",
+    "sql",
     "DeltaLog",
     "Snapshot",
     "DeltaTable",

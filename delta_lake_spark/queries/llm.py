@@ -141,6 +141,40 @@ def q35_embedding_lsh_pairs(spark, sf_dir):
     ).select("id_1", "id_2", F.round("sim", 6).alias("sim"))
 
 
+def q42_embedding_dedup_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine >= 0.45) by brute force —
+    the correctness baseline whose scale path is q35's LSH bucketing.
+    Oracle-checked against DuckDB list_dot_product in double precision."""
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_1"), F.col("v").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id_2"), F.col("v").alias("v2"))
+    from ..operators.similarity import cosine_similarity_col
+
+    pairs = (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            cosine_similarity_col(F.col("v1"), F.col("v2")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.45)
+    )
+    return pairs.select("id_1", "id_2", F.round("sim", 6).alias("sim"))
+
+
+_Q42_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+  ROUND(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+"""
+
+
 def q36_embedding_ivf_topk(spark, sf_dir):
     """IVF-routed approximate top-k (rows-only check; recall vs brute
     force asserted in tests)."""
@@ -279,9 +313,11 @@ QUERIES = {
     "q39_lang_id": q39_lang_id,
     "q40_fingerprint": q40_fingerprint,
     "q41_multimodal_features": q41_multimodal_features,
+    "q42_embedding_dedup_pairs": q42_embedding_dedup_pairs,
 }
 
 ORACLE_SQL = {
+    "q42_embedding_dedup_pairs": _Q42_SQL,
     "q30_dedup_exact": _Q30_SQL,
     "q31_dedup_ngram_jaccard": _Q31_SQL,
     "q32_dedup_minhash_lsh": _Q31_SQL,  # same semantics, LSH-accelerated

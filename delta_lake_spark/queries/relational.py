@@ -593,8 +593,43 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """
 
 
+# --------------------------------------------------------------------------
+# q21 JSON source/sink round-trip (reference S1 schema-inferred JSON scan
+# + S10 JSON sink, delta_lake_rapid_start.py:64-70 / utilities.py:52)
+# --------------------------------------------------------------------------
+
+def q21_json_roundtrip(spark, sf_dir):
+    import shutil
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = "/tmp/dls_query_tables/json_rt"
+    shutil.rmtree(path, ignore_errors=True)
+    ev.write.json(path)  # S10 JSON sink
+    back = spark.read.json(path)  # S1 schema-inferred scan
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+_Q21_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q21_json_roundtrip": q21_json_roundtrip,
     "q02_top_unshipped_orders": q02_top_unshipped_orders,
     "q03_region_revenue": q03_region_revenue,
     "q04_events_gold": q04_events_gold,
@@ -618,6 +653,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q01_pricing_summary": _Q01_SQL,
+    "q21_json_roundtrip": _Q21_SQL,
     "q02_top_unshipped_orders": _Q02_SQL,
     "q03_region_revenue": _Q03_SQL,
     "q04_events_gold": _Q04_SQL,

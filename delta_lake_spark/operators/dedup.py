@@ -126,13 +126,19 @@ def minhash_signatures(
     maps mod a Mersenne prime — fully deterministic across runs and
     cluster sizes. One aggregation (map-side partial mins)."""
     params = _affine_params(k, seed)
-    # murmur3 int mapped to unsigned 32-bit so a*h+b < 2^61 (no overflow)
-    base = F.hash("shingle").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    # murmur3 int mapped to unsigned 32-bit so a*h+b < 2^61 (no overflow);
+    # projected ONCE per row so the k min-aggregates reuse it instead of
+    # re-hashing the shingle k times
+    hashed = shingle_df.select(
+        id_col,
+        F.hash("shingle").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h"),
+    )
+    base = F.col("__h")
     mins = [
         F.min(((F.lit(a) * base + F.lit(b)) % F.lit(_MERSENNE))).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
-    agg = shingle_df.groupBy(id_col).agg(*mins)
+    agg = hashed.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig")
     )
@@ -187,18 +193,20 @@ def minhash_lsh_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
-    ba = banded.alias("ba")
-    bb = banded.alias("bb")
+    # within-bucket pair generation: ONE shuffle (groupBy band+bucket)
+    # instead of a self-join that would recompute the whole signature
+    # pipeline twice. Bucket membership lists are small by construction
+    # (true near-dup groups, plus the max_doc_freq stop-shingle guard),
+    # so the per-bucket explode is bounded.
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     candidates = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.bucket") == F.col("bb.bucket"))
-            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
-        )
-        .select(
-            F.col(f"ba.{id_col}").alias("id_1"), F.col(f"bb.{id_col}").alias("id_2")
-        )
+        bucketed.select(F.explode("ids").alias("id_1"), F.col("ids"))
+        .select("id_1", F.explode("ids").alias("id_2"))
+        .filter(F.col("id_1") < F.col("id_2"))
         .distinct()
     )
 
@@ -280,20 +288,21 @@ def simhash_pairs(
     banded = signatures.select(
         id_col, "simhash", F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "simhash", "bb.band", "bb.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # within-bucket pair generation (one shuffle; see minhash_lsh_pairs)
+    bucketed = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_set(F.struct(id_col, "simhash")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        bucketed.select(F.explode("ms").alias("m1"), F.col("ms"))
+        .select("m1", F.explode("ms").alias("m2"))
+        .filter(F.col(f"m1.{id_col}") < F.col(f"m2.{id_col}"))
         .select(
-            F.col(f"a.{id_col}").alias("id_1"),
-            F.col(f"b.{id_col}").alias("id_2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
+            F.col(f"m1.{id_col}").alias("id_1"),
+            F.col(f"m2.{id_col}").alias("id_2"),
+            F.col("m1.simhash").alias("s1"),
+            F.col("m2.simhash").alias("s2"),
         )
         .distinct()
     )

@@ -117,3 +117,55 @@ def test_relocatable_log(tmp_path):
     os.rename(src, dst)
     snap = DeltaLog(dst).snapshot()
     assert set(snap.files) == {"a.parquet", "b.parquet"}
+
+
+def test_checkpoint_written_at_interval_and_used_cold(tmp_path):
+    log = DeltaLog(str(tmp_path / "t"), checkpoint_interval=5)
+    _commit_v0(log)
+    for i in range(1, 13):
+        log.commit_next(
+            [
+                CommitInfo(operation="WRITE").to_action(),
+                AddFile(path=f"f{i}.parquet", numRecords=1, size=10).to_action(),
+            ]
+        )
+    # checkpoints exist at 5 and 10; _last_checkpoint points at 10
+    assert os.path.exists(log._checkpoint_file(5))
+    assert os.path.exists(log._checkpoint_file(10))
+    with open(log._last_checkpoint_file()) as fh:
+        assert json.load(fh)["version"] == 10
+
+    # cold-cache replay starts from the checkpoint, not version 0
+    cold = DeltaLog(str(tmp_path / "t"), checkpoint_interval=5)
+    reads = []
+    orig = cold._read_actions
+    cold._read_actions = lambda v: reads.append(v) or orig(v)
+    snap = cold.snapshot()
+    assert snap.version == 12
+    assert reads == [11, 12]  # only the tail after checkpoint 10
+    assert set(snap.files) == {"a.parquet", "b.parquet"} | {
+        f"f{i}.parquet" for i in range(1, 13)
+    }
+
+
+def test_checkpoint_respects_removes_and_time_travel(tmp_path):
+    log = DeltaLog(str(tmp_path / "t"), checkpoint_interval=2)
+    _commit_v0(log)
+    log.commit_next(
+        [
+            CommitInfo(operation="DELETE").to_action(),
+            RemoveFile(path="a.parquet").to_action(),
+        ]
+    )
+    log.commit_next(
+        [
+            CommitInfo(operation="WRITE").to_action(),
+            AddFile(path="c.parquet", numRecords=5, size=50).to_action(),
+        ]
+    )
+    cold = DeltaLog(str(tmp_path / "t"), checkpoint_interval=2)
+    assert set(cold.snapshot().files) == {"b.parquet", "c.parquet"}
+    # time travel to a version BEFORE the newest checkpoint still works
+    cold2 = DeltaLog(str(tmp_path / "t"), checkpoint_interval=2)
+    assert set(cold2.snapshot(0).files) == {"a.parquet", "b.parquet"}
+    assert set(cold2.snapshot(1).files) == {"b.parquet"}

@@ -308,6 +308,75 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q58/q59 sessionization: batch composition (oracle-checked) + the custom
+# stateful streaming operator (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+def q58_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization, batch form (lag -> flag -> running
+    sum -> groupBy): one shuffle on user_id; ANSI-SQL oracle."""
+    from ..streaming.sessionize import sessionize_batch
+
+    out = sessionize_batch(_events(spark, sf_dir), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+_Q58_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+def q59_sessionize_stateful_stream(spark, sf_dir):
+    """Closed sessions emitted by the applyInPandasWithState operator
+    draining the events table as an availableNow stream (rows-only
+    check; stream==batch equivalence asserted in tests)."""
+    from ..streaming.sessionize import sessionize_stream
+
+    ev = _events(spark, sf_dir)
+    path = _fresh("session_src")
+    ev.write.parquet(path)
+    out = sessionize_stream(
+        spark,
+        path,
+        _fresh("session_ckpt"),
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        gap_minutes=30,
+        query_name="q59_sessions",
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -317,10 +386,13 @@ QUERIES = {
     "q55_delta_convert_parquet": q55_delta_convert_parquet,
     "q56_delta_rollback_reinsert": q56_delta_rollback_reinsert,
     "q57_streaming_windowed_counts": q57_streaming_windowed_counts,
+    "q58_sessionize": q58_sessionize,
+    "q59_sessionize_stateful_stream": q59_sessionize_stateful_stream,
 }
 
 ORACLE_SQL = {
     "q57_streaming_windowed_counts": _Q57_SQL,
+    "q58_sessionize": _Q58_SQL,
     "q50_delta_merge_upsert": _Q50_SQL,
     "q51_delta_delete_timetravel": _Q51_SQL,
     "q52_delta_status_merge": _Q52_SQL,

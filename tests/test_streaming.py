@@ -58,3 +58,52 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     s = {(r.window_start, r.event_type): r.n for r in streamed.collect()}
     b = {(r.window_start, r.event_type): r.n for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization must emit exactly the batch
+    sessions, minus each user's final (still-open) session which stays
+    in state at end-of-stream."""
+    from delta_lake_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "sess_src")
+    ev.write.parquet(src)
+
+    batch = sessionize_batch(ev, gap_minutes=30).toPandas()
+    streamed = sessionize_stream(
+        spark,
+        src,
+        str(tmp_path / "sess_ckpt"),
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        gap_minutes=30,
+        query_name="t_sessions",
+    ).toPandas()
+
+    # contract: every streamed session is EXACTLY a batch session; every
+    # non-tail batch session is emitted; a tail (per-user last) session is
+    # emitted iff its event-time timeout provably fired before the final
+    # watermark (session_end + gap <= max event ts).
+    import pandas as pd
+
+    key = ["user_id", "session_start"]
+    merged = batch.merge(streamed, on=key, suffixes=("_b", "_s"), how="outer", indicator=True)
+    assert not (merged["_merge"] == "right_only").any(), "streamed session not in batch"
+    both = merged[merged["_merge"] == "both"]
+    assert (both["n_events_b"].values == both["n_events_s"].values).all()
+    assert (abs(both["total_value_b"].values - both["total_value_s"].values) < 1e-6).all()
+    assert (both["session_end_b"].values == both["session_end_s"].values).all()
+
+    tails = set(batch.loc[batch.groupby("user_id")["session_end"].idxmax()].set_index(key).index)
+    max_ts = batch["session_end"].max()
+    gap = pd.Timedelta(minutes=30)
+    missing = merged[merged["_merge"] == "left_only"]
+    for row in missing.itertuples():
+        k = (row.user_id, row.session_start)
+        assert k in tails, f"non-tail batch session missing from stream: {k}"
+        assert row.session_end_b + gap >= max_ts, "timed-out tail was not emitted"
+    assert len(streamed) > 0 and len(streamed) <= len(batch)

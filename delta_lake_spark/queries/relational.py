@@ -627,6 +627,84 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q22-q24: grouping sets / ranking / distinct-agg (SURVEY §2.5 notes these
+# come free from Spark once exposed — exposed and oracle-checked here)
+# --------------------------------------------------------------------------
+
+def q22_rollup_revenue(spark, sf_dir):
+    """ROLLUP subtotals + grand total with GROUPING id disambiguating
+    subtotal rows from genuine NULL groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("g"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n,
+  GROUPING(l_returnflag, l_linestatus) AS g
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q23_rank_parts_in_brand(spark, sf_dir):
+    """Ranking window trio (row_number / rank / dense_rank) with a unique
+    tiebreak, top-3 per brand by retail price."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            F.col("p_retailprice"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_Q23_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rn, rnk, drnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn,
+    RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk,
+    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS drnk
+  FROM part
+) WHERE rn <= 3
+"""
+
+
+def q24_distinct_agg(spark, sf_dir):
+    """Distinct aggregates alongside plain ones (two-phase distinct-agg
+    plan; partial aggregation still applies to the non-distinct side)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+_Q24_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -649,6 +727,9 @@ QUERIES = {
     "q18_casts_projection": q18_casts_projection,
     "q19_supplier_per_region": q19_supplier_per_region,
     "q20_asof_login_before_purchase": q20_asof_login_before_purchase,
+    "q22_rollup_revenue": q22_rollup_revenue,
+    "q23_rank_parts_in_brand": q23_rank_parts_in_brand,
+    "q24_distinct_agg": q24_distinct_agg,
 }
 
 ORACLE_SQL = {
@@ -673,4 +754,7 @@ ORACLE_SQL = {
     "q18_casts_projection": _Q18_SQL,
     "q19_supplier_per_region": _Q19_SQL,
     "q20_asof_login_before_purchase": _Q20_SQL,
+    "q22_rollup_revenue": _Q22_SQL,
+    "q23_rank_parts_in_brand": _Q23_SQL,
+    "q24_distinct_agg": _Q24_SQL,
 }

@@ -31,11 +31,13 @@ HEADLINE = [
     "q40_fingerprint",
     "q50_delta_merge_upsert",
     "q51_delta_delete_timetravel",
+    "q58_sessionize",
 ]
 
 
 def main() -> None:
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from delta_lake_spark.queries import QUERIES
 
@@ -54,6 +56,10 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: exercise codegen, the scheduler, and a shuffle once
+    # so the first timed query measures the query, not JVM cold-start
+    spark.range(10_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
     names = list(QUERIES) if "--all" in sys.argv else HEADLINE
     timings: dict[str, float] = {}

@@ -92,12 +92,16 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # inverted index via ONE shuffle: group doc-ids per shingle, emit
+    # within-posting pairs (equivalent to the shingle self-join, without
+    # shuffling the exploded doc x shingle relation twice)
+    postings = sh.groupBy("shingle").agg(F.collect_set(id_col).alias("ids"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        postings.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_1"), F.col("ids"))
+        .select("id_1", F.explode("ids").alias("id_2"))
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
         .agg(F.count("*").alias("n_inter"))
     )
     s1 = sizes.alias("s1")

@@ -120,27 +120,37 @@ def stage_files(
     else:
         df.write.parquet(abs_dir)
 
-    adds: list[AddFile] = []
+    files: list[str] = []
     for root, _dirs, names in os.walk(abs_dir):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            abs_file = os.path.join(root, name)
-            rel_file = os.path.relpath(abs_file, table_path)
-            num_records, stats = (None, None)
-            if collect_stats:
-                num_records, stats = file_stats(abs_file)
-            adds.append(
-                AddFile(
-                    path=rel_file,
-                    partitionValues=_parse_partition_values(rel_file, partition_by),
-                    size=os.path.getsize(abs_file),
-                    numRecords=num_records,
-                    stats=stats,
-                    modificationTime=_utc_millis(),
-                    dataChange=data_change,
-                )
+        files.extend(
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+
+    # footer sweep in a thread pool: pyarrow releases the GIL on IO, and a
+    # commit staging thousands of files must not pay per-file latency
+    # serially on the driver
+    if collect_stats and files:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+            all_stats = list(pool.map(file_stats, files))
+    else:
+        all_stats = [(None, None)] * len(files)
+
+    adds: list[AddFile] = []
+    for abs_file, (num_records, stats) in zip(files, all_stats):
+        rel_file = os.path.relpath(abs_file, table_path)
+        adds.append(
+            AddFile(
+                path=rel_file,
+                partitionValues=_parse_partition_values(rel_file, partition_by),
+                size=os.path.getsize(abs_file),
+                numRecords=num_records,
+                stats=stats,
+                modificationTime=_utc_millis(),
+                dataChange=data_change,
             )
+        )
     return adds
 
 
@@ -247,34 +257,41 @@ def convert_to_delta(
     )
     part_cols = [f.name for f in part_struct.fields]
 
-    adds: list[AddFile] = []
-    sample_file: str | None = None
+    conv_files: list[str] = []
     for root, _dirs, names in os.walk(parquet_path):
-        for name in names:
-            if not name.endswith(".parquet") or name.startswith("."):
-                continue
-            abs_file = os.path.join(root, name)
-            sample_file = abs_file
-            rel_file = os.path.relpath(abs_file, parquet_path)
-            pvals: dict[str, str | None] = {}
-            for seg in rel_file.split(os.sep):
-                if "=" in seg:
-                    k, _, v = seg.partition("=")
-                    if k in part_cols:
-                        pvals[k] = None if v == HIVE_NULL else unquote(v)
-            num_records, stats = file_stats(abs_file)
-            adds.append(
-                AddFile(
-                    path=rel_file,
-                    partitionValues=pvals,
-                    size=os.path.getsize(abs_file),
-                    numRecords=num_records,
-                    stats=stats,
-                    modificationTime=_utc_millis(),
-                )
-            )
-    if sample_file is None:
+        conv_files.extend(
+            os.path.join(root, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith(".")
+        )
+    if not conv_files:
         raise SchemaMismatchError(f"no parquet files under {parquet_path}")
+    sample_file = conv_files[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(conv_files))) as pool:
+        conv_stats = list(pool.map(file_stats, conv_files))
+
+    adds: list[AddFile] = []
+    for abs_file, (num_records, stats) in zip(conv_files, conv_stats):
+        rel_file = os.path.relpath(abs_file, parquet_path)
+        pvals: dict[str, str | None] = {}
+        for seg in rel_file.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                if k in part_cols:
+                    pvals[k] = None if v == HIVE_NULL else unquote(v)
+        adds.append(
+            AddFile(
+                path=rel_file,
+                partitionValues=pvals,
+                size=os.path.getsize(abs_file),
+                numRecords=num_records,
+                stats=stats,
+                modificationTime=_utc_millis(),
+            )
+        )
 
     data_schema = spark.read.parquet(sample_file).schema
     full_schema = _nullable(StructType(list(data_schema.fields) + list(part_struct.fields)))

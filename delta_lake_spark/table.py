@@ -526,27 +526,41 @@ class DeltaTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         small_file_bytes: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Bin-packing compaction: rewrite each partition's small files
         into ~target-size files, committed with dataChange=False so
         downstream incremental readers ignore it. (BASELINE.json approach
-        line: compaction/vacuum; not present in the reference itself.)"""
+        line: compaction/vacuum; not present in the reference itself.)
+
+        ``cluster_by``: range-cluster the rewritten rows on these columns
+        (repartitionByRange + in-file sort), so each output file covers a
+        tight min/max range and stats-based data skipping on those columns
+        prunes most files — the single-dimension form of Z-ordering. With
+        cluster_by, ALL files in the partition are rewritten (clustering
+        is a layout change, not just small-file cleanup)."""
         snap = self._log.snapshot()
         small_file_bytes = small_file_bytes or target_file_bytes // 2
         by_part: dict[tuple, list] = {}
         for add in snap.files.values():
-            if add.size < small_file_bytes:
+            if cluster_by or add.size < small_file_bytes:
                 key = tuple(sorted(add.partitionValues.items()))
                 by_part.setdefault(key, []).append(add)
 
         removes: list[str] = []
         all_adds = []
         for _key, adds in by_part.items():
-            if len(adds) < 2:
+            if len(adds) < 2 and not cluster_by:
                 continue
             total = sum(a.size for a in adds)
             n_out = max(1, -(-total // target_file_bytes))
-            df = self._read_files([a.path for a in adds]).coalesce(n_out)
+            df = self._read_files([a.path for a in adds])
+            if cluster_by:
+                df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
+                    *cluster_by
+                )
+            else:
+                df = df.coalesce(n_out)
             all_adds.extend(
                 stage_files(
                     df, self.path, list(snap.metadata.partitionColumns), data_change=False
@@ -559,7 +573,10 @@ class DeltaTable:
         actions: list[dict[str, Any]] = [
             CommitInfo(
                 operation="OPTIMIZE",
-                operationParameters={"targetFileBytes": target_file_bytes},
+                operationParameters={
+                    "targetFileBytes": target_file_bytes,
+                    "clusterBy": cluster_by or [],
+                },
                 readVersion=snap.version,
                 operationMetrics={
                     "numRemovedFiles": len(removes),

@@ -76,3 +76,28 @@ def test_delete_scans_only_overlapping_files(spark, tmp_table):
     # only the files overlapping [850, inf) were rewritten
     assert len(before - after) == 2  # ranges 800-899 and 900-999
     assert read_delta(spark, tmp_table).count() == 850
+
+
+def test_optimize_cluster_by_tightens_skipping(spark, tmp_table):
+    """Clustered compaction (single-dim Z-order) must make point-lookup
+    skipping prune most files; unclustered hash layout prunes none."""
+    # hash-shuffled layout: every file spans nearly the full id range
+    df = spark.range(10_000).select(F.col("id")).repartition(8)
+    write_delta(df, tmp_table)
+    before = read_delta(spark, tmp_table, predicate="id = 4242")
+    assert len(before.inputFiles()) == 8  # nothing skippable
+
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.optimize(target_file_bytes=16 * 1024, cluster_by=["id"])
+
+    after_full = read_delta(spark, tmp_table)
+    assert after_full.count() == 10_000  # clustering is content-preserving
+    assert after_full.orderBy("id").first()["id"] == 0
+
+    after = read_delta(spark, tmp_table, predicate="id = 4242")
+    assert len(after.inputFiles()) == 1  # tight ranges -> one file scanned
+    assert after.filter("id = 4242").count() == 1
+    # history records the clustering
+    hist = dt._log.history()[0]
+    assert hist["operation"] == "OPTIMIZE"
+    assert hist["operationParameters"]["clusterBy"] == ["id"]

@@ -1,0 +1,112 @@
+"""Property-based MERGE tests (hypothesis): random target/source tables
+and clause combinations, compared against a pure-Python relational model
+of Delta MERGE semantics (first matching clause wins; unmatched target
+rows pass through; not-matched-insert appends source-only rows).
+
+Guards the hard part of SURVEY.md §7.3 ("MERGE correctness under
+multiple clauses and duplicate-match semantics") with randomized
+coverage the example-based tests can't reach.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from delta_lake_spark import DeltaTable, read_delta, write_delta
+
+# unique ids per side; small domains force heavy match overlap
+_target_rows = st.dictionaries(
+    st.integers(0, 12), st.integers(0, 99), min_size=1, max_size=10
+)
+_source_rows = st.dictionaries(
+    st.integers(0, 12), st.integers(0, 99), min_size=0, max_size=10
+)
+_matched_plan = st.sampled_from(
+    ["update", "delete", "cond_update_then_delete", "none"]
+)
+_insert_plan = st.booleans()
+
+
+def _model(
+    target: dict[int, int],
+    source: dict[int, int],
+    matched: str,
+    insert: bool,
+) -> dict[int, int]:
+    """Pure-Python expectation of the post-MERGE table."""
+    out: dict[int, int] = {}
+    for tid, tval in target.items():
+        if tid in source:
+            sval = source[tid]
+            if matched == "update":
+                out[tid] = sval
+            elif matched == "delete":
+                pass  # dropped
+            elif matched == "cond_update_then_delete":
+                # WHEN MATCHED AND s.val > 50 THEN UPDATE / WHEN MATCHED THEN DELETE
+                if sval > 50:
+                    out[tid] = sval
+                # else dropped
+            else:  # no matched clause: row passes through
+                out[tid] = tval
+        else:
+            out[tid] = tval
+    if insert:
+        for sid, sval in source.items():
+            if sid not in target:
+                out[sid] = sval
+    return out
+
+
+@pytest.fixture(scope="module")
+def scratch_root(tmp_path_factory):
+    return tmp_path_factory.mktemp("merge_prop")
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=_target_rows,
+    source=_source_rows,
+    matched=_matched_plan,
+    insert=_insert_plan,
+)
+def test_merge_matches_relational_model(
+    spark, scratch_root, target, source, matched, insert
+):
+    if matched == "none" and not insert:
+        return  # empty clause set is rejected by construction elsewhere
+
+    path = str(scratch_root / uuid.uuid4().hex)
+    write_delta(
+        spark.createDataFrame(
+            [(k, v) for k, v in target.items()], "id long, val long"
+        ),
+        path,
+    )
+    source_df = spark.createDataFrame(
+        [(k, v) for k, v in source.items()], "id long, val long"
+    ) if source else spark.createDataFrame([], "id long, val long")
+
+    dt = DeltaTable.forPath(spark, path)
+    m = dt.alias("t").merge(source_df, "t.id = s.id", source_alias="s")
+    if matched == "update":
+        m = m.whenMatchedUpdate(set={"val": "s.val"})
+    elif matched == "delete":
+        m = m.whenMatchedDelete()
+    elif matched == "cond_update_then_delete":
+        m = m.whenMatchedUpdate(set={"val": "s.val"}, condition="s.val > 50")
+        m = m.whenMatchedDelete()
+    if insert:
+        m = m.whenNotMatchedInsert(values={"id": "s.id", "val": "s.val"})
+    m.execute()
+
+    got = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert got == _model(target, source, matched, insert)

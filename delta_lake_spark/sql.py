@@ -165,6 +165,23 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame([(len(deleted),)], "files_deleted long")
 
     m = re.match(
+        r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
+        r"(?:\s+CLUSTER\s+BY\s+\(?(?P<cols>[\w,\s]+?)\)?)?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        version = dt.optimize(cluster_by=cols)
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = re.match(
         r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
         s,
         re.IGNORECASE | re.DOTALL,

@@ -77,3 +77,64 @@ def test_merge_source_broadcast_for_small_updates(spark, tmp_table):
     probe = with_file.join(src.alias("s"), F.expr("t.l_orderkey = s.k"), "left_semi")
     plan = _plan(probe)
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_equals_plain_join_on_skew(spark):
+    """Salted skew join must return exactly the plain join's rows."""
+    from delta_lake_spark.operators.joins import salted_join
+
+    # 90% of big rows share one hot key
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100)
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    plain = big.join(small, "k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("sp"), F.sum("dim_val").alias("sd")
+    ).first()
+    salted = salted_join(big, small, "k", salt=8).agg(
+        F.count("*").alias("n"), F.sum("payload").alias("sp"), F.sum("dim_val").alias("sd")
+    ).first()
+    assert (plain.n, plain.sp, plain.sd) == (salted.n, salted.sp, salted.sd)
+    # left join keeps unmatched big rows exactly like plain left join
+    small_half = small.filter("k < 50")
+    pl = big.join(small_half, "k", "left").count()
+    sl = salted_join(big, small_half, "k", salt=8, how="left").count()
+    assert pl == sl
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Same-bucketed tables must join with zero shuffles (the 100 TB
+    repeated-join strategy: shuffle once at write, never at read)."""
+    from delta_lake_spark.operators.joins import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"), "t_orders_b", "o_orderkey", 8
+    )
+    write_bucketed(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "t_lineitem_b", "o_orderkey", 8,
+    )
+    # tiny test tables would be broadcast; force the shuffle-join path the
+    # strategy targets (at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        expected = (
+            orders.select("o_orderkey")
+            .join(lineitem.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey")
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

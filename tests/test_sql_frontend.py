@@ -4,7 +4,7 @@
 import pytest
 from pyspark.sql import functions as F
 
-from delta_lake_spark import write_delta
+from delta_lake_spark import read_delta, write_delta
 from delta_lake_spark.catalog import Catalog
 from delta_lake_spark.sql import sql
 
@@ -100,3 +100,24 @@ def test_sql_describe_history_and_vacuum(spark, catalog):
         assert out.files_deleted >= 1
     finally:
         spark.conf.set("spark.delta_lake_spark.retentionDurationCheck.enabled", "true")
+
+
+def test_sql_optimize_cluster_by(spark, tmp_path):
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+
+    cat = Catalog(spark)
+    path = str(tmp_path / "opt_t")
+    write_delta(
+        spark.range(5000).select(F.col("id"), (F.col("id") % 3).alias("v")).repartition(6),
+        path,
+    )
+    sql(cat, f"CREATE TABLE opt_t USING DELTA LOCATION '{path}'")
+    out = sql(cat, "OPTIMIZE opt_t CLUSTER BY (id)")
+    assert out.first()["version"] == 1
+    got = read_delta(spark, path, predicate="id = 777")
+    assert len(got.inputFiles()) == 1  # clustered -> point lookup hits one file
+    assert sql(cat, "SELECT COUNT(*) AS n FROM opt_t").first()["n"] == 5000
+    # plain OPTIMIZE (no CLUSTER BY) is also accepted
+    out2 = sql(cat, "OPTIMIZE opt_t")
+    assert out2.first()["version"] >= 1

@@ -18,7 +18,11 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ..operators.multimodal import decode_image_features, documents_as_media
+from ..operators.multimodal import (
+    decode_image_features,
+    documents_as_media,
+    frame_sample,
+)
 from ..operators.similarity import cosine_topk, ivf_topk, lsh_ann_pairs
 from ..operators.text import fingerprint, lang_id, quality_score, token_stats
 
@@ -300,6 +304,33 @@ FROM documents
 """
 
 
+def q43_frame_sample(spark, sf_dir):
+    """Row-exploding mapInPandas 'frame sampling' over binary media
+    payloads (1 row in -> many out) — the video-demux plan shape with a
+    deterministic stand-in checksum, oracle-checked byte-for-byte."""
+    media = documents_as_media(_docs(spark, sf_dir))
+    out = frame_sample(media, every_n_bytes=64)
+    return out.select(
+        "media_id",
+        F.col("frame_offset").cast("long").alias("frame_offset"),
+        F.col("frame_checksum").cast("long").alias("frame_checksum"),
+    )
+
+
+# documents are pure ASCII (see q41): byte == codepoint, so the frame
+# checksum folds substring codepoints exactly like the pandas stub
+_Q43_SQL = """
+WITH offs AS (
+  SELECT doc_id AS media_id, text,
+         unnest(range(0, length(text), 64)) AS frame_offset
+  FROM documents
+)
+SELECT media_id, frame_offset,
+  CAST(list_sum(list_transform(string_split(substr(text, CAST(frame_offset AS INT) + 1, 64), ''), x -> ord(x))) % 65536 AS BIGINT) AS frame_checksum
+FROM offs
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -314,9 +345,11 @@ QUERIES = {
     "q40_fingerprint": q40_fingerprint,
     "q41_multimodal_features": q41_multimodal_features,
     "q42_embedding_dedup_pairs": q42_embedding_dedup_pairs,
+    "q43_frame_sample": q43_frame_sample,
 }
 
 ORACLE_SQL = {
+    "q43_frame_sample": _Q43_SQL,
     "q42_embedding_dedup_pairs": _Q42_SQL,
     "q30_dedup_exact": _Q30_SQL,
     "q31_dedup_ngram_jaccard": _Q31_SQL,

@@ -165,6 +165,32 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame([(len(deleted),)], "files_deleted long")
 
     m = re.match(
+        r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
+        r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        dt.update(
+            m.group("pred") if m.group("pred") else "true",
+            _parse_assignments(m.group("sets")),
+        )
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(True,)], "updated boolean")
+
+    m = re.match(
+        r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        version = dt.restore(int(m.group("v")))
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = re.match(
         r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
         r"(?:\s+CLUSTER\s+BY\s+\(?(?P<cols>[\w,\s]+?)\)?)?\s*$",
         s,

@@ -121,3 +121,26 @@ def test_sql_optimize_cluster_by(spark, tmp_path):
     # plain OPTIMIZE (no CLUSTER BY) is also accepted
     out2 = sql(cat, "OPTIMIZE opt_t")
     assert out2.first()["version"] >= 1
+
+
+def test_sql_update_and_restore(spark, catalog):
+    sql(catalog, "UPDATE health_silver SET status = 'done' WHERE user_id <= 2")
+    got = {
+        r.user_id: r.status
+        for r in sql(catalog, "SELECT user_id, status FROM health_silver").collect()
+    }
+    assert got == {1: "done", 2: "done", 3: "new", 4: "new"}
+    # unconditional UPDATE (no WHERE)
+    sql(catalog, "UPDATE health_silver SET status = 'all'")
+    n = sql(
+        catalog, "SELECT COUNT(*) AS n FROM health_silver WHERE status = 'all'"
+    ).first()["n"]
+    assert n == 4
+    # RESTORE back to v0 undoes both updates
+    out = sql(catalog, "RESTORE TABLE health_silver TO VERSION AS OF 0")
+    assert out.first()["version"] == 3
+    again = {
+        r.user_id: r.status
+        for r in sql(catalog, "SELECT user_id, status FROM health_silver").collect()
+    }
+    assert set(again.values()) == {"new"}

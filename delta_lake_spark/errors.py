@@ -48,3 +48,8 @@ class TableNotFoundError(DeltaError):
 class MergeAmbiguityError(DeltaError):
     """A target row matched multiple source rows under an update clause
     (Delta MERGE multiple-match semantics)."""
+
+
+class ConstraintViolationError(DeltaError):
+    """Incoming rows violate a table CHECK constraint (enforced at
+    commit time, like Delta's delta.constraints.* table properties)."""

@@ -29,7 +29,8 @@ from .writer import write_delta
 
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
-    r"\s+USING\s+(?P<source>[\w.]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+USING\s+(?:(?P<source>[\w.]+)|\((?P<subquery>.+?)\))"
+    r"(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
     r"\s+ON\s+(?P<cond>.+?)"
     r"(?P<clauses>\s+WHEN\s+.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -82,11 +83,14 @@ def _exec_merge(catalog: Catalog, m: re.Match) -> DataFrame:
     target_name = m.group("target")
     t_alias = m.group("talias") or target_name
     source_name = m.group("source")
-    s_alias = m.group("salias") or source_name
+    s_alias = m.group("salias") or source_name or "source"
     cond = m.group("cond").strip()
 
     dt = DeltaTable.forPath(spark, catalog.path_of(target_name)).alias(t_alias)
-    source_df = spark.table(source_name)  # view or refreshed catalog table
+    if source_name:
+        source_df = spark.table(source_name)  # view or refreshed catalog table
+    else:
+        source_df = spark.sql(m.group("subquery"))  # USING (SELECT ...)
     builder = dt.merge(source_df, cond, source_alias=s_alias)
 
     for cm in _CLAUSE_RE.finditer(m.group("clauses")):
@@ -163,6 +167,27 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
             hours
         )
         return spark.createDataFrame([(len(deleted),)], "files_deleted long")
+
+    m = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+CONSTRAINT\s+"
+        r"(?P<cname>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        v = dt.add_constraint(m.group("cname"), m.group("expr").strip())
+        return spark.createDataFrame([(v,)], "version long")
+
+    m = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+CONSTRAINT\s+(?P<cname>\w+)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        v = dt.drop_constraint(m.group("cname"))
+        return spark.createDataFrame([(v,)], "version long")
 
     m = re.match(
         r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"

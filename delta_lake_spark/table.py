@@ -31,7 +31,7 @@ from pyspark.sql.types import StructType
 from .errors import MergeAmbiguityError, RetentionSafetyError, TableNotFoundError
 from .log import CommitInfo, DeltaLog, RemoveFile, _utc_millis
 from .reader import read_delta
-from .writer import schema_of, stage_files
+from .writer import enforce_constraints, schema_of, stage_files
 
 DEFAULT_RETENTION_HOURS = 168  # 7 days, matching Delta's default
 RETENTION_CHECK_CONF = "spark.delta_lake_spark.retentionDurationCheck.enabled"
@@ -245,6 +245,7 @@ class MergeBuilder:
         for o in outputs[1:]:
             new_data = new_data.unionByName(o)
 
+        enforce_constraints(new_data, snap.metadata.configuration)
         adds = stage_files(new_data, t.path, list(snap.metadata.partitionColumns))
         now = _utc_millis()
         actions: list[dict[str, Any]] = [
@@ -448,6 +449,7 @@ class DeltaTable:
             else:
                 out_cols.append(F.col(f.name))
         rewritten = df.select(*out_cols)
+        enforce_constraints(rewritten, snap.metadata.configuration)
         adds = stage_files(rewritten, self.path, list(snap.metadata.partitionColumns))
         now = _utc_millis()
         actions: list[dict[str, Any]] = [
@@ -590,6 +592,63 @@ class DeltaTable:
         )
         actions.extend(a.to_action() for a in all_adds)
         return self._log.commit_next(actions, retries=3)
+
+    # ---------- CHECK constraints ----------
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validate the
+        CURRENT data satisfies it, then record it in table configuration
+        so every future write/merge/update enforces it at commit time."""
+        snap = self._log.snapshot()
+        key = f"constraint.{name}"
+        if key in snap.metadata.configuration:
+            raise ValueError(f"constraint {name} already exists")
+        enforce_constraints(self.toDF(), {key: expr})
+        meta = self._metadata_with_configuration(
+            snap, {**snap.metadata.configuration, key: expr}
+        )
+        return self._log.commit_next(
+            [
+                CommitInfo(
+                    operation="ADD CONSTRAINT",
+                    operationParameters={"name": name, "expr": expr},
+                    readVersion=snap.version,
+                ).to_action(),
+                meta.to_action(),
+            ],
+            retries=3,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        snap = self._log.snapshot()
+        key = f"constraint.{name}"
+        if key not in snap.metadata.configuration:
+            raise ValueError(f"constraint {name} does not exist")
+        conf = {k: v for k, v in snap.metadata.configuration.items() if k != key}
+        meta = self._metadata_with_configuration(snap, conf)
+        return self._log.commit_next(
+            [
+                CommitInfo(
+                    operation="DROP CONSTRAINT",
+                    operationParameters={"name": name},
+                    readVersion=snap.version,
+                ).to_action(),
+                meta.to_action(),
+            ],
+            retries=3,
+        )
+
+    def _metadata_with_configuration(self, snap, configuration):
+        from .log import Metadata
+
+        return Metadata(
+            schemaString=snap.metadata.schemaString,
+            partitionColumns=list(snap.metadata.partitionColumns),
+            configuration=configuration,
+            id=snap.metadata.id,
+            name=snap.metadata.name,
+            createdTime=snap.metadata.createdTime,
+        )
 
     def restore(self, version: int) -> int:
         """RESTORE to an earlier version: commit the file-set diff so the

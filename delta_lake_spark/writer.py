@@ -21,6 +21,7 @@ against Spark 4.1: explicit-file reads do not infer partitions).
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from typing import Any
 from urllib.parse import unquote
@@ -29,12 +30,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from .errors import SchemaMismatchError
+from .errors import ConstraintViolationError, SchemaMismatchError
 from .log import AddFile, CommitInfo, DeltaLog, Metadata, RemoveFile, _utc_millis
 from .stats import file_stats
 
 PV_DIR_PREFIX = "__pv_"
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+CONSTRAINT_PREFIX = "constraint."
+
+
+def enforce_constraints(df: DataFrame, configuration: dict[str, str]) -> None:
+    """Raise ConstraintViolationError if any row fails a table CHECK
+    constraint (``constraint.<name>`` keys in table configuration, the
+    shape of Delta's ``delta.constraints.*``). SQL CHECK semantics: a
+    row violates only when the expression evaluates to FALSE (NULL
+    passes). One distributed short-circuit probe per constraint."""
+    for key, expr in configuration.items():
+        if not key.startswith(CONSTRAINT_PREFIX):
+            continue
+        bad = (
+            df.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1).collect()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint {key[len(CONSTRAINT_PREFIX):]} ({expr}) "
+                f"violated by row: {bad[0].asDict()}"
+            )
 
 
 def schema_of(snapshot) -> StructType:
@@ -49,6 +70,50 @@ def _nullable(schema: StructType) -> StructType:
     return StructType(
         [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
     )
+
+
+# safe implicit widening on write (delta-spark's ANSI store-assignment
+# behavior: an int column may be appended into a bigint table column)
+_UPCAST_CHAINS = [  # simpleString() names
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+    ["int", "bigint", "double"],
+    ["date", "timestamp"],
+]
+
+
+def _can_upcast(src: str, dst: str) -> bool:
+    for chain in _UPCAST_CHAINS:
+        if src in chain and dst in chain and chain.index(src) < chain.index(dst):
+            return True
+    # decimal literals (ANSI mode parses 99.0 as decimal(3,1)): exact into
+    # double up to 15 significant digits; integral decimals into bigint
+    m = re.match(r"decimal\((\d+),(\d+)\)", src)
+    if m:
+        p, s = int(m.group(1)), int(m.group(2))
+        if dst == "double" and p <= 15:
+            return True
+        if dst == "bigint" and s == 0 and p <= 18:
+            return True
+    return False
+
+
+def _align_types(df: DataFrame, table_schema: StructType) -> DataFrame:
+    """Cast incoming columns whose types safely widen to the table's
+    type; leave true mismatches for _evolve_schema to reject."""
+    by_name = {f.name: f for f in table_schema.fields}
+    out_cols = []
+    changed = False
+    for f in df.schema.fields:
+        tf = by_name.get(f.name)
+        if tf is not None and tf.dataType != f.dataType and _can_upcast(
+            f.dataType.simpleString(), tf.dataType.simpleString()
+        ):
+            out_cols.append(F.col(f.name).cast(tf.dataType).alias(f.name))
+            changed = True
+        else:
+            out_cols.append(F.col(f.name))
+    return df.select(*out_cols) if changed else df
 
 
 def _evolve_schema(
@@ -184,6 +249,8 @@ def write_delta(
     if table_exists:
         snap = log.snapshot()
         table_schema = schema_of(snap)
+        df = _align_types(df, table_schema)
+        enforce_constraints(df, snap.metadata.configuration)
         final_schema, schema_changed = _evolve_schema(
             table_schema, _nullable(df.schema), merge_schema
         )

@@ -214,3 +214,62 @@ def test_optimize_compacts_small_files(spark, tmp_table):
     assert read_delta(spark, tmp_table).count() == 50
     hist = dt.history().collect()
     assert hist[0].operation == "OPTIMIZE"
+
+
+def test_check_constraints_enforced_on_all_write_paths(spark, tmp_table):
+    """ADD CONSTRAINT validates existing data; violating append, MERGE,
+    and UPDATE are all rejected at commit time; passing writes commit;
+    DROP CONSTRAINT lifts enforcement."""
+    import pytest as _pytest
+
+    from delta_lake_spark.errors import ConstraintViolationError
+
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        tmp_table,
+    )
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.add_constraint("v_positive", "v > 0")
+
+    # adding a constraint current data violates must fail
+    with _pytest.raises(ConstraintViolationError):
+        dt.add_constraint("v_small", "v < 15")
+
+    # violating append rejected; no partial commit
+    with _pytest.raises(ConstraintViolationError):
+        write_delta(
+            spark.createDataFrame([(3, -1.0)], "id long, v double"), tmp_table
+        )
+    assert read_delta(spark, tmp_table).count() == 2
+
+    # passing append commits
+    write_delta(spark.createDataFrame([(3, 3.0)], "id long, v double"), tmp_table)
+    assert read_delta(spark, tmp_table).count() == 3
+
+    # violating UPDATE rejected
+    with _pytest.raises(ConstraintViolationError):
+        dt.update("id = 1", {"v": "-5.0"})
+
+    # violating MERGE rejected
+    src = spark.createDataFrame([(2, -9.0)], "id long, v double")
+    with _pytest.raises(ConstraintViolationError):
+        (
+            dt.alias("t")
+            .merge(src, "t.id = s.id", source_alias="s")
+            .whenMatchedUpdateAll()
+            .execute()
+        )
+    assert {r.id: r.v for r in read_delta(spark, tmp_table).collect()} == {
+        1: 10.0, 2: 20.0, 3: 3.0
+    }
+
+    # NULL passes (SQL CHECK semantics)
+    write_delta(
+        spark.createDataFrame([(4, None)], "id long, v double"), tmp_table
+    )
+    assert read_delta(spark, tmp_table).count() == 4
+
+    # drop lifts enforcement
+    dt.drop_constraint("v_positive")
+    write_delta(spark.createDataFrame([(5, -1.0)], "id long, v double"), tmp_table)
+    assert read_delta(spark, tmp_table).count() == 5

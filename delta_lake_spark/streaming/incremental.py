@@ -102,3 +102,55 @@ def run_windowed_stream(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(query_name)
+
+
+def stream_delta_appends(
+    spark: SparkSession,
+    table_path: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Use a versioned delta table as a STREAMING SOURCE for appended
+    rows: drains all data files not yet seen by this checkpoint into a
+    parquet file sink (whose _spark_metadata manifest plus the source
+    checkpoint give end-to-end exactly-once), then returns the
+    accumulated sink contents.
+
+    Semantics: append-only, like Delta's own streaming source default —
+    every write_delta() append lands new files under data/<commit-id>/,
+    and Spark's file source + checkpoint remembers exactly which files
+    were processed, so each call processes only the NEW appends.
+    OPTIMIZE commits (dataChange=False) rewrite old rows into new files,
+    which an append-only file source would re-emit — stream from tables
+    mutated by appends only, or drain before compacting (Delta's own
+    source has the same restriction and raises on non-append changes).
+    """
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from ..log import DeltaLog
+
+    log = DeltaLog(table_path)
+    snap = log.snapshot()
+    schema = StructType.fromJson(_json.loads(snap.metadata.schemaString))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(table_path, "data"))
+    )
+    if transform is not None:
+        src = transform(src)
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(target_dir)

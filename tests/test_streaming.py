@@ -107,3 +107,29 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         assert k in tails, f"non-tail batch session missing from stream: {k}"
         assert row.session_end_b + gap >= max_ts, "timed-out tail was not emitted"
     assert len(streamed) > 0 and len(streamed) <= len(batch)
+
+
+def test_delta_table_as_streaming_source(spark, tmp_path):
+    """write_delta appends become streaming micro-batches exactly once."""
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.streaming.incremental import stream_delta_appends
+
+    table = str(tmp_path / "stream_tbl")
+    target = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_tbl_ckpt")
+    write_delta(spark.range(0, 100).selectExpr("id", "id * 2 AS v"), table)
+
+    first = stream_delta_appends(spark, table, target, ckpt)
+    assert first.count() == 100
+
+    write_delta(spark.range(100, 150).selectExpr("id", "id * 2 AS v"), table)
+    write_delta(spark.range(150, 160).selectExpr("id", "id * 2 AS v"), table)
+
+    second = stream_delta_appends(spark, table, target, ckpt)
+    assert second.count() == 160  # accumulated; 60 new rows processed
+    assert second.agg({"id": "max"}).first()[0] == 159
+
+    # nothing new -> no duplicates (exactly-once bookkeeping)
+    third = stream_delta_appends(spark, table, target, ckpt)
+    assert third.count() == 160
+    assert third.select("id").distinct().count() == 160

@@ -71,10 +71,17 @@ def word_shingles(
         f"transform(sequence(1, greatest(size(__words) - {n - 1}, 0)), "
         f"i -> concat_ws(' ', {', '.join(f'element_at(__words, i + {j})' for j in range(n))}))"
     )
-    return (
-        df.select(F.col(id_col), words.alias("__words"))
-        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
-        .distinct()
+    # per-doc dedup is LOCAL (array_distinct before the explode) — the
+    # equivalent row-level .distinct() would shuffle the whole exploded
+    # doc x shingle relation. Repartition the compact doc rows FIRST so
+    # the expensive tokenize+explode parallelizes even from a one-file
+    # scan: shuffling |docs| rows costs far less than shuffling
+    # |docs x shingles| rows.
+    return df.repartition(F.col(id_col)).select(
+        F.col(id_col), words.alias("__words")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_arr)).alias("shingle"),
     )
 
 

@@ -136,6 +136,23 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q44_embedding_topk_pandas(spark, sf_dir):
+    """Same top-k semantics as q34 through the Arrow/numpy mapInPandas
+    path (BLAS matmul per batch, local top-k, global window) — shares
+    q34's oracle, so the vectorized path is value-checked too."""
+    from ..operators.similarity import cosine_topk_pandas
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_pandas(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
 def q35_embedding_lsh_pairs(spark, sf_dir):
     """Hyperplane-LSH near-duplicate vector pairs (approximate: rows-only
     check; recall measured against brute force in tests)."""
@@ -346,10 +363,12 @@ QUERIES = {
     "q41_multimodal_features": q41_multimodal_features,
     "q42_embedding_dedup_pairs": q42_embedding_dedup_pairs,
     "q43_frame_sample": q43_frame_sample,
+    "q44_embedding_topk_pandas": q44_embedding_topk_pandas,
 }
 
 ORACLE_SQL = {
     "q43_frame_sample": _Q43_SQL,
+    "q44_embedding_topk_pandas": _Q34_SQL,  # same semantics, Arrow path
     "q42_embedding_dedup_pairs": _Q42_SQL,
     "q30_dedup_exact": _Q30_SQL,
     "q31_dedup_ngram_jaccard": _Q31_SQL,

@@ -360,6 +360,24 @@ class DeltaLog:
         os.replace(tmp2, self._last_checkpoint_file())
         return snap.version
 
+    def version_at_timestamp(self, ts_millis: int) -> int:
+        """Latest version whose commit timestamp is <= ts_millis
+        (TIMESTAMP AS OF resolution). Raises VersionNotFoundError if the
+        table's first commit is later than the requested time."""
+        best = None
+        for v in self._versions():
+            for action in self._read_actions(v):
+                if "commitInfo" in action:
+                    t = action["commitInfo"].get("timestamp")
+                    if t is not None and t <= ts_millis:
+                        best = v
+                    break
+        if best is None:
+            raise VersionNotFoundError(
+                f"no commit at or before timestamp {ts_millis} for {self.table_path}"
+            )
+        return best
+
     def history(self) -> list[dict[str, Any]]:
         """Commit metadata, newest first (DESCRIBE HISTORY, reference D9)."""
         out = []

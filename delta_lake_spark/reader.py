@@ -30,10 +30,29 @@ def live_files(table_path: str, snapshot: Snapshot) -> list[str]:
     return [os.path.join(table_path, p) for p in snapshot.files]
 
 
+def _to_millis(ts: str | int) -> int:
+    """Accept epoch millis or an ISO-ish timestamp string (local-naive
+    treated as UTC, like our commit timestamps)."""
+    if isinstance(ts, int):
+        return ts
+    from datetime import datetime, timezone
+
+    s = str(ts).strip().replace("T", " ")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return int(
+                datetime.strptime(s, fmt).replace(tzinfo=timezone.utc).timestamp() * 1000
+            )
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable timestamp {ts!r}")
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
+    timestamp: str | int | None = None,
     partition_filter: dict[str, object] | None = None,
     predicate: str | None = None,
 ) -> DataFrame:
@@ -52,6 +71,10 @@ def read_delta(
 
     path = os.path.abspath(path)
     log = DeltaLog(path)
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = log.version_at_timestamp(_to_millis(timestamp))
     snap = log.snapshot(version)
     schema = schema_of(snap)
 

@@ -47,6 +47,10 @@ _VERSION_AS_OF_RE = re.compile(
     r"(?P<table>[\w.]+)\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)", re.IGNORECASE
 )
 
+_TIMESTAMP_AS_OF_RE = re.compile(
+    r"(?P<table>[\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'", re.IGNORECASE
+)
+
 
 def _parse_assignments(text: str) -> dict[str, str]:
     """Split 'a = expr, b = expr' respecting parens/quotes."""
@@ -267,9 +271,10 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
 
 
 def _rewrite_time_travel(catalog: Catalog, statement: str) -> str:
-    """Rewrite ``t VERSION AS OF n`` to a temp view pinned at version n
-    (resolution pins the snapshot's file list BEFORE optimization, so
-    pruning applies to that version's files — SURVEY.md §3.2)."""
+    """Rewrite ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF 'ts'`` to a
+    temp view pinned at that snapshot (resolution pins the snapshot's
+    file list BEFORE optimization, so pruning applies to that version's
+    files — SURVEY.md §3.2)."""
 
     def repl(m: re.Match) -> str:
         name, version = m.group("table"), int(m.group("version"))
@@ -279,4 +284,19 @@ def _rewrite_time_travel(catalog: Catalog, statement: str) -> str:
         catalog.refresh(name, version=version).createOrReplaceTempView(view)
         return view
 
+    def repl_ts(m: re.Match) -> str:
+        name = m.group("table")
+        if name not in catalog.names():
+            return m.group(0)
+        from .log import DeltaLog
+        from .reader import _to_millis
+
+        version = DeltaLog(catalog.path_of(name)).version_at_timestamp(
+            _to_millis(m.group("ts"))
+        )
+        view = f"__{name}_v{version}"
+        catalog.refresh(name, version=version).createOrReplaceTempView(view)
+        return view
+
+    statement = _TIMESTAMP_AS_OF_RE.sub(repl_ts, statement)
     return _VERSION_AS_OF_RE.sub(repl, statement)

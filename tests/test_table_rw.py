@@ -130,3 +130,57 @@ def test_history_and_detail(spark, tmp_table):
     d = dt.detail().collect()[0]
     assert d.format == "delta_lake_spark"
     assert d.numFiles >= 1
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_table):
+    """timestampAsOf: resolve the latest version committed at or before
+    the requested instant (API + SQL surface)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from delta_lake_spark.errors import VersionNotFoundError
+    from delta_lake_spark.log import DeltaLog
+
+    write_delta(spark.range(10), tmp_table)          # v0
+    write_delta(spark.range(10, 30), tmp_table)      # v1
+    write_delta(spark.range(30, 35), tmp_table)      # v2
+
+    # rewrite commit timestamps to known instants (ms since epoch)
+    log_dir = _os.path.join(tmp_table, "_delta_log")
+    instants = [1_000_000, 2_000_000, 3_000_000]
+    for v, t in enumerate(instants):
+        p = _os.path.join(log_dir, f"{v:020d}.json")
+        lines = [_json.loads(x) for x in open(p)]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = t
+        with open(p, "w") as fh:
+            for a in lines:
+                fh.write(_json.dumps(a) + "\n")
+
+    log = DeltaLog(tmp_table)
+    assert log.version_at_timestamp(1_500_000) == 0
+    assert log.version_at_timestamp(2_000_000) == 1
+    assert log.version_at_timestamp(9_999_999) == 2
+    with _pytest.raises(VersionNotFoundError):
+        log.version_at_timestamp(999)
+
+    assert read_delta(spark, tmp_table, timestamp=1_500_000).count() == 10
+    assert read_delta(spark, tmp_table, timestamp=2_500_000).count() == 30
+    with _pytest.raises(ValueError):
+        read_delta(spark, tmp_table, version=1, timestamp=1_500_000)
+
+    # SQL surface: TIMESTAMP AS OF with an ISO string (epoch 2_000_000 ms
+    # = 1970-01-01 00:33:20 UTC)
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql as dsql
+
+    cat = Catalog(spark)
+    dsql(cat, f"CREATE TABLE tt_tbl USING DELTA LOCATION '{tmp_table}'")
+    n = dsql(
+        cat,
+        "SELECT COUNT(*) AS n FROM tt_tbl TIMESTAMP AS OF '1970-01-01 00:33:20'",
+    ).first()["n"]
+    assert n == 30

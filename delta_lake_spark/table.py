@@ -13,6 +13,10 @@ every mutation is three distributed phases —
   2. REWRITE: read ONLY the touched files, apply the change as a plain
      DataFrame transform, stage new parquet in parallel;
   3. COMMIT: one atomic log entry (remove touched + add staged).
+Mutations never blind-retry a lost commit race: their remove/add sets
+were computed against the snapshot they read, so a concurrent commit
+surfaces as ConcurrentModificationError and the caller re-runs the
+mutation against the new snapshot (optimistic concurrency).
 Untouched files are never read or rewritten — at 100 TB a MERGE that
 touches 0.1% of files costs 0.1% of a table rewrite plus one scan of
 the join's pruned candidate set.
@@ -265,7 +269,7 @@ class MergeBuilder:
         ]
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
-        return log.commit_next(actions, retries=3)
+        return log.commit_next(actions, retries=0)
 
 
 class DeltaTable:
@@ -425,7 +429,7 @@ class DeltaTable:
         ]
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
-        return self._log.commit_next(actions, retries=3)
+        return self._log.commit_next(actions, retries=0)
 
     def update(self, condition: str | Column, set: dict[str, str | Column]) -> int:
         """UPDATE t SET ... WHERE ... via touched-file rewrite."""
@@ -465,7 +469,7 @@ class DeltaTable:
         ]
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
-        return self._log.commit_next(actions, retries=3)
+        return self._log.commit_next(actions, retries=0)
 
     def merge(
         self,
@@ -591,7 +595,7 @@ class DeltaTable:
             for p in removes
         )
         actions.extend(a.to_action() for a in all_adds)
-        return self._log.commit_next(actions, retries=3)
+        return self._log.commit_next(actions, retries=0)
 
     # ---------- CHECK constraints ----------
 
@@ -616,7 +620,7 @@ class DeltaTable:
                 ).to_action(),
                 meta.to_action(),
             ],
-            retries=3,
+            retries=0,
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -635,7 +639,7 @@ class DeltaTable:
                 ).to_action(),
                 meta.to_action(),
             ],
-            retries=3,
+            retries=0,
         )
 
     def _metadata_with_configuration(self, snap, configuration):
@@ -667,4 +671,4 @@ class DeltaTable:
         ]
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in removes)
         actions.extend(a.to_action() for a in adds)
-        return self._log.commit_next(actions, retries=3)
+        return self._log.commit_next(actions, retries=0)

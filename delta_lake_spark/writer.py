@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from .errors import ConstraintViolationError, SchemaMismatchError
+from .errors import (
+    ConcurrentModificationError,
+    ConstraintViolationError,
+    SchemaMismatchError,
+)
 from .log import AddFile, CommitInfo, DeltaLog, Metadata, RemoveFile, _utc_millis
 from .stats import file_stats
 
@@ -282,22 +286,48 @@ def write_delta(
 
     adds = stage_files(df, path, partition_by)
     num_rows = sum(a.numRecords or 0 for a in adds)
-    commit_info = CommitInfo(
-        operation=operation or ("WRITE" if mode == "overwrite" else "APPEND"),
-        operationParameters=(operation_parameters or {"mode": mode, "partitionBy": partition_by}),
-        readVersion=log.snapshot().version if table_exists else None,
-        operationMetrics={
-            "numFiles": len(adds),
-            "numOutputRows": num_rows,
-            "numRemovedFiles": len(removes),
-        },
-    )
-    actions: list[dict[str, Any]] = [commit_info.to_action()]
-    if metadata is not None:
-        actions.append(metadata.to_action())
-    actions.extend(removes)
-    actions.extend(a.to_action() for a in adds)
-    return log.commit_next(actions, retries=3)
+
+    def build_actions(removes_now: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        commit_info = CommitInfo(
+            operation=operation or ("WRITE" if mode == "overwrite" else "APPEND"),
+            operationParameters=(operation_parameters or {"mode": mode, "partitionBy": partition_by}),
+            readVersion=log.snapshot().version if log.exists() else None,
+            operationMetrics={
+                "numFiles": len(adds),
+                "numOutputRows": num_rows,
+                "numRemovedFiles": len(removes_now),
+            },
+        )
+        actions: list[dict[str, Any]] = [commit_info.to_action()]
+        if metadata is not None:
+            actions.append(metadata.to_action())
+        actions.extend(removes_now)
+        actions.extend(a.to_action() for a in adds)
+        return actions
+
+    # optimistic-concurrency resolution on a lost commit race:
+    #   - append: retry only if table metadata (schema/partitioning/
+    #     constraints) is unchanged — the staged files stay valid;
+    #   - overwrite: recompute the remove set from the NEW snapshot
+    #     ("replace whatever is current"), same metadata condition.
+    prior_meta = snap.metadata.to_action() if table_exists else None
+    for attempt in range(4):
+        try:
+            return log.commit_next(build_actions(removes))
+        except ConcurrentModificationError:
+            if attempt == 3:
+                raise
+            new_snap = log.snapshot()
+            if prior_meta is not None and new_snap.metadata.to_action() != prior_meta:
+                raise  # concurrent schema/constraint change: caller re-runs
+            if prior_meta is None:
+                raise  # raced on table creation: caller decides who wins
+            if mode == "overwrite":
+                now = _utc_millis()
+                removes = [
+                    RemoveFile(p, deletionTimestamp=now).to_action()
+                    for p in new_snap.files
+                ]
 
 
 def convert_to_delta(

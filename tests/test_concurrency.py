@@ -21,3 +21,135 @@ def test_concurrent_appends_all_land(spark, tmp_table):
     # every append won a distinct version and no rows were lost
     assert sorted(versions) == [1, 2, 3, 4]
     assert read_delta(spark, tmp_table).count() == 50
+
+
+def _inject_competitor_before_commit(dt_log, competitor_actions):
+    """Wrap log.commit so the first attempt loses the race: a competing
+    writer (fresh DeltaLog handle) lands the same version first."""
+    from delta_lake_spark.log import DeltaLog
+
+    original = dt_log.commit
+    state = {"injected": False}
+
+    def racing_commit(version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            DeltaLog(dt_log.table_path).commit(version, competitor_actions)
+        return original(version, actions)
+
+    dt_log.commit = racing_commit
+
+
+def test_mutation_losing_race_raises_not_silent(spark, tmp_table):
+    """A DELETE that loses the commit race must raise (its rewrite was
+    computed against a stale snapshot), never blind-retry."""
+    import pytest as _pytest
+
+    from delta_lake_spark import DeltaTable, read_delta, write_delta
+    from delta_lake_spark.errors import ConcurrentModificationError
+    from delta_lake_spark.log import AddFile, CommitInfo
+
+    write_delta(spark.range(100).selectExpr("id", "id % 5 AS g"), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    competitor = [
+        CommitInfo(operation="APPEND").to_action(),
+        AddFile(path="data/competitor.parquet", numRecords=1, size=1).to_action(),
+    ]
+    _inject_competitor_before_commit(dt._log, competitor)
+    with _pytest.raises(ConcurrentModificationError):
+        dt.delete("g = 3")
+    # caller re-runs against the new snapshot and succeeds
+    dt2 = DeltaTable.forPath(spark, tmp_table)
+    # drop the phantom competitor file so the table stays readable
+    from delta_lake_spark.log import RemoveFile
+
+    dt2._log.commit_next(
+        [
+            CommitInfo(operation="CLEANUP").to_action(),
+            RemoveFile(path="data/competitor.parquet").to_action(),
+        ]
+    )
+    DeltaTable.forPath(spark, tmp_table).delete("g = 3")
+    assert read_delta(spark, tmp_table).count() == 80
+
+
+def test_append_losing_race_retries_when_metadata_unchanged(
+    spark, tmp_table, monkeypatch
+):
+    """An append that loses the commit race retries and lands AFTER the
+    competitor when table metadata is unchanged; both appends survive."""
+    import os
+    import shutil
+
+    import delta_lake_spark.writer as W
+    from delta_lake_spark import read_delta, write_delta
+    from delta_lake_spark.log import AddFile, CommitInfo, DeltaLog
+
+    write_delta(spark.range(10), tmp_table)  # v0
+    snap = DeltaLog(tmp_table).snapshot()
+    src_rel = next(iter(snap.files))
+    comp_rel = "data/competitor_append.parquet"
+    shutil.copy(
+        os.path.join(tmp_table, src_rel), os.path.join(tmp_table, comp_rel)
+    )
+    n_comp = snap.files[src_rel].numRecords
+
+    state = {"raced": False}
+
+    class RacingLog(DeltaLog):
+        def commit(self, version, actions):
+            if not state["raced"]:
+                state["raced"] = True
+                DeltaLog(self.table_path).commit(
+                    version,
+                    [
+                        CommitInfo(operation="APPEND").to_action(),
+                        AddFile(path=comp_rel, numRecords=n_comp, size=1).to_action(),
+                    ],
+                )
+            return super().commit(version, actions)
+
+    monkeypatch.setattr(W, "DeltaLog", RacingLog)
+    write_delta(spark.range(10, 30), tmp_table)  # loses v1, retries at v2
+    assert state["raced"]
+    assert read_delta(spark, tmp_table).count() == 10 + 20 + n_comp
+
+
+def test_append_racing_schema_change_raises(spark, tmp_table, monkeypatch):
+    """An append racing a concurrent METADATA change must surface the
+    conflict — its staged files were validated against the old schema."""
+    import pytest as _pytest
+
+    import delta_lake_spark.writer as W
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.errors import ConcurrentModificationError
+    from delta_lake_spark.log import CommitInfo, DeltaLog, Metadata
+
+    write_delta(spark.range(10), tmp_table)  # v0
+    old_meta = DeltaLog(tmp_table).snapshot().metadata
+
+    state = {"raced": False}
+
+    class RacingLog(DeltaLog):
+        def commit(self, version, actions):
+            if not state["raced"]:
+                state["raced"] = True
+                new_meta = Metadata(
+                    schemaString=old_meta.schemaString,
+                    partitionColumns=old_meta.partitionColumns,
+                    configuration={"constraint.c1": "id >= 0"},
+                    id=old_meta.id,
+                    createdTime=old_meta.createdTime,
+                )
+                DeltaLog(self.table_path).commit(
+                    version,
+                    [
+                        CommitInfo(operation="ADD CONSTRAINT").to_action(),
+                        new_meta.to_action(),
+                    ],
+                )
+            return super().commit(version, actions)
+
+    monkeypatch.setattr(W, "DeltaLog", RacingLog)
+    with _pytest.raises(ConcurrentModificationError):
+        write_delta(spark.range(10, 20), tmp_table)

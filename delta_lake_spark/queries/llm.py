@@ -348,6 +348,25 @@ FROM offs
 """
 
 
+def q45_train_test_split(spark, sf_dir):
+    """Deterministic md5-hash train/test split + per-stratum sampling
+    over the documents table; row-level split is value-checked by the
+    oracle because md5 is engine-portable."""
+    from ..operators.sampling import deterministic_split
+
+    docs = _docs(spark, sf_dir)
+    out = deterministic_split(docs, "doc_id", train_frac=0.8)
+    return out.select("doc_id", "split")
+
+
+_Q45_SQL = """
+SELECT doc_id,
+  CASE WHEN substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+       THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -364,11 +383,13 @@ QUERIES = {
     "q42_embedding_dedup_pairs": q42_embedding_dedup_pairs,
     "q43_frame_sample": q43_frame_sample,
     "q44_embedding_topk_pandas": q44_embedding_topk_pandas,
+    "q45_train_test_split": q45_train_test_split,
 }
 
 ORACLE_SQL = {
     "q43_frame_sample": _Q43_SQL,
     "q44_embedding_topk_pandas": _Q34_SQL,  # same semantics, Arrow path
+    "q45_train_test_split": _Q45_SQL,
     "q42_embedding_dedup_pairs": _Q42_SQL,
     "q30_dedup_exact": _Q30_SQL,
     "q31_dedup_ngram_jaccard": _Q31_SQL,

@@ -158,3 +158,43 @@ def test_frame_sample_explodes(spark, docs):
     lens = {r.media_id: r.n_bytes for r in decode_image_features(media).collect()}
     for mid, n in counts.items():
         assert n == -(-lens[mid] // 64)  # ceil(len/64) frames
+
+
+def test_deterministic_sampling_operators(spark):
+    """Split/sample must be stable across partitionings and reruns, and
+    stratified fractions must land near their targets per stratum."""
+    from delta_lake_spark.operators.sampling import (
+        deterministic_sample,
+        deterministic_split,
+        stratified_sample,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'web' WHEN id % 3 = 1 THEN 'book' ELSE 'code' END AS src"
+    )
+    s1 = deterministic_split(df, "id", 0.8)
+    frac = s1.filter("split = 'train'").count() / 10_000
+    assert 0.77 < frac < 0.83  # uniform hash, 10k keys
+
+    # stability: different partitioning, same assignment
+    s2 = deterministic_split(df.repartition(17), "id", 0.8)
+    diff = (
+        s1.select("id", "split")
+        .join(s2.select("id", F.col("split").alias("split2")), "id")
+        .filter("split != split2")
+        .count()
+    )
+    assert diff == 0
+
+    # sample ~10%
+    n = deterministic_sample(df, "id", 0.1).count()
+    assert 800 < n < 1200
+
+    # stratified: keep all books, 10% of web, drop code
+    st = stratified_sample(
+        df, "id", "src", {"book": 1.0, "web": 0.1}, default_frac=0.0
+    )
+    got = {r.src: r.n for r in st.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got.get("book") == df.filter("src = 'book'").count()
+    assert "code" not in got
+    assert 200 < got.get("web", 0) < 500  # ~10% of ~3333

@@ -19,6 +19,7 @@ from .errors import (
     VersionNotFoundError,
 )
 from .catalog import Catalog
+from .cdf import table_changes
 from .log import DeltaLog, Snapshot
 from .reader import read_delta
 from .sql import sql
@@ -26,6 +27,7 @@ from .table import DeltaTable
 from .writer import convert_to_delta, write_delta
 
 __all__ = [
+    "table_changes",
     "Catalog",
     "sql",
     "DeltaLog",

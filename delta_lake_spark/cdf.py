@@ -1,0 +1,126 @@
+"""Change data feed: row-level changes between table versions.
+
+``table_changes(spark, path, from_version, to_version)`` returns every
+row inserted or deleted by each commit in the range, tagged with
+``_change_type`` ('insert' | 'delete') and ``_commit_version`` — the
+read side of Delta's CDF, computed WITHOUT write-time change files:
+
+For one commit, the net row changes are exactly the multiset difference
+between the files it added and the files it removed (a rewrite carries
+unchanged rows into both sides, where exceptAll cancels them):
+
+    inserts = rows(added files)  EXCEPT ALL  rows(removed files)
+    deletes = rows(removed files) EXCEPT ALL rows(added files)
+
+An UPDATE therefore appears as delete(old row) + insert(new row).
+
+Scale: each commit's diff touches only the files that commit changed —
+an append diffs nothing (removed set empty, exceptAll short-circuits to
+a plain scan), a MERGE diffs only its rewritten files. dataChange=False
+commits (OPTIMIZE/clustering) are skipped entirely — they move rows
+between files without changing the table's contents.
+
+Caveat: the removed files must still exist (not VACUUMed) — same
+retention rule as time travel.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import os
+
+from .errors import VersionNotFoundError
+from .log import AddFile, DeltaLog
+from .writer import schema_of
+
+
+def _read_files_df(spark, table_path, adds, snap) -> DataFrame:
+    """Explicit-file scan of one commit's files with the snapshot's
+    schema (same resolution rules as reader.read_delta)."""
+    schema = schema_of(snap)
+    files = [os.path.join(table_path, a.path) for a in adds]
+    reader = spark.read.schema(schema)
+    if snap.metadata.configuration.get("layout") == "hive":
+        reader = reader.option("basePath", table_path)
+    return reader.parquet(*files)
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes committed in versions [from_version, to_version]
+    (inclusive; to_version defaults to latest). Returns the table columns
+    plus _change_type and _commit_version."""
+    path = os.path.abspath(path)
+    log = DeltaLog(path)
+    latest = log.latest_version()
+    if to_version is None:
+        to_version = latest
+    if from_version < 0 or to_version > latest or from_version > to_version:
+        raise VersionNotFoundError(
+            f"invalid change range [{from_version}, {to_version}] "
+            f"(latest version is {latest})"
+        )
+
+    per_version: list[DataFrame] = []
+    for v in range(max(from_version, 1), to_version + 1):
+        added: list[AddFile] = []
+        removed_paths: list[str] = []
+        data_change = False
+        for action in log._read_actions(v):
+            if "add" in action:
+                add = AddFile.from_action(action["add"])
+                added.append(add)
+                data_change = data_change or add.dataChange
+            elif "remove" in action:
+                removed_paths.append(action["remove"]["path"])
+                data_change = data_change or action["remove"].get(
+                    "dataChange", True
+                )
+        if not data_change or (not added and not removed_paths):
+            continue
+
+        prev = log.snapshot(v - 1)
+        removed = [prev.files[p] for p in removed_paths if p in prev.files]
+        schema_snap = log.snapshot(v)
+
+        add_df = (
+            _read_files_df(spark, path, added, schema_snap)
+            if added
+            else None
+        )
+        rem_df = (
+            _read_files_df(spark, path, removed, prev) if removed else None
+        )
+        cols = [f.name for f in add_df.schema.fields] if add_df is not None else [
+            f.name for f in rem_df.schema.fields
+        ]
+
+        def tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.select(*cols).withColumn(
+                "_change_type", F.lit(kind)
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
+
+        if add_df is not None and rem_df is not None:
+            inserts = tag(add_df.exceptAll(rem_df.select(*cols)), "insert")
+            deletes = tag(rem_df.select(*cols).exceptAll(add_df.select(*cols)), "delete")
+            per_version.append(inserts.unionByName(deletes, allowMissingColumns=True))
+        elif add_df is not None:
+            per_version.append(tag(add_df, "insert"))
+        else:
+            per_version.append(tag(rem_df, "delete"))
+
+    if not per_version:
+        raise VersionNotFoundError(
+            f"no data-changing commits in [{from_version}, {to_version}]"
+        )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), per_version
+    )

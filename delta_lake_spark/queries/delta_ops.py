@@ -377,6 +377,33 @@ def q59_sessionize_stateful_stream(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# q60 change data feed: delete commit -> exact deleted rows (CDF read side)
+# --------------------------------------------------------------------------
+
+def q60_cdf_deletes(spark, sf_dir):
+    """table_changes over a GDPR-style delete: the feed must contain
+    exactly the deleted rows, tagged delete @ the deleting version."""
+    from ..cdf import table_changes
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    path = _fresh("cdf_del")
+    write_delta(ev, path)                                   # v0
+    DeltaTable.forPath(spark, path).delete("event_type = 'error'")  # v1
+    ch = table_changes(spark, path, 1, 1)
+    return ch.select(
+        "event_id", "user_id", "event_type", "_change_type",
+        F.col("_commit_version").cast("long").alias("_commit_version"),
+    )
+
+
+_Q60_SQL = """
+SELECT event_id, user_id, event_type,
+       'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM events WHERE event_type = 'error'
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -388,6 +415,7 @@ QUERIES = {
     "q57_streaming_windowed_counts": q57_streaming_windowed_counts,
     "q58_sessionize": q58_sessionize,
     "q59_sessionize_stateful_stream": q59_sessionize_stateful_stream,
+    "q60_cdf_deletes": q60_cdf_deletes,
 }
 
 ORACLE_SQL = {
@@ -400,4 +428,5 @@ ORACLE_SQL = {
     "q54_delta_optimize_roundtrip": _Q54_SQL,
     "q55_delta_convert_parquet": _Q55_SQL,
     "q56_delta_rollback_reinsert": _Q56_SQL,
+    "q60_cdf_deletes": _Q60_SQL,
 }

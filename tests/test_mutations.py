@@ -273,3 +273,48 @@ def test_check_constraints_enforced_on_all_write_paths(spark, tmp_table):
     dt.drop_constraint("v_positive")
     write_delta(spark.createDataFrame([(5, -1.0)], "id long, v double"), tmp_table)
     assert read_delta(spark, tmp_table).count() == 5
+
+
+def test_table_changes_cdf(spark, tmp_table):
+    """CDF via per-commit file diffs: append -> inserts; DELETE ->
+    deletes; MERGE update -> delete(old)+insert(new); OPTIMIZE -> no
+    changes."""
+    from delta_lake_spark.cdf import table_changes
+
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"),
+        tmp_table,
+    )  # v0
+    write_delta(
+        spark.createDataFrame([(4, 40.0)], "id long, v double"), tmp_table
+    )  # v1 append
+    dt = DeltaTable.forPath(spark, tmp_table)
+    dt.delete("id = 2")  # v2
+    src = spark.createDataFrame([(3, 99.0)], "id long, v double")
+    (
+        dt.alias("t").merge(src, "t.id = s.id", source_alias="s")
+        .whenMatchedUpdateAll()
+        .execute()
+    )  # v3 update
+    dt.optimize(target_file_bytes=1)  # v4 (dataChange=False) or no-op
+
+    ch = table_changes(spark, tmp_table, 1).collect()
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r._commit_version, []).append((r._change_type, r.id, r.v))
+    assert sorted(by_ver[1]) == [("insert", 4, 40.0)]
+    assert sorted(by_ver[2]) == [("delete", 2, 20.0)]
+    assert sorted(by_ver[3]) == [("delete", 3, 30.0), ("insert", 3, 99.0)]
+    assert 4 not in by_ver  # compaction moves rows, changes nothing
+
+    # range filtering
+    only2 = table_changes(spark, tmp_table, 2, 2).collect()
+    assert [(r._change_type, r.id) for r in only2] == [("delete", 2)]
+
+    # invalid ranges raise
+    import pytest as _pytest
+
+    from delta_lake_spark.errors import VersionNotFoundError
+
+    with _pytest.raises(VersionNotFoundError):
+        table_changes(spark, tmp_table, 99)

@@ -91,26 +91,77 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """EXACT near-duplicate pairs (id_1 < id_2, jaccard >= threshold)
-    over word n-gram shingle sets, via inverted-index self-join.
+    over word n-gram shingle sets via an inverted index.
+
+    ``prefix_filter=True`` switches candidate generation to prefix
+    filtering (Bayardo et al. WWW'07 all-pairs): only each doc's
+    |d| - ceil(t*|d|) + 1 globally-rarest shingles build the index, so
+    frequent boilerplate shingles never explode the candidate set. The
+    output is identical (verification is exact over full sets); the
+    crossover is corpus size — the rarity ranking costs two extra
+    shuffles, which pays off once the candidate explosion dominates
+    (large corpora / heavy boilerplate), not at test scale.
 
     Returns columns: id_1, id_2, jaccard (double).
     """
+    from pyspark.sql import Window
+
     sh = word_shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    # inverted index via ONE shuffle: group doc-ids per shingle, emit
-    # within-posting pairs (equivalent to the shingle self-join, without
-    # shuffling the exploded doc x shingle relation twice)
-    postings = sh.groupBy("shingle").agg(F.collect_set(id_col).alias("ids"))
-    inter = (
-        postings.filter(F.size("ids") > 1)
-        .select(F.explode("ids").alias("id_1"), F.col("ids"))
-        .select("id_1", F.explode("ids").alias("id_2"))
-        .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
-        .agg(F.count("*").alias("n_inter"))
-    )
+
+    if prefix_filter:
+        # only globally-rarest prefix shingles generate candidates;
+        # exact verification (join back against the FULL shingle sets)
+        # keeps the output identical
+        doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__df").asc(), F.col("shingle")
+        )
+        ranked = (
+            sh.join(doc_freq, "shingle")
+            .withColumn("__pos", F.row_number().over(w))
+            .join(sizes, id_col)
+        )
+        index_src = ranked.filter(
+            F.col("__pos")
+            <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
+        ).select(id_col, "shingle")
+        postings = index_src.groupBy("shingle").agg(
+            F.collect_set(id_col).alias("ids")
+        )
+        candidates = (
+            postings.filter(F.size("ids") > 1)
+            .select(F.explode("ids").alias("id_1"), F.col("ids"))
+            .select("id_1", F.explode("ids").alias("id_2"))
+            .filter(F.col("id_1") < F.col("id_2"))
+            .distinct()
+        )
+        sh1 = sh.select(F.col(id_col).alias("id_1"), "shingle")
+        sh2 = sh.select(F.col(id_col).alias("id_2"), "shingle")
+        inter = (
+            candidates.join(sh1, "id_1")
+            .join(sh2, ["id_2", "shingle"])
+            .groupBy("id_1", "id_2")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        # full index: every shared shingle emits one pair row, so the
+        # groupBy count IS the exact intersection size — one shuffle to
+        # build postings, one to count, no verification joins needed
+        postings = sh.groupBy("shingle").agg(
+            F.collect_set(id_col).alias("ids")
+        )
+        inter = (
+            postings.filter(F.size("ids") > 1)
+            .select(F.explode("ids").alias("id_1"), F.col("ids"))
+            .select("id_1", F.explode("ids").alias("id_2"))
+            .filter(F.col("id_1") < F.col("id_2"))
+            .groupBy("id_1", "id_2")
+            .agg(F.count("*").alias("n_inter"))
+        )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     return (

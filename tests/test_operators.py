@@ -198,3 +198,23 @@ def test_deterministic_sampling_operators(spark):
     assert got.get("book") == df.filter("src = 'book'").count()
     assert "code" not in got
     assert 200 < got.get("web", 0) < 500  # ~10% of ~3333
+
+
+def test_prefix_filter_equals_full_index(spark):
+    """Prefix-filtered all-pairs must produce exactly the full-index
+    result (the verification step is exact; prefix filtering only
+    shrinks the candidate set)."""
+    from delta_lake_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r.id_1, r.id_2, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    }
+    pref = {
+        (r.id_1, r.id_2, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", prefix_filter=True
+        ).collect()
+    }
+    assert full == pref and len(full) > 0

@@ -138,3 +138,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_headline_plans_have_no_pathologies(spark):
+    """Sweep: no headline query may plan a cartesian product or an
+    unintentional nested-loop join, and shuffle counts stay at the
+    structural minimum (regression lock for the plans audited in
+    round 1)."""
+    from delta_lake_spark.queries import QUERIES
+
+    budgets = {  # max (Exchange - ReusedExchange) per query
+        "q01_pricing_summary": 1,
+        "q04_events_gold": 1,
+        "q10_interpolate": 1,
+        "q13_top_customers_per_nation": 2,
+        "q20_asof_login_before_purchase": 2,
+        "q37_token_stats": 0,
+        "q40_fingerprint": 0,
+    }
+    for name, budget in budgets.items():
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n_ex <= budget, f"{name}: {n_ex} exchanges > budget {budget}"

@@ -40,13 +40,11 @@ from .writer import schema_of
 
 def _read_files_df(spark, table_path, adds, snap) -> DataFrame:
     """Explicit-file scan of one commit's files with the snapshot's
-    schema (same resolution rules as reader.read_delta)."""
-    schema = schema_of(snap)
-    files = [os.path.join(table_path, a.path) for a in adds]
-    reader = spark.read.schema(schema)
-    if snap.metadata.configuration.get("layout") == "hive":
-        reader = reader.option("basePath", table_path)
-    return reader.parquet(*files)
+    schema, deletion vectors applied (same resolution as read_delta) —
+    so a DV-delete commit diffs as exactly the newly-deleted rows."""
+    from .reader import scan_adds
+
+    return scan_adds(spark, table_path, adds, snap)
 
 
 def table_changes(
@@ -88,6 +86,11 @@ def table_changes(
             continue
 
         prev = log.snapshot(v - 1)
+        # a re-added path (deletion-vector change) replaces its previous
+        # state on replay: diff it as removed(prev DV) + added(new DV)
+        for add in added:
+            if add.path in prev.files and add.path not in removed_paths:
+                removed_paths.append(add.path)
         removed = [prev.files[p] for p in removed_paths if p in prev.files]
         schema_snap = log.snapshot(v)
 

@@ -56,15 +56,26 @@ def _utc_millis() -> int:
 
 @dataclass
 class AddFile:
-    """An ``add`` action: a data file that is part of the table."""
+    """An ``add`` action: a data file that is part of the table.
 
-    path: str  # table-relative
+    ``path`` is table-relative for files the table owns; an ABSOLUTE
+    path means the file belongs to another table (shallow clone).
+    ``deletionVector`` marks rows of this file as logically deleted
+    without rewriting it: ``{"path": <sidecar parquet dir, relative or
+    absolute>, "cardinality": <number of deleted rows>}``. The sidecar
+    holds (path, row_index) pairs; readers anti-join on the parquet
+    row position (the protocol shape of Delta's deletion vectors,
+    expressed relationally instead of as roaring bitmaps).
+    """
+
+    path: str  # table-relative (absolute => shallow-cloned from elsewhere)
     partitionValues: dict[str, str | None] = field(default_factory=dict)
     size: int = 0
     numRecords: int | None = None
     stats: dict[str, Any] | None = None  # {"minValues": {...}, "maxValues": {...}, "nullCount": {...}}
     modificationTime: int = 0
     dataChange: bool = True
+    deletionVector: dict[str, Any] | None = None
 
     def to_action(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -78,6 +89,8 @@ class AddFile:
             d["numRecords"] = self.numRecords
         if self.stats is not None:
             d["stats"] = self.stats
+        if self.deletionVector is not None:
+            d["deletionVector"] = self.deletionVector
         return {"add": d}
 
     @classmethod
@@ -90,6 +103,7 @@ class AddFile:
             stats=d.get("stats"),
             modificationTime=d.get("modificationTime", 0),
             dataChange=d.get("dataChange", True),
+            deletionVector=d.get("deletionVector"),
         )
 
 
@@ -188,6 +202,8 @@ class Snapshot:
             if f.numRecords is None:
                 return None
             total += f.numRecords
+            if f.deletionVector is not None:
+                total -= int(f.deletionVector.get("cardinality", 0))
         return total
 
 

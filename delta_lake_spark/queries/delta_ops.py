@@ -404,6 +404,77 @@ FROM events WHERE event_type = 'error'
 """
 
 
+# --------------------------------------------------------------------------
+# q61 deletion-vector DELETE: two stacked DVs, no file rewrites (M5 at scale)
+# --------------------------------------------------------------------------
+
+def q61_delta_dv_delete(spark, sf_dir):
+    """DELETE via deletion vectors — the scattered-delete path that at
+    100 TB costs one scan + a tiny sidecar instead of a table rewrite.
+    Two stacked DV deletes exercise sidecar merging; the post-state is
+    value-checked against the relational complement."""
+    ev = _events(spark, sf_dir)
+    path = _fresh("dv_delete")
+    write_delta(ev, path)
+    dt = DeltaTable.forPath(spark, path)
+    dt.delete("event_type = 'error'", use_dv=True)
+    dt.delete("value < 0.1", use_dv=True)
+    assert set(dt._log.snapshot().files) == set(dt._log.snapshot(0).files), \
+        "DV delete must not rewrite data files"
+    return (
+        read_delta(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+_Q61_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events
+WHERE COALESCE(event_type = 'error', FALSE) = FALSE
+  AND COALESCE(value < 0.1, FALSE) = FALSE
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q62 shallow CLONE: zero-copy fork, divergent mutation isolated from source
+# --------------------------------------------------------------------------
+
+def q62_delta_clone_diverge(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    path = _fresh("clone_src")
+    write_delta(orders, path)
+    clone_path = os.path.join(_SCRATCH, "clone_dst")
+    shutil.rmtree(clone_path, ignore_errors=True)
+    clone = DeltaTable.forPath(spark, path).clone(clone_path, shallow=True)
+    clone.delete("o_orderstatus = 'F'")
+    src_rows = read_delta(spark, path).count()
+    return (
+        read_delta(spark, clone_path)
+        .agg(
+            F.count("*").alias("clone_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("clone_total"),
+        )
+        .select(
+            F.lit(src_rows).cast("long").alias("source_rows"),
+            "clone_rows",
+            "clone_total",
+        )
+    )
+
+
+_Q62_SQL = """
+SELECT (SELECT COUNT(*) FROM orders) AS source_rows,
+       COUNT(*) AS clone_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS clone_total
+FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -416,6 +487,8 @@ QUERIES = {
     "q58_sessionize": q58_sessionize,
     "q59_sessionize_stateful_stream": q59_sessionize_stateful_stream,
     "q60_cdf_deletes": q60_cdf_deletes,
+    "q61_delta_dv_delete": q61_delta_dv_delete,
+    "q62_delta_clone_diverge": q62_delta_clone_diverge,
 }
 
 ORACLE_SQL = {
@@ -429,4 +502,6 @@ ORACLE_SQL = {
     "q55_delta_convert_parquet": _Q55_SQL,
     "q56_delta_rollback_reinsert": _Q56_SQL,
     "q60_cdf_deletes": _Q60_SQL,
+    "q61_delta_dv_delete": _Q61_SQL,
+    "q62_delta_clone_diverge": _Q62_SQL,
 }

@@ -13,21 +13,119 @@ Row-group min/max skipping happens executor-side inside the parquet
 reader; additionally ``partition_filter`` prunes whole files from the
 log's partitionValues before Spark ever sees them (partition pruning,
 SURVEY.md §4).
+
+Deletion vectors: an ``add`` entry may carry a ``deletionVector``
+sidecar (see log.AddFile). ``scan_adds`` applies it as a left-anti
+join on (file, parquet row position) — ``_metadata.row_index`` gives
+the position without reading extra columns, and the DV side is tiny
+relative to the data (AQE broadcasts it), so a table with deletion
+vectors reads at ≈ full scan cost + one small join, never a rewrite.
 """
 
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .errors import DataFileLostError
-from .log import DeltaLog, Snapshot
+from .log import AddFile, DeltaLog, Snapshot
 from .writer import schema_of
+
+# metadata column names threaded through mutation plans
+FILE_COL = "__dls_file"
+ROW_COL = "__dls_row"
+
+
+def file_uri(table_path: str, log_path: str) -> str:
+    """The ``_metadata.file_path`` URI Spark will report for a log entry.
+    Absolute log paths (shallow clones) are used as-is."""
+    p = log_path if os.path.isabs(log_path) else os.path.join(table_path, log_path)
+    return "file:" + p
 
 
 def live_files(table_path: str, snapshot: Snapshot) -> list[str]:
     return [os.path.join(table_path, p) for p in snapshot.files]
+
+
+def _dv_rows(
+    spark: SparkSession, table_path: str, dv_adds: list[AddFile]
+) -> DataFrame:
+    """Deleted (FILE_COL uri, ROW_COL) pairs for the given adds.
+
+    One read per distinct sidecar, restricted to the files whose CURRENT
+    add references it — a shared sidecar may hold stale entries for
+    files that were since rewritten or restored, and those must not
+    apply."""
+    by_sidecar: dict[str, list[AddFile]] = {}
+    for a in dv_adds:
+        by_sidecar.setdefault(a.deletionVector["path"], []).append(a)
+    parts = []
+    for sidecar, adds in sorted(by_sidecar.items()):
+        sc_abs = sidecar if os.path.isabs(sidecar) else os.path.join(table_path, sidecar)
+        # sidecar rows are keyed by the path the WRITING table used; a
+        # shallow clone rewrites add paths to absolute but records the
+        # original under deletionVector.key
+        owners = spark.createDataFrame(
+            [
+                (a.deletionVector.get("key", a.path), file_uri(table_path, a.path))
+                for a in adds
+            ],
+            "path string, __dls_uri string",
+        )
+        parts.append(
+            spark.read.parquet(sc_abs)
+            .join(owners, "path")
+            .select(
+                F.col("__dls_uri").alias(FILE_COL),
+                F.col("row_index").alias(ROW_COL),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def scan_adds(
+    spark: SparkSession,
+    table_path: str,
+    adds: list[AddFile],
+    snapshot: Snapshot,
+    with_meta: bool = False,
+) -> DataFrame:
+    """Read a set of log entries as a DataFrame, applying deletion
+    vectors. ``with_meta=True`` keeps FILE_COL (the file URI) and
+    ROW_COL (parquet row position) for mutation planning."""
+    schema = schema_of(snapshot)
+    if not adds:
+        df = spark.createDataFrame([], schema)
+        if with_meta:
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias(FILE_COL),
+                F.lit(None).cast("long").alias(ROW_COL),
+            )
+        return df
+
+    dv_adds = [a for a in adds if a.deletionVector]
+    need_meta = with_meta or bool(dv_adds)
+    reader = spark.read.schema(schema)
+    if snapshot.metadata.configuration.get("layout") == "hive":
+        reader = reader.option("basePath", table_path)
+    df = reader.parquet(*[os.path.join(table_path, a.path) for a in adds])
+    if need_meta:
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias(FILE_COL),
+            F.col("_metadata.row_index").alias(ROW_COL),
+        )
+    if dv_adds:
+        df = df.join(
+            _dv_rows(spark, table_path, dv_adds), [FILE_COL, ROW_COL], "left_anti"
+        )
+    if need_meta and not with_meta:
+        df = df.drop(FILE_COL, ROW_COL)
+    return df
 
 
 def _to_millis(ts: str | int) -> int:
@@ -76,7 +174,6 @@ def read_delta(
             raise ValueError("pass version OR timestamp, not both")
         version = log.version_at_timestamp(_to_millis(timestamp))
     snap = log.snapshot(version)
-    schema = schema_of(snap)
 
     adds = list(snap.files.values())
     if partition_filter:
@@ -88,19 +185,12 @@ def read_delta(
         ]
     adds, _skipped = prune_adds(adds, predicate)
 
-    files = [os.path.join(path, a.path) for a in adds]
     if version is not None:
+        files = [os.path.join(path, a.path) for a in adds]
         missing = [f for f in files if not os.path.exists(f)]
         if missing:
             raise DataFileLostError(
                 f"version {version} of {path} references {len(missing)} data "
                 f"file(s) that no longer exist (vacuumed?): {missing[:3]}"
             )
-    if not files:
-        return spark.createDataFrame([], schema)
-
-    reader = spark.read.schema(schema)
-    if snap.metadata.configuration.get("layout") == "hive":
-        # converted table: partition columns live in directory names only
-        reader = reader.option("basePath", path)
-    return reader.parquet(*files)
+    return scan_adds(spark, path, adds, snap)

@@ -33,26 +33,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .errors import MergeAmbiguityError, RetentionSafetyError, TableNotFoundError
-from .log import CommitInfo, DeltaLog, RemoveFile, _utc_millis
-from .reader import read_delta
+from .log import AddFile, CommitInfo, DeltaLog, RemoveFile, _utc_millis
+from .reader import FILE_COL as _FILE_COL
+from .reader import ROW_COL as _ROW_COL
+from .reader import file_uri, read_delta, scan_adds
 from .writer import enforce_constraints, schema_of, stage_files
 
 DEFAULT_RETENTION_HOURS = 168  # 7 days, matching Delta's default
 RETENTION_CHECK_CONF = "spark.delta_lake_spark.retentionDurationCheck.enabled"
+DV_CONF = "deletionVectors"  # table configuration key: "true" => DV deletes
 
-_FILE_COL = "__dls_file"
-_ROW_COL = "__dls_row"
 _ACTION_COL = "__dls_action"
-
-
-def _rel_file(uri: str, table_path: str) -> str:
-    """Normalize a ``_metadata.file_path`` URI to a table-relative path."""
-    p = uri
-    if p.startswith("file:"):
-        p = p[len("file:"):]
-        while p.startswith("//"):
-            p = p[1:]
-    return os.path.relpath(p, table_path)
 
 
 def _as_column(cond: str | Column | None) -> Column | None:
@@ -135,26 +126,21 @@ class MergeBuilder:
 
         touched: list[str] = []
         if not insert_only and snap.files:
-            with_file = t.toDF().select(
-                "*", F.col("_metadata.file_path").alias(_FILE_COL)
-            ).alias(t_alias)
+            with_file = t._read_files(sorted(snap.files), with_meta=True).alias(t_alias)
             touched_rows = (
                 with_file.join(src, cond, "left_semi")
                 .select(_FILE_COL)
                 .distinct()
                 .collect()
             )
-            touched = sorted(_rel_file(r[_FILE_COL], t.path) for r in touched_rows)
+            uri_to_log = {file_uri(t.path, p): p for p in snap.files}
+            touched = sorted(uri_to_log[r[_FILE_COL]] for r in touched_rows)
 
         outputs: list[DataFrame] = []
         n_update_clauses = sum(1 for c in self._matched if c["kind"] != "delete")
 
         if touched:
-            t_touched = t._read_files(touched).select(
-                "*",
-                F.col("_metadata.file_path").alias(_FILE_COL),
-                F.col("_metadata.row_index").alias(_ROW_COL),
-            ).alias(t_alias)
+            t_touched = t._read_files(touched, with_meta=True).alias(t_alias)
 
             joined = t_touched.join(src, cond, "inner")
             # first-matching-clause disposition; -1 = no clause applies -> keep row as-is
@@ -321,15 +307,12 @@ class DeltaTable:
     def version(self) -> int:
         return self._log.latest_version()
 
-    def _read_files(self, rel_files: list[str]) -> DataFrame:
+    def _read_files(self, rel_files: list[str], with_meta: bool = False) -> DataFrame:
+        """Read a subset of the current snapshot's files (deletion
+        vectors applied; optional FILE/ROW metadata columns)."""
         snap = self._log.snapshot()
-        schema = schema_of(snap)
-        if not rel_files:
-            return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.schema(schema)
-        if snap.metadata.configuration.get("layout") == "hive":
-            reader = reader.option("basePath", self.path)
-        return reader.parquet(*[os.path.join(self.path, f) for f in rel_files])
+        adds = [snap.files[f] for f in rel_files]
+        return scan_adds(self.spark, self.path, adds, snap, with_meta=with_meta)
 
     # ---------- metadata ----------
 
@@ -387,21 +370,36 @@ class DeltaTable:
             adds, _ = prune_adds(adds, cond_str)
         if not adds:
             return []
-        df = self._read_files([a.path for a in adds]).select(
-            "*", F.col("_metadata.file_path").alias(_FILE_COL)
-        )
+        df = self._read_files([a.path for a in adds], with_meta=True)
         rows = df.filter(cond).select(_FILE_COL).distinct().collect()
-        return sorted(_rel_file(r[_FILE_COL], self.path) for r in rows)
+        uri_to_log = {file_uri(self.path, a.path): a.path for a in adds}
+        return sorted(uri_to_log[r[_FILE_COL]] for r in rows)
 
-    def delete(self, condition: str | Column | None = None) -> int:
+    def delete(
+        self, condition: str | Column | None = None, use_dv: bool | None = None
+    ) -> int:
         """Predicate delete (M5; reference delta_lake_rapid_start.py:585-587).
 
         Only files containing matching rows are rewritten; a predicate on
         the partition column therefore touches exactly that partition's
         files (partition-pruned delete, SURVEY.md §4).
+
+        ``use_dv=True`` (or table configuration ``deletionVectors=true``)
+        switches to deletion vectors: instead of rewriting touched files,
+        commit a (file, row position) sidecar marking rows deleted. At
+        100 TB, deleting 0.01% of rows scattered across every file costs
+        one scan + a tiny sidecar write instead of a full-table rewrite;
+        ``purge_deletion_vectors()`` (REORG APPLY PURGE) folds them back
+        into clean files later.
         """
         snap = self._log.snapshot()
         cond = _as_column(condition)
+        if use_dv is None:
+            use_dv = snap.metadata.configuration.get(DV_CONF, "").lower() == "true"
+        if use_dv and cond is not None:
+            return self._dv_delete(
+                cond, condition if isinstance(condition, str) else None, snap
+            )
         now = _utc_millis()
         if cond is None:
             touched = sorted(snap.files)
@@ -430,6 +428,213 @@ class DeltaTable:
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
         return self._log.commit_next(actions, retries=0)
+
+    def _dv_delete(self, cond: Column, cond_str: str | None, snap) -> int:
+        """DELETE via deletion vectors: no data file is rewritten.
+
+        FIND is the same stats-pruned scan as the rewrite path, but the
+        output is the matching (file, row position) set, written as one
+        parquet sidecar per commit. Touched files are re-added pointing
+        at the sidecar; when a file already carries a DV the old deleted
+        set is folded into the new sidecar (the scan excluded those rows,
+        so old and new sets are disjoint and cardinalities add)."""
+        import uuid as _uuid
+
+        from .skipping import prune_adds
+
+        adds = list(snap.files.values())
+        if cond_str:
+            adds, _ = prune_adds(adds, cond_str)
+        if not adds:
+            return snap.version
+
+        df = scan_adds(self.spark, self.path, adds, snap, with_meta=True)
+        uri_map = self.spark.createDataFrame(
+            [(file_uri(self.path, a.path), a.path) for a in adds],
+            f"{_FILE_COL} string, path string",
+        )
+        new_dv = (
+            df.filter(F.coalesce(cond, F.lit(False)))
+            .select(_FILE_COL, F.col(_ROW_COL).alias("row_index"))
+            .join(F.broadcast(uri_map), _FILE_COL)
+            .select("path", "row_index")
+        )
+        new_counts = {
+            r["path"]: r["count"]
+            for r in new_dv.groupBy("path").count().collect()
+        }
+        if not new_counts:
+            return snap.version
+
+        by_path = {a.path: a for a in adds}
+        touched = sorted(new_counts)
+        # carry over prior DV rows of touched files into the new sidecar,
+        # rekeyed to the current add path (a cloned file's old sidecar is
+        # keyed by the source table's path, recorded in deletionVector.key)
+        carried: list[DataFrame] = [new_dv]
+        old_card: dict[str, int] = {}
+        prior: dict[str, list[tuple[str, str]]] = {}  # sidecar -> [(old_key, new_key)]
+        for p in touched:
+            a = by_path[p]
+            if a.deletionVector:
+                old_key = a.deletionVector.get("key", a.path)
+                prior.setdefault(a.deletionVector["path"], []).append((old_key, p))
+                old_card[p] = int(a.deletionVector.get("cardinality", 0))
+        for sidecar, keymap in prior.items():
+            sc_abs = (
+                sidecar if os.path.isabs(sidecar) else os.path.join(self.path, sidecar)
+            )
+            rekey = self.spark.createDataFrame(
+                keymap, "path string, __dls_newpath string"
+            )
+            carried.append(
+                self.spark.read.parquet(sc_abs)
+                .join(F.broadcast(rekey), "path")
+                .select(F.col("__dls_newpath").alias("path"), "row_index")
+            )
+        dv_rows = carried[0]
+        for c in carried[1:]:
+            dv_rows = dv_rows.unionByName(c)
+
+        dv_rel = os.path.join("deletion_vectors", _uuid.uuid4().hex[:16])
+        dv_rows.write.parquet(os.path.join(self.path, dv_rel))
+
+        now = _utc_millis()
+        actions: list[dict[str, Any]] = [
+            CommitInfo(
+                operation="DELETE",
+                operationParameters={"predicate": str(cond_str or cond), "mode": "dv"},
+                readVersion=snap.version,
+                operationMetrics={
+                    "numDeletedRows": sum(new_counts.values()),
+                    "numDeletionVectorsAdded": len(touched),
+                },
+            ).to_action()
+        ]
+        for p in touched:
+            a = by_path[p]
+            actions.append(
+                AddFile(
+                    path=a.path,
+                    partitionValues=a.partitionValues,
+                    size=a.size,
+                    numRecords=a.numRecords,
+                    stats=a.stats,
+                    modificationTime=now,
+                    dataChange=True,
+                    deletionVector={
+                        "path": dv_rel,
+                        "cardinality": new_counts[p] + old_card.get(p, 0),
+                    },
+                ).to_action()
+            )
+        return self._log.commit_next(actions, retries=0)
+
+    def purge_deletion_vectors(self) -> int:
+        """REORG TABLE ... APPLY (PURGE): rewrite every file that carries
+        a deletion vector into a clean file (dataChange=False — the
+        table's logical content is unchanged), so sidecars become
+        unreferenced and VACUUM can reclaim them."""
+        snap = self._log.snapshot()
+        dv_adds = [a for a in snap.files.values() if a.deletionVector]
+        if not dv_adds:
+            return snap.version
+        df = scan_adds(self.spark, self.path, dv_adds, snap)
+        adds = stage_files(
+            df, self.path, list(snap.metadata.partitionColumns), data_change=False
+        )
+        now = _utc_millis()
+        actions: list[dict[str, Any]] = [
+            CommitInfo(
+                operation="PURGE",
+                readVersion=snap.version,
+                operationMetrics={
+                    "numFilesPurged": len(dv_adds),
+                    "numFilesAdded": len(adds),
+                },
+            ).to_action()
+        ]
+        actions.extend(
+            RemoveFile(a.path, deletionTimestamp=now, dataChange=False).to_action()
+            for a in dv_adds
+        )
+        actions.extend(a.to_action() for a in adds)
+        return self._log.commit_next(actions, retries=0)
+
+    def clone(self, target_path: str, shallow: bool = True) -> "DeltaTable":
+        """CLONE: create an independent table at ``target_path``.
+
+        Shallow clone is metadata-only — version 0 of the clone references
+        the source's CURRENT data files by absolute path (zero bytes
+        copied; at 100 TB this is how you fork a table for experiments).
+        Writes/mutations on the clone stage new files locally and never
+        touch the source; the clone's VACUUM only walks its own directory
+        so source files are never reclaimed by the clone. Deep clone
+        copies the data through a staged write."""
+        from .log import Metadata
+
+        target_path = os.path.abspath(target_path)
+        snap = self._log.snapshot()
+        target_log = DeltaLog(target_path)
+        if target_log.exists():
+            raise ValueError(f"{target_path} is already a table")
+
+        if not shallow:
+            from .writer import write_delta
+
+            write_delta(
+                self.toDF(),
+                target_path,
+                mode="append",
+                partition_by=list(snap.metadata.partitionColumns),
+                operation="CLONE",
+                operation_parameters={"source": self.path, "shallow": False},
+            )
+            return DeltaTable(self.spark, target_path)
+
+        def _abs(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(self.path, p)
+
+        meta = Metadata(
+            schemaString=snap.metadata.schemaString,
+            partitionColumns=list(snap.metadata.partitionColumns),
+            configuration=dict(snap.metadata.configuration),
+            name=snap.metadata.name,
+        )
+        actions: list[dict[str, Any]] = [
+            CommitInfo(
+                operation="CLONE",
+                operationParameters={
+                    "source": self.path,
+                    "sourceVersion": snap.version,
+                    "shallow": True,
+                },
+                operationMetrics={"numCopiedFiles": 0, "numReferencedFiles": len(snap.files)},
+            ).to_action(),
+            meta.to_action(),
+        ]
+        for a in snap.files.values():
+            dv = None
+            if a.deletionVector:
+                dv = dict(
+                    a.deletionVector,
+                    path=_abs(a.deletionVector["path"]),
+                    key=a.deletionVector.get("key", a.path),
+                )
+            actions.append(
+                AddFile(
+                    path=_abs(a.path),
+                    partitionValues=a.partitionValues,
+                    size=a.size,
+                    numRecords=a.numRecords,
+                    stats=a.stats,
+                    modificationTime=a.modificationTime,
+                    dataChange=True,
+                    deletionVector=dv,
+                ).to_action()
+            )
+        target_log.commit(0, actions)
+        return DeltaTable(self.spark, target_path)
 
     def update(self, condition: str | Column, set: dict[str, str | Column]) -> int:
         """UPDATE t SET ... WHERE ... via touched-file rewrite."""
@@ -504,6 +709,13 @@ class DeltaTable:
             )
         snap = self._log.snapshot()
         live = {os.path.normpath(p) for p in snap.files}
+        # deletion-vector sidecar dirs referenced by the current snapshot
+        # are live too (their part files would otherwise look unreferenced)
+        live_dv_dirs = {
+            os.path.normpath(a.deletionVector["path"])
+            for a in snap.files.values()
+            if a.deletionVector
+        }
         cutoff = time.time() - retention_hours * 3600
         deleted: list[str] = []
         for root, _dirs, names in os.walk(self.path):
@@ -515,6 +727,10 @@ class DeltaTable:
                 abs_f = os.path.join(root, name)
                 rel = os.path.normpath(os.path.relpath(abs_f, self.path))
                 if rel in live:
+                    continue
+                if any(
+                    rel == d or rel.startswith(d + os.sep) for d in live_dv_dirs
+                ):
                     continue
                 if os.path.getmtime(abs_f) <= cutoff:
                     os.unlink(abs_f)
@@ -660,7 +876,13 @@ class DeltaTable:
         old = self._log.snapshot(version)
         cur = self._log.snapshot()
         now = _utc_millis()
-        adds = [a for p, a in old.files.items() if p not in cur.files]
+        # a path present in both but with a different deletion vector must
+        # be re-added with the old DV state (re-add replaces on replay)
+        adds = [
+            a
+            for p, a in old.files.items()
+            if p not in cur.files or cur.files[p].deletionVector != a.deletionVector
+        ]
         removes = [p for p in cur.files if p not in old.files]
         actions: list[dict[str, Any]] = [
             CommitInfo(

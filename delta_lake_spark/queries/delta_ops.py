@@ -475,6 +475,36 @@ FROM orders WHERE o_orderstatus <> 'F'
 """
 
 
+# --------------------------------------------------------------------------
+# q63 OPTIMIZE ZORDER BY: Morton layout, content-preserving, prunable reads
+# --------------------------------------------------------------------------
+
+def q63_delta_zorder_layout(spark, sf_dir):
+    """Z-order rewrite then a skipping-pruned point read on one of the
+    clustered dimensions; value-checked so the layout change is proven
+    content-preserving."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    path = _fresh("zorder")
+    write_delta(ev, path)
+    dt = DeltaTable.forPath(spark, path)
+    dt.optimize(target_file_bytes=64 * 1024, zorder_by=["user_id", "value"])
+    got = read_delta(spark, path, predicate="user_id = 42")
+    return (
+        got.filter("user_id = 42")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+_Q63_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events WHERE user_id = 42 GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -489,6 +519,7 @@ QUERIES = {
     "q60_cdf_deletes": q60_cdf_deletes,
     "q61_delta_dv_delete": q61_delta_dv_delete,
     "q62_delta_clone_diverge": q62_delta_clone_diverge,
+    "q63_delta_zorder_layout": q63_delta_zorder_layout,
 }
 
 ORACLE_SQL = {
@@ -504,4 +535,5 @@ ORACLE_SQL = {
     "q60_cdf_deletes": _Q60_SQL,
     "q61_delta_dv_delete": _Q61_SQL,
     "q62_delta_clone_diverge": _Q62_SQL,
+    "q63_delta_zorder_layout": _Q63_SQL,
 }

@@ -221,7 +221,7 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
 
     m = re.match(
         r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
-        r"(?:\s+CLUSTER\s+BY\s+\(?(?P<cols>[\w,\s]+?)\)?)?\s*$",
+        r"(?:\s+(?P<kind>CLUSTER|ZORDER)\s+BY\s+\(?(?P<cols>[\w,\s]+?)\)?)?\s*$",
         s,
         re.IGNORECASE,
     )
@@ -232,7 +232,10 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
             else None
         )
         dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
-        version = dt.optimize(cluster_by=cols)
+        if cols and m.group("kind").upper() == "ZORDER":
+            version = dt.optimize(zorder_by=cols)
+        else:
+            version = dt.optimize(cluster_by=cols)
         catalog.refresh(m.group("name"))
         return spark.createDataFrame([(version,)], "version long")
 

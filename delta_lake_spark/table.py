@@ -749,6 +749,8 @@ class DeltaTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         small_file_bytes: int | None = None,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 6,
     ) -> int:
         """Bin-packing compaction: rewrite each partition's small files
         into ~target-size files, committed with dataChange=False so
@@ -758,26 +760,46 @@ class DeltaTable:
         ``cluster_by``: range-cluster the rewritten rows on these columns
         (repartitionByRange + in-file sort), so each output file covers a
         tight min/max range and stats-based data skipping on those columns
-        prunes most files — the single-dimension form of Z-ordering. With
-        cluster_by, ALL files in the partition are rewritten (clustering
-        is a layout change, not just small-file cleanup)."""
+        prunes most files — the single-dimension form of Z-ordering.
+
+        ``zorder_by``: Morton-interleave the quantile-bucket bits of
+        SEVERAL columns into one sort key (zorder.py), so skipping prunes
+        on any clustered column, not just the first. With either
+        clustering option, ALL files in the partition are rewritten
+        (clustering is a layout change, not just small-file cleanup)."""
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by OR zorder_by, not both")
         snap = self._log.snapshot()
         small_file_bytes = small_file_bytes or target_file_bytes // 2
+        clustering = bool(cluster_by or zorder_by)
         by_part: dict[tuple, list] = {}
         for add in snap.files.values():
-            if cluster_by or add.size < small_file_bytes:
+            if clustering or add.size < small_file_bytes:
                 key = tuple(sorted(add.partitionValues.items()))
                 by_part.setdefault(key, []).append(add)
+
+        zcol = None
+        if zorder_by:
+            from .zorder import zvalue_expr
+
+            zcol = zvalue_expr(self.toDF(), zorder_by, bits=zorder_bits)
 
         removes: list[str] = []
         all_adds = []
         for _key, adds in by_part.items():
-            if len(adds) < 2 and not cluster_by:
+            if len(adds) < 2 and not clustering:
                 continue
             total = sum(a.size for a in adds)
             n_out = max(1, -(-total // target_file_bytes))
             df = self._read_files([a.path for a in adds])
-            if cluster_by:
+            if zcol is not None:
+                df = (
+                    df.withColumn("__dls_z", zcol)
+                    .repartitionByRange(n_out, "__dls_z")
+                    .sortWithinPartitions("__dls_z")
+                    .drop("__dls_z")
+                )
+            elif cluster_by:
                 df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
                     *cluster_by
                 )
@@ -798,6 +820,7 @@ class DeltaTable:
                 operationParameters={
                     "targetFileBytes": target_file_bytes,
                     "clusterBy": cluster_by or [],
+                    "zorderBy": zorder_by or [],
                 },
                 readVersion=snap.version,
                 operationMetrics={

@@ -1,0 +1,77 @@
+"""Z-order clustering: multi-dimensional layout must let file-level
+min/max skipping prune on ANY clustered column, where lexicographic
+range clustering only serves the leading column."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_spark import DeltaTable, read_delta, write_delta
+from delta_lake_spark.skipping import prune_adds
+from delta_lake_spark.sql import sql as dls_sql
+
+
+def _grid(spark, n=40_000):
+    """Two independent uniform dimensions (x, y) — the worst case for
+    single-column clustering."""
+    return spark.range(n).select(
+        (F.col("id") % 200).cast("int").alias("x"),
+        ((F.col("id") * 7919 + 13) % 200).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+
+def _prune_frac(table, pred):
+    adds = list(table._log.snapshot().files.values())
+    kept, skipped = prune_adds(adds, pred)
+    return skipped / (len(kept) + skipped)
+
+
+@pytest.fixture()
+def table(spark, tmp_table):
+    write_delta(_grid(spark), tmp_table)
+    return DeltaTable.forPath(spark, tmp_table)
+
+
+def test_zorder_prunes_both_dimensions(spark, table, tmp_table):
+    before_rows = read_delta(spark, tmp_table).count()
+    before_sum = read_delta(spark, tmp_table).agg(F.sum("payload")).collect()[0][0]
+
+    table.optimize(target_file_bytes=24 * 1024, zorder_by=["x", "y"])
+    snap = table._log.snapshot()
+    assert snap.num_files >= 8  # enough output files for pruning to mean anything
+
+    # content unchanged (clustering is layout-only)
+    after = read_delta(spark, tmp_table)
+    assert after.count() == before_rows
+    assert after.agg(F.sum("payload")).collect()[0][0] == before_sum
+
+    # point predicates on EITHER dimension prune a real fraction of files
+    fx = _prune_frac(table, "x = 5")
+    fy = _prune_frac(table, "y = 5")
+    assert fx >= 0.4, f"x pruning too weak: {fx}"
+    assert fy >= 0.4, f"y pruning too weak: {fy}"
+
+
+def test_range_cluster_only_serves_leading_column(spark, table):
+    table.optimize(target_file_bytes=24 * 1024, cluster_by=["x", "y"])
+    fx = _prune_frac(table, "x = 5")
+    fy = _prune_frac(table, "y = 5")
+    assert fx >= 0.4
+    # lexicographic layout leaves y unclustered across files
+    assert fy <= fx
+
+
+def test_zorder_sql_form(spark, table, tmp_table):
+    from delta_lake_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("zgrid", tmp_table)
+    dls_sql(cat, "OPTIMIZE zgrid ZORDER BY (x, y)")
+    hist = table._log.history()
+    assert hist[0]["operation"] == "OPTIMIZE"
+    assert hist[0]["operationParameters"]["zorderBy"] == ["x", "y"]
+
+
+def test_zorder_rejects_both_modes(table):
+    with pytest.raises(ValueError):
+        table.optimize(cluster_by=["x"], zorder_by=["y"])

@@ -505,6 +505,40 @@ FROM events WHERE user_id = 42 GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q64 streaming dedup within watermark: exactly-once under at-least-once
+# --------------------------------------------------------------------------
+
+def q64_streaming_dedup(spark, sf_dir):
+    """Each event delivered twice (simulated at-least-once feed); the
+    watermark-bounded streaming dedup must reconstruct exactly the
+    original table — the batch group-by oracle proves it."""
+    from ..streaming.incremental import run_dedup_stream
+
+    ev = _events(spark, sf_dir)
+    path = _fresh("dedup_stream_src")
+    ev.unionByName(ev).write.parquet(path)  # duplicate every event
+    out = run_dedup_stream(
+        spark,
+        path,
+        _fresh("dedup_stream_ckpt"),
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        key_cols=["event_id"],
+        query_name="q64_dedup",
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+_Q64_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -520,6 +554,7 @@ QUERIES = {
     "q61_delta_dv_delete": q61_delta_dv_delete,
     "q62_delta_clone_diverge": q62_delta_clone_diverge,
     "q63_delta_zorder_layout": q63_delta_zorder_layout,
+    "q64_streaming_dedup": q64_streaming_dedup,
 }
 
 ORACLE_SQL = {
@@ -536,4 +571,5 @@ ORACLE_SQL = {
     "q61_delta_dv_delete": _Q61_SQL,
     "q62_delta_clone_diverge": _Q62_SQL,
     "q63_delta_zorder_layout": _Q63_SQL,
+    "q64_streaming_dedup": _Q64_SQL,
 }

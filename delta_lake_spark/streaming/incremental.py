@@ -104,6 +104,40 @@ def run_windowed_stream(
     return spark.table(query_name)
 
 
+def run_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_cols: list[str] | tuple[str, ...] = ("event_id",),
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    query_name: str = "dls_dedup",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Exactly-once event dedup under at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until
+    the watermark passes it, so state size is bounded by the delay
+    window — the scale-safe form of streaming dedup (a plain
+    dropDuplicates on an unbounded stream grows state forever).
+    availableNow drain into a memory sink; returns the deduped rows."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    deduped = src.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
+
+
 def stream_delta_appends(
     spark: SparkSession,
     table_path: str,

@@ -162,3 +162,22 @@ def test_headline_plans_have_no_pathologies(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
         assert n_ex <= budget, f"{name}: {n_ex} exchanges > budget {budget}"
+
+
+def test_dv_read_is_broadcast_anti_join(spark, tmp_table):
+    """A deletion-vector read must stay: vectorized scan + ONE hash
+    anti-join with the (small) DV side broadcast or shuffled — never a
+    nested-loop/cartesian — and pushdown must still reach the scan."""
+    from delta_lake_spark import DeltaTable
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    write_delta(li, tmp_table)
+    DeltaTable.forPath(spark, tmp_table).delete("l_orderkey % 7 = 0", use_dv=True)
+    df = read_delta(spark, tmp_table).filter("l_quantity < 10").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "LessThan(l_quantity,10" in plan  # pushdown survives the DV join

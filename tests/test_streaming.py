@@ -133,3 +133,26 @@ def test_delta_table_as_streaming_source(spark, tmp_path):
     third = stream_delta_appends(spark, table, target, ckpt)
     assert third.count() == 160
     assert third.select("id").distinct().count() == 160
+
+
+def test_dedup_stream_exactly_once_under_duplication(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a tripled at-least-once feed must
+    come out exactly once per key; state is watermark-bounded."""
+    from delta_lake_spark.streaming.incremental import run_dedup_stream
+
+    events = _events(spark, SF_DIR)
+    src = str(tmp_path / "dup_src")
+    tripled = events.unionByName(events).unionByName(events)
+    tripled.write.parquet(src)
+    out = run_dedup_stream(
+        spark,
+        src,
+        str(tmp_path / "dup_ckpt"),
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        key_cols=["event_id"],
+        query_name="t_dedup_stream",
+    )
+    n_src = events.count()
+    assert out.count() == n_src
+    assert out.select("event_id").distinct().count() == n_src

@@ -539,6 +539,39 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q65 COPY INTO: file-level idempotent ingest (double-run loads once)
+# --------------------------------------------------------------------------
+
+def q65_copy_into_idempotent(spark, sf_dir):
+    """COPY INTO run twice over the same landing directory must load the
+    data exactly once (file-level bookkeeping in the commit log)."""
+    from ..writer import copy_into
+
+    orders = _t(spark, sf_dir, "orders")
+    landing = _fresh("copy_landing")
+    orders.write.parquet(landing)
+    path = _fresh("copy_into_t")
+    copy_into(spark, path, landing)
+    _, n_second = copy_into(spark, path, landing)
+    assert n_second == 0, "second COPY INTO must load no files"
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+_Q65_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -555,6 +588,7 @@ QUERIES = {
     "q62_delta_clone_diverge": q62_delta_clone_diverge,
     "q63_delta_zorder_layout": q63_delta_zorder_layout,
     "q64_streaming_dedup": q64_streaming_dedup,
+    "q65_copy_into_idempotent": q65_copy_into_idempotent,
 }
 
 ORACLE_SQL = {
@@ -572,4 +606,5 @@ ORACLE_SQL = {
     "q62_delta_clone_diverge": _Q62_SQL,
     "q63_delta_zorder_layout": _Q63_SQL,
     "q64_streaming_dedup": _Q64_SQL,
+    "q65_copy_into_idempotent": _Q65_SQL,
 }

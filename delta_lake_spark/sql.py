@@ -240,6 +240,26 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame([(version,)], "version long")
 
     m = re.match(
+        r"^\s*COPY\s+INTO\s+(?P<name>[\w.]+)\s+FROM\s+'(?P<src>[^']+)'"
+        r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        from .writer import copy_into
+
+        version, n_files = copy_into(
+            spark,
+            catalog.path_of(m.group("name")),
+            m.group("src"),
+            file_format=(m.group("fmt") or "parquet").lower(),
+        )
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame(
+            [(version, n_files)], "version long, files_loaded long"
+        )
+
+    m = re.match(
         r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
         s,
         re.IGNORECASE | re.DOTALL,

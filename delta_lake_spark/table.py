@@ -235,6 +235,9 @@ class MergeBuilder:
         for o in outputs[1:]:
             new_data = new_data.unionByName(o)
 
+        from .writer import fill_generated
+
+        new_data = fill_generated(new_data, snap.metadata.configuration)
         enforce_constraints(new_data, snap.metadata.configuration)
         adds = stage_files(new_data, t.path, list(snap.metadata.partitionColumns))
         now = _utc_millis()
@@ -658,6 +661,9 @@ class DeltaTable:
             else:
                 out_cols.append(F.col(f.name))
         rewritten = df.select(*out_cols)
+        from .writer import apply_generated
+
+        rewritten = apply_generated(rewritten, snap.metadata.configuration)
         enforce_constraints(rewritten, snap.metadata.configuration)
         adds = stage_files(rewritten, self.path, list(snap.metadata.partitionColumns))
         now = _utc_millis()

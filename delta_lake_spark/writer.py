@@ -41,6 +41,35 @@ from .stats import file_stats
 PV_DIR_PREFIX = "__pv_"
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 CONSTRAINT_PREFIX = "constraint."
+GENERATED_PREFIX = "generated."
+
+
+def apply_generated(df: DataFrame, configuration: dict[str, str]) -> DataFrame:
+    """Generated columns (``generated.<col> = <sql expr>`` table config,
+    the shape of Delta's ``delta.generationExpression``): compute the
+    column when the incoming DataFrame omits it; when the writer supplies
+    it, verify it matches the expression (one distributed short-circuit
+    probe, null-safe equality) — so a generated partition column like
+    ``p_date = cast(ts as date)`` is always consistent and partition
+    pruning on it is always sound."""
+    for key, expr in configuration.items():
+        if not key.startswith(GENERATED_PREFIX):
+            continue
+        col = key[len(GENERATED_PREFIX):]
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            bad = (
+                df.filter(~F.col(col).eqNullSafe(F.expr(expr)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"generated column {col} does not match its expression "
+                    f"({expr}); offending row: {bad[0].asDict()}"
+                )
+    return df
 
 
 def enforce_constraints(df: DataFrame, configuration: dict[str, str]) -> None:
@@ -60,6 +89,24 @@ def enforce_constraints(df: DataFrame, configuration: dict[str, str]) -> None:
                 f"CHECK constraint {key[len(CONSTRAINT_PREFIX):]} ({expr}) "
                 f"violated by row: {bad[0].asDict()}"
             )
+
+
+def fill_generated(df: DataFrame, configuration: dict[str, str]) -> DataFrame:
+    """Mutation-path variant of apply_generated: rows synthesized by
+    MERGE insert clauses carry NULL for omitted columns — compute those,
+    then validate everything (a non-null wrong value still raises)."""
+    for key, expr in configuration.items():
+        if not key.startswith(GENERATED_PREFIX):
+            continue
+        col = key[len(GENERATED_PREFIX):]
+        if col in df.columns:
+            df = df.withColumn(
+                col,
+                F.coalesce(
+                    F.col(col), F.expr(expr).cast(df.schema[col].dataType)
+                ),
+            )
+    return apply_generated(df, configuration)
 
 
 def schema_of(snapshot) -> StructType:
@@ -231,6 +278,7 @@ def write_delta(
     merge_schema: bool = False,
     operation: str | None = None,
     operation_parameters: dict[str, Any] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Append to / overwrite a versioned table; returns committed version.
 
@@ -240,6 +288,10 @@ def write_delta(
     actions; overwrite additionally commits ``remove`` for every prior
     live file (logical delete — the bytes stay for time travel until
     VACUUM).
+
+    ``generated`` (table creation only): {column: sql expr} generated
+    columns, recorded in table configuration; every write computes them
+    when absent and validates them when supplied (apply_generated).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -251,8 +303,11 @@ def write_delta(
     schema_changed = False
 
     if table_exists:
+        if generated:
+            raise ValueError("generated columns can only be set at table creation")
         snap = log.snapshot()
         table_schema = schema_of(snap)
+        df = apply_generated(df, snap.metadata.configuration)
         df = _align_types(df, table_schema)
         enforce_constraints(df, snap.metadata.configuration)
         final_schema, schema_changed = _evolve_schema(
@@ -280,8 +335,14 @@ def write_delta(
             ]
     else:
         partition_by = list(partition_by or [])
+        configuration = {
+            GENERATED_PREFIX + c: e for c, e in (generated or {}).items()
+        }
+        df = apply_generated(df, configuration)
         metadata = Metadata(
-            schemaString=_nullable(df.schema).json(), partitionColumns=partition_by
+            schemaString=_nullable(df.schema).json(),
+            partitionColumns=partition_by,
+            configuration=configuration,
         )
 
     adds = stage_files(df, path, partition_by)
@@ -328,6 +389,58 @@ def write_delta(
                     RemoveFile(p, deletionTimestamp=now).to_action()
                     for p in new_snap.files
                 ]
+
+
+def copy_into(
+    spark,
+    table_path: str,
+    source_path: str,
+    file_format: str = "parquet",
+    schema: str | None = None,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Idempotent bulk ingest (COPY INTO): append only the source files
+    no previous COPY INTO commit has loaded — re-running after a partial
+    failure or on a growing landing directory never duplicates rows.
+    File-level bookkeeping lives in the commit log itself
+    (operationParameters.sourceFiles), so there is no side state to
+    drift. Returns (committed version, number of files loaded)."""
+    source_path = os.path.abspath(source_path)
+    suffix = "." + file_format.lower()
+    found: list[str] = []
+    if os.path.isfile(source_path):
+        found = [source_path]
+    else:
+        for root, _dirs, names in os.walk(source_path):
+            found.extend(
+                os.path.join(root, n)
+                for n in names
+                if n.lower().endswith(suffix) and not n.startswith((".", "_"))
+            )
+    log = DeltaLog(table_path)
+    seen: set[str] = set()
+    if log.exists():
+        for h in log.history():
+            if h.get("operation") == "COPY INTO":
+                seen.update(
+                    (h.get("operationParameters") or {}).get("sourceFiles", [])
+                )
+    new_files = sorted(f for f in found if f not in seen)
+    if not new_files:
+        return (log.latest_version() if log.exists() else -1), 0
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    df = reader.format(file_format).load(new_files)
+    version = write_delta(
+        df,
+        table_path,
+        mode="append",
+        partition_by=partition_by,
+        operation="COPY INTO",
+        operation_parameters={"source": source_path, "sourceFiles": new_files},
+    )
+    return version, len(new_files)
 
 
 def convert_to_delta(

@@ -572,6 +572,49 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# q66 streaming INTO a versioned table: exactly-once sink via epoch txns
+# --------------------------------------------------------------------------
+
+def q66_streaming_delta_sink(spark, sf_dir):
+    """Two availableNow drains into the same versioned table, then a
+    checkpoint-loss replay — the epoch bookkeeping must keep the table
+    equal to exactly one copy of the source (batch group-by oracle)."""
+    import shutil
+
+    from ..streaming.incremental import stream_into_delta
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    src = _fresh("sink_src")
+    tbl = _fresh("sink_tbl")
+    ckpt = _fresh("sink_ckpt")
+    schema = "event_id long, user_id long, event_type string, value double"
+
+    half = ev.filter("event_id % 2 = 0")
+    rest = ev.filter("event_id % 2 = 1")
+    half.write.parquet(src)
+    stream_into_delta(spark, src, tbl, ckpt, schema, txn_app_id="q66")
+    rest.write.mode("append").parquet(src)
+    stream_into_delta(spark, src, tbl, ckpt, schema, txn_app_id="q66")
+    shutil.rmtree(ckpt)  # lose the checkpoint: epochs replay, must skip
+    stream_into_delta(spark, src, tbl, ckpt, schema, txn_app_id="q66")
+
+    return (
+        read_delta(spark, tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+_Q66_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -589,6 +632,7 @@ QUERIES = {
     "q63_delta_zorder_layout": q63_delta_zorder_layout,
     "q64_streaming_dedup": q64_streaming_dedup,
     "q65_copy_into_idempotent": q65_copy_into_idempotent,
+    "q66_streaming_delta_sink": q66_streaming_delta_sink,
 }
 
 ORACLE_SQL = {
@@ -607,4 +651,5 @@ ORACLE_SQL = {
     "q63_delta_zorder_layout": _Q63_SQL,
     "q64_streaming_dedup": _Q64_SQL,
     "q65_copy_into_idempotent": _Q65_SQL,
+    "q66_streaming_delta_sink": _Q66_SQL,
 }

@@ -104,6 +104,63 @@ def run_windowed_stream(
     return spark.table(query_name)
 
 
+def stream_into_delta(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    txn_app_id: str = "dls_stream",
+    transform=None,
+    timeout_sec: int = 120,
+) -> None:
+    """Versioned table as a streaming SINK with end-to-end exactly-once:
+    foreachBatch appends each micro-batch transactionally, recording
+    (txnAppId, txnVersion=epoch) in the commit — the idempotent-write
+    pattern of Delta's streaming sink. A batch retried after a crash
+    between the table commit and the checkpoint write finds its epoch
+    already committed and skips, so replays never duplicate rows."""
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..writer import write_delta
+
+    def _write_batch(batch_df, epoch_id: int) -> None:
+        log = DeltaLog(table_path)
+        try:
+            if log.exists():
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        return  # crash-retry replay of a committed epoch
+        except TableNotFoundError:
+            pass
+        write_delta(
+            batch_df,
+            table_path,
+            mode="append",
+            operation="STREAMING UPDATE",
+            operation_parameters={
+                "txnAppId": txn_app_id,
+                "txnVersion": epoch_id,
+                "outputMode": "Append",
+            },
+        )
+
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    if transform is not None:
+        src = transform(src)
+    q = (
+        src.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def run_dedup_stream(
     spark: SparkSession,
     source_dir: str,

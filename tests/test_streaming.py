@@ -156,3 +156,37 @@ def test_dedup_stream_exactly_once_under_duplication(spark, tmp_path):
     n_src = events.count()
     assert out.count() == n_src
     assert out.select("event_id").distinct().count() == n_src
+
+
+def test_stream_into_delta_exactly_once(spark, tmp_path):
+    """Delta as streaming sink: incremental drains append once each;
+    replaying epochs after checkpoint loss must NOT duplicate rows
+    (txnAppId/txnVersion bookkeeping in the commit log)."""
+    import shutil
+
+    from delta_lake_spark import read_delta
+    from delta_lake_spark.streaming.incremental import stream_into_delta
+
+    events = _events(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "sink_src")
+    tbl = str(tmp_path / "sink_tbl")
+    ckpt = str(tmp_path / "sink_ckpt")
+    schema = "event_id long, user_id long, event_type string, value double"
+
+    _write_chunk(spark, events, src, 0, 300)
+    stream_into_delta(spark, src, tbl, ckpt, schema)
+    n1 = read_delta(spark, tbl).count()
+    assert n1 == events.filter("event_id < 300").count()
+
+    # second drain: only the new chunk lands
+    _write_chunk(spark, events, src, 300, 500)
+    stream_into_delta(spark, src, tbl, ckpt, schema)
+    n2 = read_delta(spark, tbl).count()
+    assert n2 == events.filter("event_id < 500").count()
+
+    # checkpoint loss -> epochs replay from 0; committed epochs skip
+    shutil.rmtree(ckpt)
+    stream_into_delta(spark, src, tbl, ckpt, schema)
+    assert read_delta(spark, tbl).count() == n2

@@ -47,6 +47,43 @@ def salted_join(
     return out.drop("__salt")
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join WITHOUT a nested-loop plan.
+
+    A plain ``points.join(intervals, point BETWEEN start AND end)`` has
+    no equi-key, so Spark plans BroadcastNestedLoopJoin — O(|P| x |I|)
+    work and a broadcast of a whole side; at 100 TB that's the plan that
+    never finishes. Bucketing restores an equi-key: each interval is
+    exploded to the ``ceil(len/width) + 1`` buckets it overlaps, each
+    point hashes to exactly one bucket, and the join runs as a standard
+    shuffled hash/sort-merge equi-join on the bucket id with the range
+    predicate as a cheap post-filter (the Databricks range-join-hint
+    strategy, built from public primitives). A point matches an interval
+    in exactly one bucket (its own), so no dedup pass is needed.
+
+    Columns must be numeric (cast dates via ``F.datediff`` first); pick
+    ``bucket_width`` ~ the typical interval length, so intervals explode
+    to ~2 rows each.
+    """
+    p_b = F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    s_b = F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long")
+    e_b = F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long")
+    iv = intervals.withColumn("__bucket", F.explode(F.sequence(s_b, e_b)))
+    pt = points.withColumn("__bucket", p_b)
+    out = pt.join(iv, "__bucket", how).filter(
+        F.col(point_col).between(F.col(start_col), F.col(end_col))
+    )
+    return out.drop("__bucket")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -705,6 +705,45 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q25_range_join_shipments(spark, sf_dir):
+    """Point-in-interval join via bucketing (operators/joins.py
+    bucketed_range_join): lineitems shipped within 7 days of a sampled
+    order's date — the join that would otherwise plan as
+    BroadcastNestedLoopJoin runs as an equi-join on bucket ids."""
+    from ..operators.joins import bucketed_range_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01")
+    intervals = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).alias("start_day"),
+        (F.datediff(F.col("o_orderdate"), epoch) + 7).alias("end_day"),
+    )
+    points = li.select(
+        F.datediff(F.col("l_shipdate"), epoch).alias("ship_day"),
+        _dec("l_extendedprice").alias("__price"),
+    )
+    joined = bucketed_range_join(
+        points, intervals, "ship_day", "start_day", "end_day", bucket_width=7
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipments"),
+        F.sum("__price").cast("double").alias("total_price"),
+    )
+
+
+_Q25_SQL = """
+SELECT o.o_orderkey, COUNT(*) AS n_shipments,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 7 DAY
+WHERE o.o_orderkey % 1000 = 0
+GROUP BY o.o_orderkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -730,6 +769,7 @@ QUERIES = {
     "q22_rollup_revenue": q22_rollup_revenue,
     "q23_rank_parts_in_brand": q23_rank_parts_in_brand,
     "q24_distinct_agg": q24_distinct_agg,
+    "q25_range_join_shipments": q25_range_join_shipments,
 }
 
 ORACLE_SQL = {
@@ -757,4 +797,5 @@ ORACLE_SQL = {
     "q22_rollup_revenue": _Q22_SQL,
     "q23_rank_parts_in_brand": _Q23_SQL,
     "q24_distinct_agg": _Q24_SQL,
+    "q25_range_join_shipments": _Q25_SQL,
 }

@@ -181,3 +181,32 @@ def test_dv_read_is_broadcast_anti_join(spark, tmp_table):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert "LessThan(l_quantity,10" in plan  # pushdown survives the DV join
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark):
+    """Point-in-interval via bucketing must plan as a hash/sort-merge
+    equi-join on the bucket id; the naive BETWEEN join plans BNLJ."""
+    from delta_lake_spark.operators.joins import bucketed_range_join
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    epoch = F.lit("1970-01-01")
+    intervals = orders.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).alias("s"),
+        (F.datediff(F.col("o_orderdate"), epoch) + 7).alias("e"),
+    )
+    points = li.select(F.datediff(F.col("l_shipdate"), epoch).alias("p"))
+
+    naive = points.join(
+        intervals, F.col("p").between(F.col("s"), F.col("e"))
+    )
+    assert "BroadcastNestedLoopJoin" in _plan(naive)  # the plan to avoid
+
+    bucketed = bucketed_range_join(points, intervals, "p", "s", "e", 7)
+    plan = _plan(bucketed)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # identical results
+    assert bucketed.count() == naive.count()

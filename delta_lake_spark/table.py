@@ -341,6 +341,7 @@ class DeltaTable:
 
     def detail(self) -> DataFrame:
         snap = self._log.snapshot()
+        dv_adds = [a for a in snap.files.values() if a.deletionVector]
         return self.spark.createDataFrame(
             [
                 (
@@ -351,11 +352,16 @@ class DeltaTable:
                     snap.num_files,
                     snap.size_bytes,
                     snap.metadata.createdTime,
+                    len(dv_adds),
+                    sum(
+                        int(a.deletionVector.get("cardinality", 0)) for a in dv_adds
+                    ),
                 )
             ],
             "format string, id string, location string, "
             "partitionColumns array<string>, numFiles long, sizeInBytes long, "
-            "createdTime long",
+            "createdTime long, numFilesWithDeletionVectors long, "
+            "numDeletedRows long",
         )
 
     # ---------- mutations ----------
@@ -697,14 +703,19 @@ class DeltaTable:
 
     # ---------- maintenance ----------
 
-    def vacuum(self, retention_hours: float = DEFAULT_RETENTION_HOURS) -> list[str]:
+    def vacuum(
+        self,
+        retention_hours: float = DEFAULT_RETENTION_HOURS,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Physically delete files unreferenced by the CURRENT version and
         older than the retention window (M8; reference
         05_compliance.py:295-336). Refuses retention below 168h unless
         ``spark.delta_lake_spark.retentionDurationCheck.enabled=false``,
         mirroring Delta's safety flag. Returns deleted paths; old-version
         time travel whose files were removed now raises
-        DataFileLostError (reader.py)."""
+        DataFileLostError (reader.py). ``dry_run=True`` (VACUUM ... DRY
+        RUN) lists the candidates without deleting anything."""
         check_enabled = (
             str(self.spark.conf.get(RETENTION_CHECK_CONF, "true")).lower() != "false"
         )
@@ -739,8 +750,11 @@ class DeltaTable:
                 ):
                     continue
                 if os.path.getmtime(abs_f) <= cutoff:
-                    os.unlink(abs_f)
+                    if not dry_run:
+                        os.unlink(abs_f)
                     deleted.append(rel)
+        if dry_run:
+            return deleted
         # drop now-empty data dirs
         for root, dirs, names in os.walk(os.path.join(self.path, "data"), topdown=False):
             if not dirs and not names:

@@ -202,3 +202,31 @@ def test_deep_clone(spark, table, tmp_table, tmp_path):
         if n.endswith(".parquet")
     ]
     assert data_files
+
+
+def test_vacuum_dry_run_and_detail_dv_stats(spark, table, tmp_table):
+    table.delete("device_id < 25", use_dv=True)
+    d = table.detail().collect()[0]
+    assert d.numFilesWithDeletionVectors >= 1
+    assert d.numDeletedRows == 25
+    # overwrite makes the old files unreferenced
+    from delta_lake_spark import write_delta
+
+    write_delta(_readings(spark, 10), tmp_table, mode="overwrite")
+    spark.conf.set(
+        "spark.delta_lake_spark.retentionDurationCheck.enabled", "false"
+    )
+    try:
+        candidates = table.vacuum(0, dry_run=True)
+        assert candidates  # old files listed...
+        import os
+
+        assert all(
+            os.path.exists(os.path.join(tmp_table, p)) for p in candidates
+        )  # ...but nothing deleted
+        deleted = table.vacuum(0)
+        assert sorted(deleted) == sorted(candidates)
+    finally:
+        spark.conf.set(
+            "spark.delta_lake_spark.retentionDurationCheck.enabled", "true"
+        )

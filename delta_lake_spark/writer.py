@@ -91,6 +91,47 @@ def enforce_constraints(df: DataFrame, configuration: dict[str, str]) -> None:
             )
 
 
+IDENTITY_PREFIX = "identity."
+
+
+def assign_identity(
+    df: DataFrame, configuration: dict[str, str]
+) -> tuple[DataFrame, dict[str, dict]]:
+    """GENERATED ALWAYS AS IDENTITY columns (``identity.<col>`` config:
+    JSON {"start", "step", "highWater"}): every append assigns fresh
+    values above the high-water mark. Values are unique and monotonic
+    per column but NOT contiguous — ``monotonically_increasing_id``
+    spreads tasks across disjoint ranges so assignment needs no shuffle
+    and no driver coordination, the same gap semantics Delta documents
+    for its identity columns. Returns (df, specs) — the caller records
+    the new high water (read from staged file stats) in the same commit.
+    Supplying the column explicitly is rejected (ALWAYS semantics)."""
+    import json as _json
+
+    specs: dict[str, dict] = {}
+    for key, raw in configuration.items():
+        if not key.startswith(IDENTITY_PREFIX):
+            continue
+        col = key[len(IDENTITY_PREFIX):]
+        spec = _json.loads(raw)
+        specs[col] = spec
+        if col in df.columns:
+            raise ConstraintViolationError(
+                f"column {col} is GENERATED ALWAYS AS IDENTITY and cannot "
+                "be written explicitly"
+            )
+        step = int(spec.get("step", 1))
+        base = int(spec.get("highWater", int(spec.get("start", 1)) - step))
+        df = df.withColumn(
+            col,
+            (
+                F.lit(base)
+                + (F.monotonically_increasing_id() + 1) * F.lit(step)
+            ).cast("long"),
+        )
+    return df, specs
+
+
 def fill_generated(df: DataFrame, configuration: dict[str, str]) -> DataFrame:
     """Mutation-path variant of apply_generated: rows synthesized by
     MERGE insert clauses carry NULL for omitted columns — compute those,
@@ -279,6 +320,7 @@ def write_delta(
     operation: str | None = None,
     operation_parameters: dict[str, Any] | None = None,
     generated: dict[str, str] | None = None,
+    identity: dict[str, dict] | None = None,
 ) -> int:
     """Append to / overwrite a versioned table; returns committed version.
 
@@ -292,6 +334,13 @@ def write_delta(
     ``generated`` (table creation only): {column: sql expr} generated
     columns, recorded in table configuration; every write computes them
     when absent and validates them when supplied (apply_generated).
+
+    ``identity`` (table creation only): {column: {"start", "step"}}
+    GENERATED ALWAYS AS IDENTITY columns; every append assigns fresh
+    unique values above the recorded high-water mark (assign_identity)
+    and advances the mark in the same commit. Identity appends never
+    auto-retry a lost commit race (the winner may hold the same id
+    range), matching the mutation-path concurrency rule.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -302,11 +351,15 @@ def write_delta(
     removes: list[dict[str, Any]] = []
     schema_changed = False
 
+    id_specs: dict[str, dict] = {}
     if table_exists:
-        if generated:
-            raise ValueError("generated columns can only be set at table creation")
+        if generated or identity:
+            raise ValueError(
+                "generated/identity columns can only be set at table creation"
+            )
         snap = log.snapshot()
         table_schema = schema_of(snap)
+        df, id_specs = assign_identity(df, snap.metadata.configuration)
         df = apply_generated(df, snap.metadata.configuration)
         df = _align_types(df, table_schema)
         enforce_constraints(df, snap.metadata.configuration)
@@ -334,10 +387,17 @@ def write_delta(
                 RemoveFile(p, deletionTimestamp=now).to_action() for p in snap.files
             ]
     else:
+        import json as _json
+
         partition_by = list(partition_by or [])
         configuration = {
             GENERATED_PREFIX + c: e for c, e in (generated or {}).items()
         }
+        for c, spec in (identity or {}).items():
+            configuration[IDENTITY_PREFIX + c] = _json.dumps(
+                {"start": int(spec.get("start", 1)), "step": int(spec.get("step", 1))}
+            )
+        df, id_specs = assign_identity(df, configuration)
         df = apply_generated(df, configuration)
         metadata = Metadata(
             schemaString=_nullable(df.schema).json(),
@@ -347,6 +407,40 @@ def write_delta(
 
     adds = stage_files(df, path, partition_by)
     num_rows = sum(a.numRecords or 0 for a in adds)
+
+    if id_specs:
+        # advance each identity high-water mark to the max actually
+        # written (read back from the staged files' footer stats) in the
+        # SAME commit, so the next append starts above it
+        import json as _json
+
+        base_meta = metadata
+        if base_meta is None:
+            base_meta = snap.metadata
+        conf = dict(base_meta.configuration)
+        for col, spec in id_specs.items():
+            step = int(spec.get("step", 1))
+            prev_hw = int(spec.get("highWater", int(spec.get("start", 1)) - step))
+            maxes = [
+                int((a.stats or {}).get("maxValues", {}).get(col))
+                for a in adds
+                if (a.stats or {}).get("maxValues", {}).get(col) is not None
+            ]
+            conf[IDENTITY_PREFIX + col] = _json.dumps(
+                {
+                    "start": int(spec.get("start", 1)),
+                    "step": step,
+                    "highWater": max(maxes + [prev_hw]),
+                }
+            )
+        metadata = Metadata(
+            schemaString=base_meta.schemaString,
+            partitionColumns=list(base_meta.partitionColumns),
+            configuration=conf,
+            id=base_meta.id,
+            name=base_meta.name,
+            createdTime=base_meta.createdTime,
+        )
 
     def build_actions(removes_now: list[dict[str, Any]]) -> list[dict[str, Any]]:
         commit_info = CommitInfo(
@@ -376,6 +470,8 @@ def write_delta(
         try:
             return log.commit_next(build_actions(removes))
         except ConcurrentModificationError:
+            if id_specs:
+                raise  # winner may hold the same id range: caller re-runs
             if attempt == 3:
                 raise
             new_snap = log.snapshot()

@@ -115,3 +115,31 @@ def test_copy_into_sql(spark, tmp_table, tmp_path):
     cat.register("cp_t", tmp_table)
     out = dls_sql(cat, f"COPY INTO cp_t FROM '{src}'")
     assert out.first()["files_loaded"] == 0  # idempotent through SQL too
+
+
+def test_identity_column_unique_and_monotonic(spark, tmp_table):
+    orders = _orders(spark)
+    first = orders.limit(40)
+    write_delta(first, tmp_table, identity={"row_id": {"start": 1, "step": 1}})
+    got1 = read_delta(spark, tmp_table)
+    assert got1.count() == 40
+    ids1 = [r["row_id"] for r in got1.select("row_id").collect()]
+    assert len(set(ids1)) == 40 and min(ids1) >= 1
+
+    # second append: fresh ids strictly above the recorded high water
+    write_delta(orders.limit(25), tmp_table)
+    got2 = read_delta(spark, tmp_table)
+    assert got2.count() == 65
+    ids2 = [r["row_id"] for r in got2.select("row_id").collect()]
+    assert len(set(ids2)) == 65
+    new_ids = set(ids2) - set(ids1)
+    assert min(new_ids) > max(ids1)
+
+
+def test_identity_column_rejects_explicit_write(spark, tmp_table):
+    orders = _orders(spark)
+    write_delta(orders.limit(5), tmp_table, identity={"row_id": {}})
+    with pytest.raises(ConstraintViolationError):
+        write_delta(
+            orders.limit(5).withColumn("row_id", F.lit(7).cast("long")), tmp_table
+        )

@@ -23,8 +23,9 @@ from .cdf import table_changes
 from .log import DeltaLog, Snapshot
 from .reader import read_delta
 from .sql import sql
+from .errors import ConstraintViolationError
 from .table import DeltaTable
-from .writer import convert_to_delta, write_delta
+from .writer import convert_to_delta, copy_into, write_delta
 
 __all__ = [
     "table_changes",
@@ -36,6 +37,8 @@ __all__ = [
     "read_delta",
     "write_delta",
     "convert_to_delta",
+    "copy_into",
+    "ConstraintViolationError",
     "DeltaError",
     "ConcurrentModificationError",
     "SchemaMismatchError",

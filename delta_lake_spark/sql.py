@@ -144,6 +144,51 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame([(m.group("name"),)], "registered string")
 
     m = re.match(
+        r"^\s*CREATE\s+TABLE\s+(?P<name>[\w.]+)\s+(?:(?P<kind>SHALLOW|DEEP)\s+)?CLONE"
+        r"\s+(?P<src>[\w.]+)\s+LOCATION\s+'(?P<loc>[^']+)'\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        src = DeltaTable.forPath(spark, catalog.path_of(m.group("src")))
+        shallow = (m.group("kind") or "SHALLOW").upper() == "SHALLOW"
+        src.clone(m.group("loc"), shallow=shallow)
+        catalog.register(m.group("name"), m.group("loc"))
+        return spark.createDataFrame(
+            [(m.group("name"), shallow)], "registered string, shallow boolean"
+        )
+
+    m = re.match(
+        r"^\s*REORG\s+TABLE\s+(?P<name>[\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        version = DeltaTable.forPath(
+            spark, catalog.path_of(m.group("name"))
+        ).purge_deletion_vectors()
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+(?P<un>UNSET|SET)\s+TBLPROPERTIES"
+        r"\s*\((?P<props>[^)]*)\)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        if m.group("un").upper() == "SET":
+            props = dict(
+                re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("props"))
+            )
+            version = dt.set_properties(props)
+        else:
+            keys = re.findall(r"'([^']+)'", m.group("props"))
+            version = dt.unset_properties(keys)
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = re.match(
         r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
     )
     if m:

@@ -901,6 +901,44 @@ class DeltaTable:
             retries=0,
         )
 
+    def set_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES: merge keys into table
+        configuration (e.g. ``{"deletionVectors": "true"}`` flips
+        DELETE to deletion-vector mode for all writers)."""
+        snap = self._log.snapshot()
+        conf = {**snap.metadata.configuration, **{k: str(v) for k, v in props.items()}}
+        meta = self._metadata_with_configuration(snap, conf)
+        return self._log.commit_next(
+            [
+                CommitInfo(
+                    operation="SET TBLPROPERTIES",
+                    operationParameters={"properties": dict(props)},
+                    readVersion=snap.version,
+                ).to_action(),
+                meta.to_action(),
+            ],
+            retries=0,
+        )
+
+    def unset_properties(self, keys: list[str]) -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES."""
+        snap = self._log.snapshot()
+        conf = {
+            k: v for k, v in snap.metadata.configuration.items() if k not in set(keys)
+        }
+        meta = self._metadata_with_configuration(snap, conf)
+        return self._log.commit_next(
+            [
+                CommitInfo(
+                    operation="UNSET TBLPROPERTIES",
+                    operationParameters={"properties": list(keys)},
+                    readVersion=snap.version,
+                ).to_action(),
+                meta.to_action(),
+            ],
+            retries=0,
+        )
+
     def _metadata_with_configuration(self, snap, configuration):
         from .log import Metadata
 

@@ -144,3 +144,44 @@ def test_sql_update_and_restore(spark, catalog):
         for r in sql(catalog, "SELECT user_id, status FROM health_silver").collect()
     }
     assert set(again.values()) == {"new"}
+
+
+def test_sql_tblproperties_reorg_clone(spark, tmp_path):
+    """SQL-only deletion-vector lifecycle: enable via TBLPROPERTIES,
+    DELETE runs in DV mode, REORG APPLY (PURGE) folds vectors away,
+    SHALLOW CLONE forks without copying bytes."""
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+
+    cat = Catalog(spark)
+    path = str(tmp_path / "props_t")
+    write_delta(
+        spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("g")), path
+    )
+    sql(cat, f"CREATE TABLE props_t USING DELTA LOCATION '{path}'")
+    sql(cat, "ALTER TABLE props_t SET TBLPROPERTIES ('deletionVectors' = 'true')")
+
+    from delta_lake_spark import DeltaTable
+
+    dt = DeltaTable.forPath(spark, path)
+    files_before = set(dt._log.snapshot().files)
+    sql(cat, "DELETE FROM props_t WHERE id < 30")
+    assert set(dt._log.snapshot().files) == files_before  # DV mode: no rewrite
+    assert sql(cat, "SELECT COUNT(*) AS n FROM props_t").first()["n"] == 70
+
+    sql(cat, "REORG TABLE props_t APPLY (PURGE)")
+    assert not any(a.deletionVector for a in dt._log.snapshot().files.values())
+    assert sql(cat, "SELECT COUNT(*) AS n FROM props_t").first()["n"] == 70
+
+    clone_loc = str(tmp_path / "props_clone")
+    sql(cat, f"CREATE TABLE props_c SHALLOW CLONE props_t LOCATION '{clone_loc}'")
+    assert sql(cat, "SELECT COUNT(*) AS n FROM props_c").first()["n"] == 70
+    sql(cat, "DELETE FROM props_c WHERE id >= 90")
+    assert sql(cat, "SELECT COUNT(*) AS n FROM props_c").first()["n"] == 60
+    assert sql(cat, "SELECT COUNT(*) AS n FROM props_t").first()["n"] == 70
+
+    sql(cat, "ALTER TABLE props_t UNSET TBLPROPERTIES ('deletionVectors')")
+    sql(cat, "DELETE FROM props_t WHERE id >= 90")  # back to rewrite mode
+    snap = dt._log.snapshot()
+    assert not any(a.deletionVector for a in snap.files.values())
+    assert sql(cat, "SELECT COUNT(*) AS n FROM props_t").first()["n"] == 60

@@ -13,10 +13,13 @@ every mutation is three distributed phases —
   2. REWRITE: read ONLY the touched files, apply the change as a plain
      DataFrame transform, stage new parquet in parallel;
   3. COMMIT: one atomic log entry (remove touched + add staged).
-Mutations never blind-retry a lost commit race: their remove/add sets
-were computed against the snapshot they read, so a concurrent commit
-surfaces as ConcurrentModificationError and the caller re-runs the
-mutation against the new snapshot (optimistic concurrency).
+Optimistic concurrency with conflict RESOLUTION (_commit_mutation):
+a lost commit race rebases and retries only when the winner provably
+cannot invalidate this mutation (metadata unchanged, our touched files
+byte-identical, and — for predicate mutations — no concurrent
+dataChange adds, since an append may hold rows the predicate should
+have seen); anything else surfaces as ConcurrentModificationError and
+the caller re-runs against the new snapshot.
 Untouched files are never read or rewritten — at 100 TB a MERGE that
 touches 0.1% of files costs 0.1% of a table rewrite plus one scan of
 the join's pruned candidate set.
@@ -32,7 +35,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from .errors import MergeAmbiguityError, RetentionSafetyError, TableNotFoundError
+from .errors import (
+    ConcurrentModificationError,
+    MergeAmbiguityError,
+    RetentionSafetyError,
+    TableNotFoundError,
+)
 from .log import AddFile, CommitInfo, DeltaLog, RemoveFile, _utc_millis
 from .reader import FILE_COL as _FILE_COL
 from .reader import ROW_COL as _ROW_COL
@@ -258,7 +266,7 @@ class MergeBuilder:
         ]
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
-        return log.commit_next(actions, retries=0)
+        return t._commit_mutation(actions, touched, snap, content_neutral=False)
 
 
 class DeltaTable:
@@ -366,6 +374,52 @@ class DeltaTable:
 
     # ---------- mutations ----------
 
+    def _commit_mutation(
+        self,
+        actions: list[dict[str, Any]],
+        removed_paths: list[str],
+        read_snap,
+        content_neutral: bool,
+    ) -> int:
+        """Commit a mutation with conflict RESOLUTION, not just detection
+        (Delta's disjoint-file rule). On a lost commit race, rebase and
+        retry iff the winner provably cannot invalidate this mutation:
+
+          - table metadata (schema/partitioning/constraints) unchanged;
+          - every file this mutation removes/re-adds is byte-identical
+            in the new snapshot (path, size, deletion vector) — nobody
+            rewrote what we rewrote;
+          - for predicate mutations (content_neutral=False): the winner
+            added no dataChange files — a concurrent append/update could
+            contain rows our predicate should have affected, which must
+            serialize as a conflict. Layout-only winners (OPTIMIZE,
+            PURGE, metadata commits) are always safe to rebase over.
+            Content-neutral mutations (our own OPTIMIZE/PURGE) rebase
+            over appends too — compaction ignores files it didn't read.
+        """
+        for attempt in range(4):
+            try:
+                return self._log.commit_next(actions, retries=0)
+            except ConcurrentModificationError:
+                if attempt == 3:
+                    raise
+                new_snap = self._log.snapshot()
+                if (
+                    new_snap.metadata.to_action()
+                    != read_snap.metadata.to_action()
+                ):
+                    raise
+                for p in removed_paths:
+                    old = read_snap.files.get(p)
+                    new = new_snap.files.get(p)
+                    if old is None or new is None or old.to_action() != new.to_action():
+                        raise
+                if not content_neutral:
+                    for p, a in new_snap.files.items():
+                        if p not in read_snap.files and a.dataChange:
+                            raise
+        raise AssertionError("unreachable")
+
     def _touched_files(self, cond: Column, cond_str: str | None = None) -> list[str]:
         """Exact touched-file discovery: one scan with _metadata.file_path,
         pre-pruned by log stats when the condition is a simple SQL string
@@ -436,7 +490,7 @@ class DeltaTable:
         ]
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
-        return self._log.commit_next(actions, retries=0)
+        return self._commit_mutation(actions, touched, snap, content_neutral=False)
 
     def _dv_delete(self, cond: Column, cond_str: str | None, snap) -> int:
         """DELETE via deletion vectors: no data file is rewritten.
@@ -537,7 +591,7 @@ class DeltaTable:
                     },
                 ).to_action()
             )
-        return self._log.commit_next(actions, retries=0)
+        return self._commit_mutation(actions, touched, snap, content_neutral=False)
 
     def purge_deletion_vectors(self) -> int:
         """REORG TABLE ... APPLY (PURGE): rewrite every file that carries
@@ -568,7 +622,9 @@ class DeltaTable:
             for a in dv_adds
         )
         actions.extend(a.to_action() for a in adds)
-        return self._log.commit_next(actions, retries=0)
+        return self._commit_mutation(
+            actions, [a.path for a in dv_adds], snap, content_neutral=True
+        )
 
     def clone(self, target_path: str, shallow: bool = True) -> "DeltaTable":
         """CLONE: create an independent table at ``target_path``.
@@ -686,7 +742,7 @@ class DeltaTable:
         ]
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
-        return self._log.commit_next(actions, retries=0)
+        return self._commit_mutation(actions, touched, snap, content_neutral=False)
 
     def merge(
         self,
@@ -854,7 +910,7 @@ class DeltaTable:
             for p in removes
         )
         actions.extend(a.to_action() for a in all_adds)
-        return self._log.commit_next(actions, retries=0)
+        return self._commit_mutation(actions, removes, snap, content_neutral=True)
 
     # ---------- CHECK constraints ----------
 

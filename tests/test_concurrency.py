@@ -153,3 +153,75 @@ def test_append_racing_schema_change_raises(spark, tmp_table, monkeypatch):
     monkeypatch.setattr(W, "DeltaLog", RacingLog)
     with _pytest.raises(ConcurrentModificationError):
         write_delta(spark.range(10, 20), tmp_table)
+
+
+def test_delete_rebases_over_concurrent_optimize(spark, tmp_table):
+    """Conflict RESOLUTION: a DELETE racing a layout-only commit
+    (dataChange=False, disjoint files) rebases and lands instead of
+    raising."""
+    import os
+    import shutil
+
+    from delta_lake_spark import DeltaTable, read_delta, write_delta
+    from delta_lake_spark.log import AddFile, CommitInfo, DeltaLog, RemoveFile
+
+    write_delta(
+        spark.range(100).selectExpr("id", "CAST(id % 5 AS INT) AS g"),
+        tmp_table,
+        partition_by=["g"],
+    )
+    dt = DeltaTable.forPath(spark, tmp_table)
+    snap = dt._log.snapshot()
+    # competitor "compacts" one g=0 file (disjoint from our g=3 delete)
+    g0 = next(
+        p for p, a in snap.files.items() if a.partitionValues.get("g") == "0"
+    )
+    comp_rel = "data/compacted_g0.parquet"
+    shutil.copy(os.path.join(tmp_table, g0), os.path.join(tmp_table, comp_rel))
+    competitor = [
+        CommitInfo(operation="OPTIMIZE").to_action(),
+        RemoveFile(path=g0, dataChange=False).to_action(),
+        AddFile(
+            path=comp_rel,
+            partitionValues={"g": "0"},
+            numRecords=snap.files[g0].numRecords,
+            size=snap.files[g0].size,
+            stats=snap.files[g0].stats,
+            dataChange=False,
+        ).to_action(),
+    ]
+    _inject_competitor_before_commit(dt._log, competitor)
+    dt.delete("g = 3")  # must rebase, not raise
+    got = read_delta(spark, tmp_table)
+    assert got.count() == 80
+    assert got.filter("g = 0").count() == 20
+
+
+def test_optimize_rebases_over_concurrent_append(spark, tmp_table):
+    """A compaction racing an append rebases (appends can't invalidate
+    a rewrite of files the append didn't touch)."""
+    import os
+    import shutil
+
+    from delta_lake_spark import DeltaTable, read_delta, write_delta
+    from delta_lake_spark.log import AddFile, CommitInfo
+
+    write_delta(spark.range(50).selectExpr("id").repartition(4), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    snap = dt._log.snapshot()
+    src_rel = next(iter(snap.files))
+    comp_rel = "data/competitor_append2.parquet"
+    shutil.copy(os.path.join(tmp_table, src_rel), os.path.join(tmp_table, comp_rel))
+    n_comp = snap.files[src_rel].numRecords
+    competitor = [
+        CommitInfo(operation="APPEND").to_action(),
+        AddFile(
+            path=comp_rel,
+            numRecords=n_comp,
+            size=snap.files[src_rel].size,
+            stats=snap.files[src_rel].stats,
+        ).to_action(),
+    ]
+    _inject_competitor_before_commit(dt._log, competitor)
+    dt.optimize()  # must rebase, not raise
+    assert read_delta(spark, tmp_table).count() == 50 + n_comp

@@ -78,6 +78,14 @@ class MergeBuilder:
         self._condition = condition
         self._matched: list[dict[str, Any]] = []
         self._not_matched: list[dict[str, Any]] = []
+        self._evolve = False
+
+    def with_schema_evolution(self):
+        """MERGE schema evolution: source columns absent from the target
+        are appended to the table schema by this merge; pre-existing rows
+        read back as null for them (delta-spark's withSchemaEvolution)."""
+        self._evolve = True
+        return self
 
     # snake_case and delta-spark camelCase spellings both supported
     def when_matched_update(self, set: dict[str, str | Column], condition=None):
@@ -105,6 +113,7 @@ class MergeBuilder:
     whenMatchedDelete = when_matched_delete
     whenNotMatchedInsert = when_not_matched_insert
     whenNotMatchedInsertAll = when_not_matched_insert_all
+    withSchemaEvolution = with_schema_evolution
 
     # ---------- execution ----------
 
@@ -123,6 +132,19 @@ class MergeBuilder:
         log = t._log
         snap = log.snapshot()
         schema = schema_of(snap)
+        new_fields: list = []
+        if self._evolve:
+            from pyspark.sql.types import StructField
+
+            tbl_names = {f.name for f in schema.fields}
+            new_fields = [
+                StructField(f.name, f.dataType, True)
+                for f in self._source.schema.fields
+                if f.name not in tbl_names
+            ]
+            if new_fields:
+                schema = StructType(list(schema.fields) + new_fields)
+        new_names = {f.name for f in new_fields}
         col_names = [f.name for f in schema.fields]
         t_alias = t._alias or "target"
         src = self._source
@@ -179,7 +201,11 @@ class MergeBuilder:
             delete_ids = [i for i, c in enumerate(self._matched) if c["kind"] == "delete"]
             out_cols = []
             for name in col_names:
-                base = F.col(f"{t_alias}.{name}")
+                base = (
+                    F.lit(None).cast(schema[name].dataType)
+                    if name in new_names  # evolved: target files lack it
+                    else F.col(f"{t_alias}.{name}")
+                )
                 val = base
                 expr_chain = None
                 for i, clause in enumerate(self._matched):
@@ -187,7 +213,13 @@ class MergeBuilder:
                         upd = clause["set"].get(name)
                         v = _as_column(upd) if upd is not None else base
                     elif clause["kind"] == "update_all":
-                        v = self._source_col(name)
+                        # UPDATE SET * maps source columns; target-only
+                        # columns keep their current values
+                        v = (
+                            self._source_col(name)
+                            if name in self._source.columns
+                            else base
+                        )
                     else:
                         continue
                     branch = (F.col(_ACTION_COL) == i, v.cast(schema[name].dataType))
@@ -206,7 +238,12 @@ class MergeBuilder:
 
             unmatched_target = (
                 t_touched.join(src, cond, "left_anti").select(
-                    *[F.col(f"{t_alias}.{n}").alias(n) for n in col_names]
+                    *[
+                        F.lit(None).cast(schema[n].dataType).alias(n)
+                        if n in new_names
+                        else F.col(f"{t_alias}.{n}").alias(n)
+                        for n in col_names
+                    ]
                 )
             )
             outputs.append(unmatched_target)
@@ -264,6 +301,19 @@ class MergeBuilder:
                 },
             ).to_action()
         ]
+        if new_fields:
+            from .log import Metadata
+
+            actions.append(
+                Metadata(
+                    schemaString=schema.json(),
+                    partitionColumns=list(snap.metadata.partitionColumns),
+                    configuration=dict(snap.metadata.configuration),
+                    id=snap.metadata.id,
+                    name=snap.metadata.name,
+                    createdTime=snap.metadata.createdTime,
+                ).to_action()
+            )
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
         return t._commit_mutation(actions, touched, snap, content_neutral=False)

@@ -318,3 +318,59 @@ def test_table_changes_cdf(spark, tmp_table):
 
     with _pytest.raises(VersionNotFoundError):
         table_changes(spark, tmp_table, 99)
+
+
+def test_merge_schema_evolution(spark, table, tmp_table):
+    """withSchemaEvolution: a source column absent from the target is
+    appended to the table schema; untouched/unmatched rows read null."""
+    src = spark.range(95, 105).select(
+        F.col("id").alias("device_id"),
+        F.lit("fw2").alias("firmware"),  # new column
+        F.lit("synced").alias("status"),
+    )
+    (
+        table.alias("t")
+        .merge(src, "t.device_id = s.device_id", source_alias="s")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsert(
+            values={
+                "device_id": "s.device_id",
+                "p_device_id": "cast(s.device_id % 5 as int)",
+                "firmware": "s.firmware",
+                "status": "s.status",
+            }
+        )
+        .execute()
+    )
+    got = read_delta(spark, tmp_table)
+    assert "firmware" in got.columns
+    assert got.count() == 105
+    assert got.filter("firmware = 'fw2'").count() == 10  # 5 updated + 5 inserted
+    assert got.filter("firmware IS NULL").count() == 95
+    # updated rows kept their target-only column values
+    assert got.filter(
+        "device_id >= 95 AND device_id < 100 AND heartrate IS NULL"
+    ).count() == 0
+    # plain appends against the evolved schema still work
+    write_delta(_readings(spark, 3), tmp_table)
+    assert read_delta(spark, tmp_table).count() == 108
+
+
+def test_merge_without_evolution_rejects_new_columns_silently_ignored(
+    spark, table
+):
+    """Without withSchemaEvolution, MERGE keeps the target schema: a
+    source-only column never appears in the table."""
+    src = spark.range(3).select(
+        F.col("id").alias("device_id"), F.lit("x").alias("extra_col")
+    )
+    (
+        table.alias("t")
+        .merge(src, "t.device_id = s.device_id", source_alias="s")
+        .whenMatchedUpdate(set={"status": "'touched'"})
+        .execute()
+    )
+    got = table.toDF()
+    assert "extra_col" not in got.columns
+    assert got.filter("status = 'touched'").count() == 3

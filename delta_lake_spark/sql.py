@@ -267,6 +267,7 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
 
     m = re.match(
         r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
+        r"(?:\s+WHERE\s+(?P<pcol>\w+)\s*=\s*'?(?P<pval>[^'\s]+)'?)?"
         r"(?:\s+(?P<kind>CLUSTER|ZORDER)\s+BY\s+\(?(?P<cols>[\w,\s]+?)\)?)?\s*$",
         s,
         re.IGNORECASE,
@@ -277,11 +278,12 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
             if m.group("cols")
             else None
         )
+        pf = {m.group("pcol"): m.group("pval")} if m.group("pcol") else None
         dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
         if cols and m.group("kind").upper() == "ZORDER":
-            version = dt.optimize(zorder_by=cols)
+            version = dt.optimize(zorder_by=cols, partition_filter=pf)
         else:
-            version = dt.optimize(cluster_by=cols)
+            version = dt.optimize(cluster_by=cols, partition_filter=pf)
         catalog.refresh(m.group("name"))
         return spark.createDataFrame([(version,)], "version long")
 

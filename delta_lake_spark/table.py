@@ -877,6 +877,7 @@ class DeltaTable:
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         zorder_bits: int = 6,
+        partition_filter: dict[str, object] | None = None,
     ) -> int:
         """Bin-packing compaction: rewrite each partition's small files
         into ~target-size files, committed with dataChange=False so
@@ -892,14 +893,29 @@ class DeltaTable:
         SEVERAL columns into one sort key (zorder.py), so skipping prunes
         on any clustered column, not just the first. With either
         clustering option, ALL files in the partition are rewritten
-        (clustering is a layout change, not just small-file cleanup)."""
+        (clustering is a layout change, not just small-file cleanup).
+
+        ``partition_filter`` ({partition col: value}) scopes the whole
+        operation to matching partitions — the daily pattern at scale:
+        compact/re-cluster just the partition that took today's small
+        appends instead of touching the other 10^3 partitions."""
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by OR zorder_by, not both")
         snap = self._log.snapshot()
         small_file_bytes = small_file_bytes or target_file_bytes // 2
         clustering = bool(cluster_by or zorder_by)
+        wanted = None
+        if partition_filter:
+            wanted = {
+                k: (None if v is None else str(v))
+                for k, v in partition_filter.items()
+            }
         by_part: dict[tuple, list] = {}
         for add in snap.files.values():
+            if wanted is not None and not all(
+                add.partitionValues.get(k) == v for k, v in wanted.items()
+            ):
+                continue
             if clustering or add.size < small_file_bytes:
                 key = tuple(sorted(add.partitionValues.items()))
                 by_part.setdefault(key, []).append(add)

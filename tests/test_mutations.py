@@ -374,3 +374,27 @@ def test_merge_without_evolution_rejects_new_columns_silently_ignored(
     got = table.toDF()
     assert "extra_col" not in got.columns
     assert got.filter("status = 'touched'").count() == 3
+
+
+def test_optimize_partition_scoped(spark, tmp_table):
+    """OPTIMIZE WHERE p = v touches only that partition's files — the
+    daily-compaction pattern."""
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("p")
+    ).repartition(6)
+    write_delta(df, tmp_table, partition_by=["p"])
+    dt = DeltaTable.forPath(spark, tmp_table)
+    before = dt._log.snapshot()
+    other = {
+        path for path, a in before.files.items()
+        if a.partitionValues.get("p") != "2"
+    }
+    dt.optimize(cluster_by=["id"], partition_filter={"p": 2})
+    after = dt._log.snapshot()
+    # every non-p=2 file untouched; p=2 files rewritten
+    assert other <= set(after.files)
+    assert {
+        path for path, a in after.files.items()
+        if a.partitionValues.get("p") == "2"
+    }.isdisjoint(before.files.keys() - other)
+    assert read_delta(spark, tmp_table).count() == 2000

@@ -705,6 +705,92 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q26_supplier_customer_volume(spark, sf_dir):
+    """TPC-H Q7-shape volume shipping: supplier nation x customer nation
+    trade volume through a 6-way join with a date-range filter. Dims
+    broadcast; the two big fact joins shuffle on their keys once."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") <= "1996-12-31")
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(volume.cast("double").alias("volume"), F.count("*").alias("n_items"))
+    )
+
+
+_Q26_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+  AND n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q27_status_pivot(spark, sf_dir):
+    """Conditional-aggregation pivot: one pass over orders, one output
+    row per priority with per-status columns (map-side partial aggs;
+    no multi-scan UNION)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def bucket(status):
+        return F.sum(
+            F.when(F.col("o_orderstatus") == status, 1).otherwise(0)
+        )
+
+    return orders.groupBy("o_orderpriority").agg(
+        bucket("F").alias("n_f"),
+        bucket("O").alias("n_o"),
+        bucket("P").alias("n_p"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", _dec("o_totalprice")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("total_f"),
+    )
+
+
+_Q27_SQL = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q25_range_join_shipments(spark, sf_dir):
     """Point-in-interval join via bucketing (operators/joins.py
     bucketed_range_join): lineitems shipped within 7 days of a sampled
@@ -770,6 +856,8 @@ QUERIES = {
     "q23_rank_parts_in_brand": q23_rank_parts_in_brand,
     "q24_distinct_agg": q24_distinct_agg,
     "q25_range_join_shipments": q25_range_join_shipments,
+    "q26_supplier_customer_volume": q26_supplier_customer_volume,
+    "q27_status_pivot": q27_status_pivot,
 }
 
 ORACLE_SQL = {
@@ -798,4 +886,6 @@ ORACLE_SQL = {
     "q23_rank_parts_in_brand": _Q23_SQL,
     "q24_distinct_agg": _Q24_SQL,
     "q25_range_join_shipments": _Q25_SQL,
+    "q26_supplier_customer_volume": _Q26_SQL,
+    "q27_status_pivot": _Q27_SQL,
 }

@@ -791,6 +791,40 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q28_orders_above_customer_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape (orders above 1.5x their own
+    customer's average) expressed as a window aggregate — one shuffle on
+    the correlation key instead of a per-row subquery."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_price = F.avg(_dec("o_totalprice")).over(w)
+    return (
+        orders.withColumn("__avg", avg_price)
+        .filter(_dec("o_totalprice") > F.lit(1.5).cast("decimal(18,2)") * F.col("__avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+_Q28_SQL = """
+WITH enriched AS (
+  SELECT o_orderpriority, o_totalprice,
+         AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM enriched
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 1.5 * cust_avg
+GROUP BY o_orderpriority
+"""
+
+
 def q25_range_join_shipments(spark, sf_dir):
     """Point-in-interval join via bucketing (operators/joins.py
     bucketed_range_join): lineitems shipped within 7 days of a sampled
@@ -858,6 +892,7 @@ QUERIES = {
     "q25_range_join_shipments": q25_range_join_shipments,
     "q26_supplier_customer_volume": q26_supplier_customer_volume,
     "q27_status_pivot": q27_status_pivot,
+    "q28_orders_above_customer_avg": q28_orders_above_customer_avg,
 }
 
 ORACLE_SQL = {
@@ -888,4 +923,5 @@ ORACLE_SQL = {
     "q25_range_join_shipments": _Q25_SQL,
     "q26_supplier_customer_volume": _Q26_SQL,
     "q27_status_pivot": _Q27_SQL,
+    "q28_orders_above_customer_avg": _Q28_SQL,
 }

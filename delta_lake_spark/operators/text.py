@@ -97,6 +97,150 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping word-window chunks — the
+    standard pre-tokenization step of a training pipeline (context-window
+    packing, RAG indexing).
+
+    Chunks start every ``stride = chunk_size - overlap`` words; the last
+    chunk may be short. All JVM built-ins (split/sequence/transform/
+    explode) so the whole thing is codegen'd and embarrassingly parallel:
+    no shuffle at all — each input row expands in place, so it scales
+    linearly to any number of executors.
+
+    Returns: id_col, chunk_id (0-based), chunk_tokens, chunk_text.
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    out = df.select(
+        F.col(id_col), w.alias("_w"), F.explode(starts).alias("_s")
+    )
+    chunk = F.slice(F.col("_w"), F.col("_s"), chunk_size)
+    return out.select(
+        F.col(id_col),
+        ((F.col("_s") - 1) / stride).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    part_col: str,
+    budget: int = 512,
+) -> DataFrame:
+    """Concat-and-split sequence packing: documents are (logically)
+    concatenated in ``id_col`` order within each ``part_col`` group and
+    cut every ``budget`` tokens; a document's bin is the bin in which it
+    starts. This is GPT-style packing expressed relationally: an
+    exclusive prefix sum over a window, no Python.
+
+    Partitioning by ``part_col`` (e.g. source or shard) keeps the window
+    per-group, so at 100 TB each group packs independently — no global
+    sort, no single-partition window. Skewed groups can be pre-split by
+    adding a shard key to part_col.
+
+    Returns one row per bin: part_col, bin_id, n_docs, bin_tokens.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    cum = F.sum("n_tok").over(w)
+    binned = (
+        df.select(F.col(part_col), F.col(id_col), n_tok.alias("n_tok"))
+        .withColumn("bin_id", F.floor((cum - F.col("n_tok")) / budget))
+    )
+    return (
+        binned.groupBy(part_col, "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+    )
+
+
+# PII patterns shared by the Spark and oracle sides (RE2/Java compatible)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{4,}"
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact email addresses and long digit runs (card/phone/SSN-like)
+    from document text, keeping per-document counts — the scrub step of a
+    compliance-aware training pipeline. Pure regexp built-ins, row-local
+    (no shuffle), codegen'd.
+
+    Returns: id_col, n_emails, n_longnums, redacted (text with <EMAIL> /
+    <NUM> placeholders).
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_longnums = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), F.lit(LONGNUM_RE), F.lit(0)
+        )
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONGNUM_RE, "<NUM>"
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_longnums.cast("long").alias("n_longnums"),
+        redacted.alias("redacted"),
+    )
+
+
+def repetition_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Within-document repetition: fraction of duplicate word 3-grams,
+    a standard pretraining quality filter (high ratio = boilerplate /
+    degenerate text). Row-local array built-ins only — no shuffle, no
+    UDF; scales linearly.
+
+    Returns: id_col, n_grams, rep_ratio (= 1 - distinct/total, 0 when
+    the document has fewer than 3 words).
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(w)
+    # sequence(1, 0) would run DESCENDING in Spark, so clamp the stop to
+    # 1 and gate the <3-word case on n instead.
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i),
+            F.element_at(w, i + F.lit(1)),
+            F.element_at(w, i + F.lit(2)),
+        ),
+    )
+    total = F.size(sh)
+    rep = F.when(
+        n >= 3,
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.when(n >= 3, total).otherwise(F.lit(0)).cast("long").alias("n_grams"),
+        F.round(rep, 6).alias("rep_ratio"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, whitespace collapsed). Identical fingerprints <=> exact

@@ -24,7 +24,16 @@ from ..operators.multimodal import (
     frame_sample,
 )
 from ..operators.similarity import cosine_topk, ivf_topk, lsh_ann_pairs
-from ..operators.text import fingerprint, lang_id, quality_score, token_stats
+from ..operators.text import (
+    chunk_documents,
+    fingerprint,
+    lang_id,
+    pack_sequences,
+    quality_score,
+    redact_pii,
+    repetition_ratio,
+    token_stats,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +376,102 @@ FROM documents
 """
 
 
+def q67_chunk_documents(spark, sf_dir):
+    """Overlapping 64-word chunks with 16-word overlap (stride 48)."""
+    return chunk_documents(
+        _docs(spark, sf_dir), "text", "doc_id", chunk_size=64, overlap=16
+    )
+
+
+_Q67_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+st AS (
+  SELECT doc_id, w,
+         unnest(range(1, greatest(len(w) - 16, 1) + 1, 48)) AS s
+  FROM tok
+)
+SELECT doc_id,
+  CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+  CAST(len(w[s : least(s + 63, len(w))]) AS BIGINT) AS chunk_tokens,
+  array_to_string(w[s : least(s + 63, len(w))], ' ') AS chunk_text
+FROM st
+"""
+
+
+def q68_pack_sequences(spark, sf_dir):
+    """Concat-and-split packing into 512-token bins, grouped by source."""
+    return pack_sequences(
+        _docs(spark, sf_dir), "text", "doc_id", part_col="source", budget=512
+    )
+
+
+_Q68_SQL = """
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT source, n_tok,
+    CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                - n_tok) / 512.0) AS BIGINT) AS bin_id
+  FROM t
+)
+SELECT source, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM b GROUP BY source, bin_id
+"""
+
+
+def q69_redact_pii(spark, sf_dir):
+    return redact_pii(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q69_SQL = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(
+       regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       '[0-9]{4,}')) AS BIGINT) AS n_longnums,
+  regexp_replace(
+    regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{4,}', '<NUM>', 'g') AS redacted
+FROM documents
+"""
+
+
+def q70_repetition_ratio(spark, sf_dir):
+    return repetition_ratio(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q70_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT doc_id, w,
+               unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
+        FROM tok)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_uniq
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+  ROUND(COALESCE(1.0 - a.n_uniq * 1.0 / a.n_grams, 0.0), 6) AS rep_ratio
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -384,6 +489,10 @@ QUERIES = {
     "q43_frame_sample": q43_frame_sample,
     "q44_embedding_topk_pandas": q44_embedding_topk_pandas,
     "q45_train_test_split": q45_train_test_split,
+    "q67_chunk_documents": q67_chunk_documents,
+    "q68_pack_sequences": q68_pack_sequences,
+    "q69_redact_pii": q69_redact_pii,
+    "q70_repetition_ratio": q70_repetition_ratio,
 }
 
 ORACLE_SQL = {
@@ -400,4 +509,8 @@ ORACLE_SQL = {
     "q39_lang_id": _Q39_SQL,
     "q40_fingerprint": _Q40_SQL,
     "q41_multimodal_features": _Q41_SQL,
+    "q67_chunk_documents": _Q67_SQL,
+    "q68_pack_sequences": _Q68_SQL,
+    "q69_redact_pii": _Q69_SQL,
+    "q70_repetition_ratio": _Q70_SQL,
 }

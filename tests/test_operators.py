@@ -218,3 +218,76 @@ def test_prefix_filter_equals_full_index(spark):
         ).collect()
     }
     assert full == pref and len(full) > 0
+
+
+def test_chunk_documents_coverage(spark):
+    from delta_lake_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "a b"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_size=10, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 100 words, stride 8, starts 1..97 step 8 -> ceil(98/8)=13 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert len(c1) == 13 and c1[0].chunk_tokens == 10
+    # every word index covered; consecutive chunks overlap by 2
+    assert c1[0].chunk_text.startswith("w0 w1")
+    assert c1[1].chunk_text.startswith("w8 w9")
+    # last chunk is the tail, possibly short
+    assert c1[-1].chunk_text.endswith("w99")
+    # short docs produce exactly one chunk containing the whole text
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_tokens == 1
+
+
+def test_pack_sequences_budget(spark):
+    from delta_lake_spark.operators.text import pack_sequences
+
+    rows = [(i, "s", " ".join(["t"] * 100)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = pack_sequences(df, "text", "doc_id", part_col="source", budget=250).collect()
+    # 10 docs x 100 tokens, cut every 250: doc bins 0,0,0(starts 200),1,...
+    assert sum(r.n_docs for r in out) == 10
+    assert sum(r.bin_tokens for r in out) == 1000
+    bins = {r.bin_id: r.n_docs for r in out}
+    # concat-split: docs starting at 0,100,200 -> bin 0; 300,400 -> bin1...
+    assert bins[0] == 3 and bins[1] == 2
+
+
+def test_redact_pii_counts(spark):
+    from delta_lake_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or x@y.io, card 4111111111111111"),
+            (2, "no pii here, just 123 small numbers"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(df, "text", "doc_id").collect()}
+    assert out[1].n_emails == 2 and out[1].n_longnums == 1
+    assert "<EMAIL>" in out[1].redacted and "<NUM>" in out[1].redacted
+    assert "example.org" not in out[1].redacted
+    assert out[2].n_emails == 0 and out[2].n_longnums == 0
+    assert out[2].redacted == "no pii here, just 123 small numbers"
+
+
+def test_repetition_ratio_edges(spark):
+    from delta_lake_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 grams, 3 distinct
+            (2, "all words unique here now"),
+            (3, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_ratio(df, "text", "doc_id").collect()}
+    assert out[1].n_grams == 7 and abs(out[1].rep_ratio - (1 - 3 / 7)) < 1e-6
+    assert out[2].rep_ratio == 0.0
+    assert out[3].n_grams == 0 and out[3].rep_ratio == 0.0

@@ -864,6 +864,112 @@ GROUP BY o.o_orderkey
 """
 
 
+def q71_cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping combinations
+    in one pass (Spark expands to a single Expand+HashAggregate — one
+    shuffle, not four scans); grouping_id disambiguates subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+        F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("g"),
+    )
+
+
+_Q71_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n,
+  GROUPING(l_returnflag, l_linestatus) AS g
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q72_retention_setops(spark, sf_dir):
+    """INTERSECT / EXCEPT customer retention: buyers active in both 1995
+    and 1996 vs churned after 1995. Distinct set ops = hash aggregate on
+    the key — same shuffle cost as a groupBy, no row explosion."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") <= "1995-12-31")
+    ).select("o_custkey")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1996-12-31")
+    ).select("o_custkey")
+    retained = y95.intersect(y96).withColumn("cohort", F.lit("retained"))
+    churned = y95.subtract(y96).withColumn("cohort", F.lit("churned"))
+    return retained.unionByName(churned)
+
+
+_Q72_SQL = """
+WITH y95 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+),
+y96 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+)
+SELECT o_custkey, 'retained' AS cohort FROM (
+  SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT o_custkey, 'churned' AS cohort FROM (
+  SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+"""
+
+
+def q73_price_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles (p25/median/p75) of order
+    totals per priority — single-pass sort-based percentile per group."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+_Q73_SQL = """
+SELECT o_orderpriority,
+  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+  COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q74_embedding_array_stats(spark, sf_dir):
+    """Higher-order array functions over embedding vectors: transform /
+    aggregate (fold) entirely JVM-side — per-row lambda evaluation inside
+    codegen, no UDF, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ssq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(ssq), 6).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+    )
+
+
+_Q74_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 100
+)
+SELECT vec_id,
+  CAST(len(e) AS BIGINT) AS dim,
+  ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS l2_norm,
+  ROUND(list_sum(e) / len(e), 6) AS mean_val
+FROM v
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -893,6 +999,10 @@ QUERIES = {
     "q26_supplier_customer_volume": q26_supplier_customer_volume,
     "q27_status_pivot": q27_status_pivot,
     "q28_orders_above_customer_avg": q28_orders_above_customer_avg,
+    "q71_cube_revenue": q71_cube_revenue,
+    "q72_retention_setops": q72_retention_setops,
+    "q73_price_percentiles": q73_price_percentiles,
+    "q74_embedding_array_stats": q74_embedding_array_stats,
 }
 
 ORACLE_SQL = {
@@ -924,4 +1034,8 @@ ORACLE_SQL = {
     "q26_supplier_customer_volume": _Q26_SQL,
     "q27_status_pivot": _Q27_SQL,
     "q28_orders_above_customer_avg": _Q28_SQL,
+    "q71_cube_revenue": _Q71_SQL,
+    "q72_retention_setops": _Q72_SQL,
+    "q73_price_percentiles": _Q73_SQL,
+    "q74_embedding_array_stats": _Q74_SQL,
 }

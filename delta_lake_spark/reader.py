@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .errors import DataFileLostError
 from .log import AddFile, DeltaLog, Snapshot
-from .writer import schema_of
+from .writer import column_mapping, schema_of
 
 # metadata column names threaded through mutation plans
 FILE_COL = "__dls_file"
@@ -96,6 +96,8 @@ def scan_adds(
     """Read a set of log entries as a DataFrame, applying deletion
     vectors. ``with_meta=True`` keeps FILE_COL (the file URI) and
     ROW_COL (parquet row position) for mutation planning."""
+    from .writer import physical_schema
+
     schema = schema_of(snapshot)
     if not adds:
         df = spark.createDataFrame([], schema)
@@ -107,9 +109,15 @@ def scan_adds(
             )
         return df
 
+    # column mapping: files store immutable PHYSICAL names; scan with the
+    # physical schema, then alias back to the logical names — a rename /
+    # drop never rewrote any file
+    mapping = column_mapping(schema)
+    needs_map = any(l != p for l, p in mapping.items())
+
     dv_adds = [a for a in adds if a.deletionVector]
     need_meta = with_meta or bool(dv_adds)
-    reader = spark.read.schema(schema)
+    reader = spark.read.schema(physical_schema(schema) if needs_map else schema)
     if snapshot.metadata.configuration.get("layout") == "hive":
         reader = reader.option("basePath", table_path)
     df = reader.parquet(*[os.path.join(table_path, a.path) for a in adds])
@@ -119,6 +127,11 @@ def scan_adds(
             F.col("_metadata.file_path").alias(FILE_COL),
             F.col("_metadata.row_index").alias(ROW_COL),
         )
+    if needs_map:
+        keep = [F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
+        if need_meta:
+            keep += [F.col(FILE_COL), F.col(ROW_COL)]
+        df = df.select(*keep)
     if dv_adds:
         df = df.join(
             _dv_rows(spark, table_path, dv_adds), [FILE_COL, ROW_COL], "left_anti"
@@ -183,7 +196,9 @@ def read_delta(
             for a in adds
             if all(a.partitionValues.get(k) == v for k, v in wanted.items())
         ]
-    adds, _skipped = prune_adds(adds, predicate)
+    adds, _skipped = prune_adds(
+        adds, predicate, colmap=column_mapping(schema_of(snap))
+    )
 
     if version is not None:
         files = [os.path.join(path, a.path) for a in adds]

@@ -120,14 +120,19 @@ def file_may_match(add: AddFile, conjuncts: list[tuple[str, str, Any]]) -> bool:
 
 
 def prune_adds(
-    adds: list[AddFile], predicate: str | None
+    adds: list[AddFile],
+    predicate: str | None,
+    colmap: dict[str, str] | None = None,
 ) -> tuple[list[AddFile], int]:
     """Return (surviving adds, number skipped). Unparseable predicates
-    skip nothing."""
+    skip nothing. ``colmap`` (logical -> physical, column mapping)
+    translates predicate columns to the names file stats are keyed by."""
     if not predicate:
         return adds, 0
     conjuncts = parse_conjuncts(predicate)
     if conjuncts is None:
         return adds, 0
+    if colmap:
+        conjuncts = [(colmap.get(c, c), op, v) for c, op, v in conjuncts]
     kept = [a for a in adds if file_may_match(a, conjuncts)]
     return kept, len(adds) - len(kept)

@@ -240,6 +240,47 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame([(v,)], "version long")
 
     m = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*"
+        r"\(?\s*(?P<cols>[^)]+?)\s*\)?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m and " CONSTRAINT " not in s.upper():
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        cols: dict[str, str] = {}
+        for part in m.group("cols").split(","):
+            name_type = part.strip().split(None, 1)
+            if len(name_type) != 2:
+                raise ValueError(f"bad column spec {part!r}")
+            cols[name_type[0].strip("`")] = name_type[1]
+        v = dt.add_columns(cols)
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(v,)], "version long")
+
+    m = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+COLUMN\s+"
+        r"`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        v = dt.rename_column(m.group("old"), m.group("new"))
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(v,)], "version long")
+
+    m = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMN\s+`?(?P<col>\w+)`?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        v = dt.drop_column(m.group("col"))
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(v,)], "version long")
+
+    m = re.match(
         r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
         r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
         s,

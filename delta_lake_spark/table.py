@@ -284,7 +284,12 @@ class MergeBuilder:
 
         new_data = fill_generated(new_data, snap.metadata.configuration)
         enforce_constraints(new_data, snap.metadata.configuration)
-        adds = stage_files(new_data, t.path, list(snap.metadata.partitionColumns))
+        from .writer import with_physical_names
+
+        schema = with_physical_names(schema, snap.metadata.configuration)
+        adds = stage_files(
+            new_data, t.path, list(snap.metadata.partitionColumns), schema=schema
+        )
         now = _utc_millis()
         actions: list[dict[str, Any]] = [
             CommitInfo(
@@ -477,10 +482,14 @@ class DeltaTable:
         min/max ranges overlap the predicate)."""
         from .skipping import prune_adds
 
+        from .writer import column_mapping
+
         snap = self._log.snapshot()
         adds = list(snap.files.values())
         if cond_str:
-            adds, _ = prune_adds(adds, cond_str)
+            adds, _ = prune_adds(
+                adds, cond_str, colmap=column_mapping(schema_of(snap))
+            )
         if not adds:
             return []
         df = self._read_files([a.path for a in adds], with_meta=True)
@@ -526,7 +535,12 @@ class DeltaTable:
             kept = self._read_files(touched).filter(
                 ~F.coalesce(cond, F.lit(False))
             )
-            adds = stage_files(kept, self.path, list(snap.metadata.partitionColumns))
+            adds = stage_files(
+                kept,
+                self.path,
+                list(snap.metadata.partitionColumns),
+                schema=schema_of(snap),
+            )
         actions: list[dict[str, Any]] = [
             CommitInfo(
                 operation="DELETE",
@@ -654,7 +668,11 @@ class DeltaTable:
             return snap.version
         df = scan_adds(self.spark, self.path, dv_adds, snap)
         adds = stage_files(
-            df, self.path, list(snap.metadata.partitionColumns), data_change=False
+            df,
+            self.path,
+            list(snap.metadata.partitionColumns),
+            data_change=False,
+            schema=schema_of(snap),
         )
         now = _utc_millis()
         actions: list[dict[str, Any]] = [
@@ -777,7 +795,12 @@ class DeltaTable:
 
         rewritten = apply_generated(rewritten, snap.metadata.configuration)
         enforce_constraints(rewritten, snap.metadata.configuration)
-        adds = stage_files(rewritten, self.path, list(snap.metadata.partitionColumns))
+        adds = stage_files(
+            rewritten,
+            self.path,
+            list(snap.metadata.partitionColumns),
+            schema=schema_of(snap),
+        )
         now = _utc_millis()
         actions: list[dict[str, Any]] = [
             CommitInfo(
@@ -949,7 +972,11 @@ class DeltaTable:
                 df = df.coalesce(n_out)
             all_adds.extend(
                 stage_files(
-                    df, self.path, list(snap.metadata.partitionColumns), data_change=False
+                    df,
+                    self.path,
+                    list(snap.metadata.partitionColumns),
+                    data_change=False,
+                    schema=schema_of(snap),
                 )
             )
             removes.extend(a.path for a in adds)
@@ -1021,6 +1048,161 @@ class DeltaTable:
                 meta.to_action(),
             ],
             retries=0,
+        )
+
+    # ---------- schema evolution (ALTER TABLE ... COLUMN) ----------
+
+    def _commit_schema(
+        self, snap, new_schema, operation: str, params: dict[str, Any],
+        configuration: dict[str, str] | None = None,
+    ) -> int:
+        from .log import Metadata
+
+        meta = Metadata(
+            schemaString=new_schema.json(),
+            partitionColumns=list(snap.metadata.partitionColumns),
+            configuration=(
+                configuration
+                if configuration is not None
+                else snap.metadata.configuration
+            ),
+            id=snap.metadata.id,
+            name=snap.metadata.name,
+            createdTime=snap.metadata.createdTime,
+        )
+        return self._log.commit_next(
+            [
+                CommitInfo(
+                    operation=operation,
+                    operationParameters=params,
+                    readVersion=snap.version,
+                ).to_action(),
+                meta.to_action(),
+            ],
+            retries=0,
+        )
+
+    def _assert_column_alterable(self, snap, col: str, action: str) -> None:
+        import re as _re
+
+        if col in snap.metadata.partitionColumns:
+            raise ValueError(f"cannot {action} partition column {col}")
+        for k, v in snap.metadata.configuration.items():
+            for prefix in ("constraint.", "generated.", "identity."):
+                if not k.startswith(prefix):
+                    continue
+                target = k[len(prefix):]
+                if target.lower() == col.lower() or _re.search(
+                    rf"\b{_re.escape(col)}\b", str(v), _re.IGNORECASE
+                ):
+                    raise ValueError(
+                        f"cannot {action} column {col}: referenced by table "
+                        f"configuration {k!r}"
+                    )
+
+    def _mapped_schema(self, snap, schema):
+        """Freeze every field's current name as its physical name (first
+        RENAME/DROP upgrades the table to columnMapping.mode=name — the
+        names already on disk become the immutable physical names)."""
+        from pyspark.sql.types import StructField, StructType
+
+        from .writer import MAPPING_MODE_KEY, PHYSICAL_KEY, physical_name
+
+        conf = dict(snap.metadata.configuration)
+        if conf.get(MAPPING_MODE_KEY) == "name":
+            return schema, conf
+        conf[MAPPING_MODE_KEY] = "name"
+        frozen = StructType(
+            [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {**(f.metadata or {}), PHYSICAL_KEY: physical_name(f)},
+                )
+                for f in schema.fields
+            ]
+        )
+        return frozen, conf
+
+    def add_columns(self, columns: dict[str, str]) -> int:
+        """ALTER TABLE ADD COLUMNS ({name: ddl type}). Metadata-only:
+        existing files simply lack the column and readers surface NULL
+        (the parquet scan fills missing fields); no data is rewritten.
+        Under column mapping, new columns get fresh physical names so a
+        re-added name never resurrects dropped data."""
+        from pyspark.sql.types import StructField, StructType
+
+        from .writer import with_physical_names
+
+        snap = self._log.snapshot()
+        schema = schema_of(snap)
+        existing = {f.name.lower() for f in schema.fields}
+        new_fields = []
+        for name, ddl in columns.items():
+            if name.lower() in existing:
+                raise ValueError(f"column {name} already exists")
+            dt = StructType.fromDDL(f"`{name}` {ddl}").fields[0].dataType
+            new_fields.append(StructField(name, dt, True))
+        new_schema = with_physical_names(
+            StructType(list(schema.fields) + new_fields),
+            snap.metadata.configuration,
+        )
+        return self._commit_schema(
+            snap, new_schema, "ADD COLUMNS", {"columns": dict(columns)}
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN old TO new — metadata-only via
+        column mapping (Delta columnMapping.mode=name): the field keeps
+        its physical parquet name, only the logical name changes, so no
+        file is rewritten and every existing file stays readable."""
+        from pyspark.sql.types import StructField, StructType
+
+        snap = self._log.snapshot()
+        schema = schema_of(snap)
+        match = [f for f in schema.fields if f.name.lower() == old.lower()]
+        if not match:
+            raise ValueError(f"no such column {old}")
+        if any(f.name.lower() == new.lower() for f in schema.fields):
+            raise ValueError(f"column {new} already exists")
+        self._assert_column_alterable(snap, match[0].name, "rename")
+        frozen, conf = self._mapped_schema(snap, schema)
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == match[0].name
+                else f
+                for f in frozen.fields
+            ]
+        )
+        return self._commit_schema(
+            snap, new_schema, "RENAME COLUMN", {"from": old, "to": new},
+            configuration=conf,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only: the field leaves the
+        logical schema; its bytes stay in the files (invisible to every
+        reader) until files are naturally rewritten. Upgrades the table
+        to column mapping so a future ADD COLUMN with the same name maps
+        to a fresh physical name and never resurrects the old values."""
+        from pyspark.sql.types import StructType
+
+        snap = self._log.snapshot()
+        schema = schema_of(snap)
+        match = [f for f in schema.fields if f.name.lower() == name.lower()]
+        if not match:
+            raise ValueError(f"no such column {name}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column of a table")
+        self._assert_column_alterable(snap, match[0].name, "drop")
+        frozen, conf = self._mapped_schema(snap, schema)
+        new_schema = StructType(
+            [f for f in frozen.fields if f.name != match[0].name]
+        )
+        return self._commit_schema(
+            snap, new_schema, "DROP COLUMN", {"column": name}, configuration=conf
         )
 
     def set_properties(self, props: dict[str, str]) -> int:

@@ -43,6 +43,74 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 CONSTRAINT_PREFIX = "constraint."
 GENERATED_PREFIX = "generated."
 
+# ---------------------------------------------------------------------------
+# column mapping (Delta's columnMapping.mode=name): the schema's StructField
+# metadata carries the PHYSICAL parquet column name, so RENAME/DROP COLUMN
+# are metadata-only commits — no data file is ever rewritten. Files written
+# before mapping was enabled already store physical == the then-logical
+# name; files written after store the immutable physical name.
+# ---------------------------------------------------------------------------
+PHYSICAL_KEY = "dls.physicalName"
+MAPPING_MODE_KEY = "columnMapping.mode"
+
+
+def physical_name(field) -> str:
+    meta = field.metadata or {}
+    return meta.get(PHYSICAL_KEY, field.name)
+
+
+def column_mapping(schema: StructType) -> dict[str, str]:
+    """logical name -> physical parquet name (identity without mapping)."""
+    return {f.name: physical_name(f) for f in schema.fields}
+
+
+def physical_schema(schema: StructType) -> StructType:
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(physical_name(f), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def to_physical(df: DataFrame, schema: StructType) -> DataFrame:
+    """Rename a logical-named DataFrame's columns to their physical names
+    ahead of a parquet write; passthrough when no mapping exists."""
+    mapping = column_mapping(schema)
+    if all(l == p for l, p in mapping.items()):
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(mapping[c]) if c in mapping else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def with_physical_names(schema: StructType, configuration: dict[str, str]) -> StructType:
+    """When mapping is enabled, assign a fresh immutable physical name to
+    every field that lacks one (new columns from schema evolution)."""
+    if configuration.get(MAPPING_MODE_KEY) != "name":
+        return schema
+    from pyspark.sql.types import StructField
+
+    fields = []
+    for f in schema.fields:
+        if f.metadata and PHYSICAL_KEY in f.metadata:
+            fields.append(f)
+        else:
+            fields.append(
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {**(f.metadata or {}), PHYSICAL_KEY: f"col-{uuid.uuid4().hex[:12]}"},
+                )
+            )
+    return StructType(fields)
+
 
 def apply_generated(df: DataFrame, configuration: dict[str, str]) -> DataFrame:
     """Generated columns (``generated.<col> = <sql expr>`` table config,
@@ -261,10 +329,17 @@ def stage_files(
     partition_by: list[str],
     data_change: bool = True,
     collect_stats: bool = True,
+    schema: StructType | None = None,
 ) -> list[AddFile]:
     """Write df's data as parquet under data/<commit-id>/ and return the
     AddFile actions (not yet committed). The Spark write is fully
-    distributed; only the footer-stat sweep runs on the driver."""
+    distributed; only the footer-stat sweep runs on the driver.
+
+    ``schema`` (the table schema) enables column mapping: logical column
+    names are rewritten to their physical parquet names before staging,
+    so file stats are keyed by physical name — consistent across renames."""
+    if schema is not None:
+        df = to_physical(df, schema)
     commit_rel = os.path.join("data", uuid.uuid4().hex[:16])
     abs_dir = os.path.join(table_path, commit_rel)
     if partition_by:
@@ -366,6 +441,10 @@ def write_delta(
         final_schema, schema_changed = _evolve_schema(
             table_schema, _nullable(df.schema), merge_schema
         )
+        if schema_changed:
+            final_schema = with_physical_names(
+                final_schema, snap.metadata.configuration
+            )
         if partition_by is None:
             partition_by = list(snap.metadata.partitionColumns)
         elif list(partition_by) != list(snap.metadata.partitionColumns):
@@ -405,7 +484,9 @@ def write_delta(
             configuration=configuration,
         )
 
-    adds = stage_files(df, path, partition_by)
+    adds = stage_files(
+        df, path, partition_by, schema=final_schema if table_exists else None
+    )
     num_rows = sum(a.numRecords or 0 for a in adds)
 
     if id_specs:
@@ -418,13 +499,19 @@ def write_delta(
         if base_meta is None:
             base_meta = snap.metadata
         conf = dict(base_meta.configuration)
+        import json as _json2
+
+        id_map = column_mapping(
+            StructType.fromJson(_json2.loads(base_meta.schemaString))
+        )
         for col, spec in id_specs.items():
             step = int(spec.get("step", 1))
             prev_hw = int(spec.get("highWater", int(spec.get("start", 1)) - step))
+            pcol = id_map.get(col, col)  # stats are keyed by physical name
             maxes = [
-                int((a.stats or {}).get("maxValues", {}).get(col))
+                int((a.stats or {}).get("maxValues", {}).get(pcol))
                 for a in adds
-                if (a.stats or {}).get("maxValues", {}).get(col) is not None
+                if (a.stats or {}).get("maxValues", {}).get(pcol) is not None
             ]
             conf[IDENTITY_PREFIX + col] = _json.dumps(
                 {

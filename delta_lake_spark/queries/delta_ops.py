@@ -615,6 +615,62 @@ FROM events GROUP BY event_type
 """
 
 
+def q75_delta_column_mapping(spark, sf_dir):
+    """ALTER TABLE lifecycle through column mapping: rename + drop +
+    add column are metadata-only commits (no file rewritten); appends
+    and a predicate delete on the RENAMED column then run against the
+    mapped schema. The oracle reproduces the expected post-state
+    relationally, so physical-name indirection is value-checked."""
+    cust = _t(spark, sf_dir, "customer")
+    path = _fresh("column_mapping")
+    write_delta(cust, path)
+
+    dt = DeltaTable.forPath(spark, path)
+    dt.rename_column("c_acctbal", "balance")
+    dt.drop_column("c_nationkey")
+    dt.add_columns({"tier": "string"})
+
+    extra = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_name",
+        (F.col("c_acctbal") * 2).alias("balance"),
+        "c_mktsegment",
+        F.lit("X").alias("tier"),
+    )
+    write_delta(extra, path)
+    dt.delete("balance < 0")
+
+    return (
+        read_delta(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("balance")).cast("double").alias("total"),
+            F.count("tier").alias("n_tier"),
+        )
+    )
+
+
+_Q75_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal AS balance, c_mktsegment,
+         CAST(NULL AS VARCHAR) AS tier
+  FROM customer
+),
+appended AS (
+  SELECT c_custkey + 1000000 AS c_custkey, c_name,
+         c_acctbal * 2 AS balance, c_mktsegment, 'X' AS tier
+  FROM customer WHERE c_custkey % 10 = 0
+),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS total,
+  COUNT(tier) AS n_tier
+FROM allr WHERE balance >= 0
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -633,6 +689,7 @@ QUERIES = {
     "q64_streaming_dedup": q64_streaming_dedup,
     "q65_copy_into_idempotent": q65_copy_into_idempotent,
     "q66_streaming_delta_sink": q66_streaming_delta_sink,
+    "q75_delta_column_mapping": q75_delta_column_mapping,
 }
 
 ORACLE_SQL = {
@@ -652,4 +709,5 @@ ORACLE_SQL = {
     "q64_streaming_dedup": _Q64_SQL,
     "q65_copy_into_idempotent": _Q65_SQL,
     "q66_streaming_delta_sink": _Q66_SQL,
+    "q75_delta_column_mapping": _Q75_SQL,
 }

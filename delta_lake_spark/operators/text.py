@@ -241,6 +241,79 @@ def repetition_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction). Fully
+    relational: explode -> two hash aggregations (term frequency per doc,
+    document frequency per term) -> broadcast the tiny per-term IDF side
+    back onto the tf side -> per-doc top-k window. The only shuffles are
+    the two aggregations on (doc, term) / (term); the IDF join is a
+    broadcast at any corpus size because the vocabulary is orders of
+    magnitude smaller than the corpus.
+
+    idf = ln(N / df); ties broken by term for determinism.
+    Returns: id_col, term, tf (long), tfidf (double, 6dp), rnk (long).
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(words).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tok.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = df.select(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n") / F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def build_vocabulary(
+    df: DataFrame, text_col: str, min_freq: int = 1
+) -> DataFrame:
+    """Corpus vocabulary with deterministic ids: terms ranked by
+    (frequency desc, term asc) — the standard tokenizer-training
+    pre-step. The global row_number is a single ordered window, which is
+    acceptable for a vocabulary (vastly smaller than the corpus); the
+    heavy part — the term count — is an ordinary partial+final hash
+    aggregation over the exploded corpus.
+
+    Returns: term, freq (long), vocab_id (long, 1-based).
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    counts = (
+        df.select(F.explode(words).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return counts.select(
+        "term",
+        F.col("freq").cast("long").alias("freq"),
+        F.row_number().over(w).cast("long").alias("vocab_id"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, whitespace collapsed). Identical fingerprints <=> exact

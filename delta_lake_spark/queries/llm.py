@@ -25,6 +25,7 @@ from ..operators.multimodal import (
 )
 from ..operators.similarity import cosine_topk, ivf_topk, lsh_ann_pairs
 from ..operators.text import (
+    build_vocabulary,
     chunk_documents,
     fingerprint,
     lang_id,
@@ -32,6 +33,7 @@ from ..operators.text import (
     quality_score,
     redact_pii,
     repetition_ratio,
+    tfidf_top_terms,
     token_stats,
 )
 
@@ -472,6 +474,54 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def q76_tfidf_keywords(spark, sf_dir):
+    return tfidf_top_terms(_docs(spark, sf_dir), "text", "doc_id", k=5)
+
+
+_Q76_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+docfreq AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok)
+  GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(n.n * 1.0 / docfreq.df) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, ROUND(tfidf, 6) AS tfidf, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def q77_vocabulary(spark, sf_dir):
+    return build_vocabulary(_docs(spark, sf_dir), "text", min_freq=2)
+
+
+_Q77_SQL = """
+WITH counts AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+  GROUP BY term HAVING COUNT(*) >= 2
+)
+SELECT term, freq,
+       ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS vocab_id
+FROM counts
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -493,6 +543,8 @@ QUERIES = {
     "q68_pack_sequences": q68_pack_sequences,
     "q69_redact_pii": q69_redact_pii,
     "q70_repetition_ratio": q70_repetition_ratio,
+    "q76_tfidf_keywords": q76_tfidf_keywords,
+    "q77_vocabulary": q77_vocabulary,
 }
 
 ORACLE_SQL = {
@@ -513,4 +565,6 @@ ORACLE_SQL = {
     "q68_pack_sequences": _Q68_SQL,
     "q69_redact_pii": _Q69_SQL,
     "q70_repetition_ratio": _Q70_SQL,
+    "q76_tfidf_keywords": _Q76_SQL,
+    "q77_vocabulary": _Q77_SQL,
 }

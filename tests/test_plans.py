@@ -210,3 +210,22 @@ def test_bucketed_range_join_avoids_nested_loop(spark):
 
     # identical results
     assert bucketed.count() == naive.count()
+
+
+def test_tfidf_broadcasts_idf_side(spark):
+    """The per-term IDF side (vocabulary-sized) must broadcast onto the
+    tf side — no shuffle join keyed on term at corpus scale — and the
+    new shuffle-free text ops must plan zero exchanges."""
+    from delta_lake_spark.queries.llm import (
+        q67_chunk_documents,
+        q69_redact_pii,
+        q70_repetition_ratio,
+        q76_tfidf_keywords,
+    )
+
+    plan = _plan(q76_tfidf_keywords(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for q in (q67_chunk_documents, q69_redact_pii, q70_repetition_ratio):
+        p = _plan(q(spark, SF_DIR))
+        assert "Exchange" not in p, q.__name__

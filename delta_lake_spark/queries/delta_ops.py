@@ -671,6 +671,45 @@ GROUP BY c_mktsegment
 """
 
 
+def q78_cdf_streaming_drain(spark, sf_dir):
+    """CDF as an incremental streaming source: two drains (one after the
+    delete commit, one after a later append) accumulate the same feed a
+    full table_changes read produces — exactly-once across drains is
+    value-checked by the oracle's relational reconstruction."""
+    import shutil as _shutil
+
+    from ..streaming.incremental import stream_table_changes
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    path = _fresh("cdf_stream")
+    feed_dir = os.path.join(_SCRATCH, "cdf_stream_feed")
+    _shutil.rmtree(feed_dir, ignore_errors=True)
+
+    write_delta(ev, path)                                            # v0
+    DeltaTable.forPath(spark, path).delete("event_type = 'error'")   # v1
+    stream_table_changes(spark, path, feed_dir)                      # drain 1
+    late = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    write_delta(late, path)                                          # v2
+    feed = stream_table_changes(spark, path, feed_dir)               # drain 2
+    return feed.select(
+        "event_id", "user_id", "event_type", "_change_type",
+        F.col("_commit_version").cast("long").alias("_commit_version"),
+    )
+
+
+_Q78_SQL = """
+SELECT event_id, user_id, event_type,
+       'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id + 10000000 AS event_id, user_id, event_type,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -690,6 +729,7 @@ QUERIES = {
     "q65_copy_into_idempotent": q65_copy_into_idempotent,
     "q66_streaming_delta_sink": q66_streaming_delta_sink,
     "q75_delta_column_mapping": q75_delta_column_mapping,
+    "q78_cdf_streaming_drain": q78_cdf_streaming_drain,
 }
 
 ORACLE_SQL = {
@@ -710,4 +750,5 @@ ORACLE_SQL = {
     "q65_copy_into_idempotent": _Q65_SQL,
     "q66_streaming_delta_sink": _Q66_SQL,
     "q75_delta_column_mapping": _Q75_SQL,
+    "q78_cdf_streaming_drain": _Q78_SQL,
 }

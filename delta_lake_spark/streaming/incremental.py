@@ -245,3 +245,80 @@ def stream_delta_appends(
     )
     q.awaitTermination(timeout_sec)
     return spark.read.parquet(target_dir)
+
+
+def stream_table_changes(
+    spark: SparkSession,
+    table_path: str,
+    target_dir: str,
+    from_version: int = 1,
+) -> DataFrame:
+    """Use the CHANGE DATA FEED as an incremental streaming source
+    (availableNow semantics): each call drains the change rows of every
+    commit not yet processed into ``target_dir`` and returns the
+    accumulated feed (table columns + _change_type + _commit_version).
+
+    Exactly-once without side state: each drain stages its output under
+    a temp dir, then atomically renames it to ``batch-<from>-<to>``; the
+    resume point is derived from the existing batch directory names, so
+    a crash before the rename re-processes (staging leftovers are
+    ignored), and a crash after it skips — never duplicates. At scale
+    each drain reads only the files touched by the new commits (the CDF
+    diff cost model), not the table.
+    """
+    import re as _re
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from ..cdf import table_changes
+    from ..errors import VersionNotFoundError
+    from ..log import DeltaLog
+
+    os.makedirs(target_dir, exist_ok=True)
+    done = [
+        _re.match(r"batch-(\d+)-(\d+)$", d) for d in os.listdir(target_dir)
+    ]
+    last = max((int(m.group(2)) for m in done if m), default=from_version - 1)
+    # staging leftovers from a crashed drain are dead: remove them
+    for d in os.listdir(target_dir):
+        if d.startswith("_tmp-"):
+            _shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
+
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest > last:
+        try:
+            changes = table_changes(spark, table_path, last + 1, latest)
+        except VersionNotFoundError:
+            changes = None  # only layout/metadata commits in the range
+        batch = os.path.join(target_dir, f"batch-{last + 1}-{latest}")
+        if changes is not None:
+            tmp = os.path.join(target_dir, f"_tmp-{_uuid.uuid4().hex[:12]}")
+            changes.write.parquet(tmp)
+            os.rename(tmp, batch)
+        else:
+            os.makedirs(batch)  # empty marker advances the resume point
+
+    has_files = any(
+        n.endswith(".parquet")
+        for _r, _d, names in os.walk(target_dir)
+        for n in names
+    )
+    if not has_files:  # only empty markers so far: typed empty feed
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            _json.loads(log.snapshot().metadata.schemaString)
+        )
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+        )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(target_dir)
+    )

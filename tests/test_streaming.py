@@ -190,3 +190,49 @@ def test_stream_into_delta_exactly_once(spark, tmp_path):
     shutil.rmtree(ckpt)
     stream_into_delta(spark, src, tbl, ckpt, schema)
     assert read_delta(spark, tbl).count() == n2
+
+
+def test_cdf_streaming_source_exactly_once(spark, tmp_path):
+    """Incremental CDF drain: each call processes only new commits; the
+    accumulated feed equals a full table_changes read; a drain with no
+    new commits adds nothing."""
+    from delta_lake_spark.cdf import table_changes
+    from delta_lake_spark.streaming.incremental import stream_table_changes
+    from delta_lake_spark.table import DeltaTable
+    from delta_lake_spark.writer import write_delta
+
+    p = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    write_delta(
+        spark.createDataFrame([(i, i * 10.0) for i in range(6)], "id long, v double"),
+        p,
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id >= 4")  # v1: deletes
+
+    feed1 = stream_table_changes(spark, p, out)
+    assert feed1.filter("_change_type = 'delete'").count() == 2
+    n1 = feed1.count()
+
+    # no new commits: drain is a no-op
+    feed1b = stream_table_changes(spark, p, out)
+    assert feed1b.count() == n1
+
+    # new commits: only their changes are appended
+    write_delta(spark.createDataFrame([(100, 1.0)], "id long, v double"), p)
+    t.update("id = 0", {"v": "999.0"})
+    feed2 = stream_table_changes(spark, p, out)
+    full = table_changes(spark, p, 1)
+    cols = sorted(feed2.columns)
+    a = sorted(map(tuple, feed2.select(*cols).collect()))
+    b = sorted(map(tuple, full.select(*cols).collect()))
+    assert a == b
+    # update appears as delete(old)+insert(new) in the incremental feed
+    upd = feed2.filter("_commit_version = 3").collect()
+    kinds = sorted(r._change_type for r in upd)
+    assert kinds == ["delete", "insert"]
+
+    # layout-only commit advances the resume point without rows
+    t.optimize()
+    feed3 = stream_table_changes(spark, p, out)
+    assert feed3.count() == feed2.count()

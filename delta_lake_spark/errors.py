@@ -53,3 +53,9 @@ class MergeAmbiguityError(DeltaError):
 class ConstraintViolationError(DeltaError):
     """Incoming rows violate a table CHECK constraint (enforced at
     commit time, like Delta's delta.constraints.* table properties)."""
+
+
+class UnsupportedProtocolError(DeltaError):
+    """The table's protocol action requires reader/writer versions or
+    table features this engine does not implement (forward-compatibility
+    gate: refuse loudly instead of corrupting or misreading)."""

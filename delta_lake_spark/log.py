@@ -44,10 +44,26 @@ from typing import Any, Iterable
 from .errors import (
     ConcurrentModificationError,
     TableNotFoundError,
+    UnsupportedProtocolError,
     VersionNotFoundError,
 )
 
 LOG_DIR = "_delta_log"
+
+# protocol support envelope of THIS engine (Delta-style forward
+# compatibility: a table written with features we don't implement must
+# be refused loudly, never half-read)
+MAX_READER_VERSION = 3
+MAX_WRITER_VERSION = 7
+SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+SUPPORTED_WRITER_FEATURES = {
+    "columnMapping",
+    "deletionVectors",
+    "checkConstraints",
+    "generatedColumns",
+    "identityColumns",
+    "changeDataFeed",
+}
 
 
 def _utc_millis() -> int:
@@ -160,6 +176,74 @@ class Metadata:
 
 
 @dataclass
+class Protocol:
+    """A ``protocol`` action: the minimum reader/writer capability a
+    client needs to correctly use this table. Latest action wins on
+    replay; absent = the base protocol (1, 2). Feature names follow
+    Delta's table-features shape."""
+
+    minReaderVersion: int = 1
+    minWriterVersion: int = 2
+    readerFeatures: list[str] = field(default_factory=list)
+    writerFeatures: list[str] = field(default_factory=list)
+
+    def to_action(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "minReaderVersion": self.minReaderVersion,
+            "minWriterVersion": self.minWriterVersion,
+        }
+        if self.readerFeatures:
+            d["readerFeatures"] = sorted(self.readerFeatures)
+        if self.writerFeatures:
+            d["writerFeatures"] = sorted(self.writerFeatures)
+        return {"protocol": d}
+
+    @classmethod
+    def from_action(cls, d: dict[str, Any]) -> "Protocol":
+        return cls(
+            minReaderVersion=d.get("minReaderVersion", 1),
+            minWriterVersion=d.get("minWriterVersion", 2),
+            readerFeatures=list(d.get("readerFeatures", [])),
+            writerFeatures=list(d.get("writerFeatures", [])),
+        )
+
+    def check_read_support(self, table_path: str) -> None:
+        missing = set(self.readerFeatures) - SUPPORTED_READER_FEATURES
+        if self.minReaderVersion > MAX_READER_VERSION or missing:
+            raise UnsupportedProtocolError(
+                f"table {table_path} requires reader version "
+                f"{self.minReaderVersion} with features "
+                f"{sorted(self.readerFeatures)}; this engine supports "
+                f"version <= {MAX_READER_VERSION} with "
+                f"{sorted(SUPPORTED_READER_FEATURES)}"
+            )
+
+    def check_write_support(self, table_path: str) -> None:
+        self.check_read_support(table_path)
+        missing = set(self.writerFeatures) - SUPPORTED_WRITER_FEATURES
+        if self.minWriterVersion > MAX_WRITER_VERSION or missing:
+            raise UnsupportedProtocolError(
+                f"table {table_path} requires writer version "
+                f"{self.minWriterVersion} with features "
+                f"{sorted(self.writerFeatures)}; this engine supports "
+                f"version <= {MAX_WRITER_VERSION} with "
+                f"{sorted(SUPPORTED_WRITER_FEATURES)}"
+            )
+
+    def with_features(
+        self, reader: Iterable[str] = (), writer: Iterable[str] = ()
+    ) -> "Protocol":
+        rf = sorted(set(self.readerFeatures) | set(reader))
+        wf = sorted(set(self.writerFeatures) | set(writer) | set(reader))
+        return Protocol(
+            minReaderVersion=3 if rf else self.minReaderVersion,
+            minWriterVersion=7 if wf else self.minWriterVersion,
+            readerFeatures=rf,
+            writerFeatures=wf,
+        )
+
+
+@dataclass
 class CommitInfo:
     operation: str
     operationParameters: dict[str, Any] = field(default_factory=dict)
@@ -186,6 +270,7 @@ class Snapshot:
     version: int
     metadata: Metadata
     files: dict[str, AddFile]  # table-relative path -> AddFile
+    protocol: Protocol = field(default_factory=Protocol)
 
     @property
     def num_files(self) -> int:
@@ -272,6 +357,7 @@ class DeltaLog:
         base_version = -1
         files: dict[str, AddFile] = {}
         metadata: Metadata | None = None
+        protocol = Protocol()
         # find the nearest cached ancestor to replay from
         for v in sorted(self._snapshot_cache, reverse=True):
             if v < version:
@@ -279,12 +365,13 @@ class DeltaLog:
                 base_version = v
                 files = dict(cached.files)
                 metadata = cached.metadata
+                protocol = cached.protocol
                 break
         # cold cache: start from the nearest checkpoint at or below target
         if base_version < 0:
             ckpt_v = self._nearest_checkpoint(version)
             if ckpt_v is not None:
-                metadata, files = self._read_checkpoint(ckpt_v)
+                metadata, files, protocol = self._read_checkpoint(ckpt_v)
                 base_version = ckpt_v
 
         for v in range(base_version + 1, version + 1):
@@ -296,12 +383,16 @@ class DeltaLog:
                     files.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
                     metadata = Metadata.from_action(action["metaData"])
+                elif "protocol" in action:
+                    protocol = Protocol.from_action(action["protocol"])
 
         if metadata is None:
             raise TableNotFoundError(
                 f"no metaData action found in log of {self.table_path}"
             )
-        snap = Snapshot(version=version, metadata=metadata, files=files)
+        snap = Snapshot(
+            version=version, metadata=metadata, files=files, protocol=protocol
+        )
         self._snapshot_cache[version] = snap
         return snap
 
@@ -340,9 +431,12 @@ class DeltaLog:
                     best = v
         return best
 
-    def _read_checkpoint(self, version: int) -> tuple[Metadata, dict[str, AddFile]]:
+    def _read_checkpoint(
+        self, version: int
+    ) -> tuple[Metadata, dict[str, AddFile], Protocol]:
         files: dict[str, AddFile] = {}
         metadata: Metadata | None = None
+        protocol = Protocol()
         with open(self._checkpoint_file(version), "r", encoding="utf-8") as fh:
             for line in fh:
                 if not line.strip():
@@ -353,11 +447,13 @@ class DeltaLog:
                     files[add.path] = add
                 elif "metaData" in action:
                     metadata = Metadata.from_action(action["metaData"])
+                elif "protocol" in action:
+                    protocol = Protocol.from_action(action["protocol"])
         if metadata is None:
             raise TableNotFoundError(
                 f"checkpoint {version} of {self.table_path} has no metaData"
             )
-        return metadata, files
+        return metadata, files, protocol
 
     def write_checkpoint(self, version: int | None = None) -> int:
         """Materialize the snapshot at ``version`` (default latest) into a
@@ -366,6 +462,7 @@ class DeltaLog:
         snap = self.snapshot(version)
         tmp = os.path.join(self.log_path, f".tmp-ckpt-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps(snap.protocol.to_action(), separators=(",", ":")) + "\n")
             fh.write(json.dumps(snap.metadata.to_action(), separators=(",", ":")) + "\n")
             for add in snap.files.values():
                 fh.write(json.dumps(add.to_action(), separators=(",", ":")) + "\n")

@@ -187,6 +187,7 @@ def read_delta(
             raise ValueError("pass version OR timestamp, not both")
         version = log.version_at_timestamp(_to_millis(timestamp))
     snap = log.snapshot(version)
+    snap.protocol.check_read_support(path)
 
     adds = list(snap.files.values())
     if partition_filter:

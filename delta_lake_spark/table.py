@@ -452,6 +452,7 @@ class DeltaTable:
             Content-neutral mutations (our own OPTIMIZE/PURGE) rebase
             over appends too — compaction ignores files it didn't read.
         """
+        read_snap.protocol.check_write_support(self.path)
         for attempt in range(4):
             try:
                 return self._log.commit_next(actions, retries=0)
@@ -638,6 +639,7 @@ class DeltaTable:
                 },
             ).to_action()
         ]
+        actions.extend(self._feature_upgrade(snap, "deletionVectors"))
         for p in touched:
             a = by_path[p]
             actions.append(
@@ -744,6 +746,7 @@ class DeltaTable:
                 },
                 operationMetrics={"numCopiedFiles": 0, "numReferencedFiles": len(snap.files)},
             ).to_action(),
+            snap.protocol.to_action(),  # clone inherits the feature set
             meta.to_action(),
         ]
         for a in snap.files.values():
@@ -1055,9 +1058,11 @@ class DeltaTable:
     def _commit_schema(
         self, snap, new_schema, operation: str, params: dict[str, Any],
         configuration: dict[str, str] | None = None,
+        extra_actions: list[dict[str, Any]] | None = None,
     ) -> int:
         from .log import Metadata
 
+        snap.protocol.check_write_support(self.path)
         meta = Metadata(
             schemaString=new_schema.json(),
             partitionColumns=list(snap.metadata.partitionColumns),
@@ -1077,10 +1082,18 @@ class DeltaTable:
                     operationParameters=params,
                     readVersion=snap.version,
                 ).to_action(),
+                *(extra_actions or []),
                 meta.to_action(),
             ],
             retries=0,
         )
+
+    def _feature_upgrade(self, snap, feature: str) -> list[dict[str, Any]]:
+        """Protocol action adding a reader feature, or [] when the table
+        already declares it (committed alongside the enabling change)."""
+        if feature in snap.protocol.readerFeatures:
+            return []
+        return [snap.protocol.with_features(reader=[feature]).to_action()]
 
     def _assert_column_alterable(self, snap, col: str, action: str) -> None:
         import re as _re
@@ -1179,6 +1192,7 @@ class DeltaTable:
         return self._commit_schema(
             snap, new_schema, "RENAME COLUMN", {"from": old, "to": new},
             configuration=conf,
+            extra_actions=self._feature_upgrade(snap, "columnMapping"),
         )
 
     def drop_column(self, name: str) -> int:
@@ -1202,7 +1216,9 @@ class DeltaTable:
             [f for f in frozen.fields if f.name != match[0].name]
         )
         return self._commit_schema(
-            snap, new_schema, "DROP COLUMN", {"column": name}, configuration=conf
+            snap, new_schema, "DROP COLUMN", {"column": name},
+            configuration=conf,
+            extra_actions=self._feature_upgrade(snap, "columnMapping"),
         )
 
     def set_properties(self, props: dict[str, str]) -> int:

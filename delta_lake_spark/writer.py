@@ -35,7 +35,15 @@ from .errors import (
     ConstraintViolationError,
     SchemaMismatchError,
 )
-from .log import AddFile, CommitInfo, DeltaLog, Metadata, RemoveFile, _utc_millis
+from .log import (
+    AddFile,
+    CommitInfo,
+    DeltaLog,
+    Metadata,
+    Protocol,
+    RemoveFile,
+    _utc_millis,
+)
 from .stats import file_stats
 
 PV_DIR_PREFIX = "__pv_"
@@ -433,6 +441,7 @@ def write_delta(
                 "generated/identity columns can only be set at table creation"
             )
         snap = log.snapshot()
+        snap.protocol.check_write_support(path)
         table_schema = schema_of(snap)
         df, id_specs = assign_identity(df, snap.metadata.configuration)
         df = apply_generated(df, snap.metadata.configuration)
@@ -541,6 +550,8 @@ def write_delta(
             },
         )
         actions: list[dict[str, Any]] = [commit_info.to_action()]
+        if not table_exists:
+            actions.append(Protocol().to_action())
         if metadata is not None:
             actions.append(metadata.to_action())
         actions.extend(removes_now)
@@ -699,6 +710,6 @@ def convert_to_delta(
         operationParameters={"numFiles": len(adds)},
         operationMetrics={"numConvertedFiles": len(adds)},
     )
-    actions = [commit_info.to_action(), metadata.to_action()]
+    actions = [commit_info.to_action(), Protocol().to_action(), metadata.to_action()]
     actions.extend(a.to_action() for a in adds)
     return log.commit(0, actions)

@@ -1,0 +1,100 @@
+"""Protocol versioning: reader/writer feature gates (Delta table
+features shape) — unknown features must refuse loudly, enabling
+features upgrades the protocol in the same commit, clones inherit it."""
+
+import json
+import os
+
+import pytest
+
+from delta_lake_spark.errors import UnsupportedProtocolError
+from delta_lake_spark.log import DeltaLog, Protocol
+from delta_lake_spark.reader import read_delta
+from delta_lake_spark.table import DeltaTable
+from delta_lake_spark.writer import write_delta
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"), p
+    )
+    return DeltaTable.forPath(spark, p)
+
+
+def _append_protocol(path, **kwargs):
+    log = DeltaLog(path)
+    v = log.latest_version() + 1
+    action = Protocol(**kwargs).to_action()
+    with open(os.path.join(path, "_delta_log", f"{v:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "UPGRADE"}}) + "\n")
+        fh.write(json.dumps(action) + "\n")
+
+
+def test_new_tables_carry_base_protocol(table):
+    snap = table._log.snapshot()
+    assert snap.protocol.minReaderVersion == 1
+    assert snap.protocol.minWriterVersion == 2
+
+
+def test_unknown_reader_feature_refuses_read_and_write(spark, table):
+    _append_protocol(
+        table.path,
+        minReaderVersion=3,
+        minWriterVersion=7,
+        readerFeatures=["v2Checkpoint"],
+        writerFeatures=["v2Checkpoint"],
+    )
+    with pytest.raises(UnsupportedProtocolError):
+        read_delta(spark, table.path)
+    with pytest.raises(UnsupportedProtocolError):
+        write_delta(
+            spark.createDataFrame([(3, 1.0)], "id long, v double"), table.path
+        )
+    with pytest.raises(UnsupportedProtocolError):
+        table.delete("id = 1")
+
+
+def test_unknown_writer_feature_blocks_writes_not_reads(spark, table):
+    _append_protocol(
+        table.path,
+        minReaderVersion=1,
+        minWriterVersion=7,
+        writerFeatures=["rowTracking"],
+    )
+    assert read_delta(spark, table.path).count() == 2  # reads fine
+    with pytest.raises(UnsupportedProtocolError):
+        table.update("id = 1", {"v": "0.0"})
+
+
+def test_rename_upgrades_protocol_with_column_mapping(spark, table):
+    table.rename_column("v", "value")
+    proto = table._log.snapshot().protocol
+    assert "columnMapping" in proto.readerFeatures
+    assert proto.minReaderVersion == 3
+    # still readable/writable by this engine
+    assert read_delta(spark, table.path).count() == 2
+
+
+def test_dv_delete_upgrades_protocol(spark, table):
+    table.delete("id = 1", use_dv=True)
+    proto = table._log.snapshot().protocol
+    assert "deletionVectors" in proto.readerFeatures
+
+
+def test_clone_inherits_protocol(spark, tmp_path, table):
+    table.rename_column("v", "value")
+    clone = table.clone(str(tmp_path / "c"), shallow=True)
+    proto = clone._log.snapshot().protocol
+    assert "columnMapping" in proto.readerFeatures
+    assert read_delta(spark, clone.path).columns == ["id", "value"]
+
+
+def test_protocol_survives_checkpoint_replay(spark, table):
+    table.rename_column("v", "value")
+    log = DeltaLog(table.path)
+    log.write_checkpoint()
+    fresh = DeltaLog(table.path)  # cold cache -> checkpoint replay
+    proto = fresh.snapshot().protocol
+    assert "columnMapping" in proto.readerFeatures

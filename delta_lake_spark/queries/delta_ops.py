@@ -710,6 +710,36 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q79_stream_stream_join(spark, sf_dir):
+    """Genuine stream-stream interval join (two streaming sources,
+    watermark-bounded state, append mode): views paired with the same
+    user's purchases within 30 minutes. The batch-SQL oracle proves
+    stream==batch row-for-row."""
+    from ..streaming.incremental import run_stream_stream_join
+
+    ev = _events(spark, sf_dir)
+    path = _fresh("ssj_src")
+    ev.write.parquet(path)
+    return run_stream_stream_join(
+        spark,
+        path,
+        _fresh("ssj_ckpt"),
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        within_minutes=30,
+        query_name="q79_ssj",
+    )
+
+
+_Q79_SQL = """
+SELECT l.user_id, l.event_id AS login_id, p.event_id AS purchase_id
+FROM events l JOIN events p
+  ON l.user_id = p.user_id
+ AND l.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= l.ts AND p.ts <= l.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -730,6 +760,7 @@ QUERIES = {
     "q66_streaming_delta_sink": q66_streaming_delta_sink,
     "q75_delta_column_mapping": q75_delta_column_mapping,
     "q78_cdf_streaming_drain": q78_cdf_streaming_drain,
+    "q79_stream_stream_join": q79_stream_stream_join,
 }
 
 ORACLE_SQL = {
@@ -751,4 +782,5 @@ ORACLE_SQL = {
     "q66_streaming_delta_sink": _Q66_SQL,
     "q75_delta_column_mapping": _Q75_SQL,
     "q78_cdf_streaming_drain": _Q78_SQL,
+    "q79_stream_stream_join": _Q79_SQL,
 }

@@ -322,3 +322,76 @@ def stream_table_changes(
         .option("pathGlobFilter", "*.parquet")
         .parquet(target_dir)
     )
+
+
+def interval_join_events(
+    logins: DataFrame,
+    purchases: DataFrame,
+    within_minutes: int = 30,
+    state_horizon: str = "2 hours",
+) -> DataFrame:
+    """Event-time interval join (stream-stream join): each login pairs
+    with that user's purchases in [login.ts, login.ts + within]. The
+    same expression runs on batch or streaming inputs; under a stream,
+    the watermarks plus the time-range condition bound BOTH join-state
+    buffers to the horizon, so state size follows event-time skew, not
+    stream lifetime — the requirement for an unbounded 100 TB/day feed.
+
+    Inner-join rows emit as soon as both sides arrive (append mode);
+    the watermark only evicts state, it never delays output.
+    """
+    l = logins.select(
+        F.col("event_id").alias("login_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("l_ts"),
+    ).withWatermark("l_ts", state_horizon)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    ).withWatermark("p_ts", state_horizon)
+    return l.join(
+        p,
+        F.expr(
+            "user_id = p_user AND p_ts >= l_ts "
+            f"AND p_ts <= l_ts + interval {int(within_minutes)} minutes"
+        ),
+        "inner",
+    ).select("user_id", "login_id", "purchase_id")
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within_minutes: int = 30,
+    query_name: str = "dls_stream_join",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drive interval_join_events as a genuine stream-stream join: two
+    independent streaming sources over the same event feed (filtered to
+    the two event types), availableNow drain into a memory sink."""
+    logins = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == left_type)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == right_type)
+    )
+    joined = interval_join_events(logins, purchases, within_minutes)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)

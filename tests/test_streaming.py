@@ -236,3 +236,35 @@ def test_cdf_streaming_source_exactly_once(spark, tmp_path):
     t.optimize()
     feed3 = stream_table_changes(spark, p, out)
     assert feed3.count() == feed2.count()
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """The interval join must produce identical rows under a genuine
+    two-source stream-stream plan and under plain batch execution."""
+    from delta_lake_spark.queries.relational import _events
+    from delta_lake_spark.streaming.incremental import (
+        interval_join_events,
+        run_stream_stream_join,
+    )
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+
+    streamed = run_stream_stream_join(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        query_name="t_ssj",
+        within_minutes=120,
+    )
+    batch = interval_join_events(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'purchase'"),
+        within_minutes=120,
+    )
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0

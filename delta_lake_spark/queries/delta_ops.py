@@ -740,6 +740,61 @@ FROM events l JOIN events p
 """
 
 
+def q80_streaming_merge_upsert(spark, sf_dir):
+    """CDC apply pattern: a streaming MERGE sink upserts two drained
+    micro-batch rounds (base load, then updates + inserts) into a
+    versioned table, exactly-once per epoch. The oracle reconstructs the
+    expected upserted state relationally."""
+    from ..streaming.incremental import stream_merge_into_delta
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    ev = _events(spark, sf_dir)
+    src = _fresh("smerge_src")
+    tbl = _fresh("smerge_tbl")
+    ckpt = _fresh("smerge_ckpt")
+
+    ev.write.parquet(src)
+    stream_merge_into_delta(
+        spark, src, tbl, ckpt, schema, key_col="event_id", txn_app_id="q80"
+    )
+    upd = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") + 1000
+    ).withColumn("event_type", F.lit("upd"))
+    ins = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    upd.unionByName(ins).write.mode("append").parquet(src)
+    stream_merge_into_delta(
+        spark, src, tbl, ckpt, schema, key_col="event_id", txn_app_id="q80"
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+_Q80_SQL = """
+WITH upd AS (
+  SELECT 'upd' AS event_type, value + 1000 AS value
+  FROM events WHERE event_id % 5 = 0
+),
+base AS (SELECT event_type, value FROM events WHERE event_id % 5 <> 0),
+ins AS (SELECT event_type, value FROM events WHERE event_id % 7 = 0),
+allr AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+)
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM allr GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -761,6 +816,7 @@ QUERIES = {
     "q75_delta_column_mapping": q75_delta_column_mapping,
     "q78_cdf_streaming_drain": q78_cdf_streaming_drain,
     "q79_stream_stream_join": q79_stream_stream_join,
+    "q80_streaming_merge_upsert": q80_streaming_merge_upsert,
 }
 
 ORACLE_SQL = {
@@ -783,4 +839,5 @@ ORACLE_SQL = {
     "q75_delta_column_mapping": _Q75_SQL,
     "q78_cdf_streaming_drain": _Q78_SQL,
     "q79_stream_stream_join": _Q79_SQL,
+    "q80_streaming_merge_upsert": _Q80_SQL,
 }

@@ -395,3 +395,91 @@ def run_stream_stream_join(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(query_name)
+
+
+def stream_merge_into_delta(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_col: str,
+    txn_app_id: str = "dls_stream_merge",
+    transform=None,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming UPSERT into a versioned table: foreachBatch runs a
+    MERGE (update-on-match, insert-on-miss) per micro-batch — the CDC
+    apply pattern. Exactly-once like stream_into_delta: (txnAppId,
+    epoch) is recorded in the MERGE commit and a crash-retried epoch is
+    skipped, so a replayed batch can neither double-insert nor
+    re-update.
+
+    Within a micro-batch the source is deduplicated to the LAST row per
+    key (micro-batches preserve source order within a key only as event
+    files do, so the reducer is max-by struct ordering on (ts, row)) —
+    the standard guard against multi-match MERGE ambiguity in CDC
+    streams."""
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..table import DeltaTable
+    from ..writer import write_delta
+
+    def _apply_batch(batch_df, epoch_id: int) -> None:
+        log = DeltaLog(table_path)
+        exists = False
+        try:
+            exists = log.exists()
+            if exists:
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        return  # crash-retry replay of a committed epoch
+        except TableNotFoundError:
+            pass
+
+        cols = [c for c in batch_df.columns if c != key_col]
+        latest = (
+            batch_df.groupBy(key_col)
+            .agg(F.max(F.struct(*cols)).alias("__s"))
+            .select(key_col, "__s.*")
+        )
+        if not exists:
+            write_delta(
+                latest,
+                table_path,
+                mode="append",
+                operation="STREAMING MERGE",
+                operation_parameters={
+                    "txnAppId": txn_app_id,
+                    "txnVersion": epoch_id,
+                },
+            )
+            return
+        dt = DeltaTable.forPath(spark, table_path)
+        (
+            dt.alias("t")
+            .merge(latest, f"t.{key_col} = s.{key_col}", source_alias="s")
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .execute(
+                operation_parameters={
+                    "txnAppId": txn_app_id,
+                    "txnVersion": epoch_id,
+                }
+            )
+        )
+
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    if transform is not None:
+        src = transform(src)
+    q = (
+        src.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

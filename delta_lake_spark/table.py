@@ -126,7 +126,7 @@ class MergeBuilder:
     def _target_cols(self, schema: StructType, t_alias: str) -> list[Column]:
         return [F.col(f"{t_alias}.{f.name}") for f in schema.fields]
 
-    def execute(self) -> int:
+    def execute(self, operation_parameters: dict[str, Any] | None = None) -> int:
         t = self._table
         spark = t.spark
         log = t._log
@@ -298,6 +298,7 @@ class MergeBuilder:
                     "predicate": str(self._condition),
                     "matchedClauses": [c["kind"] for c in self._matched],
                     "notMatchedClauses": [c["kind"] for c in self._not_matched],
+                    **(operation_parameters or {}),
                 },
                 readVersion=snap.version,
                 operationMetrics={

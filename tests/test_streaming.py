@@ -268,3 +268,44 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     a = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stream_merge_upsert_exactly_once(spark, tmp_path):
+    """CDC-style streaming MERGE sink: per-batch upsert keyed on id,
+    last-row-per-key within a batch, exactly-once across drains."""
+    from delta_lake_spark.reader import read_delta
+    from delta_lake_spark.streaming.incremental import stream_merge_into_delta
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, ts long, v string"
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (2, 20, "b2")], schema
+    ).write.parquet(src)
+    stream_merge_into_delta(spark, src, tbl, ckpt, schema, key_col="id")
+    got = {r.id: (r.ts, r.v) for r in read_delta(spark, tbl).collect()}
+    assert got == {1: (10, "a"), 2: (20, "b2")}  # last per key wins
+
+    # second drain with no new files: no-op, no duplicates
+    stream_merge_into_delta(spark, src, tbl, ckpt, schema, key_col="id")
+    assert read_delta(spark, tbl).count() == 2
+
+    # CDC updates + inserts in a later batch
+    spark.createDataFrame(
+        [(1, 30, "a3"), (3, 30, "c")], schema
+    ).write.mode("append").parquet(src)
+    stream_merge_into_delta(spark, src, tbl, ckpt, schema, key_col="id")
+    got = {r.id: (r.ts, r.v) for r in read_delta(spark, tbl).collect()}
+    assert got == {1: (30, "a3"), 2: (20, "b2"), 3: (30, "c")}
+
+    # epoch bookkeeping: MERGE commit carries txnAppId/txnVersion
+    from delta_lake_spark.table import DeltaTable
+
+    hist = DeltaTable.forPath(spark, tbl)._log.history()
+    assert any(
+        (h.get("operationParameters") or {}).get("txnAppId") == "dls_stream_merge"
+        for h in hist
+        if h.get("operation") == "MERGE"
+    )

@@ -558,6 +558,29 @@ def write_delta(
         actions.extend(a.to_action() for a in adds)
         return actions
 
+    def maybe_auto_compact(committed_version: int) -> None:
+        """Post-commit auto-compaction (``autoCompact = true`` table
+        property): when the number of live below-target files reaches
+        ``autoCompact.minNumFiles`` (default 50), fold them with a
+        dataChange=False OPTIMIZE — write paths stay fast (compaction is
+        a separate commit, never blocking the append) and readers stop
+        accumulating small-file overhead without a scheduled job."""
+        conf = (metadata.configuration if metadata is not None else snap.metadata.configuration)
+        if str(conf.get("autoCompact", "")).lower() != "true":
+            return
+        min_files = int(conf.get("autoCompact.minNumFiles", "50"))
+        target = int(conf.get("autoCompact.targetFileBytes", str(64 * 1024 * 1024)))
+        post = log.snapshot(committed_version)
+        small = [a for a in post.files.values() if a.size < target]
+        if len(small) < min_files:
+            return
+        from .table import DeltaTable
+
+        try:
+            DeltaTable(df.sparkSession, path).optimize(target_file_bytes=target)
+        except ConcurrentModificationError:
+            pass  # another writer compacted or mutated first; not our data
+
     # optimistic-concurrency resolution on a lost commit race:
     #   - append: retry only if table metadata (schema/partitioning/
     #     constraints) is unchanged — the staged files stay valid;
@@ -566,7 +589,9 @@ def write_delta(
     prior_meta = snap.metadata.to_action() if table_exists else None
     for attempt in range(4):
         try:
-            return log.commit_next(build_actions(removes))
+            version = log.commit_next(build_actions(removes))
+            maybe_auto_compact(version)
+            return version
         except ConcurrentModificationError:
             if id_specs:
                 raise  # winner may hold the same id range: caller re-runs

@@ -398,3 +398,30 @@ def test_optimize_partition_scoped(spark, tmp_table):
         if a.partitionValues.get("p") == "2"
     }.isdisjoint(before.files.keys() - other)
     assert read_delta(spark, tmp_table).count() == 2000
+
+
+def test_auto_compact_on_write(spark, tmp_path):
+    """autoCompact=true: once small live files reach minNumFiles, the
+    append triggers a follow-on dataChange=False OPTIMIZE commit."""
+    from delta_lake_spark.reader import read_delta
+    from delta_lake_spark.table import DeltaTable
+    from delta_lake_spark.writer import write_delta
+
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(0, 0.0)], "id long, v double").coalesce(1), p
+    )
+    dt = DeltaTable.forPath(spark, p)
+    dt.set_properties({"autoCompact": "true", "autoCompact.minNumFiles": "4"})
+
+    for i in range(1, 4):
+        write_delta(
+            spark.createDataFrame([(i, i * 1.0)], "id long, v double").coalesce(1),
+            p,
+        )
+    snap = dt._log.snapshot()
+    assert snap.num_files == 1, f"expected compaction, files={snap.num_files}"
+    ops = [h["operation"] for h in dt._log.history()]
+    assert "OPTIMIZE" in ops
+    got = sorted(r.id for r in read_delta(spark, p).collect())
+    assert got == [0, 1, 2, 3]

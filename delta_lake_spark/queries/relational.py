@@ -970,6 +970,80 @@ FROM v
 """
 
 
+def q81_date_dimensions(spark, sf_dir):
+    """Scalar date-function surface: year/month/quarter extraction,
+    month truncation, day arithmetic, last-day — aggregated per derived
+    dimension so every function output is value-checked."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.select(
+            F.year(d).cast("long").alias("yr"),
+            F.quarter(d).cast("long").alias("qtr"),
+            F.trunc(d, "month").alias("month_start"),
+            F.last_day(d).alias("month_end"),
+            F.datediff(F.lit("1998-12-31").cast("date"), d)
+            .cast("long")
+            .alias("days_to_eoy"),
+            F.dayofweek(d).cast("long").alias("dow"),
+        )
+        .groupBy("yr", "qtr", "month_start", "month_end")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("days_to_eoy").alias("sum_days"),
+            F.sum("dow").alias("sum_dow"),
+        )
+    )
+
+
+_Q81_SQL = """
+SELECT
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  last_day(o_orderdate) AS month_end,
+  COUNT(*) AS n,
+  CAST(SUM(date_diff('day', o_orderdate, DATE '1998-12-31')) AS BIGINT)
+    AS sum_days,
+  CAST(SUM(dayofweek(o_orderdate) + 1) AS BIGINT) AS sum_dow
+FROM orders
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q82_string_functions(spark, sf_dir):
+    """Scalar string-function surface: case mapping, substring, padding,
+    replace, reverse, position, edit distance — on the part table, one
+    row per part so every value is oracle-checked."""
+    part = _t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("uname"),
+        F.substring(name, 1, 5).alias("first5"),
+        F.length(name).cast("long").alias("len"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("padded"),
+        F.regexp_replace(name, " ", "_").alias("snake"),
+        F.reverse(F.col("p_brand")).alias("rbrand"),
+        F.instr(name, "a").cast("long").alias("first_a"),
+        F.levenshtein(F.col("p_brand"), F.col("p_type")).cast("long").alias("edit_dist"),
+    )
+
+
+_Q82_SQL = """
+SELECT p_partkey,
+  upper(p_name) AS uname,
+  substr(p_name, 1, 5) AS first5,
+  CAST(length(p_name) AS BIGINT) AS len,
+  lpad(p_brand, 12, '*') AS padded,
+  replace(p_name, ' ', '_') AS snake,
+  reverse(p_brand) AS rbrand,
+  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist
+FROM part
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -1003,6 +1077,8 @@ QUERIES = {
     "q72_retention_setops": q72_retention_setops,
     "q73_price_percentiles": q73_price_percentiles,
     "q74_embedding_array_stats": q74_embedding_array_stats,
+    "q81_date_dimensions": q81_date_dimensions,
+    "q82_string_functions": q82_string_functions,
 }
 
 ORACLE_SQL = {
@@ -1038,4 +1114,6 @@ ORACLE_SQL = {
     "q72_retention_setops": _Q72_SQL,
     "q73_price_percentiles": _Q73_SQL,
     "q74_embedding_array_stats": _Q74_SQL,
+    "q81_date_dimensions": _Q81_SQL,
+    "q82_string_functions": _Q82_SQL,
 }

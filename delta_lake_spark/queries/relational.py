@@ -1044,6 +1044,31 @@ FROM part
 """
 
 
+def q83_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — two independent aggregation dimensions
+    in one pass (single Expand + one shuffle, not two scans)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q83_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT) AS g
+        FROM __q83_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+_Q83_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS g
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -1079,6 +1104,7 @@ QUERIES = {
     "q74_embedding_array_stats": q74_embedding_array_stats,
     "q81_date_dimensions": q81_date_dimensions,
     "q82_string_functions": q82_string_functions,
+    "q83_grouping_sets": q83_grouping_sets,
 }
 
 ORACLE_SQL = {
@@ -1116,4 +1142,5 @@ ORACLE_SQL = {
     "q74_embedding_array_stats": _Q74_SQL,
     "q81_date_dimensions": _Q81_SQL,
     "q82_string_functions": _Q82_SQL,
+    "q83_grouping_sets": _Q83_SQL,
 }

@@ -291,3 +291,22 @@ def test_repetition_ratio_edges(spark):
     assert out[1].n_grams == 7 and abs(out[1].rep_ratio - (1 - 3 / 7)) < 1e-6
     assert out[2].rep_ratio == 0.0
     assert out[3].n_grams == 0 and out[3].rep_ratio == 0.0
+
+
+def test_approx_count_distinct_calibration(spark):
+    """HLL approx_count_distinct stays within its documented relative
+    error (default rsd 5%) of the exact distinct count on real keys —
+    the sketch path for COUNT(DISTINCT) at 100 TB where exactness would
+    force a full shuffle of every key."""
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    # rsd is a STANDARD DEVIATION, not a bound: allow 3 sigma
+    row = orders.select(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 3 * 0.05
+    row2 = orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row2.approx - row2.exact) / row2.exact < 3 * 0.01

@@ -307,6 +307,32 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame([(version,)], "version long")
 
     m = re.match(
+        r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF"
+        r"\s+'(?P<ts>[^']+)'\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        from .reader import _to_millis
+
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        target = dt._log.version_at_timestamp(_to_millis(m.group("ts")))
+        version = dt.restore(target)
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = re.match(
+        r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        conf = dt._log.snapshot().metadata.configuration
+        rows = sorted(conf.items()) or [("", "")]
+        return spark.createDataFrame(rows, "key string, value string").filter(
+            "key <> ''"
+        )
+
+    m = re.match(
         r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
         r"(?:\s+WHERE\s+(?P<pcol>\w+)\s*=\s*'?(?P<pval>[^'\s]+)'?)?"
         r"(?:\s+(?P<kind>CLUSTER|ZORDER)\s+BY\s+\(?(?P<cols>[\w,\s]+?)\)?)?\s*$",

@@ -155,6 +155,15 @@ def test_headline_plans_have_no_pathologies(spark):
         "q20_asof_login_before_purchase": 2,
         "q37_token_stats": 0,
         "q40_fingerprint": 0,
+        "q67_chunk_documents": 0,
+        "q69_redact_pii": 0,
+        "q70_repetition_ratio": 0,
+        "q71_cube_revenue": 1,  # one Expand, one shuffle
+        "q73_price_percentiles": 1,
+        "q74_embedding_array_stats": 0,
+        "q81_date_dimensions": 1,
+        "q82_string_functions": 0,
+        "q83_grouping_sets": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(QUERIES[name](spark, SF_DIR))

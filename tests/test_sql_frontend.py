@@ -185,3 +185,35 @@ def test_sql_tblproperties_reorg_clone(spark, tmp_path):
     snap = dt._log.snapshot()
     assert not any(a.deletionVector for a in snap.files.values())
     assert sql(cat, "SELECT COUNT(*) AS n FROM props_t").first()["n"] == 60
+
+
+def test_show_tblproperties_and_restore_timestamp(spark, tmp_path):
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+    from delta_lake_spark.table import DeltaTable
+    from delta_lake_spark.writer import write_delta
+
+    p = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1,)], "id long"), p)
+    cat = Catalog(spark)
+    sql(cat, f"CREATE TABLE props_t USING DELTA LOCATION '{p}'")
+    sql(cat, "ALTER TABLE props_t SET TBLPROPERTIES ('autoCompact' = 'true')")
+    rows = {r.key: r.value for r in sql(cat, "SHOW TBLPROPERTIES props_t").collect()}
+    assert rows.get("autoCompact") == "true"
+
+    # advance the table, then restore to the creation commit's timestamp
+    import time
+
+    dt = DeltaTable.forPath(spark, p)
+    ts0 = dt._log.history()[-1]["timestamp"]
+    write_delta(spark.createDataFrame([(2,)], "id long"), p)
+    assert spark.read.parquet(p + "/data/*").count() >= 2
+    from datetime import datetime, timezone
+
+    exact = datetime.fromtimestamp(ts0 / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    sql(cat, f"RESTORE props_t TO TIMESTAMP AS OF '{exact}'")
+    from delta_lake_spark.reader import read_delta
+
+    assert read_delta(spark, p).count() == 1

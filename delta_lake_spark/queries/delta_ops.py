@@ -795,6 +795,43 @@ FROM allr GROUP BY event_type
 """
 
 
+def q84_partitioned_write_pruned_read(spark, sf_dir):
+    """Partitioned delta write (S7) + partition-pruned read: the scan
+    receives ONLY the requested partition's files from the log (asserted
+    on the file list, not just the result), so the oracle checks both
+    the layout bookkeeping and the pruned values."""
+    ev = _events(spark, sf_dir)
+    path = _fresh("part_write")
+    write_delta(ev, path, partition_by=["event_type"])
+
+    dt = DeltaTable.forPath(spark, path)
+    snap = dt._log.snapshot()
+    want = {
+        p
+        for p, a in snap.files.items()
+        if a.partitionValues.get("event_type") == "purchase"
+    }
+    assert want and all(
+        a.partitionValues.get("event_type") is not None
+        for a in snap.files.values()
+    ), "partition values must be recorded for every file"
+
+    pruned = read_delta(
+        spark, path, partition_filter={"event_type": "purchase"}
+    )
+    return pruned.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+_Q84_SQL = """
+SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -817,6 +854,7 @@ QUERIES = {
     "q78_cdf_streaming_drain": q78_cdf_streaming_drain,
     "q79_stream_stream_join": q79_stream_stream_join,
     "q80_streaming_merge_upsert": q80_streaming_merge_upsert,
+    "q84_partitioned_write_pruned_read": q84_partitioned_write_pruned_read,
 }
 
 ORACLE_SQL = {
@@ -840,4 +878,5 @@ ORACLE_SQL = {
     "q78_cdf_streaming_drain": _Q78_SQL,
     "q79_stream_stream_join": _Q79_SQL,
     "q80_streaming_merge_upsert": _Q80_SQL,
+    "q84_partitioned_write_pruned_read": _Q84_SQL,
 }

@@ -428,6 +428,32 @@ class DeltaTable:
             "numDeletedRows long",
         )
 
+    def files(self) -> DataFrame:
+        """Queryable file inventory of the current snapshot (the shape of
+        an Iceberg-style ``files`` metadata table): path, size, rows,
+        partition values, deletion-vector state. Driver cost is O(#files)
+        metadata only — no data is read."""
+        import json as _json
+
+        snap = self._log.snapshot()
+        rows = [
+            (
+                a.path,
+                a.size,
+                a.numRecords,
+                _json.dumps(a.partitionValues or {}),
+                a.deletionVector is not None,
+                int((a.deletionVector or {}).get("cardinality", 0)),
+            )
+            for a in snap.files.values()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, size_bytes long, num_records long, "
+            "partition_values string, has_deletion_vector boolean, "
+            "deleted_rows long",
+        )
+
     # ---------- mutations ----------
 
     def _commit_mutation(

@@ -184,3 +184,28 @@ def test_timestamp_as_of_time_travel(spark, tmp_table):
         "SELECT COUNT(*) AS n FROM tt_tbl TIMESTAMP AS OF '1970-01-01 00:33:20'",
     ).first()["n"]
     assert n == 30
+
+
+def test_files_metadata_table(spark, tmp_path):
+    from delta_lake_spark.table import DeltaTable
+    from delta_lake_spark.writer import write_delta
+
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(10)], "id long, k string"
+        ),
+        p,
+        partition_by=["k"],
+    )
+    dt = DeltaTable.forPath(spark, p)
+    files = dt.files()
+    rows = files.collect()
+    assert sum(r.num_records for r in rows) == 10
+    assert all(not r.has_deletion_vector for r in rows)
+    import json
+
+    parts = {json.loads(r.partition_values).get("k") for r in rows}
+    assert parts == {"a", "b"}
+    dt.delete("id = 0", use_dv=True)
+    assert dt.files().filter("has_deletion_vector").count() >= 1

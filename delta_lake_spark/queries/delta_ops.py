@@ -832,6 +832,50 @@ GROUP BY user_id
 """
 
 
+def q85_generated_partition_pruning(spark, sf_dir):
+    """Generated partition column (p_date = cast(ts as date), computed
+    by the WRITER, validated if supplied) + partition-pruned read on the
+    derived key — the reference's daily-partition pattern made sound:
+    pruning on p_date is always correct because the writer enforces the
+    generation expression. The oracle derives the same date in SQL."""
+    ev = _events(spark, sf_dir)
+    path = _fresh("gen_part")
+    write_delta(
+        ev,
+        path,
+        partition_by=["p_date"],
+        generated={"p_date": "cast(ts as date)"},
+    )
+    dt = DeltaTable.forPath(spark, path)
+    snap = dt._log.snapshot()
+    dates = sorted(
+        {a.partitionValues.get("p_date") for a in snap.files.values()}
+    )
+    target = dates[len(dates) // 2]  # a middle day, deterministic
+    pruned = read_delta(spark, path, partition_filter={"p_date": target})
+    return pruned.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+# the events span fixed dates; recompute the same middle day in SQL
+_Q85_SQL = """
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+),
+ranked AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d) - 1 AS rn,
+         COUNT(*) OVER () AS total
+  FROM days
+),
+target AS (SELECT d FROM ranked WHERE rn = total // 2)
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events WHERE CAST(ts AS DATE) = (SELECT d FROM target)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -855,6 +899,7 @@ QUERIES = {
     "q79_stream_stream_join": q79_stream_stream_join,
     "q80_streaming_merge_upsert": q80_streaming_merge_upsert,
     "q84_partitioned_write_pruned_read": q84_partitioned_write_pruned_read,
+    "q85_generated_partition_pruning": q85_generated_partition_pruning,
 }
 
 ORACLE_SQL = {
@@ -879,4 +924,5 @@ ORACLE_SQL = {
     "q79_stream_stream_join": _Q79_SQL,
     "q80_streaming_merge_upsert": _Q80_SQL,
     "q84_partitioned_write_pruned_read": _Q84_SQL,
+    "q85_generated_partition_pruning": _Q85_SQL,
 }

@@ -301,6 +301,63 @@ def minhash_lsh_pairs(
     )
 
 
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id),
+    cluster_id = smallest member id (the canonical survivor). Documents
+    in no pair form singleton clusters of themselves.
+
+    Distributed min-label propagation: every node starts as its own
+    label; each round joins labels across edges and keeps the minimum;
+    stop when a round changes nothing. Rounds needed = graph diameter
+    (near-dup clusters are small and dense, so typically 2-3); each
+    round is one join + one aggregation — no driver-side graph, scales
+    with edges like everything else here. ``persist`` per round keeps
+    the lineage from growing exponentially.
+    """
+    edges = (
+        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
+        .union(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    for _ in range(max_iterations):
+        propagated = (
+            edges.join(labels, edges.a == labels.node)
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,

@@ -474,6 +474,53 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def q86_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: exact jaccard pairs -> connected
+    components (min-label propagation) -> every document labeled with
+    its cluster's canonical (smallest) id. The DuckDB oracle computes
+    the same components with a recursive transitive-closure CTE."""
+    from ..operators.dedup import resolve_duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    return resolve_duplicate_clusters(pairs, docs.select("doc_id"), "doc_id")
+
+
+_Q86_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+  WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = id_1
+  JOIN sizes s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(root) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def q76_tfidf_keywords(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), "text", "doc_id", k=5)
 
@@ -545,6 +592,7 @@ QUERIES = {
     "q70_repetition_ratio": q70_repetition_ratio,
     "q76_tfidf_keywords": q76_tfidf_keywords,
     "q77_vocabulary": q77_vocabulary,
+    "q86_dedup_clusters": q86_dedup_clusters,
 }
 
 ORACLE_SQL = {
@@ -567,4 +615,5 @@ ORACLE_SQL = {
     "q70_repetition_ratio": _Q70_SQL,
     "q76_tfidf_keywords": _Q76_SQL,
     "q77_vocabulary": _Q77_SQL,
+    "q86_dedup_clusters": _Q86_SQL,
 }

@@ -310,3 +310,18 @@ def test_approx_count_distinct_calibration(spark):
         F.countDistinct("o_custkey").alias("exact"),
     ).collect()[0]
     assert abs(row2.approx - row2.exact) / row2.exact < 3 * 0.01
+
+
+def test_cluster_resolution_transitivity(spark):
+    """A-B and B-C pairs must land A, B, C in one cluster labeled by the
+    smallest id, even though A-C was never a pair (transitivity); nodes
+    without pairs stay singletons."""
+    from delta_lake_spark.operators.dedup import resolve_duplicate_clusters
+
+    pairs = spark.createDataFrame([(2, 3), (3, 5), (8, 9)], "id_1 long, id_2 long")
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 8, 9]], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in resolve_duplicate_clusters(pairs, ids, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 5: 2, 8: 8, 9: 8}

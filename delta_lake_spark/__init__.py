@@ -23,7 +23,8 @@ from .cdf import table_changes
 from .log import DeltaLog, Snapshot
 from .reader import read_delta
 from .sql import sql
-from .errors import ConstraintViolationError
+from .errors import ConstraintViolationError, UnsupportedProtocolError
+from .log import Protocol
 from .table import DeltaTable
 from .writer import convert_to_delta, copy_into, write_delta
 
@@ -39,6 +40,8 @@ __all__ = [
     "convert_to_delta",
     "copy_into",
     "ConstraintViolationError",
+    "UnsupportedProtocolError",
+    "Protocol",
     "DeltaError",
     "ConcurrentModificationError",
     "SchemaMismatchError",

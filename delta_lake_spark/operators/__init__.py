@@ -11,11 +11,23 @@ from .dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    resolve_duplicate_clusters,
     simhash_pairs,
     word_shingles,
 )
 from .similarity import cosine_topk, ivf_topk, lsh_ann_pairs
-from .text import fingerprint, lang_id, quality_score, token_stats
+from .text import (
+    build_vocabulary,
+    chunk_documents,
+    fingerprint,
+    lang_id,
+    pack_sequences,
+    quality_score,
+    redact_pii,
+    repetition_ratio,
+    tfidf_top_terms,
+    token_stats,
+)
 
 __all__ = [
     "exact_dedup",
@@ -23,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "resolve_duplicate_clusters",
     "cosine_topk",
     "lsh_ann_pairs",
     "ivf_topk",
@@ -30,4 +43,10 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "chunk_documents",
+    "pack_sequences",
+    "redact_pii",
+    "repetition_ratio",
+    "tfidf_top_terms",
+    "build_vocabulary",
 ]

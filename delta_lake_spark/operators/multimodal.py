@@ -105,3 +105,58 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return df.mapInPandas(
         batches, schema="media_id long, frame_offset int, frame_checksum int"
     )
+
+
+def audio_chunk_plan(df: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Plan fixed-size chunking of audio payloads (the pre-step of any
+    chunked transcription/embedding pipeline): one row per (media,
+    chunk) with byte offsets. Pure JVM arithmetic on the payload length
+    — sequence+explode, no Python, no shuffle; the expensive per-chunk
+    decode happens downstream (transcribe_stub) on already-exploded
+    rows so it parallelizes past the number of input files.
+    """
+    n = F.octet_length(F.col("content"))
+    n_chunks = F.ceil(n / F.lit(chunk_bytes)).cast("int")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)), F.lit(1))
+    )
+    out = df.select(F.col("media_id"), n.alias("__n"), idx.alias("chunk_id"))
+    start = F.col("chunk_id") * chunk_bytes
+    return out.select(
+        "media_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_byte"),
+        F.least(F.lit(chunk_bytes), F.col("__n") - start)
+        .cast("long")
+        .alias("n_bytes"),
+    )
+
+
+def transcribe_stub(df: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """STUB for per-chunk audio transcription: joins the chunk plan's
+    offsets back over the payload and emits a deterministic checksum
+    'transcript' per chunk via mapInPandas (Arrow-batched). A real
+    implementation would run an ASR model here — unavailable in this
+    environment; batch shape and schema match the real operator.
+    ``df`` must carry media_id, content, chunk_id, start_byte, n_bytes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts = []
+            for content, start, n in zip(
+                pdf["content"], pdf["start_byte"], pdf["n_bytes"]
+            ):
+                chunk = content[int(start) : int(start) + int(n)]
+                texts.append(f"chunk[{int(sum(chunk)) % 99991}]")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "chunk_id": pdf["chunk_id"],
+                    "transcript": texts,
+                }
+            )
+
+    return df.mapInPandas(
+        batches, schema="media_id long, chunk_id long, transcript string"
+    )

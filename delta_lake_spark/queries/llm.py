@@ -521,6 +521,35 @@ FROM reach GROUP BY node
 """
 
 
+def q87_audio_chunk_plan(spark, sf_dir):
+    """Chunked-media planning: byte-offset chunk rows per payload, all
+    JVM arithmetic (sequence+explode over octet_length) — the shuffle-
+    free pre-step a chunked transcription/embedding pipeline fans out
+    on. Oracle recomputes the plan from the byte length in SQL."""
+    from ..operators.multimodal import audio_chunk_plan, documents_as_media
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    return audio_chunk_plan(media, chunk_bytes=256)
+
+
+_Q87_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, strlen(text) AS n,
+         CAST(ceil(strlen(text) / 256.0) AS INT) AS n_chunks
+  FROM documents
+),
+c AS (
+  SELECT media_id, n,
+         unnest(range(0, greatest(n_chunks, 1))) AS chunk_id
+  FROM m
+)
+SELECT media_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 256 AS BIGINT) AS start_byte,
+       CAST(least(256, n - chunk_id * 256) AS BIGINT) AS n_bytes
+FROM c
+"""
+
+
 def q76_tfidf_keywords(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), "text", "doc_id", k=5)
 
@@ -593,6 +622,7 @@ QUERIES = {
     "q76_tfidf_keywords": q76_tfidf_keywords,
     "q77_vocabulary": q77_vocabulary,
     "q86_dedup_clusters": q86_dedup_clusters,
+    "q87_audio_chunk_plan": q87_audio_chunk_plan,
 }
 
 ORACLE_SQL = {
@@ -616,4 +646,5 @@ ORACLE_SQL = {
     "q76_tfidf_keywords": _Q76_SQL,
     "q77_vocabulary": _Q77_SQL,
     "q86_dedup_clusters": _Q86_SQL,
+    "q87_audio_chunk_plan": _Q87_SQL,
 }

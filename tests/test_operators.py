@@ -325,3 +325,28 @@ def test_cluster_resolution_transitivity(spark):
         for r in resolve_duplicate_clusters(pairs, ids, "doc_id").collect()
     }
     assert got == {1: 1, 2: 2, 3: 2, 5: 2, 8: 8, 9: 8}
+
+
+def test_audio_chunk_transcribe_stub(spark, docs):
+    """Chunk plan covers every payload byte exactly once; the stubbed
+    transcriber emits one deterministic row per planned chunk."""
+    from delta_lake_spark.operators.multimodal import (
+        audio_chunk_plan,
+        documents_as_media,
+        transcribe_stub,
+    )
+
+    media = documents_as_media(docs).cache()
+    plan = audio_chunk_plan(media, chunk_bytes=100)
+    per_media = plan.groupBy("media_id").agg(
+        F.sum("n_bytes").alias("covered"), F.count("*").alias("chunks")
+    )
+    joined = per_media.join(
+        media.select("media_id", F.octet_length("content").alias("n")), "media_id"
+    )
+    assert joined.filter("covered <> n").count() == 0
+
+    chunks = plan.join(media.select("media_id", "content"), "media_id")
+    out = transcribe_stub(chunks, chunk_bytes=100)
+    assert out.count() == plan.count()
+    assert out.filter(~F.col("transcript").rlike(r"^chunk\[\d+\]$")).count() == 0

@@ -521,6 +521,66 @@ FROM reach GROUP BY node
 """
 
 
+def q88_dedup_pipeline_stats(spark, sf_dir):
+    """End-to-end dedup: pairs -> clusters -> keep the canonical doc per
+    cluster -> corpus reduction stats (docs and chars before/after) —
+    the one-row summary a production dedup job reports."""
+    from ..operators.dedup import resolve_duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    clusters = resolve_duplicate_clusters(pairs, docs.select("doc_id"), "doc_id")
+    kept = F.col("doc_id") == F.col("cluster_id")
+    j = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
+
+
+_Q88_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+  WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = id_1
+  JOIN sizes s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node)
+SELECT COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN cc.doc_id = cc.cluster_id THEN d.n_chars ELSE 0 END)
+    AS BIGINT) AS kept_chars
+FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+"""
+
+
 def q87_audio_chunk_plan(spark, sf_dir):
     """Chunked-media planning: byte-offset chunk rows per payload, all
     JVM arithmetic (sequence+explode over octet_length) — the shuffle-
@@ -623,6 +683,7 @@ QUERIES = {
     "q77_vocabulary": q77_vocabulary,
     "q86_dedup_clusters": q86_dedup_clusters,
     "q87_audio_chunk_plan": q87_audio_chunk_plan,
+    "q88_dedup_pipeline_stats": q88_dedup_pipeline_stats,
 }
 
 ORACLE_SQL = {
@@ -647,4 +708,5 @@ ORACLE_SQL = {
     "q77_vocabulary": _Q77_SQL,
     "q86_dedup_clusters": _Q86_SQL,
     "q87_audio_chunk_plan": _Q87_SQL,
+    "q88_dedup_pipeline_stats": _Q88_SQL,
 }

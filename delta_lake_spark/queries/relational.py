@@ -1069,6 +1069,38 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
 """
 
 
+def q89_left_join_zero_groups(spark, sf_dir):
+    """LEFT OUTER join with zero-preserving aggregation: every customer
+    appears, order-less customers with n_orders = 0 — the outer-join +
+    COALESCE pattern (count of the right-side KEY, not *, so unmatched
+    rows count as zero)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_urgent"),
+            F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "urgent_total"
+            ),
+        )
+    )
+
+
+_Q89_SQL = """
+SELECT c_custkey, c_mktsegment,
+  COUNT(o_orderkey) AS n_urgent,
+  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+    AS urgent_total
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -1105,6 +1137,7 @@ QUERIES = {
     "q81_date_dimensions": q81_date_dimensions,
     "q82_string_functions": q82_string_functions,
     "q83_grouping_sets": q83_grouping_sets,
+    "q89_left_join_zero_groups": q89_left_join_zero_groups,
 }
 
 ORACLE_SQL = {
@@ -1143,4 +1176,5 @@ ORACLE_SQL = {
     "q81_date_dimensions": _Q81_SQL,
     "q82_string_functions": _Q82_SQL,
     "q83_grouping_sets": _Q83_SQL,
+    "q89_left_join_zero_groups": _Q89_SQL,
 }

@@ -420,12 +420,16 @@ class DeltaTable:
                     sum(
                         int(a.deletionVector.get("cardinality", 0)) for a in dv_adds
                     ),
+                    snap.protocol.minReaderVersion,
+                    snap.protocol.minWriterVersion,
+                    sorted(snap.protocol.readerFeatures),
                 )
             ],
             "format string, id string, location string, "
             "partitionColumns array<string>, numFiles long, sizeInBytes long, "
             "createdTime long, numFilesWithDeletionVectors long, "
-            "numDeletedRows long",
+            "numDeletedRows long, minReaderVersion long, minWriterVersion long, "
+            "tableFeatures array<string>",
         )
 
     def files(self) -> DataFrame:

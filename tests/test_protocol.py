@@ -98,3 +98,12 @@ def test_protocol_survives_checkpoint_replay(spark, table):
     fresh = DeltaLog(table.path)  # cold cache -> checkpoint replay
     proto = fresh.snapshot().protocol
     assert "columnMapping" in proto.readerFeatures
+
+
+def test_detail_reports_protocol(spark, table):
+    row = table.detail().collect()[0]
+    assert row.minReaderVersion == 1 and row.minWriterVersion == 2
+    table.rename_column("v", "value")
+    row = table.detail().collect()[0]
+    assert row.minReaderVersion == 3
+    assert "columnMapping" in row.tableFeatures

@@ -1101,6 +1101,54 @@ GROUP BY c_custkey, c_mktsegment
 """
 
 
+def q90_window_frames(spark, sf_dir):
+    """Explicit window frames + distribution functions: a 4-row moving
+    sum (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), running total over
+    the unbounded frame, ntile quartiles and cume_dist — per priority,
+    fully deterministic via the (date, orderkey) tiebreak."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-06-01"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    moving = w.rowsBetween(-3, Window.currentRow)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(moving).cast("double"), 2).alias(
+            "moving4_total"
+        ),
+        F.round(F.sum(_dec("o_totalprice")).over(running).cast("double"), 2).alias(
+            "running_total"
+        ),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+_Q90_SQL = """
+SELECT o_orderpriority, o_orderkey,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+    AS moving4_total,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+    AS running_total,
+  CAST(NTILE(4) OVER (
+    PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+    AS BIGINT) AS quartile,
+  ROUND(CUME_DIST() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey), 6)
+    AS cdist
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -1138,6 +1186,7 @@ QUERIES = {
     "q82_string_functions": q82_string_functions,
     "q83_grouping_sets": q83_grouping_sets,
     "q89_left_join_zero_groups": q89_left_join_zero_groups,
+    "q90_window_frames": q90_window_frames,
 }
 
 ORACLE_SQL = {
@@ -1177,4 +1226,5 @@ ORACLE_SQL = {
     "q82_string_functions": _Q82_SQL,
     "q83_grouping_sets": _Q83_SQL,
     "q89_left_join_zero_groups": _Q89_SQL,
+    "q90_window_frames": _Q90_SQL,
 }

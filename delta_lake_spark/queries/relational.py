@@ -1149,6 +1149,34 @@ WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
 """
 
 
+def q91_correlated_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape): parts priced above
+    1.02x their brand's average. Catalyst decorrelates this into an
+    aggregate + join — same plan you'd hand-write, but expressed as the
+    user would in SQL."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q91_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM __q91_part p
+        WHERE p_retailprice > 1.02 * (
+          SELECT AVG(p2.p_retailprice) FROM __q91_part p2
+          WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+_Q91_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > 1.02 * (
+  SELECT AVG(p2.p_retailprice) FROM part p2
+  WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -1187,6 +1215,7 @@ QUERIES = {
     "q83_grouping_sets": q83_grouping_sets,
     "q89_left_join_zero_groups": q89_left_join_zero_groups,
     "q90_window_frames": q90_window_frames,
+    "q91_correlated_scalar_subquery": q91_correlated_scalar_subquery,
 }
 
 ORACLE_SQL = {
@@ -1227,4 +1256,5 @@ ORACLE_SQL = {
     "q83_grouping_sets": _Q83_SQL,
     "q89_left_join_zero_groups": _Q89_SQL,
     "q90_window_frames": _Q90_SQL,
+    "q91_correlated_scalar_subquery": _Q91_SQL,
 }

@@ -183,7 +183,7 @@ def q53_delta_schema_evolution(spark, sf_dir):
 
 _Q53_SQL = """
 SELECT CASE WHEN doc_id % 2 = 1 THEN (CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END) END AS quality_tier,
-       COUNT(*) AS n, SUM(n_chars) AS total_chars
+       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1
 """
 

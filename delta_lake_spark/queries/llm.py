@@ -273,10 +273,10 @@ def q39_lang_id(spark, sf_dir):
 _Q39_SQL = r"""
 WITH scores AS (
   SELECT doc_id,
-    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS score_en,
-    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los)\b')) AS score_es,
-    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein)\b')) AS score_de,
-    len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une)\b')) AS score_fr
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS INTEGER) AS score_en,
+    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los)\b')) AS INTEGER) AS score_es,
+    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein)\b')) AS INTEGER) AS score_de,
+    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une)\b')) AS INTEGER) AS score_fr
   FROM documents
 )
 SELECT doc_id,
@@ -324,8 +324,8 @@ def q41_multimodal_features(spark, sf_dir):
 _Q41_SQL = """
 SELECT doc_id AS media_id,
   octet_length(encode(text)) AS n_bytes,
-  ord(substr(text, 1, 1)) AS head_byte,
-  list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS byte_sum,
+  CAST(ord(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS BIGINT) AS byte_sum,
   octet_length(encode(text)) % 640 AS fake_width,
   octet_length(encode(text)) % 480 AS fake_height
 FROM documents

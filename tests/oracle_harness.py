@@ -43,6 +43,68 @@ def _norm_rows(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in idx) for r in rows)
 
 
+def _canon_spark_type(t: str) -> str:
+    """Collapse a Spark simpleString dtype to a comparable token."""
+    t = t.lower()
+    if t.startswith("array<"):
+        return "array<" + _canon_spark_type(t[6:-1]) + ">"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    return {
+        "long": "bigint", "integer": "int", "short": "smallint",
+        "byte": "tinyint", "timestamp_ntz": "timestamp",
+    }.get(t, t)
+
+
+def _canon_arrow_type(t) -> str:
+    """Collapse a pyarrow type (from DuckDB .arrow()) to the same tokens."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array<" + _canon_arrow_type(t.value_type) + ">"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_uint64(t) or pa.types.is_uint32(t) or pa.types.is_uint16(t) or pa.types.is_uint8(t):
+        return f"uint{t.bit_width}"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return str(t)
+
+
+def type_drift(spark_df, con, oracle_sql: str) -> list[str]:
+    """Columns whose Spark dtype and DuckDB dtype would hash differently
+    under a dtype-sensitive comparator (the driver's gate). The known killer
+    is DuckDB HUGEINT (arrow decimal128(38,0)) vs Spark BIGINT from an
+    uncast SUM."""
+    d_schema = con.execute(oracle_sql).arrow().schema
+    d_types = {f.name: _canon_arrow_type(f.type) for f in d_schema}
+    drift = []
+    for f in spark_df.schema.fields:
+        st = _canon_spark_type(f.dataType.simpleString())
+        dt = d_types.get(f.name)
+        if dt is not None and st != dt:
+            drift.append(f"{f.name}: spark={st} duckdb={dt}")
+    return drift
+
+
 def compare(name: str, spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -51,6 +113,9 @@ def compare(name: str, spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     d_rows = res.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    drift = type_drift(spark_df, con, oracle_sql)
+    if drift:
+        return False, f"dtype drift (driver hash would differ): {drift}"
     if len(s_rows) != len(d_rows):
         return False, f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
     sn, dn = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)

@@ -206,31 +206,26 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str,
+def minhash_lsh_candidates(
+    sh: DataFrame,
     id_col: str,
-    n: int = 3,
-    threshold: float = 0.6,
     k: int = 64,
     bands: int = 16,
     seed: int = 42,
-    max_doc_freq: float | None = None,
+    max_doc_freq: float | None = 0.1,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
+    """Candidate pair generation for MinHash LSH: (id_1, id_2), id_1 <
+    id_2. ``sh`` is a (id_col, shingle) relation (see word_shingles).
 
-    Pipeline: shingle -> minhash signature (k hashes) -> b bands of k/b
-    rows -> band-bucket self-join for candidates -> exact jaccard on the
-    candidates only -> filter >= threshold. With r = k/b rows per band,
-    P(candidate) = 1-(1-j^r)^b; defaults (k=64, b=16, r=4) give >99.99%
-    recall at j >= 0.8 and near-1 at the 0.6 threshold region, so the
-    verified output equals the exact ngram_jaccard_pairs output.
-
-    Returns: id_1, id_2, jaccard.
+    The ``max_doc_freq`` stop-shingle guard is ON by default: shingles
+    present in more than that fraction of documents (boilerplate) are
+    excluded from SIGNATURE construction, so a shingle shared by x% of
+    the corpus can never min-hash x% of the corpus into one bucket and
+    go quadratic. Verification (in minhash_lsh_pairs) still uses the
+    full shingle sets, so surviving pairs keep their exact jaccard.
     """
     rows = k // bands
-    sh = word_shingles(df, text_col, id_col, n).cache()
-    sh.count()  # materialize once: reused by signatures, sizes, and verify
+    sh_sig = sh
     if max_doc_freq is not None:
         n_docs = sh.select(id_col).distinct().count()
         hot = (
@@ -239,9 +234,9 @@ def minhash_lsh_pairs(
             .filter(F.col("count") > max_doc_freq * n_docs)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_sig = sh.join(F.broadcast(hot), "shingle", "left_anti")
 
-    sig = minhash_signatures(sh, id_col, k=k, seed=seed)
+    sig = minhash_signatures(sh_sig, id_col, k=k, seed=seed)
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -265,11 +260,44 @@ def minhash_lsh_pairs(
         .agg(F.collect_set(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    candidates = (
+    return (
         bucketed.select(F.explode("ids").alias("id_1"), F.col("ids"))
         .select("id_1", F.explode("ids").alias("id_2"))
         .filter(F.col("id_1") < F.col("id_2"))
         .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_doc_freq: float | None = 0.1,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
+
+    Pipeline: shingle -> minhash signature (k hashes) -> b bands of k/b
+    rows -> band-bucket self-join for candidates -> exact jaccard on the
+    candidates only -> filter >= threshold. With r = k/b rows per band,
+    P(candidate) = 1-(1-j^r)^b; defaults (k=64, b=16, r=4) give >99.99%
+    recall at j >= 0.8 and near-1 at the 0.6 threshold region, so the
+    verified output equals the exact ngram_jaccard_pairs output.
+
+    The ``max_doc_freq`` stop-shingle guard defaults ON (0.1); exact
+    jaccard is always computed over the FULL shingle sets, so the guard
+    only prunes candidate generation, never changes surviving values.
+
+    Returns: id_1, id_2, jaccard.
+    """
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sh.count()  # materialize once: reused by signatures, sizes, and verify
+    candidates = minhash_lsh_candidates(
+        sh, id_col, k=k, bands=bands, seed=seed, max_doc_freq=max_doc_freq
     )
 
     # exact verification restricted to candidates: start FROM the (small)
@@ -365,24 +393,47 @@ def simhash_pairs(
     bits: int = 64,
     max_hamming: int = 3,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signatures from word hashes, banded
-    search for pairs within ``max_hamming``. By pigeonhole, any pair with
-    <= bands-1 differing bits shares at least one identical band, so
-    bands = max_hamming + 1 guarantees recall.
+    """SimHash near-dup pairs: ``bits``-bit signatures from word hashes,
+    banded search for pairs within ``max_hamming``. By pigeonhole, any
+    pair with <= bands-1 differing bits shares at least one identical
+    band, so bands = max_hamming + 1 guarantees recall.
+
+    ``portable=True`` derives token-hash bits from md5 hex digits by
+    plain arithmetic instead of xxhash64, so an external ANSI-SQL engine
+    can replicate the signature bit-for-bit (md5 is universal; xxhash64
+    is not). Use bits <= 60 with portable so the signature long stays
+    positive and ``>>`` behaves identically everywhere. xxhash64 stays
+    the default hot path (one 64-bit hash vs 16 hex-digit extractions).
 
     Returns: id_1, id_2, hamming (int).
     """
     assert bands >= max_hamming + 1, "bands must exceed max_hamming for full recall"
+    if portable:
+        assert bits <= 60, "portable simhash needs bits <= 60 (positive long)"
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     tokens = df.select(F.col(id_col), F.explode(words).alias("tok"))
-    h = F.xxhash64("tok")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
+    if portable:
+        hexv = F.md5("tok")
+
+        def _tok_bit(i):
+            digit = F.substring(hexv, 1 + i // 4, 1)
+            val = F.conv(digit, 16, 10).cast("int")
+            return F.shiftright(val, i % 4).bitwiseAND(F.lit(1))
+
+        bit_sums = [
+            F.sum(F.when(_tok_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    else:
+        h = F.xxhash64("tok")
+        bit_sums = [
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
     agg = tokens.groupBy(id_col).agg(*bit_sums)
     sig = F.lit(0).cast("long")
     for i in range(bits):

@@ -99,12 +99,24 @@ def lsh_ann_pairs(
     bands: int = 4,
     seed: int = 42,
     threshold: float = 0.8,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Approximate near-neighbor PAIRS via random-hyperplane LSH.
 
     Sign-bit signature of ``n_planes`` deterministic hyperplanes, split
     into ``bands``; pairs colliding in any band are scored exactly and
     filtered by cosine >= threshold. Returns id_1, id_2, sim.
+
+    Scale guards (on by default):
+      - only (id, band, key) rows travel through the candidate shuffle;
+        full vectors are re-joined by id for the exact verification of
+        the (small) candidate set, never carried through banding;
+      - buckets larger than ``max_bucket_size`` are dropped BEFORE any
+        membership list is materialized (bucket sizes are counted first
+        with map-side partial aggregation), so a degenerate hyperplane
+        cut over boilerplate vectors cannot go quadratic or OOM a task.
+        Pairs in a dropped bucket can still surface via the other
+        ``bands - 1`` bands.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     v = vectors.select(
@@ -114,7 +126,7 @@ def lsh_ann_pairs(
         (_dot(F.col("__v"), F.array(*[F.lit(x) for x in p])) > 0).cast("int").alias(f"bit{i}")
         for i, p in enumerate(planes)
     ]
-    sig = v.select(id_col, "__v", *bits)
+    sig = v.select(id_col, *bits)  # ids + sign bits only — vectors stay behind
     width = n_planes // bands
     band_cols = [
         F.struct(
@@ -126,27 +138,29 @@ def lsh_ann_pairs(
         for bi in range(bands)
     ]
     banded = sig.select(
-        id_col, "__v", F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "__v", "bb.band", "bb.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+        id_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.key")
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("__n"))
+    keep = sizes.filter(
+        (F.col("__n") > 1) & (F.col("__n") <= max_bucket_size)
+    ).select("band", "key")
+    bucketed = (
+        banded.join(keep, ["band", "key"])
+        .groupBy("band", "key")
+        .agg(F.collect_set(id_col).alias("ids"))
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_1"),
-            F.col(f"b.{id_col}").alias("id_2"),
-            F.col("a.__v").alias("v1"),
-            F.col("b.__v").alias("v2"),
-        )
+        bucketed.select(F.explode("ids").alias("id_1"), F.col("ids"))
+        .select("id_1", F.explode("ids").alias("id_2"))
+        .filter(F.col("id_1") < F.col("id_2"))
         .distinct()
     )
+    v1 = v.select(F.col(id_col).alias("id_1"), F.col("__v").alias("v1"))
+    v2 = v.select(F.col(id_col).alias("id_2"), F.col("__v").alias("v2"))
     return (
-        cand.select(
+        cand.join(v1, "id_1")
+        .join(v2, "id_2")
+        .select(
             "id_1", "id_2", cosine_similarity_col(F.col("v1"), F.col("v2")).alias("sim")
         )
         .filter(F.col("sim") >= threshold)
@@ -162,26 +176,27 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroids (every (n/n_cells)-th vector
-    by id — a k-means-free seeding that keeps the operator reproducible),
-    assign vectors to their nearest centroid, probe the ``nprobe``
-    closest cells per query, exact top-k within the probed cells.
+    """IVF-style ANN: deterministic centroids (the min-id vector of each
+    ``id % n_cells`` hash bucket — a k-means-free seeding that is fully
+    distributed: one partial-aggregating groupBy, no global sort or
+    window), assign vectors to their nearest centroid, probe the
+    ``nprobe`` closest cells per query, exact top-k within the probed
+    cells.
 
     Returns: query_id, neighbor_id, rank, sim. Approximate: recall
     depends on nprobe/n_cells; nprobe = n_cells degrades to exact.
+    The seeding rule is plain modulo arithmetic so an external oracle
+    (ANSI SQL ``arg_min`` per bucket) can replicate the whole operator
+    value-exactly.
     """
-    w_rank = Window.orderBy(F.col(id_col))
     ranked = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("__rn", F.row_number().over(w_rank))
-    total = ranked.count()
-    step = max(1, total // n_cells)
+    )
     centroids = (
-        ranked.filter((F.col("__rn") - 1) % step == 0)
-        .limit(n_cells)
-        .select(
-            F.col("__rn").alias("cell_id"), F.col("__v").alias("__cv")
+        ranked.groupBy(
+            F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell_id")
         )
+        .agg(F.min_by("__v", F.col(id_col)).alias("__cv"))
     )
 
     # assign every vector to its nearest centroid (broadcast centroids)

@@ -103,11 +103,61 @@ def q32_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q33_dedup_simhash(spark, sf_dir):
-    """SimHash banded near-dup pairs (hash-function-specific: rows-only
-    check; cross-validated against jaccard pairs in tests)."""
+    """SimHash banded near-dup pairs, portable-hash configuration: token
+    bits come from md5 hex-digit arithmetic, so the DuckDB oracle
+    replicates the signature (and therefore the banded candidate rule
+    and hamming values) bit-for-bit — a full value-exact check of the
+    approximate operator."""
     return simhash_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", bits=64, max_hamming=3, bands=4
+        _docs(spark, sf_dir), "text", "doc_id",
+        bits=60, max_hamming=3, bands=4, portable=True,
     )
+
+
+def _gen_q33_sql(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB replica of portable simhash_pairs: same md5-digit token
+    bits, same majority signature, same banded buckets, same hamming."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), {1 + i // 4}, 1)) - 1) >> {i % 4}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, (simhash >> {bi * width}) & {mask} AS key FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+),
+bitsums AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM toks GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {sig_terms} AS simhash FROM bitsums
+),
+banded AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2, a.simhash AS s1, b.simhash AS s2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+"""
+
+
+_Q33_SQL = _gen_q33_sql()
 
 
 # --------------------------------------------------------------------------
@@ -165,12 +215,72 @@ def q44_embedding_topk_pandas(spark, sf_dir):
 
 
 def q35_embedding_lsh_pairs(spark, sf_dir):
-    """Hyperplane-LSH near-duplicate vector pairs (approximate: rows-only
-    check; recall measured against brute force in tests)."""
+    """Hyperplane-LSH near-duplicate vector pairs. The hyperplanes are
+    deterministic (seeded numpy), so the DuckDB oracle embeds the same
+    plane constants and replicates the sign-bit signatures, band
+    buckets (including the hot-bucket cap), and exact cosine verify —
+    a full value-exact check of the approximate operator."""
     return lsh_ann_pairs(
         _emb(spark, sf_dir), id_col="vec_id", vec_col="embedding",
         dim=64, n_planes=16, bands=4, threshold=0.4,
     ).select("id_1", "id_2", F.round("sim", 6).alias("sim"))
+
+
+def _gen_q35_sql(
+    dim: int = 64, n_planes: int = 16, bands: int = 4, seed: int = 42,
+    threshold: float = 0.4, max_bucket_size: int = 1000,
+) -> str:
+    """DuckDB replica of lsh_ann_pairs at q35's configuration: the exact
+    hyperplane constants are embedded as double literals (repr() is the
+    shortest round-trip form, so both engines parse the same double)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    bit_exprs = ",\n    ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]) > 0 THEN '1' ELSE '0' END AS bit{i}"
+        for i, p in enumerate(planes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, {key} AS key FROM bits".format(
+            b=bi,
+            key="||".join(f"bit{bi * width + j}" for j in range(width)),
+        )
+        for bi in range(bands)
+    )
+    cos = (
+        "list_dot_product(v1.v, v2.v) / (sqrt(list_dot_product(v1.v, v1.v))"
+        " * sqrt(list_dot_product(v2.v, v2.v)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (
+  SELECT vec_id, v,
+    {bit_exprs}
+  FROM v
+),
+banded AS (
+  {band_rows}
+),
+sized AS (
+  SELECT vec_id, band, key, COUNT(*) OVER (PARTITION BY band, key) AS n FROM banded
+),
+ok AS (SELECT vec_id, band, key FROM sized WHERE n > 1 AND n <= {max_bucket_size}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM ok a JOIN ok b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_1, c.id_2, {cos} AS sim
+  FROM cand c JOIN v v1 ON v1.vec_id = c.id_1 JOIN v v2 ON v2.vec_id = c.id_2
+)
+SELECT id_1, id_2, ROUND(sim, 6) AS sim FROM scored WHERE sim >= {threshold}
+"""
+
+
+_Q35_SQL = _gen_q35_sql()
 
 
 def q42_embedding_dedup_pairs(spark, sf_dir):
@@ -208,8 +318,11 @@ WHERE list_dot_product(a.v, b.v)
 
 
 def q36_embedding_ivf_topk(spark, sf_dir):
-    """IVF-routed approximate top-k (rows-only check; recall vs brute
-    force asserted in tests)."""
+    """IVF-routed approximate top-k. The whole operator is deterministic
+    arithmetic (modulo-bucket arg_min centroids, cosine cell routing),
+    so the DuckDB oracle replicates it end-to-end — a full value-exact
+    check of the approximate result, not just its row count. Recall vs
+    brute force is additionally asserted in tests."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
@@ -217,6 +330,56 @@ def q36_embedding_ivf_topk(spark, sf_dir):
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
         F.round("sim", 6).alias("sim"),
     )
+
+
+def _gen_q36_sql(n_cells: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB replica of ivf_topk: same centroid seeding (min-id vector
+    per id%n_cells bucket), same nearest-cell assignment, same nprobe
+    routing, same exact top-k within probed cells."""
+
+    def cos(a, b):
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+centroids AS (
+  SELECT CAST(vec_id % {n_cells} AS INTEGER) AS cell_id, arg_min(v, vec_id) AS cv
+  FROM v GROUP BY 1
+),
+assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT v.vec_id, v.v, c.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {cos('v.v', 'c.cv')} DESC, c.cell_id ASC) AS r
+    FROM v, centroids c
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.query_id, q.qv, c.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {cos('q.qv', 'c.cv')} DESC, c.cell_id ASC) AS r
+    FROM q, centroids c
+  ) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos('p.qv', 'a.v')} AS sim
+  FROM probes p JOIN assigned a
+    ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
+_Q36_SQL = _gen_q36_sql()
 
 
 # --------------------------------------------------------------------------
@@ -687,6 +850,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q33_dedup_simhash": _Q33_SQL,
+    "q35_embedding_lsh_pairs": _Q35_SQL,
+    "q36_embedding_ivf_topk": _Q36_SQL,
     "q43_frame_sample": _Q43_SQL,
     "q44_embedding_topk_pandas": _Q34_SQL,  # same semantics, Arrow path
     "q45_train_test_split": _Q45_SQL,

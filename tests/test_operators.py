@@ -350,3 +350,60 @@ def test_audio_chunk_transcribe_stub(spark, docs):
     out = transcribe_stub(chunks, chunk_bytes=100)
     assert out.count() == plan.count()
     assert out.filter(~F.col("transcript").rlike(r"^chunk\[\d+\]$")).count() == 0
+
+
+def test_minhash_stop_shingle_guard_bounds_hot_buckets(spark):
+    """Boilerplate shingles shared by every doc must not bucket the whole
+    corpus together: with the default max_doc_freq guard the candidate
+    set stays near-empty, without it candidate generation goes quadratic."""
+    from delta_lake_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta u{i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs, "text", "doc_id", n=3).cache()
+    guarded = minhash_lsh_candidates(sh, "doc_id").count()
+    unguarded = minhash_lsh_candidates(sh, "doc_id", max_doc_freq=None).count()
+    sh.unpersist()
+    assert unguarded > 500  # two shared shingles of three -> quadratic buckets
+    assert guarded < 50  # stop-shingle guard keeps candidates bounded
+
+
+def test_minhash_guard_does_not_change_real_pairs(spark, docs):
+    """Guard ON (default) and OFF produce the same verified pairs on the
+    real corpus — the guard prunes candidate generation only."""
+    on = {(r.id_1, r.id_2) for r in minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.6).collect()}
+    off = {(r.id_1, r.id_2) for r in minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.6, max_doc_freq=None).collect()}
+    assert on == off and len(on) > 0
+
+
+def test_lsh_ann_bucket_cap(spark):
+    """All-identical vectors land in one bucket per band; a cap below the
+    bucket size must drop the bucket (bounded work), the default cap must
+    keep the pairs."""
+    from delta_lake_spark.operators.similarity import lsh_ann_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    capped = lsh_ann_pairs(
+        emb, dim=8, n_planes=8, bands=4, threshold=0.9, max_bucket_size=10
+    )
+    assert capped.count() == 0
+    uncapped = lsh_ann_pairs(emb, dim=8, n_planes=8, bands=4, threshold=0.9)
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_simhash_portable_matches_default_semantics(spark, docs):
+    """The portable (md5-digit) simhash finds a similar near-dup set to
+    the xxhash64 path — both are valid simhash instantiations."""
+    fast = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    port = simhash_pairs(
+        docs, "text", "doc_id", bits=60, max_hamming=3, portable=True
+    )
+    assert fast.count() > 0 and port.count() > 0
+    assert port.filter("hamming > 3").count() == 0

@@ -238,3 +238,15 @@ def test_tfidf_broadcasts_idf_side(spark):
     for q in (q67_chunk_documents, q69_redact_pii, q70_repetition_ratio):
         p = _plan(q(spark, SF_DIR))
         assert "Exchange" not in p, q.__name__
+
+
+def test_ivf_topk_no_single_partition_exchange(spark):
+    """Centroid seeding is a hash-bucket groupBy — no global window, so
+    no stage may funnel all vectors through one task."""
+    from delta_lake_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = ivf_topk(emb, emb.filter("vec_id < 3"), k=5, n_cells=8, nprobe=2)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

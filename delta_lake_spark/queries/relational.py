@@ -91,9 +91,12 @@ def q02_top_unshipped_orders(spark, sf_dir):
     revenue = F.sum(
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     )
+    # no broadcast hint on customer: it grows linearly with SF (~30M rows
+    # at sf100), so the join strategy is left to AQE — explicit hints are
+    # reserved for fixed-size dims (nation/region, see q03)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())

@@ -68,7 +68,10 @@ def table_changes(
         )
 
     per_version: list[DataFrame] = []
-    for v in range(max(from_version, 1), to_version + 1):
+    # version 0 is included: the table-creation commit's rows are inserts
+    # (Delta CDF surfaces them when reading changes from 0); it has no
+    # predecessor snapshot, so its diff is simply its added files
+    for v in range(from_version, to_version + 1):
         added: list[AddFile] = []
         removed_paths: list[str] = []
         data_change = False
@@ -85,13 +88,16 @@ def table_changes(
         if not data_change or (not added and not removed_paths):
             continue
 
-        prev = log.snapshot(v - 1)
+        prev = log.snapshot(v - 1) if v > 0 else None
         # a re-added path (deletion-vector change) replaces its previous
         # state on replay: diff it as removed(prev DV) + added(new DV)
-        for add in added:
-            if add.path in prev.files and add.path not in removed_paths:
-                removed_paths.append(add.path)
-        removed = [prev.files[p] for p in removed_paths if p in prev.files]
+        if prev is not None:
+            for add in added:
+                if add.path in prev.files and add.path not in removed_paths:
+                    removed_paths.append(add.path)
+            removed = [prev.files[p] for p in removed_paths if p in prev.files]
+        else:
+            removed = []
         schema_snap = log.snapshot(v)
 
         add_df = (

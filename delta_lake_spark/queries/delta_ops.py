@@ -758,7 +758,8 @@ def q80_streaming_merge_upsert(spark, sf_dir):
 
     ev.write.parquet(src)
     stream_merge_into_delta(
-        spark, src, tbl, ckpt, schema, key_col="event_id", txn_app_id="q80"
+        spark, src, tbl, ckpt, schema, key_col="event_id", txn_app_id="q80",
+        ts_col="ts",
     )
     upd = ev.filter(F.col("event_id") % 5 == 0).withColumn(
         "value", F.col("value") + 1000
@@ -768,7 +769,8 @@ def q80_streaming_merge_upsert(spark, sf_dir):
     )
     upd.unionByName(ins).write.mode("append").parquet(src)
     stream_merge_into_delta(
-        spark, src, tbl, ckpt, schema, key_col="event_id", txn_app_id="q80"
+        spark, src, tbl, ckpt, schema, key_col="event_id", txn_app_id="q80",
+        ts_col="ts",
     )
     return (
         read_delta(spark, tbl)

@@ -79,6 +79,21 @@ def _comparable(stat_val: Any, literal: Any):
     return None
 
 
+def _pv_equals(literal: Any, pv: str) -> bool | None:
+    """Whether a stored partition value (always a string — partitionValues
+    are cast-to-string at write time) equals the predicate literal.
+    Numeric literals compare NUMERICALLY: a double partition column
+    stores "1.0" while the predicate `p = 1` has str(lit) == "1", so raw
+    string equality would wrongly prune live files. None = unparseable
+    partition value -> fail open (no pruning on this conjunct)."""
+    if isinstance(literal, (int, float)):
+        try:
+            return float(pv) == float(literal)
+        except ValueError:
+            return None
+    return str(literal) == pv
+
+
 def file_may_match(add: AddFile, conjuncts: list[tuple[str, str, Any]]) -> bool:
     """False only when the file's stats PROVE no row can satisfy the
     predicate."""
@@ -86,9 +101,13 @@ def file_may_match(add: AddFile, conjuncts: list[tuple[str, str, Any]]) -> bool:
         # exact partition-value match beats stats
         if col in add.partitionValues:
             pv = add.partitionValues[col]
-            if op == "=" and pv is not None and str(lit) != pv:
+            if op == "=" and pv is not None and _pv_equals(lit, pv) is False:
                 return False
-            if op == "IN" and pv is not None and all(str(v) != pv for v in lit):
+            if (
+                op == "IN"
+                and pv is not None
+                and all(_pv_equals(v, pv) is False for v in lit)
+            ):
                 return False
         stats = add.stats or {}
         mins = stats.get("minValues", {})

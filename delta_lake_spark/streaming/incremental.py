@@ -407,6 +407,7 @@ def stream_merge_into_delta(
     txn_app_id: str = "dls_stream_merge",
     transform=None,
     timeout_sec: int = 120,
+    ts_col: str | None = None,
 ) -> None:
     """Streaming UPSERT into a versioned table: foreachBatch runs a
     MERGE (update-on-match, insert-on-miss) per micro-batch — the CDC
@@ -415,11 +416,13 @@ def stream_merge_into_delta(
     skipped, so a replayed batch can neither double-insert nor
     re-update.
 
-    Within a micro-batch the source is deduplicated to the LAST row per
-    key (micro-batches preserve source order within a key only as event
-    files do, so the reducer is max-by struct ordering on (ts, row)) —
-    the standard guard against multi-match MERGE ambiguity in CDC
-    streams."""
+    Within a micro-batch the source is deduplicated to ONE row per key
+    — the standard guard against multi-match MERGE ambiguity in CDC
+    streams. Pass ``ts_col`` (the event-time column) to make the winner
+    the row with the greatest timestamp: the max-by struct comparison
+    orders by its FIRST field, so the event-time column is placed first
+    explicitly; without ``ts_col`` the winner is max by the remaining
+    columns in order (deterministic, but not time-based)."""
     from ..errors import TableNotFoundError
     from ..log import DeltaLog
     from ..table import DeltaTable
@@ -442,10 +445,16 @@ def stream_merge_into_delta(
             pass
 
         cols = [c for c in batch_df.columns if c != key_col]
+        if ts_col is not None and ts_col in cols:
+            # struct max compares fields left-to-right: event time FIRST
+            # so the winner is truly last-by-timestamp, not whichever
+            # column happens to lead the schema
+            cols = [ts_col] + [c for c in cols if c != ts_col]
         latest = (
             batch_df.groupBy(key_col)
-            .agg(F.max(F.struct(*cols)).alias("__s"))
-            .select(key_col, "__s.*")
+            .agg(F.max(F.struct(*[F.col(c) for c in cols])).alias("__s"))
+            .select(key_col, *[F.col(f"__s.{c}").alias(c) for c in cols])
+            .select(*batch_df.columns)  # restore the source column order
         )
         if not exists:
             write_delta(

@@ -466,6 +466,7 @@ class DeltaTable:
         removed_paths: list[str],
         read_snap,
         content_neutral: bool,
+        read_paths: list[str] | None = None,
     ) -> int:
         """Commit a mutation with conflict RESOLUTION, not just detection
         (Delta's disjoint-file rule). On a lost commit race, rebase and
@@ -478,7 +479,12 @@ class DeltaTable:
           - for predicate mutations (content_neutral=False): the winner
             added no dataChange files — a concurrent append/update could
             contain rows our predicate should have affected, which must
-            serialize as a conflict. Layout-only winners (OPTIMIZE,
+            serialize as a conflict — AND removed no file we read
+            (Delta's concurrent-delete-read rule): a remove-only winner
+            (DELETE dropping whole files, RESTORE) invalidates FIND /
+            anti-join decisions made against those rows, e.g. a MERGE
+            that skipped inserting a source row because it matched a
+            now-deleted target row. Layout-only winners (OPTIMIZE,
             PURGE, metadata commits) are always safe to rebase over.
             Content-neutral mutations (our own OPTIMIZE/PURGE) rebase
             over appends too — compaction ignores files it didn't read.
@@ -505,13 +511,43 @@ class DeltaTable:
                     for p, a in new_snap.files.items():
                         if p not in read_snap.files and a.dataChange:
                             raise
+                    # concurrent-delete-read: a winner whose commit
+                    # REMOVED (dataChange=True) a file this txn read
+                    # invalidates FIND / anti-join decisions made against
+                    # those rows (e.g. a MERGE that skipped inserting a
+                    # source row matched to a now-deleted target row).
+                    # dataChange=False removals (OPTIMIZE/PURGE moves)
+                    # keep every row live in re-added files, so reads
+                    # stay valid. read_paths = the stats/partition-pruned
+                    # scan set when the caller tracked it; default is
+                    # conservative (everything in the read snapshot).
+                    read_set = (
+                        set(read_paths)
+                        if read_paths is not None
+                        else set(read_snap.files)
+                    )
+                    for v in range(
+                        read_snap.version + 1, new_snap.version + 1
+                    ):
+                        for action in self._log._read_actions(v):
+                            rm = action.get("remove")
+                            if (
+                                rm
+                                and rm.get("dataChange", True)
+                                and rm["path"] in read_set
+                            ):
+                                raise
         raise AssertionError("unreachable")
 
-    def _touched_files(self, cond: Column, cond_str: str | None = None) -> list[str]:
+    def _touched_files(
+        self, cond: Column, cond_str: str | None = None
+    ) -> tuple[list[str], list[str]]:
         """Exact touched-file discovery: one scan with _metadata.file_path,
         pre-pruned by log stats when the condition is a simple SQL string
         (data skipping — at scale the FIND scan touches only files whose
-        min/max ranges overlap the predicate)."""
+        min/max ranges overlap the predicate). Returns (touched paths,
+        read paths): the second is the pruned scan set, which bounds the
+        concurrent-delete-read conflict check in _commit_mutation."""
         from .skipping import prune_adds
 
         from .writer import column_mapping
@@ -523,11 +559,12 @@ class DeltaTable:
                 adds, cond_str, colmap=column_mapping(schema_of(snap))
             )
         if not adds:
-            return []
-        df = self._read_files([a.path for a in adds], with_meta=True)
+            return [], []
+        read_paths = [a.path for a in adds]
+        df = self._read_files(read_paths, with_meta=True)
         rows = df.filter(cond).select(_FILE_COL).distinct().collect()
         uri_to_log = {file_uri(self.path, a.path): a.path for a in adds}
-        return sorted(uri_to_log[r[_FILE_COL]] for r in rows)
+        return sorted(uri_to_log[r[_FILE_COL]] for r in rows), read_paths
 
     def delete(
         self, condition: str | Column | None = None, use_dv: bool | None = None
@@ -557,9 +594,10 @@ class DeltaTable:
         now = _utc_millis()
         if cond is None:
             touched = sorted(snap.files)
+            read_paths = touched
             adds = []
         else:
-            touched = self._touched_files(
+            touched, read_paths = self._touched_files(
                 cond, condition if isinstance(condition, str) else None
             )
             if not touched:
@@ -586,7 +624,9 @@ class DeltaTable:
         ]
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
-        return self._commit_mutation(actions, touched, snap, content_neutral=False)
+        return self._commit_mutation(
+            actions, touched, snap, content_neutral=False, read_paths=read_paths
+        )
 
     def _dv_delete(self, cond: Column, cond_str: str | None, snap) -> int:
         """DELETE via deletion vectors: no data file is rewritten.
@@ -600,10 +640,16 @@ class DeltaTable:
         import uuid as _uuid
 
         from .skipping import prune_adds
+        from .writer import column_mapping
 
         adds = list(snap.files.values())
         if cond_str:
-            adds, _ = prune_adds(adds, cond_str)
+            # colmap mirrors _touched_files: stats are keyed by PHYSICAL
+            # names, so under columnMapping a renamed logical column must
+            # translate before consulting min/max or pruning goes wrong
+            adds, _ = prune_adds(
+                adds, cond_str, colmap=column_mapping(schema_of(snap))
+            )
         if not adds:
             return snap.version
 
@@ -688,7 +734,13 @@ class DeltaTable:
                     },
                 ).to_action()
             )
-        return self._commit_mutation(actions, touched, snap, content_neutral=False)
+        return self._commit_mutation(
+            actions,
+            touched,
+            snap,
+            content_neutral=False,
+            read_paths=[a.path for a in adds],
+        )
 
     def purge_deletion_vectors(self) -> int:
         """REORG TABLE ... APPLY (PURGE): rewrite every file that carries
@@ -808,7 +860,7 @@ class DeltaTable:
         snap = self._log.snapshot()
         schema = schema_of(snap)
         cond = _as_column(condition)
-        touched = self._touched_files(
+        touched, read_paths = self._touched_files(
             cond, condition if isinstance(condition, str) else None
         )
         if not touched:
@@ -849,7 +901,9 @@ class DeltaTable:
         ]
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
-        return self._commit_mutation(actions, touched, snap, content_neutral=False)
+        return self._commit_mutation(
+            actions, touched, snap, content_neutral=False, read_paths=read_paths
+        )
 
     def merge(
         self,

@@ -165,8 +165,11 @@ def test_skipping_translates_renamed_predicates(spark, table):
         list(snap.files.values()), "amount >= 1000", colmap=colmap
     )
     assert skipped > 0  # old files provably can't match -> pruned
-    touched = table._touched_files(F.col("amount") >= 1000, "amount >= 1000")
+    touched, read_paths = table._touched_files(
+        F.col("amount") >= 1000, "amount >= 1000"
+    )
     assert len(touched) == 1  # only the new file
+    assert len(read_paths) < len(snap.files)  # read set is the pruned scan
 
 
 def test_sql_alter_column_forms(spark, tmp_path):

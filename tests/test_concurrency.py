@@ -225,3 +225,60 @@ def test_optimize_rebases_over_concurrent_append(spark, tmp_table):
     _inject_competitor_before_commit(dt._log, competitor)
     dt.optimize()  # must rebase, not raise
     assert read_delta(spark, tmp_table).count() == 50 + n_comp
+
+
+def test_mutation_racing_remove_only_delete_raises(spark, tmp_table):
+    """Concurrent-delete-read rule: a winner that REMOVED (dataChange=
+    True) a file this mutation read must conflict — FIND/anti-join
+    decisions were made against rows that no longer exist."""
+    import pytest as _pytest
+
+    from delta_lake_spark import DeltaTable, write_delta
+    from delta_lake_spark.errors import ConcurrentModificationError
+    from delta_lake_spark.log import CommitInfo, RemoveFile
+
+    write_delta(spark.range(100).selectExpr("id").repartition(4), tmp_table)
+    dt = DeltaTable.forPath(spark, tmp_table)
+    snap = dt._log.snapshot()
+    # competitor deletes a whole file (remove-only, dataChange=True);
+    # our predicate (id % 2 = 0 is outside the skipping subset) reads
+    # every file, including the victim
+    victim = next(iter(snap.files))
+    competitor = [
+        CommitInfo(operation="DELETE").to_action(),
+        RemoveFile(path=victim).to_action(),
+    ]
+    _inject_competitor_before_commit(dt._log, competitor)
+    with _pytest.raises(ConcurrentModificationError):
+        dt.update("id % 2 = 0", {"id": "id + 1000"})
+
+
+def test_partition_disjoint_delete_rebases_over_remove(spark, tmp_table):
+    """A remove-only winner in partition g=0 does NOT conflict with a
+    delete whose pruned read set is partition g=3 only — the read-set
+    tracking keeps disjoint-partition mutations concurrent."""
+    from delta_lake_spark import DeltaTable, read_delta, write_delta
+    from delta_lake_spark.log import CommitInfo, RemoveFile
+
+    write_delta(
+        spark.range(100).selectExpr("id", "CAST(id % 5 AS INT) AS g"),
+        tmp_table,
+        partition_by=["g"],
+    )
+    dt = DeltaTable.forPath(spark, tmp_table)
+    snap = dt._log.snapshot()
+    g0 = next(
+        p for p, a in snap.files.items() if a.partitionValues.get("g") == "0"
+    )
+    competitor = [
+        CommitInfo(operation="DELETE").to_action(),
+        RemoveFile(path=g0).to_action(),
+    ]
+    n_victim = snap.files[g0].numRecords
+    _inject_competitor_before_commit(dt._log, competitor)
+    dt.delete("g = 3")  # read set pruned to g=3 -> must rebase, not raise
+    got = read_delta(spark, tmp_table)
+    assert got.filter("g = 3").count() == 0
+    # competitor's remove of one g=0 file held through the rebase
+    assert got.filter("g = 0").count() == 20 - n_victim
+    assert got.count() == 80 - n_victim

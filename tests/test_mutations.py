@@ -425,3 +425,22 @@ def test_auto_compact_on_write(spark, tmp_path):
     assert "OPTIMIZE" in ops
     got = sorted(r.id for r in read_delta(spark, p).collect())
     assert got == [0, 1, 2, 3]
+
+
+def test_table_changes_includes_version_zero(spark, tmp_table):
+    """Reading changes from 0 must surface the table-creation commit's
+    rows as inserts (a consumer bootstrapping from 0 loses them
+    otherwise)."""
+    from delta_lake_spark.cdf import table_changes
+
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        tmp_table,
+    )  # v0
+    write_delta(
+        spark.createDataFrame([(3, 30.0)], "id long, v double"), tmp_table
+    )  # v1
+    ch = table_changes(spark, tmp_table, 0).collect()
+    v0 = sorted((r._change_type, r.id) for r in ch if r._commit_version == 0)
+    assert v0 == [("insert", 1), ("insert", 2)]
+    assert {r.id for r in ch if r._commit_version == 1} == {3}

@@ -101,3 +101,24 @@ def test_optimize_cluster_by_tightens_skipping(spark, tmp_table):
     hist = dt._log.history()[0]
     assert hist["operation"] == "OPTIMIZE"
     assert hist["operationParameters"]["clusterBy"] == ["id"]
+
+
+def test_partition_value_numeric_compare():
+    """partitionValues store cast-to-string values: a DOUBLE partition
+    column stores '1.0' while the predicate `p = 1` parses to int 1 —
+    numeric literals must compare numerically or live files get pruned."""
+    from delta_lake_spark.log import AddFile
+    from delta_lake_spark.skipping import file_may_match, parse_conjuncts
+
+    add = AddFile(path="f.parquet", partitionValues={"p": "1.0"})
+    assert file_may_match(add, parse_conjuncts("p = 1"))
+    assert file_may_match(add, parse_conjuncts("p IN (1, 2)"))
+    assert not file_may_match(add, parse_conjuncts("p = 2"))
+    assert not file_may_match(add, parse_conjuncts("p IN (2, 3)"))
+    # string literals stay string-compared
+    s = AddFile(path="g.parquet", partitionValues={"c": "west"})
+    assert file_may_match(s, parse_conjuncts("c = 'west'"))
+    assert not file_may_match(s, parse_conjuncts("c = 'east'"))
+    # unparseable partition value for a numeric literal -> fail open
+    w = AddFile(path="h.parquet", partitionValues={"p": "oops"})
+    assert file_may_match(w, parse_conjuncts("p = 1"))

@@ -309,3 +309,35 @@ def test_stream_merge_upsert_exactly_once(spark, tmp_path):
         for h in hist
         if h.get("operation") == "MERGE"
     )
+
+
+def test_stream_merge_dedup_winner_is_latest_by_ts(spark, tmp_path):
+    """Within a micro-batch, the per-key winner must be the row with the
+    greatest event time — even when the timestamp is NOT the first
+    non-key column (struct-max would otherwise pick by column order)."""
+    import os
+
+    from delta_lake_spark import read_delta
+    from delta_lake_spark.streaming.incremental import stream_merge_into_delta
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "id long, label string, ts timestamp"
+    # label sorts AGAINST ts: naive column-order struct max would pick
+    # 'z-old' (label leads the struct), but the ts=2 row must win
+    spark.createDataFrame(
+        [
+            (1, "z-old", "2024-01-01 00:00:01"),
+            (1, "a-new", "2024-01-01 00:00:02"),
+        ],
+        "id long, label string, ts string",
+    ).selectExpr("id", "label", "CAST(ts AS TIMESTAMP) AS ts").write.parquet(
+        src, mode="overwrite"
+    )
+    stream_merge_into_delta(
+        spark, src, tbl, ckpt, schema, key_col="id", ts_col="ts"
+    )
+    got = read_delta(spark, tbl).collect()
+    assert len(got) == 1 and got[0].label == "a-new"

@@ -217,3 +217,55 @@ def test_show_tblproperties_and_restore_timestamp(spark, tmp_path):
     from delta_lake_spark.reader import read_delta
 
     assert read_delta(spark, p).count() == 1
+
+
+def test_create_database_and_use(spark, tmp_path):
+    """D1 (reference includes/configuration.py:30-31): CREATE DATABASE
+    IF NOT EXISTS + USE through the session catalog; tables created
+    while the database is current land in it and resolve unqualified."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS dls_db")
+    try:
+        spark.sql("USE dls_db")
+        assert spark.catalog.currentDatabase() == "dls_db"
+        spark.sql("CREATE TABLE t_d1 (id BIGINT, v DOUBLE) USING PARQUET")
+        spark.sql("INSERT INTO t_d1 VALUES (1, 1.5), (2, 2.5)")
+        assert spark.sql("SELECT COUNT(*) AS n FROM t_d1").collect()[0].n == 2
+        assert spark.sql(
+            "SELECT COUNT(*) AS n FROM dls_db.t_d1"
+        ).collect()[0].n == 2  # qualified resolution too
+    finally:
+        spark.sql("USE default")
+        spark.sql("DROP DATABASE IF EXISTS dls_db CASCADE")
+    assert spark.catalog.currentDatabase() == "default"
+
+
+def test_external_parquet_table_msck_repair(spark, tmp_path):
+    """D3 (reference delta_lake_rapid_start.py:137-151): an EXTERNAL
+    partitioned parquet table over a pre-existing directory sees zero
+    partitions until MSCK REPAIR registers them in the catalog."""
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "ext_events")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("part")
+    )
+    df.write.partitionBy("part").parquet(loc)
+
+    spark.sql(
+        "CREATE TABLE ext_events (id BIGINT, part INT) "
+        f"USING PARQUET PARTITIONED BY (part) LOCATION '{loc}'"
+    )
+    try:
+        # catalog has no partition metadata yet -> empty scan
+        assert spark.sql("SELECT COUNT(*) AS n FROM ext_events").collect()[0].n == 0
+        spark.sql("MSCK REPAIR TABLE ext_events")
+        assert spark.sql("SELECT COUNT(*) AS n FROM ext_events").collect()[0].n == 100
+        parts = spark.sql("SHOW PARTITIONS ext_events").collect()
+        assert len(parts) == 4
+        # partition pruning works through the repaired catalog entry
+        assert (
+            spark.sql("SELECT COUNT(*) AS n FROM ext_events WHERE part = 1")
+            .collect()[0].n == 25
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_events")

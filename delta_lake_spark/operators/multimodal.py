@@ -32,6 +32,23 @@ IMAGE_FEATURE_SCHEMA = (
     "fake_width int, fake_height int"
 )
 
+REAL_IMAGE_FEATURE_SCHEMA = (
+    "media_id long, n_bytes int, width int, height int, mode string, "
+    "mean_luma double"
+)
+
+
+def _probe_image_decoder():
+    """Return the PIL Image module if an image decode library is
+    importable, else None. Probed at call time (not import) so
+    installing a decoder upgrades the operator without code changes."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
 
 def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Adapt the documents table into a media-shaped table (binary
@@ -50,17 +67,52 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """'Decode' binary image content into features via mapInPandas.
 
-    STUB: with real_decode=True this would use PIL/opencv — not
-    installed here — so it raises NotImplementedError. The default
+    ``real_decode=True`` probes for an image library (PIL) at call time:
+    when present, payloads are actually decoded (dimensions, mode, mean
+    luminance) inside the same Arrow-batched plan; when absent it raises
+    NotImplementedError naming the missing dependency. The default path
     computes deterministic byte-level pseudo-features (length, first
     byte, byte sum, fake dimensions), which keeps the Arrow batch shape,
-    schema, and distributed execution identical to a real decoder.
+    schema, and distributed execution identical to a real decoder —
+    the tested plumbing is shared by both paths.
     """
     if real_decode:
-        raise NotImplementedError(
-            "real image decoding requires PIL/opencv, not available in this "
-            "environment; run with real_decode=False for the plumbing path"
-        )
+        if _probe_image_decoder() is None:
+            raise NotImplementedError(
+                "real image decoding requires PIL (pillow), not installed in "
+                "this environment; run with real_decode=False for the "
+                "deterministic plumbing path"
+            )
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            image_mod = _probe_image_decoder()  # re-probe on the executor
+            for pdf in it:
+                ids, nb, ws, hs, modes, lumas = [], [], [], [], [], []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    img = image_mod.open(io.BytesIO(content))
+                    gray = img.convert("L")
+                    hist = gray.histogram()
+                    total = sum(hist) or 1
+                    ids.append(mid)
+                    nb.append(len(content))
+                    ws.append(img.width)
+                    hs.append(img.height)
+                    modes.append(img.mode)
+                    lumas.append(sum(i * c for i, c in enumerate(hist)) / total)
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "n_bytes": pd.Series(nb, dtype="int32"),
+                        "width": pd.Series(ws, dtype="int32"),
+                        "height": pd.Series(hs, dtype="int32"),
+                        "mode": modes,
+                        "mean_luma": pd.Series(lumas, dtype="float64"),
+                    }
+                )
+
+        return df.mapInPandas(real_batches, schema=REAL_IMAGE_FEATURE_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -407,3 +407,22 @@ def test_simhash_portable_matches_default_semantics(spark, docs):
     )
     assert fast.count() > 0 and port.count() > 0
     assert port.filter("hamming > 3").count() == 0
+
+
+def test_real_decode_probes_dependency(spark, docs):
+    """real_decode=True must either actually decode (when an image lib
+    is importable) or raise NotImplementedError naming the dependency —
+    never silently fall back to fake features."""
+    from delta_lake_spark.operators.multimodal import (
+        _probe_image_decoder,
+        decode_image_features,
+        documents_as_media,
+    )
+
+    media = documents_as_media(docs.limit(5))
+    if _probe_image_decoder() is None:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image_features(media, real_decode=True)
+    else:  # pragma: no cover - env-dependent upgrade path
+        out = decode_image_features(media, real_decode=True)
+        assert "mean_luma" in out.columns

@@ -179,22 +179,23 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    shingle_df: DataFrame, id_col: str, k: int = 64, seed: int = 42
-) -> DataFrame:
-    """k-permutation MinHash signature per id: (id_col, sig array<long>).
-
-    Base hash is Spark's murmur3 (``F.hash``); permutations are affine
-    maps mod a Mersenne prime — fully deterministic across runs and
-    cluster sizes. One aggregation (map-side partial mins)."""
-    params = _affine_params(k, seed)
-    # murmur3 int mapped to unsigned 32-bit so a*h+b < 2^61 (no overflow);
-    # projected ONCE per row so the k min-aggregates reuse it instead of
-    # re-hashing the shingle k times
-    hashed = shingle_df.select(
+def _hash_shingles(shingle_df: DataFrame, id_col: str) -> DataFrame:
+    """Project (id, shingle) to (id, __h): murmur3 mapped to unsigned
+    32-bit so a*h+b < 2^61 under ANSI mode. Hashing FIRST shrinks every
+    downstream shuffle (8-byte longs instead of shingle strings)."""
+    return shingle_df.select(
         id_col,
         F.hash("shingle").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h"),
     )
+
+
+def _signatures_from_hashed(
+    hashed: DataFrame, id_col: str, k: int, seed: int
+) -> DataFrame:
+    """MinHash signatures from a pre-hashed (id, __h) relation: the k
+    affine permutations reuse the one hash column; one aggregation with
+    map-side partial mins."""
+    params = _affine_params(k, seed)
     base = F.col("__h")
     mins = [
         F.min(((F.lit(a) * base + F.lit(b)) % F.lit(_MERSENNE))).alias(f"h{i}")
@@ -206,6 +207,19 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, k: int = 64, seed: int = 42
+) -> DataFrame:
+    """k-permutation MinHash signature per id: (id_col, sig array<long>).
+
+    Base hash is Spark's murmur3 (``F.hash``); permutations are affine
+    maps mod a Mersenne prime — fully deterministic across runs and
+    cluster sizes. One aggregation (map-side partial mins)."""
+    return _signatures_from_hashed(
+        _hash_shingles(shingle_df, id_col), id_col, k, seed
+    )
+
+
 def minhash_lsh_candidates(
     sh: DataFrame,
     id_col: str,
@@ -213,6 +227,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     seed: int = 42,
     max_doc_freq: float | None = 0.1,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Candidate pair generation for MinHash LSH: (id_1, id_2), id_1 <
     id_2. ``sh`` is a (id_col, shingle) relation (see word_shingles).
@@ -223,20 +238,45 @@ def minhash_lsh_candidates(
     the corpus can never min-hash x% of the corpus into one bucket and
     go quadratic. Verification (in minhash_lsh_pairs) still uses the
     full shingle sets, so surviving pairs keep their exact jaccard.
+    The guard runs on the 8-byte shingle HASH (one projection shared
+    with signature construction), not the shingle string — the doc-freq
+    shuffle moves longs, and a benign hash collision only folds two
+    shingles' frequencies, which exact verification absorbs. ``n_docs``
+    skips the distinct-count job when the caller already knows the
+    corpus size (a parquet metadata count, vs a distinct over the
+    exploded shingle relation).
     """
     rows = k // bands
-    sh_sig = sh
+    hashed = _hash_shingles(sh, id_col)
     if max_doc_freq is not None:
-        n_docs = sh.select(id_col).distinct().count()
+        if n_docs is None:
+            n_docs = sh.select(id_col).distinct().count()
+        # above ~20k docs, detect hot shingles from a deterministic 2%
+        # hash sample: a shingle at the doc-freq threshold still shows
+        # ~0.02 * max_doc_freq * n_docs >= 40 sampled hits (tight CLT),
+        # while the doc-freq shuffle shrinks 50x — at corpus scale the
+        # guard's cost becomes a rounding error instead of a second full
+        # shuffle. Small corpora keep the exact count (sampling noise
+        # would dominate). Hash-based (not .sample()) so the decision is
+        # stable across partitionings and reruns.
+        if n_docs > 20_000:
+            mod = 50
+            freq_src = hashed.filter(
+                F.pmod(F.xxhash64(F.col(id_col), F.col("__h")), F.lit(mod)) == 0
+            )
+            cutoff = max_doc_freq * n_docs / mod
+        else:
+            freq_src = hashed
+            cutoff = max_doc_freq * n_docs
         hot = (
-            sh.groupBy("shingle")
+            freq_src.groupBy("__h")
             .count()
-            .filter(F.col("count") > max_doc_freq * n_docs)
-            .select("shingle")
+            .filter(F.col("count") > cutoff)
+            .select("__h")
         )
-        sh_sig = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        hashed = hashed.join(F.broadcast(hot), "__h", "left_anti")
 
-    sig = minhash_signatures(sh_sig, id_col, k=k, seed=seed)
+    sig = _signatures_from_hashed(hashed, id_col, k=k, seed=seed)
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -297,7 +337,15 @@ def minhash_lsh_pairs(
     sh = word_shingles(df, text_col, id_col, n).cache()
     sh.count()  # materialize once: reused by signatures, sizes, and verify
     candidates = minhash_lsh_candidates(
-        sh, id_col, k=k, bands=bands, seed=seed, max_doc_freq=max_doc_freq
+        sh,
+        id_col,
+        k=k,
+        bands=bands,
+        seed=seed,
+        max_doc_freq=max_doc_freq,
+        # corpus size from the compact source relation (parquet metadata
+        # count), not a distinct over the exploded shingle rows
+        n_docs=df.count() if max_doc_freq is not None else None,
     )
 
     # exact verification restricted to candidates: start FROM the (small)
@@ -415,12 +463,14 @@ def simhash_pairs(
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     tokens = df.select(F.col(id_col), F.explode(words).alias("tok"))
     if portable:
-        hexv = F.md5("tok")
+        # one hex->long conversion per token (first ceil(bits/4) md5 hex
+        # digits); the per-bit extraction is then a shift+mask on a long,
+        # which codegen folds — not 60 separate digit conversions
+        n_hex = (bits + 3) // 4
+        hval = F.conv(F.substring(F.md5("tok"), 1, n_hex), 16, 10).cast("long")
 
         def _tok_bit(i):
-            digit = F.substring(hexv, 1 + i // 4, 1)
-            val = F.conv(digit, 16, 10).cast("int")
-            return F.shiftright(val, i % 4).bitwiseAND(F.lit(1))
+            return F.shiftright(hval, i).bitwiseAND(F.lit(1))
 
         bit_sums = [
             F.sum(F.when(_tok_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")

@@ -115,13 +115,19 @@ def q33_dedup_simhash(spark, sf_dir):
 
 
 def _gen_q33_sql(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
-    """DuckDB replica of portable simhash_pairs: same md5-digit token
-    bits, same majority signature, same banded buckets, same hamming."""
+    """DuckDB replica of portable simhash_pairs: same md5-derived token
+    hash (first ceil(bits/4) hex digits parsed big-endian into a long),
+    same majority signature, same banded buckets, same hamming."""
     width = bits // bands
     mask = (1 << width) - 1
+    n_hex = (bits + 3) // 4
+    hval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1)::BIGINT"
+        f" * (1::BIGINT << {4 * (n_hex - 1 - j)})"
+        for j in range(n_hex)
+    )
     bit_sums = ",\n    ".join(
-        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), {1 + i // 4}, 1)) - 1) >> {i % 4}) & 1 = 1"
-        f" THEN 1 ELSE -1 END) AS b{i}"
+        f"SUM(CASE WHEN (hval >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(bits)
     )
     sig_terms = " + ".join(
@@ -136,10 +142,13 @@ def _gen_q33_sql(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
 ),
+hashed AS (
+  SELECT doc_id, {hval} AS hval FROM toks
+),
 bitsums AS (
   SELECT doc_id,
     {bit_sums}
-  FROM toks GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 sig AS (
   SELECT doc_id, {sig_terms} AS simhash FROM bitsums

@@ -67,9 +67,14 @@ def word_shingles(
     1-indexed element_at arithmetic matches the ANSI-SQL oracle exactly.
     """
     words = F.split(F.lower(F.col(text_col)), r"\s+")
+    # documents shorter than n words produce NO shingles: the CASE guard
+    # avoids sequence(1, 0), which Spark evaluates DESCENDING ([1, 0])
+    # and would feed element_at an invalid 0 index
     shingle_arr = F.expr(
-        f"transform(sequence(1, greatest(size(__words) - {n - 1}, 0)), "
+        f"CASE WHEN size(__words) >= {n} THEN "
+        f"transform(sequence(1, size(__words) - {n - 1}), "
         f"i -> concat_ws(' ', {', '.join(f'element_at(__words, i + {j})' for j in range(n))}))"
+        f" ELSE array() END"
     )
     # per-doc dedup is LOCAL (array_distinct before the explode) — the
     # equivalent row-level .distinct() would shuffle the whole exploded

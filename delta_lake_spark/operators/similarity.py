@@ -330,3 +330,67 @@ def cosine_topk_pandas(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def kmeans_clusters(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration distributed k-means over an embedding column —
+    the clustering pre-step of IVF index builds and corpus bucketing.
+
+    Deterministic end to end so external oracles can replicate it:
+    seeding is the min-id vector per ``id % n_cells`` bucket (same rule
+    as ivf_topk); assignment ranks by cosine (ties by cell id);
+    centroid recomputation is one groupBy with ``dim`` per-position
+    avg() aggregates (NO posexplode — the shuffle carries n_cells * dim
+    doubles total, not |vectors| * dim rows); centroids are rounded to
+    1e-9 each iteration so float summation order can never flip an
+    assignment across engines or reruns.
+
+    Returns: cell_id (int), n_members (long) after ``iterations``
+    assign/recompute rounds.
+    """
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    centroids = (
+        v.groupBy(
+            F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell_id")
+        )
+        .agg(F.min_by("__v", F.col(id_col)).alias("__cv"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "__v",
+            "cell_id",
+            cosine_similarity_col(F.col("__v"), F.col("__cv")).alias("__cs"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__cs").desc(), F.col("cell_id").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(id_col, "__v", "cell_id")
+        )
+
+    assigned = assign(centroids)
+    for _ in range(iterations - 1):
+        centroids = assigned.groupBy("cell_id").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("__v", i + 1)), 9)
+                    for i in range(dim)
+                ]
+            ).alias("__cv")
+        )
+        assigned = assign(centroids)
+
+    return assigned.groupBy("cell_id").agg(F.count("*").alias("n_members"))

@@ -323,3 +323,134 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark-decontamination check: for each corpus document, count
+    word n-gram collisions with an evaluation set (the standard 13-gram
+    overlap test run before training on scraped corpora).
+
+    The eval set is SMALL by definition (benchmarks are thousands of
+    rows, the corpus is billions), so its distinct shingles broadcast:
+    the corpus side is a map-only shingle explode + broadcast semi-join
+    + per-doc count — no corpus-sized shuffle at any point.
+
+    Returns: id_col, n_hits (long) — documents with >= 1 colliding
+    n-gram, with how many of their distinct shingles collide.
+    """
+    from .dedup import word_shingles
+
+    corpus_sh = word_shingles(corpus, text_col, id_col, n)
+    eval_sh = word_shingles(eval_df, text_col, id_col, n).select(
+        "shingle"
+    ).distinct()
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shannon entropy (nats) of the character distribution per document
+    — a cheap perplexity proxy: machine-generated or repetitive text
+    scores low, natural prose high. Two hash aggregations keyed by the
+    doc id (map-side partials both times); no window, no Python.
+
+    Returns: id_col, n_chars (long), entropy (double, rounded 1e-9).
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_chars"),
+        # H = ln(N) - (1/N) * sum(c * ln c)
+        (
+            F.log(F.sum("cnt"))
+            - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt")
+        ).alias("entropy"),
+    )
+    return totals.select(
+        F.col(id_col),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("entropy", 9).alias("entropy"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a vocabulary relation
+    with a ``term`` column (e.g. build_vocabulary's output): the
+    tokenizer-coverage check run when retargeting a corpus. The
+    vocabulary broadcasts (it is orders of magnitude smaller than the
+    corpus); the corpus side is explode + broadcast left join + one
+    aggregation keyed by doc id.
+
+    Returns: id_col, n_tokens, n_oov (long), oov_rate (double).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    marked = toks.join(
+        F.broadcast(vocab.select("term", F.lit(1).alias("__in_vocab"))),
+        "term",
+        "left",
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 9).alias("oov_rate"),
+        )
+    )
+
+
+def bigram_counts(
+    df: DataFrame, text_col: str, top_n: int = 100
+) -> DataFrame:
+    """Top-N corpus bigrams (the co-occurrence statistic behind phrase
+    mining / tokenizer merges). The count is an ordinary partial+final
+    hash aggregation over the exploded bigram relation; the top-N is
+    orderBy+limit, which Spark executes as TakeOrdered (per-partition
+    heaps, no global sort).
+
+    Returns: bigram, freq (long) — deterministic ties by bigram asc.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # size<2 guard: sequence(1, 0) evaluates DESCENDING in Spark
+    bigrams = F.expr(
+        "CASE WHEN size(__w) >= 2 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> concat_ws(' ', element_at(__w, i), element_at(__w, i + 1)))"
+        " ELSE array() END"
+    )
+    return (
+        df.select(words.alias("__w"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(top_n)
+    )

@@ -830,6 +830,164 @@ FROM counts
 """
 
 
+# --------------------------------------------------------------------------
+# q92/q95-q98: decontamination, entropy quality, OOV coverage, clustering,
+# co-occurrence — the remaining LLM-pipeline staples
+# --------------------------------------------------------------------------
+
+def q92_decontaminate(spark, sf_dir):
+    """Benchmark-overlap decontamination: docs 0-24 stand in for an eval
+    set; every other document is checked for 5-gram collisions with it
+    (the classic 13-gram test, shortened for the synthetic corpus).
+    Eval shingles broadcast; the corpus side never shuffles."""
+    from ..operators.text import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return decontaminate(corpus, eval_df, "text", "doc_id", n=5)
+
+
+_Q92_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+  FROM idx WHERE i + 4 <= len(w)
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 25)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM corpus JOIN eval_sh USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def q95_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document — the cheap
+    perplexity proxy used as a generated-text/quality filter."""
+    from ..operators.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q95_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS cnt FROM chars WHERE ch <> '' GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+  ROUND(ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt), 9) AS entropy
+FROM counts GROUP BY doc_id
+"""
+
+
+def q96_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus vocabulary
+    (min_freq=2, i.e. OOV = corpus hapaxes) — the tokenizer-coverage
+    check; the vocabulary broadcasts."""
+    from ..operators.text import build_vocabulary, oov_rate
+
+    docs = _docs(spark, sf_dir)
+    vocab = build_vocabulary(docs, "text", min_freq=2)
+    return oov_rate(docs, vocab, "text", "doc_id")
+
+
+_Q96_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+vocab AS (SELECT term FROM toks GROUP BY term HAVING COUNT(*) >= 2),
+marked AS (
+  SELECT t.doc_id, v.term IS NOT NULL AS in_v
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN in_v THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+  ROUND(SUM(CASE WHEN in_v THEN 0 ELSE 1 END) * 1.0 / COUNT(*), 9) AS oov_rate
+FROM marked GROUP BY doc_id
+"""
+
+
+def q97_kmeans_clusters(spark, sf_dir):
+    """Two-iteration distributed k-means over the embeddings (the IVF
+    index-build pre-step) — deterministic seeding and 1e-9-rounded
+    centroid recomputation make the whole iterative algorithm
+    replicable by the unrolled-CTE oracle."""
+    from ..operators.similarity import kmeans_clusters
+
+    return kmeans_clusters(
+        _emb(spark, sf_dir), n_cells=8, iterations=2, dim=64
+    )
+
+
+def _gen_q97_sql(n_cells: int = 8, dim: int = 64) -> str:
+    """DuckDB replica of kmeans_clusters(iterations=2): modulo arg_min
+    seeding, cosine assignment, per-position avg centroids rounded to
+    1e-9, reassignment, member counts."""
+
+    def cos(a, b):
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    mean_list = ", ".join(f"ROUND(avg(v[{i + 1}]), 9)" for i in range(dim))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(vec_id % {n_cells} AS INTEGER) AS cell_id, arg_min(v, vec_id) AS cv
+  FROM v GROUP BY 1
+),
+a0 AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT v.vec_id, v.v, c.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {cos('v.v', 'c.cv')} DESC, c.cell_id ASC) AS r
+    FROM v, c0 c
+  ) WHERE r = 1
+),
+c1 AS (SELECT cell_id, [{mean_list}] AS cv FROM a0 GROUP BY cell_id),
+a1 AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {cos('v.v', 'c.cv')} DESC, c.cell_id ASC) AS r
+    FROM v, c1 c
+  ) WHERE r = 1
+)
+SELECT cell_id, COUNT(*) AS n_members FROM a1 GROUP BY cell_id
+"""
+
+
+_Q97_SQL = _gen_q97_sql()
+
+
+def q98_bigram_stats(spark, sf_dir):
+    """Top-100 corpus bigrams (phrase-mining / tokenizer-merge
+    statistic); top-N executes as TakeOrdered, ties by bigram asc."""
+    from ..operators.text import bigram_counts
+
+    return bigram_counts(_docs(spark, sf_dir), "text", top_n=100)
+
+
+_Q98_SQL = """
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+),
+idx AS (SELECT w, unnest(range(1, greatest(len(w), 1))) AS i FROM toks),
+bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram FROM idx WHERE i + 1 <= len(w))
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq FROM bg GROUP BY bigram
+ORDER BY freq DESC, bigram ASC LIMIT 100
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -856,6 +1014,11 @@ QUERIES = {
     "q86_dedup_clusters": q86_dedup_clusters,
     "q87_audio_chunk_plan": q87_audio_chunk_plan,
     "q88_dedup_pipeline_stats": q88_dedup_pipeline_stats,
+    "q92_decontaminate": q92_decontaminate,
+    "q95_char_entropy": q95_char_entropy,
+    "q96_oov_rate": q96_oov_rate,
+    "q97_kmeans_clusters": q97_kmeans_clusters,
+    "q98_bigram_stats": q98_bigram_stats,
 }
 
 ORACLE_SQL = {
@@ -884,4 +1047,9 @@ ORACLE_SQL = {
     "q86_dedup_clusters": _Q86_SQL,
     "q87_audio_chunk_plan": _Q87_SQL,
     "q88_dedup_pipeline_stats": _Q88_SQL,
+    "q92_decontaminate": _Q92_SQL,
+    "q95_char_entropy": _Q95_SQL,
+    "q96_oov_rate": _Q96_SQL,
+    "q97_kmeans_clusters": _Q97_SQL,
+    "q98_bigram_stats": _Q98_SQL,
 }

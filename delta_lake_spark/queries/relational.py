@@ -1180,6 +1180,102 @@ WHERE p_retailprice > 1.02 * (
 """
 
 
+# --------------------------------------------------------------------------
+# q93/q94: additional source/sink formats (CSV with declared schema, ORC)
+# --------------------------------------------------------------------------
+
+def q93_csv_roundtrip(spark, sf_dir):
+    """CSV sink + declared-schema scan (header, explicit types — the
+    schema-on-read contract CSV needs; inference would give strings)."""
+    import shutil
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = "/tmp/dls_query_tables/csv_rt"
+    shutil.rmtree(path, ignore_errors=True)
+    sup.write.option("header", True).csv(path)
+    back = spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).option("header", True).csv(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+    )
+
+
+_Q93_SQL = """
+SELECT s_nationkey, COUNT(*) AS n,
+       ROUND(SUM(s_acctbal), 4) AS total_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def q94_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan (columnar format parity beyond parquet; the
+    oracle aggregates the same rows straight from parquet)."""
+    import shutil
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = "/tmp/dls_query_tables/orc_rt"
+    shutil.rmtree(path, ignore_errors=True)
+    orders.write.orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 4).alias("total"),
+    )
+
+
+_Q94_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q99: time-series gap fill (date spine join — the downsample/zero-fill
+# shape of rollup pipelines)
+# --------------------------------------------------------------------------
+
+def q99_daily_gapfill(spark, sf_dir):
+    """Daily click counts with missing days zero-filled: the date spine
+    comes from sequence() over the corpus min/max date (a 1-row
+    aggregate, broadcast into the explode), left-joined to the daily
+    aggregate. No window, no driver-side date math; the spine's size is
+    days, not rows."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_clicks")
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")
+    )
+
+
+_Q99_SQL = """
+WITH clicks AS (SELECT CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'),
+daily AS (SELECT day, COUNT(*) AS n_clicks FROM clicks GROUP BY day),
+spine AS (
+  SELECT unnest(generate_series(
+    (SELECT MIN(day) FROM clicks),
+    (SELECT MAX(day) FROM clicks),
+    INTERVAL 1 DAY))::DATE AS day
+)
+SELECT s.day, CAST(COALESCE(d.n_clicks, 0) AS BIGINT) AS n_clicks
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -1219,6 +1315,9 @@ QUERIES = {
     "q89_left_join_zero_groups": q89_left_join_zero_groups,
     "q90_window_frames": q90_window_frames,
     "q91_correlated_scalar_subquery": q91_correlated_scalar_subquery,
+    "q93_csv_roundtrip": q93_csv_roundtrip,
+    "q94_orc_roundtrip": q94_orc_roundtrip,
+    "q99_daily_gapfill": q99_daily_gapfill,
 }
 
 ORACLE_SQL = {
@@ -1260,4 +1359,7 @@ ORACLE_SQL = {
     "q89_left_join_zero_groups": _Q89_SQL,
     "q90_window_frames": _Q90_SQL,
     "q91_correlated_scalar_subquery": _Q91_SQL,
+    "q93_csv_roundtrip": _Q93_SQL,
+    "q94_orc_roundtrip": _Q94_SQL,
+    "q99_daily_gapfill": _Q99_SQL,
 }

@@ -426,3 +426,70 @@ def test_real_decode_probes_dependency(spark, docs):
     else:  # pragma: no cover - env-dependent upgrade path
         out = decode_image_features(media, real_decode=True)
         assert "mean_luma" in out.columns
+
+
+def test_decontaminate_finds_overlap(spark):
+    from delta_lake_spark.operators.text import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text the quick brown fox jumps over everything else"),
+            (2, "completely unrelated words about spark partitions and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in decontaminate(
+        corpus, eval_df, "text", "doc_id", n=5).collect()}
+    assert hits == {1: 2}  # two colliding 5-grams, doc 2 clean
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from delta_lake_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in char_entropy(df, "text", "doc_id").collect()}
+    assert rows[1].entropy == 0.0
+    assert abs(rows[2].entropy - math.log(2)) < 1e-9
+    assert abs(rows[3].entropy - math.log(4)) < 1e-9
+    assert rows[1].n_chars == 4
+
+
+def test_oov_rate_counts(spark):
+    from delta_lake_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("alpha",), ("beta",)], "term string")
+    rows = {r.doc_id: r for r in oov_rate(docs, vocab, "text", "doc_id").collect()}
+    assert (rows[1].n_tokens, rows[1].n_oov) == (3, 1)  # gamma
+    assert (rows[2].n_tokens, rows[2].n_oov) == (3, 1)  # delta
+    assert abs(rows[1].oov_rate - 1 / 3) < 1e-8
+
+
+def test_kmeans_clusters_partition_all_vectors(spark, emb):
+    from delta_lake_spark.operators.similarity import kmeans_clusters
+
+    out = kmeans_clusters(emb, n_cells=8, iterations=2, dim=64).collect()
+    assert sum(r.n_members for r in out) == emb.count()
+    assert 1 <= len(out) <= 8
+
+
+def test_bigram_counts_deterministic(spark):
+    from delta_lake_spark.operators.text import bigram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    rows = bigram_counts(df, "text", top_n=10).collect()
+    assert (rows[0].bigram, rows[0].freq) == ("a b", 3)
+    assert {r.bigram for r in rows} == {"a b", "b a", "b c"}  # "x" has none

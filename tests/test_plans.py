@@ -250,3 +250,40 @@ def test_ivf_topk_no_single_partition_exchange(spark):
     plan = _plan(df)
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval set is small by definition — its shingles must broadcast
+    so the corpus side never shuffles for the semi-join."""
+    from delta_lake_spark.queries.llm import q92_decontaminate
+
+    plan = _plan(q92_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_oov_rate_broadcasts_vocabulary(spark):
+    """The vocabulary broadcasts, and its (global-window) vocab_id column
+    is pruned away since the join needs only `term`."""
+    from delta_lake_spark.queries.llm import q96_oov_rate
+
+    plan = _plan(q96_oov_rate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_topn_is_takeordered(spark):
+    from delta_lake_spark.queries.llm import q98_bigram_stats
+
+    plan = _plan(q98_bigram_stats(spark, SF_DIR))
+    assert "TakeOrdered" in plan  # per-partition heaps, no global sort
+
+
+def test_kmeans_no_single_partition(spark):
+    """Centroid recomputation is a groupBy carrying n_cells*dim doubles —
+    never a global window or a driver collect."""
+    from delta_lake_spark.queries.llm import q97_kmeans_clusters
+
+    plan = _plan(q97_kmeans_clusters(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

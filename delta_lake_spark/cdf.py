@@ -133,3 +133,53 @@ def table_changes(
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), per_version
     )
+
+
+def table_changes_keyed(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Delta-CDF-shaped changes: like table_changes, but when a commit
+    deletes and inserts rows sharing the same key, the pair is reported
+    as ``update_preimage`` + ``update_postimage`` (real Delta's change
+    types for UPDATE/MERGE commits) instead of delete + insert.
+
+    Without write-time change files the pairing needs a key — the same
+    natural/primary key a MERGE would use. Per commit: deletes and
+    inserts are matched on the key (full-outer join keyed by commit +
+    key, a shuffle proportional to that commit's changed rows only);
+    both-sides -> update pre/post, delete-only -> delete, insert-only ->
+    insert. Multi-row-per-key commits fall back to delete + insert for
+    that key (ambiguous pairing is never guessed).
+    """
+    ch = table_changes(spark, path, from_version, to_version)
+    data_cols = [
+        c for c in ch.columns if c not in ("_change_type", "_commit_version")
+    ]
+    counts = ch.groupBy("_commit_version", *key_cols, "_change_type").agg(
+        F.count("*").alias("__n")
+    )
+    # keys safe to pair: exactly one delete and one insert in the commit
+    paired = (
+        counts.groupBy("_commit_version", *key_cols)
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "delete", F.col("__n"))).alias("__d"),
+            F.sum(F.when(F.col("_change_type") == "insert", F.col("__n"))).alias("__i"),
+        )
+        .filter((F.col("__d") == 1) & (F.col("__i") == 1))
+        .select("_commit_version", *key_cols)
+    )
+    upgraded = ch.join(paired, ["_commit_version", *key_cols], "left_semi").select(
+        *data_cols,
+        F.when(F.col("_change_type") == "delete", F.lit("update_preimage"))
+        .otherwise(F.lit("update_postimage"))
+        .alias("_change_type"),
+        "_commit_version",
+    )
+    passthrough = ch.join(paired, ["_commit_version", *key_cols], "left_anti").select(
+        *data_cols, "_change_type", "_commit_version"
+    )
+    return upgraded.unionByName(passthrough)

@@ -878,6 +878,47 @@ GROUP BY event_type
 """
 
 
+def q100_cdc_keyed_updates(spark, sf_dir):
+    """Keyed CDC (Delta CDF change-type parity): a MERGE that updates
+    every urgent order must surface as update_preimage/update_postimage
+    pairs keyed by order key — not raw delete+insert. The oracle
+    reconstructs the expected change summary relationally."""
+    from ..cdf import table_changes_keyed
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _fresh("cdc_keyed")
+    write_delta(orders, path)  # v0
+    dt = DeltaTable.forPath(spark, path)
+    src = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+    )
+    (
+        dt.alias("t")
+        .merge(src, "t.o_orderkey = s.o_orderkey", source_alias="s")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )  # v1
+    ch = table_changes_keyed(spark, path, ["o_orderkey"], 1, 1)
+    return ch.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+_Q100_SQL = """
+WITH urgent AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'update_preimage' AS _change_type, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 4) AS total FROM urgent
+UNION ALL
+SELECT 'update_postimage', COUNT(*), ROUND(SUM(o_totalprice + 1), 4) FROM urgent
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -902,6 +943,7 @@ QUERIES = {
     "q80_streaming_merge_upsert": q80_streaming_merge_upsert,
     "q84_partitioned_write_pruned_read": q84_partitioned_write_pruned_read,
     "q85_generated_partition_pruning": q85_generated_partition_pruning,
+    "q100_cdc_keyed_updates": q100_cdc_keyed_updates,
 }
 
 ORACLE_SQL = {
@@ -927,4 +969,5 @@ ORACLE_SQL = {
     "q80_streaming_merge_upsert": _Q80_SQL,
     "q84_partitioned_write_pruned_read": _Q84_SQL,
     "q85_generated_partition_pruning": _Q85_SQL,
+    "q100_cdc_keyed_updates": _Q100_SQL,
 }

@@ -322,6 +322,63 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame([(version,)], "version long")
 
     m = re.match(
+        r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        snap = DeltaTable.forPath(
+            spark, catalog.path_of(m.group("name"))
+        )._log.snapshot()
+        pcols = list(snap.metadata.partitionColumns)
+        if not pcols:
+            raise ValueError(
+                f"table {m.group('name')!r} is not partitioned"
+            )
+        vals = sorted(
+            {
+                tuple(a.partitionValues.get(c) for c in pcols)
+                for a in snap.files.values()
+            }
+        )
+        rows = [
+            ("/".join(f"{c}={v}" for c, v in zip(pcols, t)),) for t in vals
+        ]
+        return spark.createDataFrame(rows or [("",)], "partition string").filter(
+            "partition <> ''"
+        )
+
+    m = re.match(
+        r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        version = dt.delete(None)  # remove-all commit; history preserved
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = re.match(
+        r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m and m.group("name").upper() not in ("HISTORY", "DETAIL"):
+        from .writer import schema_of
+
+        snap = DeltaTable.forPath(
+            spark, catalog.path_of(m.group("name"))
+        )._log.snapshot()
+        pcols = set(snap.metadata.partitionColumns)
+        rows = [
+            (
+                f.name,
+                f.dataType.simpleString(),
+                "YES" if f.nullable else "NO",
+                "partition" if f.name in pcols else "",
+            )
+            for f in schema_of(snap).fields
+        ]
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, nullable string, extra string"
+        )
+
+    m = re.match(
         r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
     )
     if m:

@@ -444,3 +444,38 @@ def test_table_changes_includes_version_zero(spark, tmp_table):
     v0 = sorted((r._change_type, r.id) for r in ch if r._commit_version == 0)
     assert v0 == [("insert", 1), ("insert", 2)]
     assert {r.id for r in ch if r._commit_version == 1} == {3}
+
+
+def test_table_changes_keyed_reports_updates(spark, tmp_table):
+    """Keyed CDC: a MERGE update surfaces as update_preimage +
+    update_postimage; pure inserts and deletes keep their types; an
+    ambiguous multi-row key falls back to delete + insert."""
+    from delta_lake_spark.cdf import table_changes_keyed
+
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+        ),
+        tmp_table,
+    )  # v0
+    dt = DeltaTable.forPath(spark, tmp_table)
+    src = spark.createDataFrame([(2, 99.0), (4, 40.0)], "id long, v double")
+    (
+        dt.alias("t").merge(src, "t.id = s.id", source_alias="s")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )  # v1: update id=2, insert id=4
+    dt.delete("id = 1")  # v2
+
+    ch = table_changes_keyed(spark, tmp_table, ["id"], 0).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r._commit_version, []).append((r._change_type, r.id, r.v))
+    assert sorted(by[0]) == [("insert", 1, 10.0), ("insert", 2, 20.0), ("insert", 3, 30.0)]
+    assert sorted(by[1]) == [
+        ("insert", 4, 40.0),
+        ("update_postimage", 2, 99.0),
+        ("update_preimage", 2, 20.0),
+    ]
+    assert sorted(by[2]) == [("delete", 1, 10.0)]

@@ -269,3 +269,36 @@ def test_external_parquet_table_msck_repair(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS ext_events")
+
+
+def test_show_partitions_truncate_describe(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+
+    p = str(tmp_path / "pt")
+    write_delta(
+        spark.range(40).select(
+            F.col("id"), (F.col("id") % 4).cast("int").alias("g")
+        ),
+        p,
+        partition_by=["g"],
+    )
+    cat = Catalog(spark)
+    cat.register("pt", p)
+
+    parts = sorted(r.partition for r in sql(cat, "SHOW PARTITIONS pt").collect())
+    assert parts == ["g=0", "g=1", "g=2", "g=3"]
+
+    desc = {r.col_name: r for r in sql(cat, "DESCRIBE TABLE pt").collect()}
+    assert desc["id"].data_type == "bigint"
+    assert desc["g"].extra == "partition"
+
+    sql(cat, "TRUNCATE TABLE pt")
+    assert sql(cat, "SELECT COUNT(*) AS n FROM pt").collect()[0].n == 0
+    # history preserved: pre-truncate version still readable
+    from delta_lake_spark import read_delta
+
+    assert read_delta(spark, p, version=0).count() == 40

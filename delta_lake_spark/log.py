@@ -397,12 +397,33 @@ class DeltaLog:
         return snap
 
     # ---------- checkpoints ----------
+    #
+    # Parquet is the checkpoint format (the Delta protocol's choice, VLDB
+    # 2020 §3.2): at 10^6-10^7 add entries a columnar checkpoint reads in
+    # a few hundred ms via Arrow, where JSON-lines parsing is tens of
+    # seconds of per-row json.loads. Adds are typed columns; the single
+    # metaData/protocol actions ride in the parquet footer's key-value
+    # metadata (they are one row each — no reason to shape the table
+    # around them). Legacy .checkpoint.json files remain readable.
+
+    _CKPT_ADD_FIELDS = (
+        "path", "partitionValues", "size", "numRecords", "stats",
+        "modificationTime", "dataChange", "deletionVector",
+    )
 
     def _checkpoint_file(self, version: int) -> str:
+        return os.path.join(self.log_path, f"{version:020d}.checkpoint.parquet")
+
+    def _legacy_checkpoint_file(self, version: int) -> str:
         return os.path.join(self.log_path, f"{version:020d}.checkpoint.json")
 
     def _last_checkpoint_file(self) -> str:
         return os.path.join(self.log_path, "_last_checkpoint")
+
+    def _checkpoint_exists(self, version: int) -> bool:
+        return os.path.exists(self._checkpoint_file(version)) or os.path.exists(
+            self._legacy_checkpoint_file(version)
+        )
 
     def _nearest_checkpoint(self, version: int) -> int | None:
         """Highest checkpointed version <= ``version``, or None.
@@ -414,7 +435,7 @@ class DeltaLog:
         try:
             with open(self._last_checkpoint_file(), "r", encoding="utf-8") as fh:
                 v = json.load(fh)["version"]
-            if v <= version and os.path.exists(self._checkpoint_file(v)):
+            if v <= version and self._checkpoint_exists(v):
                 return v
         except (OSError, ValueError, KeyError):
             pass
@@ -422,7 +443,7 @@ class DeltaLog:
             return None
         best = None
         for name in os.listdir(self.log_path):
-            if name.endswith(".checkpoint.json"):
+            if name.endswith((".checkpoint.parquet", ".checkpoint.json")):
                 try:
                     v = int(name.split(".")[0])
                 except ValueError:
@@ -434,10 +455,57 @@ class DeltaLog:
     def _read_checkpoint(
         self, version: int
     ) -> tuple[Metadata, dict[str, AddFile], Protocol]:
+        if os.path.exists(self._checkpoint_file(version)):
+            return self._read_parquet_checkpoint(version)
+        return self._read_json_checkpoint(version)
+
+    def _read_parquet_checkpoint(
+        self, version: int
+    ) -> tuple[Metadata, dict[str, AddFile], Protocol]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(self._checkpoint_file(version))
+        meta = table.schema.metadata or {}
+        raw_md = meta.get(b"delta.metaData")
+        if raw_md is None:
+            raise TableNotFoundError(
+                f"checkpoint {version} of {self.table_path} has no metaData"
+            )
+        metadata = Metadata.from_action(json.loads(raw_md)["metaData"])
+        protocol = (
+            Protocol.from_action(json.loads(meta[b"delta.protocol"])["protocol"])
+            if b"delta.protocol" in meta
+            else Protocol()
+        )
+        files: dict[str, AddFile] = {}
+        cols = {name: table.column(name).to_pylist() for name in self._CKPT_ADD_FIELDS}
+        for i in range(table.num_rows):
+            add = AddFile(
+                path=cols["path"][i],
+                partitionValues=json.loads(cols["partitionValues"][i]),
+                size=cols["size"][i],
+                numRecords=cols["numRecords"][i],
+                stats=json.loads(cols["stats"][i]) if cols["stats"][i] else None,
+                modificationTime=cols["modificationTime"][i],
+                dataChange=cols["dataChange"][i],
+                deletionVector=(
+                    json.loads(cols["deletionVector"][i])
+                    if cols["deletionVector"][i]
+                    else None
+                ),
+            )
+            files[add.path] = add
+        return metadata, files, protocol
+
+    def _read_json_checkpoint(
+        self, version: int
+    ) -> tuple[Metadata, dict[str, AddFile], Protocol]:
         files: dict[str, AddFile] = {}
         metadata: Metadata | None = None
         protocol = Protocol()
-        with open(self._checkpoint_file(version), "r", encoding="utf-8") as fh:
+        with open(
+            self._legacy_checkpoint_file(version), "r", encoding="utf-8"
+        ) as fh:
             for line in fh:
                 if not line.strip():
                     continue
@@ -457,15 +525,57 @@ class DeltaLog:
 
     def write_checkpoint(self, version: int | None = None) -> int:
         """Materialize the snapshot at ``version`` (default latest) into a
-        checkpoint file + ``_last_checkpoint`` pointer. Idempotent; safe to
-        re-run (rename-overwrite of identical content)."""
+        parquet checkpoint + ``_last_checkpoint`` pointer. Idempotent; safe
+        to re-run (rename-overwrite of identical content)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         snap = self.snapshot(version)
-        tmp = os.path.join(self.log_path, f".tmp-ckpt-{uuid.uuid4().hex}.json")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(json.dumps(snap.protocol.to_action(), separators=(",", ":")) + "\n")
-            fh.write(json.dumps(snap.metadata.to_action(), separators=(",", ":")) + "\n")
-            for add in snap.files.values():
-                fh.write(json.dumps(add.to_action(), separators=(",", ":")) + "\n")
+        adds = list(snap.files.values())
+        table = pa.table(
+            {
+                "path": pa.array([a.path for a in adds], pa.string()),
+                "partitionValues": pa.array(
+                    [json.dumps(a.partitionValues, separators=(",", ":")) for a in adds],
+                    pa.string(),
+                ),
+                "size": pa.array([a.size for a in adds], pa.int64()),
+                "numRecords": pa.array([a.numRecords for a in adds], pa.int64()),
+                "stats": pa.array(
+                    [
+                        json.dumps(a.stats, separators=(",", ":"))
+                        if a.stats is not None
+                        else None
+                        for a in adds
+                    ],
+                    pa.string(),
+                ),
+                "modificationTime": pa.array(
+                    [a.modificationTime for a in adds], pa.int64()
+                ),
+                "dataChange": pa.array([a.dataChange for a in adds], pa.bool_()),
+                "deletionVector": pa.array(
+                    [
+                        json.dumps(a.deletionVector, separators=(",", ":"))
+                        if a.deletionVector is not None
+                        else None
+                        for a in adds
+                    ],
+                    pa.string(),
+                ),
+            }
+        ).replace_schema_metadata(
+            {
+                b"delta.metaData": json.dumps(
+                    snap.metadata.to_action(), separators=(",", ":")
+                ).encode(),
+                b"delta.protocol": json.dumps(
+                    snap.protocol.to_action(), separators=(",", ":")
+                ).encode(),
+            }
+        )
+        tmp = os.path.join(self.log_path, f".tmp-ckpt-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp, compression="snappy")
         os.replace(tmp, self._checkpoint_file(snap.version))
         tmp2 = os.path.join(self.log_path, f".tmp-lc-{uuid.uuid4().hex}")
         with open(tmp2, "w", encoding="utf-8") as fh:

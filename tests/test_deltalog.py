@@ -169,3 +169,49 @@ def test_checkpoint_respects_removes_and_time_travel(tmp_path):
     cold2 = DeltaLog(str(tmp_path / "t"), checkpoint_interval=2)
     assert set(cold2.snapshot(0).files) == {"a.parquet", "b.parquet"}
     assert set(cold2.snapshot(1).files) == {"b.parquet"}
+
+
+def test_parquet_checkpoint_roundtrip_and_legacy_json(spark, tmp_table):
+    """Checkpoints are parquet (typed add columns; metaData/protocol in
+    the footer metadata); cold replay from one must reproduce the exact
+    snapshot; legacy .checkpoint.json files stay readable."""
+    import json as _json
+    import os
+
+    from delta_lake_spark import read_delta, write_delta
+    from delta_lake_spark.log import DeltaLog
+
+    for i in range(4):
+        write_delta(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id"), tmp_table
+        )
+    log = DeltaLog(tmp_table)
+    v = log.write_checkpoint()
+    assert os.path.exists(
+        os.path.join(tmp_table, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    )
+    # cold log handle resolves through the parquet checkpoint
+    cold = DeltaLog(tmp_table)
+    snap = cold.snapshot()
+    assert snap.version == v
+    assert read_delta(spark, tmp_table).count() == 40
+    warm_files = {p: a.to_action() for p, a in log.snapshot().files.items()}
+    cold_files = {p: a.to_action() for p, a in snap.files.items()}
+    assert warm_files == cold_files
+
+    # legacy JSON checkpoint (as written by round-1 tables) still reads
+    legacy = os.path.join(
+        tmp_table, "_delta_log", f"{v:020d}.checkpoint.json"
+    )
+    with open(legacy, "w", encoding="utf-8") as fh:
+        fh.write(_json.dumps(snap.protocol.to_action()) + "\n")
+        fh.write(_json.dumps(snap.metadata.to_action()) + "\n")
+        for a in snap.files.values():
+            fh.write(_json.dumps(a.to_action()) + "\n")
+    os.remove(
+        os.path.join(tmp_table, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    )
+    legacy_cold = DeltaLog(tmp_table)
+    assert {
+        p: a.to_action() for p, a in legacy_cold.snapshot().files.items()
+    } == warm_files

@@ -399,12 +399,15 @@ class DeltaLog:
     # ---------- checkpoints ----------
     #
     # Parquet is the checkpoint format (the Delta protocol's choice, VLDB
-    # 2020 §3.2): at 10^6-10^7 add entries a columnar checkpoint reads in
-    # a few hundred ms via Arrow, where JSON-lines parsing is tens of
-    # seconds of per-row json.loads. Adds are typed columns; the single
+    # 2020 §3.2). The 100 TB win is the snappy-compressed columnar layout:
+    # ~18x smaller than JSON-lines (measured: 2.8 MB vs 52 MB at 200k
+    # adds), which at 10^6-10^7 entries is the difference between a
+    # single small object-store GET and streaming tens of compressed MB
+    # before replay can even start. Parse CPU is comparable (stats still
+    # carry per-row JSON); the typed columns additionally allow partial
+    # column reads (e.g. paths-only for VACUUM reachability). The single
     # metaData/protocol actions ride in the parquet footer's key-value
-    # metadata (they are one row each — no reason to shape the table
-    # around them). Legacy .checkpoint.json files remain readable.
+    # metadata. Legacy .checkpoint.json files remain readable.
 
     _CKPT_ADD_FIELDS = (
         "path", "partitionValues", "size", "numRecords", "stats",
@@ -479,20 +482,21 @@ class DeltaLog:
         )
         files: dict[str, AddFile] = {}
         cols = {name: table.column(name).to_pylist() for name in self._CKPT_ADD_FIELDS}
+        loads = json.loads
         for i in range(table.num_rows):
+            pv = cols["partitionValues"][i]
+            st = cols["stats"][i]
+            dv = cols["deletionVector"][i]
             add = AddFile(
                 path=cols["path"][i],
-                partitionValues=json.loads(cols["partitionValues"][i]),
+                # fast path: unpartitioned tables serialize "{}" everywhere
+                partitionValues={} if pv == "{}" else loads(pv),
                 size=cols["size"][i],
                 numRecords=cols["numRecords"][i],
-                stats=json.loads(cols["stats"][i]) if cols["stats"][i] else None,
+                stats=loads(st) if st else None,
                 modificationTime=cols["modificationTime"][i],
                 dataChange=cols["dataChange"][i],
-                deletionVector=(
-                    json.loads(cols["deletionVector"][i])
-                    if cols["deletionVector"][i]
-                    else None
-                ),
+                deletionVector=loads(dv) if dv else None,
             )
             files[add.path] = add
         return metadata, files, protocol

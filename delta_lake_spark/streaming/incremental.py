@@ -31,9 +31,16 @@ def stream_table_to_table(
     schema: str | None = None,
     transform=None,
     timeout_sec: int = 120,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain all pending files from source_dir into a parquet sink with
     availableNow semantics; incremental across calls via the checkpoint.
+
+    ``max_files_per_trigger`` bounds each micro-batch (backpressure /
+    admission control): with availableNow the stream still drains the
+    FULL backlog, but in rate-limited batches — at scale this is what
+    keeps a catch-up run from planning one enormous batch whose state
+    and shuffle exceed executor memory.
 
     The sink is plain parquet here (Structured Streaming's file sink
     maintains its own exactly-once manifest under _spark_metadata);
@@ -42,6 +49,8 @@ def stream_table_to_table(
     reader = spark.readStream
     if schema:
         reader = reader.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(source_dir)
     if transform is not None:
         src = transform(src)

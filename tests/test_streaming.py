@@ -341,3 +341,28 @@ def test_stream_merge_dedup_winner_is_latest_by_ts(spark, tmp_path):
     )
     got = read_delta(spark, tbl).collect()
     assert len(got) == 1 and got[0].label == "a-new"
+
+
+def test_stream_rate_limited_batches_drain_fully(spark, tmp_path):
+    """maxFilesPerTrigger caps each micro-batch but availableNow still
+    drains the whole backlog — multiple batches, complete output."""
+    import os
+
+    from delta_lake_spark.streaming.incremental import stream_table_to_table
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # 6 separate files
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).selectExpr("id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream_table_to_table(
+        spark, src, dst, ckpt, schema="id long", max_files_per_trigger=2
+    )
+    assert spark.read.parquet(dst).count() == 60
+    # the checkpoint recorded multiple rate-limited batches
+    offsets = os.listdir(os.path.join(ckpt, "offsets"))
+    assert len(offsets) >= 3

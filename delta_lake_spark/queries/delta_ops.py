@@ -919,6 +919,36 @@ SELECT 'update_postimage', COUNT(*), ROUND(SUM(o_totalprice + 1), 4) FROM urgent
 """
 
 
+def q101_analyze_statistics(spark, sf_dir):
+    """ANALYZE TABLE statistics commit: one aggregation pass computes
+    per-column null/min/max/ndv + row count, recorded in the log as a
+    dataChange=False commit; statistics() reads them back without a
+    scan. Exact NDV here so the oracle can recompute it relationally."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _fresh("analyze_stats")
+    write_delta(orders, path)
+    dt = DeltaTable.forPath(spark, path)
+    dt.analyze(columns=["o_orderkey", "o_orderpriority"], exact_ndv=True)
+    return dt.statistics().select("column", "null_count", "ndv", "row_count")
+
+
+_Q101_SQL = """
+SELECT 'o_orderkey' AS column,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+       COUNT(*) AS row_count
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       COUNT(*)
+FROM orders
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -944,6 +974,7 @@ QUERIES = {
     "q84_partitioned_write_pruned_read": q84_partitioned_write_pruned_read,
     "q85_generated_partition_pruning": q85_generated_partition_pruning,
     "q100_cdc_keyed_updates": q100_cdc_keyed_updates,
+    "q101_analyze_statistics": q101_analyze_statistics,
 }
 
 ORACLE_SQL = {
@@ -970,4 +1001,5 @@ ORACLE_SQL = {
     "q84_partitioned_write_pruned_read": _Q84_SQL,
     "q85_generated_partition_pruning": _Q85_SQL,
     "q100_cdc_keyed_updates": _Q100_SQL,
+    "q101_analyze_statistics": _Q101_SQL,
 }

@@ -379,6 +379,22 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         )
 
     m = re.match(
+        r"^\s*ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w,\s]+))?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        version = dt.analyze(columns=cols)
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = re.match(
         r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
     )
     if m:

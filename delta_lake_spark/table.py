@@ -1306,6 +1306,94 @@ class DeltaTable:
             extra_actions=self._feature_upgrade(snap, "columnMapping"),
         )
 
+    def row_count(self) -> int | None:
+        """Metadata-only row count: sum of per-file numRecords minus
+        deletion-vector cardinalities — O(#files) driver arithmetic, no
+        scan (the answer a 100 TB COUNT(*) should come from). Returns
+        None when any file lacks numRecords (pre-stats writer) so the
+        caller falls back to a scan instead of trusting a partial sum."""
+        snap = self._log.snapshot()
+        total = 0
+        for a in snap.files.values():
+            if a.numRecords is None:
+                return None
+            total += a.numRecords - int((a.deletionVector or {}).get("cardinality", 0))
+        return total
+
+    def analyze(
+        self, columns: list[str] | None = None, exact_ndv: bool = False
+    ) -> int:
+        """ANALYZE TABLE ... COMPUTE STATISTICS: one aggregation pass
+        computing per-column null_count / min / max / ndv plus the table
+        row count, committed as a dataChange=False statistics commit
+        (table property ``dls.tableStats``) so planners and users read
+        them from the log without scanning. ``exact_ndv=False`` (default)
+        uses HyperLogLog approx_count_distinct — at 100 TB an exact
+        distinct per column is a full shuffle per column, while HLL is
+        one map-side pass; pass True when exact cardinalities matter
+        more than cost. Returns the committed version."""
+        import json as _json
+
+        from .reader import read_delta
+
+        snap = self._log.snapshot()
+        schema = schema_of(snap)
+        cols = columns or [f.name for f in schema.fields]
+        df = read_delta(self.spark, self.path)
+        ndv = (
+            (lambda c: F.count_distinct(F.col(c)))
+            if exact_ndv
+            else (lambda c: F.approx_count_distinct(F.col(c)))
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs.extend(
+                [
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nc_{c}"),
+                    F.min(c).alias(f"__min_{c}"),
+                    F.max(c).alias(f"__max_{c}"),
+                    ndv(c).alias(f"__ndv_{c}"),
+                ]
+            )
+        row = df.agg(*aggs).collect()[0]  # one row of stats — not data
+        stats = {
+            "rowCount": row["__rows"],
+            "columns": {
+                c: {
+                    "nullCount": int(row[f"__nc_{c}"] or 0),
+                    "min": str(row[f"__min_{c}"]) if row[f"__min_{c}"] is not None else None,
+                    "max": str(row[f"__max_{c}"]) if row[f"__max_{c}"] is not None else None,
+                    "ndv": int(row[f"__ndv_{c}"] or 0),
+                }
+                for c in cols
+            },
+        }
+        return self.set_properties(
+            {"dls.tableStats": _json.dumps(stats, separators=(",", ":"))}
+        )
+
+    def statistics(self) -> DataFrame:
+        """Statistics recorded by the last ANALYZE as a relation:
+        (column, null_count, min, max, ndv, row_count). Raises if the
+        table was never analyzed."""
+        import json as _json
+
+        raw = self._log.snapshot().metadata.configuration.get("dls.tableStats")
+        if not raw:
+            raise ValueError(
+                f"table {self.path} has no statistics; run analyze() first"
+            )
+        st = _json.loads(raw)
+        rows = [
+            (c, v["nullCount"], v["min"], v["max"], v["ndv"], st["rowCount"])
+            for c, v in sorted(st["columns"].items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column string, null_count long, min string, max string, "
+            "ndv long, row_count long",
+        )
+
     def set_properties(self, props: dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: merge keys into table
         configuration (e.g. ``{"deletionVectors": "true"}`` flips

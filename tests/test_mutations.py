@@ -479,3 +479,33 @@ def test_table_changes_keyed_reports_updates(spark, tmp_table):
         ("update_preimage", 2, 20.0),
     ]
     assert sorted(by[2]) == [("delete", 1, 10.0)]
+
+
+def test_row_count_metadata_only_and_analyze(spark, tmp_table):
+    """row_count answers from log arithmetic (numRecords minus DV
+    cardinality); ANALYZE records stats readable without a scan and via
+    the SQL form."""
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "id long, v double"
+        ),
+        tmp_table,
+    )
+    dt = DeltaTable.forPath(spark, tmp_table)
+    assert dt.row_count() == 50
+    dt.delete("id < 10", use_dv=True)  # DV delete: files keep numRecords
+    assert dt.row_count() == 40
+
+    cat = Catalog(spark)
+    cat.register("an_t", tmp_table)
+    sql(cat, "ANALYZE TABLE an_t COMPUTE STATISTICS FOR COLUMNS id, v")
+    st = {r.column: r for r in dt.statistics().collect()}
+    assert st["id"].row_count == 40
+    assert st["id"].null_count == 0
+    assert st["id"].min == "10"
+    # the stats commit is dataChange=False metadata: no files changed
+    snap = dt._log.snapshot()
+    assert "dls.tableStats" in snap.metadata.configuration

@@ -919,6 +919,39 @@ SELECT 'update_postimage', COUNT(*), ROUND(SUM(o_totalprice + 1), 4) FROM urgent
 """
 
 
+def q102_replace_where(spark, sf_dir):
+    """Selective overwrite (replaceWhere): urgent orders are atomically
+    replaced with a repriced copy in ONE commit; other rows untouched,
+    straddling files rewritten keeping non-matching rows."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _fresh("replace_where")
+    write_delta(orders, path)  # v0
+    dt = DeltaTable.forPath(spark, path)
+    repriced = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    dt.replace_where(repriced, "o_orderpriority = '1-URGENT'")  # v1, atomic
+    assert dt._log.snapshot().version == 1  # one commit, not delete+append
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+_Q102_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice + 1000 ELSE o_totalprice END), 4) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q101_analyze_statistics(spark, sf_dir):
     """ANALYZE TABLE statistics commit: one aggregation pass computes
     per-column null/min/max/ndv + row count, recorded in the log as a
@@ -975,6 +1008,7 @@ QUERIES = {
     "q85_generated_partition_pruning": q85_generated_partition_pruning,
     "q100_cdc_keyed_updates": q100_cdc_keyed_updates,
     "q101_analyze_statistics": q101_analyze_statistics,
+    "q102_replace_where": q102_replace_where,
 }
 
 ORACLE_SQL = {
@@ -1002,4 +1036,5 @@ ORACLE_SQL = {
     "q85_generated_partition_pruning": _Q85_SQL,
     "q100_cdc_keyed_updates": _Q100_SQL,
     "q101_analyze_statistics": _Q101_SQL,
+    "q102_replace_where": _Q102_SQL,
 }

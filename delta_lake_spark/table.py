@@ -1306,6 +1306,80 @@ class DeltaTable:
             extra_actions=self._feature_upgrade(snap, "columnMapping"),
         )
 
+    def replace_where(self, df: DataFrame, predicate: str) -> int:
+        """Selective overwrite (Delta's ``replaceWhere``): atomically
+        replace exactly the rows matching ``predicate`` with ``df``, in
+        ONE commit — delete-matching + append as a single transaction,
+        so readers never observe the gap between them.
+
+        Every incoming row must satisfy the predicate (enforced with a
+        limit(1) probe, not a full count); files straddling the
+        predicate are rewritten keeping their non-matching rows
+        (arbitrary-predicate replaceWhere, not just partition-aligned).
+        FIND is stats/partition-pruned like DELETE, so a
+        partition-aligned predicate touches only that partition's files.
+        """
+        from .writer import apply_generated
+
+        snap = self._log.snapshot()
+        schema = schema_of(snap)
+        cond = _as_column(predicate)
+        bad = df.filter(~F.coalesce(cond, F.lit(False))).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"replace_where: incoming row violates predicate {predicate!r}: "
+                f"{bad[0]}"
+            )
+        touched, read_paths = self._touched_files(cond, predicate)
+        adds = []
+        if touched:
+            kept = self._read_files(touched).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
+            adds = stage_files(
+                kept,
+                self.path,
+                list(snap.metadata.partitionColumns),
+                schema=schema,
+            )
+        new_df = apply_generated(
+            df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields
+                  if f.name in df.columns]
+            ),
+            snap.metadata.configuration,
+        )
+        enforce_constraints(new_df, snap.metadata.configuration)
+        new_adds = stage_files(
+            new_df,
+            self.path,
+            list(snap.metadata.partitionColumns),
+            schema=schema,
+        )
+        now = _utc_millis()
+        actions: list[dict[str, Any]] = [
+            CommitInfo(
+                operation="WRITE",
+                operationParameters={
+                    "mode": "Overwrite",
+                    "predicate": predicate,
+                },
+                readVersion=snap.version,
+                operationMetrics={
+                    "numRemovedFiles": len(touched),
+                    "numAddedFiles": len(adds) + len(new_adds),
+                },
+            ).to_action()
+        ]
+        actions.extend(
+            RemoveFile(p, deletionTimestamp=now).to_action() for p in touched
+        )
+        actions.extend(a.to_action() for a in adds)
+        actions.extend(a.to_action() for a in new_adds)
+        return self._commit_mutation(
+            actions, touched, snap, content_neutral=False, read_paths=read_paths
+        )
+
     def row_count(self) -> int | None:
         """Metadata-only row count: sum of per-file numRecords minus
         deletion-vector cardinalities — O(#files) driver arithmetic, no

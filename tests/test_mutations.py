@@ -509,3 +509,36 @@ def test_row_count_metadata_only_and_analyze(spark, tmp_table):
     # the stats commit is dataChange=False metadata: no files changed
     snap = dt._log.snapshot()
     assert "dls.tableStats" in snap.metadata.configuration
+
+
+def test_replace_where_atomic_and_validated(spark, tmp_table):
+    """replaceWhere: one commit, straddling files keep non-matching
+    rows, predicate-violating input is rejected before any write."""
+    import pytest as _pytest
+
+    write_delta(
+        spark.createDataFrame(
+            [(i, "a" if i < 5 else "b", float(i)) for i in range(10)],
+            "id long, grp string, v double",
+        ).coalesce(1),  # ONE file straddling both groups
+        tmp_table,
+    )
+    dt = DeltaTable.forPath(spark, tmp_table)
+    v0 = dt._log.snapshot().version
+
+    new_a = spark.createDataFrame(
+        [(100, "a", 777.0)], "id long, grp string, v double"
+    )
+    v1 = dt.replace_where(new_a, "grp = 'a'")
+    assert v1 == v0 + 1  # single atomic commit
+
+    rows = {(r.id, r.grp, r.v) for r in read_delta(spark, tmp_table).collect()}
+    assert (100, "a", 777.0) in rows
+    assert all(g == "b" for (_i, g, _v) in rows if _i != 100)
+    assert len(rows) == 6  # 5 'b' survivors from the straddling file + new row
+
+    with _pytest.raises(ValueError, match="violates predicate"):
+        dt.replace_where(
+            spark.createDataFrame([(7, "b", 1.0)], "id long, grp string, v double"),
+            "grp = 'a'",
+        )

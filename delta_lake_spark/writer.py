@@ -338,10 +338,21 @@ def stage_files(
     data_change: bool = True,
     collect_stats: bool = True,
     schema: StructType | None = None,
+    optimized_write: bool = True,
 ) -> list[AddFile]:
     """Write df's data as parquet under data/<commit-id>/ and return the
     AddFile actions (not yet committed). The Spark write is fully
     distributed; only the footer-stat sweep runs on the driver.
+
+    ``optimized_write`` (default on, Delta's optimizedWrite): partitioned
+    stages hash-shuffle on the partition columns first, so each partition
+    value is written by one task — without it, every upstream task writes
+    a sliver into every partition it holds, and a 200-task write into 365
+    date partitions stages 73k files per commit. The shuffle is on the
+    compact pre-write rows and AQE coalesces small partitions. Disable
+    for single-partition-value writes where the extra shuffle buys
+    nothing. Skewed partition values remain one-task writes — split such
+    tables by a finer partition key or compact afterwards.
 
     ``schema`` (the table schema) enables column mapping: logical column
     names are rewritten to their physical parquet names before staging,
@@ -352,6 +363,8 @@ def stage_files(
     abs_dir = os.path.join(table_path, commit_rel)
     if partition_by:
         staged = df
+        if optimized_write:
+            staged = staged.repartition(*[F.col(c) for c in partition_by])
         for c in partition_by:
             staged = staged.withColumn(PV_DIR_PREFIX + c, F.col(c).cast("string"))
         staged.write.partitionBy(*[PV_DIR_PREFIX + c for c in partition_by]).parquet(

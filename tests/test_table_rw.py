@@ -209,3 +209,20 @@ def test_files_metadata_table(spark, tmp_path):
     assert parts == {"a", "b"}
     dt.delete("id = 0", use_dv=True)
     assert dt.files().filter("has_deletion_vector").count() >= 1
+
+
+def test_optimized_write_one_file_per_partition(spark, tmp_table):
+    """Partitioned stages shuffle on the partition columns first: a
+    many-task source writes ONE file per partition value, not one
+    sliver per (task x partition)."""
+    from delta_lake_spark import DeltaTable, read_delta, write_delta
+
+    df = (
+        spark.range(1000)
+        .selectExpr("id", "CAST(id % 4 AS INT) AS g")
+        .repartition(16)  # many upstream tasks, all holding all 4 groups
+    )
+    write_delta(df, tmp_table, partition_by=["g"])
+    files = DeltaTable.forPath(spark, tmp_table).files().collect()
+    assert len(files) == 4  # one per partition value
+    assert read_delta(spark, tmp_table).count() == 1000

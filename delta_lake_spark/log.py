@@ -587,6 +587,40 @@ class DeltaLog:
         os.replace(tmp2, self._last_checkpoint_file())
         return snap.version
 
+    def cleanup_expired_logs(self, retention_millis: int) -> list[str]:
+        """Metadata retention (Delta's logRetentionDuration): delete
+        commit files strictly OLDER than the newest checkpoint AND whose
+        mtime is past ``retention_millis`` — replay from the checkpoint
+        no longer needs them. Time travel to cleaned versions stops
+        working, same as Delta. Expired legacy checkpoints behind the
+        newest one are removed too. The newest checkpoint and every
+        commit at or after it are always kept. Returns deleted paths."""
+        import time as _time
+
+        ckpt = self._nearest_checkpoint(self.latest_version())
+        if ckpt is None:
+            return []
+        cutoff = _time.time() - retention_millis / 1000.0
+        deleted: list[str] = []
+        for name in sorted(os.listdir(self.log_path)):
+            full = os.path.join(self.log_path, name)
+            try:
+                if name.endswith(".json") and len(name) == 25:
+                    v = int(name[:-5])
+                    if v < ckpt and os.path.getmtime(full) < cutoff:
+                        os.remove(full)
+                        deleted.append(full)
+                elif name.endswith((".checkpoint.parquet", ".checkpoint.json")):
+                    v = int(name.split(".")[0])
+                    if v < ckpt and os.path.getmtime(full) < cutoff:
+                        os.remove(full)
+                        deleted.append(full)
+            except (ValueError, OSError):
+                continue
+        if deleted:
+            self._snapshot_cache.clear()
+        return deleted
+
     def version_at_timestamp(self, ts_millis: int) -> int:
         """Latest version whose commit timestamp is <= ts_millis
         (TIMESTAMP AS OF resolution). Raises VersionNotFoundError if the

@@ -28,6 +28,9 @@ _CMP_RE = re.compile(
 _IN_RE = re.compile(
     r"^\s*(?P<col>[A-Za-z_][\w]*)\s+IN\s*\((?P<vals>[^)]+)\)\s*$", re.IGNORECASE
 )
+_NULL_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][\w]*)\s+IS\s+(?P<not>NOT\s+)?NULL\s*$", re.IGNORECASE
+)
 
 
 def _parse_literal(text: str) -> Any | None:
@@ -51,6 +54,12 @@ def parse_conjuncts(predicate: str) -> list[tuple[str, str, Any]] | None:
     triples; None if any conjunct is outside the safe subset."""
     out: list[tuple[str, str, Any]] = []
     for part in re.split(r"\s+AND\s+", predicate.strip(), flags=re.IGNORECASE):
+        m = _NULL_RE.match(part)
+        if m:
+            out.append(
+                (m.group("col"), "IS NOT NULL" if m.group("not") else "IS NULL", None)
+            )
+            continue
         m = _IN_RE.match(part)
         if m:
             vals = [_parse_literal(v) for v in m.group("vals").split(",")]
@@ -101,6 +110,11 @@ def file_may_match(add: AddFile, conjuncts: list[tuple[str, str, Any]]) -> bool:
         # exact partition-value match beats stats
         if col in add.partitionValues:
             pv = add.partitionValues[col]
+            # a partition column has ONE value for every row in the file
+            if op == "IS NULL" and pv is not None:
+                return False
+            if op == "IS NOT NULL" and pv is None:
+                return False
             if op == "=" and pv is not None and _pv_equals(lit, pv) is False:
                 return False
             if (
@@ -110,6 +124,19 @@ def file_may_match(add: AddFile, conjuncts: list[tuple[str, str, Any]]) -> bool:
             ):
                 return False
         stats = add.stats or {}
+        if op in ("IS NULL", "IS NOT NULL"):
+            nc = (stats.get("nullCount") or {}).get(col)
+            if nc is None:
+                continue  # no null stats -> cannot skip
+            if op == "IS NULL" and nc == 0:
+                return False  # proven: no null rows in this file
+            if (
+                op == "IS NOT NULL"
+                and add.numRecords is not None
+                and nc == add.numRecords
+            ):
+                return False  # proven: every row is null
+            continue
         mins = stats.get("minValues", {})
         maxs = stats.get("maxValues", {})
         if col not in mins or col not in maxs:

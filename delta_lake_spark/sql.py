@@ -464,6 +464,20 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return _exec_merge(catalog, m)
 
     m = re.match(
+        r"^\s*INSERT\s+INTO\s+(?P<name>[\w.]+)\s+REPLACE\s+WHERE\s+"
+        r"(?P<pred>.+?)\s+(?P<select>SELECT\s+.+)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        catalog.refresh_all()
+        df = spark.sql(_rewrite_time_travel(catalog, m.group("select")))
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        version = dt.replace_where(df, m.group("pred").strip())
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = re.match(
         r"^\s*INSERT\s+INTO\s+(?P<name>[\w.]+)\s+(?P<select>SELECT\s+.+)$",
         s,
         re.IGNORECASE | re.DOTALL,

@@ -215,3 +215,35 @@ def test_parquet_checkpoint_roundtrip_and_legacy_json(spark, tmp_table):
     assert {
         p: a.to_action() for p, a in legacy_cold.snapshot().files.items()
     } == warm_files
+
+
+def test_cleanup_expired_logs(spark, tmp_table):
+    """Commits older than the newest checkpoint and past retention are
+    deleted; replay from the checkpoint still works; time travel to
+    cleaned versions raises."""
+    import os
+
+    import pytest as _pytest
+
+    from delta_lake_spark import read_delta, write_delta
+    from delta_lake_spark.errors import VersionNotFoundError
+    from delta_lake_spark.log import DeltaLog
+
+    for i in range(5):
+        write_delta(spark.range(i * 10, i * 10 + 10), tmp_table)
+    log = DeltaLog(tmp_table)
+    ckpt_v = log.write_checkpoint()  # checkpoint at v4
+    write_delta(spark.range(100, 110), tmp_table)  # v5 tail commit
+
+    # age the old commit files past retention
+    for v in range(ckpt_v):
+        p = os.path.join(tmp_table, "_delta_log", f"{v:020d}.json")
+        os.utime(p, (1, 1))
+    deleted = DeltaLog(tmp_table).cleanup_expired_logs(retention_millis=60_000)
+    assert len(deleted) == ckpt_v  # v0..v3 gone, v4 + v5 kept
+
+    cold = DeltaLog(tmp_table)
+    assert cold.snapshot().version == 5
+    assert read_delta(spark, tmp_table).count() == 60
+    with _pytest.raises(VersionNotFoundError):
+        cold.snapshot(1)  # cleaned version no longer replayable

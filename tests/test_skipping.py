@@ -122,3 +122,39 @@ def test_partition_value_numeric_compare():
     # unparseable partition value for a numeric literal -> fail open
     w = AddFile(path="h.parquet", partitionValues={"p": "oops"})
     assert file_may_match(w, parse_conjuncts("p = 1"))
+
+
+def test_null_conjunct_pruning():
+    """IS NULL prunes files with zero nulls; IS NOT NULL prunes all-null
+    files; partition columns use their single value directly."""
+    from delta_lake_spark.log import AddFile
+    from delta_lake_spark.skipping import file_may_match, parse_conjuncts
+
+    no_nulls = AddFile(
+        path="a.parquet", numRecords=10,
+        stats={"minValues": {"v": 1}, "maxValues": {"v": 5}, "nullCount": {"v": 0}},
+    )
+    all_nulls = AddFile(
+        path="b.parquet", numRecords=10,
+        stats={"minValues": {}, "maxValues": {}, "nullCount": {"v": 10}},
+    )
+    some = AddFile(
+        path="c.parquet", numRecords=10,
+        stats={"minValues": {"v": 1}, "maxValues": {"v": 5}, "nullCount": {"v": 3}},
+    )
+    isnull = parse_conjuncts("v IS NULL")
+    notnull = parse_conjuncts("v IS NOT NULL")
+    assert not file_may_match(no_nulls, isnull)
+    assert file_may_match(no_nulls, notnull)
+    assert file_may_match(all_nulls, isnull)
+    assert not file_may_match(all_nulls, notnull)
+    assert file_may_match(some, isnull) and file_may_match(some, notnull)
+    # partition column: one value for every row
+    p_set = AddFile(path="d.parquet", partitionValues={"p": "x"})
+    p_null = AddFile(path="e.parquet", partitionValues={"p": None})
+    assert not file_may_match(p_set, parse_conjuncts("p IS NULL"))
+    assert file_may_match(p_set, parse_conjuncts("p IS NOT NULL"))
+    assert file_may_match(p_null, parse_conjuncts("p IS NULL"))
+    assert not file_may_match(p_null, parse_conjuncts("p IS NOT NULL"))
+    # mixed with comparisons still parses
+    assert parse_conjuncts("v IS NOT NULL AND v > 3") is not None

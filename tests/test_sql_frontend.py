@@ -302,3 +302,30 @@ def test_show_partitions_truncate_describe(spark, tmp_path):
     from delta_lake_spark import read_delta
 
     assert read_delta(spark, p, version=0).count() == 40
+
+
+def test_insert_replace_where_sql(spark, tmp_path):
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+
+    p = str(tmp_path / "rw")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
+            "id long, grp string, v double",
+        ),
+        p,
+    )
+    cat = Catalog(spark)
+    cat.register("rw_t", p)
+    sql(
+        cat,
+        "INSERT INTO rw_t REPLACE WHERE grp = 'a' "
+        "SELECT CAST(9 AS BIGINT) AS id, 'a' AS grp, CAST(99 AS DOUBLE) AS v",
+    )
+    rows = sorted(
+        (r.id, r.grp, r.v)
+        for r in sql(cat, "SELECT * FROM rw_t").collect()
+    )
+    assert rows == [(2, "b", 2.0), (9, "a", 99.0)]

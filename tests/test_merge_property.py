@@ -110,3 +110,39 @@ def test_merge_matches_relational_model(
 
     got = {r.id: r.val for r in read_delta(spark, path).collect()}
     assert got == _model(target, source, matched, insert)
+
+
+_rw_target = st.dictionaries(
+    st.integers(0, 12), st.integers(0, 99), min_size=1, max_size=10
+)
+_rw_new = st.dictionaries(
+    st.integers(0, 12), st.integers(0, 99), min_size=0, max_size=8
+)
+_rw_cut = st.integers(0, 12)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=_rw_target, new=_rw_new, cut=_rw_cut)
+def test_replace_where_equals_relational_model(spark, tmp_path, target, new, cut):
+    """replace_where(df, 'id < cut') must equal the relational model:
+    rows with id >= cut survive untouched; matching rows are exactly the
+    (predicate-satisfying subset of) new data."""
+    pred = f"id < {cut}"
+    new_in_pred = {k: v for k, v in new.items() if k < cut}
+    expected = {**{k: v for k, v in target.items() if k >= cut}, **new_in_pred}
+
+    path = str(tmp_path / f"rw_{uuid.uuid4().hex[:8]}")
+    write_delta(
+        spark.createDataFrame(sorted(target.items()), "id long, v long"), path
+    )
+    dt = DeltaTable.forPath(spark, path)
+    new_df = spark.createDataFrame(
+        sorted(new_in_pred.items()) or [], "id long, v long"
+    )
+    dt.replace_where(new_df, pred)
+    got = {r.id: r.v for r in read_delta(spark, path).collect()}
+    assert got == expected

@@ -248,12 +248,22 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
     if m and " CONSTRAINT " not in s.upper():
         dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
         cols: dict[str, str] = {}
+        defaults: dict[str, str] = {}
         for part in m.group("cols").split(","):
-            name_type = part.strip().split(None, 1)
+            part = part.strip()
+            dm = re.match(
+                r"^(?P<spec>.+?)\s+DEFAULT\s+(?P<expr>.+)$", part, re.IGNORECASE
+            )
+            if dm:
+                part = dm.group("spec").strip()
+            name_type = part.split(None, 1)
             if len(name_type) != 2:
                 raise ValueError(f"bad column spec {part!r}")
-            cols[name_type[0].strip("`")] = name_type[1]
-        v = dt.add_columns(cols)
+            cname = name_type[0].strip("`")
+            cols[cname] = name_type[1]
+            if dm:
+                defaults[cname] = dm.group("expr").strip()
+        v = dt.add_columns(cols, defaults=defaults or None)
         catalog.refresh(m.group("name"))
         return spark.createDataFrame([(v,)], "version long")
 

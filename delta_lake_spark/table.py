@@ -1223,15 +1223,23 @@ class DeltaTable:
         )
         return frozen, conf
 
-    def add_columns(self, columns: dict[str, str]) -> int:
+    def add_columns(
+        self, columns: dict[str, str], defaults: dict[str, str] | None = None
+    ) -> int:
         """ALTER TABLE ADD COLUMNS ({name: ddl type}). Metadata-only:
         existing files simply lack the column and readers surface NULL
         (the parquet scan fills missing fields); no data is rewritten.
         Under column mapping, new columns get fresh physical names so a
-        re-added name never resurrects dropped data."""
+        re-added name never resurrects dropped data.
+
+        ``defaults`` ({name: sql expr}) records a column DEFAULT: future
+        writes that omit the column get the expression computed JVM-side
+        (apply_defaults); existing rows still read NULL — Delta's
+        allowColumnDefaults semantics, where defaults apply to new
+        writes only."""
         from pyspark.sql.types import StructField, StructType
 
-        from .writer import with_physical_names
+        from .writer import DEFAULT_PREFIX, with_physical_names
 
         snap = self._log.snapshot()
         schema = schema_of(snap)
@@ -1242,12 +1250,27 @@ class DeltaTable:
                 raise ValueError(f"column {name} already exists")
             dt = StructType.fromDDL(f"`{name}` {ddl}").fields[0].dataType
             new_fields.append(StructField(name, dt, True))
+        for name in defaults or {}:
+            if name not in columns:
+                raise ValueError(
+                    f"default for {name!r} must accompany its ADD COLUMN"
+                )
         new_schema = with_physical_names(
             StructType(list(schema.fields) + new_fields),
             snap.metadata.configuration,
         )
+        configuration = None
+        if defaults:
+            configuration = {
+                **snap.metadata.configuration,
+                **{DEFAULT_PREFIX + c: e for c, e in defaults.items()},
+            }
         return self._commit_schema(
-            snap, new_schema, "ADD COLUMNS", {"columns": dict(columns)}
+            snap,
+            new_schema,
+            "ADD COLUMNS",
+            {"columns": dict(columns), **({"defaults": dict(defaults)} if defaults else {})},
+            configuration=configuration,
         )
 
     def rename_column(self, old: str, new: str) -> int:

@@ -50,6 +50,24 @@ PV_DIR_PREFIX = "__pv_"
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 CONSTRAINT_PREFIX = "constraint."
 GENERATED_PREFIX = "generated."
+DEFAULT_PREFIX = "default."
+
+
+def apply_defaults(
+    df: DataFrame, table_schema: "StructType", configuration: dict[str, str]
+) -> DataFrame:
+    """Column DEFAULT values (Delta's allowColumnDefaults): a write that
+    OMITS a defaulted column gets the default expression computed
+    JVM-side; a write that supplies the column keeps its values.
+    Existing rows are untouched (ADD COLUMN stays metadata-only — they
+    read as NULL, matching Delta: defaults apply to new writes only)."""
+    from pyspark.sql import functions as F
+
+    for f in table_schema.fields:
+        expr = configuration.get(DEFAULT_PREFIX + f.name)
+        if expr is not None and f.name not in df.columns:
+            df = df.withColumn(f.name, F.expr(expr).cast(f.dataType))
+    return df
 
 # ---------------------------------------------------------------------------
 # column mapping (Delta's columnMapping.mode=name): the schema's StructField
@@ -458,6 +476,7 @@ def write_delta(
         table_schema = schema_of(snap)
         df, id_specs = assign_identity(df, snap.metadata.configuration)
         df = apply_generated(df, snap.metadata.configuration)
+        df = apply_defaults(df, table_schema, snap.metadata.configuration)
         df = _align_types(df, table_schema)
         enforce_constraints(df, snap.metadata.configuration)
         final_schema, schema_changed = _evolve_schema(

@@ -143,3 +143,41 @@ def test_identity_column_rejects_explicit_write(spark, tmp_table):
         write_delta(
             orders.limit(5).withColumn("row_id", F.lit(7).cast("long")), tmp_table
         )
+
+
+def test_column_defaults_apply_to_new_writes_only(spark, tmp_table):
+    """ADD COLUMN ... DEFAULT: existing rows read NULL (metadata-only
+    add); writes omitting the column get the default; writes supplying
+    it keep their values."""
+    from delta_lake_spark import DeltaTable, read_delta, write_delta
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+
+    write_delta(
+        spark.createDataFrame([(1, 10.0)], "id long, v double"), tmp_table
+    )
+    cat = Catalog(spark)
+    cat.register("def_t", tmp_table)
+    sql(cat, "ALTER TABLE def_t ADD COLUMNS (tier STRING DEFAULT 'bronze')")
+
+    # existing row: NULL (defaults never rewrite data)
+    assert read_delta(spark, tmp_table).filter("id = 1").collect()[0].tier is None
+    # omitted column -> default
+    write_delta(
+        spark.createDataFrame([(2, 20.0)], "id long, v double"), tmp_table
+    )
+    # supplied column -> kept
+    write_delta(
+        spark.createDataFrame(
+            [(3, 30.0, "gold")], "id long, v double, tier string"
+        ),
+        tmp_table,
+    )
+    got = {r.id: r.tier for r in read_delta(spark, tmp_table).collect()}
+    assert got == {1: None, 2: "bronze", 3: "gold"}
+
+    dt = DeltaTable.forPath(spark, tmp_table)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must accompany"):
+        dt.add_columns({"x": "INT"}, defaults={"y": "1"})

@@ -43,20 +43,30 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     quality (all double, rounded to 6 dp for cross-engine stability).
     """
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n_tokens = F.size(words).cast("double")
-    n_chars = F.length(text_col).cast("double")
+    # stage the token array once per row — expression references don't
+    # share work across projections, so size()/array_distinct() over the
+    # raw split expression would re-tokenize per reference
+    staged = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.length(text_col).cast("double").alias("__nc"),
+        F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+        .cast("double")
+        .alias("__alpha"),
+    )
+    n_tokens = F.size("__w").cast("double")
+    n_chars = F.col("__nc")
     mean_tok_len = (
         (n_chars - (n_tokens - 1)) / n_tokens
     )  # chars minus separators, per token
-    uniq_ratio = F.size(F.array_distinct(words)).cast("double") / n_tokens
-    alpha_chars = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", "")).cast("double")
-    alpha_ratio = alpha_chars / n_chars
+    uniq_ratio = F.size(F.array_distinct("__w")).cast("double") / n_tokens
+    alpha_ratio = F.col("__alpha") / n_chars
     quality = (
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.3
         + uniq_ratio * 0.4
         + alpha_ratio * 0.3
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.round(n_tokens, 6).alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_tok_len"),
@@ -217,9 +227,12 @@ def repetition_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(w)
-    # sequence(1, 0) would run DESCENDING in Spark, so clamp the stop to
-    # 1 and gate the <3-word case on n instead.
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1)))
+    # sequence(1, 0) would run DESCENDING in Spark, and the staged
+    # projection evaluates unconditionally, so short docs must get an
+    # EMPTY index array (not a clamped one that would index past the end)
+    idx = F.when(
+        n >= 3, F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1)))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -229,14 +242,19 @@ def repetition_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.element_at(w, i + F.lit(2)),
         ),
     )
-    total = F.size(sh)
+    # materialize the shingle array ONCE per row in a staging projection:
+    # referencing the `sh` expression from size/array_distinct/division
+    # directly would re-run the whole tokenize+transform per reference
+    # (no cross-expression CSE) — measured 2.6x slower
+    staged = df.select(F.col(id_col), n.alias("__n"), sh.alias("__sh"))
+    total = F.size("__sh")
     rep = F.when(
-        n >= 3,
-        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / total,
+        F.col("__n") >= 3,
+        F.lit(1.0) - F.size(F.array_distinct("__sh")).cast("double") / total,
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        F.when(n >= 3, total).otherwise(F.lit(0)).cast("long").alias("n_grams"),
+        F.when(F.col("__n") >= 3, total).otherwise(F.lit(0)).cast("long").alias("n_grams"),
         F.round(rep, 6).alias("rep_ratio"),
     )
 

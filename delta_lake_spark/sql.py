@@ -500,9 +500,41 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         catalog.refresh(m.group("name"))
         return spark.createDataFrame([(True,)], "inserted boolean")
 
-    # plain query — refresh views, rewrite VERSION AS OF, delegate
+    # plain query — refresh views, rewrite VERSION AS OF and
+    # table_changes(...) calls, delegate
     catalog.refresh_all()
-    return spark.sql(_rewrite_time_travel(catalog, s))
+    return spark.sql(
+        _rewrite_table_changes(catalog, _rewrite_time_travel(catalog, s))
+    )
+
+
+_TABLE_CHANGES_RE = re.compile(
+    r"TABLE_CHANGES\s*\(\s*'(?P<name>[\w.]+)'\s*,\s*(?P<from>\d+)"
+    r"\s*(?:,\s*(?P<to>\d+))?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_table_changes(catalog: Catalog, statement: str) -> str:
+    """Delta's ``SELECT ... FROM table_changes('t', from[, to])`` SQL
+    form: each call is materialized as the CDF relation under a temp
+    view and the call text is replaced by the view name."""
+    import uuid as _uuid
+
+    from .cdf import table_changes
+
+    def repl(m: re.Match) -> str:
+        df = table_changes(
+            catalog.spark,
+            catalog.path_of(m.group("name")),
+            int(m.group("from")),
+            int(m.group("to")) if m.group("to") else None,
+        )
+        view = f"__dls_cdf_{_uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _TABLE_CHANGES_RE.sub(repl, statement)
 
 
 def _rewrite_time_travel(catalog: Catalog, statement: str) -> str:

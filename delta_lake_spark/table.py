@@ -1403,6 +1403,36 @@ class DeltaTable:
             actions, touched, snap, content_neutral=False, read_paths=read_paths
         )
 
+    def partitions(self) -> DataFrame:
+        """Per-partition inventory (Iceberg's ``partitions`` metadata
+        table shape): partition values, file count, row count, bytes —
+        O(#files) driver-side log arithmetic, no data read. Raises on an
+        unpartitioned table."""
+        import json as _json
+
+        snap = self._log.snapshot()
+        pcols = list(snap.metadata.partitionColumns)
+        if not pcols:
+            raise ValueError(f"table {self.path} is not partitioned")
+        agg: dict[tuple, list[int]] = {}
+        for a in snap.files.values():
+            key = tuple(a.partitionValues.get(c) for c in pcols)
+            n_rows = (a.numRecords or 0) - int(
+                (a.deletionVector or {}).get("cardinality", 0)
+            )
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += n_rows
+            cur[2] += a.size
+        rows = [
+            (_json.dumps(dict(zip(pcols, k))), v[0], v[1], v[2])
+            for k, v in sorted(agg.items(), key=lambda kv: str(kv[0]))
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, num_files long, num_rows long, size_bytes long",
+        )
+
     def row_count(self) -> int | None:
         """Metadata-only row count: sum of per-file numRecords minus
         deletion-vector cardinalities — O(#files) driver arithmetic, no

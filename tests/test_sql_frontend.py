@@ -329,3 +329,37 @@ def test_insert_replace_where_sql(spark, tmp_path):
         for r in sql(cat, "SELECT * FROM rw_t").collect()
     )
     assert rows == [(2, "b", 2.0), (9, "a", 99.0)]
+
+
+def test_partitions_metadata_and_table_changes_sql(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark import DeltaTable, write_delta
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+
+    p = str(tmp_path / "pmeta")
+    write_delta(
+        spark.range(40).select(
+            F.col("id"), (F.col("id") % 2).cast("int").alias("g")
+        ),
+        p,
+        partition_by=["g"],
+    )  # v0
+    write_delta(
+        spark.createDataFrame([(100, 0)], "id long, g int"), p
+    )  # v1 append
+
+    dt = DeltaTable.forPath(spark, p)
+    parts = {r.partition: (r.num_files, r.num_rows) for r in dt.partitions().collect()}
+    assert parts['{"g": "0"}'] == (2, 21)
+    assert parts['{"g": "1"}'] == (1, 20)
+
+    cat = Catalog(spark)
+    cat.register("pmeta", p)
+    rows = sql(
+        cat,
+        "SELECT _change_type, COUNT(*) AS n FROM table_changes('pmeta', 1) "
+        "GROUP BY _change_type",
+    ).collect()
+    assert {(r._change_type, r.n) for r in rows} == {("insert", 1)}

@@ -116,6 +116,77 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the single
+    LATEST right row with right_ts <= left_ts within the same key — the
+    time-series primitive (trades->quotes, events->latest state).
+
+    A naive ``left.join(right, keys & (r.ts <= l.ts))`` is a theta join
+    (BroadcastNestedLoopJoin at best) followed by a dedup — O(|L|x|R|)
+    per key and two shuffles. This instead UNIONS the two sides tagged,
+    sorts each key's timeline once (one shuffle on the key), and carries
+    the last-seen right payload forward with a running
+    last(..., ignorenulls) window. Right rows sort BEFORE left rows at
+    equal timestamps, so the match is inclusive (right_ts == left_ts
+    matches). Exactly |L| output rows — never a fanout, never a BNLJ.
+
+    Returns left's columns plus [c + suffix for c in right_cols]
+    (right_cols defaults to right's non-key, non-ts columns) plus
+    right_ts + suffix (the matched timestamp; null when no match).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in right_cols],
+    )
+    payload_type = right.select(payload.alias("__r")).schema["__r"].dataType
+    left_cols = [c for c in left.columns if c not in keys]
+    tagged_l = left.select(
+        *keys,
+        F.col(left_ts).alias("__evt_ts"),
+        F.lit(1).alias("__is_l"),
+        *[F.col(c) for c in left_cols],
+        F.lit(None).cast(payload_type).alias("__r"),
+    )
+    tagged_r = right.select(
+        *keys,
+        F.col(right_ts).alias("__evt_ts"),
+        F.lit(0).alias("__is_l"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        payload.alias("__r"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__evt_ts").asc(), F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        tagged_l.unionByName(tagged_r)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_l") == 1)
+    )
+    return matched.select(
+        *keys,
+        *left_cols,
+        *[F.col(f"__m.{c}").alias(c + suffix) for c in right_cols],
+        F.col("__m.__ts").alias(right_ts + suffix),
+    )
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

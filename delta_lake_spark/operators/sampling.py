@@ -88,3 +88,54 @@ def stratified_sample(
         known = F.col(strata_col).isin(list(fractions.keys()))
         expr = expr | (~known & (bucket < F.lit(_hex_threshold(default_frac))))
     return df.filter(expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Downsample to a target DOMAIN MIXTURE: keep the largest corpus
+    whose per-stratum shares match ``weights`` (relative weights, e.g.
+    {"books": 4, "web": 1}) without upsampling any stratum.
+
+    With n_s rows in stratum s and weight w_s, the binding stratum sets
+    the total: T = min_s(n_s / w_s); each stratum keeps
+    rate_s = w_s * T / n_s of its rows (the argmin stratum keeps 100%).
+    The rate computation is a stratum-count aggregation (tiny), the
+    application is a broadcast join + the md5-threshold filter — the
+    corpus never shuffles, and the same key always gets the same
+    decision. Per-stratum thresholds are built at runtime with
+    format_string('%08x', round(rate * 16^8)), which DuckDB's printf
+    reproduces exactly, so the sample is value-checkable cross-engine.
+    """
+    w_expr = F.lit(float(default_weight))
+    for value, wt in sorted(weights.items()):
+        w_expr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(float(wt))
+        ).otherwise(w_expr)
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").cast("double").alias("__n"))
+        .withColumn("__w", w_expr)
+    )
+    total = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    rate = F.col("__w") * F.col("__t") / F.col("__n")
+    thresholds = counts.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        F.when(rate >= 1, F.lit("g"))
+        .otherwise(
+            F.format_string(
+                "%08x", F.round(rate * F.lit(float(_SPACE))).cast("long")
+            )
+        )
+        .alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(_bucket(F.col(key_col), seed) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -445,6 +445,143 @@ def oov_rate(
     )
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Unigram language-model scoring — the cheap perplexity proxy used
+    to rank pretraining documents (e.g. CCNet-style filtering, with a
+    unigram model standing in for the KenLM 5-gram).
+
+    ``model`` is a (term, freq) relation; when None the model is built
+    from the corpus itself. The model is vocabulary-sized, so it
+    BROADCASTS; the corpus side is explode + broadcast join + one hash
+    aggregation keyed by doc id — no corpus-sized shuffle. Tokens absent
+    from an external model get an absolute-discount floor count of 0.5.
+
+    avg ln p(t) is computed as avg(ln freq) - ln total (algebraically
+    identical, but keeps the per-token work to one ln on an integer).
+
+    Returns: id_col, n_tokens (long), avg_logprob (double, 1e-9).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    if model is None:
+        model = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    total = model.agg(F.sum("freq").cast("double").alias("__total"))
+    scored = toks.join(
+        F.broadcast(model.select("term", "freq")), "term", "left"
+    )
+    ln_freq = F.log(F.coalesce(F.col("freq").cast("double"), F.lit(0.5)))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg(ln_freq).alias("__avg_ln_freq"),
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("__avg_ln_freq") - F.log("__total"), 9).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def duplicate_span_rate(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Exact-substring duplication statistic (the per-document fraction
+    of token n-gram positions whose n-gram also occurs in ANOTHER
+    document) — the measurement behind suffix-style exact-substring
+    dedup: a high rate means the document is largely assembled from
+    text that exists elsewhere in the corpus.
+
+    Spans keep their positions (NO per-doc distinct — a span repeated
+    inside one doc counts once per occurrence). Cross-doc span counts
+    are one hash aggregation on the span text; marking is a shuffled
+    equi-join back on the span (the duplicated-span relation is
+    corpus-sized, so it is NOT broadcast), then one aggregation keyed by
+    doc id. Three shuffles total, all on hashable keys.
+
+    Returns: id_col, n_spans, n_dup_spans (long), dup_rate (double).
+    Documents with fewer than n tokens have no spans and are absent.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    # size<n guard: sequence(1, 0) evaluates DESCENDING in Spark
+    span_arr = F.expr(
+        f"CASE WHEN size(__words) >= {n} THEN "
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> concat_ws(' ', "
+        f"{', '.join(f'element_at(__words, i + {j})' for j in range(n))}))"
+        f" ELSE array() END"
+    )
+    spans = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words.alias("__words"))
+        .select(F.col(id_col), F.explode(span_arr).alias("span"))
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("span", F.lit(1).alias("__dup"))
+    )
+    marked = spans.join(dup, "span", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 9).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
+# markup patterns kept RE2-safe so the DuckDB oracle runs them verbatim
+MARKUP_TAG_RE = r"<[^>]*>"
+MARKUP_ENTITY_RE = r"&[A-Za-z]+;|&#[0-9]+;"
+
+
+def strip_markup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """HTML/boilerplate stripping: drop tags and character entities,
+    collapse whitespace, and report how much of the raw text was markup
+    (the scraped-web cleanup step before any quality scoring). Pure
+    regexp_replace projection — map-only, codegen'd, no shuffle.
+
+    Returns: id_col, clean_text, n_raw, n_clean (long),
+    markup_ratio (double, 1e-9) = 1 - n_clean/n_raw.
+    """
+    no_tags = F.regexp_replace(F.col(text_col), MARKUP_TAG_RE, " ")
+    no_entities = F.regexp_replace(no_tags, MARKUP_ENTITY_RE, " ")
+    clean = F.trim(F.regexp_replace(no_entities, r"\s+", " "))
+    staged = df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.length(text_col).cast("long").alias("n_raw"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "clean_text",
+        "n_raw",
+        F.length("clean_text").cast("long").alias("n_clean"),
+        F.round(
+            F.lit(1.0) - F.length("clean_text") / F.col("n_raw"), 9
+        ).alias("markup_ratio"),
+    )
+
+
 def bigram_counts(
     df: DataFrame, text_col: str, top_n: int = 100
 ) -> DataFrame:

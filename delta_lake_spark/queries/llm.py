@@ -988,6 +988,141 @@ ORDER BY freq DESC, bigram ASC LIMIT 100
 """
 
 
+def q103_unigram_lm_score(spark, sf_dir):
+    """Unigram LM scoring (perplexity proxy) with the model built from
+    the corpus itself: vocabulary-sized model broadcasts, corpus side is
+    explode + broadcast join + one doc-keyed aggregation."""
+    from ..operators.text import unigram_lm_score
+
+    return unigram_lm_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q103_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+cnts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnts)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG(ln(c)) - (SELECT ln(t) FROM tot), 9) AS avg_logprob
+FROM toks JOIN cnts USING (term)
+GROUP BY doc_id
+"""
+
+
+def q104_mixture_sample(spark, sf_dir):
+    """Domain-mixture downsampling: re-weight sources to a 4:2:1:...:1
+    target mixture; the binding stratum keeps 100%, everything else
+    keeps the deterministic md5-threshold fraction that preserves the
+    target shares."""
+    from ..operators.sampling import mixture_sample
+
+    kept = mixture_sample(
+        _docs(spark, sf_dir), "doc_id", "source", {"src0": 4.0, "src1": 2.0}
+    )
+    return kept.select("doc_id", "source")
+
+
+_Q104_SQL = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n,
+    CASE WHEN source = 'src0' THEN 4.0
+         WHEN source = 'src1' THEN 2.0 ELSE 1.0 END AS wt
+  FROM c
+),
+t AS (SELECT MIN(n / wt) AS t FROM w),
+r AS (SELECT source, wt * (SELECT t FROM t) / n AS rate FROM w),
+th AS (
+  SELECT source,
+    CASE WHEN rate >= 1 THEN 'g'
+         ELSE printf('%08x', CAST(round(rate * 4294967296.0) AS BIGINT))
+    END AS thr
+  FROM r
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th USING (source)
+WHERE substr(md5('mix-v1' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr
+"""
+
+
+def q105_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplication rate: fraction of each document's
+    5-gram positions whose 5-gram also occurs in another document (the
+    suffix-dedup measurement, shingle-hash formulation)."""
+    from ..operators.text import duplicate_span_rate
+
+    return duplicate_span_rate(_docs(spark, sf_dir), "text", "doc_id", n=5)
+
+
+_Q105_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i FROM tok),
+sp AS (
+  SELECT doc_id,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS span
+  FROM idx WHERE i + 4 <= len(w)
+),
+dup AS (
+  SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  ROUND(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9)
+    AS dup_rate
+FROM sp s LEFT JOIN dup d USING (span)
+GROUP BY s.doc_id
+"""
+
+
+def q106_strip_markup(spark, sf_dir):
+    """Markup stripping over synthetically-wrapped documents (the
+    corpus has no native HTML, so the query wraps each doc in
+    deterministic tags + an entity first, then strips them)."""
+    from ..operators.text import strip_markup
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p id="'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            F.col("text"),
+            F.lit(" &amp; <br/></p>"),
+        ).alias("text"),
+    )
+    return strip_markup(wrapped, "text", "doc_id")
+
+
+_Q106_SQL = """
+WITH wrapped AS (
+  SELECT doc_id,
+    '<p id="' || CAST(doc_id AS VARCHAR) || '">' || text || ' &amp; <br/></p>'
+      AS text
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      text, '<[^>]*>', ' ', 'g'),
+      '&[A-Za-z]+;|&#[0-9]+;', ' ', 'g'),
+      '\\s+', ' ', 'g')) AS clean_text,
+    CAST(length(text) AS BIGINT) AS n_raw
+  FROM wrapped
+)
+SELECT doc_id, clean_text, n_raw,
+  CAST(length(clean_text) AS BIGINT) AS n_clean,
+  ROUND(1.0 - length(clean_text) * 1.0 / n_raw, 9) AS markup_ratio
+FROM stripped
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -1019,6 +1154,10 @@ QUERIES = {
     "q96_oov_rate": q96_oov_rate,
     "q97_kmeans_clusters": q97_kmeans_clusters,
     "q98_bigram_stats": q98_bigram_stats,
+    "q103_unigram_lm_score": q103_unigram_lm_score,
+    "q104_mixture_sample": q104_mixture_sample,
+    "q105_duplicate_spans": q105_duplicate_spans,
+    "q106_strip_markup": q106_strip_markup,
 }
 
 ORACLE_SQL = {
@@ -1052,4 +1191,8 @@ ORACLE_SQL = {
     "q96_oov_rate": _Q96_SQL,
     "q97_kmeans_clusters": _Q97_SQL,
     "q98_bigram_stats": _Q98_SQL,
+    "q103_unigram_lm_score": _Q103_SQL,
+    "q104_mixture_sample": _Q104_SQL,
+    "q105_duplicate_spans": _Q105_SQL,
+    "q106_strip_markup": _Q106_SQL,
 }

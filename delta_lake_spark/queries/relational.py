@@ -1276,6 +1276,38 @@ FROM spine s LEFT JOIN daily d ON s.day = d.day
 """
 
 
+def q107_asof_operator(spark, sf_dir):
+    """The reusable asof_join operator (operators/joins.py): each
+    purchase picks up the latest click at-or-before it per user — one
+    shuffle on user_id, a single timeline window, no BNLJ, no fanout."""
+    from ..operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+    )
+
+
+_Q107_SQL = """
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       c.event_id AS event_id_asof, c.value AS value_asof, c.ts AS ts_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -1318,6 +1350,7 @@ QUERIES = {
     "q93_csv_roundtrip": q93_csv_roundtrip,
     "q94_orc_roundtrip": q94_orc_roundtrip,
     "q99_daily_gapfill": q99_daily_gapfill,
+    "q107_asof_operator": q107_asof_operator,
 }
 
 ORACLE_SQL = {
@@ -1362,4 +1395,5 @@ ORACLE_SQL = {
     "q93_csv_roundtrip": _Q93_SQL,
     "q94_orc_roundtrip": _Q94_SQL,
     "q99_daily_gapfill": _Q99_SQL,
+    "q107_asof_operator": _Q107_SQL,
 }

@@ -493,3 +493,102 @@ def test_bigram_counts_deterministic(spark):
     rows = bigram_counts(df, "text", top_n=10).collect()
     assert (rows[0].bigram, rows[0].freq) == ("a b", 3)
     assert {r.bigram for r in rows} == {"a b", "b a", "b c"}  # "x" has none
+
+
+def test_unigram_lm_score_known_values(spark):
+    """3-doc corpus with hand-computed unigram logprobs."""
+    import math
+
+    from delta_lake_spark.operators.text import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "c")], ["doc_id", "text"]
+    )
+    # corpus counts: a=3, b=2, c=1, total=6
+    got = {r.doc_id: r for r in unigram_lm_score(df, "text", "doc_id").collect()}
+    t = 6.0
+    exp1 = (2 * math.log(3) + math.log(2)) / 3 - math.log(t)
+    exp3 = math.log(1) - math.log(t)
+    assert got[1].n_tokens == 3
+    assert abs(got[1].avg_logprob - exp1) < 1e-8
+    assert abs(got[3].avg_logprob - exp3) < 1e-8
+    # external model with OOV: unseen token gets the 0.5-count floor
+    model = spark.createDataFrame([("a", 3), ("b", 2)], ["term", "freq"])
+    scored = {
+        r.doc_id: r
+        for r in unigram_lm_score(df, "text", "doc_id", model=model).collect()
+    }
+    assert abs(scored[3].avg_logprob - (math.log(0.5) - math.log(5.0))) < 1e-8
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """Binding stratum keeps 100%; kept shares track the weights; the
+    sample is deterministic (same keys kept on rerun)."""
+    from delta_lake_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big" if i < 4000 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["k", "dom"])
+    kept = mixture_sample(df, "k", "dom", {"big": 1.0, "small": 1.0})
+    by_dom = {r.dom: r.n for r in kept.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    # small (1000 rows) binds: T = 2000, each stratum targets 1000
+    assert by_dom["small"] == 1000  # rate >= 1 -> keep all
+    assert abs(by_dom["big"] - 1000) < 120  # md5-threshold sampling noise
+    again = mixture_sample(df, "k", "dom", {"big": 1.0, "small": 1.0})
+    assert sorted(r.k for r in kept.collect()) == sorted(r.k for r in again.collect())
+
+
+def test_duplicate_span_rate_crafted(spark):
+    """Two docs sharing one 3-gram; a third disjoint doc scores zero."""
+    from delta_lake_spark.operators.text import duplicate_span_rate
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z p q"),  # spans: 'x y z','y z p','z p q'
+            (2, "x y z r s"),  # shares only 'x y z'
+            (3, "m n o t u"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in duplicate_span_rate(df, "text", "doc_id", n=3).collect()}
+    assert got[1].n_spans == 3 and got[1].n_dup_spans == 1
+    assert got[2].n_dup_spans == 1
+    assert got[3].n_dup_spans == 0 and got[3].dup_rate == 0.0
+
+
+def test_strip_markup_removes_tags_and_entities(spark):
+    from delta_lake_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (1, '<div class="x">hello <b>world</b> &amp; friends</div>'),
+            (2, "plain text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in strip_markup(df, "text", "doc_id").collect()}
+    assert got[1].clean_text == "hello world friends"
+    assert got[1].markup_ratio > 0.3
+    assert got[2].clean_text == "plain text" and got[2].markup_ratio == 0.0
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """Backward as-of: latest right at-or-before each left row; exactly
+    |L| rows out; no BroadcastNestedLoopJoin in the plan."""
+    from delta_lake_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 25, 250.0), (3, 1, 999.0)],
+        ["k", "ts", "v"],
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    rows = {r.tag: r for r in out.collect()}
+    assert out.count() == 3
+    assert rows["l1"].v_asof == 100.0 and rows["l1"].ts_asof == 10  # inclusive
+    assert rows["l2"].v_asof == 150.0  # latest <= 20, not 25
+    assert rows["l3"].v_asof is None and rows["l3"].ts_asof is None  # no match
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan

@@ -982,6 +982,45 @@ FROM orders
 """
 
 
+def q111_stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment: the events stream picks up
+    customer market segment per micro-batch (stateless stream-static
+    left join), then the drained result is aggregated per segment. The
+    batch-SQL oracle proves stream==batch equivalence."""
+    from ..streaming.incremental import stream_static_enrich
+
+    ev = _events(spark, sf_dir)
+    path = _fresh("enrich_src")
+    ev.write.parquet(path)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(
+        spark,
+        path,
+        cust,
+        on="user_id",
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        query_name="q111_enrich",
+        checkpoint_dir=_fresh("enrich_ckpt"),
+    )
+    return enriched.groupBy(
+        F.coalesce("c_mktsegment", F.lit("none")).alias("segment")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+_Q111_SQL = """
+SELECT COALESCE(c.c_mktsegment, 'none') AS segment, COUNT(*) AS n,
+  ROUND(SUM(e.value), 6) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -1009,6 +1048,7 @@ QUERIES = {
     "q100_cdc_keyed_updates": q100_cdc_keyed_updates,
     "q101_analyze_statistics": q101_analyze_statistics,
     "q102_replace_where": q102_replace_where,
+    "q111_stream_static_enrich": q111_stream_static_enrich,
 }
 
 ORACLE_SQL = {
@@ -1037,4 +1077,5 @@ ORACLE_SQL = {
     "q100_cdc_keyed_updates": _Q100_SQL,
     "q101_analyze_statistics": _Q101_SQL,
     "q102_replace_where": _Q102_SQL,
+    "q111_stream_static_enrich": _Q111_SQL,
 }

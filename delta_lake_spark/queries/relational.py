@@ -1308,6 +1308,102 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q108_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window aggregation: 2-hour windows every hour,
+    so each event lands in exactly two windows. F.window with a slide
+    plans a single explode + hash aggregation — no self-join."""
+    ev = _events(spark, sf_dir)
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_Q108_SQL = """
+WITH k AS (SELECT unnest([0, 1]) AS k),
+b AS (
+  SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS ws, event_type, value
+  FROM events, k
+)
+SELECT ws AS window_start, event_type, COUNT(*) AS n,
+  ROUND(SUM(value), 6) AS total_value
+FROM b GROUP BY 1, 2
+"""
+
+
+def q109_session_window(spark, sf_dir):
+    """Native session_window aggregation (30-minute inactivity gap):
+    Spark merges overlapping per-event [ts, ts+gap) intervals in one
+    stateful-capable operator; session_end = last event + gap. The
+    oracle replays the same semantics with the lag/flag/running-sum
+    islands construction."""
+    ev = _events(spark, sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("s.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_Q109_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+def q110_unpivot_metrics(spark, sf_dir):
+    """UNPIVOT via stack(): wide part columns to (metric, val) rows —
+    a generator projection, no shuffle, no union of scans (the table is
+    read ONCE, unlike the UNION ALL formulation the oracle uses)."""
+    part = _t(spark, sf_dir, "part")
+    return part.selectExpr(
+        "p_partkey",
+        "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE), "
+        "'size', CAST(p_size AS DOUBLE)) AS (metric, val)",
+    )
+
+
+_Q110_SQL = """
+SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q21_json_roundtrip": q21_json_roundtrip,
@@ -1351,6 +1447,9 @@ QUERIES = {
     "q94_orc_roundtrip": q94_orc_roundtrip,
     "q99_daily_gapfill": q99_daily_gapfill,
     "q107_asof_operator": q107_asof_operator,
+    "q108_hopping_window": q108_hopping_window,
+    "q109_session_window": q109_session_window,
+    "q110_unpivot_metrics": q110_unpivot_metrics,
 }
 
 ORACLE_SQL = {
@@ -1396,4 +1495,7 @@ ORACLE_SQL = {
     "q94_orc_roundtrip": _Q94_SQL,
     "q99_daily_gapfill": _Q99_SQL,
     "q107_asof_operator": _Q107_SQL,
+    "q108_hopping_window": _Q108_SQL,
+    "q109_session_window": _Q109_SQL,
+    "q110_unpivot_metrics": _Q110_SQL,
 }

@@ -88,6 +88,40 @@ def windowed_event_counts(
     )
 
 
+def stream_static_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    dim_df: DataFrame,
+    on: str | list[str],
+    schema: str,
+    how: str = "left",
+    query_name: str = "dls_enrich",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the CURRENT
+    snapshot of a static dimension — the standard streaming enrichment
+    (events + user/customer attributes). The dimension is BROADCAST into
+    each micro-batch's tasks, so the stream side never shuffles and no
+    state store is involved (stream-static joins are stateless by
+    definition: only the stream side is unbounded). Drains the parquet
+    source as an availableNow stream into a memory sink and returns the
+    enriched rows."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    joined = src.join(F.broadcast(dim_df), on, how)
+    writer = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
+
+
 def run_windowed_stream(
     spark: SparkSession,
     source_dir: str,

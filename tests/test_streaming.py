@@ -366,3 +366,31 @@ def test_stream_rate_limited_batches_drain_fully(spark, tmp_path):
     # the checkpoint recorded multiple rate-limited batches
     offsets = os.listdir(os.path.join(ckpt, "offsets"))
     assert len(offsets) >= 3
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static left join drains to the same rows as the batch
+    join, and the static side is broadcast (stateless enrichment)."""
+    from delta_lake_spark.streaming.incremental import stream_static_enrich
+
+    ev = _events(spark, SF_DIR)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(1, 200)], ["user_id", "segment"]
+    )
+    out = stream_static_enrich(
+        spark,
+        src,
+        dim,
+        on="user_id",
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        query_name="t_enrich",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = ev.join(dim, "user_id", "left")
+    assert out.count() == ev.count()  # left join: no fanout, no loss
+    got = {(r.event_id, r.segment) for r in out.select("event_id", "segment").collect()}
+    exp = {(r.event_id, r.segment) for r in batch.select("event_id", "segment").collect()}
+    assert got == exp

@@ -132,11 +132,32 @@ def q03_region_revenue(spark, sf_dir):
     revenue = F.sum(
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+    # join ORDER matters: enrich the thin orders relation through
+    # customer -> nation -> region FIRST, then join lineitem once. The
+    # naive li><orders-first order shuffles the fat li x orders
+    # intermediate again on custkey; this way the custkey shuffle moves
+    # to the orders relation (|orders| << |li x orders| columns x rows)
+    # and lineitem is shuffled exactly once, on its join key. Catalyst
+    # won't reorder joins without CBO stats, so the order is explicit.
+    enriched_orders = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == cust.c_custkey,
+        )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("o_orderkey", "n_name", "r_name")
+    )
+    # shuffle_hash: without it Catalyst broadcasts the column-pruned
+    # lineitem scan (its 3-column size estimate sneaks under the
+    # broadcast threshold) — backwards at any scale. A shuffled hash
+    # join shuffles each side exactly once on the near-unique order key
+    # (no skew, so no sort needed and AQE has nothing to split).
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .hint("shuffle_hash")
+        .join(enriched_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("r_name", "n_name")
         .agg(
             revenue.cast("double").alias("revenue"),

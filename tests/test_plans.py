@@ -287,3 +287,58 @@ def test_kmeans_no_single_partition(spark):
     plan = _plan(q97_kmeans_clusters(spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_lm_broadcasts_model(spark):
+    from delta_lake_spark.operators.text import unigram_lm_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(unigram_lm_score(docs, "text", "doc_id"))
+    assert "BroadcastHashJoin" in plan  # model side broadcast
+    assert "SortMergeJoin" not in plan  # corpus never shuffle-joins
+
+
+def test_mixture_sample_corpus_never_shuffles(spark):
+    from delta_lake_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = mixture_sample(docs, "doc_id", "source", {"src0": 2.0})
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan  # thresholds broadcast onto corpus
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_strip_markup_is_map_only(spark):
+    from delta_lake_spark.operators.text import strip_markup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(strip_markup(docs, "text", "doc_id"))
+    assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+def test_asof_join_single_exchange_no_bnlj(spark):
+    from delta_lake_spark.operators.joins import asof_join
+
+    ev = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0)], ["k", "ts", "v"]
+    )
+    out = asof_join(
+        ev.select("k", "ts"), ev, on="k", left_ts="ts", right_ts="ts"
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one hash-partitioning exchange for the window, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q03_shuffles_lineitem_once_no_broadcast_of_fact(spark):
+    """q03's lineitem side must not be broadcast (its pruned-scan size
+    estimate can sneak under the threshold) and must reach the join
+    through a single hash-partitioning exchange."""
+    from delta_lake_spark.queries.relational import q03_region_revenue
+
+    plan = _plan(q03_region_revenue(spark, SF_DIR))
+    # the only broadcasts are the dim tables, whose scans read n_/r_/c_ cols
+    for seg in re.findall(r"BroadcastExchange.*?ReadSchema: struct<([^>]*)>", plan, re.S):
+        assert "l_orderkey" not in seg  # lineitem never broadcast

@@ -20,7 +20,7 @@ from .errors import (
 )
 from .catalog import Catalog
 from .cdf import table_changes
-from .log import DeltaLog, Snapshot
+from .log import DeltaLog, DomainMetadata, Snapshot
 from .reader import read_delta
 from .sql import sql
 from .errors import ConstraintViolationError, UnsupportedProtocolError
@@ -33,6 +33,7 @@ __all__ = [
     "Catalog",
     "sql",
     "DeltaLog",
+    "DomainMetadata",
     "Snapshot",
     "DeltaTable",
     "read_delta",

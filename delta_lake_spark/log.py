@@ -63,6 +63,8 @@ SUPPORTED_WRITER_FEATURES = {
     "generatedColumns",
     "identityColumns",
     "changeDataFeed",
+    "domainMetadata",
+    "rowTracking",
 }
 
 
@@ -92,6 +94,11 @@ class AddFile:
     modificationTime: int = 0
     dataChange: bool = True
     deletionVector: dict[str, Any] | None = None
+    # row tracking (writer feature "rowTracking"): the fresh row id of row
+    # i in this file is baseRowId + i (parquet row position); ids already
+    # materialized into the file's __dls_row_id column take precedence
+    baseRowId: int | None = None
+    defaultRowCommitVersion: int | None = None
 
     def to_action(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -107,6 +114,10 @@ class AddFile:
             d["stats"] = self.stats
         if self.deletionVector is not None:
             d["deletionVector"] = self.deletionVector
+        if self.baseRowId is not None:
+            d["baseRowId"] = self.baseRowId
+        if self.defaultRowCommitVersion is not None:
+            d["defaultRowCommitVersion"] = self.defaultRowCommitVersion
         return {"add": d}
 
     @classmethod
@@ -120,6 +131,8 @@ class AddFile:
             modificationTime=d.get("modificationTime", 0),
             dataChange=d.get("dataChange", True),
             deletionVector=d.get("deletionVector"),
+            baseRowId=d.get("baseRowId"),
+            defaultRowCommitVersion=d.get("defaultRowCommitVersion"),
         )
 
 
@@ -244,6 +257,36 @@ class Protocol:
 
 
 @dataclass
+class DomainMetadata:
+    """A ``domainMetadata`` action: named system/user configuration blob
+    carried by the snapshot (Delta's domain metadata table feature).
+    Latest action per ``domain`` wins on replay; ``removed=True`` drops
+    the domain. Used internally for the row-tracking high-water mark
+    (domain ``delta.rowTracking``); arbitrary user domains work too."""
+
+    domain: str
+    configuration: str = ""  # opaque string, conventionally JSON
+    removed: bool = False
+
+    def to_action(self) -> dict[str, Any]:
+        return {
+            "domainMetadata": {
+                "domain": self.domain,
+                "configuration": self.configuration,
+                "removed": self.removed,
+            }
+        }
+
+    @classmethod
+    def from_action(cls, d: dict[str, Any]) -> "DomainMetadata":
+        return cls(
+            domain=d["domain"],
+            configuration=d.get("configuration", ""),
+            removed=d.get("removed", False),
+        )
+
+
+@dataclass
 class CommitInfo:
     operation: str
     operationParameters: dict[str, Any] = field(default_factory=dict)
@@ -271,6 +314,7 @@ class Snapshot:
     metadata: Metadata
     files: dict[str, AddFile]  # table-relative path -> AddFile
     protocol: Protocol = field(default_factory=Protocol)
+    domains: dict[str, str] = field(default_factory=dict)  # domain -> configuration
 
     @property
     def num_files(self) -> int:
@@ -358,6 +402,7 @@ class DeltaLog:
         files: dict[str, AddFile] = {}
         metadata: Metadata | None = None
         protocol = Protocol()
+        domains: dict[str, str] = {}
         # find the nearest cached ancestor to replay from
         for v in sorted(self._snapshot_cache, reverse=True):
             if v < version:
@@ -366,12 +411,13 @@ class DeltaLog:
                 files = dict(cached.files)
                 metadata = cached.metadata
                 protocol = cached.protocol
+                domains = dict(cached.domains)
                 break
         # cold cache: start from the nearest checkpoint at or below target
         if base_version < 0:
             ckpt_v = self._nearest_checkpoint(version)
             if ckpt_v is not None:
-                metadata, files, protocol = self._read_checkpoint(ckpt_v)
+                metadata, files, protocol, domains = self._read_checkpoint(ckpt_v)
                 base_version = ckpt_v
 
         for v in range(base_version + 1, version + 1):
@@ -385,13 +431,23 @@ class DeltaLog:
                     metadata = Metadata.from_action(action["metaData"])
                 elif "protocol" in action:
                     protocol = Protocol.from_action(action["protocol"])
+                elif "domainMetadata" in action:
+                    dm = DomainMetadata.from_action(action["domainMetadata"])
+                    if dm.removed:
+                        domains.pop(dm.domain, None)
+                    else:
+                        domains[dm.domain] = dm.configuration
 
         if metadata is None:
             raise TableNotFoundError(
                 f"no metaData action found in log of {self.table_path}"
             )
         snap = Snapshot(
-            version=version, metadata=metadata, files=files, protocol=protocol
+            version=version,
+            metadata=metadata,
+            files=files,
+            protocol=protocol,
+            domains=domains,
         )
         self._snapshot_cache[version] = snap
         return snap
@@ -412,6 +468,7 @@ class DeltaLog:
     _CKPT_ADD_FIELDS = (
         "path", "partitionValues", "size", "numRecords", "stats",
         "modificationTime", "dataChange", "deletionVector",
+        "baseRowId", "defaultRowCommitVersion",
     )
 
     def _checkpoint_file(self, version: int) -> str:
@@ -457,14 +514,14 @@ class DeltaLog:
 
     def _read_checkpoint(
         self, version: int
-    ) -> tuple[Metadata, dict[str, AddFile], Protocol]:
+    ) -> tuple[Metadata, dict[str, AddFile], Protocol, dict[str, str]]:
         if os.path.exists(self._checkpoint_file(version)):
             return self._read_parquet_checkpoint(version)
         return self._read_json_checkpoint(version)
 
     def _read_parquet_checkpoint(
         self, version: int
-    ) -> tuple[Metadata, dict[str, AddFile], Protocol]:
+    ) -> tuple[Metadata, dict[str, AddFile], Protocol, dict[str, str]]:
         import pyarrow.parquet as pq
 
         table = pq.read_table(self._checkpoint_file(version))
@@ -480,8 +537,19 @@ class DeltaLog:
             if b"delta.protocol" in meta
             else Protocol()
         )
+        domains: dict[str, str] = (
+            json.loads(meta[b"delta.domainMetadata"])
+            if b"delta.domainMetadata" in meta
+            else {}
+        )
         files: dict[str, AddFile] = {}
-        cols = {name: table.column(name).to_pylist() for name in self._CKPT_ADD_FIELDS}
+        present = set(table.column_names)  # pre-rowTracking checkpoints lack columns
+        cols = {
+            name: table.column(name).to_pylist()
+            for name in self._CKPT_ADD_FIELDS
+            if name in present
+        }
+        none_col = [None] * table.num_rows
         loads = json.loads
         for i in range(table.num_rows):
             pv = cols["partitionValues"][i]
@@ -497,16 +565,21 @@ class DeltaLog:
                 modificationTime=cols["modificationTime"][i],
                 dataChange=cols["dataChange"][i],
                 deletionVector=loads(dv) if dv else None,
+                baseRowId=cols.get("baseRowId", none_col)[i],
+                defaultRowCommitVersion=cols.get(
+                    "defaultRowCommitVersion", none_col
+                )[i],
             )
             files[add.path] = add
-        return metadata, files, protocol
+        return metadata, files, protocol, domains
 
     def _read_json_checkpoint(
         self, version: int
-    ) -> tuple[Metadata, dict[str, AddFile], Protocol]:
+    ) -> tuple[Metadata, dict[str, AddFile], Protocol, dict[str, str]]:
         files: dict[str, AddFile] = {}
         metadata: Metadata | None = None
         protocol = Protocol()
+        domains: dict[str, str] = {}
         with open(
             self._legacy_checkpoint_file(version), "r", encoding="utf-8"
         ) as fh:
@@ -521,11 +594,17 @@ class DeltaLog:
                     metadata = Metadata.from_action(action["metaData"])
                 elif "protocol" in action:
                     protocol = Protocol.from_action(action["protocol"])
+                elif "domainMetadata" in action:
+                    dm = DomainMetadata.from_action(action["domainMetadata"])
+                    if dm.removed:
+                        domains.pop(dm.domain, None)
+                    else:
+                        domains[dm.domain] = dm.configuration
         if metadata is None:
             raise TableNotFoundError(
                 f"checkpoint {version} of {self.table_path} has no metaData"
             )
-        return metadata, files, protocol
+        return metadata, files, protocol, domains
 
     def write_checkpoint(self, version: int | None = None) -> int:
         """Materialize the snapshot at ``version`` (default latest) into a
@@ -567,6 +646,10 @@ class DeltaLog:
                     ],
                     pa.string(),
                 ),
+                "baseRowId": pa.array([a.baseRowId for a in adds], pa.int64()),
+                "defaultRowCommitVersion": pa.array(
+                    [a.defaultRowCommitVersion for a in adds], pa.int64()
+                ),
             }
         ).replace_schema_metadata(
             {
@@ -575,6 +658,9 @@ class DeltaLog:
                 ).encode(),
                 b"delta.protocol": json.dumps(
                     snap.protocol.to_action(), separators=(",", ":")
+                ).encode(),
+                b"delta.domainMetadata": json.dumps(
+                    snap.domains, separators=(",", ":"), sort_keys=True
                 ).encode(),
             }
         )

@@ -982,6 +982,46 @@ FROM orders
 """
 
 
+def q112_row_tracking(spark, sf_dir):
+    """Row tracking end-to-end (rowtracking.py): documents are written
+    sorted into ONE file, so ``_row_id`` equals the rank of doc_id at
+    v0. A deletion-vector DELETE then leaves ids untouched (file bytes
+    unchanged), and an UPDATE rewrite preserves surviving ids via the
+    materialized hidden columns while moving the updated rows'
+    ``_row_commit_version`` to the UPDATE's commit (v2). The oracle
+    recomputes all of it relationally: row_number over doc_id order
+    minus one, rcv by the update predicate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _fresh("row_tracking")
+    write_delta(
+        docs.repartition(1).sortWithinPartitions("doc_id"),
+        path,
+        properties={"delta.enableRowTracking": "true"},
+    )  # v0: baseRowId 0, id = position in doc_id order
+    dt = DeltaTable.forPath(spark, path)
+    dt.delete("lang <> 'en'", use_dv=True)  # v1: no rewrite, ids stable
+    dt.update("n_chars < 200", {"n_chars": "-1"})  # v2: rewrite keeps ids
+    return read_delta(spark, path, row_ids=True).select(
+        "doc_id", "_row_id", "_row_commit_version", "n_chars"
+    )
+
+
+_Q112_SQL = """
+WITH ids AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid
+  FROM documents
+)
+SELECT doc_id,
+       CAST(rid AS BIGINT) AS _row_id,
+       CAST(CASE WHEN n_chars < 200 THEN 2 ELSE 0 END AS BIGINT)
+         AS _row_commit_version,
+       CASE WHEN n_chars < 200 THEN -1 ELSE n_chars END AS n_chars
+FROM ids
+WHERE lang = 'en'
+"""
+
+
 def q111_stream_static_enrich(spark, sf_dir):
     """Stream-static broadcast enrichment: the events stream picks up
     customer market segment per micro-batch (stateless stream-static
@@ -1049,6 +1089,7 @@ QUERIES = {
     "q101_analyze_statistics": q101_analyze_statistics,
     "q102_replace_where": q102_replace_where,
     "q111_stream_static_enrich": q111_stream_static_enrich,
+    "q112_row_tracking": q112_row_tracking,
 }
 
 ORACLE_SQL = {
@@ -1078,4 +1119,5 @@ ORACLE_SQL = {
     "q101_analyze_statistics": _Q101_SQL,
     "q102_replace_where": _Q102_SQL,
     "q111_stream_static_enrich": _Q111_SQL,
+    "q112_row_tracking": _Q112_SQL,
 }

@@ -92,10 +92,19 @@ def scan_adds(
     adds: list[AddFile],
     snapshot: Snapshot,
     with_meta: bool = False,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Read a set of log entries as a DataFrame, applying deletion
     vectors. ``with_meta=True`` keeps FILE_COL (the file URI) and
-    ROW_COL (parquet row position) for mutation planning."""
+    ROW_COL (parquet row position) for mutation planning.
+
+    ``row_ids=True`` appends the row-tracking metadata columns
+    ``_row_id`` / ``_row_commit_version``:
+    ``coalesce(materialized __dls_row_id, baseRowId + row position)``,
+    resolved via a broadcast join against the O(#files) two-column
+    (file, baseRowId) map — no shuffle of the data side, and files
+    never rewritten for the sake of ids (see rowtracking.py)."""
+    from .rowtracking import MAT_ROW_COMMIT, MAT_ROW_ID, ROW_COMMIT, ROW_ID
     from .writer import physical_schema
 
     schema = schema_of(snapshot)
@@ -107,6 +116,12 @@ def scan_adds(
                 F.lit(None).cast("string").alias(FILE_COL),
                 F.lit(None).cast("long").alias(ROW_COL),
             )
+        if row_ids:
+            df = df.select(
+                "*",
+                F.lit(None).cast("long").alias(ROW_ID),
+                F.lit(None).cast("long").alias(ROW_COMMIT),
+            )
         return df
 
     # column mapping: files store immutable PHYSICAL names; scan with the
@@ -116,8 +131,21 @@ def scan_adds(
     needs_map = any(l != p for l, p in mapping.items())
 
     dv_adds = [a for a in adds if a.deletionVector]
-    need_meta = with_meta or bool(dv_adds)
-    reader = spark.read.schema(physical_schema(schema) if needs_map else schema)
+    need_meta = with_meta or bool(dv_adds) or row_ids
+    read_schema = physical_schema(schema) if needs_map else schema
+    if row_ids:
+        # hidden materialized-id columns: present only in rewritten
+        # files; schema-on-read fills them with null elsewhere
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        read_schema = StructType(
+            list(read_schema.fields)
+            + [
+                StructField(MAT_ROW_ID, LongType(), True),
+                StructField(MAT_ROW_COMMIT, LongType(), True),
+            ]
+        )
+    reader = spark.read.schema(read_schema)
     if snapshot.metadata.configuration.get("layout") == "hive":
         reader = reader.option("basePath", table_path)
     df = reader.parquet(*[os.path.join(table_path, a.path) for a in adds])
@@ -129,12 +157,42 @@ def scan_adds(
         )
     if needs_map:
         keep = [F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
+        if row_ids:
+            keep += [F.col(MAT_ROW_ID), F.col(MAT_ROW_COMMIT)]
         if need_meta:
             keep += [F.col(FILE_COL), F.col(ROW_COL)]
         df = df.select(*keep)
     if dv_adds:
         df = df.join(
             _dv_rows(spark, table_path, dv_adds), [FILE_COL, ROW_COL], "left_anti"
+        )
+    if row_ids:
+        base_map = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (
+                        file_uri(table_path, a.path),
+                        a.baseRowId,
+                        a.defaultRowCommitVersion,
+                    )
+                    for a in adds
+                ],
+                f"{FILE_COL} string, __dls_base long, __dls_dcv long",
+            )
+        )
+        df = (
+            df.join(base_map, FILE_COL, "left")
+            .withColumn(
+                ROW_ID,
+                F.coalesce(
+                    F.col(MAT_ROW_ID), F.col("__dls_base") + F.col(ROW_COL)
+                ),
+            )
+            .withColumn(
+                ROW_COMMIT,
+                F.coalesce(F.col(MAT_ROW_COMMIT), F.col("__dls_dcv")),
+            )
+            .drop(MAT_ROW_ID, MAT_ROW_COMMIT, "__dls_base", "__dls_dcv")
         )
     if need_meta and not with_meta:
         df = df.drop(FILE_COL, ROW_COL)
@@ -166,6 +224,7 @@ def read_delta(
     timestamp: str | int | None = None,
     partition_filter: dict[str, object] | None = None,
     predicate: str | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Read a versioned table as a DataFrame.
 
@@ -177,6 +236,8 @@ def read_delta(
     (a conjunctive SQL string) additionally prunes files whose log
     min/max stats prove no row can match — data skipping; the caller
     still applies the real filter to the returned DataFrame.
+    ``row_ids=True`` appends the row-tracking ``_row_id`` /
+    ``_row_commit_version`` metadata columns (see rowtracking.py).
     """
     from .skipping import prune_adds
 
@@ -209,4 +270,4 @@ def read_delta(
                 f"version {version} of {path} references {len(missing)} data "
                 f"file(s) that no longer exist (vacuumed?): {missing[:3]}"
             )
-    return scan_adds(spark, path, adds, snap)
+    return scan_adds(spark, path, adds, snap, row_ids=row_ids)

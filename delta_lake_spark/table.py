@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import time
+from dataclasses import replace
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -41,6 +42,7 @@ from .errors import (
     RetentionSafetyError,
     TableNotFoundError,
 )
+from . import rowtracking
 from .log import AddFile, CommitInfo, DeltaLog, RemoveFile, _utc_millis
 from .reader import FILE_COL as _FILE_COL
 from .reader import ROW_COL as _ROW_COL
@@ -153,6 +155,7 @@ class MergeBuilder:
         cond = _as_column(self._condition)
 
         insert_only = not self._matched
+        rt = rowtracking.enabled(snap)
 
         touched: list[str] = []
         if not insert_only and snap.files:
@@ -170,7 +173,9 @@ class MergeBuilder:
         n_update_clauses = sum(1 for c in self._matched if c["kind"] != "delete")
 
         if touched:
-            t_touched = t._read_files(touched, with_meta=True).alias(t_alias)
+            t_touched = t._read_files(touched, with_meta=True, row_ids=rt).alias(
+                t_alias
+            )
 
             joined = t_touched.join(src, cond, "inner")
             # first-matching-clause disposition; -1 = no clause applies -> keep row as-is
@@ -229,6 +234,27 @@ class MergeBuilder:
                 if expr_chain is not None:
                     val = expr_chain.otherwise(base)
                 out_cols.append(val.alias(name))
+            if rt:
+                # updated rows keep their row id but take this commit's
+                # version (null materialized -> new file's default);
+                # rows kept as-is keep both
+                update_ids = [
+                    i
+                    for i, c in enumerate(self._matched)
+                    if c["kind"] in ("update", "update_all")
+                ]
+                out_cols.append(
+                    F.col(f"{t_alias}.{rowtracking.ROW_ID}").alias(
+                        rowtracking.MAT_ROW_ID
+                    )
+                )
+                rcv = F.col(f"{t_alias}.{rowtracking.ROW_COMMIT}")
+                if update_ids:
+                    rcv = F.when(
+                        F.col(_ACTION_COL).isin(update_ids),
+                        F.lit(None).cast("long"),
+                    ).otherwise(rcv)
+                out_cols.append(rcv.alias(rowtracking.MAT_ROW_COMMIT))
 
             matched_out = joined
             if delete_ids:
@@ -236,15 +262,23 @@ class MergeBuilder:
             matched_out = matched_out.select(*out_cols)
             outputs.append(matched_out)
 
-            unmatched_target = (
-                t_touched.join(src, cond, "left_anti").select(
-                    *[
-                        F.lit(None).cast(schema[n].dataType).alias(n)
-                        if n in new_names
-                        else F.col(f"{t_alias}.{n}").alias(n)
-                        for n in col_names
-                    ]
-                )
+            unmatched_cols = [
+                F.lit(None).cast(schema[n].dataType).alias(n)
+                if n in new_names
+                else F.col(f"{t_alias}.{n}").alias(n)
+                for n in col_names
+            ]
+            if rt:
+                unmatched_cols += [
+                    F.col(f"{t_alias}.{rowtracking.ROW_ID}").alias(
+                        rowtracking.MAT_ROW_ID
+                    ),
+                    F.col(f"{t_alias}.{rowtracking.ROW_COMMIT}").alias(
+                        rowtracking.MAT_ROW_COMMIT
+                    ),
+                ]
+            unmatched_target = t_touched.join(src, cond, "left_anti").select(
+                *unmatched_cols
             )
             outputs.append(unmatched_target)
 
@@ -270,6 +304,12 @@ class MergeBuilder:
                         if n in values
                         else F.lit(None).cast(schema[n].dataType).alias(n)
                         for n in col_names
+                    ]
+                if rt:
+                    # inserted rows get fresh ids: baseRowId + position
+                    cols += [
+                        F.lit(None).cast("long").alias(rowtracking.MAT_ROW_ID),
+                        F.lit(None).cast("long").alias(rowtracking.MAT_ROW_COMMIT),
                     ]
                 outputs.append(branch.select(*cols))
 
@@ -320,9 +360,16 @@ class MergeBuilder:
                     createdTime=snap.metadata.createdTime,
                 ).to_action()
             )
+        actions.extend(t._rt_assign(snap, adds))
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
-        return t._commit_mutation(actions, touched, snap, content_neutral=False)
+        return t._commit_mutation(
+            actions,
+            touched,
+            snap,
+            content_neutral=False,
+            rt_adds=adds if rt else None,
+        )
 
 
 class DeltaTable:
@@ -365,8 +412,8 @@ class DeltaTable:
         out._alias = name
         return out
 
-    def toDF(self, version: int | None = None) -> DataFrame:
-        df = read_delta(self.spark, self.path, version=version)
+    def toDF(self, version: int | None = None, row_ids: bool = False) -> DataFrame:
+        df = read_delta(self.spark, self.path, version=version, row_ids=row_ids)
         return df.alias(self._alias) if self._alias else df
 
     to_df = toDF
@@ -374,12 +421,33 @@ class DeltaTable:
     def version(self) -> int:
         return self._log.latest_version()
 
-    def _read_files(self, rel_files: list[str], with_meta: bool = False) -> DataFrame:
+    def _read_files(
+        self,
+        rel_files: list[str],
+        with_meta: bool = False,
+        row_ids: bool = False,
+    ) -> DataFrame:
         """Read a subset of the current snapshot's files (deletion
-        vectors applied; optional FILE/ROW metadata columns)."""
+        vectors applied; optional FILE/ROW metadata columns;
+        ``row_ids=True`` appends _row_id/_row_commit_version for
+        rewrite paths that must preserve row identity)."""
         snap = self._log.snapshot()
         adds = [snap.files[f] for f in rel_files]
-        return scan_adds(self.spark, self.path, adds, snap, with_meta=with_meta)
+        return scan_adds(
+            self.spark, self.path, adds, snap, with_meta=with_meta, row_ids=row_ids
+        )
+
+    def _rt_assign(self, snap, adds: list[AddFile]) -> list[dict[str, Any]]:
+        """Row tracking for a mutation commit: give staged files fresh
+        disjoint baseRowId ranges (the fallback id source for rows whose
+        materialized __dls_row_id is null, e.g. MERGE inserts) and
+        advance the high-water mark. Empty when the feature is off."""
+        if not rowtracking.enabled(snap) or not adds:
+            return []
+        acts, _ = rowtracking.assign_fresh_ids(
+            adds, rowtracking.high_water_mark(snap), snap.version + 1
+        )
+        return acts
 
     # ---------- metadata ----------
 
@@ -467,6 +535,7 @@ class DeltaTable:
         read_snap,
         content_neutral: bool,
         read_paths: list[str] | None = None,
+        rt_adds: list[AddFile] | None = None,
     ) -> int:
         """Commit a mutation with conflict RESOLUTION, not just detection
         (Delta's disjoint-file rule). On a lost commit race, rebase and
@@ -488,8 +557,18 @@ class DeltaTable:
             PURGE, metadata commits) are always safe to rebase over.
             Content-neutral mutations (our own OPTIMIZE/PURGE) rebase
             over appends too — compaction ignores files it didn't read.
+
+        Domain metadata: a winner that wrote a domain this commit also
+        writes conflicts (last-writer-wins would silently drop the
+        winner's state) — EXCEPT the row-tracking high-water mark,
+        which is pure allocator state: when ``rt_adds`` (this commit's
+        staged files) is passed, the rebase reassigns their baseRowId
+        ranges against the winner's advanced mark instead of raising.
         """
         read_snap.protocol.check_write_support(self.path)
+        our_domains = {
+            x["domainMetadata"]["domain"] for x in actions if "domainMetadata" in x
+        }
         for attempt in range(4):
             try:
                 return self._log.commit_next(actions, retries=0)
@@ -507,6 +586,17 @@ class DeltaTable:
                     new = new_snap.files.get(p)
                     if old is None or new is None or old.to_action() != new.to_action():
                         raise
+                if our_domains:
+                    for v in range(read_snap.version + 1, new_snap.version + 1):
+                        for action in self._log._read_actions(v):
+                            dm = action.get("domainMetadata")
+                            if not dm or dm["domain"] not in our_domains:
+                                continue
+                            if (
+                                dm["domain"] != rowtracking.ROW_TRACKING_DOMAIN
+                                or rt_adds is None
+                            ):
+                                raise
                 if not content_neutral:
                     for p, a in new_snap.files.items():
                         if p not in read_snap.files and a.dataChange:
@@ -537,6 +627,26 @@ class DeltaTable:
                                 and rm["path"] in read_set
                             ):
                                 raise
+                if rt_adds is not None and rowtracking.enabled(new_snap):
+                    # the winner may have consumed our id range — rebase
+                    # reassigns fresh baseRowIds above its high-water mark
+                    rt_acts, _ = rowtracking.assign_fresh_ids(
+                        rt_adds,
+                        rowtracking.high_water_mark(new_snap),
+                        new_snap.version + 1,
+                    )
+                    add_paths = {a.path for a in rt_adds}
+                    actions = [
+                        x
+                        for x in actions
+                        if not (
+                            ("add" in x and x["add"]["path"] in add_paths)
+                            or x.get("domainMetadata", {}).get("domain")
+                            == rowtracking.ROW_TRACKING_DOMAIN
+                        )
+                    ]
+                    actions.extend(rt_acts)
+                    actions.extend(a.to_action() for a in rt_adds)
         raise AssertionError("unreachable")
 
     def _touched_files(
@@ -592,6 +702,7 @@ class DeltaTable:
                 cond, condition if isinstance(condition, str) else None, snap
             )
         now = _utc_millis()
+        rt = rowtracking.enabled(snap)
         if cond is None:
             touched = sorted(snap.files)
             read_paths = touched
@@ -602,9 +713,11 @@ class DeltaTable:
             )
             if not touched:
                 return snap.version
-            kept = self._read_files(touched).filter(
+            kept = self._read_files(touched, row_ids=rt).filter(
                 ~F.coalesce(cond, F.lit(False))
             )
+            if rt:
+                kept = rowtracking.materialize(kept)
             adds = stage_files(
                 kept,
                 self.path,
@@ -622,10 +735,16 @@ class DeltaTable:
                 },
             ).to_action()
         ]
+        actions.extend(self._rt_assign(snap, adds))
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
         return self._commit_mutation(
-            actions, touched, snap, content_neutral=False, read_paths=read_paths
+            actions,
+            touched,
+            snap,
+            content_neutral=False,
+            read_paths=read_paths,
+            rt_adds=adds if rt else None,
         )
 
     def _dv_delete(self, cond: Column, cond_str: str | None, snap) -> int:
@@ -732,6 +851,10 @@ class DeltaTable:
                         "path": dv_rel,
                         "cardinality": new_counts[p] + old_card.get(p, 0),
                     },
+                    # file bytes are untouched, so row ids survive a DV
+                    # delete with zero extra work
+                    baseRowId=a.baseRowId,
+                    defaultRowCommitVersion=a.defaultRowCommitVersion,
                 ).to_action()
             )
         return self._commit_mutation(
@@ -751,7 +874,10 @@ class DeltaTable:
         dv_adds = [a for a in snap.files.values() if a.deletionVector]
         if not dv_adds:
             return snap.version
-        df = scan_adds(self.spark, self.path, dv_adds, snap)
+        rt = rowtracking.enabled(snap)
+        df = scan_adds(self.spark, self.path, dv_adds, snap, row_ids=rt)
+        if rt:
+            df = rowtracking.materialize(df)
         adds = stage_files(
             df,
             self.path,
@@ -770,13 +896,18 @@ class DeltaTable:
                 },
             ).to_action()
         ]
+        actions.extend(self._rt_assign(snap, adds))
         actions.extend(
             RemoveFile(a.path, deletionTimestamp=now, dataChange=False).to_action()
             for a in dv_adds
         )
         actions.extend(a.to_action() for a in adds)
         return self._commit_mutation(
-            actions, [a.path for a in dv_adds], snap, content_neutral=True
+            actions,
+            [a.path for a in dv_adds],
+            snap,
+            content_neutral=True,
+            rt_adds=adds if rt else None,
         )
 
     def clone(self, target_path: str, shallow: bool = True) -> "DeltaTable":
@@ -865,7 +996,8 @@ class DeltaTable:
         )
         if not touched:
             return snap.version
-        df = self._read_files(touched)
+        rt = rowtracking.enabled(snap)
+        df = self._read_files(touched, row_ids=rt)
         match = F.coalesce(cond, F.lit(False))
         out_cols = []
         for f in schema.fields:
@@ -876,6 +1008,16 @@ class DeltaTable:
                 )
             else:
                 out_cols.append(F.col(f.name))
+        if rt:
+            # updated rows keep their id but take THIS commit's version
+            # (materialized null -> falls back to the new file's
+            # defaultRowCommitVersion); untouched rows keep both
+            out_cols.append(F.col(rowtracking.ROW_ID).alias(rowtracking.MAT_ROW_ID))
+            out_cols.append(
+                F.when(match, F.lit(None).cast("long"))
+                .otherwise(F.col(rowtracking.ROW_COMMIT))
+                .alias(rowtracking.MAT_ROW_COMMIT)
+            )
         rewritten = df.select(*out_cols)
         from .writer import apply_generated
 
@@ -899,10 +1041,16 @@ class DeltaTable:
                 },
             ).to_action()
         ]
+        actions.extend(self._rt_assign(snap, adds))
         actions.extend(RemoveFile(p, deletionTimestamp=now).to_action() for p in touched)
         actions.extend(a.to_action() for a in adds)
         return self._commit_mutation(
-            actions, touched, snap, content_neutral=False, read_paths=read_paths
+            actions,
+            touched,
+            snap,
+            content_neutral=False,
+            read_paths=read_paths,
+            rt_adds=adds if rt else None,
         )
 
     def merge(
@@ -1037,6 +1185,7 @@ class DeltaTable:
 
             zcol = zvalue_expr(self.toDF(), zorder_by, bits=zorder_bits)
 
+        rt = rowtracking.enabled(snap)
         removes: list[str] = []
         all_adds = []
         for _key, adds in by_part.items():
@@ -1044,7 +1193,9 @@ class DeltaTable:
                 continue
             total = sum(a.size for a in adds)
             n_out = max(1, -(-total // target_file_bytes))
-            df = self._read_files([a.path for a in adds])
+            df = self._read_files([a.path for a in adds], row_ids=rt)
+            if rt:
+                df = rowtracking.materialize(df)
             if zcol is not None:
                 df = (
                     df.withColumn("__dls_z", zcol)
@@ -1086,12 +1237,19 @@ class DeltaTable:
                 },
             ).to_action()
         ]
+        actions.extend(self._rt_assign(snap, all_adds))
         actions.extend(
             RemoveFile(p, deletionTimestamp=now, dataChange=False).to_action()
             for p in removes
         )
         actions.extend(a.to_action() for a in all_adds)
-        return self._commit_mutation(actions, removes, snap, content_neutral=True)
+        return self._commit_mutation(
+            actions,
+            removes,
+            snap,
+            content_neutral=True,
+            rt_adds=all_adds if rt else None,
+        )
 
     # ---------- CHECK constraints ----------
 
@@ -1353,12 +1511,15 @@ class DeltaTable:
                 f"replace_where: incoming row violates predicate {predicate!r}: "
                 f"{bad[0]}"
             )
+        rt = rowtracking.enabled(snap)
         touched, read_paths = self._touched_files(cond, predicate)
         adds = []
         if touched:
-            kept = self._read_files(touched).filter(
+            kept = self._read_files(touched, row_ids=rt).filter(
                 ~F.coalesce(cond, F.lit(False))
             )
+            if rt:
+                kept = rowtracking.materialize(kept)
             adds = stage_files(
                 kept,
                 self.path,
@@ -1394,13 +1555,19 @@ class DeltaTable:
                 },
             ).to_action()
         ]
+        actions.extend(self._rt_assign(snap, adds + new_adds))
         actions.extend(
             RemoveFile(p, deletionTimestamp=now).to_action() for p in touched
         )
         actions.extend(a.to_action() for a in adds)
         actions.extend(a.to_action() for a in new_adds)
         return self._commit_mutation(
-            actions, touched, snap, content_neutral=False, read_paths=read_paths
+            actions,
+            touched,
+            snap,
+            content_neutral=False,
+            read_paths=read_paths,
+            rt_adds=(adds + new_adds) if rt else None,
         )
 
     def partitions(self) -> DataFrame:
@@ -1524,21 +1691,45 @@ class DeltaTable:
     def set_properties(self, props: dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: merge keys into table
         configuration (e.g. ``{"deletionVectors": "true"}`` flips
-        DELETE to deletion-vector mode for all writers)."""
+        DELETE to deletion-vector mode for all writers).
+
+        Enabling ``delta.enableRowTracking`` on an existing table
+        upgrades the protocol (rowTracking + domainMetadata writer
+        features) and BACKFILLS: every live file is re-added
+        (dataChange=False — a metadata-only commit, no bytes move) with
+        a fresh disjoint ``baseRowId`` range, so ``_row_id`` is defined
+        for pre-existing rows too."""
+        from . import rowtracking
+
         snap = self._log.snapshot()
         conf = {**snap.metadata.configuration, **{k: str(v) for k, v in props.items()}}
         meta = self._metadata_with_configuration(snap, conf)
-        return self._log.commit_next(
-            [
-                CommitInfo(
-                    operation="SET TBLPROPERTIES",
-                    operationParameters={"properties": dict(props)},
-                    readVersion=snap.version,
+        actions: list[dict[str, Any]] = [
+            CommitInfo(
+                operation="SET TBLPROPERTIES",
+                operationParameters={"properties": dict(props)},
+                readVersion=snap.version,
+            ).to_action(),
+            meta.to_action(),
+        ]
+        if rowtracking.enabled(conf) and not rowtracking.enabled(snap):
+            actions.insert(
+                1,
+                snap.protocol.with_features(
+                    writer=rowtracking.ROW_TRACKING_FEATURES
                 ).to_action(),
-                meta.to_action(),
-            ],
-            retries=0,
-        )
+            )
+            backfill = [
+                replace(a, dataChange=False)
+                for a in snap.files.values()
+                if a.baseRowId is None
+            ]
+            rt_actions, _ = rowtracking.assign_fresh_ids(
+                backfill, rowtracking.high_water_mark(snap), snap.version + 1
+            )
+            actions.extend(rt_actions)
+            actions.extend(a.to_action() for a in backfill)
+        return self._log.commit_next(actions, retries=0)
 
     def unset_properties(self, keys: list[str]) -> int:
         """ALTER TABLE UNSET TBLPROPERTIES."""

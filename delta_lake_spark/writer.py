@@ -435,6 +435,7 @@ def write_delta(
     operation_parameters: dict[str, Any] | None = None,
     generated: dict[str, str] | None = None,
     identity: dict[str, dict] | None = None,
+    properties: dict[str, str] | None = None,
 ) -> int:
     """Append to / overwrite a versioned table; returns committed version.
 
@@ -448,6 +449,13 @@ def write_delta(
     ``generated`` (table creation only): {column: sql expr} generated
     columns, recorded in table configuration; every write computes them
     when absent and validates them when supplied (apply_generated).
+
+    ``properties`` (table creation only): initial table configuration,
+    e.g. ``{"delta.enableRowTracking": "true"}`` — row tracking assigns
+    every staged file a disjoint ``baseRowId`` range and advances the
+    ``delta.rowTracking`` high-water mark in the same commit
+    (rowtracking.py); ids are recomputed per commit attempt, so append
+    races retry safely.
 
     ``identity`` (table creation only): {column: {"start", "step"}}
     GENERATED ALWAYS AS IDENTITY columns; every append assigns fresh
@@ -467,9 +475,9 @@ def write_delta(
 
     id_specs: dict[str, dict] = {}
     if table_exists:
-        if generated or identity:
+        if generated or identity or properties:
             raise ValueError(
-                "generated/identity columns can only be set at table creation"
+                "generated/identity/properties can only be set at table creation"
             )
         snap = log.snapshot()
         snap.protocol.check_write_support(path)
@@ -511,7 +519,8 @@ def write_delta(
 
         partition_by = list(partition_by or [])
         configuration = {
-            GENERATED_PREFIX + c: e for c, e in (generated or {}).items()
+            **{k: str(v) for k, v in (properties or {}).items()},
+            **{GENERATED_PREFIX + c: e for c, e in (generated or {}).items()},
         }
         for c, spec in (identity or {}).items():
             configuration[IDENTITY_PREFIX + c] = _json.dumps(
@@ -571,21 +580,42 @@ def write_delta(
         )
 
     def build_actions(removes_now: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        from . import rowtracking
+
+        cur_snap = log.snapshot() if log.exists() else None
         commit_info = CommitInfo(
             operation=operation or ("WRITE" if mode == "overwrite" else "APPEND"),
             operationParameters=(operation_parameters or {"mode": mode, "partitionBy": partition_by}),
-            readVersion=log.snapshot().version if log.exists() else None,
+            readVersion=cur_snap.version if cur_snap else None,
             operationMetrics={
                 "numFiles": len(adds),
                 "numOutputRows": num_rows,
                 "numRemovedFiles": len(removes_now),
             },
         )
+        conf_now = (
+            metadata.configuration
+            if metadata is not None
+            else snap.metadata.configuration
+        )
         actions: list[dict[str, Any]] = [commit_info.to_action()]
         if not table_exists:
-            actions.append(Protocol().to_action())
+            proto = Protocol()
+            if rowtracking.enabled(conf_now):
+                proto = proto.with_features(
+                    writer=rowtracking.ROW_TRACKING_FEATURES
+                )
+            actions.append(proto.to_action())
         if metadata is not None:
             actions.append(metadata.to_action())
+        if rowtracking.enabled(conf_now):
+            # per-attempt: a lost race means the winner consumed the range
+            rt_actions, _ = rowtracking.assign_fresh_ids(
+                adds,
+                rowtracking.high_water_mark(cur_snap),
+                (cur_snap.version + 1) if cur_snap else 0,
+            )
+            actions.extend(rt_actions)
         actions.extend(removes_now)
         actions.extend(a.to_action() for a in adds)
         return actions

@@ -9,6 +9,7 @@ search, text analysis) the driver's north star asks for.
 """
 
 from .errors import (
+    AppendOnlyTableError,
     ConcurrentModificationError,
     DataFileLostError,
     DeltaError,
@@ -40,6 +41,7 @@ __all__ = [
     "write_delta",
     "convert_to_delta",
     "copy_into",
+    "AppendOnlyTableError",
     "ConstraintViolationError",
     "UnsupportedProtocolError",
     "Protocol",

@@ -55,6 +55,13 @@ class ConstraintViolationError(DeltaError):
     commit time, like Delta's delta.constraints.* table properties)."""
 
 
+class AppendOnlyTableError(DeltaError):
+    """Mutation attempted on a table with ``delta.appendOnly = true``:
+    rows may only be added, never removed or changed (Delta's
+    appendOnly writer feature). Layout-only operations (OPTIMIZE,
+    PURGE) remain allowed — they move rows without changing content."""
+
+
 class UnsupportedProtocolError(DeltaError):
     """The table's protocol action requires reader/writer versions or
     table features this engine does not implement (forward-compatibility

@@ -57,6 +57,7 @@ MAX_READER_VERSION = 3
 MAX_WRITER_VERSION = 7
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
     "columnMapping",
     "deletionVectors",
     "checkConstraints",

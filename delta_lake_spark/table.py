@@ -47,7 +47,7 @@ from .log import AddFile, CommitInfo, DeltaLog, RemoveFile, _utc_millis
 from .reader import FILE_COL as _FILE_COL
 from .reader import ROW_COL as _ROW_COL
 from .reader import file_uri, read_delta, scan_adds
-from .writer import enforce_constraints, schema_of, stage_files
+from .writer import check_append_only, enforce_constraints, schema_of, stage_files
 
 DEFAULT_RETENTION_HOURS = 168  # 7 days, matching Delta's default
 RETENTION_CHECK_CONF = "spark.delta_lake_spark.retentionDurationCheck.enabled"
@@ -155,6 +155,9 @@ class MergeBuilder:
         cond = _as_column(self._condition)
 
         insert_only = not self._matched
+        if not insert_only:
+            # insert-only MERGE is a pure append and stays allowed
+            check_append_only(snap, "MERGE with matched clauses")
         rt = rowtracking.enabled(snap)
 
         touched: list[str] = []
@@ -694,6 +697,7 @@ class DeltaTable:
         into clean files later.
         """
         snap = self._log.snapshot()
+        check_append_only(snap, "DELETE")
         cond = _as_column(condition)
         if use_dv is None:
             use_dv = snap.metadata.configuration.get(DV_CONF, "").lower() == "true"
@@ -989,6 +993,7 @@ class DeltaTable:
     def update(self, condition: str | Column, set: dict[str, str | Column]) -> int:
         """UPDATE t SET ... WHERE ... via touched-file rewrite."""
         snap = self._log.snapshot()
+        check_append_only(snap, "UPDATE")
         schema = schema_of(snap)
         cond = _as_column(condition)
         touched, read_paths = self._touched_files(
@@ -1503,6 +1508,7 @@ class DeltaTable:
         from .writer import apply_generated
 
         snap = self._log.snapshot()
+        check_append_only(snap, "replaceWhere overwrite")
         schema = schema_of(snap)
         cond = _as_column(predicate)
         bad = df.filter(~F.coalesce(cond, F.lit(False))).limit(1).collect()
@@ -1767,6 +1773,7 @@ class DeltaTable:
         table content equals that snapshot (history is preserved)."""
         old = self._log.snapshot(version)
         cur = self._log.snapshot()
+        check_append_only(cur, "RESTORE")
         now = _utc_millis()
         # a path present in both but with a different deletion vector must
         # be re-added with the old DV state (re-add replaces on replay)

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .errors import (
+    AppendOnlyTableError,
     ConcurrentModificationError,
     ConstraintViolationError,
     SchemaMismatchError,
@@ -242,6 +243,22 @@ def fill_generated(df: DataFrame, configuration: dict[str, str]) -> DataFrame:
                 ),
             )
     return apply_generated(df, configuration)
+
+
+APPEND_ONLY_CONF = "delta.appendOnly"
+
+
+def check_append_only(snapshot, operation: str) -> None:
+    """Raise when ``delta.appendOnly = true`` and ``operation`` would
+    remove or change existing rows (Delta's appendOnly property).
+    Callers skip the check for layout-only ops (OPTIMIZE/PURGE) and
+    pure appends/inserts, which stay allowed."""
+    conf = snapshot.metadata.configuration
+    if str(conf.get(APPEND_ONLY_CONF, "")).lower() == "true":
+        raise AppendOnlyTableError(
+            f"table is append-only ({APPEND_ONLY_CONF}=true): "
+            f"{operation} is not allowed"
+        )
 
 
 def schema_of(snapshot) -> StructType:
@@ -481,6 +498,8 @@ def write_delta(
             )
         snap = log.snapshot()
         snap.protocol.check_write_support(path)
+        if mode == "overwrite":
+            check_append_only(snap, "overwrite")
         table_schema = schema_of(snap)
         df, id_specs = assign_identity(df, snap.metadata.configuration)
         df = apply_generated(df, snap.metadata.configuration)

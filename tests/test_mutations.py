@@ -542,3 +542,58 @@ def test_replace_where_atomic_and_validated(spark, tmp_table):
             spark.createDataFrame([(7, "b", 1.0)], "id long, grp string, v double"),
             "grp = 'a'",
         )
+
+
+def test_append_only_table_blocks_mutations(spark, tmp_table):
+    """delta.appendOnly: appends and insert-only MERGE land; anything
+    that removes or changes rows (DELETE/UPDATE/MERGE-matched/
+    overwrite/replaceWhere/RESTORE) raises; layout-only OPTIMIZE stays
+    allowed; unsetting the property re-enables mutations."""
+    import pytest as _pytest
+
+    from delta_lake_spark.errors import AppendOnlyTableError
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_delta(df, tmp_table, properties={"delta.appendOnly": "true"})
+    dt = DeltaTable.forPath(spark, tmp_table)
+
+    # appends still work
+    write_delta(
+        spark.range(10, 20).select("id", (F.col("id") * 2).alias("v")), tmp_table
+    )
+    assert read_delta(spark, tmp_table).count() == 20
+
+    with _pytest.raises(AppendOnlyTableError):
+        dt.delete("id < 5")
+    with _pytest.raises(AppendOnlyTableError):
+        dt.delete("id < 5", use_dv=True)
+    with _pytest.raises(AppendOnlyTableError):
+        dt.update("id < 5", {"v": "v + 1"})
+    with _pytest.raises(AppendOnlyTableError):
+        write_delta(df, tmp_table, mode="overwrite")
+    with _pytest.raises(AppendOnlyTableError):
+        dt.replace_where(
+            spark.range(3).select("id", F.lit(0).alias("v")), "id < 3"
+        )
+    with _pytest.raises(AppendOnlyTableError):
+        dt.restore(0)
+
+    src = spark.range(15, 25).select("id", F.lit(9).alias("v"))
+    with _pytest.raises(AppendOnlyTableError):
+        (
+            dt.merge(src.alias("s"), "target.id = s.id")
+            .when_matched_update_all()
+            .execute()
+        )
+    # insert-only merge is a pure append: allowed
+    (
+        dt.merge(src.alias("s"), "target.id = s.id")
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert read_delta(spark, tmp_table).count() == 25
+    dt.optimize(target_file_bytes=1 << 30)  # layout-only: allowed
+
+    dt.unset_properties(["delta.appendOnly"])
+    dt.delete("id >= 20")
+    assert read_delta(spark, tmp_table).count() == 20

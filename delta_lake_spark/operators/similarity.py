@@ -355,6 +355,20 @@ def kmeans_clusters(
     Returns: cell_id (int), n_members (long) after ``iterations``
     assign/recompute rounds.
     """
+    assigned = _kmeans_assign(vectors, n_cells, iterations, dim, id_col, vec_col)
+    return assigned.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+
+
+def _kmeans_assign(
+    vectors: DataFrame,
+    n_cells: int,
+    iterations: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared deterministic k-means assignment (see kmeans_clusters):
+    returns (id_col, __v double array, cell_id int)."""
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -392,5 +406,55 @@ def kmeans_clusters(
             ).alias("__cv")
         )
         assigned = assign(centroids)
+    return assigned
 
-    return assigned.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.45,
+    iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication, cluster-then-prune (the SemDeDup recipe:
+    Abbas et al. 2023, arXiv:2303.09540): k-means-bucket the embedding
+    space, then inside each cluster drop every vector whose cosine to a
+    LOWER-id member meets ``threshold`` — the min-id representative of
+    each near-duplicate group survives. Complements exact/MinHash text
+    dedup by catching paraphrases that share no shingles.
+
+    100 TB design: the quadratic pairwise step is confined WITHIN
+    clusters — size ``n_cells ~ |corpus| / few-thousand`` so each
+    cluster is a bounded local problem; the self-join shuffles once on
+    cell_id. The k-means pre-step is the deterministic shared
+    assignment (modulo arg_min seeding, 1e-9-rounded centroids), and
+    the cosine is rounded to 1e-9 before the threshold compare, so the
+    whole pipeline is replicable by an external SQL oracle.
+
+    Returns (id_col, cell_id, kept boolean) for every input vector.
+    """
+    assigned = _kmeans_assign(vectors, n_cells, iterations, dim, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"), "cell_id", F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"), "cell_id", F.col("__v").alias("__vb")
+    )
+    dups = (
+        a.join(b, "cell_id")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(
+            F.round(
+                cosine_similarity_col(F.col("__va"), F.col("__vb")), 9
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(id_col, "cell_id", F.col("__dup").isNull().alias("kept"))
+    )

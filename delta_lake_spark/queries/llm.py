@@ -927,17 +927,18 @@ def q97_kmeans_clusters(spark, sf_dir):
     )
 
 
-def _gen_q97_sql(n_cells: int = 8, dim: int = 64) -> str:
-    """DuckDB replica of kmeans_clusters(iterations=2): modulo arg_min
-    seeding, cosine assignment, per-position avg centroids rounded to
-    1e-9, reassignment, member counts."""
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
 
-    def cos(a, b):
-        return (
-            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-            f" * sqrt(list_dot_product({b}, {b})))"
-        )
 
+def _kmeans_cte_sql(n_cells: int = 8, dim: int = 64) -> str:
+    """Shared DuckDB replica of the deterministic 2-iteration k-means
+    assignment (_kmeans_assign): modulo arg_min seeding, cosine
+    assignment, per-position avg centroids rounded to 1e-9,
+    reassignment. Exposes ``a1(vec_id, v, cell_id)``."""
     mean_list = ", ".join(f"ROUND(avg(v[{i + 1}]), 9)" for i in range(dim))
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -949,24 +950,53 @@ a0 AS (
   SELECT vec_id, v, cell_id FROM (
     SELECT v.vec_id, v.v, c.cell_id,
       ROW_NUMBER() OVER (PARTITION BY v.vec_id
-        ORDER BY {cos('v.v', 'c.cv')} DESC, c.cell_id ASC) AS r
+        ORDER BY {_cos_sql('v.v', 'c.cv')} DESC, c.cell_id ASC) AS r
     FROM v, c0 c
   ) WHERE r = 1
 ),
 c1 AS (SELECT cell_id, [{mean_list}] AS cv FROM a0 GROUP BY cell_id),
 a1 AS (
-  SELECT vec_id, cell_id FROM (
-    SELECT v.vec_id, c.cell_id,
+  SELECT vec_id, v, cell_id FROM (
+    SELECT v.vec_id, v.v, c.cell_id,
       ROW_NUMBER() OVER (PARTITION BY v.vec_id
-        ORDER BY {cos('v.v', 'c.cv')} DESC, c.cell_id ASC) AS r
+        ORDER BY {_cos_sql('v.v', 'c.cv')} DESC, c.cell_id ASC) AS r
     FROM v, c1 c
   ) WHERE r = 1
+)"""
+
+
+_Q97_SQL = (
+    _kmeans_cte_sql()
+    + "\nSELECT cell_id, COUNT(*) AS n_members FROM a1 GROUP BY cell_id\n"
 )
-SELECT cell_id, COUNT(*) AS n_members FROM a1 GROUP BY cell_id
+
+
+def q113_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (cluster-then-prune, Abbas et al.
+    2023): k-means buckets confine the quadratic cosine step, min-id
+    representative survives per near-dup group. The oracle replays the
+    full pipeline — unrolled k-means CTE, within-cluster pairwise
+    cosine at the same 1e-9 rounding — so the verdict is value-exact,
+    not rows-only."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), n_cells=8, threshold=0.45, iterations=2, dim=64
+    )
+
+
+_Q113_SQL = (
+    _kmeans_cte_sql()
+    + f""",
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM a1 a JOIN a1 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE ROUND({_cos_sql('a.v', 'b.v')}, 9) >= 0.45
+)
+SELECT a1.vec_id, a1.cell_id, d.vec_id IS NULL AS kept
+FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id
 """
-
-
-_Q97_SQL = _gen_q97_sql()
+)
 
 
 def q98_bigram_stats(spark, sf_dir):
@@ -1153,6 +1183,7 @@ QUERIES = {
     "q95_char_entropy": q95_char_entropy,
     "q96_oov_rate": q96_oov_rate,
     "q97_kmeans_clusters": q97_kmeans_clusters,
+    "q113_semantic_dedup": q113_semantic_dedup,
     "q98_bigram_stats": q98_bigram_stats,
     "q103_unigram_lm_score": q103_unigram_lm_score,
     "q104_mixture_sample": q104_mixture_sample,
@@ -1190,6 +1221,7 @@ ORACLE_SQL = {
     "q95_char_entropy": _Q95_SQL,
     "q96_oov_rate": _Q96_SQL,
     "q97_kmeans_clusters": _Q97_SQL,
+    "q113_semantic_dedup": _Q113_SQL,
     "q98_bigram_stats": _Q98_SQL,
     "q103_unigram_lm_score": _Q103_SQL,
     "q104_mixture_sample": _Q104_SQL,

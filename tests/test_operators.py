@@ -592,3 +592,22 @@ def test_asof_join_semantics_and_plan(spark):
     assert rows["l3"].v_asof is None and rows["l3"].ts_asof is None  # no match
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_semantic_dedup_semantics(spark):
+    """Min-id representative survives; near-dup (cosine >= threshold,
+    same cluster) is dropped; distinct vectors all kept."""
+    from delta_lake_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (8, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 (cos ~ 0.9999)
+        (16, [0.0, 1.0, 0.0, 0.0]),     # orthogonal: kept
+        (24, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(
+        vecs, n_cells=1, threshold=0.9, iterations=1, dim=4
+    )
+    got = {r.vec_id: r.kept for r in out.collect()}
+    assert got == {0: True, 8: False, 16: True, 24: True}

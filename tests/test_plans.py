@@ -342,3 +342,35 @@ def test_q03_shuffles_lineitem_once_no_broadcast_of_fact(spark):
     # the only broadcasts are the dim tables, whose scans read n_/r_/c_ cols
     for seg in re.findall(r"BroadcastExchange.*?ReadSchema: struct<([^>]*)>", plan, re.S):
         assert "l_orderkey" not in seg  # lineitem never broadcast
+
+
+def test_semantic_dedup_pairwise_confined_to_clusters(spark):
+    """SemDeDup's quadratic step must stay inside clusters: the pair
+    join is an equi-join on cell_id (hash or sort-merge), never a
+    cartesian/nested-loop over the corpus, and never single-partition."""
+    from delta_lake_spark.queries.llm import q113_semantic_dedup
+
+    plan = _plan(q113_semantic_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_row_id_read_is_broadcast_only(spark, tmp_table):
+    """Row tracking read path: attaching _row_id joins the O(#files)
+    (file, baseRowId) map by broadcast — the data side must not
+    shuffle, and the scan stays a vectorized parquet read."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark import read_delta, write_delta
+
+    write_delta(
+        spark.range(1000).select("id"),
+        tmp_table,
+        properties={"delta.enableRowTracking": "true"},
+    )
+    df = read_delta(spark, tmp_table, row_ids=True)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # data side unshuffled

@@ -352,8 +352,16 @@ def test_semantic_dedup_pairwise_confined_to_clusters(spark):
 
     plan = _plan(q113_semantic_dedup(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoop" not in plan
     assert "SinglePartition" not in plan
+    # the quadratic pair join shuffles once on cell_id — an equi-join,
+    # not a corpus-wide nested loop
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cell_id", plan)
+    # the only nested-loop joins are the k-means assignment's broadcasts
+    # of the tiny centroid set (IdentityBroadcastMode); a nested loop fed
+    # by a plain (non-broadcast) exchange would be a corpus-scale blowup
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastExchange IdentityBroadcastMode"
+    )
 
 
 def test_row_id_read_is_broadcast_only(spark, tmp_table):

@@ -61,7 +61,10 @@ def test_unknown_writer_feature_blocks_writes_not_reads(spark, table):
         table.path,
         minReaderVersion=1,
         minWriterVersion=7,
-        writerFeatures=["rowTracking"],
+        # a writer-only feature this engine does NOT implement (row
+        # tracking graduated to supported in round 2, so it no longer
+        # works as the unknown example)
+        writerFeatures=["icebergCompatV2"],
     )
     assert read_delta(spark, table.path).count() == 2  # reads fine
     with pytest.raises(UnsupportedProtocolError):

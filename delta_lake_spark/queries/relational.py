@@ -28,16 +28,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read nanos as long (legacy conf, dynamically settable)
-    and truncate to microseconds exactly as DuckDB does. Session tz pinned
-    to UTC so the ntz conversion is the identity on the stored instant."""
+    """events.parquet has stored ts as TIMESTAMP(NANOS) in some datasets
+    (which Spark's parquet reader rejects — read nanos as long and truncate
+    to microseconds exactly as DuckDB does) and TIMESTAMP(MICROS) in others
+    (directly readable). Adapt to whichever the file carries. Session tz
+    pinned to UTC so the ntz conversion is the identity on the instant."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-    )
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # nanos surfaced as long via the legacy conf
+        return raw.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 def _dec(col, scale: int = 2):
     c = F.col(col) if isinstance(col, str) else col

@@ -536,3 +536,128 @@ def simhash_pairs(
         cand.select("id_1", "id_2", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    expected_corpus_keys: int | None = None,
+    fpp: float = 0.01,
+    use_bloom: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup: drop ``batch`` rows whose normalized text
+    already exists in the historical ``corpus`` (returns the surviving
+    batch rows, original columns).
+
+    The decision is an anti-join on (content hash, normalized text) —
+    exact by construction. The 100 TB choreography wraps it:
+
+      1. Corpus is projected to 8-byte ``xxhash64`` content hashes; a
+         Bloom filter over those hashes is built distributively
+         (mapInPandas emits ONE bitmap per partition — |partitions| rows,
+         never the data — OR-folded driver-side, rebroadcast).
+      2. Batch rows whose hash misses the bloom are DEFINITELY new
+         (bloom has no false negatives) and skip the join entirely; at a
+         typical daily-batch-vs-history ratio that is ~99% of rows.
+      3. Only the "maybe" remainder joins: corpus is first semi-pruned
+         on the candidate hash set, then the anti-join compares the
+         normalized TEXT, so a 64-bit hash collision can never drop a
+         genuinely-new document.
+
+    False-positive rate only affects how many rows take the join path,
+    never the result. ``expected_corpus_keys`` sizes the bitmap without
+    an extra count job (pass the table's known row count); at corpora
+    where a single bitmap outgrows one broadcast (~10^10 keys), shard
+    the corpus by hash range and run this operator per shard.
+    """
+    import math
+
+    norm = normalize_text(text_col)
+    b = batch.withColumn("__norm", norm).withColumn(
+        "__bh", F.xxhash64(F.col("__norm"))
+    )
+    c = corpus.select(
+        norm.alias("__norm"), F.xxhash64(norm).alias("__bh")
+    )
+
+    if use_bloom:
+        n = expected_corpus_keys
+        if n is None:
+            n = corpus.count()
+        n = max(n, 1)
+        m_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        # round bitmap up to whole bytes; cap hash count at 16
+        m_bytes = (m_bits + 7) // 8
+        m_bits = m_bytes * 8
+        k = min(16, max(1, round(m_bits / n * math.log(2))))
+
+        import numpy as np
+
+        def _positions(h: "np.ndarray") -> "np.ndarray":
+            # double hashing over the unsigned 64-bit content hash:
+            # pos_i = (h1 + i*h2) mod m, h2 forced odd
+            h1 = h.astype(np.uint64)
+            h2 = (h1 >> np.uint64(17) | h1 << np.uint64(47)) | np.uint64(1)
+            return np.stack(
+                [(h1 + np.uint64(i) * h2) % np.uint64(m_bits) for i in range(k)]
+            )
+
+        def _partition_bitmaps(batches):
+            import pandas as pd
+
+            bm = np.zeros(m_bytes, dtype=np.uint8)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                pos = _positions(pdf["__bh"].to_numpy(dtype=np.int64))
+                np.bitwise_or.at(
+                    bm, (pos >> np.uint64(3)).ravel().astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).ravel(),
+                )
+            if seen:
+                yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+        parts = c.select("__bh").mapInPandas(
+            _partition_bitmaps, schema="bitmap binary"
+        )
+        # one bounded collect: |partitions| bitmap rows, not data rows
+        merged = np.zeros(m_bytes, dtype=np.uint8)
+        for row in parts.collect():
+            merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+        bloom_bc = batch.sparkSession.sparkContext.broadcast(merged.tobytes())
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def _maybe_in_corpus(bh):
+            import pandas as pd
+
+            bm = np.frombuffer(bloom_bc.value, dtype=np.uint8)
+            pos = _positions(bh.to_numpy(dtype=np.int64))
+            hits = (
+                bm[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1)
+            return pd.Series(hits.all(axis=0).astype(bool))
+
+        b = b.withColumn("__maybe", _maybe_in_corpus(F.col("__bh")))
+        definitely_new = b.filter(~F.col("__maybe"))
+        maybe = b.filter(F.col("__maybe"))
+        # semi-prune the corpus to candidate hashes before the text
+        # compare: at scale the maybe-set is small, so this join prunes
+        # the 100 TB side down to the (tiny) colliding key range
+        cand_hashes = maybe.select("__bh").distinct()
+        pruned_corpus = c.join(cand_hashes, "__bh", "left_semi")
+        survivors = maybe.join(
+            pruned_corpus, ["__bh", "__norm"], "left_anti"
+        )
+        out = definitely_new.drop("__maybe").unionByName(
+            survivors.drop("__maybe")
+        )
+    else:
+        out = b.join(c, ["__bh", "__norm"], "left_anti")
+    return out.drop("__norm", "__bh")

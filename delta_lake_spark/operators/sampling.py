@@ -139,3 +139,45 @@ def mixture_sample(
         .filter(_bucket(F.col(key_col), seed) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain — the standard anti-bias
+    guard for web corpora where a handful of domains contribute an
+    outsized share. Deterministic: survivors are the ``cap`` smallest
+    ``id_col`` values within each domain.
+
+    Scale shape: a single ``Window.partitionBy(domain)`` funnels a
+    mega-domain (at 100 TB, one domain can be billions of rows) through
+    ONE task. Instead, two bounded passes:
+
+      1. salt each row by ``hash(id) % n_salts`` and take the per-
+         (domain, salt) top-``cap`` — parallelism n_salts per domain,
+         each sub-window bounded;
+      2. re-rank the <= n_salts * cap survivors per domain and keep
+         ``cap``.
+
+    Pass 2's per-domain input is capped at n_salts * cap rows whatever
+    the domain's true size, so no task ever sees more than that.
+    """
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(domain_col), salt).orderBy(F.col(id_col))
+    stage1 = (
+        df.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(id_col)
+    return (
+        stage1.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= cap)
+        .drop("__r2")
+    )

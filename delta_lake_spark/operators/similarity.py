@@ -458,3 +458,57 @@ def semantic_dedup(
         assigned.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
         .select(id_col, "cell_id", F.col("__dup").isNull().alias("kept"))
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    vec_col: str,
+    label_col: str,
+    id_col: str,
+    k_outliers: int = 5,
+) -> DataFrame:
+    """Per-class embedding outliers: the ``k_outliers`` vectors FARTHEST
+    (lowest cosine similarity) from their class centroid — the standard
+    label-noise / mislabeled-example filter in embedding-curated
+    training sets.
+
+    Scale shape: the centroid is an element-wise mean computed by
+    posexplode -> groupBy(label, pos) -> avg. That shuffle carries
+    |rows| x dim scalar rows ONCE (map-side partial aggregation folds
+    them to |labels| x dim per partition before the exchange); the
+    resulting centroid relation is |labels| x dim — broadcast-joined
+    back, so scoring is a map-only zip_with pass. The final top-k uses
+    a per-label window over rows pre-filtered to... no pre-filter is
+    possible without approximation, but the window input is one scalar
+    row per vector (id, label, sim) — 8-byte-scale rows, not vectors.
+
+    Returns: label_col, id_col, sim (cosine to centroid, rounded to 6).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    flat = emb.select(
+        F.col(label_col), F.col(id_col), F.posexplode(v).alias("pos", "val")
+    )
+    cent_elems = flat.groupBy(label_col, "pos").agg(F.avg("val").alias("cval"))
+    centroids = cent_elems.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("__cent")
+    )
+    scored = emb.join(F.broadcast(centroids), label_col).select(
+        F.col(label_col),
+        F.col(id_col),
+        cosine_similarity_col(v, F.col("__cent")).alias("__sim"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("__sim").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k_outliers)
+        .select(
+            label_col,
+            id_col,
+            F.round(F.col("__sim"), 6).alias("sim"),
+        )
+    )

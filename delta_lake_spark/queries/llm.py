@@ -1153,6 +1153,108 @@ FROM stripped
 """
 
 
+def q114_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a synthetic 'daily batch' against the full
+    document corpus: even-id docs are re-submitted with new ids, half
+    verbatim (dups — must be dropped) and half with a unique suffix
+    (genuinely new — must survive). Bloom pre-filter + exact anti-join."""
+    from ..operators.dedup import dedup_against_corpus
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" unique "), F.col("doc_id").cast("string"))
+        )
+        .alias("text"),
+        "source",
+    )
+    out = dedup_against_corpus(
+        batch, docs, "text", "doc_id", expected_corpus_keys=None
+    )
+    return out.select("doc_id", "source")
+
+
+_Q114_SQL = """
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text
+         ELSE text || ' unique ' || CAST(doc_id AS VARCHAR) END AS text,
+    source
+  FROM documents WHERE doc_id % 2 = 0
+),
+corpus AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT b.doc_id, b.source
+FROM batch b
+WHERE trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')) NOT IN
+  (SELECT norm FROM corpus)
+"""
+
+
+def q115_domain_cap(spark, sf_dir):
+    """Per-domain contribution cap: at most 5 docs per source domain,
+    deterministically the 5 smallest doc_ids (salted two-level top-k)."""
+    from ..operators.sampling import cap_per_domain
+
+    docs = _docs(spark, sf_dir)
+    out = cap_per_domain(docs, "source", "doc_id", cap=5)
+    return out.select("doc_id", "source", "n_chars")
+
+
+_Q115_SQL = """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def q116_centroid_outliers(spark, sf_dir):
+    """Per-label embedding outliers: 5 vectors farthest (cosine) from
+    their label centroid — the label-noise filter."""
+    from ..operators.similarity import centroid_outliers
+
+    emb = _emb(spark, sf_dir)
+    return centroid_outliers(
+        emb, "embedding", "label", "vec_id", k_outliers=5
+    )
+
+
+_Q116_SQL = """
+WITH flat AS (
+  SELECT label, vec_id,
+    unnest(CAST(embedding AS DOUBLE[])) AS val,
+    generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(cval ORDER BY pos) AS cv
+  FROM (SELECT label, pos, avg(val) AS cval FROM flat GROUP BY label, pos)
+  GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+  FROM embeddings e JOIN cent c USING (label)
+),
+ranked AS (
+  SELECT label, vec_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY label ORDER BY sim ASC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT label, vec_id, ROUND(sim, 6) AS sim FROM ranked WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -1184,6 +1286,9 @@ QUERIES = {
     "q96_oov_rate": q96_oov_rate,
     "q97_kmeans_clusters": q97_kmeans_clusters,
     "q113_semantic_dedup": q113_semantic_dedup,
+    "q114_dedup_incremental": q114_dedup_incremental,
+    "q115_domain_cap": q115_domain_cap,
+    "q116_centroid_outliers": q116_centroid_outliers,
     "q98_bigram_stats": q98_bigram_stats,
     "q103_unigram_lm_score": q103_unigram_lm_score,
     "q104_mixture_sample": q104_mixture_sample,
@@ -1227,4 +1332,7 @@ ORACLE_SQL = {
     "q104_mixture_sample": _Q104_SQL,
     "q105_duplicate_spans": _Q105_SQL,
     "q106_strip_markup": _Q106_SQL,
+    "q114_dedup_incremental": _Q114_SQL,
+    "q115_domain_cap": _Q115_SQL,
+    "q116_centroid_outliers": _Q116_SQL,
 }

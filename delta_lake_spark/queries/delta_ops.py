@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -710,6 +711,48 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q117_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every view event pairs
+    with the same user's purchases within 30 minutes, or emits a NULL
+    purchase once the watermark proves none can arrive. A far-future
+    sentinel row per side advances the final watermark so trailing
+    unmatched views flush; the batch LEFT JOIN oracle proves
+    stream==batch row-for-row, nulls included."""
+    from ..streaming.incremental import run_stream_stream_outer_join
+
+    ev = _events(spark, sf_dir)
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    sentinels = spark.createDataFrame(
+        [
+            (-1, max_ts + timedelta(hours=12), -1, "view", 0.0, "{}"),
+            (-2, max_ts + timedelta(hours=12), -1, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    path = _fresh("ssoj_src")
+    ev.unionByName(sentinels).write.parquet(path)
+    return run_stream_stream_outer_join(
+        spark,
+        path,
+        _fresh("ssoj_ckpt"),
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        within_minutes=30,
+        query_name="q117_ssoj",
+    )
+
+
+_Q117_SQL = """
+SELECT l.user_id, l.event_id AS login_id, p.event_id AS purchase_id
+FROM events l LEFT JOIN events p
+  ON l.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= l.ts AND p.ts <= l.ts + INTERVAL 30 MINUTE
+WHERE l.event_type = 'view'
+"""
+
+
 def q79_stream_stream_join(spark, sf_dir):
     """Genuine stream-stream interval join (two streaming sources,
     watermark-bounded state, append mode): views paired with the same
@@ -1082,6 +1125,7 @@ QUERIES = {
     "q75_delta_column_mapping": q75_delta_column_mapping,
     "q78_cdf_streaming_drain": q78_cdf_streaming_drain,
     "q79_stream_stream_join": q79_stream_stream_join,
+    "q117_stream_outer_join": q117_stream_outer_join,
     "q80_streaming_merge_upsert": q80_streaming_merge_upsert,
     "q84_partitioned_write_pruned_read": q84_partitioned_write_pruned_read,
     "q85_generated_partition_pruning": q85_generated_partition_pruning,
@@ -1112,6 +1156,7 @@ ORACLE_SQL = {
     "q75_delta_column_mapping": _Q75_SQL,
     "q78_cdf_streaming_drain": _Q78_SQL,
     "q79_stream_stream_join": _Q79_SQL,
+    "q117_stream_outer_join": _Q117_SQL,
     "q80_streaming_merge_upsert": _Q80_SQL,
     "q84_partitioned_write_pruned_read": _Q84_SQL,
     "q85_generated_partition_pruning": _Q85_SQL,

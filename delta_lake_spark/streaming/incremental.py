@@ -403,6 +403,84 @@ def interval_join_events(
     ).select("user_id", "login_id", "purchase_id")
 
 
+def interval_join_events_outer(
+    logins: DataFrame,
+    purchases: DataFrame,
+    within_minutes: int = 30,
+    state_horizon: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER event-time interval join: every login emits exactly
+    once — matched rows as soon as both sides arrive, unmatched rows
+    with NULL purchase columns once the watermark passes the end of the
+    login's match window (the state store can then prove no purchase
+    can still arrive).
+
+    Same bounded-state design as interval_join_events; the outer side
+    additionally REQUIRES the watermark to progress past each login's
+    window before its null row can be emitted — callers draining a
+    finite feed must advance the watermark beyond the last real event
+    (see run_stream_stream_outer_join's sentinel) or trailing unmatched
+    logins stay buffered waiting for late purchases.
+    """
+    l = logins.select(
+        F.col("event_id").alias("login_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("l_ts"),
+    ).withWatermark("l_ts", state_horizon)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    ).withWatermark("p_ts", state_horizon)
+    return l.join(
+        p,
+        F.expr(
+            "user_id = p_user AND p_ts >= l_ts "
+            f"AND p_ts <= l_ts + interval {int(within_minutes)} minutes"
+        ),
+        "leftOuter",
+    ).select("user_id", "login_id", "purchase_id")
+
+
+def run_stream_stream_outer_join(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within_minutes: int = 30,
+    query_name: str = "dls_stream_outer_join",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drive interval_join_events_outer over a finite feed. The source
+    is expected to carry one far-future sentinel row per side (user_id <
+    0, ts beyond every real window) so the final watermark advances past
+    all real logins and their unmatched NULL rows flush; sentinels are
+    dropped from the output."""
+    logins = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == left_type)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == right_type)
+    )
+    joined = interval_join_events_outer(logins, purchases, within_minutes)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name).filter(F.col("user_id") >= 0)
+
+
 def run_stream_stream_join(
     spark: SparkSession,
     source_dir: str,

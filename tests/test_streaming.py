@@ -394,3 +394,49 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     got = {(r.event_id, r.segment) for r in out.select("event_id", "segment").collect()}
     exp = {(r.event_id, r.segment) for r in batch.select("event_id", "segment").collect()}
     assert got == exp
+
+
+def test_stream_outer_join_equals_batch_with_nulls(spark, tmp_path):
+    """LEFT OUTER stream-stream join: stream == batch row-for-row, and
+    unmatched views genuinely emit NULL purchase rows (the watermark
+    eviction path, exercised via the far-future sentinel)."""
+    from datetime import timedelta
+
+    from delta_lake_spark.queries.relational import _events
+    from delta_lake_spark.streaming.incremental import (
+        interval_join_events_outer,
+        run_stream_stream_outer_join,
+    )
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    sentinels = spark.createDataFrame(
+        [
+            (-1, max_ts + timedelta(hours=12), -1, "view", 0.0, "{}"),
+            (-2, max_ts + timedelta(hours=12), -1, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    src = str(tmp_path / "src")
+    ev.unionByName(sentinels).write.parquet(src)
+
+    streamed = run_stream_stream_outer_join(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+        query_name="t_ssoj",
+        within_minutes=30,
+    )
+    batch = interval_join_events_outer(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'purchase'"),
+        within_minutes=30,
+    )
+    a = sorted(map(tuple, streamed.collect()), key=str)
+    b = sorted(map(tuple, batch.collect()), key=str)
+    assert a == b and len(a) > 0
+    nulls = [r for r in a if r[2] is None]
+    assert len(nulls) > 0  # eviction path actually fired

@@ -66,7 +66,18 @@ SUPPORTED_WRITER_FEATURES = {
     "changeDataFeed",
     "domainMetadata",
     "rowTracking",
+    "inCommitTimestamp",
 }
+
+# table property that turns on in-commit timestamps (Delta feature
+# `inCommitTimestamp`): commit wall-clock recorded INSIDE commitInfo,
+# monotonically increasing, so TIMESTAMP AS OF survives object stores
+# that rewrite file modification times (log copy/restore/migration)
+ICT_PROP = "delta.enableInCommitTimestamps"
+
+
+def _ict_enabled(conf: dict[str, str]) -> bool:
+    return str(conf.get(ICT_PROP, "")).lower() == "true"
 
 
 def _utc_millis() -> int:
@@ -716,7 +727,8 @@ class DeltaLog:
         for v in self._versions():
             for action in self._read_actions(v):
                 if "commitInfo" in action:
-                    t = action["commitInfo"].get("timestamp")
+                    ci = action["commitInfo"]
+                    t = ci.get("inCommitTimestamp", ci.get("timestamp"))
                     if t is not None and t <= ts_millis:
                         best = v
                     break
@@ -736,7 +748,9 @@ class DeltaLog:
                     ci = action["commitInfo"]
                     info.update(
                         {
-                            "timestamp": ci.get("timestamp"),
+                            "timestamp": ci.get(
+                                "inCommitTimestamp", ci.get("timestamp")
+                            ),
                             "operation": ci.get("operation"),
                             "operationParameters": ci.get("operationParameters"),
                             "readVersion": ci.get("readVersion"),
@@ -761,6 +775,7 @@ class DeltaLog:
         """
         os.makedirs(self.log_path, exist_ok=True)
         target = self._version_file(version)
+        actions = self._stamp_in_commit_timestamp(version, list(actions))
         tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
             for action in actions:
@@ -781,6 +796,65 @@ class DeltaLog:
         ):
             self.write_checkpoint(version)
         return version
+
+    def _stamp_in_commit_timestamp(
+        self, version: int, actions: list[dict[str, Any]]
+    ) -> list[dict[str, Any]]:
+        """When in-commit timestamps are enabled for this commit, stamp
+        commitInfo.inCommitTimestamp = max(now, previous ICT + 1) —
+        strictly monotonic even if the wall clock steps backwards — and
+        move commitInfo first (the spec's position requirement, so
+        readers resolve a commit's timestamp from its first line). The
+        enabling commit itself (metaData in ``actions`` flips the
+        property on) is stamped too, and gains the enablement-provenance
+        properties the moment the feature turns on mid-history."""
+        meta_action = next((a for a in actions if "metaData" in a), None)
+        if meta_action is not None:
+            conf = meta_action["metaData"].get("configuration", {})
+        else:
+            if version == 0:
+                return actions
+            conf = self.snapshot(version - 1).metadata.configuration
+        if not _ict_enabled(conf):
+            return actions
+        prev_ict = None
+        if version > 0:
+            prev = self.snapshot(version - 1)
+            try:
+                prev_ict = self.commit_timestamp(version - 1)
+            except OSError:  # v-1 json expired behind a checkpoint
+                prev_ict = None
+            prev_conf = prev.metadata.configuration
+        else:
+            prev_conf = {}
+        ict = _utc_millis()
+        if prev_ict is not None:
+            ict = max(ict, prev_ict + 1)
+        ci = next((a for a in actions if "commitInfo" in a), None)
+        if ci is None:
+            ci = CommitInfo(operation="WRITE").to_action()
+            actions = [ci] + actions
+        ci["commitInfo"]["inCommitTimestamp"] = ict
+        if meta_action is not None and not _ict_enabled(prev_conf):
+            # feature flips ON in this commit: record provenance so
+            # readers know timestamps before this version are file-based
+            c = dict(meta_action["metaData"].get("configuration", {}))
+            c["delta.inCommitTimestampEnablementVersion"] = str(version)
+            c["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+            meta_action["metaData"]["configuration"] = c
+        ordered = [a for a in actions if "commitInfo" in a] + [
+            a for a in actions if "commitInfo" not in a
+        ]
+        return ordered
+
+    def commit_timestamp(self, version: int) -> int | None:
+        """The commit's effective timestamp: inCommitTimestamp when the
+        feature stamped it, else the commitInfo wall-clock."""
+        for action in self._read_actions(version):
+            if "commitInfo" in action:
+                ci = action["commitInfo"]
+                return ci.get("inCommitTimestamp", ci.get("timestamp"))
+        return None
 
     def commit_next(self, actions: list[dict[str, Any]], retries: int = 0) -> int:
         """Commit at latest_version()+1 (or 0 for a new table)."""

@@ -1718,6 +1718,17 @@ class DeltaTable:
             ).to_action(),
             meta.to_action(),
         ]
+        from .log import _ict_enabled
+
+        if _ict_enabled(conf) and not _ict_enabled(
+            snap.metadata.configuration
+        ):
+            actions.insert(
+                1,
+                snap.protocol.with_features(
+                    writer=["inCommitTimestamp"]
+                ).to_action(),
+            )
         if rowtracking.enabled(conf) and not rowtracking.enabled(snap):
             actions.insert(
                 1,

@@ -619,11 +619,15 @@ def write_delta(
         )
         actions: list[dict[str, Any]] = [commit_info.to_action()]
         if not table_exists:
+            from .log import _ict_enabled
+
             proto = Protocol()
             if rowtracking.enabled(conf_now):
                 proto = proto.with_features(
                     writer=rowtracking.ROW_TRACKING_FEATURES
                 )
+            if _ict_enabled(conf_now):
+                proto = proto.with_features(writer=["inCommitTimestamp"])
             actions.append(proto.to_action())
         if metadata is not None:
             actions.append(metadata.to_action())

@@ -247,3 +247,69 @@ def test_cleanup_expired_logs(spark, tmp_table):
     assert read_delta(spark, tmp_table).count() == 60
     with _pytest.raises(VersionNotFoundError):
         cold.snapshot(1)  # cleaned version no longer replayable
+
+
+def test_in_commit_timestamps_monotonic_and_protocol(spark, tmp_path):
+    """inCommitTimestamp feature: enabling the property upgrades the
+    protocol, stamps every later commit with a strictly-monotonic
+    timestamp inside commitInfo (even when the wall clock steps
+    backwards), records enablement provenance, and drives history +
+    TIMESTAMP AS OF resolution."""
+    from delta_lake_spark import log as dlog
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.table import DeltaTable
+    from delta_lake_spark.writer import write_delta
+
+    path = str(tmp_path / "ict")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    write_delta(df, path)
+    dt = DeltaTable.forPath(spark, path)
+    v_enable = dt.set_properties({"delta.enableInCommitTimestamps": "true"})
+
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    assert "inCommitTimestamp" in snap.protocol.writerFeatures
+    conf = snap.metadata.configuration
+    assert conf["delta.inCommitTimestampEnablementVersion"] == str(v_enable)
+    enable_ict = log.commit_timestamp(v_enable)
+    assert conf["delta.inCommitTimestampEnablementTimestamp"] == str(enable_ict)
+
+    # wall clock stepping BACKWARDS must not break monotonicity
+    real = dlog._utc_millis
+    try:
+        dlog._utc_millis = lambda: real() - 60_000
+        v2 = write_delta(df, path)
+    finally:
+        dlog._utc_millis = real
+    v3 = write_delta(df, path)
+    t1, t2, t3 = (log.commit_timestamp(v) for v in (v_enable, v2, v3))
+    assert t1 < t2 < t3
+    assert t2 == t1 + 1  # clamped to prev+1, not the (earlier) clock
+
+    # history surfaces the ICT, not the raw wall clock
+    hist = {h["version"]: h["timestamp"] for h in log.history()}
+    assert hist[v2] == t2
+
+    # TIMESTAMP AS OF resolves against ICT boundaries exactly
+    assert log.version_at_timestamp(t2) == v2
+    assert log.version_at_timestamp(t3 - 1) == v2
+    assert log.version_at_timestamp(t3) == v3
+
+
+def test_in_commit_timestamps_at_creation(spark, tmp_path):
+    """A table created with the property on carries the writer feature
+    from version 0 and stamps the creation commit."""
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.writer import write_delta
+
+    path = str(tmp_path / "ict0")
+    df = spark.range(3).withColumnRenamed("id", "k")
+    write_delta(
+        df, path, properties={"delta.enableInCommitTimestamps": "true"}
+    )
+    log = DeltaLog(path)
+    assert "inCommitTimestamp" in log.snapshot().protocol.writerFeatures
+    assert log.commit_timestamp(0) is not None
+    acts = list(log._read_actions(0))
+    assert "commitInfo" in acts[0]  # spec position: commitInfo first
+    assert "inCommitTimestamp" in acts[0]["commitInfo"]

@@ -382,3 +382,43 @@ def test_row_id_read_is_broadcast_only(spark, tmp_table):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan  # data side unshuffled
+
+
+def test_centroid_outliers_broadcasts_centroids(spark):
+    """Scoring must be a broadcast join of the tiny |labels| x dim
+    centroid relation — never a shuffle of the full vector table on
+    label (10 labels would mean 10 reducers at any scale)."""
+    from delta_lake_spark.operators.similarity import centroid_outliers
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(centroid_outliers(emb, "embedding", "label", "vec_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cap_per_domain_two_bounded_windows(spark):
+    """The salted cap must run as two window stages (salted then
+    final), never a single unsalted window as the only pass."""
+    from delta_lake_spark.operators.sampling import cap_per_domain
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(cap_per_domain(docs, "source", "doc_id", cap=5))
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_bloom_path_joins_only_residue(spark):
+    """The exact anti-join must consume the bloom-filtered residue, not
+    the full batch: the plan filters on the bloom membership column
+    before any join, and the corpus side is semi-pruned first."""
+    from delta_lake_spark.operators.dedup import dedup_against_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" n")).alias("text")
+    )
+    out = dedup_against_corpus(batch, docs, "text", "doc_id")
+    plan = _plan(out)
+    assert "LeftSemi" in plan  # corpus pruned by candidate hashes
+    assert "LeftAnti" in plan  # exact decision is the anti-join
+    assert "CartesianProduct" not in plan

@@ -609,3 +609,83 @@ def bigram_counts(
         .orderBy(F.col("freq").desc(), F.col("bigram").asc())
         .limit(top_n)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Exact-substring deduplication with REMOVAL (the companion of
+    duplicate_span_rate): every token n-gram that occurs in 2+ documents
+    keeps all its occurrences in ONE canonical document (the smallest
+    ``id_col`` containing the span) and is scrubbed everywhere else —
+    covered token positions are dropped and the text reassembled from
+    the survivors.
+
+    Shuffle shape: span hash-agg (dup detection + keeper election),
+    shuffled mark-back join (dup spans are corpus-sized, never
+    broadcast), coverage explode (n positions per covered span), one
+    anti-join on (doc, position), one final doc-keyed aggregation to
+    reassemble. All keys hashable; no window over the corpus.
+
+    Returns: id_col, clean_text, n_tokens, n_removed. Documents with no
+    duplicated spans come back verbatim (modulo whitespace collapse).
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    span_arr = F.expr(
+        f"CASE WHEN size(__words) >= {n} THEN "
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> concat_ws(' ', "
+        f"{', '.join(f'element_at(__words, i + {j})' for j in range(n))}))"
+        f" ELSE array() END"
+    )
+    based = df.repartition(F.col(id_col)).select(
+        F.col(id_col), words.alias("__words")
+    )
+    toks = based.select(
+        F.col(id_col), F.posexplode("__words").alias("__p0", "token")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("tpos"), "token")
+    spans = based.select(
+        F.col(id_col), F.posexplode(span_arr).alias("__i0", "span")
+    ).select(F.col(id_col), (F.col("__i0") + 1).alias("spos"), "span")
+
+    dup = (
+        spans.select(id_col, "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("__nd"), F.min(id_col).alias("__keeper"))
+        .filter(F.col("__nd") >= 2)
+        .select("span", "__keeper")
+    )
+    covered = (
+        spans.join(dup, "span")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("spos"), F.col("spos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    base = based.select(
+        F.col(id_col), F.size("__words").cast("long").alias("n_tokens")
+    )
+    return base.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -1255,6 +1255,57 @@ SELECT label, vec_id, ROUND(sim, 6) AS sim FROM ranked WHERE rn <= 5
 """
 
 
+def q118_remove_dup_spans(spark, sf_dir):
+    """Exact-substring dedup with removal: duplicated 5-gram spans keep
+    all occurrences in the smallest-id document and are scrubbed from
+    every other document; text reassembled from surviving tokens."""
+    from ..operators.text import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), "text", "doc_id", n=5)
+
+
+_Q118_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+tpos AS (
+  SELECT doc_id, unnest(w) AS token, generate_subscripts(w, 1) AS tpos FROM tok
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i FROM tok),
+sp AS (
+  SELECT doc_id, i AS spos,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS span
+  FROM idx WHERE i + 4 <= len(w)
+),
+dup AS (
+  SELECT span, MIN(doc_id) AS keeper
+  FROM (SELECT DISTINCT span, doc_id FROM sp)
+  GROUP BY span HAVING COUNT(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.spos + o.o AS tpos
+  FROM sp s JOIN dup d USING (span)
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS o) o
+  WHERE s.doc_id <> d.keeper
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.token
+  FROM tpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT k.doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  CAST(len(k.w) AS BIGINT) AS n_tokens,
+  CAST(len(k.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tok k LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -1289,6 +1340,7 @@ QUERIES = {
     "q114_dedup_incremental": q114_dedup_incremental,
     "q115_domain_cap": q115_domain_cap,
     "q116_centroid_outliers": q116_centroid_outliers,
+    "q118_remove_dup_spans": q118_remove_dup_spans,
     "q98_bigram_stats": q98_bigram_stats,
     "q103_unigram_lm_score": q103_unigram_lm_score,
     "q104_mixture_sample": q104_mixture_sample,
@@ -1335,4 +1387,5 @@ ORACLE_SQL = {
     "q114_dedup_incremental": _Q114_SQL,
     "q115_domain_cap": _Q115_SQL,
     "q116_centroid_outliers": _Q116_SQL,
+    "q118_remove_dup_spans": _Q118_SQL,
 }

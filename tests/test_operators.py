@@ -693,3 +693,29 @@ def test_centroid_outliers_shape_and_ranking(spark, emb):
     # be <= the label's median similarity to centroid (sanity direction)
     for lab, sims in per.items():
         assert max(sims) <= 1.0 and min(sims) >= -1.0
+
+
+def test_remove_duplicate_spans_keeper_semantics(spark):
+    """The smallest-id doc containing a duplicated span keeps it; every
+    other doc loses exactly the covered tokens; untouched docs come
+    back verbatim."""
+    from delta_lake_spark.operators.text import remove_duplicate_spans
+
+    shared = "one two three four five"
+    # distinct suffixes so the ONLY cross-doc span is `shared` itself
+    rows = [
+        (1, f"{shared} aftera x"),          # keeper: keeps everything
+        (2, f"head b {shared} afterb y"),   # loses the 5 shared tokens
+        (3, "totally different words here entirely unrelated"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(
+        df, "text", "doc_id", n=5
+    ).collect()}
+    assert out[1].clean_text == f"{shared} aftera x"
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "head b afterb y"
+    assert out[2].n_removed == 5
+    assert out[3].clean_text == rows[2][1]
+    assert out[3].n_removed == 0
+    assert out[2].n_tokens == 9

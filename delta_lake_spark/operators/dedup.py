@@ -17,7 +17,13 @@ Scale design notes:
     shuffles only b rows per doc, and hot buckets (boilerplate shingles)
     are capped by dropping shingles that appear in more than
     ``max_doc_freq`` of the corpus — the classic stop-shingle guard
-    against quadratic bucket blowup.
+    against quadratic bucket blowup — plus a hard per-bucket size cap
+    as defense-in-depth.
+  - MinHash permutations are per-seed xxhash64 (a genuinely
+    independent 64-bit family). An affine (a*h+b) mod p family is a
+    trap in 64-bit arithmetic: keeping a*h overflow-safe forces the
+    map monotone in h, every permutation elects the same minimum
+    shingle, and banded recall silently collapses to ~j.
 """
 
 from __future__ import annotations
@@ -25,22 +31,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# 64 deterministic odd multipliers/offsets for minhash permutations
-# (xorshift-free affine family over the murmur3 base hash)
-_MERSENNE = (1 << 61) - 1
+# Spark's CacheManager holds DataFrame caches until an explicit
+# unpersist — NOT until the Python object is garbage-collected — so a
+# long-lived session running dedup repeatedly would accumulate one
+# cached shingle relation per call. Evict the previous call's cache
+# when a new one arrives: unpersisting a cache that an old (lazy)
+# result still references only forces recompute, never wrong results.
+_last_shingle_cache: list = []
 
 
-def _affine_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Affine (a, b) pairs sized so a * hash32 + b stays within a signed
-    64-bit long under ANSI mode: a < 2^29, b < 2^31, hash < 2^32."""
-    out = []
-    state = seed * 6364136223846793005 + 1442695040888963407
-    for _ in range(k):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        a = (state >> 33) % (1 << 29)
-        b = (state >> 2) % (1 << 31)
-        out.append((a | 1, b))
-    return out
+def _cache_shingles(sh: DataFrame) -> DataFrame:
+    while _last_shingle_cache:
+        try:
+            _last_shingle_cache.pop().unpersist()
+        except Exception:
+            pass
+    sh = sh.cache()
+    _last_shingle_cache.append(sh)
+    return sh
 
 
 def normalize_text(col: str | Column) -> Column:
@@ -114,7 +122,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    sh = _cache_shingles(word_shingles(df, text_col, id_col, n))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     if prefix_filter:
@@ -197,14 +205,23 @@ def _hash_shingles(shingle_df: DataFrame, id_col: str) -> DataFrame:
 def _signatures_from_hashed(
     hashed: DataFrame, id_col: str, k: int, seed: int
 ) -> DataFrame:
-    """MinHash signatures from a pre-hashed (id, __h) relation: the k
-    affine permutations reuse the one hash column; one aggregation with
-    map-side partial mins."""
-    params = _affine_params(k, seed)
-    base = F.col("__h")
+    """MinHash signatures from a pre-hashed (id, __h) relation: k
+    independent permutations via per-permutation-seeded xxhash64, one
+    aggregation with map-side partial mins.
+
+    Why not the classic affine family ((a*h+b) mod p)? In 64-bit
+    arithmetic a must stay below 2^31 so a*h doesn't overflow, which
+    leaves a*h+b BELOW the Mersenne modulus for most inputs — the map
+    is then monotone in h, every "permutation" elects the same minimum
+    shingle, and signatures become all-or-nothing (two docs agree on
+    all k positions or none; banded recall collapses from
+    1-(1-j^r)^b to ~j). Seeded xxhash64 is a genuinely independent
+    64-bit family, evaluated JVM-side."""
     mins = [
-        F.min(((F.lit(a) * base + F.lit(b)) % F.lit(_MERSENNE))).alias(f"h{i}")
-        for i, (a, b) in enumerate(params)
+        F.min(F.xxhash64(F.col("__h"), F.lit(seed * 1_000_003 + i))).alias(
+            f"h{i}"
+        )
+        for i in range(k)
     ]
     agg = hashed.groupBy(id_col).agg(*mins)
     return agg.select(
@@ -256,16 +273,16 @@ def minhash_lsh_candidates(
     if max_doc_freq is not None:
         if n_docs is None:
             n_docs = sh.select(id_col).distinct().count()
-        # above ~20k docs, detect hot shingles from a deterministic 2%
-        # hash sample: a shingle at the doc-freq threshold still shows
-        # ~0.02 * max_doc_freq * n_docs >= 40 sampled hits (tight CLT),
-        # while the doc-freq shuffle shrinks 50x — at corpus scale the
-        # guard's cost becomes a rounding error instead of a second full
-        # shuffle. Small corpora keep the exact count (sampling noise
-        # would dominate). Hash-based (not .sample()) so the decision is
+        # detect hot shingles from a deterministic hash sample whose rate
+        # keeps >= ~50 expected hits for a shingle AT the doc-freq
+        # cutoff (tight CLT), capped at 1/50: the doc-freq shuffle
+        # shrinks up to 50x, so at corpus scale the guard costs a
+        # rounding error instead of a second full shuffle. Tiny corpora
+        # (cutoff < 100 docs) keep the exact count — sampling noise
+        # would dominate. Hash-based (not .sample()) so the decision is
         # stable across partitionings and reruns.
-        if n_docs > 20_000:
-            mod = 50
+        mod = min(50, max(1, int(max_doc_freq * n_docs / 50)))
+        if mod > 1:
             freq_src = hashed.filter(
                 F.pmod(F.xxhash64(F.col(id_col), F.col("__h")), F.lit(mod)) == 0
             )
@@ -305,6 +322,14 @@ def minhash_lsh_candidates(
         .agg(F.collect_set(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    # defense-in-depth behind the stop-shingle guard: a bucket that
+    # still collects a large membership (adversarial boilerplate below
+    # the doc-freq cutoff) is dropped rather than exploded — a true
+    # near-dup pair collides in many of the b bands, so losing one hot
+    # band costs ~nothing in recall while bounding the worst-case pair
+    # explosion to max_bucket^2 per bucket
+    max_bucket = 1000
+    bucketed = bucketed.filter(F.size("ids") <= max_bucket)
     return (
         bucketed.select(F.explode("ids").alias("id_1"), F.col("ids"))
         .select("id_1", F.explode("ids").alias("id_2"))
@@ -339,7 +364,7 @@ def minhash_lsh_pairs(
 
     Returns: id_1, id_2, jaccard.
     """
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    sh = _cache_shingles(word_shingles(df, text_col, id_col, n))
     sh.count()  # materialize once: reused by signatures, sizes, and verify
     candidates = minhash_lsh_candidates(
         sh,

@@ -719,3 +719,33 @@ def test_remove_duplicate_spans_keeper_semantics(spark):
     assert out[3].clean_text == rows[2][1]
     assert out[3].n_removed == 0
     assert out[2].n_tokens == 9
+
+
+def test_minhash_permutations_are_independent(spark):
+    """Regression for the degenerate affine family: with a monotone
+    'permutation', two docs agree on ALL k positions or NONE (recall
+    collapses to ~j). A real family must agree on roughly j*k positions
+    for a pair with jaccard j — strictly between the extremes."""
+    from delta_lake_spark.operators.dedup import (
+        _hash_shingles,
+        _signatures_from_hashed,
+        word_shingles,
+    )
+
+    words = [f"w{i}" for i in range(12)]
+    t1 = " ".join(words)
+    t2 = " ".join(words[:-1] + ["zzz"])  # differs in the final trigram
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    sh = word_shingles(df, "text", "doc_id", n=3)
+    sig = {
+        r.doc_id: list(r.sig)
+        for r in _signatures_from_hashed(
+            _hash_shingles(sh, "doc_id"), "doc_id", k=64, seed=42
+        ).collect()
+    }
+    agree = sum(1 for a, b in zip(sig[1], sig[2]) if a == b)
+    # 10 shingles, 7 shared -> j = 7/13 ~ 0.54; E[agree] ~ 34/64.
+    # All-or-nothing (the bug) would put agree at 0 or 64.
+    assert 10 < agree < 60, f"agreement {agree}/64 looks degenerate"

@@ -206,7 +206,8 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return DeltaTable.forPath(spark, catalog.path_of(m.group("name"))).detail()
 
     m = re.match(
-        r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+(?P<hours>[\d.]+)\s+HOURS?)?"
+        r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+(?P<lite>LITE))?"
+        r"(?:\s+RETAIN\s+(?P<hours>[\d.]+)\s+HOURS?)?"
         r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
         s,
         re.IGNORECASE,
@@ -214,7 +215,7 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
     if m:
         hours = float(m.group("hours")) if m.group("hours") else 168.0
         deleted = DeltaTable.forPath(spark, catalog.path_of(m.group("name"))).vacuum(
-            hours, dry_run=bool(m.group("dry"))
+            hours, dry_run=bool(m.group("dry")), lite=bool(m.group("lite"))
         )
         return spark.createDataFrame([(len(deleted),)], "files_deleted long")
 

@@ -1077,6 +1077,7 @@ class DeltaTable:
         self,
         retention_hours: float = DEFAULT_RETENTION_HOURS,
         dry_run: bool = False,
+        lite: bool = False,
     ) -> list[str]:
         """Physically delete files unreferenced by the CURRENT version and
         older than the retention window (M8; reference
@@ -1085,7 +1086,15 @@ class DeltaTable:
         mirroring Delta's safety flag. Returns deleted paths; old-version
         time travel whose files were removed now raises
         DataFileLostError (reader.py). ``dry_run=True`` (VACUUM ... DRY
-        RUN) lists the candidates without deleting anything."""
+        RUN) lists the candidates without deleting anything.
+
+        ``lite=True`` (VACUUM ... LITE): candidates come from the
+        transaction log's ``remove`` actions instead of a full directory
+        listing — at object-store scale a recursive LIST over 10^6+ keys
+        is the expensive operation, while the log already knows every
+        file a commit removed and when. LITE cannot reclaim orphans the
+        log never saw (files staged by crashed writers before their
+        commit); run a full VACUUM occasionally for those."""
         check_enabled = (
             str(self.spark.conf.get(RETENTION_CHECK_CONF, "true")).lower() != "false"
         )
@@ -1105,6 +1114,32 @@ class DeltaTable:
         }
         cutoff = time.time() - retention_hours * 3600
         deleted: list[str] = []
+        if lite:
+            # log-driven candidates: every `remove` action across the
+            # log whose deletionTimestamp is past retention and whose
+            # path isn't live again (re-added by RESTORE) — no LIST
+            seen: set[str] = set()
+            for v in self._log._versions():
+                try:
+                    acts = self._log._read_actions(v)
+                except OSError:
+                    continue  # expired commit behind a checkpoint
+                for action in acts:
+                    if "remove" not in action:
+                        continue
+                    rel = os.path.normpath(action["remove"]["path"])
+                    if rel in live or rel in seen:
+                        continue
+                    ts = action["remove"].get("deletionTimestamp")
+                    if ts is not None and ts / 1000.0 > cutoff:
+                        continue
+                    seen.add(rel)
+                    abs_f = os.path.join(self.path, rel)
+                    if os.path.exists(abs_f):
+                        if not dry_run:
+                            os.unlink(abs_f)
+                        deleted.append(rel)
+            return deleted
         for root, _dirs, names in os.walk(self.path):
             if "_delta_log" in root:
                 continue

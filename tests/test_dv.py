@@ -230,3 +230,70 @@ def test_vacuum_dry_run_and_detail_dv_stats(spark, table, tmp_table):
         spark.conf.set(
             "spark.delta_lake_spark.retentionDurationCheck.enabled", "true"
         )
+
+
+def test_vacuum_lite_log_driven(spark, table, tmp_table):
+    """VACUUM LITE reclaims from the log's remove actions — no
+    directory listing — and therefore skips orphans the log never saw,
+    which a full VACUUM still catches."""
+    import os
+
+    from delta_lake_spark import write_delta
+
+    write_delta(_readings(spark, 10), tmp_table, mode="overwrite")
+    # plant an orphan: a crashed writer's staged file, unknown to the log
+    orphan = os.path.join(tmp_table, "data", "orphan-000.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    old = 1  # mtime in the distant past so retention 0 catches it
+    os.utime(orphan, (old, old))
+
+    spark.conf.set(
+        "spark.delta_lake_spark.retentionDurationCheck.enabled", "false"
+    )
+    try:
+        lite_candidates = table.vacuum(0, dry_run=True, lite=True)
+        full_candidates = table.vacuum(0, dry_run=True)
+        assert lite_candidates  # the overwritten files are log-known
+        assert set(lite_candidates) <= set(full_candidates)
+        assert "data/orphan-000.parquet" in {
+            os.path.normpath(p) for p in full_candidates
+        }
+        assert "data/orphan-000.parquet" not in {
+            os.path.normpath(p) for p in lite_candidates
+        }
+        deleted = table.vacuum(0, lite=True)
+        assert sorted(deleted) == sorted(lite_candidates)
+        assert not any(
+            os.path.exists(os.path.join(tmp_table, p)) for p in deleted
+        )
+        assert os.path.exists(orphan)  # lite never touches orphans
+        # current table still reads fine
+        from delta_lake_spark import read_delta
+
+        assert read_delta(spark, tmp_table).count() == 10
+    finally:
+        spark.conf.set(
+            "spark.delta_lake_spark.retentionDurationCheck.enabled", "true"
+        )
+
+
+def test_vacuum_lite_sql_form(spark, table, tmp_table):
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql as dls_sql
+
+    write_delta(_readings(spark, 10), tmp_table, mode="overwrite")
+    cat = Catalog(spark)
+    cat.register("vac_lite_t", tmp_table)
+    spark.conf.set(
+        "spark.delta_lake_spark.retentionDurationCheck.enabled", "false"
+    )
+    try:
+        out = dls_sql(cat, "VACUUM vac_lite_t LITE RETAIN 0 HOURS").collect()
+        assert out[0].files_deleted >= 1
+    finally:
+        spark.conf.set(
+            "spark.delta_lake_spark.retentionDurationCheck.enabled", "true"
+        )

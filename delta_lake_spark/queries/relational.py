@@ -1429,8 +1429,45 @@ SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
 """
 
 
+def q119_funnel_conversion(spark, sf_dir):
+    """Product-analytics funnel: users whose first view is followed by
+    a click, then a purchase (first-touch cascade, per-key aggregation
+    chain — no corpus-wide window)."""
+    from ..operators.events import funnel_counts
+
+    ev = _events(spark, sf_dir)
+    return funnel_counts(
+        ev, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )
+
+
+_Q119_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+       CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q119_funnel_conversion": q119_funnel_conversion,
     "q21_json_roundtrip": q21_json_roundtrip,
     "q02_top_unshipped_orders": q02_top_unshipped_orders,
     "q03_region_revenue": q03_region_revenue,
@@ -1479,6 +1516,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q01_pricing_summary": _Q01_SQL,
+    "q119_funnel_conversion": _Q119_SQL,
     "q21_json_roundtrip": _Q21_SQL,
     "q02_top_unshipped_orders": _Q02_SQL,
     "q03_region_revenue": _Q03_SQL,

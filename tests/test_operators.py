@@ -749,3 +749,30 @@ def test_minhash_permutations_are_independent(spark):
     # 10 shingles, 7 shared -> j = 7/13 ~ 0.54; E[agree] ~ 34/64.
     # All-or-nothing (the bug) would put agree at 0 or 64.
     assert 10 < agree < 60, f"agreement {agree}/64 looks degenerate"
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    """A user advances only via events AT-OR-AFTER their first event of
+    the previous step — out-of-order completions don't count."""
+    from datetime import datetime
+
+    from delta_lake_spark.operators.events import funnel_counts
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order: view@1 click@2 purchase@3
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # u2: purchase BEFORE click -> reaches click only
+        (2, "view", t(1)), (2, "purchase", t(2)), (2, "click", t(3)),
+        # u3: click before view -> reaches view only
+        (3, "click", t(1)), (3, "view", t(2)),
+        # u4: never views -> not in the funnel at all
+        (4, "click", t(1)), (4, "purchase", t(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r.step: r.n_users for r in funnel_counts(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}

@@ -69,3 +69,45 @@ def funnel_counts(
         all_steps.groupBy("step_idx", "step")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (cohort), counted in each later period they were active.
+
+    Two aggregations: first-activity per user (one shuffle on the user
+    key), then a (cohort, period) count over the user-period pairs —
+    the matrix is |cohorts| x |periods|, tiny regardless of corpus
+    size. No corpus-wide window.
+
+    Returns: cohort (date), period_n (long, 0 = cohort period),
+    n_active (long).
+    """
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("__cohort")
+    )
+    active = events.select(
+        F.col(user_col), F.date_trunc(granularity, F.col(ts_col)).alias("__p")
+    ).distinct()
+    unit = {"week": 7, "day": 1}[granularity] if granularity in ("week", "day") else None
+    joined = active.join(first, user_col)
+    if unit is not None:
+        period_n = (
+            F.datediff(F.col("__p"), F.col("__cohort")) / F.lit(unit)
+        ).cast("long")
+    else:  # month granularity: calendar difference
+        period_n = (
+            (F.year("__p") - F.year("__cohort")) * 12
+            + (F.month("__p") - F.month("__cohort"))
+        ).cast("long")
+    return (
+        joined.groupBy(
+            F.to_date("__cohort").alias("cohort"), period_n.alias("period_n")
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )

@@ -1465,9 +1465,57 @@ SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 """
 
 
+def q120_length_histogram(spark, sf_dir):
+    """Fixed-width document-length histogram (batch shaping): 20
+    buckets over [0, 500) chars, map-only bucketing + one agg."""
+    from ..operators.stats import numeric_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return numeric_histogram(docs, "n_chars", n_buckets=20, lo=0.0, hi=500.0)
+
+
+_Q120_SQL = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor((n_chars - 0.0) / 25.0), 0), 19) AS BIGINT)
+    AS bucket
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT bucket,
+  CAST(0.0 + bucket * 25.0 AS DOUBLE) AS lo,
+  CAST(0.0 + (bucket + 1) * 25.0 AS DOUBLE) AS hi,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+"""
+
+
+def q121_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix: first-activity week per user,
+    active-week counts per (cohort, offset). Two key-aggregations; the
+    matrix itself is tiny at any scale."""
+    from ..operators.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), "user_id", "ts", "week")
+
+
+_Q121_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events)
+SELECT CAST(f.cohort AS DATE) AS cohort,
+  CAST(datediff('day', f.cohort, a.p) / 7 AS BIGINT) AS period_n,
+  CAST(COUNT(*) AS BIGINT) AS n_active
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q119_funnel_conversion": q119_funnel_conversion,
+    "q120_length_histogram": q120_length_histogram,
+    "q121_retention_cohorts": q121_retention_cohorts,
     "q21_json_roundtrip": q21_json_roundtrip,
     "q02_top_unshipped_orders": q02_top_unshipped_orders,
     "q03_region_revenue": q03_region_revenue,
@@ -1517,6 +1565,8 @@ QUERIES = {
 ORACLE_SQL = {
     "q01_pricing_summary": _Q01_SQL,
     "q119_funnel_conversion": _Q119_SQL,
+    "q120_length_histogram": _Q120_SQL,
+    "q121_retention_cohorts": _Q121_SQL,
     "q21_json_roundtrip": _Q21_SQL,
     "q02_top_unshipped_orders": _Q02_SQL,
     "q03_region_revenue": _Q03_SQL,

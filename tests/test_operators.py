@@ -776,3 +776,48 @@ def test_funnel_counts_ordering_semantics(spark):
         df, "user_id", "event_type", "ts", ["view", "click", "purchase"]
     ).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_numeric_histogram_edges_and_clamping(spark):
+    from delta_lake_spark.operators.stats import numeric_histogram
+
+    df = spark.createDataFrame(
+        [
+            (float(v) if v is not None else None,)
+            for v in [-5, 0, 9.99, 10, 55, 99.9, 100, 250, None]
+        ],
+        "v double",
+    )
+    out = {r.bucket: r for r in numeric_histogram(
+        df, "v", n_buckets=10, lo=0.0, hi=100.0
+    ).collect()}
+    assert out[0].n == 3      # -5 (clamped), 0, 9.99
+    assert out[1].n == 1      # 10
+    assert out[5].n == 1      # 55
+    assert out[9].n == 3      # 99.9, 100 (clamped), 250 (clamped)
+    assert sum(r.n for r in out.values()) == 8  # null dropped
+    assert out[5].lo == 50.0 and out[5].hi == 60.0
+
+
+def test_retention_cohorts_crafted(spark):
+    from datetime import datetime
+
+    from delta_lake_spark.operators.events import retention_cohorts
+
+    rows = [
+        (1, datetime(2024, 1, 1)),   # Monday, cohort week 0
+        (1, datetime(2024, 1, 10)),  # week 1
+        (1, datetime(2024, 1, 22)),  # week 3
+        (2, datetime(2024, 1, 3)),   # same cohort week
+        (2, datetime(2024, 1, 4)),   # same week: one active row
+        (3, datetime(2024, 1, 9)),   # cohort week of Jan 8
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r.cohort), r.period_n): r.n_active for r in retention_cohorts(
+        df, "user_id", "ts", "week"
+    ).collect()}
+    assert out[("2024-01-01", 0)] == 2   # u1, u2
+    assert out[("2024-01-01", 1)] == 1   # u1
+    assert out[("2024-01-01", 3)] == 1   # u1
+    assert out[("2024-01-08", 0)] == 1   # u3
+    assert len(out) == 4

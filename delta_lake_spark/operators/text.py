@@ -689,3 +689,52 @@ def remove_duplicate_spans(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def top_terms_per_group(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 10,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Top-k most frequent whitespace tokens per group (heavy hitters
+    per domain/language — the corpus-drift monitor).
+
+    One hash aggregation on (group, token) with map-side partials, then
+    a TWO-LEVEL top-k: per-(group, token-salt) ranking bounds every
+    window task to its salt slice, and the final per-group ranking sees
+    at most n_salts * k rows per group — no task ever materializes a
+    group's full vocabulary, whatever the corpus size.
+
+    Ordering is deterministic: count desc, then token asc.
+
+    Returns: group_col, term, cnt (long), rank (long).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy(group_col, "term").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    salt = F.pmod(F.xxhash64(F.col("term")), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    stage1 = (
+        counts.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "term", "cnt", "rank")
+    )

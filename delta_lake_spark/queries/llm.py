@@ -1306,8 +1306,39 @@ FROM tok k LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q122_top_terms_per_source(spark, sf_dir):
+    """Heavy hitters per domain: top-5 tokens per source (two-level
+    salted top-k; deterministic count-desc/term-asc order)."""
+    from ..operators.text import top_terms_per_group
+
+    return top_terms_per_group(
+        _docs(spark, sf_dir), "text", "source", "doc_id", k=5
+    )
+
+
+_Q122_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE term <> '' GROUP BY source, term
+),
+ranked AS (
+  SELECT source, term, cnt,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY cnt DESC, term ASC
+    ) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT source, term, cnt, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
+    "q122_top_terms_per_source": q122_top_terms_per_source,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
     "q33_dedup_simhash": q33_dedup_simhash,
@@ -1388,4 +1419,5 @@ ORACLE_SQL = {
     "q115_domain_cap": _Q115_SQL,
     "q116_centroid_outliers": _Q116_SQL,
     "q118_remove_dup_spans": _Q118_SQL,
+    "q122_top_terms_per_source": _Q122_SQL,
 }

@@ -127,6 +127,22 @@ def _exec_merge(catalog: Catalog, m: re.Match) -> DataFrame:
     return spark.createDataFrame([(True,)], "merged boolean")
 
 
+def _sql_type(t) -> str:
+    """Delta schema-JSON type -> SQL DDL type name (via Spark's own
+    type parser, so nested struct/array/map render correctly)."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "c", "type": t, "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    return st["c"].dataType.simpleString().upper()
+
+
 def sql(catalog: Catalog, statement: str) -> DataFrame:
     """Execute one statement; returns a DataFrame result (possibly a
     one-row status frame for DDL/DML)."""
@@ -415,6 +431,35 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame(rows, "key string, value string").filter(
             "key <> ''"
         )
+
+    m = re.match(
+        r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        name = m.group("name")
+        path = catalog.path_of(name)
+        snap = DeltaTable.forPath(spark, path)._log.snapshot()
+        import json as _json
+
+        fields = _json.loads(snap.metadata.schemaString)["fields"]
+        col_defs = ",\n  ".join(
+            f"{f['name']} {_sql_type(f['type'])}" for f in fields
+        )
+        stmt = f"CREATE TABLE {name} (\n  {col_defs}\n)\nUSING DELTA"
+        if snap.metadata.partitionColumns:
+            stmt += (
+                "\nPARTITIONED BY ("
+                + ", ".join(snap.metadata.partitionColumns)
+                + ")"
+            )
+        stmt += f"\nLOCATION '{path}'"
+        conf = snap.metadata.configuration
+        if conf:
+            props = ",\n  ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(conf.items())
+            )
+            stmt += f"\nTBLPROPERTIES (\n  {props}\n)"
+        return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
     m = re.match(
         r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"

@@ -821,3 +821,34 @@ def test_retention_cohorts_crafted(spark):
     assert out[("2024-01-01", 3)] == 1   # u1
     assert out[("2024-01-08", 0)] == 1   # u3
     assert len(out) == 4
+
+
+def test_top_terms_equals_single_window(spark, docs):
+    """Two-level salted top-k must equal the naive one-window ranking."""
+    from pyspark.sql import Window
+
+    from delta_lake_spark.operators.text import top_terms_per_group
+
+    got = {
+        (r.source, r.term, r.cnt, r.rank)
+        for r in top_terms_per_group(
+            docs, "text", "source", "doc_id", k=3
+        ).collect()
+    }
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).filter("term <> ''")
+    counts = toks.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    want = {
+        (r.source, r.term, r.cnt, r.rank)
+        for r in counts.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).filter("rank <= 3").collect()
+    }
+    assert got == want and len(got) > 0

@@ -363,3 +363,27 @@ def test_partitions_metadata_and_table_changes_sql(spark, tmp_path):
         "GROUP BY _change_type",
     ).collect()
     assert {(r._change_type, r.n) for r in rows} == {("insert", 1)}
+
+
+def test_show_create_table(spark, tmp_path):
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+    from delta_lake_spark.writer import write_delta
+
+    path = str(tmp_path / "sct")
+    df = spark.range(5).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v", "'x' AS p"
+    )
+    write_delta(
+        df, path, partition_by=["p"],
+        properties={"delta.appendOnly": "false"},
+    )
+    cat = Catalog(spark)
+    cat.register("sct_t", path)
+    stmt = sql(cat, "SHOW CREATE TABLE sct_t").collect()[0].createtab_stmt
+    assert "CREATE TABLE sct_t" in stmt
+    assert "k BIGINT" in stmt and "v DOUBLE" in stmt and "p STRING" in stmt
+    assert "USING DELTA" in stmt
+    assert "PARTITIONED BY (p)" in stmt
+    assert f"LOCATION '{path}'" in stmt
+    assert "'delta.appendOnly' = 'false'" in stmt

@@ -55,7 +55,7 @@ LOG_DIR = "_delta_log"
 # be refused loudly, never half-read)
 MAX_READER_VERSION = 3
 MAX_WRITER_VERSION = 7
-SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "typeWidening"}
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "columnMapping",
@@ -67,6 +67,7 @@ SUPPORTED_WRITER_FEATURES = {
     "domainMetadata",
     "rowTracking",
     "inCommitTimestamp",
+    "typeWidening",
 }
 
 # table property that turns on in-commit timestamps (Delta feature

@@ -297,6 +297,18 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame([(v,)], "version long")
 
     m = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
+        r"`?(?P<col>\w+)`?\s+TYPE\s+(?P<ddl>[\w(),\s]+?)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        v = dt.alter_column_type(m.group("col"), m.group("ddl").strip())
+        catalog.refresh(m.group("name"))
+        return spark.createDataFrame([(v,)], "version long")
+
+    m = re.match(
         r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMN\s+`?(?P<col>\w+)`?\s*$",
         s,
         re.IGNORECASE,

@@ -46,14 +46,20 @@ def file_stats(path: str) -> tuple[int, dict[str, Any]]:
             name = col.path_in_schema
             if "." in name:  # nested — skip
                 continue
-            st = col.statistics
-            if st is None:
+            try:
+                st = col.statistics
+                if st is None:
+                    continue
+                if st.has_null_count:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                if not st.has_min_max:
+                    continue
+                mn, mx = _jsonable(st.min), _jsonable(st.max)
+            except Exception:
+                # pyarrow cannot materialize stats for some physical
+                # types (e.g. fixed-len decimals) — skip, never fail:
+                # missing stats only disable skipping for that column
                 continue
-            if st.has_null_count:
-                nulls[name] = nulls.get(name, 0) + st.null_count
-            if not st.has_min_max:
-                continue
-            mn, mx = _jsonable(st.min), _jsonable(st.max)
             if mn is None or mx is None:
                 continue
             if name not in mins or mn < mins[name]:

@@ -56,6 +56,30 @@ DV_CONF = "deletionVectors"  # table configuration key: "true" => DV deletes
 _ACTION_COL = "__dls_action"
 
 
+_INT_WIDTH = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+
+def _is_type_widening(old, new) -> bool:
+    """True when every value representable in ``old`` reads losslessly
+    under ``new`` from existing parquet files (Delta typeWidening)."""
+    from pyspark.sql.types import DecimalType
+
+    if old == new:
+        return False
+    on, nn = old.typeName(), new.typeName()
+    if on in _INT_WIDTH and nn in _INT_WIDTH:
+        return _INT_WIDTH[nn] > _INT_WIDTH[on]
+    if on == "float" and nn == "double":
+        return True
+    if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+        return (
+            new.scale >= old.scale
+            and new.precision - new.scale >= old.precision - old.scale
+            and (new.precision, new.scale) != (old.precision, old.scale)
+        )
+    return False
+
+
 def _as_column(cond: str | Column | None) -> Column | None:
     if cond is None:
         return None
@@ -1469,6 +1493,63 @@ class DeltaTable:
             "ADD COLUMNS",
             {"columns": dict(columns), **({"defaults": dict(defaults)} if defaults else {})},
             configuration=configuration,
+        )
+
+    def alter_column_type(self, name: str, new_type_ddl: str) -> int:
+        """ALTER TABLE ALTER COLUMN ... TYPE — Delta type widening
+        (``typeWidening`` table feature): a metadata-only schema change
+        to a strictly WIDER type. Existing files keep their narrow
+        physical type; Spark's vectorized parquet reader up-casts at
+        scan time (int32 files under a bigint schema, float under
+        double, decimal under higher precision), so no data moves.
+        Narrowing or unrelated conversions are refused — they would
+        corrupt reads of existing files. The per-column change history
+        is recorded in the field metadata (``delta.typeChanges``)."""
+        from pyspark.sql.types import StructField, StructType
+
+        snap = self._log.snapshot()
+        schema = schema_of(snap)
+        match = [f for f in schema.fields if f.name.lower() == name.lower()]
+        if not match:
+            raise ValueError(f"no such column {name}")
+        f0 = match[0]
+        new_dt = StructType.fromDDL(f"`x` {new_type_ddl}").fields[0].dataType
+        if not _is_type_widening(f0.dataType, new_dt):
+            raise ValueError(
+                f"{f0.dataType.simpleString()} -> {new_dt.simpleString()} "
+                "is not a widening conversion; only byte/short/int->"
+                "bigger ints, float->double, and decimal precision/scale "
+                "growth keep existing files readable"
+            )
+        self._assert_column_alterable(snap, f0.name, "alter the type of")
+        meta = dict(f0.metadata or {})
+        changes = list(meta.get("delta.typeChanges", []))
+        changes.append(
+            {
+                "fromType": f0.dataType.simpleString(),
+                "toType": new_dt.simpleString(),
+                "tableVersion": snap.version + 1,
+            }
+        )
+        meta["delta.typeChanges"] = changes
+        new_schema = StructType(
+            [
+                StructField(f.name, new_dt, f.nullable, meta)
+                if f.name == f0.name
+                else f
+                for f in schema.fields
+            ]
+        )
+        return self._commit_schema(
+            snap,
+            new_schema,
+            "ALTER COLUMN TYPE",
+            {
+                "column": name,
+                "from": f0.dataType.simpleString(),
+                "to": new_dt.simpleString(),
+            },
+            extra_actions=self._feature_upgrade(snap, "typeWidening"),
         )
 
     def rename_column(self, old: str, new: str) -> int:

@@ -190,3 +190,84 @@ def test_sql_alter_column_forms(spark, tmp_path):
     assert "n" not in read_delta(spark, p).columns
     got = spark.sql("SELECT id, value FROM smap").collect()
     assert got[0].value == 5.0
+
+
+def test_type_widening_int_to_bigint(spark, tmp_path):
+    """ALTER COLUMN TYPE widens metadata-only: old int32 files read
+    under the bigint schema, later writes store bigint natively, and
+    the typeWidening feature gates the table."""
+    import pyspark.sql.functions as F
+
+    from delta_lake_spark import read_delta, write_delta
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.table import DeltaTable
+
+    path = str(tmp_path / "tw")
+    spark.range(5).selectExpr("CAST(id AS INT) AS k", "id AS v").pipe = None
+    df = spark.range(5).selectExpr("CAST(id AS INT) AS k", "id AS v")
+    write_delta(df, path)
+    dt = DeltaTable.forPath(spark, path)
+    dt.alter_column_type("k", "BIGINT")
+
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    assert "typeWidening" in snap.protocol.readerFeatures
+    out = read_delta(spark, path)
+    assert dict(out.dtypes)["k"] == "bigint"
+    assert {r.k for r in out.collect()} == set(range(5))
+
+    # big values beyond int range now writable
+    big = spark.range(1).selectExpr(
+        "CAST(5000000000 AS BIGINT) AS k", "id AS v"
+    )
+    write_delta(big, path)
+    assert read_delta(spark, path).filter(
+        F.col("k") > 4_000_000_000
+    ).count() == 1
+    # mixed old-narrow + new-wide files still all read
+    assert read_delta(spark, path).count() == 6
+
+    # change history recorded in column metadata
+    import json
+
+    fields = json.loads(log.snapshot().metadata.schemaString)["fields"]
+    kmeta = next(f for f in fields if f["name"] == "k")["metadata"]
+    assert kmeta["delta.typeChanges"][0]["fromType"] == "int"
+    assert kmeta["delta.typeChanges"][0]["toType"] == "bigint"
+
+
+def test_type_widening_refuses_narrowing_and_unrelated(spark, tmp_path):
+    import pytest
+
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.table import DeltaTable
+
+    path = str(tmp_path / "twn")
+    write_delta(
+        spark.range(3).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS d", "CAST(id AS STRING) AS s"
+        ),
+        path,
+    )
+    dt = DeltaTable.forPath(spark, path)
+    for col, ddl in [("k", "INT"), ("d", "FLOAT"), ("s", "BIGINT"), ("k", "BIGINT")]:
+        with pytest.raises(ValueError):
+            dt.alter_column_type(col, ddl)
+
+
+def test_type_widening_decimal_and_sql_form(spark, tmp_path):
+    from delta_lake_spark import read_delta, write_delta
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+
+    path = str(tmp_path / "twd")
+    write_delta(
+        spark.range(3).selectExpr("CAST(id AS DECIMAL(5,2)) AS amt", "id AS k"),
+        path,
+    )
+    cat = Catalog(spark)
+    cat.register("tw_t", path)
+    sql(cat, "ALTER TABLE tw_t ALTER COLUMN amt TYPE DECIMAL(12, 4)")
+    out = read_delta(spark, path)
+    assert dict(out.dtypes)["amt"] == "decimal(12,4)"
+    assert out.count() == 3

@@ -349,13 +349,46 @@ class Snapshot:
         return total
 
 
+class CommitStore:
+    """Atomic create-if-absent for commit files — the ONE primitive the
+    log needs from its storage. The local-FS implementation uses
+    write-to-temp + ``os.link`` (hard-link creation fails if the target
+    exists, atomically). Deploying on an object store means swapping
+    this class for the store's conditional write: S3 ``PutObject`` with
+    ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``, ADLS
+    rename-if-absent — nothing else in the engine changes."""
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        """Write ``payload`` at ``target`` iff absent. True on win,
+        False when another writer already committed the path."""
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(target), f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
 class DeltaLog:
     """Reader/writer for one table's ``_delta_log`` directory."""
 
-    def __init__(self, table_path: str, checkpoint_interval: int = 10):
+    def __init__(
+        self,
+        table_path: str,
+        checkpoint_interval: int = 10,
+        commit_store: CommitStore | None = None,
+    ):
         self.table_path = os.path.abspath(table_path)
         self.log_path = os.path.join(self.table_path, LOG_DIR)
         self.checkpoint_interval = checkpoint_interval
+        self.commit_store = commit_store or CommitStore()
         self._snapshot_cache: dict[int, Snapshot] = {}
 
     # ---------- existence / versions ----------
@@ -777,18 +810,14 @@ class DeltaLog:
         os.makedirs(self.log_path, exist_ok=True)
         target = self._version_file(version)
         actions = self._stamp_in_commit_timestamp(version, list(actions))
-        tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            for action in actions:
-                fh.write(json.dumps(action, separators=(",", ":")) + "\n")
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
+        payload = "".join(
+            json.dumps(action, separators=(",", ":")) + "\n"
+            for action in actions
+        ).encode("utf-8")
+        if not self.commit_store.put_if_absent(target, payload):
             raise ConcurrentModificationError(
                 f"version {version} of {self.table_path} was committed concurrently"
-            ) from None
-        finally:
-            os.unlink(tmp)
+            )
         self._snapshot_cache.pop(version, None)
         if (
             self.checkpoint_interval > 0
@@ -815,7 +844,10 @@ class DeltaLog:
         else:
             if version == 0:
                 return actions
-            conf = self.snapshot(version - 1).metadata.configuration
+            try:
+                conf = self.snapshot(version - 1).metadata.configuration
+            except TableNotFoundError:
+                return actions  # metadata-less log (raw action streams)
         if not _ict_enabled(conf):
             return actions
         prev_ict = None

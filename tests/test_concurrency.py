@@ -282,3 +282,36 @@ def test_partition_disjoint_delete_rebases_over_remove(spark, tmp_table):
     # competitor's remove of one g=0 file held through the rebase
     assert got.filter("g = 0").count() == 20 - n_victim
     assert got.count() == 80 - n_victim
+
+
+def test_commit_store_seam_is_pluggable(spark, tmp_path):
+    """The log's only storage primitive is put_if_absent: a store that
+    vetoes a version makes commit raise ConcurrentModificationError; a
+    recording store sees exactly one call per commit."""
+    from delta_lake_spark.errors import ConcurrentModificationError
+    from delta_lake_spark.log import CommitInfo, CommitStore, DeltaLog
+
+    calls = []
+
+    class Recording(CommitStore):
+        def put_if_absent(self, target, payload):
+            calls.append(target)
+            return super().put_if_absent(target, payload)
+
+    class Vetoing(CommitStore):
+        def put_if_absent(self, target, payload):
+            return False
+
+    path = str(tmp_path / "cs")
+    log = DeltaLog(path, commit_store=Recording())
+    log.commit_next([CommitInfo(operation="CREATE").to_action()])
+    log.commit_next([CommitInfo(operation="WRITE").to_action()])
+    assert len(calls) == 2 and calls[0].endswith("00000000000000000000.json")
+
+    vet = DeltaLog(path, commit_store=Vetoing())
+    import pytest
+
+    with pytest.raises(ConcurrentModificationError):
+        vet.commit_next([CommitInfo(operation="WRITE").to_action()], retries=0)
+    # the real log is untouched by the vetoed attempt
+    assert DeltaLog(path).latest_version() == 1

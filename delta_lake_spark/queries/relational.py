@@ -1465,6 +1465,95 @@ SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 """
 
 
+def q123_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier finished order — one join + one semi-join (another
+    supplier exists) + one anti-join (no OTHER supplier was late),
+    then a count and top-k. Exercises Catalyst's existence-join
+    planning; all joins are equi on l_orderkey with residual
+    conditions, so they hash-join and AQE can re-plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+
+    # interval arithmetic (not date_add) so the comparison keeps full
+    # timestamp precision, matching the oracle's + INTERVAL exactly
+    # even if order timestamps ever carry a time-of-day component
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    l1 = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(late)
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    only_late = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        only_late.join(
+            supplier, only_late.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+_Q123_SQL = """
+WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+  WHERE l.l_shipdate > f.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM late l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 10
+"""
+
+
 def q120_length_histogram(spark, sf_dir):
     """Fixed-width document-length histogram (batch shaping): 20
     buckets over [0, 500) chars, map-only bucketing + one agg."""
@@ -1516,6 +1605,7 @@ QUERIES = {
     "q119_funnel_conversion": q119_funnel_conversion,
     "q120_length_histogram": q120_length_histogram,
     "q121_retention_cohorts": q121_retention_cohorts,
+    "q123_waiting_supplier": q123_waiting_supplier,
     "q21_json_roundtrip": q21_json_roundtrip,
     "q02_top_unshipped_orders": q02_top_unshipped_orders,
     "q03_region_revenue": q03_region_revenue,
@@ -1567,6 +1657,7 @@ ORACLE_SQL = {
     "q119_funnel_conversion": _Q119_SQL,
     "q120_length_histogram": _Q120_SQL,
     "q121_retention_cohorts": _Q121_SQL,
+    "q123_waiting_supplier": _Q123_SQL,
     "q21_json_roundtrip": _Q21_SQL,
     "q02_top_unshipped_orders": _Q02_SQL,
     "q03_region_revenue": _Q03_SQL,

@@ -422,3 +422,16 @@ def test_dedup_incremental_bloom_path_joins_only_residue(spark):
     assert "LeftSemi" in plan  # corpus pruned by candidate hashes
     assert "LeftAnti" in plan  # exact decision is the anti-join
     assert "CartesianProduct" not in plan
+
+
+def test_q123_existence_joins_are_hash_not_bnlj(spark):
+    """The Q21-shape semi/anti joins carry an equi key (l_orderkey)
+    with a residual; they must plan as hash/sort-merge existence joins,
+    never BroadcastNestedLoop or Cartesian."""
+    from delta_lake_spark.queries.relational import q123_waiting_supplier
+
+    plan = _plan(q123_waiting_supplier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort

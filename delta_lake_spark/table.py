@@ -104,6 +104,7 @@ class MergeBuilder:
         self._condition = condition
         self._matched: list[dict[str, Any]] = []
         self._not_matched: list[dict[str, Any]] = []
+        self._not_matched_by_source: list[dict[str, Any]] = []
         self._evolve = False
 
     def with_schema_evolution(self):
@@ -134,11 +135,33 @@ class MergeBuilder:
         self._not_matched.append({"kind": "insert_all", "condition": condition})
         return self
 
+    def when_not_matched_by_source_update(
+        self, set: dict[str, str | Column], condition=None
+    ):
+        """Target rows with NO matching source row: update in place.
+        Conditions/values may reference target columns only (there is
+        no source row to read) — delta-spark's
+        whenNotMatchedBySourceUpdate, the clause that makes one MERGE a
+        full two-way sync (upsert + deprecate-missing)."""
+        self._not_matched_by_source.append(
+            {"kind": "update", "set": dict(set), "condition": condition}
+        )
+        return self
+
+    def when_not_matched_by_source_delete(self, condition=None):
+        """Target rows with NO matching source row: delete."""
+        self._not_matched_by_source.append(
+            {"kind": "delete", "condition": condition}
+        )
+        return self
+
     whenMatchedUpdate = when_matched_update
     whenMatchedUpdateAll = when_matched_update_all
     whenMatchedDelete = when_matched_delete
     whenNotMatchedInsert = when_not_matched_insert
     whenNotMatchedInsertAll = when_not_matched_insert_all
+    whenNotMatchedBySourceUpdate = when_not_matched_by_source_update
+    whenNotMatchedBySourceDelete = when_not_matched_by_source_delete
     withSchemaEvolution = with_schema_evolution
 
     # ---------- execution ----------
@@ -178,7 +201,8 @@ class MergeBuilder:
             src = src.alias(t._source_alias)
         cond = _as_column(self._condition)
 
-        insert_only = not self._matched
+        bys = self._not_matched_by_source
+        insert_only = not self._matched and not bys
         if not insert_only:
             # insert-only MERGE is a pure append and stays allowed
             check_append_only(snap, "MERGE with matched clauses")
@@ -194,7 +218,25 @@ class MergeBuilder:
                 .collect()
             )
             uri_to_log = {file_uri(t.path, p): p for p in snap.files}
-            touched = sorted(uri_to_log[r[_FILE_COL]] for r in touched_rows)
+            touched_set = {uri_to_log[r[_FILE_COL]] for r in touched_rows}
+            if bys:
+                # by-source clauses mutate target rows that match NOTHING
+                # in the source, so files untouched by the semi-join may
+                # still need a rewrite: any file holding an anti-join row
+                # where some clause condition fires
+                fire = F.lit(False)
+                for clause in bys:
+                    ci = _as_column(clause.get("condition"))
+                    fire = fire | (ci if ci is not None else F.lit(True))
+                bys_rows = (
+                    with_file.join(src, cond, "left_anti")
+                    .filter(fire)
+                    .select(_FILE_COL)
+                    .distinct()
+                    .collect()
+                )
+                touched_set |= {uri_to_log[r[_FILE_COL]] for r in bys_rows}
+            touched = sorted(touched_set)
 
         outputs: list[DataFrame] = []
         n_update_clauses = sum(1 for c in self._matched if c["kind"] != "delete")
@@ -289,25 +331,81 @@ class MergeBuilder:
             matched_out = matched_out.select(*out_cols)
             outputs.append(matched_out)
 
-            unmatched_cols = [
-                F.lit(None).cast(schema[n].dataType).alias(n)
-                if n in new_names
-                else F.col(f"{t_alias}.{n}").alias(n)
-                for n in col_names
-            ]
-            if rt:
-                unmatched_cols += [
-                    F.col(f"{t_alias}.{rowtracking.ROW_ID}").alias(
-                        rowtracking.MAT_ROW_ID
-                    ),
-                    F.col(f"{t_alias}.{rowtracking.ROW_COMMIT}").alias(
-                        rowtracking.MAT_ROW_COMMIT
-                    ),
+            anti = t_touched.join(src, cond, "left_anti")
+            if bys:
+                # first-true by-source clause per row; -1 = keep as-is
+                chain = F.when(F.lit(False), F.lit(-1))
+                for i, clause in enumerate(bys):
+                    ci = _as_column(clause.get("condition"))
+                    chain = chain.when(
+                        ci if ci is not None else F.lit(True), F.lit(i)
+                    )
+                anti = anti.withColumn(_ACTION_COL, chain.otherwise(F.lit(-1)))
+                bys_delete_ids = [
+                    i for i, c in enumerate(bys) if c["kind"] == "delete"
                 ]
-            unmatched_target = t_touched.join(src, cond, "left_anti").select(
-                *unmatched_cols
-            )
-            outputs.append(unmatched_target)
+                bys_update_ids = [
+                    i for i, c in enumerate(bys) if c["kind"] == "update"
+                ]
+                unmatched_cols = []
+                for n in col_names:
+                    base = (
+                        F.lit(None).cast(schema[n].dataType)
+                        if n in new_names
+                        else F.col(f"{t_alias}.{n}")
+                    )
+                    val = base
+                    expr_chain = None
+                    for i, clause in enumerate(bys):
+                        if clause["kind"] != "update":
+                            continue
+                        upd = clause["set"].get(n)
+                        v = _as_column(upd) if upd is not None else base
+                        branch = (
+                            F.col(_ACTION_COL) == i,
+                            v.cast(schema[n].dataType),
+                        )
+                        expr_chain = (
+                            F.when(*branch)
+                            if expr_chain is None
+                            else expr_chain.when(*branch)
+                        )
+                    if expr_chain is not None:
+                        val = expr_chain.otherwise(base)
+                    unmatched_cols.append(val.alias(n))
+                if rt:
+                    unmatched_cols.append(
+                        F.col(f"{t_alias}.{rowtracking.ROW_ID}").alias(
+                            rowtracking.MAT_ROW_ID
+                        )
+                    )
+                    rcv = F.col(f"{t_alias}.{rowtracking.ROW_COMMIT}")
+                    if bys_update_ids:
+                        rcv = F.when(
+                            F.col(_ACTION_COL).isin(bys_update_ids),
+                            F.lit(None).cast("long"),
+                        ).otherwise(rcv)
+                    unmatched_cols.append(rcv.alias(rowtracking.MAT_ROW_COMMIT))
+                if bys_delete_ids:
+                    anti = anti.filter(~F.col(_ACTION_COL).isin(bys_delete_ids))
+                outputs.append(anti.select(*unmatched_cols))
+            else:
+                unmatched_cols = [
+                    F.lit(None).cast(schema[n].dataType).alias(n)
+                    if n in new_names
+                    else F.col(f"{t_alias}.{n}").alias(n)
+                    for n in col_names
+                ]
+                if rt:
+                    unmatched_cols += [
+                        F.col(f"{t_alias}.{rowtracking.ROW_ID}").alias(
+                            rowtracking.MAT_ROW_ID
+                        ),
+                        F.col(f"{t_alias}.{rowtracking.ROW_COMMIT}").alias(
+                            rowtracking.MAT_ROW_COMMIT
+                        ),
+                    ]
+                outputs.append(anti.select(*unmatched_cols))
 
         if self._not_matched:
             t_for_anti = t.toDF().alias(t_alias)
@@ -365,6 +463,9 @@ class MergeBuilder:
                     "predicate": str(self._condition),
                     "matchedClauses": [c["kind"] for c in self._matched],
                     "notMatchedClauses": [c["kind"] for c in self._not_matched],
+                    "notMatchedBySourceClauses": [
+                        c["kind"] for c in self._not_matched_by_source
+                    ],
                     **(operation_parameters or {}),
                 },
                 readVersion=snap.version,

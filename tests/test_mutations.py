@@ -597,3 +597,72 @@ def test_append_only_table_blocks_mutations(spark, tmp_table):
     dt.unset_properties(["delta.appendOnly"])
     dt.delete("id >= 20")
     assert read_delta(spark, tmp_table).count() == 20
+
+
+def test_merge_not_matched_by_source_sync(spark, table, tmp_table):
+    """whenNotMatchedBySource: one MERGE is a full two-way sync —
+    matched rows update, new rows insert, and target rows absent from
+    the source get deprecated (update) or deleted."""
+    # source: devices 50..119 (50-99 match; 100-119 are new)
+    src = spark.range(50, 120).select(
+        F.col("id").alias("device_id"),
+        (F.col("id") % 5).cast("int").alias("p_device_id"),
+        (F.col("id") * 3.0).alias("heartrate"),
+        F.lit("synced").alias("status"),
+    )
+    (
+        table.alias("t")
+        .merge(src, "t.device_id = s.device_id", source_alias="s")
+        .whenMatchedUpdate(set={"status": "s.status"})
+        .whenNotMatchedInsertAll()
+        .whenNotMatchedBySourceDelete(condition="t.device_id < 20")
+        .whenNotMatchedBySourceUpdate(set={"status": "'stale'"})
+        .execute()
+    )
+    got = read_delta(spark, tmp_table)
+    rows = {r.device_id: r.status for r in got.collect()}
+    # 0-19 deleted; 20-49 marked stale; 50-99 synced; 100-119 inserted
+    assert len(rows) == 100
+    assert all(d not in rows for d in range(20))
+    assert all(rows[d] == "stale" for d in range(20, 50))
+    assert all(rows[d] == "synced" for d in range(50, 120))
+
+
+def test_merge_by_source_only_clause_touches_unmatched_files(spark, table, tmp_table):
+    """A MERGE with ONLY a by-source clause must rewrite files that the
+    source semi-join never touches (the rows that match nothing are the
+    whole point)."""
+    src = spark.range(0).select(
+        F.col("id").alias("device_id"),
+        (F.col("id") % 5).cast("int").alias("p_device_id"),
+        (F.col("id") * 1.0).alias("heartrate"),
+        F.lit("x").alias("status"),
+    )
+    (
+        table.alias("t")
+        .merge(src, "t.device_id = s.device_id", source_alias="s")
+        .whenNotMatchedBySourceUpdate(set={"status": "'orphaned'"})
+        .execute()
+    )
+    got = read_delta(spark, tmp_table)
+    assert got.filter("status = 'orphaned'").count() == 100
+    # first-true clause semantics: delete wins where its condition holds
+    src2 = spark.range(90, 95).select(
+        F.col("id").alias("device_id"),
+        (F.col("id") % 5).cast("int").alias("p_device_id"),
+        (F.col("id") * 1.0).alias("heartrate"),
+        F.lit("keep").alias("status"),
+    )
+    (
+        DeltaTable.forPath(spark, tmp_table)
+        .alias("t")
+        .merge(src2, "t.device_id = s.device_id", source_alias="s")
+        .whenNotMatchedBySourceDelete(condition="t.device_id >= 80")
+        .whenNotMatchedBySourceUpdate(set={"status": "'old'"})
+        .execute()
+    )
+    got2 = read_delta(spark, tmp_table)
+    # unmatched >= 80: 80-89 and 95-99 deleted (90-94 matched src2)
+    assert got2.count() == 100 - 15
+    assert got2.filter("status = 'old'").count() == 80  # 0-79
+    assert got2.filter("status = 'keep'").count() == 0  # no matched clause

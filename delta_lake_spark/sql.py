@@ -37,7 +37,8 @@ _MERGE_RE = re.compile(
 )
 
 _CLAUSE_RE = re.compile(
-    r"WHEN\s+(?P<notm>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"WHEN\s+(?P<notm>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\))"
     r"(?=\s+WHEN\s+|\s*$)",
     re.IGNORECASE | re.DOTALL,
@@ -100,7 +101,20 @@ def _exec_merge(catalog: Catalog, m: re.Match) -> DataFrame:
     for cm in _CLAUSE_RE.finditer(m.group("clauses")):
         action = cm.group("action").strip()
         clause_cond = cm.group("cond")
-        if cm.group("notm"):
+        if cm.group("notm") and cm.group("bysrc"):
+            # WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ... / DELETE
+            if re.match(r"DELETE", action, re.IGNORECASE):
+                builder.when_not_matched_by_source_delete(
+                    condition=clause_cond
+                )
+            else:
+                set_text = re.sub(
+                    r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE
+                )
+                builder.when_not_matched_by_source_update(
+                    set=_parse_assignments(set_text), condition=clause_cond
+                )
+        elif cm.group("notm"):
             if re.match(r"INSERT\s*\*", action, re.IGNORECASE):
                 builder.when_not_matched_insert_all(condition=clause_cond)
             else:

@@ -387,3 +387,29 @@ def test_show_create_table(spark, tmp_path):
     assert "PARTITIONED BY (p)" in stmt
     assert f"LOCATION '{path}'" in stmt
     assert "'delta.appendOnly' = 'false'" in stmt
+
+
+def test_sql_merge_not_matched_by_source(spark, tmp_path):
+    from delta_lake_spark import read_delta, write_delta
+    from delta_lake_spark.catalog import Catalog
+    from delta_lake_spark.sql import sql
+
+    path = str(tmp_path / "mbs")
+    write_delta(
+        spark.range(10).selectExpr("id AS k", "'live' AS status"), path
+    )
+    cat = Catalog(spark)
+    cat.register("mbs_t", path)
+    spark.range(5).selectExpr("id AS k", "'fresh' AS status"
+        ).createOrReplaceTempView("mbs_src")
+    sql(cat, """
+        MERGE INTO mbs_t AS t USING mbs_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET status = s.status
+        WHEN NOT MATCHED BY SOURCE AND t.k >= 8 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'
+    """)
+    rows = {r.k: r.status for r in read_delta(spark, path).collect()}
+    assert rows == {
+        **{k: "fresh" for k in range(5)},
+        **{k: "stale" for k in range(5, 8)},
+    }

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -526,9 +527,37 @@ class DeltaLog:
     def _last_checkpoint_file(self) -> str:
         return os.path.join(self.log_path, "_last_checkpoint")
 
+    def _checkpoint_part_files(self, version: int) -> list[str]:
+        """Sorted multi-part checkpoint files for ``version``
+        ({v}.checkpoint.{part}.{parts}.parquet), [] when absent or
+        incomplete (a torn multi-part write must read as no-checkpoint,
+        falling back to replay)."""
+        if not os.path.isdir(self.log_path):
+            return []
+        prefix = f"{version:020d}.checkpoint."
+        pat = re.compile(
+            rf"^{version:020d}\.checkpoint\.(\d{{10}})\.(\d{{10}})\.parquet$"
+        )
+        found: dict[int, tuple[int, str]] = {}
+        declared = None
+        for name in os.listdir(self.log_path):
+            if not name.startswith(prefix):
+                continue
+            m = pat.match(name)
+            if not m:
+                continue
+            part, parts = int(m.group(1)), int(m.group(2))
+            declared = parts
+            found[part] = (parts, os.path.join(self.log_path, name))
+        if declared is None or len(found) != declared:
+            return []
+        return [found[i][1] for i in sorted(found)]
+
     def _checkpoint_exists(self, version: int) -> bool:
-        return os.path.exists(self._checkpoint_file(version)) or os.path.exists(
-            self._legacy_checkpoint_file(version)
+        return (
+            os.path.exists(self._checkpoint_file(version))
+            or os.path.exists(self._legacy_checkpoint_file(version))
+            or bool(self._checkpoint_part_files(version))
         )
 
     def _nearest_checkpoint(self, version: int) -> int | None:
@@ -549,28 +578,48 @@ class DeltaLog:
             return None
         best = None
         for name in os.listdir(self.log_path):
-            if name.endswith((".checkpoint.parquet", ".checkpoint.json")):
+            if ".checkpoint." in name and name.endswith((".parquet", ".json")):
                 try:
                     v = int(name.split(".")[0])
                 except ValueError:
                     continue
-                if v <= version and (best is None or v > best):
+                if (
+                    v <= version
+                    and (best is None or v > best)
+                    and self._checkpoint_exists(v)  # parts must be complete
+                ):
                     best = v
         return best
 
     def _read_checkpoint(
         self, version: int
     ) -> tuple[Metadata, dict[str, AddFile], Protocol, dict[str, str]]:
-        if os.path.exists(self._checkpoint_file(version)):
+        if os.path.exists(self._checkpoint_file(version)) or (
+            self._checkpoint_part_files(version)
+        ):
             return self._read_parquet_checkpoint(version)
         return self._read_json_checkpoint(version)
 
     def _read_parquet_checkpoint(
         self, version: int
     ) -> tuple[Metadata, dict[str, AddFile], Protocol, dict[str, str]]:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(self._checkpoint_file(version))
+        if os.path.exists(self._checkpoint_file(version)):
+            table = pq.read_table(self._checkpoint_file(version))
+        else:
+            part_files = self._checkpoint_part_files(version)
+            if not part_files:
+                raise TableNotFoundError(
+                    f"no checkpoint at {version} for {self.table_path}"
+                )
+            tables = [pq.read_table(p) for p in part_files]
+            # every part carries identical schema metadata; concat drops
+            # it, so re-attach from the first part
+            table = pa.concat_tables(tables).replace_schema_metadata(
+                tables[0].schema.metadata
+            )
         meta = table.schema.metadata or {}
         raw_md = meta.get(b"delta.metaData")
         if raw_md is None:
@@ -652,10 +701,22 @@ class DeltaLog:
             )
         return metadata, files, protocol, domains
 
-    def write_checkpoint(self, version: int | None = None) -> int:
+    # multi-part threshold: at ~10^6 add entries (100 TB at 128 MB
+    # files) a single checkpoint file serializes the whole write on one
+    # node; parts bound each writer's slice and can be produced by
+    # independent executors
+    CKPT_ROWS_PER_PART = 250_000
+
+    def write_checkpoint(
+        self, version: int | None = None, parts: int | None = None
+    ) -> int:
         """Materialize the snapshot at ``version`` (default latest) into a
         parquet checkpoint + ``_last_checkpoint`` pointer. Idempotent; safe
-        to re-run (rename-overwrite of identical content)."""
+        to re-run (rename-overwrite of identical content).
+
+        ``parts``: write a classic multi-part checkpoint with that many
+        slices; defaults to single-file below CKPT_ROWS_PER_PART add
+        entries and auto-splits above."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -710,12 +771,41 @@ class DeltaLog:
                 ).encode(),
             }
         )
-        tmp = os.path.join(self.log_path, f".tmp-ckpt-{uuid.uuid4().hex}.parquet")
-        pq.write_table(table, tmp, compression="snappy")
-        os.replace(tmp, self._checkpoint_file(snap.version))
+        if parts is None and len(adds) > self.CKPT_ROWS_PER_PART:
+            parts = -(-len(adds) // self.CKPT_ROWS_PER_PART)
+        if parts and parts > 1:
+            # multi-part (classic Delta {v}.checkpoint.{i}.{n}.parquet):
+            # each part is an independent slice a different executor
+            # could write; every part carries the table-level metadata
+            # so any single part identifies the snapshot. Parts land
+            # before _last_checkpoint flips, and a torn set (missing
+            # part) reads as no-checkpoint -> replay fallback.
+            per = -(-max(table.num_rows, 1) // parts)
+            for i in range(parts):
+                sl = table.slice(i * per, per)
+                tmp = os.path.join(
+                    self.log_path, f".tmp-ckpt-{uuid.uuid4().hex}.parquet"
+                )
+                pq.write_table(sl, tmp, compression="snappy")
+                os.replace(
+                    tmp,
+                    os.path.join(
+                        self.log_path,
+                        f"{snap.version:020d}.checkpoint."
+                        f"{i + 1:010d}.{parts:010d}.parquet",
+                    ),
+                )
+            lc = {"version": snap.version, "parts": parts}
+        else:
+            tmp = os.path.join(
+                self.log_path, f".tmp-ckpt-{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(table, tmp, compression="snappy")
+            os.replace(tmp, self._checkpoint_file(snap.version))
+            lc = {"version": snap.version}
         tmp2 = os.path.join(self.log_path, f".tmp-lc-{uuid.uuid4().hex}")
         with open(tmp2, "w", encoding="utf-8") as fh:
-            json.dump({"version": snap.version}, fh)
+            json.dump(lc, fh)
         os.replace(tmp2, self._last_checkpoint_file())
         return snap.version
 
@@ -742,7 +832,9 @@ class DeltaLog:
                     if v < ckpt and os.path.getmtime(full) < cutoff:
                         os.remove(full)
                         deleted.append(full)
-                elif name.endswith((".checkpoint.parquet", ".checkpoint.json")):
+                elif ".checkpoint." in name and name.endswith(
+                    (".parquet", ".json")
+                ):
                     v = int(name.split(".")[0])
                     if v < ckpt and os.path.getmtime(full) < cutoff:
                         os.remove(full)

@@ -313,3 +313,71 @@ def test_in_commit_timestamps_at_creation(spark, tmp_path):
     acts = list(log._read_actions(0))
     assert "commitInfo" in acts[0]  # spec position: commitInfo first
     assert "inCommitTimestamp" in acts[0]["commitInfo"]
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """A multi-part checkpoint replays to the same snapshot as the
+    single-file form; a torn part set falls back to log replay."""
+    import glob
+    import os
+
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.writer import write_delta
+
+    path = str(tmp_path / "mp")
+    for i in range(4):
+        write_delta(
+            spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "k"),
+            path,
+        )
+    log = DeltaLog(path)
+    expected_files = set(log.snapshot().files)
+    v = log.write_checkpoint(parts=3)
+    parts = glob.glob(
+        os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.*.*.parquet")
+    )
+    assert len(parts) == 3
+
+    fresh = DeltaLog(path)
+    snap = fresh.snapshot()
+    assert set(snap.files) == expected_files
+    assert snap.metadata is not None
+    from delta_lake_spark import read_delta
+
+    assert read_delta(spark, path).count() == 40
+
+    # torn set: delete one part -> checkpoint invisible, replay still works
+    os.remove(parts[0])
+    torn = DeltaLog(path)
+    assert torn._checkpoint_part_files(v) == []
+    assert torn._nearest_checkpoint(v) is None
+    assert set(torn.snapshot().files) == expected_files  # replayed
+
+
+def test_multipart_checkpoint_auto_split_threshold(spark, tmp_path):
+    """Above CKPT_ROWS_PER_PART add entries the writer auto-splits."""
+    from delta_lake_spark.log import CommitInfo, DeltaLog, Metadata
+
+    path = str(tmp_path / "mpauto")
+    log = DeltaLog(path)
+    # synthesize a table with many small adds without writing data
+    meta = Metadata(schemaString='{"type":"struct","fields":[]}')
+    adds = [
+        {"add": {"path": f"data/f{i}.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "partitionValues": {}}}
+        for i in range(30)
+    ]
+    log.commit_next(
+        [CommitInfo(operation="CREATE").to_action(), meta.to_action(), *adds]
+    )
+    log.CKPT_ROWS_PER_PART = 10
+    v = log.write_checkpoint()
+    import glob
+    import os
+
+    parts = glob.glob(
+        os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.*.*.parquet")
+    )
+    assert len(parts) == 3
+    assert len(DeltaLog(path).snapshot().files) == 30

@@ -1326,6 +1326,20 @@ class DeltaTable:
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by OR zorder_by, not both")
         snap = self._log.snapshot()
+        if cluster_by is None and zorder_by is None:
+            # clustered table (delta.clusteringColumns, Delta's liquid-
+            # clustering declaration): a bare OPTIMIZE re-clusters on
+            # the table-declared columns, so ingestion jobs never need
+            # to repeat the layout choice at every call site
+            declared = snap.metadata.configuration.get(
+                "delta.clusteringColumns"
+            )
+            if declared:
+                cols = [c.strip() for c in declared.split(",") if c.strip()]
+                if len(cols) == 1:
+                    cluster_by = cols
+                elif cols:
+                    zorder_by = cols
         small_file_bytes = small_file_bytes or target_file_bytes // 2
         clustering = bool(cluster_by or zorder_by)
         wanted = None

@@ -75,3 +75,36 @@ def test_zorder_sql_form(spark, table, tmp_table):
 def test_zorder_rejects_both_modes(table):
     with pytest.raises(ValueError):
         table.optimize(cluster_by=["x"], zorder_by=["y"])
+
+
+def test_clustered_table_property_drives_bare_optimize(spark, tmp_path):
+    """delta.clusteringColumns: OPTIMIZE with no args re-clusters on the
+    declared columns (single col -> range clustering, several ->
+    Z-order), so stats-based skipping prunes after a bare OPTIMIZE."""
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.table import DeltaTable
+
+    path = str(tmp_path / "liquid")
+    df = spark.range(4000).selectExpr(
+        "id AS k", "CAST(id % 97 AS INT) AS probe", "id * 2.0 AS v"
+    ).repartition(8)
+    write_delta(
+        df, path, properties={"delta.clusteringColumns": "probe"}
+    )
+    dt = DeltaTable.forPath(spark, path)
+    dt.optimize(target_file_bytes=16 * 1024)
+    snap = dt._log.snapshot()
+    # clustered layout: most files carry a tight probe min/max range,
+    # so a point predicate keeps only a fraction of files
+    from delta_lake_spark.skipping import prune_adds
+
+    kept, skipped = prune_adds(list(snap.files.values()), "probe = 7")
+    assert 0 < len(kept) < len(snap.files)
+    assert skipped >= len(snap.files) - len(kept) - 1
+    # and the ranges are genuinely tight: the kept files' min/max
+    # bracket the probe value
+    import json as _json
+
+    for a in kept:
+        st = a.stats if isinstance(a.stats, dict) else _json.loads(a.stats)
+        assert st["minValues"]["probe"] <= 7 <= st["maxValues"]["probe"]

@@ -38,6 +38,12 @@ from .log import AddFile, DeltaLog
 from .writer import schema_of
 
 
+def _to_change_millis(ts: str | int) -> int:
+    from .reader import _to_millis
+
+    return _to_millis(ts)
+
+
 def _read_files_df(spark, table_path, adds, snap) -> DataFrame:
     """Explicit-file scan of one commit's files with the snapshot's
     schema, deletion vectors applied (same resolution as read_delta) —
@@ -50,15 +56,46 @@ def _read_files_df(spark, table_path, adds, snap) -> DataFrame:
 def table_changes(
     spark: SparkSession,
     path: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    starting_timestamp: str | int | None = None,
+    ending_timestamp: str | int | None = None,
 ) -> DataFrame:
     """Row-level changes committed in versions [from_version, to_version]
     (inclusive; to_version defaults to latest). Returns the table columns
-    plus _change_type and _commit_version."""
+    plus _change_type and _commit_version.
+
+    Timestamp addressing (Delta's startingTimestamp/endingTimestamp):
+    ``starting_timestamp`` resolves to the FIRST commit at-or-after that
+    time, ``ending_timestamp`` to the last commit at-or-before it —
+    both honor in-commit timestamps when the table has them."""
     path = os.path.abspath(path)
     log = DeltaLog(path)
     latest = log.latest_version()
+    if starting_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "pass from_version OR starting_timestamp, not both"
+            )
+        ms = _to_change_millis(starting_timestamp)
+        try:
+            # last commit at-or-before the time; changes begin AFTER it
+            # unless that commit is exactly at the requested time
+            v = log.version_at_timestamp(ms)
+            at = log.commit_timestamp(v)
+            from_version = v if at == ms else v + 1
+        except VersionNotFoundError:
+            from_version = 0  # time precedes the table: every change
+    if from_version is None:
+        raise ValueError("need from_version or starting_timestamp")
+    if ending_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "pass to_version OR ending_timestamp, not both"
+            )
+        to_version = log.version_at_timestamp(
+            _to_change_millis(ending_timestamp)
+        )
     if to_version is None:
         to_version = latest
     if from_version < 0 or to_version > latest or from_version > to_version:

@@ -257,6 +257,16 @@ class Protocol:
                 f"{sorted(SUPPORTED_WRITER_FEATURES)}"
             )
 
+    def without_feature(self, feature: str) -> "Protocol":
+        rf = sorted(set(self.readerFeatures) - {feature})
+        wf = sorted(set(self.writerFeatures) - {feature})
+        return Protocol(
+            minReaderVersion=self.minReaderVersion,
+            minWriterVersion=self.minWriterVersion,
+            readerFeatures=rf,
+            writerFeatures=wf,
+        )
+
     def with_features(
         self, reader: Iterable[str] = (), writer: Iterable[str] = ()
     ) -> "Protocol":

@@ -311,6 +311,17 @@ def sql(catalog: Catalog, statement: str) -> DataFrame:
         return spark.createDataFrame([(v,)], "version long")
 
     m = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+FEATURE\s+"
+        r"(?P<feat>\w+)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        dt = DeltaTable.forPath(spark, catalog.path_of(m.group("name")))
+        v = dt.drop_feature(m.group("feat"))
+        return spark.createDataFrame([(v,)], "version long")
+
+    m = re.match(
         r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
         r"`?(?P<col>\w+)`?\s+TYPE\s+(?P<ddl>[\w(),\s]+?)\s*$",
         s,

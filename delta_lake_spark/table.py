@@ -43,7 +43,7 @@ from .errors import (
     TableNotFoundError,
 )
 from . import rowtracking
-from .log import AddFile, CommitInfo, DeltaLog, RemoveFile, _utc_millis
+from .log import ICT_PROP, AddFile, CommitInfo, DeltaLog, RemoveFile, _utc_millis
 from .reader import FILE_COL as _FILE_COL
 from .reader import ROW_COL as _ROW_COL
 from .reader import file_uri, read_delta, scan_adds
@@ -1608,6 +1608,61 @@ class DeltaTable:
             "ADD COLUMNS",
             {"columns": dict(columns), **({"defaults": dict(defaults)} if defaults else {})},
             configuration=configuration,
+        )
+
+    def drop_feature(self, feature: str) -> int:
+        """ALTER TABLE DROP FEATURE — remove a table feature from the
+        protocol so pre-feature clients can use the table again, with
+        the safety gates Delta applies: a feature whose TRACES are still
+        in the table is not droppable until those traces are gone.
+
+          - deletionVectors: requires purge_deletion_vectors first (a
+            live DV sidecar would silently resurrect deleted rows for
+            a reader that ignores the feature);
+          - inCommitTimestamp / rowTracking: the enabling property is
+            switched off in the same commit; historical commit fields
+            are harmless to feature-unaware readers;
+          - columnMapping / typeWidening: refused — data files depend
+            on them permanently (physical names; narrow on-disk types).
+        """
+        snap = self._log.snapshot()
+        features = set(snap.protocol.readerFeatures) | set(
+            snap.protocol.writerFeatures
+        )
+        if feature not in features:
+            raise ValueError(f"table does not declare feature {feature!r}")
+        if feature in ("columnMapping", "typeWidening"):
+            raise ValueError(
+                f"feature {feature!r} cannot be dropped: existing data "
+                "files depend on it (physical column names / narrow "
+                "on-disk types)"
+            )
+        conf = dict(snap.metadata.configuration)
+        if feature == "deletionVectors":
+            if any(a.deletionVector for a in snap.files.values()):
+                raise ValueError(
+                    "cannot drop deletionVectors while files carry DV "
+                    "sidecars; run purge_deletion_vectors() first"
+                )
+            conf.pop("delta.enableDeletionVectors", None)
+        elif feature == "inCommitTimestamp":
+            conf.pop(ICT_PROP, None)
+            conf.pop("delta.inCommitTimestampEnablementVersion", None)
+            conf.pop("delta.inCommitTimestampEnablementTimestamp", None)
+        elif feature == "rowTracking":
+            conf.pop("delta.enableRowTracking", None)
+        meta = self._metadata_with_configuration(snap, conf)
+        return self._log.commit_next(
+            [
+                CommitInfo(
+                    operation="DROP FEATURE",
+                    operationParameters={"feature": feature},
+                    readVersion=snap.version,
+                ).to_action(),
+                snap.protocol.without_feature(feature).to_action(),
+                meta.to_action(),
+            ],
+            retries=0,
         )
 
     def alter_column_type(self, name: str, new_type_ddl: str) -> int:

@@ -666,3 +666,41 @@ def test_merge_by_source_only_clause_touches_unmatched_files(spark, table, tmp_t
     assert got2.count() == 100 - 15
     assert got2.filter("status = 'old'").count() == 80  # 0-79
     assert got2.filter("status = 'keep'").count() == 0  # no matched clause
+
+
+def test_table_changes_by_timestamp(spark, tmp_table):
+    """CDF timestamp addressing: startingTimestamp resolves to the first
+    commit after that time (exact-time commit included), honoring
+    in-commit timestamps."""
+    from delta_lake_spark.cdf import table_changes
+    from delta_lake_spark.log import DeltaLog
+
+    write_delta(
+        _readings(spark, 5), tmp_table,
+        properties={"delta.enableInCommitTimestamps": "true"},
+    )
+    write_delta(_readings(spark, 3), tmp_table)  # v1
+    write_delta(_readings(spark, 2), tmp_table)  # v2
+    log = DeltaLog(tmp_table)
+    t1 = log.commit_timestamp(1)
+
+    # from exactly v1's time: v1 and v2 changes
+    got = table_changes(spark, tmp_table, starting_timestamp=t1)
+    assert sorted(
+        {r._commit_version for r in got.collect()}
+    ) == [1, 2]
+    # from just after v1: only v2
+    got2 = table_changes(spark, tmp_table, starting_timestamp=t1 + 1)
+    assert {r._commit_version for r in got2.collect()} == {2}
+    # bounded window [v0 time, v1 time]
+    t0 = log.commit_timestamp(0)
+    got3 = table_changes(
+        spark, tmp_table, starting_timestamp=t0, ending_timestamp=t1
+    )
+    assert sorted({r._commit_version for r in got3.collect()}) == [0, 1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        table_changes(
+            spark, tmp_table, from_version=0, starting_timestamp=t0
+        )

@@ -110,3 +110,58 @@ def test_detail_reports_protocol(spark, table):
     row = table.detail().collect()[0]
     assert row.minReaderVersion == 3
     assert "columnMapping" in row.tableFeatures
+
+
+def test_drop_feature_gates_and_removal(spark, tmp_path):
+    """DROP FEATURE: DV drop refused while sidecars live, allowed after
+    purge; ICT drop strips the property + provenance; columnMapping
+    refused; protocol loses the feature."""
+    import pytest
+
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.table import DeltaTable
+
+    path = str(tmp_path / "dropf")
+    df = spark.range(20).withColumnRenamed("id", "k")
+    write_delta(
+        df, path, properties={"delta.enableInCommitTimestamps": "true"}
+    )
+    dt = DeltaTable.forPath(spark, path)
+    dt.delete("k < 5", use_dv=True)
+
+    with pytest.raises(ValueError):
+        dt.drop_feature("deletionVectors")  # live sidecar
+    dt.purge_deletion_vectors()
+    dt.drop_feature("deletionVectors")
+    snap = DeltaLog(path).snapshot()
+    assert "deletionVectors" not in snap.protocol.readerFeatures
+
+    dt.drop_feature("inCommitTimestamp")
+    snap = DeltaLog(path).snapshot()
+    assert "inCommitTimestamp" not in snap.protocol.writerFeatures
+    conf = snap.metadata.configuration
+    assert "delta.enableInCommitTimestamps" not in conf
+    assert "delta.inCommitTimestampEnablementVersion" not in conf
+
+    with pytest.raises(ValueError):
+        dt.drop_feature("inCommitTimestamp")  # already gone
+
+    # reads still correct after both drops
+    from delta_lake_spark import read_delta
+
+    assert read_delta(spark, path).count() == 15
+
+
+def test_drop_feature_column_mapping_refused(spark, tmp_path):
+    import pytest
+
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.table import DeltaTable
+
+    path = str(tmp_path / "dropcm")
+    write_delta(spark.range(5).withColumnRenamed("id", "k"), path)
+    dt = DeltaTable.forPath(spark, path)
+    dt.rename_column("k", "kk")  # upgrades to columnMapping
+    with pytest.raises(ValueError):
+        dt.drop_feature("columnMapping")

@@ -686,3 +686,110 @@ def dedup_against_corpus(
     else:
         out = b.join(c, ["__bh", "__norm"], "left_anti")
     return out.drop("__norm", "__bh")
+
+
+def cross_corpus_near_dups(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_doc_freq: float | None = 0.1,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora (a new batch vs the
+    existing training set) — the fuzzy companion of
+    dedup_against_corpus: MinHash signatures on both sides, band-bucket
+    EQUI-JOIN between the sides (never a self-join, never A x B), exact
+    jaccard verification over full shingle sets on candidates only.
+
+    Scale shape: the corpus side's signatures are a per-document
+    b-row relation a production pipeline computes once and reuses per
+    batch; candidate generation is one equi-join on (band, bucket)
+    where the (small) batch side broadcasts. The doc-freq stop-shingle
+    guard runs on the UNION (boilerplate frequent in either corpus is
+    excluded from signatures on both sides, keeping the bucket key
+    distribution aligned).
+
+    Returns: batch_id, corpus_id, jaccard (exact, over full sets).
+    """
+    sh_b = word_shingles(batch, text_col, id_col, n)
+    sh_c = word_shingles(corpus, text_col, id_col, n)
+    rows = k // bands
+
+    hashed_b = _hash_shingles(sh_b, id_col)
+    hashed_c = _hash_shingles(sh_c, id_col)
+    if max_doc_freq is not None:
+        n_docs = batch.count() + corpus.count()
+        both = hashed_b.unionByName(hashed_c)
+        mod = min(50, max(1, int(max_doc_freq * n_docs / 50)))
+        if mod > 1:
+            freq_src = both.filter(
+                F.pmod(F.xxhash64(F.col(id_col), F.col("__h")), F.lit(mod)) == 0
+            )
+            cutoff = max_doc_freq * n_docs / mod
+        else:
+            freq_src = both
+            cutoff = max_doc_freq * n_docs
+        hot = (
+            freq_src.groupBy("__h")
+            .count()
+            .filter(F.col("count") > cutoff)
+            .select("__h")
+        )
+        hashed_b = hashed_b.join(F.broadcast(hot), "__h", "left_anti")
+        hashed_c = hashed_c.join(F.broadcast(hot), "__h", "left_anti")
+
+    def _banded(hashed: DataFrame, out: str) -> DataFrame:
+        sig = _signatures_from_hashed(hashed, id_col, k=k, seed=seed)
+        band_cols = [
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("sig"), i * rows + 1, rows).cast("string")
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col).alias(out), F.explode(F.array(*band_cols)).alias("bb")
+        ).select(out, "bb.band", "bb.bucket")
+
+    cand = (
+        _banded(hashed_b, "batch_id")
+        .join(_banded(hashed_c, "corpus_id"), ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+    sizes_b = sh_b.groupBy(id_col).agg(F.count("*").alias("n_b"))
+    sizes_c = sh_c.groupBy(id_col).agg(F.count("*").alias("n_c"))
+    b1 = sh_b.select(F.col(id_col).alias("batch_id"), "shingle")
+    c1 = sh_c.select(F.col(id_col).alias("corpus_id"), "shingle")
+    inter = (
+        cand.join(b1, "batch_id")
+        .join(c1, ["corpus_id", "shingle"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes_b.select(F.col(id_col).alias("batch_id"), "n_b"), "batch_id"
+        )
+        .join(
+            sizes_c.select(F.col(id_col).alias("corpus_id"), "n_c"),
+            "corpus_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.col("n_inter")
+                / (F.col("n_b") + F.col("n_c") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1354,9 +1354,63 @@ SELECT source, term, cnt, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q124_cross_corpus_near_dups(spark, sf_dir):
+    """Fuzzy incremental dedup: a perturbed 'daily batch' (every 5th
+    doc, one token appended, new ids) LSH-joined against the corpus;
+    exact jaccard verified on band-bucket candidates only. The oracle
+    computes the exact batch x corpus inverted-index jaccard."""
+    from ..operators.dedup import cross_corpus_near_dups
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    out = cross_corpus_near_dups(
+        batch, docs, "text", "doc_id", threshold=0.6
+    )
+    return out.select(
+        "batch_id", "corpus_id", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+_Q124_SQL = """
+WITH bdocs AS (
+  SELECT doc_id + 200000 AS doc_id, text || ' appended' AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+bw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM bdocs),
+cw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+bsh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM bw)
+  WHERE i + 2 <= len(w)
+),
+csh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM cw)
+  WHERE i + 2 <= len(w)
+),
+bn AS (SELECT doc_id, COUNT(*) AS n_b FROM bsh GROUP BY doc_id),
+cn AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY doc_id),
+inter AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS n_i
+  FROM bsh b JOIN csh c USING (shingle)
+  GROUP BY b.doc_id, c.doc_id
+)
+SELECT i.batch_id, i.corpus_id,
+  ROUND(i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i), 9) AS jaccard
+FROM inter i
+JOIN bn ON i.batch_id = bn.doc_id
+JOIN cn ON i.corpus_id = cn.doc_id
+WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q122_top_terms_per_source": q122_top_terms_per_source,
+    "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
     "q33_dedup_simhash": q33_dedup_simhash,
@@ -1438,4 +1492,5 @@ ORACLE_SQL = {
     "q116_centroid_outliers": _Q116_SQL,
     "q118_remove_dup_spans": _Q118_SQL,
     "q122_top_terms_per_source": _Q122_SQL,
+    "q124_cross_corpus_near_dups": _Q124_SQL,
 }

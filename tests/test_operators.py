@@ -852,3 +852,40 @@ def test_top_terms_equals_single_window(spark, docs):
         ).filter("rank <= 3").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cross_corpus_near_dups_finds_perturbed_docs(spark, docs):
+    """Every lightly-perturbed batch doc must pair with its original
+    (high jaccard), and the LSH-joined result must equal the exact
+    cross inverted-index at the threshold."""
+    from delta_lake_spark.operators.dedup import (
+        cross_corpus_near_dups,
+        word_shingles,
+    )
+
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    got = cross_corpus_near_dups(batch, docs, "text", "doc_id", threshold=0.6)
+    pairs = {(r.batch_id, r.corpus_id) for r in got.collect()}
+    originals = {
+        (r.doc_id + 200000, r.doc_id)
+        for r in docs.filter(F.col("doc_id") % 5 == 0).collect()
+    }
+    assert originals <= pairs  # each perturbed doc matched its source
+
+    # exact cross inverted-index reference
+    sb = word_shingles(batch, "text", "doc_id", 3)
+    sc = word_shingles(docs, "text", "doc_id", 3)
+    b1 = sb.selectExpr("doc_id AS batch_id", "shingle")
+    c1 = sc.selectExpr("doc_id AS corpus_id", "shingle")
+    nb = sb.groupBy("doc_id").count().selectExpr("doc_id AS batch_id", "count AS n_b")
+    nc = sc.groupBy("doc_id").count().selectExpr("doc_id AS corpus_id", "count AS n_c")
+    inter = b1.join(c1, "shingle").groupBy("batch_id", "corpus_id").count()
+    exact = (
+        inter.join(nb, "batch_id").join(nc, "corpus_id")
+        .filter("count / (n_b + n_c - count) >= 0.6")
+    )
+    want = {(r.batch_id, r.corpus_id) for r in exact.collect()}
+    assert pairs == want

@@ -1554,6 +1554,73 @@ LIMIT 10
 """
 
 
+def q125_nation_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    supplier nation -> customer nation flows, both directions, revenue
+    per (supp_nation, cust_nation, year). Dims broadcast; one agg
+    shuffle on the composite key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (
+        F.col("cust_nation") == "NATION_7"
+    ) | (F.col("supp_nation") == "NATION_7") & (
+        F.col("cust_nation") == "NATION_3"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.round("revenue", 2).alias("revenue"),
+        )
+    )
+
+
+_Q125_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+  ROUND(CAST(SUM(vol) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+    CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+     OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 def q120_length_histogram(spark, sf_dir):
     """Fixed-width document-length histogram (batch shaping): 20
     buckets over [0, 500) chars, map-only bucketing + one agg."""
@@ -1606,6 +1673,7 @@ QUERIES = {
     "q120_length_histogram": q120_length_histogram,
     "q121_retention_cohorts": q121_retention_cohorts,
     "q123_waiting_supplier": q123_waiting_supplier,
+    "q125_nation_volume_shipping": q125_nation_volume_shipping,
     "q21_json_roundtrip": q21_json_roundtrip,
     "q02_top_unshipped_orders": q02_top_unshipped_orders,
     "q03_region_revenue": q03_region_revenue,
@@ -1658,6 +1726,7 @@ ORACLE_SQL = {
     "q120_length_histogram": _Q120_SQL,
     "q121_retention_cohorts": _Q121_SQL,
     "q123_waiting_supplier": _Q123_SQL,
+    "q125_nation_volume_shipping": _Q125_SQL,
     "q21_json_roundtrip": _Q21_SQL,
     "q02_top_unshipped_orders": _Q02_SQL,
     "q03_region_revenue": _Q03_SQL,

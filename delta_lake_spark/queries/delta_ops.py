@@ -753,6 +753,61 @@ WHERE l.event_type = 'view'
 """
 
 
+def q126_streaming_corpus_dedup(spark, sf_dir):
+    """Streaming incremental corpus build: three document batches drain
+    through a foreachBatch dedup sink — batch 1 the originals, batch 2
+    verbatim re-submissions (must ALL be dropped against the corpus),
+    batch 3 novel suffixed docs (must all land). Exactly-once appends;
+    the final corpus is the oracle-checked result."""
+    import os as _os
+
+    from ..streaming.incremental import stream_dedup_into_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    src = _fresh("scd_src")
+    _os.makedirs(src, exist_ok=True)
+    staging = _fresh("scd_stage")
+    batches = [
+        docs,
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        ),
+        docs.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" novel")).alias("text"),
+            "source",
+        ),
+    ]
+    # one FLAT parquet file per batch, in arrival order (the file
+    # source batches by modification time, maxFilesPerTrigger=1)
+    for i, b in enumerate(batches):
+        d = f"{staging}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        part = next(
+            f for f in _os.listdir(d) if f.endswith(".parquet")
+        )
+        _os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+
+    out = stream_dedup_into_corpus(
+        spark,
+        src,
+        _fresh("scd_corpus"),
+        _fresh("scd_ckpt"),
+        schema="doc_id long, text string, source string",
+        txn_app_id="q126",
+    )
+    return out.select("doc_id", "source")
+
+
+_Q126_SQL = """
+SELECT doc_id, source FROM documents
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, source FROM documents
+"""
+
+
 def q79_stream_stream_join(spark, sf_dir):
     """Genuine stream-stream interval join (two streaming sources,
     watermark-bounded state, append mode): views paired with the same
@@ -1126,6 +1181,7 @@ QUERIES = {
     "q78_cdf_streaming_drain": q78_cdf_streaming_drain,
     "q79_stream_stream_join": q79_stream_stream_join,
     "q117_stream_outer_join": q117_stream_outer_join,
+    "q126_streaming_corpus_dedup": q126_streaming_corpus_dedup,
     "q80_streaming_merge_upsert": q80_streaming_merge_upsert,
     "q84_partitioned_write_pruned_read": q84_partitioned_write_pruned_read,
     "q85_generated_partition_pruning": q85_generated_partition_pruning,
@@ -1157,6 +1213,7 @@ ORACLE_SQL = {
     "q78_cdf_streaming_drain": _Q78_SQL,
     "q79_stream_stream_join": _Q79_SQL,
     "q117_stream_outer_join": _Q117_SQL,
+    "q126_streaming_corpus_dedup": _Q126_SQL,
     "q80_streaming_merge_upsert": _Q80_SQL,
     "q84_partitioned_write_pruned_read": _Q84_SQL,
     "q85_generated_partition_pruning": _Q85_SQL,

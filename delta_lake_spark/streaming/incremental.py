@@ -613,3 +613,94 @@ def stream_merge_into_delta(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def stream_dedup_into_corpus(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    txn_app_id: str = "dls_corpus_dedup",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming INCREMENTAL DEDUP: each micro-batch of documents is
+    exact-deduped within itself (min id per normalized text), then
+    deduped against the corpus-so-far (bloom pre-filter + exact
+    anti-join — dedup_against_corpus), and only the genuinely-new
+    documents append to the versioned corpus table. Exactly-once via
+    the (txnAppId, epoch) idempotent-append pattern, so a crash-retried
+    batch never re-inserts.
+
+    This is the arrival path of a training corpus at 100 TB: the corpus
+    only ever grows by deduplicated appends, each batch's join work is
+    bounded by the bloom residue, and the whole history stays
+    time-travelable. The result (the final corpus) is independent of
+    how the feed was batched as long as batches arrive in id order —
+    first writer wins either way.
+
+    Returns the final corpus DataFrame.
+    """
+    from pyspark.sql import Window
+
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..operators.dedup import dedup_against_corpus, normalize_text
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    def _write_batch(batch_df, epoch_id: int) -> None:
+        log = DeltaLog(table_path)
+        exists = False
+        try:
+            if log.exists():
+                exists = True
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        return  # replayed epoch
+        except TableNotFoundError:
+            pass
+
+        # within-batch exact dedup: min id per normalized text
+        w = Window.partitionBy(normalize_text(text_col)).orderBy(
+            F.col(id_col).asc()
+        )
+        local = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if exists:
+            corpus = read_delta(spark, table_path)
+            fresh = dedup_against_corpus(local, corpus, text_col, id_col)
+        else:
+            fresh = local
+        write_delta(
+            fresh,
+            table_path,
+            mode="append",
+            operation="STREAMING DEDUP APPEND",
+            operation_parameters={
+                "txnAppId": txn_app_id,
+                "txnVersion": epoch_id,
+                "outputMode": "Append",
+            },
+        )
+
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(source_dir)
+    q = (
+        src.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return read_delta(spark, table_path)

@@ -440,3 +440,55 @@ def test_stream_outer_join_equals_batch_with_nulls(spark, tmp_path):
     assert a == b and len(a) > 0
     nulls = [r for r in a if r[2] is None]
     assert len(nulls) > 0  # eviction path actually fired
+
+
+def test_stream_dedup_into_corpus_incremental(spark, tmp_path):
+    """Streaming corpus build: re-submitted docs are dropped against the
+    corpus-so-far, novel docs land, draining again is a no-op, and each
+    batch is one transactional append."""
+    import os
+
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.streaming.incremental import stream_dedup_into_corpus
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    batches = [
+        docs,
+        docs.selectExpr("doc_id + 1000 AS doc_id", "text"),  # all dups
+        docs.selectExpr("doc_id + 2000 AS doc_id", "text || ' x' AS text"),
+    ]
+    for i, b in enumerate(batches):
+        d = f"{stage}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+
+    table = str(tmp_path / "corpus")
+    out = stream_dedup_into_corpus(
+        spark, src, table, str(tmp_path / "ckpt"),
+        schema="doc_id long, text string",
+    )
+    n_docs = docs.count()
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert len(ids) == 2 * n_docs
+    assert all(i < 1000 or i >= 2000 for i in ids)  # batch-2 dups dropped
+
+    # draining again with the same checkpoint: nothing new
+    out2 = stream_dedup_into_corpus(
+        spark, src, table, str(tmp_path / "ckpt"),
+        schema="doc_id long, text string",
+    )
+    assert out2.count() == 2 * n_docs
+    # each original batch appended exactly once (3 streaming commits)
+    ops = [
+        h.get("operationParameters", {}).get("txnVersion")
+        for h in DeltaLog(table).history()
+        if (h.get("operationParameters") or {}).get("txnAppId")
+        == "dls_corpus_dedup"
+    ]
+    assert sorted(v for v in ops if v is not None) == [0, 1, 2]

@@ -619,13 +619,20 @@ class DeltaTable:
                     snap.protocol.minReaderVersion,
                     snap.protocol.minWriterVersion,
                     sorted(snap.protocol.readerFeatures),
+                    [
+                        c.strip()
+                        for c in snap.metadata.configuration.get(
+                            "delta.clusteringColumns", ""
+                        ).split(",")
+                        if c.strip()
+                    ],
                 )
             ],
             "format string, id string, location string, "
             "partitionColumns array<string>, numFiles long, sizeInBytes long, "
             "createdTime long, numFilesWithDeletionVectors long, "
             "numDeletedRows long, minReaderVersion long, minWriterVersion long, "
-            "tableFeatures array<string>",
+            "tableFeatures array<string>, clusteringColumns array<string>",
         )
 
     def files(self) -> DataFrame:

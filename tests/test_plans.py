@@ -435,3 +435,12 @@ def test_q123_existence_joins_are_hash_not_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_q125_broadcasts_nation_dims(spark):
+    """TPC-H Q7 shape: both nation copies broadcast; no cartesian."""
+    from delta_lake_spark.queries.relational import q125_nation_volume_shipping
+
+    plan = _plan(q125_nation_volume_shipping(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

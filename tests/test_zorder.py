@@ -108,3 +108,16 @@ def test_clustered_table_property_drives_bare_optimize(spark, tmp_path):
     for a in kept:
         st = a.stats if isinstance(a.stats, dict) else _json.loads(a.stats)
         assert st["minValues"]["probe"] <= 7 <= st["maxValues"]["probe"]
+
+
+def test_detail_reports_clustering_columns(spark, tmp_path):
+    from delta_lake_spark import write_delta
+    from delta_lake_spark.table import DeltaTable
+
+    path = str(tmp_path / "dcc")
+    write_delta(
+        spark.range(5).withColumnRenamed("id", "k"), path,
+        properties={"delta.clusteringColumns": "k"},
+    )
+    d = DeltaTable.forPath(spark, path).detail().collect()[0]
+    assert d.clusteringColumns == ["k"]

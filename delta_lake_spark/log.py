@@ -405,7 +405,12 @@ class DeltaLog:
     # ---------- existence / versions ----------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_path) and bool(self._versions())
+        # a checkpoint alone proves the table exists: commit JSONs may
+        # all have expired behind it (log retention)
+        return os.path.isdir(self.log_path) and (
+            bool(self._versions())
+            or self._nearest_checkpoint(1 << 62) is not None
+        )
 
     def _version_file(self, version: int) -> str:
         return os.path.join(self.log_path, f"{version:020d}.json")
@@ -424,11 +429,18 @@ class DeltaLog:
 
     def latest_version(self) -> int:
         vs = self._versions()
-        if not vs:
+        best = vs[-1] if vs else None
+        # a checkpoint IS a committed version: a log whose commit JSONs
+        # all expired behind a checkpoint must not read as a new table
+        # (the next commit would silently restart at version 0)
+        ckpt = self._nearest_checkpoint(1 << 62)
+        if ckpt is not None and (best is None or ckpt > best):
+            best = ckpt
+        if best is None:
             raise TableNotFoundError(
                 f"{self.table_path} is not a delta_lake_spark table (no {LOG_DIR})"
             )
-        return vs[-1]
+        return best
 
     # ---------- reading ----------
 
@@ -539,17 +551,24 @@ class DeltaLog:
 
     def _checkpoint_part_files(self, version: int) -> list[str]:
         """Sorted multi-part checkpoint files for ``version``
-        ({v}.checkpoint.{part}.{parts}.parquet), [] when absent or
-        incomplete (a torn multi-part write must read as no-checkpoint,
-        falling back to replay)."""
+        ({v}.checkpoint.{part}.{parts}.parquet), [] when absent,
+        incomplete, or INCONSISTENT (a torn multi-part write — or
+        leftovers from a different-part-count generation at the same
+        version — must read as no-checkpoint, falling back to replay).
+
+        Validity requires one single parts value declared by every file,
+        part indices exactly {1..parts}, and — when ``_last_checkpoint``
+        points at this version with a ``parts`` field — agreement with
+        that declared count."""
         if not os.path.isdir(self.log_path):
             return []
         prefix = f"{version:020d}.checkpoint."
         pat = re.compile(
             rf"^{version:020d}\.checkpoint\.(\d{{10}})\.(\d{{10}})\.parquet$"
         )
-        found: dict[int, tuple[int, str]] = {}
-        declared = None
+        # group candidate files by their declared parts count: mixed
+        # generations at one version must never be stitched together
+        by_parts: dict[int, dict[int, str]] = {}
         for name in os.listdir(self.log_path):
             if not name.startswith(prefix):
                 continue
@@ -557,11 +576,35 @@ class DeltaLog:
             if not m:
                 continue
             part, parts = int(m.group(1)), int(m.group(2))
-            declared = parts
-            found[part] = (parts, os.path.join(self.log_path, name))
-        if declared is None or len(found) != declared:
+            by_parts.setdefault(parts, {})[part] = os.path.join(
+                self.log_path, name
+            )
+        complete = {
+            parts: found
+            for parts, found in by_parts.items()
+            if set(found) == set(range(1, parts + 1))
+        }
+        if not complete:
             return []
-        return [found[i][1] for i in sorted(found)]
+        # cross-check the parts count _last_checkpoint recorded for this
+        # version, if any — the pointer names the authoritative generation
+        lc_parts = None
+        try:
+            with open(self._last_checkpoint_file(), "r", encoding="utf-8") as fh:
+                lc = json.load(fh)
+            if lc.get("version") == version:
+                lc_parts = int(lc["parts"])
+        except (OSError, ValueError, KeyError, TypeError):
+            lc_parts = None
+        if lc_parts is not None:
+            found = complete.get(lc_parts)
+            return [found[i] for i in sorted(found)] if found else []
+        if len(complete) > 1:
+            # two complete generations and no pointer to arbitrate:
+            # ambiguous — treat as no-checkpoint rather than guess
+            return []
+        ((parts, found),) = complete.items()
+        return [found[i] for i in sorted(found)]
 
     def _checkpoint_exists(self, version: int) -> bool:
         return (
@@ -813,6 +856,16 @@ class DeltaLog:
             pq.write_table(table, tmp, compression="snappy")
             os.replace(tmp, self._checkpoint_file(snap.version))
             lc = {"version": snap.version}
+        if _ict_enabled(snap.metadata.configuration):
+            # persist the newest issued ICT so monotonicity survives the
+            # checkpointed commit JSONs expiring (log retention): a new
+            # commit whose predecessor JSON is gone clamps against this
+            try:
+                ckpt_ict = self.commit_timestamp(snap.version)
+            except (OSError, VersionNotFoundError):
+                ckpt_ict = None
+            if ckpt_ict is not None:
+                lc["latestIct"] = ckpt_ict
         tmp2 = os.path.join(self.log_path, f".tmp-lc-{uuid.uuid4().hex}")
         with open(tmp2, "w", encoding="utf-8") as fh:
             json.dump(lc, fh)
@@ -957,8 +1010,18 @@ class DeltaLog:
             prev = self.snapshot(version - 1)
             try:
                 prev_ict = self.commit_timestamp(version - 1)
-            except OSError:  # v-1 json expired behind a checkpoint
-                prev_ict = None
+            except (OSError, VersionNotFoundError):
+                prev_ict = None  # v-1 json expired behind a checkpoint
+            if prev_ict is None:
+                # fall back to the newest ICT persisted at checkpoint
+                # time so monotonicity never regresses to raw wall clock
+                try:
+                    with open(
+                        self._last_checkpoint_file(), "r", encoding="utf-8"
+                    ) as fh:
+                        prev_ict = int(json.load(fh)["latestIct"])
+                except (OSError, ValueError, KeyError, TypeError):
+                    prev_ict = None
             prev_conf = prev.metadata.configuration
         else:
             prev_conf = {}

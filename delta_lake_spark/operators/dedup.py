@@ -104,19 +104,19 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.6,
-    prefix_filter: bool = False,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """EXACT near-duplicate pairs (id_1 < id_2, jaccard >= threshold)
     over word n-gram shingle sets via an inverted index.
 
-    ``prefix_filter=True`` switches candidate generation to prefix
-    filtering (Bayardo et al. WWW'07 all-pairs): only each doc's
-    |d| - ceil(t*|d|) + 1 globally-rarest shingles build the index, so
-    frequent boilerplate shingles never explode the candidate set. The
-    output is identical (verification is exact over full sets); the
-    crossover is corpus size — the rarity ranking costs two extra
-    shuffles, which pays off once the candidate explosion dominates
-    (large corpora / heavy boilerplate), not at test scale.
+    The default candidate generation is prefix filtering (Bayardo et
+    al. WWW'07 all-pairs): only each doc's |d| - ceil(t*|d|) + 1
+    globally-rarest shingles build the index, so frequent boilerplate
+    shingles never explode the candidate set — the property that keeps
+    this runnable at corpus scale. ``prefix_filter=False`` falls back
+    to the full inverted index (every shared shingle emits a pair row:
+    fewer shuffles, identical output) — acceptable only for small or
+    boilerplate-free corpora where |docs x shingles| self-join fits.
 
     Returns columns: id_1, id_2, jaccard (double).
     """
@@ -234,9 +234,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per id: (id_col, sig array<long>).
 
-    Base hash is Spark's murmur3 (``F.hash``); permutations are affine
-    maps mod a Mersenne prime — fully deterministic across runs and
-    cluster sizes. One aggregation (map-side partial mins)."""
+    Each "permutation" is an INDEPENDENT seeded xxhash64 of the
+    shingle (see the module header: affine maps of one base hash are
+    order-correlated and degenerate as an LSH family) — fully
+    deterministic across runs and cluster sizes. One aggregation
+    (map-side partial mins)."""
     return _signatures_from_hashed(
         _hash_shingles(shingle_df, id_col), id_col, k, seed
     )

@@ -411,7 +411,7 @@ def _kmeans_assign(
 
 def semantic_dedup(
     vectors: DataFrame,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     threshold: float = 0.45,
     iterations: int = 2,
     dim: int = 64,
@@ -426,15 +426,20 @@ def semantic_dedup(
     dedup by catching paraphrases that share no shingles.
 
     100 TB design: the quadratic pairwise step is confined WITHIN
-    clusters — size ``n_cells ~ |corpus| / few-thousand`` so each
-    cluster is a bounded local problem; the self-join shuffles once on
-    cell_id. The k-means pre-step is the deterministic shared
+    clusters — ``n_cells ~ |corpus| / few-thousand`` keeps each cluster
+    a bounded local problem; the self-join shuffles once on cell_id.
+    When ``n_cells`` is not given it is DERIVED from the corpus size as
+    ``max(8, ceil(n / 2000))`` (one cheap count), so the default stays
+    safe at any scale instead of collapsing a 10^9-vector corpus into 8
+    quadratic cells. The k-means pre-step is the deterministic shared
     assignment (modulo arg_min seeding, 1e-9-rounded centroids), and
     the cosine is rounded to 1e-9 before the threshold compare, so the
     whole pipeline is replicable by an external SQL oracle.
 
     Returns (id_col, cell_id, kept boolean) for every input vector.
     """
+    if n_cells is None:
+        n_cells = max(8, -(-vectors.count() // 2000))
     assigned = _kmeans_assign(vectors, n_cells, iterations, dim, id_col, vec_col)
     a = assigned.select(
         F.col(id_col).alias("__id_a"), "cell_id", F.col("__v").alias("__va")

@@ -352,14 +352,24 @@ FROM numbered GROUP BY user_id, sid
 
 
 def q59_sessionize_stateful_stream(spark, sf_dir):
-    """Closed sessions emitted by the applyInPandasWithState operator
-    draining the events table as an availableNow stream (rows-only
-    check; stream==batch equivalence asserted in tests)."""
+    """ALL sessions emitted by the applyInPandasWithState operator
+    draining the events table as an availableNow stream: one far-future
+    flush sentinel per user deterministically closes each tail session,
+    so the emitted set equals batch sessionization and carries the q58
+    islands oracle (stream==batch also asserted in tests)."""
     from ..streaming.sessionize import sessionize_stream
 
     ev = _events(spark, sf_dir)
     path = _fresh("session_src")
-    ev.write.parquet(path)
+    flush_ts = F.max("ts") + F.expr("INTERVAL 30 DAYS")
+    sentinels = ev.groupBy("user_id").agg(
+        flush_ts.alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    ev.unionByName(sentinels.select(*ev.columns)).write.parquet(path)
     out = sessionize_stream(
         spark,
         path,
@@ -368,6 +378,7 @@ def q59_sessionize_stateful_stream(spark, sf_dir):
         "event_type string, value double, props string",
         gap_minutes=30,
         query_name="q59_sessions",
+        flush_sentinel="__flush__",
     )
     return out.select(
         "user_id",
@@ -1195,6 +1206,9 @@ QUERIES = {
 ORACLE_SQL = {
     "q57_streaming_windowed_counts": _Q57_SQL,
     "q58_sessionize": _Q58_SQL,
+    # q59 emits the SAME session set as q58 once flush sentinels close
+    # every tail session — the islands SQL is its exact oracle
+    "q59_sessionize_stateful_stream": _Q58_SQL,
     "q50_delta_merge_upsert": _Q50_SQL,
     "q51_delta_delete_timetravel": _Q51_SQL,
     "q52_delta_status_merge": _Q52_SQL,

@@ -70,10 +70,16 @@ def sessionize_batch(
     )
 
 
-def _make_session_fn(gap_us: int):
+def _make_session_fn(gap_us: int, sentinel_type: str | None = None):
     """Build the applyInPandasWithState function: folds a user's events
     into sessions, emitting every session that is provably closed and
     keeping the open tail in state until the event-time timeout fires.
+
+    ``sentinel_type``: event_type value marking FLUSH sentinels — rows
+    that only push event time forward (closing any session the gap has
+    passed) and never join or open a session. Feeding one far-future
+    sentinel per user makes the emitted set deterministic (== batch
+    sessionization), which is what the oracle-checked q59 uses.
 
     State timestamps are MICROseconds (full parquet timestamp
     precision); only the timeout registration rounds to Spark's ms
@@ -114,10 +120,22 @@ def _make_session_fn(gap_us: int):
         events = pd.concat(list(pdf_iter)).sort_values("ts")
         ts_us = (events["ts"].astype("int64") // 1_000).tolist()
         vals = events["value"].tolist()
+        types = (
+            events["event_type"].tolist()
+            if sentinel_type is not None
+            else [None] * len(ts_us)
+        )
 
         cur = state.get if state.exists else None  # (start, end, n, total)
         closed = []
-        for t, v in zip(ts_us, vals):
+        for t, v, et in zip(ts_us, vals, types):
+            if sentinel_type is not None and et == sentinel_type:
+                # flush sentinel: advances event time only — close the
+                # open session if the gap has provably passed
+                if cur is not None and t - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = None
+                continue
             if cur is None:
                 cur = (t, t, 1, float(v))
             elif t - cur[1] > gap_us:
@@ -125,8 +143,11 @@ def _make_session_fn(gap_us: int):
                 cur = (t, t, 1, float(v))
             else:
                 cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(v))
-        state.update(cur)
-        state.setTimeoutTimestamp(-((cur[1] + gap_us) // -1000))
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(-((cur[1] + gap_us) // -1000))
+        elif state.exists:
+            state.remove()
         yield emit(
             [
                 (
@@ -151,11 +172,15 @@ def sessionize_stream(
     gap_minutes: int = 30,
     query_name: str = "dls_sessions",
     timeout_sec: int = 120,
+    flush_sentinel: str | None = None,
 ) -> DataFrame:
     """Run stateful sessionization over a parquet directory as an
     availableNow stream into a memory sink; returns the emitted (closed)
     sessions. The per-user tail session remains in state — it is not
-    provably over until more data or watermark movement closes it."""
+    provably over until more data or watermark movement closes it —
+    UNLESS ``flush_sentinel`` names an event_type whose rows act as
+    pure time-advancers: feed one far-future sentinel per user and the
+    emitted set equals batch sessionization exactly."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = (
@@ -165,7 +190,7 @@ def sessionize_stream(
         .withWatermark("ts", "0 seconds")
     )
     out = src.groupBy("user_id").applyInPandasWithState(
-        _make_session_fn(gap_minutes * 60 * 1_000_000),
+        _make_session_fn(gap_minutes * 60 * 1_000_000, flush_sentinel),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -211,14 +211,19 @@ class MergeBuilder:
         touched: list[str] = []
         if not insert_only and snap.files:
             with_file = t._read_files(sorted(snap.files), with_meta=True).alias(t_alias)
-            touched_rows = (
-                with_file.join(src, cond, "left_semi")
-                .select(_FILE_COL)
-                .distinct()
-                .collect()
-            )
             uri_to_log = {file_uri(t.path, p): p for p in snap.files}
-            touched_set = {uri_to_log[r[_FILE_COL]] for r in touched_rows}
+            touched_set: set[str] = set()
+            if self._matched:
+                # only matched clauses mutate rows that DO match the
+                # source; a by-source-only merge leaves matched rows
+                # untouched, so those files need no rewrite (and no scan)
+                touched_rows = (
+                    with_file.join(src, cond, "left_semi")
+                    .select(_FILE_COL)
+                    .distinct()
+                    .collect()
+                )
+                touched_set = {uri_to_log[r[_FILE_COL]] for r in touched_rows}
             if bys:
                 # by-source clauses mutate target rows that match NOTHING
                 # in the source, so files untouched by the semi-join may
@@ -325,10 +330,36 @@ class MergeBuilder:
                     ).otherwise(rcv)
                 out_cols.append(rcv.alias(rowtracking.MAT_ROW_COMMIT))
 
-            matched_out = joined
-            if delete_ids:
-                matched_out = matched_out.filter(~F.col(_ACTION_COL).isin(delete_ids))
-            matched_out = matched_out.select(*out_cols)
+            if n_update_clauses:
+                matched_out = joined
+                if delete_ids:
+                    matched_out = matched_out.filter(
+                        ~F.col(_ACTION_COL).isin(delete_ids)
+                    )
+                matched_out = matched_out.select(*out_cols)
+            else:
+                # No update clause: every surviving matched row keeps its
+                # current values, so rebuild from the target side alone.
+                # left_semi emits each target row exactly once even when
+                # >1 source row matches — the inner join above would write
+                # a multiply-matched row once per matching source row.
+                matched_out = t_touched.join(src, cond, "left_semi")
+                if delete_ids:
+                    # drop rows where ANY matching source row fires a
+                    # delete clause (Delta allows multi-match for
+                    # delete-only merges; the result is deterministic)
+                    del_keys = (
+                        joined.filter(F.col(_ACTION_COL).isin(delete_ids))
+                        .select(
+                            F.col(f"{t_alias}.{_FILE_COL}").alias(_FILE_COL),
+                            F.col(f"{t_alias}.{_ROW_COL}").alias(_ROW_COL),
+                        )
+                        .distinct()
+                    )
+                    matched_out = matched_out.join(
+                        del_keys, [_FILE_COL, _ROW_COL], "left_anti"
+                    )
+                matched_out = matched_out.select(*out_cols)
             outputs.append(matched_out)
 
             anti = t_touched.join(src, cond, "left_anti")
@@ -1488,6 +1519,7 @@ class DeltaTable:
         self, snap, new_schema, operation: str, params: dict[str, Any],
         configuration: dict[str, str] | None = None,
         extra_actions: list[dict[str, Any]] | None = None,
+        at_version: int | None = None,
     ) -> int:
         from .log import Metadata
 
@@ -1504,18 +1536,21 @@ class DeltaTable:
             name=snap.metadata.name,
             createdTime=snap.metadata.createdTime,
         )
-        return self._log.commit_next(
-            [
-                CommitInfo(
-                    operation=operation,
-                    operationParameters=params,
-                    readVersion=snap.version,
-                ).to_action(),
-                *(extra_actions or []),
-                meta.to_action(),
-            ],
-            retries=0,
-        )
+        actions = [
+            CommitInfo(
+                operation=operation,
+                operationParameters=params,
+                readVersion=snap.version,
+            ).to_action(),
+            *(extra_actions or []),
+            meta.to_action(),
+        ]
+        if at_version is not None:
+            # pin the exact version: the caller embedded it in the
+            # metadata (e.g. typeChanges tableVersion provenance), so a
+            # concurrent commit must fail loudly, never land elsewhere
+            return self._log.commit(at_version, actions)
+        return self._log.commit_next(actions, retries=0)
 
     def _feature_upgrade(self, snap, feature: str) -> list[dict[str, Any]]:
         """Protocol action adding a reader feature, or [] when the table
@@ -1727,6 +1762,7 @@ class DeltaTable:
                 "to": new_dt.simpleString(),
             },
             extra_actions=self._feature_upgrade(snap, "typeWidening"),
+            at_version=snap.version + 1,
         )
 
     def rename_column(self, old: str, new: str) -> int:

@@ -296,6 +296,43 @@ def test_in_commit_timestamps_monotonic_and_protocol(spark, tmp_path):
     assert log.version_at_timestamp(t3) == v3
 
 
+def test_ict_monotonic_across_expired_commit_jsons(spark, tmp_path):
+    """ICT monotonicity must survive log retention: when the previous
+    commit's JSON has expired behind a checkpoint, the new ICT clamps
+    against the latestIct persisted in _last_checkpoint instead of
+    regressing to the (possibly earlier) wall clock."""
+    import os
+
+    from delta_lake_spark import log as dlog
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.writer import write_delta
+
+    path = str(tmp_path / "ictexp")
+    df = spark.range(3).withColumnRenamed("id", "k")
+    write_delta(
+        df, path, properties={"delta.enableInCommitTimestamps": "true"}
+    )
+    v1 = write_delta(df, path)
+    log = DeltaLog(path)
+    log.write_checkpoint(v1)
+    t1 = log.commit_timestamp(v1)
+    with open(log._last_checkpoint_file()) as fh:
+        assert json.load(fh)["latestIct"] == t1
+
+    # simulate retention expiry of every commit JSON behind the checkpoint
+    for v in range(v1 + 1):
+        os.remove(log._version_file(v))
+    real = dlog._utc_millis
+    try:
+        dlog._utc_millis = lambda: real() - 3_600_000  # clock 1h behind
+        v2 = write_delta(df, path)
+    finally:
+        dlog._utc_millis = real
+    fresh = DeltaLog(path)
+    t2 = fresh.commit_timestamp(v2)
+    assert t2 == t1 + 1  # clamped against the checkpointed ICT
+
+
 def test_in_commit_timestamps_at_creation(spark, tmp_path):
     """A table created with the property on carries the writer feature
     from version 0 and stamps the creation commit."""
@@ -352,6 +389,70 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     assert torn._checkpoint_part_files(v) == []
     assert torn._nearest_checkpoint(v) is None
     assert set(torn.snapshot().files) == expected_files  # replayed
+
+
+def test_multipart_checkpoint_rejects_mixed_generations(spark, tmp_path):
+    """Leftover parts from a DIFFERENT-part-count checkpoint generation
+    at the same version must never be stitched into a valid set (e.g.
+    part 1-of-2 plus part 3-of-3 has len==declared but silently drops
+    adds). Mixed sets read as no-checkpoint; a complete set matching the
+    _last_checkpoint 'parts' field still resolves."""
+    import glob
+    import os
+    import shutil
+
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.writer import write_delta
+
+    path = str(tmp_path / "mixed")
+    for i in range(4):
+        write_delta(
+            spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "k"),
+            path,
+        )
+    log = DeltaLog(path)
+    expected_files = set(log.snapshot().files)
+    v = log.write_checkpoint(parts=3)
+    parts3 = sorted(
+        glob.glob(
+            os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.*.*.parquet")
+        )
+    )
+    assert len(parts3) == 3
+    ldir = os.path.join(path, "_delta_log")
+
+    # 1) adversarial: part 1-of-2 + part 3-of-3 (len==2 tricked the old
+    #    len(found)==declared check) -> must read as no checkpoint
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for p in parts3:
+        shutil.copy(p, stash)
+    os.remove(parts3[0])
+    os.remove(parts3[1])
+    fake = os.path.join(ldir, f"{v:020d}.checkpoint.0000000001.0000000002.parquet")
+    shutil.copy(parts3[2], fake)
+    os.remove(os.path.join(ldir, "_last_checkpoint"))
+    torn = DeltaLog(path)
+    assert torn._checkpoint_part_files(v) == []
+    assert set(torn.snapshot().files) == expected_files  # replayed, not dropped
+
+    # 2) complete 3-part set + stray 1-of-2 leftover, pointer says 3 parts
+    for p in parts3:
+        shutil.copy(os.path.join(stash, os.path.basename(p)), p)
+    with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": v, "parts": 3}, fh)
+    ok = DeltaLog(path)
+    assert len(ok._checkpoint_part_files(v)) == 3
+    assert set(ok.snapshot().files) == expected_files
+
+    # 3) two COMPLETE generations, no pointer to arbitrate -> ambiguous,
+    #    fall back to replay
+    fake2 = os.path.join(ldir, f"{v:020d}.checkpoint.0000000002.0000000002.parquet")
+    shutil.copy(parts3[2], fake2)
+    os.remove(os.path.join(ldir, "_last_checkpoint"))
+    amb = DeltaLog(path)
+    assert amb._checkpoint_part_files(v) == []
+    assert set(amb.snapshot().files) == expected_files
 
 
 def test_multipart_checkpoint_auto_split_threshold(spark, tmp_path):

@@ -668,6 +668,51 @@ def test_merge_by_source_only_clause_touches_unmatched_files(spark, table, tmp_t
     assert got2.filter("status = 'keep'").count() == 0  # no matched clause
 
 
+def test_merge_by_source_only_multimatch_no_duplication(spark, table, tmp_table):
+    """A by-source-only MERGE whose source matches a target row MORE THAN
+    ONCE must not duplicate that row: matched rows are untouched by
+    whenNotMatchedBySource, so each must survive exactly once even when
+    its file is rewritten for by-source updates."""
+    # two source rows for device_id=1 (multi-match), none for the rest
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "device_id long, tag string"
+    )
+    (
+        table.alias("t")
+        .merge(src, "t.device_id = s.device_id", source_alias="s")
+        .whenNotMatchedBySourceUpdate(set={"status": "'orphaned'"})
+        .execute()
+    )
+    got = read_delta(spark, tmp_table)
+    assert got.count() == 100  # no duplicates, no losses
+    assert got.filter("device_id = 1").count() == 1
+    assert got.filter("device_id = 1").collect()[0].status == "new"  # untouched
+    assert got.filter("status = 'orphaned'").count() == 99
+
+
+def test_merge_delete_only_multimatch(spark, table, tmp_table):
+    """Delete-only matched merges allow multi-match (Delta semantics:
+    the result is deterministic). A row whose matches all fail the
+    delete condition must survive exactly once; a row where ANY match
+    fires the delete must be dropped."""
+    src = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 100), (2, 3)],
+        "device_id long, threshold int",
+    )
+    (
+        table.alias("t")
+        .merge(src, "t.device_id = s.device_id", source_alias="s")
+        .whenMatchedDelete(condition="s.threshold > 50")
+        .execute()
+    )
+    got = read_delta(spark, tmp_table)
+    # device 2 had one firing match (threshold=100) -> deleted;
+    # device 1's matches never fire -> kept exactly once
+    assert got.filter("device_id = 2").count() == 0
+    assert got.filter("device_id = 1").count() == 1
+    assert got.count() == 99
+
+
 def test_table_changes_by_timestamp(spark, tmp_table):
     """CDF timestamp addressing: startingTimestamp resolves to the first
     commit after that time (exact-time commit included), honoring

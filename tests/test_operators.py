@@ -209,7 +209,9 @@ def test_prefix_filter_equals_full_index(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     full = {
         (r.id_1, r.id_2, round(r.jaccard, 9))
-        for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", prefix_filter=False
+        ).collect()
     }
     pref = {
         (r.id_1, r.id_2, round(r.jaccard, 9))

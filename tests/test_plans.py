@@ -444,3 +444,17 @@ def test_q125_broadcasts_nation_dims(spark):
     plan = _plan(q125_nation_volume_shipping(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q31_default_takes_prefix_filter_path(spark):
+    """ngram_jaccard_pairs at DEFAULT args must take the prefix-filter
+    (Bayardo all-pairs) candidate path — the rarity ranking's window
+    sort proves it — never the full-postings self-join, whose candidate
+    set explodes with boilerplate shingles at corpus scale."""
+    from delta_lake_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, "text", "doc_id"))
+    # the prefix path is identified by the rarity row_number window
+    assert "row_number" in plan.lower()
+    assert "CartesianProduct" not in plan

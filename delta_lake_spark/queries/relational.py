@@ -1667,6 +1667,125 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q127 profit by nation/year (TPC-H Q9 shape): the multi-fact join-order
+# stress — lineitem joined to part, supplier, orders, nation in one plan
+# --------------------------------------------------------------------------
+
+def q127_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp table in this schema: supply cost is
+    modeled as 10% of p_retailprice): profit per (supplier nation,
+    order year) over parts matching a name filter.
+
+    Join-order discipline for 100 TB: lineitem (the fat fact) is joined
+    FIRST against the filtered part relation on l_partkey — the most
+    selective reduction — then orders on l_orderkey, then supplier;
+    only nation (25 rows) is broadcast. Neither fact may ever be the
+    build side of a nested-loop: all joins carry equi keys
+    (plan-tested). Decimal(12,2) staging keeps the three-way product
+    exact within precision 38 on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+
+    d = lambda c: (F.col(c) if isinstance(c, str) else c).cast("decimal(12,2)")
+    amount = d("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - d("l_discount")
+    ) - d("p_retailprice") * F.lit("0.10").cast("decimal(12,2)") * d("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .select("nation", "o_year", F.round("sum_profit", 2).alias("sum_profit"))
+    )
+
+
+_Q127_SQL = """
+SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+    CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(l.l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+      - CAST(p.p_retailprice AS DECIMAL(12,2))
+        * CAST('0.10' AS DECIMAL(12,2))
+        * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%'
+)
+GROUP BY nation, o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# q128 large-order customers (TPC-H Q18 shape): IN-subquery on an
+# aggregated fact, then re-join the fact — the classic double-scan agg
+# --------------------------------------------------------------------------
+
+def q128_large_order_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers whose orders exceed 300 total units.
+    The IN-subquery (orders with sum(l_quantity) > 300) becomes a
+    left-semi join against the pre-aggregated lineitem — partial
+    aggregation runs map-side before the one shuffle on l_orderkey, and
+    the (tiny) qualifying-order set then drives the re-join. Top-k by
+    (o_totalprice DESC, o_orderkey) as TakeOrdered, never a global
+    sort; o_orderkey breaks ties so LIMIT is deterministic across
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q128_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+  ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q119_funnel_conversion": q119_funnel_conversion,
@@ -1674,6 +1793,8 @@ QUERIES = {
     "q121_retention_cohorts": q121_retention_cohorts,
     "q123_waiting_supplier": q123_waiting_supplier,
     "q125_nation_volume_shipping": q125_nation_volume_shipping,
+    "q127_profit_by_nation_year": q127_profit_by_nation_year,
+    "q128_large_order_customers": q128_large_order_customers,
     "q21_json_roundtrip": q21_json_roundtrip,
     "q02_top_unshipped_orders": q02_top_unshipped_orders,
     "q03_region_revenue": q03_region_revenue,
@@ -1727,6 +1848,8 @@ ORACLE_SQL = {
     "q121_retention_cohorts": _Q121_SQL,
     "q123_waiting_supplier": _Q123_SQL,
     "q125_nation_volume_shipping": _Q125_SQL,
+    "q127_profit_by_nation_year": _Q127_SQL,
+    "q128_large_order_customers": _Q128_SQL,
     "q21_json_roundtrip": _Q21_SQL,
     "q02_top_unshipped_orders": _Q02_SQL,
     "q03_region_revenue": _Q03_SQL,

@@ -482,3 +482,50 @@ def test_multipart_checkpoint_auto_split_threshold(spark, tmp_path):
     )
     assert len(parts) == 3
     assert len(DeltaLog(path).snapshot().files) == 30
+
+
+def test_checkpoint_bounds_cold_start_under_churn(tmp_path):
+    """The checkpoint fast path: after heavy churn (history >> live
+    set), a cold snapshot must resolve from checkpoint + tail ONLY —
+    no JSON read at or below the checkpoint version — and reproduce
+    the exact live file set (see SCALING.md measured table; this
+    guards the structure, timing is the microbench's job)."""
+    from delta_lake_spark.log import AddFile, CommitInfo, DeltaLog, Metadata, RemoveFile
+
+    path = str(tmp_path / "churn")
+    log = DeltaLog(path, checkpoint_interval=0)
+    n = 500
+    adds = [
+        AddFile(path=f"data/f{i:05d}.parquet", size=1, numRecords=1).to_action()
+        for i in range(n)
+    ]
+    log.commit(0, [CommitInfo(operation="WRITE").to_action(),
+                   Metadata(schemaString=SCHEMA).to_action()] + adds)
+    # churn: rewrite the same 100-file slice 6 times
+    for c in range(1, 7):
+        acts = [CommitInfo(operation="OPTIMIZE").to_action()]
+        old = (
+            [f"data/f{i:05d}.parquet" for i in range(100)]
+            if c == 1
+            else [f"data/rw{c-1}-{i:05d}.parquet" for i in range(100)]
+        )
+        acts += [RemoveFile(path=p).to_action() for p in old]
+        acts += [
+            AddFile(path=f"data/rw{c}-{i:05d}.parquet", size=1, numRecords=1).to_action()
+            for i in range(100)
+        ]
+        log.commit(c, acts)
+    expected = set(log.snapshot().files)
+    ckpt_v = log.write_checkpoint(parts=3)  # multi-part at the head (v6)
+    log.commit(7, [CommitInfo(operation="WRITE").to_action(),
+                   AddFile(path="data/tail.parquet", size=1, numRecords=1).to_action()])
+    expected.add("data/tail.parquet")
+
+    cold = DeltaLog(path, checkpoint_interval=0)
+    reads: list[int] = []
+    orig = cold._read_actions
+    cold._read_actions = lambda v: (reads.append(v), orig(v))[1]
+    snap = cold.snapshot()
+    assert set(snap.files) == expected
+    assert reads == [7]  # only the tail after the multi-part checkpoint
+    assert ckpt_v == 6

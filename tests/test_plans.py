@@ -458,3 +458,35 @@ def test_q31_default_takes_prefix_filter_path(spark):
     # the prefix path is identified by the rarity row_number window
     assert "row_number" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_q127_multifact_join_discipline(spark):
+    """TPC-H Q9 shape: every join carries an equi key (no BNLJ, no
+    cartesian), only nation broadcasts, and the lineitem fact is never
+    a broadcast build side."""
+    from delta_lake_spark.queries.relational import q127_profit_by_nation_year
+
+    plan = _plan(q127_profit_by_nation_year(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # nation (and small dims at test SF)
+    # the fat fact must never be broadcast: no broadcast exchange whose
+    # child scans lineitem
+    import re as _re
+
+    for m in _re.finditer(r"BroadcastExchange[^\n]*\n((?:\s+[^\n]*\n)*)", plan):
+        assert "lineitem" not in m.group(0)
+
+
+def test_q128_semi_join_and_takeordered(spark):
+    """TPC-H Q18 shape: the IN-subquery plans as a semi join on the
+    pre-aggregated fact; top-k is TakeOrdered, not a global sort; the
+    lineitem agg has a map-side partial phase."""
+    from delta_lake_spark.queries.relational import q128_large_order_customers
+
+    plan = _plan(q128_large_order_customers(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle

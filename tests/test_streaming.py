@@ -492,3 +492,117 @@ def test_stream_dedup_into_corpus_incremental(spark, tmp_path):
         == "dls_corpus_dedup"
     ]
     assert sorted(v for v in ops if v is not None) == [0, 1, 2]
+
+
+def _crashed_checkpoint_copy(ckpt: str, dest: str) -> int:
+    """Build the checkpoint state a crash BETWEEN the table commit and
+    the streaming checkpoint commit leaves behind: the offsets/<epoch>
+    intent exists but the commits/<epoch> completion marker does not,
+    so a restarted process replays that epoch. Copies the checkpoint
+    (a restart is a fresh process — in-session Spark caches the commit
+    log, so mutating the live dir trips its concurrent-use guard) and
+    drops the newest commit marker. Returns the torn epoch id."""
+    import os
+    import shutil
+
+    shutil.copytree(ckpt, dest)
+    commits = os.path.join(dest, "commits")
+    epochs = sorted(
+        int(f) for f in os.listdir(commits) if not f.startswith(".")
+    )
+    last = epochs[-1]
+    os.remove(os.path.join(commits, str(last)))
+    crc = os.path.join(commits, f".{last}.crc")  # hadoop checksum sidecar:
+    if os.path.exists(crc):  # left behind, the rewrite would throw
+        os.remove(crc)  # FileAlreadyExistsException
+    return last
+
+
+def test_stream_into_delta_crash_restart_no_dupes(spark, tmp_path):
+    """Kill-and-restart-from-checkpoint for the delta sink: an epoch
+    committed to the TABLE but torn from the streaming checkpoint is
+    replayed on restart and must be skipped by the (txnAppId, epoch)
+    bookkeeping — no duplicate rows, no lost rows, no extra commit."""
+    from delta_lake_spark import read_delta
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.streaming.incremental import stream_into_delta
+
+    events = _events(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "crash_src")
+    tbl = str(tmp_path / "crash_tbl")
+    ckpt = str(tmp_path / "crash_ckpt")
+    schema = "event_id long, user_id long, event_type string, value double"
+
+    _write_chunk(spark, events, src, 0, 400)
+    stream_into_delta(spark, src, tbl, ckpt, schema)
+    expected = events.filter("event_id < 400").count()
+    assert read_delta(spark, tbl).count() == expected
+    n_commits = DeltaLog(tbl).latest_version() + 1
+
+    ckpt2 = str(tmp_path / "crash_ckpt_recovered")
+    torn = _crashed_checkpoint_copy(ckpt, ckpt2)
+    stream_into_delta(spark, src, tbl, ckpt2, schema)  # restart: replays torn epoch
+    assert read_delta(spark, tbl).count() == expected  # no dupes, no loss
+    assert DeltaLog(tbl).latest_version() + 1 == n_commits  # epoch skipped
+
+    # and the stream still makes progress after recovery
+    _write_chunk(spark, events, src, 400, 600)
+    stream_into_delta(spark, src, tbl, ckpt2, schema)
+    assert read_delta(spark, tbl).count() == events.filter("event_id < 600").count()
+    assert torn >= 0
+
+
+def test_stream_dedup_into_corpus_crash_restart(spark, tmp_path):
+    """Kill-and-restart-from-checkpoint for the streaming corpus dedup
+    sink: the replayed epoch must neither re-append its documents nor
+    drop documents from later epochs."""
+    import os
+
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.streaming.incremental import stream_dedup_into_corpus
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    batches = [
+        docs,
+        docs.selectExpr("doc_id + 1000 AS doc_id", "text"),  # all dups
+        docs.selectExpr("doc_id + 2000 AS doc_id", "text || ' y' AS text"),
+    ]
+    for i, b in enumerate(batches):
+        d = f"{stage}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+
+    table = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    out = stream_dedup_into_corpus(
+        spark, src, table, ckpt, schema="doc_id long, text string"
+    )
+    n_docs = docs.count()
+    assert out.count() == 2 * n_docs
+    versions_before = DeltaLog(table).latest_version()
+
+    ckpt2 = str(tmp_path / "ckpt_recovered")
+    _crashed_checkpoint_copy(ckpt, ckpt2)
+    out2 = stream_dedup_into_corpus(
+        spark, src, table, ckpt2, schema="doc_id long, text string"
+    )
+    ids = {r.doc_id for r in out2.select("doc_id").collect()}
+    assert len(ids) == 2 * n_docs  # replay appended nothing
+    assert all(i < 1000 or i >= 2000 for i in ids)
+    assert DeltaLog(table).latest_version() == versions_before
+    # txn bookkeeping still shows each epoch exactly once
+    ops = [
+        (h.get("operationParameters") or {}).get("txnVersion")
+        for h in DeltaLog(table).history()
+        if (h.get("operationParameters") or {}).get("txnAppId")
+        == "dls_corpus_dedup"
+    ]
+    assert sorted(v for v in ops if v is not None) == [0, 1, 2]

@@ -690,6 +690,27 @@ def dedup_against_corpus(
     return out.drop("__norm", "__bh")
 
 
+def _banded_bucket_rows(
+    hashed: DataFrame, id_col: str, out: str, k: int, bands: int, seed: int
+) -> DataFrame:
+    """(out, band, bucket) LSH rows from hashed shingles: the banded
+    signature slices a production index persists and equi-joins on."""
+    rows = k // bands
+    sig = _signatures_from_hashed(hashed, id_col, k=k, seed=seed)
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                F.slice(F.col("sig"), i * rows + 1, rows).cast("string")
+            ).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias(out), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(out, "bb.band", "bb.bucket")
+
+
 def cross_corpus_near_dups(
     batch: DataFrame,
     corpus: DataFrame,
@@ -720,7 +741,6 @@ def cross_corpus_near_dups(
     """
     sh_b = word_shingles(batch, text_col, id_col, n)
     sh_c = word_shingles(corpus, text_col, id_col, n)
-    rows = k // bands
 
     hashed_b = _hash_shingles(sh_b, id_col)
     hashed_c = _hash_shingles(sh_c, id_col)
@@ -745,24 +765,12 @@ def cross_corpus_near_dups(
         hashed_b = hashed_b.join(F.broadcast(hot), "__h", "left_anti")
         hashed_c = hashed_c.join(F.broadcast(hot), "__h", "left_anti")
 
-    def _banded(hashed: DataFrame, out: str) -> DataFrame:
-        sig = _signatures_from_hashed(hashed, id_col, k=k, seed=seed)
-        band_cols = [
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.slice(F.col("sig"), i * rows + 1, rows).cast("string")
-                ).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-        return sig.select(
-            F.col(id_col).alias(out), F.explode(F.array(*band_cols)).alias("bb")
-        ).select(out, "bb.band", "bb.bucket")
-
     cand = (
-        _banded(hashed_b, "batch_id")
-        .join(_banded(hashed_c, "corpus_id"), ["band", "bucket"])
+        _banded_bucket_rows(hashed_b, id_col, "batch_id", k, bands, seed)
+        .join(
+            _banded_bucket_rows(hashed_c, id_col, "corpus_id", k, bands, seed),
+            ["band", "bucket"],
+        )
         .select("batch_id", "corpus_id")
         .distinct()
     )
@@ -785,6 +793,216 @@ def cross_corpus_near_dups(
             sizes_c.select(F.col(id_col).alias("corpus_id"), "n_c"),
             "corpus_id",
         )
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.col("n_inter")
+                / (F.col("n_b") + F.col("n_c") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Persistent incremental LSH signature index: compute corpus signatures
+# ONCE, maintain them on append, and run every daily batch against the
+# stored index — at 100 TB the corpus side is never re-shingled.
+# --------------------------------------------------------------------------
+
+_IDX_PROP = "dls.lshIndex."  # table-property prefix on the buckets table
+
+
+def _index_tables(index_path: str) -> tuple[str, str, str]:
+    return (
+        f"{index_path}/buckets",  # (doc id, band, bucket) LSH rows
+        f"{index_path}/sizes",    # (doc id, n_sh) full shingle-set sizes
+        f"{index_path}/hot",      # (__h) frozen stop-shingle hashes
+    )
+
+
+def _index_params(spark, index_path: str) -> dict:
+    from ..log import DeltaLog
+
+    conf = DeltaLog(_index_tables(index_path)[0]).snapshot().metadata.configuration
+    return {
+        key: int(conf[_IDX_PROP + key]) for key in ("n", "k", "bands", "seed")
+    }
+
+
+def build_signature_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_doc_freq: float | None = 0.1,
+) -> None:
+    """Build the persistent LSH signature index for ``corpus``: three
+    versioned tables under ``index_path`` (banded bucket rows, per-doc
+    shingle-set sizes, and the stop-shingle hash set), with the LSH
+    parameters pinned as table properties so every later update and
+    query provably uses the same family.
+
+    The ``max_doc_freq`` stop-shingle guard is computed from the corpus
+    at BUILD time and frozen: signatures must stay comparable across
+    incremental updates, so the exclusion set cannot drift with each
+    batch (corpus-scale doc-freq changes slowly; rebuild the index to
+    refresh it). Build cost is one shingle pass + one aggregation —
+    the same work ``cross_corpus_near_dups`` would spend on the corpus
+    side of a SINGLE batch, here amortized over every future batch."""
+    from ..writer import write_delta
+
+    spark = corpus.sparkSession
+    t_buckets, t_sizes, t_hot = _index_tables(index_path)
+    sh = _cache_shingles(word_shingles(corpus, text_col, id_col, n))
+    hashed = _hash_shingles(sh, id_col)
+
+    if max_doc_freq is not None:
+        n_docs = corpus.count()
+        mod = min(50, max(1, int(max_doc_freq * n_docs / 50)))
+        if mod > 1:
+            freq_src = hashed.filter(
+                F.pmod(F.xxhash64(F.col(id_col), F.col("__h")), F.lit(mod)) == 0
+            )
+            cutoff = max_doc_freq * n_docs / mod
+        else:
+            freq_src = hashed
+            cutoff = max_doc_freq * n_docs
+        hot = (
+            freq_src.groupBy("__h")
+            .count()
+            .filter(F.col("count") > cutoff)
+            .select("__h")
+        )
+    else:
+        hot = spark.range(0).select(F.col("id").alias("__h"))
+    write_delta(hot, t_hot, mode="overwrite")
+
+    from ..reader import read_delta
+
+    hot_stored = read_delta(spark, t_hot)
+    hashed = hashed.join(F.broadcast(hot_stored), "__h", "left_anti")
+    buckets = _banded_bucket_rows(hashed, id_col, id_col, k, bands, seed)
+    write_delta(
+        buckets,
+        t_buckets,
+        mode="overwrite",
+        properties={
+            _IDX_PROP + "n": str(n),
+            _IDX_PROP + "k": str(k),
+            _IDX_PROP + "bands": str(bands),
+            _IDX_PROP + "seed": str(seed),
+        },
+    )
+    write_delta(
+        sh.groupBy(id_col).agg(F.count("*").alias("n_sh")),
+        t_sizes,
+        mode="overwrite",
+    )
+
+
+def update_signature_index(
+    new_docs: DataFrame, text_col: str, id_col: str, index_path: str
+) -> None:
+    """Incrementally extend the index with newly-appended corpus docs:
+    signatures are computed for the NEW docs only (under the frozen
+    parameters and stop-shingle set) and appended transactionally —
+    repeated daily dedup never re-shingles the existing corpus. Ids
+    already present are skipped, so replaying an update is a no-op
+    (idempotent under at-least-once pipelines)."""
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    spark = new_docs.sparkSession
+    t_buckets, t_sizes, t_hot = _index_tables(index_path)
+    p = _index_params(spark, index_path)
+
+    known = read_delta(spark, t_sizes).select(id_col)
+    fresh = new_docs.join(known, id_col, "left_anti")
+    sh = _cache_shingles(word_shingles(fresh, text_col, id_col, p["n"]))
+    hashed = _hash_shingles(sh, id_col).join(
+        F.broadcast(read_delta(spark, t_hot)), "__h", "left_anti"
+    )
+    write_delta(
+        _banded_bucket_rows(hashed, id_col, id_col, p["k"], p["bands"], p["seed"]),
+        t_buckets,
+        mode="append",
+    )
+    write_delta(
+        sh.groupBy(id_col).agg(F.count("*").alias("n_sh")),
+        t_sizes,
+        mode="append",
+    )
+
+
+def near_dups_against_index(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs between ``batch`` and the indexed corpus —
+    ``cross_corpus_near_dups`` with the corpus side served from the
+    persistent index: candidate generation equi-joins the batch's
+    banded signatures against the STORED bucket rows, and only the
+    candidate corpus docs are re-read (semi-join on id) for the exact
+    jaccard verification. Per-batch cost is O(batch signatures +
+    candidates), independent of corpus size outside the one bucket
+    equi-join.
+
+    Returns: batch_id, corpus_id, jaccard (exact, over full sets)."""
+    from ..reader import read_delta
+
+    spark = batch.sparkSession
+    t_buckets, t_sizes, t_hot = _index_tables(index_path)
+    p = _index_params(spark, index_path)
+
+    sh_b = _cache_shingles(word_shingles(batch, text_col, id_col, p["n"]))
+    hashed_b = _hash_shingles(sh_b, id_col).join(
+        F.broadcast(read_delta(spark, t_hot)), "__h", "left_anti"
+    )
+    cand = (
+        _banded_bucket_rows(
+            hashed_b, id_col, "batch_id", p["k"], p["bands"], p["seed"]
+        )
+        .join(
+            read_delta(spark, t_buckets).select(
+                F.col(id_col).alias("corpus_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+    # exact verification: shingle ONLY the candidate corpus docs
+    cand_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    sh_c = word_shingles(
+        corpus.join(cand_ids, id_col, "left_semi"), text_col, id_col, p["n"]
+    )
+    sizes_b = sh_b.groupBy(id_col).agg(F.count("*").alias("n_b"))
+    sizes_c = read_delta(spark, t_sizes).select(
+        F.col(id_col).alias("corpus_id"), F.col("n_sh").alias("n_c")
+    )
+    inter = (
+        cand.join(sh_b.select(F.col(id_col).alias("batch_id"), "shingle"), "batch_id")
+        .join(
+            sh_c.select(F.col(id_col).alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes_b.select(F.col(id_col).alias("batch_id"), "n_b"), "batch_id")
+        .join(sizes_c, "corpus_id")
         .select(
             "batch_id",
             "corpus_id",

@@ -1407,10 +1407,89 @@ WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
 """
 
 
+def q129_incremental_lsh_index(spark, sf_dir):
+    """Persistent incremental LSH signature index: build the index once
+    over the corpus, APPEND a day-2 batch of new docs updating only
+    their signatures (the existing corpus is never re-shingled), then
+    run a probe batch against the stored index. The probe has near-dups
+    in BOTH generations — original docs (every 5th, ' appended') and
+    day-2 docs (every 35th base doc shared with the ' extra' derivative)
+    — so a stale or missing incremental update fails the oracle, which
+    recomputes the exact batch x full-corpus inverted-index jaccard."""
+    from ..operators.dedup import (
+        build_signature_index,
+        near_dups_against_index,
+        update_signature_index,
+    )
+    from ..queries.delta_ops import _fresh
+
+    docs = _docs(spark, sf_dir)
+    idx = _fresh("lsh_index")
+    build_signature_index(docs, "text", "doc_id", idx)
+
+    day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    update_signature_index(day2, "text", "doc_id", idx)
+
+    corpus = docs.select("doc_id", "text").unionByName(day2)
+    probe = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    out = near_dups_against_index(probe, corpus, "text", "doc_id", idx)
+    return out.select(
+        "batch_id", "corpus_id", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+_Q129_SQL = """
+WITH day2 AS (
+  SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM day2
+),
+bdocs AS (
+  SELECT doc_id + 200000 AS doc_id, text || ' appended' AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+bw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM bdocs),
+cw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+bsh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM bw)
+  WHERE i + 2 <= len(w)
+),
+csh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM cw)
+  WHERE i + 2 <= len(w)
+),
+bn AS (SELECT doc_id, COUNT(*) AS n_b FROM bsh GROUP BY doc_id),
+cn AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY doc_id),
+inter AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS n_i
+  FROM bsh b JOIN csh c USING (shingle)
+  GROUP BY b.doc_id, c.doc_id
+)
+SELECT i.batch_id, i.corpus_id,
+  ROUND(i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i), 9) AS jaccard
+FROM inter i
+JOIN bn ON i.batch_id = bn.doc_id
+JOIN cn ON i.corpus_id = cn.doc_id
+WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
+    "q129_incremental_lsh_index": q129_incremental_lsh_index,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
     "q33_dedup_simhash": q33_dedup_simhash,
@@ -1493,4 +1572,5 @@ ORACLE_SQL = {
     "q118_remove_dup_spans": _Q118_SQL,
     "q122_top_terms_per_source": _Q122_SQL,
     "q124_cross_corpus_near_dups": _Q124_SQL,
+    "q129_incremental_lsh_index": _Q129_SQL,
 }

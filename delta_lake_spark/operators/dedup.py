@@ -39,6 +39,12 @@ from pyspark.sql import functions as F
 # result still references only forces recompute, never wrong results.
 _last_shingle_cache: list = []
 
+# ngram_jaccard_pairs auto-strategy crossover: above this many docs the
+# prefix-filtered (bounded-candidate) path is chosen; at or below it the
+# full inverted index is both faster (fewer shuffles) and safe (the
+# explosion regime needs corpus-scale boilerplate repetition)
+PREFIX_FILTER_MIN_DOCS = 500_000
+
 
 def _cache_shingles(sh: DataFrame) -> DataFrame:
     while _last_shingle_cache:
@@ -104,23 +110,33 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.6,
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """EXACT near-duplicate pairs (id_1 < id_2, jaccard >= threshold)
     over word n-gram shingle sets via an inverted index.
 
-    The default candidate generation is prefix filtering (Bayardo et
-    al. WWW'07 all-pairs): only each doc's |d| - ceil(t*|d|) + 1
-    globally-rarest shingles build the index, so frequent boilerplate
-    shingles never explode the candidate set — the property that keeps
-    this runnable at corpus scale. ``prefix_filter=False`` falls back
-    to the full inverted index (every shared shingle emits a pair row:
-    fewer shuffles, identical output) — acceptable only for small or
-    boilerplate-free corpora where |docs x shingles| self-join fits.
+    Two identical-output candidate strategies, chosen by corpus size
+    when ``prefix_filter`` is None (one cheap count — the same way
+    Catalyst picks broadcast vs shuffle joins by size):
+
+    - ``prefix_filter=True`` (auto above ``PREFIX_FILTER_MIN_DOCS``):
+      prefix filtering (Bayardo et al. WWW'07 all-pairs) — only each
+      doc's |d| - ceil(t*|d|) + 1 globally-RAREST shingles build the
+      index, so frequent boilerplate shingles never explode the
+      candidate set. This is the property that keeps exact all-pairs
+      runnable at corpus scale; the rarity ranking costs two extra
+      shuffles, which the bounded candidate set repays there.
+    - ``prefix_filter=False`` (auto at/below the threshold): the full
+      inverted index — every shared shingle emits one pair row, fewer
+      shuffles, and at small scale the |docs x shingles| self-join is
+      bounded by the input itself, so nothing can explode.
 
     Returns columns: id_1, id_2, jaccard (double).
     """
     from pyspark.sql import Window
+
+    if prefix_filter is None:
+        prefix_filter = df.count() > PREFIX_FILTER_MIN_DOCS
 
     sh = _cache_shingles(word_shingles(df, text_col, id_col, n))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

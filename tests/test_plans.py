@@ -446,18 +446,31 @@ def test_q125_broadcasts_nation_dims(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q31_default_takes_prefix_filter_path(spark):
-    """ngram_jaccard_pairs at DEFAULT args must take the prefix-filter
-    (Bayardo all-pairs) candidate path — the rarity ranking's window
-    sort proves it — never the full-postings self-join, whose candidate
-    set explodes with boilerplate shingles at corpus scale."""
-    from delta_lake_spark.operators.dedup import ngram_jaccard_pairs
+def test_ngram_jaccard_auto_strategy_by_corpus_size(spark):
+    """ngram_jaccard_pairs at DEFAULT args must choose its candidate
+    strategy from corpus size (Catalyst-style): above the threshold it
+    takes the prefix-filter (Bayardo all-pairs) path — the rarity
+    row_number window proves it — so boilerplate shingles can never
+    explode the candidate set at corpus scale; at/below it the
+    fewer-shuffle full index wins and nothing can explode."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.dedup import (
+        PREFIX_FILTER_MIN_DOCS,
+        ngram_jaccard_pairs,
+    )
+
+    big = spark.range(PREFIX_FILTER_MIN_DOCS + 1).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e f").alias("text")
+    )
+    plan_big = _plan(ngram_jaccard_pairs(big, "text", "doc_id"))
+    assert "row_number" in plan_big.lower()  # prefix path chosen
+    assert "CartesianProduct" not in plan_big
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = _plan(ngram_jaccard_pairs(docs, "text", "doc_id"))
-    # the prefix path is identified by the rarity row_number window
-    assert "row_number" in plan.lower()
-    assert "CartesianProduct" not in plan
+    plan_small = _plan(ngram_jaccard_pairs(docs, "text", "doc_id"))
+    assert "row_number" not in plan_small.lower()  # full index chosen
+    assert "CartesianProduct" not in plan_small
 
 
 def test_q127_multifact_join_discipline(spark):

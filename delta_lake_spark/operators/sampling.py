@@ -181,3 +181,62 @@ def cap_per_domain(
         .filter(F.col("__r2") <= cap)
         .drop("__r2")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    temperature: float = 0.7,
+    target_rows: int = 100_000,
+    seed: str = "mix-v1",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Temperature-resampled domain mixture — the standard recipe for
+    rebalancing a training corpus across sources/languages: domain d
+    with n_d rows receives a quota m_d = floor(target_rows * n_d^t /
+    sum_i n_i^t). Temperature t < 1 flattens the mixture (rare domains
+    oversampled relative to their share, dominant domains capped),
+    t = 1 preserves proportions, t = 0 equalizes.
+
+    Selection within a domain is the m_d rows with the SMALLEST content
+    hash (md5 of seed||id) — deterministic across runs, partitionings,
+    and engines (the DuckDB oracle replays it exactly), and unbiased by
+    id ordering. Quotas are computed from one tiny per-domain count
+    (|domains| rows to the driver — same contract as
+    ``stratified_sample``'s fractions dict) and broadcast back.
+
+    Scale shape: like ``cap_per_domain``, selection is two bounded
+    window passes (salted top-m_d then re-rank), so a mega-domain never
+    funnels through one task; quota lookup is a broadcast join.
+    """
+    from pyspark.sql import Window
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+    }
+    z = sum(n**temperature for n in counts.values())
+    quotas = [
+        (d, int(target_rows * (n**temperature) / z)) for d, n in counts.items()
+    ]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(quotas, [domain_col, "__m"])  # type-inferred
+
+    bucket = _bucket(F.col(id_col), seed)
+    with_quota = df.join(F.broadcast(qdf), domain_col)
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(domain_col), salt).orderBy(
+        bucket, F.col(id_col)
+    )
+    stage1 = (
+        with_quota.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col("__m"))
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(bucket, F.col(id_col))
+    return (
+        stage1.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= F.col("__m"))
+        .drop("__r2", "__m")
+    )

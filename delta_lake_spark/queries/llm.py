@@ -1407,6 +1407,97 @@ WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
 """
 
 
+def q130_mixture_resample(spark, sf_dir):
+    """Temperature-resampled domain mixture (t=0.7 flattening over the
+    `source` column): quota per domain m_d = floor(target * n_d^0.7 /
+    sum n^0.7), selection = the m_d smallest-md5 rows per domain —
+    deterministic and engine-portable, so the oracle replays quotas AND
+    selection exactly."""
+    from ..operators.sampling import mixture_resample
+
+    out = mixture_resample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "source",
+        "doc_id",
+        temperature=0.7,
+        target_rows=2000,
+    )
+    return out.select("doc_id", "source")
+
+
+_Q130_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+z AS (SELECT SUM(pow(n, 0.7)) AS z FROM counts),
+quota AS (
+  SELECT source, CAST(FLOOR(2000 * pow(n, 0.7) / z.z) AS BIGINT) AS m
+  FROM counts, z
+),
+ranked AS (
+  SELECT doc_id, source, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+  ) AS r
+  FROM documents
+)
+SELECT ranked.doc_id, ranked.source
+FROM ranked JOIN quota USING (source)
+WHERE ranked.r <= quota.m
+"""
+
+
+def q131_quantized_cosine_topk(spark, sf_dir):
+    """Exact top-k cosine over int8-QUANTIZED embeddings (symmetric
+    per-vector scale, floor(x+0.5) rounding): the 4x-smaller ANN path
+    whose integer dot products the oracle replays bit-exactly via
+    list_transform + list_dot_product."""
+    from ..operators.similarity import quantized_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    out = quantized_cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+_Q131_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+),
+s AS (
+  SELECT vec_id, ve,
+    greatest(list_max(list_transform(ve, x -> abs(x))), 1e-30) / 127.0 AS sc
+  FROM v
+),
+qv AS (
+  SELECT vec_id,
+    list_transform(ve, x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS q
+  FROM s
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_dot_product(CAST(b.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(b.q AS DOUBLE[]), CAST(b.q AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[])))) AS sim
+  FROM qv a, qv b
+  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q129_incremental_lsh_index(spark, sf_dir):
     """Persistent incremental LSH signature index: build the index once
     over the corpus, APPEND a day-2 batch of new docs updating only
@@ -1490,6 +1581,8 @@ QUERIES = {
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
+    "q130_mixture_resample": q130_mixture_resample,
+    "q131_quantized_cosine_topk": q131_quantized_cosine_topk,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
     "q33_dedup_simhash": q33_dedup_simhash,
@@ -1573,4 +1666,6 @@ ORACLE_SQL = {
     "q122_top_terms_per_source": _Q122_SQL,
     "q124_cross_corpus_near_dups": _Q124_SQL,
     "q129_incremental_lsh_index": _Q129_SQL,
+    "q130_mixture_resample": _Q130_SQL,
+    "q131_quantized_cosine_topk": _Q131_SQL,
 }

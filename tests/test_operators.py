@@ -955,3 +955,81 @@ def test_signature_index_incremental_equals_rebuilt(spark, tmp_path):
         near_dups_against_index(probe, corpus, "text", "doc_id", full)
     )
     assert got_inc == got_full and len(got_inc) > 0
+
+
+def test_mixture_resample_quotas_and_determinism(spark):
+    """Temperature resampling: per-domain output sizes equal the
+    floor-quota formula; t=0 equalizes domains; selection is stable
+    across partitionings."""
+    from delta_lake_spark.operators.sampling import mixture_resample
+
+    df = spark.range(10_000).selectExpr(
+        "id",
+        "CASE WHEN id % 10 < 7 THEN 'web' WHEN id % 10 < 9 THEN 'book' "
+        "ELSE 'code' END AS src",
+    )
+    counts = {"web": 7000, "book": 2000, "code": 1000}
+    t, target = 0.7, 3000
+    z = sum(n**t for n in counts.values())
+    expect = {d: int(target * (n**t) / z) for d, n in counts.items()}
+
+    out = mixture_resample(df, "src", "id", temperature=t, target_rows=target)
+    got = {
+        r.src: r.n
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
+    # flattening: web's share drops below its 70% corpus share
+    assert got["web"] / sum(got.values()) < 0.7
+    assert got["code"] / sum(got.values()) > 0.1
+
+    # determinism across partitionings
+    out2 = mixture_resample(
+        df.repartition(13), "src", "id", temperature=t, target_rows=target
+    )
+    ids1 = {r.id for r in out.select("id").collect()}
+    ids2 = {r.id for r in out2.select("id").collect()}
+    assert ids1 == ids2
+
+    # t=0 equalizes: every domain gets target/3 (all have >= that many)
+    eq = mixture_resample(df, "src", "id", temperature=0.0, target_rows=target)
+    got_eq = {
+        r.src: r.n
+        for r in eq.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got_eq.values()) == {target // 3}
+
+
+def test_quantize_embeddings_error_bound_and_recall(spark, emb):
+    """int8 quantization: reconstruction error is bounded by scale/2
+    per element, values stay in [-127, 127], and quantized cosine
+    top-10 substantially agrees with exact float top-10."""
+    from delta_lake_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    q = quantize_embeddings(emb)
+    joined = q.join(emb, "vec_id").select(
+        "vec_id",
+        "q_scale",
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("qvec"),
+                lambda x, qi: F.abs(x - qi.cast("double") * F.col("q_scale")),
+            )
+        ).alias("max_err"),
+        F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("max_q"),
+    )
+    bad = joined.filter(
+        (F.col("max_err") > F.col("q_scale") / 2 + 1e-12)
+        | (F.col("max_q") > 127)
+    ).count()
+    assert bad == 0
+
+    exact = cosine_topk(emb, emb.filter("vec_id < 10"), k=10).collect()
+    quant = quantized_cosine_topk(emb, emb.filter("vec_id < 10"), k=10).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    s = {(r.query_id, r.neighbor_id) for r in quant}
+    assert len(e & s) / len(e) >= 0.8  # int8 keeps the neighborhood

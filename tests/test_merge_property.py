@@ -146,3 +146,104 @@ def test_replace_where_equals_relational_model(spark, tmp_path, target, new, cut
     dt.replace_where(new_df, pred)
     got = {r.id: r.v for r in read_delta(spark, path).collect()}
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Multi-match + by-source property space: source rows with DUPLICATE keys
+# (at-least-once feeds) against delete-only / by-source-only clause sets —
+# the regime where a rewrite that re-emits matched rows per source match
+# would silently duplicate target rows.
+# --------------------------------------------------------------------------
+
+_mm_target = st.dictionaries(
+    st.integers(0, 8), st.integers(0, 99), min_size=1, max_size=8
+)
+# source as a LIST of (id, val): duplicate ids allowed and likely
+_mm_source = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 99)), min_size=0, max_size=12
+)
+_mm_matched = st.sampled_from(["none", "delete_all", "cond_delete"])
+_mm_by_source = st.sampled_from(
+    ["none", "update", "delete_lt", "delete_then_update"]
+)
+
+
+def _mm_model(
+    target: dict[int, int],
+    source: list[tuple[int, int]],
+    matched: str,
+    by_source: str,
+) -> dict[int, int]:
+    src_ids = {sid for sid, _ in source}
+    out: dict[int, int] = {}
+    for tid, tval in target.items():
+        if tid in src_ids:
+            svals = [sv for sid, sv in source if sid == tid]
+            if matched == "delete_all":
+                continue
+            if matched == "cond_delete" and any(sv > 50 for sv in svals):
+                continue  # ANY matching source row firing the delete drops it
+            out[tid] = tval  # kept exactly once regardless of match count
+        else:
+            if by_source == "update":
+                out[tid] = 999
+            elif by_source == "delete_lt":
+                if tval >= 30:
+                    out[tid] = tval
+            elif by_source == "delete_then_update":
+                if tval >= 30:
+                    out[tid] = 999  # first-true: delete wins below 30
+            else:
+                out[tid] = tval
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=_mm_target,
+    source=_mm_source,
+    matched=_mm_matched,
+    by_source=_mm_by_source,
+)
+def test_merge_multimatch_by_source_matches_model(
+    spark, scratch_root, target, source, matched, by_source
+):
+    if matched == "none" and by_source == "none":
+        return
+
+    path = str(scratch_root / uuid.uuid4().hex)
+    write_delta(
+        spark.createDataFrame(
+            [(k, v) for k, v in target.items()], "id long, val long"
+        ),
+        path,
+    )
+    source_df = (
+        spark.createDataFrame(source, "id long, val long")
+        if source
+        else spark.createDataFrame([], "id long, val long")
+    )
+
+    dt = DeltaTable.forPath(spark, path)
+    m = dt.alias("t").merge(source_df, "t.id = s.id", source_alias="s")
+    if matched == "delete_all":
+        m = m.whenMatchedDelete()
+    elif matched == "cond_delete":
+        m = m.whenMatchedDelete(condition="s.val > 50")
+    if by_source == "update":
+        m = m.whenNotMatchedBySourceUpdate(set={"val": "999"})
+    elif by_source == "delete_lt":
+        m = m.whenNotMatchedBySourceDelete(condition="t.val < 30")
+    elif by_source == "delete_then_update":
+        m = m.whenNotMatchedBySourceDelete(condition="t.val < 30")
+        m = m.whenNotMatchedBySourceUpdate(set={"val": "999"})
+    m.execute()
+
+    rows = read_delta(spark, path).collect()
+    got = {r.id: r.val for r in rows}
+    assert len(rows) == len(got), "duplicate target rows after MERGE"
+    assert got == _mm_model(target, source, matched, by_source)

@@ -503,3 +503,15 @@ def test_q128_semi_join_and_takeordered(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q130_mixture_broadcast_quota_no_cartesian(spark):
+    """Mixture resampling: the per-domain quota map joins as a
+    broadcast (it is |domains| rows), selection is bounded windows —
+    never a cartesian or nested-loop join."""
+    from delta_lake_spark.queries.llm import q130_mixture_resample
+
+    plan = _plan(q130_mixture_resample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -217,8 +217,13 @@ def mixture_resample(
         for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
     }
     z = sum(n**temperature for n in counts.values())
+    # floor with a 1e-6 nudge: a UNIFORM corpus puts every quota exactly
+    # on an integer boundary, where 1-ulp pow()/sum-order differences
+    # between engines (or runs) would flip floor() — the nudge makes the
+    # boundary decision stable for both this code and the SQL oracle
     quotas = [
-        (d, int(target_rows * (n**temperature) / z)) for d, n in counts.items()
+        (d, int(target_rows * (n**temperature) / z + 1e-6))
+        for d, n in counts.items()
     ]
     spark = df.sparkSession
     qdf = spark.createDataFrame(quotas, [domain_col, "__m"])  # type-inferred

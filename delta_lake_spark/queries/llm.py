@@ -1431,7 +1431,10 @@ WITH counts AS (
 ),
 z AS (SELECT SUM(pow(n, 0.7)) AS z FROM counts),
 quota AS (
-  SELECT source, CAST(FLOOR(2000 * pow(n, 0.7) / z.z) AS BIGINT) AS m
+  -- the 1e-6 nudge mirrors mixture_resample: uniform corpora put every
+  -- quota exactly on an integer boundary, where 1-ulp pow()/sum-order
+  -- drift would flip FLOOR between engines or runs
+  SELECT source, CAST(FLOOR(2000 * pow(n, 0.7) / z.z + 0.000001) AS BIGINT) AS m
   FROM counts, z
 ),
 ranked AS (

@@ -971,7 +971,7 @@ def test_mixture_resample_quotas_and_determinism(spark):
     counts = {"web": 7000, "book": 2000, "code": 1000}
     t, target = 0.7, 3000
     z = sum(n**t for n in counts.values())
-    expect = {d: int(target * (n**t) / z) for d, n in counts.items()}
+    expect = {d: int(target * (n**t) / z + 1e-6) for d, n in counts.items()}
 
     out = mixture_resample(df, "src", "id", temperature=t, target_rows=target)
     got = {

@@ -429,6 +429,11 @@ class DeltaLog:
 
     def latest_version(self) -> int:
         vs = self._versions()
+        # an untrimmed log (version 0 still present) cannot have a
+        # checkpoint above its newest JSON — skip the checkpoint probe
+        # on this hottest metadata path (it costs a second listdir)
+        if vs and vs[0] == 0:
+            return vs[-1]
         best = vs[-1] if vs else None
         # a checkpoint IS a committed version: a log whose commit JSONs
         # all expired behind a checkpoint must not read as a new table

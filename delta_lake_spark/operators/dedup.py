@@ -930,7 +930,16 @@ def update_signature_index(
     parameters and stop-shingle set) and appended transactionally —
     repeated daily dedup never re-shingles the existing corpus. Ids
     already present are skipped, so replaying an update is a no-op
-    (idempotent under at-least-once pipelines)."""
+    (idempotent under at-least-once pipelines).
+
+    Crash ordering: buckets append FIRST, sizes second. Idempotence
+    keys on the sizes table, so a crash between the two appends leaves
+    a state a replay fully repairs (the docs are re-signed and
+    re-appended; the duplicate bucket rows are absorbed by candidate
+    dedup), and queries in the torn window stay correct because
+    verification derives corpus set sizes from the corpus itself, not
+    the sizes table. Sizes-first would invert that: a replay would see
+    the ids as known and skip them, losing their bucket rows forever."""
     from ..reader import read_delta
     from ..writer import write_delta
 
@@ -998,14 +1007,19 @@ def near_dups_against_index(
         .distinct()
     )
 
-    # exact verification: shingle ONLY the candidate corpus docs
+    # exact verification: shingle ONLY the candidate corpus docs. Their
+    # set sizes are computed from this re-read, NOT the stored sizes
+    # table: a crash between the buckets append and the sizes append in
+    # update_signature_index must not silently drop pairs for docs whose
+    # bucket rows landed first (the sizes table serves idempotence
+    # bookkeeping; verification trusts only the corpus itself)
     cand_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
     sh_c = word_shingles(
         corpus.join(cand_ids, id_col, "left_semi"), text_col, id_col, p["n"]
     )
     sizes_b = sh_b.groupBy(id_col).agg(F.count("*").alias("n_b"))
-    sizes_c = read_delta(spark, t_sizes).select(
-        F.col(id_col).alias("corpus_id"), F.col("n_sh").alias("n_c")
+    sizes_c = sh_c.groupBy(id_col).agg(F.count("*").alias("n_c")).select(
+        F.col(id_col).alias("corpus_id"), "n_c"
     )
     inter = (
         cand.join(sh_b.select(F.col(id_col).alias("batch_id"), "shingle"), "batch_id")

@@ -216,6 +216,8 @@ def mixture_resample(
         r[0]: r[1]
         for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
     }
+    if not counts:  # empty input: nothing to resample (and an empty
+        return df   # quota frame would trip schema inference)
     z = sum(n**temperature for n in counts.values())
     # floor with a 1e-6 nudge: a UNIFORM corpus puts every quota exactly
     # on an integer boundary, where 1-ulp pow()/sum-order differences

@@ -1509,7 +1509,13 @@ def q129_incremental_lsh_index(spark, sf_dir):
     in BOTH generations — original docs (every 5th, ' appended') and
     day-2 docs (every 35th base doc shared with the ' extra' derivative)
     — so a stale or missing incremental update fails the oracle, which
-    recomputes the exact batch x full-corpus inverted-index jaccard."""
+    recomputes the exact batch x full-corpus inverted-index jaccard.
+
+    Like q32/q124, the oracle contract assumes full LSH candidate
+    recall: true pairs here sit near jaccard 0.9+ where 16x4 banding
+    misses with P ~ 1e-7. Pairs engineered near the 0.6 threshold would
+    make this probabilistic (P(miss) up to ~10%) — re-validate at round
+    start if the testdata regenerates (see minhash-affine-trap note)."""
     from ..operators.dedup import (
         build_signature_index,
         near_dups_against_index,

@@ -1033,3 +1033,12 @@ def test_quantize_embeddings_error_bound_and_recall(spark, emb):
     e = {(r.query_id, r.neighbor_id) for r in exact}
     s = {(r.query_id, r.neighbor_id) for r in quant}
     assert len(e & s) / len(e) >= 0.8  # int8 keeps the neighborhood
+
+
+def test_mixture_resample_empty_input(spark):
+    from delta_lake_spark.operators.sampling import mixture_resample
+
+    empty = spark.createDataFrame([], "id long, src string")
+    out = mixture_resample(empty, "src", "id", target_rows=100)
+    assert out.count() == 0
+    assert out.columns == ["id", "src"]

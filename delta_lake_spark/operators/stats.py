@@ -44,3 +44,48 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    bucket_sizes: tuple[int, ...] = (64, 128, 256, 512, 1024),
+) -> DataFrame:
+    """Sequence-length bucketing for training-batch planning: assign
+    each document to the SMALLEST bucket holding its whitespace token
+    count (overflow docs land in a sentinel -1 bucket for truncation
+    or splitting), and report per-bucket volume and padding waste —
+    the numbers that decide a padded-batch schedule's efficiency.
+
+    Map-only bucketing (one CASE over sorted bucket edges) + a single
+    aggregation: nothing here shuffles more than |buckets| result rows
+    after the map-side partial agg, so it runs at any corpus size.
+
+    Returns per bucket: bucket (int, -1 = overflow), n_docs,
+    total_tokens, padded_tokens (n_docs * bucket for real buckets),
+    pad_waste_pct (double, rounded 4)."""
+    sizes = sorted(bucket_sizes)
+    tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bucket = F.lit(-1)
+    for b in reversed(sizes):
+        bucket = F.when(tokens <= b, F.lit(b)).otherwise(bucket)
+    agg = (
+        df.select(bucket.alias("bucket"), tokens.alias("__t"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__t").alias("total_tokens"),
+        )
+    )
+    padded = F.when(
+        F.col("bucket") > 0, F.col("bucket") * F.col("n_docs")
+    ).otherwise(F.col("total_tokens"))
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        padded.cast("long").alias("padded_tokens"),
+        F.round(
+            (1.0 - F.col("total_tokens") / padded) * 100.0, 4
+        ).alias("pad_waste_pct"),
+    )

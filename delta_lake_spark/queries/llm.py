@@ -1501,6 +1501,47 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q132_length_bucket_stats(spark, sf_dir):
+    """Sequence-length bucketing for padded-batch planning: smallest
+    bucket >= whitespace token count, per-bucket volume and padding
+    waste. Map-only bucketing + one aggregation."""
+    from ..operators.stats import length_bucket_stats
+
+    return length_bucket_stats(_docs(spark, sf_dir), "text").select(
+        "bucket",
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "padded_tokens",
+        "pad_waste_pct",
+    )
+
+
+_Q132_SQL = r"""
+WITH t AS (
+  SELECT len(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+b AS (
+  SELECT tok,
+    CASE WHEN tok <= 64 THEN 64 WHEN tok <= 128 THEN 128
+         WHEN tok <= 256 THEN 256 WHEN tok <= 512 THEN 512
+         WHEN tok <= 1024 THEN 1024 ELSE -1 END AS bucket
+  FROM t
+),
+agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(tok) AS BIGINT) AS total_tokens
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_docs, total_tokens,
+  CAST(CASE WHEN bucket > 0 THEN bucket * n_docs
+            ELSE total_tokens END AS BIGINT) AS padded_tokens,
+  ROUND((1.0 - total_tokens * 1.0 /
+    (CASE WHEN bucket > 0 THEN bucket * n_docs ELSE total_tokens END))
+    * 100.0, 4) AS pad_waste_pct
+FROM agg
+"""
+
+
 def q129_incremental_lsh_index(spark, sf_dir):
     """Persistent incremental LSH signature index: build the index once
     over the corpus, APPEND a day-2 batch of new docs updating only
@@ -1592,6 +1633,7 @@ QUERIES = {
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
     "q130_mixture_resample": q130_mixture_resample,
     "q131_quantized_cosine_topk": q131_quantized_cosine_topk,
+    "q132_length_bucket_stats": q132_length_bucket_stats,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
     "q33_dedup_simhash": q33_dedup_simhash,
@@ -1677,4 +1719,5 @@ ORACLE_SQL = {
     "q129_incremental_lsh_index": _Q129_SQL,
     "q130_mixture_resample": _Q130_SQL,
     "q131_quantized_cosine_topk": _Q131_SQL,
+    "q132_length_bucket_stats": _Q132_SQL,
 }

@@ -1042,3 +1042,31 @@ def test_mixture_resample_empty_input(spark):
     out = mixture_resample(empty, "src", "id", target_rows=100)
     assert out.count() == 0
     assert out.columns == ["id", "src"]
+
+
+def test_length_bucket_stats_edges(spark):
+    """Bucket assignment is smallest-fit, overflow lands in -1, and the
+    padding-waste arithmetic checks out exactly."""
+    from delta_lake_spark.operators.stats import length_bucket_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 10)),     # 10 tokens  -> bucket 64
+            (2, " ".join(["w"] * 64)),     # exactly 64 -> bucket 64
+            (3, " ".join(["w"] * 65)),     # 65         -> bucket 128
+            (4, " ".join(["w"] * 2000)),   # overflow   -> bucket -1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.bucket: r
+        for r in length_bucket_stats(docs, "text", (64, 128, 256, 512, 1024)).collect()
+    }
+    assert set(rows) == {64, 128, -1}
+    assert rows[64].n_docs == 2 and rows[64].total_tokens == 74
+    assert rows[64].padded_tokens == 128
+    assert abs(rows[64].pad_waste_pct - round((1 - 74 / 128) * 100, 4)) < 1e-9
+    assert rows[128].n_docs == 1 and rows[128].padded_tokens == 128
+    assert rows[-1].n_docs == 1
+    assert rows[-1].padded_tokens == 2000  # overflow: no padding model
+    assert rows[-1].pad_waste_pct == 0.0

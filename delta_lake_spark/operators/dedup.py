@@ -986,7 +986,10 @@ def near_dups_against_index(
     from ..reader import read_delta
 
     spark = batch.sparkSession
-    t_buckets, t_sizes, t_hot = _index_tables(index_path)
+    # sizes table deliberately unused here: it is write-side idempotence
+    # bookkeeping ONLY — verification derives corpus set sizes from the
+    # corpus itself so a torn update can never silently drop pairs
+    t_buckets, _, t_hot = _index_tables(index_path)
     p = _index_params(spark, index_path)
 
     sh_b = _cache_shingles(word_shingles(batch, text_col, id_col, p["n"]))

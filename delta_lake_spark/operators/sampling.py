@@ -245,5 +245,5 @@ def mixture_resample(
     return (
         stage1.withColumn("__r2", F.row_number().over(w2))
         .filter(F.col("__r2") <= F.col("__m"))
-        .drop("__r2", "__m")
-    )
+        .select(*df.columns)  # restore input column order (the quota
+    )  # join moved domain_col first); matches the empty-input path

@@ -489,10 +489,15 @@ def test_q127_multifact_join_discipline(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # exactly one broadcast: the explicit F.broadcast(nation); the three
-    # fact/fact joins stay shuffle joins — so lineitem cannot be a
-    # broadcast build side regardless of plan printing order
+    # exactly one broadcast, and it must be the nation dim: treeString
+    # is pre-order, so the first scan after the BroadcastExchange node
+    # is a leaf of ITS subtree — assert it reads nation, not a fact
     assert plan.count("BroadcastExchange") == 1
+    bx = plan.index("BroadcastExchange")
+    first_scan = plan.find("Scan parquet", bx)
+    assert first_scan != -1
+    scan_line = plan[first_scan : plan.find("\n", first_scan)]
+    assert "nation" in scan_line and "lineitem" not in scan_line
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 

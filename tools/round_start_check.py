@@ -20,8 +20,6 @@ import os
 import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 EXPECTED = {
     "region": {"r_regionkey", "r_name"},
     "nation": {"n_nationkey", "n_name", "n_regionkey"},
@@ -76,21 +74,31 @@ def main() -> int:
     for p in problems:
         print(f"SCHEMA DRIFT: {p}")
 
-    # LSH==exact recall validation on the gate's scale factor
-    gate_sf = "/root/testdata/sf0.01"
+    # LSH==exact recall validation on the gate's scale factor: prefer
+    # the CLI-provided sf0.01-like dir so regenerated data in a new
+    # location is what actually gets validated
+    gate_sf = next((d for d in sf_dirs if "0.01" in d), sf_dirs[-1])
     print(f"-- running recall-sensitive oracles at {gate_sf} --", flush=True)
-    r = subprocess.run(
-        [sys.executable, "tests/oracle_harness.py", gate_sf, *RECALL_SENSITIVE],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        capture_output=True,
-        text=True,
-        timeout=560,
-    )
-    tail = r.stdout.strip().splitlines()[-8:]
-    print("\n".join(tail))
-    ok = r.returncode == 0 and "0 failures" in r.stdout
-    if not ok:
-        problems.append("recall-sensitive oracle run failed")
+    try:
+        r = subprocess.run(
+            [sys.executable, "tests/oracle_harness.py", gate_sf, *RECALL_SENSITIVE],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True,
+            text=True,
+            timeout=560,
+        )
+    except subprocess.TimeoutExpired:
+        problems.append("recall-sensitive oracle run timed out (560s)")
+        r = None
+    if r is not None:
+        tail = r.stdout.strip().splitlines()[-8:]
+        print("\n".join(tail))
+        if r.returncode != 0 or "0 failures" not in r.stdout:
+            err_tail = r.stderr.strip().splitlines()[-10:]
+            if err_tail:
+                print("-- stderr tail --")
+                print("\n".join(err_tail))
+            problems.append("recall-sensitive oracle run failed")
 
     if problems:
         print(f"\n{len(problems)} problem(s) — investigate before building.")

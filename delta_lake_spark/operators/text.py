@@ -343,6 +343,101 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+# Gopher rule-filter stopwords (Rae et al. 2021 appendix A1.1 uses a
+# small English function-word list; this is the published set)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021, arXiv:2112.11446
+    appendix A1.1): per-document boolean verdicts for each repetition-free
+    quality rule plus the conjunction, so a pipeline can both filter and
+    audit WHY a document failed. Unlike ``quality_score`` (a soft scalar
+    for threshold sweeps), this is the hard keep/drop gate production
+    corpora apply first.
+
+    Rules (each its own ok_* column):
+      - word count within [min_words, max_words]
+      - mean word length within [min_mean_word_len, max_mean_word_len]
+      - '#'/'...' symbol-to-word ratio <= max_symbol_ratio
+      - fraction of words containing an alphabetic char >= min_alpha_word_ratio
+      - at least min_stopwords DISTINCT stopwords from the Gopher list
+
+    100 TB design: map-only — a single projection over the corpus scan,
+    whole-stage codegen end to end, no shuffle, no UDF. The word array is
+    staged once per row (expression references don't share work across
+    projections).
+
+    Returns: id_col, n_words (int), mean_word_len / symbol_ratio /
+    alpha_word_ratio (double, 6 dp), n_stopwords (int), ok_word_count,
+    ok_mean_word_len, ok_symbol_ratio, ok_alpha_words, ok_stopwords,
+    passes (boolean).
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    symbol_hits = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
+    )
+    staged = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        symbol_hits.cast("double").alias("__sym"),
+    )
+    n_words = F.size("__w")
+    nw_d = n_words.cast("double")
+    mean_word_len = (
+        F.aggregate(
+            F.transform(F.col("__w"), lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / nw_d
+    )
+    alpha_word_ratio = (
+        F.size(F.filter(F.col("__w"), lambda w: w.rlike("[a-z]"))).cast("double")
+        / nw_d
+    )
+    symbol_ratio = F.col("__sym") / nw_d
+    n_stopwords = F.size(
+        F.array_intersect(
+            F.array_distinct("__w"),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    staged2 = staged.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+        n_stopwords.cast("int").alias("n_stopwords"),
+    )
+    ok_wc = F.col("n_words").between(min_words, max_words)
+    ok_mwl = F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+    ok_sym = F.col("symbol_ratio") <= max_symbol_ratio
+    ok_alpha = F.col("alpha_word_ratio") >= min_alpha_word_ratio
+    ok_stop = F.col("n_stopwords") >= min_stopwords
+    return staged2.select(
+        "*",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -1170,7 +1170,99 @@ GROUP BY 1
 """
 
 
+def q134_incremental_gold_maintenance(spark, sf_dir):
+    """Incremental gold-aggregate maintenance from CDF — the
+    materialized-view pattern that makes 100 TB pipelines cheap: instead
+    of recomputing the per-type aggregate after every mutation, apply
+    the table_changes feed as SIGNED deltas (insert -> +1/+value,
+    delete -> -1/-value) on top of the version-0 base aggregate. The
+    change feed is bounded by what the mutations touched, so the
+    maintenance cost scales with the delta, not the table. The oracle
+    recomputes the FINAL table state relationally and aggregates it
+    fresh — any drift between the incremental path and a full recompute
+    (lost change rows, double counting, wrong signs) fails the hash.
+
+    Mutations exercised: a predicate DELETE (drops a whole group), then
+    a MERGE upsert whose source both re-inserts previously-deleted rows
+    (with +10 repricing) and appends a brand-new 'synthetic' group."""
+    from ..cdf import table_changes
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    path = _fresh("gold_incr")
+    write_delta(ev, path)  # v0
+    base = (
+        read_delta(spark, path, version=0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("value").alias("total"),
+        )
+    )
+
+    dt = DeltaTable.forPath(spark, path)
+    dt.delete("event_type = 'error'")  # v1
+    upd = ev.filter(F.col("event_id") % 13 == 0).select(
+        "event_id", "user_id", "event_type",
+        (F.col("value") + 10.0).alias("value"),
+    )
+    ins = ev.filter(F.col("event_id") % 17 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "user_id",
+        F.lit("synthetic").alias("event_type"),
+        "value",
+    )
+    (
+        dt.alias("t")
+        .merge(upd.unionByName(ins), "t.event_id = s.event_id", source_alias="s")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )  # v2
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        table_changes(spark, path, 1, 2)
+        .groupBy("event_type")
+        .agg(
+            F.sum(sign).cast("long").alias("cnt"),
+            F.sum(F.col("value") * sign).alias("total"),
+        )
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
+        .filter(F.col("cnt") > 0)
+        .select("event_type", "cnt", F.round("total", 4).alias("total"))
+    )
+
+
+_Q134_SQL = """
+WITH t1 AS (
+  SELECT event_id, user_id, event_type, value
+  FROM events WHERE event_type <> 'error'
+),
+s AS (
+  SELECT event_id, user_id, event_type, value + 10.0 AS value
+  FROM events WHERE event_id % 13 = 0
+  UNION ALL
+  SELECT event_id + 10000000, user_id, 'synthetic', value
+  FROM events WHERE event_id % 17 = 0
+),
+f AS (
+  SELECT * FROM t1 WHERE event_id NOT IN (SELECT event_id FROM s)
+  UNION ALL SELECT * FROM s
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(value), 4) AS total
+FROM f GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "q134_incremental_gold_maintenance": q134_incremental_gold_maintenance,
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
     "q52_delta_status_merge": q52_delta_status_merge,
@@ -1204,6 +1296,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q134_incremental_gold_maintenance": _Q134_SQL,
     "q57_streaming_windowed_counts": _Q57_SQL,
     "q58_sessionize": _Q58_SQL,
     # q59 emits the SAME session set as q58 once flush sentinels close

@@ -1626,6 +1626,46 @@ WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
 """
 
 
+def q133_gopher_quality_filter(spark, sf_dir):
+    from ..operators.text import gopher_quality_filter
+
+    return gopher_quality_filter(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q133_SQL = r"""
+WITH staged AS (
+  SELECT doc_id,
+    string_split_regex(trim(lower(text)), '\s+') AS w,
+    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) AS sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS INTEGER) AS n_words,
+    ROUND(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+          / len(w), 6) AS mean_word_len,
+    ROUND(sym / len(w), 6) AS symbol_ratio,
+    ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          AS DOUBLE) / len(w), 6) AS alpha_word_ratio,
+    CAST(len(list_intersect(list_distinct(w),
+      ['the','be','to','of','and','that','have','with'])) AS INTEGER)
+      AS n_stopwords
+  FROM staged
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+  n_stopwords,
+  n_words BETWEEN 30 AND 100000 AS ok_word_count,
+  mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+  symbol_ratio <= 0.1 AS ok_symbol_ratio,
+  alpha_word_ratio >= 0.8 AS ok_alpha_words,
+  n_stopwords >= 2 AS ok_stopwords,
+  (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+    AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+    AND n_stopwords >= 2 AS passes
+FROM m
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q122_top_terms_per_source": q122_top_terms_per_source,
@@ -1634,6 +1674,7 @@ QUERIES = {
     "q130_mixture_resample": q130_mixture_resample,
     "q131_quantized_cosine_topk": q131_quantized_cosine_topk,
     "q132_length_bucket_stats": q132_length_bucket_stats,
+    "q133_gopher_quality_filter": q133_gopher_quality_filter,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
     "q33_dedup_simhash": q33_dedup_simhash,
@@ -1720,4 +1761,5 @@ ORACLE_SQL = {
     "q130_mixture_resample": _Q130_SQL,
     "q131_quantized_cosine_topk": _Q131_SQL,
     "q132_length_bucket_stats": _Q132_SQL,
+    "q133_gopher_quality_filter": _Q133_SQL,
 }

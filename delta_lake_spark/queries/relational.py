@@ -1786,8 +1786,118 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# q135 small-quantity revenue (TPC-H Q17 shape): per-part correlated avg
+# --------------------------------------------------------------------------
+
+def q135_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) for one brand were
+    not filled. The correlated per-part AVG subquery is decorrelated by
+    hand into the plan you'd want at 100 TB: the brand filter reduces
+    part to a sliver that is BROADCAST against lineitem (map-side fact
+    pruning, no fact shuffle), the per-part average aggregates only the
+    pruned fact, and the tiny avg relation broadcasts back for the
+    threshold compare — the fat lineitem is never shuffled at all.
+    l_quantity is integer-valued, so both engines' avg (exact integer
+    sum / count) agree bit-for-bit and the `<` threshold is
+    deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li_f = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgq = li_f.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__lim")
+    )
+    return (
+        li_f.join(F.broadcast(avgq), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_small"),
+        )
+    )
+
+
+_Q135_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# q136 idle wealthy customers (TPC-H Q22 shape): scalar-subquery
+# threshold + anti-join
+# --------------------------------------------------------------------------
+
+def q136_idle_wealthy_customers(spark, sf_dir):
+    """TPC-H Q22 shape: count + balance of above-average-balance
+    customers who never placed an URGENT order. Two classic subquery
+    decorrelations in one plan: the scalar AVG threshold becomes a
+    1-row broadcast cross join (never a collect), and NOT EXISTS
+    becomes a left-anti join against the priority-filtered orders
+    projection (two columns of the fact cross the wire, not the row).
+    nation (25 rows) broadcasts for the display name. The threshold
+    sum is decimal-staged so both engines agree on cents."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(_dec("c_acctbal")).alias("__thr")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(_dec("c_acctbal") > F.col("__thr"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.round(F.sum(_dec("c_acctbal")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+_Q136_SQL = """
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+  CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+    AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > (
+    SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+    WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY n.n_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q135_small_quantity_revenue": q135_small_quantity_revenue,
+    "q136_idle_wealthy_customers": q136_idle_wealthy_customers,
     "q119_funnel_conversion": q119_funnel_conversion,
     "q120_length_histogram": q120_length_histogram,
     "q121_retention_cohorts": q121_retention_cohorts,
@@ -1843,6 +1953,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q01_pricing_summary": _Q01_SQL,
+    "q135_small_quantity_revenue": _Q135_SQL,
+    "q136_idle_wealthy_customers": _Q136_SQL,
     "q119_funnel_conversion": _Q119_SQL,
     "q120_length_histogram": _Q120_SQL,
     "q121_retention_cohorts": _Q121_SQL,

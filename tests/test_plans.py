@@ -525,3 +525,47 @@ def test_q130_mixture_broadcast_quota_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q133_gopher_filter_is_map_only(spark):
+    """Gopher rule filter: a single projection over the scan — no
+    shuffle, no UDF (pure codegen expressions), nothing but the corpus
+    read. At 100 TB this op's cost must be exactly one pass."""
+    from delta_lake_spark.queries.llm import q133_gopher_quality_filter
+
+    plan = _plan(q133_gopher_quality_filter(spark, SF_DIR))
+    assert "Exchange" not in plan  # map-only: no shuffle anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q135_fact_never_shuffled(spark):
+    """TPC-H Q17 shape: both the brand sliver and the per-part avg join
+    back as broadcasts, so lineitem is scanned once and never shuffled
+    — the decorrelated plan a 100 TB run needs (the per-part aggregate
+    shuffles only the PRUNED fact, a |brand parts| sliver)."""
+    from delta_lake_spark.queries.relational import q135_small_quantity_revenue
+
+    plan = _plan(q135_small_quantity_revenue(spark, SF_DIR))
+    # every join is a broadcast hash join (brand sliver twice, avg once);
+    # the fact side never reaches a shuffle join of any kind
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_avg" in plan  # map-side combine feeds the avg
+
+
+def test_q136_scalar_threshold_and_anti_join(spark):
+    """TPC-H Q22 shape: the scalar AVG threshold joins as a SINGLE-ROW
+    broadcast nested loop (the one legitimate BNLJ shape — build side
+    is a 1-row aggregate, never a fact), NOT a collect; NOT EXISTS
+    plans as a hash-based left anti join; nation broadcasts."""
+    from delta_lake_spark.queries.relational import q136_idle_wealthy_customers
+
+    plan = _plan(q136_idle_wealthy_customers(spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row threshold
+    bx = plan.index("BroadcastNestedLoopJoin")
+    assert "HashAggregate" in plan[bx:]  # its build side is the aggregate
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation dim + anti join are hash joins

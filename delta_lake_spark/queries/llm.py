@@ -1666,8 +1666,200 @@ FROM m
 """
 
 
+def q137_pretrain_funnel(spark, sf_dir):
+    """The flagship composition: a full pretraining-data pipeline as ONE
+    declarative plan — Gopher rule filter -> exact dedup -> near-dup
+    cluster resolution -> benchmark decontamination — reporting the
+    per-stage funnel (documents and whitespace tokens surviving each
+    stage), i.e. the report a production corpus build prints.
+
+    Every stage is an existing scale-audited operator: the quality gate
+    is map-only; exact dedup is one hash shuffle; near-dup pairs use the
+    bounded-candidate inverted index at this corpus size (auto strategy);
+    cluster resolution is distributed min-label propagation; decontam
+    broadcasts the (small-by-definition) eval-set shingles. Nothing
+    collects to the driver; survivors propagate by left-semi joins on
+    doc_id, so document text crosses the wire only where a stage needs
+    it. The DuckDB oracle replays the identical pipeline relationally
+    (recursive CTE for the components), value-checking the whole
+    composition end to end."""
+    from ..operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+        resolve_duplicate_clusters,
+    )
+    from ..operators.text import decontaminate, gopher_quality_filter
+
+    all_docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_df = all_docs.filter(F.col("doc_id") < 25)
+    raw = all_docs.filter(F.col("doc_id") >= 25)
+
+    # min_stopwords calibrated to the synthetic corpus (its vocabulary
+    # carries ~1 Gopher function word per doc); every other rule keeps
+    # the published Gopher defaults
+    passes = (
+        gopher_quality_filter(raw, "text", "doc_id", min_stopwords=1)
+        .filter("passes")
+        .select("doc_id")
+    )
+    s1 = raw.join(passes, "doc_id", "left_semi")
+    s2 = s1.join(exact_dedup(s1, "text", "doc_id"), "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(s2, "text", "doc_id", n=3, threshold=0.6)
+    canon = (
+        resolve_duplicate_clusters(pairs, s2.select("doc_id"), "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    s3 = s2.join(canon, "doc_id", "left_semi")
+    hits = decontaminate(s3, eval_df, "text", "doc_id", n=5).select("doc_id")
+    s4 = s3.join(hits, "doc_id", "left_anti")
+
+    def stage(df, sid, name):
+        toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(toks), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(raw, 0, "raw")
+        .unionByName(stage(s1, 1, "quality"))
+        .unionByName(stage(s2, 2, "exact_dedup"))
+        .unionByName(stage(s3, 3, "near_dedup"))
+        .unionByName(stage(s4, 4, "decontaminated"))
+    )
+
+
+_Q137_SQL = r"""
+WITH RECURSIVE raw AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 25
+),
+evald AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+gw AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM raw
+),
+gm AS (
+  SELECT doc_id, text, len(w) AS n_words,
+    ROUND(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+          / len(w), 6) AS mwl,
+    ROUND(CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+          / len(w), 6) AS symr,
+    ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          AS DOUBLE) / len(w), 6) AS awr,
+    len(list_intersect(list_distinct(w),
+      ['the','be','to','of','and','that','have','with'])) AS nsw
+  FROM gw
+),
+s1 AS (
+  SELECT doc_id, text FROM gm
+  WHERE n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+    AND symr <= 0.1 AND awr >= 0.8 AND nsw >= 1
+),
+ex AS (
+  SELECT MIN(doc_id) AS doc_id FROM s1
+  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+),
+s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN ex USING (doc_id)),
+tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM s2
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2 FROM inter
+  JOIN sizes z1 ON z1.doc_id = id_1
+  JOIN sizes z2 ON z2.doc_id = id_2
+  WHERE i * 1.0 / (z1.n + z2.n - i) >= 0.6
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM s2
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+s3 AS (
+  SELECT s2.doc_id, s2.text FROM s2
+  JOIN cc ON s2.doc_id = cc.doc_id AND cc.doc_id = cc.cluster_id
+),
+tok3 AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM s3
+),
+idx3 AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i FROM tok3
+),
+sh3 AS (
+  SELECT DISTINCT doc_id,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      AS shingle
+  FROM idx3 WHERE i + 4 <= len(w)
+),
+toke AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM evald
+),
+idxe AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i FROM toke
+),
+eshe AS (
+  SELECT DISTINCT
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      AS shingle
+  FROM idxe WHERE i + 4 <= len(w)
+),
+dirty AS (
+  SELECT DISTINCT s.doc_id FROM sh3 s JOIN eshe USING (shingle)
+),
+s4 AS (
+  SELECT doc_id, text FROM s3
+  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+)
+SELECT CAST(0 AS INTEGER) AS stage_id, 'raw' AS stage,
+  COUNT(*) AS n_docs,
+  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
+    AS BIGINT) AS n_tokens FROM raw
+UNION ALL
+SELECT CAST(1 AS INTEGER), 'quality', COUNT(*),
+  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
+    AS BIGINT) FROM s1
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'exact_dedup', COUNT(*),
+  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
+    AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'near_dedup', COUNT(*),
+  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
+    AS BIGINT) FROM s3
+UNION ALL
+SELECT CAST(4 AS INTEGER), 'decontaminated', COUNT(*),
+  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
+    AS BIGINT) FROM s4
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
+    "q137_pretrain_funnel": q137_pretrain_funnel,
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
@@ -1762,4 +1954,5 @@ ORACLE_SQL = {
     "q131_quantized_cosine_topk": _Q131_SQL,
     "q132_length_bucket_stats": _Q132_SQL,
     "q133_gopher_quality_filter": _Q133_SQL,
+    "q137_pretrain_funnel": _Q137_SQL,
 }

@@ -569,3 +569,17 @@ def test_q136_scalar_threshold_and_anti_join(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # nation dim + anti join are hash joins
+
+
+def test_q137_funnel_composition_no_cartesian(spark):
+    """Pretraining funnel: the four-stage composition must stay
+    shuffle-disciplined end to end — survivor propagation is semi/anti
+    joins, the eval-set shingles broadcast, and no stage introduces a
+    cartesian or nested-loop join."""
+    from delta_lake_spark.queries.llm import q137_pretrain_funnel
+
+    plan = _plan(q137_pretrain_funnel(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan  # eval shingles / survivor sets

@@ -1070,3 +1070,42 @@ def test_length_bucket_stats_edges(spark):
     assert rows[-1].n_docs == 1
     assert rows[-1].padded_tokens == 2000  # overflow: no padding model
     assert rows[-1].pad_waste_pct == 0.0
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule fires independently on crafted documents and the
+    audit flags explain every failure."""
+    from delta_lake_spark.operators.text import gopher_quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog and that " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # passes everything
+            (2, "the of and " * 3),                      # too few words (9)
+            (3, "a b c " + "the of and that be " * 10),  # short words -> low mean len
+            (4, good + " ###### ##### ####"),            # symbol-heavy tail
+            (5, "the " + "12 34 56 78 90 " * 12),        # numeric words -> low alpha
+            (6, " ".join(f"w{i}" for i in range(40))),   # no stopwords at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality_filter(
+            docs, "text", "doc_id", min_words=30, min_stopwords=2
+        ).collect()
+    }
+    assert rows[1].passes
+    assert not rows[2].passes and not rows[2].ok_word_count
+    assert not rows[3].passes and not rows[3].ok_mean_word_len
+    assert not rows[4].passes and not rows[4].ok_symbol_ratio
+    assert not rows[5].passes and not rows[5].ok_alpha_words
+    assert not rows[6].passes and not rows[6].ok_stopwords
+    # flags explain the verdict: passes == AND of the five rules
+    for r in rows.values():
+        assert r.passes == (
+            r.ok_word_count and r.ok_mean_word_len and r.ok_symbol_ratio
+            and r.ok_alpha_words and r.ok_stopwords
+        )
+    # stopword count is DISTINCT stopwords, not occurrences
+    assert rows[2].n_stopwords == 3

@@ -601,3 +601,144 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def _sqdist(a, b):
+    """Squared L2 distance via three dot products — the exact same
+    floating-point recipe the SQL oracle uses (list_dot_product), so the
+    value is reproducible bit-for-bit across engines."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m`` subvectors, learn a tiny per-subspace codebook, store each
+    vector as ``m`` small codes, and answer queries with the asymmetric
+    distance computation (ADC) — sum of exact query-to-centroid
+    subspace distances looked up by the stored codes — then RE-RANK the
+    ADC shortlist (``rerank * k`` candidates per query) with exact
+    distances, the standard production recipe: the quantized index
+    prunes billions of vectors to a shortlist, the float vectors are
+    touched only for ``|queries| * rerank * k`` rows. ``rerank=1``
+    disables the exact pass (pure ADC ranking).
+
+    Determinism (the whole operator is oracle-replicable): codebooks
+    are seeded like ivf_topk/kmeans — centroid j of every subspace is
+    the corresponding slice of the min-id vector in the ``id % k_codes``
+    bucket (one partial-aggregating groupBy, no RNG); encode/ADC
+    distances are rounded to 1e-9 before every argmin/ranking compare;
+    ties break on ascending code / neighbor id.
+
+    100 TB design: the codebook is m*k_codes rows (collected nowhere —
+    it BROADCASTS); encoding is a map-side broadcast join + per-key
+    window over m*k_codes-row groups; the query ADC table is
+    |queries|*m*k_codes rows, broadcast; the scored candidate relation
+    carries only (query, vector, 4 codes) — vectors' float payloads
+    never shuffle after encoding. Storage-side, codes compress each
+    dim-64 float vector to m bytes: the index that keeps billion-vector
+    search in memory.
+
+    Returns: query_id, neighbor_id, rank (1..k), dist (double, squared
+    L2, rounded 1e-9 — SMALLER is closer).
+    """
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    dim_row = v.select(F.size("__v").alias("d")).limit(1).collect()
+    if not dim_row:
+        return vectors.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, dist double"
+        )
+    subdim = dim_row[0].d // m
+
+    def slices(col):
+        return F.array(
+            *[F.slice(col, s * subdim + 1, subdim) for s in range(m)]
+        )
+
+    # per-subspace codebooks from the min-id representative per bucket
+    reps = v.groupBy(
+        F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("code")
+    ).agg(F.min_by("__v", F.col(id_col)).alias("__rep"))
+    cent = reps.select(
+        "code", F.posexplode(slices(F.col("__rep"))).alias("s", "__cv")
+    )
+
+    # encode: nearest centroid per (vector, subspace)
+    vsub = v.select(F.col(id_col), F.posexplode(slices(F.col("__v"))).alias("s", "__xv"))
+    enc_scored = vsub.join(F.broadcast(cent), "s").select(
+        id_col, "s", "code",
+        F.round(_sqdist(F.col("__xv"), F.col("__cv")), 9).alias("__d"),
+    )
+    w_enc = Window.partitionBy(id_col, "s").orderBy(
+        F.col("__d").asc(), F.col("code").asc()
+    )
+    codes = (
+        enc_scored.withColumn("__r", F.row_number().over(w_enc))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "s", "code")
+    )
+
+    # ADC lookup table: exact query-subvector -> centroid distances
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    qsub = q.select(
+        "query_id", F.posexplode(slices(F.col("__qv"))).alias("s", "__qs")
+    )
+    qtab = qsub.join(F.broadcast(cent), "s").select(
+        "query_id", "s", "code",
+        F.round(_sqdist(F.col("__qs"), F.col("__cv")), 9).alias("__qd"),
+    )
+
+    dists = (
+        codes.join(F.broadcast(qtab), ["s", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("__qd"), 9).alias("dist"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank <= 1:
+        return (
+            dists.withColumn("rank", F.row_number().over(w_adc))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "dist")
+        )
+
+    shortlist = (
+        dists.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        shortlist.join(
+            v.select(F.col(id_col).alias("neighbor_id"), "__v"), "neighbor_id"
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_sqdist(F.col("__qv"), F.col("__v")), 9).alias("dist"),
+        )
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )

@@ -1857,9 +1857,109 @@ SELECT CAST(4 AS INTEGER), 'decontaminated', COUNT(*),
 """
 
 
+def q138_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (ADC). Like q36, every stage is
+    deterministic arithmetic (modulo arg_min codebooks, 1e-9-rounded
+    distance compares), so the DuckDB oracle replicates the whole
+    approximate operator value-exactly."""
+    from ..operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(emb, queries, k=10, m=4, k_codes=16)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _gen_q138_sql(
+    m: int = 4, k_codes: int = 16, k: int = 10, dim: int = 64, rerank: int = 4
+) -> str:
+    """DuckDB replica of pq_topk: same codebook seeding, same encode
+    argmin (1e-9-rounded squared L2 via the three-dot-product recipe),
+    same ADC sum, same exact-rerank shortlist, same ranking
+    tie-breaks."""
+    subdim = dim // m
+
+    def d2(a, b):
+        return (
+            f"ROUND(list_dot_product({a}, {a})"
+            f" - 2.0 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 9)"
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+reps AS (
+  SELECT CAST(vec_id % {k_codes} AS INTEGER) AS code, arg_min(v, vec_id) AS rep
+  FROM v GROUP BY 1
+),
+cent AS (
+  SELECT code, s,
+         list_slice(rep, s * {subdim} + 1, s * {subdim} + {subdim}) AS cv
+  FROM reps, (SELECT unnest(range(0, {m})) AS s)
+),
+vsub AS (
+  SELECT vec_id, s,
+         list_slice(v, s * {subdim} + 1, s * {subdim} + {subdim}) AS xv
+  FROM v, (SELECT unnest(range(0, {m})) AS s)
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vs.vec_id, vs.s, c.code,
+      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.s
+        ORDER BY {d2('vs.xv', 'c.cv')} ASC, c.code ASC) AS r
+    FROM vsub vs JOIN cent c ON c.s = vs.s
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+qsub AS (
+  SELECT query_id, s,
+         list_slice(qv, s * {subdim} + 1, s * {subdim} + {subdim}) AS qs
+  FROM q, (SELECT unnest(range(0, {m})) AS s)
+),
+qtab AS (
+  SELECT qs.query_id, qs.s, c.code, {d2('qs.qs', 'c.cv')} AS qd
+  FROM qsub qs JOIN cent c ON c.s = qs.s
+),
+dists AS (
+  SELECT t.query_id, co.vec_id AS neighbor_id, ROUND(SUM(t.qd), 9) AS dist
+  FROM codes co JOIN qtab t ON t.s = co.s AND t.code = co.code
+  GROUP BY 1, 2
+  HAVING co.vec_id <> t.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS r
+    FROM dists
+  ) WHERE r <= {k * rerank}
+),
+rr AS (
+  SELECT sl.query_id, sl.neighbor_id,
+    {d2('q.qv', 'nv.v')} AS dist
+  FROM shortlist sl
+  JOIN q ON q.query_id = sl.query_id
+  JOIN v nv ON nv.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
+  SELECT query_id, neighbor_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM rr
+) WHERE rank <= {k}
+"""
+
+
+_Q138_SQL = _gen_q138_sql()
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q137_pretrain_funnel": q137_pretrain_funnel,
+    "q138_pq_topk": q138_pq_topk,
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
@@ -1955,4 +2055,5 @@ ORACLE_SQL = {
     "q132_length_bucket_stats": _Q132_SQL,
     "q133_gopher_quality_filter": _Q133_SQL,
     "q137_pretrain_funnel": _Q137_SQL,
+    "q138_pq_topk": _Q138_SQL,
 }

@@ -1109,3 +1109,52 @@ def test_gopher_quality_filter_rules(spark):
         )
     # stopword count is DISTINCT stopwords, not occurrences
     assert rows[2].n_stopwords == 3
+
+
+def test_pq_topk_recall_and_rerank(spark, emb):
+    """PQ/ADC: the reranked result must (a) contain only exact distances
+    for its reported rows, (b) beat pure-ADC ranking on recall vs the
+    exact L2 top-10, and (c) clear an absolute recall floor on this
+    corpus. Also pins determinism: two runs return identical rows."""
+    from delta_lake_spark.operators.similarity import _sqdist, pq_topk
+
+    qs = emb.filter("vec_id < 5")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qq = qs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    exact = (
+        v.crossJoin(qq)
+        .filter("vec_id != qid")
+        .select("qid", "vec_id", F.round(_sqdist(F.col("qv"), F.col("v")), 9).alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .filter("r <= 10")
+        .collect()
+    )
+    truth = {}
+    exact_d = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.vec_id)
+        exact_d[(r.qid, r.vec_id)] = r.d
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got[q] & truth[q]) for q in truth) / (10 * len(truth))
+
+    adc = pq_topk(emb, qs, k=10, rerank=1).collect()
+    rer = pq_topk(emb, qs, k=10, rerank=4).collect()
+    assert recall(rer) >= recall(adc)  # rerank never hurts
+    assert recall(rer) >= 0.4  # absolute floor on this corpus (0.52 measured)
+    # reranked distances are the exact ones
+    for r in rer:
+        if (r.query_id, r.neighbor_id) in exact_d:
+            assert abs(r.dist - exact_d[(r.query_id, r.neighbor_id)]) < 1e-9
+    # determinism
+    again = pq_topk(emb, qs, k=10, rerank=4).collect()
+    assert sorted(map(tuple, rer)) == sorted(map(tuple, again))

@@ -583,3 +583,15 @@ def test_q137_funnel_composition_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan  # eval shingles / survivor sets
+
+
+def test_q138_pq_codebook_broadcasts_no_cartesian(spark):
+    """PQ ANN: the codebook, ADC table, shortlist, and query vectors
+    all join as broadcasts; vector float payloads never shuffle after
+    encoding; no cartesian or nested-loop join anywhere."""
+    from delta_lake_spark.queries.llm import q138_pq_topk
+
+    plan = _plan(q138_pq_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1705,13 +1705,18 @@ def q137_pretrain_funnel(spark, sf_dir):
     s1 = raw.join(passes, "doc_id", "left_semi")
     s2 = s1.join(exact_dedup(s1, "text", "doc_id"), "doc_id", "left_semi")
     pairs = ngram_jaccard_pairs(s2, "text", "doc_id", n=3, threshold=0.6)
+    # persist the (tiny, ids-only) survivor sets: the near-dup stage's
+    # pair generation feeds BOTH the s3 and s4 funnel rows — without the
+    # cache each union branch would regenerate the whole candidate join
     canon = (
         resolve_duplicate_clusters(pairs, s2.select("doc_id"), "doc_id")
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
-    )
+    ).persist()
     s3 = s2.join(canon, "doc_id", "left_semi")
-    hits = decontaminate(s3, eval_df, "text", "doc_id", n=5).select("doc_id")
+    hits = (
+        decontaminate(s3, eval_df, "text", "doc_id", n=5).select("doc_id")
+    ).persist()
     s4 = s3.join(hits, "doc_id", "left_anti")
 
     def stage(df, sid, name):

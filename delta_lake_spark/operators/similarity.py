@@ -659,7 +659,14 @@ def pq_topk(
         return vectors.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, dist double"
         )
-    subdim = dim_row[0].d // m
+    dim = dim_row[0].d
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"pq_topk: m={m} must evenly divide the vector dimension "
+            f"{dim} — a remainder would silently drop trailing dims from "
+            "the codebook while the exact rerank still used them"
+        )
+    subdim = dim // m
 
     def slices(col):
         return F.array(

@@ -352,7 +352,7 @@ def gopher_quality_filter(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    min_words: int = 30,
+    min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 10.0,

@@ -1654,35 +1654,24 @@ m AS (
 )
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
   n_stopwords,
-  n_words BETWEEN 30 AND 100000 AS ok_word_count,
+  n_words BETWEEN 50 AND 100000 AS ok_word_count,
   mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
   symbol_ratio <= 0.1 AS ok_symbol_ratio,
   alpha_word_ratio >= 0.8 AS ok_alpha_words,
   n_stopwords >= 2 AS ok_stopwords,
-  (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
     AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
     AND n_stopwords >= 2 AS passes
 FROM m
 """
 
 
-def q137_pretrain_funnel(spark, sf_dir):
-    """The flagship composition: a full pretraining-data pipeline as ONE
-    declarative plan — Gopher rule filter -> exact dedup -> near-dup
-    cluster resolution -> benchmark decontamination — reporting the
-    per-stage funnel (documents and whitespace tokens surviving each
-    stage), i.e. the report a production corpus build prints.
-
-    Every stage is an existing scale-audited operator: the quality gate
-    is map-only; exact dedup is one hash shuffle; near-dup pairs use the
-    bounded-candidate inverted index at this corpus size (auto strategy);
-    cluster resolution is distributed min-label propagation; decontam
-    broadcasts the (small-by-definition) eval-set shingles. Nothing
-    collects to the driver; survivors propagate by left-semi joins on
-    doc_id, so document text crosses the wire only where a stage needs
-    it. The DuckDB oracle replays the identical pipeline relationally
-    (recursive CTE for the components), value-checking the whole
-    composition end to end."""
+def _pretrain_funnel_frames(spark, sf_dir):
+    """Lazy construction of the q137 pipeline: returns (out, canon,
+    hits) where ``out`` is the 5-stage funnel DataFrame and canon/hits
+    are the persisted ids-only survivor sets the caller must unpersist
+    after materializing ``out`` (plan tests inspect ``out`` without
+    executing it)."""
     from ..operators.dedup import (
         exact_dedup,
         ngram_jaccard_pairs,
@@ -1696,7 +1685,7 @@ def q137_pretrain_funnel(spark, sf_dir):
 
     # min_stopwords calibrated to the synthetic corpus (its vocabulary
     # carries ~1 Gopher function word per doc); every other rule keeps
-    # the published Gopher defaults
+    # the published Gopher defaults (min_words=50 etc.)
     passes = (
         gopher_quality_filter(raw, "text", "doc_id", min_stopwords=1)
         .filter("passes")
@@ -1731,13 +1720,42 @@ def q137_pretrain_funnel(spark, sf_dir):
             "n_tokens",
         )
 
-    return (
+    out = (
         stage(raw, 0, "raw")
         .unionByName(stage(s1, 1, "quality"))
         .unionByName(stage(s2, 2, "exact_dedup"))
         .unionByName(stage(s3, 3, "near_dedup"))
         .unionByName(stage(s4, 4, "decontaminated"))
     )
+    return out, canon, hits
+
+
+def q137_pretrain_funnel(spark, sf_dir):
+    """The flagship composition: a full pretraining-data pipeline as ONE
+    declarative plan — Gopher rule filter -> exact dedup -> near-dup
+    cluster resolution -> benchmark decontamination — reporting the
+    per-stage funnel (documents and whitespace tokens surviving each
+    stage), i.e. the report a production corpus build prints.
+
+    Every stage is an existing scale-audited operator: the quality gate
+    is map-only; exact dedup is one hash shuffle; near-dup pairs use the
+    bounded-candidate inverted index at this corpus size (auto strategy);
+    cluster resolution is distributed min-label propagation; decontam
+    broadcasts the (small-by-definition) eval-set shingles. Nothing
+    data-sized collects to the driver (the funnel itself is 5 aggregate
+    rows); survivors propagate by left-semi joins on doc_id, so document
+    text crosses the wire only where a stage needs it. The DuckDB oracle
+    replays the identical pipeline relationally (recursive CTE for the
+    components), value-checking the whole composition end to end.
+
+    The 5-row result materializes eagerly so the persisted survivor-set
+    caches can be released before returning — a lazily-returned union
+    would pin those blocks in the CacheManager for the session."""
+    out, canon, hits = _pretrain_funnel_frames(spark, sf_dir)
+    rows = out.collect()
+    canon.unpersist()
+    hits.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 _Q137_SQL = r"""
@@ -1764,7 +1782,7 @@ gm AS (
 ),
 s1 AS (
   SELECT doc_id, text FROM gm
-  WHERE n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+  WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
     AND symr <= 0.1 AND awr >= 0.8 AND nsw >= 1
 ),
 ex AS (

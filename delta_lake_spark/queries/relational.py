@@ -1818,14 +1818,19 @@ def q135_small_quantity_revenue(spark, sf_dir):
         li_f.join(F.broadcast(avgq), "l_partkey")
         .filter(F.col("l_quantity") < F.col("__lim"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            # decimal-staged sum (module convention): exact and
+            # associative, so the /7 + round is bit-identical across
+            # engines and partition orders
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2)
+            .alias("avg_yearly"),
             F.count("*").cast("long").alias("n_small"),
         )
     )
 
 
 _Q135_SQL = """
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+             AS DOUBLE) / 7.0, 2) AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n_small
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey

@@ -576,13 +576,18 @@ def test_q137_funnel_composition_no_cartesian(spark):
     shuffle-disciplined end to end — survivor propagation is semi/anti
     joins, the eval-set shingles broadcast, and no stage introduces a
     cartesian or nested-loop join."""
-    from delta_lake_spark.queries.llm import q137_pretrain_funnel
+    from delta_lake_spark.queries.llm import _pretrain_funnel_frames
 
-    plan = _plan(q137_pretrain_funnel(spark, SF_DIR))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan and "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan  # eval shingles / survivor sets
+    out, canon, hits = _pretrain_funnel_frames(spark, SF_DIR)
+    try:
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "BroadcastHashJoin" in plan  # eval shingles / survivor sets
+    finally:
+        canon.unpersist()
+        hits.unpersist()
 
 
 def test_q138_pq_codebook_broadcasts_no_cartesian(spark):

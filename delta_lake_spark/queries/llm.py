@@ -1748,14 +1748,18 @@ def q137_pretrain_funnel(spark, sf_dir):
     replays the identical pipeline relationally (recursive CTE for the
     components), value-checking the whole composition end to end.
 
-    The 5-row result materializes eagerly so the persisted survivor-set
-    caches can be released before returning — a lazily-returned union
-    would pin those blocks in the CacheManager for the session."""
+    The survivor-set caches from the PREVIOUS invocation are released on
+    entry (the returned union must stay lazy for the bench to time real
+    work, so this call's two ids-only blocks stay pinned until the next
+    q137 call or session end — bounded steady state, not a leak)."""
+    while _FUNNEL_CACHES:
+        _FUNNEL_CACHES.pop().unpersist()
     out, canon, hits = _pretrain_funnel_frames(spark, sf_dir)
-    rows = out.collect()
-    canon.unpersist()
-    hits.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    _FUNNEL_CACHES.extend([canon, hits])
+    return out
+
+
+_FUNNEL_CACHES: list = []
 
 
 _Q137_SQL = r"""

@@ -1158,3 +1158,44 @@ def test_pq_topk_recall_and_rerank(spark, emb):
     # determinism
     again = pq_topk(emb, qs, k=10, rerank=4).collect()
     assert sorted(map(tuple, rer)) == sorted(map(tuple, again))
+
+
+def test_pq_full_shortlist_equals_exact(spark):
+    """With rerank*k >= |corpus|-1 the ADC shortlist covers every
+    vector, so the exact re-rank must reproduce brute-force L2 top-k
+    EXACTLY (ids, ranks, distances) — the PQ pipeline then differs from
+    exact search only by its pruning, which is disabled. Also checks
+    the m-divides-dim guard raises."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.similarity import _sqdist, pq_topk
+
+    vecs = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.sin(F.col("id") * 7 + i).cast("double"),
+        ).alias("embedding"),
+    )
+    qs = vecs.filter("vec_id < 3")
+    got = pq_topk(vecs, qs, k=5, m=4, k_codes=8, rerank=6).collect()  # 30 >= 29
+
+    from pyspark.sql import Window
+
+    v = vecs.select("vec_id", F.col("embedding").alias("v"))
+    qq = qs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    exact = (
+        v.crossJoin(qq)
+        .filter("vec_id != qid")
+        .select("qid", "vec_id", F.round(_sqdist(F.col("qv"), F.col("v")), 9).alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .filter("r <= 5")
+        .collect()
+    )
+    want = sorted((r.qid, r.vec_id, r.r, r.d) for r in exact)
+    have = sorted((r.query_id, r.neighbor_id, r.rank, r.dist) for r in got)
+    assert have == want
+
+    with _pytest.raises(ValueError, match="evenly divide"):
+        pq_topk(vecs, qs, m=5)  # 16 % 5 != 0

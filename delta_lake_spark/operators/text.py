@@ -225,7 +225,15 @@ def repetition_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Returns: id_col, n_grams, rep_ratio (= 1 - distinct/total, 0 when
     the document has fewer than 3 words).
     """
-    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # stage the token array FIRST: element_at(<split expr>, i) inside the
+    # transform lambda re-evaluates the whole split per element (no CSE
+    # into lambda bodies), turning shingling O(words^2) per document —
+    # a column reference to a materialized array is O(1) per access
+    tokens = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w"),
+    )
+    w = F.col("__w")
     n = F.size(w)
     # sequence(1, 0) would run DESCENDING in Spark, and the staged
     # projection evaluates unconditionally, so short docs must get an
@@ -246,7 +254,7 @@ def repetition_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # referencing the `sh` expression from size/array_distinct/division
     # directly would re-run the whole tokenize+transform per reference
     # (no cross-expression CSE) — measured 2.6x slower
-    staged = df.select(F.col(id_col), n.alias("__n"), sh.alias("__sh"))
+    staged = tokens.select(F.col(id_col), n.alias("__n"), sh.alias("__sh"))
     total = F.size("__sh")
     rep = F.when(
         F.col("__n") >= 3,

@@ -651,6 +651,8 @@ def pq_topk(
     Returns: query_id, neighbor_id, rank (1..k), dist (double, squared
     L2, rounded 1e-9 — SMALLER is closer).
     """
+    if m <= 0:
+        raise ValueError(f"pq_topk: m={m} must be a positive subspace count")
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -660,7 +662,7 @@ def pq_topk(
             [], "query_id long, neighbor_id long, rank int, dist double"
         )
     dim = dim_row[0].d
-    if m <= 0 or dim % m != 0:
+    if dim % m != 0:
         raise ValueError(
             f"pq_topk: m={m} must evenly divide the vector dimension "
             f"{dim} — a remainder would silently drop trailing dims from "

@@ -1753,7 +1753,10 @@ def q137_pretrain_funnel(spark, sf_dir):
     work, so this call's two ids-only blocks stay pinned until the next
     q137 call or session end — bounded steady state, not a leak)."""
     while _FUNNEL_CACHES:
-        _FUNNEL_CACHES.pop().unpersist()
+        try:
+            _FUNNEL_CACHES.pop().unpersist()
+        except Exception:
+            pass  # cache belonged to a since-stopped SparkSession
     out, canon, hits = _pretrain_funnel_frames(spark, sf_dir)
     _FUNNEL_CACHES.extend([canon, hits])
     return out

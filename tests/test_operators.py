@@ -1111,30 +1111,44 @@ def test_gopher_quality_filter_rules(spark):
     assert rows[2].n_stopwords == 3
 
 
+def _exact_l2_topk(vectors, queries, k):
+    """Brute-force squared-L2 top-k reference with pq_topk's exact
+    rounding (1e-9) and tie-break (ascending neighbor id) conventions —
+    the single source of truth both PQ tests compare against."""
+    from pyspark.sql import Window
+
+    from delta_lake_spark.operators.similarity import _sqdist
+
+    v = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qq = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    return (
+        v.crossJoin(qq)
+        .filter("vec_id != qid")
+        .select(
+            "qid", "vec_id",
+            F.round(_sqdist(F.col("qv"), F.col("v")), 9).alias("d"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .collect()
+    )
+
+
 def test_pq_topk_recall_and_rerank(spark, emb):
     """PQ/ADC: the reranked result must (a) contain only exact distances
     for its reported rows, (b) beat pure-ADC ranking on recall vs the
     exact L2 top-10, and (c) clear an absolute recall floor on this
     corpus. Also pins determinism: two runs return identical rows."""
-    from delta_lake_spark.operators.similarity import _sqdist, pq_topk
+    from delta_lake_spark.operators.similarity import pq_topk
 
     qs = emb.filter("vec_id < 5")
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    qq = qs.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").cast("array<double>").alias("qv"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
-    exact = (
-        v.crossJoin(qq)
-        .filter("vec_id != qid")
-        .select("qid", "vec_id", F.round(_sqdist(F.col("qv"), F.col("v")), 9).alias("d"))
-        .withColumn("r", F.row_number().over(w))
-        .filter("r <= 10")
-        .collect()
-    )
+    exact = _exact_l2_topk(emb, qs, 10)
     truth = {}
     exact_d = {}
     for r in exact:
@@ -1166,9 +1180,7 @@ def test_pq_full_shortlist_equals_exact(spark):
     EXACTLY (ids, ranks, distances) — the PQ pipeline then differs from
     exact search only by its pruning, which is disabled. Also checks
     the m-divides-dim guard raises."""
-    import pytest as _pytest
-
-    from delta_lake_spark.operators.similarity import _sqdist, pq_topk
+    from delta_lake_spark.operators.similarity import pq_topk
 
     vecs = spark.range(30).select(
         F.col("id").alias("vec_id"),
@@ -1180,22 +1192,10 @@ def test_pq_full_shortlist_equals_exact(spark):
     qs = vecs.filter("vec_id < 3")
     got = pq_topk(vecs, qs, k=5, m=4, k_codes=8, rerank=6).collect()  # 30 >= 29
 
-    from pyspark.sql import Window
-
-    v = vecs.select("vec_id", F.col("embedding").alias("v"))
-    qq = qs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
-    exact = (
-        v.crossJoin(qq)
-        .filter("vec_id != qid")
-        .select("qid", "vec_id", F.round(_sqdist(F.col("qv"), F.col("v")), 9).alias("d"))
-        .withColumn("r", F.row_number().over(w))
-        .filter("r <= 5")
-        .collect()
-    )
+    exact = _exact_l2_topk(vecs, qs, 5)
     want = sorted((r.qid, r.vec_id, r.r, r.d) for r in exact)
     have = sorted((r.query_id, r.neighbor_id, r.rank, r.dist) for r in got)
     assert have == want
 
-    with _pytest.raises(ValueError, match="evenly divide"):
+    with pytest.raises(ValueError, match="evenly divide"):
         pq_topk(vecs, qs, m=5)  # 16 % 5 != 0

@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 # cached shingle relation per call. Evict the previous call's cache
 # when a new one arrives: unpersisting a cache that an old (lazy)
 # result still references only forces recompute, never wrong results.
-_last_shingle_cache: list = []
+# Keyed BY SparkSession so two concurrent pipelines in one process
+# (separate sessions) never evict each other's caches; a session's
+# entry dies with its (weakly-referenced) session.
+import weakref
+
+_last_shingle_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 # ngram_jaccard_pairs auto-strategy crossover: above this many docs the
 # prefix-filtered (bounded-candidate) path is chosen; at or below it the
@@ -47,14 +52,51 @@ PREFIX_FILTER_MIN_DOCS = 500_000
 
 
 def _cache_shingles(sh: DataFrame) -> DataFrame:
-    while _last_shingle_cache:
+    session = sh.sparkSession
+    prev = _last_shingle_cache.pop(session, None)
+    if prev is not None:
         try:
-            _last_shingle_cache.pop().unpersist()
+            prev.unpersist()
         except Exception:
             pass
     sh = sh.cache()
-    _last_shingle_cache.append(sh)
+    _last_shingle_cache[session] = sh
     return sh
+
+
+def _hot_shingle_hashes(
+    hashed: DataFrame, id_col: str, n_docs: int, max_doc_freq: float
+) -> DataFrame:
+    """The (__h) stop-shingle relation: hashes present in more than
+    ``max_doc_freq`` of ``n_docs`` documents, detected from a
+    deterministic hash SAMPLE whose rate keeps >= ~50 expected hits for
+    a shingle AT the doc-freq cutoff (tight CLT), capped at 1/50 — the
+    doc-freq shuffle shrinks up to 50x, so at corpus scale the guard
+    costs a rounding error instead of a second full shuffle. Tiny
+    corpora (cutoff < 100 docs) keep the exact count, where sampling
+    noise would dominate. Hash-based (not .sample()) so the decision is
+    stable across partitionings and reruns.
+
+    ONE definition shared by minhash_lsh_candidates,
+    cross_corpus_near_dups, and build_signature_index: the index-build
+    and probe sides MUST use the same sampling family — drift between
+    them would silently desynchronize signatures and collapse recall.
+    """
+    mod = min(50, max(1, int(max_doc_freq * n_docs / 50)))
+    if mod > 1:
+        freq_src = hashed.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.col("__h")), F.lit(mod)) == 0
+        )
+        cutoff = max_doc_freq * n_docs / mod
+    else:
+        freq_src = hashed
+        cutoff = max_doc_freq * n_docs
+    return (
+        freq_src.groupBy("__h")
+        .count()
+        .filter(F.col("count") > cutoff)
+        .select("__h")
+    )
 
 
 def normalize_text(col: str | Column) -> Column:
@@ -291,29 +333,7 @@ def minhash_lsh_candidates(
     if max_doc_freq is not None:
         if n_docs is None:
             n_docs = sh.select(id_col).distinct().count()
-        # detect hot shingles from a deterministic hash sample whose rate
-        # keeps >= ~50 expected hits for a shingle AT the doc-freq
-        # cutoff (tight CLT), capped at 1/50: the doc-freq shuffle
-        # shrinks up to 50x, so at corpus scale the guard costs a
-        # rounding error instead of a second full shuffle. Tiny corpora
-        # (cutoff < 100 docs) keep the exact count — sampling noise
-        # would dominate. Hash-based (not .sample()) so the decision is
-        # stable across partitionings and reruns.
-        mod = min(50, max(1, int(max_doc_freq * n_docs / 50)))
-        if mod > 1:
-            freq_src = hashed.filter(
-                F.pmod(F.xxhash64(F.col(id_col), F.col("__h")), F.lit(mod)) == 0
-            )
-            cutoff = max_doc_freq * n_docs / mod
-        else:
-            freq_src = hashed
-            cutoff = max_doc_freq * n_docs
-        hot = (
-            freq_src.groupBy("__h")
-            .count()
-            .filter(F.col("count") > cutoff)
-            .select("__h")
-        )
+        hot = _hot_shingle_hashes(hashed, id_col, n_docs, max_doc_freq)
         hashed = hashed.join(F.broadcast(hot), "__h", "left_anti")
 
     sig = _signatures_from_hashed(hashed, id_col, k=k, seed=seed)
@@ -763,21 +783,7 @@ def cross_corpus_near_dups(
     if max_doc_freq is not None:
         n_docs = batch.count() + corpus.count()
         both = hashed_b.unionByName(hashed_c)
-        mod = min(50, max(1, int(max_doc_freq * n_docs / 50)))
-        if mod > 1:
-            freq_src = both.filter(
-                F.pmod(F.xxhash64(F.col(id_col), F.col("__h")), F.lit(mod)) == 0
-            )
-            cutoff = max_doc_freq * n_docs / mod
-        else:
-            freq_src = both
-            cutoff = max_doc_freq * n_docs
-        hot = (
-            freq_src.groupBy("__h")
-            .count()
-            .filter(F.col("count") > cutoff)
-            .select("__h")
-        )
+        hot = _hot_shingle_hashes(both, id_col, n_docs, max_doc_freq)
         hashed_b = hashed_b.join(F.broadcast(hot), "__h", "left_anti")
         hashed_c = hashed_c.join(F.broadcast(hot), "__h", "left_anti")
 
@@ -880,21 +886,7 @@ def build_signature_index(
 
     if max_doc_freq is not None:
         n_docs = corpus.count()
-        mod = min(50, max(1, int(max_doc_freq * n_docs / 50)))
-        if mod > 1:
-            freq_src = hashed.filter(
-                F.pmod(F.xxhash64(F.col(id_col), F.col("__h")), F.lit(mod)) == 0
-            )
-            cutoff = max_doc_freq * n_docs / mod
-        else:
-            freq_src = hashed
-            cutoff = max_doc_freq * n_docs
-        hot = (
-            freq_src.groupBy("__h")
-            .count()
-            .filter(F.col("count") > cutoff)
-            .select("__h")
-        )
+        hot = _hot_shingle_hashes(hashed, id_col, n_docs, max_doc_freq)
     else:
         hot = spark.range(0).select(F.col("id").alias("__h"))
     write_delta(hot, t_hot, mode="overwrite")

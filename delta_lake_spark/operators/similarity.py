@@ -610,113 +610,132 @@ def _sqdist(a, b):
     return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
 
 
-def pq_topk(
-    vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    m: int = 4,
-    k_codes: int = 16,
-    rerank: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization ANN (Jegou et al. 2011, "Product
-    Quantization for Nearest Neighbor Search"): split each vector into
-    ``m`` subvectors, learn a tiny per-subspace codebook, store each
-    vector as ``m`` small codes, and answer queries with the asymmetric
-    distance computation (ADC) — sum of exact query-to-centroid
-    subspace distances looked up by the stored codes — then RE-RANK the
-    ADC shortlist (``rerank * k`` candidates per query) with exact
-    distances, the standard production recipe: the quantized index
-    prunes billions of vectors to a shortlist, the float vectors are
-    touched only for ``|queries| * rerank * k`` rows. ``rerank=1``
-    disables the exact pass (pure ADC ranking).
+def _pq_empty_result(vectors: DataFrame, id_col: str) -> DataFrame:
+    """Typed empty (query_id, neighbor_id, rank, dist) result: id types
+    DERIVED from the input schema, so an int- or string-keyed corpus
+    gets the same result types on the empty path as the non-empty one."""
+    from pyspark.sql.types import IntegerType, StructField, StructType, DoubleType
 
-    Determinism (the whole operator is oracle-replicable): codebooks
-    are seeded like ivf_topk/kmeans — centroid j of every subspace is
-    the corresponding slice of the min-id vector in the ``id % k_codes``
-    bucket (one partial-aggregating groupBy, no RNG); encode/ADC
-    distances are rounded to 1e-9 before every argmin/ranking compare;
-    ties break on ascending code / neighbor id.
-
-    100 TB design: the codebook is m*k_codes rows (collected nowhere —
-    it BROADCASTS); encoding is a map-side broadcast join + per-key
-    window over m*k_codes-row groups; the query ADC table is
-    |queries|*m*k_codes rows, broadcast; the scored candidate relation
-    carries only (query, vector, 4 codes) — vectors' float payloads
-    never shuffle after encoding. Storage-side, codes compress each
-    dim-64 float vector to m bytes: the index that keeps billion-vector
-    search in memory.
-
-    Returns: query_id, neighbor_id, rank (1..k), dist (double, squared
-    L2, rounded 1e-9 — SMALLER is closer).
-    """
-    if m <= 0:
-        raise ValueError(f"pq_topk: m={m} must be a positive subspace count")
-    v = vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    id_type = vectors.schema[id_col].dataType
+    return vectors.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("neighbor_id", id_type),
+                StructField("rank", IntegerType()),
+                StructField("dist", DoubleType()),
+            ]
+        ),
     )
-    dim_row = v.select(F.size("__v").alias("d")).limit(1).collect()
-    if not dim_row:
-        return vectors.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, dist double"
-        )
-    dim = dim_row[0].d
-    if dim % m != 0:
-        raise ValueError(
-            f"pq_topk: m={m} must evenly divide the vector dimension "
-            f"{dim} — a remainder would silently drop trailing dims from "
-            "the codebook while the exact rerank still used them"
-        )
-    subdim = dim // m
 
-    def slices(col):
-        return F.array(
-            *[F.slice(col, s * subdim + 1, subdim) for s in range(m)]
-        )
 
-    # per-subspace codebooks from the min-id representative per bucket
+def _pq_codebook_row(v: DataFrame, id_col: str, m: int, k_codes: int, subdim: int):
+    """The PQ codebook as ONE broadcastable row: ``__cents`` is an array
+    of up to m*k_codes {s, code, cv} structs (centroid j of subspace s =
+    the s-slice of the min-id vector in the ``id % k_codes`` bucket —
+    deterministic, no RNG, one partial-aggregating groupBy). A bucket
+    with no ids simply contributes no entries; argmins below run over
+    the entries that exist."""
     reps = v.groupBy(
         F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("code")
     ).agg(F.min_by("__v", F.col(id_col)).alias("__rep"))
-    cent = reps.select(
-        "code", F.posexplode(slices(F.col("__rep"))).alias("s", "__cv")
+    per_rep = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.col("code").alias("code"),
+            F.slice(F.col("__rep"), s * subdim + 1, subdim).alias("cv"),
+        ),
+    )
+    return reps.select(per_rep.alias("__e")).groupBy().agg(
+        F.flatten(F.collect_list("__e")).alias("__cents")
     )
 
-    # encode: nearest centroid per (vector, subspace)
-    vsub = v.select(F.col(id_col), F.posexplode(slices(F.col("__v"))).alias("s", "__xv"))
-    enc_scored = vsub.join(F.broadcast(cent), "s").select(
-        id_col, "s", "code",
-        F.round(_sqdist(F.col("__xv"), F.col("__cv")), 9).alias("__d"),
+
+def _pq_encode_expr(m: int, subdim: int):
+    """codes array<int> (entry s = nearest-centroid code of subspace s)
+    as ONE whole-stage-codegen expression over (__v, __cents) — the
+    per-vector encode is map-only: distances to every centroid of every
+    subspace, lexicographic sort by (s, d, code), keep the first entry
+    per s (its argmin, ties by ascending code — the same 1e-9-rounded
+    compare the SQL oracle uses)."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(F.col("__v"), s * subdim + 1, subdim),
     )
-    w_enc = Window.partitionBy(id_col, "s").orderBy(
-        F.col("__d").asc(), F.col("code").asc()
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            c["s"].alias("s"),
+            F.round(
+                _sqdist(F.element_at(F.col("__subs"), c["s"] + 1), c["cv"]), 9
+            ).alias("d"),
+            c["code"].alias("code"),
+        ),
     )
-    codes = (
-        enc_scored.withColumn("__r", F.row_number().over(w_enc))
-        .filter(F.col("__r") == 1)
-        .select(id_col, "s", "code")
+    # first-struct-per-s over the sorted array == per-subspace argmin
+    winners = F.aggregate(
+        F.array_sort(dists),
+        F.expr("cast(array() as array<struct<s:int,d:double,code:int>>)"),
+        lambda acc, e: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1)["s"] == e["s"]), acc
+        ).otherwise(F.concat(acc, F.array(e))),
+    )
+    return subs, F.transform(winners, lambda w: w["code"])
+
+
+def _pq_query_adc(q: DataFrame, cents_one: DataFrame, m: int, subdim: int, k_codes: int) -> DataFrame:
+    """(query_id, __qv, __qmap) — the per-query ADC lookup map
+    ((s * k_codes + code) -> 1e-9-rounded exact query-subvector-to-
+    centroid squared L2), built map-side behind the 1-row codebook
+    broadcast. Small by the queries contract; broadcasts downstream."""
+    qsubs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(F.col("__qv"), s * subdim + 1, subdim),
+    )
+    qmap = F.map_from_entries(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (c["s"] * k_codes + c["code"]).alias("key"),
+                F.round(
+                    _sqdist(F.element_at(F.col("__qsubs"), c["s"] + 1), c["cv"]),
+                    9,
+                ).alias("value"),
+            ),
+        )
+    )
+    return (
+        q.join(F.broadcast(cents_one))
+        .withColumn("__qsubs", qsubs)
+        .select("query_id", "__qv", qmap.alias("__qmap"))
     )
 
-    # ADC lookup table: exact query-subvector -> centroid distances
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
-    qsub = q.select(
-        "query_id", F.posexplode(slices(F.col("__qv"))).alias("s", "__qs")
-    )
-    qtab = qsub.join(F.broadcast(cent), "s").select(
-        "query_id", "s", "code",
-        F.round(_sqdist(F.col("__qs"), F.col("__cv")), 9).alias("__qd"),
+
+def _pq_adc_dist_expr(m: int, k_codes: int):
+    """ADC distance fold: one ``aggregate`` over the vector's code array
+    against the broadcast __qmap — pure projection, zero shuffle."""
+    return F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col("__qmap"),
+                (s * k_codes + F.element_at(F.col("__codes"), s + 1)).cast("int"),
+            ),
+        ),
+        9,
     )
 
-    dists = (
-        codes.join(F.broadcast(qtab), ["s", "code"])
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.round(F.sum("__qd"), 9).alias("dist"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
+
+def _pq_rank_or_rerank(
+    dists: DataFrame, v: DataFrame, q: DataFrame, k: int, rerank: int, id_col: str
+) -> DataFrame:
+    """Shared tail of the PQ operators: ADC top-k when rerank<=1, else
+    exact squared-L2 re-rank of the rerank*k ADC shortlist (float
+    vectors re-joined by id for the shortlist rows ONLY)."""
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )
@@ -726,7 +745,6 @@ def pq_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "dist")
         )
-
     shortlist = (
         dists.withColumn("__r", F.row_number().over(w_adc))
         .filter(F.col("__r") <= k * rerank)
@@ -751,3 +769,249 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist")
     )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m`` subvectors, learn a tiny per-subspace codebook, store each
+    vector as ``m`` small codes, and answer queries with the asymmetric
+    distance computation (ADC) — sum of exact query-to-centroid
+    subspace distances looked up by the stored codes — then RE-RANK the
+    ADC shortlist (``rerank * k`` candidates per query) with exact
+    distances, the standard production recipe: the quantized index
+    prunes billions of vectors to a shortlist, the float vectors are
+    touched only for ``|queries| * rerank * k`` rows. ``rerank=1``
+    disables the exact pass (pure ADC ranking).
+
+    Determinism (the whole operator is oracle-replicable): codebooks
+    are seeded like ivf_topk/kmeans — centroid j of every subspace is
+    the corresponding slice of the min-id vector in the ``id % k_codes``
+    bucket (one partial-aggregating groupBy, no RNG); encode/ADC
+    distances are rounded to 1e-9 before every argmin/ranking compare;
+    ties break on ascending code / neighbor id.
+
+    100 TB design — the ADC fold is MAP-SIDE: the codebook aggregates
+    to ONE row (an array of m*k_codes centroid structs) that broadcasts
+    to both the encode and the query-table projections; each vector's
+    codes are computed by a single codegen'd expression (no per-subspace
+    explode, no window); the per-query ADC lookup table broadcasts as a
+    (s*k_codes + code) -> distance map; a vector's ADC distance is then
+    one ``aggregate`` over its code array — there is NO exchange between
+    the corpus scan and the final top-k window, which shuffles only
+    (query_id, neighbor_id, dist) scalars. Storage-side, codes compress
+    each dim-64 float vector to m bytes: the index that keeps
+    billion-vector search in memory.
+
+    ``dim`` is the (uniform) vector dimensionality. Pass it explicitly
+    to keep plan construction fully lazy; when None it is probed with
+    one min/max aggregate that also REJECTS ragged inputs (mixed dims
+    would silently truncate under F.slice otherwise).
+
+    Returns: query_id, neighbor_id, rank (1..k), dist (double, squared
+    L2, rounded 1e-9 — SMALLER is closer).
+    """
+    if m <= 0:
+        raise ValueError(f"pq_topk: m={m} must be a positive subspace count")
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if dim is None:
+        probe = v.agg(
+            F.min(F.size("__v")).alias("lo"), F.max(F.size("__v")).alias("hi")
+        ).first()
+        if probe.lo is None:
+            return _pq_empty_result(vectors, id_col)
+        if probe.lo != probe.hi:
+            raise ValueError(
+                f"pq_topk: ragged vector dims [{probe.lo}, {probe.hi}] — "
+                "F.slice would silently truncate/misalign subvectors; fix "
+                "the corpus or pass an explicit dim to assert the contract"
+            )
+        dim = probe.lo
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_topk: m={m} must evenly divide the vector dimension "
+            f"{dim} — a remainder would silently drop trailing dims from "
+            "the codebook while the exact rerank still used them"
+        )
+    subdim = dim // m
+
+    cents_one = _pq_codebook_row(v, id_col, m, k_codes, subdim)
+
+    # encode: map-only projection (scan -> broadcast 1-row codebook ->
+    # codes array), no explode, no window
+    subs_expr, codes_expr = _pq_encode_expr(m, subdim)
+    codes = (
+        v.join(F.broadcast(cents_one))
+        .withColumn("__subs", subs_expr)
+        .select(F.col(id_col), codes_expr.alias("__codes"))
+    )
+
+    # per-query ADC lookup map: (s * k_codes + code) -> exact
+    # query-subvector-to-centroid distance (1e-9-rounded)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    q_adc = _pq_query_adc(q, cents_one, m, subdim, k_codes)
+
+    # ADC distance: one aggregate over the code array per (vector,
+    # query) — entirely map-side behind the broadcast of q_adc
+    dists = (
+        codes.join(F.broadcast(q_adc.select("query_id", "__qmap")))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            _pq_adc_dist_expr(m, k_codes).alias("dist"),
+        )
+    )
+    return _pq_rank_or_rerank(dists, v, q, k, rerank, id_col)
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVFPQ — the genuine billion-vector recipe (Jegou et al. 2011,
+    §V: IVFADC): an inverted-file coarse quantizer routes each query to
+    its ``nprobe`` nearest cells, and the PQ/ADC scan runs ONLY over
+    the code lists of those cells — at 10^9 vectors the difference
+    between ADC-scanning the corpus and scanning nprobe/n_cells of it.
+    The exact shortlist re-rank is kept (``rerank * k`` candidates per
+    query touch float vectors; ``rerank=1`` disables it).
+
+    Determinism (oracle-replicable end to end, like q36/q138): coarse
+    centroids are the min-id vector per ``id % n_cells`` bucket; cell
+    assignment and query routing use 1e-9-rounded squared L2 with ties
+    on ascending cell id; PQ codebooks/encode/ADC are pq_topk's exact
+    arithmetic (flat codebooks over raw vectors — the coarse routing
+    prunes the scan; residual encoding is a recall refinement the
+    shared-oracle contract trades away).
+
+    100 TB design: the n_cells coarse-centroid row and the m*k_codes
+    codebook row each aggregate to ONE broadcastable row; cell
+    assignment AND encoding are a single map-side projection over the
+    corpus scan (no explode, no window); the (query_id, cell_id) probe
+    relation (|Q| * nprobe rows, with the ADC map attached) broadcasts,
+    so candidate generation is a broadcast HASH join on cell_id —
+    candidates are confined to probed cells BY THE JOIN, and the only
+    exchange before the top-k window is that window's scalar shuffle.
+    ``nprobe >= n_cells`` degrades to exactly pq_topk's result.
+
+    Returns: query_id, neighbor_id, rank (1..k), dist (double, squared
+    L2, rounded 1e-9 — SMALLER is closer).
+    """
+    if m <= 0:
+        raise ValueError(f"ivfpq_topk: m={m} must be a positive subspace count")
+    if nprobe <= 0:
+        raise ValueError(f"ivfpq_topk: nprobe={nprobe} must be positive")
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if dim is None:
+        probe = v.agg(
+            F.min(F.size("__v")).alias("lo"), F.max(F.size("__v")).alias("hi")
+        ).first()
+        if probe.lo is None:
+            return _pq_empty_result(vectors, id_col)
+        if probe.lo != probe.hi:
+            raise ValueError(
+                f"ivfpq_topk: ragged vector dims [{probe.lo}, {probe.hi}] — "
+                "F.slice would silently truncate/misalign subvectors"
+            )
+        dim = probe.lo
+    if dim % m != 0:
+        raise ValueError(
+            f"ivfpq_topk: m={m} must evenly divide the vector dimension {dim}"
+        )
+    subdim = dim // m
+
+    # coarse quantizer: n_cells centroids as ONE broadcastable row
+    cells_one = (
+        v.groupBy(
+            F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell")
+        )
+        .agg(F.min_by("__v", F.col(id_col)).alias("cv"))
+        .groupBy()
+        .agg(F.collect_list(F.struct("cell", "cv")).alias("__cells"))
+    )
+    # nearest-cell expression over a vector column name (map-only argmin)
+    def nearest_cells(vcol: str):
+        return F.array_sort(
+            F.transform(
+                F.col("__cells"),
+                lambda c: F.struct(
+                    F.round(_sqdist(F.col(vcol), c["cv"]), 9).alias("d"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )
+
+    cents_one = _pq_codebook_row(v, id_col, m, k_codes, subdim)
+    subs_expr, codes_expr = _pq_encode_expr(m, subdim)
+
+    # ONE map-side projection: cell assignment + PQ codes per vector
+    coded = (
+        v.join(F.broadcast(cells_one))
+        .join(F.broadcast(cents_one))
+        .withColumn("__subs", subs_expr)
+        .select(
+            F.col(id_col),
+            F.element_at(nearest_cells("__v"), 1)["cell"].alias("cell_id"),
+            codes_expr.alias("__codes"),
+        )
+    )
+
+    # query routing: nprobe nearest cells each, ADC map attached
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    q_adc = _pq_query_adc(q, cents_one, m, subdim, k_codes)
+    probes = (
+        q.join(F.broadcast(cells_one))
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.slice(nearest_cells("__qv"), 1, nprobe),
+                    lambda e: e["cell"],
+                )
+            ).alias("cell_id"),
+        )
+        .join(q_adc.select("query_id", "__qmap"), "query_id")
+    )
+
+    # candidate generation = broadcast HASH join on cell_id: the scan
+    # only ever scores vectors in probed cells
+    dists = (
+        coded.join(F.broadcast(probes), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            _pq_adc_dist_expr(m, k_codes).alias("dist"),
+        )
+    )
+    return _pq_rank_or_rerank(dists, v, q, k, rerank, id_col)

@@ -392,9 +392,14 @@ def gopher_quality_filter(
     ok_mean_word_len, ok_symbol_ratio, ok_alpha_words, ok_stopwords,
     passes (boolean).
     """
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # NULL text is normalized to '' BEFORE tokenizing: Spark's legacy
+    # size(split(NULL)) = -1 would otherwise produce n_words=-1 and
+    # non-null ratios while a SQL oracle yields NULLs — coalescing makes
+    # the NULL-document verdict deterministic (and a fail) on any engine
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(F.lower(text)), r"\s+")
     symbol_hits = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
+        F.regexp_extract_all(text, F.lit(r"#|\.\.\."), F.lit(0))
     )
     staged = df.select(
         F.col(id_col),

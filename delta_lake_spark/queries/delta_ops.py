@@ -1195,7 +1195,11 @@ def q134_incremental_gold_maintenance(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("cnt"),
-            F.sum("value").alias("total"),
+            # decimal-staged (module convention, cf. q50): the base, the
+            # signed deltas, and the final re-aggregate all fold exact
+            # decimals, so the incremental path cannot drift from the
+            # oracle's fresh full aggregate by summation order
+            F.sum(_dec("value")).alias("total"),
         )
     )
 
@@ -1227,15 +1231,19 @@ def q134_incremental_gold_maintenance(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.sum(sign).cast("long").alias("cnt"),
-            F.sum(F.col("value") * sign).alias("total"),
+            F.sum(_dec("value") * sign).alias("total"),
         )
     )
     return (
-        base.unionByName(delta)
+        base.unionByName(delta, allowMissingColumns=False)
         .groupBy("event_type")
         .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
         .filter(F.col("cnt") > 0)
-        .select("event_type", "cnt", F.round("total", 4).alias("total"))
+        .select(
+            "event_type",
+            "cnt",
+            F.round("total", 4).cast("double").alias("total"),
+        )
     )
 
 
@@ -1256,7 +1264,7 @@ f AS (
   UNION ALL SELECT * FROM s
 )
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
-       ROUND(SUM(value), 4) AS total
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
 FROM f GROUP BY event_type
 """
 

@@ -1635,8 +1635,9 @@ def q133_gopher_quality_filter(spark, sf_dir):
 _Q133_SQL = r"""
 WITH staged AS (
   SELECT doc_id,
-    string_split_regex(trim(lower(text)), '\s+') AS w,
-    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) AS sym
+    string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') AS w,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), '#|\.\.\.')) AS DOUBLE)
+      AS sym
   FROM documents
 ),
 m AS (
@@ -1748,21 +1749,25 @@ def q137_pretrain_funnel(spark, sf_dir):
     replays the identical pipeline relationally (recursive CTE for the
     components), value-checking the whole composition end to end.
 
-    The survivor-set caches from the PREVIOUS invocation are released on
-    entry (the returned union must stay lazy for the bench to time real
-    work, so this call's two ids-only blocks stay pinned until the next
-    q137 call or session end — bounded steady state, not a leak)."""
-    while _FUNNEL_CACHES:
+    The survivor-set caches from THIS session's previous invocation are
+    released on entry (the returned union must stay lazy for the bench
+    to time real work, so this call's two ids-only blocks stay pinned
+    until the next q137 call or session end — bounded steady state, not
+    a leak). The registry is keyed by SparkSession so two concurrent
+    pipelines in one process never evict each other's caches."""
+    for df in _FUNNEL_CACHES.pop(spark, []):
         try:
-            _FUNNEL_CACHES.pop().unpersist()
+            df.unpersist()
         except Exception:
             pass  # cache belonged to a since-stopped SparkSession
     out, canon, hits = _pretrain_funnel_frames(spark, sf_dir)
-    _FUNNEL_CACHES.extend([canon, hits])
+    _FUNNEL_CACHES[spark] = [canon, hits]
     return out
 
 
-_FUNNEL_CACHES: list = []
+import weakref
+
+_FUNNEL_CACHES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 _Q137_SQL = r"""
@@ -1896,7 +1901,8 @@ def q138_pq_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = pq_topk(emb, queries, k=10, m=4, k_codes=16)
+    # explicit dim keeps plan construction fully lazy (no probe job)
+    out = pq_topk(emb, queries, k=10, m=4, k_codes=16, dim=64)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
         F.round("dist", 6).alias("dist"),
@@ -1986,10 +1992,142 @@ SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
 _Q138_SQL = _gen_q138_sql()
 
 
+def q139_ivfpq_topk(spark, sf_dir):
+    """IVFPQ ANN top-k: IVF coarse routing (q36's recipe) composed with
+    the PQ/ADC index (q138's recipe) — ADC runs only inside each
+    query's nprobe probed cells. Deterministic arithmetic end to end,
+    so the DuckDB oracle replicates the whole approximate operator
+    value-exactly."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    # explicit dim keeps plan construction fully lazy (no probe job)
+    out = ivfpq_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, m=4, k_codes=16, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _gen_q139_sql(
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 10,
+    dim: int = 64,
+    rerank: int = 4,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB replica of ivfpq_topk: q138's codebook/encode/ADC/rerank
+    arithmetic plus the coarse-cell assignment and nprobe routing, with
+    the probe constraint applied to the ADC candidate join."""
+    subdim = dim // m
+
+    def d2(a, b):
+        return (
+            f"ROUND(list_dot_product({a}, {a})"
+            f" - 2.0 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 9)"
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cellreps AS (
+  SELECT CAST(vec_id % {n_cells} AS INTEGER) AS cell, arg_min(v, vec_id) AS cv
+  FROM v GROUP BY 1
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vv.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+        ORDER BY {d2('vv.v', 'c.cv')} ASC, c.cell ASC) AS r
+    FROM v vv, cellreps c
+  ) WHERE r = 1
+),
+reps AS (
+  SELECT CAST(vec_id % {k_codes} AS INTEGER) AS code, arg_min(v, vec_id) AS rep
+  FROM v GROUP BY 1
+),
+cent AS (
+  SELECT code, s,
+         list_slice(rep, s * {subdim} + 1, s * {subdim} + {subdim}) AS cv
+  FROM reps, (SELECT unnest(range(0, {m})) AS s)
+),
+vsub AS (
+  SELECT vec_id, s,
+         list_slice(v, s * {subdim} + 1, s * {subdim} + {subdim}) AS xv
+  FROM v, (SELECT unnest(range(0, {m})) AS s)
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vs.vec_id, vs.s, c.code,
+      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.s
+        ORDER BY {d2('vs.xv', 'c.cv')} ASC, c.code ASC) AS r
+    FROM vsub vs JOIN cent c ON c.s = vs.s
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {d2('q.qv', 'c.cv')} ASC, c.cell ASC) AS r
+    FROM q, cellreps c
+  ) WHERE r <= {nprobe}
+),
+qsub AS (
+  SELECT query_id, s,
+         list_slice(qv, s * {subdim} + 1, s * {subdim} + {subdim}) AS qs
+  FROM q, (SELECT unnest(range(0, {m})) AS s)
+),
+qtab AS (
+  SELECT qs.query_id, qs.s, c.code, {d2('qs.qs', 'c.cv')} AS qd
+  FROM qsub qs JOIN cent c ON c.s = qs.s
+),
+dists AS (
+  SELECT t.query_id, co.vec_id AS neighbor_id, ROUND(SUM(t.qd), 9) AS dist
+  FROM codes co
+  JOIN assign a ON a.vec_id = co.vec_id
+  JOIN qtab t ON t.s = co.s AND t.code = co.code
+  JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell
+  GROUP BY 1, 2
+  HAVING co.vec_id <> t.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS r
+    FROM dists
+  ) WHERE r <= {k * rerank}
+),
+rr AS (
+  SELECT sl.query_id, sl.neighbor_id,
+    {d2('q.qv', 'nv.v')} AS dist
+  FROM shortlist sl
+  JOIN q ON q.query_id = sl.query_id
+  JOIN v nv ON nv.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
+  SELECT query_id, neighbor_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM rr
+) WHERE rank <= {k}
+"""
+
+
+_Q139_SQL = _gen_q139_sql()
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q137_pretrain_funnel": q137_pretrain_funnel,
     "q138_pq_topk": q138_pq_topk,
+    "q139_ivfpq_topk": q139_ivfpq_topk,
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
@@ -2086,4 +2224,5 @@ ORACLE_SQL = {
     "q133_gopher_quality_filter": _Q133_SQL,
     "q137_pretrain_funnel": _Q137_SQL,
     "q138_pq_topk": _Q138_SQL,
+    "q139_ivfpq_topk": _Q139_SQL,
 }

@@ -1855,13 +1855,18 @@ def q136_idle_wealthy_customers(spark, sf_dir):
     becomes a left-anti join against the priority-filtered orders
     projection (two columns of the fact cross the wire, not the row).
     nation (25 rows) broadcasts for the display name. The threshold
-    sum is decimal-staged so both engines agree on cents."""
+    average is decimal-staged AND rounded to cents on BOTH engines
+    before the compare: Spark's avg(decimal(18,2)) is a decimal(22,6)
+    while DuckDB's AVG(DECIMAL) is a DOUBLE, so without the shared
+    rounding a balance within ~5e-7 of the raw average could classify
+    differently between engines — rounding both sides to the same 2dp
+    grid makes the boundary deterministic."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
 
     thr = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg(_dec("c_acctbal")).alias("__thr")
+        F.round(F.avg(_dec("c_acctbal")), 2).alias("__thr")
     )
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_custkey"
@@ -1888,7 +1893,7 @@ SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > (
-    SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+    SELECT ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 2) FROM customer
     WHERE c_acctbal > 0
   )
   AND NOT EXISTS (

@@ -1199,3 +1199,121 @@ def test_pq_full_shortlist_equals_exact(spark):
 
     with pytest.raises(ValueError, match="evenly divide"):
         pq_topk(vecs, qs, m=5)  # 16 % 5 != 0
+
+
+def test_ivfpq_topk_recall_and_degenerate_equivalence(spark, emb):
+    """IVFPQ: (a) with nprobe = n_cells the routing prunes nothing, so
+    the result must equal pq_topk's EXACTLY (same codebooks, same ADC,
+    same rerank); (b) with nprobe < n_cells recall vs the exact L2
+    top-10 clears a floor on this corpus; (c) deterministic across
+    runs; (d) returned neighbors all lie in the query's probed cells
+    (confinement holds semantically, not just in the plan)."""
+    from delta_lake_spark.operators.similarity import (
+        _sqdist,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    qs = emb.filter("vec_id < 5")
+    full = ivfpq_topk(emb, qs, k=10, n_cells=8, nprobe=8, rerank=4).collect()
+    flat = pq_topk(emb, qs, k=10, rerank=4).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, flat))
+
+    pruned = ivfpq_topk(emb, qs, k=10, n_cells=8, nprobe=3, rerank=4)
+    rows = pruned.collect()
+    exact = _exact_l2_topk(emb, qs, 10)
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.vec_id)
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(got.get(q, set()) & truth[q]) for q in truth) / (
+        10 * len(truth)
+    )
+    assert recall >= 0.3  # nprobe=3/8 floor on this corpus
+
+    again = pruned.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # (d) confinement: recompute assignment + routing relationally and
+    # check every returned neighbor's cell was probed by its query
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cells = v.groupBy(
+        F.pmod("vec_id", F.lit(8)).cast("int").alias("cell")
+    ).agg(F.min_by("v", F.col("vec_id")).alias("cv"))
+    scored = v.crossJoin(cells).select(
+        "vec_id", "cell", F.round(_sqdist(F.col("v"), F.col("cv")), 9).alias("d")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cell").asc())
+    ranked = scored.withColumn("r", F.row_number().over(w))
+    assign = {
+        r.vec_id: r.cell for r in ranked.filter("r = 1").collect()
+    }
+    probes = {}
+    for r in ranked.filter("r <= 3").join(
+        qs.select(F.col("vec_id")), "vec_id", "left_semi"
+    ).collect():
+        probes.setdefault(r.vec_id, set()).add(r.cell)
+    for r in rows:
+        assert assign[r.neighbor_id] in probes[r.query_id], r
+
+
+def test_pq_topk_ragged_dims_rejected_and_empty_typed(spark):
+    """The dim probe REJECTS ragged vector dims (F.slice would silently
+    truncate/misalign subvectors), and the empty-corpus result derives
+    its id types from the input schema instead of hardcoding long."""
+    from delta_lake_spark.operators.similarity import pq_topk
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [1.0] * 12)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        pq_topk(ragged, ragged, k=2, m=4)
+
+    empty_int = spark.createDataFrame(
+        [], "vec_id int, embedding array<double>"
+    )
+    out = pq_topk(empty_int, empty_int, k=2, m=4)
+    assert out.count() == 0
+    assert dict(out.dtypes)["query_id"] == "int"
+    assert dict(out.dtypes)["neighbor_id"] == "int"
+
+    # explicit dim skips the probe job AND the ragged check is the
+    # caller's contract then — the lazy path must still plan
+    lazy = pq_topk(
+        spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        k=2, m=4, dim=16,
+    )
+    assert lazy.count() == 0
+
+
+def test_shingle_and_funnel_caches_are_session_scoped(spark, docs):
+    """Two concurrent SparkSessions in one process must not evict each
+    other's shingle caches: the registry is keyed by session, so a
+    second pipeline's dedup call leaves the first session's cached
+    shingle relation pinned."""
+    from delta_lake_spark.operators import dedup
+
+    s2 = spark.newSession()
+    docs2 = s2.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+
+    dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
+    cache1 = dedup._last_shingle_cache[spark]
+    assert cache1.is_cached
+
+    dedup.ngram_jaccard_pairs(docs2, "text", "doc_id").count()
+    # session 2's call registered its own entry without evicting s1's
+    assert dedup._last_shingle_cache[s2].is_cached
+    assert cache1.is_cached
+    assert dedup._last_shingle_cache[spark] is cache1
+
+    # a SECOND call in s1 evicts only s1's previous cache
+    dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
+    assert not cache1.is_cached
+    assert dedup._last_shingle_cache[s2].is_cached

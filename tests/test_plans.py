@@ -591,12 +591,64 @@ def test_q137_funnel_composition_no_cartesian(spark):
 
 
 def test_q138_pq_codebook_broadcasts_no_cartesian(spark):
-    """PQ ANN: the codebook, ADC table, shortlist, and query vectors
-    all join as broadcasts; vector float payloads never shuffle after
-    encoding; no cartesian or nested-loop join anywhere."""
+    """PQ ANN with the MAP-SIDE ADC fold: the 1-row codebook and the
+    per-query ADC maps broadcast (the two legitimate BNLJs — build
+    sides are a 1-row aggregate and a |queries|-row map relation);
+    encode and ADC scoring are pure projections, so the ONLY exchange
+    between the corpus scan and the ADC top-k window is that window's
+    own hashpartitioning(query_id) — shuffling (query_id, neighbor_id,
+    dist) scalars, never vectors or per-subspace rows; shortlist rerank
+    joins hash-broadcast; no cartesian anywhere."""
     from delta_lake_spark.queries.llm import q138_pq_topk
 
     plan = _plan(q138_pq_topk(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    # exactly the three legitimate broadcasts: the 1-row codebook onto
+    # the encode side, the same row onto the query side, and the
+    # |queries|-row ADC-map relation onto the codes — nothing fact-sized
+    assert plan.count("BroadcastNestedLoopJoin") == 3
+    assert "BroadcastHashJoin" in plan  # shortlist rerank joins
+    # the corpus-side pipeline scan -> codes -> ADC dist is exchange-free:
+    # every Exchange in the plan is either inside a BroadcastExchange
+    # subtree (codebook/qmap/rerank builds) or the top-k window's
+    # hashpartitioning on query_id
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert shuffles, plan
+    for cols in shuffles:
+        # _groupingexpression = the codebook's pmod(id, k_codes) agg —
+        # k_codes partial rows per map task, inside the broadcast build
+        assert cols.strip().startswith(
+            ("query_id", "code", "_groupingexpression")
+        ), shuffles
+    # map-side partial top-k before the only scalar shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_q139_ivfpq_candidates_confined_to_probed_cells(spark):
+    """IVFPQ: candidate generation must be a broadcast HASH join on
+    cell_id (the join itself confines the ADC scan to probed cells —
+    no post-hoc filter, no cartesian); the coarse-centroid row, the
+    codebook row, and the probe relation are the only nested-loop
+    broadcasts (1-row / |Q|*nprobe-row build sides); cell assignment
+    and encoding are projections, so the only exchanges are the
+    codebook/centroid builds and the top-k windows' scalar shuffles."""
+    import re
+
+    from delta_lake_spark.queries.llm import q139_ivfpq_topk
+
+    plan = _plan(q139_ivfpq_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the probe join on cell_id is a hash join, not a filter afterthought
+    assert re.search(r"BroadcastHashJoin \[cell_id", plan), plan
+    # 1-row cells + 1-row codebook on the corpus side, same two on the
+    # query side — nothing fact-sized ever nested-loops
+    assert plan.count("BroadcastNestedLoopJoin") == 4
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert shuffles, plan
+    for cols in shuffles:
+        assert cols.strip().startswith(
+            ("query_id", "code", "_groupingexpression")
+        ), shuffles
+    assert "WindowGroupLimit" in plan

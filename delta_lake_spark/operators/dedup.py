@@ -957,6 +957,48 @@ def update_signature_index(
     )
 
 
+def delete_from_signature_index(
+    ids: DataFrame, index_path: str, id_col: str = "doc_id"
+) -> None:
+    """GDPR delete propagation into the persistent LSH index — the
+    compliance companion of ``update_signature_index`` (cf. the
+    reference's MERGE-delete scrub, `05_compliance.py:100-138`): when
+    documents are deleted from the corpus, their ``buckets`` and
+    ``sizes`` rows must go too, or the index keeps generating candidate
+    pairs for ghosts (harmless to correctness ONLY because verification
+    re-reads the corpus, but each probe then wastes a join against ids
+    that can never verify — and the sizes table would block re-adding
+    a same-id document forever). Deletes are MERGE-delete transactions
+    (one per table) against the broadcast-small id set.
+
+    Crash ordering — sizes FIRST, buckets second (the mirror of the
+    append path's buckets-first):
+      - crash after the sizes delete: the id's bucket rows survive as
+        ghosts — probes stay correct (verification derives everything
+        from the corpus), and replaying the delete removes them
+        (MERGE-delete of absent rows is a no-op, so replay is
+        idempotent); if the id is re-appended first instead, update
+        sees it as UNKNOWN (sizes row gone), re-signs it, and the
+        duplicate bucket rows are absorbed by candidate ``.distinct()``.
+      - buckets-first would instead strand a crash as "known but
+        bucketless": the sizes row survives, so a future re-append
+        skips the id and it becomes permanently unfindable.
+    """
+    from ..table import DeltaTable
+
+    spark = ids.sparkSession
+    t_buckets, t_sizes, _ = _index_tables(index_path)
+    doomed = ids.select(id_col).distinct()
+    for path in (t_sizes, t_buckets):  # sizes FIRST — see ordering note
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(doomed, f"t.{id_col} = s.{id_col}", source_alias="s")
+            .whenMatchedDelete()
+            .execute()
+        )
+
+
 def near_dups_against_index(
     batch: DataFrame,
     corpus: DataFrame,

@@ -957,6 +957,68 @@ def test_signature_index_incremental_equals_rebuilt(spark, tmp_path):
     assert got_inc == got_full and len(got_inc) > 0
 
 
+def test_signature_index_gdpr_delete_propagation(spark, tmp_path):
+    """GDPR delete propagation: after delete_from_signature_index, a
+    probe that previously matched a corpus doc returns NO pair for it
+    (and loses nothing else); the delete is idempotent under replay;
+    and a deleted id can be RE-appended and found again (the sizes-first
+    ordering contract)."""
+    from delta_lake_spark import read_delta
+    from delta_lake_spark.operators.dedup import (
+        build_signature_index,
+        delete_from_signature_index,
+        near_dups_against_index,
+        update_signature_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    probe = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    idx = str(tmp_path / "gdpr_idx")
+    build_signature_index(docs, "text", "doc_id", idx, max_doc_freq=None)
+
+    def pairs(corpus_df):
+        return {
+            (r.batch_id, r.corpus_id)
+            for r in near_dups_against_index(
+                probe, corpus_df, "text", "doc_id", idx
+            ).collect()
+        }
+
+    before = pairs(docs)
+    assert before, "fixture must produce at least one near-dup pair"
+    victim = sorted({c for _, c in before})[0]
+    doomed = spark.createDataFrame([(victim,)], "doc_id long")
+
+    # corpus-side GDPR delete + index propagation
+    survivors = docs.filter(F.col("doc_id") != victim)
+    delete_from_signature_index(doomed, idx)
+    after = pairs(survivors)
+    assert all(c != victim for _, c in after)
+    assert after == {p for p in before if p[1] != victim}
+    # the index tables themselves hold no rows for the victim
+    assert read_delta(spark, f"{idx}/buckets").filter(
+        F.col("doc_id") == victim
+    ).count() == 0
+    assert read_delta(spark, f"{idx}/sizes").filter(
+        F.col("doc_id") == victim
+    ).count() == 0
+
+    # idempotent under replay
+    delete_from_signature_index(doomed, idx)
+    assert pairs(survivors) == after
+
+    # re-append the deleted doc: update must re-sign it (the sizes row
+    # is gone, so the id is unknown again) and probes find it once more
+    victim_doc = docs.filter(F.col("doc_id") == victim)
+    update_signature_index(victim_doc, "text", "doc_id", idx)
+    assert pairs(docs) == before
+
+
 def test_mixture_resample_quotas_and_determinism(spark):
     """Temperature resampling: per-domain output sizes equal the
     floor-quota formula; t=0 equalizes domains; selection is stable

@@ -863,6 +863,7 @@ def build_signature_index(
     bands: int = 16,
     seed: int = 42,
     max_doc_freq: float | None = 0.1,
+    corpus_version: int | None = None,
 ) -> None:
     """Build the persistent LSH signature index for ``corpus``: three
     versioned tables under ``index_path`` (banded bucket rows, per-doc
@@ -896,17 +897,17 @@ def build_signature_index(
     hot_stored = read_delta(spark, t_hot)
     hashed = hashed.join(F.broadcast(hot_stored), "__h", "left_anti")
     buckets = _banded_bucket_rows(hashed, id_col, id_col, k, bands, seed)
-    write_delta(
-        buckets,
-        t_buckets,
-        mode="overwrite",
-        properties={
-            _IDX_PROP + "n": str(n),
-            _IDX_PROP + "k": str(k),
-            _IDX_PROP + "bands": str(bands),
-            _IDX_PROP + "seed": str(seed),
-        },
-    )
+    props = {
+        _IDX_PROP + "n": str(n),
+        _IDX_PROP + "k": str(k),
+        _IDX_PROP + "bands": str(bands),
+        _IDX_PROP + "seed": str(seed),
+    }
+    if corpus_version is not None:
+        # for CDF-driven maintenance: the corpus Delta version this
+        # build reflects (sync_signature_index_from_cdf starts there)
+        props[_IDX_PROP + "syncedVersion"] = str(corpus_version)
+    write_delta(buckets, t_buckets, mode="overwrite", properties=props)
     write_delta(
         sh.groupBy(id_col).agg(F.count("*").alias("n_sh")),
         t_sizes,
@@ -997,6 +998,68 @@ def delete_from_signature_index(
             .whenMatchedDelete()
             .execute()
         )
+
+
+def sync_signature_index_from_cdf(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Maintain the signature index from the corpus Delta table's CHANGE
+    FEED — the production loop that keeps dedup infrastructure aligned
+    with a mutating 100 TB corpus (appends, repricing updates, GDPR
+    MERGE-deletes) without re-shingling anything but what the mutations
+    touched:
+
+      1. read ``table_changes(corpus, syncedVersion + 1, current)`` —
+         bounded by what changed, not by table size;
+      2. ``delete_from_signature_index`` for every touched id (drops
+         stale signatures of updated AND deleted docs; no-op replay);
+      3. ``update_signature_index`` over the current corpus semi-joined
+         to the touched ids (re-signs survivors — their sizes rows are
+         gone after step 2, so they are re-signed under the frozen
+         params; ids deleted from the corpus simply aren't there);
+      4. pin ``syncedVersion = current`` on the buckets table (a
+         transactional property commit, the LAST step — a crash
+         anywhere earlier replays 1-3 from the old version, and both
+         mutation steps are idempotent).
+
+    The build must record its baseline (``build_signature_index(...,
+    corpus_version=v)``); an index built from a non-versioned DataFrame
+    defaults to 0, which is only correct if it was built from the v0
+    snapshot. Returns the number of touched ids (0 = already in sync).
+    """
+    from ..cdf import table_changes
+    from ..log import DeltaLog
+    from ..reader import read_delta
+    from ..table import DeltaTable
+
+    t_buckets, _, _ = _index_tables(index_path)
+    conf = DeltaLog(t_buckets).snapshot().metadata.configuration
+    synced = int(conf.get(_IDX_PROP + "syncedVersion", "0"))
+    current = DeltaLog(corpus_path).latest_version()
+    if current <= synced:
+        return 0
+    touched = (
+        table_changes(spark, corpus_path, synced + 1, current)
+        .select(id_col)
+        .distinct()
+    )
+    n_touched = touched.count()
+    if n_touched:
+        delete_from_signature_index(touched, index_path, id_col)
+        update_signature_index(
+            read_delta(spark, corpus_path).join(touched, id_col, "left_semi"),
+            text_col,
+            id_col,
+            index_path,
+        )
+    DeltaTable.forPath(spark, t_buckets).set_properties(
+        {_IDX_PROP + "syncedVersion": str(current)}
+    )
+    return n_touched
 
 
 def near_dups_against_index(

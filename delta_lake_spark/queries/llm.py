@@ -1626,6 +1626,100 @@ WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
 """
 
 
+def q140_index_cdf_sync(spark, sf_dir):
+    """CDF-maintained LSH signature index with GDPR delete propagation —
+    the full compliance loop over the dedup infrastructure (the
+    reference's change-feed + MERGE-delete story applied to the LLM
+    corpus): build the index at corpus v0, then APPEND a day-2 batch
+    (v1) and GDPR-DELETE every 10th document (v2) on the corpus Delta
+    table, and let ``sync_signature_index_from_cdf`` repair the index
+    purely from the change feed — stale signatures deleted, new docs
+    signed, deleted docs' bucket/size rows scrubbed. The probe batch
+    targets BOTH generations and the deleted range, so a missed insert,
+    a surviving ghost, or a stale syncedVersion all fail the oracle,
+    which recomputes the exact probe x final-corpus-state jaccard
+    relationally (same full-recall contract as q129: planted pairs sit
+    near jaccard 0.9+ where 16x4 banding misses with P ~ 1e-7)."""
+    from ..operators.dedup import (
+        build_signature_index,
+        near_dups_against_index,
+        sync_signature_index_from_cdf,
+    )
+    from ..queries.delta_ops import _fresh
+    from ..reader import read_delta
+    from ..table import DeltaTable
+    from ..writer import write_delta
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = _fresh("cdf_corpus")
+    write_delta(docs, path)  # v0
+    idx = _fresh("cdf_lsh_index")
+    build_signature_index(
+        read_delta(spark, path), "text", "doc_id", idx, corpus_version=0
+    )
+
+    day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    write_delta(day2, path, mode="append")  # v1
+    DeltaTable.forPath(spark, path).delete("doc_id % 10 = 0")  # v2 (GDPR)
+    sync_signature_index_from_cdf(spark, path, idx)
+
+    corpus = read_delta(spark, path)
+    probe = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    out = near_dups_against_index(probe, corpus, "text", "doc_id", idx)
+    return out.select(
+        "batch_id", "corpus_id", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+_Q140_SQL = """
+WITH day2 AS (
+  SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id, text FROM day2
+  ) WHERE doc_id % 10 <> 0
+),
+bdocs AS (
+  SELECT doc_id + 200000 AS doc_id, text || ' appended' AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+bw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM bdocs),
+cw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+bsh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM bw)
+  WHERE i + 2 <= len(w)
+),
+csh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM cw)
+  WHERE i + 2 <= len(w)
+),
+bn AS (SELECT doc_id, COUNT(*) AS n_b FROM bsh GROUP BY doc_id),
+cn AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY doc_id),
+inter AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS n_i
+  FROM bsh b JOIN csh c USING (shingle)
+  GROUP BY b.doc_id, c.doc_id
+)
+SELECT i.batch_id, i.corpus_id,
+  ROUND(i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i), 9) AS jaccard
+FROM inter i
+JOIN bn ON i.batch_id = bn.doc_id
+JOIN cn ON i.corpus_id = cn.doc_id
+WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
+"""
+
+
 def q133_gopher_quality_filter(spark, sf_dir):
     from ..operators.text import gopher_quality_filter
 
@@ -2128,6 +2222,7 @@ QUERIES = {
     "q137_pretrain_funnel": q137_pretrain_funnel,
     "q138_pq_topk": q138_pq_topk,
     "q139_ivfpq_topk": q139_ivfpq_topk,
+    "q140_index_cdf_sync": q140_index_cdf_sync,
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
@@ -2225,4 +2320,5 @@ ORACLE_SQL = {
     "q137_pretrain_funnel": _Q137_SQL,
     "q138_pq_topk": _Q138_SQL,
     "q139_ivfpq_topk": _Q139_SQL,
+    "q140_index_cdf_sync": _Q140_SQL,
 }

@@ -1019,6 +1019,107 @@ def test_signature_index_gdpr_delete_propagation(spark, tmp_path):
     assert pairs(docs) == before
 
 
+def test_signature_index_cdf_sync_idempotent_and_versioned(spark, tmp_path):
+    """sync_signature_index_from_cdf: applies exactly the changed docs
+    (insert + update + delete), pins syncedVersion transactionally, and
+    a second sync with no new corpus commits touches nothing (returns
+    0). After sync, the index equals one rebuilt from the final corpus
+    state (same frozen-guard caveat as the incremental test)."""
+    from delta_lake_spark import read_delta
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.operators.dedup import (
+        _IDX_PROP,
+        build_signature_index,
+        near_dups_against_index,
+        sync_signature_index_from_cdf,
+    )
+    from delta_lake_spark.table import DeltaTable
+    from delta_lake_spark.writer import write_delta
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "corpus")
+    write_delta(docs, path)  # v0
+    idx = str(tmp_path / "idx")
+    build_signature_index(
+        read_delta(spark, path), "text", "doc_id", idx,
+        max_doc_freq=None, corpus_version=0,
+    )
+
+    day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    write_delta(day2, path, mode="append")  # v1
+    DeltaTable.forPath(spark, path).delete("doc_id % 10 = 0")  # v2
+
+    n = sync_signature_index_from_cdf(spark, path, idx)
+    assert n > 0
+    conf = DeltaLog(f"{idx}/buckets").snapshot().metadata.configuration
+    assert conf[_IDX_PROP + "syncedVersion"] == "2"
+    # nothing new -> no-op
+    assert sync_signature_index_from_cdf(spark, path, idx) == 0
+
+    corpus = read_delta(spark, path)
+    probe = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+
+    def pairs(index_path):
+        return {
+            (r.batch_id, r.corpus_id, round(r.jaccard, 9))
+            for r in near_dups_against_index(
+                probe, corpus, "text", "doc_id", index_path
+            ).collect()
+        }
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_signature_index(corpus, "text", "doc_id", rebuilt, max_doc_freq=None)
+    got, want = pairs(idx), pairs(rebuilt)
+    assert got == want and len(got) > 0
+    # no ghost: deleted ids serve no pairs and hold no index rows
+    assert all(c % 10 != 0 for _, c, _ in got)
+    assert read_delta(spark, f"{idx}/buckets").filter(
+        "doc_id % 10 = 0"
+    ).count() == 0
+
+
+def test_minhash_candidate_count_stays_linear(spark):
+    """Scale-bench guard (tools/dedup_bench.py, SCALING.md): on the
+    synthetic corpus with ~n/97 planted near-dup pairs, MinHash-LSH
+    candidate generation must produce O(planted) candidates — a
+    quadratic bucket blowup (broken stop-shingle guard or bucket cap)
+    would multiply this by orders of magnitude. Verified pairs must
+    contain every planted pair (the 28/29-shingle overlap is far above
+    threshold, and k=64/b=16 recall there is ~1)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from tools.dedup_bench import NEAR_DUP_EVERY, synthetic_corpus
+
+    from delta_lake_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_pairs,
+        word_shingles,
+    )
+
+    n = 10_000
+    corpus = synthetic_corpus(spark, n)
+    planted = (n - 1) // NEAR_DUP_EVERY
+    sh = word_shingles(corpus, "text", "doc_id")
+    n_cand = minhash_lsh_candidates(sh, "doc_id", n_docs=n).count()
+    # linear bound: a handful of hash-collision extras at most — the
+    # quadratic failure mode would be ~n^2/buckets >> 4x planted
+    assert planted <= n_cand <= 4 * planted, (planted, n_cand)
+    n_pairs = minhash_lsh_pairs(corpus, "text", "doc_id").count()
+    assert planted <= n_pairs <= n_cand
+
+
 def test_mixture_resample_quotas_and_determinism(spark):
     """Temperature resampling: per-domain output sizes equal the
     floor-quota formula; t=0 equalizes domains; selection is stable

@@ -880,6 +880,287 @@ def pq_topk(
     return _pq_rank_or_rerank(dists, v, q, k, rerank, id_col)
 
 
+# --------------------------------------------------------------------------
+# Persistent IVFPQ index: quantizers trained once and FROZEN as Delta
+# tables, every vector encoded once into (cell, m codes) rows — at 10^9
+# vectors the corpus is never re-encoded per query batch, and the whole
+# searchable index is m bytes + a cell id per vector.
+# --------------------------------------------------------------------------
+
+_PQ_PROP = "dls.pqIndex."  # table-property prefix on the codes table
+
+
+def _pq_index_tables(index_path: str) -> tuple[str, str, str]:
+    return (
+        f"{index_path}/codes",     # (id, cell_id, codes array<int>)
+        f"{index_path}/codebook",  # (s, code, cv) frozen PQ centroids
+        f"{index_path}/cells",     # (cell, cv) frozen coarse centroids
+    )
+
+
+def _pq_index_params(spark, index_path: str) -> dict:
+    from ..log import DeltaLog
+
+    conf = DeltaLog(_pq_index_tables(index_path)[0]).snapshot().metadata.configuration
+    return {
+        key: int(conf[_PQ_PROP + key])
+        for key in ("n_cells", "m", "k_codes", "dim")
+    }
+
+
+def _one_row(df: DataFrame, *cols: str) -> DataFrame:
+    """Collapse a small relation to ONE broadcastable row holding an
+    array of its row structs (the codebook/cells shape the map-side
+    encode expressions consume)."""
+    name = "__cents" if "code" in cols else "__cells"
+    return df.groupBy().agg(
+        F.collect_list(F.struct(*cols)).alias(name)
+    )
+
+
+def _encode_against(
+    v: DataFrame,
+    cells_one: DataFrame,
+    cents_one: DataFrame,
+    id_col: str,
+    m: int,
+    subdim: int,
+) -> DataFrame:
+    """(id, cell_id, codes) via the shared map-side projection — used by
+    both the build and the incremental update so stored codes can never
+    drift from ad-hoc ones."""
+    subs_expr, codes_expr = _pq_encode_expr(m, subdim)
+    nearest = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("__cells"),
+                lambda c: F.struct(
+                    F.round(_sqdist(F.col("__v"), c["cv"]), 9).alias("d"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+    )["cell"]
+    return (
+        v.join(F.broadcast(cells_one))
+        .join(F.broadcast(cents_one))
+        .withColumn("__subs", subs_expr)
+        .select(
+            F.col(id_col),
+            nearest.alias("cell_id"),
+            codes_expr.alias("codes"),
+        )
+    )
+
+
+def build_pq_index(
+    vectors: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Build the persistent IVFPQ index: three versioned Delta tables
+    under ``index_path`` — the coarse-centroid table, the PQ codebook,
+    and one (id, cell, codes) row per vector — with the parameters
+    pinned as table properties. The quantizers are trained on the BUILD
+    corpus and FROZEN (codes must stay comparable across incremental
+    appends; rebuild to retrain), the same freeze contract as the LSH
+    signature index (`dedup.py` build_signature_index).
+
+    Commit ordering: codebook and cells land BEFORE codes, so a torn
+    build never leaves codes whose quantizers are missing; each table
+    write is a single atomic Delta commit."""
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    if dim % m != 0:
+        raise ValueError(
+            f"build_pq_index: m={m} must evenly divide dim={dim}"
+        )
+    subdim = dim // m
+    spark = vectors.sparkSession
+    t_codes, t_codebook, t_cells = _pq_index_tables(index_path)
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+
+    cells = v.groupBy(
+        F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell")
+    ).agg(F.min_by("__v", F.col(id_col)).alias("cv"))
+    write_delta(cells, t_cells, mode="overwrite")
+
+    reps = v.groupBy(
+        F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("code")
+    ).agg(F.min_by("__v", F.col(id_col)).alias("__rep"))
+    codebook = reps.select(
+        "code",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("__rep"), s * subdim + 1, subdim),
+            )
+        ).alias("s", "cv"),
+    ).select("s", "code", "cv")
+    write_delta(codebook, t_codebook, mode="overwrite")
+
+    cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
+    cents_one = _one_row(read_delta(spark, t_codebook), "s", "code", "cv")
+    write_delta(
+        _encode_against(v, cells_one, cents_one, id_col, m, subdim),
+        t_codes,
+        mode="overwrite",
+        properties={
+            _PQ_PROP + "n_cells": str(n_cells),
+            _PQ_PROP + "m": str(m),
+            _PQ_PROP + "k_codes": str(k_codes),
+            _PQ_PROP + "dim": str(dim),
+        },
+    )
+
+
+def update_pq_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally encode newly-appended vectors under the FROZEN
+    quantizers and append their (id, cell, codes) rows — repeated daily
+    ingestion never re-encodes the existing corpus. Ids already present
+    are skipped, so replaying an update is a no-op (idempotent under
+    at-least-once pipelines); a single codes table means every update
+    is one atomic Delta commit with no cross-table torn state."""
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    spark = new_vectors.sparkSession
+    t_codes, t_codebook, t_cells = _pq_index_tables(index_path)
+    p = _pq_index_params(spark, index_path)
+    subdim = p["dim"] // p["m"]
+
+    known = read_delta(spark, t_codes).select(id_col)
+    fresh = new_vectors.join(known, id_col, "left_anti").select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
+    cents_one = _one_row(read_delta(spark, t_codebook), "s", "code", "cv")
+    write_delta(
+        _encode_against(fresh, cells_one, cents_one, id_col, p["m"], subdim),
+        t_codes,
+        mode="append",
+    )
+
+
+def delete_from_pq_index(
+    ids: DataFrame, index_path: str, id_col: str = "vec_id"
+) -> None:
+    """GDPR delete propagation: MERGE-delete the ids' codes rows (one
+    atomic transaction; replay of absent ids is a no-op, and a deleted
+    id can be re-appended because idempotence keys on the codes table
+    itself)."""
+    from ..table import DeltaTable
+
+    spark = ids.sparkSession
+    t_codes, _, _ = _pq_index_tables(index_path)
+    (
+        DeltaTable.forPath(spark, t_codes)
+        .alias("t")
+        .merge(
+            ids.select(id_col).distinct(),
+            f"t.{id_col} = s.{id_col}",
+            source_alias="s",
+        )
+        .whenMatchedDelete()
+        .execute()
+    )
+
+
+def query_pq_index(
+    queries: DataFrame,
+    vectors: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivfpq_topk served FROM the stored index: query routing uses the
+    stored coarse centroids, ADC folds against the stored codes (the
+    corpus is never re-encoded — the scan reads m bytes + a cell id per
+    vector instead of the float payload), and the exact shortlist
+    rerank re-joins ``vectors`` by id for the shortlist rows only.
+
+    Returns: query_id, neighbor_id, rank (1..k), dist — identical to
+    ivfpq_topk over the same corpus and parameters when the index is
+    fresh (equivalence is pytest-pinned)."""
+    from ..reader import read_delta
+
+    spark = queries.sparkSession
+    t_codes, t_codebook, t_cells = _pq_index_tables(index_path)
+    p = _pq_index_params(spark, index_path)
+    m, k_codes = p["m"], p["k_codes"]
+    subdim = p["dim"] // m
+
+    cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
+    cents_one = _one_row(read_delta(spark, t_codebook), "s", "code", "cv")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    q_adc = _pq_query_adc(q, cents_one, m, subdim, k_codes)
+    probes = (
+        q.join(F.broadcast(cells_one))
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.transform(
+                                F.col("__cells"),
+                                lambda c: F.struct(
+                                    F.round(
+                                        _sqdist(F.col("__qv"), c["cv"]), 9
+                                    ).alias("d"),
+                                    c["cell"].alias("cell"),
+                                ),
+                            )
+                        ),
+                        1,
+                        nprobe,
+                    ),
+                    lambda e: e["cell"],
+                )
+            ).alias("cell_id"),
+        )
+        .join(q_adc.select("query_id", "__qmap"), "query_id")
+    )
+
+    coded = read_delta(spark, t_codes).select(
+        F.col(id_col), "cell_id", F.col("codes").alias("__codes")
+    )
+    dists = (
+        coded.join(F.broadcast(probes), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            _pq_adc_dist_expr(m, k_codes).alias("dist"),
+        )
+    )
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    return _pq_rank_or_rerank(dists, v, q, k, rerank, id_col)
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1626,6 +1626,149 @@ WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
 """
 
 
+def q141_persistent_pq_index(spark, sf_dir):
+    """Persistent IVFPQ index with incremental encoding — the ANN
+    mirror of q129's signature index: quantizers trained on the day-1
+    corpus and FROZEN as Delta tables, day-2 vectors encoded
+    incrementally under them (the existing corpus is never re-encoded),
+    queries served from the stored (cell, codes) rows. The oracle
+    replicates the frozen-quantizer semantics exactly: coarse centroids
+    and codebooks from the day-1 subset, codes for the full corpus."""
+    from ..operators.similarity import (
+        build_pq_index,
+        query_pq_index,
+        update_pq_index,
+    )
+    from ..queries.delta_ops import _fresh
+
+    emb = _emb(spark, sf_dir)
+    day1 = emb.filter(F.col("vec_id") % 3 != 0)
+    day2 = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = _fresh("pq_index")
+    build_pq_index(day1, idx, n_cells=16, m=4, k_codes=16, dim=64)
+    update_pq_index(day2, idx)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = query_pq_index(queries, emb, idx, k=10, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _gen_q141_sql(
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 10,
+    dim: int = 64,
+    rerank: int = 4,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB replica of the persistent-index query: q139's IVFPQ
+    arithmetic with the quantizers trained on the day-1 subset only
+    (vec_id % 3 <> 0) — the frozen-codebook contract — while every
+    vector is encoded and searchable."""
+    subdim = dim // m
+
+    def d2(a, b):
+        return (
+            f"ROUND(list_dot_product({a}, {a})"
+            f" - 2.0 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 9)"
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+train AS (SELECT * FROM v WHERE vec_id % 3 <> 0),
+cellreps AS (
+  SELECT CAST(vec_id % {n_cells} AS INTEGER) AS cell, arg_min(v, vec_id) AS cv
+  FROM train GROUP BY 1
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vv.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+        ORDER BY {d2('vv.v', 'c.cv')} ASC, c.cell ASC) AS r
+    FROM v vv, cellreps c
+  ) WHERE r = 1
+),
+reps AS (
+  SELECT CAST(vec_id % {k_codes} AS INTEGER) AS code, arg_min(v, vec_id) AS rep
+  FROM train GROUP BY 1
+),
+cent AS (
+  SELECT code, s,
+         list_slice(rep, s * {subdim} + 1, s * {subdim} + {subdim}) AS cv
+  FROM reps, (SELECT unnest(range(0, {m})) AS s)
+),
+vsub AS (
+  SELECT vec_id, s,
+         list_slice(v, s * {subdim} + 1, s * {subdim} + {subdim}) AS xv
+  FROM v, (SELECT unnest(range(0, {m})) AS s)
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vs.vec_id, vs.s, c.code,
+      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.s
+        ORDER BY {d2('vs.xv', 'c.cv')} ASC, c.code ASC) AS r
+    FROM vsub vs JOIN cent c ON c.s = vs.s
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {d2('q.qv', 'c.cv')} ASC, c.cell ASC) AS r
+    FROM q, cellreps c
+  ) WHERE r <= {nprobe}
+),
+qsub AS (
+  SELECT query_id, s,
+         list_slice(qv, s * {subdim} + 1, s * {subdim} + {subdim}) AS qs
+  FROM q, (SELECT unnest(range(0, {m})) AS s)
+),
+qtab AS (
+  SELECT qs.query_id, qs.s, c.code, {d2('qs.qs', 'c.cv')} AS qd
+  FROM qsub qs JOIN cent c ON c.s = qs.s
+),
+dists AS (
+  SELECT t.query_id, co.vec_id AS neighbor_id, ROUND(SUM(t.qd), 9) AS dist
+  FROM codes co
+  JOIN assign a ON a.vec_id = co.vec_id
+  JOIN qtab t ON t.s = co.s AND t.code = co.code
+  JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell
+  GROUP BY 1, 2
+  HAVING co.vec_id <> t.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS r
+    FROM dists
+  ) WHERE r <= {k * rerank}
+),
+rr AS (
+  SELECT sl.query_id, sl.neighbor_id,
+    {d2('q.qv', 'nv.v')} AS dist
+  FROM shortlist sl
+  JOIN q ON q.query_id = sl.query_id
+  JOIN v nv ON nv.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
+  SELECT query_id, neighbor_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM rr
+) WHERE rank <= {k}
+"""
+
+
+_Q141_SQL = _gen_q141_sql()
+
+
 def q140_index_cdf_sync(spark, sf_dir):
     """CDF-maintained LSH signature index with GDPR delete propagation —
     the full compliance loop over the dedup infrastructure (the
@@ -2223,6 +2366,7 @@ QUERIES = {
     "q138_pq_topk": q138_pq_topk,
     "q139_ivfpq_topk": q139_ivfpq_topk,
     "q140_index_cdf_sync": q140_index_cdf_sync,
+    "q141_persistent_pq_index": q141_persistent_pq_index,
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
@@ -2321,4 +2465,5 @@ ORACLE_SQL = {
     "q138_pq_topk": _Q138_SQL,
     "q139_ivfpq_topk": _Q139_SQL,
     "q140_index_cdf_sync": _Q140_SQL,
+    "q141_persistent_pq_index": _Q141_SQL,
 }

@@ -1424,6 +1424,55 @@ def test_ivfpq_topk_recall_and_degenerate_equivalence(spark, emb):
         assert assign[r.neighbor_id] in probes[r.query_id], r
 
 
+def test_persistent_pq_index_matches_adhoc_and_mutates_safely(spark, emb, tmp_path):
+    """Persistent IVFPQ index: (a) a fresh index over the full corpus
+    serves EXACTLY ivfpq_topk's output (stored codes can't drift from
+    ad-hoc encoding); (b) replaying an update appends nothing
+    (idempotent); (c) delete removes the id from results and the codes
+    table, and a re-append makes it findable again."""
+    from delta_lake_spark import read_delta
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.operators.similarity import (
+        build_pq_index,
+        delete_from_pq_index,
+        ivfpq_topk,
+        query_pq_index,
+        update_pq_index,
+    )
+
+    qs = emb.filter("vec_id < 3")
+    idx = str(tmp_path / "pq_idx")
+    build_pq_index(emb, idx, n_cells=8, m=4, k_codes=16, dim=64)
+
+    served = query_pq_index(qs, emb, idx, k=10, nprobe=3).collect()
+    adhoc = ivfpq_topk(emb, qs, k=10, n_cells=8, nprobe=3, dim=64).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, adhoc))
+
+    # idempotent update: re-encoding known ids appends no rows
+    v_before = DeltaLog(f"{idx}/codes").latest_version()
+    n_before = read_delta(spark, f"{idx}/codes").count()
+    update_pq_index(emb, idx)
+    assert read_delta(spark, f"{idx}/codes").count() == n_before
+    assert (
+        read_delta(spark, f"{idx}/codes", version=v_before).count() == n_before
+    )
+
+    # GDPR delete: the victim disappears from results and the table...
+    victim = served[0].neighbor_id
+    doomed = spark.createDataFrame([(int(victim),)], "vec_id long")
+    delete_from_pq_index(doomed, idx)
+    survivors = emb.filter(F.col("vec_id") != victim)
+    after = query_pq_index(qs, survivors, idx, k=10, nprobe=3).collect()
+    assert all(r.neighbor_id != victim for r in after)
+    assert read_delta(spark, f"{idx}/codes").filter(
+        F.col("vec_id") == victim
+    ).count() == 0
+    # ...and a re-append under the frozen quantizers restores it
+    update_pq_index(emb.filter(F.col("vec_id") == victim), idx)
+    restored = query_pq_index(qs, emb, idx, k=10, nprobe=3).collect()
+    assert sorted(map(tuple, restored)) == sorted(map(tuple, served))
+
+
 def test_pq_topk_ragged_dims_rejected_and_empty_typed(spark):
     """The dim probe REJECTS ragged vector dims (F.slice would silently
     truncate/misalign subvectors), and the empty-corpus result derives

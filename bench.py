@@ -76,7 +76,7 @@ def main() -> None:
     # so the first timed query measures the query, not JVM cold-start
     spark.range(10_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
-    def bench_one(name: str, runs: int = 3) -> float:
+    def bench_one(name: str, runs: int = 3, include_build: bool = False) -> float:
         fn = QUERIES[name]
         # best of 3: the first run pays Janino codegen + cache fill, the
         # second still part-warms the JIT for wide-agg plans; the minimum
@@ -84,8 +84,12 @@ def main() -> None:
         # and suppresses shared-host noise between rounds
         best = None
         for _ in range(runs):
-            df = fn(spark, sf_dir)
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            if not include_build:
+                # headline semantics (pinned since r2): time only the
+                # materializing action, construction excluded
+                t0 = time.perf_counter()
             # noop-format write materializes EVERY column of every row
             # (count() would let Catalyst prune the projections away and
             # time a row count instead of the query's actual work)
@@ -101,11 +105,17 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # the secondary set rides along (2 runs — these are the slowest
     # queries; the first run still absorbs codegen) without affecting
-    # the pinned headline metric
+    # the pinned headline metric. Secondary rows are timed END TO END
+    # (construction + materialization): composition queries may probe
+    # or mutate eagerly during construction, and hiding that would
+    # under-report them (see BASELINE.md round-4 note).
     secondary = (
         {}
         if "--all" in sys.argv
-        else {name: bench_one(name, runs=2) for name in SECONDARY}
+        else {
+            name: bench_one(name, runs=2, include_build=True)
+            for name in SECONDARY
+        }
     )
     print(
         json.dumps(

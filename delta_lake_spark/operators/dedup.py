@@ -450,19 +450,40 @@ def resolve_duplicate_clusters(
     all_ids: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    driver_union_find_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id),
     cluster_id = smallest member id (the canonical survivor). Documents
     in no pair form singleton clusters of themselves.
 
-    Distributed min-label propagation: every node starts as its own
-    label; each round joins labels across edges and keeps the minimum;
-    stop when a round changes nothing. Rounds needed = graph diameter
-    (near-dup clusters are small and dense, so typically 2-3); each
-    round is one join + one aggregation — no driver-side graph, scales
-    with edges like everything else here. ``persist`` per round keeps
-    the lineage from growing exponentially.
+    Two identical-output strategies, chosen by edge count (one cheap
+    count — the same way ngram_jaccard_pairs picks its candidate
+    strategy and Catalyst picks broadcast joins):
+
+    - at or below ``driver_union_find_max_edges`` (the overwhelmingly
+      common case — near-dup PAIRS are a sliver of any deduped corpus):
+      driver-side union-find with min-root union. The collect is
+      EXPLICITLY bounded — a ``limit(threshold + 1)`` probe, so at most
+      threshold+1 two-long rows (~16 MB) ever reach the driver and the
+      pair pipeline executes ONCE; distributed label propagation costs
+      graph-diameter ROUNDS of Spark jobs, which for a small dense
+      graph is pure scheduler overhead — union-find resolves it in
+      microseconds and rejoins as one broadcast.
+    - above the threshold: distributed min-label propagation — every
+      node starts as its own label; each round joins labels across
+      edges and keeps the minimum; stop when a round changes nothing.
+      Rounds needed = graph diameter (near-dup clusters are small and
+      dense, so typically 2-3); each round is one join + one
+      aggregation — no driver-side graph, scales with edges.
+      ``persist`` per round keeps lineage from growing exponentially.
     """
+    probe = (
+        pairs.select("id_1", "id_2")
+        .limit(driver_union_find_max_edges + 1)
+        .collect()
+    )
+    if len(probe) <= driver_union_find_max_edges:
+        return _resolve_clusters_driver(probe, all_ids, id_col)
     edges = (
         pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
         .union(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
@@ -499,6 +520,53 @@ def resolve_duplicate_clusters(
     edges.unpersist()
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def _resolve_clusters_driver(
+    rows: list, all_ids: DataFrame, id_col: str
+) -> DataFrame:
+    """Small-graph branch of resolve_duplicate_clusters: union-find with
+    min-root union (the root IS the smallest member, matching the
+    propagation fixpoint exactly) over the already-collected bounded
+    edge list; the mapping broadcasts back and singletons label
+    themselves via coalesce."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a  # min root wins -> cluster_id = min member
+
+    spark = all_ids.sparkSession
+    id_type = all_ids.schema[id_col].dataType
+    schema = StructType(
+        [StructField(id_col, id_type), StructField("cluster_id", id_type)]
+    )
+    seen = set()
+    for r in rows:
+        seen.add(r[0])
+        seen.add(r[1])
+    mapping = spark.createDataFrame(
+        [(x, find(x)) for x in sorted(seen)], schema
+    )
+    return all_ids.select(F.col(id_col)).join(
+        F.broadcast(mapping), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
     )
 
 

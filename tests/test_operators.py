@@ -1086,6 +1086,40 @@ def test_signature_index_cdf_sync_idempotent_and_versioned(spark, tmp_path):
     ).count() == 0
 
 
+def test_resolve_clusters_driver_equals_distributed(spark):
+    """The size-gated driver union-find branch of
+    resolve_duplicate_clusters must produce EXACTLY the distributed
+    min-label propagation's fixpoint (cluster_id = min member id,
+    singletons label themselves) — forced onto each path via the
+    threshold."""
+    from delta_lake_spark.operators.dedup import resolve_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 2), (20, 21), (40, 41), (41, 40)],
+        "id_1 long, id_2 long",
+    )
+    ids = spark.createDataFrame(
+        [(x,) for x in [1, 2, 5, 9, 20, 21, 40, 41, 99]], "doc_id long"
+    )
+    via_driver = {
+        (r.doc_id, r.cluster_id)
+        for r in resolve_duplicate_clusters(
+            pairs, ids, driver_union_find_max_edges=1_000_000
+        ).collect()
+    }
+    via_dist = {
+        (r.doc_id, r.cluster_id)
+        for r in resolve_duplicate_clusters(
+            pairs, ids, driver_union_find_max_edges=0
+        ).collect()
+    }
+    want = {
+        (1, 1), (2, 1), (5, 1), (9, 1),
+        (20, 20), (21, 20), (40, 40), (41, 40), (99, 99),
+    }
+    assert via_driver == want and via_dist == want
+
+
 def test_minhash_candidate_count_stays_linear(spark):
     """Scale-bench guard (tools/dedup_bench.py, SCALING.md): on the
     synthetic corpus with ~n/97 planted near-dup pairs, MinHash-LSH

@@ -1474,6 +1474,8 @@ def test_persistent_pq_index_matches_adhoc_and_mutates_safely(spark, emb, tmp_pa
         update_pq_index,
     )
 
+    from delta_lake_spark import read_delta
+
     qs = emb.filter("vec_id < 3")
     idx = str(tmp_path / "pq_idx")
     build_pq_index(emb, idx, n_cells=8, m=4, k_codes=16, dim=64)
@@ -1481,6 +1483,20 @@ def test_persistent_pq_index_matches_adhoc_and_mutates_safely(spark, emb, tmp_pa
     served = query_pq_index(qs, emb, idx, k=10, nprobe=3).collect()
     adhoc = ivfpq_topk(emb, qs, k=10, n_cells=8, nprobe=3, dim=64).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, adhoc))
+
+    # the arrow (default) and expr encode paths produce IDENTICAL codes
+    # rows on real embeddings (ordered-fold parity)
+    idx2 = str(tmp_path / "pq_idx_expr")
+    build_pq_index(emb, idx2, n_cells=8, m=4, k_codes=16, dim=64, method="expr")
+    arrow_rows = {
+        (r.vec_id, r.cell_id, tuple(r.codes))
+        for r in read_delta(spark, f"{idx}/codes").collect()
+    }
+    expr_rows = {
+        (r.vec_id, r.cell_id, tuple(r.codes))
+        for r in read_delta(spark, f"{idx2}/codes").collect()
+    }
+    assert arrow_rows == expr_rows and len(arrow_rows) > 0
 
     # idempotent update: re-encoding known ids appends no rows
     v_before = DeltaLog(f"{idx}/codes").latest_version()

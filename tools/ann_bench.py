@@ -1,0 +1,125 @@
+"""ANN scale microbench: substantiates the SCALING.md claims that the
+persistent IVFPQ index amortizes corpus encoding (build once, every
+query batch touches only stored m-byte codes + probed cells) and that
+ad-hoc ivfpq_topk re-encodes the corpus per call.
+
+Synthetic vectors: dim-64 arrays derived from xxhash64(id, position),
+scaled to [-1, 1] — deterministic, shard-order-independent, built
+entirely from codegen'd expressions (no driver-side data).
+
+Measured per scale (one JSON line each):
+  - adhoc_s:        ivfpq_topk end to end (codebook training + corpus
+                    encode + routed ADC + rerank) for a 10-query batch;
+  - index_build_s:  build_pq_index over the corpus (once per corpus);
+  - index_query_s:  query_pq_index for the same 10-query batch against
+                    the stored codes — the steady-state per-batch cost;
+  - n_rows:         result rows (sanity: 10 queries x k).
+
+Usage:  python tools/ann_bench.py [n_vectors ...]   (default 1e5 1e6)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DIM = 64
+
+
+def synthetic_vectors(spark: SparkSession, n: int) -> DataFrame:
+    """(vec_id, embedding array<double>) — deterministic pseudo-random
+    dim-64 vectors in [-1, 1]."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - F.lit(1000)
+            )
+            / F.lit(1000.0),
+        ).alias("embedding"),
+    )
+
+
+def bench_scale(spark: SparkSession, n: int) -> dict:
+    from delta_lake_spark.operators.similarity import (
+        build_pq_index,
+        ivfpq_topk,
+        query_pq_index,
+    )
+
+    # cells sized so each holds ~4k vectors (the IVF contract at scale)
+    n_cells = max(16, n // 4096)
+    vecs = synthetic_vectors(spark, n)
+    queries = vecs.filter(F.col("vec_id") < 10)
+    out: dict = {"n_vectors": n, "n_cells": n_cells}
+
+    # measured index-first, ad-hoc LAST: the expression-path ad-hoc run
+    # allocates millions of interpreted-HOF structs whose GC pressure
+    # bleeds into whatever runs next in the same JVM
+    tmp = tempfile.mkdtemp(prefix="ann_bench_idx_")
+    try:
+        idx = os.path.join(tmp, "idx")
+        t0 = time.perf_counter()
+        build_pq_index(vecs, idx, n_cells=n_cells, m=4, k_codes=16, dim=DIM)
+        out["index_build_s"] = round(time.perf_counter() - t0, 2)
+
+        best = None
+        for _ in range(2):  # best-of-2: steady-state per-batch cost
+            t0 = time.perf_counter()
+            n_served = query_pq_index(
+                queries, vecs, idx, k=10, nprobe=4
+            ).count()
+            e = time.perf_counter() - t0
+            best = e if best is None else min(best, e)
+        out["index_query_s"] = round(best, 2)
+        out["n_rows"] = n_served
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if n <= 100_000:
+        t0 = time.perf_counter()
+        adhoc = ivfpq_topk(
+            vecs, queries, k=10, n_cells=n_cells, nprobe=4, dim=DIM
+        )
+        n_adhoc = adhoc.count()
+        out["adhoc_s"] = round(time.perf_counter() - t0, 2)
+        assert n_adhoc == out["n_rows"], (n_adhoc, out["n_rows"])
+    else:
+        # the interpreted-expression encode is exactly what does NOT
+        # scale (the reason build/update default to the arrow path);
+        # measuring it beyond 100k would take tens of minutes to prove
+        # a point the 100k row already makes
+        out["adhoc_s"] = None
+    return out
+
+
+def main() -> None:
+    scales = [int(float(a)) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ann-scale-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in scales:
+        print(json.dumps(bench_scale(spark, n)), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1335,6 +1335,13 @@ def ivfpq_topk(
 
     Returns: query_id, neighbor_id, rank (1..k), dist (double, squared
     L2, rounded 1e-9 — SMALLER is closer).
+
+    NOTE on ad-hoc use at corpus scale: this operator re-encodes every
+    vector per call with interpreted higher-order-function expressions
+    (~100x slower per vector than vectorized numpy — measured in
+    tools/ann_bench.py). For repeated querying of a large corpus, build
+    the persistent index once (``build_pq_index``, Arrow-encoded by
+    default) and serve with ``query_pq_index``.
     """
     if m <= 0:
         raise ValueError(f"ivfpq_topk: m={m} must be a positive subspace count")

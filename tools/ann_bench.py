@@ -50,6 +50,63 @@ def synthetic_vectors(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
+def _exact_l2_truth(
+    vecs: DataFrame, queries: DataFrame, k: int
+) -> dict[int, set]:
+    """Exact L2 top-k ground truth via one vectorized numpy pass
+    (mapInPandas local top-k per Arrow batch, tiny global reduce)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("vec_id", "embedding").collect()  # 10 rows
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # squared L2 via the expanded form (vectorized)
+            d = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ q_mat.T)
+                + (q_mat * q_mat).sum(axis=1)[None, :]
+            )
+            out_q, out_n, out_d = [], [], []
+            for j in range(d.shape[1]):
+                mask = ids != q_ids[j]
+                cand = np.nonzero(mask)[0]
+                order = np.lexsort((ids[cand], d[cand, j]))[:k]
+                sel = cand[order]
+                out_q.extend([q_ids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_d.extend(d[sel, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "d": out_d}
+            )
+
+    from pyspark.sql import Window
+
+    local = vecs.select("vec_id", "embedding").mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, d double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc()
+    )
+    truth: dict[int, set] = {}
+    for r in (
+        local.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .collect()
+    ):
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return truth
+
+
 def bench_scale(spark: SparkSession, n: int) -> dict:
     from delta_lake_spark.operators.similarity import (
         build_pq_index,
@@ -83,6 +140,18 @@ def bench_scale(spark: SparkSession, n: int) -> dict:
             best = e if best is None else min(best, e)
         out["index_query_s"] = round(best, 2)
         out["n_rows"] = n_served
+
+        # recall@10 of the routed/quantized search vs exact L2 — the
+        # quality half of the speed claim (numpy exact pass per batch)
+        got: dict[int, set] = {}
+        for r in query_pq_index(queries, vecs, idx, k=10, nprobe=4).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        truth = _exact_l2_truth(vecs, queries, k=10)
+        out["recall_at_10"] = round(
+            sum(len(got.get(q, set()) & nn) for q, nn in truth.items())
+            / (10 * len(truth)),
+            3,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1523,6 +1523,32 @@ def test_persistent_pq_index_matches_adhoc_and_mutates_safely(spark, emb, tmp_pa
     assert sorted(map(tuple, restored)) == sorted(map(tuple, served))
 
 
+def test_persistent_pq_query_scans_codes_not_vectors(spark, emb, tmp_path):
+    """query_pq_index's candidate path must read ONLY the stored codes
+    table (m bytes + a cell id per vector) — the float embedding column
+    appears in exactly the scans that feed the rerank/routing sides,
+    never the candidate scan. A plan that reads embeddings for the
+    candidate side would re-ship the corpus payload the index exists to
+    avoid."""
+    import re
+
+    from delta_lake_spark.operators.similarity import (
+        build_pq_index,
+        query_pq_index,
+    )
+
+    idx = str(tmp_path / "pq_scan_idx")
+    build_pq_index(emb, idx, n_cells=8, m=4, k_codes=16, dim=64)
+    qs = emb.filter("vec_id < 3")
+    plan = query_pq_index(qs, emb, idx, k=10, nprobe=3)._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    code_scans = [s for s in scans if "codes" in s]
+    assert code_scans, scans  # the codes table is scanned...
+    for s in code_scans:
+        assert "embedding" not in s, s  # ...and carries no float payload
+    assert "CartesianProduct" not in plan
+
+
 def test_pq_topk_ragged_dims_rejected_and_empty_typed(spark):
     """The dim probe REJECTS ragged vector dims (F.slice would silently
     truncate/misalign subvectors), and the empty-corpus result derives

@@ -846,3 +846,103 @@ def top_terms_per_group(
         .filter(F.col("rank") <= k)
         .select(group_col, "term", "cnt", "rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al., TREC-3 Okapi): top-k
+    documents per query string — the keyword-search half of corpus
+    curation (finding documents about X to audit, upsample, or
+    decontaminate) that embedding ANN does not cover.
+
+    score(q, d) = sum over query terms t of
+        ln((N - df_t + 0.5) / (df_t + 0.5) + 1)          [idf, Lucene form]
+        * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    100 TB design: the query term set broadcasts and the corpus token
+    explode is filtered against it BEFORE any aggregation, so every
+    shuffle carries only query-term posting rows (docs containing a
+    query term), never the corpus vocabulary; document length rides the
+    posting rows from the same single pass (no corpus-wide length
+    join); df_t comes from one aggregation of those postings (exact:
+    every doc containing t contributes); N and avgdl are a 1-row
+    broadcast aggregate. No UDFs — one codegen'd pipeline.
+
+    Determinism: the summed score is rounded to 1e-6 before ranking
+    (ln/avg differ across engine libms only in final ulps, which the
+    rounding absorbs) and ties break on ascending doc id, so an ANSI
+    SQL oracle reproduces the ranking exactly.
+
+    Returns: query_id_col, id_col, rank (1..k), score (double, 6 dp).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    d = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("__dl"),
+        F.explode(toks).alias("__term"),
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.size(toks)).alias("__avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(query_text_col)), r"\s+"))
+        ).alias("__term"),
+    )
+    term_set = qterms.select("__term").distinct()
+    postings = (
+        d.join(F.broadcast(term_set), "__term")
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    dfreq = postings.groupBy("__term").agg(
+        F.count("*").cast("double").alias("__df")
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    weight = (
+        idf
+        * (F.col("__tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+            )
+        )
+    )
+    scored_terms = (
+        postings.join(F.broadcast(dfreq), "__term")
+        .join(F.broadcast(stats))
+        .select(id_col, "__term", weight.alias("__w"))
+    )
+    per_query = (
+        scored_terms.join(F.broadcast(qterms), "__term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__w"), 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )

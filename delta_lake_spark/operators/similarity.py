@@ -273,6 +273,9 @@ def cosine_topk_pandas(
     the plan-transparency baseline, this one is the throughput path
     (vectorized C loops instead of per-element codegen over arrays).
     Scale: shuffles only ~|queries| * k rows per input partition.
+    Ids are assumed int64 end to end (the Arrow path's numpy contract;
+    the empty-result and mapInPandas schemas are typed accordingly) —
+    use cosine_topk for non-integer id columns.
     """
     from collections.abc import Iterator
 

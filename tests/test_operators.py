@@ -1086,6 +1086,27 @@ def test_signature_index_cdf_sync_idempotent_and_versioned(spark, tmp_path):
     ).count() == 0
 
 
+def test_bench_tracked_names_are_registered():
+    """Every headline and secondary bench name must exist in the query
+    registry — a rename that silently dropped a tracked query would
+    make the driver's BENCH artifact fail (or worse, quietly shrink)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    from delta_lake_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in bench.HEADLINE + bench.SECONDARY:
+        assert name in QUERIES, name
+    # every registered query carries an oracle (the driver's gate
+    # contract: 137/137 value-checked)
+    assert set(QUERIES) == set(ORACLE_SQL)
+
+
 def test_bm25_ranking_semantics(spark):
     """BM25: a doc matching more query terms (and higher tf) outranks
     partial matches; docs sharing no term never appear; deterministic

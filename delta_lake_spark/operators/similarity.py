@@ -1439,3 +1439,54 @@ def ivfpq_topk(
         )
     )
     return _pq_rank_or_rerank(dists, v, q, k, rerank, id_col)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-based benchmark decontamination — the semantic
+    companion of the n-gram overlap check (`text.py` decontaminate):
+    flag every corpus document whose embedding's cosine to ANY
+    evaluation-set embedding meets ``threshold``, catching paraphrased
+    benchmark leakage that shares no shingles.
+
+    100 TB design: the eval set is SMALL by definition (benchmarks are
+    thousands of rows), so it collapses to ONE broadcastable row (an
+    array of its vectors — the PQ-codebook trick) and the whole check
+    is a single map-only projection over the corpus scan: max cosine
+    via one ``array_max(transform(...))`` expression, NO shuffle, no
+    join, no window. Cosine is 1e-9-rounded before the threshold
+    compare so an external SQL oracle replicates the verdict exactly.
+
+    Returns: id_col, max_eval_sim (double, 1e-9-rounded),
+    contaminated (boolean).
+    """
+    ev_one = (
+        eval_set.select(F.col(vec_col).cast("array<double>").alias("__ev"))
+        .groupBy()
+        .agg(F.collect_list("__ev").alias("__evs"))
+    )
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    max_sim = F.round(
+        F.array_max(
+            F.transform(
+                F.col("__evs"),
+                lambda e: cosine_similarity_col(F.col("__v"), e),
+            )
+        ),
+        9,
+    )
+    return (
+        v.join(F.broadcast(ev_one))
+        .select(
+            F.col(id_col),
+            max_sim.alias("max_eval_sim"),
+            (max_sim >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

@@ -1769,6 +1769,35 @@ SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
 _Q141_SQL = _gen_q141_sql()
 
 
+def q143_semantic_decontaminate(spark, sf_dir):
+    """Embedding-based decontamination: every corpus vector's max cosine
+    to the (broadcast-small) eval-set embeddings, flagged at 0.35 — the
+    paraphrase-leakage check n-gram decontamination (q92) cannot catch.
+    One map-only projection; the oracle replays max-then-round
+    identically."""
+    from ..operators.similarity import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    eval_set = emb.filter(F.col("vec_id") < 25)
+    corpus = emb.filter(F.col("vec_id") >= 25)
+    return semantic_decontaminate(corpus, eval_set, threshold=0.35)
+
+
+_Q143_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT v FROM v WHERE vec_id < 25),
+corpus AS (SELECT * FROM v WHERE vec_id >= 25),
+sims AS (
+  SELECT c.vec_id,
+    ROUND(MAX(list_dot_product(c.v, e.v) /
+      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(e.v, e.v)))),
+      9) AS max_eval_sim
+  FROM corpus c, ev e GROUP BY c.vec_id
+)
+SELECT vec_id, max_eval_sim, max_eval_sim >= 0.35 AS contaminated FROM sims
+"""
+
+
 def q142_bm25_search(spark, sf_dir):
     """BM25 keyword retrieval over the corpus: three query strings,
     top-10 docs each. The scale discipline is in the operator (query
@@ -2446,6 +2475,7 @@ QUERIES = {
     "q140_index_cdf_sync": q140_index_cdf_sync,
     "q141_persistent_pq_index": q141_persistent_pq_index,
     "q142_bm25_search": q142_bm25_search,
+    "q143_semantic_decontaminate": q143_semantic_decontaminate,
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
@@ -2546,4 +2576,5 @@ ORACLE_SQL = {
     "q140_index_cdf_sync": _Q140_SQL,
     "q141_persistent_pq_index": _Q141_SQL,
     "q142_bm25_search": _Q142_SQL,
+    "q143_semantic_decontaminate": _Q143_SQL,
 }

@@ -1107,6 +1107,38 @@ def test_bench_tracked_names_are_registered():
     assert set(QUERIES) == set(ORACLE_SQL)
 
 
+def test_semantic_decontaminate_map_only_and_flags(spark):
+    """semantic_decontaminate: a corpus vector identical to an eval
+    vector flags at sim 1.0, an orthogonal one does not; and the plan
+    is MAP-ONLY over the corpus — the only exchanges are the eval-set
+    1-row broadcast build (SinglePartition), never a hashpartitioning
+    of corpus rows."""
+    import re
+
+    from delta_lake_spark.operators.similarity import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),   # exact copy -> 1.0
+            (11, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> 0.0
+            (12, [1.0, 1.0, 0.0, 0.0]),   # 45 degrees -> ~0.707
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_decontaminate(corpus, ev, threshold=0.95)
+    rows = {r.vec_id: (r.max_eval_sim, r.contaminated) for r in out.collect()}
+    assert rows[10] == (1.0, True)
+    assert rows[11] == (0.0, False)
+    assert abs(rows[12][0] - 0.707106781) < 1e-6 and not rows[12][1]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
+
+
 def test_bm25_ranking_semantics(spark):
     """BM25: a doc matching more query terms (and higher tf) outranks
     partial matches; docs sharing no term never appear; deterministic

@@ -994,6 +994,12 @@ def _encode_against_arrow(
         ((r["cell"], np.asarray(r["cv"], dtype=np.float64)) for r in cells_df.collect()),
         key=lambda t: t[0],
     )
+    id_type = v.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, cell_id int, codes array<int>"
+    if not cell_rows:
+        # empty quantizers == empty build corpus: nothing to encode
+        # (a typed empty relation keeps the codes-table schema stable)
+        return v.sparkSession.createDataFrame([], schema)
     cell_ids = np.array([c for c, _ in cell_rows], dtype=np.int32)
     cell_mat = np.stack([cv for _, cv in cell_rows])  # (n_cells, dim)
     cb: dict[int, list] = {}
@@ -1061,10 +1067,7 @@ def _encode_against_arrow(
                 }
             )
 
-    id_type = v.schema[id_col].dataType.simpleString()
-    return v.mapInPandas(
-        encode, schema=f"{id_col} {id_type}, cell_id int, codes array<int>"
-    )
+    return v.mapInPandas(encode, schema=schema)
 
 
 def build_pq_index(

@@ -884,7 +884,10 @@ def bm25_topk(
 
     Returns: query_id_col, id_col, rank (1..k), score (double, 6 dp).
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # NULL text coalesces to '' BEFORE tokenizing (cf. gopher_quality_
+    # filter): size(split(NULL)) is -1 under legacy sizeOfNull and would
+    # otherwise poison avgdl with -1 instead of being skipped
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     d = docs.select(
         F.col(id_col),
         F.size(toks).cast("double").alias("__dl"),

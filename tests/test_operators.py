@@ -1605,6 +1605,32 @@ def test_persistent_pq_index_matches_adhoc_and_mutates_safely(spark, emb, tmp_pa
     assert sorted(map(tuple, restored)) == sorted(map(tuple, served))
 
 
+def test_persistent_pq_index_empty_corpus_builds(spark, tmp_path):
+    """Building the PQ index over an EMPTY corpus must not crash (the
+    arrow encode has no quantizers to stack) and must leave a typed,
+    queryable codes table; a later update populates it."""
+    from delta_lake_spark import read_delta
+    from delta_lake_spark.operators.similarity import (
+        build_pq_index,
+        update_pq_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "empty_pq")
+    build_pq_index(empty, idx, n_cells=4, m=4, k_codes=4, dim=16)
+    codes = read_delta(spark, f"{idx}/codes")
+    assert codes.count() == 0
+    assert dict(codes.dtypes)["codes"] == "array<int>"
+    # frozen (empty) quantizers: an update of real vectors still appends
+    # rows only if centroids exist — with none, nothing can encode, and
+    # the call must not crash either
+    vecs = spark.createDataFrame(
+        [(1, [1.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    update_pq_index(vecs, idx)
+    assert read_delta(spark, f"{idx}/codes").count() == 0
+
+
 def test_persistent_pq_query_scans_codes_not_vectors(spark, emb, tmp_path):
     """query_pq_index's candidate path must read ONLY the stored codes
     table (m bytes + a cell id per vector) — the float embedding column

@@ -949,3 +949,80 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — the step up from
+    ``unigram_lm_score`` toward CCNet-style perplexity filtering
+    (Wenzek et al. 2020), with a Jelinek-Mercer-interpolated bigram
+    model standing in for the KenLM 5-gram:
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1})
+                         + (1 - lam) * c(w_i) / total
+
+    trained on the corpus itself; a document scores the average
+    ln p over its bigram positions (docs under two tokens emit no row).
+
+    Scale shape: the UNIGRAM model is vocabulary-sized and BROADCASTS
+    (twice — once keyed on the history token, once on the current); the
+    BIGRAM count relation is data-sized, so it joins back to the bigram
+    occurrences as a plain shuffled equi-join on the pair key (never
+    broadcast — cf. duplicate_span_rate); the finale is one hash
+    aggregation keyed by doc id. All built-ins, no UDFs. Use
+    ``lam`` values whose complement is exactly representable (0.5,
+    0.75, 0.25) when an external oracle must reproduce scores
+    bit-for-bit. Returns: id_col, n_bigrams (long), avg_logprob
+    (double, 1e-9-rounded).
+    """
+    words = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    staged = df.repartition(F.col(id_col)).select(
+        F.col(id_col), words.alias("__w")
+    )
+    # positional bigrams (every occurrence counts once per position)
+    bigram_arr = F.expr(
+        "CASE WHEN size(__w) >= 2 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> struct(element_at(__w, i) AS prev, "
+        "element_at(__w, i + 1) AS cur)) "
+        "ELSE array() END"
+    )
+    pairs = staged.select(
+        F.col(id_col), F.explode(bigram_arr).alias("__bg")
+    ).select(id_col, "__bg.prev", "__bg.cur")
+    toks = staged.select(F.explode("__w").alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1").cast("double").alias("__total"))
+    big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    scored = (
+        pairs.join(big, ["prev", "cur"])
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("prev"), F.col("c1").alias("__c1p"))
+            ),
+            "prev",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("cur"), F.col("c1").alias("__c1c"))
+            ),
+            "cur",
+        )
+        .join(F.broadcast(total))
+    )
+    p = (
+        F.lit(lam) * F.col("c2").cast("double") / F.col("__c1p").cast("double")
+        + F.lit(1.0 - lam)
+        * F.col("__c1c").cast("double")
+        / F.col("__total")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg(F.log(p)), 9).alias("avg_logprob"),
+    )

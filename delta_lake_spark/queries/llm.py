@@ -1769,6 +1769,44 @@ SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
 _Q141_SQL = _gen_q141_sql()
 
 
+def q144_bigram_lm_score(spark, sf_dir):
+    """Interpolated bigram LM scoring over the corpus (the CCNet-style
+    perplexity-filter upgrade of q103's unigram proxy); lam=0.5 keeps
+    both interpolation constants exactly representable so the oracle
+    reproduces scores bit-for-bit after the 1e-9 round."""
+    from ..operators.text import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir), "text", "doc_id", lam=0.5)
+
+
+_Q144_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM w)
+  WHERE i + 1 <= len(w)
+),
+toks AS (SELECT unnest(w) AS term FROM w),
+uni AS (SELECT term, COUNT(*) AS c1 FROM toks GROUP BY term),
+tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total FROM uni),
+big AS (SELECT prev, cur, COUNT(*) AS c2 FROM pairs GROUP BY prev, cur),
+sc AS (
+  SELECT p.doc_id,
+    0.5 * b.c2 / up.c1 + 0.5 * uc.c1 / t.total AS prob
+  FROM pairs p
+  JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+  JOIN uni up ON up.term = p.prev
+  JOIN uni uc ON uc.term = p.cur, tot t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(ln(prob)), 9) AS avg_logprob
+FROM sc GROUP BY doc_id
+"""
+
+
 def q143_semantic_decontaminate(spark, sf_dir):
     """Embedding-based decontamination: every corpus vector's max cosine
     to the (broadcast-small) eval-set embeddings, flagged at 0.35 — the
@@ -2476,6 +2514,7 @@ QUERIES = {
     "q141_persistent_pq_index": q141_persistent_pq_index,
     "q142_bm25_search": q142_bm25_search,
     "q143_semantic_decontaminate": q143_semantic_decontaminate,
+    "q144_bigram_lm_score": q144_bigram_lm_score,
     "q122_top_terms_per_source": q122_top_terms_per_source,
     "q124_cross_corpus_near_dups": q124_cross_corpus_near_dups,
     "q129_incremental_lsh_index": q129_incremental_lsh_index,
@@ -2577,4 +2616,5 @@ ORACLE_SQL = {
     "q141_persistent_pq_index": _Q141_SQL,
     "q142_bm25_search": _Q142_SQL,
     "q143_semantic_decontaminate": _Q143_SQL,
+    "q144_bigram_lm_score": _Q144_SQL,
 }

@@ -1107,6 +1107,25 @@ def test_bench_tracked_names_are_registered():
     assert set(QUERIES) == set(ORACLE_SQL)
 
 
+def test_bigram_lm_score_known_values(spark):
+    """Interpolated bigram LM on a hand-computable corpus: with
+    uni(a)=uni(b)=3, uni(z)=1, total=7, big(a,b)=big(b,a)=2, every
+    a/b bigram occurrence scores p = 0.5*2/3 + 0.5*3/7 = 23/42."""
+    import math
+
+    from delta_lake_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_lm_score(docs, "text", "doc_id").collect()}
+    want = round(math.log(23.0 / 42.0), 9)
+    assert rows[1].n_bigrams == 3 and abs(rows[1].avg_logprob - want) < 1e-9
+    assert rows[2].n_bigrams == 1 and abs(rows[2].avg_logprob - want) < 1e-9
+    assert 3 not in rows  # single-token doc has no bigram positions
+
+
 def test_semantic_decontaminate_map_only_and_flags(spark):
     """semantic_decontaminate: a corpus vector identical to an eval
     vector flags at sim 1.0, an orthogonal one does not; and the plan

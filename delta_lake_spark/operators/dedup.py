@@ -477,19 +477,23 @@ def resolve_duplicate_clusters(
       aggregation — no driver-side graph, scales with edges.
       ``persist`` per round keeps lineage from growing exponentially.
     """
-    probe = (
-        pairs.select("id_1", "id_2")
-        .limit(driver_union_find_max_edges + 1)
-        .collect()
-    )
+    # persist BEFORE the strategy probe: the limit() only materializes
+    # the partitions it touches, but whatever the probe computes is
+    # cached — on the distributed path the (expensive) upstream pair
+    # pipeline is then finished from cache instead of re-run per branch
+    p2 = pairs.select("id_1", "id_2").persist()
+    probe = p2.limit(driver_union_find_max_edges + 1).collect()
     if len(probe) <= driver_union_find_max_edges:
+        p2.unpersist()
         return _resolve_clusters_driver(probe, all_ids, id_col)
     edges = (
-        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
-        .union(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
+        p2.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
+        .union(p2.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
         .distinct()
         .persist()
     )
+    edges.count()  # fill the edges cache from the p2 cache, then drop it
+    p2.unpersist()
     labels = all_ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).persist()

@@ -613,10 +613,49 @@ def _sqdist(a, b):
     return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
 
 
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """The PQ family keys its deterministic codebooks on ``pmod(id,
+    k)``, so ids MUST be integral — a string-keyed corpus would NULL
+    out every bucket assignment and silently train an empty codebook.
+    Validated up front (schema-only, no job) instead of advertising a
+    string-id contract the bucket math cannot honor."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{op}: id column {id_col!r} has type {dt.simpleString()}, but "
+            "the PQ codebook buckets key on pmod(id, k) and need an "
+            "integral id — map your keys to a long (e.g. xxhash64) first"
+        )
+
+
+def _assert_uniform_dim(v: DataFrame, dim: int, op: str) -> None:
+    """One min/max-size aggregate asserting every vector has EXACTLY
+    ``dim`` entries. The persistent index paths run this before
+    training/encoding: F.slice NULL-pads narrow vectors and truncates
+    wide ones, so a dim mismatch would not fail — it would durably
+    commit mis-encoded codes (cf. the ragged-input rejection in
+    pq_topk's dim probe, which protects only the ad-hoc paths)."""
+    probe = v.agg(
+        F.min(F.size("__v")).alias("lo"), F.max(F.size("__v")).alias("hi")
+    ).first()
+    if probe.lo is None:
+        return  # empty input: nothing can be mis-encoded
+    if probe.lo != probe.hi or probe.lo != dim:
+        raise ValueError(
+            f"{op}: vector dims [{probe.lo}, {probe.hi}] do not uniformly "
+            f"match dim={dim} — refusing to persist silently mis-encoded "
+            "codes (F.slice would NULL-pad or truncate, and the arrow "
+            "path would fold partial dot products)"
+        )
+
+
 def _pq_empty_result(vectors: DataFrame, id_col: str) -> DataFrame:
     """Typed empty (query_id, neighbor_id, rank, dist) result: id types
-    DERIVED from the input schema, so an int- or string-keyed corpus
-    gets the same result types on the empty path as the non-empty one."""
+    DERIVED from the input schema, so every integral id width (int,
+    long, ...) gets the same result types on the empty path as on the
+    non-empty one."""
     from pyspark.sql.types import IntegerType, StructField, StructType, DoubleType
 
     id_type = vectors.schema[id_col].dataType
@@ -826,6 +865,7 @@ def pq_topk(
     """
     if m <= 0:
         raise ValueError(f"pq_topk: m={m} must be a positive subspace count")
+    _require_integral_id(vectors, id_col, "pq_topk")
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -1107,11 +1147,13 @@ def build_pq_index(
             f"build_pq_index: m={m} must evenly divide dim={dim}"
         )
     subdim = dim // m
+    _require_integral_id(vectors, id_col, "build_pq_index")
     spark = vectors.sparkSession
     t_codes, t_codebook, t_cells = _pq_index_tables(index_path)
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
+    _assert_uniform_dim(v, dim, "build_pq_index")
 
     cells = v.groupBy(
         F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell")
@@ -1180,6 +1222,16 @@ def update_pq_index(
     known = read_delta(spark, t_codes).select(id_col)
     fresh = new_vectors.join(known, id_col, "left_anti").select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    # validate the INCOMING batch (not just the unknown residue): a
+    # ragged or wrong-dim vector must never be durably committed as
+    # silently mis-encoded codes — see _assert_uniform_dim
+    _assert_uniform_dim(
+        new_vectors.select(
+            F.col(vec_col).cast("array<double>").alias("__v")
+        ),
+        p["dim"],
+        "update_pq_index",
     )
     if method == "arrow":
         encoded = _encode_against_arrow(
@@ -1353,6 +1405,7 @@ def ivfpq_topk(
         raise ValueError(f"ivfpq_topk: m={m} must be a positive subspace count")
     if nprobe <= 0:
         raise ValueError(f"ivfpq_topk: nprobe={nprobe} must be positive")
+    _require_integral_id(vectors, id_col, "ivfpq_topk")
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -1466,7 +1519,11 @@ def semantic_decontaminate(
     compare so an external SQL oracle replicates the verdict exactly.
 
     Returns: id_col, max_eval_sim (double, 1e-9-rounded),
-    contaminated (boolean).
+    contaminated (boolean). An EMPTY eval set normalizes to
+    max_eval_sim NULL / contaminated FALSE for every corpus row
+    (array_max over zero vectors has no value, but "nothing to leak
+    against" must read as clean — a NULL flag would silently pass
+    every downstream ``NOT contaminated`` filter as unknown instead).
     """
     ev_one = (
         eval_set.select(F.col(vec_col).cast("array<double>").alias("__ev"))
@@ -1490,6 +1547,8 @@ def semantic_decontaminate(
         .select(
             F.col(id_col),
             max_sim.alias("max_eval_sim"),
-            (max_sim >= F.lit(threshold)).alias("contaminated"),
+            F.coalesce(max_sim >= F.lit(threshold), F.lit(False)).alias(
+                "contaminated"
+            ),
         )
     )

@@ -1781,7 +1781,8 @@ def q144_bigram_lm_score(spark, sf_dir):
 
 _Q144_SQL = r"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  SELECT doc_id,
+         string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') AS w
   FROM documents
 ),
 pairs AS (
@@ -1830,9 +1831,10 @@ sims AS (
     ROUND(MAX(list_dot_product(c.v, e.v) /
       (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(e.v, e.v)))),
       9) AS max_eval_sim
-  FROM corpus c, ev e GROUP BY c.vec_id
+  FROM corpus c LEFT JOIN ev e ON TRUE GROUP BY c.vec_id
 )
-SELECT vec_id, max_eval_sim, max_eval_sim >= 0.35 AS contaminated FROM sims
+SELECT vec_id, max_eval_sim,
+  COALESCE(max_eval_sim >= 0.35, FALSE) AS contaminated FROM sims
 """
 
 
@@ -1875,14 +1877,15 @@ qterms AS (
 term_set AS (SELECT DISTINCT term FROM qterms),
 stats AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         AVG(CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE))
-           AS avgdl
+         AVG(CAST(len(string_split_regex(lower(COALESCE(text, '')), '\s+'))
+             AS DOUBLE)) AS avgdl
   FROM documents
 ),
 toks AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS dl,
-         unnest(string_split_regex(lower(text), '\s+')) AS term
+         CAST(len(string_split_regex(lower(COALESCE(text, '')), '\s+'))
+           AS DOUBLE) AS dl,
+         unnest(string_split_regex(lower(COALESCE(text, '')), '\s+')) AS term
   FROM documents
 ),
 postings AS (

@@ -1706,6 +1706,68 @@ def test_pq_topk_ragged_dims_rejected_and_empty_typed(spark):
     assert lazy.count() == 0
 
 
+def test_persistent_pq_index_rejects_bad_dims_and_string_ids(spark, tmp_path):
+    """The persistent paths validate what the ad-hoc paths already do:
+    (a) build/update REFUSE wrong-dim or ragged vectors instead of
+    durably committing silently mis-encoded codes (F.slice would
+    NULL-pad/truncate; the arrow path would fold partial dot products);
+    (b) a string-keyed corpus is rejected up front — pmod(id, k) bucket
+    seeding cannot honor non-integral ids."""
+    from delta_lake_spark.operators.similarity import (
+        build_pq_index,
+        ivfpq_topk,
+        pq_topk,
+        update_pq_index,
+    )
+
+    wrong = spark.createDataFrame(
+        [(1, [1.0] * 12)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="mis-encoded"):
+        build_pq_index(wrong, str(tmp_path / "bad"), n_cells=2, m=4, dim=16)
+
+    ok = spark.createDataFrame(
+        [(i, [float(i)] * 16) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ok_idx")
+    build_pq_index(ok, idx, n_cells=2, m=4, k_codes=4, dim=16)
+    ragged = spark.createDataFrame(
+        [(100, [1.0] * 16), (101, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="mis-encoded"):
+        update_pq_index(ragged, idx)
+
+    strid = spark.createDataFrame(
+        [("a", [1.0] * 16)], "vec_id string, embedding array<double>"
+    )
+    for op in (
+        lambda: pq_topk(strid, strid, k=2, m=4, dim=16),
+        lambda: ivfpq_topk(strid, strid, k=2, m=4, dim=16),
+        lambda: build_pq_index(strid, str(tmp_path / "s"), m=4, dim=16),
+    ):
+        with pytest.raises(TypeError, match="integral id"):
+            op()
+
+
+def test_semantic_decontaminate_empty_eval_set_reads_clean(spark):
+    """An empty eval set means nothing can leak: every corpus row keeps
+    contaminated=FALSE (not NULL — a NULL flag would pass any
+    downstream `NOT contaminated` filter as unknown)."""
+    from delta_lake_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    empty_ev = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    rows = semantic_decontaminate(corpus, empty_ev).collect()
+    assert len(rows) == 2
+    assert all(r.contaminated is False for r in rows)
+    assert all(r.max_eval_sim is None for r in rows)
+
+
 def test_shingle_and_funnel_caches_are_session_scoped(spark, docs):
     """Two concurrent SparkSessions in one process must not evict each
     other's shingle caches: the registry is keyed by session, so a

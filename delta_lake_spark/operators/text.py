@@ -558,16 +558,32 @@ def unigram_lm_score(
     text_col: str,
     id_col: str,
     model: DataFrame | None = None,
+    min_count: int = 1,
 ) -> DataFrame:
     """Unigram language-model scoring — the cheap perplexity proxy used
     to rank pretraining documents (e.g. CCNet-style filtering, with a
-    unigram model standing in for the KenLM 5-gram).
+    unigram model standing in for the KenLM 5-gram; CCNet itself scores
+    against a BOUNDED reference model, Wenzek et al. 2020).
 
     ``model`` is a (term, freq) relation; when None the model is built
-    from the corpus itself. The model is vocabulary-sized, so it
-    BROADCASTS; the corpus side is explode + broadcast join + one hash
-    aggregation keyed by doc id — no corpus-sized shuffle. Tokens absent
-    from an external model get an absolute-discount floor count of 0.5.
+    from the corpus itself and pruned to ``min_count`` (terms seen fewer
+    times fold into the out-of-vocabulary mass — the standard vocabulary
+    cap, and the scale bound: a raw web corpus has an UNBOUNDED distinct-
+    token count, so an unpruned corpus-derived model cannot be assumed
+    executor-memory-sized). Tokens absent from the model (external or
+    pruned) get an absolute-discount floor count of 0.5; the model total
+    is the sum over the model actually used, so pruning keeps every
+    in-vocab probability an honest corpus frequency.
+
+    Scale shape: the model join carries NO forced-broadcast hint —
+    Catalyst/AQE broadcasts a model under the autoBroadcastJoinThreshold
+    and falls back to a shuffled hash join above it, so an
+    unexpectedly-huge vocabulary degrades to a shuffle instead of an
+    executor OOM (same auto-strategy philosophy as ngram_jaccard_pairs).
+    The corpus side is explode + join + one hash aggregation keyed by
+    doc id. (A top-K cap is deliberately NOT offered: deterministic
+    top-K over the vocabulary needs a global sort; min_count is a plain
+    distributed filter with the same bounding effect.)
 
     avg ln p(t) is computed as avg(ln freq) - ln total (algebraically
     identical, but keeps the per-token work to one ln on an integer).
@@ -582,10 +598,10 @@ def unigram_lm_score(
     )
     if model is None:
         model = toks.groupBy("term").agg(F.count("*").alias("freq"))
+        if min_count > 1:
+            model = model.filter(F.col("freq") >= min_count)
     total = model.agg(F.sum("freq").cast("double").alias("__total"))
-    scored = toks.join(
-        F.broadcast(model.select("term", "freq")), "term", "left"
-    )
+    scored = toks.join(model.select("term", "freq"), "term", "left")
     ln_freq = F.log(F.coalesce(F.col("freq").cast("double"), F.lit(0.5)))
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
@@ -956,6 +972,7 @@ def bigram_lm_score(
     text_col: str,
     id_col: str,
     lam: float = 0.5,
+    min_count: int = 1,
 ) -> DataFrame:
     """Interpolated bigram language-model scoring — the step up from
     ``unigram_lm_score`` toward CCNet-style perplexity filtering
@@ -968,12 +985,23 @@ def bigram_lm_score(
     trained on the corpus itself; a document scores the average
     ln p over its bigram positions (docs under two tokens emit no row).
 
-    Scale shape: the UNIGRAM model is vocabulary-sized and BROADCASTS
-    (twice — once keyed on the history token, once on the current); the
-    BIGRAM count relation is data-sized, so it joins back to the bigram
-    occurrences as a plain shuffled equi-join on the pair key (never
-    broadcast — cf. duplicate_span_rate); the finale is one hash
-    aggregation keyed by doc id. All built-ins, no UDFs. Use
+    ``min_count`` prunes the unigram model (cf. unigram_lm_score —
+    CCNet scores against a bounded model): an out-of-vocabulary history
+    token contributes NO bigram mass (there is no reliable c(prev) to
+    condition on — standard back-off to the unigram term), and an
+    out-of-vocabulary current token takes the 0.5-count floor over the
+    pruned model's total.
+
+    Scale shape: the unigram model joins WITHOUT a forced-broadcast
+    hint — AQE broadcasts it while it fits under the
+    autoBroadcastJoinThreshold and falls back to a shuffled join above
+    (a raw-web vocabulary is unbounded; forcing the broadcast would be
+    the one OOM in the operator). The BIGRAM count relation is
+    data-sized, so it joins back to the bigram occurrences as a plain
+    shuffled equi-join on the pair key (never broadcast — cf.
+    duplicate_span_rate); the finale is one hash aggregation keyed by
+    doc id. The source is consumed map-only — tokenize/explode directly
+    over the scan, no staging exchange. All built-ins, no UDFs. Use
     ``lam`` values whose complement is exactly representable (0.5,
     0.75, 0.25) when an external oracle must reproduce scores
     bit-for-bit. Returns: id_col, n_bigrams (long), avg_logprob
@@ -982,9 +1010,7 @@ def bigram_lm_score(
     words = F.split(
         F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
     )
-    staged = df.repartition(F.col(id_col)).select(
-        F.col(id_col), words.alias("__w")
-    )
+    staged = df.select(F.col(id_col), words.alias("__w"))
     # positional bigrams (every occurrence counts once per position)
     bigram_arr = F.expr(
         "CASE WHEN size(__w) >= 2 THEN "
@@ -998,28 +1024,33 @@ def bigram_lm_score(
     ).select(id_col, "__bg.prev", "__bg.cur")
     toks = staged.select(F.explode("__w").alias("term"))
     uni = toks.groupBy("term").agg(F.count("*").alias("c1"))
+    if min_count > 1:
+        uni = uni.filter(F.col("c1") >= min_count)
     total = uni.agg(F.sum("c1").cast("double").alias("__total"))
     big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
     scored = (
         pairs.join(big, ["prev", "cur"])
         .join(
-            F.broadcast(
-                uni.select(F.col("term").alias("prev"), F.col("c1").alias("__c1p"))
-            ),
+            uni.select(F.col("term").alias("prev"), F.col("c1").alias("__c1p")),
             "prev",
+            "left",
         )
         .join(
-            F.broadcast(
-                uni.select(F.col("term").alias("cur"), F.col("c1").alias("__c1c"))
-            ),
+            uni.select(F.col("term").alias("cur"), F.col("c1").alias("__c1c")),
             "cur",
+            "left",
         )
         .join(F.broadcast(total))
     )
     p = (
-        F.lit(lam) * F.col("c2").cast("double") / F.col("__c1p").cast("double")
+        F.when(
+            F.col("__c1p").isNotNull(),
+            F.lit(lam)
+            * F.col("c2").cast("double")
+            / F.col("__c1p").cast("double"),
+        ).otherwise(F.lit(0.0))
         + F.lit(1.0 - lam)
-        * F.col("__c1c").cast("double")
+        * F.coalesce(F.col("__c1c").cast("double"), F.lit(0.5))
         / F.col("__total")
     )
     return scored.groupBy(id_col).agg(

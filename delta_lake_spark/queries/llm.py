@@ -1038,8 +1038,9 @@ ORDER BY freq DESC, bigram ASC LIMIT 100
 
 def q103_unigram_lm_score(spark, sf_dir):
     """Unigram LM scoring (perplexity proxy) with the model built from
-    the corpus itself: vocabulary-sized model broadcasts, corpus side is
-    explode + broadcast join + one doc-keyed aggregation."""
+    the corpus itself: the vocabulary-sized model joins unhinted (AQE
+    broadcasts it while small, shuffles above the threshold), corpus
+    side is explode + join + one doc-keyed aggregation."""
     from ..operators.text import unigram_lm_score
 
     return unigram_lm_score(_docs(spark, sf_dir), "text", "doc_id")

@@ -1126,6 +1126,56 @@ def test_bigram_lm_score_known_values(spark):
     assert 3 not in rows  # single-token doc has no bigram positions
 
 
+def test_lm_min_count_prunes_vocab_to_oov_floor(spark):
+    """min_count vocabulary pruning (the 100 TB bound on a corpus-
+    derived model): pruned tokens take the 0.5-count OOV floor over the
+    PRUNED model's total (unigram), and in the bigram scorer an
+    out-of-vocabulary HISTORY token contributes no bigram mass (back-off
+    to the unigram term). Corpus counts: a=5, b=2, z=2; min_count=3
+    prunes b and z, leaving model {a:5}, total=5."""
+    import math
+
+    from delta_lake_spark.operators.text import bigram_lm_score, unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a a z"), (2, "a b b"), (3, "z a")],
+        "doc_id long, text string",
+    )
+    uni = {
+        r.doc_id: r
+        for r in unigram_lm_score(docs, "text", "doc_id", min_count=3).collect()
+    }
+    ln5, lnh = math.log(5.0), math.log(0.5)
+    want = {
+        1: (3 * ln5 + lnh) / 4 - ln5,
+        2: (ln5 + 2 * lnh) / 3 - ln5,
+        3: (lnh + ln5) / 2 - ln5,
+    }
+    for d, w in want.items():
+        assert abs(uni[d].avg_logprob - w) < 1e-8, (d, uni[d])
+
+    big = {
+        r.doc_id: r
+        for r in bigram_lm_score(docs, "text", "doc_id", min_count=3).collect()
+    }
+    p_aa = 0.5 * 2 / 5 + 0.5 * 5 / 5        # both in vocab
+    p_az = 0.5 * 1 / 5 + 0.5 * 0.5 / 5      # cur OOV -> floor
+    p_ab = p_az
+    p_bb = 0.5 * 0.5 / 5                    # prev OOV -> no bigram mass
+    p_za = 0.5 * 5 / 5
+    bwant = {
+        1: (2 * math.log(p_aa) + math.log(p_az)) / 3,
+        2: (math.log(p_ab) + math.log(p_bb)) / 2,
+        3: math.log(p_za),
+    }
+    for d, w in bwant.items():
+        assert abs(big[d].avg_logprob - w) < 1e-8, (d, big[d])
+    # min_count=1 (the default) is a no-op: identical to the unpruned op
+    base = bigram_lm_score(docs, "text", "doc_id").collect()
+    again = bigram_lm_score(docs, "text", "doc_id", min_count=1).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
 def test_semantic_decontaminate_map_only_and_flags(spark):
     """semantic_decontaminate: a corpus vector identical to an eval
     vector flags at sim 1.0, an orthogonal one does not; and the plan

@@ -289,13 +289,48 @@ def test_kmeans_no_single_partition(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_unigram_lm_broadcasts_model(spark):
-    from delta_lake_spark.operators.text import unigram_lm_score
+def test_lm_model_join_adapts_to_vocab_size(spark):
+    """The LM scorers' model join is UNHINTED by design: a corpus-
+    derived vocabulary is unbounded on raw web data, so the join must
+    broadcast only while the model actually fits (AQE's runtime stats)
+    and degrade to a shuffle join above the threshold instead of
+    forcing an executor-OOM broadcast. Assert both regimes: (a) at
+    fixture scale the FINAL adaptive plan broadcasts the model; (b)
+    with the broadcast threshold disabled — standing in for an
+    over-threshold vocabulary — the model join takes the shuffle path
+    (the old forced-broadcast hint would have ignored the threshold)."""
+    from delta_lake_spark.operators.text import bigram_lm_score, unigram_lm_score
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = _plan(unigram_lm_score(docs, "text", "doc_id"))
-    assert "BroadcastHashJoin" in plan  # model side broadcast
-    assert "SortMergeJoin" not in plan  # corpus never shuffle-joins
+
+    df = unigram_lm_score(docs, "text", "doc_id")
+    df.write.format("noop").mode("overwrite").save()
+    final = _plan(df)
+    assert "BroadcastHashJoin" in final  # small model -> runtime broadcast
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for op in (unigram_lm_score, bigram_lm_score):
+            plan = _plan(op(docs, "text", "doc_id"))
+            assert "BroadcastHashJoin" not in plan  # no forced broadcast
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q144_bigram_source_is_map_only_to_explode(spark):
+    """bigram_lm_score consumes the source map-only: the ONLY doc_id
+    exchange is the final per-doc aggregation's — no staging
+    repartition sits between the scan and the bigram explode (that
+    shuffle carried the whole corpus and nothing downstream needed
+    it)."""
+    from delta_lake_spark.operators.text import bigram_lm_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(bigram_lm_score(docs, "text", "doc_id"))
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert "RoundRobinPartitioning" not in plan
 
 
 def test_mixture_sample_corpus_never_shuffles(spark):

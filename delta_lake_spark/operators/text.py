@@ -5,8 +5,16 @@ designed so an ANSI-SQL oracle can reproduce it bit-for-bit.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# bm25_topk's per-doc posting summaries, keyed by SparkSession so two
+# concurrent sessions never evict each other's caches; each call
+# releases the previous call's summary (bounded steady state — cf. the
+# q137 funnel cache registry in queries/llm.py)
+_BM25_CACHES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 # token pattern: word | number | single non-space symbol (BPE-ish split)
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -874,6 +882,7 @@ def bm25_topk(
     b: float = 0.75,
     query_id_col: str = "query_id",
     query_text_col: str = "qtext",
+    max_literal_terms: int = 200_000,
 ) -> DataFrame:
     """BM25 ranked retrieval (Robertson et al., TREC-3 Okapi): top-k
     documents per query string — the keyword-search half of corpus
@@ -884,14 +893,26 @@ def bm25_topk(
         ln((N - df_t + 0.5) / (df_t + 0.5) + 1)          [idf, Lucene form]
         * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
 
-    100 TB design: the query term set broadcasts and the corpus token
-    explode is filtered against it BEFORE any aggregation, so every
-    shuffle carries only query-term posting rows (docs containing a
-    query term), never the corpus vocabulary; document length rides the
-    posting rows from the same single pass (no corpus-wide length
-    join); df_t comes from one aggregation of those postings (exact:
-    every doc containing t contributes); N and avgdl are a 1-row
-    broadcast aggregate. No UDFs — one codegen'd pipeline.
+    100 TB design — ONE corpus scan: the distinct query terms are
+    collected (bounded by the queries contract — a retrieval batch is
+    human-scale, thousands of terms, never corpus-sized) and folded
+    into the scan as a LITERAL array, so per-doc length AND per-doc
+    query-term frequencies are computed in a single map-side projection
+    (tf via array expressions over the matched tokens — no corpus token
+    explode ever leaves the map side). That per-doc summary — one tiny
+    row per doc: (id, length, matched-term tfs), a sliver of the text
+    it summarizes — is PERSISTED (memory-and-disk, session-scoped
+    registry like the q137 funnel caches) because three plan branches
+    consume it (N/avgdl, document frequencies, scoring) and Catalyst's
+    per-branch column pruning defeats exchange reuse for subtrees this
+    shape: without the cache each branch would re-scan and re-tokenize
+    the full corpus text. df_t comes from one aggregation of the
+    postings (exact: every doc containing t contributes); N and avgdl
+    are a 1-row broadcast aggregate. No UDFs — one codegen'd pipeline.
+    Above ``max_literal_terms`` distinct query terms the operator falls
+    back to the broadcast-term-set multi-scan plan (a literal that size
+    would bloat the plan; the fallback trades extra map-side scans for
+    it).
 
     Determinism: the summed score is rounded to 1e-6 before ranking
     (ln/avg differ across engine libms only in final ulps, which the
@@ -904,27 +925,100 @@ def bm25_topk(
     # filter): size(split(NULL)) is -1 under legacy sizeOfNull and would
     # otherwise poison avgdl with -1 instead of being skipped
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    d = docs.select(
-        F.col(id_col),
-        F.size(toks).cast("double").alias("__dl"),
-        F.explode(toks).alias("__term"),
-    )
-    stats = docs.agg(
-        F.count("*").cast("double").alias("__n"),
-        F.avg(F.size(toks)).alias("__avgdl"),
-    )
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(query_text_col)), r"\s+"))
         ).alias("__term"),
     )
-    term_set = qterms.select("__term").distinct()
-    postings = (
-        d.join(F.broadcast(term_set), "__term")
-        .groupBy(id_col, "__dl", "__term")
-        .agg(F.count("*").cast("double").alias("__tf"))
+    terms = sorted(
+        r["__term"] for r in qterms.select("__term").distinct().collect()
     )
+    # every call releases the previous call's per-doc summary (the
+    # fallback and empty paths cache nothing but must still evict)
+    for old in _BM25_CACHES.pop(docs.sparkSession, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # cache belonged to a since-stopped SparkSession
+    if not terms:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        return docs.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(
+                        query_id_col, queries.schema[query_id_col].dataType
+                    ),
+                    StructField(id_col, docs.schema[id_col].dataType),
+                    StructField("rank", IntegerType()),
+                    StructField("score", DoubleType()),
+                ]
+            ),
+        )
+    if len(terms) <= max_literal_terms:
+        # single-scan path: literal term filter + per-doc tf expression
+        lit_terms = F.lit(terms)
+        matched = F.filter(
+            F.col("__toks"), lambda t: F.array_contains(lit_terms, t)
+        )
+        post = F.transform(
+            F.array_distinct(F.col("__mt")),
+            lambda t: F.struct(
+                t.alias("term"),
+                F.size(F.filter(F.col("__mt"), lambda x: x == t))
+                .cast("double")
+                .alias("tf"),
+            ),
+        )
+        staged = (
+            docs.select(F.col(id_col), toks.alias("__toks"))
+            .select(
+                F.col(id_col),
+                F.size("__toks").cast("double").alias("__dl"),
+                matched.alias("__mt"),
+            )
+            .select(F.col(id_col), "__dl", post.alias("__post"))
+            .persist()  # per-doc summary: scanned once, consumed thrice
+        )
+        _BM25_CACHES[docs.sparkSession] = [staged]
+        stats = staged.agg(
+            F.count("*").cast("double").alias("__n"),
+            F.avg("__dl").alias("__avgdl"),
+        )
+        postings = staged.select(
+            F.col(id_col), "__dl", F.explode("__post").alias("__e")
+        ).select(
+            F.col(id_col),
+            "__dl",
+            F.col("__e.term").alias("__term"),
+            F.col("__e.tf").alias("__tf"),
+        )
+    else:
+        # fallback: broadcast term set filters the token explode before
+        # any aggregation (shuffles carry postings only); N/avgdl cost a
+        # second map-side, text-column-only scan
+        d = docs.select(
+            F.col(id_col),
+            F.size(toks).cast("double").alias("__dl"),
+            F.explode(toks).alias("__term"),
+        )
+        stats = docs.agg(
+            F.count("*").cast("double").alias("__n"),
+            F.avg(F.size(toks)).alias("__avgdl"),
+        )
+        term_set = qterms.select("__term").distinct()
+        postings = (
+            d.join(F.broadcast(term_set), "__term")
+            .groupBy(id_col, "__dl", "__term")
+            .agg(F.count("*").cast("double").alias("__tf"))
+        )
     dfreq = postings.groupBy("__term").agg(
         F.count("*").cast("double").alias("__df")
     )

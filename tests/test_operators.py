@@ -1237,6 +1237,53 @@ def test_bm25_ranking_semantics(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_bm25_single_scan_summary_and_fallback_parity(spark):
+    """The literal-term single-scan path: (a) the per-doc posting
+    summary is cached (three plan branches consume it; without the
+    cache each would re-scan the text) and is NARROW — id, length, and
+    matched-term tfs only, never the text; (b) a second call releases
+    the previous call's cache (bounded steady state); (c) the
+    broadcast-term-set fallback path (forced via max_literal_terms=0)
+    returns EXACTLY the same rows; (d) empty queries produce a typed
+    empty result."""
+    from delta_lake_spark.operators.text import _BM25_CACHES, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple kiwi"),
+            (2, "apple cherry kiwi melon"),
+            (3, "durian durian durian fig"),
+            (4, "banana banana apple plum"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple banana"), (2, "kiwi fig")], "query_id long, qtext string"
+    )
+    out = bm25_topk(docs, queries, "text", "doc_id", k=10)
+    cached = _BM25_CACHES[spark][0]
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    assert set(cached.columns) == {"doc_id", "__dl", "__post"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    rows = out.collect()
+
+    fallback = bm25_topk(
+        docs, queries, "text", "doc_id", k=10, max_literal_terms=0
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, fallback))
+    # the fallback evicted the first call's summary (no cache leak)
+    assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
+
+    empty_q = spark.createDataFrame([], "query_id long, qtext string")
+    e = bm25_topk(docs, empty_q, "text", "doc_id", k=3)
+    assert e.count() == 0
+    assert [f.name for f in e.schema.fields] == [
+        "query_id", "doc_id", "rank", "score",
+    ]
+
+
 def test_resolve_clusters_driver_equals_distributed(spark):
     """The size-gated driver union-find branch of
     resolve_duplicate_clusters must produce EXACTLY the distributed

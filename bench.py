@@ -47,6 +47,8 @@ SECONDARY = [
     "q137_pretrain_funnel",
     "q138_pq_topk",
     "q139_ivfpq_topk",
+    "q145_ivfpq_residual",
+    "q147_pretrain_funnel_full",
 ]
 
 
@@ -76,7 +78,21 @@ def main() -> None:
     # so the first timed query measures the query, not JVM cold-start
     spark.range(10_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
+    # load-aware guard: this box is shared (BASELINE.md documents
+    # co-tenant spikes up to 17 s on a 7 s headline), and best-of-N
+    # only suppresses noise when at least one of the N runs lands in a
+    # quiet window — so when the EXTERNAL load average is already high,
+    # widen N. The loadavg rides the JSON line so a slow reading is
+    # auditable after the fact.
+    try:
+        loadavg = os.getloadavg()
+    except OSError:  # platform without getloadavg
+        loadavg = (-1.0, -1.0, -1.0)
+    noisy_host = loadavg[0] > 2.0
+    extra = 2 if noisy_host else 0
+
     def bench_one(name: str, runs: int = 3, include_build: bool = False) -> float:
+        runs += extra
         fn = QUERIES[name]
         # best of 3: the first run pays Janino codegen + cache fill, the
         # second still part-warms the JIT for wide-agg plans; the minimum
@@ -125,6 +141,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "secondary": secondary,
+                "loadavg": [round(x, 2) for x in loadavg],
+                "runs_per_query": 3 + extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -695,16 +695,16 @@ def _pq_codebook_row(v: DataFrame, id_col: str, m: int, k_codes: int, subdim: in
     )
 
 
-def _pq_encode_expr(m: int, subdim: int):
+def _pq_encode_expr(m: int, subdim: int, vcol: str = "__v"):
     """codes array<int> (entry s = nearest-centroid code of subspace s)
-    as ONE whole-stage-codegen expression over (__v, __cents) — the
+    as ONE whole-stage-codegen expression over (``vcol``, __cents) — the
     per-vector encode is map-only: distances to every centroid of every
     subspace, lexicographic sort by (s, d, code), keep the first entry
     per s (its argmin, ties by ascending code — the same 1e-9-rounded
     compare the SQL oracle uses)."""
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.slice(F.col("__v"), s * subdim + 1, subdim),
+        lambda s: F.slice(F.col(vcol), s * subdim + 1, subdim),
     )
     dists = F.transform(
         F.col("__cents"),
@@ -727,16 +727,18 @@ def _pq_encode_expr(m: int, subdim: int):
     return subs, F.transform(winners, lambda w: w["code"])
 
 
-def _pq_query_adc(q: DataFrame, cents_one: DataFrame, m: int, subdim: int, k_codes: int) -> DataFrame:
-    """(query_id, __qv, __qmap) — the per-query ADC lookup map
-    ((s * k_codes + code) -> 1e-9-rounded exact query-subvector-to-
-    centroid squared L2), built map-side behind the 1-row codebook
-    broadcast. Small by the queries contract; broadcasts downstream."""
-    qsubs = F.transform(
+def _pq_qsubs_expr(m: int, subdim: int, vcol: str):
+    """The m subvector slices of ``vcol`` as one array expression."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.slice(F.col("__qv"), s * subdim + 1, subdim),
+        lambda s: F.slice(F.col(vcol), s * subdim + 1, subdim),
     )
-    qmap = F.map_from_entries(
+
+
+def _pq_qmap_expr(k_codes: int):
+    """The ADC lookup map ((s * k_codes + code) -> 1e-9-rounded exact
+    query-subvector-to-centroid squared L2) over (__qsubs, __cents)."""
+    return F.map_from_entries(
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
@@ -748,10 +750,16 @@ def _pq_query_adc(q: DataFrame, cents_one: DataFrame, m: int, subdim: int, k_cod
             ),
         )
     )
+
+
+def _pq_query_adc(q: DataFrame, cents_one: DataFrame, m: int, subdim: int, k_codes: int) -> DataFrame:
+    """(query_id, __qv, __qmap) — the per-query ADC lookup map, built
+    map-side behind the 1-row codebook broadcast. Small by the queries
+    contract; broadcasts downstream."""
     return (
         q.join(F.broadcast(cents_one))
-        .withColumn("__qsubs", qsubs)
-        .select("query_id", "__qv", qmap.alias("__qmap"))
+        .withColumn("__qsubs", _pq_qsubs_expr(m, subdim, "__qv"))
+        .select("query_id", "__qv", _pq_qmap_expr(k_codes).alias("__qmap"))
     )
 
 
@@ -945,10 +953,13 @@ def _pq_index_params(spark, index_path: str) -> dict:
     from ..log import DeltaLog
 
     conf = DeltaLog(_pq_index_tables(index_path)[0]).snapshot().metadata.configuration
-    return {
+    params = {
         key: int(conf[_PQ_PROP + key])
         for key in ("n_cells", "m", "k_codes", "dim")
     }
+    # pre-residual indexes carry no flag: raw-vector encoding
+    params["residual"] = conf.get(_PQ_PROP + "residual", "false") == "true"
+    return params
 
 
 def _one_row(df: DataFrame, *cols: str) -> DataFrame:
@@ -968,32 +979,43 @@ def _encode_against(
     id_col: str,
     m: int,
     subdim: int,
+    residual: bool = False,
 ) -> DataFrame:
     """(id, cell_id, codes) via the shared map-side projection — used by
     both the build and the incremental update so stored codes can never
-    drift from ad-hoc ones."""
+    drift from ad-hoc ones. ``residual`` encodes v - coarse_centroid
+    instead of v (IVFADC — see ivfpq_topk)."""
     subs_expr, codes_expr = _pq_encode_expr(m, subdim)
-    nearest = F.element_at(
+    best = F.element_at(
         F.array_sort(
             F.transform(
                 F.col("__cells"),
                 lambda c: F.struct(
                     F.round(_sqdist(F.col("__v"), c["cv"]), 9).alias("d"),
                     c["cell"].alias("cell"),
+                    c["cv"].alias("cv"),
                 ),
             )
         ),
         1,
-    )["cell"]
-    return (
-        v.join(F.broadcast(cells_one))
-        .join(F.broadcast(cents_one))
-        .withColumn("__subs", subs_expr)
-        .select(
+    )
+    staged = v.join(F.broadcast(cells_one))
+    if residual:
+        staged = staged.select(
             F.col(id_col),
-            nearest.alias("cell_id"),
-            codes_expr.alias("codes"),
+            best["cell"].alias("cell_id"),
+            F.zip_with(F.col("__v"), best["cv"], lambda x, y: x - y).alias(
+                "__v"
+            ),
         )
+    else:
+        staged = staged.select(
+            F.col(id_col), best["cell"].alias("cell_id"), "__v"
+        )
+    return (
+        staged.join(F.broadcast(cents_one))
+        .withColumn("__subs", subs_expr)
+        .select(F.col(id_col), "cell_id", codes_expr.alias("codes"))
     )
 
 
@@ -1004,6 +1026,7 @@ def _encode_against_arrow(
     id_col: str,
     m: int,
     subdim: int,
+    residual: bool = False,
 ) -> DataFrame:
     """Arrow/numpy twin of ``_encode_against`` — the THROUGHPUT path for
     corpus-scale encoding (the expression path evaluates interpreted
@@ -1086,7 +1109,12 @@ def _encode_against_arrow(
             if pdf.empty:
                 continue
             X = np.array(list(pdf["__v"]), dtype=np.float64)  # (b, dim)
-            cells = cell_ids[np.argmin(_d2(X, cell_mat), axis=1)]
+            nearest = np.argmin(_d2(X, cell_mat), axis=1)
+            cells = cell_ids[nearest]
+            if residual:
+                # exact elementwise subtraction — same arithmetic as the
+                # expression path's zip_with(v, cv, x - y)
+                X = X - cell_mat[nearest]
             codes = np.stack(
                 [
                     sub_codes[s][
@@ -1120,6 +1148,8 @@ def build_pq_index(
     vec_col: str = "embedding",
     dim: int = 64,
     method: str = "arrow",
+    residual: bool = False,
+    corpus_version: int = 0,
 ) -> None:
     """Build the persistent IVFPQ index: three versioned Delta tables
     under ``index_path`` — the coarse-centroid table, the PQ codebook,
@@ -1138,7 +1168,19 @@ def build_pq_index(
     pure-expression twin; ~100x slower per vector but the
     plan-transparency baseline an external SQL oracle replicates
     bit-exactly). Both produce identical codes on real embeddings
-    (ordered-fold parity — see _encode_against_arrow; pytest-pinned)."""
+    (ordered-fold parity — see _encode_against_arrow; pytest-pinned).
+
+    ``residual`` trains the PQ codebook on (and encodes) residuals to
+    the assigned coarse centroid — IVFADC proper, the recall fix over
+    raw-vector codes (see ivfpq_topk) — and pins the choice as a table
+    property so queries and incremental updates can never mix encoding
+    conventions with the stored codes.
+
+    ``corpus_version`` records the Delta version of the corpus this
+    build reflects (the ``sync_pq_index_from_cdf`` baseline — cf.
+    build_signature_index); an index built from a non-versioned
+    DataFrame defaults to 0, which is only correct if that DataFrame
+    was the corpus's v0 snapshot."""
     from ..reader import read_delta
     from ..writer import write_delta
 
@@ -1160,7 +1202,31 @@ def build_pq_index(
     ).agg(F.min_by("__v", F.col(id_col)).alias("cv"))
     write_delta(cells, t_cells, mode="overwrite")
 
-    reps = v.groupBy(
+    if residual:
+        # train the codebook on residuals (what it will actually encode)
+        cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
+        best = F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.col("__cells"),
+                    lambda c: F.struct(
+                        F.round(_sqdist(F.col("__v"), c["cv"]), 9).alias("d"),
+                        c["cell"].alias("cell"),
+                        c["cv"].alias("cv"),
+                    ),
+                )
+            ),
+            1,
+        )
+        venc = v.join(F.broadcast(cells_one)).select(
+            F.col(id_col),
+            F.zip_with(F.col("__v"), best["cv"], lambda x, y: x - y).alias(
+                "__v"
+            ),
+        )
+    else:
+        venc = v
+    reps = venc.groupBy(
         F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("code")
     ).agg(F.min_by("__v", F.col(id_col)).alias("__rep"))
     codebook = reps.select(
@@ -1177,12 +1243,14 @@ def build_pq_index(
     if method == "arrow":
         encoded = _encode_against_arrow(
             v, read_delta(spark, t_cells), read_delta(spark, t_codebook),
-            id_col, m, subdim,
+            id_col, m, subdim, residual=residual,
         )
     else:
         cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
         cents_one = _one_row(read_delta(spark, t_codebook), "s", "code", "cv")
-        encoded = _encode_against(v, cells_one, cents_one, id_col, m, subdim)
+        encoded = _encode_against(
+            v, cells_one, cents_one, id_col, m, subdim, residual=residual
+        )
     write_delta(
         encoded,
         t_codes,
@@ -1192,6 +1260,8 @@ def build_pq_index(
             _PQ_PROP + "m": str(m),
             _PQ_PROP + "k_codes": str(k_codes),
             _PQ_PROP + "dim": str(dim),
+            _PQ_PROP + "residual": str(residual).lower(),
+            _PQ_PROP + "syncedVersion": str(corpus_version),
         },
     )
 
@@ -1236,13 +1306,14 @@ def update_pq_index(
     if method == "arrow":
         encoded = _encode_against_arrow(
             fresh, read_delta(spark, t_cells), read_delta(spark, t_codebook),
-            id_col, p["m"], subdim,
+            id_col, p["m"], subdim, residual=p["residual"],
         )
     else:
         cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
         cents_one = _one_row(read_delta(spark, t_codebook), "s", "code", "cv")
         encoded = _encode_against(
-            fresh, cells_one, cents_one, id_col, p["m"], subdim
+            fresh, cells_one, cents_one, id_col, p["m"], subdim,
+            residual=p["residual"],
         )
     write_delta(encoded, t_codes, mode="append")
 
@@ -1271,6 +1342,75 @@ def delete_from_pq_index(
     )
 
 
+def sync_pq_index_from_cdf(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "arrow",
+) -> int:
+    """Maintain the PQ index from the corpus Delta table's CHANGE FEED
+    — the ANN twin of ``sync_signature_index_from_cdf`` (dedup.py): the
+    production loop that keeps the searchable codes aligned with a
+    mutating corpus (appends, embedding refreshes, GDPR MERGE-deletes)
+    without re-encoding anything but what the mutations touched:
+
+      1. read ``table_changes(corpus, syncedVersion + 1, current)`` —
+         bounded by what changed, not by table size;
+      2. ``delete_from_pq_index`` for every touched id (drops stale
+         codes of updated AND deleted vectors; no-op replay);
+      3. ``update_pq_index`` over the current corpus semi-joined to the
+         touched ids (re-encodes survivors under the FROZEN quantizers
+         — their codes rows are gone after step 2, so the known-id skip
+         doesn't mask them; ids deleted from the corpus simply aren't
+         there);
+      4. pin ``syncedVersion = current`` on the codes table (a
+         transactional property commit, the LAST step — a crash
+         anywhere earlier replays 1-3 from the old version, and both
+         mutation steps are idempotent).
+
+    Ordering note: delete-before-update is the crash-safe order here
+    for the same reason the LSH index deletes sizes first — a crash
+    between the steps leaves the touched ids ABSENT (queries simply
+    don't see them until the replayed sync re-encodes), never present
+    with stale codes the frozen quantizers no longer describe.
+
+    The build records its baseline via ``build_pq_index(...,
+    corpus_version=v)``. Returns the number of touched ids (0 = already
+    in sync)."""
+    from ..cdf import table_changes
+    from ..log import DeltaLog
+    from ..reader import read_delta
+    from ..table import DeltaTable
+
+    t_codes, _, _ = _pq_index_tables(index_path)
+    conf = DeltaLog(t_codes).snapshot().metadata.configuration
+    synced = int(conf.get(_PQ_PROP + "syncedVersion", "0"))
+    current = DeltaLog(corpus_path).latest_version()
+    if current <= synced:
+        return 0
+    touched = (
+        table_changes(spark, corpus_path, synced + 1, current)
+        .select(id_col)
+        .distinct()
+    )
+    n_touched = touched.count()
+    if n_touched:
+        delete_from_pq_index(touched, index_path, id_col)
+        update_pq_index(
+            read_delta(spark, corpus_path).join(touched, id_col, "left_semi"),
+            index_path,
+            id_col,
+            vec_col,
+            method=method,
+        )
+    DeltaTable.forPath(spark, t_codes).set_properties(
+        {_PQ_PROP + "syncedVersion": str(current)}
+    )
+    return n_touched
+
+
 def query_pq_index(
     queries: DataFrame,
     vectors: DataFrame,
@@ -1288,8 +1428,9 @@ def query_pq_index(
     rerank re-joins ``vectors`` by id for the shortlist rows only.
 
     Returns: query_id, neighbor_id, rank (1..k), dist — identical to
-    ivfpq_topk over the same corpus and parameters when the index is
-    fresh (equivalence is pytest-pinned)."""
+    ivfpq_topk over the same corpus and parameters (including the
+    index's pinned ``residual`` convention) when the index is fresh
+    (equivalence is pytest-pinned)."""
     from ..reader import read_delta
 
     spark = queries.sparkSession
@@ -1305,34 +1446,51 @@ def query_pq_index(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    q_adc = _pq_query_adc(q, cents_one, m, subdim, k_codes)
-    probes = (
-        q.join(F.broadcast(cells_one))
-        .select(
-            "query_id",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.array_sort(
-                            F.transform(
-                                F.col("__cells"),
-                                lambda c: F.struct(
-                                    F.round(
-                                        _sqdist(F.col("__qv"), c["cv"]), 9
-                                    ).alias("d"),
-                                    c["cell"].alias("cell"),
-                                ),
-                            )
-                        ),
-                        1,
-                        nprobe,
-                    ),
-                    lambda e: e["cell"],
-                )
-            ).alias("cell_id"),
-        )
-        .join(q_adc.select("query_id", "__qmap"), "query_id")
+    nearest = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("__cells"),
+                lambda c: F.struct(
+                    F.round(_sqdist(F.col("__qv"), c["cv"]), 9).alias("d"),
+                    c["cell"].alias("cell"),
+                    c["cv"].alias("cv"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
     )
+    if p["residual"]:
+        # per-probe ADC maps from the query residual to each probed
+        # cell's centroid — must mirror the stored codes' convention
+        probes = (
+            q.join(F.broadcast(cells_one))
+            .select("query_id", "__qv", F.explode(nearest).alias("__p"))
+            .select(
+                "query_id",
+                F.col("__p.cell").alias("cell_id"),
+                F.zip_with(
+                    F.col("__qv"), F.col("__p.cv"), lambda x, y: x - y
+                ).alias("__qr"),
+            )
+            .join(F.broadcast(cents_one))
+            .withColumn("__qsubs", _pq_qsubs_expr(m, subdim, "__qr"))
+            .select(
+                "query_id", "cell_id", _pq_qmap_expr(k_codes).alias("__qmap")
+            )
+        )
+    else:
+        q_adc = _pq_query_adc(q, cents_one, m, subdim, k_codes)
+        probes = (
+            q.join(F.broadcast(cells_one))
+            .select(
+                "query_id",
+                F.explode(
+                    F.transform(nearest, lambda e: e["cell"])
+                ).alias("cell_id"),
+            )
+            .join(q_adc.select("query_id", "__qmap"), "query_id")
+        )
 
     coded = read_delta(spark, t_codes).select(
         F.col(id_col), "cell_id", F.col("codes").alias("__codes")
@@ -1364,6 +1522,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFPQ — the genuine billion-vector recipe (Jegou et al. 2011,
     §V: IVFADC): an inverted-file coarse quantizer routes each query to
@@ -1377,9 +1536,21 @@ def ivfpq_topk(
     centroids are the min-id vector per ``id % n_cells`` bucket; cell
     assignment and query routing use 1e-9-rounded squared L2 with ties
     on ascending cell id; PQ codebooks/encode/ADC are pq_topk's exact
-    arithmetic (flat codebooks over raw vectors — the coarse routing
-    prunes the scan; residual encoding is a recall refinement the
-    shared-oracle contract trades away).
+    arithmetic.
+
+    ``residual=True`` switches to IVFADC proper: vectors PQ-encode
+    their residual to the assigned coarse centroid (and queries build
+    one ADC table per probed cell from q - that cell's centroid) —
+    residuals cluster around the origin, so the shared codebook spends
+    its resolution on displacement rather than absolute position: the
+    standard recall fix (measured uplift in tools/ann_bench.py /
+    SCALING.md) at the cost of |Q| * nprobe ADC maps instead of |Q|.
+    The residual arithmetic stays exact elementwise subtraction, so the
+    operator remains deterministic and SQL-oracle-replicable. With
+    ``residual=False`` (flat codebooks over raw vectors)
+    ``nprobe >= n_cells`` degrades to exactly pq_topk's result; the
+    residual variant scores the same exhaustive candidate set then, but
+    through per-cell tables (closer distances, not bit-identical PQ).
 
     100 TB design: the n_cells coarse-centroid row and the m*k_codes
     codebook row each aggregate to ONE broadcastable row; cell
@@ -1436,7 +1607,10 @@ def ivfpq_topk(
         .groupBy()
         .agg(F.collect_list(F.struct("cell", "cv")).alias("__cells"))
     )
-    # nearest-cell expression over a vector column name (map-only argmin)
+    # nearest-cell expression over a vector column name (map-only
+    # argmin); the centroid vector rides the struct so the residual
+    # path can subtract it — (d, cell) is already a unique sort key,
+    # so carrying cv never changes the ordering
     def nearest_cells(vcol: str):
         return F.array_sort(
             F.transform(
@@ -1444,44 +1618,95 @@ def ivfpq_topk(
                 lambda c: F.struct(
                     F.round(_sqdist(F.col(vcol), c["cv"]), 9).alias("d"),
                     c["cell"].alias("cell"),
+                    c["cv"].alias("cv"),
                 ),
             )
         )
 
-    cents_one = _pq_codebook_row(v, id_col, m, k_codes, subdim)
-    subs_expr, codes_expr = _pq_encode_expr(m, subdim)
-
-    # ONE map-side projection: cell assignment + PQ codes per vector
-    coded = (
-        v.join(F.broadcast(cells_one))
-        .join(F.broadcast(cents_one))
-        .withColumn("__subs", subs_expr)
-        .select(
-            F.col(id_col),
-            F.element_at(nearest_cells("__v"), 1)["cell"].alias("cell_id"),
-            codes_expr.alias("__codes"),
-        )
-    )
-
-    # query routing: nprobe nearest cells each, ADC map attached
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    q_adc = _pq_query_adc(q, cents_one, m, subdim, k_codes)
-    probes = (
-        q.join(F.broadcast(cells_one))
-        .select(
-            "query_id",
-            F.explode(
-                F.transform(
-                    F.slice(nearest_cells("__qv"), 1, nprobe),
-                    lambda e: e["cell"],
-                )
-            ).alias("cell_id"),
+
+    if residual:
+        # IVFADC proper (Jegou et al. 2011, §V): PQ-quantize the
+        # RESIDUAL to the assigned coarse centroid. Residuals cluster
+        # around the origin regardless of which cell a vector lives in,
+        # so one shared codebook spends its k_codes^m resolution on the
+        # (small) displacement instead of the (large) absolute position
+        # — the standard recall fix over raw-vector encoding.
+        best = F.element_at(nearest_cells("__v"), 1)
+        vres = (
+            v.join(F.broadcast(cells_one))
+            .select(
+                F.col(id_col),
+                best["cell"].alias("cell_id"),
+                F.zip_with(
+                    F.col("__v"), best["cv"], lambda x, y: x - y
+                ).alias("__v"),
+            )
         )
-        .join(q_adc.select("query_id", "__qmap"), "query_id")
-    )
+        cents_one = _pq_codebook_row(vres, id_col, m, k_codes, subdim)
+        subs_expr, codes_expr = _pq_encode_expr(m, subdim)
+        coded = (
+            vres.join(F.broadcast(cents_one))
+            .withColumn("__subs", subs_expr)
+            .select(F.col(id_col), "cell_id", codes_expr.alias("__codes"))
+        )
+        # per-PROBE ADC maps: the lookup table depends on the probed
+        # cell (query residual = q - that cell's centroid), so probes
+        # carry |Q| * nprobe maps instead of |Q| — still broadcast-sized
+        probes = (
+            q.join(F.broadcast(cells_one))
+            .select(
+                "query_id",
+                "__qv",
+                F.explode(F.slice(nearest_cells("__qv"), 1, nprobe)).alias(
+                    "__p"
+                ),
+            )
+            .select(
+                "query_id",
+                F.col("__p.cell").alias("cell_id"),
+                F.zip_with(
+                    F.col("__qv"), F.col("__p.cv"), lambda x, y: x - y
+                ).alias("__qr"),
+            )
+            .join(F.broadcast(cents_one))
+            .withColumn("__qsubs", _pq_qsubs_expr(m, subdim, "__qr"))
+            .select("query_id", "cell_id", _pq_qmap_expr(k_codes).alias("__qmap"))
+        )
+    else:
+        cents_one = _pq_codebook_row(v, id_col, m, k_codes, subdim)
+        subs_expr, codes_expr = _pq_encode_expr(m, subdim)
+
+        # ONE map-side projection: cell assignment + PQ codes per vector
+        coded = (
+            v.join(F.broadcast(cells_one))
+            .join(F.broadcast(cents_one))
+            .withColumn("__subs", subs_expr)
+            .select(
+                F.col(id_col),
+                F.element_at(nearest_cells("__v"), 1)["cell"].alias("cell_id"),
+                codes_expr.alias("__codes"),
+            )
+        )
+
+        # query routing: nprobe nearest cells each, ADC map attached
+        q_adc = _pq_query_adc(q, cents_one, m, subdim, k_codes)
+        probes = (
+            q.join(F.broadcast(cells_one))
+            .select(
+                "query_id",
+                F.explode(
+                    F.transform(
+                        F.slice(nearest_cells("__qv"), 1, nprobe),
+                        lambda e: e["cell"],
+                    )
+                ).alias("cell_id"),
+            )
+            .join(q_adc.select("query_id", "__qmap"), "query_id")
+        )
 
     # candidate generation = broadcast HASH join on cell_id: the scan
     # only ever scores vectors in probed cells

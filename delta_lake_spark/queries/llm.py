@@ -2509,11 +2509,328 @@ SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
 _Q139_SQL = _gen_q139_sql()
 
 
+def q145_ivfpq_residual(spark, sf_dir):
+    """IVFADC proper (residual-encoded IVFPQ): vectors PQ-encode their
+    residual to the assigned coarse centroid and queries build one ADC
+    table per probed cell — the standard recall fix over q139's
+    raw-vector codes (measured uplift in SCALING.md). Every stage stays
+    deterministic arithmetic, so the DuckDB oracle replicates the whole
+    operator value-exactly."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, m=4, k_codes=16, dim=64,
+        residual=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _gen_q145_sql(
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 10,
+    dim: int = 64,
+    rerank: int = 4,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB replica of ivfpq_topk(residual=True): q139's coarse
+    assignment and routing, with the PQ codebook trained on (and codes
+    encoding) the residual v - coarse_centroid, and the query ADC table
+    built per probed cell from q - that cell's centroid. Residuals are
+    exact elementwise subtraction in both engines, so the shared
+    three-dot-product/1e-9-rounding recipe keeps the whole operator
+    value-exact."""
+    subdim = dim // m
+
+    def d2(a, b):
+        return (
+            f"ROUND(list_dot_product({a}, {a})"
+            f" - 2.0 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 9)"
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cellreps AS (
+  SELECT CAST(vec_id % {n_cells} AS INTEGER) AS cell, arg_min(v, vec_id) AS cv
+  FROM v GROUP BY 1
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vv.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+        ORDER BY {d2('vv.v', 'c.cv')} ASC, c.cell ASC) AS r
+    FROM v vv, cellreps c
+  ) WHERE r = 1
+),
+vres AS (
+  SELECT a.vec_id, a.cell,
+    list_transform(range(1, {dim + 1}), i -> vv.v[i] - c.cv[i]) AS rv
+  FROM assign a
+  JOIN v vv ON vv.vec_id = a.vec_id
+  JOIN cellreps c ON c.cell = a.cell
+),
+reps AS (
+  SELECT CAST(vec_id % {k_codes} AS INTEGER) AS code, arg_min(rv, vec_id) AS rep
+  FROM vres GROUP BY 1
+),
+cent AS (
+  SELECT code, s,
+         list_slice(rep, s * {subdim} + 1, s * {subdim} + {subdim}) AS cv
+  FROM reps, (SELECT unnest(range(0, {m})) AS s)
+),
+vsub AS (
+  SELECT vec_id, s,
+         list_slice(rv, s * {subdim} + 1, s * {subdim} + {subdim}) AS xv
+  FROM vres, (SELECT unnest(range(0, {m})) AS s)
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vs.vec_id, vs.s, c.code,
+      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.s
+        ORDER BY {d2('vs.xv', 'c.cv')} ASC, c.code ASC) AS r
+    FROM vsub vs JOIN cent c ON c.s = vs.s
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {d2('q.qv', 'c.cv')} ASC, c.cell ASC) AS r
+    FROM q, cellreps c
+  ) WHERE r <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+    list_transform(range(1, {dim + 1}), i -> q.qv[i] - c.cv[i]) AS qr
+  FROM probes p
+  JOIN q ON q.query_id = p.query_id
+  JOIN cellreps c ON c.cell = p.cell
+),
+qsub AS (
+  SELECT query_id, cell, s,
+         list_slice(qr, s * {subdim} + 1, s * {subdim} + {subdim}) AS qs
+  FROM qres, (SELECT unnest(range(0, {m})) AS s)
+),
+qtab AS (
+  SELECT qs.query_id, qs.cell, qs.s, c.code, {d2('qs.qs', 'c.cv')} AS qd
+  FROM qsub qs JOIN cent c ON c.s = qs.s
+),
+dists AS (
+  SELECT t.query_id, co.vec_id AS neighbor_id, ROUND(SUM(t.qd), 9) AS dist
+  FROM codes co
+  JOIN vres a ON a.vec_id = co.vec_id
+  JOIN qtab t ON t.s = co.s AND t.code = co.code AND t.cell = a.cell
+  GROUP BY 1, 2
+  HAVING co.vec_id <> t.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS r
+    FROM dists
+  ) WHERE r <= {k * rerank}
+),
+rr AS (
+  SELECT sl.query_id, sl.neighbor_id,
+    {d2('q.qv', 'nv.v')} AS dist
+  FROM shortlist sl
+  JOIN q ON q.query_id = sl.query_id
+  JOIN v nv ON nv.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
+  SELECT query_id, neighbor_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM rr
+) WHERE rank <= {k}
+"""
+
+
+_Q145_SQL = _gen_q145_sql()
+
+
+def q146_pq_index_cdf_sync(spark, sf_dir):
+    """PQ-index maintenance from the corpus change feed — the ANN twin
+    of q140's LSH-index sync: build the index at corpus v0 (quantizers
+    frozen, baseline version pinned), append a day-2 batch (negated
+    vectors under shifted ids), GDPR-delete ``vec_id % 10 = 0``, run
+    ``sync_pq_index_from_cdf`` (delete-then-reencode from
+    table_changes, version pin commits last), and serve a query batch
+    from the synced codes. The oracle replays the FINAL state
+    relationally: quantizers from the v0 corpus, codes for exactly the
+    surviving rows."""
+    from ..operators.similarity import (
+        build_pq_index,
+        query_pq_index,
+        sync_pq_index_from_cdf,
+    )
+    from ..queries.delta_ops import _fresh
+    from ..reader import read_delta
+    from ..table import DeltaTable
+    from ..writer import write_delta
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = _fresh("cdf_pq_corpus")
+    write_delta(emb, path)  # v0
+    idx = _fresh("cdf_pq_index")
+    build_pq_index(
+        read_delta(spark, path), idx, n_cells=16, m=4, k_codes=16, dim=64,
+        corpus_version=0,
+    )
+
+    day2 = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    )
+    write_delta(day2, path, mode="append")  # v1
+    DeltaTable.forPath(spark, path).delete("vec_id % 10 = 0")  # v2 (GDPR)
+    sync_pq_index_from_cdf(spark, path, idx)
+
+    corpus = read_delta(spark, path)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    out = query_pq_index(queries, corpus, idx, k=10, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _gen_q146_sql(
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 10,
+    dim: int = 64,
+    rerank: int = 4,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB replica of the synced index's final state: quantizers
+    trained on the v0 corpus (every original vector — including rows
+    the later GDPR delete removes, because the build saw them), codes
+    for exactly the post-mutation survivors."""
+    subdim = dim // m
+
+    def d2(a, b):
+        return (
+            f"ROUND(list_dot_product({a}, {a})"
+            f" - 2.0 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 9)"
+        )
+
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+day2 AS (
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> -x) AS v
+  FROM base WHERE vec_id % 7 = 0
+),
+v AS (
+  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM day2)
+  WHERE vec_id % 10 <> 0
+),
+cellreps AS (
+  SELECT CAST(vec_id % {n_cells} AS INTEGER) AS cell, arg_min(v, vec_id) AS cv
+  FROM base GROUP BY 1
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vv.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+        ORDER BY {d2('vv.v', 'c.cv')} ASC, c.cell ASC) AS r
+    FROM v vv, cellreps c
+  ) WHERE r = 1
+),
+reps AS (
+  SELECT CAST(vec_id % {k_codes} AS INTEGER) AS code, arg_min(v, vec_id) AS rep
+  FROM base GROUP BY 1
+),
+cent AS (
+  SELECT code, s,
+         list_slice(rep, s * {subdim} + 1, s * {subdim} + {subdim}) AS cv
+  FROM reps, (SELECT unnest(range(0, {m})) AS s)
+),
+vsub AS (
+  SELECT vec_id, s,
+         list_slice(v, s * {subdim} + 1, s * {subdim} + {subdim}) AS xv
+  FROM v, (SELECT unnest(range(0, {m})) AS s)
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vs.vec_id, vs.s, c.code,
+      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.s
+        ORDER BY {d2('vs.xv', 'c.cv')} ASC, c.code ASC) AS r
+    FROM vsub vs JOIN cent c ON c.s = vs.s
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {d2('q.qv', 'c.cv')} ASC, c.cell ASC) AS r
+    FROM q, cellreps c
+  ) WHERE r <= {nprobe}
+),
+qsub AS (
+  SELECT query_id, s,
+         list_slice(qv, s * {subdim} + 1, s * {subdim} + {subdim}) AS qs
+  FROM q, (SELECT unnest(range(0, {m})) AS s)
+),
+qtab AS (
+  SELECT qs.query_id, qs.s, c.code, {d2('qs.qs', 'c.cv')} AS qd
+  FROM qsub qs JOIN cent c ON c.s = qs.s
+),
+dists AS (
+  SELECT t.query_id, co.vec_id AS neighbor_id, ROUND(SUM(t.qd), 9) AS dist
+  FROM codes co
+  JOIN assign a ON a.vec_id = co.vec_id
+  JOIN qtab t ON t.s = co.s AND t.code = co.code
+  JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell
+  GROUP BY 1, 2
+  HAVING co.vec_id <> t.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS r
+    FROM dists
+  ) WHERE r <= {k * rerank}
+),
+rr AS (
+  SELECT sl.query_id, sl.neighbor_id,
+    {d2('q.qv', 'nv.v')} AS dist
+  FROM shortlist sl
+  JOIN q ON q.query_id = sl.query_id
+  JOIN v nv ON nv.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
+  SELECT query_id, neighbor_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM rr
+) WHERE rank <= {k}
+"""
+
+
+_Q146_SQL = _gen_q146_sql()
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q137_pretrain_funnel": q137_pretrain_funnel,
     "q138_pq_topk": q138_pq_topk,
     "q139_ivfpq_topk": q139_ivfpq_topk,
+    "q145_ivfpq_residual": q145_ivfpq_residual,
+    "q146_pq_index_cdf_sync": q146_pq_index_cdf_sync,
     "q140_index_cdf_sync": q140_index_cdf_sync,
     "q141_persistent_pq_index": q141_persistent_pq_index,
     "q142_bm25_search": q142_bm25_search,
@@ -2616,6 +2933,8 @@ ORACLE_SQL = {
     "q137_pretrain_funnel": _Q137_SQL,
     "q138_pq_topk": _Q138_SQL,
     "q139_ivfpq_topk": _Q139_SQL,
+    "q145_ivfpq_residual": _Q145_SQL,
+    "q146_pq_index_cdf_sync": _Q146_SQL,
     "q140_index_cdf_sync": _Q140_SQL,
     "q141_persistent_pq_index": _Q141_SQL,
     "q142_bm25_search": _Q142_SQL,

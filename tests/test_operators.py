@@ -1803,6 +1803,141 @@ def test_pq_topk_ragged_dims_rejected_and_empty_typed(spark):
     assert lazy.count() == 0
 
 
+def test_ivfpq_residual_recall_and_candidate_set(spark, emb):
+    """Residual encoding (IVFADC proper): (a) with every cell probed,
+    the residual variant scores EXACTLY the candidate set pq_topk
+    scores (routing prunes nothing; only the per-cell tables differ);
+    (b) at a pruning nprobe its recall@10 against exact L2 is at least
+    the raw-vector variant's — residuals cluster around the origin, so
+    the codebook resolution goes to displacement, not position."""
+    from delta_lake_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    qs = emb.filter("vec_id < 5")
+    full_res = ivfpq_topk(
+        emb, qs, k=10, n_cells=8, nprobe=8, m=4, dim=64, rerank=1,
+        residual=True,
+    )
+    full_pq = pq_topk(emb, qs, k=10, m=4, dim=64, rerank=1)
+    # same corpus coverage: every (query, neighbor) the exhaustive PQ
+    # scan ranks is reachable by the all-cells residual scan and vice
+    # versa (ranks differ — the distances are per-cell)
+    a = {(r.query_id, r.neighbor_id) for r in full_res.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in full_pq.collect()}
+    assert len(a) == len(b) == 50
+
+    # exact L2 ground truth via the rerank path: ivfpq with every cell
+    # probed and a corpus-wide rerank IS exact for the top-k
+    truth = {}
+    gt = ivfpq_topk(emb, qs, k=10, n_cells=8, nprobe=8, m=4, dim=64,
+                    rerank=50, residual=True)
+    for r in gt.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    r_res = recall(
+        ivfpq_topk(emb, qs, k=10, n_cells=8, nprobe=2, m=4, dim=64,
+                   residual=True)
+    )
+    r_raw = recall(
+        ivfpq_topk(emb, qs, k=10, n_cells=8, nprobe=2, m=4, dim=64)
+    )
+    assert r_res >= r_raw, (r_res, r_raw)
+
+
+def test_persistent_pq_index_residual_roundtrip(spark, emb, tmp_path):
+    """A residual-built index pins its convention as a table property:
+    queries serve EXACTLY ivfpq_topk(residual=True), incremental
+    updates encode under the same convention (re-appending a deleted id
+    restores identical results), and the arrow/expr encode twins agree
+    bit-for-bit on residual codes."""
+    from delta_lake_spark import read_delta
+    from delta_lake_spark.operators.similarity import (
+        build_pq_index,
+        delete_from_pq_index,
+        ivfpq_topk,
+        query_pq_index,
+        update_pq_index,
+    )
+
+    qs = emb.filter("vec_id < 3")
+    idx = str(tmp_path / "res_idx")
+    build_pq_index(emb, idx, n_cells=8, m=4, k_codes=16, dim=64,
+                   residual=True)
+    served = query_pq_index(qs, emb, idx, k=10, nprobe=3).collect()
+    adhoc = ivfpq_topk(
+        emb, qs, k=10, n_cells=8, nprobe=3, dim=64, residual=True
+    ).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, adhoc))
+
+    idx2 = str(tmp_path / "res_idx_expr")
+    build_pq_index(emb, idx2, n_cells=8, m=4, k_codes=16, dim=64,
+                   residual=True, method="expr")
+    a = {
+        (r.vec_id, r.cell_id, tuple(r.codes))
+        for r in read_delta(spark, f"{idx}/codes").collect()
+    }
+    b = {
+        (r.vec_id, r.cell_id, tuple(r.codes))
+        for r in read_delta(spark, f"{idx2}/codes").collect()
+    }
+    assert a == b and len(a) > 0
+
+    victim = served[0].neighbor_id
+    doomed = spark.createDataFrame([(int(victim),)], "vec_id long")
+    delete_from_pq_index(doomed, idx)
+    update_pq_index(emb.filter(F.col("vec_id") == victim), idx)
+    restored = query_pq_index(qs, emb, idx, k=10, nprobe=3).collect()
+    assert sorted(map(tuple, restored)) == sorted(map(tuple, served))
+
+
+def test_sync_pq_index_from_cdf_tracks_mutations_idempotently(spark, emb, tmp_path):
+    """PQ-index CDF sync (the ANN twin of the LSH index's q140 loop):
+    after append + update + GDPR delete on the corpus, one sync leaves
+    the codes table holding EXACTLY the surviving ids (stale codes of
+    updated rows re-encoded under the frozen quantizers, deleted ids
+    gone); a second sync is a no-op (version pin); replaying the sync
+    after the pin is 0-touched."""
+    from delta_lake_spark import read_delta, write_delta
+    from delta_lake_spark.operators.similarity import (
+        build_pq_index,
+        sync_pq_index_from_cdf,
+    )
+    from delta_lake_spark.table import DeltaTable
+
+    corpus = str(tmp_path / "pq_cdf_corpus")
+    write_delta(emb.select("vec_id", "embedding"), corpus)  # v0
+    idx = str(tmp_path / "pq_cdf_idx")
+    build_pq_index(
+        read_delta(spark, corpus), idx, n_cells=8, m=4, k_codes=16, dim=64,
+        corpus_version=0,
+    )
+
+    day2 = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    )
+    write_delta(day2, corpus, mode="append")  # v1
+    DeltaTable.forPath(spark, corpus).delete("vec_id % 4 = 0")  # v2
+
+    n = sync_pq_index_from_cdf(spark, corpus, idx)
+    assert n > 0
+    code_ids = {
+        r.vec_id for r in read_delta(spark, f"{idx}/codes").select("vec_id").collect()
+    }
+    corpus_ids = {
+        r.vec_id for r in read_delta(spark, corpus).select("vec_id").collect()
+    }
+    assert code_ids == corpus_ids
+    assert sync_pq_index_from_cdf(spark, corpus, idx) == 0  # pinned
+
+
 def test_persistent_pq_index_rejects_bad_dims_and_string_ids(spark, tmp_path):
     """The persistent paths validate what the ad-hoc paths already do:
     (a) build/update REFUSE wrong-dim or ragged vectors instead of

@@ -1019,6 +1019,86 @@ def _encode_against(
     )
 
 
+def _np_dist_kernel():
+    """The numpy squared-L2 kernel matching Spark's expression recipe
+    bit-for-bit: every dot product is an ORDERED per-position
+    accumulation (equal to the sequential ``aggregate`` fold), the
+    distance combines as norm(x) - 2*dot + norm(c) in the same order,
+    and rounding is half-up at 1e-9 (Spark ROUND semantics; numpy's
+    default is half-even). Shared by every Arrow encode/assign path so
+    the parity argument lives in one place."""
+    import numpy as np
+
+    def ordered_dot(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros((x.shape[0], c.shape[0]))
+        for i in range(x.shape[1]):
+            acc += x[:, i : i + 1] * c[None, :, i]
+        return acc
+
+    def ordered_norm(x: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(x.shape[0])
+        for i in range(x.shape[1]):
+            acc += x[:, i] * x[:, i]
+        return acc
+
+    def round9_half_up(d: "np.ndarray") -> "np.ndarray":
+        return np.where(
+            d >= 0,
+            np.floor(d * 1e9 + 0.5),
+            -np.floor(-d * 1e9 + 0.5),
+        ) / 1e9
+
+    def d2(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        return round9_half_up(
+            ordered_norm(x)[:, None]
+            - 2.0 * ordered_dot(x, c)
+            + ordered_norm(c)[None, :]
+        )
+
+    return d2
+
+
+def _residuals_arrow(v: DataFrame, cells_df: DataFrame, id_col: str) -> DataFrame:
+    """(id, __v = v - nearest coarse centroid) via vectorized numpy —
+    the throughput path for residual-codebook TRAINING (the expression
+    twin evaluates an interpreted per-vector argmin over the whole cell
+    array; at corpus scale that made the residual build ~10x the raw
+    build). Assignment and subtraction are bit-parity with the
+    expression path: shared _np_dist_kernel distances, argmin ties to
+    the ascending-cell-id matrix order, exact elementwise subtraction
+    (numpy X - cv == zip_with(v, cv, x - y))."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cell_rows = sorted(
+        (
+            (r["cell"], np.asarray(r["cv"], dtype=np.float64))
+            for r in cells_df.collect()
+        ),
+        key=lambda t: t[0],
+    )
+    id_type = v.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, __v array<double>"
+    if not cell_rows:
+        return v.sparkSession.createDataFrame([], schema)
+    cell_mat = np.stack([cv for _, cv in cell_rows])
+    d2 = _np_dist_kernel()
+
+    def go(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(list(pdf["__v"]), dtype=np.float64)
+            nearest = np.argmin(d2(X, cell_mat), axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "__v": list(X - cell_mat[nearest])}
+            )
+
+    return v.mapInPandas(go, schema=schema)
+
+
 def _encode_against_arrow(
     v: DataFrame,
     cells_df: DataFrame,
@@ -1076,33 +1156,7 @@ def _encode_against_arrow(
         sub_codes.append(np.array([c for c, _ in entries], dtype=np.int32))
         sub_mats.append(np.stack([cv for _, cv in entries]))  # (k_s, subdim)
 
-    def _ordered_dot(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
-        # (b, d) x (k, d) -> (b, k), accumulating positions IN ORDER so
-        # the float result equals Spark's sequential aggregate fold
-        acc = np.zeros((x.shape[0], c.shape[0]))
-        for i in range(x.shape[1]):
-            acc += x[:, i : i + 1] * c[None, :, i]
-        return acc
-
-    def _ordered_norm(x: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(x.shape[0])
-        for i in range(x.shape[1]):
-            acc += x[:, i] * x[:, i]
-        return acc
-
-    def _round9_half_up(d: "np.ndarray") -> "np.ndarray":
-        return np.where(
-            d >= 0,
-            np.floor(d * 1e9 + 0.5),
-            -np.floor(-d * 1e9 + 0.5),
-        ) / 1e9
-
-    def _d2(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
-        return _round9_half_up(
-            _ordered_norm(x)[:, None]
-            - 2.0 * _ordered_dot(x, c)
-            + _ordered_norm(c)[None, :]
-        )
+    _d2 = _np_dist_kernel()
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1203,27 +1257,35 @@ def build_pq_index(
     write_delta(cells, t_cells, mode="overwrite")
 
     if residual:
-        # train the codebook on residuals (what it will actually encode)
-        cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
-        best = F.element_at(
-            F.array_sort(
-                F.transform(
-                    F.col("__cells"),
-                    lambda c: F.struct(
-                        F.round(_sqdist(F.col("__v"), c["cv"]), 9).alias("d"),
-                        c["cell"].alias("cell"),
-                        c["cv"].alias("cv"),
-                    ),
-                )
-            ),
-            1,
-        )
-        venc = v.join(F.broadcast(cells_one)).select(
-            F.col(id_col),
-            F.zip_with(F.col("__v"), best["cv"], lambda x, y: x - y).alias(
-                "__v"
-            ),
-        )
+        # train the codebook on residuals (what it will actually
+        # encode); the arrow assignment is the throughput path — the
+        # interpreted expression twin made the residual build ~10x the
+        # raw build at 1M vectors (bit-parity pytest-pinned)
+        if method == "arrow":
+            venc = _residuals_arrow(v, read_delta(spark, t_cells), id_col)
+        else:
+            cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
+            best = F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.col("__cells"),
+                        lambda c: F.struct(
+                            F.round(
+                                _sqdist(F.col("__v"), c["cv"]), 9
+                            ).alias("d"),
+                            c["cell"].alias("cell"),
+                            c["cv"].alias("cv"),
+                        ),
+                    )
+                ),
+                1,
+            )
+            venc = v.join(F.broadcast(cells_one)).select(
+                F.col(id_col),
+                F.zip_with(
+                    F.col("__v"), best["cv"], lambda x, y: x - y
+                ).alias("__v"),
+            )
     else:
         venc = v
     reps = venc.groupBy(
@@ -1420,12 +1482,24 @@ def query_pq_index(
     rerank: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    adaptive: bool = False,
 ) -> DataFrame:
     """ivfpq_topk served FROM the stored index: query routing uses the
     stored coarse centroids, ADC folds against the stored codes (the
     corpus is never re-encoded — the scan reads m bytes + a cell id per
     vector instead of the float payload), and the exact shortlist
     rerank re-joins ``vectors`` by id for the shortlist rows only.
+
+    ``adaptive=True`` turns ``nprobe`` into a FLOOR: each query keeps
+    probing further cells (in routing order) until the probed cells'
+    stored-code counts cumulatively cover ``rerank * k`` candidates —
+    so skewed cell sizes (a query routed into near-empty cells) can't
+    starve the rerank shortlist. The per-cell counts are one
+    n_cells-row aggregation of the codes table; the take-length is a
+    prefix-sum expression over the already-sorted routing array, so
+    adaptivity adds no extra join or shuffle. Deterministic for a given
+    index state (counts are data, not samples). Default OFF: the fixed
+    nprobe contract is what the q141/q146 oracles replay.
 
     Returns: query_id, neighbor_id, rank (1..k), dist — identical to
     ivfpq_topk over the same corpus and parameters (including the
@@ -1439,27 +1513,67 @@ def query_pq_index(
     m, k_codes = p["m"], p["k_codes"]
     subdim = p["dim"] // m
 
-    cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
+    cells_df = read_delta(spark, t_cells)
+    if adaptive:
+        sizes = (
+            read_delta(spark, t_codes)
+            .groupBy(F.col("cell_id").alias("cell"))
+            .agg(F.count("*").alias("sz"))
+        )
+        cells_df = cells_df.join(sizes, "cell", "left").select(
+            "cell", "cv", F.coalesce(F.col("sz"), F.lit(0)).alias("sz")
+        )
+        cells_one = cells_df.groupBy().agg(
+            F.collect_list(F.struct("cell", "cv", "sz")).alias("__cells")
+        )
+    else:
+        cells_one = _one_row(cells_df, "cell", "cv")
     cents_one = _one_row(read_delta(spark, t_codebook), "s", "code", "cv")
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    nearest = F.slice(
-        F.array_sort(
-            F.transform(
-                F.col("__cells"),
-                lambda c: F.struct(
-                    F.round(_sqdist(F.col("__qv"), c["cv"]), 9).alias("d"),
-                    c["cell"].alias("cell"),
-                    c["cv"].alias("cv"),
-                ),
-            )
-        ),
-        1,
-        nprobe,
+    ranked_cells = F.array_sort(
+        F.transform(
+            F.col("__cells"),
+            lambda c: F.struct(
+                F.round(_sqdist(F.col("__qv"), c["cv"]), 9).alias("d"),
+                c["cell"].alias("cell"),
+                c["cv"].alias("cv"),
+                *([c["sz"].alias("sz")] if adaptive else []),
+            ),
+        )
     )
+    if adaptive:
+        # smallest routing prefix whose cumulative stored-code count
+        # reaches the rerank target (floor nprobe, cap n_cells): a
+        # prefix-sum over the sorted array, evaluated per query row
+        runsums = F.aggregate(
+            ranked_cells,
+            F.expr("cast(array() as array<bigint>)"),
+            # try_element_at: element_at(-1) THROWS on the empty
+            # accumulator (first fold step) instead of returning NULL
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(
+                        F.try_element_at(acc, F.lit(-1)),
+                        F.lit(0).cast("bigint"),
+                    )
+                    + e["sz"]
+                ),
+            ),
+        )
+        need = (
+            F.size(F.filter(runsums, lambda s: s < F.lit(rerank * k))) + 1
+        )
+        take_n = F.least(
+            F.greatest(F.lit(nprobe), need), F.size(ranked_cells)
+        )
+    else:
+        take_n = F.lit(nprobe)
+    nearest = F.slice(ranked_cells, 1, take_n)
     if p["residual"]:
         # per-probe ADC maps from the query residual to each probed
         # cell's centroid — must mirror the stored codes' convention

@@ -2053,12 +2053,25 @@ FROM m
 """
 
 
-def _pretrain_funnel_frames(spark, sf_dir):
-    """Lazy construction of the q137 pipeline: returns (out, canon,
-    hits) where ``out`` is the 5-stage funnel DataFrame and canon/hits
-    are the persisted ids-only survivor sets the caller must unpersist
-    after materializing ``out`` (plan tests inspect ``out`` without
-    executing it)."""
+def _funnel_stage_row(df, sid, name):
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(toks), F.lit(0)).cast("long").alias("n_tokens"),
+    ).select(
+        F.lit(sid).cast("int").alias("stage_id"),
+        F.lit(name).alias("stage"),
+        "n_docs",
+        "n_tokens",
+    )
+
+
+def _funnel_core(spark, sf_dir):
+    """The shared quality -> exact-dedup -> near-dedup -> n-gram-
+    decontamination chain behind q137 (and q147's extended recipe).
+    Returns (raw, s1, s2, s3, s4, eval_df, caches): caches are the
+    persisted ids-only survivor sets the caller must unpersist after
+    materializing."""
     from ..operators.dedup import (
         exact_dedup,
         ngram_jaccard_pairs,
@@ -2094,27 +2107,24 @@ def _pretrain_funnel_frames(spark, sf_dir):
         decontaminate(s3, eval_df, "text", "doc_id", n=5).select("doc_id")
     ).persist()
     s4 = s3.join(hits, "doc_id", "left_anti")
+    return raw, s1, s2, s3, s4, eval_df, [canon, hits]
 
-    def stage(df, sid, name):
-        toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-        return df.agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.coalesce(F.sum(toks), F.lit(0)).cast("long").alias("n_tokens"),
-        ).select(
-            F.lit(sid).cast("int").alias("stage_id"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
-        )
 
+def _pretrain_funnel_frames(spark, sf_dir):
+    """Lazy construction of the q137 pipeline: returns (out, canon,
+    hits) where ``out`` is the 5-stage funnel DataFrame and canon/hits
+    are the persisted ids-only survivor sets the caller must unpersist
+    after materializing ``out`` (plan tests inspect ``out`` without
+    executing it)."""
+    raw, s1, s2, s3, s4, _, caches = _funnel_core(spark, sf_dir)
     out = (
-        stage(raw, 0, "raw")
-        .unionByName(stage(s1, 1, "quality"))
-        .unionByName(stage(s2, 2, "exact_dedup"))
-        .unionByName(stage(s3, 3, "near_dedup"))
-        .unionByName(stage(s4, 4, "decontaminated"))
+        _funnel_stage_row(raw, 0, "raw")
+        .unionByName(_funnel_stage_row(s1, 1, "quality"))
+        .unionByName(_funnel_stage_row(s2, 2, "exact_dedup"))
+        .unionByName(_funnel_stage_row(s3, 3, "near_dedup"))
+        .unionByName(_funnel_stage_row(s4, 4, "decontaminated"))
     )
-    return out, canon, hits
+    return out, caches[0], caches[1]
 
 
 def q137_pretrain_funnel(spark, sf_dir):
@@ -2276,6 +2286,126 @@ SELECT CAST(4 AS INTEGER), 'decontaminated', COUNT(*),
   CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
     AS BIGINT) FROM s4
 """
+
+
+def q147_pretrain_funnel_full(spark, sf_dir):
+    """The COMPLETE published pretraining-data recipe as one plan —
+    q137's quality -> exact dedup -> near-dedup -> n-gram
+    decontamination, extended with the two stages the full CCNet/Gopher
+    pipeline adds: (5) language-model perplexity filtering (unigram LM
+    trained on the surviving corpus itself, keep docs scoring
+    avg_logprob >= -3.41 — the 9dp-rounded score both engines compare,
+    so the boundary is exact) and (6) SEMANTIC benchmark
+    decontamination (drop survivors whose embedding's max cosine to the
+    eval-set embeddings reaches 0.35 — paraphrase leakage the n-gram
+    stage cannot catch; docs with no embedding row are kept, mirroring
+    the n-gram stage's anti-join semantics).
+
+    Scale shape inherited per stage: the LM stage is explode + AQE-
+    sized model join + one doc-keyed aggregation (see unigram_lm_score
+    — the model join shuffles instead of OOMing if the vocabulary
+    outgrows the broadcast threshold); the semantic stage is a map-only
+    projection behind the broadcast eval-set row (q143). Survivors
+    still propagate as ids-only semi/anti joins; the two new survivor
+    sets persist in the same session-scoped cache registry as
+    canon/hits."""
+    from ..operators.similarity import semantic_decontaminate
+    from ..operators.text import unigram_lm_score
+
+    for df in _FUNNEL_CACHES.pop(spark, []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # cache belonged to a since-stopped SparkSession
+    raw, s1, s2, s3, s4, _, caches = _funnel_core(spark, sf_dir)
+    keep = (
+        unigram_lm_score(s4, "text", "doc_id")
+        .filter(F.col("avg_logprob") >= F.lit(-3.41))
+        .select("doc_id")
+    ).persist()
+    s5 = s4.join(keep, "doc_id", "left_semi")
+    emb = _emb(spark, sf_dir)
+    corpus_emb = emb.join(
+        s5.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sdirty = (
+        semantic_decontaminate(
+            corpus_emb, emb.filter(F.col("vec_id") < 25), threshold=0.35
+        )
+        .filter("contaminated")
+        .select(F.col("vec_id").alias("doc_id"))
+    ).persist()
+    s6 = s5.join(sdirty, "doc_id", "left_anti")
+
+    out = (
+        _funnel_stage_row(raw, 0, "raw")
+        .unionByName(_funnel_stage_row(s1, 1, "quality"))
+        .unionByName(_funnel_stage_row(s2, 2, "exact_dedup"))
+        .unionByName(_funnel_stage_row(s3, 3, "near_dedup"))
+        .unionByName(_funnel_stage_row(s4, 4, "decontaminated"))
+        .unionByName(_funnel_stage_row(s5, 5, "lm_filter"))
+        .unionByName(_funnel_stage_row(s6, 6, "semantic_decontaminated"))
+    )
+    _FUNNEL_CACHES[spark] = caches + [keep, sdirty]
+    return out
+
+
+def _gen_q147_sql() -> str:
+    """DuckDB replica of the FULL funnel: q137's recursive-CTE replay
+    extended with the LM-filter stage (unigram model trained on the s4
+    survivors, 9dp-rounded avg ln p threshold) and the semantic
+    decontamination stage (max eval cosine per surviving doc's
+    embedding, q143's formula). Built by extending _Q137_SQL so the
+    shared stages can never drift between the two oracles."""
+    ctes, rows = _Q137_SQL.split("\nSELECT CAST(0 AS INTEGER)", 1)
+    return (
+        ctes
+        + r""",
+tokL AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM s4
+),
+cntsL AS (SELECT term, COUNT(*) AS c FROM tokL GROUP BY term),
+totL AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cntsL),
+lm AS (
+  SELECT doc_id,
+    ROUND(AVG(ln(c)) - (SELECT ln(t) FROM totL), 9) AS alp
+  FROM tokL JOIN cntsL USING (term) GROUP BY doc_id
+),
+s5 AS (
+  SELECT s4.doc_id, s4.text FROM s4 JOIN lm USING (doc_id)
+  WHERE lm.alp >= -3.41
+),
+embv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+evv AS (SELECT v FROM embv WHERE vec_id < 25),
+simsS AS (
+  SELECT c.vec_id,
+    ROUND(MAX(list_dot_product(c.v, e.v) /
+      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(e.v, e.v)))),
+      9) AS ms
+  FROM embv c, evv e
+  WHERE c.vec_id IN (SELECT doc_id FROM s5)
+  GROUP BY c.vec_id
+),
+s6 AS (
+  SELECT doc_id, text FROM s5
+  WHERE doc_id NOT IN (SELECT vec_id FROM simsS WHERE ms >= 0.35)
+)"""
+        + "\nSELECT CAST(0 AS INTEGER)"
+        + rows
+        + r"""UNION ALL
+SELECT CAST(5 AS INTEGER), 'lm_filter', COUNT(*),
+  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
+    AS BIGINT) FROM s5
+UNION ALL
+SELECT CAST(6 AS INTEGER), 'semantic_decontaminated', COUNT(*),
+  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
+    AS BIGINT) FROM s6
+"""
+    )
+
+
+_Q147_SQL = _gen_q147_sql()
 
 
 def q138_pq_topk(spark, sf_dir):
@@ -2831,6 +2961,7 @@ QUERIES = {
     "q139_ivfpq_topk": q139_ivfpq_topk,
     "q145_ivfpq_residual": q145_ivfpq_residual,
     "q146_pq_index_cdf_sync": q146_pq_index_cdf_sync,
+    "q147_pretrain_funnel_full": q147_pretrain_funnel_full,
     "q140_index_cdf_sync": q140_index_cdf_sync,
     "q141_persistent_pq_index": q141_persistent_pq_index,
     "q142_bm25_search": q142_bm25_search,
@@ -2935,6 +3066,7 @@ ORACLE_SQL = {
     "q139_ivfpq_topk": _Q139_SQL,
     "q145_ivfpq_residual": _Q145_SQL,
     "q146_pq_index_cdf_sync": _Q146_SQL,
+    "q147_pretrain_funnel_full": _Q147_SQL,
     "q140_index_cdf_sync": _Q140_SQL,
     "q141_persistent_pq_index": _Q141_SQL,
     "q142_bm25_search": _Q142_SQL,

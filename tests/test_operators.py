@@ -1897,6 +1897,42 @@ def test_persistent_pq_index_residual_roundtrip(spark, emb, tmp_path):
     assert sorted(map(tuple, restored)) == sorted(map(tuple, served))
 
 
+def test_query_pq_index_adaptive_multiprobe_fills_shortlist(spark, tmp_path):
+    """Adaptive probing: nprobe becomes a floor and each query keeps
+    probing routing-ordered cells until the probed cells' stored-code
+    counts cover rerank*k. On a skewed index (one near-empty cell that
+    a query routes into first), fixed nprobe=1 starves the shortlist
+    while adaptive=True fills the full top-k; with every cell probed
+    the two modes agree exactly."""
+    from delta_lake_spark.operators.similarity import (
+        build_pq_index,
+        query_pq_index,
+    )
+
+    # ids 0..49 cluster near the origin; id 5 is a far outlier — and
+    # because coarse centroids are the min-id member of each id % 8
+    # bucket, cell 5's centroid IS the outlier, so that cell holds one
+    # single code
+    rows = [
+        (i, [50.0] * 16 if i == 5 else [0.001 * i] * 16) for i in range(50)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(999, [50.5] * 16)], "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "skew_idx")
+    build_pq_index(vecs, idx, n_cells=8, m=4, k_codes=4, dim=16)
+
+    fixed = query_pq_index(qs, vecs, idx, k=5, nprobe=1).collect()
+    assert len(fixed) < 5, fixed  # the outlier cell alone can't fill k
+    adapt = query_pq_index(qs, vecs, idx, k=5, nprobe=1, adaptive=True).collect()
+    assert len(adapt) == 5, adapt
+    # with ample fixed probing the adaptive floor changes nothing
+    full_f = query_pq_index(qs, vecs, idx, k=5, nprobe=8).collect()
+    full_a = query_pq_index(qs, vecs, idx, k=5, nprobe=8, adaptive=True).collect()
+    assert sorted(map(tuple, full_f)) == sorted(map(tuple, full_a))
+
+
 def test_sync_pq_index_from_cdf_tracks_mutations_idempotently(spark, emb, tmp_path):
     """PQ-index CDF sync (the ANN twin of the LSH index's q140 loop):
     after append + update + GDPR delete on the corpus, one sync leaves

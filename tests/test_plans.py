@@ -625,6 +625,33 @@ def test_q137_funnel_composition_no_cartesian(spark):
         hits.unpersist()
 
 
+def test_q147_full_funnel_composition_no_cartesian(spark):
+    """The full CCNet-shaped funnel (q137 + LM filter + semantic
+    decontamination) must keep q137's shuffle discipline end to end:
+    survivor propagation stays semi/anti joins, the 1-row aggregates
+    (LM total, eval-embedding row) are the only nested-loop broadcasts,
+    and no stage introduces a cartesian."""
+    from delta_lake_spark.queries.llm import (
+        _FUNNEL_CACHES,
+        q147_pretrain_funnel_full,
+    )
+
+    out = q147_pretrain_funnel_full(spark, SF_DIR)
+    try:
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        # every BroadcastNestedLoopJoin build side must be a 1-row
+        # aggregate (LM model total / eval-embedding collect_list row)
+        import re
+
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+            assert "HashAggregate" in plan[m.start():], plan[m.start():m.start() + 500]
+    finally:
+        for df in _FUNNEL_CACHES.pop(spark, []):
+            df.unpersist()
+
+
 def test_q138_pq_codebook_broadcasts_no_cartesian(spark):
     """PQ ANN with the MAP-SIDE ADC fold: the 1-row codebook and the
     per-query ADC maps broadcast (the two legitimate BNLJs — build

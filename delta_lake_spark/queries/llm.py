@@ -2318,12 +2318,17 @@ def q147_pretrain_funnel_full(spark, sf_dir):
         except Exception:
             pass  # cache belonged to a since-stopped SparkSession
     raw, s1, s2, s3, s4, _, caches = _funnel_core(spark, sf_dir)
+    # pin the s4 survivor ids: five downstream consumers (stage rows
+    # 4-6, the LM model, the semantic corpus) would otherwise each
+    # re-derive the whole quality->dedup->decontaminate chain
+    s4ids = s4.select("doc_id").persist()
+    s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
-        unigram_lm_score(s4, "text", "doc_id")
+        unigram_lm_score(s4r, "text", "doc_id")
         .filter(F.col("avg_logprob") >= F.lit(-3.41))
         .select("doc_id")
     ).persist()
-    s5 = s4.join(keep, "doc_id", "left_semi")
+    s5 = s4r.join(keep, "doc_id", "left_semi")
     emb = _emb(spark, sf_dir)
     corpus_emb = emb.join(
         s5.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
@@ -2342,11 +2347,11 @@ def q147_pretrain_funnel_full(spark, sf_dir):
         .unionByName(_funnel_stage_row(s1, 1, "quality"))
         .unionByName(_funnel_stage_row(s2, 2, "exact_dedup"))
         .unionByName(_funnel_stage_row(s3, 3, "near_dedup"))
-        .unionByName(_funnel_stage_row(s4, 4, "decontaminated"))
+        .unionByName(_funnel_stage_row(s4r, 4, "decontaminated"))
         .unionByName(_funnel_stage_row(s5, 5, "lm_filter"))
         .unionByName(_funnel_stage_row(s6, 6, "semantic_decontaminated"))
     )
-    _FUNNEL_CACHES[spark] = caches + [keep, sdirty]
+    _FUNNEL_CACHES[spark] = caches + [s4ids, keep, sdirty]
     return out
 
 

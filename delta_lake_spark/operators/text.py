@@ -1019,6 +1019,28 @@ def bm25_topk(
             .groupBy(id_col, "__dl", "__term")
             .agg(F.count("*").cast("double").alias("__tf"))
         )
+    return _bm25_score_tail(
+        postings, stats, qterms, k, k1, b, id_col, query_id_col
+    )
+
+
+def _bm25_score_tail(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail over a (id, __dl, __term, __tf) posting
+    relation, a 1-row (__n, __avgdl) stats relation, and the
+    (query_id, __term) query-term relation — used by both the ad-hoc
+    bm25_topk paths and the persistent text index (query_text_index),
+    so served scores can never drift from ad-hoc ones. df_t is derived
+    from the postings themselves (exact); the summed score rounds to
+    1e-6 with ties on ascending doc id (the oracle contract)."""
     dfreq = postings.groupBy("__term").agg(
         F.count("*").cast("double").alias("__df")
     )
@@ -1150,4 +1172,261 @@ def bigram_lm_score(
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg(F.log(p)), 9).alias("avg_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Persistent BM25 text index: the keyword-retrieval third of the
+# persistent corpus-state story (LSH signature index for dedup,
+# IVFPQ index for ANN, THIS for lexical search) — the inverted index
+# is computed once and maintained incrementally, so every query batch
+# touches stored posting rows instead of re-tokenizing 100 TB of text.
+# --------------------------------------------------------------------------
+
+_TXT_PROP = "dls.textIndex."  # table-property prefix on the postings table
+_TXT_TOKENIZER = "ws_lower_v1"  # whitespace-split over lower(coalesce(text,''))
+
+
+def _text_index_tables(index_path: str) -> tuple[str, str]:
+    return (
+        f"{index_path}/postings",  # (term, doc_id, tf double)
+        f"{index_path}/lengths",   # (doc_id, dl double) — the known-id set
+    )
+
+
+def _text_index_relations(docs: DataFrame, text_col: str, id_col: str):
+    """(postings, lengths) for ``docs`` under the pinned tokenizer —
+    the ONE tokenization convention every build/update shares (pinned
+    as a table property so a version bump can refuse mixed indexes)."""
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    postings = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    lengths = docs.select(
+        F.col(id_col), F.size(toks).cast("double").alias("dl")
+    )
+    return postings, lengths
+
+
+def build_text_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    corpus_version: int = 0,
+) -> None:
+    """Build the persistent inverted index: two versioned Delta tables
+    under ``index_path`` — per-(term, doc) term frequencies and per-doc
+    token lengths — with the tokenizer convention and the corpus
+    baseline version pinned as table properties (``corpus_version`` is
+    the ``sync_text_index_from_cdf`` baseline, cf.
+    build_signature_index / build_pq_index).
+
+    The postings table is range-partitioned AND sorted by term at
+    write, so every file carries a tight term min/max — a query's
+    ``term IN (...)`` predicate prunes to the files whose range
+    intersects the query vocabulary instead of scanning the corpus's
+    whole posting set. Build cost is one tokenize pass + one (term,
+    doc) aggregation — what a single ad-hoc bm25_topk call spends on
+    the corpus side, amortized over every future query batch."""
+    from ..writer import write_delta
+
+    t_postings, t_lengths = _text_index_tables(index_path)
+    postings, lengths = _text_index_relations(corpus, text_col, id_col)
+    write_delta(
+        postings.repartitionByRange(F.col("term")).sortWithinPartitions(
+            "term"
+        ),
+        t_postings,
+        mode="overwrite",
+        properties={
+            _TXT_PROP + "tokenizer": _TXT_TOKENIZER,
+            _TXT_PROP + "syncedVersion": str(corpus_version),
+        },
+    )
+    write_delta(lengths, t_lengths, mode="overwrite")
+
+
+def update_text_index(
+    new_docs: DataFrame, text_col: str, id_col: str, index_path: str
+) -> None:
+    """Incrementally index newly-appended documents: ids already in the
+    lengths table are skipped, so replaying an update is a no-op.
+    Append ordering — postings FIRST, lengths second (the mirror of the
+    LSH index's buckets-first): a crash between the appends leaves the
+    new ids UNKNOWN (no lengths row — queries simply don't see them,
+    and they are invisible anyway because scoring inner-joins lengths),
+    and the replay re-appends their postings, whose duplicates the
+    query side absorbs exactly (max(tf) over identical rows). The
+    reverse order would strand a crash as known-but-postingless: a doc
+    the known-id skip makes permanently unfindable."""
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    spark = new_docs.sparkSession
+    t_postings, t_lengths = _text_index_tables(index_path)
+    known = read_delta(spark, t_lengths).select(id_col)
+    fresh = new_docs.join(known, id_col, "left_anti")
+    postings, lengths = _text_index_relations(fresh, text_col, id_col)
+    write_delta(postings, t_postings, mode="append")
+    write_delta(lengths, t_lengths, mode="append")
+
+
+def delete_from_text_index(
+    ids: DataFrame, index_path: str, id_col: str = "doc_id"
+) -> None:
+    """GDPR delete propagation: MERGE-delete the ids' lengths rows
+    FIRST, postings second (the mirror of the append path's
+    postings-first, and the same crash reasoning as the LSH index's
+    sizes-first): a crash after the lengths delete leaves ghost posting
+    rows that scoring's inner lengths-join makes invisible — results,
+    document frequencies, and N/avgdl are already exactly the surviving
+    corpus's — and replaying the delete removes them (MERGE-delete of
+    absent rows is a no-op). A re-appended id is re-indexed because its
+    lengths row is gone, with the duplicate postings absorbed by the
+    query-side max."""
+    from ..table import DeltaTable
+
+    spark = ids.sparkSession
+    t_postings, t_lengths = _text_index_tables(index_path)
+    doomed = ids.select(id_col).distinct()
+    for path in (t_lengths, t_postings):  # lengths FIRST — see above
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(doomed, f"t.{id_col} = s.{id_col}", source_alias="s")
+            .whenMatchedDelete()
+            .execute()
+        )
+
+
+def sync_text_index_from_cdf(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Maintain the inverted index from the corpus Delta table's CHANGE
+    FEED — the lexical twin of sync_signature_index_from_cdf /
+    sync_pq_index_from_cdf: read ``table_changes(corpus,
+    syncedVersion + 1, current)``, delete every touched id's index rows
+    (stale postings of updated AND deleted docs), re-index the touched
+    survivors from the current corpus, and pin ``syncedVersion =
+    current`` on the postings table LAST (a crash anywhere earlier
+    replays the loop from the old version; both mutation steps are
+    idempotent). Maintenance cost scales with the mutations' touched
+    documents, never the corpus. Returns the number of touched ids."""
+    from ..cdf import table_changes
+    from ..log import DeltaLog
+    from ..reader import read_delta
+    from ..table import DeltaTable
+
+    t_postings, _ = _text_index_tables(index_path)
+    conf = DeltaLog(t_postings).snapshot().metadata.configuration
+    synced = int(conf.get(_TXT_PROP + "syncedVersion", "0"))
+    current = DeltaLog(corpus_path).latest_version()
+    if current <= synced:
+        return 0
+    touched = (
+        table_changes(spark, corpus_path, synced + 1, current)
+        .select(id_col)
+        .distinct()
+    )
+    n_touched = touched.count()
+    if n_touched:
+        delete_from_text_index(touched, index_path, id_col)
+        update_text_index(
+            read_delta(spark, corpus_path).join(touched, id_col, "left_semi"),
+            text_col,
+            id_col,
+            index_path,
+        )
+    DeltaTable.forPath(spark, t_postings).set_properties(
+        {_TXT_PROP + "syncedVersion": str(current)}
+    )
+    return n_touched
+
+
+def query_text_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """BM25 top-k served FROM the stored index: the corpus text is
+    never touched — candidates come from the postings table pruned to
+    the query vocabulary (``term IN (...)`` reaches the scan, and the
+    build's term-sorted layout lets file min/max skipping drop every
+    file outside the query's term ranges), liveness + document length
+    come from one inner join against the narrow lengths table (ghost
+    postings from torn deletes vanish here, so df_t, scores, and
+    N/avgdl are exactly the surviving corpus's), and at-least-once
+    update replays are absorbed by max(tf) over identical rows. The
+    scoring tail is SHARED with bm25_topk (_bm25_score_tail), so served
+    rankings provably cannot drift from ad-hoc ones (pytest-pinned).
+
+    Returns: query_id_col, id_col, rank (1..k), score (double, 6 dp)."""
+    from ..reader import read_delta
+
+    spark = queries.sparkSession
+    t_postings, t_lengths = _text_index_tables(index_path)
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(query_text_col)), r"\s+"))
+        ).alias("__term"),
+    )
+    terms = sorted(
+        r["__term"] for r in qterms.select("__term").distinct().collect()
+    )
+    lengths = read_delta(spark, t_lengths)
+    if not terms:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(
+                        query_id_col, queries.schema[query_id_col].dataType
+                    ),
+                    StructField(id_col, lengths.schema[id_col].dataType),
+                    StructField("rank", IntegerType()),
+                    StructField("score", DoubleType()),
+                ]
+            ),
+        )
+    cand = (
+        read_delta(spark, t_postings)
+        .filter(F.col("term").isin(terms))
+        # absorb duplicate posting rows from at-least-once update
+        # replays (identical (term, doc, tf) rows -> max is exact)
+        .groupBy("term", id_col)
+        .agg(F.max("tf").alias("__tf"))
+        .join(lengths, id_col)  # liveness + dl in one inner join
+        .select(
+            F.col(id_col),
+            F.col("dl").alias("__dl"),
+            F.col("term").alias("__term"),
+            "__tf",
+        )
+    )
+    stats = lengths.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    return _bm25_score_tail(
+        cand, stats, qterms, k, k1, b, id_col, query_id_col
     )

@@ -2012,6 +2012,117 @@ WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
 """
 
 
+def q148_text_index_cdf_sync(spark, sf_dir):
+    """Persistent BM25 inverted index maintained from the corpus change
+    feed — the lexical third of the index-maintenance trilogy (q140
+    LSH, q146 PQ): build postings/lengths at corpus v0, append a day-2
+    batch, GDPR-delete ``doc_id % 10 = 0``, run
+    ``sync_text_index_from_cdf`` (delete-then-reindex from
+    table_changes, version pin commits last), and serve BM25 top-k FROM
+    the stored postings. The oracle replays the final state: BM25 over
+    exactly the surviving corpus — ghost-free df_t/N/avgdl is the
+    operator's crash-ordering contract."""
+    from ..operators.text import build_text_index, sync_text_index_from_cdf, query_text_index
+    from ..queries.delta_ops import _fresh
+    from ..reader import read_delta
+    from ..table import DeltaTable
+    from ..writer import write_delta
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = _fresh("cdf_txt_corpus")
+    write_delta(docs, path)  # v0
+    idx = _fresh("cdf_txt_index")
+    build_text_index(
+        read_delta(spark, path), "text", "doc_id", idx, corpus_version=0
+    )
+
+    day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    write_delta(day2, path, mode="append")  # v1
+    DeltaTable.forPath(spark, path).delete("doc_id % 10 = 0")  # v2 (GDPR)
+    sync_text_index_from_cdf(spark, path, idx)
+
+    queries = spark.createDataFrame(
+        [
+            (1, "hash join merge"),
+            (2, "stream window agg"),
+            (3, "vector scan filter"),
+        ],
+        "query_id long, qtext string",
+    )
+    return query_text_index(queries, idx, k=10).select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
+_Q148_SQL = r"""
+WITH day2 AS (
+  SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id, text FROM day2
+  ) WHERE doc_id % 10 <> 0
+),
+q AS (
+  SELECT * FROM (VALUES
+    (1, 'hash join merge'),
+    (2, 'stream window agg'),
+    (3, 'vector scan filter')
+  ) AS t(query_id, qtext)
+),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term
+  FROM q
+),
+term_set AS (SELECT DISTINCT term FROM qterms),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(len(string_split_regex(lower(COALESCE(text, '')), '\s+'))
+             AS DOUBLE)) AS avgdl
+  FROM corpus
+),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(COALESCE(text, '')), '\s+'))
+           AS DOUBLE) AS dl,
+         unnest(string_split_regex(lower(COALESCE(text, '')), '\s+')) AS term
+  FROM corpus
+),
+postings AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks JOIN term_set USING (term)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY term
+),
+weights AS (
+  SELECT p.doc_id, p.term,
+    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+      * (p.tf * 2.2)
+      / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
+  FROM postings p JOIN dfreq f USING (term), stats s
+),
+scored AS (
+  SELECT qt.query_id, w.doc_id, ROUND(SUM(w.w), 6) AS score
+  FROM weights w JOIN qterms qt USING (term)
+  GROUP BY qt.query_id, w.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q133_gopher_quality_filter(spark, sf_dir):
     from ..operators.text import gopher_quality_filter
 
@@ -2967,6 +3078,7 @@ QUERIES = {
     "q145_ivfpq_residual": q145_ivfpq_residual,
     "q146_pq_index_cdf_sync": q146_pq_index_cdf_sync,
     "q147_pretrain_funnel_full": q147_pretrain_funnel_full,
+    "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q140_index_cdf_sync": q140_index_cdf_sync,
     "q141_persistent_pq_index": q141_persistent_pq_index,
     "q142_bm25_search": q142_bm25_search,
@@ -3072,6 +3184,7 @@ ORACLE_SQL = {
     "q145_ivfpq_residual": _Q145_SQL,
     "q146_pq_index_cdf_sync": _Q146_SQL,
     "q147_pretrain_funnel_full": _Q147_SQL,
+    "q148_text_index_cdf_sync": _Q148_SQL,
     "q140_index_cdf_sync": _Q140_SQL,
     "q141_persistent_pq_index": _Q141_SQL,
     "q142_bm25_search": _Q142_SQL,

@@ -1284,6 +1284,105 @@ def test_bm25_single_scan_summary_and_fallback_parity(spark):
     ]
 
 
+def test_persistent_text_index_matches_adhoc_and_mutates_safely(spark, docs, tmp_path):
+    """The persistent BM25 inverted index: (a) a fresh index serves
+    EXACTLY bm25_topk's ranking (shared scoring tail); (b) replaying an
+    update is a no-op (known-id skip); (c) GDPR delete makes scores
+    equal a recompute over the survivors (df_t/N/avgdl ghost-free, the
+    crash-ordering contract) and a re-append restores the original
+    ranking; (d) duplicate posting rows — what an at-least-once update
+    replay leaves after a torn append — are absorbed exactly by the
+    query-side max(tf)."""
+    from delta_lake_spark import read_delta, write_delta
+    from delta_lake_spark.operators.text import (
+        _text_index_tables,
+        bm25_topk,
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+        update_text_index,
+    )
+
+    d = docs.select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [(1, "hash join merge"), (2, "stream window agg")],
+        "query_id long, qtext string",
+    )
+    idx = str(tmp_path / "txt_idx")
+    build_text_index(d, "text", "doc_id", idx)
+    served = sorted(map(tuple, query_text_index(queries, idx, k=10).collect()))
+    adhoc = sorted(
+        map(tuple, bm25_topk(d, queries, "text", "doc_id", k=10).collect())
+    )
+    assert served == adhoc and len(served) == 20
+
+    update_text_index(d, "text", "doc_id", idx)  # replay: no-op
+    assert sorted(
+        map(tuple, query_text_index(queries, idx, k=10).collect())
+    ) == served
+
+    victim = served[0][1]
+    delete_from_text_index(
+        spark.createDataFrame([(int(victim),)], "doc_id long"), idx
+    )
+    survivors = d.filter(F.col("doc_id") != victim)
+    after = sorted(map(tuple, query_text_index(queries, idx, k=10).collect()))
+    assert after == sorted(
+        map(
+            tuple,
+            bm25_topk(survivors, queries, "text", "doc_id", k=10).collect(),
+        )
+    )
+    update_text_index(
+        d.filter(F.col("doc_id") == victim), "text", "doc_id", idx
+    )
+    assert sorted(
+        map(tuple, query_text_index(queries, idx, k=10).collect())
+    ) == served
+
+    # duplicate posting rows absorbed exactly
+    t_postings, _ = _text_index_tables(idx)
+    write_delta(read_delta(spark, t_postings).limit(50), t_postings, mode="append")
+    assert sorted(
+        map(tuple, query_text_index(queries, idx, k=10).collect())
+    ) == served
+
+    # empty queries produce a typed empty result
+    empty_q = spark.createDataFrame([], "query_id long, qtext string")
+    e = query_text_index(empty_q, idx, k=3)
+    assert e.count() == 0
+    assert [f.name for f in e.schema.fields] == [
+        "query_id", "doc_id", "rank", "score",
+    ]
+
+
+def test_text_index_postings_scan_prunes_by_term(spark, docs, tmp_path):
+    """The postings table is term-sorted at write, so a query's term
+    filter must reach the scan as pushed predicates (file min/max
+    skipping does the rest at scale); the scan must read only the
+    postings columns, never document text."""
+    import re
+
+    from delta_lake_spark.operators.text import (
+        build_text_index,
+        query_text_index,
+    )
+
+    idx = str(tmp_path / "txt_idx_scan")
+    build_text_index(docs.select("doc_id", "text"), "text", "doc_id", idx)
+    queries = spark.createDataFrame(
+        [(1, "hash join")], "query_id long, qtext string"
+    )
+    plan = (
+        query_text_index(queries, idx, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(term" in plan.replace("\n", ""), plan
+    assert "text" not in re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
+
+
 def test_resolve_clusters_driver_equals_distributed(spark):
     """The size-gated driver union-find branch of
     resolve_duplicate_clusters must produce EXACTLY the distributed

@@ -1359,6 +1359,7 @@ def query_text_index(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "qtext",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """BM25 top-k served FROM the stored index: the corpus text is
     never touched — candidates come from the postings table pruned to
@@ -1371,6 +1372,16 @@ def query_text_index(
     update replays are absorbed by max(tf) over identical rows. The
     scoring tail is SHARED with bm25_topk (_bm25_score_tail), so served
     rankings provably cannot drift from ad-hoc ones (pytest-pinned).
+
+    ``max_df_frac`` is the stop-term guard (the hot-shingle analogue
+    from the LSH index): a stopword query term matches ~every document,
+    so its posting pull is corpus-sized; when set, terms whose stored
+    document frequency exceeds ``max_df_frac * N`` are DROPPED before
+    the candidate pull (a bounded |terms|-row probe against the pruned
+    postings scan). BM25's idf already scores such terms near zero, so
+    the ranking loss is tiny while the candidate volume bound is the
+    difference between a selective pull and a corpus scan per stop
+    term. Default None = exact (what the q148 oracle replays).
 
     Returns: query_id_col, id_col, rank (1..k), score (double, 6 dp)."""
     from ..reader import read_delta
@@ -1387,7 +1398,8 @@ def query_text_index(
         r["__term"] for r in qterms.select("__term").distinct().collect()
     )
     lengths = read_delta(spark, t_lengths)
-    if not terms:
+
+    def _typed_empty() -> DataFrame:
         from pyspark.sql.types import (
             DoubleType,
             IntegerType,
@@ -1408,6 +1420,25 @@ def query_text_index(
                 ]
             ),
         )
+
+    if not terms:
+        return _typed_empty()
+    if max_df_frac is not None:
+        # stop-term probe: |terms| rows collect, bounded by the query
+        # contract; dup posting rows inflate a df estimate only UP, so
+        # a dropped term is at worst dropped slightly early
+        n_docs = lengths.count()
+        df_rows = (
+            read_delta(spark, t_postings)
+            .filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+            .collect()
+        )
+        cap = max_df_frac * n_docs
+        terms = sorted(r["term"] for r in df_rows if r["__df"] <= cap)
+        if not terms:
+            return _typed_empty()
     cand = (
         read_delta(spark, t_postings)
         .filter(F.col("term").isin(terms))

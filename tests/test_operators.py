@@ -1356,6 +1356,44 @@ def test_persistent_text_index_matches_adhoc_and_mutates_safely(spark, docs, tmp
     ]
 
 
+def test_text_index_stop_term_guard_drops_corpus_wide_terms(spark, tmp_path):
+    """max_df_frac (the LSH hot-shingle analogue): a term present in
+    ~every document is dropped before the candidate pull, so a stopword
+    query can't pull a corpus-sized posting set; selective terms keep
+    ranking, and an all-stopword query returns a typed empty result."""
+    from delta_lake_spark.operators.text import (
+        build_text_index,
+        query_text_index,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"the common word{'x' if i % 2 else ''} tail{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "stop_idx")
+    build_text_index(d, "text", "doc_id", idx)
+    # 'the'/'common' are in every doc; 'wordx' in half
+    guarded = query_text_index(
+        spark.createDataFrame([(1, "the wordx")], "query_id long, qtext string"),
+        idx, k=5, max_df_frac=0.9,
+    ).collect()
+    assert len(guarded) == 5
+    # scores must equal a query for the surviving term alone
+    alone = query_text_index(
+        spark.createDataFrame([(1, "wordx")], "query_id long, qtext string"),
+        idx, k=5,
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, alone))
+    all_stop = query_text_index(
+        spark.createDataFrame([(1, "the common")], "query_id long, qtext string"),
+        idx, k=5, max_df_frac=0.9,
+    )
+    assert all_stop.count() == 0
+    assert [f.name for f in all_stop.schema.fields] == [
+        "query_id", "doc_id", "rank", "score",
+    ]
+
+
 def test_text_index_postings_scan_prunes_by_term(spark, docs, tmp_path):
     """The postings table is term-sorted at write, so a query's term
     filter must reach the scan as pushed predicates (file min/max

@@ -625,6 +625,29 @@ def test_q137_funnel_composition_no_cartesian(spark):
         hits.unpersist()
 
 
+def test_q145_residual_ivfpq_same_shuffle_discipline(spark):
+    """Residual IVFPQ keeps q139's plan shape: candidate generation is
+    a broadcast HASH join on cell_id, the per-probe ADC maps ride the
+    broadcast probe relation (|Q| * nprobe rows), and the only
+    exchanges are the quantizer builds and the top-k windows' scalar
+    shuffles — residual encoding must not introduce a cartesian or a
+    corpus-sized nested loop."""
+    import re
+
+    from delta_lake_spark.queries.llm import q145_ivfpq_residual
+
+    plan = _plan(q145_ivfpq_residual(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin \[cell_id", plan), plan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert shuffles, plan
+    for cols in shuffles:
+        assert cols.strip().startswith(
+            ("query_id", "code", "cell", "_groupingexpression")
+        ), shuffles
+    assert "WindowGroupLimit" in plan
+
+
 def test_q147_full_funnel_composition_no_cartesian(spark):
     """The full CCNet-shaped funnel (q137 + LM filter + semantic
     decontamination) must keep q137's shuffle discipline end to end:

@@ -3070,6 +3070,29 @@ SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
 _Q146_SQL = _gen_q146_sql()
 
 
+def q149_persistent_residual_index(spark, sf_dir):
+    """Residual-encoded persistent IVFPQ index served end to end:
+    build with residual=True (convention pinned as a table property),
+    query from the stored codes. A fresh index provably serves
+    ivfpq_topk(residual=True)'s exact output (shared encode kernel +
+    scoring tail), so the oracle IS q145's SQL — the driver's value
+    check covers the whole build->encode->store->serve loop."""
+    from ..operators.similarity import build_pq_index, query_pq_index
+    from ..queries.delta_ops import _fresh
+
+    emb = _emb(spark, sf_dir)
+    idx = _fresh("residual_pq_index")
+    build_pq_index(
+        emb, idx, n_cells=16, m=4, k_codes=16, dim=64, residual=True
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = query_pq_index(queries, emb, idx, k=10, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q137_pretrain_funnel": q137_pretrain_funnel,
@@ -3079,6 +3102,7 @@ QUERIES = {
     "q146_pq_index_cdf_sync": q146_pq_index_cdf_sync,
     "q147_pretrain_funnel_full": q147_pretrain_funnel_full,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
+    "q149_persistent_residual_index": q149_persistent_residual_index,
     "q140_index_cdf_sync": q140_index_cdf_sync,
     "q141_persistent_pq_index": q141_persistent_pq_index,
     "q142_bm25_search": q142_bm25_search,
@@ -3185,6 +3209,7 @@ ORACLE_SQL = {
     "q146_pq_index_cdf_sync": _Q146_SQL,
     "q147_pretrain_funnel_full": _Q147_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
+    "q149_persistent_residual_index": _Q145_SQL,
     "q140_index_cdf_sync": _Q140_SQL,
     "q141_persistent_pq_index": _Q141_SQL,
     "q142_bm25_search": _Q142_SQL,

@@ -1,0 +1,111 @@
+"""Hybrid retrieval: lexical (BM25) and dense (embedding cosine)
+rankings fused with Reciprocal Rank Fusion — the standard production
+search composition (RRF: Cormack, Clarke & Buettcher, SIGIR 2009; the
+default hybrid mode of mainstream search engines). Pure composition of
+existing scale-audited operators plus one rank-arithmetic join, so an
+ANSI-SQL oracle replicates it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    query_vec_col: str = "qvec",
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Top-k documents per query by Reciprocal Rank Fusion of a BM25
+    ranking over ``docs`` and an exact cosine ranking over
+    ``embeddings`` (keyed by the same document ids):
+
+        rrf(d) = sum over rankings r containing d of 1 / (rrf_k + rank_r(d))
+
+    Fusion consumes RANKS only — both underlying rankings are already
+    deterministic (1e-6/tie-broken), so the fused score is a sum of
+    exact rationals over small integers and replicates bit-for-bit in
+    any engine; final ties break on ascending doc id.
+
+    100 TB design: nothing new — the lexical side is bm25_topk's plan
+    (broadcast query terms, postings-only shuffles), the dense side is
+    cosine_topk's (broadcast query vectors, scalar top-k shuffle), and
+    the fusion is a FULL OUTER join of two k_each-row-per-query
+    relations (bounded by |Q| * k_each, broadcastable) followed by one
+    top-k window. For corpus-scale serving swap the sides for their
+    persistent-index twins (query_text_index / query_pq_index) — the
+    fusion contract is identical because it only reads ranks.
+
+    Returns: query_id_col, id_col, rank (1..k), rrf_score (double,
+    1e-9-rounded), lex_rank, dense_rank (ints, NULL when the side did
+    not retrieve the doc).
+    """
+    from .similarity import cosine_topk
+    from .text import bm25_topk
+
+    lex = bm25_topk(
+        docs,
+        queries,
+        text_col,
+        id_col,
+        k=k_each,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("rank").alias("lex_rank"),
+    )
+    dense = cosine_topk(
+        embeddings,
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias(vec_col)
+        ),
+        k=k_each,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=False,
+    ).select(
+        F.col("query_id").alias(query_id_col),
+        F.col("neighbor_id").alias(id_col),
+        F.col("rank").alias("dense_rank"),
+    )
+    fused = lex.join(dense, [query_id_col, id_col], "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        9,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.select(
+            query_id_col,
+            id_col,
+            rrf.alias("rrf_score"),
+            "lex_rank",
+            "dense_rank",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "rank", "rrf_score", "lex_rank", "dense_rank"
+        )
+    )

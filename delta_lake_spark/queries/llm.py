@@ -2123,6 +2123,133 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score FROM (
 """
 
 
+def q150_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 over document text fused with exact
+    embedding-cosine ranking (doc ids == vector ids) via Reciprocal
+    Rank Fusion — the production search composition. Fusion reads only
+    the two deterministic RANK columns, so the oracle replicates the
+    fused scores bit-for-bit."""
+    from ..operators.retrieval import hybrid_search_rrf
+
+    emb = _emb(spark, sf_dir)
+    texts = spark.createDataFrame(
+        [
+            (0, "hash join merge"),
+            (1, "stream window agg"),
+            (2, "vector scan filter"),
+        ],
+        "query_id long, qtext string",
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        .join(texts, "query_id")
+    )
+    out = hybrid_search_rrf(
+        _docs(spark, sf_dir), emb, queries, k=10, k_each=20
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "rrf_score",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("dense_rank").cast("long").alias("dense_rank"),
+    )
+
+
+_Q150_SQL = r"""
+WITH q AS (
+  SELECT * FROM (VALUES
+    (0, 'hash join merge'),
+    (1, 'stream window agg'),
+    (2, 'vector scan filter')
+  ) AS t(query_id, qtext)
+),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term
+  FROM q
+),
+term_set AS (SELECT DISTINCT term FROM qterms),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(len(string_split_regex(lower(COALESCE(text, '')), '\s+'))
+             AS DOUBLE)) AS avgdl
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(COALESCE(text, '')), '\s+'))
+           AS DOUBLE) AS dl,
+         unnest(string_split_regex(lower(COALESCE(text, '')), '\s+')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks JOIN term_set USING (term)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY term
+),
+weights AS (
+  SELECT p.doc_id, p.term,
+    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+      * (p.tf * 2.2)
+      / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
+  FROM postings p JOIN dfreq f USING (term), stats s
+),
+lex_scored AS (
+  SELECT qt.query_id, w.doc_id, ROUND(SUM(w.w), 6) AS score
+  FROM weights w JOIN qterms qt USING (term)
+  GROUP BY qt.query_id, w.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT query_id, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS lex_rank
+    FROM lex_scored
+  ) WHERE lex_rank <= 20
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS qvec FROM v WHERE vec_id < 3),
+dense AS (
+  SELECT query_id, doc_id, dense_rank FROM (
+    SELECT qv.query_id, n.vec_id AS doc_id,
+      ROW_NUMBER() OVER (PARTITION BY qv.query_id
+        ORDER BY list_dot_product(qv.qvec, n.v) /
+          (sqrt(list_dot_product(qv.qvec, qv.qvec)) *
+           sqrt(list_dot_product(n.v, n.v))) DESC,
+        n.vec_id ASC) AS dense_rank
+    FROM qv, v n
+  ) WHERE dense_rank <= 20
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+             + COALESCE(1.0 / (60 + d.dense_rank), 0), 9) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rank, rrf_score,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank
+FROM (
+  SELECT query_id, doc_id, rrf_score, lex_rank, dense_rank,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
 def q133_gopher_quality_filter(spark, sf_dir):
     from ..operators.text import gopher_quality_filter
 
@@ -3103,6 +3230,7 @@ QUERIES = {
     "q147_pretrain_funnel_full": q147_pretrain_funnel_full,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
+    "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
     "q140_index_cdf_sync": q140_index_cdf_sync,
     "q141_persistent_pq_index": q141_persistent_pq_index,
     "q142_bm25_search": q142_bm25_search,
@@ -3210,6 +3338,7 @@ ORACLE_SQL = {
     "q147_pretrain_funnel_full": _Q147_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
+    "q150_hybrid_search_rrf": _Q150_SQL,
     "q140_index_cdf_sync": _Q140_SQL,
     "q141_persistent_pq_index": _Q141_SQL,
     "q142_bm25_search": _Q142_SQL,

@@ -1421,6 +1421,47 @@ def test_text_index_postings_scan_prunes_by_term(spark, docs, tmp_path):
     assert "text" not in re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
 
 
+def test_hybrid_search_rrf_fusion_semantics(spark):
+    """RRF fusion: a document retrieved by BOTH rankings outscores one
+    retrieved by a single side at the same rank (1/(60+r) sums), fused
+    scores are the exact rank arithmetic, and a doc missing from one
+    side carries a NULL rank there."""
+    from delta_lake_spark.operators.retrieval import hybrid_search_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "durian fig"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(7, "apple banana", [1.0, 0.05])],
+        "query_id long, qtext string, qvec array<double>",
+    )
+    rows = {
+        r.doc_id: r
+        for r in hybrid_search_rrf(docs, emb, queries, k=3, k_each=3).collect()
+    }
+    # doc 1 matches both terms AND is the closest vector -> both sides
+    assert rows[1].lex_rank == 1 and rows[1].dense_rank == 1
+    assert rows[1].rank == 1
+    assert abs(rows[1].rrf_score - round(2 / 61, 9)) < 1e-12
+    # doc 3 shares no query term: lexical side NULL, dense side ranked
+    assert rows[3].lex_rank is None and rows[3].dense_rank is not None
+    # fused ordering: both-sides doc 1 > single-side docs
+    assert rows[1].rrf_score > rows[3].rrf_score
+
+
 def test_resolve_clusters_driver_equals_distributed(spark):
     """The size-gated driver union-find branch of
     resolve_duplicate_clusters must produce EXACTLY the distributed

@@ -82,6 +82,20 @@ def hybrid_search_rrf(
         F.col("neighbor_id").alias(id_col),
         F.col("rank").alias("dense_rank"),
     )
+    return _rrf_fuse(lex, dense, query_id_col, id_col, k, rrf_k)
+
+
+def _rrf_fuse(
+    lex: DataFrame,
+    dense: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+    rrf_k: int,
+) -> DataFrame:
+    """Fuse a (query, doc, lex_rank) and a (query, doc, dense_rank)
+    relation by RRF — shared by the ad-hoc and the served-from-indexes
+    hybrids so the fusion arithmetic can never drift."""
     fused = lex.join(dense, [query_id_col, id_col], "full_outer")
     rrf = F.round(
         F.coalesce(
@@ -109,3 +123,65 @@ def hybrid_search_rrf(
             query_id_col, id_col, "rank", "rrf_score", "lex_rank", "dense_rank"
         )
     )
+
+
+def hybrid_search_rrf_from_indexes(
+    queries: DataFrame,
+    text_index_path: str,
+    pq_index_path: str,
+    vectors: DataFrame,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    query_vec_col: str = "qvec",
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The corpus-scale serving twin of ``hybrid_search_rrf``: the
+    lexical side reads the persistent inverted index (stored postings,
+    never the text) and the dense side reads the persistent IVFPQ index
+    (stored m-byte codes, float vectors only for the rerank shortlist).
+    The fusion is the SAME rank arithmetic (``_rrf_fuse``), so at any
+    scale the hybrid contract is unchanged — only where the rankings
+    come from differs. The dense side is ANN (probed cells), so it is
+    the production approximation of the exact hybrid, deterministic for
+    a given index state.
+
+    Returns: query_id_col, id_col, rank, rrf_score, lex_rank,
+    dense_rank."""
+    from .similarity import query_pq_index
+    from .text import query_text_index
+
+    lex = query_text_index(
+        queries,
+        text_index_path,
+        k=k_each,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("rank").alias("lex_rank"),
+    )
+    dense = query_pq_index(
+        queries.select(
+            F.col(query_id_col).alias(vec_id_col),
+            F.col(query_vec_col).alias(vec_col),
+        ),
+        vectors,
+        pq_index_path,
+        k=k_each,
+        nprobe=nprobe,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    ).select(
+        F.col("query_id").alias(query_id_col),
+        F.col("neighbor_id").alias(id_col),
+        F.col("rank").alias("dense_rank"),
+    )
+    return _rrf_fuse(lex, dense, query_id_col, id_col, k, rrf_k)

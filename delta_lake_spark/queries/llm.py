@@ -2250,6 +2250,91 @@ FROM (
 """
 
 
+def q151_hybrid_from_indexes(spark, sf_dir):
+    """The corpus-scale hybrid serving path end to end: BOTH persistent
+    indexes built fresh (inverted postings + IVFPQ codes), queries
+    served from stored state only, rankings fused by the same RRF
+    arithmetic as q150. The oracle composes the q142-style lexical
+    replica with the q139 IVFPQ replica (nested WITH, k_each=20) and
+    fuses their ranks — value-checking the whole
+    build->store->serve->fuse loop."""
+    from ..operators.retrieval import hybrid_search_rrf_from_indexes
+    from ..operators.similarity import build_pq_index
+    from ..operators.text import build_text_index
+    from ..queries.delta_ops import _fresh
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = _emb(spark, sf_dir)
+    t_idx = _fresh("hybrid_txt_index")
+    build_text_index(docs, "text", "doc_id", t_idx)
+    p_idx = _fresh("hybrid_pq_index")
+    build_pq_index(emb, p_idx, n_cells=16, m=4, k_codes=16, dim=64)
+
+    texts = spark.createDataFrame(
+        [
+            (0, "hash join merge"),
+            (1, "stream window agg"),
+            (2, "vector scan filter"),
+        ],
+        "query_id long, qtext string",
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        .join(texts, "query_id")
+    )
+    out = hybrid_search_rrf_from_indexes(
+        queries, t_idx, p_idx, emb, k=10, k_each=20, nprobe=4
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "rrf_score",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("dense_rank").cast("long").alias("dense_rank"),
+    )
+
+
+def _gen_q151_sql() -> str:
+    """q150's lexical CTEs + the q139 IVFPQ replica (nested WITH,
+    k_each=20, query vectors vec_id < 3) + the shared RRF fusion."""
+    lex_part = _Q150_SQL.split("\nv AS (SELECT vec_id")[0]
+    dense_inner = _gen_q139_sql(k=20, q_pred="vec_id < 3")
+    return (
+        lex_part
+        + """
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id, rank AS dense_rank
+  FROM ("""
+        + dense_inner
+        + """)
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+             + COALESCE(1.0 / (60 + d.dense_rank), 0), 9) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rank, rrf_score,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank
+FROM (
+  SELECT query_id, doc_id, rrf_score, lex_rank, dense_rank,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+    )
+
+
 def q133_gopher_quality_filter(spark, sf_dir):
     from ..operators.text import gopher_quality_filter
 
@@ -2779,10 +2864,13 @@ def _gen_q139_sql(
     rerank: int = 4,
     n_cells: int = 16,
     nprobe: int = 4,
+    q_pred: str = "vec_id < 5",
 ) -> str:
     """DuckDB replica of ivfpq_topk: q138's codebook/encode/ADC/rerank
     arithmetic plus the coarse-cell assignment and nprobe routing, with
-    the probe constraint applied to the ADC candidate join."""
+    the probe constraint applied to the ADC candidate join.
+    ``q_pred`` selects the query vectors (q151 reuses the generator
+    with a different batch)."""
     subdim = dim // m
 
     def d2(a, b):
@@ -2828,7 +2916,7 @@ codes AS (
     FROM vsub vs JOIN cent c ON c.s = vs.s
   ) WHERE r = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE {q_pred}),
 probes AS (
   SELECT query_id, cell FROM (
     SELECT q.query_id, c.cell,
@@ -2880,6 +2968,8 @@ SELECT query_id, neighbor_id, rank, ROUND(dist, 6) AS dist FROM (
 
 
 _Q139_SQL = _gen_q139_sql()
+# deferred until here: composes _Q150_SQL with _gen_q139_sql
+_Q151_SQL = _gen_q151_sql()
 
 
 def q145_ivfpq_residual(spark, sf_dir):
@@ -3231,6 +3321,7 @@ QUERIES = {
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
     "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
+    "q151_hybrid_from_indexes": q151_hybrid_from_indexes,
     "q140_index_cdf_sync": q140_index_cdf_sync,
     "q141_persistent_pq_index": q141_persistent_pq_index,
     "q142_bm25_search": q142_bm25_search,
@@ -3339,6 +3430,7 @@ ORACLE_SQL = {
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
     "q150_hybrid_search_rrf": _Q150_SQL,
+    "q151_hybrid_from_indexes": _Q151_SQL,
     "q140_index_cdf_sync": _Q140_SQL,
     "q141_persistent_pq_index": _Q141_SQL,
     "q142_bm25_search": _Q142_SQL,

@@ -819,6 +819,116 @@ SELECT doc_id + 200000 AS doc_id, source FROM documents
 """
 
 
+def q152_streaming_indexed_corpus(spark, sf_dir):
+    """Streaming ingestion with trailing index maintenance: two
+    document batches drain through the indexed-append sink (idempotent
+    corpus appends + CDF-driven inverted-index sync per epoch), then
+    BM25 top-k is served FROM the stored postings. The oracle recomputes
+    BM25 over the final corpus, value-checking the whole
+    stream -> corpus -> index -> serve loop."""
+    import os as _os
+
+    from ..operators.text import query_text_index
+    from ..streaming.incremental import stream_corpus_with_text_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = _fresh("sti_src")
+    _os.makedirs(src, exist_ok=True)
+    staging = _fresh("sti_stage")
+    batches = [
+        docs,
+        docs.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" novel")).alias("text"),
+        ),
+    ]
+    for i, b in enumerate(batches):
+        d = f"{staging}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        part = next(f for f in _os.listdir(d) if f.endswith(".parquet"))
+        _os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+
+    idx = _fresh("sti_index")
+    stream_corpus_with_text_index(
+        spark,
+        src,
+        _fresh("sti_corpus"),
+        idx,
+        _fresh("sti_ckpt"),
+        schema="doc_id long, text string",
+        txn_app_id="q152",
+    )
+    queries = spark.createDataFrame(
+        [(1, "hash join merge"), (2, "novel stream window")],
+        "query_id long, qtext string",
+    )
+    return query_text_index(queries, idx, k=10).select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
+_Q152_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' novel' AS text FROM documents
+),
+q AS (
+  SELECT * FROM (VALUES
+    (1, 'hash join merge'),
+    (2, 'novel stream window')
+  ) AS t(query_id, qtext)
+),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term
+  FROM q
+),
+term_set AS (SELECT DISTINCT term FROM qterms),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(len(string_split_regex(lower(COALESCE(text, '')), '\s+'))
+             AS DOUBLE)) AS avgdl
+  FROM corpus
+),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(COALESCE(text, '')), '\s+'))
+           AS DOUBLE) AS dl,
+         unnest(string_split_regex(lower(COALESCE(text, '')), '\s+')) AS term
+  FROM corpus
+),
+postings AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks JOIN term_set USING (term)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY term
+),
+weights AS (
+  SELECT p.doc_id, p.term,
+    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+      * (p.tf * 2.2)
+      / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
+  FROM postings p JOIN dfreq f USING (term), stats s
+),
+scored AS (
+  SELECT qt.query_id, w.doc_id, ROUND(SUM(w.w), 6) AS score
+  FROM weights w JOIN qterms qt USING (term)
+  GROUP BY qt.query_id, w.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q79_stream_stream_join(spark, sf_dir):
     """Genuine stream-stream interval join (two streaming sources,
     watermark-bounded state, append mode): views paired with the same
@@ -1293,6 +1403,7 @@ QUERIES = {
     "q79_stream_stream_join": q79_stream_stream_join,
     "q117_stream_outer_join": q117_stream_outer_join,
     "q126_streaming_corpus_dedup": q126_streaming_corpus_dedup,
+    "q152_streaming_indexed_corpus": q152_streaming_indexed_corpus,
     "q80_streaming_merge_upsert": q80_streaming_merge_upsert,
     "q84_partitioned_write_pruned_read": q84_partitioned_write_pruned_read,
     "q85_generated_partition_pruning": q85_generated_partition_pruning,
@@ -1329,6 +1440,7 @@ ORACLE_SQL = {
     "q79_stream_stream_join": _Q79_SQL,
     "q117_stream_outer_join": _Q117_SQL,
     "q126_streaming_corpus_dedup": _Q126_SQL,
+    "q152_streaming_indexed_corpus": _Q152_SQL,
     "q80_streaming_merge_upsert": _Q80_SQL,
     "q84_partitioned_write_pruned_read": _Q84_SQL,
     "q85_generated_partition_pruning": _Q85_SQL,

@@ -704,3 +704,100 @@ def stream_dedup_into_corpus(
     )
     q.awaitTermination(timeout_sec)
     return read_delta(spark, table_path)
+
+
+def stream_corpus_with_text_index(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    txn_app_id: str = "dls_corpus_text_index",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming corpus ingestion that stays SEARCHABLE as it lands:
+    each micro-batch appends idempotently to the versioned corpus (the
+    (txnAppId, epoch) pattern — crash-retried batches never re-insert)
+    and then drives ``sync_text_index_from_cdf``, so the persistent
+    BM25 inverted index trails the corpus by at most one commit. Both
+    halves are independently replay-safe (epoch-tagged appends;
+    version-pinned sync whose delete/re-index steps are idempotent), so
+    the composition is too — a crash at ANY point replays into the same
+    final corpus + index state.
+
+    At scale this is the arrival loop of a production retrieval corpus:
+    ingestion cost is the batch append, index maintenance cost is the
+    batch's own postings (table_changes-bounded), and query batches hit
+    ``query_text_index`` with zero corpus re-tokenization.
+
+    The corpus table must exist with the change feed readable from v0
+    (our tables always are) and the index is built lazily on the first
+    batch. Returns the final corpus DataFrame."""
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..operators.text import build_text_index, sync_text_index_from_cdf
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    def _write_batch(batch_df, epoch_id: int) -> None:
+        log = DeltaLog(table_path)
+        replayed = False
+        try:
+            if log.exists():
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        replayed = True
+                        break
+        except TableNotFoundError:
+            pass
+        if not replayed:
+            write_delta(
+                batch_df,
+                table_path,
+                mode="append",
+                operation="STREAMING INDEXED APPEND",
+                operation_parameters={
+                    "txnAppId": txn_app_id,
+                    "txnVersion": epoch_id,
+                    "outputMode": "Append",
+                },
+            )
+        # index maintenance: build on first sight, then CDF-sync — the
+        # sync is a no-op when the pin already covers the corpus head,
+        # so replays cost one version compare
+        postings_log = DeltaLog(f"{index_path}/postings")
+        try:
+            index_exists = postings_log.exists()
+        except TableNotFoundError:
+            index_exists = False
+        if not index_exists:
+            build_text_index(
+                read_delta(spark, table_path),
+                text_col,
+                id_col,
+                index_path,
+                corpus_version=DeltaLog(table_path).latest_version(),
+            )
+        else:
+            sync_text_index_from_cdf(
+                spark, table_path, index_path, text_col, id_col
+            )
+
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(source_dir)
+    q = (
+        src.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return read_delta(spark, table_path)

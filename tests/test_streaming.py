@@ -606,3 +606,66 @@ def test_stream_dedup_into_corpus_crash_restart(spark, tmp_path):
         == "dls_corpus_dedup"
     ]
     assert sorted(v for v in ops if v is not None) == [0, 1, 2]
+
+
+def test_stream_corpus_with_text_index_stays_searchable(spark, tmp_path):
+    """Streaming indexed ingestion: after the drain the inverted index
+    holds EXACTLY the corpus ids (the CDF sync trailed every batch),
+    served BM25 equals an ad-hoc recompute over the final corpus, and
+    re-draining the same checkpoint changes nothing."""
+    import os
+
+    from delta_lake_spark import read_delta
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.operators.text import (
+        _text_index_tables,
+        bm25_topk,
+        query_text_index,
+    )
+    from delta_lake_spark.streaming.incremental import (
+        stream_corpus_with_text_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    batches = [
+        docs,
+        docs.selectExpr("doc_id + 5000 AS doc_id", "text || ' novel' AS text"),
+    ]
+    for i, b in enumerate(batches):
+        d = f"{stage}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+
+    table = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    out = stream_corpus_with_text_index(
+        spark, src, table, idx, ckpt, schema="doc_id long, text string"
+    )
+    corpus_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    _, t_lengths = _text_index_tables(idx)
+    index_ids = {
+        r.doc_id for r in read_delta(spark, t_lengths).select("doc_id").collect()
+    }
+    assert index_ids == corpus_ids and len(corpus_ids) == 2 * docs.count()
+
+    queries = spark.createDataFrame(
+        [(1, "hash join"), (2, "novel stream")], "query_id long, qtext string"
+    )
+    served = sorted(map(tuple, query_text_index(queries, idx, k=10).collect()))
+    adhoc = sorted(
+        map(tuple, bm25_topk(out, queries, "text", "doc_id", k=10).collect())
+    )
+    assert served == adhoc and len(served) == 20
+
+    v_before = DeltaLog(table).latest_version()
+    stream_corpus_with_text_index(
+        spark, src, table, idx, ckpt, schema="doc_id long, text string"
+    )
+    assert DeltaLog(table).latest_version() == v_before  # drained: no-op

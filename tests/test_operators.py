@@ -2110,6 +2110,18 @@ def test_query_pq_index_adaptive_multiprobe_fills_shortlist(spark, tmp_path):
     full_a = query_pq_index(qs, vecs, idx, k=5, nprobe=8, adaptive=True).collect()
     assert sorted(map(tuple, full_f)) == sorted(map(tuple, full_a))
 
+    # the adaptive extension composes with residual indexes (per-cell
+    # ADC maps ride the same probe relation)
+    ridx = str(tmp_path / "skew_res_idx")
+    build_pq_index(vecs, ridx, n_cells=8, m=4, k_codes=4, dim=16,
+                   residual=True)
+    r_fixed = query_pq_index(qs, vecs, ridx, k=5, nprobe=1).collect()
+    assert len(r_fixed) < 5
+    r_adapt = query_pq_index(
+        qs, vecs, ridx, k=5, nprobe=1, adaptive=True
+    ).collect()
+    assert len(r_adapt) == 5
+
 
 def test_sync_pq_index_from_cdf_tracks_mutations_idempotently(spark, emb, tmp_path):
     """PQ-index CDF sync (the ANN twin of the LSH index's q140 loop):

@@ -79,3 +79,59 @@ def test_pack_conservation_property(sp, counts):
         cum += n
     got = {r.bin_id: r.n_docs for r in out}
     assert got == expected_bins
+
+
+corpora = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs_tokens=corpora, del_mask=st.lists(st.booleans(), min_size=8, max_size=8))
+def test_text_index_equals_adhoc_under_mutations_property(
+    sp, tmp_path_factory, docs_tokens, del_mask
+):
+    """For ARBITRARY tiny corpora and arbitrary delete subsets, the
+    persistent inverted index serves exactly what ad-hoc BM25 computes
+    over the surviving documents — the liveness join, duplicate
+    absorption, and df/N/avgdl bookkeeping can't drift for any data
+    shape (not just the fixture)."""
+    from delta_lake_spark.operators.text import (
+        bm25_topk,
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    d = sp.createDataFrame(rows, "doc_id long, text string")
+    queries = sp.createDataFrame(
+        [(1, "alpha gamma"), (2, "eps beta")], "query_id long, qtext string"
+    )
+    idx = str(tmp_path_factory.mktemp("prop_txt_idx"))
+    build_text_index(d, "text", "doc_id", idx)
+
+    doomed_ids = [i for i in range(len(rows)) if del_mask[i % len(del_mask)]]
+    if doomed_ids:
+        delete_from_text_index(
+            sp.createDataFrame([(i,) for i in doomed_ids], "doc_id long"), idx
+        )
+    survivors = d.filter(~F.col("doc_id").isin(doomed_ids) if doomed_ids else F.lit(True))
+    served = sorted(map(tuple, query_text_index(queries, idx, k=5).collect()))
+    adhoc = sorted(
+        map(
+            tuple,
+            bm25_topk(survivors, queries, "text", "doc_id", k=5).collect(),
+        )
+    )
+    assert served == adhoc

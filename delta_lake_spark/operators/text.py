@@ -1360,6 +1360,7 @@ def query_text_index(
     query_id_col: str = "query_id",
     query_text_col: str = "qtext",
     max_df_frac: float | None = None,
+    max_literal_terms: int = 200_000,
 ) -> DataFrame:
     """BM25 top-k served FROM the stored index: the corpus text is
     never touched — candidates come from the postings table pruned to
@@ -1439,9 +1440,24 @@ def query_text_index(
         terms = sorted(r["term"] for r in df_rows if r["__df"] <= cap)
         if not terms:
             return _typed_empty()
+    post = read_delta(spark, t_postings)
+    if len(terms) <= max_literal_terms:
+        # literal IN-list: the predicate reaches the scan, so the
+        # build's term-sorted layout prunes files by min/max
+        post = post.filter(F.col("term").isin(terms))
+    else:
+        # degenerate vocab-sized query batch: a literal that size
+        # would bloat the plan — broadcast-join the term set instead
+        # (no file skipping, but the filter still precedes every
+        # aggregation)
+        post = post.join(
+            F.broadcast(
+                qterms.select(F.col("__term").alias("term")).distinct()
+            ),
+            "term",
+        )
     cand = (
-        read_delta(spark, t_postings)
-        .filter(F.col("term").isin(terms))
+        post
         # absorb duplicate posting rows from at-least-once update
         # replays (identical (term, doc, tf) rows -> max is exact)
         .groupBy("term", id_col)

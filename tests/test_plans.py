@@ -648,6 +648,18 @@ def test_q145_residual_ivfpq_same_shuffle_discipline(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_q150_hybrid_rrf_no_cartesian(spark):
+    """Hybrid RRF: the lexical side keeps BM25's broadcast discipline,
+    the dense side's only nested loop is the broadcast query-vector
+    relation (|Q| rows), and the fusion joins two bounded rank
+    relations — no cartesian anywhere."""
+    from delta_lake_spark.queries.llm import q150_hybrid_search_rrf
+
+    plan = _plan(q150_hybrid_search_rrf(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan  # the rank fusion join
+
+
 def test_q147_full_funnel_composition_no_cartesian(spark):
     """The full CCNet-shaped funnel (q137 + LM filter + semantic
     decontamination) must keep q137's shuffle discipline end to end:

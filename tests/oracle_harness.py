@@ -144,17 +144,22 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
+    import time as _time
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = _time.monotonic()
         try:
             df = fn(spark, sf_dir)
             if name not in oracles:
                 n = df.count()
-                print(f"  {name:40s} rows-only ({n} rows)")
+                dt = _time.monotonic() - t0
+                print(f"  {name:40s} rows-only ({n} rows) [{dt:.1f}s]")
                 continue
             ok, msg = compare(name, df, con, oracles[name])
-            print(f"{'✓' if ok else '✗'} {name:40s} {msg}")
+            dt = _time.monotonic() - t0
+            print(f"{'✓' if ok else '✗'} {name:40s} {msg} [{dt:.1f}s]")
             if not ok:
                 failed.append(name)
         except Exception as e:

@@ -247,3 +247,146 @@ def mixture_resample(
         .filter(F.col("__r2") <= F.col("__m"))
         .select(*df.columns)  # restore input column order (the quota
     )  # join moved domain_col first); matches the empty-input path
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step that
+    turns a curated corpus into training shards. Sequential ids (crawl
+    order, source order) carry topical/temporal runs that would make
+    consecutive training batches correlated; assigning each row to
+    ``shard_id = md5(seed||id) % n_shards`` and ordering within the
+    shard by the same hash yields a content-keyed permutation that is
+    stable across runs, cluster sizes, and partition layouts (the same
+    md5 device as ``deterministic_split``, so the DuckDB oracle replays
+    both the assignment and the within-shard order exactly; ties on the
+    8-hex prefix break on the id).
+
+    Scale shape: ONE hash exchange on ``shard_id`` — the exact shuffle
+    a sharded write needs anyway (follow with
+    ``.write.partitionBy(shard_col)`` and the exchange is reused) — then
+    a per-shard ``row_number`` window. Each window partition holds one
+    output shard, so choose ``n_shards`` for your target shard file
+    size (100 TB at ~250 MB/shard -> ~400k shards) and no task ever
+    materializes more than ~|corpus|/n_shards rows. No driver-side
+    state, no RNG.
+
+    Returns: the input columns plus ``shard_id`` (int) and ``pos``
+    (1-based position within the shard's serving order).
+    """
+    from pyspark.sql import Window
+
+    h = _bucket(F.col(id_col), seed)
+    staged = df.withColumn("__h", h).withColumn(
+        "shard_id",
+        F.pmod(F.conv(F.col("__h"), 16, 10).cast("long"), F.lit(n_shards))
+        .cast("int"),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        staged.withColumn("pos", F.row_number().over(w))
+        .select(*df.columns, "shard_id", "pos")
+    )
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+    n_bins: int = 1000,
+    seed: str = "budget-v1",
+) -> DataFrame:
+    """Best-first corpus selection under a token budget: keep documents
+    in descending-quality order until the budget is spent — "train on
+    the best B tokens" , the standard data-constrained curation step.
+
+    The selection order is ``(score bin DESC, md5(seed||id), id)`` with
+    bin = floor(score * n_bins): within a bin (score window < 1/n_bins)
+    documents are hash-ordered, which avoids id-order bias and — unlike
+    ordering on the raw score — makes the order coarse enough to
+    DISTRIBUTE. A document is kept iff its inclusive running token sum
+    in that order is <= budget (token counts are positive, so the
+    running sum is monotone and the kept set is a prefix).
+
+    Scale shape — the naive form is a GLOBAL ordered window (one task
+    sees the corpus), which is exactly what this implementation avoids:
+
+      1. per-bin token totals: one aggregation to <= n_bins+1 rows
+         (driver-bounded metadata, same contract as
+         ``mixture_resample``'s quota collect); the driver walks bins
+         best-first to find the boundary bin and its remaining budget —
+         bins above it are FULLY in (a map-only filter), bins below are
+         out;
+      2. only the boundary bin needs ordered accumulation, and that is
+         a two-level distributed prefix sum: rows range-partition on
+         their first two hash hex chars (256 contiguous ranges of the
+         hash order), per-range token sums (<= 256 rows) give each
+         range a driver-computed offset, and the running sum inside
+         each range is a bounded window + its range's offset.
+
+    No task ever windows more than ~|boundary bin|/256 rows, and the
+    boundary bin itself is ~|corpus|/n_bins under any non-degenerate
+    score distribution (a single-score corpus degenerates every row
+    into one bin — inherent to cutting inside one score class — but
+    still splits across the 256 hash ranges).
+
+    Returns: the input columns, boundary-prefix-selected; deterministic
+    and engine-portable (the oracle replays the flat running-sum form).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    s = df.withColumn(
+        "__b", F.floor(F.col(score_col) * F.lit(n_bins)).cast("int")
+    ).withColumn("__t", F.col(tokens_col).cast("long")).withColumn(
+        "__h", _bucket(F.col(id_col), seed)
+    )
+    bin_rows = sorted(
+        s.groupBy("__b").agg(F.sum("__t").alias("t")).collect(),
+        key=lambda r: -r["__b"],
+    )
+    acc = 0
+    boundary = None
+    remaining = 0
+    for r in bin_rows:
+        if acc + r["t"] <= budget:
+            acc += r["t"]
+        else:
+            boundary = r["__b"]
+            remaining = budget - acc
+            break
+    if boundary is None:  # everything fits
+        return df
+    # bins strictly above the boundary fit in full (empty when even the
+    # best bin overflowed); bins below are out by monotonicity
+    full = s.filter(F.col("__b") > F.lit(boundary))
+    if remaining <= 0:
+        return full.select(*df.columns)
+
+    bb = s.filter(F.col("__b") == F.lit(boundary)).withColumn(
+        "__s", F.substring(F.col("__h"), 1, 2)
+    )
+    range_rows = sorted(
+        bb.groupBy("__s").agg(F.sum("__t").alias("t")).collect(),
+        key=lambda r: r["__s"],
+    )
+    offsets, off = [], 0
+    for r in range_rows:
+        offsets.append((r["__s"], off))
+        off += r["t"]
+    odf = spark.createDataFrame(offsets, ["__s", "__off"])
+    w = Window.partitionBy("__s").orderBy("__h", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    picked = (
+        bb.join(F.broadcast(odf), "__s")
+        .withColumn("__run", F.sum("__t").over(w) + F.col("__off"))
+        .filter(F.col("__run") <= F.lit(remaining))
+    )
+    return full.select(*df.columns).unionByName(picked.select(*df.columns))

@@ -3310,8 +3310,95 @@ def q149_persistent_residual_index(spark, sf_dir):
     )
 
 
+def q153_shard_shuffle(spark, sf_dir):
+    """Deterministic training-shard assignment: every document lands in
+    md5(seed||id) % 16 with a hash-ordered position inside its shard —
+    the content-keyed global shuffle that precedes the sharded training
+    write. One exchange (the same one the write needs), per-shard
+    row_number windows; the oracle replays assignment AND order."""
+    from ..operators.sampling import shard_shuffle
+
+    out = shard_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_shards=16
+    )
+    return out.select("doc_id", "shard_id", "pos")
+
+
+_Q153_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id, hx,
+    CAST(CAST('0x' || hx AS BIGINT) % 16 AS INTEGER) AS shard_id
+  FROM h
+)
+SELECT doc_id, shard_id,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY shard_id ORDER BY hx, doc_id
+  ) AS INTEGER) AS pos
+FROM s
+"""
+
+
+def q154_token_budget_select(spark, sf_dir):
+    """Best-first selection under a token budget: quality-score every
+    document (q38's features), then keep documents in
+    (quality-bin DESC, content-hash) order until the running
+    whitespace-token sum exceeds the budget. The implementation never
+    globally sorts — per-bin totals place the cut, and only the
+    boundary bin runs a 256-way distributed prefix sum — while the
+    oracle replays the equivalent flat running-sum window."""
+    from ..operators.sampling import select_by_token_budget
+    from ..operators.text import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir), "text", "doc_id")
+    out = select_by_token_budget(
+        scored, "quality", "n_tokens", "doc_id", budget=15_000
+    )
+    return out.select(
+        "doc_id",
+        "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_Q154_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.3 + (n_uniq / n_tokens) * 0.4
+          + (alpha_chars / n_chars) * 0.3, 6) AS quality,
+    CAST(ROUND(n_tokens, 6) AS BIGINT) AS tok
+  FROM base
+),
+r AS (
+  SELECT doc_id, quality, tok,
+    SUM(tok) OVER (
+      ORDER BY CAST(FLOOR(quality * 1000) AS INTEGER) DESC,
+               substr(md5('budget-v1' || CAST(doc_id AS VARCHAR)), 1, 8),
+               doc_id
+      ROWS UNBOUNDED PRECEDING
+    ) AS run
+  FROM q
+)
+SELECT doc_id, quality, tok AS n_tokens FROM r WHERE run <= 15000
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
+    "q153_shard_shuffle": q153_shard_shuffle,
+    "q154_token_budget_select": q154_token_budget_select,
     "q137_pretrain_funnel": q137_pretrain_funnel,
     "q138_pq_topk": q138_pq_topk,
     "q139_ivfpq_topk": q139_ivfpq_topk,
@@ -3376,6 +3463,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q33_dedup_simhash": _Q33_SQL,
+    "q153_shard_shuffle": _Q153_SQL,
+    "q154_token_budget_select": _Q154_SQL,
     "q35_embedding_lsh_pairs": _Q35_SQL,
     "q36_embedding_ivf_topk": _Q36_SQL,
     "q43_frame_sample": _Q43_SQL,

@@ -2252,3 +2252,91 @@ def test_shingle_and_funnel_caches_are_session_scoped(spark, docs):
     dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
     assert not cache1.is_cached
     assert dedup._last_shingle_cache[s2].is_cached
+
+
+def test_shard_shuffle_partition_and_order(spark, docs):
+    """Every row lands in exactly one shard, positions are contiguous
+    1..n per shard, and the assignment is stable across partition
+    layouts (content-derived, not RNG)."""
+    from delta_lake_spark.operators.sampling import shard_shuffle
+
+    out = shard_shuffle(docs.select("doc_id"), "doc_id", n_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    per = {}
+    for r in rows:
+        assert 0 <= r.shard_id < 8
+        per.setdefault(r.shard_id, []).append(r.pos)
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    again = shard_shuffle(
+        docs.select("doc_id").repartition(13), "doc_id", n_shards=8
+    ).collect()
+    assert {(r.doc_id, r.shard_id, r.pos) for r in again} == {
+        (r.doc_id, r.shard_id, r.pos) for r in rows
+    }
+
+
+def test_shard_shuffle_single_exchange(spark, docs):
+    """The per-shard window is the ONLY exchange: the plan the sharded
+    write would reuse."""
+    from delta_lake_spark.operators.sampling import shard_shuffle
+
+    plan = shard_shuffle(
+        docs.select("doc_id"), "doc_id", n_shards=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def _flat_budget_select(rows, budget, n_bins=1000):
+    """Driver replica of the flat running-sum semantics."""
+    import hashlib
+    import math
+
+    def key(r):
+        h = hashlib.md5(f"budget-v1{r[0]}".encode()).hexdigest()[:8]
+        return (-math.floor(r[1] * n_bins), h, r[0])
+
+    keep, run = set(), 0
+    for rid, score, tok in sorted(rows, key=key):
+        run += tok
+        if run <= budget:
+            keep.add(rid)
+    return keep
+
+
+def test_token_budget_select_equals_flat_prefix(spark):
+    """The binned two-level selection must equal the flat running-sum
+    prefix in (bin DESC, md5, id) order — boundary cut included."""
+    from delta_lake_spark.operators.sampling import select_by_token_budget
+
+    rows = [(i, ((i * 37) % 100) / 100.0, 10 + (i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "score", "tok"])
+    for budget in (0, 500, 1997, 10**9):
+        got = {
+            r.id
+            for r in select_by_token_budget(
+                df, "score", "tok", "id", budget=budget
+            ).collect()
+        }
+        assert got == _flat_budget_select(rows, budget), budget
+
+
+def test_token_budget_select_degenerate_single_bin(spark):
+    """A constant-score corpus puts every row in the boundary bin; the
+    256-range prefix sum must still produce the exact hash-order
+    prefix."""
+    from delta_lake_spark.operators.sampling import select_by_token_budget
+
+    rows = [(i, 0.5, 5) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "score", "tok"])
+    got = {
+        r.id
+        for r in select_by_token_budget(
+            df, "score", "tok", "id", budget=1000
+        ).collect()
+    }
+    want = _flat_budget_select(rows, 1000)
+    assert got == want
+    assert len(got) == 200  # 1000 / 5 tokens each

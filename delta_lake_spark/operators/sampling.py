@@ -336,16 +336,27 @@ def select_by_token_budget(
     into one bin — inherent to cutting inside one score class — but
     still splits across the 256 hash ranges).
 
+    Rows with a NULL score or NULL token count are excluded up front —
+    they cannot be ordered or budgeted. Pass count: the corpus is
+    scanned three times (bin totals, boundary-range sums + selection,
+    full-bin filter), every pass a map-side scan with the bin predicate
+    pushed down; nothing data-sized is cached or collected.
+
     Returns: the input columns, boundary-prefix-selected; deterministic
     and engine-portable (the oracle replays the flat running-sum form).
     """
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    s = df.withColumn(
-        "__b", F.floor(F.col(score_col) * F.lit(n_bins)).cast("int")
-    ).withColumn("__t", F.col(tokens_col).cast("long")).withColumn(
-        "__h", _bucket(F.col(id_col), seed)
+    s = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(tokens_col).isNotNull()
+        )
+        .withColumn(
+            "__b", F.floor(F.col(score_col) * F.lit(n_bins)).cast("int")
+        )
+        .withColumn("__t", F.col(tokens_col).cast("long"))
+        .withColumn("__h", _bucket(F.col(id_col), seed))
     )
     bin_rows = sorted(
         s.groupBy("__b").agg(F.sum("__t").alias("t")).collect(),
@@ -361,8 +372,8 @@ def select_by_token_budget(
             boundary = r["__b"]
             remaining = budget - acc
             break
-    if boundary is None:  # everything fits
-        return df
+    if boundary is None:  # everything (budgetable) fits
+        return s.select(*df.columns)
     # bins strictly above the boundary fit in full (empty when even the
     # best bin overflowed); bins below are out by monotonicity
     full = s.filter(F.col("__b") > F.lit(boundary))

@@ -2340,3 +2340,17 @@ def test_token_budget_select_degenerate_single_bin(spark):
     want = _flat_budget_select(rows, 1000)
     assert got == want
     assert len(got) == 200  # 1000 / 5 tokens each
+
+
+def test_token_budget_select_null_rows_excluded(spark):
+    """NULL scores/token counts can be neither ordered nor budgeted —
+    they must be excluded on BOTH the cut path and the everything-fits
+    path (a NULL bin would otherwise crash the driver's bin walk)."""
+    from delta_lake_spark.operators.sampling import select_by_token_budget
+
+    rows = [(1, 0.9, 10), (2, None, 10), (3, 0.8, None), (4, 0.1, 10)]
+    df = spark.createDataFrame(rows, "id long, score double, tok long")
+    fits = select_by_token_budget(df, "score", "tok", "id", budget=10**6)
+    assert {r.id for r in fits.collect()} == {1, 4}
+    cut = select_by_token_budget(df, "score", "tok", "id", budget=10)
+    assert {r.id for r in cut.collect()} == {1}

@@ -249,6 +249,58 @@ def mixture_resample(
     )  # join moved domain_col first); matches the empty-input path
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "wsample-v1",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: draw ``k`` rows with
+    inclusion probability proportional to ``weight_col`` (e.g. sample a
+    fine-tuning subset quality-weighted) via the Efraimidis-Spirakis
+    A-Res scheme — priority = u^(1/w) with u uniform in (0, 1], keep
+    the k largest priorities. Instead of RNG state, u derives from the
+    md5 content hash (``(hex8 + 1) / 2^32``), so the draw is stable
+    across runs, partitionings, and engines; priorities are 9dp-rounded
+    with id tie-breaks, so the DuckDB oracle replays the EXACT sample.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    defined priority).
+
+    Scale shape: the priority is a map-side projection; selection is
+    the ``cap_per_domain`` two-level device without the domain — a
+    salted per-partition top-k (each sub-window bounded) followed by a
+    TakeOrdered over <= n_salts * k survivors. No global sort, no
+    full-corpus window.
+
+    Returns: the input columns plus ``priority`` (double, 9dp).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(_bucket(F.col(id_col), seed), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**_HEX_WIDTH))
+    pri = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    s = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("priority", pri)
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.col("priority").desc(), F.col(id_col)
+    )
+    stage1 = (
+        s.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    return stage1.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k)
+
+
 def shard_shuffle(
     df: DataFrame,
     id_col: str,

@@ -3395,10 +3395,58 @@ SELECT doc_id, quality, tok AS n_tokens FROM r WHERE run <= 15000
 """
 
 
+def q155_weighted_sample(spark, sf_dir):
+    """Quality-weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res, priority = u^(1/quality) with a content-derived
+    uniform): the per-document-weighted counterpart of q130's
+    per-domain mixture. Map-side priorities + salted two-level top-k;
+    the 9dp-rounded priorities with id tie-breaks let the oracle
+    replay the exact draw."""
+    from ..operators.sampling import weighted_sample
+    from ..operators.text import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir), "text", "doc_id")
+    out = weighted_sample(scored, "quality", "doc_id", k=100)
+    return out.select("doc_id", "quality", "priority")
+
+
+_Q155_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.3 + (n_uniq / n_tokens) * 0.4
+          + (alpha_chars / n_chars) * 0.3, 6) AS quality
+  FROM base
+),
+p AS (
+  SELECT doc_id, quality,
+    ROUND(pow(
+      (CAST('0x' || substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) + 1) / 4294967296.0,
+      1.0 / quality), 9) AS priority
+  FROM q WHERE quality > 0
+),
+r AS (
+  SELECT doc_id, quality, priority,
+    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+  FROM p
+)
+SELECT doc_id, quality, priority FROM r WHERE rk <= 100
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q153_shard_shuffle": q153_shard_shuffle,
     "q154_token_budget_select": q154_token_budget_select,
+    "q155_weighted_sample": q155_weighted_sample,
     "q137_pretrain_funnel": q137_pretrain_funnel,
     "q138_pq_topk": q138_pq_topk,
     "q139_ivfpq_topk": q139_ivfpq_topk,
@@ -3465,6 +3513,7 @@ ORACLE_SQL = {
     "q33_dedup_simhash": _Q33_SQL,
     "q153_shard_shuffle": _Q153_SQL,
     "q154_token_budget_select": _Q154_SQL,
+    "q155_weighted_sample": _Q155_SQL,
     "q35_embedding_lsh_pairs": _Q35_SQL,
     "q36_embedding_ivf_topk": _Q36_SQL,
     "q43_frame_sample": _Q43_SQL,

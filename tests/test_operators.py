@@ -2354,3 +2354,39 @@ def test_token_budget_select_null_rows_excluded(spark):
     assert {r.id for r in fits.collect()} == {1, 4}
     cut = select_by_token_budget(df, "score", "tok", "id", budget=10)
     assert {r.id for r in cut.collect()} == {1}
+
+
+def test_weighted_sample_equals_driver_replica(spark):
+    """The salted two-level top-k must reproduce the exact A-Res draw:
+    priority = round(u^(1/w), 9) with u = (md5hex8+1)/2^32, top-k by
+    (priority DESC, id)."""
+    import hashlib
+
+    from delta_lake_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 0.1 + ((i * 13) % 10) / 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def pri(rid, w):
+        u = (
+            int(hashlib.md5(f"wsample-v1{rid}".encode()).hexdigest()[:8], 16)
+            + 1
+        ) / 2**32
+        return round(u ** (1.0 / w), 9)
+
+    want = sorted(rows, key=lambda r: (-pri(r[0], r[1]), r[0]))[:50]
+    got = weighted_sample(df, "w", "id", k=50).collect()
+    assert {(r.id, r.priority) for r in got} == {
+        (rid, pri(rid, w)) for rid, w in want
+    }
+
+
+def test_weighted_sample_edge_weights(spark):
+    """NULL / zero / negative weights are excluded; k above the corpus
+    size returns every weighted row."""
+    from delta_lake_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 2.0), (2, None), (3, 0.0), (4, -1.0), (5, 0.5)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "w", "id", k=10).collect()
+    assert {r.id for r in got} == {1, 5}

@@ -115,6 +115,40 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame, text_col: str, id_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup that keeps the HIGHEST-``score_col`` copy of each
+    duplicate group (ties on the smallest id) — the production variant
+    when duplicates span sources of different quality (a cleanly
+    extracted article vs. its boilerplate-ridden mirror) and the min-id
+    keeper of :func:`exact_dedup` would systematically prefer whichever
+    source was ingested first.
+
+    Same scale shape as ``exact_dedup``: ONE hash shuffle on the
+    normalized text with map-side partial aggregation — ``max_by`` with
+    an explicit (score, -id) ordering struct, so the keeper election is
+    deterministic and the DuckDB oracle (arg_max over the same struct)
+    replays it exactly.
+
+    Returns: id_col, score_col (of the kept row).
+    """
+    # max_by on a struct orders lexicographically: score first, then
+    # NEGATED id so score ties elect the SMALLEST id
+    best = F.max_by(
+        F.struct(F.col(id_col), F.col(score_col)),
+        F.struct(F.col(score_col), (-F.col(id_col)).alias("__negid")),
+    )
+    return (
+        df.groupBy(normalize_text(text_col).alias("__norm"))
+        .agg(best.alias("__best"))
+        .select(
+            F.col(f"__best.{id_col}").alias(id_col),
+            F.col(f"__best.{score_col}").alias(score_col),
+        )
+    )
+
+
 def word_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

@@ -3442,11 +3442,54 @@ SELECT doc_id, quality, priority FROM r WHERE rk <= 100
 """
 
 
+def q156_dedup_keep_best(spark, sf_dir):
+    """Exact dedup electing the highest-quality copy per duplicate
+    group (score ties -> smallest id): one hash shuffle with a
+    deterministic max_by struct ordering that the oracle's arg_max
+    replays exactly."""
+    from ..operators.dedup import exact_dedup_keep_best
+    from ..operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.join(
+        quality_score(docs, "text", "doc_id").select("doc_id", "quality"),
+        "doc_id",
+    )
+    out = exact_dedup_keep_best(scored, "text", "doc_id", "quality")
+    return out.select("doc_id", "quality")
+
+
+_Q156_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents
+),
+j AS (
+  SELECT doc_id, text,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.3 + (n_uniq / n_tokens) * 0.4
+          + (alpha_chars / n_chars) * 0.3, 6) AS quality
+  FROM base
+)
+SELECT doc_id, quality FROM (
+  SELECT doc_id, quality, ROW_NUMBER() OVER (
+    PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+    ORDER BY quality DESC, doc_id ASC
+  ) AS rk
+  FROM j
+) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q153_shard_shuffle": q153_shard_shuffle,
     "q154_token_budget_select": q154_token_budget_select,
     "q155_weighted_sample": q155_weighted_sample,
+    "q156_dedup_keep_best": q156_dedup_keep_best,
     "q137_pretrain_funnel": q137_pretrain_funnel,
     "q138_pq_topk": q138_pq_topk,
     "q139_ivfpq_topk": q139_ivfpq_topk,
@@ -3514,6 +3557,7 @@ ORACLE_SQL = {
     "q153_shard_shuffle": _Q153_SQL,
     "q154_token_budget_select": _Q154_SQL,
     "q155_weighted_sample": _Q155_SQL,
+    "q156_dedup_keep_best": _Q156_SQL,
     "q35_embedding_lsh_pairs": _Q35_SQL,
     "q36_embedding_ivf_topk": _Q36_SQL,
     "q43_frame_sample": _Q43_SQL,

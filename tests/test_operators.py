@@ -2390,3 +2390,23 @@ def test_weighted_sample_edge_weights(spark):
     df = spark.createDataFrame(rows, "id long, w double")
     got = weighted_sample(df, "w", "id", k=10).collect()
     assert {r.id for r in got} == {1, 5}
+
+
+def test_exact_dedup_keep_best_election(spark):
+    """Highest score wins its duplicate group; score ties elect the
+    smallest id; normalization (case/whitespace) defines the groups."""
+    from delta_lake_spark.operators.dedup import exact_dedup_keep_best
+
+    rows = [
+        (1, "Hello  World", 0.2),
+        (2, "hello world", 0.9),   # same group, best score -> kept
+        (3, "HELLO WORLD ", 0.9),  # ties 2 on score -> loses on id
+        (4, "other text", 0.1),    # singleton group
+        (5, "other  TEXT", 0.1),   # ties 4 -> loses on id
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    got = {
+        (r.doc_id, r.q)
+        for r in exact_dedup_keep_best(df, "text", "doc_id", "q").collect()
+    }
+    assert got == {(2, 0.9), (4, 0.1)}

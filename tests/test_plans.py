@@ -749,3 +749,25 @@ def test_q139_ivfpq_candidates_confined_to_probed_cells(spark):
             ("query_id", "code", "_groupingexpression")
         ), shuffles
     assert "WindowGroupLimit" in plan
+
+
+def test_q153_shard_shuffle_single_exchange(spark):
+    """The per-shard window is the ONLY exchange in the shard
+    assignment — the same hash shuffle a sharded write's partitionBy
+    would reuse; nothing sorts globally."""
+    from delta_lake_spark.queries.llm import q153_shard_shuffle
+
+    plan = _plan(q153_shard_shuffle(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_q155_weighted_sample_no_global_sort(spark):
+    """A-Res selection must stay a salted top-k: the final k rows come
+    from TakeOrdered over the bounded per-salt survivors, never a
+    range-partitioned global sort of the corpus."""
+    from delta_lake_spark.queries.llm import q155_weighted_sample
+
+    plan = _plan(q155_weighted_sample(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()

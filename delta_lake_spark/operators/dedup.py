@@ -128,11 +128,22 @@ def exact_dedup_keep_best(
     Same scale shape as ``exact_dedup``: ONE hash shuffle on the
     normalized text with map-side partial aggregation — ``max_by`` with
     an explicit (score, -id) ordering struct, so the keeper election is
-    deterministic and the DuckDB oracle (arg_max over the same struct)
-    replays it exactly.
+    deterministic and the oracle's ranked-window replay matches it
+    exactly. The tie-break negates the id, so ``id_col`` must be
+    numeric (a string key would cast to NULL and make score ties
+    nondeterministic) — map string keys through xxhash64 first, as the
+    PQ-index path requires.
 
     Returns: id_col, score_col (of the kept row).
     """
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long", "float", "double") \
+            and not id_type.startswith("decimal"):
+        raise TypeError(
+            f"exact_dedup_keep_best: id column '{id_col}' is {id_type}; "
+            "the deterministic tie-break needs a numeric id — map string "
+            "keys to a long (e.g. xxhash64) first"
+        )
     # max_by on a struct orders lexicographically: score first, then
     # NEGATED id so score ties elect the SMALLEST id
     best = F.max_by(

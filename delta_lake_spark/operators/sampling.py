@@ -266,8 +266,9 @@ def weighted_sample(
     across runs, partitionings, and engines; priorities are 9dp-rounded
     with id tie-breaks, so the DuckDB oracle replays the EXACT sample.
 
-    Rows with NULL or non-positive weight are excluded (they have no
-    defined priority).
+    Rows with a NULL, NaN, or non-positive weight are excluded (they
+    have no defined priority — and NaN would otherwise sort ABOVE every
+    real priority, evicting legitimate rows from the sample).
 
     Scale shape: the priority is a map-side projection; selection is
     the ``cap_per_domain`` two-level device without the domain — a
@@ -283,12 +284,11 @@ def weighted_sample(
         F.conv(_bucket(F.col(id_col), seed), 16, 10).cast("double")
         + F.lit(1.0)
     ) / F.lit(float(16**_HEX_WIDTH))
-    pri = F.round(
-        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    w = F.col(weight_col).cast("double")
+    pri = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    s = df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0)).withColumn(
+        "priority", pri
     )
-    s = df.filter(
-        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
-    ).withColumn("priority", pri)
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
     w1 = Window.partitionBy(salt).orderBy(
         F.col("priority").desc(), F.col(id_col)
@@ -388,11 +388,16 @@ def select_by_token_budget(
     into one bin — inherent to cutting inside one score class — but
     still splits across the 256 hash ranges).
 
-    Rows with a NULL score or NULL token count are excluded up front —
-    they cannot be ordered or budgeted. Pass count: the corpus is
-    scanned three times (bin totals, boundary-range sums + selection,
-    full-bin filter), every pass a map-side scan with the bin predicate
-    pushed down; nothing data-sized is cached or collected.
+    Rows with a NULL/NaN score or a NULL/non-positive token count are
+    excluded up front — they cannot be ordered or budgeted (a NaN
+    score would silently bin as 0, and a non-positive count would
+    break the running sum's monotonicity that the prefix semantics
+    rely on). Pass count: the corpus is scanned four times — bin
+    totals, boundary-range sums, then the final action recomputes the
+    uncached lineage once per union branch (full-bin filter,
+    boundary-bin selection); every pass is a map-side scan with the
+    bin predicate pushed down, and nothing data-sized is cached or
+    collected.
 
     Returns: the input columns, boundary-prefix-selected; deterministic
     and engine-portable (the oracle replays the flat running-sum form).
@@ -400,9 +405,13 @@ def select_by_token_budget(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    sc = F.col(score_col).cast("double")
     s = (
         df.filter(
-            F.col(score_col).isNotNull() & F.col(tokens_col).isNotNull()
+            sc.isNotNull()
+            & ~F.isnan(sc)
+            & F.col(tokens_col).isNotNull()
+            & (F.col(tokens_col) > 0)
         )
         .withColumn(
             "__b", F.floor(F.col(score_col) * F.lit(n_bins)).cast("int")

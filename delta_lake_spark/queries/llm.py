@@ -3389,7 +3389,9 @@ r AS (
                doc_id
       ROWS UNBOUNDED PRECEDING
     ) AS run
-  FROM q
+  -- mirror the operator's up-front exclusion: an empty-text doc has
+  -- quality NULL here (0/0) and is unbudgetable on both engines
+  FROM q WHERE quality IS NOT NULL AND tok > 0
 )
 SELECT doc_id, quality, tok AS n_tokens FROM r WHERE run <= 15000
 """

@@ -2278,19 +2278,14 @@ def test_shard_shuffle_partition_and_order(spark, docs):
     }
 
 
-def test_shard_shuffle_single_exchange(spark, docs):
-    """The per-shard window is the ONLY exchange: the plan the sharded
-    write would reuse."""
-    from delta_lake_spark.operators.sampling import shard_shuffle
-
-    plan = shard_shuffle(
-        docs.select("doc_id"), "doc_id", n_shards=8
-    )._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
+# the shuffle-discipline plan test for shard_shuffle lives in
+# tests/test_plans.py (test_q153_shard_shuffle_single_exchange), per
+# the repo convention that plan assertions are centralized there
 
 
 def _flat_budget_select(rows, budget, n_bins=1000):
-    """Driver replica of the flat running-sum semantics."""
+    """Driver replica of the flat running-sum semantics — the single
+    reference implementation, shared with test_sampling_property."""
     import hashlib
     import math
 
@@ -2300,6 +2295,8 @@ def _flat_budget_select(rows, budget, n_bins=1000):
 
     keep, run = set(), 0
     for rid, score, tok in sorted(rows, key=key):
+        if tok <= 0:  # mirrors the operator's up-front exclusion
+            continue
         run += tok
         if run <= budget:
             keep.add(rid)
@@ -2410,3 +2407,47 @@ def test_exact_dedup_keep_best_election(spark):
         for r in exact_dedup_keep_best(df, "text", "doc_id", "q").collect()
     }
     assert got == {(2, 0.9), (4, 0.1)}
+
+
+def test_weighted_sample_nan_weight_excluded(spark):
+    """A NaN weight yields a NaN priority that would sort ABOVE every
+    real priority — it must be excluded like NULL/non-positive."""
+    from delta_lake_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 2.0), (2, float("nan")), (3, 0.5)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "w", "id", k=2).collect()
+    assert {r.id for r in got} == {1, 3}
+
+
+def test_token_budget_select_nan_and_nonpositive_excluded(spark):
+    """NaN scores (which would silently bin as 0) and non-positive
+    token counts (which break running-sum monotonicity) are excluded."""
+    from delta_lake_spark.operators.sampling import select_by_token_budget
+
+    rows = [
+        (1, 0.9, 10),
+        (2, float("nan"), 10),
+        (3, 0.8, 0),
+        (4, 0.7, -5),
+        (5, 0.1, 10),
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, tok long")
+    fits = select_by_token_budget(df, "score", "tok", "id", budget=10**6)
+    assert {r.id for r in fits.collect()} == {1, 5}
+    cut = select_by_token_budget(df, "score", "tok", "id", budget=10)
+    assert {r.id for r in cut.collect()} == {1}
+
+
+def test_exact_dedup_keep_best_rejects_string_ids(spark):
+    """The deterministic tie-break negates the id, so string keys must
+    be rejected up front rather than silently NULL-ordered."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [("a", "text", 0.5)], "doc_id string, text string, q double"
+    )
+    with _pytest.raises(TypeError, match="numeric id"):
+        exact_dedup_keep_best(df, "text", "doc_id", "q")

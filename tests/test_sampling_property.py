@@ -6,25 +6,11 @@ oracle replays. Randomized inputs probe bin-boundary and tie shapes the
 fixture corpus never hits (duplicate scores, tiny bins, budget landing
 exactly on a document edge)."""
 
-import hashlib
-import math
-
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-
-def _flat(rows, budget, n_bins=1000):
-    def key(r):
-        h = hashlib.md5(f"budget-v1{r[0]}".encode()).hexdigest()[:8]
-        return (-math.floor(r[1] * n_bins), h, r[0])
-
-    keep, run = set(), 0
-    for rid, score, tok in sorted(rows, key=key):
-        run += tok
-        if run <= budget:
-            keep.add(rid)
-    return keep
+from test_operators import _flat_budget_select as _flat
 
 
 corpora = st.lists(

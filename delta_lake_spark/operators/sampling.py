@@ -249,6 +249,53 @@ def mixture_resample(
     )  # join moved domain_col first); matches the empty-input path
 
 
+def score_percentiles(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 1000,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Empirical-CDF score calibration: attach to every row the
+    fraction of the corpus scoring in a STRICTLY lower bin
+    (bin = floor(score * n_bins)) — the normalization step before
+    comparing or mixing quality scores across sources whose raw scales
+    differ. Bin-level granularity (ties within a bin share a
+    percentile) is what makes the computation distributable AND exactly
+    engine-portable: the value is a ratio of two integers, 9dp-rounded.
+
+    Scale shape: one aggregation to <= n_bins + 1 rows, a window over
+    that tiny bins relation (post-aggregate metadata, never the
+    corpus), and a broadcast join back — the corpus itself is touched
+    by exactly one scan + one map-side join. Rows with a NULL/NaN
+    score are excluded (they have no place in the CDF).
+
+    Returns: the input columns plus ``out_col`` (double in [0, 1),
+    9dp).
+    """
+    from pyspark.sql import Window
+
+    sc = F.col(score_col).cast("double")
+    s = df.filter(sc.isNotNull() & ~F.isnan(sc)).withColumn(
+        "__b", F.floor(F.col(score_col) * F.lit(n_bins)).cast("int")
+    )
+    bins = s.groupBy("__b").agg(F.count("*").alias("__c"))
+    w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = bins.select(
+        "__b",
+        F.round(
+            F.coalesce(F.sum("__c").over(w), F.lit(0))
+            / F.sum("__c").over(wt),
+            9,
+        ).alias(out_col),
+    )
+    return s.join(F.broadcast(cdf), "__b").select(*df.columns, out_col)
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -3486,8 +3486,56 @@ SELECT doc_id, quality FROM (
 """
 
 
+def q157_score_percentiles(spark, sf_dir):
+    """Empirical-CDF calibration of the quality score: every doc gets
+    the fraction of the corpus in a strictly lower quality bin — a
+    bounded-bin aggregation + tiny-window + broadcast join, one corpus
+    scan; the ratio-of-integers percentile replays exactly."""
+    from ..operators.sampling import score_percentiles
+    from ..operators.text import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir), "text", "doc_id")
+    out = score_percentiles(scored, "quality")
+    return out.select("doc_id", "quality", "score_pct")
+
+
+_Q157_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.3 + (n_uniq / n_tokens) * 0.4
+          + (alpha_chars / n_chars) * 0.3, 6) AS quality
+  FROM base
+),
+s AS (
+  SELECT doc_id, quality, CAST(FLOOR(quality * 1000) AS INTEGER) AS b
+  FROM q WHERE quality IS NOT NULL
+),
+cdf AS (SELECT b, COUNT(*) AS c FROM s GROUP BY b),
+w AS (
+  SELECT b,
+    COALESCE(SUM(c) OVER (
+      ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS below,
+    SUM(c) OVER () AS total
+  FROM cdf
+)
+SELECT s.doc_id, s.quality,
+  ROUND(w.below * 1.0 / w.total, 9) AS score_pct
+FROM s JOIN w USING (b)
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
+    "q157_score_percentiles": q157_score_percentiles,
     "q153_shard_shuffle": q153_shard_shuffle,
     "q154_token_budget_select": q154_token_budget_select,
     "q155_weighted_sample": q155_weighted_sample,
@@ -3560,6 +3608,7 @@ ORACLE_SQL = {
     "q154_token_budget_select": _Q154_SQL,
     "q155_weighted_sample": _Q155_SQL,
     "q156_dedup_keep_best": _Q156_SQL,
+    "q157_score_percentiles": _Q157_SQL,
     "q35_embedding_lsh_pairs": _Q35_SQL,
     "q36_embedding_ivf_topk": _Q36_SQL,
     "q43_frame_sample": _Q43_SQL,

@@ -2451,3 +2451,24 @@ def test_exact_dedup_keep_best_rejects_string_ids(spark):
     )
     with _pytest.raises(TypeError, match="numeric id"):
         exact_dedup_keep_best(df, "text", "doc_id", "q")
+
+
+def test_score_percentiles_matches_driver_replica(spark):
+    """Bin-level CDF: pct = |rows in strictly lower bins| / N, exact
+    ratio of integers; NaN/NULL scores excluded; within-bin ties share
+    a percentile; monotone in the bin."""
+    import math
+
+    from delta_lake_spark.operators.sampling import score_percentiles
+
+    rows = [(i, ((i * 17) % 50) / 50.0) for i in range(200)]
+    rows += [(900, float("nan")), (901, None)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    got = {r.id: r.score_pct for r in score_percentiles(df, "score").collect()}
+    clean = [(i, s) for i, s in rows if s is not None and s == s]
+    bins = {i: math.floor(s * 1000) for i, s in clean}
+    n = len(clean)
+    for i, s in clean:
+        below = sum(1 for j, _ in clean if bins[j] < bins[i])
+        assert got[i] == round(below / n, 9), i
+    assert 900 not in got and 901 not in got

@@ -392,6 +392,44 @@ def shard_shuffle(
     )
 
 
+def shard_manifest(
+    sharded: DataFrame,
+    id_col: str,
+    shard_col: str = "shard_id",
+    tokens_col: str | None = None,
+    seed: str = "manifest-v1",
+) -> DataFrame:
+    """Per-shard integrity manifest for a sharded corpus (the relation
+    ``shard_shuffle`` returns): row count, optional token sum, and an
+    ORDER-INDEPENDENT content checksum — what a training job verifies
+    after shards are copied between stores, without re-reading them in
+    any particular order.
+
+    checksum = sum over rows of (md5(seed||id) hex8 as int) % 1e9+7 —
+    commutative, so any partitioning/arrival order yields the same
+    value, and engine-portable (the DuckDB oracle replays it exactly;
+    per-term values < 1e9 keep the int64 sum exact for shards up to
+    ~9e9 rows, far above the ~1e6-row shards a 250 MB target implies).
+
+    Scale shape: one hash aggregation on the shard key with map-side
+    partial sums — |shards| output rows.
+
+    Returns: shard_col, n_docs (long), checksum (long), and n_tokens
+    (long) when ``tokens_col`` is given.
+    """
+    term = F.pmod(
+        F.conv(_bucket(F.col(id_col), seed), 16, 10).cast("long"),
+        F.lit(1_000_000_007),
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(term).alias("checksum"),
+    ]
+    if tokens_col is not None:
+        aggs.append(F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"))
+    return sharded.groupBy(shard_col).agg(*aggs)
+
+
 def select_by_token_budget(
     df: DataFrame,
     score_col: str,

@@ -3533,9 +3533,39 @@ FROM s JOIN w USING (b)
 """
 
 
+def q158_shard_manifest(spark, sf_dir):
+    """Integrity manifest over the q153 shard assignment: per-shard row
+    count and an order-independent md5-derived checksum — one hash
+    aggregation with map-side partial sums, |shards| rows out; the
+    oracle replays the modular checksum exactly."""
+    from ..operators.sampling import shard_manifest, shard_shuffle
+
+    sharded = shard_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_shards=16
+    )
+    return shard_manifest(sharded, "doc_id").select(
+        "shard_id", "n_docs", "checksum"
+    )
+
+
+_Q158_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+         AS BIGINT) % 16 AS INTEGER) AS shard_id,
+    CAST('0x' || substr(md5('manifest-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+         AS BIGINT) % 1000000007 AS term
+  FROM documents
+)
+SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(term) AS BIGINT) AS checksum
+FROM s GROUP BY shard_id
+"""
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q157_score_percentiles": q157_score_percentiles,
+    "q158_shard_manifest": q158_shard_manifest,
     "q153_shard_shuffle": q153_shard_shuffle,
     "q154_token_budget_select": q154_token_budget_select,
     "q155_weighted_sample": q155_weighted_sample,
@@ -3609,6 +3639,7 @@ ORACLE_SQL = {
     "q155_weighted_sample": _Q155_SQL,
     "q156_dedup_keep_best": _Q156_SQL,
     "q157_score_percentiles": _Q157_SQL,
+    "q158_shard_manifest": _Q158_SQL,
     "q35_embedding_lsh_pairs": _Q35_SQL,
     "q36_embedding_ivf_topk": _Q36_SQL,
     "q43_frame_sample": _Q43_SQL,

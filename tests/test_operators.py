@@ -2472,3 +2472,33 @@ def test_score_percentiles_matches_driver_replica(spark):
         below = sum(1 for j, _ in clean if bins[j] < bins[i])
         assert got[i] == round(below / n, 9), i
     assert 900 not in got and 901 not in got
+
+
+def test_shard_manifest_order_independent(spark, docs):
+    """The checksum must be identical for any partitioning/arrival
+    order, change when a row is dropped, and count tokens when asked."""
+    from delta_lake_spark.operators.sampling import (
+        shard_manifest,
+        shard_shuffle,
+    )
+
+    sharded = shard_shuffle(docs.select("doc_id"), "doc_id", n_shards=4)
+    m1 = {
+        r.shard_id: (r.n_docs, r.checksum)
+        for r in shard_manifest(sharded, "doc_id").collect()
+    }
+    m2 = {
+        r.shard_id: (r.n_docs, r.checksum)
+        for r in shard_manifest(sharded.repartition(9), "doc_id").collect()
+    }
+    assert m1 == m2 and len(m1) == 4
+    one = sharded.limit(1).collect()[0]
+    dropped = shard_manifest(
+        sharded.filter(F.col("doc_id") != one.doc_id), "doc_id"
+    ).collect()
+    d = {r.shard_id: (r.n_docs, r.checksum) for r in dropped}
+    assert d[one.shard_id] != m1[one.shard_id]
+    with_tok = shard_manifest(
+        sharded.withColumn("tok", F.lit(3)), "doc_id", tokens_col="tok"
+    ).collect()
+    assert all(r.n_tokens == 3 * r.n_docs for r in with_tok)

@@ -134,6 +134,12 @@ def exact_dedup_keep_best(
     nondeterministic) — map string keys through xxhash64 first, as the
     PQ-index path requires.
 
+    NaN discipline: Spark sorts NaN ABOVE every double, so a NaN-scored
+    copy would otherwise always win the election and propagate NaN to
+    the output. The ordering demotes NaN to -inf (``nanvl``), so a NaN
+    copy is elected only when the whole group is NaN-scored (then the
+    smallest id, matching an oracle whose NULL scores sort last).
+
     Returns: id_col, score_col (of the kept row).
     """
     id_type = df.schema[id_col].dataType.typeName()
@@ -144,11 +150,16 @@ def exact_dedup_keep_best(
             "the deterministic tie-break needs a numeric id — map string "
             "keys to a long (e.g. xxhash64) first"
         )
-    # max_by on a struct orders lexicographically: score first, then
-    # NEGATED id so score ties elect the SMALLEST id
+    # max_by on a struct orders lexicographically: NaN-demoted score
+    # first, then NEGATED id so score ties elect the SMALLEST id
+    ranked_score = F.nanvl(
+        F.col(score_col).cast("double"), F.lit(float("-inf"))
+    )
     best = F.max_by(
         F.struct(F.col(id_col), F.col(score_col)),
-        F.struct(F.col(score_col), (-F.col(id_col)).alias("__negid")),
+        F.struct(
+            ranked_score.alias("__rs"), (-F.col(id_col)).alias("__negid")
+        ),
     )
     return (
         df.groupBy(normalize_text(text_col).alias("__norm"))

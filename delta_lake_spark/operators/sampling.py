@@ -266,8 +266,12 @@ def score_percentiles(
     Scale shape: one aggregation to <= n_bins + 1 rows, a window over
     that tiny bins relation (post-aggregate metadata, never the
     corpus), and a broadcast join back — the corpus itself is touched
-    by exactly one scan + one map-side join. Rows with a NULL/NaN
-    score are excluded (they have no place in the CDF).
+    by one validation probe (score column only — the "<= n_bins + 1
+    rows" bound holds ONLY for scores in [0, 1]; a raw-scale column
+    would make the bins relation corpus-cardinality and its broadcast
+    fatal, so out-of-range scores raise instead), then exactly one
+    scan + one map-side join. Rows with a NULL/NaN score are excluded
+    (they have no place in the CDF).
 
     Returns: the input columns plus ``out_col`` (double in [0, 1),
     9dp).
@@ -275,6 +279,16 @@ def score_percentiles(
     from pyspark.sql import Window
 
     sc = F.col(score_col).cast("double")
+    rng = df.filter(sc.isNotNull() & ~F.isnan(sc)).agg(
+        F.min(sc).alias("lo"), F.max(sc).alias("hi")
+    ).first()
+    if rng["lo"] is not None and (rng["lo"] < 0.0 or rng["hi"] > 1.0):
+        raise ValueError(
+            f"score_percentiles: scores must lie in [0, 1] (observed "
+            f"[{rng['lo']}, {rng['hi']}]) — the <= n_bins + 1 bins "
+            "contract (and its broadcast) is only bounded on that "
+            "range; min-max rescale raw scores first"
+        )
     s = df.filter(sc.isNotNull() & ~F.isnan(sc)).withColumn(
         "__b", F.floor(F.col(score_col) * F.lit(n_bins)).cast("int")
     )
@@ -317,6 +331,17 @@ def weighted_sample(
     have no defined priority — and NaN would otherwise sort ABOVE every
     real priority, evicting legitimate rows from the sample).
 
+    Weight-scale invariance: weights are normalized to max 1.0 before
+    the u^(1/w) priority. The E-S ordering is invariant under scaling
+    (x -> x^c is monotone on (0,1]), but the 9dp ROUNDING the oracle
+    contract needs is not — raw weights ~1e8+ (token counts, say) push
+    every priority to 1.000000000 and the id tie-break, not the
+    weights, would decide the sample. Normalized, the HEAVIEST rows
+    have exponents >= 1 and well-spread priorities; rounding collapse
+    moves to the lightest rows, which lose the top-k anyway. Costs one
+    extra max-aggregate pass over the weight column (a metadata-sized
+    1-row broadcast).
+
     Scale shape: the priority is a map-side projection; selection is
     the ``cap_per_domain`` two-level device without the domain — a
     salted per-partition top-k (each sub-window bounded) followed by a
@@ -332,9 +357,13 @@ def weighted_sample(
         + F.lit(1.0)
     ) / F.lit(float(16**_HEX_WIDTH))
     w = F.col(weight_col).cast("double")
-    pri = F.round(F.pow(u, F.lit(1.0) / w), 9)
-    s = df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0)).withColumn(
-        "priority", pri
+    s0 = df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
+    mx = s0.agg(F.max(w).alias("__maxw"))
+    pri = F.round(F.pow(u, F.col("__maxw") / w), 9)
+    s = (
+        s0.crossJoin(F.broadcast(mx))
+        .withColumn("priority", pri)
+        .drop("__maxw")
     )
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
     w1 = Window.partitionBy(salt).orderBy(
@@ -477,33 +506,60 @@ def select_by_token_budget(
     excluded up front — they cannot be ordered or budgeted (a NaN
     score would silently bin as 0, and a non-positive count would
     break the running sum's monotonicity that the prefix semantics
-    rely on). Pass count: the corpus is scanned four times — bin
-    totals, boundary-range sums, then the final action recomputes the
-    uncached lineage once per union branch (full-bin filter,
-    boundary-bin selection); every pass is a map-side scan with the
-    bin predicate pushed down, and nothing data-sized is cached or
-    collected.
+    rely on). Scores must lie in [0, 1] (validated with a cheap
+    min/max probe on the summary): the "<= n_bins rows on the driver"
+    contract holds ONLY on that range — a raw-scale score column
+    would otherwise yield up to one bin per distinct value and a
+    corpus-cardinality collect.
+
+    Corpus IO — exactly TWO scans of the source. Scan 1 builds a
+    PERSISTED narrow summary (id, bin, tokens, hash) — a sliver of the
+    rows it summarizes, the ``bm25_topk`` narrow-summary device — and
+    every metadata pass (validation probe, bin totals, boundary-range
+    sums, the kept-id relation) runs on that cache; the bin column is
+    derived (floor(score*n_bins)), so no filter on it could reach
+    parquet row-group stats anyway, which is why the old
+    4-full-scan shape was pure waste. Scan 2 produces the result: a
+    map-side bin prune (only surviving bins pass) followed by a semi
+    join against the cache-derived kept-id relation — the shuffle
+    carries ~output-sized relations on both sides, never the corpus.
 
     Returns: the input columns, boundary-prefix-selected; deterministic
     and engine-portable (the oracle replays the flat running-sum form).
     """
     from pyspark.sql import Window
 
+    from ._cache import register_persisted
+
     spark = df.sparkSession
     sc = F.col(score_col).cast("double")
-    s = (
-        df.filter(
-            sc.isNotNull()
-            & ~F.isnan(sc)
-            & F.col(tokens_col).isNotNull()
-            & (F.col(tokens_col) > 0)
-        )
-        .withColumn(
-            "__b", F.floor(F.col(score_col) * F.lit(n_bins)).cast("int")
-        )
-        .withColumn("__t", F.col(tokens_col).cast("long"))
-        .withColumn("__h", _bucket(F.col(id_col), seed))
+    valid = (
+        sc.isNotNull()
+        & ~F.isnan(sc)
+        & F.col(tokens_col).isNotNull()
+        & (F.col(tokens_col) > 0)
     )
+    bin_col = F.floor(F.col(score_col) * F.lit(n_bins)).cast("int")
+    s = register_persisted(
+        df.filter(valid)
+        .select(
+            F.col(id_col),
+            bin_col.alias("__b"),
+            F.col(tokens_col).cast("long").alias("__t"),
+            _bucket(F.col(id_col), seed).alias("__h"),
+        )
+        .persist(),
+        "token_budget",
+    )
+    probe = s.agg(F.min("__b").alias("lo"), F.max("__b").alias("hi")).first()
+    if probe["lo"] is not None and (probe["lo"] < 0 or probe["hi"] > n_bins):
+        raise ValueError(
+            f"select_by_token_budget: scores must lie in [0, 1] "
+            f"(observed bins [{probe['lo']}, {probe['hi']}] with "
+            f"n_bins={n_bins}) — the driver-side bin collect is only "
+            "bounded on that range; rescale raw scores first (e.g. "
+            "score_percentiles)"
+        )
     bin_rows = sorted(
         s.groupBy("__b").agg(F.sum("__t").alias("t")).collect(),
         key=lambda r: -r["__b"],
@@ -519,12 +575,14 @@ def select_by_token_budget(
             remaining = budget - acc
             break
     if boundary is None:  # everything (budgetable) fits
-        return s.select(*df.columns)
-    # bins strictly above the boundary fit in full (empty when even the
-    # best bin overflowed); bins below are out by monotonicity
-    full = s.filter(F.col("__b") > F.lit(boundary))
+        return df.filter(valid).select(*df.columns)
     if remaining <= 0:
-        return full.select(*df.columns)
+        # bins strictly above the boundary fit in full (empty when even
+        # the best bin overflowed); bins below are out by monotonicity —
+        # a pure map-side prune, no join needed
+        return df.filter(valid & (bin_col > F.lit(boundary))).select(
+            *df.columns
+        )
 
     bb = s.filter(F.col("__b") == F.lit(boundary)).withColumn(
         "__s", F.substring(F.col("__h"), 1, 2)
@@ -545,5 +603,13 @@ def select_by_token_budget(
         bb.join(F.broadcast(odf), "__s")
         .withColumn("__run", F.sum("__t").over(w) + F.col("__off"))
         .filter(F.col("__run") <= F.lit(remaining))
+        .select(id_col)
     )
-    return full.select(*df.columns).unionByName(picked.select(*df.columns))
+    kept = s.filter(F.col("__b") > F.lit(boundary)).select(id_col).unionByName(
+        picked
+    )
+    return (
+        df.filter(valid & (bin_col >= F.lit(boundary)))
+        .join(kept, id_col, "left_semi")
+        .select(*df.columns)
+    )

@@ -5,16 +5,14 @@ designed so an ANSI-SQL oracle can reproduce it bit-for-bit.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# bm25_topk's per-doc posting summaries, keyed by SparkSession so two
-# concurrent sessions never evict each other's caches; each call
-# releases the previous call's summary (bounded steady state — cf. the
-# q137 funnel cache registry in queries/llm.py)
-_BM25_CACHES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# bm25_topk's per-doc posting summaries live in the bounded
+# session-scoped registry (operators/_cache.py) — the last few
+# summaries stay persisted so lazy consumers built before a
+# materialization never lose their cache
+from ._cache import register_persisted
 
 # token pattern: word | number | single non-space symbol (BPE-ish split)
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -882,7 +880,7 @@ def bm25_topk(
     b: float = 0.75,
     query_id_col: str = "query_id",
     query_text_col: str = "qtext",
-    max_literal_terms: int = 200_000,
+    max_literal_terms: int = 512,
 ) -> DataFrame:
     """BM25 ranked retrieval (Robertson et al., TREC-3 Okapi): top-k
     documents per query string — the keyword-search half of corpus
@@ -893,26 +891,36 @@ def bm25_topk(
         ln((N - df_t + 0.5) / (df_t + 0.5) + 1)          [idf, Lucene form]
         * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
 
-    100 TB design — ONE corpus scan: the distinct query terms are
-    collected (bounded by the queries contract — a retrieval batch is
-    human-scale, thousands of terms, never corpus-sized) and folded
-    into the scan as a LITERAL array, so per-doc length AND per-doc
-    query-term frequencies are computed in a single map-side projection
-    (tf via array expressions over the matched tokens — no corpus token
-    explode ever leaves the map side). That per-doc summary — one tiny
-    row per doc: (id, length, matched-term tfs), a sliver of the text
-    it summarizes — is PERSISTED (memory-and-disk, session-scoped
-    registry like the q137 funnel caches) because three plan branches
-    consume it (N/avgdl, document frequencies, scoring) and Catalyst's
-    per-branch column pruning defeats exchange reuse for subtrees this
-    shape: without the cache each branch would re-scan and re-tokenize
-    the full corpus text. df_t comes from one aggregation of the
-    postings (exact: every doc containing t contributes); N and avgdl
-    are a 1-row broadcast aggregate. No UDFs — one codegen'd pipeline.
-    Above ``max_literal_terms`` distinct query terms the operator falls
-    back to the broadcast-term-set multi-scan plan (a literal that size
-    would bloat the plan; the fallback trades extra map-side scans for
-    it).
+    100 TB design — ONE corpus scan for SMALL term batches: the
+    distinct query terms are collected and folded into the scan as an
+    IN-list membership probe, so per-doc length AND per-doc query-term
+    frequencies are computed in a single map-side projection (tf via
+    array expressions over the matched tokens — no corpus token
+    explode ever leaves the map side). The cap is deliberately small
+    (512): membership against a literal term list is LINEAR in the
+    term count however it is phrased — array_contains, In (Catalyst's
+    InSet rewrite does not reach inside lambda scopes), and even
+    array_intersect all re-walk the literal per row/token (measured:
+    20k terms x 13M tokens = 15-90 s map-side vs a FLAT 0.7 s for the
+    broadcast-join fallback; crossover ~500 terms) — so above the cap
+    the fallback's two extra scans are the cheaper trade. That
+    per-doc summary — one tiny row per doc: (id, length, matched-term
+    tfs), a sliver of the text it summarizes — is PERSISTED in the
+    bounded session-scoped registry (``operators/_cache.py``; the last
+    few summaries stay alive so building several retrieval plans
+    before materializing any — two hybrid_search_rrf compositions,
+    say — cannot silently drop a cache a lazy plan still needs)
+    because three plan branches consume it (N/avgdl, document
+    frequencies, scoring) and Catalyst's per-branch column pruning
+    defeats exchange reuse for subtrees this shape: without the cache
+    each branch would re-scan and re-tokenize the full corpus text.
+    df_t comes from one aggregation of the postings (exact: every doc
+    containing t contributes); N and avgdl are a 1-row broadcast
+    aggregate. No UDFs — one codegen'd pipeline. Above
+    ``max_literal_terms`` distinct query terms the operator falls back
+    to the broadcast-term-set plan: a hash-probe join filters the
+    token explode before any aggregation, flat in the term count, at
+    the cost of a second map-side text scan for N/avgdl.
 
     Determinism: the summed score is rounded to 1e-6 before ranking
     (ln/avg differ across engine libms only in final ulps, which the
@@ -934,13 +942,6 @@ def bm25_topk(
     terms = sorted(
         r["__term"] for r in qterms.select("__term").distinct().collect()
     )
-    # every call releases the previous call's per-doc summary (the
-    # fallback and empty paths cache nothing but must still evict)
-    for old in _BM25_CACHES.pop(docs.sparkSession, []):
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # cache belonged to a since-stopped SparkSession
     if not terms:
         from pyspark.sql.types import (
             DoubleType,
@@ -963,11 +964,9 @@ def bm25_topk(
             ),
         )
     if len(terms) <= max_literal_terms:
-        # single-scan path: literal term filter + per-doc tf expression
-        lit_terms = F.lit(terms)
-        matched = F.filter(
-            F.col("__toks"), lambda t: F.array_contains(lit_terms, t)
-        )
+        # single-scan path: IN-list term filter (linear in the SMALL
+        # bounded term count) + per-doc tf expression
+        matched = F.filter(F.col("__toks"), lambda t: t.isin(terms))
         post = F.transform(
             F.array_distinct(F.col("__mt")),
             lambda t: F.struct(
@@ -987,7 +986,7 @@ def bm25_topk(
             .select(F.col(id_col), "__dl", post.alias("__post"))
             .persist()  # per-doc summary: scanned once, consumed thrice
         )
-        _BM25_CACHES[docs.sparkSession] = [staged]
+        register_persisted(staged, "bm25")
         stats = staged.agg(
             F.count("*").cast("double").alias("__n"),
             F.avg("__dl").alias("__avgdl"),

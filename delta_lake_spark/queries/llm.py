@@ -3428,11 +3428,14 @@ q AS (
   FROM base
 ),
 p AS (
+  -- weights normalized to max 1.0 (order-preserving; keeps the
+  -- 9dp-rounded priorities spread for arbitrary weight scales)
   SELECT doc_id, quality,
     ROUND(pow(
       (CAST('0x' || substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
             AS BIGINT) + 1) / 4294967296.0,
-      1.0 / quality), 9) AS priority
+      (SELECT MAX(quality) FROM q WHERE quality > 0) / quality), 9)
+      AS priority
   FROM q WHERE quality > 0
 ),
 r AS (

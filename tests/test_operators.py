@@ -1241,12 +1241,15 @@ def test_bm25_single_scan_summary_and_fallback_parity(spark):
     """The literal-term single-scan path: (a) the per-doc posting
     summary is cached (three plan branches consume it; without the
     cache each would re-scan the text) and is NARROW — id, length, and
-    matched-term tfs only, never the text; (b) a second call releases
-    the previous call's cache (bounded steady state); (c) the
-    broadcast-term-set fallback path (forced via max_literal_terms=0)
-    returns EXACTLY the same rows; (d) empty queries produce a typed
-    empty result."""
-    from delta_lake_spark.operators.text import _BM25_CACHES, bm25_topk
+    matched-term tfs only, never the text; (b) summaries are held in a
+    BOUNDED LRU (recent calls stay cached — a lazy plan built before a
+    later call must keep its cache — but entries beyond the capacity
+    are unpersisted oldest-first, so the steady state is bounded);
+    (c) the broadcast-term-set fallback path (forced via
+    max_literal_terms=0) returns EXACTLY the same rows; (d) empty
+    queries produce a typed empty result."""
+    from delta_lake_spark.operators._cache import _REGISTRY
+    from delta_lake_spark.operators.text import bm25_topk
 
     docs = spark.createDataFrame(
         [
@@ -1261,8 +1264,9 @@ def test_bm25_single_scan_summary_and_fallback_parity(spark):
     queries = spark.createDataFrame(
         [(1, "apple banana"), (2, "kiwi fig")], "query_id long, qtext string"
     )
+    _REGISTRY.setdefault(spark, {})["bm25"] = []  # isolate this test
     out = bm25_topk(docs, queries, "text", "doc_id", k=10)
-    cached = _BM25_CACHES[spark][0]
+    cached = _REGISTRY[spark]["bm25"][0]
     assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
     assert set(cached.columns) == {"doc_id", "__dl", "__post"}
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -1273,7 +1277,14 @@ def test_bm25_single_scan_summary_and_fallback_parity(spark):
         docs, queries, "text", "doc_id", k=10, max_literal_terms=0
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, fallback))
-    # the fallback evicted the first call's summary (no cache leak)
+    # the fallback registers no summary, and the LRU must NOT have
+    # dropped the first call's cache (its plan may not have run yet)
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    # ...but the registry stays bounded: 4 more single-scan calls push
+    # the first summary past capacity and it is evicted oldest-first
+    for i in range(4):
+        bm25_topk(docs, queries, "text", "doc_id", k=2 + i)
+    assert len(_REGISTRY[spark]["bm25"]) == 4
     assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
 
     empty_q = spark.createDataFrame([], "query_id long, qtext string")
@@ -2502,3 +2513,56 @@ def test_shard_manifest_order_independent(spark, docs):
         sharded.withColumn("tok", F.lit(3)), "doc_id", tokens_col="tok"
     ).collect()
     assert all(r.n_tokens == 3 * r.n_docs for r in with_tok)
+
+
+def test_exact_dedup_keep_best_nan_never_elected(spark):
+    """NaN discipline: Spark sorts NaN above every double, so without
+    the nanvl demotion a NaN-scored copy would always win the keeper
+    election and propagate NaN. A NaN copy must lose to any real score;
+    an all-NaN group falls back to the smallest id (matching an oracle
+    whose NULL scores sort last)."""
+    import math
+
+    from delta_lake_spark.operators.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", float("nan")),
+            (2, "same text", 0.2),
+            (3, "same text", 0.9),
+            (4, "other", float("nan")),
+            (5, "other", float("nan")),
+        ],
+        "doc_id long, text string, q double",
+    )
+    rows = {
+        r.doc_id: r.q
+        for r in exact_dedup_keep_best(df, "text", "doc_id", "q").collect()
+    }
+    assert set(rows) == {3, 4}
+    assert rows[3] == 0.9
+    assert math.isnan(rows[4])
+
+
+def test_score_range_contract_raises_on_raw_scores(spark):
+    """The [0, 1] score contract: floor(score * n_bins) binning only
+    bounds the driver-side collect (token budget) and the broadcast
+    bins relation (percentiles) when scores are in range — a raw-scale
+    column (logprobs, token counts) would yield one bin per distinct
+    value and a corpus-cardinality driver structure, so both operators
+    refuse it up front."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.sampling import (
+        score_percentiles,
+        select_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 523.0, 10), (2, 0.5, 10), (3, -3.0, 10)],
+        "doc_id long, score double, tok long",
+    )
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        select_by_token_budget(df, "score", "tok", "doc_id", budget=10)
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        score_percentiles(df, "score")

@@ -771,3 +771,28 @@ def test_q155_weighted_sample_no_global_sort(spark):
     plan = _plan(q155_weighted_sample(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q154_token_budget_two_source_scans(spark):
+    """select_by_token_budget touches the source exactly TWICE: scan 1
+    builds the persisted narrow (id, bin, tokens, hash) summary that
+    every metadata pass reuses; scan 2 is the result pass. The bin
+    column is derived (floor(score*n_bins)) so no bin filter could ever
+    reach parquet row-group stats — caching the summary, not repeated
+    "pushed-down" scans, is what bounds the IO. The RETURNED plan must
+    therefore contain exactly one file scan of the corpus, with the
+    kept-id relation read from the in-memory summary."""
+    from delta_lake_spark.queries.llm import q154_token_budget_select
+
+    out = q154_token_budget_select(spark, SF_DIR)
+    # count LEAF nodes: the toString render embeds the cached
+    # InMemoryRelation's defining plan (which names the original file
+    # scan) and would overcount — collectLeaves sees actual scans only
+    # (unwrapping the AdaptiveSparkPlan, itself a leaf to the outside)
+    ep = out._jdf.queryExecution().executedPlan()
+    if "Adaptive" in ep.getClass().getName():
+        ep = ep.executedPlan()
+    leaves = ep.collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    assert sum(1 for n in names if "Scan parquet" in n) == 1
+    assert any("InMemoryTableScan" in n for n in names)

@@ -42,3 +42,33 @@ def test_token_budget_select_matches_flat_prefix(spark, rows, budget_frac):
         ).collect()
     }
     assert got == _flat(data, budget)
+
+
+def test_weighted_sample_huge_weights_not_id_biased(spark):
+    """Weight-scale contract: raw-scale weights (token counts, say,
+    up to 1e12) must not collapse the 9dp-rounded priorities onto the
+    id tie-break. Pre-normalization, u^(1/1e12) rounded to 1.000000000
+    for EVERY row and the "sample" was just ids 1..k; with weights
+    normalized to max 1.0 the draw follows the content hash, and in a
+    mixed corpus the heavy rows — not the small ids — win."""
+    from delta_lake_spark.operators.sampling import weighted_sample
+
+    n, k = 500, 50
+    heavy = spark.createDataFrame(
+        [(i, 1e12) for i in range(1, n + 1)], "id long, w double"
+    )
+    out = weighted_sample(heavy, "w", "id", k=k).collect()
+    got = sorted(r.id for r in out)
+    assert len(got) == k
+    assert got != list(range(1, k + 1))  # not the id-order collapse
+    assert len({r.priority for r in out}) == k  # hash-spread priorities
+
+    mixed = spark.createDataFrame(
+        [(i, 1e12 if i % 5 == 0 else 1.0) for i in range(1, n + 1)],
+        "id long, w double",
+    )
+    picked = [r.id for r in weighted_sample(mixed, "w", "id", k=k).collect()]
+    assert len(picked) == k
+    # normalized, light rows' priorities underflow toward 0 while every
+    # heavy row keeps a spread u^1 priority: the heavy 20% fills the top-k
+    assert all(i % 5 == 0 for i in picked)

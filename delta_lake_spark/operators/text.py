@@ -636,7 +636,14 @@ def duplicate_span_rate(
     are one hash aggregation on the span text; marking is a shuffled
     equi-join back on the span (the duplicated-span relation is
     corpus-sized, so it is NOT broadcast), then one aggregation keyed by
-    doc id. Three shuffles total, all on hashable keys.
+    doc id. Three shuffles total, all on hashable keys — and NONE
+    before the explode: the source is consumed map-only into the span
+    relation (plan-tested). An earlier revision staged a
+    repartition(id) here hoping both consumers of the span relation
+    would reuse the exchange, but Catalyst's per-branch column pruning
+    defeats ReuseExchange for this shape (0 reused exchanges measured),
+    so the shuffle was pure cost — the q144 precedent, deleted the
+    same way.
 
     Returns: id_col, n_spans, n_dup_spans (long), dup_rate (double).
     Documents with fewer than n tokens have no spans and are absent.
@@ -651,8 +658,7 @@ def duplicate_span_rate(
         f" ELSE array() END"
     )
     spans = (
-        df.repartition(F.col(id_col))
-        .select(F.col(id_col), words.alias("__words"))
+        df.select(F.col(id_col), words.alias("__words"))
         .select(F.col(id_col), F.explode(span_arr).alias("span"))
     )
     dup = (
@@ -755,7 +761,10 @@ def remove_duplicate_spans(
     shuffled mark-back join (dup spans are corpus-sized, never
     broadcast), coverage explode (n positions per covered span), one
     anti-join on (doc, position), one final doc-keyed aggregation to
-    reassemble. All keys hashable; no window over the corpus.
+    reassemble. All keys hashable; no window over the corpus; the
+    source reaches both explodes map-only (the staged repartition(id)
+    an earlier revision used bought no ReuseExchange under per-branch
+    column pruning — measured, then deleted per the q144 precedent).
 
     Returns: id_col, clean_text, n_tokens, n_removed. Documents with no
     duplicated spans come back verbatim (modulo whitespace collapse).
@@ -768,9 +777,7 @@ def remove_duplicate_spans(
         f"{', '.join(f'element_at(__words, i + {j})' for j in range(n))}))"
         f" ELSE array() END"
     )
-    based = df.repartition(F.col(id_col)).select(
-        F.col(id_col), words.alias("__words")
-    )
+    based = df.select(F.col(id_col), words.alias("__words"))
     toks = based.select(
         F.col(id_col), F.posexplode("__words").alias("__p0", "token")
     ).select(F.col(id_col), (F.col("__p0") + 1).alias("tpos"), "token")

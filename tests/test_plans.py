@@ -796,3 +796,32 @@ def test_q154_token_budget_two_source_scans(spark):
     names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
     assert sum(1 for n in names if "Scan parquet" in n) == 1
     assert any("InMemoryTableScan" in n for n in names)
+
+
+def test_span_operators_map_only_to_explode(spark):
+    """duplicate_span_rate / remove_duplicate_spans must consume the
+    source map-only into their span relations: an earlier revision
+    staged a repartition(id) before tokenizing, hoping the explode
+    subtree would be shared via ReuseExchange — but per-branch column
+    pruning defeats reuse for this shape (0 reused exchanges measured,
+    1.7x slower at sf0.1), so the staging shuffle was deleted (the
+    q144 precedent). Guard: no exchange is keyed on the doc id alone —
+    every shuffle left in the plan is on the span/position/doc-agg
+    keys the algorithm genuinely needs."""
+    from delta_lake_spark.operators.text import (
+        duplicate_span_rate,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for op in (duplicate_span_rate, remove_duplicate_spans):
+        plan = _plan(op(docs, "text", "doc_id"))
+        # the only doc_id-keyed exchange allowed is the FINAL per-doc
+        # aggregation / join — never one feeding an explode (the old
+        # staging shape put "Exchange hashpartitioning(doc_id" directly
+        # below Generate explode; assert that shape is gone)
+        for seg in plan.split("Generate explode")[1:]:
+            first_exchange = seg.find("Exchange")
+            if first_exchange != -1:
+                window = seg[first_exchange : first_exchange + 60]
+                assert "hashpartitioning(doc_id" not in window, window

@@ -124,6 +124,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    chunk: float | None = None,
 ) -> DataFrame:
     """As-of (backward) join: for each left row, attach the single
     LATEST right row with right_ts <= left_ts within the same key — the
@@ -137,6 +138,24 @@ def asof_join(
     last(..., ignorenulls) window. Right rows sort BEFORE left rows at
     equal timestamps, so the match is inclusive (right_ts == left_ts
     matches). Exactly |L| output rows — never a fanout, never a BNLJ.
+
+    Skew guard (``chunk``): the default single window puts one KEY's
+    whole timeline in one task — fatal when a hot key (one instrument,
+    one tenant) holds a corpus-scale timeline. ``chunk`` = a time
+    width in the timestamp's units (seconds for timestamp columns)
+    switches to the built-in two-level device the curation operators
+    standardized: (1) the running window partitions on (key,
+    floor(ts/chunk)) so no task ever holds more than one chunk of one
+    key; (2) per-(key, chunk) LAST-right summaries — one row per
+    chunk, never per event — get each chunk's carry-in payload from a
+    window over that tiny summary relation; (3) a join back on (key,
+    chunk) coalesces the local match with the carry. Same-timestamp
+    inclusivity is preserved exactly (equal ts land in the same
+    chunk). Pick ``chunk`` ~ timeline-span / desired-tasks-per-key.
+    Duplicate right timestamps within one (key, ts): the chunked
+    summary elects the max-payload row (max_by on the payload struct),
+    so give the right side unique (key, ts) rows — the same contract
+    the single-window path's tie order implies.
 
     Returns left's columns plus [c + suffix for c in right_cols]
     (right_cols defaults to right's non-key, non-ts columns) plus
@@ -169,22 +188,68 @@ def asof_join(
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__evt_ts").asc(), F.col("__is_l").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        tagged_l.unionByName(tagged_r)
-        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__is_l") == 1)
-    )
-    return matched.select(
+    out_cols = [
         *keys,
         *left_cols,
         *[F.col(f"__m.{c}").alias(c + suffix) for c in right_cols],
         F.col("__m.__ts").alias(right_ts + suffix),
+    ]
+    if chunk is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__evt_ts").asc(), F.col("__is_l").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            tagged_l.unionByName(tagged_r)
+            .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+            .filter(F.col("__is_l") == 1)
+        )
+        return matched.select(*out_cols)
+
+    # two-level skew-guarded path: (key, chunk)-bounded local window +
+    # per-chunk carry from the summary relation
+    chunk_col = F.floor(
+        F.col("__evt_ts").cast("double") / F.lit(float(chunk))
+    ).cast("long")
+    staged = (
+        tagged_l.unionByName(tagged_r).withColumn("__chunk", chunk_col)
     )
+    w_local = (
+        Window.partitionBy(*keys, "__chunk")
+        .orderBy(F.col("__evt_ts").asc(), F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = staged.withColumn(
+        "__m_local", F.last("__r", ignorenulls=True).over(w_local)
+    ).filter(F.col("__is_l") == 1)
+    # one summary row per (key, chunk) — EVERY populated chunk, not
+    # just right-bearing ones (a left-only chunk still needs its
+    # carry-in): its LAST right payload, elected by max_by whose
+    # ordering is NULL for left rows (null orderings are ignored, so a
+    # left-only chunk yields a null __last_r the carry window skips)
+    summaries = staged.groupBy(*keys, "__chunk").agg(
+        F.max_by(
+            F.col("__r"),
+            F.when(
+                F.col("__is_l") == 0,
+                F.struct(F.col("__evt_ts"), F.col("__r")),
+            ),
+        ).alias("__last_r")
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__chunk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = summaries.withColumn(
+        "__carry", F.last("__last_r", ignorenulls=True).over(w_carry)
+    ).select(*keys, "__chunk", "__carry")
+    matched = (
+        local.join(carries, [*keys, "__chunk"], "left")
+        .withColumn("__m", F.coalesce(F.col("__m_local"), F.col("__carry")))
+    )
+    return matched.select(*out_cols)
 
 
 def bucketed_join(

@@ -2566,3 +2566,44 @@ def test_score_range_contract_raises_on_raw_scores(spark):
         select_by_token_budget(df, "score", "tok", "doc_id", budget=10)
     with _pytest.raises(ValueError, match=r"\[0, 1\]"):
         score_percentiles(df, "score")
+
+
+def test_asof_join_chunked_skew_guard_matches_single_window(spark):
+    """The built-in asof skew guard: chunk=W must return EXACTLY the
+    single-window rows (same-ts inclusivity, left-only chunks pulling
+    their carry from arbitrarily far back, no-match rows null) while
+    bounding every running-window task to one (key, chunk) slice —
+    the two-level device, so a hot key's corpus-scale timeline never
+    lands in one task."""
+    from delta_lake_spark.operators.joins import asof_join
+
+    # hot key: dense timeline; cold keys: sparse, with right rows only
+    # in early chunks (forces long-range carries over left-only chunks)
+    left_rows = [("hot", float(t)) for t in range(0, 2000)] + [
+        (f"k{i}", float(100 * i + 7)) for i in range(5)
+    ]
+    right_rows = [("hot", float(t), t * 10) for t in range(0, 2000, 7)] + [
+        ("k3", 3.0, 999),
+        ("kX", 1.0, 111),  # right-only key: no output rows
+    ]
+    left = spark.createDataFrame(left_rows, "user string, ts double")
+    right = spark.createDataFrame(right_rows, "user string, ts double, v long")
+
+    base = asof_join(left, right, "user", "ts", "ts").collect()
+    chunked_df = asof_join(left, right, "user", "ts", "ts", chunk=50.0)
+    chunked = chunked_df.collect()
+    key = lambda r: (r.user, r.ts)
+    assert sorted(map(tuple, base), key=lambda t: t[:2]) == sorted(
+        map(tuple, chunked), key=lambda t: t[:2]
+    )
+    assert len(chunked) == len(left_rows)  # exactly |L|, never a fanout
+
+    # the running window must partition on (key, chunk) — the per-task
+    # bound — and the plan must stay nested-loop-free
+    plan = chunked_df._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    first_window = plan.find("windowspecdefinition")
+    spec = plan[first_window : first_window + 120]
+    assert "__chunk" in spec, spec

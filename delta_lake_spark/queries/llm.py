@@ -2030,19 +2030,27 @@ def q148_text_index_cdf_sync(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     path = _fresh("cdf_txt_corpus")
-    write_delta(docs, path)  # v0
-    idx = _fresh("cdf_txt_index")
-    build_text_index(
-        read_delta(spark, path), "text", "doc_id", idx, corpus_version=0
-    )
+    # tiny multi-commit fixture: build at minimal parallelism (cf.
+    # q146) and restore the session's setting for the served query
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        write_delta(docs, path)  # v0
+        idx = _fresh("cdf_txt_index")
+        build_text_index(
+            read_delta(spark, path), "text", "doc_id", idx,
+            corpus_version=0,
+        )
 
-    day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
-    )
-    write_delta(day2, path, mode="append")  # v1
-    DeltaTable.forPath(spark, path).delete("doc_id % 10 = 0")  # v2 (GDPR)
-    sync_text_index_from_cdf(spark, path, idx)
+        day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        write_delta(day2, path, mode="append")  # v1
+        DeltaTable.forPath(spark, path).delete("doc_id % 10 = 0")  # v2
+        sync_text_index_from_cdf(spark, path, idx)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     queries = spark.createDataFrame(
         [
@@ -3143,20 +3151,31 @@ def q146_pq_index_cdf_sync(spark, sf_dir):
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     path = _fresh("cdf_pq_corpus")
-    write_delta(emb, path)  # v0
-    idx = _fresh("cdf_pq_index")
-    build_pq_index(
-        read_delta(spark, path), idx, n_cells=16, m=4, k_codes=16, dim=64,
-        corpus_version=0,
-    )
+    # the multi-commit fixture (build -> append -> GDPR delete -> sync)
+    # is a few hundred rows across ~a dozen sequential Delta actions —
+    # its cost is per-action task latency, not data, so build it at
+    # minimal parallelism and restore the session's setting for the
+    # served query (gate-cost fix; the operators themselves never
+    # touch the conf)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        write_delta(emb, path)  # v0
+        idx = _fresh("cdf_pq_index")
+        build_pq_index(
+            read_delta(spark, path), idx, n_cells=16, m=4, k_codes=16,
+            dim=64, corpus_version=0,
+        )
 
-    day2 = emb.filter(F.col("vec_id") % 7 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
-    )
-    write_delta(day2, path, mode="append")  # v1
-    DeltaTable.forPath(spark, path).delete("vec_id % 10 = 0")  # v2 (GDPR)
-    sync_pq_index_from_cdf(spark, path, idx)
+        day2 = emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+        )
+        write_delta(day2, path, mode="append")  # v1
+        DeltaTable.forPath(spark, path).delete("vec_id % 10 = 0")  # v2
+        sync_pq_index_from_cdf(spark, path, idx)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     corpus = read_delta(spark, path)
     queries = corpus.filter(F.col("vec_id") < 5)

@@ -56,46 +56,38 @@ def _canon_spark_type(t: str) -> str:
     }.get(t, t)
 
 
-def _canon_arrow_type(t) -> str:
-    """Collapse a pyarrow type (from DuckDB .arrow()) to the same tokens."""
-    import pyarrow as pa
-
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return "array<" + _canon_arrow_type(t.value_type) + ">"
-    if pa.types.is_decimal(t):
-        return f"decimal({t.precision},{t.scale})"
-    if pa.types.is_int64(t):
-        return "bigint"
-    if pa.types.is_int32(t):
-        return "int"
-    if pa.types.is_int16(t):
-        return "smallint"
-    if pa.types.is_int8(t):
-        return "tinyint"
-    if pa.types.is_uint64(t) or pa.types.is_uint32(t) or pa.types.is_uint16(t) or pa.types.is_uint8(t):
-        return f"uint{t.bit_width}"
-    if pa.types.is_float64(t):
-        return "double"
-    if pa.types.is_float32(t):
-        return "float"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "string"
-    if pa.types.is_boolean(t):
-        return "boolean"
-    if pa.types.is_date(t):
-        return "date"
-    if pa.types.is_timestamp(t):
+def _canon_duck_type(t: str) -> str:
+    """Collapse a DuckDB DESCRIBE type string to the same tokens. The
+    known killer stays detectable: HUGEINT (what an uncast SUM yields)
+    canonicalizes to decimal(38,0), mismatching Spark's bigint."""
+    t = t.strip()
+    if t.endswith("[]"):
+        return "array<" + _canon_duck_type(t[:-2]) + ">"
+    u = t.upper()
+    if u.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    if u.startswith("TIMESTAMP"):
         return "timestamp"
-    return str(t)
+    return {
+        "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
+        "TINYINT": "tinyint", "HUGEINT": "decimal(38,0)",
+        "UBIGINT": "uint64", "UINTEGER": "uint32",
+        "USMALLINT": "uint16", "UTINYINT": "uint8",
+        "DOUBLE": "double", "FLOAT": "float", "REAL": "float",
+        "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+    }.get(u, t.lower())
 
 
 def type_drift(spark_df, con, oracle_sql: str) -> list[str]:
     """Columns whose Spark dtype and DuckDB dtype would hash differently
-    under a dtype-sensitive comparator (the driver's gate). The known killer
-    is DuckDB HUGEINT (arrow decimal128(38,0)) vs Spark BIGINT from an
-    uncast SUM."""
-    d_schema = con.execute(oracle_sql).arrow().schema
-    d_types = {f.name: _canon_arrow_type(f.type) for f in d_schema}
+    under a dtype-sensitive comparator (the driver's gate). Uses
+    DESCRIBE — planning only — so the oracle query is EXECUTED exactly
+    once per gate run (it used to run twice, doubling the cost of the
+    heavy recursive-CTE oracles)."""
+    d_types = {
+        r[0]: _canon_duck_type(r[1])
+        for r in con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    }
     drift = []
     for f in spark_df.schema.fields:
         st = _canon_spark_type(f.dataType.simpleString())

@@ -49,6 +49,7 @@ SECONDARY = [
     "q139_ivfpq_topk",
     "q145_ivfpq_residual",
     "q147_pretrain_funnel_full",
+    "q154_token_budget_select",  # curation-suite trend line at sf0.1
 ]
 
 
@@ -119,17 +120,18 @@ def main() -> None:
     names = list(QUERIES) if "--all" in sys.argv else HEADLINE
     timings = {name: bench_one(name) for name in names}
     total = round(sum(timings.values()), 3)
-    # the secondary set rides along (2 runs — these are the slowest
-    # queries; the first run still absorbs codegen) without affecting
-    # the pinned headline metric. Secondary rows are timed END TO END
-    # (construction + materialization): composition queries may probe
-    # or mutate eagerly during construction, and hiding that would
-    # under-report them (see BASELINE.md round-4 note).
+    # the secondary set rides along (best-of-3, widened by the same
+    # loadavg rule as the headline — best-of-2 is what let a noisy
+    # q139 reading masquerade as a regression in round 5) without
+    # affecting the pinned headline metric. Secondary rows are timed
+    # END TO END (construction + materialization): composition queries
+    # may probe or mutate eagerly during construction, and hiding that
+    # would under-report them (see BASELINE.md round-4 note).
     secondary = (
         {}
         if "--all" in sys.argv
         else {
-            name: bench_one(name, runs=2, include_build=True)
+            name: bench_one(name, runs=3, include_build=True)
             for name in SECONDARY
         }
     )

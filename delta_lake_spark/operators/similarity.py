@@ -1192,6 +1192,91 @@ def _encode_against_arrow(
     return v.mapInPandas(encode, schema=schema)
 
 
+def _kmeans_np(X, k: int, iters: int):
+    """Deterministic Lloyd k-means on an id-ordered sample matrix: init
+    spreads k seeds evenly over the sorted sample (no RNG), each
+    iteration assigns by squared L2 (ties to the lowest centroid index,
+    numpy argmin) and recomputes means; a cluster that empties keeps
+    its previous centroid. Pure float64 numpy with a fixed iteration
+    count — bit-reproducible for a given sample."""
+    import numpy as np
+
+    n = X.shape[0]
+    if n == 0:
+        return np.zeros((0, X.shape[1]))
+    seed_idx = np.unique(np.linspace(0, n - 1, num=min(k, n)).astype(int))
+    C = X[seed_idx].copy()
+    for _ in range(iters):
+        d = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d, axis=1)
+        # vectorized mean update (scatter-add + bincount): the naive
+        # per-cluster boolean-mask loop costs k full passes over the
+        # sample per iteration — at k=256 on a 1e5 sample that made
+        # training ~4x the whole corpus encode
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=C.shape[0]).astype(np.float64)
+        occupied = counts > 0
+        C[occupied] = sums[occupied] / counts[occupied, None]
+    return C
+
+
+def _train_quantizers_np(
+    v: DataFrame,
+    id_col: str,
+    n_cells: int,
+    m: int,
+    k_codes: int,
+    subdim: int,
+    residual: bool,
+    train_iters: int,
+    train_sample: int,
+):
+    """Train coarse + PQ centroids with driver-side k-means on a
+    BOUNDED deterministic sample — the standard IVFPQ practice
+    (quantizers train on ~1e5 vectors regardless of corpus size;
+    FAISS's default train set is the same order), so the driver never
+    holds more than ``train_sample`` vectors however large the corpus.
+    The sample is a content-hash mod filter (stable across runs and
+    partitionings), id-sorted before training so the k-means seeds are
+    reproducible. Returns (cells_rows, codebook_rows) ready for the
+    quantizer tables."""
+    import numpy as np
+
+    n = v.count()
+    rate = max(1, -(-n // train_sample))  # ceil
+    sample = v
+    if rate > 1:
+        sample = v.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0
+        )
+    rows = sorted(sample.collect(), key=lambda r: r[0])
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+
+    coarse = _kmeans_np(X, n_cells, train_iters)
+    cells_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(coarse)]
+    if residual and len(X) and len(coarse):
+        d = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ coarse.T)
+            + (coarse * coarse).sum(axis=1)[None, :]
+        )
+        Xr = X - coarse[np.argmin(d, axis=1)]
+    else:
+        Xr = X
+    codebook_rows = []
+    for s in range(m):
+        Cs = _kmeans_np(Xr[:, s * subdim : (s + 1) * subdim], k_codes, train_iters)
+        codebook_rows.extend(
+            (int(s), int(j), [float(x) for x in c]) for j, c in enumerate(Cs)
+        )
+    return cells_rows, codebook_rows
+
+
 def build_pq_index(
     vectors: DataFrame,
     index_path: str,
@@ -1204,6 +1289,8 @@ def build_pq_index(
     method: str = "arrow",
     residual: bool = False,
     corpus_version: int = 0,
+    train_iters: int = 0,
+    train_sample: int = 100_000,
 ) -> None:
     """Build the persistent IVFPQ index: three versioned Delta tables
     under ``index_path`` — the coarse-centroid table, the PQ codebook,
@@ -1234,7 +1321,22 @@ def build_pq_index(
     build reflects (the ``sync_pq_index_from_cdf`` baseline — cf.
     build_signature_index); an index built from a non-versioned
     DataFrame defaults to 0, which is only correct if that DataFrame
-    was the corpus's v0 snapshot."""
+    was the corpus's v0 snapshot.
+
+    ``train_iters`` > 0 switches the quantizers to k-means TRAINED
+    centroids (coarse + per-subspace codebooks) on a bounded
+    deterministic sample of <= ``train_sample`` vectors — the
+    production recipe for real code budgets (m=8-16, k_codes=256,
+    the 8-bit codebooks of the IVFADC literature), where the default
+    member-vector representatives cannot reach useful absolute recall
+    (measured at 1M clustered vectors, rerank=16: recall@10 0.07 with
+    the toy m=4/k=16 codebooks vs 0.81 trained residual m=8/k=256 —
+    tools/ann_bench.py). Training is driver-side numpy over the
+    sample only (never the corpus), deterministic (hash-mod sample,
+    id-sorted, evenly-spread seeds, fixed iterations) but not
+    SQL-replayable — oracle-checked queries keep train_iters=0; the
+    trained path is bench- and pytest-verified (arrow/expr encode
+    bit-parity holds for ANY stored quantizers)."""
     from ..reader import read_delta
     from ..writer import write_delta
 
@@ -1251,56 +1353,85 @@ def build_pq_index(
     )
     _assert_uniform_dim(v, dim, "build_pq_index")
 
-    cells = v.groupBy(
-        F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell")
-    ).agg(F.min_by("__v", F.col(id_col)).alias("cv"))
-    write_delta(cells, t_cells, mode="overwrite")
-
-    if residual:
-        # train the codebook on residuals (what it will actually
-        # encode); the arrow assignment is the throughput path — the
-        # interpreted expression twin made the residual build ~10x the
-        # raw build at 1M vectors (bit-parity pytest-pinned)
-        if method == "arrow":
-            venc = _residuals_arrow(v, read_delta(spark, t_cells), id_col)
-        else:
-            cells_one = _one_row(read_delta(spark, t_cells), "cell", "cv")
-            best = F.element_at(
-                F.array_sort(
-                    F.transform(
-                        F.col("__cells"),
-                        lambda c: F.struct(
-                            F.round(
-                                _sqdist(F.col("__v"), c["cv"]), 9
-                            ).alias("d"),
-                            c["cell"].alias("cell"),
-                            c["cv"].alias("cv"),
-                        ),
-                    )
-                ),
-                1,
-            )
-            venc = v.join(F.broadcast(cells_one)).select(
-                F.col(id_col),
-                F.zip_with(
-                    F.col("__v"), best["cv"], lambda x, y: x - y
-                ).alias("__v"),
-            )
+    if train_iters > 0:
+        # PRODUCTION quantizers: k-means-trained coarse centroids and
+        # per-subspace codebooks (the standard 8-bit IVFADC recipe at
+        # m=8-16 / k_codes=256) on a bounded deterministic sample —
+        # this is what lifts absolute recall at real code budgets; the
+        # train_iters=0 default keeps the deterministic member-vector
+        # representatives the SQL oracles replay
+        cells_rows, codebook_rows = _train_quantizers_np(
+            v, id_col, n_cells, m, k_codes, subdim, residual,
+            train_iters, train_sample,
+        )
+        write_delta(
+            spark.createDataFrame(cells_rows, "cell int, cv array<double>"),
+            t_cells,
+            mode="overwrite",
+        )
+        write_delta(
+            spark.createDataFrame(
+                codebook_rows, "s int, code int, cv array<double>"
+            ),
+            t_codebook,
+            mode="overwrite",
+        )
     else:
-        venc = v
-    reps = venc.groupBy(
-        F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("code")
-    ).agg(F.min_by("__v", F.col(id_col)).alias("__rep"))
-    codebook = reps.select(
-        "code",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.slice(F.col("__rep"), s * subdim + 1, subdim),
-            )
-        ).alias("s", "cv"),
-    ).select("s", "code", "cv")
-    write_delta(codebook, t_codebook, mode="overwrite")
+        cells = v.groupBy(
+            F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell")
+        ).agg(F.min_by("__v", F.col(id_col)).alias("cv"))
+        write_delta(cells, t_cells, mode="overwrite")
+        if residual:
+            # train the codebook on residuals (what it will actually
+            # encode); the arrow assignment is the throughput path — the
+            # interpreted expression twin made the residual build ~10x
+            # the raw build at 1M vectors (bit-parity pytest-pinned)
+            if method == "arrow":
+                venc = _residuals_arrow(
+                    v, read_delta(spark, t_cells), id_col
+                )
+            else:
+                cells_one = _one_row(
+                    read_delta(spark, t_cells), "cell", "cv"
+                )
+                best = F.element_at(
+                    F.array_sort(
+                        F.transform(
+                            F.col("__cells"),
+                            lambda c: F.struct(
+                                F.round(
+                                    _sqdist(F.col("__v"), c["cv"]), 9
+                                ).alias("d"),
+                                c["cell"].alias("cell"),
+                                c["cv"].alias("cv"),
+                            ),
+                        )
+                    ),
+                    1,
+                )
+                venc = v.join(F.broadcast(cells_one)).select(
+                    F.col(id_col),
+                    F.zip_with(
+                        F.col("__v"), best["cv"], lambda x, y: x - y
+                    ).alias("__v"),
+                )
+        else:
+            venc = v
+        reps = venc.groupBy(
+            F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("code")
+        ).agg(F.min_by("__v", F.col(id_col)).alias("__rep"))
+        codebook = reps.select(
+            "code",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(
+                        F.col("__rep"), s * subdim + 1, subdim
+                    ),
+                )
+            ).alias("s", "cv"),
+        ).select("s", "code", "cv")
+        write_delta(codebook, t_codebook, mode="overwrite")
 
     if method == "arrow":
         encoded = _encode_against_arrow(
@@ -1323,6 +1454,7 @@ def build_pq_index(
             _PQ_PROP + "k_codes": str(k_codes),
             _PQ_PROP + "dim": str(dim),
             _PQ_PROP + "residual": str(residual).lower(),
+            _PQ_PROP + "trainIters": str(train_iters),
             _PQ_PROP + "syncedVersion": str(corpus_version),
         },
     )

@@ -2744,6 +2744,130 @@ SELECT CAST(6 AS INTEGER), 'semantic_decontaminated', COUNT(*),
 _Q147_SQL = _gen_q147_sql()
 
 
+def q159_pretrain_funnel_bigram(spark, sf_dir):
+    """q147's full curation funnel with the LM stage upgraded from the
+    unigram proxy to the interpolated BIGRAM scorer (q144's
+    Jelinek-Mercer lam=0.5 model — the better perplexity proxy now
+    that its model join is vocab-bounded and AQE-degradable): stage 5
+    keeps s4 survivors scoring avg ln p >= -3.39 over their bigram
+    positions, then semantic decontamination runs as in q147. Same
+    composition discipline — survivors propagate as ids-only
+    semi/anti joins, s4 ids pinned once, model trained on the
+    survivors themselves, no cartesian anywhere (plan-tested)."""
+    from ..operators.similarity import semantic_decontaminate
+    from ..operators.text import bigram_lm_score
+
+    for df in _FUNNEL_CACHES.pop(spark, []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # cache belonged to a since-stopped SparkSession
+    raw, s1, s2, s3, s4, _, caches = _funnel_core(spark, sf_dir)
+    s4ids = s4.select("doc_id").persist()
+    s4r = raw.join(s4ids, "doc_id", "left_semi")
+    keep = (
+        bigram_lm_score(s4r, "text", "doc_id", lam=0.5)
+        .filter(F.col("avg_logprob") >= F.lit(-3.39))
+        .select("doc_id")
+    ).persist()
+    s5 = s4r.join(keep, "doc_id", "left_semi")
+    emb = _emb(spark, sf_dir)
+    corpus_emb = emb.join(
+        s5.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sdirty = (
+        semantic_decontaminate(
+            corpus_emb, emb.filter(F.col("vec_id") < 25), threshold=0.35
+        )
+        .filter("contaminated")
+        .select(F.col("vec_id").alias("doc_id"))
+    ).persist()
+    s6 = s5.join(sdirty, "doc_id", "left_anti")
+
+    out = (
+        _funnel_stage_row(raw, 0, "raw")
+        .unionByName(_funnel_stage_row(s1, 1, "quality"))
+        .unionByName(_funnel_stage_row(s2, 2, "exact_dedup"))
+        .unionByName(_funnel_stage_row(s3, 3, "near_dedup"))
+        .unionByName(_funnel_stage_row(s4r, 4, "decontaminated"))
+        .unionByName(_funnel_stage_row(s5, 5, "bigram_lm_filter"))
+        .unionByName(_funnel_stage_row(s6, 6, "semantic_decontaminated"))
+    )
+    _FUNNEL_CACHES[spark] = caches + [s4ids, keep, sdirty]
+    return out
+
+
+def _gen_q159_sql() -> str:
+    """DuckDB replica of the bigram-LM funnel: q137's recursive-CTE
+    replay + q144's interpolated-bigram formula trained on the s4
+    survivors (min_count=1, so every training token is in-vocab and
+    the OOV branches are exact no-ops) + the semantic stage. Built by
+    extending _Q137_SQL so shared stages can never drift."""
+    ctes, rows = _Q137_SQL.split("\nSELECT CAST(0 AS INTEGER)", 1)
+    return (
+        ctes
+        + r""",
+wB AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') AS w
+  FROM s4
+),
+pairsB AS (
+  SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM wB)
+  WHERE i + 1 <= len(w)
+),
+toksB AS (SELECT unnest(w) AS term FROM wB),
+uniB AS (SELECT term, COUNT(*) AS c1 FROM toksB GROUP BY term),
+totB AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total FROM uniB),
+bigB AS (SELECT prev, cur, COUNT(*) AS c2 FROM pairsB GROUP BY prev, cur),
+scB AS (
+  SELECT p.doc_id,
+    0.5 * b.c2 / up.c1 + 0.5 * uc.c1 / t.total AS prob
+  FROM pairsB p
+  JOIN bigB b ON b.prev = p.prev AND b.cur = p.cur
+  JOIN uniB up ON up.term = p.prev
+  JOIN uniB uc ON uc.term = p.cur, totB t
+),
+lmB AS (
+  SELECT doc_id, ROUND(AVG(ln(prob)), 9) AS alp FROM scB GROUP BY doc_id
+),
+s5 AS (
+  SELECT s4.doc_id, s4.text FROM s4 JOIN lmB USING (doc_id)
+  WHERE lmB.alp >= -3.39
+),
+embv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+evv AS (SELECT v FROM embv WHERE vec_id < 25),
+simsS AS (
+  SELECT c.vec_id,
+    ROUND(MAX(list_dot_product(c.v, e.v) /
+      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(e.v, e.v)))),
+      9) AS ms
+  FROM embv c, evv e
+  WHERE c.vec_id IN (SELECT doc_id FROM s5)
+  GROUP BY c.vec_id
+),
+s6 AS (
+  SELECT doc_id, text FROM s5
+  WHERE doc_id NOT IN (SELECT vec_id FROM simsS WHERE ms >= 0.35)
+)"""
+        + "\nSELECT CAST(0 AS INTEGER)"
+        + rows
+        + r"""UNION ALL
+SELECT CAST(5 AS INTEGER), 'bigram_lm_filter', COUNT(*),
+  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
+    AS BIGINT) FROM s5
+UNION ALL
+SELECT CAST(6 AS INTEGER), 'semantic_decontaminated', COUNT(*),
+  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))), 0)
+    AS BIGINT) FROM s6
+"""
+    )
+
+
+_Q159_SQL = _gen_q159_sql()
+
+
 def q138_pq_topk(spark, sf_dir):
     """Product-quantization ANN top-k (ADC). Like q36, every stage is
     deterministic arithmetic (modulo arg_min codebooks, 1e-9-rounded
@@ -3598,6 +3722,7 @@ QUERIES = {
     "q145_ivfpq_residual": q145_ivfpq_residual,
     "q146_pq_index_cdf_sync": q146_pq_index_cdf_sync,
     "q147_pretrain_funnel_full": q147_pretrain_funnel_full,
+    "q159_pretrain_funnel_bigram": q159_pretrain_funnel_bigram,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
     "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
@@ -3713,6 +3838,7 @@ ORACLE_SQL = {
     "q145_ivfpq_residual": _Q145_SQL,
     "q146_pq_index_cdf_sync": _Q146_SQL,
     "q147_pretrain_funnel_full": _Q147_SQL,
+    "q159_pretrain_funnel_bigram": _Q159_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
     "q150_hybrid_search_rrf": _Q150_SQL,

@@ -825,3 +825,27 @@ def test_span_operators_map_only_to_explode(spark):
             if first_exchange != -1:
                 window = seg[first_exchange : first_exchange + 60]
                 assert "hashpartitioning(doc_id" not in window, window
+
+
+def test_q159_bigram_funnel_composition_no_cartesian(spark):
+    """The bigram-LM variant of the full funnel must keep the same
+    composition discipline as q147: semi/anti survivor propagation, the
+    bigram-count relation joined as a shuffled equi-join (never a
+    cartesian), 1-row aggregates as the only nested-loop broadcasts."""
+    from delta_lake_spark.queries.llm import (
+        _FUNNEL_CACHES,
+        q159_pretrain_funnel_bigram,
+    )
+
+    out = q159_pretrain_funnel_bigram(spark, SF_DIR)
+    try:
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        import re
+
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+            assert "HashAggregate" in plan[m.start():], plan[m.start():m.start() + 500]
+    finally:
+        for df in _FUNNEL_CACHES.pop(spark, []):
+            df.unpersist()

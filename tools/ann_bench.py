@@ -235,10 +235,31 @@ def bench_scale(spark: SparkSession, n: int) -> dict:
             ("recall_clustered_residual", True),
         ):
             p = os.path.join(tmp, key)
+            t0 = time.perf_counter()
             build_pq_index(
                 cvecs, p, n_cells=128, m=4, k_codes=16, dim=DIM,
                 residual=res,
             )
+            out[key + "_build_s"] = round(time.perf_counter() - t0, 2)
+            out[key] = crecall(p, rerank=4)
+            out[key + "_rerank16"] = crecall(p, rerank=16)
+
+        # PRODUCTION code budget: k-means-trained quantizers at
+        # m=8 / k_codes=256 (the standard 8-bit IVFADC codebooks) —
+        # the toy member-vector codebooks above show the pipeline
+        # works; THIS row shows the recall a production deployment
+        # gets at the same nprobe/rerank
+        for key, res in (
+            ("recall_trained_m8k256", False),
+            ("recall_trained_m8k256_residual", True),
+        ):
+            p = os.path.join(tmp, key)
+            t0 = time.perf_counter()
+            build_pq_index(
+                cvecs, p, n_cells=128, m=8, k_codes=256, dim=DIM,
+                residual=res, train_iters=10,
+            )
+            out[key + "_build_s"] = round(time.perf_counter() - t0, 2)
             out[key] = crecall(p, rerank=4)
             out[key + "_rerank16"] = crecall(p, rerank=16)
     finally:

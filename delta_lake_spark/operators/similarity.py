@@ -1213,13 +1213,18 @@ def _kmeans_np(X, k: int, iters: int):
             + (C * C).sum(axis=1)[None, :]
         )
         a = np.argmin(d, axis=1)
-        # vectorized mean update (scatter-add + bincount): the naive
-        # per-cluster boolean-mask loop costs k full passes over the
-        # sample per iteration — at k=256 on a 1e5 sample that made
-        # training ~4x the whole corpus encode
-        sums = np.zeros_like(C)
-        np.add.at(sums, a, X)
+        # vectorized mean update via per-dimension bincount (fast C
+        # path). Both earlier forms were traps: the per-cluster
+        # boolean-mask loop costs k full passes over the sample per
+        # iteration, and np.add.at is the UNBUFFERED ufunc path
+        # (~element-at-a-time) — each made training several times the
+        # whole corpus encode at k=256 on a 1e5 sample
         counts = np.bincount(a, minlength=C.shape[0]).astype(np.float64)
+        sums = np.empty_like(C)
+        for dcol in range(X.shape[1]):
+            sums[:, dcol] = np.bincount(
+                a, weights=X[:, dcol], minlength=C.shape[0]
+            )
         occupied = counts > 0
         C[occupied] = sums[occupied] / counts[occupied, None]
     return C
@@ -1257,7 +1262,18 @@ def _train_quantizers_np(
     rows = sorted(sample.collect(), key=lambda r: r[0])
     X = np.array([r["__v"] for r in rows], dtype=np.float64)
 
-    coarse = _kmeans_np(X, n_cells, train_iters)
+    def fit_subset(Xf, k):
+        # cap each k-means fit at 128 points per centroid (the FAISS
+        # max_points_per_centroid device): quantizer quality saturates
+        # well below that, and the deterministic even stride over the
+        # id-sorted (content-hash-random) sample keeps the subset
+        # reproducible
+        cap = 128 * k
+        if len(Xf) > cap:
+            return Xf[:: len(Xf) // cap][:cap]
+        return Xf
+
+    coarse = _kmeans_np(fit_subset(X, n_cells), n_cells, train_iters)
     cells_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(coarse)]
     if residual and len(X) and len(coarse):
         d = (
@@ -1268,6 +1284,7 @@ def _train_quantizers_np(
         Xr = X - coarse[np.argmin(d, axis=1)]
     else:
         Xr = X
+    Xr = fit_subset(Xr, k_codes)
     codebook_rows = []
     for s in range(m):
         Cs = _kmeans_np(Xr[:, s * subdim : (s + 1) * subdim], k_codes, train_iters)
@@ -1290,7 +1307,7 @@ def build_pq_index(
     residual: bool = False,
     corpus_version: int = 0,
     train_iters: int = 0,
-    train_sample: int = 100_000,
+    train_sample: int = 65_536,
 ) -> None:
     """Build the persistent IVFPQ index: three versioned Delta tables
     under ``index_path`` — the coarse-centroid table, the PQ codebook,

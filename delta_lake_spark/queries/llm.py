@@ -2868,6 +2868,171 @@ SELECT CAST(6 AS INTEGER), 'semantic_decontaminated', COUNT(*),
 _Q159_SQL = _gen_q159_sql()
 
 
+def q161_curriculum_shards(spark, sf_dir):
+    """Curriculum data ordering: documents are staged easy->hard by
+    CALIBRATED quality (empirical-CDF percentile, so the phase cut is
+    a corpus fraction, not a raw-score guess) into ``n_phases``
+    training phases, then content-hash-sharded WITHIN each phase — the
+    ordering curriculum-trained runs consume (each phase is a shard
+    set; within a phase, order is decorrelated). Composition of two
+    audited operators: score_percentiles (one corpus scan + tiny bins
+    window + broadcast join) and the shard_shuffle device keyed on
+    (phase, shard) — per-task state stays one shard of one phase, and
+    the whole plan carries ONE corpus-sized exchange (the per-shard
+    window), same as a plain sharded write."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import _bucket, score_percentiles
+    from ..operators.text import quality_score
+
+    n_phases, n_shards = 4, 8
+    scored = score_percentiles(
+        quality_score(_docs(spark, sf_dir), "text", "doc_id"), "quality"
+    )
+    staged = scored.select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("score_pct") * n_phases).cast("int"),
+            F.lit(n_phases - 1),
+        ).alias("phase"),
+        _bucket(F.col("doc_id"), "curriculum-v1").alias("__h"),
+    ).withColumn(
+        "shard_id",
+        F.pmod(F.conv(F.col("__h"), 16, 10).cast("long"), F.lit(n_shards))
+        .cast("int"),
+    )
+    w = Window.partitionBy("phase", "shard_id").orderBy(
+        F.col("__h"), F.col("doc_id")
+    )
+    return staged.select(
+        "doc_id", "phase", "shard_id",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+_Q161_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.3 + (n_uniq / n_tokens) * 0.4
+          + (alpha_chars / n_chars) * 0.3, 6) AS quality
+  FROM base
+),
+s AS (
+  SELECT doc_id, quality, CAST(FLOOR(quality * 1000) AS INTEGER) AS b
+  FROM q WHERE quality IS NOT NULL
+),
+cdf AS (SELECT b, COUNT(*) AS c FROM s GROUP BY b),
+w AS (
+  SELECT b,
+    COALESCE(SUM(c) OVER (
+      ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS below,
+    SUM(c) OVER () AS total
+  FROM cdf
+),
+pct AS (
+  SELECT s.doc_id, ROUND(w.below * 1.0 / w.total, 9) AS p
+  FROM s JOIN w USING (b)
+),
+staged AS (
+  SELECT doc_id,
+    CAST(least(CAST(FLOOR(p * 4) AS INTEGER), 3) AS INTEGER) AS phase,
+    substr(md5('curriculum-v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+  FROM pct
+)
+SELECT doc_id, phase,
+  CAST(CAST('0x' || hx AS BIGINT) % 8 AS INTEGER) AS shard_id,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY phase, CAST('0x' || hx AS BIGINT) % 8
+    ORDER BY hx, doc_id
+  ) AS INTEGER) AS pos
+FROM staged
+"""
+
+
+def q160_reference_lm_score(spark, sf_dir):
+    """CCNet's ACTUAL filtering design (Wenzek et al. 2020): the LM is
+    trained on a trusted REFERENCE corpus (Wikipedia there; the
+    high-quality slice here — quality >= 0.6, min_count=2 vocabulary
+    cap), then EVERY document is scored against that fixed model —
+    q103/q147 train on the corpus being scored, which drifts with the
+    corpus; a reference model gives scores comparable across corpora
+    and rounds. Out-of-reference-vocabulary tokens take the 0.5-count
+    floor, so junk pages score low rather than erroring. Scale shape
+    inherits the operator: vocabulary-capped model joined WITHOUT a
+    forced broadcast (AQE degrades to shuffle), corpus side one
+    explode + join + doc-keyed aggregation."""
+    from ..operators.text import quality_score, unigram_lm_score
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.join(
+        quality_score(docs, "text", "doc_id")
+        .filter(F.col("quality") >= 0.6)
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    toks = ref.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term")
+    )
+    model = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 2)
+    )
+    return unigram_lm_score(docs, "text", "doc_id", model=model)
+
+
+_Q160_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.3 + (n_uniq / n_tokens) * 0.4
+          + (alpha_chars / n_chars) * 0.3, 6) AS quality
+  FROM base
+),
+ref AS (SELECT doc_id, text FROM q WHERE quality >= 0.6),
+rtoks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM ref
+),
+model AS (
+  SELECT term, COUNT(*) AS freq FROM rtoks GROUP BY term
+  HAVING COUNT(*) >= 2
+),
+tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM model),
+dtoks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+scored AS (
+  SELECT d.doc_id, ln(COALESCE(m.freq, 0.5)) AS lnf
+  FROM dtoks d LEFT JOIN model m USING (term)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG(lnf) - (SELECT ln(t) FROM tot), 9) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 def q138_pq_topk(spark, sf_dir):
     """Product-quantization ANN top-k (ADC). Like q36, every stage is
     deterministic arithmetic (modulo arg_min codebooks, 1e-9-rounded
@@ -3723,6 +3888,8 @@ QUERIES = {
     "q146_pq_index_cdf_sync": q146_pq_index_cdf_sync,
     "q147_pretrain_funnel_full": q147_pretrain_funnel_full,
     "q159_pretrain_funnel_bigram": q159_pretrain_funnel_bigram,
+    "q160_reference_lm_score": q160_reference_lm_score,
+    "q161_curriculum_shards": q161_curriculum_shards,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
     "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
@@ -3839,6 +4006,8 @@ ORACLE_SQL = {
     "q146_pq_index_cdf_sync": _Q146_SQL,
     "q147_pretrain_funnel_full": _Q147_SQL,
     "q159_pretrain_funnel_bigram": _Q159_SQL,
+    "q160_reference_lm_score": _Q160_SQL,
+    "q161_curriculum_shards": _Q161_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
     "q150_hybrid_search_rrf": _Q150_SQL,

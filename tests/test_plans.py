@@ -794,7 +794,11 @@ def test_q154_token_budget_two_source_scans(spark):
         ep = ep.executedPlan()
     leaves = ep.collectLeaves()
     names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
-    assert sum(1 for n in names if "Scan parquet" in n) == 1
+    # <= 1: when another test's persist covers the same parquet subtree,
+    # CacheManager substitutes even the result scan (0 file scans) —
+    # the invariant under guard is that the old 3-scan shape never
+    # returns
+    assert sum(1 for n in names if "Scan parquet" in n) <= 1, names
     assert any("InMemoryTableScan" in n for n in names)
 
 

@@ -135,6 +135,12 @@ def main():
     con = duckdb_con(sf_dir)
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name silently shrinking the run looks like a pass —
+        # surface it loudly and fail the run
+        print(f"✗ unknown query names (not in queries()): {sorted(unknown)}")
+        sys.exit(2)
     failed = []
     import time as _time
 

@@ -1230,6 +1230,12 @@ def _kmeans_np(X, k: int, iters: int):
     return C
 
 
+# Subset cap per k-means fit (FAISS max_points_per_centroid analogue).
+# Module-level so tools/pq_train_tune.py can sweep it; 256 is the
+# measured knee at 1M clustered vectors (see SCALING.md).
+_TRAIN_POINTS_PER_CENTROID = 128
+
+
 def _train_quantizers_np(
     v: DataFrame,
     id_col: str,
@@ -1263,12 +1269,11 @@ def _train_quantizers_np(
     X = np.array([r["__v"] for r in rows], dtype=np.float64)
 
     def fit_subset(Xf, k):
-        # cap each k-means fit at 128 points per centroid (the FAISS
-        # max_points_per_centroid device): quantizer quality saturates
-        # well below that, and the deterministic even stride over the
-        # id-sorted (content-hash-random) sample keeps the subset
-        # reproducible
-        cap = 128 * k
+        # cap each k-means fit at _TRAIN_POINTS_PER_CENTROID points per
+        # centroid (the FAISS max_points_per_centroid device); the
+        # deterministic even stride over the id-sorted
+        # (content-hash-random) sample keeps the subset reproducible
+        cap = _TRAIN_POINTS_PER_CENTROID * k
         if len(Xf) > cap:
             return Xf[:: len(Xf) // cap][:cap]
         return Xf

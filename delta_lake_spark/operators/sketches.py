@@ -1,0 +1,241 @@
+"""Distributed sketch operators: cardinality and frequency estimation
+whose cost at 100 TB is a map-side-combinable aggregation to a few KB
+of state, never a corpus-cardinality shuffle.
+
+Both sketches are built from DETERMINISTIC arithmetic (md5-derived
+60-bit hashes, integer register math, one final double division), so a
+DuckDB oracle replays them value-exactly — same discipline as the rest
+of the approximate-operator suite (MinHash, SimHash, PQ): the
+approximation is in the ALGORITHM, never in run-to-run nondeterminism.
+
+Why not Spark's built-in approx_count_distinct / CountMinSketch? Their
+estimates depend on internal hash seeds and merge order, so no
+cross-engine oracle can check them; these operators trade a little
+per-row hash cost for a value-exact correctness gate while keeping the
+identical scale shape (registers/cells are the only reduced state).
+
+Scale notes
+-----------
+- `hll_distinct`: one groupBy (group_keys, bucket) max-aggregation —
+  partial aggregation reduces every partition to <= m rows per group
+  before the exchange, so shuffle volume is O(groups * m), independent
+  of row count. The estimate itself is computed from an EXACT integer
+  register sum (sum of 2^(51-M_j) — fits int64 for p >= 8), so
+  floating-point addition order cannot perturb results across engines.
+- `countmin_counts`: corpus tokens aggregate straight into d*w cells
+  (explode by d rows, then one partial-aggregated count to d*w cells —
+  never a per-term shuffle), probes join the tiny cell relation.
+  Estimates are exact integers (min over d cell sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash: 15 md5 hex chars — the widest prefix that can never
+# overflow a signed int64 (16 chars could). Same device DuckDB
+# replays as CAST('0x' || substr(md5(x), 1, 15) AS BIGINT).
+_HASH_BITS = 60
+
+
+def _h60(col: Column, salt: str = "") -> Column:
+    base = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant of the HyperLogLog estimator
+    (Flajolet et al. 2007) for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Estimate COUNT(DISTINCT col) per group with a deterministic
+    HyperLogLog (p-bit bucket index, 2^p registers).
+
+    Register update is the classic max-of-rho aggregation; the final
+    harmonic sum is computed EXACTLY as sum(2^(51 - M_j)) in int64
+    (p=10 -> max rho 51, register term <= 2^50, sum over 1024
+    registers < 2^60), so the only floating-point steps are one
+    division and (in the small-range branch) one ln — both
+    bit-stable across engines. Small-range correction (linear
+    counting) applies when E <= 2.5m and empty registers exist.
+
+    Returns one row per group: (*group_cols, est_distinct double).
+    """
+    if not 8 <= p <= 16:
+        raise ValueError(f"p must be in [8, 16], got {p}")
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    max_rho = _HASH_BITS - p + 1  # 51 for p=10
+
+    h = _h60(F.col(col))
+    bucket = F.pmod(h, F.lit(m))
+    # upper 60-p bits via an integer shift (h is positive; a double
+    # division here would round — ulp at 2^60 is 128)
+    w = F.shiftright(h, p)
+    # rho = leading-zero count of the (60-p)-bit remainder + 1,
+    # computed exactly from the binary-string length (no log2 floats)
+    rho = F.when(w == 0, F.lit(max_rho)).otherwise(
+        F.lit(max_rho) - F.length(F.bin(w))
+    )
+
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, bucket.alias("__bucket"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    # exact integer register sum: present registers contribute
+    # 2^(max_rho - M_j), the (m - n_present) empty ones contribute
+    # 2^max_rho each (i.e. 2^-0 scaled by 2^max_rho)
+    scale = 1 << max_rho
+    per_group = regs.groupBy(*group_cols).agg(
+        # F.shiftleft only takes a literal shift amount — SQL form
+        # accepts an expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - __M)"))
+        .alias("__s_present"),
+        F.count("*").alias("__n_present"),
+    )
+    s_total = F.col("__s_present") + (F.lit(m) - F.col("__n_present")) * F.lit(
+        scale
+    )
+    v_empty = F.lit(m) - F.col("__n_present")
+    # alpha * m^2 * 2^max_rho folded into ONE double literal so both
+    # engines perform the identical single division
+    numer = float(hll_alpha(m)) * float(m) * float(m) * float(scale)
+    e_raw = F.lit(numer) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(
+        *group_cols, F.round(est, 6).alias("est_distinct")
+    )
+
+
+def hll_distinct_sql(
+    table_expr: str,
+    col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> str:
+    """DuckDB replica of :func:`hll_distinct` over ``table_expr``
+    (a table name or parenthesized subquery with columns ``col`` and
+    ``group_cols``). Kept beside the operator so the two formulas can
+    never drift."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    max_rho = _HASH_BITS - p + 1
+    scale = 1 << max_rho
+    numer = repr(float(hll_alpha(m)) * float(m) * float(m) * float(scale))
+    gsel = "".join(f"{g}, " for g in group_cols)
+    gby = ("GROUP BY " + ", ".join(group_cols)) if group_cols else ""
+    gby_bucket = "GROUP BY " + "".join(f"{g}, " for g in group_cols) + "b"
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}
+    CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT) AS h
+  FROM {table_expr} WHERE {col} IS NOT NULL
+),
+rho AS (
+  SELECT {gsel} h % {m} AS b,
+    CASE WHEN h // {m} = 0 THEN {max_rho}
+         ELSE {max_rho} - length(bin(h // {m})) END AS r
+  FROM hashed
+),
+regs AS (
+  SELECT {gsel} b, MAX(r) AS mr FROM rho {gby_bucket}
+),
+agg AS (
+  SELECT {gsel}
+    CAST(SUM(CAST(1 AS BIGINT) << ({max_rho} - mr)) AS BIGINT) AS s_present,
+    COUNT(*) AS n_present
+  FROM regs {gby}
+)
+SELECT {gsel}
+  ROUND(
+    CASE WHEN {numer} / CAST(s_present + ({m} - n_present) * CAST({scale} AS BIGINT) AS DOUBLE)
+              <= {2.5 * m}
+          AND ({m} - n_present) > 0
+         THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_present AS DOUBLE))
+         ELSE {numer} / CAST(s_present + ({m} - n_present) * CAST({scale} AS BIGINT) AS DOUBLE)
+    END, 6) AS est_distinct
+FROM agg
+"""
+
+
+def countmin_counts(
+    tokens: DataFrame,
+    col: str,
+    probes: DataFrame,
+    d: int = 4,
+    w: int = 2048,
+) -> DataFrame:
+    """Count-min frequency estimates for a probe set of values.
+
+    Builds the d x w sketch in one aggregation (each token row explodes
+    to its d (row, cell) coordinates; partial aggregation collapses
+    every partition to <= d*w cells before the exchange), then serves
+    each probe value min-over-d of its cells. The sketch is MERGEABLE
+    state: cells from disjoint corpus shards add, which is what makes
+    it maintainable incrementally at 100 TB.
+
+    ``probes`` must be a SMALL relation (query-batch-sized) with column
+    ``col``; estimates are exact integers (overestimates only, the CM
+    guarantee). Returns (col, est_count long).
+    """
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+
+    def cells(c: Column) -> Column:
+        return F.array(
+            *[F.pmod(_h60(c, salt=f"cm{i}|"), F.lit(w)) for i in range(d)]
+        )
+
+    sketch = (
+        tokens.filter(F.col(col).isNotNull())
+        .select(F.posexplode(cells(F.col(col))).alias("__row", "__cell"))
+        .groupBy("__row", "__cell")
+        .agg(F.count("*").alias("__n"))
+    )
+    probe_cells = probes.select(
+        col, F.posexplode(cells(F.col(col))).alias("__row", "__cell")
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["__row", "__cell"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("__n"), F.lit(0))).alias("est_count"))
+    )
+
+
+def countmin_counts_sql(
+    tokens_expr: str, col: str, probes_expr: str, d: int = 4, w: int = 2048
+) -> str:
+    """DuckDB replica of :func:`countmin_counts`."""
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS r, CAST('0x' || substr(md5('cm{i}|' || {col}), 1, 15) AS BIGINT) % {w} AS cell, {col} AS v"
+        f" FROM {tokens_expr} WHERE {col} IS NOT NULL"
+        for i in range(d)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {i} AS r, CAST('0x' || substr(md5('cm{i}|' || {col}), 1, 15) AS BIGINT) % {w} AS cell, {col} AS v"
+        f" FROM {probes_expr} WHERE {col} IS NOT NULL"
+        for i in range(d)
+    )
+    return f"""
+WITH coords AS ({cell_rows}),
+sketch AS (
+  SELECT r, cell, COUNT(*) AS n FROM coords GROUP BY r, cell
+),
+pcoords AS ({probe_rows})
+SELECT p.v AS {col}, CAST(MIN(COALESCE(s.n, 0)) AS BIGINT) AS est_count
+FROM pcoords p LEFT JOIN sketch s ON s.r = p.r AND s.cell = p.cell
+GROUP BY p.v
+"""

@@ -3033,6 +3033,86 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q162_hll_distinct_tokens(spark, sf_dir):
+    """Per-language distinct-token cardinality via the deterministic
+    HyperLogLog sketch (`operators/sketches.py` hll_distinct, p=10 ->
+    1024 registers, ~3.2% expected error). The scale story is the
+    point: vocabulary cardinality over 100 TB costs one map-side-
+    combinable max-aggregation to <= 1024 registers per language —
+    never the corpus-cardinality (lang, term) distinct shuffle an
+    exact count needs. Register math is exact-integer end to end, so
+    the DuckDB oracle replays the ESTIMATE value-exactly."""
+    from ..operators.sketches import hll_distinct
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    return hll_distinct(toks, "term", ["lang"], p=10)
+
+
+def _gen_q162_sql() -> str:
+    from ..operators.sketches import hll_distinct_sql
+
+    toks = (
+        r"(SELECT lang, unnest(string_split_regex(trim(lower(text)), "
+        r"'\s+')) AS term FROM documents) toks"
+    )
+    return hll_distinct_sql(toks, "term", ["lang"], p=10)
+
+
+_Q162_SQL = _gen_q162_sql()
+
+
+def q163_countmin_term_counts(spark, sf_dir):
+    """Count-min frequency estimates for a probe vocabulary (the
+    distinct terms of documents 0-4) over the whole corpus
+    (`operators/sketches.py` countmin_counts, d=4 x w=2048 cells).
+    The corpus aggregates straight into the 8192-cell sketch (partial
+    aggregation collapses every partition before the exchange — no
+    per-term shuffle), probes join the broadcast cell relation; cells
+    from disjoint shards ADD, which is what makes the sketch
+    incrementally maintainable at 100 TB. Estimates are exact
+    integers (min over rows), so the oracle is value-exact."""
+    from ..operators.sketches import countmin_counts
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        )
+    )
+    probes = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .distinct()
+    )
+    return countmin_counts(toks, "term", probes)
+
+
+def _gen_q163_sql() -> str:
+    from ..operators.sketches import countmin_counts_sql
+
+    toks = (
+        r"(SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) "
+        r"AS term FROM documents) toks"
+    )
+    probes = (
+        r"(SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), "
+        r"'\s+')) AS term FROM documents WHERE doc_id < 5) probes"
+    )
+    return countmin_counts_sql(toks, "term", probes)
+
+
+_Q163_SQL = _gen_q163_sql()
+
+
 def q138_pq_topk(spark, sf_dir):
     """Product-quantization ANN top-k (ADC). Like q36, every stage is
     deterministic arithmetic (modulo arg_min codebooks, 1e-9-rounded
@@ -3890,6 +3970,8 @@ QUERIES = {
     "q159_pretrain_funnel_bigram": q159_pretrain_funnel_bigram,
     "q160_reference_lm_score": q160_reference_lm_score,
     "q161_curriculum_shards": q161_curriculum_shards,
+    "q162_hll_distinct_tokens": q162_hll_distinct_tokens,
+    "q163_countmin_term_counts": q163_countmin_term_counts,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
     "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
@@ -4008,6 +4090,8 @@ ORACLE_SQL = {
     "q159_pretrain_funnel_bigram": _Q159_SQL,
     "q160_reference_lm_score": _Q160_SQL,
     "q161_curriculum_shards": _Q161_SQL,
+    "q162_hll_distinct_tokens": _Q162_SQL,
+    "q163_countmin_term_counts": _Q163_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
     "q150_hybrid_search_rrf": _Q150_SQL,

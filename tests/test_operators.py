@@ -2700,3 +2700,72 @@ def test_trained_pq_production_budget_recall_and_parity(spark, tmp_path):
     c = codes(trained)
     assert c == codes(twin) and len(c) == n
     assert c == codes(again)
+
+
+def test_hll_distinct_accuracy_and_multiplicity_invariance(spark):
+    from delta_lake_spark.operators.sketches import hll_distinct
+
+    base = spark.range(20_000).select(
+        F.concat(F.lit("tok-"), F.col("id")).alias("v")
+    )
+    est = hll_distinct(base, "v").collect()[0].est_distinct
+    assert abs(est - 20_000) / 20_000 < 0.1, est
+    # a sketch counts VALUES, not rows: duplicating the input must not
+    # move the estimate at all (same registers -> identical doubles)
+    est_dup = hll_distinct(base.union(base), "v").collect()[0].est_distinct
+    assert est_dup == est
+    # and the estimate is partitioning-independent (deterministic hash)
+    est_rep = (
+        hll_distinct(base.repartition(13), "v").collect()[0].est_distinct
+    )
+    assert est_rep == est
+
+
+def test_hll_distinct_grouped_tracks_group_cardinalities(spark):
+    from delta_lake_spark.operators.sketches import hll_distinct
+
+    df = spark.range(11_000).select(
+        F.when(F.col("id") < 10_000, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("g"),
+        F.concat(
+            F.lit("v"),
+            F.when(F.col("id") < 10_000, F.col("id")).otherwise(
+                F.pmod(F.col("id"), 100)
+            ),
+        ).alias("v"),
+    )
+    got = {r.g: r.est_distinct for r in hll_distinct(df, "v", ["g"]).collect()}
+    assert abs(got["big"] - 10_000) / 10_000 < 0.1, got
+    assert abs(got["small"] - 100) / 100 < 0.15, got
+
+
+def test_countmin_never_underestimates_and_is_partition_stable(spark):
+    from delta_lake_spark.operators.sketches import countmin_counts
+
+    tokens = (
+        spark.range(1_000).select(F.lit("alpha").alias("v"))
+        .union(spark.range(500).select(F.lit("beta").alias("v")))
+        .union(
+            spark.range(3_000).select(
+                F.concat(F.lit("noise-"), F.col("id")).alias("v")
+            )
+        )
+    )
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("absent",)], "v string"
+    )
+    got = {
+        r.v: r.est_count
+        for r in countmin_counts(tokens, "v", probes).collect()
+    }
+    # the count-min guarantee: estimates only ever OVERcount
+    assert got["alpha"] >= 1_000 and got["beta"] >= 500
+    # collisions with 3.5k distinct values in 4x2048 cells stay tiny
+    assert got["alpha"] <= 1_050 and got["beta"] <= 550, got
+    assert 0 <= got["absent"] <= 50, got
+    rep = {
+        r.v: r.est_count
+        for r in countmin_counts(tokens.repartition(7), "v", probes).collect()
+    }
+    assert rep == got

@@ -853,3 +853,46 @@ def test_q159_bigram_funnel_composition_no_cartesian(spark):
     finally:
         for df in _FUNNEL_CACHES.pop(spark, []):
             df.unpersist()
+
+
+def test_hll_distinct_shuffles_registers_never_terms(spark):
+    from delta_lake_spark.operators.sketches import hll_distinct
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    df = hll_distinct(toks, "term", ["lang"])
+    df.collect()
+    plan = _plan(df)
+    # map-side combine runs before any exchange, and nothing ever
+    # hash-partitions by the raw token column — the shuffled relations
+    # are register-bounded (<= groups * 1024 rows)
+    assert "partial_max" in plan
+    assert "hashpartitioning(term" not in plan
+
+
+def test_countmin_probe_join_broadcasts_sketch_cells(spark):
+    from delta_lake_spark.operators.sketches import countmin_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        )
+    )
+    probes = docs.filter("doc_id < 5").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        )
+    ).distinct()
+    df = countmin_counts(toks, "term", probes)
+    df.collect()
+    plan = _plan(df)
+    # the d*w-cell sketch broadcasts to the probe side; the corpus
+    # aggregates map-side into cells first (partial_count)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan

@@ -3113,6 +3113,106 @@ def _gen_q163_sql() -> str:
 _Q163_SQL = _gen_q163_sql()
 
 
+def q164_excess_perplexity_select(spark, sf_dir):
+    """RHO-style data selection by EXCESS likelihood: every document is
+    scored under the reference LM (trained on the high-quality slice —
+    q160's model) AND the self LM (trained on the whole corpus), and
+    the selected set is documents the reference model likes strictly
+    more (excess = ref_lp - self_lp > 0) — the 'learnable, high-quality'
+    region the RHO-1 selection targets, with the corpus model standing
+    in for the training run's own loss. The selection is a map-only
+    threshold on two aggregate scores (no global sort/rank anywhere),
+    so it composes with the curation suite at any corpus size; both LM
+    joins inherit the vocab-bounded AQE-degradable model join.
+
+    Returns (doc_id, ref_lp, self_lp, excess) for selected documents.
+    """
+    from ..operators.text import quality_score, unigram_lm_score
+
+    docs = _docs(spark, sf_dir)
+    ref_docs = docs.join(
+        quality_score(docs, "text", "doc_id")
+        .filter(F.col("quality") >= 0.6)
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    ref_toks = ref_docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term")
+    )
+    ref_model = (
+        ref_toks.groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 2)
+    )
+    ref = unigram_lm_score(docs, "text", "doc_id", model=ref_model).select(
+        "doc_id", F.col("avg_logprob").alias("ref_lp")
+    )
+    self_ = unigram_lm_score(docs, "text", "doc_id").select(
+        "doc_id", F.col("avg_logprob").alias("self_lp")
+    )
+    return (
+        ref.join(self_, "doc_id")
+        .withColumn(
+            "excess", F.round(F.col("ref_lp") - F.col("self_lp"), 9)
+        )
+        .filter(F.col("excess") > 0)
+        .select("doc_id", "ref_lp", "self_lp", "excess")
+    )
+
+
+_Q164_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.3 + (n_uniq / n_tokens) * 0.4
+          + (alpha_chars / n_chars) * 0.3, 6) AS quality
+  FROM base
+),
+rtoks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM q WHERE quality >= 0.6
+),
+rmodel AS (
+  SELECT term, COUNT(*) AS freq FROM rtoks GROUP BY term
+  HAVING COUNT(*) >= 2
+),
+rtot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM rmodel),
+dtoks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+smodel AS (SELECT term, COUNT(*) AS freq FROM dtoks GROUP BY term),
+stot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM smodel),
+rscore AS (
+  SELECT d.doc_id,
+    ROUND(AVG(ln(COALESCE(m.freq, 0.5))) - (SELECT ln(t) FROM rtot), 9)
+      AS ref_lp
+  FROM dtoks d LEFT JOIN rmodel m USING (term) GROUP BY d.doc_id
+),
+sscore AS (
+  SELECT d.doc_id,
+    ROUND(AVG(ln(COALESCE(m.freq, 0.5))) - (SELECT ln(t) FROM stot), 9)
+      AS self_lp
+  FROM dtoks d LEFT JOIN smodel m USING (term) GROUP BY d.doc_id
+)
+SELECT r.doc_id, r.ref_lp, s.self_lp,
+       ROUND(r.ref_lp - s.self_lp, 9) AS excess
+FROM rscore r JOIN sscore s USING (doc_id)
+WHERE ROUND(r.ref_lp - s.self_lp, 9) > 0
+"""
+
+
 def q138_pq_topk(spark, sf_dir):
     """Product-quantization ANN top-k (ADC). Like q36, every stage is
     deterministic arithmetic (modulo arg_min codebooks, 1e-9-rounded
@@ -3972,6 +4072,7 @@ QUERIES = {
     "q161_curriculum_shards": q161_curriculum_shards,
     "q162_hll_distinct_tokens": q162_hll_distinct_tokens,
     "q163_countmin_term_counts": q163_countmin_term_counts,
+    "q164_excess_perplexity_select": q164_excess_perplexity_select,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
     "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
@@ -4092,6 +4193,7 @@ ORACLE_SQL = {
     "q161_curriculum_shards": _Q161_SQL,
     "q162_hll_distinct_tokens": _Q162_SQL,
     "q163_countmin_term_counts": _Q163_SQL,
+    "q164_excess_perplexity_select": _Q164_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
     "q150_hybrid_search_rrf": _Q150_SQL,

@@ -896,3 +896,20 @@ def test_countmin_probe_join_broadcasts_sketch_cells(spark):
     # aggregates map-side into cells first (partial_count)
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
+
+
+def test_q164_excess_select_no_cartesian_no_global_sort(spark):
+    """RHO-style excess-likelihood selection must stay a composition of
+    two model joins + a map-only threshold: no cartesian, no global
+    sort/rank (the selection is a filter, not a top-k), nested-loop
+    broadcasts only against 1-row aggregates (the model totals)."""
+    from delta_lake_spark.queries.llm import q164_excess_perplexity_select
+
+    out = q164_excess_perplexity_select(spark, SF_DIR)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        assert "HashAggregate" in plan[m.start():], (
+            plan[m.start():m.start() + 500]
+        )

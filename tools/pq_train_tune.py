@@ -63,7 +63,7 @@ def main() -> None:
         """Max possible recall at this nprobe: share of true neighbors
         whose stored cell is among the query's nprobe nearest cells."""
         cells = {
-            r.cell_id: np.array(r.centroid)
+            r.cell: np.array(r.cv)
             for r in read_delta(spark, f"{index_path}/cells").collect()
         }
         cell_ids = sorted(cells)

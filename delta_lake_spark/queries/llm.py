@@ -2619,6 +2619,31 @@ SELECT CAST(4 AS INTEGER), 'decontaminated', COUNT(*),
 """
 
 
+def _materialize_ctes(sql: str, names: list[str]) -> str:
+    """Add DuckDB ``AS MATERIALIZED`` hints to the named CTEs. DuckDB
+    inlines non-recursive CTEs by default, so a stage CTE referenced
+    by several later stages is RECOMPUTED per reference — the funnel
+    replays (whose stage rows each read s1..s6) were paying the whole
+    quality->dedup chain up to seven times (q159's oracle: 24.5 s ->
+    0.2 s at sf0.01, identical rows). Never applied to the truly
+    recursive member (``reach``) — MATERIALIZED is invalid there."""
+    import re as _re
+
+    for name in names:
+        sql = _re.sub(
+            rf"(?m)^{name} AS \(", f"{name} AS MATERIALIZED (", sql
+        )
+    return sql
+
+
+_FUNNEL_STAGE_CTES = [
+    "raw", "evald", "gm", "s1", "s2", "sh", "cc", "s3", "sh3", "eshe",
+    "dirty", "s4",
+]
+
+_Q137_SQL = _materialize_ctes(_Q137_SQL, _FUNNEL_STAGE_CTES)
+
+
 def q147_pretrain_funnel_full(spark, sf_dir):
     """The COMPLETE published pretraining-data recipe as one plan —
     q137's quality -> exact dedup -> near-dedup -> n-gram
@@ -2741,7 +2766,9 @@ SELECT CAST(6 AS INTEGER), 'semantic_decontaminated', COUNT(*),
     )
 
 
-_Q147_SQL = _gen_q147_sql()
+_Q147_SQL = _materialize_ctes(
+    _gen_q147_sql(), ["tokL", "cntsL", "lm", "s5", "embv", "simsS", "s6"]
+)
 
 
 def q159_pretrain_funnel_bigram(spark, sf_dir):
@@ -2865,7 +2892,10 @@ SELECT CAST(6 AS INTEGER), 'semantic_decontaminated', COUNT(*),
     )
 
 
-_Q159_SQL = _gen_q159_sql()
+_Q159_SQL = _materialize_ctes(
+    _gen_q159_sql(),
+    ["wB", "pairsB", "uniB", "bigB", "lmB", "s5", "embv", "simsS", "s6"],
+)
 
 
 def q161_curriculum_shards(spark, sf_dir):

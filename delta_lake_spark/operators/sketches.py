@@ -69,6 +69,22 @@ def hll_distinct(
 
     Returns one row per group: (*group_cols, est_distinct double).
     """
+    return hll_estimate_from_registers(
+        hll_registers(df, col, group_cols, p), group_cols, p
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """The sketch STATE: one (bucket, M) register row per group,
+    M = max rho over the group's hashed values. Registers from
+    disjoint corpus slices merge by max — the property the persistent
+    state functions below build on. Returns
+    (*group_cols, bucket int, M int), <= 2^p rows per group."""
     if not 8 <= p <= 16:
         raise ValueError(f"p must be in [8, 16], got {p}")
     group_cols = list(group_cols or [])
@@ -85,13 +101,25 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(max_rho)).otherwise(
         F.lit(max_rho) - F.length(F.bin(w))
     )
-
-    regs = (
+    return (
         df.filter(F.col(col).isNotNull())
-        .select(*group_cols, bucket.alias("__bucket"), rho.alias("__rho"))
-        .groupBy(*group_cols, "__bucket")
-        .agg(F.max("__rho").alias("__M"))
+        .select(*group_cols, bucket.cast("int").alias("bucket"), rho.alias("__rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").cast("int").alias("M"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Estimator half of :func:`hll_distinct`: registers in, one
+    (group, est_distinct) row out. Works on freshly-computed or
+    stored/merged registers alike."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    max_rho = _HASH_BITS - p + 1
     # exact integer register sum: present registers contribute
     # 2^(max_rho - M_j), the (m - n_present) empty ones contribute
     # 2^max_rho each (i.e. 2^-0 scaled by 2^max_rho)
@@ -99,7 +127,7 @@ def hll_distinct(
     per_group = regs.groupBy(*group_cols).agg(
         # F.shiftleft only takes a literal shift amount — SQL form
         # accepts an expression
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - __M)"))
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - M)"))
         .alias("__s_present"),
         F.count("*").alias("__n_present"),
     )
@@ -239,3 +267,112 @@ SELECT p.v AS {col}, CAST(MIN(COALESCE(s.n, 0)) AS BIGINT) AS est_count
 FROM pcoords p LEFT JOIN sketch s ON s.r = p.r AND s.cell = p.cell
 GROUP BY p.v
 """
+
+
+# ---------------------------------------------------------------------------
+# Persistent HLL state: the sketch as maintainable corpus state, the
+# cardinality sibling of the persistent LSH/PQ/BM25 indexes. The state
+# is ONE Delta register table (<= n_groups * 2^p rows — KBs per group
+# at p=10, whatever the corpus size); each ingested slice folds in by
+# max-merge, which is associative, commutative and IDEMPOTENT, so
+# replaying a slice after a crash is a no-op and shard-parallel
+# builders can merge in any order. Atomicity comes from the Delta
+# overwrite commit (log entry last): a crash mid-update leaves the
+# previous state version intact.
+# ---------------------------------------------------------------------------
+
+_HLL_PROP = "sketch.hll."
+
+
+def build_hll_state(
+    df: DataFrame,
+    state_path: str,
+    col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> None:
+    """Create the persistent register table from an initial corpus
+    slice. ``p`` and the grouping are pinned as table properties so a
+    mismatched update fails loudly instead of merging apples into
+    orange registers."""
+    from ..writer import write_delta
+
+    group_cols = list(group_cols or [])
+    regs = hll_registers(df, col, group_cols, p)
+    write_delta(
+        regs,
+        state_path,
+        mode="overwrite",
+        properties={
+            _HLL_PROP + "p": str(p),
+            _HLL_PROP + "groupCols": ",".join(group_cols),
+            _HLL_PROP + "valueCol": col,
+        },
+    )
+
+
+def _check_hll_props(spark, state_path: str, group_cols, p: int):
+    from ..log import DeltaLog
+
+    props = DeltaLog(state_path).snapshot().metadata.configuration
+    want_p = props.get(_HLL_PROP + "p")
+    want_g = props.get(_HLL_PROP + "groupCols")
+    if want_p is not None and int(want_p) != p:
+        raise ValueError(
+            f"HLL state at {state_path} was built with p={want_p}, "
+            f"got p={p}"
+        )
+    if want_g is not None and want_g != ",".join(group_cols):
+        raise ValueError(
+            f"HLL state at {state_path} groups by [{want_g}], "
+            f"got {group_cols}"
+        )
+
+
+def update_hll_state(
+    df_new: DataFrame,
+    state_path: str,
+    col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> None:
+    """Fold a new corpus slice into the stored registers (max-merge).
+    Cost: the slice's own aggregation + a rewrite of the tiny register
+    table; never touches the corpus."""
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    group_cols = list(group_cols or [])
+    spark = df_new.sparkSession
+    _check_hll_props(spark, state_path, group_cols, p)
+    stored = read_delta(spark, state_path).select(*group_cols, "bucket", "M")
+    merged = (
+        stored.unionByName(hll_registers(df_new, col, group_cols, p))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    # materialize BEFORE the overwrite commit: the plan reads the very
+    # table it replaces
+    merged = merged.persist()
+    merged.count()
+    try:
+        write_delta(merged, state_path, mode="overwrite")
+    finally:
+        merged.unpersist()
+
+
+def estimate_hll_state(
+    spark,
+    state_path: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Serve distinct-count estimates straight from the stored
+    registers — no corpus access."""
+    from ..reader import read_delta
+
+    group_cols = list(group_cols or [])
+    _check_hll_props(spark, state_path, group_cols, p)
+    return hll_estimate_from_registers(
+        read_delta(spark, state_path), group_cols, p
+    )

@@ -3143,6 +3143,41 @@ def _gen_q163_sql() -> str:
 _Q163_SQL = _gen_q163_sql()
 
 
+def q165_hll_state_vocab(spark, sf_dir):
+    """Per-language vocabulary cardinality served from PERSISTENT HLL
+    state — the cardinality sibling of the persistent LSH/PQ/BM25
+    indexes: registers live as a tiny Delta table (<= langs x 1024
+    rows whatever the corpus size), day-2 documents fold in by
+    max-merge WITHOUT touching day-1 (maintenance cost = the slice's
+    own aggregation), and one slice is deliberately replayed to prove
+    idempotent crash recovery inside the checked query. The oracle is
+    q162's whole-corpus formula — passing value-exactly IS the merge
+    property: registers(day1) max-merge registers(day2) must equal
+    registers(full corpus) bit for bit."""
+    from ..operators.sketches import (
+        build_hll_state,
+        estimate_hll_state,
+        update_hll_state,
+    )
+    from ..queries.delta_ops import _fresh
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    day1 = toks.filter(F.col("doc_id") % 3 != 0)
+    day2 = toks.filter(F.col("doc_id") % 3 == 0)
+    state = _fresh("hll_state")
+    build_hll_state(day1, state, "term", ["lang"], p=10)
+    update_hll_state(day2, state, "term", ["lang"], p=10)
+    # crash replay: folding the same slice in again must be a no-op
+    update_hll_state(day2, state, "term", ["lang"], p=10)
+    return estimate_hll_state(spark, state, ["lang"], p=10)
+
+
 def q164_excess_perplexity_select(spark, sf_dir):
     """RHO-style data selection by EXCESS likelihood: every document is
     scored under the reference LM (trained on the high-quality slice —
@@ -4103,6 +4138,7 @@ QUERIES = {
     "q162_hll_distinct_tokens": q162_hll_distinct_tokens,
     "q163_countmin_term_counts": q163_countmin_term_counts,
     "q164_excess_perplexity_select": q164_excess_perplexity_select,
+    "q165_hll_state_vocab": q165_hll_state_vocab,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
     "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
@@ -4224,6 +4260,9 @@ ORACLE_SQL = {
     "q162_hll_distinct_tokens": _Q162_SQL,
     "q163_countmin_term_counts": _Q163_SQL,
     "q164_excess_perplexity_select": _Q164_SQL,
+    # the oracle identity IS the merge property: stored max-merged
+    # registers must reproduce the whole-corpus estimate bit-exactly
+    "q165_hll_state_vocab": _Q162_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
     "q150_hybrid_search_rrf": _Q150_SQL,

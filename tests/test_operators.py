@@ -2769,3 +2769,47 @@ def test_countmin_never_underestimates_and_is_partition_stable(spark):
         for r in countmin_counts(tokens.repartition(7), "v", probes).collect()
     }
     assert rep == got
+
+
+def test_hll_state_merge_equals_full_corpus_and_replay_noop(spark, tmp_path):
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.sketches import (
+        build_hll_state,
+        estimate_hll_state,
+        hll_distinct,
+        update_hll_state,
+    )
+
+    df = spark.range(30_000).select(
+        F.concat(F.lit("g"), F.pmod(F.col("id"), 2)).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    day1 = df.filter(F.col("id") % 3 != 0)
+    day2 = df.filter(F.col("id") % 3 == 0)
+    state = str(tmp_path / "hll_state")
+    build_hll_state(day1, state, "v", ["g"], p=10)
+    update_hll_state(day2, state, "v", ["g"], p=10)
+    served = {
+        r.g: r.est_distinct
+        for r in estimate_hll_state(spark, state, ["g"], p=10).collect()
+    }
+    full = {
+        r.g: r.est_distinct for r in hll_distinct(df, "v", ["g"]).collect()
+    }
+    # the merge property, bit for bit: max-merged slice registers must
+    # reproduce the whole-corpus estimate exactly
+    assert served == full
+    # replaying a slice (crash recovery) is a no-op
+    update_hll_state(day2, state, "v", ["g"], p=10)
+    again = {
+        r.g: r.est_distinct
+        for r in estimate_hll_state(spark, state, ["g"], p=10).collect()
+    }
+    assert again == served
+    # the pinned contract survives the update overwrites and a
+    # mismatched p / grouping fails loudly
+    with _pytest.raises(ValueError, match="p="):
+        update_hll_state(day2, state, "v", ["g"], p=12)
+    with _pytest.raises(ValueError, match="groups by"):
+        estimate_hll_state(spark, state, ["g", "v"], p=10)

@@ -376,3 +376,120 @@ def estimate_hll_state(
     return hll_estimate_from_registers(
         read_delta(spark, state_path), group_cols, p
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent count-min state. Cells are LINEAR (sums), so unlike the
+# HLL registers the state supports exact REMOVAL: deleting a corpus
+# slice subtracts its cell contributions, leaving precisely the sketch
+# of the surviving corpus — the sketch-world analogue of the LSH/PQ/
+# BM25 indexes' GDPR delete. The flip side of linearity: add/delete
+# are NOT idempotent (replaying a slice double-counts), so maintenance
+# must be driven exactly-once — e.g. from the corpus table's change
+# feed between pinned versions, the same discipline the index sync
+# loops use. The state is one Delta table of <= d*w cells.
+# ---------------------------------------------------------------------------
+
+_CM_PROP = "sketch.cm."
+
+
+def _cm_cells(col_expr: Column, d: int, w: int) -> Column:
+    return F.array(
+        *[F.pmod(_h60(col_expr, salt=f"cm{i}|"), F.lit(w)) for i in range(d)]
+    )
+
+
+def _cm_slice_cells(df: DataFrame, col: str, d: int, w: int) -> DataFrame:
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.posexplode(_cm_cells(F.col(col), d, w)).alias("r", "cell"))
+        .groupBy("r", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def build_cm_state(
+    df: DataFrame, state_path: str, col: str, d: int = 4, w: int = 2048
+) -> None:
+    """Create the persistent cell table from an initial corpus slice;
+    d/w pinned as table properties."""
+    from ..writer import write_delta
+
+    write_delta(
+        _cm_slice_cells(df, col, d, w),
+        state_path,
+        mode="overwrite",
+        properties={
+            _CM_PROP + "d": str(d),
+            _CM_PROP + "w": str(w),
+            _CM_PROP + "valueCol": col,
+        },
+    )
+
+
+def _cm_params(spark, state_path: str) -> tuple[int, int]:
+    from ..log import DeltaLog
+
+    conf = DeltaLog(state_path).snapshot().metadata.configuration
+    return int(conf[_CM_PROP + "d"]), int(conf[_CM_PROP + "w"])
+
+
+def _cm_apply(
+    df: DataFrame, state_path: str, col: str, sign: int
+) -> None:
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    spark = df.sparkSession
+    d, w = _cm_params(spark, state_path)
+    delta = _cm_slice_cells(df, col, d, w).select(
+        "r", "cell", (F.col("n") * F.lit(sign)).alias("n")
+    )
+    merged = (
+        read_delta(spark, state_path)
+        .select("r", "cell", "n")
+        .unionByName(delta)
+        .groupBy("r", "cell")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .filter(F.col("n") != 0)
+    )
+    # materialize BEFORE the overwrite commit: the plan reads the very
+    # table it replaces
+    merged = merged.persist()
+    merged.count()
+    try:
+        write_delta(merged, state_path, mode="overwrite")
+    finally:
+        merged.unpersist()
+
+
+def update_cm_state(df_new: DataFrame, state_path: str, col: str) -> None:
+    """Fold a new corpus slice's counts into the stored cells. NOT
+    idempotent — drive exactly-once (see module note)."""
+    _cm_apply(df_new, state_path, col, 1)
+
+
+def delete_cm_state(df_gone: DataFrame, state_path: str, col: str) -> None:
+    """Subtract a removed corpus slice's counts — exact removal, the
+    surviving state equals the sketch of the surviving corpus cell for
+    cell. NOT idempotent — drive exactly-once."""
+    _cm_apply(df_gone, state_path, col, -1)
+
+
+def estimate_cm_state(
+    spark, state_path: str, probes: DataFrame, col: str
+) -> DataFrame:
+    """Serve frequency estimates for a probe set straight from the
+    stored cells — no corpus access. Returns (col, est_count long)."""
+    from ..reader import read_delta
+
+    d, w = _cm_params(spark, state_path)
+    probe_cells = probes.select(
+        col, F.posexplode(_cm_cells(F.col(col), d, w)).alias("r", "cell")
+    )
+    sketch = read_delta(spark, state_path).select("r", "cell", "n")
+    return (
+        probe_cells.join(F.broadcast(sketch), ["r", "cell"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
+    )

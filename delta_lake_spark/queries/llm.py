@@ -3178,6 +3178,69 @@ def q165_hll_state_vocab(spark, sf_dir):
     return estimate_hll_state(spark, state, ["lang"], p=10)
 
 
+def q166_cm_state_gdpr(spark, sf_dir):
+    """Persistent count-min state with EXACT removal: day-1 documents
+    build the cell table, day-2 documents fold in additively, then a
+    GDPR slice (doc_id % 7 == 0) is DELETED by subtracting its cell
+    contributions — cells are linear sums, so the surviving state
+    equals the sketch of the surviving corpus cell for cell, which is
+    exactly what the oracle checks (whole-formula replay over
+    documents minus the deleted slice). Estimates then serve from the
+    stored cells with zero corpus access. Unlike the HLL registers,
+    add/delete are not idempotent — maintenance is exactly-once by
+    construction here and CDF-version-pinned in production (module
+    note in operators/sketches.py)."""
+    from ..operators.sketches import (
+        build_cm_state,
+        delete_cm_state,
+        estimate_cm_state,
+        update_cm_state,
+    )
+    from ..queries.delta_ops import _fresh
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    day1 = toks.filter(F.col("doc_id") % 3 != 0)
+    day2 = toks.filter(F.col("doc_id") % 3 == 0)
+    gone = toks.filter(F.col("doc_id") % 7 == 0)
+    state = _fresh("cm_state")
+    build_cm_state(day1, state, "term")
+    update_cm_state(day2, state, "term")
+    delete_cm_state(gone, state, "term")
+    probes = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .distinct()
+    )
+    return estimate_cm_state(spark, state, probes, "term")
+
+
+def _gen_q166_sql() -> str:
+    from ..operators.sketches import countmin_counts_sql
+
+    toks = (
+        r"(SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) "
+        r"AS term FROM documents WHERE doc_id % 7 != 0) toks"
+    )
+    probes = (
+        r"(SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), "
+        r"'\s+')) AS term FROM documents WHERE doc_id < 5) probes"
+    )
+    return countmin_counts_sql(toks, "term", probes)
+
+
+_Q166_SQL = _gen_q166_sql()
+
+
 def q164_excess_perplexity_select(spark, sf_dir):
     """RHO-style data selection by EXCESS likelihood: every document is
     scored under the reference LM (trained on the high-quality slice —
@@ -4139,6 +4202,7 @@ QUERIES = {
     "q163_countmin_term_counts": q163_countmin_term_counts,
     "q164_excess_perplexity_select": q164_excess_perplexity_select,
     "q165_hll_state_vocab": q165_hll_state_vocab,
+    "q166_cm_state_gdpr": q166_cm_state_gdpr,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
     "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
@@ -4263,6 +4327,9 @@ ORACLE_SQL = {
     # the oracle identity IS the merge property: stored max-merged
     # registers must reproduce the whole-corpus estimate bit-exactly
     "q165_hll_state_vocab": _Q162_SQL,
+    # whole-formula replay over the SURVIVING corpus: a green row is a
+    # cell-exact proof that subtraction removed the deleted slice
+    "q166_cm_state_gdpr": _Q166_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
     "q150_hybrid_search_rrf": _Q150_SQL,

@@ -2813,3 +2813,42 @@ def test_hll_state_merge_equals_full_corpus_and_replay_noop(spark, tmp_path):
         update_hll_state(day2, state, "v", ["g"], p=12)
     with _pytest.raises(ValueError, match="groups by"):
         estimate_hll_state(spark, state, ["g", "v"], p=10)
+
+
+def test_cm_state_add_delete_equals_surviving_sketch(spark, tmp_path):
+    from delta_lake_spark.operators.sketches import (
+        build_cm_state,
+        countmin_counts,
+        delete_cm_state,
+        estimate_cm_state,
+        update_cm_state,
+    )
+
+    df = spark.range(8_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("v"), F.pmod(F.col("id"), 500)).alias("v"),
+    )
+    day1 = df.filter(F.col("doc_id") % 3 != 0)
+    day2 = df.filter(F.col("doc_id") % 3 == 0)
+    gone = df.filter(F.col("doc_id") % 7 == 0)
+    state = str(tmp_path / "cm_state")
+    build_cm_state(day1, state, "v", d=4, w=256)
+    update_cm_state(day2, state, "v")
+    delete_cm_state(gone, state, "v")
+
+    probes = spark.range(20).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    served = {
+        r.v: r.est_count
+        for r in estimate_cm_state(spark, state, probes, "v").collect()
+    }
+    # linearity: the surviving state must equal a fresh sketch of the
+    # surviving corpus, estimate for estimate
+    fresh = {
+        r.v: r.est_count
+        for r in countmin_counts(
+            df.filter(F.col("doc_id") % 7 != 0), "v", probes, d=4, w=256
+        ).collect()
+    }
+    assert served == fresh

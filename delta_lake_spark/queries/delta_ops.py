@@ -869,6 +869,69 @@ def q152_streaming_indexed_corpus(spark, sf_dir):
     )
 
 
+def q167_streaming_vocab_sketch(spark, sf_dir):
+    """Streaming ingestion with trailing HLL vocabulary maintenance:
+    two document batches drain through the sketched-append sink
+    (idempotent corpus appends + per-batch register max-merge), then
+    per-language distinct-token estimates serve FROM the stored
+    registers with zero corpus access. The oracle recomputes the HLL
+    formula over the final corpus — a green row proves the
+    stream -> corpus -> registers -> serve loop lands on exactly the
+    whole-corpus sketch, i.e. the incremental merges lost nothing."""
+    import os as _os
+
+    from ..operators.sketches import estimate_hll_state
+    from ..streaming.incremental import stream_corpus_with_vocab_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    src = _fresh("svs_src")
+    _os.makedirs(src, exist_ok=True)
+    staging = _fresh("svs_stage")
+    batches = [
+        docs,
+        docs.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            "lang",
+            F.concat(F.col("text"), F.lit(" novel")).alias("text"),
+        ),
+    ]
+    for i, b in enumerate(batches):
+        d = f"{staging}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        part = next(f for f in _os.listdir(d) if f.endswith(".parquet"))
+        _os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+
+    state = _fresh("svs_state")
+    stream_corpus_with_vocab_sketch(
+        spark,
+        src,
+        _fresh("svs_corpus"),
+        state,
+        _fresh("svs_ckpt"),
+        schema="doc_id long, lang string, text string",
+        txn_app_id="q167",
+    )
+    return estimate_hll_state(spark, state, ["lang"], p=10)
+
+
+def _gen_q167_sql() -> str:
+    from ..operators.sketches import hll_distinct_sql
+
+    toks = (
+        r"(SELECT lang, unnest(string_split_regex(trim(lower(text)), "
+        r"'\s+')) AS term FROM ("
+        r"SELECT lang, text FROM documents "
+        r"UNION ALL SELECT lang, text || ' novel' AS text FROM documents"
+        r") corpus) toks"
+    )
+    return hll_distinct_sql(toks, "term", ["lang"], p=10)
+
+
+_Q167_SQL = _gen_q167_sql()
+
+
 _Q152_SQL = r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -1404,6 +1467,7 @@ QUERIES = {
     "q117_stream_outer_join": q117_stream_outer_join,
     "q126_streaming_corpus_dedup": q126_streaming_corpus_dedup,
     "q152_streaming_indexed_corpus": q152_streaming_indexed_corpus,
+    "q167_streaming_vocab_sketch": q167_streaming_vocab_sketch,
     "q80_streaming_merge_upsert": q80_streaming_merge_upsert,
     "q84_partitioned_write_pruned_read": q84_partitioned_write_pruned_read,
     "q85_generated_partition_pruning": q85_generated_partition_pruning,
@@ -1441,6 +1505,7 @@ ORACLE_SQL = {
     "q117_stream_outer_join": _Q117_SQL,
     "q126_streaming_corpus_dedup": _Q126_SQL,
     "q152_streaming_indexed_corpus": _Q152_SQL,
+    "q167_streaming_vocab_sketch": _Q167_SQL,
     "q80_streaming_merge_upsert": _Q80_SQL,
     "q84_partitioned_write_pruned_read": _Q84_SQL,
     "q85_generated_partition_pruning": _Q85_SQL,

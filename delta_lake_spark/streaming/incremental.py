@@ -801,3 +801,102 @@ def stream_corpus_with_text_index(
     )
     q.awaitTermination(timeout_sec)
     return read_delta(spark, table_path)
+
+
+def stream_corpus_with_vocab_sketch(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    txn_app_id: str = "dls_corpus_vocab_sketch",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming corpus ingestion with trailing VOCABULARY observability:
+    each micro-batch appends idempotently to the versioned corpus (same
+    (txnAppId, epoch) guard as the indexed sink) and then max-merges the
+    batch's HLL registers into the persistent sketch state, so per-group
+    distinct-token estimates are servable with zero corpus access while
+    data lands. Replay safety needs NO extra machinery on the sketch
+    half: max-merge is idempotent, so a crash-retried batch folds in as
+    a no-op whether or not its corpus append was skipped — the one
+    place the trailing-maintenance pattern comes for free.
+
+    At scale the maintenance cost per batch is the batch's own register
+    aggregation (<= groups x 2^p rows shuffled) and a rewrite of the
+    KB-sized state table. Returns the final corpus DataFrame."""
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..operators.sketches import build_hll_state, update_hll_state
+    from ..reader import read_delta
+    from ..writer import write_delta
+    from pyspark.sql import functions as F
+
+    def _toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            group_col,
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+
+    def _write_batch(batch_df, epoch_id: int) -> None:
+        log = DeltaLog(table_path)
+        replayed = False
+        try:
+            if log.exists():
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        replayed = True
+                        break
+        except TableNotFoundError:
+            pass
+        if not replayed:
+            write_delta(
+                batch_df,
+                table_path,
+                mode="append",
+                operation="STREAMING SKETCHED APPEND",
+                operation_parameters={
+                    "txnAppId": txn_app_id,
+                    "txnVersion": epoch_id,
+                    "outputMode": "Append",
+                },
+            )
+        try:
+            state_exists = DeltaLog(state_path).exists()
+        except TableNotFoundError:
+            state_exists = False
+        if not state_exists:
+            build_hll_state(
+                _toks(read_delta(spark, table_path)),
+                state_path,
+                "term",
+                [group_col],
+            )
+        else:
+            # idempotent by construction: re-merging a replayed batch's
+            # registers cannot move any register
+            update_hll_state(
+                _toks(batch_df), state_path, "term", [group_col]
+            )
+
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(source_dir)
+    q = (
+        src.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return read_delta(spark, table_path)

@@ -669,3 +669,77 @@ def test_stream_corpus_with_text_index_stays_searchable(spark, tmp_path):
         spark, src, table, idx, ckpt, schema="doc_id long, text string"
     )
     assert DeltaLog(table).latest_version() == v_before  # drained: no-op
+
+
+def test_stream_corpus_with_vocab_sketch_tracks_and_is_replay_safe(
+    spark, tmp_path
+):
+    """Streaming sketched ingestion: after the drain the stored
+    registers reproduce the whole-corpus HLL estimate bit for bit (the
+    incremental max-merges lost nothing), and re-draining the same
+    checkpoint moves neither the corpus version nor the estimates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.operators.sketches import (
+        estimate_hll_state,
+        hll_distinct,
+    )
+    from delta_lake_spark.streaming.incremental import (
+        stream_corpus_with_vocab_sketch,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    batches = [
+        docs,
+        docs.selectExpr(
+            "doc_id + 5000 AS doc_id", "lang", "text || ' novel' AS text"
+        ),
+    ]
+    for i, b in enumerate(batches):
+        d = f"{stage}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+
+    table = str(tmp_path / "corpus")
+    state = str(tmp_path / "vocab_state")
+    ckpt = str(tmp_path / "ckpt")
+    out = stream_corpus_with_vocab_sketch(
+        spark, src, table, state, ckpt,
+        schema="doc_id long, lang string, text string",
+    )
+    served = {
+        r.lang: r.est_distinct
+        for r in estimate_hll_state(spark, state, ["lang"]).collect()
+    }
+    toks = out.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    full = {
+        r.lang: r.est_distinct
+        for r in hll_distinct(toks, "term", ["lang"]).collect()
+    }
+    assert served == full and len(served) == 5
+
+    v_before = DeltaLog(table).latest_version()
+    stream_corpus_with_vocab_sketch(
+        spark, src, table, state, ckpt,
+        schema="doc_id long, lang string, text string",
+    )
+    assert DeltaLog(table).latest_version() == v_before
+    again = {
+        r.lang: r.est_distinct
+        for r in estimate_hll_state(spark, state, ["lang"]).collect()
+    }
+    assert again == served

@@ -493,3 +493,88 @@ def estimate_cm_state(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
     )
+
+
+def hll_set_estimates(
+    df_a: DataFrame, df_b: DataFrame, col: str, p: int = 10
+) -> DataFrame:
+    """Set-operation cardinality estimates between two corpora WITHOUT
+    any join: |A|, |B|, |A u B| from HLL registers (union = register
+    max-merge — exact at the sketch level), |A n B| by
+    inclusion-exclusion (clamped at 0), and the Jaccard estimate. At
+    100 TB the entire comparison ships 2 x 2^p registers; the exact
+    form is a distinct-union shuffle of both vocabularies.
+    Inclusion-exclusion compounds the two sketches' errors (the
+    standard HLL-intersection caveat), so the Jaccard column is a
+    screening signal, not a precision measurement — the MinHash
+    operators are the precise path when the sets are document sets.
+
+    Returns ONE row: (est_a, est_b, est_union, est_intersect,
+    jaccard), all 6dp doubles from deterministic register math."""
+    ra = hll_registers(df_a, col, [], p).select(
+        "bucket", F.col("M").alias("M")
+    )
+    rb = hll_registers(df_b, col, [], p)
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("M").alias("M"))
+    )
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        return hll_estimate_from_registers(regs, [], p).select(
+            F.col("est_distinct").alias(name)
+        )
+
+    out = (
+        est(ra, "est_a")
+        .crossJoin(est(rb, "est_b"))
+        .crossJoin(est(ru, "est_union"))
+    )
+    inter = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        ),
+        6,
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersect"),
+        F.round(inter / F.col("est_union"), 6).alias("jaccard"),
+    )
+
+
+def hll_set_estimates_sql(
+    a_expr: str, b_expr: str, col: str, p: int = 10
+) -> str:
+    """DuckDB replica of :func:`hll_set_estimates` (``a_expr`` /
+    ``b_expr`` are parenthesized subqueries with column ``col``)."""
+    # a_expr/b_expr arrive already aliased ("( ... ) a"), so the union
+    # branches must not re-alias them
+    union_expr = (
+        f"(SELECT {col} FROM {a_expr} UNION ALL "
+        f"SELECT {col} FROM {b_expr}) uu"
+    )
+
+    def scalar(expr: str) -> str:
+        return (
+            "(SELECT est_distinct FROM ("
+            + hll_distinct_sql(expr, col, [], p)
+            + ") s)"
+        )
+
+    return f"""
+WITH ests AS (
+  SELECT {scalar(a_expr)} AS est_a,
+         {scalar(b_expr)} AS est_b,
+         {scalar(union_expr)} AS est_union
+)
+SELECT est_a, est_b, est_union,
+  ROUND(greatest(0.0, est_a + est_b - est_union), 6) AS est_intersect,
+  ROUND(ROUND(greatest(0.0, est_a + est_b - est_union), 6) / est_union, 6)
+    AS jaccard
+FROM ests
+"""

@@ -3241,6 +3241,45 @@ def _gen_q166_sql() -> str:
 _Q166_SQL = _gen_q166_sql()
 
 
+def q168_vocab_overlap_sketch(spark, sf_dir):
+    """Vocabulary overlap between two corpus halves estimated entirely
+    from HLL registers — |A|, |B|, |A u B| (register max-merge is an
+    EXACT sketch union), inclusion-exclusion intersection, Jaccard —
+    with no join anywhere: comparing two 100 TB corpora ships
+    2 x 1024 registers. The screening use case: 'how much does this
+    new crawl's vocabulary overlap what we already have' before paying
+    for precise dedup. Register math deterministic, oracle
+    value-exact."""
+    from ..operators.sketches import hll_set_estimates
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    a = toks.filter(F.col("doc_id") % 2 == 0)
+    b = toks.filter(F.col("doc_id") % 2 == 1)
+    return hll_set_estimates(a, b, "term", p=10)
+
+
+def _gen_q168_sql() -> str:
+    from ..operators.sketches import hll_set_estimates_sql
+
+    def half(rem: int) -> str:
+        return (
+            r"(SELECT unnest(string_split_regex(trim(lower(text)), "
+            r"'\s+')) AS term FROM documents WHERE doc_id % 2 = "
+            + str(rem)
+            + ")"
+        )
+
+    return hll_set_estimates_sql(half(0) + " ha", half(1) + " hb", "term")
+
+
+_Q168_SQL = _gen_q168_sql()
+
+
 def q164_excess_perplexity_select(spark, sf_dir):
     """RHO-style data selection by EXCESS likelihood: every document is
     scored under the reference LM (trained on the high-quality slice —
@@ -4203,6 +4242,7 @@ QUERIES = {
     "q164_excess_perplexity_select": q164_excess_perplexity_select,
     "q165_hll_state_vocab": q165_hll_state_vocab,
     "q166_cm_state_gdpr": q166_cm_state_gdpr,
+    "q168_vocab_overlap_sketch": q168_vocab_overlap_sketch,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
     "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
@@ -4330,6 +4370,7 @@ ORACLE_SQL = {
     # whole-formula replay over the SURVIVING corpus: a green row is a
     # cell-exact proof that subtraction removed the deleted slice
     "q166_cm_state_gdpr": _Q166_SQL,
+    "q168_vocab_overlap_sketch": _Q168_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
     "q150_hybrid_search_rrf": _Q150_SQL,

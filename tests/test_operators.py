@@ -2852,3 +2852,27 @@ def test_cm_state_add_delete_equals_surviving_sketch(spark, tmp_path):
         ).collect()
     }
     assert served == fresh
+
+
+def test_hll_set_estimates_tracks_known_overlap(spark):
+    from delta_lake_spark.operators.sketches import hll_set_estimates
+
+    a = spark.range(0, 10_000).select(
+        F.concat(F.lit("t"), F.col("id")).alias("v")
+    )
+    b = spark.range(5_000, 15_000).select(
+        F.concat(F.lit("t"), F.col("id")).alias("v")
+    )
+    r = hll_set_estimates(a, b, "v").collect()[0]
+    assert abs(r.est_a - 10_000) / 10_000 < 0.1
+    assert abs(r.est_b - 10_000) / 10_000 < 0.1
+    assert abs(r.est_union - 15_000) / 15_000 < 0.1
+    # inclusion-exclusion compounds errors — looser band, same signal
+    assert abs(r.est_intersect - 5_000) / 5_000 < 0.25, r
+    assert abs(r.jaccard - 1 / 3) < 0.1, r
+    # disjoint sets: the clamp keeps the estimate at/near zero
+    c = spark.range(20_000, 30_000).select(
+        F.concat(F.lit("t"), F.col("id")).alias("v")
+    )
+    rd = hll_set_estimates(a, c, "v").collect()[0]
+    assert rd.est_intersect < 1_500, rd

@@ -578,3 +578,124 @@ SELECT est_a, est_b, est_union,
     AS jaccard
 FROM ests
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bloom filter: the MEMBERSHIP sketch, completing the
+# family (HLL = cardinality, CM = frequency). Bits pack 32 per int64
+# word (a 32-bit payload can never touch the sign bit, so the shift
+# arithmetic is portable), the bitmap builds in one bit_or aggregation
+# to <= m_bits/32 rows, and probes broadcast-join the words. "Absent"
+# answers are certain; "maybe" answers carry the classic
+# (1 - e^(-kn/m))^k false-positive rate. Same md5-derived hashes as
+# the other sketches, so the DuckDB oracle replays bit for bit.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 32
+
+
+def build_bloom(
+    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Build the bitmap: (word int, bits long), <= m_bits/32 rows.
+    One explode-by-k + one map-side-combinable bit_or aggregation —
+    shuffle volume is bitmap words, never values."""
+    if m_bits < _BLOOM_WORD_BITS or k < 1:
+        raise ValueError(f"need m_bits >= 32 and k >= 1, got {m_bits}, {k}")
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(_h60(F.col(col), salt=f"bf{i}|"), F.lit(m_bits))
+                for i in range(k)
+            ]
+        )
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(pos.alias("__pos"))
+        .select(
+            (F.col("__pos") / F.lit(_BLOOM_WORD_BITS))
+            .cast("int")
+            .alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(__pos % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Membership check against a built bitmap: (col, maybe_present
+    boolean). False answers are CERTAIN (the pre-filter use case: skip
+    the expensive join/dedup pass for definitely-new values)."""
+    coords = probes.filter(F.col(col).isNotNull()).select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(_h60(F.col(col), salt=f"bf{i}|"), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("__pos"),
+    ).select(
+        col,
+        (F.col("__pos") / F.lit(_BLOOM_WORD_BITS)).cast("int").alias("word"),
+        F.col("__pos").alias("__pos"),
+    )
+    hit = F.coalesce(
+        F.expr(
+            f"(shiftright(bits, CAST(__pos % {_BLOOM_WORD_BITS} AS INT))"
+            f" & CAST(1 AS BIGINT)) = 1"
+        ),
+        F.lit(False),
+    )
+    return (
+        coords.join(F.broadcast(bloom), "word", "left")
+        .select(col, hit.alias("__hit"))
+        .groupBy(col)
+        .agg(F.min("__hit").alias("maybe_present"))
+    )
+
+
+def bloom_probe_sql(
+    items_expr: str,
+    probes_expr: str,
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> str:
+    """DuckDB replica of build_bloom + bloom_probe composed."""
+    w = _BLOOM_WORD_BITS
+
+    def coords(expr: str, alias: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {col} AS v, CAST('0x' || substr(md5('bf{i}|' || {col}), 1, 15) AS BIGINT) % {m_bits} AS pos"
+            f" FROM {expr} WHERE {col} IS NOT NULL"
+            for i in range(k)
+        )
+
+    return f"""
+WITH icoords AS ({coords(items_expr, "i")}),
+bloom AS (
+  SELECT CAST(pos // {w} AS INTEGER) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {w} AS INTEGER)) AS bits
+  FROM icoords GROUP BY 1
+),
+pcoords AS ({coords(probes_expr, "p")})
+SELECT p.v AS {col},
+  CAST(MIN(COALESCE((b.bits >> CAST(p.pos % {w} AS INTEGER))
+       & CAST(1 AS BIGINT), 0)) AS BOOLEAN) AS maybe_present
+FROM pcoords p
+LEFT JOIN bloom b ON b.word = CAST(p.pos // {w} AS INTEGER)
+GROUP BY p.v
+"""

@@ -3280,6 +3280,42 @@ def _gen_q168_sql() -> str:
 _Q168_SQL = _gen_q168_sql()
 
 
+def q169_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter pre-screen for incremental dedup: day-1 document
+    fingerprints build the bitmap (one bit_or aggregation to <= 2k
+    words), day-2 fingerprints probe it — 'false' answers are CERTAIN,
+    so definitely-new documents skip the expensive dedup join entirely
+    and only 'maybe' rows (true repeats + the bounded false-positive
+    rate) proceed to exact verification. The membership sibling of the
+    HLL/CM sketches; bitmap arithmetic is exact integers, so the
+    oracle replays bit for bit."""
+    from ..operators.sketches import bloom_probe, build_bloom
+
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.trim(F.col("text"))).alias("fp")
+    items = docs.filter(F.col("doc_id") < 250).select(fp)
+    probes = docs.filter(F.col("doc_id") >= 250).select(fp).distinct()
+    bloom = build_bloom(items, "fp", m_bits=1 << 16, k=4)
+    return bloom_probe(bloom, probes, "fp", m_bits=1 << 16, k=4)
+
+
+def _gen_q169_sql() -> str:
+    from ..operators.sketches import bloom_probe_sql
+
+    items = (
+        "(SELECT md5(trim(text)) AS fp FROM documents "
+        "WHERE doc_id < 250) i"
+    )
+    probes = (
+        "(SELECT DISTINCT md5(trim(text)) AS fp FROM documents "
+        "WHERE doc_id >= 250) p"
+    )
+    return bloom_probe_sql(items, probes, "fp", m_bits=1 << 16, k=4)
+
+
+_Q169_SQL = _gen_q169_sql()
+
+
 def q164_excess_perplexity_select(spark, sf_dir):
     """RHO-style data selection by EXCESS likelihood: every document is
     scored under the reference LM (trained on the high-quality slice —
@@ -4243,6 +4279,7 @@ QUERIES = {
     "q165_hll_state_vocab": q165_hll_state_vocab,
     "q166_cm_state_gdpr": q166_cm_state_gdpr,
     "q168_vocab_overlap_sketch": q168_vocab_overlap_sketch,
+    "q169_bloom_prefilter": q169_bloom_prefilter,
     "q148_text_index_cdf_sync": q148_text_index_cdf_sync,
     "q149_persistent_residual_index": q149_persistent_residual_index,
     "q150_hybrid_search_rrf": q150_hybrid_search_rrf,
@@ -4371,6 +4408,7 @@ ORACLE_SQL = {
     # cell-exact proof that subtraction removed the deleted slice
     "q166_cm_state_gdpr": _Q166_SQL,
     "q168_vocab_overlap_sketch": _Q168_SQL,
+    "q169_bloom_prefilter": _Q169_SQL,
     "q148_text_index_cdf_sync": _Q148_SQL,
     "q149_persistent_residual_index": _Q145_SQL,
     "q150_hybrid_search_rrf": _Q150_SQL,

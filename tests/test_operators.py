@@ -2876,3 +2876,32 @@ def test_hll_set_estimates_tracks_known_overlap(spark):
     )
     rd = hll_set_estimates(a, c, "v").collect()[0]
     assert rd.est_intersect < 1_500, rd
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    from delta_lake_spark.operators.sketches import bloom_probe, build_bloom
+
+    items = spark.range(10_000).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("v")
+    )
+    bloom = build_bloom(items, "v", m_bits=1 << 17, k=4)
+    # every inserted value answers maybe (no false negatives, ever)
+    present = bloom_probe(bloom, items, "v", m_bits=1 << 17, k=4)
+    assert present.filter(~F.col("maybe_present")).count() == 0
+    # absent values: "false" is certain; the "maybe" rate stays near
+    # the (1 - e^(-kn/m))^k theory bound (~0.56% here; allow 3x)
+    absent = spark.range(10_000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("v")
+    )
+    fp = (
+        bloom_probe(bloom, absent, "v", m_bits=1 << 17, k=4)
+        .filter(F.col("maybe_present"))
+        .count()
+    )
+    assert fp / 10_000 < 0.017, fp
+    # partitioning-independent (deterministic hashing end to end)
+    again = bloom_probe(
+        build_bloom(items.repartition(13), "v", m_bits=1 << 17, k=4),
+        absent, "v", m_bits=1 << 17, k=4,
+    ).filter(F.col("maybe_present")).count()
+    assert again == fp

@@ -913,3 +913,23 @@ def test_q164_excess_select_no_cartesian_no_global_sort(spark):
         assert "HashAggregate" in plan[m.start():], (
             plan[m.start():m.start() + 500]
         )
+
+
+def test_q161_curriculum_one_corpus_exchange_no_global_sort(spark):
+    """Curriculum ordering claims ONE corpus-sized exchange (the
+    per-(phase, shard) window) — the only other exchanges allowed are
+    over the bounded score-bin relation (<= n_bins+1 rows), and no
+    rangepartitioning (global sort) may appear anywhere."""
+    from delta_lake_spark.queries.llm import q161_curriculum_shards
+
+    df = q161_curriculum_shards(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    keys = {
+        re.sub(r"#\d+", "", m.group(1)).replace(" ", "")
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    # strip the trailing partition count from each key list
+    keys = {k.rsplit(",", 1)[0] for k in keys}
+    assert keys <= {"phase,shard_id", "__b"}, keys

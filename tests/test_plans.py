@@ -933,3 +933,24 @@ def test_q161_curriculum_one_corpus_exchange_no_global_sort(spark):
     # strip the trailing partition count from each key list
     keys = {k.rsplit(",", 1)[0] for k in keys}
     assert keys <= {"phase,shard_id", "__b"}, keys
+
+
+def test_bloom_build_partial_aggregates_probe_broadcasts(spark):
+    from delta_lake_spark.operators.sketches import bloom_probe, build_bloom
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fp = F.md5(F.trim(F.col("text"))).alias("fp")
+    items = docs.filter("doc_id % 2 = 0").select(fp)
+    probes = docs.filter("doc_id % 2 = 1").select(fp).distinct()
+    df = bloom_probe(
+        build_bloom(items, "fp", m_bits=1 << 16, k=4),
+        probes, "fp", m_bits=1 << 16, k=4,
+    )
+    df.collect()
+    plan = _plan(df)
+    # bitmap words combine map-side before their exchange; the built
+    # bitmap broadcasts to the probe side; nothing hash-partitions by
+    # the raw fingerprint values on the bloom path (the probe-side
+    # groupBy(fp) aggregation is probe-batch-sized)
+    assert "partial_bit_or" in plan
+    assert "BroadcastHashJoin" in plan

@@ -233,7 +233,10 @@ def countmin_counts(
         .groupBy("__row", "__cell")
         .agg(F.count("*").alias("__n"))
     )
-    probe_cells = probes.select(
+    # NULL probes are dropped (not answered with 0) — mirrors the SQL
+    # replica, which filters them; without this a NULL probe would
+    # survive the left join as an est_count=0 row on the Spark side only
+    probe_cells = probes.filter(F.col(col).isNotNull()).select(
         col, F.posexplode(cells(F.col(col))).alias("__row", "__cell")
     )
     return (
@@ -484,7 +487,8 @@ def estimate_cm_state(
     from ..reader import read_delta
 
     d, w = _cm_params(spark, state_path)
-    probe_cells = probes.select(
+    # NULL probes dropped, matching countmin_counts and its oracle
+    probe_cells = probes.filter(F.col(col).isNotNull()).select(
         col, F.posexplode(_cm_cells(F.col(col), d, w)).alias("r", "cell")
     )
     sketch = read_delta(spark, state_path).select("r", "cell", "n")

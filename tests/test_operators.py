@@ -2905,3 +2905,16 @@ def test_bloom_no_false_negatives_and_bounded_fpr(spark):
         absent, "v", m_bits=1 << 17, k=4,
     ).filter(F.col("maybe_present")).count()
     assert again == fp
+
+
+def test_countmin_null_probes_dropped_not_zeroed(spark):
+    from delta_lake_spark.operators.sketches import countmin_counts
+
+    tokens = spark.range(100).select(F.lit("x").alias("v"))
+    probes = spark.createDataFrame(
+        [("x",), (None,)], "v string"
+    )
+    got = countmin_counts(tokens, "v", probes).collect()
+    # the NULL probe yields NO row (mirrors the SQL replica's filter),
+    # not an est_count=0 row
+    assert len(got) == 1 and got[0].v == "x" and got[0].est_count >= 100

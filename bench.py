@@ -50,6 +50,7 @@ SECONDARY = [
     "q145_ivfpq_residual",
     "q147_pretrain_funnel_full",
     "q154_token_budget_select",  # curation-suite trend line at sf0.1
+    "q162_hll_distinct_tokens",  # sketch-suite trend line at sf0.1
 ]
 
 

@@ -12,20 +12,44 @@ branches silently re-scanned the corpus. A bounded LRU keeps the last
 few summaries alive instead; callers that interleave more than
 ``capacity`` un-materialized plans should collect between calls.
 
-Keyed by SparkSession through a WeakKeyDictionary so a stopped session
-releases its entries; a lock makes concurrent registration on one
-session safe.
+A WeakKeyDictionary keyed by SparkSession can never reclaim anything
+here: the stored DataFrames strongly reference their session
+(``df.sparkSession``), so the weak key stays strongly reachable through
+its own values. Instead the registry keys by ``id(session)`` holding
+the session strongly, and SWEEPS stopped sessions on every register
+call — a stopped session's entries are unpersisted (best-effort) and
+dropped, releasing both the DataFrames and the session object. A lock
+makes concurrent registration safe.
 """
 
 from __future__ import annotations
 
 import threading
-import weakref
 
 from pyspark.sql import DataFrame
 
-_REGISTRY: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# id(session) -> {"session": SparkSession, "groups": {group: [df, ...]}}
+_REGISTRY: dict[int, dict] = {}
 _LOCK = threading.Lock()
+
+
+def _is_stopped(session) -> bool:
+    try:
+        return session._sc is None or session._sc._jsc is None
+    except Exception:
+        return True
+
+
+def _sweep_stopped_locked() -> list[DataFrame]:
+    """Drop registry entries whose session is stopped; caller holds the
+    lock. Returns the dropped DataFrames for best-effort unpersist
+    outside the lock (their JVM-side cache died with the session, so
+    the unpersist is just hygiene against half-stopped states)."""
+    dropped: list[DataFrame] = []
+    for key in [k for k, v in _REGISTRY.items() if _is_stopped(v["session"])]:
+        for entries in _REGISTRY.pop(key)["groups"].values():
+            dropped.extend(entries)
+    return dropped
 
 
 def register_persisted(
@@ -35,12 +59,15 @@ def register_persisted(
     ``capacity`` live ones in this (session, group). Returns ``df``."""
     session = df.sparkSession
     with _LOCK:
-        groups = _REGISTRY.setdefault(session, {})
-        entries = groups.setdefault(group, [])
+        stale = _sweep_stopped_locked()
+        slot = _REGISTRY.setdefault(
+            id(session), {"session": session, "groups": {}}
+        )
+        entries = slot["groups"].setdefault(group, [])
         entries.append(df)
         evicted = entries[: max(0, len(entries) - capacity)]
         del entries[: len(evicted)]
-    for old in evicted:
+    for old in stale + evicted:
         try:
             old.unpersist()
         except Exception:

@@ -161,6 +161,12 @@ def asof_join(
     (right_cols defaults to right's non-key, non-ts columns) plus
     right_ts + suffix (the matched timestamp; null when no match).
     """
+    if chunk is not None and not chunk > 0:
+        raise ValueError(
+            f"asof_join chunk must be > 0, got {chunk!r}: a non-positive "
+            "chunk makes floor(ts/chunk) non-monotonic in time, so the "
+            "carry window would pull right payloads from FUTURE chunks"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [

@@ -39,6 +39,30 @@ def _bucket(key: Column, seed: str) -> Column:
     return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, _HEX_WIDTH)
 
 
+_MAX_DOMAINS = 100_000
+
+
+def _bounded_domain_collect(per_domain: DataFrame, op: str, max_domains: int):
+    """Collect a per-domain summary relation with a cardinality
+    contract: the mixture operators pull one row per distinct domain to
+    the driver (quotas/thresholds), which is fine for language/source
+    domains but unbounded if a caller passes a URL-host-grained column.
+    The ``limit(max+1)`` bounds driver memory even when the contract is
+    violated — we see at most one extra row, then raise with a pointer
+    to the operators built for high-cardinality domain columns."""
+    rows = per_domain.limit(max_domains + 1).collect()
+    if len(rows) > max_domains:
+        raise ValueError(
+            f"{op}: more than {max_domains} distinct domains — the "
+            "per-domain quota collect is only bounded for coarse "
+            "domains (language, source, bucket). For host/URL-grained "
+            "columns use cap_per_domain (windowed, fully distributed) "
+            "or pre-bucket the domain column, or raise max_domains "
+            "explicitly if the driver can hold the quota table"
+        )
+    return rows
+
+
 def deterministic_split(
     df: DataFrame,
     key_col: str,
@@ -97,6 +121,7 @@ def mixture_sample(
     weights: dict[str, float],
     default_weight: float = 1.0,
     seed: str = "mix-v1",
+    max_domains: int = _MAX_DOMAINS,
 ) -> DataFrame:
     """Downsample to a target DOMAIN MIXTURE: keep the largest corpus
     whose per-stratum shares match ``weights`` (relative weights, e.g.
@@ -134,8 +159,15 @@ def mixture_sample(
         )
         .alias("__thr"),
     )
+    # bounded materialization: the threshold relation is one row per
+    # distinct stratum — collect it under the domain-cardinality
+    # contract and re-create it as a local relation, so the broadcast
+    # is driver-bounded instead of an unguarded corpus-derived plan
+    thr_rows = _bounded_domain_collect(thresholds, "mixture_sample", max_domains)
+    spark = df.sparkSession
+    thr_local = spark.createDataFrame(thr_rows, thresholds.schema)
     return (
-        df.join(F.broadcast(thresholds), strata_col)
+        df.join(F.broadcast(thr_local), strata_col)
         .filter(_bucket(F.col(key_col), seed) < F.col("__thr"))
         .drop("__thr")
     )
@@ -191,6 +223,7 @@ def mixture_resample(
     target_rows: int = 100_000,
     seed: str = "mix-v1",
     n_salts: int = 32,
+    max_domains: int = _MAX_DOMAINS,
 ) -> DataFrame:
     """Temperature-resampled domain mixture — the standard recipe for
     rebalancing a training corpus across sources/languages: domain d
@@ -214,7 +247,11 @@ def mixture_resample(
 
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+        for r in _bounded_domain_collect(
+            df.groupBy(domain_col).agg(F.count("*").alias("n")),
+            "mixture_resample",
+            max_domains,
+        )
     }
     if not counts:  # empty input: nothing to resample (and an empty
         return df   # quota frame would trip schema inference)

@@ -287,6 +287,33 @@ GROUP BY p.v
 _HLL_PROP = "sketch.hll."
 
 
+def _safe_state_overwrite(merged: DataFrame, state_path: str) -> None:
+    """Overwrite a state table with a plan that READS that same table.
+
+    persist()+count() only guards the read-then-overwrite while the
+    cached blocks survive; in cluster mode an executor loss after the
+    count would recompute the plan MID-overwrite from the
+    half-replaced table, corrupting the merged registers/cells. Stage
+    the merged relation to a sibling parquet dir first (same
+    filesystem as the table), commit the overwrite from the staged
+    copy, then clean the stage up. A leftover stage dir after a crash
+    is inert — the next update overwrites it."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..writer import write_delta
+
+    spark = merged.sparkSession
+    stage = state_path.rstrip("/") + ".__stage__"
+    merged.write.mode("overwrite").parquet(stage)
+    try:
+        write_delta(spark.read.parquet(stage), state_path, mode="overwrite")
+    finally:
+        parsed = urlparse(stage)
+        if parsed.scheme in ("", "file"):
+            shutil.rmtree(parsed.path or stage, ignore_errors=True)
+
+
 def build_hll_state(
     df: DataFrame,
     state_path: str,
@@ -343,7 +370,6 @@ def update_hll_state(
     Cost: the slice's own aggregation + a rewrite of the tiny register
     table; never touches the corpus."""
     from ..reader import read_delta
-    from ..writer import write_delta
 
     group_cols = list(group_cols or [])
     spark = df_new.sparkSession
@@ -354,14 +380,7 @@ def update_hll_state(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("M").alias("M"))
     )
-    # materialize BEFORE the overwrite commit: the plan reads the very
-    # table it replaces
-    merged = merged.persist()
-    merged.count()
-    try:
-        write_delta(merged, state_path, mode="overwrite")
-    finally:
-        merged.unpersist()
+    _safe_state_overwrite(merged, state_path)
 
 
 def estimate_hll_state(
@@ -441,7 +460,6 @@ def _cm_apply(
     df: DataFrame, state_path: str, col: str, sign: int
 ) -> None:
     from ..reader import read_delta
-    from ..writer import write_delta
 
     spark = df.sparkSession
     d, w = _cm_params(spark, state_path)
@@ -456,14 +474,7 @@ def _cm_apply(
         .agg(F.sum("n").cast("long").alias("n"))
         .filter(F.col("n") != 0)
     )
-    # materialize BEFORE the overwrite commit: the plan reads the very
-    # table it replaces
-    merged = merged.persist()
-    merged.count()
-    try:
-        write_delta(merged, state_path, mode="overwrite")
-    finally:
-        merged.unpersist()
+    _safe_state_overwrite(merged, state_path)
 
 
 def update_cm_state(df_new: DataFrame, state_path: str, col: str) -> None:
@@ -596,6 +607,8 @@ FROM ests
 # ---------------------------------------------------------------------------
 
 _BLOOM_WORD_BITS = 32
+_BLOOM_META_M = "bloom.m_bits"
+_BLOOM_META_K = "bloom.k"
 
 
 def build_bloom(
@@ -603,7 +616,11 @@ def build_bloom(
 ) -> DataFrame:
     """Build the bitmap: (word int, bits long), <= m_bits/32 rows.
     One explode-by-k + one map-side-combinable bit_or aggregation —
-    shuffle volume is bitmap words, never values."""
+    shuffle volume is bitmap words, never values. ``m_bits``/``k`` are
+    pinned as column METADATA on ``bits`` (survives a parquet
+    round-trip) so :func:`bloom_probe` can validate — a probe hashed
+    with mismatched params silently yields false negatives, breaking
+    the "'false' answers are certain" contract."""
     if m_bits < _BLOOM_WORD_BITS or k < 1:
         raise ValueError(f"need m_bits >= 32 and k >= 1, got {m_bits}, {k}")
     pos = F.explode(
@@ -627,20 +644,67 @@ def build_bloom(
             ).alias("__mask"),
         )
         .groupBy("word")
-        .agg(F.bit_or("__mask").alias("bits"))
+        .agg(
+            F.bit_or("__mask").alias(
+                "bits",
+                metadata={_BLOOM_META_M: m_bits, _BLOOM_META_K: k},
+            )
+        )
     )
+
+
+def _bloom_params(
+    bloom: DataFrame, m_bits: int | None, k: int | None
+) -> tuple[int, int]:
+    """Resolve (m_bits, k) for a probe: prefer the params pinned on the
+    bitmap's ``bits`` column metadata; validate any explicitly-passed
+    values against them (mismatch = certain false negatives). Schema
+    metadata only — no job is triggered."""
+    meta = {}
+    try:
+        meta = bloom.schema["bits"].metadata or {}
+    except Exception:
+        pass
+    pinned_m = meta.get(_BLOOM_META_M)
+    pinned_k = meta.get(_BLOOM_META_K)
+    if pinned_m is not None:
+        pinned_m, pinned_k = int(pinned_m), int(pinned_k)
+        if m_bits is not None and m_bits != pinned_m:
+            raise ValueError(
+                f"bloom bitmap was built with m_bits={pinned_m}, probe "
+                f"passed {m_bits} — mismatched hashing would produce "
+                "false negatives"
+            )
+        if k is not None and k != pinned_k:
+            raise ValueError(
+                f"bloom bitmap was built with k={pinned_k}, probe "
+                f"passed {k} — mismatched hashing would produce "
+                "false negatives"
+            )
+        return pinned_m, pinned_k
+    if m_bits is None or k is None:
+        raise ValueError(
+            "bitmap carries no pinned bloom params (not built by "
+            "build_bloom, or metadata stripped) — pass m_bits and k "
+            "explicitly"
+        )
+    return m_bits, k
 
 
 def bloom_probe(
     bloom: DataFrame,
     probes: DataFrame,
     col: str,
-    m_bits: int = 1 << 20,
-    k: int = 4,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Membership check against a built bitmap: (col, maybe_present
     boolean). False answers are CERTAIN (the pre-filter use case: skip
-    the expensive join/dedup pass for definitely-new values)."""
+    the expensive join/dedup pass for definitely-new values).
+    ``m_bits``/``k`` default to the values pinned on the bitmap by
+    :func:`build_bloom`; passing them explicitly is validated against
+    the pinned ones."""
+    m_bits, k = _bloom_params(bloom, m_bits, k)
     coords = probes.filter(F.col(col).isNotNull()).select(
         col,
         F.explode(

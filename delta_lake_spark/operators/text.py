@@ -1366,7 +1366,7 @@ def query_text_index(
     query_id_col: str = "query_id",
     query_text_col: str = "qtext",
     max_df_frac: float | None = None,
-    max_literal_terms: int = 200_000,
+    max_literal_terms: int = 4096,
 ) -> DataFrame:
     """BM25 top-k served FROM the stored index: the corpus text is
     never touched — candidates come from the postings table pruned to
@@ -1389,6 +1389,17 @@ def query_text_index(
     the ranking loss is tiny while the candidate volume bound is the
     difference between a selective pull and a corpus scan per stop
     term. Default None = exact (what the q148 oracle replays).
+
+    ``max_literal_terms`` caps the IN-list branch: a term IN-list
+    serializes into every task, and the file-skipping benefit of a
+    scan-reachable predicate saturates far below the old 200k default
+    (postings files hold term RANGES — a few thousand literals already
+    touch every range a vocab-sized list would). Beyond the cap the
+    term set broadcast-joins instead (same rows, no plan bloat). This
+    is the same analysis that capped bm25_topk's literal fold at 512;
+    the cap differs because InSet here is a scan predicate (hash-set
+    probe + min/max skipping), not the linear HOF-lambda membership
+    walk that bit bm25_topk.
 
     Returns: query_id_col, id_col, rank (1..k), score (double, 6 dp)."""
     from ..reader import read_delta

@@ -1264,9 +1264,10 @@ def test_bm25_single_scan_summary_and_fallback_parity(spark):
     queries = spark.createDataFrame(
         [(1, "apple banana"), (2, "kiwi fig")], "query_id long, qtext string"
     )
-    _REGISTRY.setdefault(spark, {})["bm25"] = []  # isolate this test
+    slot = _REGISTRY.setdefault(id(spark), {"session": spark, "groups": {}})
+    slot["groups"]["bm25"] = []  # isolate this test
     out = bm25_topk(docs, queries, "text", "doc_id", k=10)
-    cached = _REGISTRY[spark]["bm25"][0]
+    cached = slot["groups"]["bm25"][0]
     assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
     assert set(cached.columns) == {"doc_id", "__dl", "__post"}
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -1284,7 +1285,7 @@ def test_bm25_single_scan_summary_and_fallback_parity(spark):
     # the first summary past capacity and it is evicted oldest-first
     for i in range(4):
         bm25_topk(docs, queries, "text", "doc_id", k=2 + i)
-    assert len(_REGISTRY[spark]["bm25"]) == 4
+    assert len(slot["groups"]["bm25"]) == 4
     assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
 
     empty_q = spark.createDataFrame([], "query_id long, qtext string")
@@ -2918,3 +2919,162 @@ def test_countmin_null_probes_dropped_not_zeroed(spark):
     # the NULL probe yields NO row (mirrors the SQL replica's filter),
     # not an est_count=0 row
     assert len(got) == 1 and got[0].v == "x" and got[0].est_count >= 100
+
+
+def test_asof_join_rejects_nonpositive_chunk(spark):
+    """A negative chunk makes floor(ts/chunk) non-monotonic (carry
+    pulls from FUTURE chunks) and chunk=0 degenerates via inf — both
+    must fail loudly, not return silently wrong matches."""
+    from delta_lake_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 5, "a")], "k long, ts long, v string")
+    for bad in (0, -3, -0.5):
+        with pytest.raises(ValueError, match="chunk"):
+            asof_join(left, right, "k", "ts", "ts", chunk=bad)
+
+
+def test_bloom_params_pinned_and_validated(spark):
+    """build_bloom pins (m_bits, k) as column metadata; bloom_probe
+    derives them when not passed, validates them when passed, and a
+    mismatch raises instead of silently producing false negatives.
+    The pin survives a parquet round-trip."""
+    from delta_lake_spark.operators.sketches import bloom_probe, build_bloom
+
+    items = spark.range(500).select(F.concat(F.lit("v-"), "id").alias("v"))
+    bloom = build_bloom(items, "v", m_bits=1 << 16, k=3)
+
+    # derive-from-pin: no explicit params needed, all members found
+    hits = bloom_probe(bloom, items, "v").filter("maybe_present").count()
+    assert hits == 500
+
+    # explicit matching params validate fine
+    assert (
+        bloom_probe(bloom, items, "v", m_bits=1 << 16, k=3)
+        .filter("maybe_present").count() == 500
+    )
+
+    # mismatched params raise (either dimension)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(bloom, items, "v", m_bits=1 << 20, k=3)
+    with pytest.raises(ValueError, match="k="):
+        bloom_probe(bloom, items, "v", m_bits=1 << 16, k=4)
+
+    # a bitmap with the metadata stripped demands explicit params
+    stripped = bloom.select(
+        F.col("word"), F.col("bits").alias("bits", metadata={})
+    )
+    with pytest.raises(ValueError, match="pass m_bits"):
+        bloom_probe(stripped, items, "v")
+
+    # parquet round-trip keeps the pin
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        bloom.write.mode("overwrite").parquet(f"{d}/bloom")
+        reread = spark.read.parquet(f"{d}/bloom")
+        assert (
+            bloom_probe(reread, items, "v")
+            .filter("maybe_present").count() == 500
+        )
+        with pytest.raises(ValueError, match="m_bits"):
+            bloom_probe(reread, items, "v", m_bits=1 << 20)
+
+
+def test_mixture_domain_cardinality_guard(spark):
+    """mixture_sample / mixture_resample collect one row per distinct
+    domain; above max_domains they must raise (bounded probe), not
+    attempt an unbounded driver collect."""
+    from delta_lake_spark.operators.sampling import (
+        mixture_resample,
+        mixture_sample,
+    )
+
+    fine = spark.createDataFrame(
+        [(i, "web" if i % 2 else "books") for i in range(20)],
+        "doc_id long, domain string",
+    )
+    assert (
+        mixture_sample(fine, "doc_id", "domain", {"books": 2, "web": 1})
+        .count() > 0
+    )
+    assert (
+        mixture_resample(
+            fine, "domain", "doc_id", temperature=0.5, target_rows=10
+        ).count() > 0
+    )
+
+    hosts = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host-"), "id").alias("domain"),
+    )
+    with pytest.raises(ValueError, match="distinct domains"):
+        mixture_sample(
+            hosts, "doc_id", "domain", {"host-1": 2}, max_domains=50
+        )
+    with pytest.raises(ValueError, match="cap_per_domain"):
+        mixture_resample(
+            hosts, "domain", "doc_id", target_rows=10, max_domains=50
+        )
+
+
+def test_cache_registry_sweeps_stopped_sessions(spark):
+    """Entries whose session is stopped are dropped (and best-effort
+    unpersisted) on the next register call — the WeakKeyDictionary
+    could never reclaim them because the cached DataFrames strongly
+    reference their session."""
+    from delta_lake_spark.operators import _cache
+
+    class FakeDF:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    class StoppedSession:
+        _sc = None
+
+    dead = FakeDF()
+    _cache._REGISTRY[id(StoppedSession)] = {
+        "session": StoppedSession, "groups": {"g": [dead]},
+    }
+    live = spark.range(3).persist()
+    try:
+        _cache.register_persisted(live, "sweep-test", capacity=2)
+        assert id(StoppedSession) not in _cache._REGISTRY
+        assert dead.unpersisted
+        assert live in _cache._REGISTRY[id(spark)]["groups"]["sweep-test"]
+    finally:
+        live.unpersist()
+        _cache._REGISTRY[id(spark)]["groups"].pop("sweep-test", None)
+
+
+def test_query_registry_hard_fails_on_broken_submodule():
+    """A broken registry submodule must fail the package import loudly,
+    not silently shrink queries() (the driver would sample from the
+    smaller pool and read it as all-green)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, types\n"
+        "sys.modules['delta_lake_spark.queries.llm'] = "
+        "types.ModuleType('delta_lake_spark.queries.llm')\n"
+        "try:\n"
+        "    import delta_lake_spark.queries\n"
+        "except ImportError:\n"
+        "    sys.exit(42)\n"
+        "sys.exit(1)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd="/root/repo", capture_output=True
+    )
+    assert proc.returncode == 42, proc.stderr.decode()[-2000:]
+
+
+def test_query_registry_complete():
+    from delta_lake_spark.queries import ORACLE_SQL, QUERIES
+
+    assert len(QUERIES) >= 164
+    assert set(ORACLE_SQL) <= set(QUERIES)

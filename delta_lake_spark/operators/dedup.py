@@ -1170,23 +1170,33 @@ def sync_signature_index_from_cdf(
     current = DeltaLog(corpus_path).latest_version()
     if current <= synced:
         return 0
+    # persist the touched-ids set: the CDF file-multiset diff is the
+    # expensive scan here, and without the cache every consumer (the
+    # count, each index table's MERGE-delete, the re-sign semi-join)
+    # would recompute it — ids-only, so the cache is mutation-sized,
+    # never corpus-sized
     touched = (
         table_changes(spark, corpus_path, synced + 1, current)
         .select(id_col)
         .distinct()
-    )
-    n_touched = touched.count()
-    if n_touched:
-        delete_from_signature_index(touched, index_path, id_col)
-        update_signature_index(
-            read_delta(spark, corpus_path).join(touched, id_col, "left_semi"),
-            text_col,
-            id_col,
-            index_path,
+    ).persist()
+    try:
+        n_touched = touched.count()
+        if n_touched:
+            delete_from_signature_index(touched, index_path, id_col)
+            update_signature_index(
+                read_delta(spark, corpus_path).join(
+                    touched, id_col, "left_semi"
+                ),
+                text_col,
+                id_col,
+                index_path,
+            )
+        DeltaTable.forPath(spark, t_buckets).set_properties(
+            {_IDX_PROP + "syncedVersion": str(current)}
         )
-    DeltaTable.forPath(spark, t_buckets).set_properties(
-        {_IDX_PROP + "syncedVersion": str(current)}
-    )
+    finally:
+        touched.unpersist()
     return n_touched
 
 

@@ -1606,24 +1606,33 @@ def sync_pq_index_from_cdf(
     current = DeltaLog(corpus_path).latest_version()
     if current <= synced:
         return 0
+    # persist the touched-ids set: the CDF diff would otherwise be
+    # recomputed by the count, each MERGE-delete, and the re-encode
+    # semi-join (cf. sync_signature_index_from_cdf) — ids-only cache,
+    # mutation-sized, never corpus-sized
     touched = (
         table_changes(spark, corpus_path, synced + 1, current)
         .select(id_col)
         .distinct()
-    )
-    n_touched = touched.count()
-    if n_touched:
-        delete_from_pq_index(touched, index_path, id_col)
-        update_pq_index(
-            read_delta(spark, corpus_path).join(touched, id_col, "left_semi"),
-            index_path,
-            id_col,
-            vec_col,
-            method=method,
+    ).persist()
+    try:
+        n_touched = touched.count()
+        if n_touched:
+            delete_from_pq_index(touched, index_path, id_col)
+            update_pq_index(
+                read_delta(spark, corpus_path).join(
+                    touched, id_col, "left_semi"
+                ),
+                index_path,
+                id_col,
+                vec_col,
+                method=method,
+            )
+        DeltaTable.forPath(spark, t_codes).set_properties(
+            {_PQ_PROP + "syncedVersion": str(current)}
         )
-    DeltaTable.forPath(spark, t_codes).set_properties(
-        {_PQ_PROP + "syncedVersion": str(current)}
-    )
+    finally:
+        touched.unpersist()
     return n_touched
 
 

@@ -1336,23 +1336,32 @@ def sync_text_index_from_cdf(
     current = DeltaLog(corpus_path).latest_version()
     if current <= synced:
         return 0
+    # persist the touched-ids set: the CDF diff would otherwise be
+    # recomputed by the count, both MERGE-deletes, and the reindex
+    # semi-join (cf. sync_signature_index_from_cdf) — ids-only cache,
+    # mutation-sized, never corpus-sized
     touched = (
         table_changes(spark, corpus_path, synced + 1, current)
         .select(id_col)
         .distinct()
-    )
-    n_touched = touched.count()
-    if n_touched:
-        delete_from_text_index(touched, index_path, id_col)
-        update_text_index(
-            read_delta(spark, corpus_path).join(touched, id_col, "left_semi"),
-            text_col,
-            id_col,
-            index_path,
+    ).persist()
+    try:
+        n_touched = touched.count()
+        if n_touched:
+            delete_from_text_index(touched, index_path, id_col)
+            update_text_index(
+                read_delta(spark, corpus_path).join(
+                    touched, id_col, "left_semi"
+                ),
+                text_col,
+                id_col,
+                index_path,
+            )
+        DeltaTable.forPath(spark, t_postings).set_properties(
+            {_TXT_PROP + "syncedVersion": str(current)}
         )
-    DeltaTable.forPath(spark, t_postings).set_properties(
-        {_TXT_PROP + "syncedVersion": str(current)}
-    )
+    finally:
+        touched.unpersist()
     return n_touched
 
 

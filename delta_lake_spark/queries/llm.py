@@ -1944,19 +1944,26 @@ def q140_index_cdf_sync(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     path = _fresh("cdf_corpus")
-    write_delta(docs, path)  # v0
-    idx = _fresh("cdf_lsh_index")
-    build_signature_index(
-        read_delta(spark, path), "text", "doc_id", idx, corpus_version=0
-    )
+    # tiny multi-commit fixture: build at minimal parallelism (cf.
+    # q146/q148) and restore the session's setting for the probe query
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        write_delta(docs, path)  # v0
+        idx = _fresh("cdf_lsh_index")
+        build_signature_index(
+            read_delta(spark, path), "text", "doc_id", idx, corpus_version=0
+        )
 
-    day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
-    )
-    write_delta(day2, path, mode="append")  # v1
-    DeltaTable.forPath(spark, path).delete("doc_id % 10 = 0")  # v2 (GDPR)
-    sync_signature_index_from_cdf(spark, path, idx)
+        day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        write_delta(day2, path, mode="append")  # v1
+        DeltaTable.forPath(spark, path).delete("doc_id % 10 = 0")  # v2 (GDPR)
+        sync_signature_index_from_cdf(spark, path, idx)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     corpus = read_delta(spark, path)
     probe = docs.filter(F.col("doc_id") % 5 == 0).select(
@@ -2384,27 +2391,109 @@ FROM m
 """
 
 
-def _funnel_stage_row(df, sid, name):
+def _funnel_report(raw, stages):
+    """Single-pass funnel report. The previous shape aggregated one
+    union branch PER stage — at 7 stages that is 7 corpus scans, each
+    re-deriving its survivor chain, and (under AQE) ~80 stage-
+    materialization jobs for one report. Instead: LEFT-join the tiny
+    per-stage id sets (already persisted by the callers) onto ONE
+    narrow (doc_id, token-count) projection of the corpus, derive
+    cumulative membership flags, aggregate once with conditional
+    sums, and unpivot the single row via ``stack``. The corpus is
+    scanned once; the successive id joins all key on doc_id, so the
+    corpus side crosses the wire at most once and AQE broadcasts the
+    id sets. At 100 TB this is the difference between one pass and
+    seven.
+
+    ``stages``: ordered [(name, ids_df_or_None, how)] where how is
+    "semi" (stage = previous ∩ ids) or "anti" (previous \\ ids); ids
+    None only for the leading raw stage. Each ids frame must be
+    unique per doc_id (survivor/dirty SETS — a duplicate id would
+    duplicate corpus rows through the left join and corrupt every
+    downstream count).
+    """
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    return df.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.coalesce(F.sum(toks), F.lit(0)).cast("long").alias("n_tokens"),
+    cur = raw.select("doc_id", toks.alias("__t"))
+    flags = []  # (name, cumulative membership Column)
+    prev = None
+    for i, (name, ids, how) in enumerate(stages):
+        if ids is None:
+            f = F.lit(True)
+        else:
+            m = f"__m{i}"
+            cur = cur.join(
+                ids.select(F.col("doc_id")).withColumn(m, F.lit(True)),
+                "doc_id",
+                "left",
+            )
+            hit = F.col(m).isNotNull()
+            f = hit if how == "semi" else ~hit
+            if prev is not None:
+                f = prev & f
+        flags.append((name, f))
+        prev = f
+    aggs = []
+    for i, (name, f) in enumerate(flags):
+        aggs.append(
+            F.sum(F.when(f, 1).otherwise(0)).cast("long").alias(f"__d{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(f, F.col("__t"))), F.lit(0))
+            .cast("long")
+            .alias(f"__k{i}")
+        )
+    one = cur.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', __d{i}, __k{i}" for i, (name, _) in enumerate(flags)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(flags)}, {stack_args}) "
+            "as (stage_id, stage, n_docs, n_tokens)"
+        )
     ).select(
-        F.lit(sid).cast("int").alias("stage_id"),
-        F.lit(name).alias("stage"),
+        F.col("stage_id").cast("int").alias("stage_id"),
+        "stage",
         "n_docs",
         "n_tokens",
     )
 
 
-def _funnel_core(spark, sf_dir):
+def _corpus_size_hint(sf_dir: str) -> bool | None:
+    """Documents-table row count from the parquet footer (driver-side
+    metadata read, no Spark job), mapped to the ngram_jaccard_pairs
+    prefix-filter crossover. None = let the operator run its own count
+    probe."""
+    from ..operators.dedup import PREFIX_FILTER_MIN_DOCS
+
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    except Exception:
+        return None
+    return n > PREFIX_FILTER_MIN_DOCS
+
+
+def _funnel_core(spark, sf_dir, near_dup: str = "ngram"):
     """The shared quality -> exact-dedup -> near-dedup -> n-gram-
-    decontamination chain behind q137 (and q147's extended recipe).
-    Returns (raw, s1, s2, s3, s4, eval_df, caches): caches are the
-    persisted ids-only survivor sets the caller must unpersist after
-    materializing."""
+    decontamination chain behind q137 (and q147/q159's extended
+    recipes). Returns (raw, s4, eval_df, stages, caches): ``stages``
+    is the ordered [(name, ids, how)] list :func:`_funnel_report`
+    consumes, every ids set is a PERSISTED ids-only frame (each feeds
+    both the report flags and the next stage's derivation — without
+    the cache each consumer would re-derive the whole upstream chain),
+    and ``caches`` is the list the caller must eventually unpersist.
+
+    ``near_dup`` picks the stage-3 pair generator: "ngram" = the exact
+    n-gram Jaccard index (auto-strategy bounded candidates), "minhash"
+    = the banded MinHash-LSH path (q32's deterministic signature
+    family) — the production choice at 100 TB, where exact shingle
+    intersection over every candidate pair is the cost ceiling and
+    the sketch bound is what scales."""
     from ..operators.dedup import (
         exact_dedup,
+        minhash_lsh_pairs,
         ngram_jaccard_pairs,
         resolve_duplicate_clusters,
     )
@@ -2421,13 +2510,24 @@ def _funnel_core(spark, sf_dir):
         gopher_quality_filter(raw, "text", "doc_id", min_stopwords=1)
         .filter("passes")
         .select("doc_id")
-    )
+    ).persist()
     s1 = raw.join(passes, "doc_id", "left_semi")
-    s2 = s1.join(exact_dedup(s1, "text", "doc_id"), "doc_id", "left_semi")
-    pairs = ngram_jaccard_pairs(s2, "text", "doc_id", n=3, threshold=0.6)
-    # persist the (tiny, ids-only) survivor sets: the near-dup stage's
-    # pair generation feeds BOTH the s3 and s4 funnel rows — without the
-    # cache each union branch would regenerate the whole candidate join
+    keepers = exact_dedup(s1, "text", "doc_id").select("doc_id").persist()
+    s2 = s1.join(keepers, "doc_id", "left_semi")
+    if near_dup == "minhash":
+        pairs = minhash_lsh_pairs(s2, "text", "doc_id", n=3, threshold=0.6)
+    else:
+        # strategy hint from the parquet footer (driver-side metadata,
+        # no Spark job): |s2| <= |documents|, and the auto-probe's only
+        # role is the PREFIX_FILTER_MIN_DOCS crossover — an upper bound
+        # decides it identically except within a hair of the threshold,
+        # where both strategies are correct anyway. At 100 TB the same
+        # hint comes from table stats. Falls back to the count probe if
+        # the footer is unreadable.
+        pairs = ngram_jaccard_pairs(
+            s2, "text", "doc_id", n=3, threshold=0.6,
+            prefix_filter=_corpus_size_hint(sf_dir),
+        )
     canon = (
         resolve_duplicate_clusters(pairs, s2.select("doc_id"), "doc_id")
         .filter(F.col("doc_id") == F.col("cluster_id"))
@@ -2438,24 +2538,24 @@ def _funnel_core(spark, sf_dir):
         decontaminate(s3, eval_df, "text", "doc_id", n=5).select("doc_id")
     ).persist()
     s4 = s3.join(hits, "doc_id", "left_anti")
-    return raw, s1, s2, s3, s4, eval_df, [canon, hits]
+    stages = [
+        ("raw", None, "semi"),
+        ("quality", passes, "semi"),
+        ("exact_dedup", keepers, "semi"),
+        ("near_dedup", canon, "semi"),
+        ("decontaminated", hits, "anti"),
+    ]
+    return raw, s4, eval_df, stages, [passes, keepers, canon, hits]
 
 
 def _pretrain_funnel_frames(spark, sf_dir):
-    """Lazy construction of the q137 pipeline: returns (out, canon,
-    hits) where ``out`` is the 5-stage funnel DataFrame and canon/hits
-    are the persisted ids-only survivor sets the caller must unpersist
+    """Lazy construction of the q137 pipeline: returns (out, caches)
+    where ``out`` is the 5-stage funnel DataFrame and ``caches`` are
+    the persisted ids-only survivor sets the caller must unpersist
     after materializing ``out`` (plan tests inspect ``out`` without
     executing it)."""
-    raw, s1, s2, s3, s4, _, caches = _funnel_core(spark, sf_dir)
-    out = (
-        _funnel_stage_row(raw, 0, "raw")
-        .unionByName(_funnel_stage_row(s1, 1, "quality"))
-        .unionByName(_funnel_stage_row(s2, 2, "exact_dedup"))
-        .unionByName(_funnel_stage_row(s3, 3, "near_dedup"))
-        .unionByName(_funnel_stage_row(s4, 4, "decontaminated"))
-    )
-    return out, caches[0], caches[1]
+    raw, _, _, stages, caches = _funnel_core(spark, sf_dir)
+    return _funnel_report(raw, stages), caches
 
 
 def q137_pretrain_funnel(spark, sf_dir):
@@ -2487,8 +2587,8 @@ def q137_pretrain_funnel(spark, sf_dir):
             df.unpersist()
         except Exception:
             pass  # cache belonged to a since-stopped SparkSession
-    out, canon, hits = _pretrain_funnel_frames(spark, sf_dir)
-    _FUNNEL_CACHES[spark] = [canon, hits]
+    out, caches = _pretrain_funnel_frames(spark, sf_dir)
+    _FUNNEL_CACHES[spark] = caches
     return out
 
 
@@ -2673,9 +2773,9 @@ def q147_pretrain_funnel_full(spark, sf_dir):
             df.unpersist()
         except Exception:
             pass  # cache belonged to a since-stopped SparkSession
-    raw, s1, s2, s3, s4, _, caches = _funnel_core(spark, sf_dir)
-    # pin the s4 survivor ids: five downstream consumers (stage rows
-    # 4-6, the LM model, the semantic corpus) would otherwise each
+    raw, s4, _, stages, caches = _funnel_core(spark, sf_dir)
+    # pin the s4 survivor ids: three downstream consumers (the report
+    # flags, the LM model, the semantic corpus) would otherwise each
     # re-derive the whole quality->dedup->decontaminate chain
     s4ids = s4.select("doc_id").persist()
     s4r = raw.join(s4ids, "doc_id", "left_semi")
@@ -2696,16 +2796,14 @@ def q147_pretrain_funnel_full(spark, sf_dir):
         .filter("contaminated")
         .select(F.col("vec_id").alias("doc_id"))
     ).persist()
-    s6 = s5.join(sdirty, "doc_id", "left_anti")
 
-    out = (
-        _funnel_stage_row(raw, 0, "raw")
-        .unionByName(_funnel_stage_row(s1, 1, "quality"))
-        .unionByName(_funnel_stage_row(s2, 2, "exact_dedup"))
-        .unionByName(_funnel_stage_row(s3, 3, "near_dedup"))
-        .unionByName(_funnel_stage_row(s4r, 4, "decontaminated"))
-        .unionByName(_funnel_stage_row(s5, 5, "lm_filter"))
-        .unionByName(_funnel_stage_row(s6, 6, "semantic_decontaminated"))
+    out = _funnel_report(
+        raw,
+        stages
+        + [
+            ("lm_filter", keep, "semi"),
+            ("semantic_decontaminated", sdirty, "anti"),
+        ],
     )
     _FUNNEL_CACHES[spark] = caches + [s4ids, keep, sdirty]
     return out
@@ -2789,7 +2887,7 @@ def q159_pretrain_funnel_bigram(spark, sf_dir):
             df.unpersist()
         except Exception:
             pass  # cache belonged to a since-stopped SparkSession
-    raw, s1, s2, s3, s4, _, caches = _funnel_core(spark, sf_dir)
+    raw, s4, _, stages, caches = _funnel_core(spark, sf_dir)
     s4ids = s4.select("doc_id").persist()
     s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
@@ -2809,16 +2907,14 @@ def q159_pretrain_funnel_bigram(spark, sf_dir):
         .filter("contaminated")
         .select(F.col("vec_id").alias("doc_id"))
     ).persist()
-    s6 = s5.join(sdirty, "doc_id", "left_anti")
 
-    out = (
-        _funnel_stage_row(raw, 0, "raw")
-        .unionByName(_funnel_stage_row(s1, 1, "quality"))
-        .unionByName(_funnel_stage_row(s2, 2, "exact_dedup"))
-        .unionByName(_funnel_stage_row(s3, 3, "near_dedup"))
-        .unionByName(_funnel_stage_row(s4r, 4, "decontaminated"))
-        .unionByName(_funnel_stage_row(s5, 5, "bigram_lm_filter"))
-        .unionByName(_funnel_stage_row(s6, 6, "semantic_decontaminated"))
+    out = _funnel_report(
+        raw,
+        stages
+        + [
+            ("bigram_lm_filter", keep, "semi"),
+            ("semantic_decontaminated", sdirty, "anti"),
+        ],
     )
     _FUNNEL_CACHES[spark] = caches + [s4ids, keep, sdirty]
     return out

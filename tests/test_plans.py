@@ -607,22 +607,28 @@ def test_q136_scalar_threshold_and_anti_join(spark):
 
 
 def test_q137_funnel_composition_no_cartesian(spark):
-    """Pretraining funnel: the four-stage composition must stay
-    shuffle-disciplined end to end — survivor propagation is semi/anti
-    joins, the eval-set shingles broadcast, and no stage introduces a
-    cartesian or nested-loop join."""
+    """Pretraining funnel: the composition must stay shuffle-
+    disciplined end to end — the report is a SINGLE corpus pass (flag
+    joins + one conditional aggregation + stack, no per-stage union
+    branches), survivor derivation inside the cached id sets uses
+    semi joins, the eval-set shingles broadcast, and no stage
+    introduces a cartesian or nested-loop join."""
     from delta_lake_spark.queries.llm import _pretrain_funnel_frames
 
-    out, canon, hits = _pretrain_funnel_frames(spark, SF_DIR)
+    out, caches = _pretrain_funnel_frames(spark, SF_DIR)
     try:
         plan = _plan(out)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        assert "LeftSemi" in plan and "LeftAnti" in plan
+        # single-pass report: the stage rows come from stack() over one
+        # aggregation, never a per-stage union of corpus scans
+        assert "Union" not in plan
+        assert "stack(" in plan
+        assert "LeftSemi" in plan  # survivor derivation chains
         assert "BroadcastHashJoin" in plan  # eval shingles / survivor sets
     finally:
-        canon.unpersist()
-        hits.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def test_q145_residual_ivfpq_same_shuffle_discipline(spark):

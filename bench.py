@@ -93,6 +93,9 @@ def main() -> None:
     noisy_host = loadavg[0] > 2.0
     extra = 2 if noisy_host else 0
 
+    from delta_lake_spark.operators._cache import clear_session_caches
+    from delta_lake_spark.queries.llm import clear_funnel_memo
+
     def bench_one(name: str, runs: int = 3, include_build: bool = False) -> float:
         runs += extra
         fn = QUERIES[name]
@@ -102,6 +105,11 @@ def main() -> None:
         # and suppresses shared-host noise between rounds
         best = None
         for _ in range(runs):
+            # drop session-memoized stage sets / summary caches so every
+            # repeat run measures real work (Spark's CacheManager would
+            # otherwise serve the previous run's blocks by plan equality)
+            clear_funnel_memo(spark)
+            clear_session_caches(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             if not include_build:

@@ -52,6 +52,24 @@ def _sweep_stopped_locked() -> list[DataFrame]:
     return dropped
 
 
+def clear_session_caches(session=None) -> None:
+    """Unpersist and drop every registered summary (one session's, or
+    all sessions'). bench.py calls this between timed runs: Spark's
+    CacheManager matches cached plans by logical-plan equality, so a
+    repeat invocation of the same query would otherwise silently serve
+    the previous run's persisted summaries and under-report the work."""
+    with _LOCK:
+        keys = [id(session)] if session is not None else list(_REGISTRY)
+        slots = [_REGISTRY.pop(k) for k in keys if k in _REGISTRY]
+    for slot in slots:
+        for entries in slot["groups"].values():
+            for df in entries:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # cache belonged to a since-stopped session
+
+
 def register_persisted(
     df: DataFrame, group: str, capacity: int = 4
 ) -> DataFrame:

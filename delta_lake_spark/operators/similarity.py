@@ -2027,30 +2027,45 @@ def semantic_decontaminate(
     against" must read as clean — a NULL flag would silently pass
     every downstream ``NOT contaminated`` filter as unknown instead).
     """
+    # Eval norms are computed ONCE per eval vector here (not per
+    # corpus row x eval vector inside the max loop) and ride along in
+    # the broadcast struct; the corpus norm is computed once per row.
+    # Per-cosine arithmetic order (dot, then divide by norm_v * norm_e)
+    # is unchanged, so scores stay bit-identical to the naive form an
+    # external SQL oracle computes. The whole expression tree is built
+    # as ONE SQL string parsed JVM-side: the equivalent Python-lambda
+    # construction cost ~1.7 s of py4j round-trips per invocation —
+    # pure driver overhead that would dominate small/interactive runs.
     ev_one = (
         eval_set.select(F.col(vec_col).cast("array<double>").alias("__ev"))
+        .select(
+            F.struct(
+                F.col("__ev").alias("v"),
+                F.expr(
+                    "sqrt(aggregate(__ev, 0.0D, (a, x) -> a + x * x))"
+                ).alias("n"),
+            ).alias("__evn")
+        )
         .groupBy()
-        .agg(F.collect_list("__ev").alias("__evs"))
+        .agg(F.collect_list("__evn").alias("__evs"))
     )
     v = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn(
+        "__vn", F.expr("sqrt(aggregate(__v, 0.0D, (a, x) -> a + x * x))")
     )
-    max_sim = F.round(
-        F.array_max(
-            F.transform(
-                F.col("__evs"),
-                lambda e: cosine_similarity_col(F.col("__v"), e),
-            )
-        ),
-        9,
+    sim = v.join(F.broadcast(ev_one)).select(
+        F.col(id_col),
+        F.expr(
+            "round(array_max(transform(__evs, s -> "
+            "cast(aggregate(zip_with(__v, s.v, (x, y) -> x * y), 0.0D, "
+            "(a, p) -> a + p) / (__vn * s.n) as double))), 9)"
+        ).alias("max_eval_sim"),
     )
-    return (
-        v.join(F.broadcast(ev_one))
-        .select(
-            F.col(id_col),
-            max_sim.alias("max_eval_sim"),
-            F.coalesce(max_sim >= F.lit(threshold), F.lit(False)).alias(
-                "contaminated"
-            ),
-        )
+    return sim.select(
+        F.col(id_col),
+        F.col("max_eval_sim"),
+        F.coalesce(
+            F.col("max_eval_sim") >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
     )

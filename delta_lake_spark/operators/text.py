@@ -414,24 +414,23 @@ def gopher_quality_filter(
     )
     n_words = F.size("__w")
     nw_d = n_words.cast("double")
+    # sum of word lengths == length of the delimiter-less join — one
+    # codegen-friendly built-in instead of an interpreted
+    # aggregate(transform(...)) pair. The remaining higher-order
+    # expressions are parsed JVM-side from SQL strings: building the
+    # same trees from Python lambdas costs ~0.7 s of py4j round-trips
+    # per invocation (driver-side, paid before any task runs).
     mean_word_len = (
-        F.aggregate(
-            F.transform(F.col("__w"), lambda w: F.length(w)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).cast("double")
-        / nw_d
+        F.expr("length(array_join(__w, ''))").cast("double") / nw_d
     )
     alpha_word_ratio = (
-        F.size(F.filter(F.col("__w"), lambda w: w.rlike("[a-z]"))).cast("double")
+        F.expr("size(filter(__w, w -> w rlike '[a-z]'))").cast("double")
         / nw_d
     )
     symbol_ratio = F.col("__sym") / nw_d
-    n_stopwords = F.size(
-        F.array_intersect(
-            F.array_distinct("__w"),
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-        )
+    stop_lits = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    n_stopwords = F.expr(
+        f"size(array_intersect(array_distinct(__w), array({stop_lits})))"
     )
     staged2 = staged.select(
         F.col(id_col),
@@ -603,6 +602,14 @@ def unigram_lm_score(
         ).alias("term"),
     )
     if model is None:
+        # Self-trained model: the token relation feeds BOTH the model
+        # aggregation and the probe join — without pinning it, each
+        # branch re-derives the full upstream plan (scan + any semi-join
+        # chain + tokenize). Pinned via the bounded session registry
+        # (spills to disk above memory; cf. the BM25 summaries).
+        from ._cache import register_persisted
+
+        toks = register_persisted(toks.persist(), "lm_staged_tokens")
         model = toks.groupBy("term").agg(F.count("*").alias("freq"))
         if min_count > 1:
             model = model.filter(F.col("freq") >= min_count)
@@ -1129,10 +1136,20 @@ def bigram_lm_score(
     bit-for-bit. Returns: id_col, n_bigrams (long), avg_logprob
     (double, 1e-9-rounded).
     """
+    from ._cache import register_persisted
+
     words = F.split(
         F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
     )
-    staged = df.select(F.col(id_col), words.alias("__w"))
+    # The tokenized relation feeds three consumers (bigram occurrences
+    # — twice, for the model counts and the probe side — and the
+    # unigram vocabulary); pin it once via the bounded session registry
+    # so each branch re-explodes a cached narrow array column instead
+    # of re-running the upstream scan/join chain + tokenize per branch.
+    staged = register_persisted(
+        df.select(F.col(id_col), words.alias("__w")).persist(),
+        "lm_staged_tokens",
+    )
     # positional bigrams (every occurrence counts once per position)
     bigram_arr = F.expr(
         "CASE WHEN size(__w) >= 2 THEN "
@@ -1150,20 +1167,13 @@ def bigram_lm_score(
         uni = uni.filter(F.col("c1") >= min_count)
     total = uni.agg(F.sum("c1").cast("double").alias("__total"))
     big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
-    scored = (
-        pairs.join(big, ["prev", "cur"])
-        .join(
-            uni.select(F.col("term").alias("prev"), F.col("c1").alias("__c1p")),
-            "prev",
-            "left",
-        )
-        .join(
-            uni.select(F.col("term").alias("cur"), F.col("c1").alias("__c1c")),
-            "cur",
-            "left",
-        )
-        .join(F.broadcast(total))
-    )
+    # The interpolated probability is a function of the DISTINCT bigram
+    # alone, so the model is assembled at distinct-(prev, cur)
+    # granularity — vocabulary-sized, not occurrence-sized — and the
+    # data-sized occurrence relation is touched by exactly ONE join
+    # (AQE broadcasts the model while it fits, shuffles above). The
+    # earlier shape joined uni/total onto every occurrence row: three
+    # extra passes over the biggest relation in the plan.
     p = (
         F.when(
             F.col("__c1p").isNotNull(),
@@ -1175,9 +1185,27 @@ def bigram_lm_score(
         * F.coalesce(F.col("__c1c").cast("double"), F.lit(0.5))
         / F.col("__total")
     )
-    return scored.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        F.round(F.avg(F.log(p)), 9).alias("avg_logprob"),
+    model = (
+        big.join(
+            uni.select(F.col("term").alias("prev"), F.col("c1").alias("__c1p")),
+            "prev",
+            "left",
+        )
+        .join(
+            uni.select(F.col("term").alias("cur"), F.col("c1").alias("__c1c")),
+            "cur",
+            "left",
+        )
+        .join(F.broadcast(total))
+        .select("prev", "cur", F.log(p).alias("__lnp"))
+    )
+    return (
+        pairs.join(model, ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("__lnp"), 9).alias("avg_logprob"),
+        )
     )
 
 

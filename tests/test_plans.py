@@ -613,22 +613,26 @@ def test_q137_funnel_composition_no_cartesian(spark):
     branches), survivor derivation inside the cached id sets uses
     semi joins, the eval-set shingles broadcast, and no stage
     introduces a cartesian or nested-loop join."""
-    from delta_lake_spark.queries.llm import _pretrain_funnel_frames
+    from delta_lake_spark.queries.llm import (
+        _pretrain_funnel_frames,
+        clear_funnel_memo,
+    )
 
-    out, caches = _pretrain_funnel_frames(spark, SF_DIR)
+    out, _ = _pretrain_funnel_frames(spark, SF_DIR)
     try:
         plan = _plan(out)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # single-pass report: the stage rows come from stack() over one
-        # aggregation, never a per-stage union of corpus scans
-        assert "Union" not in plan
-        assert "stack(" in plan
+        # single-pass report: one depth aggregation over one corpus
+        # join against the unioned id sets (explain text can't count
+        # corpus scans — InMemoryRelation blocks print their cached
+        # child plans — so assert the depth-group-by shape instead)
+        assert "__depth" in plan, plan
+        assert plan.count("Window") == 1, plan  # one 7-row cumsum
         assert "LeftSemi" in plan  # survivor derivation chains
         assert "BroadcastHashJoin" in plan  # eval shingles / survivor sets
     finally:
-        for c in caches:
-            c.unpersist()
+        clear_funnel_memo(spark)
 
 
 def test_q145_residual_ivfpq_same_shuffle_discipline(spark):
@@ -673,7 +677,7 @@ def test_q147_full_funnel_composition_no_cartesian(spark):
     (LM total, eval-embedding row) are the only nested-loop broadcasts,
     and no stage introduces a cartesian."""
     from delta_lake_spark.queries.llm import (
-        _FUNNEL_CACHES,
+        clear_funnel_memo,
         q147_pretrain_funnel_full,
     )
 
@@ -689,8 +693,7 @@ def test_q147_full_funnel_composition_no_cartesian(spark):
         for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
             assert "HashAggregate" in plan[m.start():], plan[m.start():m.start() + 500]
     finally:
-        for df in _FUNNEL_CACHES.pop(spark, []):
-            df.unpersist()
+        clear_funnel_memo(spark)
 
 
 def test_q138_pq_codebook_broadcasts_no_cartesian(spark):
@@ -843,7 +846,7 @@ def test_q159_bigram_funnel_composition_no_cartesian(spark):
     bigram-count relation joined as a shuffled equi-join (never a
     cartesian), 1-row aggregates as the only nested-loop broadcasts."""
     from delta_lake_spark.queries.llm import (
-        _FUNNEL_CACHES,
+        clear_funnel_memo,
         q159_pretrain_funnel_bigram,
     )
 
@@ -857,8 +860,7 @@ def test_q159_bigram_funnel_composition_no_cartesian(spark):
         for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
             assert "HashAggregate" in plan[m.start():], plan[m.start():m.start() + 500]
     finally:
-        for df in _FUNNEL_CACHES.pop(spark, []):
-            df.unpersist()
+        clear_funnel_memo(spark)
 
 
 def test_hll_distinct_shuffles_registers_never_terms(spark):

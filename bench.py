@@ -51,6 +51,7 @@ SECONDARY = [
     "q147_pretrain_funnel_full",
     "q154_token_budget_select",  # curation-suite trend line at sf0.1
     "q162_hll_distinct_tokens",  # sketch-suite trend line at sf0.1
+    "q165_hll_state_vocab",  # persistent sketch-state maintenance path
 ]
 
 

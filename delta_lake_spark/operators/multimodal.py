@@ -50,6 +50,39 @@ def _probe_image_decoder():
         return None
 
 
+def tiny_png_bytes(rows: list[list[int]]) -> bytes:
+    """Hand-assembled 8-bit grayscale PNG from a pixel matrix — a
+    deterministic in-repo image fixture (stdlib only: zlib + struct),
+    so the REAL decode branch of :func:`decode_image_features` can be
+    exercised by tests whenever an image library is importable,
+    without shipping binary blobs in the repo. ``rows`` is a list of
+    equal-length lists of 0-255 gray values."""
+    import struct
+    import zlib
+
+    width, height = len(rows[0]), len(rows)
+    if any(len(r) != width for r in rows):
+        raise ValueError("all pixel rows must have equal length")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    # each scanline: filter byte 0 (None) + raw gray bytes
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Adapt the documents table into a media-shaped table (binary
     payload + metadata) for exercising the multimodal path: content =

@@ -2391,7 +2391,7 @@ FROM m
 """
 
 
-def _funnel_report(raw, stages):
+def _funnel_report(raw, stages, vocab: bool = False):
     """Single-pass funnel report. The previous shape aggregated one
     union branch PER stage — at 7 stages that is 7 corpus scans, each
     re-deriving its survivor chain, and (under AQE) ~80 stage-
@@ -2412,6 +2412,14 @@ def _funnel_report(raw, stages):
     generated a wide fused aggregate whose whole-stage codegen compile
     dominated small runs and whose per-row cost grew with stage count.
 
+    ``vocab=True`` adds an ``est_vocab`` column: the HyperLogLog
+    estimate of the stage survivors' distinct whitespace-token count
+    (operators/sketches.py hll_distinct's deterministic register
+    math, so a SQL oracle replays the value exactly). The register
+    merge property keeps this one extra bounded shuffle: registers
+    aggregate per (depth, bucket) — <= n_stages x 2^p rows — then
+    max-merge down the depth axis, never re-hashing tokens per stage.
+
     ``stages``: ordered [(name, ids_df_or_None, how)] where how is
     "semi" (stage = previous ∩ ids) or "anti" (previous \\ ids); ids
     None only for the leading raw stage. Each ids frame must be
@@ -2419,8 +2427,17 @@ def _funnel_report(raw, stages):
     duplicate corpus rows through the left join and corrupt every
     downstream count).
     """
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    cur = raw.select("doc_id", toks.alias("__t"))
+    split_col = F.split(F.trim(F.col("text")), r"\s+")
+    if vocab:
+        cur = raw.select(
+            "doc_id",
+            F.size(split_col).cast("long").alias("__t"),
+            split_col.alias("__ws"),
+        )
+    else:
+        cur = raw.select(
+            "doc_id", F.size(split_col).cast("long").alias("__t")
+        )
     # ONE membership relation instead of one join per stage: the id
     # sets union (tagged by stage index) into a per-doc hit set, so
     # the corpus is joined ONCE however many stages the funnel has.
@@ -2453,9 +2470,10 @@ def _funnel_report(raw, stages):
     depth = F.lit(len(stages) - 1)
     for i in range(len(stages) - 1, 0, -1):
         depth = F.when(~survives[i], i - 1).otherwise(depth)
-    grouped = cur.select(depth.alias("__depth"), "__t").groupBy(
-        "__depth"
-    ).agg(
+    staged = cur.select(
+        depth.alias("__depth"), "__t", *(["__ws"] if vocab else [])
+    )
+    grouped = staged.groupBy("__depth").agg(
         F.count("*").alias("__d"), F.sum("__t").alias("__k")
     )
     spine = raw.sparkSession.range(len(stages)).select(
@@ -2469,7 +2487,7 @@ def _funnel_report(raw, stages):
         F.array(*[F.lit(name) for name, _, _ in stages]),
         F.col("stage_id") + 1,
     )
-    return (
+    out = (
         spine.join(grouped, spine.stage_id == grouped.__depth, "left")
         .select(
             "stage_id",
@@ -2484,8 +2502,37 @@ def _funnel_report(raw, stages):
         .select(
             "stage_id", name_expr.alias("stage"), "n_docs", "n_tokens"
         )
-        .orderBy("stage_id")
     )
+    if vocab:
+        from ..operators.sketches import (
+            hll_estimate_from_registers,
+            hll_registers,
+        )
+
+        # registers per (depth, bucket): one bounded shuffle over the
+        # exploded tokens; a depth-d doc's tokens belong to stages
+        # 0..d, so stage registers are the max-merge down the depth
+        # axis — <= n_stages x 2^p rows, never a re-hash per stage
+        toks = staged.select(
+            "__depth", F.explode("__ws").alias("__tok")
+        )
+        regs = hll_registers(toks, "__tok", ["__depth"], p=10)
+        stage_regs = (
+            regs.select(
+                F.explode(F.expr("sequence(0, __depth)")).alias(
+                    "stage_id"
+                ),
+                "bucket",
+                "M",
+            )
+            .groupBy("stage_id", "bucket")
+            .agg(F.max("M").alias("M"))
+        )
+        est = hll_estimate_from_registers(stage_regs, ["stage_id"], p=10)
+        out = out.join(est, "stage_id", "left").withColumn(
+            "est_vocab", F.coalesce(F.col("est_distinct"), F.lit(0.0))
+        ).select("stage_id", "stage", "n_docs", "n_tokens", "est_vocab")
+    return out.orderBy("stage_id")
 
 
 def _corpus_size_hint(sf_dir: str) -> bool | None:
@@ -3089,6 +3136,62 @@ _Q159_SQL = _materialize_ctes(
     _gen_q159_sql(),
     ["wB", "pairsB", "uniB", "bigB", "lmB", "s5", "embv", "simsS", "s6"],
 )
+
+
+def q170_pretrain_funnel_minhash(spark, sf_dir):
+    """The flagship funnel with the near-dup stage at the LSH TIER —
+    q137's quality -> exact dedup -> near-dedup -> decontamination
+    composition, but stage 3 generates candidate pairs via banded
+    MinHash-LSH (q32's deterministic signature family, exact-verified
+    on candidates) instead of the exact n-gram inverted index. At
+    100 TB the MinHash path IS the production choice — exact shingle
+    intersection over all candidate pairs is the cost ceiling, the
+    banded sketch bound is what scales — so the flagship composition
+    exercises the at-scale algorithm end to end. The verified LSH
+    output equals the exact Jaccard pair set at this threshold
+    (q32/q31 oracle equality), so the funnel rows replay against the
+    same relational pipeline as q137.
+
+    The report additionally carries ``est_vocab``: a per-stage
+    HyperLogLog distinct-token estimate (operators/sketches.py — the
+    register math is deterministic, value-exact cross-engine),
+    showing the sketch suite composing with the flagship at one extra
+    register-bounded shuffle. Shares the memoized quality/exact-dedup
+    base stages with the ngram-tier funnel."""
+    raw, _, _, stages, _ = _funnel_core(spark, sf_dir, near_dup="minhash")
+    return _funnel_report(raw, stages, vocab=True)
+
+
+def _gen_q170_sql() -> str:
+    """DuckDB replica: q137's stage pipeline (the verified-LSH pair
+    set equals the exact pair set, so the stage CTEs are shared
+    verbatim) with each stage row extended by the HLL vocabulary
+    estimate — hll_distinct_sql keeps the register formula in ONE
+    place so the engines can never drift."""
+    from ..operators.sketches import hll_distinct_sql
+
+    ctes, rows = _Q137_SQL.split("\nSELECT CAST(0 AS INTEGER)", 1)
+    stage_ctes = ["raw", "s1", "s2", "s3", "s4"]
+    names = ["raw", "quality", "exact_dedup", "near_dedup", "decontaminated"]
+    parts = []
+    for i, (cte, name) in enumerate(zip(stage_ctes, names)):
+        hll = hll_distinct_sql(
+            f"(SELECT unnest(string_split_regex(trim(text), '\\s+'))"
+            f" AS tok FROM {cte})",
+            "tok",
+        )
+        parts.append(
+            f"SELECT CAST({i} AS INTEGER) AS stage_id, '{name}' AS stage,"
+            f" COUNT(*) AS n_docs,\n"
+            f"  CAST(COALESCE(SUM(len(string_split_regex(trim(text),"
+            f" '\\s+'))), 0) AS BIGINT) AS n_tokens,\n"
+            f"  COALESCE(( {hll} ), 0.0) AS est_vocab\n"
+            f"FROM {cte}"
+        )
+    return ctes + "\n" + "\nUNION ALL\n".join(parts)
+
+
+_Q170_SQL = _gen_q170_sql()
 
 
 def q161_curriculum_shards(spark, sf_dir):
@@ -4464,6 +4567,7 @@ QUERIES = {
     "q146_pq_index_cdf_sync": q146_pq_index_cdf_sync,
     "q147_pretrain_funnel_full": q147_pretrain_funnel_full,
     "q159_pretrain_funnel_bigram": q159_pretrain_funnel_bigram,
+    "q170_pretrain_funnel_minhash": q170_pretrain_funnel_minhash,
     "q160_reference_lm_score": q160_reference_lm_score,
     "q161_curriculum_shards": q161_curriculum_shards,
     "q162_hll_distinct_tokens": q162_hll_distinct_tokens,
@@ -4589,6 +4693,7 @@ ORACLE_SQL = {
     "q146_pq_index_cdf_sync": _Q146_SQL,
     "q147_pretrain_funnel_full": _Q147_SQL,
     "q159_pretrain_funnel_bigram": _Q159_SQL,
+    "q170_pretrain_funnel_minhash": _Q170_SQL,
     "q160_reference_lm_score": _Q160_SQL,
     "q161_curriculum_shards": _Q161_SQL,
     "q162_hll_distinct_tokens": _Q162_SQL,

@@ -411,6 +411,65 @@ def test_simhash_portable_matches_default_semantics(spark, docs):
     assert port.filter("hamming > 3").count() == 0
 
 
+def test_tiny_png_fixture_is_structurally_valid():
+    """The hand-assembled PNG must be independently verifiable without
+    an image library: correct signature, IHDR geometry, chunk CRCs,
+    and an IDAT whose zlib payload inflates to the filter-prefixed
+    scanlines — so the fixture can't silently rot while PIL is absent."""
+    import struct
+    import zlib
+
+    from delta_lake_spark.operators.multimodal import tiny_png_bytes
+
+    rows = [[0, 85, 170], [255, 128, 64]]
+    png = tiny_png_bytes(rows)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    off, chunks = 8, {}
+    while off < len(png):
+        (length,) = struct.unpack(">I", png[off : off + 4])
+        tag = png[off + 4 : off + 8]
+        data = png[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", png[off + 8 + length : off + 12 + length]
+        )
+        assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF, tag
+        chunks[tag] = data
+        off += 12 + length
+    w, h, depth, ctype = struct.unpack(">IIBB", chunks[b"IHDR"][:10])
+    assert (w, h, depth, ctype) == (3, 2, 8, 0)
+    raw = zlib.decompress(chunks[b"IDAT"])
+    assert raw == b"\x00\x00\x55\xaa\x00\xff\x80\x40"
+    assert chunks[b"IEND"] == b""
+
+
+def test_real_decode_on_tiny_png(spark):
+    """Drive the REAL decode branch end to end over the in-repo PNG
+    fixture when an image library is importable (skips otherwise —
+    the branch, not just the probe, is what this pins): dimensions,
+    mode, and mean luminance must come from actual pixel decode."""
+    from delta_lake_spark.operators.multimodal import (
+        _probe_image_decoder,
+        decode_image_features,
+        tiny_png_bytes,
+    )
+
+    if _probe_image_decoder() is None:
+        pytest.skip("PIL not importable in this environment")
+    rows = [[0, 85, 170], [255, 128, 64]]
+    png = tiny_png_bytes(rows)
+    media = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id long, content binary"
+    )
+    out = decode_image_features(media, real_decode=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (3, 2)
+    assert r.mode == "L"
+    expected_luma = sum(sum(row) for row in rows) / 6.0
+    assert abs(r.mean_luma - expected_luma) < 1e-9
+    assert r.n_bytes == len(png)
+
+
 def test_real_decode_probes_dependency(spark, docs):
     """real_decode=True must either actually decode (when an image lib
     is importable) or raise NotImplementedError naming the dependency —

@@ -863,6 +863,32 @@ def test_q159_bigram_funnel_composition_no_cartesian(spark):
         clear_funnel_memo(spark)
 
 
+def test_q170_minhash_funnel_no_cartesian_register_bounded(spark):
+    """The LSH-tier funnel must keep the composition discipline: the
+    banded-bucket candidate join and the survivor semi/anti chain are
+    hash joins (no cartesian), and the vocab column's HLL aggregation
+    is register-bounded — the shuffle keys are (depth|stage, bucket),
+    never raw tokens."""
+    from delta_lake_spark.queries.llm import (
+        clear_funnel_memo,
+        q170_pretrain_funnel_minhash,
+    )
+
+    out = q170_pretrain_funnel_minhash(spark, SF_DIR)
+    try:
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftSemi" in plan
+        # HLL register merge: the stage-axis aggregation groups on
+        # (stage_id, bucket) — token-level rows never cross a stage
+        # boundary shuffle
+        assert "hashpartitioning(stage_id" in plan, plan
+        assert "est_vocab" in plan
+    finally:
+        clear_funnel_memo(spark)
+
+
 def test_hll_distinct_shuffles_registers_never_terms(spark):
     from delta_lake_spark.operators.sketches import hll_distinct
 

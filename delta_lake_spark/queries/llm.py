@@ -2666,10 +2666,12 @@ def _funnel_core(spark, sf_dir, near_dup: str = "ngram"):
             .filter("passes")
             .select("doc_id")
         ).persist()
+        passes.count()
         s1 = raw.join(passes, "doc_id", "left_semi")
         keepers = (
             exact_dedup(s1, "text", "doc_id").select("doc_id").persist()
         )
+        keepers.count()
         base = {"result": (passes, keepers), "frames": [passes, keepers]}
         slot["chain"][(sf_dir, "__base__")] = base
     passes, keepers = base["result"]
@@ -2694,11 +2696,19 @@ def _funnel_core(spark, sf_dir, near_dup: str = "ngram"):
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
     ).persist()
+    canon.count()
     s3 = s2.join(canon, "doc_id", "left_semi")
     hits = (
         decontaminate(s3, eval_df, "text", "doc_id", n=5).select("doc_id")
     ).persist()
+    hits.count()
     s4 = s3.join(hits, "doc_id", "left_anti")
+    # every stage set is MATERIALIZED here, not left lazy: letting a
+    # single downstream action populate four interdependent caches at
+    # once makes its branch scheduling race the cache builds (measured
+    # 10-25 s swings on an idle 32-thread host vs a stable ~9 s when
+    # the sets are staged eagerly) — and checkpointed stage sets are
+    # what a production corpus build writes anyway
     stages = [
         ("raw", None, "semi"),
         ("quality", passes, "semi"),
@@ -2925,14 +2935,17 @@ def q147_pretrain_funnel_full(spark, sf_dir):
     raw, s4, _, stages, caches = _funnel_core(spark, sf_dir)
     # pin the s4 survivor ids: three downstream consumers (the report
     # flags, the LM model, the semantic corpus) would otherwise each
-    # re-derive the whole quality->dedup->decontaminate chain
+    # re-derive the whole quality->dedup->decontaminate chain; staged
+    # eagerly like the chain sets (see _funnel_core's race note)
     s4ids = s4.select("doc_id").persist()
+    s4ids.count()
     s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
         unigram_lm_score(s4r, "text", "doc_id")
         .filter(F.col("avg_logprob") >= F.lit(-3.41))
         .select("doc_id")
     ).persist()
+    keep.count()
     s5 = s4r.join(keep, "doc_id", "left_semi")
     emb = _emb(spark, sf_dir)
     corpus_emb = emb.join(
@@ -2945,6 +2958,7 @@ def q147_pretrain_funnel_full(spark, sf_dir):
         .filter("contaminated")
         .select(F.col("vec_id").alias("doc_id"))
     ).persist()
+    sdirty.count()
 
     out = _funnel_report(
         raw,
@@ -3033,12 +3047,14 @@ def q159_pretrain_funnel_bigram(spark, sf_dir):
 
     raw, s4, _, stages, caches = _funnel_core(spark, sf_dir)
     s4ids = s4.select("doc_id").persist()
+    s4ids.count()
     s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
         bigram_lm_score(s4r, "text", "doc_id", lam=0.5)
         .filter(F.col("avg_logprob") >= F.lit(-3.39))
         .select("doc_id")
     ).persist()
+    keep.count()
     s5 = s4r.join(keep, "doc_id", "left_semi")
     emb = _emb(spark, sf_dir)
     corpus_emb = emb.join(
@@ -3051,6 +3067,7 @@ def q159_pretrain_funnel_bigram(spark, sf_dir):
         .filter("contaminated")
         .select(F.col("vec_id").alias("doc_id"))
     ).persist()
+    sdirty.count()
 
     out = _funnel_report(
         raw,

@@ -91,8 +91,13 @@ def main() -> None:
         loadavg = os.getloadavg()
     except OSError:  # platform without getloadavg
         loadavg = (-1.0, -1.0, -1.0)
+    # best-of-5 floor: the widening rule keys on PRE-run load, but the
+    # bench itself drives a 32-thread box to loadavg 4-6 mid-run, so a
+    # quiet start still needs the extra repeats for a trustworthy min
+    # (r7: a quiet-start best-of-3 read 7.2 s where best-of-5 reads
+    # 5.6-6.2 s); under pre-existing load widen further
     noisy_host = loadavg[0] > 2.0
-    extra = 2 if noisy_host else 0
+    extra = 4 if noisy_host else 2
 
     from delta_lake_spark.operators._cache import clear_session_caches
     from delta_lake_spark.queries.llm import clear_funnel_memo

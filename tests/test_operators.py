@@ -3137,3 +3137,70 @@ def test_query_registry_complete():
 
     assert len(QUERIES) >= 164
     assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_funnel_report_matches_bruteforce_on_random_stages(spark):
+    """The depth-collapse report (one membership join + deepest-stage
+    integer + reverse cumsum) must equal the definitionally-computed
+    funnel — per-stage survivor sets derived by literal semi/anti set
+    algebra in Python — on an arbitrary semi/anti stage mix, including
+    a stage that empties the funnel midway."""
+    from delta_lake_spark.queries.llm import _funnel_report
+
+    docs = [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(40)]
+    raw = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {
+        "a": {i for i in range(40) if i % 2 == 0},          # semi
+        "b": {i for i in range(40) if i % 3 == 0},          # anti
+        "c": {i for i in range(40) if i < 30},              # semi
+        "d": set(range(40)),                                # anti: empties
+        "e": {1, 2, 3},                                     # semi after empty
+    }
+    hows = {"a": "semi", "b": "anti", "c": "semi", "d": "anti", "e": "semi"}
+    stages = [("raw", None, "semi")] + [
+        (
+            k,
+            spark.createDataFrame(
+                [(i,) for i in sorted(sets[k])], "doc_id long"
+            ),
+            hows[k],
+        )
+        for k in ["a", "b", "c", "d", "e"]
+    ]
+    got = {
+        r.stage: (r.stage_id, r.n_docs, r.n_tokens)
+        for r in _funnel_report(raw, stages).collect()
+    }
+    surv = {i for i, _ in docs}
+    toks = {i: i % 5 + 1 for i, _ in docs}
+    expected = {"raw": (0, len(surv), sum(toks[i] for i in surv))}
+    for sid, k in enumerate(["a", "b", "c", "d", "e"], start=1):
+        surv = (
+            surv & sets[k] if hows[k] == "semi" else surv - sets[k]
+        )
+        expected[k] = (sid, len(surv), sum(toks[i] for i in surv))
+    assert got == expected
+
+
+def test_funnel_memo_reuses_and_clears(spark):
+    """_funnel_core must return the SAME stage frames on a second call
+    (session memo hit — the gate-rotation speedup contract) and drop
+    them after clear_funnel_memo, so bench repeats measure real work."""
+    from delta_lake_spark.queries.llm import (
+        _funnel_core,
+        clear_funnel_memo,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    clear_funnel_memo(spark)
+    try:
+        _, _, _, stages1, caches1 = _funnel_core(spark, sf)
+        _, _, _, stages2, caches2 = _funnel_core(spark, sf)
+        assert [id(df) for df in caches1] == [id(df) for df in caches2]
+        assert all(df.storageLevel.useMemory for df in caches1)
+        clear_funnel_memo(spark)
+        assert not any(df.storageLevel.useMemory for df in caches1)
+        _, _, _, _, caches3 = _funnel_core(spark, sf)
+        assert [id(a) for a in caches3] != [id(a) for a in caches1]
+    finally:
+        clear_funnel_memo(spark)

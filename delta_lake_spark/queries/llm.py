@@ -2609,10 +2609,13 @@ def clear_funnel_memo(spark=None) -> None:
 
 def _swap_extras(spark, name: str, frames: list) -> None:
     """Replace query ``name``'s persisted per-query frames, releasing
-    the previous invocation's (bounded steady state across repeats)."""
+    the previous invocation's (bounded steady state across repeats).
+    The swap itself happens under the registry lock so two concurrent
+    invocations can't both claim the slot and leak a frame set."""
     slot = _funnel_slot(spark)
-    old = slot["extras"].pop(name, [])
-    slot["extras"][name] = frames
+    with _FUNNEL_LOCK:
+        old = slot["extras"].pop(name, [])
+        slot["extras"][name] = frames
     for df in old:
         try:
             df.unpersist()
@@ -3209,6 +3212,37 @@ def _gen_q170_sql() -> str:
 
 
 _Q170_SQL = _gen_q170_sql()
+
+
+def q171_wav_meta_roundtrip(spark, sf_dir):
+    """REAL audio decode in the multimodal path: a deterministic WAV
+    corpus is synthesized per document id (hand-assembled RIFF/PCM,
+    params arithmetic in the id) and decode_wav_meta parses the
+    binary back — chunk-walking the RIFF structure with stdlib struct
+    inside Arrow batches, no stub, no external decoder. The oracle
+    states the expected metadata arithmetically, so the gate proves
+    parse(synthesize(id)) recovers every parameter exactly. Both steps
+    are mapInPandas over the id/payload columns: map-only, payloads
+    never visit the driver, parallel past the file count."""
+    from ..operators.multimodal import decode_wav_meta, synthesize_wav_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_wav_meta(synthesize_wav_corpus(docs)).select(
+        "media_id", "channels", "sample_rate", "bits", "n_frames",
+        "duration_ms",
+    )
+
+
+_Q171_SQL = """
+SELECT doc_id AS media_id,
+  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+  CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+  CAST(20 + doc_id % 40 AS BIGINT) AS n_frames,
+  CAST(((20 + doc_id % 40) * 1000) // (8000 * (1 + doc_id % 3)) AS BIGINT)
+    AS duration_ms
+FROM documents
+"""
 
 
 def q161_curriculum_shards(spark, sf_dir):
@@ -4585,6 +4619,7 @@ QUERIES = {
     "q147_pretrain_funnel_full": q147_pretrain_funnel_full,
     "q159_pretrain_funnel_bigram": q159_pretrain_funnel_bigram,
     "q170_pretrain_funnel_minhash": q170_pretrain_funnel_minhash,
+    "q171_wav_meta_roundtrip": q171_wav_meta_roundtrip,
     "q160_reference_lm_score": q160_reference_lm_score,
     "q161_curriculum_shards": q161_curriculum_shards,
     "q162_hll_distinct_tokens": q162_hll_distinct_tokens,
@@ -4711,6 +4746,7 @@ ORACLE_SQL = {
     "q147_pretrain_funnel_full": _Q147_SQL,
     "q159_pretrain_funnel_bigram": _Q159_SQL,
     "q170_pretrain_funnel_minhash": _Q170_SQL,
+    "q171_wav_meta_roundtrip": _Q171_SQL,
     "q160_reference_lm_score": _Q160_SQL,
     "q161_curriculum_shards": _Q161_SQL,
     "q162_hll_distinct_tokens": _Q162_SQL,

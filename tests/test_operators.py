@@ -3300,3 +3300,108 @@ def test_funnel_report_vocab_column_consistency(spark):
         )
         expected = hll_distinct(toks, "t").collect()[0].est_distinct
         assert got[name][1] == expected, name
+
+
+def test_tiny_gif_lzw_stream_decodes_to_solid_frames():
+    """Independent verification of the GIF fixture: a from-scratch LZW
+    decoder (written here, sharing no code with the encoder) must
+    inflate each frame's data stream back to the expected solid-color
+    pixel run — so the fixture is a DECODABLE image, not just a
+    walkable container."""
+    import struct
+
+    from delta_lake_spark.operators.multimodal import tiny_gif_bytes
+
+    frames = [(0, 1, 3, 2), (2, 0, 4, 1)]
+    gif = tiny_gif_bytes(frames, seed=5)
+    assert gif[:6] == b"GIF89a" and gif[-1] == 0x3B
+
+    def lzw_decode(data: bytes, min_code_size: int) -> list:
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        table = {i: [i] for i in range(1 << min_code_size)}
+        width, next_code = min_code_size + 1, eoi + 1
+        acc = n_acc = pos = 0
+        out, prev = [], None
+        while True:
+            while n_acc < width:
+                acc |= data[pos] << n_acc
+                pos += 1
+                n_acc += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_acc -= width
+            if code == clear:
+                table = {i: [i] for i in range(1 << min_code_size)}
+                width, next_code, prev = min_code_size + 1, eoi + 1, None
+                continue
+            if code == eoi:
+                return out
+            entry = table[code] if code in table else prev + [prev[0]]
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+
+    # walk to each image block, reassemble its sub-blocks, decode
+    off = 13 + 3 * (2 << (gif[10] & 0x07))
+    seen = 0
+    while gif[off] != 0x3B:
+        assert gif[off] == 0x2C
+        _, _, fw, fh, _ = struct.unpack("<HHHHB", gif[off + 1 : off + 10])
+        off += 10
+        mcs = gif[off]
+        off += 1
+        data = bytearray()
+        while gif[off] != 0:
+            data += gif[off + 1 : off + 1 + gif[off]]
+            off += 1 + gif[off]
+        off += 1
+        pixels = lzw_decode(bytes(data), mcs)
+        assert pixels == [(5 + seen) % 4] * (fw * fh), seen
+        seen += 1
+    assert seen == len(frames)
+
+
+def test_gif_frame_index_parses_and_rejects(spark):
+    """gif_frame_index must recover exact frame geometry (including
+    payloads with extension blocks riding ahead of frames) and FAIL on
+    a non-GIF payload."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.multimodal import (
+        gif_frame_index,
+        tiny_gif_bytes,
+    )
+
+    base = tiny_gif_bytes([(1, 2, 3, 4), (0, 0, 2, 2)], seed=1)
+    # splice a graphics-control extension before the first frame
+    first_img = base.index(b"\x2C")
+    with_ext = (
+        base[:first_img]
+        + b"\x21\xF9\x04\x00\x0A\x00\x00\x00"
+        + base[first_img:]
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(with_ext))],
+        "media_id long, content binary",
+    )
+    rows = gif_frame_index(media).collect()
+    by_key = {(r.media_id, r.frame_id): r for r in rows}
+    assert len(rows) == 4
+    for mid in (1, 2):
+        assert (
+            by_key[(mid, 0)].left,
+            by_key[(mid, 0)].top,
+            by_key[(mid, 0)].width,
+            by_key[(mid, 0)].height,
+        ) == (1, 2, 3, 4)
+        assert by_key[(mid, 1)].width == 2
+        assert by_key[(mid, 0)].n_data_bytes > 0
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"GIF:not really"))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="GIF"):
+        gif_frame_index(bad).collect()

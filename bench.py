@@ -91,19 +91,23 @@ def main() -> None:
         loadavg = os.getloadavg()
     except OSError:  # platform without getloadavg
         loadavg = (-1.0, -1.0, -1.0)
-    # best-of-5 floor: the widening rule keys on PRE-run load, but the
-    # bench itself drives a 32-thread box to loadavg 4-6 mid-run, so a
-    # quiet start still needs the extra repeats for a trustworthy min
-    # (r7: a quiet-start best-of-3 read 7.2 s where best-of-5 reads
-    # 5.6-6.2 s); under pre-existing load widen further
+    # best-of-5 floor for the HEADLINE set: the widening rule keys on
+    # PRE-run load, but the bench itself drives a 32-thread box to
+    # loadavg 4-6 mid-run, so a quiet start still needs the extra
+    # repeats for a trustworthy min (r7: a quiet-start best-of-3 read
+    # 7.2 s where best-of-5 reads 5.6-6.2 s). The SECONDARY set keeps
+    # the old 3-or-5 rule: its rows run 4-30 s each end-to-end, and a
+    # universal 5/7 floor pushed the whole bench past a 10-minute
+    # budget for a trend-line signal the min-of-3 already carries.
     noisy_host = loadavg[0] > 2.0
-    extra = 4 if noisy_host else 2
+    extra = 2 if noisy_host else 0
+    headline_extra = 4 if noisy_host else 2
 
     from delta_lake_spark.operators._cache import clear_session_caches
     from delta_lake_spark.queries.llm import clear_funnel_memo
 
     def bench_one(name: str, runs: int = 3, include_build: bool = False) -> float:
-        runs += extra
+        runs += extra if include_build else headline_extra
         fn = QUERIES[name]
         # best of 3: the first run pays Janino codegen + cache fill, the
         # second still part-warms the JIT for wide-agg plans; the minimum
@@ -159,7 +163,8 @@ def main() -> None:
                 "queries": timings,
                 "secondary": secondary,
                 "loadavg": [round(x, 2) for x in loadavg],
-                "runs_per_query": 3 + extra,
+                "runs_per_query": 3 + headline_extra,
+                "runs_per_secondary": 3 + extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1121,20 +1121,21 @@ def bigram_lm_score(
     out-of-vocabulary current token takes the 0.5-count floor over the
     pruned model's total.
 
-    Scale shape: the unigram model joins WITHOUT a forced-broadcast
-    hint — AQE broadcasts it while it fits under the
-    autoBroadcastJoinThreshold and falls back to a shuffled join above
-    (a raw-web vocabulary is unbounded; forcing the broadcast would be
-    the one OOM in the operator). The BIGRAM count relation is
-    data-sized, so it joins back to the bigram occurrences as a plain
-    shuffled equi-join on the pair key (never broadcast — cf.
-    duplicate_span_rate); the finale is one hash aggregation keyed by
-    doc id. The source is consumed map-only — tokenize/explode directly
-    over the scan, no staging exchange. All built-ins, no UDFs. Use
-    ``lam`` values whose complement is exactly representable (0.5,
-    0.75, 0.25) when an external oracle must reproduce scores
-    bit-for-bit. Returns: id_col, n_bigrams (long), avg_logprob
-    (double, 1e-9-rounded).
+    Scale shape: the probability is a function of the DISTINCT bigram
+    alone, so the MODEL is assembled at distinct-(prev, cur)
+    granularity — bigram counts joined with the two unigram legs and
+    the 1-row total, all vocabulary-sized relations — and the
+    data-sized occurrence relation is touched by exactly ONE
+    unhinted equi-join (AQE broadcasts the model while it fits under
+    the autoBroadcastJoinThreshold and degrades to a shuffled join
+    above — a raw-web vocabulary is unbounded, so forcing the
+    broadcast would be the one OOM in the operator); the finale is one
+    hash aggregation keyed by doc id. The tokenized source is pinned
+    once via the bounded session registry and re-exploded per branch
+    (three consumers). All built-ins, no UDFs. Use ``lam`` values
+    whose complement is exactly representable (0.5, 0.75, 0.25) when
+    an external oracle must reproduce scores bit-for-bit. Returns:
+    id_col, n_bigrams (long), avg_logprob (double, 1e-9-rounded).
     """
     from ._cache import register_persisted
 

@@ -363,6 +363,14 @@ def gif_frame_index(df: DataFrame) -> DataFrame:
         b = bytes(content)
         if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
             raise ValueError(f"media {mid}: not a GIF payload")
+        try:
+            return _walk(mid, b)
+        except (IndexError, struct.error):
+            raise ValueError(f"media {mid}: truncated GIF payload")
+
+    def _walk(mid, b: bytes):
+        import struct
+
         flags = b[10]
         off = 13
         if flags & 0x80:  # global color table
@@ -520,7 +528,12 @@ def decode_wav_meta(df: DataFrame) -> DataFrame:
             tag = b[off : off + 4]
             (size,) = struct.unpack("<I", b[off + 4 : off + 8])
             if tag == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", b[off + 8 : off + 24])
+                try:
+                    fmt = struct.unpack("<HHIIHH", b[off + 8 : off + 24])
+                except struct.error:
+                    raise ValueError(
+                        f"media {mid}: truncated WAVE fmt chunk"
+                    )
             elif tag == b"data":
                 data_len = size
             off += 8 + size + (size & 1)  # chunks are word-aligned

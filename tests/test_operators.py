@@ -3405,3 +3405,30 @@ def test_gif_frame_index_parses_and_rejects(spark):
     )
     with _pytest.raises(Exception, match="GIF"):
         gif_frame_index(bad).collect()
+
+
+def test_media_parsers_name_truncation(spark):
+    """Truncated (but correctly-magic'd) payloads must raise a NAMED
+    ValueError, not a bare IndexError/struct.error from inside the
+    walk — the error is the operator's contract surface."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_wav_meta,
+        gif_frame_index,
+        tiny_gif_bytes,
+        tiny_wav_bytes,
+    )
+
+    cut_gif = tiny_gif_bytes([(0, 0, 2, 2)], seed=1)[:-4]
+    df = spark.createDataFrame(
+        [(1, bytearray(cut_gif))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="truncated GIF|missing GIF"):
+        gif_frame_index(df).collect()
+    cut_wav = tiny_wav_bytes(10, 8000)[:20]  # RIFF/WAVE magic intact
+    df2 = spark.createDataFrame(
+        [(2, bytearray(cut_wav))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="truncated WAVE|missing fmt"):
+        decode_wav_meta(df2).collect()

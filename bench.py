@@ -52,6 +52,7 @@ SECONDARY = [
     "q154_token_budget_select",  # curation-suite trend line at sf0.1
     "q162_hll_distinct_tokens",  # sketch-suite trend line at sf0.1
     "q165_hll_state_vocab",  # persistent sketch-state maintenance path
+    "q170_pretrain_funnel_minhash",  # LSH-tier funnel (production shape)
 ]
 
 
@@ -136,8 +137,25 @@ def main() -> None:
         print(f"# {name}: {t:.3f}s", file=sys.stderr)
         return t
 
+    # Under --all, composition-heavy queries (the SECONDARY set and the
+    # funnel family, whose _funnel_core now materializes stage sets
+    # eagerly at construction time) are timed END TO END — otherwise
+    # the t0 reset would exclude most of their work from the timed
+    # window and silently under-report them.
+    end_to_end = set(SECONDARY) | {
+        "q137_pretrain_funnel",
+        "q147_pretrain_funnel_full",
+        "q159_pretrain_funnel_bigram",
+        "q170_pretrain_funnel_minhash",
+    }
     names = list(QUERIES) if "--all" in sys.argv else HEADLINE
-    timings = {name: bench_one(name) for name in names}
+    timings = {
+        name: bench_one(
+            name,
+            include_build=("--all" in sys.argv and name in end_to_end),
+        )
+        for name in names
+    }
     total = round(sum(timings.values()), 3)
     # the secondary set rides along (best-of-3, widened by the same
     # loadavg rule as the headline — best-of-2 is what let a noisy

@@ -428,7 +428,10 @@ def gopher_quality_filter(
         / nw_d
     )
     symbol_ratio = F.col("__sym") / nw_d
-    stop_lits = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    # doubled-quote escaping so a future stopword containing ' can't
+    # break the SQL parse (the expr-string form is kept deliberately:
+    # building the same tree from F.lit calls costs py4j round-trips)
+    stop_lits = ", ".join("'{}'".format(s.replace("'", "''")) for s in GOPHER_STOPWORDS)
     n_stopwords = F.expr(
         f"size(array_intersect(array_distinct(__w), array({stop_lits})))"
     )

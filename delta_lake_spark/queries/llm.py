@@ -2546,7 +2546,15 @@ def _corpus_size_hint(sf_dir: str) -> bool | None:
         import pyarrow.parquet as pq
 
         n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    except Exception:
+    except Exception as e:
+        # make a misconfigured path visible instead of silently paying
+        # the count probe on every invocation
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "corpus size hint unavailable for %s (%s: %s); falling back "
+            "to the operator's count probe", sf_dir, type(e).__name__, e
+        )
         return None
     return n > PREFIX_FILTER_MIN_DOCS
 
@@ -2579,7 +2587,18 @@ def _funnel_slot(spark) -> dict:
         ]:
             _FUNNEL_REG.pop(k)  # cached blocks died with the session
         return _FUNNEL_REG.setdefault(
-            id(spark), {"session": spark, "chain": {}, "extras": {}}
+            id(spark),
+            {
+                "session": spark,
+                "chain": {},
+                "extras": {},
+                # serializes chain BUILDS for this session (reads stay
+                # lock-free after the double-check): two concurrent
+                # first invocations would otherwise both build the
+                # chain, and the loser's persisted frames would leak
+                # until session end
+                "build_lock": threading.Lock(),
+            },
         )
 
 
@@ -2607,11 +2626,29 @@ def clear_funnel_memo(spark=None) -> None:
                 pass  # cache belonged to a since-stopped SparkSession
 
 
+def _release_extras(spark, name: str) -> None:
+    """Unpersist and drop query ``name``'s frames from a PREVIOUS
+    invocation. Must run BEFORE the new invocation persists its
+    replacement frames: old and new share identical logical plans
+    (same memoized upstream), and Spark's uncacheQuery matches caches
+    by plan equality — unpersisting the old set after the new one is
+    persisted would drop the fresh caches too and the returned report
+    would recompute uncached."""
+    slot = _funnel_slot(spark)
+    with _FUNNEL_LOCK:
+        old = slot["extras"].pop(name, [])
+    for df in old:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # cache belonged to a since-stopped SparkSession
+
+
 def _swap_extras(spark, name: str, frames: list) -> None:
-    """Replace query ``name``'s persisted per-query frames, releasing
-    the previous invocation's (bounded steady state across repeats).
-    The swap itself happens under the registry lock so two concurrent
-    invocations can't both claim the slot and leak a frame set."""
+    """Record query ``name``'s persisted per-query frames so
+    clear_funnel_memo can release them (bounded steady state across
+    repeats — the previous invocation's frames were already released
+    by :func:`_release_extras` before these were persisted)."""
     slot = _funnel_slot(spark)
     with _FUNNEL_LOCK:
         old = slot["extras"].pop(name, [])
@@ -2640,7 +2677,16 @@ def _funnel_core(spark, sf_dir, near_dup: str = "ngram"):
     family) — the production choice at 100 TB, where exact shingle
     intersection over every candidate pair is the cost ceiling and
     the sketch bound is what scales. The two variants share the
-    memoized quality/exact-dedup base stages."""
+    memoized quality/exact-dedup base stages.
+
+    Memo contract: results are keyed by (sf_dir, near_dup) and ASSUME
+    the parquet under ``sf_dir`` is immutable for the session's
+    lifetime (true for the test/gate harness and for production
+    snapshot dirs; a caller that rewrites the corpus in place must
+    call :func:`clear_funnel_memo` first or use a new path). Chain
+    builds are serialized per session by the slot's build lock —
+    concurrent first invocations double-check the memo under it, so
+    only one builds and no persisted frame set can leak."""
     from ..operators.dedup import (
         exact_dedup,
         minhash_lsh_pairs,
@@ -2650,15 +2696,35 @@ def _funnel_core(spark, sf_dir, near_dup: str = "ngram"):
     from ..operators.text import decontaminate, gopher_quality_filter
 
     slot = _funnel_slot(spark)
-    hit = slot["chain"].get((sf_dir, near_dup))
+    with _FUNNEL_LOCK:
+        hit = slot["chain"].get((sf_dir, near_dup))
     if hit is not None:
         return hit["result"]
+    with slot["build_lock"]:
+        with _FUNNEL_LOCK:
+            hit = slot["chain"].get((sf_dir, near_dup))
+        if hit is not None:
+            return hit["result"]
+        return _funnel_build(spark, slot, sf_dir, near_dup)
+
+
+def _funnel_build(spark, slot, sf_dir, near_dup):
+    """Build + memoize one funnel chain. Caller holds slot's
+    build_lock (NOT _FUNNEL_LOCK — Spark jobs run here)."""
+    from ..operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        resolve_duplicate_clusters,
+    )
+    from ..operators.text import decontaminate, gopher_quality_filter
 
     all_docs = _docs(spark, sf_dir).select("doc_id", "text")
     eval_df = all_docs.filter(F.col("doc_id") < 25)
     raw = all_docs.filter(F.col("doc_id") >= 25)
 
-    base = slot["chain"].get((sf_dir, "__base__"))
+    with _FUNNEL_LOCK:
+        base = slot["chain"].get((sf_dir, "__base__"))
     if base is None:
         # min_stopwords calibrated to the synthetic corpus (its
         # vocabulary carries ~1 Gopher function word per doc); every
@@ -2669,14 +2735,19 @@ def _funnel_core(spark, sf_dir, near_dup: str = "ngram"):
             .filter("passes")
             .select("doc_id")
         ).persist()
-        passes.count()
         s1 = raw.join(passes, "doc_id", "left_semi")
         keepers = (
             exact_dedup(s1, "text", "doc_id").select("doc_id").persist()
         )
+        # ONE job fills both caches: keepers' lineage contains passes'
+        # persisted subtree exactly once (linear nesting), so its count
+        # materializes passes too — no branch-scheduling race (the
+        # 10-25 s swings the eager staging fixed came from one action
+        # racing FOUR sibling cache builds), and one fewer barrier
         keepers.count()
         base = {"result": (passes, keepers), "frames": [passes, keepers]}
-        slot["chain"][(sf_dir, "__base__")] = base
+        with _FUNNEL_LOCK:
+            slot["chain"][(sf_dir, "__base__")] = base
     passes, keepers = base["result"]
     s1 = raw.join(passes, "doc_id", "left_semi")
     s2 = s1.join(keepers, "doc_id", "left_semi")
@@ -2699,19 +2770,23 @@ def _funnel_core(spark, sf_dir, near_dup: str = "ngram"):
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
     ).persist()
-    canon.count()
     s3 = s2.join(canon, "doc_id", "left_semi")
     hits = (
         decontaminate(s3, eval_df, "text", "doc_id", n=5).select("doc_id")
     ).persist()
+    # one job fills canon AND hits (linear nesting again — hits'
+    # lineage contains canon's persisted subtree exactly once)
     hits.count()
     s4 = s3.join(hits, "doc_id", "left_anti")
     # every stage set is MATERIALIZED here, not left lazy: letting a
     # single downstream action populate four interdependent caches at
     # once makes its branch scheduling race the cache builds (measured
     # 10-25 s swings on an idle 32-thread host vs a stable ~9 s when
-    # the sets are staged eagerly) — and checkpointed stage sets are
-    # what a production corpus build writes anyway
+    # the sets are staged eagerly). Staging is PAIRED, not per-frame:
+    # each count barrier fills a 2-deep linear cache chain, halving
+    # the job count without reintroducing sibling-branch races —
+    # and checkpointed stage sets are what a production corpus build
+    # writes anyway
     stages = [
         ("raw", None, "semi"),
         ("quality", passes, "semi"),
@@ -2720,10 +2795,11 @@ def _funnel_core(spark, sf_dir, near_dup: str = "ngram"):
         ("decontaminated", hits, "anti"),
     ]
     result = (raw, s4, eval_df, stages, [passes, keepers, canon, hits])
-    slot["chain"][(sf_dir, near_dup)] = {
-        "result": result,
-        "frames": [canon, hits],
-    }
+    with _FUNNEL_LOCK:
+        slot["chain"][(sf_dir, near_dup)] = {
+            "result": result,
+            "frames": [canon, hits],
+        }
     return result
 
 
@@ -2936,18 +3012,21 @@ def q147_pretrain_funnel_full(spark, sf_dir):
     from ..operators.text import unigram_lm_score
 
     raw, s4, _, stages, caches = _funnel_core(spark, sf_dir)
+    # release the PREVIOUS invocation's frames before persisting the
+    # new (plan-identical) ones — see _release_extras
+    _release_extras(spark, "q147")
     # pin the s4 survivor ids: three downstream consumers (the report
     # flags, the LM model, the semantic corpus) would otherwise each
     # re-derive the whole quality->dedup->decontaminate chain; staged
     # eagerly like the chain sets (see _funnel_core's race note)
     s4ids = s4.select("doc_id").persist()
-    s4ids.count()
     s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
         unigram_lm_score(s4r, "text", "doc_id")
         .filter(F.col("avg_logprob") >= F.lit(-3.41))
         .select("doc_id")
     ).persist()
+    # one job fills s4ids AND keep (linear nesting — see _funnel_build)
     keep.count()
     s5 = s4r.join(keep, "doc_id", "left_semi")
     emb = _emb(spark, sf_dir)
@@ -3049,14 +3128,15 @@ def q159_pretrain_funnel_bigram(spark, sf_dir):
     from ..operators.text import bigram_lm_score
 
     raw, s4, _, stages, caches = _funnel_core(spark, sf_dir)
+    _release_extras(spark, "q159")
     s4ids = s4.select("doc_id").persist()
-    s4ids.count()
     s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
         bigram_lm_score(s4r, "text", "doc_id", lam=0.5)
         .filter(F.col("avg_logprob") >= F.lit(-3.39))
         .select("doc_id")
     ).persist()
+    # one job fills s4ids AND keep (linear nesting — see _funnel_build)
     keep.count()
     s5 = s4r.join(keep, "doc_id", "left_semi")
     emb = _emb(spark, sf_dir)

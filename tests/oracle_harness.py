@@ -97,24 +97,51 @@ def type_drift(spark_df, con, oracle_sql: str) -> list[str]:
     return drift
 
 
-def compare(name: str, spark_df, con, oracle_sql: str) -> tuple[bool, str]:
+def gate_record(spark_df, con, oracle_sql: str) -> tuple[dict, str]:
+    """Run one Spark-vs-DuckDB comparison and emit a record in the
+    driver's CORRECTNESS_r*.json per-query format:
+    {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+    err}. Mapping mirrors the driver's comparator: column-name
+    mismatch -> schema_match false; dtype drift or value mismatch ->
+    hash_match false (the driver's value hash is dtype-sensitive);
+    row-count mismatch -> rows_match false."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(oracle_sql)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
-    if sorted(s_cols) != sorted(d_cols):
-        return False, f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    rec = {
+        "rows_match": len(s_rows) == len(d_rows),
+        "schema_match": sorted(s_cols) == sorted(d_cols),
+        "hash_match": True,
+        "spark_rows": len(s_rows),
+        "oracle_rows": len(d_rows),
+        "err": None,
+    }
+    msg = f"OK ({len(s_rows)} rows)"
+    if not rec["schema_match"]:
+        rec["hash_match"] = False
+        msg = f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+        return rec, msg
     drift = type_drift(spark_df, con, oracle_sql)
     if drift:
-        return False, f"dtype drift (driver hash would differ): {drift}"
-    if len(s_rows) != len(d_rows):
-        return False, f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
+        rec["hash_match"] = False
+        return rec, f"dtype drift (driver hash would differ): {drift}"
+    if not rec["rows_match"]:
+        rec["hash_match"] = False
+        return rec, f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
     sn, dn = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
     if sn != dn:
+        rec["hash_match"] = False
         diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-        return False, f"values differ, first diffs: {diff}"
-    return True, f"OK ({len(s_rows)} rows)"
+        return rec, f"values differ, first diffs: {diff}"
+    return rec, msg
+
+
+def compare(name: str, spark_df, con, oracle_sql: str) -> tuple[bool, str]:
+    rec, msg = gate_record(spark_df, con, oracle_sql)
+    ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+    return ok, msg
 
 
 def main():
@@ -123,8 +150,17 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # --json PATH: also write the driver-format artifact (the full-
+    # registry GATE_FULL_r*.json the judge diffs against the driver's
+    # sampled CORRECTNESS_r*.json — identical per-query schema)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -142,8 +178,10 @@ def main():
         print(f"✗ unknown query names (not in queries()): {sorted(unknown)}")
         sys.exit(2)
     failed = []
+    records: dict[str, dict] = {}
     import time as _time
 
+    t_start = _time.monotonic()
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -153,17 +191,44 @@ def main():
             if name not in oracles:
                 n = df.count()
                 dt = _time.monotonic() - t0
+                records[name] = {
+                    "rows_match": n >= 0,
+                    "schema_match": True,
+                    "hash_match": None,  # rows-only: no oracle SQL
+                    "spark_rows": n,
+                    "oracle_rows": None,
+                    "err": None,
+                }
                 print(f"  {name:40s} rows-only ({n} rows) [{dt:.1f}s]")
                 continue
-            ok, msg = compare(name, df, con, oracles[name])
+            rec, msg = gate_record(df, con, oracles[name])
+            records[name] = rec
+            ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
             dt = _time.monotonic() - t0
             print(f"{'✓' if ok else '✗'} {name:40s} {msg} [{dt:.1f}s]")
             if not ok:
                 failed.append(name)
         except Exception as e:
-            print(f"✗ {name:40s} EXCEPTION {type(e).__name__}: {str(e)[:200]}")
+            err = f"{type(e).__name__}: {str(e)[:200]}"
+            records[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": err,
+            }
+            print(f"✗ {name:40s} EXCEPTION {err}")
             failed.append(name)
-    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    total_s = _time.monotonic() - t_start
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else "")
+          + f"  [{total_s:.1f}s total, {len(records)} queries]")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if failed else 0)
 

@@ -2,15 +2,20 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side machinery (schemas, mapInPandas batching, partitioning)
-is real and tested. Decoding is real where the format needs only the
-standard library — ``decode_wav_meta`` walks RIFF/PCM chunk structure
-with stdlib struct (oracle-checked roundtrip, q171) — and stubbed
-where it needs an absent media library: ``decode_image_features(...,
-real_decode=True)`` actually decodes when PIL is importable (pinned by
-a pytest over the in-repo ``tiny_png_bytes`` fixture) and raises
-NotImplementedError when it isn't; the default image path computes
-deterministic fake features from the raw bytes so the distributed
-plumbing is exercised end-to-end and oracle-checkable either way.
+is real and tested, and decoding is REAL wherever the format is
+parseable with the standard library alone: ``decode_wav_meta`` walks
+RIFF/PCM chunk structure (q171), ``gif_frame_index`` walks GIF block
+structure (q172), ``decode_png_features`` runs the full PNG pipeline —
+chunk CRCs, IHDR, zlib inflate, all five scanline defilters —
+(q173), and ``segment_wav_energy`` decodes actual PCM samples and
+segments them by windowed RMS (q174). ``decode_image_features(...,
+real_decode=True)`` uses PIL when importable (any format) and falls
+back to the stdlib PNG pipeline when not, so the real branch works in
+every environment. The only remaining stubs are the pieces that NEED
+an absent model/codec — video frame pixel decode (frame_sample's
+checksum stand-in) and the ASR model downstream of the real
+segmenter — each clearly marked, with the distributed plumbing real
+and oracle-checked around them.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python
 overhead); binary payloads never pass through the driver; batch size is
@@ -53,13 +58,55 @@ def _probe_image_decoder():
         return None
 
 
-def tiny_png_bytes(rows: list[list[int]]) -> bytes:
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec 9.4): pick whichever of left /
+    up / up-left is closest to a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(t: int, row: bytes, prev: bytes) -> bytes:
+    """Apply PNG filter type ``t`` (0-4) to a grayscale scanline (bpp
+    1): the ENCODER side of the spec's defiltering equations, so the
+    fixture can exercise every reconstruction branch of
+    :func:`decode_png_features`."""
+    if t == 0:
+        return bytes(row)
+    out = bytearray()
+    for i, x in enumerate(row):
+        a = row[i - 1] if i else 0  # left
+        b = prev[i] if prev else 0  # up
+        c = (prev[i - 1] if i else 0) if prev else 0  # up-left
+        if t == 1:
+            pred = a
+        elif t == 2:
+            pred = b
+        elif t == 3:
+            pred = (a + b) // 2
+        elif t == 4:
+            pred = _png_paeth(a, b, c)
+        else:
+            raise ValueError(f"unknown PNG filter type {t}")
+        out.append((x - pred) & 0xFF)
+    return bytes(out)
+
+
+def tiny_png_bytes(
+    rows: list[list[int]], filters: list[int] | None = None
+) -> bytes:
     """Hand-assembled 8-bit grayscale PNG from a pixel matrix — a
     deterministic in-repo image fixture (stdlib only: zlib + struct),
-    so the REAL decode branch of :func:`decode_image_features` can be
-    exercised by tests whenever an image library is importable,
-    without shipping binary blobs in the repo. ``rows`` is a list of
-    equal-length lists of 0-255 gray values."""
+    so the REAL decode branches of :func:`decode_png_features` /
+    :func:`decode_image_features` can be exercised by tests without
+    shipping binary blobs in the repo. ``rows`` is a list of
+    equal-length lists of 0-255 gray values; ``filters`` optionally
+    names the per-scanline filter type (0-4, default all 0/None) so
+    every defilter path is coverable."""
     import struct
     import zlib
 
@@ -68,6 +115,10 @@ def tiny_png_bytes(rows: list[list[int]]) -> bytes:
     width, height = len(rows[0]), len(rows)
     if any(len(r) != width for r in rows):
         raise ValueError("all pixel rows must have equal length")
+    if filters is None:
+        filters = [0] * height
+    if len(filters) != height:
+        raise ValueError("filters must name one type per scanline")
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -78,12 +129,16 @@ def tiny_png_bytes(rows: list[list[int]]) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    # each scanline: filter byte 0 (None) + raw gray bytes
-    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    # each scanline: filter-type byte + filtered gray bytes
+    raw = bytearray()
+    prev = b""
+    for r, t in zip(rows, filters):
+        raw += bytes((t,)) + _png_filter_row(t, bytes(r), prev)
+        prev = bytes(r)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
 
@@ -102,25 +157,165 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _parse_png_gray8(mid, content: bytes) -> tuple[int, int, int, int]:
+    """Stdlib PNG decode of an 8-bit grayscale payload: chunk walk with
+    CRC verification, IHDR parse, IDAT inflate, scanline defilter
+    (types 0-4 per spec 9.2/9.4). Returns (n_bytes, width, height,
+    pixel_sum). Malformed payloads raise with the media id. The
+    grayscale-8 subset is deliberate: it covers the full filter
+    machinery (the hard part) with bpp=1; wider color types change
+    only the byte-per-pixel stride."""
+    import struct
+    import zlib
+
+    b = bytes(content)
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"media {mid}: not a PNG payload")
+    off, ihdr, idat = 8, None, bytearray()
+    while off + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[off : off + 4])
+        tag = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + size]
+        if len(data) != size or off + 12 + size > len(b):
+            raise ValueError(f"media {mid}: truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack(">I", b[off + 8 + size : off + 12 + size])
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"media {mid}: PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        off += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError(f"media {mid}: missing PNG IHDR/IDAT chunk")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            f"media {mid}: unsupported PNG format (need 8-bit grayscale, "
+            f"non-interlaced; got depth={depth} color={color} "
+            f"interlace={interlace})"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"media {mid}: corrupt PNG IDAT stream ({e})")
+    if len(raw) != (width + 1) * height:
+        raise ValueError(f"media {mid}: PNG scanline data size mismatch")
+    total = 0
+    prev = bytes(width)
+    for r in range(height):
+        line = raw[r * (width + 1) : (r + 1) * (width + 1)]
+        t, f = line[0], line[1:]
+        recon = bytearray()
+        for i, x in enumerate(f):
+            a = recon[i - 1] if i else 0
+            bb = prev[i]
+            c = prev[i - 1] if i else 0
+            if t == 0:
+                pred = 0
+            elif t == 1:
+                pred = a
+            elif t == 2:
+                pred = bb
+            elif t == 3:
+                pred = (a + bb) // 2
+            elif t == 4:
+                pred = _png_paeth(a, bb, c)
+            else:
+                raise ValueError(
+                    f"media {mid}: unknown PNG filter type {t}"
+                )
+            recon.append((x + pred) & 0xFF)
+        total += sum(recon)
+        prev = bytes(recon)
+    return len(b), width, height, total
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """REAL image decode — not a stub, no external library: full
+    stdlib PNG pipeline (chunk walk + CRC check, IHDR parse, zlib
+    inflate, per-scanline defilter for all five filter types) over
+    Arrow batches, emitting dimensions and mean luminance per payload
+    (mode 'L' — the 8-bit grayscale subset; see _parse_png_gray8).
+    Same output schema as decode_image_features(real_decode=True), so
+    the two are drop-in interchangeable. Malformed payloads raise
+    with the media id. Map-only mapInPandas; payloads never visit the
+    driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nb, ws, hs, modes, lumas = [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n, w, h, total = _parse_png_gray8(mid, content)
+                ids.append(mid)
+                nb.append(n)
+                ws.append(w)
+                hs.append(h)
+                modes.append("L")
+                lumas.append(total / (w * h))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": pd.Series(nb, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mode": modes,
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=REAL_IMAGE_FEATURE_SCHEMA)
+
+
+def synthesize_png_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG corpus from an id column (cf.
+    synthesize_wav_corpus / synthesize_gif_corpus): pixel matrix and
+    per-scanline filter types derive arithmetically from the id —
+    filter = (id + row) % 5, so every document exercises several
+    defilter branches and the corpus covers all five — letting the
+    q173 oracle state width/height/mean luminance without parsing any
+    binary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 3 + i % 6, 2 + i % 5
+                rows = [
+                    [(i * 31 + r * 17 + c * 7) % 256 for c in range(w)]
+                    for r in range(h)
+                ]
+                payloads.append(
+                    tiny_png_bytes(rows, filters=[(i + r) % 5 for r in range(h)])
+                )
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+
+
 def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """'Decode' binary image content into features via mapInPandas.
 
-    ``real_decode=True`` probes for an image library (PIL) at call time:
-    when present, payloads are actually decoded (dimensions, mode, mean
-    luminance) inside the same Arrow-batched plan; when absent it raises
-    NotImplementedError naming the missing dependency. The default path
-    computes deterministic byte-level pseudo-features (length, first
-    byte, byte sum, fake dimensions), which keeps the Arrow batch shape,
-    schema, and distributed execution identical to a real decoder —
-    the tested plumbing is shared by both paths.
+    ``real_decode=True`` probes for an image library (PIL) at call
+    time: when present, payloads are decoded by PIL (any format it
+    knows) inside the same Arrow-batched plan; when absent it falls
+    back to the stdlib PNG pipeline (:func:`decode_png_features` —
+    real inflate + defilter, grayscale-8 subset), so the real branch
+    works in every environment. The default path computes
+    deterministic byte-level pseudo-features (length, first byte, byte
+    sum, fake dimensions) for ARBITRARY binary payloads, which keeps
+    the Arrow batch shape, schema, and distributed execution identical
+    to a real decoder — the tested plumbing is shared by all paths.
     """
     if real_decode:
         if _probe_image_decoder() is None:
-            raise NotImplementedError(
-                "real image decoding requires PIL (pillow), not installed in "
-                "this environment; run with real_decode=False for the "
-                "deterministic plumbing path"
-            )
+            return decode_png_features(df)
 
         def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import io
@@ -579,31 +774,172 @@ def decode_wav_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=WAV_META_SCHEMA)
 
 
-def transcribe_stub(df: DataFrame, chunk_bytes: int = 256) -> DataFrame:
-    """STUB for per-chunk audio transcription: joins the chunk plan's
-    offsets back over the payload and emits a deterministic checksum
-    'transcript' per chunk via mapInPandas (Arrow-batched). A real
-    implementation would run an ASR model here — unavailable in this
-    environment; batch shape and schema match the real operator.
-    ``df`` must carry media_id, content, chunk_id, start_byte, n_bytes.
-    """
+def _parse_wav_pcm(mid, content: bytes):
+    """RIFF walk + PCM sample decode (stdlib struct): returns
+    (channels, rate, bits, samples) where samples are mono (channels
+    averaged per sample-frame), 8-bit values centered (-128..127) and
+    16-bit values signed. Malformed payloads raise with the media
+    id."""
+    import struct
+
+    b = bytes(content)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"media {mid}: not a RIFF/WAVE payload")
+    off, fmt, data = 12, None, None
+    while off + 8 <= len(b):
+        tag = b[off : off + 4]
+        (size,) = struct.unpack("<I", b[off + 4 : off + 8])
+        if tag == b"fmt ":
+            try:
+                fmt = struct.unpack("<HHIIHH", b[off + 8 : off + 24])
+            except struct.error:
+                raise ValueError(f"media {mid}: truncated WAVE fmt chunk")
+        elif tag == b"data":
+            data = b[off + 8 : off + 8 + size]
+            if len(data) != size:
+                raise ValueError(f"media {mid}: truncated WAVE data chunk")
+        off += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError(f"media {mid}: missing fmt/data chunk")
+    _, channels, rate, _, _, bits = fmt
+    if bits == 8:
+        vals = [x - 128 for x in data]  # 8-bit PCM is unsigned
+    elif bits == 16:
+        n = len(data) // 2
+        vals = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    else:
+        raise ValueError(f"media {mid}: unsupported PCM bit depth {bits}")
+    if channels > 1:
+        nfr = len(vals) // channels
+        vals = [
+            sum(vals[f * channels : (f + 1) * channels]) / channels
+            for f in range(nfr)
+        ]
+    return channels, rate, bits, vals
+
+
+def synthesize_speech_wav_corpus(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic 'speech-like' WAV corpus from an id column:
+    alternating silent / loud spans whose geometry and amplitude
+    derive arithmetically from the id — span length = 4 * (2 + id%4)
+    samples, span count = 4 + id%3, loudness a ±A square wave with
+    A = 2000 + (id%7) * 1000 (so every analysis window inside a loud
+    span has RMS exactly A) — letting the q174 oracle state the
+    expected segments without parsing any binary. 16-bit mono PCM at
+    8 kHz."""
+    import struct
+
+    def synth_one(i: int) -> bytes:
+        m = 2 + i % 4
+        span = 4 * m
+        n_spans = 4 + i % 3
+        amp = 2000 + (i % 7) * 1000
+        frames = bytearray()
+        for j in range(span * n_spans):
+            loud = (j // span) % 2 == 1
+            v = (amp if j % 2 == 0 else -amp) if loud else 0
+            frames += struct.pack("<h", v)
+        data = bytes(frames)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            texts = []
-            for content, start, n in zip(
-                pdf["content"], pdf["start_byte"], pdf["n_bytes"]
-            ):
-                chunk = content[int(start) : int(start) + int(n)]
-                texts.append(f"chunk[{int(sum(chunk)) % 99991}]")
+            ids = pdf[id_col].tolist()
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "chunk_id": pdf["chunk_id"],
-                    "transcript": texts,
+                    "media_id": ids,
+                    "content": [synth_one(int(i)) for i in ids],
                 }
             )
 
-    return df.mapInPandas(
-        batches, schema="media_id long, chunk_id long, transcript string"
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, content binary"
     )
+
+
+SEGMENT_SCHEMA = (
+    "media_id long, seg_id int, start_sample long, n_samples long, "
+    "rms double"
+)
+
+
+def segment_wav_energy(
+    df: DataFrame, frame_samples: int = 4, threshold: float = 1.0
+) -> DataFrame:
+    """REAL audio segmentation — not a stub: decodes the actual PCM
+    samples of each payload (stdlib struct; 8/16-bit, multi-channel
+    mixed down), computes RMS over fixed non-overlapping analysis
+    windows of ``frame_samples`` sample-frames, and emits one row per
+    maximal run of windows with RMS >= ``threshold`` — the
+    energy-based voice-activity pass every transcription pipeline
+    runs before handing segments to an ASR model (the model itself is
+    the only absent piece; segment boundaries and energies are
+    computed for real). A trailing partial window is ignored
+    (deterministic; documented contract). Malformed payloads raise
+    with the media id. Map-only mapInPandas; payloads never visit the
+    driver."""
+    import math
+
+    if frame_samples <= 0:
+        raise ValueError("frame_samples must be positive")
+
+    def segs_one(mid, content):
+        _, _, _, vals = _parse_wav_pcm(mid, content)
+        out, cur = [], None  # cur = [start_window, n_windows, rms_sum]
+        for wdx in range(len(vals) // frame_samples):
+            w = vals[wdx * frame_samples : (wdx + 1) * frame_samples]
+            rms = math.sqrt(sum(v * v for v in w) / frame_samples)
+            if rms >= threshold:
+                if cur is None:
+                    cur = [wdx, 0, 0.0]
+                cur[1] += 1
+                cur[2] += rms
+            elif cur is not None:
+                out.append(cur)
+                cur = None
+        if cur is not None:
+            out.append(cur)
+        return [
+            (
+                i,
+                s[0] * frame_samples,
+                s[1] * frame_samples,
+                s[2] / s[1],
+            )
+            for i, s in enumerate(out)
+        ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sid, ss, ns, rmss = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for seg in segs_one(mid, content):
+                    ids.append(mid)
+                    sid.append(seg[0])
+                    ss.append(seg[1])
+                    ns.append(seg[2])
+                    rmss.append(seg[3])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "seg_id": pd.Series(sid, dtype="int32"),
+                    "start_sample": pd.Series(ss, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=SEGMENT_SCHEMA)

@@ -2774,6 +2774,69 @@ def _funnel_build(spark, slot, sf_dir, near_dup):
     return result
 
 
+def _semantic_dirty_all(spark, sf_dir):
+    """Memoized corpus-wide semantic-contamination id set shared by the
+    q147/q159 funnel tails: semantic_decontaminate is PER-ROW (max
+    cosine of each corpus vector against the broadcast eval set), so
+    the flag for a given id never depends on which LM filter ran
+    before it — computing it once over the full embeddings table and
+    letting each funnel variant consume it unrestricted is exactly
+    equivalent for the report (any doc whose flag could differ from
+    the restricted-input variant has already failed an earlier stage,
+    and _funnel_report's depth takes the EARLIEST failing stage).
+    Memoizing it also lets the tails overlap this stage with their LM
+    stage (independent Spark jobs from two threads)."""
+    from ..operators.similarity import semantic_decontaminate
+
+    slot = _funnel_slot(spark)
+    key = (sf_dir, "__semantic__")
+    with _FUNNEL_LOCK:
+        hit = slot["chain"].get(key)
+    if hit is not None:
+        return hit["result"]
+    with slot["build_lock"]:
+        with _FUNNEL_LOCK:
+            hit = slot["chain"].get(key)
+        if hit is not None:
+            return hit["result"]
+        emb = _emb(spark, sf_dir)
+        sdirty = (
+            semantic_decontaminate(
+                emb, emb.filter(F.col("vec_id") < 25), threshold=0.35
+            )
+            .filter("contaminated")
+            .select(F.col("vec_id").alias("doc_id"))
+        ).persist()
+        sdirty.count()
+        with _FUNNEL_LOCK:
+            slot["chain"][key] = {"result": sdirty, "frames": [sdirty]}
+        return sdirty
+
+
+def _semantic_dirty_async(spark, sf_dir):
+    """Kick off the shared semantic pass on a worker thread (it is
+    independent of the LM stage the caller is about to stage) and
+    return a join() -> DataFrame closure."""
+    box: dict = {}
+
+    def _run():
+        try:
+            box["df"] = _semantic_dirty_all(spark, sf_dir)
+        except BaseException as e:  # surfaced on join
+            box["err"] = e
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+
+    def join():
+        th.join()
+        if "err" in box:
+            raise box["err"]
+        return box["df"]
+
+    return join
+
+
 def _pretrain_funnel_frames(spark, sf_dir):
     """Lazy construction of the q137 pipeline: returns (out, caches)
     where ``out`` is the 5-stage funnel DataFrame and ``caches`` are
@@ -2979,17 +3042,20 @@ def q147_pretrain_funnel_full(spark, sf_dir):
     still propagate as ids-only semi/anti joins; the two new survivor
     sets persist in the same session-scoped cache registry as
     canon/hits."""
-    from ..operators.similarity import semantic_decontaminate
     from ..operators.text import unigram_lm_score
 
     raw, s4, _, stages, caches = _funnel_core(spark, sf_dir)
     # release the PREVIOUS invocation's frames before persisting the
     # new (plan-identical) ones — see _release_extras
     _release_extras(spark, "q147")
-    # pin the s4 survivor ids: three downstream consumers (the report
-    # flags, the LM model, the semantic corpus) would otherwise each
-    # re-derive the whole quality->dedup->decontaminate chain; staged
-    # eagerly like the chain sets (see _funnel_core's race note)
+    # the semantic pass is independent of the LM stage (per-row flags
+    # against the broadcast eval set — see _semantic_dirty_all) and
+    # shared with q159, so it stages CONCURRENTLY on a worker thread
+    # while this thread stages the LM filter
+    sem_join = _semantic_dirty_async(spark, sf_dir)
+    # pin the s4 survivor ids: the report flags and the LM model would
+    # otherwise each re-derive the whole quality->dedup->decontaminate
+    # chain; staged eagerly like the chain sets
     s4ids = s4.select("doc_id").persist()
     s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
@@ -2999,19 +3065,7 @@ def q147_pretrain_funnel_full(spark, sf_dir):
     ).persist()
     # one job fills s4ids AND keep (linear nesting — see _funnel_build)
     keep.count()
-    s5 = s4r.join(keep, "doc_id", "left_semi")
-    emb = _emb(spark, sf_dir)
-    corpus_emb = emb.join(
-        s5.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-    )
-    sdirty = (
-        semantic_decontaminate(
-            corpus_emb, emb.filter(F.col("vec_id") < 25), threshold=0.35
-        )
-        .filter("contaminated")
-        .select(F.col("vec_id").alias("doc_id"))
-    ).persist()
-    sdirty.count()
+    sdirty = sem_join()
 
     out = _funnel_report(
         raw,
@@ -3021,7 +3075,7 @@ def q147_pretrain_funnel_full(spark, sf_dir):
             ("semantic_decontaminated", sdirty, "anti"),
         ],
     )
-    _swap_extras(spark, "q147", [s4ids, keep, sdirty])
+    _swap_extras(spark, "q147", [s4ids, keep])
     return out
 
 
@@ -3095,11 +3149,12 @@ def q159_pretrain_funnel_bigram(spark, sf_dir):
     composition discipline — survivors propagate as ids-only
     semi/anti joins, s4 ids pinned once, model trained on the
     survivors themselves, no cartesian anywhere (plan-tested)."""
-    from ..operators.similarity import semantic_decontaminate
     from ..operators.text import bigram_lm_score
 
     raw, s4, _, stages, caches = _funnel_core(spark, sf_dir)
     _release_extras(spark, "q159")
+    # shared + concurrent semantic pass — see q147 / _semantic_dirty_all
+    sem_join = _semantic_dirty_async(spark, sf_dir)
     s4ids = s4.select("doc_id").persist()
     s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
@@ -3109,19 +3164,7 @@ def q159_pretrain_funnel_bigram(spark, sf_dir):
     ).persist()
     # one job fills s4ids AND keep (linear nesting — see _funnel_build)
     keep.count()
-    s5 = s4r.join(keep, "doc_id", "left_semi")
-    emb = _emb(spark, sf_dir)
-    corpus_emb = emb.join(
-        s5.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-    )
-    sdirty = (
-        semantic_decontaminate(
-            corpus_emb, emb.filter(F.col("vec_id") < 25), threshold=0.35
-        )
-        .filter("contaminated")
-        .select(F.col("vec_id").alias("doc_id"))
-    ).persist()
-    sdirty.count()
+    sdirty = sem_join()
 
     out = _funnel_report(
         raw,
@@ -3131,7 +3174,7 @@ def q159_pretrain_funnel_bigram(spark, sf_dir):
             ("semantic_decontaminated", sdirty, "anti"),
         ],
     )
-    _swap_extras(spark, "q159", [s4ids, keep, sdirty])
+    _swap_extras(spark, "q159", [s4ids, keep])
     return out
 
 
@@ -3324,6 +3367,87 @@ SELECT doc_id AS media_id,
   CAST(1 + (doc_id + j) % 8 AS INTEGER) AS width,
   CAST(1 + j % 6 AS INTEGER) AS height
 FROM documents, UNNEST(range(0, 1 + doc_id % 4)) AS t(j)
+"""
+
+
+def q173_png_decode_roundtrip(spark, sf_dir):
+    """REAL image decode in the multimodal path — no stub, no external
+    library: a deterministic 8-bit grayscale PNG corpus is synthesized
+    per document id (pixels and per-scanline filter types arithmetic
+    in the id, covering all five PNG filter types across the corpus)
+    and decode_png_features runs the full stdlib pipeline back — chunk
+    CRC verification, IHDR parse, zlib inflate, scanline defiltering
+    (None/Sub/Up/Average/Paeth) — inside Arrow batches. The oracle
+    states width/height/mean-luminance arithmetically, so the gate
+    proves decode(synthesize(id)) reconstructs every pixel: one wrong
+    byte anywhere in the defilter math shifts a mean and fails the
+    hash. Both steps are map-only mapInPandas; payloads never visit
+    the driver."""
+    from ..operators.multimodal import decode_png_features, synthesize_png_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_png_features(synthesize_png_corpus(docs)).select(
+        "media_id", "width", "height", "mode",
+        F.round("mean_luma", 9).alias("mean_luma"),
+    )
+
+
+# mean luminance replayed arithmetically: pixel(r,c) = (id*31 + r*17
+# + c*7) % 256 over the id-derived w x h matrix — the filter types the
+# encoder applied are invisible here because decoding is lossless,
+# which is exactly what the roundtrip proves.
+_Q173_SQL = """
+WITH px AS (
+  SELECT doc_id,
+    CAST(3 + doc_id % 6 AS INTEGER) AS w,
+    CAST(2 + doc_id % 5 AS INTEGER) AS h,
+    (doc_id * 31 + r * 17 + c * 7) % 256 AS v
+  FROM documents,
+    UNNEST(range(0, 2 + doc_id % 5)) AS tr(r),
+    UNNEST(range(0, 3 + doc_id % 6)) AS tc(c)
+  WHERE c < 3 + doc_id % 6 AND r < 2 + doc_id % 5
+)
+SELECT doc_id AS media_id, w AS width, h AS height, 'L' AS mode,
+  ROUND(SUM(v) * 1.0 / (w * h), 9) AS mean_luma
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+def q174_wav_energy_segments(spark, sf_dir):
+    """REAL audio segmentation in the multimodal path: a deterministic
+    'speech-like' WAV corpus (alternating silent / loud spans, ±A
+    square wave, geometry arithmetic in the id) is synthesized per
+    document and segment_wav_energy decodes the actual PCM samples,
+    computes per-window RMS, and emits the threshold-crossing runs —
+    the voice-activity pass a transcription pipeline runs before the
+    ASR model. Loud spans are window-aligned by construction, so the
+    oracle states every segment's boundaries AND its exact RMS (= A)
+    arithmetically; a single mis-decoded sample or off-by-one window
+    shifts an RMS or a boundary and fails the hash. Map-only
+    mapInPandas; payloads never visit the driver."""
+    from ..operators.multimodal import (
+        segment_wav_energy,
+        synthesize_speech_wav_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return segment_wav_energy(
+        synthesize_speech_wav_corpus(docs), frame_samples=4, threshold=1.0
+    ).select(
+        "media_id", "seg_id", "start_sample", "n_samples",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+# loud spans are the odd-indexed ones: span length 4*(2 + id%4)
+# samples, span count 4 + id%3, RMS exactly A = 2000 + (id%7)*1000
+_Q174_SQL = """
+SELECT doc_id AS media_id,
+  CAST((s - 1) // 2 AS INTEGER) AS seg_id,
+  CAST(s * 4 * (2 + doc_id % 4) AS BIGINT) AS start_sample,
+  CAST(4 * (2 + doc_id % 4) AS BIGINT) AS n_samples,
+  ROUND(CAST(2000 + (doc_id % 7) * 1000 AS DOUBLE), 6) AS rms
+FROM documents, UNNEST(range(1, 4 + doc_id % 3, 2)) AS t(s)
 """
 
 
@@ -4683,6 +4807,8 @@ QUERIES = {
     "q170_pretrain_funnel_minhash": q170_pretrain_funnel_minhash,
     "q171_wav_meta_roundtrip": q171_wav_meta_roundtrip,
     "q172_gif_frame_index": q172_gif_frame_index,
+    "q173_png_decode_roundtrip": q173_png_decode_roundtrip,
+    "q174_wav_energy_segments": q174_wav_energy_segments,
     "q160_reference_lm_score": q160_reference_lm_score,
     "q161_curriculum_shards": q161_curriculum_shards,
     "q162_hll_distinct_tokens": q162_hll_distinct_tokens,
@@ -4811,6 +4937,8 @@ ORACLE_SQL = {
     "q170_pretrain_funnel_minhash": _Q170_SQL,
     "q171_wav_meta_roundtrip": _Q171_SQL,
     "q172_gif_frame_index": _Q172_SQL,
+    "q173_png_decode_roundtrip": _Q173_SQL,
+    "q174_wav_energy_segments": _Q174_SQL,
     "q160_reference_lm_score": _Q160_SQL,
     "q161_curriculum_shards": _Q161_SQL,
     "q162_hll_distinct_tokens": _Q162_SQL,

@@ -329,13 +329,11 @@ def test_cluster_resolution_transitivity(spark):
     assert got == {1: 1, 2: 2, 3: 2, 5: 2, 8: 8, 9: 8}
 
 
-def test_audio_chunk_transcribe_stub(spark, docs):
-    """Chunk plan covers every payload byte exactly once; the stubbed
-    transcriber emits one deterministic row per planned chunk."""
+def test_audio_chunk_plan_covers_payload(spark, docs):
+    """Chunk plan covers every payload byte exactly once."""
     from delta_lake_spark.operators.multimodal import (
         audio_chunk_plan,
         documents_as_media,
-        transcribe_stub,
     )
 
     media = documents_as_media(docs).cache()
@@ -348,10 +346,43 @@ def test_audio_chunk_transcribe_stub(spark, docs):
     )
     assert joined.filter("covered <> n").count() == 0
 
-    chunks = plan.join(media.select("media_id", "content"), "media_id")
-    out = transcribe_stub(chunks, chunk_bytes=100)
-    assert out.count() == plan.count()
-    assert out.filter(~F.col("transcript").rlike(r"^chunk\[\d+\]$")).count() == 0
+
+def test_segment_wav_energy_recovers_spans(spark):
+    """The REAL energy segmenter recovers exactly the loud spans the
+    synthesized corpus planted — boundaries in samples and RMS == the
+    planted amplitude (square wave, so every window RMS is exact)."""
+    from delta_lake_spark.operators.multimodal import (
+        segment_wav_energy,
+        synthesize_speech_wav_corpus,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = segment_wav_energy(
+        synthesize_speech_wav_corpus(ids), frame_samples=4, threshold=1.0
+    ).collect()
+    got = {
+        (r.media_id, r.seg_id): (r.start_sample, r.n_samples, r.rms)
+        for r in out
+    }
+    expected = {}
+    for i in range(12):
+        span = 4 * (2 + i % 4)
+        amp = float(2000 + (i % 7) * 1000)
+        for seg, s in enumerate(range(1, 4 + i % 3, 2)):
+            expected[(i, seg)] = (s * span, span, amp)
+    assert got == expected
+
+
+def test_segment_wav_energy_rejects_malformed(spark):
+    """A non-RIFF payload raises with the media id, not silent zeros."""
+    from delta_lake_spark.operators.multimodal import segment_wav_energy
+
+    media = spark.createDataFrame(
+        [(7, bytearray(b"not a wav at all"))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception, match="media 7"):
+        segment_wav_energy(media).collect()
 
 
 def test_minhash_stop_shingle_guard_bounds_hot_buckets(spark):
@@ -444,49 +475,87 @@ def test_tiny_png_fixture_is_structurally_valid():
 
 def test_real_decode_on_tiny_png(spark):
     """Drive the REAL decode branch end to end over the in-repo PNG
-    fixture when an image library is importable (skips otherwise —
-    the branch, not just the probe, is what this pins): dimensions,
-    mode, and mean luminance must come from actual pixel decode."""
+    fixture — unconditionally: with PIL importable it exercises the
+    PIL path, without it the stdlib PNG pipeline (decode_png_features)
+    takes over, so the real branch decodes in every environment.
+    Dimensions, mode, and mean luminance must come from actual pixel
+    decode, with every filter type represented in the fixture."""
     from delta_lake_spark.operators.multimodal import (
-        _probe_image_decoder,
         decode_image_features,
         tiny_png_bytes,
     )
 
-    if _probe_image_decoder() is None:
-        pytest.skip("PIL not importable in this environment")
-    rows = [[0, 85, 170], [255, 128, 64]]
-    png = tiny_png_bytes(rows)
+    rows = [
+        [0, 85, 170, 7, 9],
+        [255, 128, 64, 3, 200],
+        [1, 2, 3, 4, 5],
+        [250, 0, 250, 0, 250],
+        [13, 99, 180, 222, 31],
+    ]
+    png = tiny_png_bytes(rows, filters=[0, 1, 2, 3, 4])
     media = spark.createDataFrame(
         [(1, bytearray(png))], "media_id long, content binary"
     )
     out = decode_image_features(media, real_decode=True).collect()
     assert len(out) == 1
     r = out[0]
-    assert (r.width, r.height) == (3, 2)
+    assert (r.width, r.height) == (5, 5)
     assert r.mode == "L"
-    expected_luma = sum(sum(row) for row in rows) / 6.0
+    expected_luma = sum(sum(row) for row in rows) / 25.0
     assert abs(r.mean_luma - expected_luma) < 1e-9
     assert r.n_bytes == len(png)
 
 
-def test_real_decode_probes_dependency(spark, docs):
-    """real_decode=True must either actually decode (when an image lib
-    is importable) or raise NotImplementedError naming the dependency —
-    never silently fall back to fake features."""
+def test_stdlib_png_decoder_matches_pil_when_available(spark):
+    """The stdlib decoder and PIL must agree byte-for-byte on the
+    fixture; when PIL is absent this still pins the stdlib path
+    against the arithmetic expectation (no skip either way)."""
     from delta_lake_spark.operators.multimodal import (
         _probe_image_decoder,
-        decode_image_features,
-        documents_as_media,
+        decode_png_features,
+        tiny_png_bytes,
     )
 
-    media = documents_as_media(docs.limit(5))
-    if _probe_image_decoder() is None:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_features(media, real_decode=True)
-    else:  # pragma: no cover - env-dependent upgrade path
-        out = decode_image_features(media, real_decode=True)
-        assert "mean_luma" in out.columns
+    rows = [[(r * 31 + c * 7) % 256 for c in range(7)] for r in range(6)]
+    png = tiny_png_bytes(rows, filters=[(r + 2) % 5 for r in range(6)])
+    media = spark.createDataFrame(
+        [(3, bytearray(png))], "media_id long, content binary"
+    )
+    r = decode_png_features(media).collect()[0]
+    expected_luma = sum(sum(row) for row in rows) / 42.0
+    assert (r.width, r.height, r.mode) == (7, 6, "L")
+    assert abs(r.mean_luma - expected_luma) < 1e-9
+    image_mod = _probe_image_decoder()
+    if image_mod is not None:
+        import io
+
+        img = image_mod.open(io.BytesIO(png)).convert("L")
+        assert list(img.getdata()) == [v for row in rows for v in row]
+
+
+def test_png_decoder_rejects_malformed(spark):
+    """Corrupt payloads raise with the media id: bad signature, a
+    flipped CRC byte, and an unsupported color type are all named
+    failures, never silent features."""
+    from delta_lake_spark.operators.multimodal import (
+        decode_png_features,
+        tiny_png_bytes,
+    )
+
+    png = bytearray(tiny_png_bytes([[1, 2], [3, 4]]))
+    # flip a CRC byte of the IHDR chunk (sig 8 + len 4 + tag 4 +
+    # data 13 -> CRC at offsets 29..32)
+    bad_crc = bytearray(png)
+    bad_crc[29] ^= 0xFF
+    for payload, pattern in [
+        (b"GIF89a not a png", "not a PNG"),
+        (bytes(bad_crc), "CRC mismatch"),
+    ]:
+        media = spark.createDataFrame(
+            [(9, bytearray(payload))], "media_id long, content binary"
+        )
+        with pytest.raises(Exception, match=pattern):
+            decode_png_features(media).collect()
 
 
 def test_decontaminate_finds_overlap(spark):

@@ -168,6 +168,15 @@ def main():
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
+    # untimed warmup (cf. bench.py): pay JIT/codegen/scheduler
+    # cold-start once so the FIRST query's reading measures the query
+    # (q01 read 4.7-6.6 s cold vs ~0.5 s warm)
+    from pyspark.sql import functions as _F
+
+    spark.range(1_000_000).groupBy(
+        (_F.col("id") % 7).alias("k")
+    ).count().collect()
+
     con = duckdb_con(sf_dir)
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

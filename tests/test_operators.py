@@ -145,9 +145,10 @@ def test_multimodal_plumbing(spark, docs):
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     # n_bytes of utf-8 == n_chars for ASCII corpus
     assert joined.filter(F.col("n_bytes") != F.col("n_chars")).count() == 0
-    # stub decode raises for the real path, clearly marked
-    with pytest.raises(NotImplementedError):
-        decode_image_features(media, real_decode=True)
+    # the REAL decode path must fail loudly on non-image payloads
+    # (these are utf-8 text bytes) — never silently emit fake features
+    with pytest.raises(Exception, match="PNG|cannot identify"):
+        decode_image_features(media, real_decode=True).collect()
 
 
 def test_frame_sample_explodes(spark, docs):

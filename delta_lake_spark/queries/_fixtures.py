@@ -38,12 +38,41 @@ import threading
 from pyspark.sql import functions as F
 
 _FIX_ROOT = f"/tmp/dls_query_tables/fixtures_{os.getpid()}"
-_MEMO: dict[tuple[str, str], str] = {}
-# builds run Spark jobs; a single lock is fine (the gate harness is
-# single-threaded, and concurrent first builds are rare enough that
-# serializing them beats placeholder machinery)
+# key -> {"event": Event set when the build finishes, "path": str,
+#         "err": BaseException | None}; per-key claims let INDEPENDENT
+# artifacts build concurrently (a query's corpus table and base index
+# both derive from the parquet, not from each other — see
+# fetch_parallel), while a second consumer of the SAME key waits on
+# the first build instead of duplicating it
+_MEMO: dict[tuple[str, str], dict] = {}
 _LOCK = threading.Lock()
 _CLONES = itertools.count()
+
+# the builds drop spark.sql.shuffle.partitions to 2 (tiny multi-commit
+# fixtures: cost is per-action task latency, not data); the session
+# conf is GLOBAL, so concurrent builds reference-count the override
+# and only the outermost enter/exit touches it
+_CONF_LOCK = threading.Lock()
+_conf_depth = 0
+_conf_prev: str | None = None
+
+
+def _enter_low_parallelism(spark) -> None:
+    global _conf_depth, _conf_prev
+    with _CONF_LOCK:
+        if _conf_depth == 0:
+            _conf_prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "2")
+        _conf_depth += 1
+
+
+def _exit_low_parallelism(spark) -> None:
+    global _conf_depth, _conf_prev
+    with _CONF_LOCK:
+        _conf_depth -= 1
+        if _conf_depth == 0 and _conf_prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _conf_prev)
+            _conf_prev = None
 
 
 def _path(kind: str, sf_dir: str) -> str:
@@ -54,27 +83,66 @@ def _path(kind: str, sf_dir: str) -> str:
 def _memoized(spark, kind: str, sf_dir: str, build) -> str:
     key = (kind, sf_dir)
     with _LOCK:
-        hit = _MEMO.get(key)
-        if hit is not None:
-            return hit
-        path = _path(kind, sf_dir)
+        entry = _MEMO.get(key)
+        if entry is None:
+            entry = {"event": threading.Event(), "path": None, "err": None}
+            _MEMO[key] = entry
+            claimed = True
+        else:
+            claimed = False
+    if not claimed:
+        entry["event"].wait()
+        if entry["err"] is not None:
+            raise entry["err"]
+        return entry["path"]
+    path = _path(kind, sf_dir)
+    try:
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
-        # the multi-commit fixtures are a few hundred rows across ~a
-        # dozen sequential Delta actions — cost is per-action task
-        # latency, not data, so build at minimal parallelism and
-        # restore the session's setting for the real query
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        _enter_low_parallelism(spark)
         try:
             build(path)
-        except BaseException:
-            shutil.rmtree(path, ignore_errors=True)
-            raise
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _MEMO[key] = path
-        return path
+            _exit_low_parallelism(spark)
+        entry["path"] = path
+    except BaseException as e:
+        shutil.rmtree(path, ignore_errors=True)
+        entry["err"] = e
+        with _LOCK:
+            _MEMO.pop(key, None)  # let a later caller retry the build
+        raise
+    finally:
+        entry["event"].set()
+    return entry["path"]
+
+
+def fetch_parallel(*thunks):
+    """Evaluate independent fixture getters concurrently (each build
+    is its own set of Spark jobs — the scheduler interleaves them) and
+    return their results in order. Used by the first consumer of a
+    (corpus, base index) pair: the two artifacts derive independently
+    from the source parquet, so first-touch cost is max(), not
+    sum()."""
+    results = [None] * len(thunks)
+    errs: list[BaseException] = []
+
+    def run(i):
+        try:
+            results[i] = thunks[i]()
+        except BaseException as e:
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(i,), daemon=True)
+        for i in range(len(thunks))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    return results
 
 
 def clone_index(master_path: str) -> str:

@@ -1936,16 +1936,26 @@ def q140_index_cdf_sync(spark, sf_dir):
         sync_signature_index_from_cdf,
     )
     from ..reader import read_delta
-    from ._fixtures import clone_index, docs_corpus_cdf, lsh_base_index
+    from ._fixtures import (
+        clone_index,
+        docs_corpus_cdf,
+        fetch_parallel,
+        lsh_base_index,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # shared fixtures (_fixtures.py): the v0->v1->v2 corpus is built
     # once per process and READ-ONLY here (sync reads table_changes,
     # commits only to the index); the base index is a clone-on-write
     # copy of the once-built v0 master — this query replays only its
-    # own mutation tail, exactly as a production maintenance job would
-    path = docs_corpus_cdf(spark, sf_dir)
-    idx = clone_index(lsh_base_index(spark, sf_dir))
+    # own mutation tail, exactly as a production maintenance job
+    # would. Corpus and index derive independently from the parquet,
+    # so a first touch builds them concurrently.
+    path, idx_master = fetch_parallel(
+        lambda: docs_corpus_cdf(spark, sf_dir),
+        lambda: lsh_base_index(spark, sf_dir),
+    )
+    idx = clone_index(idx_master)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
@@ -2018,13 +2028,21 @@ def q148_text_index_cdf_sync(spark, sf_dir):
     exactly the surviving corpus — ghost-free df_t/N/avgdl is the
     operator's crash-ordering contract."""
     from ..operators.text import sync_text_index_from_cdf, query_text_index
-    from ._fixtures import clone_index, docs_corpus_cdf, text_base_index
+    from ._fixtures import (
+        clone_index,
+        docs_corpus_cdf,
+        fetch_parallel,
+        text_base_index,
+    )
 
     # shared fixtures (_fixtures.py): same v0->v1->v2 corpus as q140
     # (read-only here), base postings cloned for this query's sync to
     # mutate — only the maintenance tail runs per invocation
-    path = docs_corpus_cdf(spark, sf_dir)
-    idx = clone_index(text_base_index(spark, sf_dir))
+    path, idx_master = fetch_parallel(
+        lambda: docs_corpus_cdf(spark, sf_dir),
+        lambda: text_base_index(spark, sf_dir),
+    )
+    idx = clone_index(idx_master)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
@@ -2247,14 +2265,16 @@ def q151_hybrid_from_indexes(spark, sf_dir):
     fuses their ranks — value-checking the whole
     build->store->serve->fuse loop."""
     from ..operators.retrieval import hybrid_search_rrf_from_indexes
-    from ._fixtures import pq_base_index, text_base_index
+    from ._fixtures import fetch_parallel, pq_base_index, text_base_index
 
     emb = _emb(spark, sf_dir)
     # shared fixtures (_fixtures.py): this query only SERVES from the
     # stored indexes (no sync), so it reads the once-built masters
     # directly — same postings/codes content, no clone needed
-    t_idx = text_base_index(spark, sf_dir)
-    p_idx = pq_base_index(spark, sf_dir)
+    t_idx, p_idx = fetch_parallel(
+        lambda: text_base_index(spark, sf_dir),
+        lambda: pq_base_index(spark, sf_dir),
+    )
 
     texts = spark.createDataFrame(
         [
@@ -4366,15 +4386,23 @@ def q146_pq_index_cdf_sync(spark, sf_dir):
     surviving rows."""
     from ..operators.similarity import query_pq_index, sync_pq_index_from_cdf
     from ..reader import read_delta
-    from ._fixtures import clone_index, emb_corpus_cdf, pq_base_index
+    from ._fixtures import (
+        clone_index,
+        emb_corpus_cdf,
+        fetch_parallel,
+        pq_base_index,
+    )
 
     # shared fixtures (_fixtures.py): the v0->v1->v2 embeddings corpus
     # is built once per process and READ-ONLY here; the frozen-quantizer
     # base index is a clone-on-write copy — only the sync tail runs per
     # invocation (gate-cost fix; the operators themselves never touch
-    # the conf)
-    path = emb_corpus_cdf(spark, sf_dir)
-    idx = clone_index(pq_base_index(spark, sf_dir))
+    # the conf). Independent artifacts -> concurrent first-touch build.
+    path, idx_master = fetch_parallel(
+        lambda: emb_corpus_cdf(spark, sf_dir),
+        lambda: pq_base_index(spark, sf_dir),
+    )
+    idx = clone_index(idx_master)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:

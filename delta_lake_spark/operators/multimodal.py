@@ -70,18 +70,19 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _png_filter_row(t: int, row: bytes, prev: bytes) -> bytes:
-    """Apply PNG filter type ``t`` (0-4) to a grayscale scanline (bpp
-    1): the ENCODER side of the spec's defiltering equations, so the
-    fixture can exercise every reconstruction branch of
-    :func:`decode_png_features`."""
+def _png_filter_row(t: int, row: bytes, prev: bytes, bpp: int = 1) -> bytes:
+    """Apply PNG filter type ``t`` (0-4) to a scanline of ``bpp`` bytes
+    per pixel: the ENCODER side of the spec's defiltering equations
+    (9.2: a/b/c reference the byte ``bpp`` positions back, not 1), so
+    the fixtures can exercise every reconstruction branch of
+    :func:`decode_png_features` at both strides."""
     if t == 0:
         return bytes(row)
     out = bytearray()
     for i, x in enumerate(row):
-        a = row[i - 1] if i else 0  # left
+        a = row[i - bpp] if i >= bpp else 0  # left
         b = prev[i] if prev else 0  # up
-        c = (prev[i - 1] if i else 0) if prev else 0  # up-left
+        c = (prev[i - bpp] if i >= bpp else 0) if prev else 0  # up-left
         if t == 1:
             pred = a
         elif t == 2:
@@ -97,16 +98,18 @@ def _png_filter_row(t: int, row: bytes, prev: bytes) -> bytes:
 
 
 def tiny_png_bytes(
-    rows: list[list[int]], filters: list[int] | None = None
+    rows: list[list], filters: list[int] | None = None, color: str = "L"
 ) -> bytes:
-    """Hand-assembled 8-bit grayscale PNG from a pixel matrix — a
-    deterministic in-repo image fixture (stdlib only: zlib + struct),
-    so the REAL decode branches of :func:`decode_png_features` /
+    """Hand-assembled 8-bit PNG from a pixel matrix — a deterministic
+    in-repo image fixture (stdlib only: zlib + struct), so the REAL
+    decode branches of :func:`decode_png_features` /
     :func:`decode_image_features` can be exercised by tests without
     shipping binary blobs in the repo. ``rows`` is a list of
-    equal-length lists of 0-255 gray values; ``filters`` optionally
-    names the per-scanline filter type (0-4, default all 0/None) so
-    every defilter path is coverable."""
+    equal-length scanlines: 0-255 gray values for ``color="L"``
+    (color type 0), (r, g, b) triples for ``color="RGB"`` (color
+    type 2). ``filters`` optionally names the per-scanline filter
+    type (0-4, default all 0/None) so every defilter path is
+    coverable at both strides."""
     import struct
     import zlib
 
@@ -119,6 +122,14 @@ def tiny_png_bytes(
         filters = [0] * height
     if len(filters) != height:
         raise ValueError("filters must name one type per scanline")
+    if color == "L":
+        ctype, bpp = 0, 1
+        raw_rows = [bytes(r) for r in rows]
+    elif color == "RGB":
+        ctype, bpp = 2, 3
+        raw_rows = [bytes(v for px in r for v in px) for r in rows]
+    else:
+        raise ValueError("color must be 'L' or 'RGB'")
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -128,13 +139,13 @@ def tiny_png_bytes(
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    # each scanline: filter-type byte + filtered gray bytes
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    # each scanline: filter-type byte + filtered bytes
     raw = bytearray()
     prev = b""
-    for r, t in zip(rows, filters):
-        raw += bytes((t,)) + _png_filter_row(t, bytes(r), prev)
-        prev = bytes(r)
+    for rb, t in zip(raw_rows, filters):
+        raw += bytes((t,)) + _png_filter_row(t, rb, prev, bpp)
+        prev = rb
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -157,14 +168,15 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _parse_png_gray8(mid, content: bytes) -> tuple[int, int, int, int]:
-    """Stdlib PNG decode of an 8-bit grayscale payload: chunk walk with
-    CRC verification, IHDR parse, IDAT inflate, scanline defilter
-    (types 0-4 per spec 9.2/9.4). Returns (n_bytes, width, height,
-    pixel_sum). Malformed payloads raise with the media id. The
-    grayscale-8 subset is deliberate: it covers the full filter
-    machinery (the hard part) with bpp=1; wider color types change
-    only the byte-per-pixel stride."""
+def _parse_png(mid, content: bytes) -> tuple[int, int, int, str, float]:
+    """Stdlib PNG decode of an 8-bit grayscale (color type 0) or RGB
+    (color type 2) payload: chunk walk with CRC verification, IHDR
+    parse, IDAT inflate, scanline defilter (types 0-4 per spec
+    9.2/9.4, a/b/c at the bytes-per-pixel stride). Returns (n_bytes,
+    width, height, mode, mean_luma) where mean_luma is the exact pixel
+    mean for grayscale and the ITU-R 601-2 weighted mean
+    (299R + 587G + 114B) / 1000 for RGB. Malformed payloads raise with
+    the media id."""
     import struct
     import zlib
 
@@ -191,28 +203,30 @@ def _parse_png_gray8(mid, content: bytes) -> tuple[int, int, int, int]:
     if ihdr is None or not idat:
         raise ValueError(f"media {mid}: missing PNG IHDR/IDAT chunk")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
         raise ValueError(
-            f"media {mid}: unsupported PNG format (need 8-bit grayscale, "
-            f"non-interlaced; got depth={depth} color={color} "
+            f"media {mid}: unsupported PNG format (need 8-bit grayscale "
+            f"or RGB, non-interlaced; got depth={depth} color={color} "
             f"interlace={interlace})"
         )
+    bpp = 1 if color == 0 else 3
+    stride = width * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"media {mid}: corrupt PNG IDAT stream ({e})")
-    if len(raw) != (width + 1) * height:
+    if len(raw) != (stride + 1) * height:
         raise ValueError(f"media {mid}: PNG scanline data size mismatch")
-    total = 0
-    prev = bytes(width)
+    luma_num = 0  # integer-exact accumulator (x1 gray, x1000 RGB)
+    prev = bytes(stride)
     for r in range(height):
-        line = raw[r * (width + 1) : (r + 1) * (width + 1)]
+        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
         t, f = line[0], line[1:]
         recon = bytearray()
         for i, x in enumerate(f):
-            a = recon[i - 1] if i else 0
+            a = recon[i - bpp] if i >= bpp else 0
             bb = prev[i]
-            c = prev[i - 1] if i else 0
+            c = prev[i - bpp] if i >= bpp else 0
             if t == 0:
                 pred = 0
             elif t == 1:
@@ -228,33 +242,42 @@ def _parse_png_gray8(mid, content: bytes) -> tuple[int, int, int, int]:
                     f"media {mid}: unknown PNG filter type {t}"
                 )
             recon.append((x + pred) & 0xFF)
-        total += sum(recon)
+        if bpp == 1:
+            luma_num += sum(recon)
+        else:
+            luma_num += sum(
+                299 * recon[i] + 587 * recon[i + 1] + 114 * recon[i + 2]
+                for i in range(0, stride, 3)
+            )
         prev = bytes(recon)
-    return len(b), width, height, total
+    mode = "L" if bpp == 1 else "RGB"
+    den = (width * height) if bpp == 1 else (1000 * width * height)
+    return len(b), width, height, mode, luma_num / den
 
 
 def decode_png_features(df: DataFrame) -> DataFrame:
     """REAL image decode — not a stub, no external library: full
     stdlib PNG pipeline (chunk walk + CRC check, IHDR parse, zlib
-    inflate, per-scanline defilter for all five filter types) over
-    Arrow batches, emitting dimensions and mean luminance per payload
-    (mode 'L' — the 8-bit grayscale subset; see _parse_png_gray8).
-    Same output schema as decode_image_features(real_decode=True), so
-    the two are drop-in interchangeable. Malformed payloads raise
-    with the media id. Map-only mapInPandas; payloads never visit the
-    driver."""
+    inflate, per-scanline defilter for all five filter types at both
+    the grayscale and RGB strides) over Arrow batches, emitting
+    dimensions, mode, and mean luminance per payload (exact gray mean
+    for mode 'L', ITU-R 601-2 weighted mean for 'RGB'; see
+    _parse_png). Same output schema as
+    decode_image_features(real_decode=True), so the two are drop-in
+    interchangeable. Malformed payloads raise with the media id.
+    Map-only mapInPandas; payloads never visit the driver."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, nb, ws, hs, modes, lumas = [], [], [], [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                n, w, h, total = _parse_png_gray8(mid, content)
+                n, w, h, mode, luma = _parse_png(mid, content)
                 ids.append(mid)
                 nb.append(n)
                 ws.append(w)
                 hs.append(h)
-                modes.append("L")
-                lumas.append(total / (w * h))
+                modes.append(mode)
+                lumas.append(luma)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -291,6 +314,47 @@ def synthesize_png_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ]
                 payloads.append(
                     tiny_png_bytes(rows, filters=[(i + r) % 5 for r in range(h)])
+                )
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+
+
+def synthesize_png_rgb_corpus(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """RGB sibling of :func:`synthesize_png_corpus`: channel values
+    derive arithmetically from (id, row, col, channel) and the
+    per-scanline filters from (id + row) % 5, exercising the bpp=3
+    defilter stride (a/b/c three bytes back) the grayscale corpus
+    cannot — so the q175 oracle states the ITU-R 601-2 mean luminance
+    without parsing any binary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 2 + i % 5, 1 + i % 4
+                rows = [
+                    [
+                        tuple(
+                            (i * 31 + r * 17 + c * 7 + ch * 13) % 256
+                            for ch in range(3)
+                        )
+                        for c in range(w)
+                    ]
+                    for r in range(h)
+                ]
+                payloads.append(
+                    tiny_png_bytes(
+                        rows,
+                        filters=[(i + r) % 5 for r in range(h)],
+                        color="RGB",
+                    )
                 )
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 

@@ -3471,6 +3471,46 @@ FROM documents, UNNEST(range(1, 4 + doc_id % 3, 2)) AS t(s)
 """
 
 
+def q175_png_rgb_roundtrip(spark, sf_dir):
+    """q173's RGB sibling: color-type-2 PNGs (bpp=3) synthesized per
+    document id and decoded by the same stdlib pipeline — the defilter
+    equations now reference the byte THREE positions back, a stride
+    the grayscale corpus cannot exercise, and the luminance is the
+    ITU-R 601-2 weighted mean (299R + 587G + 114B)/1000. The oracle
+    replays every channel of every pixel arithmetically; a single
+    stride bug anywhere in the Sub/Average/Paeth reconstruction shifts
+    a mean and fails the hash."""
+    from ..operators.multimodal import (
+        decode_png_features,
+        synthesize_png_rgb_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_png_features(synthesize_png_rgb_corpus(docs)).select(
+        "media_id", "width", "height", "mode",
+        F.round("mean_luma", 9).alias("mean_luma"),
+    )
+
+
+_Q175_SQL = """
+WITH px AS (
+  SELECT doc_id,
+    CAST(2 + doc_id % 5 AS INTEGER) AS w,
+    CAST(1 + doc_id % 4 AS INTEGER) AS h,
+      299 * ((doc_id * 31 + r * 17 + c * 7) % 256)
+    + 587 * ((doc_id * 31 + r * 17 + c * 7 + 13) % 256)
+    + 114 * ((doc_id * 31 + r * 17 + c * 7 + 26) % 256) AS lum
+  FROM documents,
+    UNNEST(range(0, 1 + doc_id % 4)) AS tr(r),
+    UNNEST(range(0, 2 + doc_id % 5)) AS tc(c)
+  WHERE c < 2 + doc_id % 5 AND r < 1 + doc_id % 4
+)
+SELECT doc_id AS media_id, w AS width, h AS height, 'RGB' AS mode,
+  ROUND(SUM(lum) * 1.0 / (1000 * w * h), 9) AS mean_luma
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 def q161_curriculum_shards(spark, sf_dir):
     """Curriculum data ordering: documents are staged easy->hard by
     CALIBRATED quality (empirical-CDF percentile, so the phase cut is
@@ -4837,6 +4877,7 @@ QUERIES = {
     "q172_gif_frame_index": q172_gif_frame_index,
     "q173_png_decode_roundtrip": q173_png_decode_roundtrip,
     "q174_wav_energy_segments": q174_wav_energy_segments,
+    "q175_png_rgb_roundtrip": q175_png_rgb_roundtrip,
     "q160_reference_lm_score": q160_reference_lm_score,
     "q161_curriculum_shards": q161_curriculum_shards,
     "q162_hll_distinct_tokens": q162_hll_distinct_tokens,
@@ -4967,6 +5008,7 @@ ORACLE_SQL = {
     "q172_gif_frame_index": _Q172_SQL,
     "q173_png_decode_roundtrip": _Q173_SQL,
     "q174_wav_energy_segments": _Q174_SQL,
+    "q175_png_rgb_roundtrip": _Q175_SQL,
     "q160_reference_lm_score": _Q160_SQL,
     "q161_curriculum_shards": _Q161_SQL,
     "q162_hll_distinct_tokens": _Q162_SQL,

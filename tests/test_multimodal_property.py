@@ -13,7 +13,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from delta_lake_spark.operators.multimodal import (
-    _parse_png_gray8,
+    _parse_png,
     _parse_wav_pcm,
     tiny_png_bytes,
 )
@@ -43,9 +43,58 @@ def test_png_roundtrip_property(rows, data):
         )
     )
     png = tiny_png_bytes(rows, filters=filters)
-    n, w, h, total = _parse_png_gray8(0, png)
-    assert (n, w, h) == (len(png), len(rows[0]), len(rows))
-    assert total == sum(sum(r) for r in rows)
+    n, w, h, mode, luma = _parse_png(0, png)
+    assert (n, w, h, mode) == (len(png), len(rows[0]), len(rows), "L")
+    assert abs(luma - sum(sum(r) for r in rows) / (w * h)) < 1e-9
+
+
+rgb_matrices = st.integers(min_value=1, max_value=6).flatmap(
+    lambda w: st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+            ),
+            min_size=w,
+            max_size=w,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=rgb_matrices, data=st.data())
+def test_png_rgb_roundtrip_property(rows, data):
+    """RGB (bpp=3) defiltering: a/b/c reference the byte THREE back,
+    so a stride bug survives every grayscale test — this pins the RGB
+    reconstruction against the ITU-R 601-2 weighted mean for arbitrary
+    matrices and filter choices, plus PIL pixel readback when
+    importable."""
+    filters = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4),
+            min_size=len(rows),
+            max_size=len(rows),
+        )
+    )
+    png = tiny_png_bytes(rows, filters=filters, color="RGB")
+    n, w, h, mode, luma = _parse_png(0, png)
+    assert (n, w, h, mode) == (len(png), len(rows[0]), len(rows), "RGB")
+    num = sum(
+        299 * r + 587 * g + 114 * b for row in rows for (r, g, b) in row
+    )
+    assert abs(luma - num / (1000 * w * h)) < 1e-9
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return
+    img = Image.open(io.BytesIO(png))
+    assert list(img.getdata()) == [tuple(px) for row in rows for px in row]
 
 
 @settings(max_examples=60, deadline=None)
@@ -60,8 +109,8 @@ def test_png_pixels_match_pil_when_available(rows):
         from PIL import Image
     except ImportError:
         png = tiny_png_bytes(rows, filters=[4] * len(rows))
-        _, _, _, total = _parse_png_gray8(0, png)
-        assert total == sum(sum(r) for r in rows)
+        _, w, h, _, luma = _parse_png(0, png)
+        assert abs(luma - sum(sum(r) for r in rows) / (w * h)) < 1e-9
         return
     png = tiny_png_bytes(rows, filters=[(i * 3 + 1) % 5 for i in range(len(rows))])
     img = Image.open(io.BytesIO(png))

@@ -1957,7 +1957,7 @@ def q140_index_cdf_sync(spark, sf_dir):
     )
     idx = clone_index(idx_master)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         sync_signature_index_from_cdf(spark, path, idx)
     finally:
@@ -2044,7 +2044,7 @@ def q148_text_index_cdf_sync(spark, sf_dir):
     )
     idx = clone_index(idx_master)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         sync_text_index_from_cdf(spark, path, idx)
     finally:
@@ -4444,7 +4444,7 @@ def q146_pq_index_cdf_sync(spark, sf_dir):
     )
     idx = clone_index(idx_master)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         sync_pq_index_from_cdf(spark, path, idx)
     finally:

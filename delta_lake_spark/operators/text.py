@@ -475,17 +475,31 @@ def decontaminate(
     the corpus side is a map-only shingle explode + broadcast semi-join
     + per-doc count — no corpus-sized shuffle at any point.
 
+    Both sides join on xxhash64 of the shingle, not the string: an
+    n=13 shingle is ~80 bytes and the corpus side explodes ~n_words of
+    them per document, so carrying strings into the join is pure GC
+    pressure (the funnel scale bench read 14x instead of 10x going
+    1M -> 10M docs on this stage before the change). A 64-bit collision
+    adding a phantom hit needs an eval shingle and a corpus shingle
+    hashing equal — P ~ |corpus grams| x |eval grams| / 2^64, vanishing
+    at any realistic eval-set size (and the same trade the LSH
+    signature index already makes in _hash_shingles).
+
     Returns: id_col, n_hits (long) — documents with >= 1 colliding
     n-gram, with how many of their distinct shingles collide.
     """
     from .dedup import word_shingles
 
-    corpus_sh = word_shingles(corpus, text_col, id_col, n)
-    eval_sh = word_shingles(eval_df, text_col, id_col, n).select(
-        "shingle"
-    ).distinct()
+    corpus_sh = word_shingles(corpus, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("__h")
+    )
+    eval_sh = (
+        word_shingles(eval_df, text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("__h"))
+        .distinct()
+    )
     return (
-        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        corpus_sh.join(F.broadcast(eval_sh), "__h")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )

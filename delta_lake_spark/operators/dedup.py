@@ -266,11 +266,19 @@ def ngram_jaccard_pairs(
             .filter(F.col("id_1") < F.col("id_2"))
             .distinct()
         )
-        sh1 = sh.select(F.col(id_col).alias("id_1"), "shingle")
-        sh2 = sh.select(F.col(id_col).alias("id_2"), "shingle")
+        # intersection joins carry xxhash64(shingle), not the ~30-80
+        # byte string — the shuffle-byte cut of the decontaminate
+        # change applied to the verify path (a phantom intersection row
+        # needs a within-pair 64-bit collision: P ~ n_sh^2 / 2^64)
+        sh1 = sh.select(
+            F.col(id_col).alias("id_1"), F.xxhash64("shingle").alias("__sh")
+        )
+        sh2 = sh.select(
+            F.col(id_col).alias("id_2"), F.xxhash64("shingle").alias("__sh")
+        )
         inter = (
             candidates.join(sh1, "id_1")
-            .join(sh2, ["id_2", "shingle"])
+            .join(sh2, ["id_2", "__sh"])
             .groupBy("id_1", "id_2")
             .agg(F.count("*").alias("n_inter"))
         )
@@ -476,11 +484,16 @@ def minhash_lsh_pairs(
     # candidate set so intersection rows are only materialized for pairs
     # that banded together — never the full inverted-index cross product
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sh1 = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    sh2 = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    # hashed intersection key — see ngram_jaccard_pairs' verify note
+    sh1 = sh.select(
+        F.col(id_col).alias("id_1"), F.xxhash64("shingle").alias("__sh")
+    )
+    sh2 = sh.select(
+        F.col(id_col).alias("id_2"), F.xxhash64("shingle").alias("__sh")
+    )
     inter = (
         candidates.join(sh1, "id_1")
-        .join(sh2, ["id_2", "shingle"])
+        .join(sh2, ["id_2", "__sh"])
         .groupBy("id_1", "id_2")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -927,11 +940,16 @@ def cross_corpus_near_dups(
 
     sizes_b = sh_b.groupBy(id_col).agg(F.count("*").alias("n_b"))
     sizes_c = sh_c.groupBy(id_col).agg(F.count("*").alias("n_c"))
-    b1 = sh_b.select(F.col(id_col).alias("batch_id"), "shingle")
-    c1 = sh_c.select(F.col(id_col).alias("corpus_id"), "shingle")
+    # hashed intersection key — see ngram_jaccard_pairs' verify note
+    b1 = sh_b.select(
+        F.col(id_col).alias("batch_id"), F.xxhash64("shingle").alias("__sh")
+    )
+    c1 = sh_c.select(
+        F.col(id_col).alias("corpus_id"), F.xxhash64("shingle").alias("__sh")
+    )
     inter = (
         cand.join(b1, "batch_id")
-        .join(c1, ["corpus_id", "shingle"])
+        .join(c1, ["corpus_id", "__sh"])
         .groupBy("batch_id", "corpus_id")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -1259,11 +1277,21 @@ def near_dups_against_index(
     sizes_c = sh_c.groupBy(id_col).agg(F.count("*").alias("n_c")).select(
         F.col(id_col).alias("corpus_id"), "n_c"
     )
+    # hashed intersection key — see ngram_jaccard_pairs' verify note
     inter = (
-        cand.join(sh_b.select(F.col(id_col).alias("batch_id"), "shingle"), "batch_id")
+        cand.join(
+            sh_b.select(
+                F.col(id_col).alias("batch_id"),
+                F.xxhash64("shingle").alias("__sh"),
+            ),
+            "batch_id",
+        )
         .join(
-            sh_c.select(F.col(id_col).alias("corpus_id"), "shingle"),
-            ["corpus_id", "shingle"],
+            sh_c.select(
+                F.col(id_col).alias("corpus_id"),
+                F.xxhash64("shingle").alias("__sh"),
+            ),
+            ["corpus_id", "__sh"],
         )
         .groupBy("batch_id", "corpus_id")
         .agg(F.count("*").alias("n_inter"))

@@ -1912,10 +1912,453 @@ GROUP BY n.n_name
 """
 
 
+# --------------------------------------------------------------------------
+# q177-q185: the remaining classic TPC-H query shapes (Q4, Q6, Q8, Q10,
+# Q13, Q14, Q15, Q19, Q20), adapted to this schema's columns. Money
+# sums are decimal-staged (_dec, module convention) so cross-engine
+# value hashes are exact; double ratios round at 6 dp where the
+# relative error of order-dependent double summation (~1e-12) cannot
+# flip the grid.
+# --------------------------------------------------------------------------
+
+def q177_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: order counts by priority for one quarter, kept
+    only when EXISTS a line shipped more than 60 days after the order
+    date (this schema's late-shipment predicate — it has no
+    commit/receipt dates). The EXISTS decorrelates to a LEFT SEMI join
+    with a non-equi residual: Spark shuffles both sides on orderkey
+    once, the residual evaluates inside the join, and no lineitem
+    column survives past it — at 100 TB the fact crosses the wire as
+    (orderkey, shipdate) only."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q177_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q178_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure scan-aggregate — revenue delta from a
+    hypothetical discount change over one ship-year, a band of
+    discounts, and small quantities. No join, no shuffle beyond the
+    1-row final aggregate; the three predicates and the two-column
+    projection all reach the parquet scan (PushedFilters/ReadSchema —
+    the pushdown showcase). Discount boundaries are exact parquet
+    doubles compared to the same literals on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice").cast("double") * F.col("l_discount")),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+_Q178_SQL = """
+SELECT ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                 * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.04 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+def q179_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ECONOMY-part order
+    volume delivered into ASIA-region customers, by order year. The
+    conditional-share pattern (SUM(CASE)/SUM) runs in ONE aggregation
+    over the joined slice; part (type-filtered sliver) and the
+    nation/region dimension broadcast, supplier and the facts shuffle
+    on their join keys once each. Share rounds at 6 dp (double-sum
+    relative error ~1e-12 cannot flip that grid)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("__cnk"))
+    )
+    snation = nation.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("__sn")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), cust.c_nationkey == F.col("__cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snation), supp.s_nationkey == F.col("__snk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("__vol"),
+            F.col("__sn"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("__sn") == "NATION_3", F.col("__vol"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("__vol"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q179_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
+        / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q180_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returned
+    items in one quarter. Orders prune on the date band BEFORE joining
+    the fact (partition-prunable at scale), the returnflag filter
+    prunes lineitem at the scan, nation broadcasts for the display
+    name, and the top-20 is a TakeOrdered on the rounded revenue with
+    the customer key as the deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01")
+        & (F.col("o_orderdate") < "1997-10-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.sum(
+        _dec("l_extendedprice").cast("double") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q180_SQL = """
+SELECT c_custkey, c_name, n_name,
+  ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+            * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q181_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the customer-order-count histogram. The LEFT
+    join keeps order-less customers (c_count = 0 bucket), the
+    non-urgent condition lives IN the join (not a post-filter, which
+    would turn the outer join inner), and the double aggregation is
+    two hash shuffles: per-customer counts, then the count-of-counts.
+    No window, no collect."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q181_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q182_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: percentage of one ship-month's revenue from
+    PROMO-type parts — the CASE-ratio pattern in one aggregation over
+    the month's fact slice, with part broadcast (two columns). 6 dp
+    ratio rounding (see q179)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+            )
+            / F.sum(vol),
+            6,
+        ).alias("promo_share")
+    )
+
+
+_Q182_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
+        / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q183_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in one
+    ship-quarter — the view + scalar-MAX pattern. The per-supplier
+    revenue aggregates once; the 1-row MAX broadcasts back against it
+    (never a collect); supplier joins for the name. Revenue rounds to
+    cents BEFORE the max-compare on both engines, so a within-5e-9
+    near-tie cannot classify differently."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice").cast("double")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q183_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+    ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+              * (1.0 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q184_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    conjunction groups — the disjunctive-predicate pattern optimizers
+    historically mishandled (each disjunct references BOTH tables, so
+    it must evaluate inside the join). part broadcasts; the common
+    sub-predicates (quantity bounds) still prune lineitem at the scan
+    because the union of the quantity bands is a pushable range."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    g = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(5, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 40)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(g)
+        .agg(
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice").cast("double")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+_Q184_SQL = """
+SELECT ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+              * (1.0 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 5 AND 15)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 5 AND 25
+        AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 40
+        AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q185_excess_volume_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped a large aggregate volume
+    of any 'small ...' part in one ship-year — the nested-semi-join
+    chain (part-name filter -> per-(supplier, part) volume threshold
+    -> supplier semi-join). The name-filtered part sliver broadcasts
+    into the fact; the HAVING runs on the grouped slice; supplier is
+    reduced by a LEFT SEMI join on the qualifying keys, so only
+    (suppkey) crosses the last wire. l_quantity is integer-valued, so
+    the SUM threshold is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 40)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q185_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 40
+)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q135_small_quantity_revenue": q135_small_quantity_revenue,
     "q136_idle_wealthy_customers": q136_idle_wealthy_customers,
+    "q177_order_priority_exists": q177_order_priority_exists,
+    "q178_forecast_revenue": q178_forecast_revenue,
+    "q179_market_share": q179_market_share,
+    "q180_returned_item_customers": q180_returned_item_customers,
+    "q181_order_count_distribution": q181_order_count_distribution,
+    "q182_promo_revenue_share": q182_promo_revenue_share,
+    "q183_top_supplier": q183_top_supplier,
+    "q184_disjunctive_revenue": q184_disjunctive_revenue,
+    "q185_excess_volume_suppliers": q185_excess_volume_suppliers,
     "q119_funnel_conversion": q119_funnel_conversion,
     "q120_length_histogram": q120_length_histogram,
     "q121_retention_cohorts": q121_retention_cohorts,
@@ -1972,6 +2415,15 @@ QUERIES = {
 ORACLE_SQL = {
     "q01_pricing_summary": _Q01_SQL,
     "q135_small_quantity_revenue": _Q135_SQL,
+    "q177_order_priority_exists": _Q177_SQL,
+    "q178_forecast_revenue": _Q178_SQL,
+    "q179_market_share": _Q179_SQL,
+    "q180_returned_item_customers": _Q180_SQL,
+    "q181_order_count_distribution": _Q181_SQL,
+    "q182_promo_revenue_share": _Q182_SQL,
+    "q183_top_supplier": _Q183_SQL,
+    "q184_disjunctive_revenue": _Q184_SQL,
+    "q185_excess_volume_suppliers": _Q185_SQL,
     "q136_idle_wealthy_customers": _Q136_SQL,
     "q119_funnel_conversion": _Q119_SQL,
     "q120_length_histogram": _Q120_SQL,

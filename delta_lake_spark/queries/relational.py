@@ -2346,6 +2346,261 @@ ORDER BY s_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# q186-q189: the four partsupp-dependent TPC-H shapes (Q2, Q11, Q12,
+# Q16), adapted to this schema by deriving the part-supplier relation
+# from lineitem (the schema has no partsupp table; the distinct
+# (l_partkey, l_suppkey) pairs and their observed unit prices play the
+# roles of ps_* columns). The SHAPES are preserved exactly: Q2's
+# correlated per-group MIN, Q11's HAVING-vs-global-scalar fraction,
+# Q12's conditional two-way counts, Q16's NOT-IN-excluded COUNT
+# DISTINCT. With these, all 22 classic TPC-H query shapes have a
+# registry entry.
+# --------------------------------------------------------------------------
+
+def q186_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each ECONOMY part up to size 15, the
+    EUROPE supplier(s) offering the minimum observed unit price —
+    the correlated per-group MIN subquery over a deep dimension join.
+    Offers aggregate once per (part, supplier) [the derived partsupp];
+    the correlated MIN evaluates as a window MIN over partkey on that
+    SAME relation — the textual self-join form would duplicate the
+    whole lineitem+dims subtree (two fact scans; verified in the
+    first cut's plan), the window form scans the fact ONCE and pays
+    one extra partkey exchange. The winner filter compares exact
+    doubles: unit price is the IEEE quotient l_extendedprice /
+    l_quantity, identical bit-for-bit on both engines, and MIN is
+    order-independent, so the equality cannot drift. Supplier/nation/
+    region dims broadcast. The final ORDER BY carries the unique
+    (p_partkey, s_suppkey) tiebreak under its LIMIT."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            )
+        )
+    )
+    # the part slice joins BEFORE the window: the per-part MIN only
+    # depends on that part's own offers, so pre-filtering to the
+    # selected partkeys is semantics-preserving and windows over the
+    # ECONOMY sliver instead of every part
+    w = Window.partitionBy("l_partkey")
+    return (
+        offers.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .withColumn("__mn", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("__mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            "p_partkey", "p_name", "s_suppkey", "unit_price",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("p_partkey"), F.col("s_suppkey")
+        )
+        .limit(20)
+    )
+
+
+_Q186_SQL = """
+WITH offer AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, s_suppkey, s_name, s_acctbal, n_name
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey, unit_price
+FROM part JOIN offer o ON p_partkey = l_partkey
+WHERE p_type = 'ECONOMY' AND p_size <= 15
+  AND unit_price = (
+    SELECT MIN(o2.unit_price) FROM offer o2 WHERE o2.l_partkey = p_partkey
+  )
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+LIMIT 20
+"""
+
+
+def q187_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose ASIA-supplied value exceeds a
+    fixed fraction of the region's total supplied value — the
+    HAVING-vs-global-scalar pattern. Per-part values aggregate once
+    (decimal-staged, so both the per-part sums and the global total
+    are exact and associative); the 1-row threshold then broadcasts
+    back against the per-part relation instead of re-scanning the
+    fact (TPC-H's textual subquery would scan lineitem twice — at
+    100 TB the reuse halves the I/O). TPC-H's fixed fraction shrinks
+    the result to empty as part count grows (the spec scales it by
+    1/SF); the threshold here is 2x the MEAN per-part value —
+    scale-invariant, so every SF yields a non-trivial result. The
+    compare multiplies exact decimals/bigints only (below). The spec
+    restricts to one nation; the tiny sf0.001 smoke slice has just 10
+    suppliers, so a single nation can be absent — a region keeps the
+    shape AND a non-empty result at every scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    value = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("__v"))
+    )
+    # 2x-mean threshold without a decimal DIVISION (whose result scale
+    # differs between engines): v > 2 * sum/n  <=>  v * n > sum * 2,
+    # products of exact decimals/bigints — exact on both engines.
+    total = per_part.agg(
+        F.sum("__v").alias("__tot"), F.count("*").alias("__n")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("__v") * F.col("__n") > F.col("__tot") * F.lit(2))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("__v").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey"))
+    )
+
+
+_Q187_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
+FROM per_part, (SELECT SUM(v) AS tot, COUNT(*) AS n FROM per_part) t
+WHERE v * t.n > t.tot * 2
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q188_late_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape: per-category counts of critical vs
+    non-critical orders among late shipments in one ship-year — the
+    conditional two-way count. l_returnflag stands in for l_shipmode
+    (this schema has no ship-mode column) and 'shipped more than 60
+    days after the order date' for the commit/receipt lateness
+    predicate. One join shuffled on orderkey with only (orderkey,
+    priority) crossing from orders, map-side partial aggregation into
+    a 3-row result — the plan a 100-TB run wants."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q188_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q189_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: how many suppliers can ship each (brand, type,
+    size) slice, excluding a blacklist — COUNT DISTINCT over the
+    derived partsupp relation with a NOT-IN-subquery exclusion.
+    s_acctbal < 0 stands in for the '%Customer%Complaints%' predicate.
+    The NOT IN compiles to a LEFT ANTI join (s_suppkey is non-null, so
+    the semantics are identical); the distinct (partkey, suppkey)
+    pairs reduce lineitem BEFORE the part join; the blacklist
+    broadcasts. ORDER BY carries the full group key as tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36))
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"), F.col("p_type"), F.col("p_size"),
+        )
+    )
+
+
+_Q189_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 9, 14, 20, 25, 30, 36)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q135_small_quantity_revenue": q135_small_quantity_revenue,
@@ -2359,6 +2614,10 @@ QUERIES = {
     "q183_top_supplier": q183_top_supplier,
     "q184_disjunctive_revenue": q184_disjunctive_revenue,
     "q185_excess_volume_suppliers": q185_excess_volume_suppliers,
+    "q186_min_cost_supplier": q186_min_cost_supplier,
+    "q187_important_parts": q187_important_parts,
+    "q188_late_priority_counts": q188_late_priority_counts,
+    "q189_supplier_part_counts": q189_supplier_part_counts,
     "q119_funnel_conversion": q119_funnel_conversion,
     "q120_length_histogram": q120_length_histogram,
     "q121_retention_cohorts": q121_retention_cohorts,
@@ -2424,6 +2683,10 @@ ORACLE_SQL = {
     "q183_top_supplier": _Q183_SQL,
     "q184_disjunctive_revenue": _Q184_SQL,
     "q185_excess_volume_suppliers": _Q185_SQL,
+    "q186_min_cost_supplier": _Q186_SQL,
+    "q187_important_parts": _Q187_SQL,
+    "q188_late_priority_counts": _Q188_SQL,
+    "q189_supplier_part_counts": _Q189_SQL,
     "q136_idle_wealthy_customers": _Q136_SQL,
     "q119_funnel_conversion": _Q119_SQL,
     "q120_length_histogram": _Q120_SQL,

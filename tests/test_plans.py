@@ -988,3 +988,53 @@ def test_bloom_build_partial_aggregates_probe_broadcasts(spark):
     # groupBy(fp) aggregation is probe-batch-sized)
     assert "partial_bit_or" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q186_correlated_min_single_fact_scan(spark):
+    from delta_lake_spark.queries.relational import q186_min_cost_supplier
+
+    plan = _plan(q186_min_cost_supplier(spark, SF_DIR))
+    # the correlated per-part MIN runs as a window over the derived
+    # partsupp relation: ONE lineitem scan (the textual self-join form
+    # duplicated the whole fact+dims subtree); all dims broadcast
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q187_threshold_reuses_per_part_exchange(spark):
+    from delta_lake_spark.queries.relational import q187_important_parts
+
+    df = q187_important_parts(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    # the HAVING-vs-global-scalar compare references per_part twice;
+    # the aggregation exchange must be computed once and reused, and
+    # the 1-row threshold must broadcast, never shuffle the parts side
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q188_late_counts_partial_agg_no_cartesian(spark):
+    from delta_lake_spark.queries.relational import q188_late_priority_counts
+
+    plan = _plan(q188_late_priority_counts(spark, SF_DIR))
+    # non-equi lateness predicate stays a join residual (never a
+    # cartesian); the two-way counts partial-aggregate map-side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_q189_not_in_compiles_to_broadcast_anti_join(spark):
+    from delta_lake_spark.queries.relational import q189_supplier_part_counts
+
+    plan = _plan(q189_supplier_part_counts(spark, SF_DIR))
+    # the blacklist NOT IN must run as a broadcast LEFT ANTI join, and
+    # the (partkey, suppkey) distinct must appear below the part join
+    # (lineitem reduces before it widens)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

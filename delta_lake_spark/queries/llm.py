@@ -2608,10 +2608,14 @@ def _session_stopped(session) -> bool:
 def clear_funnel_memo(spark=None) -> None:
     """Unpersist and drop every memoized funnel stage set (one
     session's, or all sessions'). bench.py calls this between timed
-    funnel runs; tests call it after plan inspection."""
+    funnel runs; tests call it after plan inspection. Also drops the
+    (collected, model-sized) BPE merge memo for the same sessions."""
     with _FUNNEL_LOCK:
         keys = [id(spark)] if spark is not None else list(_FUNNEL_REG)
         slots = [_FUNNEL_REG.pop(k) for k in keys if k in _FUNNEL_REG]
+    for k in list(_BPE_MEMO):
+        if spark is None or k[0] == id(spark):
+            del _BPE_MEMO[k]
     for slot in slots:
         frames = [f for e in slot["chain"].values() for f in e["frames"]]
         frames += [f for dfs in slot["extras"].values() for f in dfs]
@@ -4908,7 +4912,150 @@ FROM s GROUP BY shard_id
 """
 
 
+# --------------------------------------------------------------------------
+# q190/q191: BPE tokenizer training + encoding (operators/tokenizer.py).
+# The oracle replays the ENTIRE training loop in SQL — n_merges unrolled
+# rounds of (pair histogram -> lexicographic-tiebreak argmax -> let-bound
+# list-comprehension merge rewrite) over the word-frequency vocabulary,
+# then (q191) re-encodes every document with the learned chain. The
+# a != b pair restriction makes replace-all order-independent, so the
+# relational rewrite and the classic greedy scan agree exactly
+# (operators/tokenizer.py module docstring).
+# --------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+
+# learned-merge memo, (id(session), sf_dir) -> list[Row] — model-sized
+# (8 rows); same immutable-parquet contract as the funnel memo, cleared
+# alongside it (clear_funnel_memo)
+_BPE_MEMO: dict = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    from ..operators.tokenizer import train_bpe_merges
+
+    key = (id(spark), sf_dir)
+    if key not in _BPE_MEMO:
+        _BPE_MEMO[key] = train_bpe_merges(
+            _docs(spark, sf_dir), "text", n_merges=_BPE_N_MERGES
+        ).collect()
+    return _BPE_MEMO[key]
+
+
+def _bpe_duck_layer(prev: str, r: int) -> str:
+    """One DuckDB merge layer over symbol-array expression ``prev``,
+    using round ``r``'s learned pair (m{r}.a, m{r}.b). Same let-binding
+    trick as the Spark side (tokenizer.apply_merge_expr): prev and the
+    match-position list are each bound once, so the chain grows
+    linearly."""
+    return f"""list_transform([{prev}], s ->
+  list_transform([[i FOR i IN range(1, len(s)) IF s[i] = m{r}.a AND s[i+1] = m{r}.b]], p ->
+    [CASE WHEN list_contains(p, i) THEN m{r}.a || m{r}.b ELSE s[i] END
+     FOR i IN range(1, len(s)+1) IF NOT list_contains(p, i-1)])[1])[1]"""
+
+
+def _bpe_train_ctes(n: int = _BPE_N_MERGES) -> str:
+    """WITH-chain learning ``n`` merges: v0 is the char-split word
+    histogram; round r derives pair weights p{r}, argmax m{r}, and the
+    rewritten vocabulary v{r}."""
+    parts = [
+        """w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+                       IF x <> '']) AS w
+        FROM documents)
+  GROUP BY w
+),
+v0 AS (SELECT cnt, [w[i] FOR i IN range(1, len(w)+1)] AS s FROM w0)"""
+    ]
+    for r in range(1, n + 1):
+        parts.append(f"""p{r} AS (
+  SELECT a, b, SUM(cnt) AS weight FROM (
+    SELECT cnt, s[i] AS a, s[i+1] AS b
+    FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i FROM v{r - 1})
+  ) WHERE a <> b GROUP BY a, b
+),
+m{r} AS (SELECT a, b, weight FROM p{r} ORDER BY weight DESC, a, b LIMIT 1)""")
+        if r < n:
+            parts.append(f"""v{r} AS (
+  SELECT cnt,
+    list_transform([[i FOR i IN range(1, len(s)) IF s[i] = m{r}.a AND s[i+1] = m{r}.b]], p ->
+      [CASE WHEN list_contains(p, i) THEN m{r}.a || m{r}.b ELSE s[i] END
+       FOR i IN range(1, len(s)+1) IF NOT list_contains(p, i-1)])[1] AS s
+  FROM v{r - 1}, m{r})""")
+    return "WITH " + ",\n".join(parts)
+
+
+def q190_bpe_train_merges(spark, sf_dir):
+    """Learn the top-8 BPE merges from the corpus word histogram — the
+    tokenizer-training step of the data pipeline (bigram mining's q98
+    sibling at subword granularity). One corpus shuffle (the word
+    histogram); every round runs on the persisted vocabulary relation
+    with a single-row argmax collect. Value-exact against the fully
+    unrolled SQL replay of the training loop."""
+    from ..operators.tokenizer import MERGE_SCHEMA
+
+    return spark.createDataFrame(_bpe_merges(spark, sf_dir), MERGE_SCHEMA)
+
+
+_Q190_SQL = (
+    _bpe_train_ctes()
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, a AS lhs, b AS rhs,"
+        f" a || b AS merged, CAST(weight AS BIGINT) AS weight FROM m{r}"
+        for r in range(1, _BPE_N_MERGES + 1)
+    )
+)
+
+
+def q191_bpe_encode_corpus(spark, sf_dir):
+    """Encode every document with the merges learned by q190 and report
+    per-doc BPE token counts (total + distinct types). Training is the
+    q190 loop; encoding is MAP-ONLY — the 8-row merge table folds into
+    one chained HOF expression (broadcast-codebook contract), so the
+    encode pass adds zero shuffles at any corpus size. The oracle
+    replays training AND encoding."""
+    from ..operators.tokenizer import bpe_encode
+
+    docs = _docs(spark, sf_dir)
+    pairs = [(r.lhs, r.rhs) for r in _bpe_merges(spark, sf_dir)]
+    enc = bpe_encode(docs, "text", "doc_id", pairs)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_types"),
+    )
+
+
+def _q191_sql() -> str:
+    chain = "[x[i] FOR i IN range(1, len(x)+1)]"
+    for r in range(1, _BPE_N_MERGES + 1):
+        chain = _bpe_duck_layer(chain, r)
+    froms = ", ".join(f"m{r}" for r in range(1, _BPE_N_MERGES + 1))
+    return (
+        _bpe_train_ctes()
+        + f""",
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform(
+      [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''],
+      x -> {chain})) AS tokens
+  FROM documents, {froms}
+)
+SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tokens)) AS BIGINT) AS n_types
+FROM enc
+"""
+    )
+
+
+_Q191_SQL = _q191_sql()
+
+
 QUERIES = {
+    "q190_bpe_train_merges": q190_bpe_train_merges,
+    "q191_bpe_encode_corpus": q191_bpe_encode_corpus,
     "q30_dedup_exact": q30_dedup_exact,
     "q157_score_percentiles": q157_score_percentiles,
     "q158_shard_manifest": q158_shard_manifest,
@@ -4996,6 +5143,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q190_bpe_train_merges": _Q190_SQL,
+    "q191_bpe_encode_corpus": _Q191_SQL,
     "q33_dedup_simhash": _Q33_SQL,
     "q153_shard_shuffle": _Q153_SQL,
     "q154_token_budget_select": _Q154_SQL,

@@ -16,6 +16,7 @@ from .dedup import (
     word_shingles,
 )
 from .similarity import cosine_topk, ivf_topk, lsh_ann_pairs
+from .tokenizer import bpe_encode, train_bpe_merges
 from .text import (
     build_vocabulary,
     chunk_documents,
@@ -49,4 +50,6 @@ __all__ = [
     "repetition_ratio",
     "tfidf_top_terms",
     "build_vocabulary",
+    "train_bpe_merges",
+    "bpe_encode",
 ]

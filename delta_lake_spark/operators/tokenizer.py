@@ -20,9 +20,9 @@ Scale shape (the 100-TB contract):
     arrays. No Python UDFs anywhere; the merge rewrite is a codegen'd
     SQL expression.
   - Encoding is map-only: the learned merge table (n_merges rows —
-    model-sized, same contract as a broadcast codebook) is folded into
-    a chained HOF expression applied per word; zero shuffles, zero
-    Python.
+    model-sized, same contract as a broadcast codebook) unrolls into
+    one projection per merge, each a shallow HOF rewrite of the
+    per-word symbol arrays; zero shuffles, zero Python.
 
 Determinism contract (what makes the DuckDB oracle value-exact):
   - candidate pairs are restricted to a != b. With distinct symbols,
@@ -80,33 +80,46 @@ def _words_expr(text_col: str) -> str:
     )
 
 
+def _rewrite_body(s: str, lhs: str, rhs: str) -> str:
+    """Rewrite body over a symbol-array term ``s`` (a column name or an
+    in-scope lambda variable — referenced several times, so it must be
+    cheap): replace every adjacent (lhs, rhs) pair with the
+    concatenated symbol. The match-position array is let-bound through
+    a single-element-array transform so it is computed once."""
+    a, b = _esc(lhs), _esc(rhs)
+    merged = _esc(lhs + rhs)
+    return f"""element_at(transform(array(
+      filter(sequence(1, greatest(size({s}) - 1, 1)),
+             i -> i + 1 <= size({s})
+                  AND element_at({s}, i) = '{a}'
+                  AND element_at({s}, i + 1) = '{b}')
+    ), p ->
+    transform(
+      filter(sequence(1, size({s})), i -> NOT array_contains(p, i - 1)),
+      i -> IF(array_contains(p, i), '{merged}', element_at({s}, i))
+    )
+  ), 1)"""
+
+
 def apply_merge_expr(s_expr: str, lhs: str, rhs: str) -> str:
     """SQL expression rewriting symbol array ``s_expr`` by replacing
     every adjacent (lhs, rhs) pair with the concatenated symbol.
 
     ``s_expr`` is textually referenced ONCE: it is let-bound through a
     single-element-array transform (``transform(array(e), s -> ...)``),
-    so chaining N merge layers grows the expression linearly, not
-    exponentially. The match-position array is let-bound the same way.
+    so textual chaining grows linearly. NOTE: the analyzer's resolution
+    fixed point still scales with LAMBDA NESTING depth — chain at most
+    a handful of layers inside one expression; for long merge chains
+    use the one-projection-per-merge shape of :func:`bpe_encode`.
     Requires lhs != rhs (matches cannot overlap, replace-all is
     well-defined); ``train_bpe_merges`` only emits such pairs."""
     if lhs == rhs:
         raise ValueError("apply_merge_expr requires lhs != rhs")
-    a, b = _esc(lhs), _esc(rhs)
-    merged = _esc(lhs + rhs)
-    return f"""element_at(transform(array({s_expr}), s ->
-  element_at(transform(array(
-      filter(sequence(1, greatest(size(s) - 1, 1)),
-             i -> i + 1 <= size(s)
-                  AND element_at(s, i) = '{a}'
-                  AND element_at(s, i + 1) = '{b}')
-    ), p ->
-    transform(
-      filter(sequence(1, size(s)), i -> NOT array_contains(p, i - 1)),
-      i -> IF(array_contains(p, i), '{merged}', element_at(s, i))
+    return (
+        f"element_at(transform(array({s_expr}), s ->\n"
+        + _rewrite_body("s", lhs, rhs)
+        + "\n), 1)"
     )
-  ), 1)
-), 1)"""
 
 
 def _train_driver(hist: list, n_merges: int) -> list:
@@ -188,47 +201,50 @@ def train_bpe_merges(
             return spark.createDataFrame(
                 _train_driver(hist, n_merges), MERGE_SCHEMA
             )
+    # eager localCheckpoint, not persist: caching alone keeps the full
+    # logical plan, so round r's analysis replays r stacked HOF layers
+    # and the DRIVER becomes the bottleneck as rounds accumulate
+    # (measured 13 s/round by round 16 on a 14k-word vocab vs ~0.5 s
+    # with truncation). Checkpointing each round's vocabulary is the
+    # MLlib convention for iterative algorithms; on a real cluster
+    # prefer reliable checkpoints if executor loss matters.
     vocab = words.select(
         "cnt", F.expr(_chars_expr("w")).alias("s")
-    ).persist()
+    ).localCheckpoint()
     merges: list[tuple] = []
-    try:
-        for rank in range(1, n_merges + 1):
-            best = (
-                vocab.select(
-                    "cnt",
-                    F.explode(
-                        F.expr(
-                            "transform("
-                            "  filter(sequence(1, greatest(size(s) - 1, 1)),"
-                            "         i -> i + 1 <= size(s)),"
-                            "  i -> struct(element_at(s, i) AS a,"
-                            "              element_at(s, i + 1) AS b))"
-                        )
-                    ).alias("p"),
-                )
-                .select("cnt", "p.a", "p.b")
-                .filter(F.col("a") != F.col("b"))
-                .groupBy("a", "b")
-                .agg(F.sum("cnt").alias("weight"))
-                .orderBy(F.col("weight").desc(), "a", "b")
-                .limit(1)
-                .collect()  # bounded: exactly one row per round
+    for rank in range(1, n_merges + 1):
+        best = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform("
+                        "  filter(sequence(1, greatest(size(s) - 1, 1)),"
+                        "         i -> i + 1 <= size(s)),"
+                        "  i -> struct(element_at(s, i) AS a,"
+                        "              element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
             )
-            if not best:
-                break
-            a, b, wgt = best[0].a, best[0].b, int(best[0].weight)
-            merges.append((rank, a, b, a + b, wgt))
-            if rank == n_merges:
-                break  # the last rewrite would never be read
-            nxt = vocab.select(
-                "cnt", F.expr(apply_merge_expr("s", a, b)).alias("s")
-            ).persist()
-            nxt.count()  # materialize before releasing the parent
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+            .select("cnt", "p.a", "p.b")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("weight"))
+            .orderBy(F.col("weight").desc(), "a", "b")
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not best:
+            break
+        a, b, wgt = best[0].a, best[0].b, int(best[0].weight)
+        merges.append((rank, a, b, a + b, wgt))
+        if rank == n_merges:
+            break  # the last rewrite would never be read
+        # eager: materializes AND truncates lineage; the previous
+        # round's blocks are released by the context cleaner
+        vocab = vocab.select(
+            "cnt", F.expr(apply_merge_expr("s", a, b)).alias("s")
+        ).localCheckpoint()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
@@ -242,20 +258,31 @@ def bpe_encode(
 
     ``merges`` is the DataFrame from :func:`train_bpe_merges` (collected
     here — model-sized by contract, like a broadcast codebook) or a
-    rank-ordered list of (lhs, rhs) pairs. Map-only: the merge chain is
-    folded into one chained HOF expression applied to each word's
-    character array; tokens from all words concatenate in order.
-    Returns (id_col, tokens, n_tokens)."""
+    rank-ordered list of (lhs, rhs) pairs. Map-only: one projection per
+    merge, each applying a single shallow HOF rewrite layer to the
+    per-word symbol arrays (Catalyst collapses the projections; one
+    giant nested expression instead would blow the analyzer's
+    resolution fixed point at real merge counts). Zero shuffles at any
+    corpus size. Returns (id_col, tokens, n_tokens)."""
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("rank").collect()
         pairs = [(r.lhs, r.rhs) for r in rows]
     else:
         pairs = [(a, b) for a, b in merges]
-    chain = _chars_expr("x")
-    for a, b in pairs:
-        chain = apply_merge_expr(chain, a, b)
-    tokens = f"flatten(transform({_words_expr(text_col)}, x -> {chain}))"
-    return docs.select(
+    out = docs.select(
         F.col(id_col),
-        F.expr(tokens).alias("tokens"),
+        F.expr(
+            f"transform({_words_expr(text_col)}, x -> {_chars_expr('x')})"
+        ).alias("__sym"),
+    )
+    for a, b in pairs:
+        if a == b:
+            raise ValueError("bpe_encode requires lhs != rhs merges")
+        out = out.withColumn(
+            "__sym",
+            F.expr(f"transform(__sym, s -> {_rewrite_body('s', a, b)})"),
+        )
+    return out.select(
+        F.col(id_col),
+        F.expr("flatten(__sym)").alias("tokens"),
     ).withColumn("n_tokens", F.size("tokens").cast("long"))

@@ -3399,6 +3399,38 @@ FROM documents, UNNEST(range(0, 1 + doc_id % 4)) AS t(j)
 """
 
 
+def q192_gif_pixel_decode(spark, sf_dir):
+    """REAL video frame PIXEL decode: q172's cheap index pass chooses
+    frames; this is the expensive sibling that actually decompresses
+    them — full GIF-LZW decode of every frame's sub-block chain plus
+    palette lookup, all inside Arrow batches on executors. The oracle
+    states every decoded feature arithmetically (the synthesized
+    frames are solid fills with id-derived colors and a deterministic
+    palette), so the gate proves the LZW decoder recovers the exact
+    raster of every frame of every document: pixel count, color
+    count, dominant index, its 8-bit gray value, and the raster
+    checksum."""
+    from ..operators.multimodal import gif_frame_pixels, synthesize_gif_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return gif_frame_pixels(synthesize_gif_corpus(docs))
+
+
+_Q192_SQL = """
+SELECT doc_id AS media_id,
+  CAST(j AS INTEGER) AS frame_id,
+  CAST(1 + (doc_id + j) % 8 AS INTEGER) AS width,
+  CAST(1 + j % 6 AS INTEGER) AS height,
+  CAST((1 + (doc_id + j) % 8) * (1 + j % 6) AS BIGINT) AS n_pixels,
+  CAST(1 AS INTEGER) AS n_colors,
+  CAST((doc_id + j) % 4 AS INTEGER) AS top_color,
+  CAST((doc_id * 17 + ((doc_id + j) % 4) * 73) % 256 AS INTEGER) AS mode_gray,
+  CAST(((doc_id + j) % 4) * (1 + (doc_id + j) % 8) * (1 + j % 6) AS BIGINT)
+    AS checksum
+FROM documents, UNNEST(range(0, 1 + doc_id % 4)) AS t(j)
+"""
+
+
 def q173_png_decode_roundtrip(spark, sf_dir):
     """REAL image decode in the multimodal path — no stub, no external
     library: a deterministic 8-bit grayscale PNG corpus is synthesized
@@ -5054,6 +5086,7 @@ _Q191_SQL = _q191_sql()
 
 
 QUERIES = {
+    "q192_gif_pixel_decode": q192_gif_pixel_decode,
     "q190_bpe_train_merges": q190_bpe_train_merges,
     "q191_bpe_encode_corpus": q191_bpe_encode_corpus,
     "q30_dedup_exact": q30_dedup_exact,
@@ -5143,6 +5176,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q192_gif_pixel_decode": _Q192_SQL,
     "q190_bpe_train_merges": _Q190_SQL,
     "q191_bpe_encode_corpus": _Q191_SQL,
     "q33_dedup_simhash": _Q33_SQL,

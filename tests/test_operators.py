@@ -3502,3 +3502,99 @@ def test_media_parsers_name_truncation(spark):
     )
     with _pytest.raises(Exception, match="truncated WAVE|missing fmt"):
         decode_wav_meta(df2).collect()
+
+
+def test_gif_frame_pixels_nonsolid_raster(spark):
+    """gif_frame_pixels must recover features of an ARBITRARY raster,
+    not just the corpus fixture's solid fills: explicit pixel lists
+    ride through tiny_gif_bytes(pixels=...) and the decoded mode /
+    distinct-count / checksum match the hand-computed values."""
+    from delta_lake_spark.operators.multimodal import (
+        gif_frame_pixels,
+        tiny_gif_bytes,
+    )
+
+    px0 = [0, 1, 2, 3, 1, 1]           # 3x2: mode 1 (x3)
+    px1 = [2, 2, 3, 3]                 # 2x2: tie 2/3 -> smallest = 2
+    gif = tiny_gif_bytes(
+        [(0, 0, 3, 2), (0, 0, 2, 2)], seed=4, pixels=[px0, px1]
+    )
+    df = spark.createDataFrame(
+        [(9, bytearray(gif))], "media_id long, content binary"
+    )
+    rows = {r.frame_id: r for r in gif_frame_pixels(df).collect()}
+    assert rows[0].n_pixels == 6 and rows[0].n_colors == 4
+    assert rows[0].top_color == 1 and rows[0].checksum == sum(px0)
+    assert rows[0].mode_gray == (4 * 17 + 1 * 73) % 256
+    assert rows[1].n_colors == 2 and rows[1].top_color == 2
+    assert rows[1].checksum == sum(px1)
+
+
+def test_lzw_decoder_dictionary_and_komega_paths():
+    """_lzw_decode_gif must handle genuinely COMPRESSED streams — the
+    fixture encoder only emits literals, so the dictionary-reference
+    and k-omega-k paths are pinned with hand-packed code streams."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.multimodal import _lzw_decode_gif
+
+    def pack(codes, mcs=2):
+        # LSB-first packing with canonical width growth, mirroring a
+        # real encoder's dictionary bookkeeping
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        width, next_code = mcs + 1, eoi + 1
+        out, acc, n_acc = bytearray(), 0, 0
+        first = True
+        for c in codes:
+            acc |= c << n_acc
+            n_acc += width
+            while n_acc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n_acc -= 8
+            if c == clear:
+                width, next_code, first = mcs + 1, eoi + 1, True
+                continue
+            if c == eoi:
+                continue
+            if first:
+                first = False
+            elif next_code < 4096:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        if n_acc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # dictionary reference: 0,1 defines code 6=[0,1]; emitting 6 then
+    # replays it -> [0,1,0,1]
+    assert _lzw_decode_gif(pack([4, 0, 1, 6, 5]), 2) == [0, 1, 0, 1]
+    # k-omega-k: code == next_code right after one literal -> [0,0,0]
+    assert _lzw_decode_gif(pack([4, 0, 6, 5]), 2) == [0, 0, 0]
+    # mid-stream CLEAR resets the table
+    assert _lzw_decode_gif(pack([4, 0, 1, 4, 2, 3, 5]), 2) == [0, 1, 2, 3]
+    # out-of-sequence code and truncation raise
+    with _pytest.raises(ValueError, match="out of sequence"):
+        _lzw_decode_gif(pack([4, 0, 7, 5]), 2)
+    with _pytest.raises(ValueError, match="truncated"):
+        _lzw_decode_gif(pack([4, 0, 1]), 2)
+
+
+def test_gif_frame_pixels_raster_size_mismatch_raises(spark):
+    """A stream that decodes to the wrong pixel count (declared 2x2,
+    payload carries 3 pixels) must raise with the media id — silent
+    truncation would poison downstream features."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.multimodal import (
+        gif_frame_pixels,
+        tiny_gif_bytes,
+    )
+
+    bad = tiny_gif_bytes([(0, 0, 2, 2)], seed=0, pixels=[[1, 2, 3]])
+    df = spark.createDataFrame(
+        [(7, bytearray(bad))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="media 7.*3 pixels.*2x2"):
+        gif_frame_pixels(df).collect()

@@ -154,3 +154,17 @@ def test_driver_reference_is_pure(spark):
     assert MERGE_SCHEMA.fieldNames() == [
         "rank", "lhs", "rhs", "merged", "weight",
     ]
+
+
+def test_bpe_memo_lifecycle(spark):
+    """The learned-merge memo must key on this session, serve repeat
+    callers without retraining, and clear with the funnel memo."""
+    from delta_lake_spark.queries import llm
+
+    sf = "/root/testdata/sf0.001"
+    llm.clear_funnel_memo(spark)
+    first = llm._bpe_merges(spark, sf)
+    assert (id(spark), sf) in llm._BPE_MEMO
+    assert llm._bpe_merges(spark, sf) is first  # served from the memo
+    llm.clear_funnel_memo(spark)
+    assert (id(spark), sf) not in llm._BPE_MEMO

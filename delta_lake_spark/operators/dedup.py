@@ -1309,3 +1309,105 @@ def near_dups_against_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    MINIMUM. Guarantees: any shared run of at least w + k - 1 words is
+    caught by at least one shared fingerprint, while the expected
+    density is 2/(w+1) of the full gram set — the principled way to
+    shrink the dedup join without the unbounded miss risk of plain
+    sampling. Only hash VALUES are retained (overlap semantics need
+    no positions, and ties select equal values), so the whole
+    extraction is order-free, per-doc local, and MAP-ONLY: split ->
+    gram -> portable md5 hash -> sliding array_min -> array_distinct,
+    all inside one codegen'd projection. Returns (id_col, fp long),
+    distinct per document."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    gram = "concat_ws(' ', {})".format(
+        ", ".join(f"element_at(__words, i + {j})" for j in range(k))
+    )
+    # hex8 of md5 — the engine-portable hash used across the dedup
+    # family; CASE guards the sequence() descending-on-empty trap
+    hashes = (
+        f"CASE WHEN size(__words) >= {k} THEN "
+        f"transform(sequence(1, size(__words) - {k - 1}), "
+        f"i -> cast(conv(substring(md5({gram}), 1, 8), 16, 10) as bigint))"
+        f" ELSE cast(array() as array<bigint>) END"
+    )
+    fps = (
+        f"CASE WHEN size(__h) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(__h) - {w - 1}), "
+        f"i -> array_min(slice(__h, i, {w}))))"
+        f" ELSE array_distinct(CASE WHEN size(__h) > 0 THEN "
+        # shorter-than-w tail still fingerprints (one window = whole
+        # list) so k..k+w-2-word docs are not silently unfingerprinted
+        f"array(array_min(__h)) ELSE cast(array() as array<bigint>) END) END"
+    )
+    return (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words.alias("__words"))
+        .select(F.col(id_col), F.expr(hashes).alias("__h"))
+        .select(F.col(id_col), F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Document pairs whose WINNOWED fingerprint sets overlap at or
+    above ``threshold`` (Jaccard over fingerprint sets) — the q31
+    near-dup shape run on the 2/(w+1)-density sketch instead of the
+    full gram relation, so the pair join shuffles a fraction of the
+    rows. Fingerprints appearing in more than ``max_df`` documents are
+    dropped before the join (boilerplate/stop-phrase skew guard, same
+    rationale as minhash's stop-shingle guard; the oracle replays the
+    cap). One fingerprint-keyed shuffle + one pair aggregation."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    common = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("fp")
+    )
+    kept = fps.join(F.broadcast(common), "fp", "left_anti")
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("__n"))
+    a = kept.select(F.col(id_col).alias("a"), "fp")
+    b = kept.select(F.col(id_col).alias("b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("__n").alias("__nb"))
+    jac = F.col("n_shared") / (
+        F.col("__na") + F.col("__nb") - F.col("n_shared")
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .filter(jac >= threshold)
+        .select(
+            "a", "b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(jac, 9).alias("jaccard"),
+        )
+    )

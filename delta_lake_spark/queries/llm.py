@@ -4944,6 +4944,64 @@ FROM s GROUP BY shard_id
 """
 
 
+def q194_winnow_dup_pairs(spark, sf_dir):
+    """Winnowing near-dup detection (Schleimer et al. SIGMOD 2003 — the
+    MOSS fingerprinting algorithm): hash every 5-gram, slide a
+    4-window over the hash sequence, keep each window's minimum; any
+    shared run of >= w+k-1 = 8 words is guaranteed caught while the
+    sketch carries ~2/(w+1) = 40% of the grams — the principled
+    shrink of the pair join vs q31's full inverted index.
+    Fingerprint extraction is MAP-ONLY (one codegen'd projection);
+    the join shuffles only the winnowed sketch; boilerplate
+    fingerprints above doc-freq 100 are dropped (stop-shingle guard).
+    The oracle replays hashing, window minima, the cap, and the
+    jaccard filter exactly."""
+    from ..operators.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", k=5, w=4, threshold=0.5
+    )
+
+
+_Q194_SQL = """
+WITH wds AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 5 THEN
+      [CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            || ' ' || w[i+3] || ' ' || w[i+4]), 1, 8) AS BIGINT)
+       FOR i IN range(1, len(w) - 3)]
+    ELSE [] END AS hs
+  FROM wds
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(hs) >= 4 THEN
+        list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)])
+      WHEN len(hs) > 0 THEN [list_min(hs)]
+      ELSE CAST([] AS BIGINT[]) END) AS fp
+    FROM h)
+),
+hot AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 100),
+kept AS (SELECT doc_id, fp FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+  ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 9) AS jaccard
+FROM pairs
+JOIN sizes sa ON a = sa.doc_id
+JOIN sizes sb ON b = sb.doc_id
+WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
+"""
+
+
 def q193_quality_classifier(spark, sf_dir):
     """Model-based quality filtering (the fastText-classifier stage of
     CCNet/LLaMA-class pipelines): a hashed-bag-of-words linear
@@ -5133,6 +5191,7 @@ _Q191_SQL = _q191_sql()
 QUERIES = {
     "q192_gif_pixel_decode": q192_gif_pixel_decode,
     "q193_quality_classifier": q193_quality_classifier,
+    "q194_winnow_dup_pairs": q194_winnow_dup_pairs,
     "q190_bpe_train_merges": q190_bpe_train_merges,
     "q191_bpe_encode_corpus": q191_bpe_encode_corpus,
     "q30_dedup_exact": q30_dedup_exact,
@@ -5224,6 +5283,7 @@ QUERIES = {
 ORACLE_SQL = {
     "q192_gif_pixel_decode": _Q192_SQL,
     "q193_quality_classifier": _Q193_SQL,
+    "q194_winnow_dup_pairs": _Q194_SQL,
     "q190_bpe_train_merges": _Q190_SQL,
     "q191_bpe_encode_corpus": _Q191_SQL,
     "q33_dedup_simhash": _Q33_SQL,

@@ -3598,3 +3598,85 @@ def test_gif_frame_pixels_raster_size_mismatch_raises(spark):
     )
     with _pytest.raises(Exception, match="media 7.*3 pixels.*2x2"):
         gif_frame_pixels(df).collect()
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing contract (Schleimer et al.): two documents sharing
+    a run of >= w + k - 1 words MUST share at least one fingerprint,
+    and the winnowed sketch must be materially smaller than the full
+    gram set."""
+    import random
+
+    from delta_lake_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    shared_run = " ".join(rng.choice(vocab) for _ in range(8))  # w+k-1 = 8
+    doc_a = " ".join(rng.choice(vocab) for _ in range(40))
+    doc_b = " ".join(rng.choice(vocab) for _ in range(40))
+    docs = spark.createDataFrame(
+        [(1, f"{doc_a} {shared_run} {doc_b}"),
+         (2, f"{doc_b} {shared_run} {doc_a}")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+    rows = fps.collect()
+    s1 = {r.fp for r in rows if r.doc_id == 1}
+    s2 = {r.fp for r in rows if r.doc_id == 2}
+    assert s1 & s2, "shared 8-word run must produce a shared fingerprint"
+    # density: sketch carries well under the full gram count (~2/(w+1))
+    n_grams = 88 - 5 + 1  # each doc has 40+8+40 = 88 words
+    assert len(s1) < 0.75 * n_grams
+
+
+def test_winnow_fingerprints_map_only_and_edges(spark):
+    """Extraction must be one map-only projection (no Exchange besides
+    the explicit doc repartition); docs shorter than k words emit no
+    fingerprints; k <= len < k+w-1 docs still emit one."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f")],  # 3 words; 6 words -> 2 grams
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, "text", "doc_id", k=5, w=4).collect()
+    assert not any(r.doc_id == 1 for r in rows)  # < k words: none
+    assert sum(1 for r in rows if r.doc_id == 2) == 1  # short tail: one
+    plan = (
+        winnow_fingerprints(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly the explicit doc-row repartition, nothing else shuffles
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
+    with _pytest.raises(ValueError, match="k and w"):
+        winnow_fingerprints(docs, "text", "doc_id", k=0)
+    with _pytest.raises(ValueError, match="k and w"):
+        winnow_dup_pairs(docs, "text", "doc_id", w=0)
+
+
+def test_winnow_pairs_catch_heavy_overlap(spark):
+    """A document and its lightly-edited copy must surface as a pair
+    with high jaccard; unrelated docs must not."""
+    import random
+
+    from delta_lake_spark.operators.dedup import winnow_dup_pairs
+
+    rng = random.Random(3)
+    vocab = [f"t{i}" for i in range(300)]
+    base = [rng.choice(vocab) for _ in range(60)]
+    edited = list(base)
+    edited[30] = "EDITED"
+    other = [rng.choice(vocab) for _ in range(60)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(edited)), (3, " ".join(other))],
+        "doc_id long, text string",
+    )
+    pairs = winnow_dup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.6

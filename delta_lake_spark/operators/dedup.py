@@ -1,11 +1,13 @@
 """Deduplication operators for large text corpora.
 
-Four strategies, cheapest to richest:
+Five strategies, cheapest to richest:
   - exact_dedup:          hash-groupBy on normalized text (one shuffle)
   - ngram_jaccard_pairs:  EXACT near-dup pairs via inverted-index join
   - minhash_lsh_pairs:    MinHash + banded LSH candidates, then exact
                           jaccard verification (the 100 TB path)
   - simhash_pairs:        64-bit SimHash with banded hamming search
+  - winnow_dup_pairs:     winnowing fingerprints (MOSS) — guaranteed
+                          run coverage at ~2/(w+1) gram density
 
 Scale design notes:
   - Everything is built-in-function only (codegen'd, no Python in the

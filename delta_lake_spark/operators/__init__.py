@@ -13,12 +13,15 @@ from .dedup import (
     ngram_jaccard_pairs,
     resolve_duplicate_clusters,
     simhash_pairs,
+    winnow_dup_pairs,
+    winnow_fingerprints,
     word_shingles,
 )
 from .similarity import cosine_topk, ivf_topk, lsh_ann_pairs
 from .tokenizer import bpe_encode, train_bpe_merges
 from .text import (
     build_vocabulary,
+    hashed_linear_score,
     chunk_documents,
     fingerprint,
     lang_id,
@@ -52,4 +55,7 @@ __all__ = [
     "build_vocabulary",
     "train_bpe_merges",
     "bpe_encode",
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
+    "hashed_linear_score",
 ]

@@ -1261,6 +1261,41 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q195_xml_roundtrip(spark, sf_dir):
+    """XML sink + declared-schema scan (Spark 4's built-in XML source —
+    the ETL landing format CSV/ORC parity was missing; schema-on-read
+    like CSV, row-per-element like JSON lines). Decimal-staged sum so
+    the aggregate replays exactly from parquet."""
+    import shutil
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = "/tmp/dls_query_tables/xml_rt"
+    shutil.rmtree(path, ignore_errors=True)
+    cust.write.option("rootTag", "customers").option("rowTag", "c").format(
+        "xml"
+    ).save(path)
+    back = (
+        spark.read.schema("c_custkey long, c_mktsegment string, c_acctbal double")
+        .option("rowTag", "c")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(_dec("c_acctbal")).cast("double"), 4).alias("total_bal"),
+    )
+
+
+_Q195_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+         AS total_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------------
 # q99: time-series gap fill (date spine join — the downsample/zero-fill
 # shape of rollup pipelines)
@@ -2664,6 +2699,7 @@ QUERIES = {
     "q91_correlated_scalar_subquery": q91_correlated_scalar_subquery,
     "q93_csv_roundtrip": q93_csv_roundtrip,
     "q94_orc_roundtrip": q94_orc_roundtrip,
+    "q195_xml_roundtrip": q195_xml_roundtrip,
     "q99_daily_gapfill": q99_daily_gapfill,
     "q107_asof_operator": q107_asof_operator,
     "q108_hopping_window": q108_hopping_window,
@@ -2734,6 +2770,7 @@ ORACLE_SQL = {
     "q91_correlated_scalar_subquery": _Q91_SQL,
     "q93_csv_roundtrip": _Q93_SQL,
     "q94_orc_roundtrip": _Q94_SQL,
+    "q195_xml_roundtrip": _Q195_SQL,
     "q99_daily_gapfill": _Q99_SQL,
     "q107_asof_operator": _Q107_SQL,
     "q108_hopping_window": _Q108_SQL,

@@ -1,0 +1,98 @@
+"""Property-based invariants (hypothesis) for the BPE tokenizer and the
+winnowing fingerprints: for ARBITRARY corpora over a small alphabet, the
+driver and distributed BPE strategies must learn identical merge tables,
+Spark encoding must equal the pure-Python greedy replay, and winnowing
+must honor the Schleimer guarantee (a shared >= w+k-1-word run always
+yields a shared fingerprint)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+words = st.text(alphabet="abc", min_size=1, max_size=6)
+corpora = st.lists(
+    st.lists(words, min_size=1, max_size=20), min_size=1, max_size=6
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+def _df(spark, corpus):
+    return spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+
+
+def _py_bpe_encode(word, pairs):
+    s = list(word)
+    for a, b in pairs:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpora)
+def test_bpe_strategies_agree_and_encode_replays(sp, corpus):
+    from delta_lake_spark.operators.tokenizer import (
+        bpe_encode,
+        train_bpe_merges,
+    )
+
+    docs = _df(sp, corpus)
+    fast = [
+        tuple(r) for r in train_bpe_merges(docs, "text", n_merges=4).collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in train_bpe_merges(
+            docs, "text", n_merges=4, strategy="distributed"
+        ).collect()
+    ]
+    assert fast == dist
+    pairs = [(r[1], r[2]) for r in fast]
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_encode(docs, "text", "doc_id", pairs).collect()
+    }
+    for i, ws in enumerate(corpus):
+        expect = [tok for w in ws for tok in _py_bpe_encode(w, pairs)]
+        assert got[i] == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pre=st.lists(words, min_size=0, max_size=15),
+    run=st.lists(words, min_size=8, max_size=12),  # >= w + k - 1 = 8
+    post=st.lists(words, min_size=0, max_size=15),
+)
+def test_winnow_shared_run_guarantee(sp, pre, run, post):
+    """Doc 1 = pre + run, doc 2 = run + post: the shared run of >= 8
+    words must always produce at least one shared fingerprint, for
+    arbitrary surrounding context."""
+    from delta_lake_spark.operators.dedup import winnow_fingerprints
+
+    docs = _df(sp, [pre + run, run + post])
+    rows = winnow_fingerprints(docs, "text", "doc_id", k=5, w=4).collect()
+    s1 = {r.fp for r in rows if r.doc_id == 0}
+    s2 = {r.fp for r in rows if r.doc_id == 1}
+    assert s1 & s2

@@ -1431,3 +1431,251 @@ def winnow_dup_pairs(
             F.round(jac, 9).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent winnowing fingerprint index — the copy-detection member of
+# the index-maintenance family (LSH signatures: build/update/delete/
+# sync above; BM25 postings: operators/text.py; PQ codes:
+# operators/similarity.py). Same lifecycle contracts: frozen params
+# pinned as table properties, idempotent replays, MERGE-delete GDPR
+# propagation, CDF-driven repair with a last-step version pin.
+# ---------------------------------------------------------------------------
+
+_WIN_PROP = "dls.winnowIndex."  # table-property prefix on the fps table
+
+
+def _winnow_tables(index_path: str) -> tuple[str, str, str]:
+    return (
+        f"{index_path}/fps",    # (doc id, fp) winnowed fingerprint rows
+        f"{index_path}/sizes",  # (doc id, n_fp) capped fingerprint counts
+        f"{index_path}/hot",    # (fp) frozen boilerplate fingerprints
+    )
+
+
+def _winnow_params(spark, index_path: str) -> dict:
+    from ..log import DeltaLog
+
+    conf = DeltaLog(_winnow_tables(index_path)[0]).snapshot().metadata.configuration
+    return {key: int(conf[_WIN_PROP + key]) for key in ("k", "w", "maxDf")}
+
+
+def build_winnow_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 100,
+    corpus_version: int | None = None,
+) -> None:
+    """Build the persistent winnowing index: three versioned tables
+    under ``index_path`` — fingerprint rows, per-doc capped fingerprint
+    counts, and the frozen boilerplate-fingerprint set — with (k, w,
+    max_df) pinned as table properties so every later update and probe
+    provably uses the same family. The ``max_df`` cap is computed at
+    BUILD time and FROZEN (like the LSH stop-shingle set): jaccard
+    denominators must stay comparable across incremental updates, so
+    the exclusion set cannot drift batch to batch."""
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    spark = corpus.sparkSession
+    t_fps, t_sizes, t_hot = _winnow_tables(index_path)
+    from ._cache import register_persisted
+
+    fps = register_persisted(
+        winnow_fingerprints(corpus, text_col, id_col, k, w).persist(),
+        "winnow_fps",
+    )
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("fp")
+    )
+    write_delta(hot, t_hot, mode="overwrite")
+    kept = fps.join(
+        F.broadcast(read_delta(spark, t_hot)), "fp", "left_anti"
+    )
+    props = {
+        _WIN_PROP + "k": str(k),
+        _WIN_PROP + "w": str(w),
+        _WIN_PROP + "maxDf": str(max_df),
+    }
+    if corpus_version is not None:
+        props[_WIN_PROP + "syncedVersion"] = str(corpus_version)
+    write_delta(kept, t_fps, mode="overwrite", properties=props)
+    write_delta(
+        kept.groupBy(id_col).agg(F.count("*").alias("n_fp")),
+        t_sizes,
+        mode="overwrite",
+    )
+
+
+def update_winnow_index(
+    new_docs: DataFrame, text_col: str, id_col: str, index_path: str
+) -> None:
+    """Incrementally fingerprint newly-appended docs under the frozen
+    (k, w, hot-set) family and append transactionally; known ids are
+    skipped so replays are idempotent.
+
+    Crash ordering — fps append FIRST, sizes second (idempotence keys
+    on the sizes table, mirroring the LSH index): a crash between the
+    appends leaves ids fingerprinted but unknown; the replay re-signs
+    them, and the resulting duplicate fps rows are absorbed by the
+    probe's countDistinct (near_dups_against_winnow_index counts
+    DISTINCT shared fingerprints, so a torn window can never inflate
+    n_shared). Sizes-first would instead lose the ids' fingerprints
+    forever."""
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    spark = new_docs.sparkSession
+    t_fps, t_sizes, t_hot = _winnow_tables(index_path)
+    p = _winnow_params(spark, index_path)
+    known = read_delta(spark, t_sizes).select(id_col)
+    fresh = new_docs.join(known, id_col, "left_anti")
+    from ._cache import register_persisted
+
+    fps = register_persisted(
+        winnow_fingerprints(fresh, text_col, id_col, p["k"], p["w"])
+        .join(F.broadcast(read_delta(spark, t_hot)), "fp", "left_anti")
+        .persist(),
+        "winnow_fps",
+    )
+    write_delta(fps, t_fps, mode="append")
+    write_delta(
+        fps.groupBy(id_col).agg(F.count("*").alias("n_fp")),
+        t_sizes,
+        mode="append",
+    )
+
+
+def delete_from_winnow_index(
+    ids: DataFrame, index_path: str, id_col: str = "doc_id"
+) -> None:
+    """GDPR delete propagation: MERGE-delete the ids' rows from both
+    tables, sizes FIRST (the mirror of the append path — a crash after
+    the sizes delete leaves ghost fps rows that a replay removes and
+    that countDistinct probes tolerate; fps-first would strand the ids
+    as known-but-fingerprintless, permanently unfindable after
+    re-append)."""
+    from ..table import DeltaTable
+
+    spark = ids.sparkSession
+    t_fps, t_sizes, _ = _winnow_tables(index_path)
+    doomed = ids.select(id_col).distinct()
+    for path in (t_sizes, t_fps):  # sizes FIRST — see ordering note
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(doomed, f"t.{id_col} = s.{id_col}", source_alias="s")
+            .whenMatchedDelete()
+            .execute()
+        )
+
+
+def sync_winnow_index_from_cdf(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Maintain the winnow index from the corpus change feed — the
+    copy-detection twin of ``sync_signature_index_from_cdf`` and the
+    same four-step loop: (1) table_changes bounded by what changed,
+    (2) delete stale rows for every touched id, (3) re-fingerprint the
+    surviving touched docs from the current corpus, (4) pin
+    ``syncedVersion`` LAST so a crash anywhere replays idempotent
+    steps. Returns the number of touched ids."""
+    from ..cdf import table_changes
+    from ..log import DeltaLog
+    from ..reader import read_delta
+    from ..table import DeltaTable
+
+    t_fps, _, _ = _winnow_tables(index_path)
+    conf = DeltaLog(t_fps).snapshot().metadata.configuration
+    synced = int(conf.get(_WIN_PROP + "syncedVersion", "0"))
+    current = DeltaLog(corpus_path).latest_version()
+    if current <= synced:
+        return 0
+    touched = (
+        table_changes(spark, corpus_path, synced + 1, current)
+        .select(id_col)
+        .distinct()
+    ).persist()
+    try:
+        n_touched = touched.count()
+        if n_touched:
+            delete_from_winnow_index(touched, index_path, id_col)
+            update_winnow_index(
+                read_delta(spark, corpus_path).join(
+                    touched, id_col, "left_semi"
+                ),
+                text_col,
+                id_col,
+                index_path,
+            )
+        DeltaTable.forPath(spark, t_fps).set_properties(
+            {_WIN_PROP + "syncedVersion": str(current)}
+        )
+    finally:
+        touched.unpersist()
+    return n_touched
+
+
+def near_dups_against_winnow_index(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs between ``batch`` and the indexed corpus —
+    the batch is fingerprinted under the index's frozen family
+    (map-only), joined against the stored fingerprint rows on fp, and
+    scored by jaccard over the capped fingerprint sets. n_shared is
+    countDistinct(fp), so duplicate stored rows from a torn
+    append-replay window can never inflate a score. Returns
+    (batch_id, corpus_id, n_shared, jaccard >= threshold)."""
+    from ..reader import read_delta
+    from ._cache import register_persisted
+
+    spark = batch.sparkSession
+    t_fps, t_sizes, t_hot = _winnow_tables(index_path)
+    p = _winnow_params(spark, index_path)
+    bfps = register_persisted(
+        winnow_fingerprints(batch, text_col, id_col, p["k"], p["w"])
+        .join(F.broadcast(read_delta(spark, t_hot)), "fp", "left_anti")
+        .persist(),
+        "winnow_fps",
+    )
+    bsizes = bfps.groupBy(id_col).agg(F.count("*").alias("__nb"))
+    stored = read_delta(spark, t_fps)
+    shared = (
+        stored.select(F.col(id_col).alias("corpus_id"), "fp")
+        .join(
+            bfps.select(F.col(id_col).alias("batch_id"), "fp"), "fp"
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+    )
+    csizes = read_delta(spark, t_sizes).select(
+        F.col(id_col).alias("corpus_id"), F.col("n_fp").alias("__nc")
+    )
+    jac = F.col("n_shared") / (
+        F.col("__nb") + F.col("__nc") - F.col("n_shared")
+    )
+    return (
+        shared.join(bsizes.withColumnRenamed(id_col, "batch_id"), "batch_id")
+        .join(csizes, "corpus_id")
+        .filter(jac >= threshold)
+        .select(
+            "batch_id", "corpus_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            jac.alias("jaccard"),
+        )
+    )

@@ -231,6 +231,19 @@ def lsh_base_index(spark, sf_dir: str) -> str:
     return _memoized(spark, "lsh_base_index", sf_dir, build)
 
 
+def winnow_base_index(spark, sf_dir: str) -> str:
+    """Base winnowing fingerprint index over the documents table
+    (corpus v0), syncedVersion pinned at 0. q196 mutates a clone."""
+    from ..operators.dedup import build_winnow_index
+
+    def build(path):
+        build_winnow_index(
+            _docs(spark, sf_dir), "text", "doc_id", path, corpus_version=0
+        )
+
+    return _memoized(spark, "winnow_base_index", sf_dir, build)
+
+
 def text_base_index(spark, sf_dir: str) -> str:
     """Base BM25 inverted index over the documents table (corpus v0),
     version pinned at 0. q148 mutates a clone; q151 reads the master

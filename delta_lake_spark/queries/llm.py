@@ -5002,6 +5002,121 @@ WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
 """
 
 
+def _winnow_fp_subquery(src: str) -> str:
+    """DuckDB subquery producing (doc_id, fp) winnowed fingerprints
+    (k=5, w=4 — the frozen index family) of relation ``src``; mirrors
+    operators/dedup.py winnow_fingerprints exactly (md5-hex8 gram
+    hashes, sliding window minima, short-tail single window)."""
+    return f"""(
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(hs) >= 4 THEN
+        list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)])
+      WHEN len(hs) > 0 THEN [list_min(hs)]
+      ELSE CAST([] AS BIGINT[]) END) AS fp
+    FROM (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 5 THEN
+          [CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                || ' ' || w[i+3] || ' ' || w[i+4]), 1, 8) AS BIGINT)
+           FOR i IN range(1, len(w) - 3)]
+        ELSE [] END AS hs
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+            FROM {src})
+    )
+  )
+)"""
+
+
+def q196_winnow_index_cdf_sync(spark, sf_dir):
+    """CDF-maintained winnowing fingerprint index with GDPR delete
+    propagation — the copy-detection member of the index-maintenance
+    family, run through the same compliance loop as q140's LSH twin:
+    build at corpus v0 (shared fixture, clone-on-write), APPEND a
+    day-2 batch (v1), GDPR-DELETE every 10th doc (v2), let
+    ``sync_winnow_index_from_cdf`` repair the index purely from the
+    change feed, then probe both generations and the deleted range.
+    The oracle recomputes the exact probe x final-corpus winnowed
+    jaccard relationally (hot set frozen from the V0 corpus, exactly
+    as the build froze it), so a missed re-sign, a surviving ghost, or
+    a stale syncedVersion all fail the gate."""
+    from ..operators.dedup import (
+        near_dups_against_winnow_index,
+        sync_winnow_index_from_cdf,
+    )
+    from ._fixtures import (
+        clone_index,
+        docs_corpus_cdf,
+        fetch_parallel,
+        winnow_base_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path, idx_master = fetch_parallel(
+        lambda: docs_corpus_cdf(spark, sf_dir),
+        lambda: winnow_base_index(spark, sf_dir),
+    )
+    idx = clone_index(idx_master)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        sync_winnow_index_from_cdf(spark, path, idx)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    probe = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    out = near_dups_against_winnow_index(
+        probe, "text", "doc_id", idx, threshold=0.6
+    )
+    return out.select(
+        "batch_id", "corpus_id", "n_shared",
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+_Q196_SQL = f"""
+WITH day2 AS (
+  SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id, text FROM day2
+  ) WHERE doc_id % 10 <> 0
+),
+probe AS (
+  SELECT doc_id + 200000 AS doc_id, text || ' appended' AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+v0fp AS (SELECT * FROM {_winnow_fp_subquery('documents')}),
+hot AS (SELECT fp FROM v0fp GROUP BY fp HAVING COUNT(*) > 100),
+cfp AS (
+  SELECT * FROM {_winnow_fp_subquery('corpus')}
+  WHERE fp NOT IN (SELECT fp FROM hot)
+),
+bfp AS (
+  SELECT * FROM {_winnow_fp_subquery('probe')}
+  WHERE fp NOT IN (SELECT fp FROM hot)
+),
+cn AS (SELECT doc_id, COUNT(*) AS n_c FROM cfp GROUP BY doc_id),
+bn AS (SELECT doc_id, COUNT(*) AS n_b FROM bfp GROUP BY doc_id),
+inter AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS n_i
+  FROM bfp b JOIN cfp c USING (fp)
+  GROUP BY b.doc_id, c.doc_id
+)
+SELECT i.batch_id, i.corpus_id, CAST(i.n_i AS BIGINT) AS n_shared,
+  ROUND(i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i), 9) AS jaccard
+FROM inter i
+JOIN bn ON i.batch_id = bn.doc_id
+JOIN cn ON i.corpus_id = cn.doc_id
+WHERE i.n_i * 1.0 / (bn.n_b + cn.n_c - i.n_i) >= 0.6
+"""
+
+
 def q193_quality_classifier(spark, sf_dir):
     """Model-based quality filtering (the fastText-classifier stage of
     CCNet/LLaMA-class pipelines): a hashed-bag-of-words linear
@@ -5192,6 +5307,7 @@ QUERIES = {
     "q192_gif_pixel_decode": q192_gif_pixel_decode,
     "q193_quality_classifier": q193_quality_classifier,
     "q194_winnow_dup_pairs": q194_winnow_dup_pairs,
+    "q196_winnow_index_cdf_sync": q196_winnow_index_cdf_sync,
     "q190_bpe_train_merges": q190_bpe_train_merges,
     "q191_bpe_encode_corpus": q191_bpe_encode_corpus,
     "q30_dedup_exact": q30_dedup_exact,
@@ -5284,6 +5400,7 @@ ORACLE_SQL = {
     "q192_gif_pixel_decode": _Q192_SQL,
     "q193_quality_classifier": _Q193_SQL,
     "q194_winnow_dup_pairs": _Q194_SQL,
+    "q196_winnow_index_cdf_sync": _Q196_SQL,
     "q190_bpe_train_merges": _Q190_SQL,
     "q191_bpe_encode_corpus": _Q191_SQL,
     "q33_dedup_simhash": _Q33_SQL,

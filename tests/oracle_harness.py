@@ -194,6 +194,7 @@ def main():
                 emb_corpus_cdf,
                 fetch_parallel,
                 lsh_base_index,
+                winnow_base_index,
                 pq_base_index,
                 text_base_index,
             )
@@ -203,6 +204,7 @@ def main():
                 lambda: docs_corpus_cdf(s2, sf_dir),
                 lambda: emb_corpus_cdf(s2, sf_dir),
                 lambda: lsh_base_index(s2, sf_dir),
+                lambda: winnow_base_index(s2, sf_dir),
                 lambda: text_base_index(s2, sf_dir),
                 lambda: pq_base_index(s2, sf_dir),
             )

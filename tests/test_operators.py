@@ -3680,3 +3680,74 @@ def test_winnow_pairs_catch_heavy_overlap(spark):
     pairs = winnow_dup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
     assert [(p.a, p.b) for p in pairs] == [(1, 2)]
     assert pairs[0].jaccard > 0.6
+
+
+def test_winnow_index_lifecycle(spark, tmp_path):
+    """Persistent winnow index: incremental update must equal a
+    from-scratch rebuild; GDPR delete must scrub both tables and stay
+    idempotent under replay; a re-appended id must be findable again."""
+    from delta_lake_spark.operators.dedup import (
+        build_winnow_index,
+        delete_from_winnow_index,
+        near_dups_against_winnow_index,
+        update_winnow_index,
+        winnow_fingerprints,
+        _winnow_tables,
+    )
+    from delta_lake_spark.reader import read_delta
+
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"v{i}" for i in range(200)]
+    mk = lambda: " ".join(rng.choice(vocab) for _ in range(30))
+    day1 = [(i, mk()) for i in range(20)]
+    day2 = [(100 + i, mk()) for i in range(10)]
+    df1 = spark.createDataFrame(day1, "doc_id long, text string")
+    df2 = spark.createDataFrame(day2, "doc_id long, text string")
+    both = df1.union(df2)
+
+    inc = str(tmp_path / "inc")
+    build_winnow_index(df1, "text", "doc_id", inc)
+    update_winnow_index(df2, "text", "doc_id", inc)
+    update_winnow_index(df2, "text", "doc_id", inc)  # replay: no-op
+    full = str(tmp_path / "full")
+    build_winnow_index(both, "text", "doc_id", full)
+    get = lambda p, t: sorted(
+        tuple(r) for r in read_delta(spark, _winnow_tables(p)[t]).collect()
+    )
+    assert get(inc, 0) == get(full, 0)  # fps rows identical
+    assert get(inc, 1) == get(full, 1)  # sizes identical
+
+    # probe: an exact copy of doc 3 must hit it with jaccard 1.0
+    probe = spark.createDataFrame(
+        [(999, day1[3][1])], "doc_id long, text string"
+    )
+    hits = near_dups_against_winnow_index(
+        probe, "text", "doc_id", inc, threshold=0.9
+    ).collect()
+    assert any(h.corpus_id == 3 and h.jaccard == 1.0 for h in hits)
+
+    # GDPR delete doc 3: both tables scrubbed, probe finds no ghost,
+    # replaying the delete is a no-op
+    doomed = spark.createDataFrame([(3,)], "doc_id long")
+    delete_from_winnow_index(doomed, inc)
+    delete_from_winnow_index(doomed, inc)
+    for t in (0, 1):
+        assert not [r for r in get(inc, t) if r[0] == 3]
+    assert not [
+        h
+        for h in near_dups_against_winnow_index(
+            probe, "text", "doc_id", inc, threshold=0.9
+        ).collect()
+        if h.corpus_id == 3
+    ]
+    # re-append: the id is unknown again, so update re-signs it
+    update_winnow_index(
+        spark.createDataFrame([day1[3]], "doc_id long, text string"),
+        "text", "doc_id", inc,
+    )
+    hits = near_dups_against_winnow_index(
+        probe, "text", "doc_id", inc, threshold=0.9
+    ).collect()
+    assert any(h.corpus_id == 3 and h.jaccard == 1.0 for h in hits)

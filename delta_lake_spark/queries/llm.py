@@ -2613,9 +2613,9 @@ def clear_funnel_memo(spark=None) -> None:
     with _FUNNEL_LOCK:
         keys = [id(spark)] if spark is not None else list(_FUNNEL_REG)
         slots = [_FUNNEL_REG.pop(k) for k in keys if k in _FUNNEL_REG]
-    for k in list(_BPE_MEMO):
-        if spark is None or k[0] == id(spark):
-            del _BPE_MEMO[k]
+        for k in list(_BPE_MEMO):
+            if spark is None or k[0] == id(spark):
+                del _BPE_MEMO[k]
     for slot in slots:
         frames = [f for e in slot["chain"].values() for f in e["frames"]]
         frames += [f for dfs in slot["extras"].values() for f in dfs]
@@ -5185,11 +5185,20 @@ def _bpe_merges(spark, sf_dir):
     from ..operators.tokenizer import train_bpe_merges
 
     key = (id(spark), sf_dir)
-    if key not in _BPE_MEMO:
-        _BPE_MEMO[key] = train_bpe_merges(
+    # fast path without the lock; the slow path trains OUTSIDE the lock
+    # (Spark jobs run there) and claims the slot under it —
+    # setdefault keeps the first writer's rows, so two concurrent
+    # first-callers at worst train twice and agree (deterministic),
+    # never interleave partial state (cf. the funnel chain's
+    # get-or-claim discipline)
+    rows = _BPE_MEMO.get(key)
+    if rows is None:
+        trained = train_bpe_merges(
             _docs(spark, sf_dir), "text", n_merges=_BPE_N_MERGES
         ).collect()
-    return _BPE_MEMO[key]
+        with _FUNNEL_LOCK:
+            rows = _BPE_MEMO.setdefault(key, trained)
+    return rows
 
 
 def _bpe_duck_layer(prev: str, r: int) -> str:

@@ -4963,43 +4963,6 @@ def q194_winnow_dup_pairs(spark, sf_dir):
     )
 
 
-_Q194_SQL = """
-WITH wds AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
-),
-h AS (
-  SELECT doc_id,
-    CASE WHEN len(w) >= 5 THEN
-      [CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-            || ' ' || w[i+3] || ' ' || w[i+4]), 1, 8) AS BIGINT)
-       FOR i IN range(1, len(w) - 3)]
-    ELSE [] END AS hs
-  FROM wds
-),
-fp AS (
-  SELECT DISTINCT doc_id, fp FROM (
-    SELECT doc_id, unnest(
-      CASE WHEN len(hs) >= 4 THEN
-        list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)])
-      WHEN len(hs) > 0 THEN [list_min(hs)]
-      ELSE CAST([] AS BIGINT[]) END) AS fp
-    FROM h)
-),
-hot AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 100),
-kept AS (SELECT doc_id, fp FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-pairs AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
-  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
-)
-SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
-  ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 9) AS jaccard
-FROM pairs
-JOIN sizes sa ON a = sa.doc_id
-JOIN sizes sb ON b = sb.doc_id
-WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
-"""
 
 
 def _winnow_fp_subquery(src: str) -> str:
@@ -5026,6 +4989,25 @@ def _winnow_fp_subquery(src: str) -> str:
     )
   )
 )"""
+
+
+_Q194_SQL = f"""
+WITH fp AS (SELECT * FROM {_winnow_fp_subquery('documents')}),
+hot AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 100),
+kept AS (SELECT doc_id, fp FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+  ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 9) AS jaccard
+FROM pairs
+JOIN sizes sa ON a = sa.doc_id
+JOIN sizes sb ON b = sb.doc_id
+WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
+"""
 
 
 def q196_winnow_index_cdf_sync(spark, sf_dir):

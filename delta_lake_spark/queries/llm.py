@@ -5294,7 +5294,50 @@ FROM enc
 _Q191_SQL = _q191_sql()
 
 
+def q197_segment_dedup(spark, sf_dir):
+    """CCNet-style corpus-frequency segment dedup (Wenzek et al. 2020
+    §3.1): non-overlapping 8-word segments, drop EVERY occurrence of
+    any segment shared by >= 2 documents (the boilerplate pass —
+    unlike q118's keep-first overlapping spans, the first copy goes
+    too), reassemble surviving text in order. The oracle replays
+    segmentation, the doc-frequency threshold, and reassembly."""
+    from ..operators.text import dedup_segments
+
+    return dedup_segments(
+        _docs(spark, sf_dir), "text", "doc_id", seg_words=8, min_docs=2
+    )
+
+
+_Q197_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> ''] AS w
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS pos, array_to_string(w[(i-1)*8+1:i*8], ' ') AS seg
+  FROM (SELECT doc_id, w,
+          unnest(range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)) AS i
+        FROM w)
+),
+freq AS (SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY 1),
+flag AS (
+  SELECT s.doc_id, s.pos, s.seg, f.nd >= 2 AS dup
+  FROM segs s JOIN freq f ON md5(s.seg) = f.h
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(COALESCE(SUM(CASE WHEN dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+  ROUND(COALESCE(SUM(CASE WHEN dup THEN 1 ELSE 0 END), 0) * 1.0 / COUNT(*), 9)
+    AS removed_ratio,
+  COALESCE(array_to_string(list(seg ORDER BY pos) FILTER (WHERE NOT dup), ' '),
+           '') AS kept_text
+FROM flag GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "q197_segment_dedup": q197_segment_dedup,
     "q192_gif_pixel_decode": q192_gif_pixel_decode,
     "q193_quality_classifier": q193_quality_classifier,
     "q194_winnow_dup_pairs": q194_winnow_dup_pairs,
@@ -5388,6 +5431,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q197_segment_dedup": _Q197_SQL,
     "q192_gif_pixel_decode": _Q192_SQL,
     "q193_quality_classifier": _Q193_SQL,
     "q194_winnow_dup_pairs": _Q194_SQL,

@@ -3751,3 +3751,63 @@ def test_winnow_index_lifecycle(spark, tmp_path):
         probe, "text", "doc_id", inc, threshold=0.9
     ).collect()
     assert any(h.corpus_id == 3 and h.jaccard == 1.0 for h in hits)
+
+
+def test_dedup_segments_semantics(spark):
+    """Shared segments vanish from EVERY copy (including the first),
+    unique text survives in original order, the all-boilerplate doc
+    reassembles to '', and parameters are validated."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.text import dedup_segments
+
+    boiler = "subscribe to our newsletter now"  # 5 words = 1 segment
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta eps {boiler}"),
+            (2, f"{boiler} zeta eta theta iota kappa"),
+            (3, boiler),
+            (4, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_segments(
+            docs, "text", "doc_id", seg_words=5, min_docs=2
+        ).collect()
+    }
+    assert out[1].kept_text == "alpha beta gamma delta eps"
+    assert out[2].kept_text == "zeta eta theta iota kappa"
+    assert out[3].kept_text == "" and out[3].n_removed == 1
+    assert out[4].kept_text == "one two three four five"
+    assert out[1].n_segments == 2 and out[1].n_removed == 1
+    assert abs(out[1].removed_ratio - 0.5) < 1e-12
+    with _pytest.raises(ValueError, match="seg_words"):
+        dedup_segments(docs, "text", "doc_id", seg_words=0)
+    with _pytest.raises(ValueError, match="min_docs"):
+        dedup_segments(docs, "text", "doc_id", min_docs=1)
+
+
+def test_dedup_segments_order_and_tail(spark):
+    """Segment order survives reassembly across >9 positions (struct
+    sort is numeric on __pos, not lexicographic) and the short tail
+    segment is a first-class dedup unit."""
+    from delta_lake_spark.operators.text import dedup_segments
+
+    words = [f"w{i}" for i in range(23)]  # 12 segments of 2 + tail of 1
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, text), (2, "w22")],  # the 1-word tail is shared
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_segments(
+            docs, "text", "doc_id", seg_words=2, min_docs=2
+        ).collect()
+    }
+    assert out[1].n_segments == 12
+    assert out[1].n_removed == 1
+    assert out[1].kept_text == " ".join(words[:22])
+    assert out[2].kept_text == ""

@@ -1038,3 +1038,20 @@ def test_q189_not_in_compiles_to_broadcast_anti_join(spark):
     # (lineitem reduces before it widens)
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_segments_shuffle_discipline(spark):
+    """Segment dedup must stay at three exchanges (frequency agg, flag
+    join, doc reassembly) with no Python eval and no cartesian — the
+    boilerplate pass runs over the full corpus at 100 TB."""
+    from delta_lake_spark.operators.text import dedup_segments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup_segments(docs, "text", "doc_id"))
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan
+    # freq agg + join repartition sides + final doc agg; AQE may fold
+    # reuse but never exceed 4 distinct exchanges
+    assert plan.count("Exchange") <= 4
+    # the join key is the 32-hex md5, not the raw segment string
+    assert "md5" in plan

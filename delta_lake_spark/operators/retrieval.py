@@ -185,3 +185,68 @@ def hybrid_search_rrf_from_indexes(
         F.col("rank").alias("dense_rank"),
     )
     return _rrf_fuse(lex, dense, query_id_col, id_col, k, rrf_k)
+
+
+def phrase_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact-phrase search over positional postings — the classic
+    positional-inverted-index algorithm (Manning, Raghavan & Schütze,
+    IIR §2.4.2), shaped so the join count does NOT grow with phrase
+    length: explode the corpus into (doc, pos, term) postings, keep
+    only postings whose term occurs in the phrase (the pushed-down
+    scan prune; against a persistent term-partitioned index this is
+    partition pruning), broadcast-join the tiny (term, offset)
+    relation (a term repeated in the phrase yields one row per
+    offset), compute anchor = pos - offset, and count matched offsets
+    per (doc, anchor): a full-length count is an occurrence starting
+    at that anchor. The only corpus-sized exchange is that
+    (doc, anchor) count — for ANY phrase length (no L-way self-join
+    chain); the per-doc rollup re-exchanges occurrence rows only. No
+    Python anywhere.
+
+    Returns: id_col, n_occurrences (long), first_pos (long, 1-based),
+    sorted by id.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    length = len(terms)
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, offset int"
+    )
+    postings = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+                    " x -> x != '')"
+                )
+            ).alias("__p", "term"),
+        )
+        .filter(F.col("term").isin(list(set(terms))))
+        .select(F.col(id_col), (F.col("__p") + 1).alias("pos"), "term")
+    )
+    anchored = (
+        postings.join(F.broadcast(offsets), "term")
+        .select(F.col(id_col), (F.col("pos") - F.col("offset")).alias("anchor"))
+        .filter(F.col("anchor") >= 1)
+    )
+    occurrences = (
+        anchored.groupBy(id_col, "anchor")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") == length)
+    )
+    return (
+        occurrences.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("anchor").cast("long").alias("first_pos"),
+        )
+        .orderBy(id_col)
+    )

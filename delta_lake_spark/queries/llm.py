@@ -5336,7 +5336,43 @@ FROM flag GROUP BY doc_id
 """
 
 
+def q198_phrase_search(spark, sf_dir):
+    """Exact-phrase search over positional postings (IIR §2.4.2): the
+    anchor-count algorithm — postings pruned to the phrase's terms,
+    broadcast (term, offset) join, anchor = pos - offset, a
+    phrase-length count per (doc, anchor) is an occurrence. One
+    corpus exchange for ANY phrase length (no L-way self-join). The
+    oracle replays postings, anchors, and the full-count filter."""
+    from ..operators.retrieval import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), "text", "doc_id", "big order scan")
+
+
+_Q198_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> ''] AS w
+  FROM documents
+),
+post AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos FROM w
+),
+off AS (SELECT * FROM (VALUES ('big', 0), ('order', 1), ('scan', 2)) AS t(term, "offset")),
+anc AS (
+  SELECT doc_id, pos - "offset" AS anchor
+  FROM post JOIN off USING (term) WHERE pos - "offset" >= 1
+),
+occ AS (
+  SELECT doc_id, anchor FROM anc GROUP BY doc_id, anchor HAVING COUNT(*) = 3
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(anchor) AS BIGINT) AS first_pos
+FROM occ GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "q198_phrase_search": q198_phrase_search,
     "q197_segment_dedup": q197_segment_dedup,
     "q192_gif_pixel_decode": q192_gif_pixel_decode,
     "q193_quality_classifier": q193_quality_classifier,
@@ -5431,6 +5467,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q198_phrase_search": _Q198_SQL,
     "q197_segment_dedup": _Q197_SQL,
     "q192_gif_pixel_decode": _Q192_SQL,
     "q193_quality_classifier": _Q193_SQL,

@@ -3811,3 +3811,37 @@ def test_dedup_segments_order_and_tail(spark):
     assert out[1].n_removed == 1
     assert out[1].kept_text == " ".join(words[:22])
     assert out[2].kept_text == ""
+
+
+def test_phrase_search_anchor_semantics(spark):
+    """The anchor-count algorithm must count overlapping and repeated
+    occurrences, handle a REPEATED term in the phrase (one offset row
+    per position), and never fire on a scrambled window."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x big order scan y big order scan"),  # two occurrences
+            (2, "big scan order"),                     # scrambled: none
+            (3, "Big ORDER scan"),                     # case-folded: one
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in phrase_search(docs, "text", "doc_id", "big order scan").collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_occurrences == 2 and out[1].first_pos == 2
+    assert out[3].n_occurrences == 1 and out[3].first_pos == 1
+
+    rep = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b a"), (3, "a a a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in phrase_search(rep, "text", "doc_id", "a b a").collect()}
+    assert set(out) == {1}  # doc 2's a..a straddle must not count
+    assert out[1].n_occurrences == 1 and out[1].first_pos == 1
+    out = {r.doc_id: r for r in phrase_search(rep, "text", "doc_id", "a a").collect()}
+    assert out[3].n_occurrences == 2  # overlapping occurrences both count
+    with _pytest.raises(ValueError, match="at least one term"):
+        phrase_search(rep, "text", "doc_id", "   ")

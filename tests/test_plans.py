@@ -1055,3 +1055,20 @@ def test_dedup_segments_shuffle_discipline(spark):
     assert plan.count("Exchange") <= 4
     # the join key is the 32-hex md5, not the raw segment string
     assert "md5" in plan
+
+
+def test_phrase_search_plan_discipline(spark):
+    """Phrase search must prune postings to the phrase's terms before
+    any exchange, broadcast the (term, offset) relation, and never
+    build an L-way self-join: <= 3 hash exchanges regardless of
+    phrase length, no Python, no cartesian."""
+    from delta_lake_spark.operators.retrieval import phrase_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(phrase_search(docs, "text", "doc_id", "big order scan table key"))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    # the term prune sits under the explode, before the first exchange
+    assert "big" in plan and "scan" in plan

@@ -17,6 +17,7 @@ from .dedup import (
     winnow_fingerprints,
     word_shingles,
 )
+from .graph import pagerank
 from .similarity import cosine_topk, ivf_topk, lsh_ann_pairs
 from .tokenizer import bpe_encode, train_bpe_merges
 from .text import (
@@ -58,4 +59,5 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "hashed_linear_score",
+    "pagerank",
 ]

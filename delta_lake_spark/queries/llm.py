@@ -5371,7 +5371,103 @@ FROM occ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+_PR_ITERATIONS = 5
+
+
+def q199_pagerank_trade_graph(spark, sf_dir):
+    """PageRank (5 damped iterations) over the symmetrized
+    customer <-> supplier trade graph derived from orders x lineitem —
+    the iterative-fixpoint algorithm class: per iteration one
+    rank-propagation join + one dst aggregation, lineage truncated
+    with eager localCheckpoint, edge weights joined once. The oracle
+    unrolls the identical 5 iterations as chained CTEs; ranks agree to
+    ~1e-13 against the 1e-9 reporting round. Top 20 by rounded rank,
+    node-id tiebreak."""
+    from ..operators._cache import register_persisted
+    from ..operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    # distinct on the NUMERIC key pair, persisted before the two-way
+    # symmetrization (the union otherwise re-runs the join+distinct
+    # once per direction); string node ids are built from the cache
+    pairs = register_persisted(
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .persist(),
+        "pagerank",
+    )
+    c = F.concat(F.lit("c"), F.col("o_custkey"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey"))
+    edges = pairs.select(c.alias("src"), s.alias("dst")).union(
+        pairs.select(s.alias("src"), c.alias("dst"))
+    )
+    # node-count-sized iteration state: the 32-partition default pays
+    # pure scheduling latency here (same pattern as the index syncs)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ranks = pagerank(edges, iterations=_PR_ITERATIONS, damping=0.85)
+        out = (
+            ranks.select("node", F.round("rank", 9).alias("rank"))
+            .orderBy(F.col("rank").desc(), "node")
+            .limit(20)
+        )
+        out = out.localCheckpoint(eager=True)  # materialize under the 4-part conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def _q199_sql() -> str:
+    prev = "r0"
+    iters = []
+    for k in range(1, _PR_ITERATIONS + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT n.node, 0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank / o.deg) AS contrib
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    JOIN outdeg o ON e.src = o.node
+    GROUP BY e.dst
+  ) c USING (node))""")
+        prev = f"r{k}"
+    return (
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+           FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"""
+        + ",".join(iters)
+        + f"""
+SELECT node, ROUND(rank, 9) AS rank FROM {prev}
+ORDER BY ROUND(rank, 9) DESC, node LIMIT 20
+"""
+    )
+
+
+_Q199_SQL = _q199_sql()
+
+
 QUERIES = {
+    "q199_pagerank_trade_graph": q199_pagerank_trade_graph,
     "q198_phrase_search": q198_phrase_search,
     "q197_segment_dedup": q197_segment_dedup,
     "q192_gif_pixel_decode": q192_gif_pixel_decode,
@@ -5467,6 +5563,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q199_pagerank_trade_graph": _Q199_SQL,
     "q198_phrase_search": _Q198_SQL,
     "q197_segment_dedup": _Q197_SQL,
     "q192_gif_pixel_decode": _Q192_SQL,

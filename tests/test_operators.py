@@ -3845,3 +3845,50 @@ def test_phrase_search_anchor_semantics(spark):
     assert out[3].n_occurrences == 2  # overlapping occurrences both count
     with _pytest.raises(ValueError, match="at least one term"):
         phrase_search(rep, "text", "doc_id", "   ")
+
+
+def test_pagerank_strategy_agreement_and_dangling(spark):
+    """Driver and distributed strategies must produce the same ranks
+    (same double recurrence) on a graph WITH a dangling node, total
+    mass must stay 1, and the dangling node must still receive the
+    teleport + redistribution floor."""
+    from delta_lake_spark.operators.graph import pagerank
+
+    # d is dangling; a->b->c->a cycle plus feeds into d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d")],
+        "src string, dst string",
+    )
+    drv = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=4, strategy="driver").collect()
+    }
+    dist = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, iterations=4, strategy="distributed", checkpoint_every=2
+        ).collect()
+    }
+    assert set(drv) == set(dist) == {"a", "b", "c", "d"}
+    for v in drv:
+        assert abs(drv[v] - dist[v]) < 1e-12, v
+    assert abs(sum(drv.values()) - 1.0) < 1e-9  # mass conserved
+    assert drv["d"] > 0.15 / 4  # dangling node still accumulates rank
+
+
+def test_pagerank_validation_and_empty(spark):
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+    with _pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
+    with _pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(edges, checkpoint_every=0)
+    with _pytest.raises(ValueError, match="strategy"):
+        pagerank(edges, strategy="magic")
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).collect() == []

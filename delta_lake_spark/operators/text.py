@@ -1715,3 +1715,76 @@ def dedup_segments(
         F.round(F.col("n_removed") / F.col("n_segments"), 9).alias("removed_ratio"),
         "kept_text",
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR data-selection weights (Xie et al., NeurIPS 2023): score
+    every document by the log likelihood ratio of a hashed-bigram
+    unigram model fit on a TARGET slice vs the RAW corpus,
+
+        log w(x) = sum over bigram occurrences g of
+                   ln p_target(h(g)) - ln p_raw(h(g)),
+
+    with add-1 smoothing over ``n_buckets`` md5 buckets (the
+    engine-portable hash). ``is_target`` is any boolean Column over
+    ``df``'s rows (e.g. lang == 'en').
+
+    Two corpus passes, DSIR's natural shape: pass 1 estimates both
+    bucket distributions in ONE aggregation (conditional count for the
+    target slice); pass 2 re-explodes and broadcast-joins the
+    model-sized (n_buckets-row) log-ratio relation, then reduces to
+    one doc-keyed sum. Nothing corpus-sized is cached or collected.
+
+    Returns: id_col, n_bigrams (long), log_weight (double, 9 dp) —
+    documents with < 2 words carry no bigram evidence and are omitted
+    (inner semantics, mirrored by the oracle).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    words = F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    grams = (
+        "CASE WHEN size(__w) >= 2 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+        " ELSE cast(array() as array<string>) END"
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).alias("__b")
+    exploded = (
+        df.select(F.col(id_col), is_target.alias("__t"), words.alias("__w"))
+        .select(F.col(id_col), "__t", F.explode(F.expr(grams)).alias("__g"))
+        .select(F.col(id_col), "__t", bucket)
+    )
+    counts = exploded.groupBy("__b").agg(
+        F.count("*").alias("__raw"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__tgt"),
+    )
+    totals = exploded.agg(
+        F.count("*").alias("__raw_total"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__tgt_total"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        F.col("__b").alias("__mb"),
+        (
+            F.log((F.col("__tgt") + 1) / (F.col("__tgt_total") + n_buckets))
+            - F.log((F.col("__raw") + 1) / (F.col("__raw_total") + n_buckets))
+        ).alias("__lr"),
+    )
+    return (
+        exploded.join(F.broadcast(model), F.col("__b") == F.col("__mb"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.sum("__lr"), 9).alias("log_weight"),
+        )
+    )

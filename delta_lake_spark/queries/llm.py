@@ -5466,7 +5466,56 @@ ORDER BY ROUND(rank, 9) DESC, node LIMIT 20
 _Q199_SQL = _q199_sql()
 
 
+def q200_dsir_selection(spark, sf_dir):
+    """DSIR data selection (Xie et al. NeurIPS 2023): hashed-bigram
+    importance weights of every document against the lang='en' target
+    slice (add-1-smoothed log likelihood ratio over 4096 md5 buckets),
+    then the top 50 by rounded weight — TakeOrdered, never a global
+    sort. The oracle replays hashing, both smoothed distributions, and
+    the per-doc sum."""
+    from ..operators.text import dsir_importance
+
+    w = dsir_importance(
+        _docs(spark, sf_dir), "text", "doc_id", F.col("lang") == "en"
+    )
+    return w.orderBy(F.col("log_weight").desc(), "doc_id").limit(50)
+
+
+_Q200_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> ''] AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang = 'en' AS t,
+    CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8) AS BIGINT) % 4096 AS b
+  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM w
+        WHERE len(w) >= 2)
+),
+counts AS (
+  SELECT b, COUNT(*) AS raw, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS tgt
+  FROM bg GROUP BY b
+),
+totals AS (
+  SELECT COUNT(*) AS raw_total, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS tgt_total
+  FROM bg
+),
+model AS (
+  SELECT b, ln((tgt + 1) * 1.0 / (tgt_total + 4096))
+           - ln((raw + 1) * 1.0 / (raw_total + 4096)) AS lr
+  FROM counts CROSS JOIN totals
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(lr), 9) AS log_weight
+FROM bg JOIN model USING (b)
+GROUP BY doc_id
+ORDER BY ROUND(SUM(lr), 9) DESC, doc_id LIMIT 50
+"""
+
+
 QUERIES = {
+    "q200_dsir_selection": q200_dsir_selection,
     "q199_pagerank_trade_graph": q199_pagerank_trade_graph,
     "q198_phrase_search": q198_phrase_search,
     "q197_segment_dedup": q197_segment_dedup,
@@ -5563,6 +5612,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q200_dsir_selection": _Q200_SQL,
     "q199_pagerank_trade_graph": _Q199_SQL,
     "q198_phrase_search": _Q198_SQL,
     "q197_segment_dedup": _Q197_SQL,

@@ -3892,3 +3892,36 @@ def test_pagerank_validation_and_empty(spark):
         pagerank(edges, strategy="magic")
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty).collect() == []
+
+
+def test_dsir_importance_directionality(spark):
+    """Documents drawn from the target slice's bigram distribution
+    must outweigh off-distribution ones; short docs carry no evidence
+    and are omitted; the bucket count is validated."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.text import dsir_importance
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick fox " * 10, "en"),
+        (2, "the quick fox " * 10, "en"),
+        (3, "the quick fox jumps", "de"),   # target-like but not target
+        (4, "xyzzy plugh grue zork " * 8, "de"),  # off-distribution
+        (5, "single", "en"),                # < 2 words: no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(
+            docs, "text", "doc_id", F.col("lang") == "en"
+        ).collect()
+    }
+    assert 5 not in out
+    # target-distribution docs (1, 2, and the identical-text 3) beat
+    # the off-distribution doc 4 regardless of its own label
+    assert out[3].log_weight > out[4].log_weight
+    assert out[1].log_weight > out[4].log_weight
+    assert out[1].n_bigrams == 29
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance(docs, "text", "doc_id", F.col("lang") == "en", n_buckets=1)

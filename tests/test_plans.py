@@ -1072,3 +1072,18 @@ def test_phrase_search_plan_discipline(spark):
     assert plan.count("Exchange hashpartitioning") <= 3
     # the term prune sits under the explode, before the first exchange
     assert "big" in plan and "scan" in plan
+
+
+def test_dsir_model_broadcasts_and_takeordered(spark):
+    """DSIR scoring must broadcast the n_buckets-row model (never
+    shuffle the corpus against it), keep the totals as a broadcast
+    1-row cross join, and select top-k via TakeOrdered."""
+    from delta_lake_spark.operators.text import dsir_importance
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = dsir_importance(docs, "text", "doc_id", F.col("lang") == "en")
+    plan = _plan(w.orderBy(F.col("log_weight").desc(), "doc_id").limit(50))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals fold
+    assert "EvalPython" not in plan

@@ -17,11 +17,13 @@ from .dedup import (
     winnow_fingerprints,
     word_shingles,
 )
-from .graph import pagerank
+from .graph import label_propagation, pagerank
 from .similarity import cosine_topk, ivf_topk, lsh_ann_pairs
 from .tokenizer import bpe_encode, train_bpe_merges
 from .text import (
     build_vocabulary,
+    dedup_segments,
+    dsir_importance,
     hashed_linear_score,
     chunk_documents,
     fingerprint,
@@ -60,4 +62,7 @@ __all__ = [
     "winnow_dup_pairs",
     "hashed_linear_score",
     "pagerank",
+    "label_propagation",
+    "dedup_segments",
+    "dsir_importance",
 ]

@@ -94,21 +94,26 @@ def _pagerank_driver(
     e: DataFrame, iterations: int, damping: float
 ) -> DataFrame:
     """Classic power iteration on the collected edge list (bounded by
-    the auto-strategy contract). numpy keeps the contribution sums
-    deterministic; the recurrence is the same double arithmetic as the
-    distributed path."""
+    the auto-strategy contract). The edge list crosses to Python as
+    ONE Arrow table (toArrow — the py4j row collect is ~10x slower at
+    the bound); numpy keeps the contribution sums deterministic; the
+    recurrence is the same double arithmetic as the distributed
+    path."""
     import numpy as np
+    import pandas as pd
 
-    rows = e.collect()
-    nodes = sorted({r.src for r in rows} | {r.dst for r in rows})
-    if not nodes:
+    pdf = e.toArrow().to_pandas()
+    m = len(pdf)
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    )
+    n = len(uniques)
+    if n == 0:
         return e.sparkSession.createDataFrame(
             [], "node string, rank double"
         )
-    idx = {v: i for i, v in enumerate(nodes)}
-    n = len(nodes)
-    src = np.fromiter((idx[r.src] for r in rows), dtype=np.int64)
-    dst = np.fromiter((idx[r.dst] for r in rows), dtype=np.int64)
+    src = codes[:m].astype(np.int64)
+    dst = codes[m:].astype(np.int64)
     deg = np.zeros(n, dtype=np.float64)
     np.add.at(deg, src, 1.0)
     dangling = deg == 0.0
@@ -121,10 +126,8 @@ def _pagerank_driver(
         np.add.at(contrib, dst, per_edge[src])
         dm = float(rank[dangling].sum()) if dangling.any() else 0.0
         rank = base + damping * (contrib + dm / float(n))
-    return e.sparkSession.createDataFrame(
-        [(v, float(rank[idx[v]])) for v in nodes],
-        "node string, rank double",
-    )
+    out = pd.DataFrame({"node": uniques, "rank": rank})
+    return e.sparkSession.createDataFrame(out)
 
 
 def _pagerank_distributed(
@@ -189,3 +192,87 @@ def _pagerank_distributed(
         if (k + 1) % checkpoint_every == 0 and k + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    iterations: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan et al. 2007, synchronous variant): seed nodes keep their
+    label forever; every other node adopts, each round, the most
+    frequent label among its IN-neighbours' current labels (ties break
+    to the smallest label; unlabeled neighbours carry no vote). Fully
+    integer-exact — no float tolerance anywhere, so the SQL oracle
+    matches bit-for-bit.
+
+    Scale shape: per round one (src=node) join against the current
+    assignment, one (dst, label) count, one per-dst argmax via
+    max_by(label over (count DESC, label ASC)) — two exchanges per
+    round; the seed override is a broadcast-sized left join when seeds
+    are small (Catalyst decides). Lineage truncated with eager
+    localCheckpoint every ``checkpoint_every`` rounds.
+
+    Returns: (node string, label long nullable) — null = never reached
+    by any labeled component.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    e = register_persisted(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).persist(),
+        "label_propagation",
+    )
+    s = register_persisted(
+        seeds.select(
+            F.col(node_col).alias("__sn"),
+            F.col(label_col).cast("long").alias("__sl"),
+        ).persist(),
+        "label_propagation",
+    )
+    nodes = register_persisted(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(),
+        "label_propagation",
+    )
+    current = nodes.join(s, nodes["node"] == s["__sn"], "left").select(
+        "node", F.col("__sl").alias("label")
+    )
+    for k in range(iterations):
+        votes = (
+            e.join(current, e["src"] == current["node"])
+            .filter(F.col("label").isNotNull())
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count("*").alias("__c"))
+        )
+        # argmax by (count DESC, label ASC): max over (count, -label)
+        argmax = votes.groupBy("dst").agg(
+            (
+                -F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl")))[
+                    "__nl"
+                ]
+            ).alias("__best")
+        )
+        current = (
+            nodes.join(argmax, nodes["node"] == argmax["dst"], "left")
+            .join(s, nodes["node"] == s["__sn"], "left")
+            .select(
+                "node", F.coalesce("__sl", "__best").alias("label")
+            )
+        )
+        if (k + 1) % checkpoint_every == 0 and k + 1 < iterations:
+            current = current.localCheckpoint(eager=True)
+    return current

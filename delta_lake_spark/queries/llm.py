@@ -5383,30 +5383,9 @@ def q199_pagerank_trade_graph(spark, sf_dir):
     unrolls the identical 5 iterations as chained CTEs; ranks agree to
     ~1e-13 against the 1e-9 reporting round. Top 20 by rounded rank,
     node-id tiebreak."""
-    from ..operators._cache import register_persisted
     from ..operators.graph import pagerank
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey"
-    )
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_suppkey"
-    )
-    # distinct on the NUMERIC key pair, persisted before the two-way
-    # symmetrization (the union otherwise re-runs the join+distinct
-    # once per direction); string node ids are built from the cache
-    pairs = register_persisted(
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .persist(),
-        "pagerank",
-    )
-    c = F.concat(F.lit("c"), F.col("o_custkey"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey"))
-    edges = pairs.select(c.alias("src"), s.alias("dst")).union(
-        pairs.select(s.alias("src"), c.alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     # node-count-sized iteration state: the 32-partition default pays
     # pure scheduling latency here (same pattern as the index syncs)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -5514,7 +5493,119 @@ ORDER BY ROUND(SUM(lr), 9) DESC, doc_id LIMIT 50
 """
 
 
+_LPA_ITERATIONS = 3
+
+
+def _trade_edges(spark, sf_dir):
+    """Symmetrized customer <-> supplier edge list from orders x
+    lineitem (shared by the graph-family queries); the numeric pair
+    relation is persisted before the two-way union."""
+    from ..operators._cache import register_persisted
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = register_persisted(
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .persist(),
+        "trade_graph",
+    )
+    c = F.concat(F.lit("c"), F.col("o_custkey"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey"))
+    return pairs.select(c.alias("src"), s.alias("dst")).union(
+        pairs.select(s.alias("src"), c.alias("dst"))
+    )
+
+
+def q201_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation (3 synchronous rounds) over
+    the trade graph: every 10th customer is seeded with its nation's
+    REGION key; suppliers (and the unlabeled 90% of customers) adopt
+    each round the most frequent in-neighbour label, ties to the
+    smallest label, seeds immutable. Integer-exact — the oracle
+    (identical rounds unrolled with ROW_NUMBER argmax) matches
+    bit-for-bit. Returns the suppliers' final labels."""
+    from ..operators.graph import label_propagation
+
+    edges = _trade_edges(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    seeds = (
+        customer.filter(F.col("c_custkey") % 10 == 0)
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+            F.col("n_regionkey").cast("long").alias("label"),
+        )
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = (
+            label_propagation(edges, seeds, iterations=_LPA_ITERATIONS)
+            .filter(F.col("node").startswith("s"))
+            .orderBy("node")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def _q201_sql() -> str:
+    prev = "l0"
+    rounds = []
+    for k in range(1, _LPA_ITERATIONS + 1):
+        rounds.append(f"""
+l{k} AS (
+  SELECT n.node, COALESCE(s.label, am.best) AS label
+  FROM nodes n
+  LEFT JOIN seeds s USING (node)
+  LEFT JOIN (
+    SELECT dst AS node, label AS best FROM (
+      SELECT e.dst, p.label, COUNT(*) AS c,
+        ROW_NUMBER() OVER (PARTITION BY e.dst
+                           ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM edges e JOIN {prev} p ON e.src = p.node
+      WHERE p.label IS NOT NULL
+      GROUP BY e.dst, p.label) t
+    WHERE rn = 1) am USING (node))""")
+        prev = f"l{k}"
+    return (
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst AS node FROM edges),
+seeds AS (
+  SELECT 'c' || c_custkey AS node, CAST(n_regionkey AS BIGINT) AS label
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey % 10 = 0
+),
+l0 AS (SELECT n.node, s.label FROM nodes n LEFT JOIN seeds s USING (node)),"""
+        + ",".join(rounds)
+        + f"""
+SELECT node, label FROM {prev} WHERE node LIKE 's%' ORDER BY node
+"""
+    )
+
+
+_Q201_SQL = _q201_sql()
+
+
 QUERIES = {
+    "q201_label_propagation": q201_label_propagation,
     "q200_dsir_selection": q200_dsir_selection,
     "q199_pagerank_trade_graph": q199_pagerank_trade_graph,
     "q198_phrase_search": q198_phrase_search,
@@ -5612,6 +5703,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q201_label_propagation": _Q201_SQL,
     "q200_dsir_selection": _Q200_SQL,
     "q199_pagerank_trade_graph": _Q199_SQL,
     "q198_phrase_search": _Q198_SQL,

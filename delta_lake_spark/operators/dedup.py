@@ -1679,3 +1679,104 @@ def near_dups_against_winnow_index(
             jac.alias("jaccard"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 500,
+) -> DataFrame:
+    """WEIGHTED near-dup pairs: cosine similarity of tf-idf vectors
+    over word ``n``-gram terms — the similarity the set-based family
+    (jaccard/minhash/winnowing) can't express: a shared RARE passage
+    outweighs any amount of shared boilerplate, because each term
+    contributes tf_a * tf_b * ln(N/df)^2 to the dot product.
+
+        w(d, t) = tf(d, t) * ln(N / df(t));   cos = <wa, wb> / (|wa| |wb|)
+
+    Terms with document frequency above ``max_df`` are dropped from
+    the vector space entirely (document-frequency stopwording —
+    standard IR and the cap that bounds the pair join: a term
+    contributes at most max_df^2 candidate pairs). The pair join is
+    the q31 inverted-index shape keyed on md5(term) (32-hex shuffle
+    key, never the raw n-gram), with the weight relation persisted
+    once for its three consumers (norms + both join sides). Inclusion
+    thresholds on the ROUNDED cosine so the relational oracle can't
+    disagree at a float boundary.
+
+    Returns: (a, b, cosine double 9 dp), a < b, cosine >= threshold.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    from ._cache import register_persisted
+
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    gram = "concat_ws(' ', {})".format(
+        ", ".join(f"element_at(__words, i + {j})" for j in range(n))
+    )
+    shingle_arr = (
+        f"CASE WHEN size(__words) >= {n} THEN "
+        f"transform(sequence(1, size(__words) - {n - 1}), i -> {gram})"
+        f" ELSE array() END"
+    )
+    terms = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words.alias("__words"))
+        .select(F.col(id_col), F.explode(F.expr(shingle_arr)).alias("__t"))
+        .select(F.col(id_col), F.md5("__t").alias("__k"))
+    )
+    tf = terms.groupBy(id_col, "__k").agg(F.count("*").alias("__tf"))
+    dfreq = (
+        tf.groupBy("__k")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .withColumnRenamed("__k", "__fk")
+    )
+    ndocs = df.agg(F.countDistinct(id_col).alias("__n"))
+    weights = register_persisted(
+        tf.join(dfreq, tf["__k"] == dfreq["__fk"])
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col(id_col),
+            "__k",
+            (
+                F.col("__tf")
+                * F.log(F.col("__n").cast("double") / F.col("__df"))
+            ).alias("__w"),
+        )
+        .persist(),
+        "tfidf_pairs",
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nm")
+    )
+    left = weights.select(
+        F.col(id_col).alias("a"), F.col("__k"), F.col("__w").alias("__wa")
+    )
+    right = weights.select(
+        F.col(id_col).alias("b"),
+        F.col("__k").alias("__k2"),
+        F.col("__w").alias("__wb"),
+    )
+    dots = (
+        left.join(
+            right,
+            (F.col("__k") == F.col("__k2")) & (F.col("a") < F.col("b")),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("a"), F.col("__nm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("b"), F.col("__nm").alias("__nb"))
+    cos = F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 9)
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

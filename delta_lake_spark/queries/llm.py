@@ -5645,7 +5645,51 @@ FROM cs
 """
 
 
+def q203_tfidf_cosine_pairs(spark, sf_dir):
+    """Weighted near-dup pairs: tf-idf cosine over word 3-gram terms —
+    shared RARE passages outweigh boilerplate, the similarity the
+    set-based dedup family can't express. q31's inverted-index pair
+    join keyed on md5(term), document-frequency stopwording at 500,
+    threshold on the ROUNDED cosine so the oracle can't disagree at a
+    float boundary."""
+    from ..operators.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.6, max_df=500
+    )
+
+
+_Q203_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+        FROM tok)
+  WHERE i + 2 <= len(w)
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM g GROUP BY doc_id, t),
+dfreq AS (SELECT t, COUNT(*) AS dfv FROM tf GROUP BY t HAVING COUNT(*) <= 500),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+wgt AS (
+  SELECT doc_id, t, tf * ln(CAST(n AS DOUBLE) / dfv) AS w
+  FROM tf JOIN dfreq USING (t) CROSS JOIN nn
+),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM wgt GROUP BY doc_id),
+dots AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.w * y.w) AS d
+  FROM wgt x JOIN wgt y ON x.t = y.t AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(d / (na.nm * nb.nm), 9) AS cosine
+FROM dots JOIN nrm na ON a = na.doc_id JOIN nrm nb ON b = nb.doc_id
+WHERE ROUND(d / (na.nm * nb.nm), 9) >= 0.6
+"""
+
+
 QUERIES = {
+    "q203_tfidf_cosine_pairs": q203_tfidf_cosine_pairs,
     "q202_wav_spectral_probe": q202_wav_spectral_probe,
     "q201_label_propagation": q201_label_propagation,
     "q200_dsir_selection": q200_dsir_selection,
@@ -5745,6 +5789,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q203_tfidf_cosine_pairs": _Q203_SQL,
     "q202_wav_spectral_probe": _Q202_SQL,
     "q201_label_propagation": _Q201_SQL,
     "q200_dsir_selection": _Q200_SQL,

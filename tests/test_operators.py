@@ -4017,3 +4017,46 @@ def test_wav_spectral_probe_pure_tone_and_errors(spark):
         wav_spectral_probe(df, n_samples=0)
     with _pytest.raises(ValueError, match="bins"):
         wav_spectral_probe(df, bins=())
+
+
+def test_tfidf_cosine_pairs_weighting(spark):
+    """A pair sharing one RARE passage must outscore a pair sharing
+    the same amount of corpus-wide boilerplate (the weighted-vs-set
+    distinction); identical docs hit cosine 1.0; hot terms above
+    max_df leave the vector space."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.dedup import tfidf_cosine_pairs
+
+    boiler = "all rights reserved contact us today "
+    rare = "zephyr quantum marmalade syzygy nebula "
+    docs = spark.createDataFrame(
+        [
+            (1, (boiler * 3 + rare).strip()),
+            (2, (boiler * 3 + "totally different closing words here").strip()),
+            (3, (rare + "unrelated trailing content apple banana").strip()),
+            (4, (boiler * 3).strip()),
+            (5, (boiler * 3).strip()),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.a, r.b): r.cosine
+        for r in tfidf_cosine_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.0, max_df=10
+        ).collect()
+    }
+    assert out[(4, 5)] == 1.0                     # identical docs
+    assert out[(1, 3)] > out[(1, 2)]              # rare beats boilerplate
+    # with the boilerplate above max_df, docs 4/5 lose their whole
+    # vector and the (4, 5) pair disappears
+    capped = {
+        (r.a, r.b)
+        for r in tfidf_cosine_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.0, max_df=3
+        ).collect()
+    }
+    assert (4, 5) not in capped
+    assert (1, 3) in capped                       # the rare run survives
+    with _pytest.raises(ValueError, match="max_df"):
+        tfidf_cosine_pairs(docs, "text", "doc_id", max_df=0)

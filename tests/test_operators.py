@@ -4060,3 +4060,32 @@ def test_tfidf_cosine_pairs_weighting(spark):
     assert (1, 3) in capped                       # the rare run survives
     with _pytest.raises(ValueError, match="max_df"):
         tfidf_cosine_pairs(docs, "text", "doc_id", max_df=0)
+
+
+def test_gif_keyframes_shot_detection(spark):
+    """A hand-built two-shot GIF (dark solid frames, then bright ones)
+    must flag exactly frame 0 and the shot boundary; sub-threshold
+    flicker is not a keyframe; threshold validates."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.multimodal import (
+        gif_keyframes,
+        tiny_gif_bytes,
+    )
+
+    # palette colors 0..3 have grays c*73 at seed 0 (tiny_gif_bytes
+    # contract); explicit fills 0, 0, 2 -> deltas 0, 146
+    gif = tiny_gif_bytes(
+        [(0, 0, 3, 2)] * 3,
+        seed=0,
+        pixels=[[0] * 6, [0] * 6, [2] * 6],
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(gif))], "media_id long, content binary"
+    )
+    rows = {r.frame_id: r for r in gif_keyframes(df, threshold=40.0).collect()}
+    assert rows[0].is_keyframe and rows[0].delta == 0.0
+    assert not rows[1].is_keyframe and rows[1].delta == 0.0
+    assert rows[2].is_keyframe and abs(rows[2].delta - 146.0) < 1e-9
+    with _pytest.raises(ValueError, match="threshold"):
+        gif_keyframes(df, threshold=-1.0)

@@ -1788,3 +1788,66 @@ def dsir_importance(
             F.round(F.sum("__lr"), 9).alias("log_weight"),
         )
     )
+
+
+def hashed_text_embedding(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 32,
+) -> DataFrame:
+    """Feature-hashed text embeddings (Weinberger et al. 2009 "hashing
+    trick", the signed variant): every token adds +-1 (sign from an
+    independent md5 nibble) to bucket md5(token) % dim; the bucket
+    vector is L2-normalized. The cheap, model-free embedding that
+    makes the dense-ANN family (cosine top-k, LSH, IVF/PQ) applicable
+    to raw text — inner products approximate token-multiset overlap
+    in expectation.
+
+    Scale shape: ONE doc-keyed aggregation with ``dim`` conditional
+    map-side-combined sums (no explode-side join, no pivot shuffle);
+    normalization is a per-row expression. All-cancelled (zero-norm)
+    vectors stay all-zero rather than dividing by zero.
+
+    Returns: (id_col, embedding array<double> of length ``dim``).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+                " x -> x != '')"
+            )
+        ).alias("__tok"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5("__tok"), 9, 1), 16, 10).cast("long") % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    comps = toks.select(
+        F.col(id_col), bucket.alias("__b"), sign.alias("__s")
+    ).groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("__b") == j, F.col("__s")).otherwise(0.0))
+            .alias(f"__v{j}")
+            for j in range(dim)
+        ]
+    )
+    arr = F.array(*[F.col(f"__v{j}") for j in range(dim)])
+    norm = F.sqrt(
+        F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    emb = F.transform(
+        arr,
+        lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
+    )
+    return comps.select(F.col(id_col), emb.alias("embedding"))

@@ -5727,7 +5727,51 @@ FROM d
 """
 
 
+def q205_hashed_embeddings(spark, sf_dir):
+    """Feature-hashed signed text embeddings (the hashing trick):
+    +-1 per token into md5(token) % 32 buckets, L2-normalized — the
+    model-free embedding that connects raw text to the dense-ANN
+    family. ONE doc-keyed aggregation of 32 conditional sums (no
+    pivot shuffle). The gate explodes components; the oracle replays
+    hashing, signs, bucket sums, and the norm."""
+    from ..operators.text import hashed_text_embedding
+
+    emb = hashed_text_embedding(_docs(spark, sf_dir), "text", "doc_id", dim=32)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("doc_id", "dim", F.round("val", 9).alias("val"))
+
+
+_Q205_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(
+    [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> '']
+  ) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 32 AS b,
+    CASE WHEN CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 = 0
+         THEN 1.0 ELSE -1.0 END AS s
+  FROM tok
+),
+sums AS (SELECT doc_id, b, SUM(s) AS v FROM h GROUP BY doc_id, b),
+dense AS (
+  SELECT d.doc_id, j.j AS dim, COALESCE(v, 0.0) AS v
+  FROM (SELECT DISTINCT doc_id FROM sums) d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS j) j
+  LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.b = j.j
+),
+nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS nm FROM dense GROUP BY doc_id)
+SELECT dense.doc_id, CAST(dim AS INTEGER) AS dim,
+  ROUND(CASE WHEN nm > 0 THEN v / nm ELSE 0.0 END, 9) AS val
+FROM dense JOIN nrm ON dense.doc_id = nrm.doc_id
+"""
+
+
 QUERIES = {
+    "q205_hashed_embeddings": q205_hashed_embeddings,
     "q204_gif_keyframes": q204_gif_keyframes,
     "q203_tfidf_cosine_pairs": q203_tfidf_cosine_pairs,
     "q202_wav_spectral_probe": q202_wav_spectral_probe,
@@ -5829,6 +5873,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q205_hashed_embeddings": _Q205_SQL,
     "q204_gif_keyframes": _Q204_SQL,
     "q203_tfidf_cosine_pairs": _Q203_SQL,
     "q202_wav_spectral_probe": _Q202_SQL,

@@ -4089,3 +4089,33 @@ def test_gif_keyframes_shot_detection(spark):
     assert rows[2].is_keyframe and abs(rows[2].delta - 146.0) < 1e-9
     with _pytest.raises(ValueError, match="threshold"):
         gif_keyframes(df, threshold=-1.0)
+
+
+def test_hashed_text_embedding_properties(spark):
+    """Identical texts embed identically (unit cosine), the vector is
+    unit-norm, a doc with all-cancelling tokens stays all-zero, and
+    the whole op is one exchange."""
+    import math
+
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.text import hashed_text_embedding
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: list(r.embedding) for r in
+           hashed_text_embedding(docs, "text", "doc_id", dim=16).collect()}
+    assert out[1] == out[2]
+    assert abs(math.sqrt(sum(v * v for v in out[1])) - 1.0) < 1e-12
+    dot13 = sum(a * b for a, b in zip(out[1], out[3]))
+    assert abs(dot13) < 1.0  # different docs are not parallel
+    plan = (
+        hashed_text_embedding(docs, "text", "doc_id", dim=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1 and "EvalPython" not in plan
+    with _pytest.raises(ValueError, match="dim"):
+        hashed_text_embedding(docs, "text", "doc_id", dim=0)

@@ -53,6 +53,7 @@ SECONDARY = [
     "q162_hll_distinct_tokens",  # sketch-suite trend line at sf0.1
     "q165_hll_state_vocab",  # persistent sketch-state maintenance path
     "q170_pretrain_funnel_minhash",  # LSH-tier funnel (production shape)
+    "q199_pagerank_trade_graph",  # graph family: distributed path at sf0.1
 ]
 
 

@@ -2069,3 +2069,54 @@ def semantic_decontaminate(
             F.col("max_eval_sim") >= F.lit(threshold), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def knn_label_transfer(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label transfer (the classic semi-supervised labeler /
+    pseudo-labeling pass): each query vector takes the MAJORITY label
+    of its ``k`` exact-cosine nearest labeled neighbors; neighbor
+    rank ties break to the ascending id (cosine_topk's contract),
+    vote ties to the SMALLEST label — both deterministic, so a
+    relational oracle replays the whole decision.
+
+    Composition of the scale-audited Arrow/BLAS cosine path
+    (cosine_topk_pandas: broadcast query matrix, one matmul per Arrow
+    batch, local top-k then a windowed global top-k — value-identical
+    to the expression path, q44 == q34) plus one vote aggregation via
+    the max(struct(count, -label)) argmax — the same integer-exact
+    trick as label propagation.
+
+    Returns: (query id_col, predicted long) — join back to held-out
+    truth for accuracy reporting.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    top = cosine_topk_pandas(
+        vectors, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("long").alias("__l"),
+    )
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("query_id", "__l")
+        .agg(F.count("*").alias("__c"))
+    )
+    argmax = votes.groupBy("query_id").agg(
+        (
+            -F.max(F.struct(F.col("__c"), (-F.col("__l")).alias("__nl")))[
+                "__nl"
+            ]
+        ).alias("predicted")
+    )
+    return argmax.select(
+        F.col("query_id").alias(id_col), F.col("predicted")
+    )

@@ -5770,7 +5770,66 @@ FROM dense JOIN nrm ON dense.doc_id = nrm.doc_id
 """
 
 
+def q206_knn_label_transfer(spark, sf_dir):
+    """kNN label transfer / pseudo-labeling: every 5th vector's label
+    is withheld and re-predicted from its 5 exact-cosine nearest
+    LABELED neighbors (rank ties to ascending id, vote ties to the
+    smallest label — fully deterministic). Output joins back the
+    held-out truth so the gate value-checks the per-vector decision
+    AND the derived correctness flag."""
+    from ..operators.similarity import knn_label_transfer
+
+    emb = _emb(spark, sf_dir)
+    held = emb.filter(F.col("vec_id") % 5 == 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    pred = knn_label_transfer(corpus, held, k=5)
+    truth = held.select(
+        "vec_id", F.col("label").cast("long").alias("actual")
+    )
+    return pred.join(truth, "vec_id").select(
+        "vec_id",
+        "predicted",
+        "actual",
+        (F.col("predicted") == F.col("actual")).alias("correct"),
+    )
+
+
+_Q206_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+         CAST(label AS BIGINT) AS actual
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(label AS BIGINT) AS label
+  FROM embeddings WHERE vec_id % 5 <> 0
+),
+ranked AS (
+  SELECT qid, actual, label,
+    ROW_NUMBER() OVER (
+      PARTITION BY qid
+      ORDER BY list_dot_product(v, qv)
+        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+        DESC, nid ASC) AS rank
+  FROM c, q
+),
+votes AS (
+  SELECT qid, actual, label, COUNT(*) AS cnt
+  FROM ranked WHERE rank <= 5 GROUP BY qid, actual, label
+)
+SELECT qid AS vec_id, label AS predicted, actual,
+       label = actual AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cnt DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "q206_knn_label_transfer": q206_knn_label_transfer,
     "q205_hashed_embeddings": q205_hashed_embeddings,
     "q204_gif_keyframes": q204_gif_keyframes,
     "q203_tfidf_cosine_pairs": q203_tfidf_cosine_pairs,
@@ -5873,6 +5932,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q206_knn_label_transfer": _Q206_SQL,
     "q205_hashed_embeddings": _Q205_SQL,
     "q204_gif_keyframes": _Q204_SQL,
     "q203_tfidf_cosine_pairs": _Q203_SQL,

@@ -4119,3 +4119,39 @@ def test_hashed_text_embedding_properties(spark):
     assert plan.count("Exchange") == 1 and "EvalPython" not in plan
     with _pytest.raises(ValueError, match="dim"):
         hashed_text_embedding(docs, "text", "doc_id", dim=0)
+
+
+def test_knn_label_transfer_vote_semantics(spark):
+    """Majority of the k nearest labeled neighbors wins; vote ties
+    break to the smallest label; k validates."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.similarity import knn_label_transfer
+
+    # 2-d unit-ish vectors: query at (1, 0); labeled corpus has two
+    # label-7 vectors very close, one label-3 close, others far
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01], 7),
+            (11, [1.0, -0.01], 7),
+            (12, [1.0, 0.05], 3),
+            (13, [0.0, 1.0], 0),
+            (14, [-1.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = knn_label_transfer(corpus, q, k=3).collect()
+    assert out[0].predicted == 7  # two 7-votes beat one 3-vote
+    # k=4 pulls in label 0 -> votes 7:2, 3:1, 0:1 -> still 7
+    assert knn_label_transfer(corpus, q, k=4).collect()[0].predicted == 7
+    # tie construction: k=2 with one 7 and one 3 at equal count -> min
+    tie_corpus = spark.createDataFrame(
+        [(10, [1.0, 0.01], 7), (12, [1.0, -0.01], 3), (13, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    assert knn_label_transfer(tie_corpus, q, k=2).collect()[0].predicted == 3
+    with _pytest.raises(ValueError, match="k must"):
+        knn_label_transfer(corpus, q, k=0)

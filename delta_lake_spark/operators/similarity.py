@@ -2120,3 +2120,61 @@ def knn_label_transfer(
     return argmax.select(
         F.col("query_id").alias(id_col), F.col("predicted")
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-dimension z-score standardization — the preprocessing pass
+    that keeps k-means / PQ codebooks from being dominated by
+    high-variance dimensions: z_j = (x_j - mean_j) / std_j with the
+    POPULATION std from explicit moment sums (SUM x, SUM x^2, COUNT —
+    the exact formula a relational oracle evaluates, not Welford's
+    online variant whose rounding differs). Dimensions with
+    non-positive variance (constant columns; the naive formula can
+    round a true zero slightly negative) standardize to 0.0.
+
+    Scale shape: per-dim moments from a posexplode + dim-keyed
+    aggregate (map-side combine collapses each partition to dim rows,
+    so the shuffle is dim x partitions rows), folded into ONE 1-row
+    broadcast of two dim-length arrays; the z-transform is two
+    zip_with lambdas. A first cut aggregated 2*dim+1 top-level sums
+    and projected dim scalar when-expressions instead — same values,
+    but the generated code was large enough that codegen compilation
+    dominated (~6.5 s one-time vs ~0.1 s for this shape).
+
+    Returns: (id_col, zscored array<double> of length ``dim``).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.col(vec_col).cast("array<double>")
+    ex = df.select(F.posexplode(v).alias("__d", "__e"))
+    st = ex.groupBy("__d").agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum("__e").alias("__sx"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__sxx"),
+    )
+    mean = F.col("__sx") / F.col("__n")
+    var = F.col("__sxx") / F.col("__n") - mean * mean
+    std = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    folded = st.select(
+        F.struct(F.col("__d"), mean.alias("__m"), std.alias("__s")).alias(
+            "__row"
+        )
+    ).agg(F.array_sort(F.collect_list("__row")).alias("__rows"))
+    stats = folded.select(
+        F.transform(F.col("__rows"), lambda r: r["__m"]).alias("__means"),
+        F.transform(F.col("__rows"), lambda r: r["__s"]).alias("__stds"),
+    )
+    centered = F.zip_with(v, F.col("__means"), lambda x, m: x - m)
+    z = F.zip_with(
+        centered,
+        F.col("__stds"),
+        lambda d, s: F.when(s > 0, d / s).otherwise(F.lit(0.0)),
+    )
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), z.alias("zscored")
+    )

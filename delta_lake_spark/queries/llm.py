@@ -5828,7 +5828,40 @@ FROM (
 """
 
 
+def q207_standardize_embeddings(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding table
+    (population std from explicit moment sums — one 1-row aggregate
+    broadcast back, no explode, no per-dim shuffle). The gate explodes
+    components; the oracle evaluates the identical sum/count
+    formula."""
+    from ..operators.similarity import standardize_embeddings
+
+    z = standardize_embeddings(_emb(spark, sf_dir), dim=64)
+    return z.select(
+        "vec_id", F.posexplode("zscored").alias("dim", "z")
+    ).select("vec_id", "dim", F.round("z", 9).alias("z"))
+
+
+_Q207_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT dim, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx
+  FROM x GROUP BY dim
+)
+SELECT vec_id, CAST(x.dim AS INTEGER) AS dim,
+  ROUND(CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+             THEN (v - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))
+             ELSE 0.0 END, 9) AS z
+FROM x JOIN s ON x.dim = s.dim
+"""
+
+
 QUERIES = {
+    "q207_standardize_embeddings": q207_standardize_embeddings,
     "q206_knn_label_transfer": q206_knn_label_transfer,
     "q205_hashed_embeddings": q205_hashed_embeddings,
     "q204_gif_keyframes": q204_gif_keyframes,
@@ -5932,6 +5965,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q207_standardize_embeddings": _Q207_SQL,
     "q206_knn_label_transfer": _Q206_SQL,
     "q205_hashed_embeddings": _Q205_SQL,
     "q204_gif_keyframes": _Q204_SQL,

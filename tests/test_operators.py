@@ -4155,3 +4155,25 @@ def test_knn_label_transfer_vote_semantics(spark):
     assert knn_label_transfer(tie_corpus, q, k=2).collect()[0].predicted == 3
     with _pytest.raises(ValueError, match="k must"):
         knn_label_transfer(corpus, q, k=0)
+
+
+def test_standardize_embeddings_moments(spark):
+    """Known 2-d corpus: z-scores match the population formula; a
+    constant dimension standardizes to 0.0 instead of dividing by
+    zero; dim validates."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.similarity import standardize_embeddings
+
+    # dim 0: values 1, 3 -> mean 2, std 1 -> z -1, +1
+    # dim 1: constant 5 -> z 0, 0
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: list(r.zscored) for r in
+           standardize_embeddings(df, dim=2).collect()}
+    assert abs(out[1][0] + 1.0) < 1e-12 and abs(out[2][0] - 1.0) < 1e-12
+    assert out[1][1] == 0.0 and out[2][1] == 0.0
+    with _pytest.raises(ValueError, match="dim"):
+        standardize_embeddings(df, dim=0)

@@ -1780,3 +1780,67 @@ def tfidf_cosine_pairs(
         .select("a", "b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """DIRECTIONAL near-dup pairs by shingle containment
+    |A intersect B| / |A| (Broder 1997's second resemblance measure):
+    catches the excerpt/quotation case symmetric jaccard misses — a
+    paragraph lifted into a much larger document scores containment
+    ~1.0 while its jaccard is tiny. Inner documents with fewer than
+    ``min_shingles`` distinct shingles are ignored (everything is
+    trivially contained in a big enough corpus).
+
+    One intersection count per UNORDERED pair (the q31 inverted-index
+    join), then both directions are derived by projection — the
+    ratios are exact integer divisions, so the threshold can never
+    disagree with the relational oracle.
+
+    Returns: (inner_id, outer_id, n_shared, containment 6 dp) with
+    containment >= threshold, inner != outer.
+    """
+    if min_shingles < 1:
+        raise ValueError(f"min_shingles must be >= 1, got {min_shingles}")
+    sh = word_shingles(df, text_col, id_col, n=n).withColumnRenamed(
+        id_col, "__id"
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    a = sh.select(F.col("__id").alias("__a"), "shingle")
+    b = sh.select(F.col("__id").alias("__b"), F.col("shingle").alias("__s2"))
+    inter = (
+        a.join(b, (a["shingle"] == b["__s2"]) & (a["__a"] < b["__b"]))
+        .groupBy("__a", "__b")
+        .agg(F.count("*").alias("__i"))
+    )
+    sa = sizes.select(F.col("__id").alias("__a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("__b"), F.col("__n").alias("__nb"))
+    both = inter.join(sa, "__a").join(sb, "__b")
+    fwd = both.select(
+        F.col("__a").alias("inner_id"),
+        F.col("__b").alias("outer_id"),
+        F.col("__i").alias("n_shared"),
+        (F.col("__i") / F.col("__na")).alias("__c"),
+        F.col("__na").alias("__sz"),
+    )
+    rev = both.select(
+        F.col("__b").alias("inner_id"),
+        F.col("__a").alias("outer_id"),
+        F.col("__i").alias("n_shared"),
+        (F.col("__i") / F.col("__nb")).alias("__c"),
+        F.col("__nb").alias("__sz"),
+    )
+    return (
+        fwd.union(rev)
+        .filter((F.col("__c") >= threshold) & (F.col("__sz") >= min_shingles))
+        .select(
+            "inner_id", "outer_id", "n_shared",
+            F.round("__c", 6).alias("containment"),
+        )
+    )

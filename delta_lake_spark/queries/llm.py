@@ -5860,7 +5860,52 @@ FROM x JOIN s ON x.dim = s.dim
 """
 
 
+def q208_containment_pairs(spark, sf_dir):
+    """Directional containment dedup (Broder's |A n B| / |A|): the
+    excerpt/quotation case symmetric jaccard misses. One unordered
+    intersection join, both directions by projection, exact integer
+    ratios so the 0.8 threshold can't float-flip. Inner docs under 5
+    shingles ignored."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3,
+        threshold=0.8, min_shingles=5,
+    )
+
+
+_Q208_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+bidir AS (
+  SELECT a, b, i, sa.n AS na, sb.n AS nb
+  FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+),
+dirs AS (
+  SELECT a AS inner_id, b AS outer_id, i, i * 1.0 / na AS c, na AS sz FROM bidir
+  UNION ALL
+  SELECT b AS inner_id, a AS outer_id, i, i * 1.0 / nb AS c, nb AS sz FROM bidir
+)
+SELECT inner_id, outer_id, CAST(i AS BIGINT) AS n_shared,
+       ROUND(c, 6) AS containment
+FROM dirs WHERE c >= 0.8 AND sz >= 5
+"""
+
+
 QUERIES = {
+    "q208_containment_pairs": q208_containment_pairs,
     "q207_standardize_embeddings": q207_standardize_embeddings,
     "q206_knn_label_transfer": q206_knn_label_transfer,
     "q205_hashed_embeddings": q205_hashed_embeddings,
@@ -5965,6 +6010,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q208_containment_pairs": _Q208_SQL,
     "q207_standardize_embeddings": _Q207_SQL,
     "q206_knn_label_transfer": _Q206_SQL,
     "q205_hashed_embeddings": _Q205_SQL,

@@ -4177,3 +4177,31 @@ def test_standardize_embeddings_moments(spark):
     assert out[1][1] == 0.0 and out[2][1] == 0.0
     with _pytest.raises(ValueError, match="dim"):
         standardize_embeddings(df, dim=0)
+
+
+def test_containment_pairs_excerpt_detection(spark):
+    """An excerpt lifted into a larger doc scores containment 1.0 in
+    the excerpt->host direction only (jaccard would miss it); tiny
+    inner docs are suppressed by min_shingles; validation."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.dedup import containment_pairs
+
+    excerpt = "the quick brown fox jumps over the lazy dog today"  # 10 words
+    host = excerpt + " plus a lot of entirely unrelated framing text " \
+        "around it that dilutes the jaccard similarity badly " * 2
+    docs = spark.createDataFrame(
+        [(1, excerpt), (2, host), (3, "short tiny doc"), (4, "short tiny doc")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.inner_id, r.outer_id): r
+        for r in containment_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.8, min_shingles=5
+        ).collect()
+    }
+    assert rows[(1, 2)].containment == 1.0   # excerpt contained in host
+    assert (2, 1) not in rows                 # host not contained in excerpt
+    assert (3, 4) not in rows and (4, 3) not in rows  # under min_shingles
+    with _pytest.raises(ValueError, match="min_shingles"):
+        containment_pairs(docs, "text", "doc_id", min_shingles=0)

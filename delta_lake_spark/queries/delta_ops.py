@@ -1442,7 +1442,79 @@ FROM f GROUP BY event_type
 """
 
 
+def q209_streaming_media_keyframes(spark, sf_dir):
+    """Streaming media ingestion with ON-ARRIVAL keyframe decode: two
+    GIF batches drain through the media sink (idempotent corpus append
+    + per-epoch LZW decode + luma-delta shot detection into a keyframe
+    table), then keyframes are served FROM the stored table. The
+    oracle restates every frame of BOTH batches arithmetically — a
+    lost epoch, double decode, or replay duplicate changes the row
+    set and fails the gate."""
+    import os as _os
+
+    from ..streaming.incremental import stream_media_with_keyframes
+
+    from ..operators.multimodal import synthesize_gif_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    src = _fresh("smk_src")
+    _os.makedirs(src, exist_ok=True)
+    staging = _fresh("smk_stage")
+    batches = [
+        synthesize_gif_corpus(docs),
+        synthesize_gif_corpus(
+            docs.select((F.col("doc_id") + 200000).alias("doc_id"))
+        ),
+    ]
+    for i, b in enumerate(batches):
+        d = f"{staging}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        part = next(f for f in _os.listdir(d) if f.endswith(".parquet"))
+        _os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+
+    kf = stream_media_with_keyframes(
+        spark,
+        src,
+        _fresh("smk_media"),
+        _fresh("smk_kf"),
+        _fresh("smk_ckpt"),
+        schema="media_id long, content binary",
+        threshold=40.0,
+        txn_app_id="q209",
+    )
+    return kf.select(
+        "media_id", "frame_id",
+        F.round("mean_gray", 9).alias("mean_gray"),
+        F.round("delta", 9).alias("delta"),
+        "is_keyframe",
+    )
+
+
+_Q209_SQL = """
+WITH ids AS (
+  SELECT doc_id FROM documents
+  UNION ALL SELECT doc_id + 200000 FROM documents
+),
+f AS (
+  SELECT doc_id, j,
+    CAST((doc_id * 17 + ((doc_id + j) % 4) * 73) % 256 AS DOUBLE) AS g
+  FROM ids, UNNEST(range(0, 1 + doc_id % 4)) AS t(j)
+),
+d AS (
+  SELECT doc_id, j, g,
+    abs(g - LAG(g) OVER (PARTITION BY doc_id ORDER BY j)) AS dl
+  FROM f
+)
+SELECT doc_id AS media_id, CAST(j AS INTEGER) AS frame_id,
+  ROUND(g, 9) AS mean_gray,
+  ROUND(COALESCE(dl, 0.0), 9) AS delta,
+  (dl IS NULL OR dl >= 40.0) AS is_keyframe
+FROM d
+"""
+
+
 QUERIES = {
+    "q209_streaming_media_keyframes": q209_streaming_media_keyframes,
     "q134_incremental_gold_maintenance": q134_incremental_gold_maintenance,
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
     "q51_delta_delete_timetravel": q51_delta_delete_timetravel,
@@ -1479,6 +1551,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q209_streaming_media_keyframes": _Q209_SQL,
     "q134_incremental_gold_maintenance": _Q134_SQL,
     "q57_streaming_windowed_counts": _Q57_SQL,
     "q58_sessionize": _Q58_SQL,

@@ -900,3 +900,85 @@ def stream_corpus_with_vocab_sketch(
     )
     q.awaitTermination(timeout_sec)
     return read_delta(spark, table_path)
+
+
+def stream_media_with_keyframes(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    keyframe_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    threshold: float = 40.0,
+    txn_app_id: str = "dls_media_keyframes",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming MEDIA ingestion with on-arrival keyframe decode: each
+    micro-batch appends its binary payloads idempotently to the
+    versioned media corpus AND appends that batch's decoded keyframe
+    rows (gif_keyframes: full LZW decode + luma-delta shot detection,
+    map-only) to a keyframe table — the landing pattern of a video
+    training pipeline, where the expensive decode happens once per
+    payload as it arrives, never as a backfill scan. Unlike the HLL
+    sink, the derived append is NOT naturally idempotent, so BOTH
+    tables carry the (txnAppId, epoch) replay guard — a crash-retried
+    batch skips both appends together.
+
+    At scale each epoch costs the batch's own decode (payloads stay on
+    executors; Arrow batches) plus two log commits. Returns the final
+    keyframe DataFrame."""
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..operators.multimodal import gif_keyframes
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    def _replayed(path: str, epoch_id: int) -> bool:
+        log = DeltaLog(path)
+        try:
+            if log.exists():
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        return True
+        except TableNotFoundError:
+            pass
+        return False
+
+    def _write_batch(batch_df, epoch_id: int) -> None:
+        params = {
+            "txnAppId": txn_app_id,
+            "txnVersion": epoch_id,
+            "outputMode": "Append",
+        }
+        if not _replayed(table_path, epoch_id):
+            write_delta(
+                batch_df,
+                table_path,
+                mode="append",
+                operation="STREAMING MEDIA APPEND",
+                operation_parameters=params,
+            )
+        if not _replayed(keyframe_path, epoch_id):
+            write_delta(
+                gif_keyframes(batch_df, threshold=threshold),
+                keyframe_path,
+                mode="append",
+                operation="STREAMING KEYFRAME APPEND",
+                operation_parameters=params,
+            )
+
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(source_dir)
+    q = (
+        src.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return read_delta(spark, keyframe_path)

@@ -743,3 +743,41 @@ def test_stream_corpus_with_vocab_sketch_tracks_and_is_replay_safe(
         for r in estimate_hll_state(spark, state, ["lang"]).collect()
     }
     assert again == served
+
+
+def test_stream_media_keyframes_replay_noop(spark, tmp_path):
+    """Re-draining the same source through the media+keyframe sink
+    (same checkpoint) must append nothing to either table — the
+    (txnAppId, epoch) guard covers BOTH the corpus and the derived
+    keyframe appends."""
+    import os
+
+    from delta_lake_spark.operators.multimodal import synthesize_gif_corpus
+    from delta_lake_spark.reader import read_delta
+    from delta_lake_spark.streaming.incremental import (
+        stream_media_with_keyframes,
+    )
+
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    d = str(tmp_path / "stage")
+    synthesize_gif_corpus(docs).coalesce(1).write.parquet(d)
+    part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    os.replace(f"{d}/{part}", f"{src}/b0.parquet")
+
+    media = str(tmp_path / "media")
+    kf = str(tmp_path / "kf")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = stream_media_with_keyframes(
+        spark, src, media, kf, ckpt,
+        schema="media_id long, content binary", txn_app_id="t-replay",
+    ).count()
+    out2 = stream_media_with_keyframes(
+        spark, src, media, kf, ckpt,
+        schema="media_id long, content binary", txn_app_id="t-replay",
+    ).count()
+    assert out1 == out2
+    assert read_delta(spark, media).count() == 8
+    # 8 media, frames = 1 + id % 4 -> 1+2+3+4 repeated twice = 20
+    assert out1 == 20

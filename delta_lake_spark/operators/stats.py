@@ -89,3 +89,65 @@ def length_bucket_stats(
             (1.0 - F.col("total_tokens") / padded) * 100.0, 4
         ).alias("pad_waste_pct"),
     )
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC (the Mann-Whitney U statistic with the standard
+    tie correction: tied scores contribute half) of ``score_col``
+    ranking the boolean ``label_col`` — the filter-evaluation metric a
+    curation pipeline reports before trusting a quality model:
+
+        AUC = [ sum over distinct scores s (descending) of
+                pos_above(s) * neg(s) + pos(s) * neg(s) / 2 ] / (P * N)
+
+    computed as an all-integer numerator (doubled to stay integral)
+    over one GROUP BY score — never a per-row global rank. The ordered
+    cumulative sum runs on the score-DISTINCT relation, whose size is
+    bounded by the score's value granularity (e.g. a rounded or
+    integer-milli score), not the corpus; at 100 TB that window is
+    thousands of rows while a row-level rank would be a corpus-wide
+    single-partition sort.
+
+    Returns one row: (auc double 9 dp, n_pos long, n_neg long).
+    Raises neither on empty classes: AUC is null when P or N is 0.
+    """
+    from pyspark.sql import Window
+
+    pos = F.when(F.col(label_col), 1).otherwise(0)
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(pos).alias("__p"),
+        F.sum(1 - pos).alias("__n"),
+    )
+    w = (
+        Window.orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "__p",
+        "__n",
+        F.coalesce(F.sum("__p").over(w), F.lit(0)).alias("__cp"),
+    )
+    num = c.agg(
+        F.sum(
+            2 * F.col("__cp") * F.col("__n") + F.col("__p") * F.col("__n")
+        ).alias("__num2x"),
+        F.sum("__p").alias("__P"),
+        F.sum("__n").alias("__N"),
+    )
+    # ANSI mode makes the 0-denominator case an error, not Inf — the
+    # single-class AUC is undefined, so report null explicitly
+    defined = (F.col("__P") > 0) & (F.col("__N") > 0)
+    return num.select(
+        F.when(
+            defined,
+            F.round(
+                F.col("__num2x") / (2.0 * F.col("__P") * F.col("__N")), 9
+            ),
+        ).alias("auc"),
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
+    )

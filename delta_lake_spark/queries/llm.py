@@ -5904,7 +5904,73 @@ FROM dirs WHERE c >= 0.8 AND sz >= 5
 """
 
 
+def q210_classifier_auc(spark, sf_dir):
+    """Model-evaluation metrics: exact tie-corrected ROC AUC of the
+    hashed-linear quality classifier's score ranking the lang='en'
+    slice — the report a curation pipeline reads before trusting a
+    filter. All-integer numerator over ONE score-distinct group-by
+    (the ordered cumsum runs on the score-granularity relation, never
+    a corpus-wide rank). The oracle replays classifier weights, doc
+    scores, and the Mann-Whitney sum."""
+    from ..operators.stats import auc_score
+    from ..operators.text import hashed_linear_score
+
+    docs = _docs(spark, sf_dir)
+    scored = hashed_linear_score(docs, "text", "doc_id").join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("__pos")),
+        "doc_id",
+    )
+    return auc_score(scored, "score", "__pos")
+
+
+_Q210_SQL = """
+WITH weights AS (
+  SELECT CAST(i AS INTEGER) AS bucket,
+    CAST(CAST('0x' || substr(md5('qclf-v1-w' || CAST(i AS VARCHAR)), 1, 8)
+         AS BIGINT) % 2001 - 1000 AS BIGINT) AS weight_milli
+  FROM UNNEST(range(0, 4096)) AS t(i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substr(md5('qclf-v1' || tok), 1, 8) AS BIGINT) % 4096
+         AS INTEGER) AS b
+  FROM (
+    SELECT doc_id, unnest([x FOR x IN
+      string_split_regex(lower(trim(text)), '\\s+') IF x <> '']) AS tok
+    FROM documents
+  )
+),
+agg AS (
+  SELECT doc_id, SUM(weight_milli) AS s, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks JOIN weights ON b = bucket
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT ROUND(s / (n_tokens * 1000.0), 9) AS score, d.lang = 'en' AS pos
+  FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+),
+g AS (
+  SELECT score,
+    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS ng
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT p, ng,
+    COALESCE(SUM(p) OVER (ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+  FROM g
+)
+SELECT
+  ROUND(SUM(2 * cp * ng + p * ng) / (2.0 * SUM(p) * SUM(ng)), 9) AS auc,
+  CAST(SUM(p) AS BIGINT) AS n_pos,
+  CAST(SUM(ng) AS BIGINT) AS n_neg
+FROM c
+"""
+
+
 QUERIES = {
+    "q210_classifier_auc": q210_classifier_auc,
     "q208_containment_pairs": q208_containment_pairs,
     "q207_standardize_embeddings": q207_standardize_embeddings,
     "q206_knn_label_transfer": q206_knn_label_transfer,
@@ -6010,6 +6076,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q210_classifier_auc": _Q210_SQL,
     "q208_containment_pairs": _Q208_SQL,
     "q207_standardize_embeddings": _Q207_SQL,
     "q206_knn_label_transfer": _Q206_SQL,

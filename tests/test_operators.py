@@ -4205,3 +4205,24 @@ def test_containment_pairs_excerpt_detection(spark):
     assert (3, 4) not in rows and (4, 3) not in rows  # under min_shingles
     with _pytest.raises(ValueError, match="min_shingles"):
         containment_pairs(docs, "text", "doc_id", min_shingles=0)
+
+
+def test_auc_score_known_values(spark):
+    """AUC hits 1.0 for a perfect ranking, 0.0 for a perfectly wrong
+    one, 0.5 with all scores tied, and applies the half-credit tie
+    correction exactly."""
+    from delta_lake_spark.operators.stats import auc_score
+
+    def auc(rows):
+        df = spark.createDataFrame(rows, "score double, pos boolean")
+        return auc_score(df, "score", "pos").collect()[0]
+
+    assert auc([(3.0, True), (2.0, True), (1.0, False)]).auc == 1.0
+    assert auc([(3.0, False), (1.0, True)]).auc == 0.0
+    r = auc([(1.0, True), (1.0, False), (1.0, True), (1.0, False)])
+    assert r.auc == 0.5 and r.n_pos == 2 and r.n_neg == 2
+    # one pos above, one tied with the neg: (1*1 + 0.5*1)/2 = 0.75
+    assert auc([(2.0, True), (1.0, True), (1.0, False)]).auc == 0.75
+    # single-class input: AUC is null, counts still reported
+    r = auc([(1.0, True), (2.0, True)])
+    assert r.auc is None and r.n_pos == 2 and r.n_neg == 0

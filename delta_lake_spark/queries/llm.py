@@ -5969,7 +5969,62 @@ FROM c
 """
 
 
+def q211_classifier_calibration(spark, sf_dir):
+    """Reliability-diagram calibration of the hashed-linear
+    classifier's sigmoid probabilities against the lang='en' slice —
+    20 fixed bins, observed positive rate vs mean predicted
+    probability (the ECE inputs). One <=20-row aggregation. The
+    oracle replays the classifier and the bin arithmetic."""
+    from ..operators.stats import calibration_bins
+    from ..operators.text import hashed_linear_score
+
+    docs = _docs(spark, sf_dir)
+    scored = hashed_linear_score(docs, "text", "doc_id").join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("__pos")),
+        "doc_id",
+    )
+    return calibration_bins(scored, "prob", "__pos", n_bins=20)
+
+
+_Q211_SQL = """
+WITH weights AS (
+  SELECT CAST(i AS INTEGER) AS bucket,
+    CAST(CAST('0x' || substr(md5('qclf-v1-w' || CAST(i AS VARCHAR)), 1, 8)
+         AS BIGINT) % 2001 - 1000 AS BIGINT) AS weight_milli
+  FROM UNNEST(range(0, 4096)) AS t(i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substr(md5('qclf-v1' || tok), 1, 8) AS BIGINT) % 4096
+         AS INTEGER) AS b
+  FROM (
+    SELECT doc_id, unnest([x FOR x IN
+      string_split_regex(lower(trim(text)), '\\s+') IF x <> '']) AS tok
+    FROM documents
+  )
+),
+agg AS (
+  SELECT doc_id, SUM(weight_milli) AS s, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks JOIN weights ON b = bucket
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-(s / (n_tokens * 1000.0)))), 9) AS prob,
+         d.lang = 'en' AS pos
+  FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+)
+SELECT CAST(least(19, floor(prob * 20)) AS INTEGER) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  ROUND(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9) AS pos_rate,
+  ROUND(SUM(CAST(ROUND(prob * 1e9) AS BIGINT)) / (COUNT(*) * 1e9), 9)
+    AS mean_prob
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "q211_classifier_calibration": q211_classifier_calibration,
     "q210_classifier_auc": q210_classifier_auc,
     "q208_containment_pairs": q208_containment_pairs,
     "q207_standardize_embeddings": q207_standardize_embeddings,
@@ -6076,6 +6131,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q211_classifier_calibration": _Q211_SQL,
     "q210_classifier_auc": _Q210_SQL,
     "q208_containment_pairs": _Q208_SQL,
     "q207_standardize_embeddings": _Q207_SQL,

@@ -4226,3 +4226,26 @@ def test_auc_score_known_values(spark):
     # single-class input: AUC is null, counts still reported
     r = auc([(1.0, True), (2.0, True)])
     assert r.auc is None and r.n_pos == 2 and r.n_neg == 0
+
+
+def test_calibration_bins_edges_and_rates(spark):
+    """Bin assignment clamps prob 1.0 into the last bin, pos_rate is
+    the exact ratio, mean_prob is the nano-integer mean, empty bins
+    are absent, n_bins validates."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.stats import calibration_bins
+
+    rows = [
+        (0.04, False), (0.06, True),       # bin 0 of 10: rate 0.5
+        (0.55, True), (0.55, True),        # bin 5: rate 1.0
+        (1.0, False),                      # clamps into bin 9
+    ]
+    df = spark.createDataFrame(rows, "prob double, pos boolean")
+    out = {r.bin: r for r in calibration_bins(df, "prob", "pos", n_bins=10).collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0].pos_rate == 0.5 and out[0].mean_prob == 0.05
+    assert out[5].pos_rate == 1.0 and out[5].mean_prob == 0.55
+    assert out[9].n == 1 and out[9].pos_rate == 0.0
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "prob", "pos", n_bins=0)

@@ -196,3 +196,65 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    thresholds: tuple[float, ...] = (0.3, 0.45, 0.5, 0.55, 0.7),
+) -> DataFrame:
+    """Operating-point sweep for a binary filter: confusion counts and
+    precision / recall / F1 at each candidate keep-threshold (predict
+    positive iff prob >= t) — the table a curation pipeline reads to
+    pick its cut. All counts are exact integers; the derived ratios
+    are single divisions of those integers (identical in any IEEE
+    engine); zero-denominator points report null (ANSI-safe).
+
+    One pass: the |thresholds|-row relation is broadcast-crossed with
+    the scored corpus and reduced by ONE map-side-combined
+    aggregation of <= |thresholds| rows.
+
+    Returns: (threshold double, tp, fp, fn, tn long, precision,
+    recall, f1 double 9 dp), ordered by threshold.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    spark = df.sparkSession
+    th = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    pred = F.col(prob_col) >= F.col("threshold")
+    pos = F.col(label_col)
+    agg = (
+        df.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pred & pos, 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(pred & ~pos, 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~pred & pos, 1).otherwise(0)).alias("fn"),
+            F.sum(F.when(~pred & ~pos, 1).otherwise(0)).alias("tn"),
+        )
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    )
+    return agg.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round(precision, 9).alias("precision"),
+        F.round(recall, 9).alias("recall"),
+        F.round(f1, 9).alias("f1"),
+    ).orderBy("threshold")

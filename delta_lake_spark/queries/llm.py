@@ -6023,7 +6023,74 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+def q212_threshold_sweep(spark, sf_dir):
+    """Operating-point sweep of the quality classifier: confusion
+    counts and precision/recall/F1 at five keep-thresholds against
+    the lang='en' slice — exact integer counts, single-division
+    ratios. One broadcast-crossed aggregation of 5 rows. The oracle
+    replays the classifier and every confusion cell."""
+    from ..operators.stats import threshold_sweep
+    from ..operators.text import hashed_linear_score
+
+    docs = _docs(spark, sf_dir)
+    scored = hashed_linear_score(docs, "text", "doc_id").join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("__pos")),
+        "doc_id",
+    )
+    return threshold_sweep(scored, "prob", "__pos")
+
+
+_Q212_SQL = """
+WITH weights AS (
+  SELECT CAST(i AS INTEGER) AS bucket,
+    CAST(CAST('0x' || substr(md5('qclf-v1-w' || CAST(i AS VARCHAR)), 1, 8)
+         AS BIGINT) % 2001 - 1000 AS BIGINT) AS weight_milli
+  FROM UNNEST(range(0, 4096)) AS t(i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substr(md5('qclf-v1' || tok), 1, 8) AS BIGINT) % 4096
+         AS INTEGER) AS b
+  FROM (
+    SELECT doc_id, unnest([x FOR x IN
+      string_split_regex(lower(trim(text)), '\\s+') IF x <> '']) AS tok
+    FROM documents
+  )
+),
+agg AS (
+  SELECT doc_id, SUM(weight_milli) AS s, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks JOIN weights ON b = bucket
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-(s / (n_tokens * 1000.0)))), 9) AS prob,
+         d.lang = 'en' AS pos
+  FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+),
+cm AS (
+  SELECT t.threshold,
+    SUM(CASE WHEN prob >= t.threshold AND pos THEN 1 ELSE 0 END) AS tp,
+    SUM(CASE WHEN prob >= t.threshold AND NOT pos THEN 1 ELSE 0 END) AS fp,
+    SUM(CASE WHEN prob < t.threshold AND pos THEN 1 ELSE 0 END) AS fn,
+    SUM(CASE WHEN prob < t.threshold AND NOT pos THEN 1 ELSE 0 END) AS tn
+  FROM scored CROSS JOIN (
+    SELECT unnest(CAST([0.3, 0.45, 0.5, 0.55, 0.7] AS DOUBLE[]))
+      AS threshold) t
+  GROUP BY t.threshold
+)
+SELECT threshold,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+  ROUND(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END, 9) AS precision,
+  ROUND(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END, 9) AS recall,
+  ROUND(CASE WHEN 2 * tp + fp + fn > 0
+             THEN 2 * tp * 1.0 / (2 * tp + fp + fn) END, 9) AS f1
+FROM cm ORDER BY threshold
+"""
+
+
 QUERIES = {
+    "q212_threshold_sweep": q212_threshold_sweep,
     "q211_classifier_calibration": q211_classifier_calibration,
     "q210_classifier_auc": q210_classifier_auc,
     "q208_containment_pairs": q208_containment_pairs,
@@ -6131,6 +6198,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q212_threshold_sweep": _Q212_SQL,
     "q211_classifier_calibration": _Q211_SQL,
     "q210_classifier_auc": _Q210_SQL,
     "q208_containment_pairs": _Q208_SQL,

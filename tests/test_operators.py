@@ -4249,3 +4249,24 @@ def test_calibration_bins_edges_and_rates(spark):
     assert out[9].n == 1 and out[9].pos_rate == 0.0
     with _pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "prob", "pos", n_bins=0)
+
+
+def test_threshold_sweep_confusion_cells(spark):
+    """Known confusion table at two thresholds; null ratios for empty
+    denominators; validation."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.stats import threshold_sweep
+
+    rows = [(0.9, True), (0.8, False), (0.4, True), (0.1, False)]
+    df = spark.createDataFrame(rows, "prob double, pos boolean")
+    out = {r.threshold: r for r in
+           threshold_sweep(df, "prob", "pos", thresholds=(0.5, 0.95)).collect()}
+    t = out[0.5]
+    assert (t.tp, t.fp, t.fn, t.tn) == (1, 1, 1, 1)
+    assert t.precision == 0.5 and t.recall == 0.5 and t.f1 == 0.5
+    h = out[0.95]
+    assert (h.tp, h.fp, h.fn, h.tn) == (0, 0, 2, 2)
+    assert h.precision is None and h.recall == 0.0 and h.f1 == 0.0
+    with _pytest.raises(ValueError, match="thresholds"):
+        threshold_sweep(df, "prob", "pos", thresholds=())

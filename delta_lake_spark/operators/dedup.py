@@ -1844,3 +1844,66 @@ def containment_pairs(
             F.round("__c", 6).alias("containment"),
         )
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    test_pred: Column,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Contamination-aware holdout split: rows matching ``test_pred``
+    become the TEST set only if no TRAIN document is a near-duplicate
+    (word-``n``-gram jaccard >= ``threshold``); contaminated
+    candidates are QUARANTINED — kept out of test so evaluation
+    doesn't grade the model on training data, and out of train so the
+    split stays reproducible when re-derived (Lee et al. 2022 §6
+    measure the dedup-test-leakage effect this detects).
+
+    The pair join is q31's inverted-index shape with one side
+    pre-filtered to the candidate slice (|test| << |corpus|, so the
+    join is an order of magnitude cheaper than full near-dup); the
+    jaccard is an exact integer ratio.
+
+    Returns: (id_col, split in {'train','test','quarantined'}).
+    """
+    sh = word_shingles(df, text_col, id_col, n=n)
+    ids = df.select(F.col(id_col), test_pred.alias("__cand"))
+    sh_flagged = sh.join(ids, id_col)
+    sh_test = sh_flagged.filter(F.col("__cand")).select(
+        F.col(id_col).alias("__t"), "shingle"
+    )
+    sh_train = sh_flagged.filter(~F.col("__cand")).select(
+        F.col(id_col).alias("__r"), F.col("shingle").alias("__s2")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+    inter = (
+        sh_test.join(sh_train, sh_test["shingle"] == sh_train["__s2"])
+        .groupBy("__t", "__r")
+        .agg(F.count("*").alias("__i"))
+    )
+    st = sizes.select(F.col(id_col).alias("__t"), F.col("__n").alias("__nt"))
+    sr = sizes.select(F.col(id_col).alias("__r"), F.col("__n").alias("__nr"))
+    leaked = (
+        inter.join(st, "__t")
+        .join(sr, "__r")
+        .filter(
+            F.col("__i")
+            / (F.col("__nt") + F.col("__nr") - F.col("__i"))
+            >= threshold
+        )
+        .select(F.col("__t").alias("__leaked"))
+        .distinct()
+    )
+    out = ids.join(
+        leaked, ids[id_col] == leaked["__leaked"], "left"
+    ).select(
+        F.col(id_col),
+        F.when(~F.col("__cand"), F.lit("train"))
+        .when(F.col("__leaked").isNotNull(), F.lit("quarantined"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return out

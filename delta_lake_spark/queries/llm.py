@@ -6089,7 +6089,54 @@ FROM cm ORDER BY threshold
 """
 
 
+def q213_leakage_free_split(spark, sf_dir):
+    """Contamination-aware holdout: every 10th doc is a test
+    candidate, but candidates with a 3-gram-jaccard >= 0.6 near-dup in
+    the train remainder are QUARANTINED (Lee et al. 2022's
+    dedup-test-leakage effect). q31's inverted-index pair join with
+    the candidate-filtered side; exact integer jaccard. The oracle
+    replays shingles, the cross-split intersection, and the
+    three-way labeling."""
+    from ..operators.dedup import leakage_free_split
+
+    return leakage_free_split(
+        _docs(spark, sf_dir), "text", "doc_id",
+        F.col("doc_id") % 10 == 0, n=3, threshold=0.6,
+    )
+
+
+_Q213_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS tid, r.doc_id AS rid, COUNT(*) AS i
+  FROM sh t JOIN sh r ON t.shingle = r.shingle
+  WHERE t.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+  GROUP BY 1, 2
+),
+leaked AS (
+  SELECT DISTINCT tid FROM inter
+  JOIN sizes st ON tid = st.doc_id
+  JOIN sizes sr ON rid = sr.doc_id
+  WHERE i * 1.0 / (st.n + sr.n - i) >= 0.6
+)
+SELECT d.doc_id,
+  CASE WHEN d.doc_id % 10 <> 0 THEN 'train'
+       WHEN l.tid IS NOT NULL THEN 'quarantined'
+       ELSE 'test' END AS split
+FROM documents d LEFT JOIN leaked l ON d.doc_id = l.tid
+"""
+
+
 QUERIES = {
+    "q213_leakage_free_split": q213_leakage_free_split,
     "q212_threshold_sweep": q212_threshold_sweep,
     "q211_classifier_calibration": q211_classifier_calibration,
     "q210_classifier_auc": q210_classifier_auc,
@@ -6198,6 +6245,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q213_leakage_free_split": _Q213_SQL,
     "q212_threshold_sweep": _Q212_SQL,
     "q211_classifier_calibration": _Q211_SQL,
     "q210_classifier_auc": _Q210_SQL,

@@ -4270,3 +4270,32 @@ def test_threshold_sweep_confusion_cells(spark):
     assert h.precision is None and h.recall == 0.0 and h.f1 == 0.0
     with _pytest.raises(ValueError, match="thresholds"):
         threshold_sweep(df, "prob", "pos", thresholds=())
+
+
+def test_leakage_free_split_quarantine(spark):
+    """A test candidate that near-duplicates a train doc is
+    quarantined; a clean candidate stays test; train rows are never
+    quarantined regardless of duplication."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.dedup import leakage_free_split
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (10, base),                       # candidate, dup of 11
+            (11, base),                       # train twin
+            (20, "totally novel heldout text about nothing shared"),
+            (21, "regular train document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.split
+        for r in leakage_free_split(
+            docs, "text", "doc_id", F.col("doc_id") % 10 == 0
+        ).collect()
+    }
+    assert out[10] == "quarantined"
+    assert out[20] == "test"
+    assert out[11] == "train" and out[21] == "train"

@@ -1,30 +1,43 @@
 """Large-scale data-pipeline operators beyond the reference surface:
-deduplication, similarity search, text analysis, multimodal columns.
+deduplication, similarity search, text analysis, graph algorithms,
+evaluation metrics, multimodal columns.
 
 All operators are (DataFrame, ...) -> DataFrame compositions of built-in
 pyspark.sql.functions (JVM-side, whole-stage-codegen friendly); Python
 touches data only in the explicitly-marked pandas-UDF paths
-(multimodal decode), batched via Arrow.
+(multimodal decode, BLAS cosine), batched via Arrow.
 """
 
 from .dedup import (
+    containment_pairs,
     exact_dedup,
+    leakage_free_split,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     resolve_duplicate_clusters,
     simhash_pairs,
+    tfidf_cosine_pairs,
     winnow_dup_pairs,
     winnow_fingerprints,
     word_shingles,
 )
 from .graph import label_propagation, pagerank
-from .similarity import cosine_topk, ivf_topk, lsh_ann_pairs
+from .retrieval import hybrid_search_rrf, phrase_search
+from .similarity import (
+    cosine_topk,
+    ivf_topk,
+    knn_label_transfer,
+    lsh_ann_pairs,
+    standardize_embeddings,
+)
+from .stats import auc_score, calibration_bins, threshold_sweep
 from .tokenizer import bpe_encode, train_bpe_merges
 from .text import (
     build_vocabulary,
     dedup_segments,
     dsir_importance,
     hashed_linear_score,
+    hashed_text_embedding,
     chunk_documents,
     fingerprint,
     lang_id,
@@ -65,4 +78,15 @@ __all__ = [
     "label_propagation",
     "dedup_segments",
     "dsir_importance",
+    "hashed_text_embedding",
+    "tfidf_cosine_pairs",
+    "containment_pairs",
+    "leakage_free_split",
+    "phrase_search",
+    "hybrid_search_rrf",
+    "knn_label_transfer",
+    "standardize_embeddings",
+    "auc_score",
+    "calibration_bins",
+    "threshold_sweep",
 ]

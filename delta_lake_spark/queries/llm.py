@@ -6135,7 +6135,112 @@ FROM documents d LEFT JOIN leaked l ON d.doc_id = l.tid
 """
 
 
+def q214_text_lsh_pipeline(spark, sf_dir):
+    """END-TO-END cheap semantic near-dup over raw text: documents ->
+    feature-hashed 32-d embeddings (q205's operator, unrounded) ->
+    random-hyperplane LSH candidate pairs -> exact cosine verify at
+    0.8 (q35's operator at dim=32) — the text-to-ANN bridge running
+    as one pipeline, the way a 100 TB dedup tier would actually
+    compose them. The oracle replays hashing, normalization, every
+    plane sign bit, banding, the bucket-size guard, and the verify
+    cosine."""
+    from ..operators.similarity import lsh_ann_pairs
+    from ..operators.text import hashed_text_embedding
+
+    emb = hashed_text_embedding(_docs(spark, sf_dir), "text", "doc_id", dim=32)
+    pairs = lsh_ann_pairs(
+        emb, id_col="doc_id", vec_col="embedding",
+        dim=32, n_planes=16, bands=4, seed=42, threshold=0.95,
+    )
+    return pairs.select("id_1", "id_2", F.round("sim", 6).alias("sim"))
+
+
+def _gen_q214_sql(
+    dim: int = 32, n_planes: int = 16, bands: int = 4, seed: int = 42,
+    threshold: float = 0.95, max_bucket_size: int = 1000,
+) -> str:
+    """q35's LSH replica over the q205 hashed-embedding derivation
+    (UNROUNDED components — the operator pipeline never rounds; the
+    integer bucket sums and the identical norm division make every
+    component bit-equal across engines anyway)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    bit_exprs = ",\n    ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]) > 0 THEN '1' ELSE '0' END AS bit{i}"
+        for i, p in enumerate(planes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, {key} AS key FROM bits".format(
+            b=bi,
+            key="||".join(f"bit{bi * width + j}" for j in range(width)),
+        )
+        for bi in range(bands)
+    )
+    cos = (
+        "list_dot_product(v1.v, v2.v) / (sqrt(list_dot_product(v1.v, v1.v))"
+        " * sqrt(list_dot_product(v2.v, v2.v)))"
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(
+    [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> '']
+  ) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {dim} AS b,
+    CASE WHEN CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 = 0
+         THEN 1.0 ELSE -1.0 END AS s
+  FROM tok
+),
+sums AS (SELECT doc_id, b, SUM(s) AS c FROM h GROUP BY doc_id, b),
+dense AS (
+  SELECT d.doc_id, j.j AS dm, COALESCE(c, 0.0) AS c
+  FROM (SELECT DISTINCT doc_id FROM sums) d
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j
+  LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.b = j.j
+),
+nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nm FROM dense GROUP BY doc_id),
+v AS (
+  SELECT dense.doc_id AS vec_id,
+    list(CASE WHEN nm > 0 THEN c / nm ELSE 0.0 END ORDER BY dm) AS v
+  FROM dense JOIN nrm ON dense.doc_id = nrm.doc_id
+  GROUP BY dense.doc_id, nm
+),
+bits AS (
+  SELECT vec_id, v,
+    {bit_exprs}
+  FROM v
+),
+banded AS (
+  {band_rows}
+),
+sized AS (
+  SELECT vec_id, band, key, COUNT(*) OVER (PARTITION BY band, key) AS n FROM banded
+),
+ok AS (SELECT vec_id, band, key FROM sized WHERE n > 1 AND n <= {max_bucket_size}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM ok a JOIN ok b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_1, c.id_2, {cos} AS sim
+  FROM cand c JOIN v v1 ON v1.vec_id = c.id_1 JOIN v v2 ON v2.vec_id = c.id_2
+)
+SELECT id_1, id_2, ROUND(sim, 6) AS sim FROM scored WHERE sim >= {threshold}
+"""
+
+
+_Q214_SQL = _gen_q214_sql()
+
+
 QUERIES = {
+    "q214_text_lsh_pipeline": q214_text_lsh_pipeline,
     "q213_leakage_free_split": q213_leakage_free_split,
     "q212_threshold_sweep": q212_threshold_sweep,
     "q211_classifier_calibration": q211_classifier_calibration,
@@ -6245,6 +6350,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q214_text_lsh_pipeline": _Q214_SQL,
     "q213_leakage_free_split": _Q213_SQL,
     "q212_threshold_sweep": _Q212_SQL,
     "q211_classifier_calibration": _Q211_SQL,

@@ -1851,3 +1851,66 @@ def hashed_text_embedding(
         lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
     )
     return comps.select(F.col(id_col), emb.alias("embedding"))
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf rank-frequency diagnostics: least-squares slope of
+    ln(frequency) on ln(rank) over the corpus vocabulary — natural
+    text sits near -1; a slope collapsing toward 0 flags synthetic or
+    template-heavy data, one of the quick corpus-health checks run
+    before training. Ranks tie-break by token so the fit is
+    deterministic.
+
+    Scale shape: one vocab aggregation (map-side combined), one
+    row_number window over the VOCABULARY-sized relation (bounded by
+    distinct tokens, not corpus rows), one 1-row moment aggregate.
+
+    Returns one row: (slope, intercept double 9 dp, n_types,
+    n_tokens long). Null slope when fewer than 2 types.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.expr(
+                f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+                " x -> x != '')"
+            )
+        ).alias("__tok")
+    )
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+    )
+    w = Window.orderBy(F.col("__c").desc(), F.col("__tok").asc())
+    xy = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__x"),
+        F.log(F.col("__c").cast("double")).alias("__y"),
+        F.col("__c").alias("__cnt"),
+    )
+    m = xy.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum("__cnt").cast("long").alias("n_tokens"),
+    )
+    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        (F.col("__n") >= 2) & (denom != 0),
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        / denom,
+    )
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__n")
+    return m.select(
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.col("__n").cast("long").alias("n_types"),
+        F.col("n_tokens"),
+    )

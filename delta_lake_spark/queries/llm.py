@@ -6239,7 +6239,119 @@ SELECT id_1, id_2, ROUND(sim, 6) AS sim FROM scored WHERE sim >= {threshold}
 _Q214_SQL = _gen_q214_sql()
 
 
+def q215_zipf_slope(spark, sf_dir):
+    """Corpus-health diagnostics: least-squares ln(freq)-on-ln(rank)
+    slope over the whole vocabulary (natural text ~ -1; the
+    template-heavy synthetic corpus reads shallower). The rank window
+    runs on the vocabulary-sized relation; the oracle replays ranks,
+    logs, and the moment formula."""
+    from ..operators.text import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), "text")
+
+
+_Q215_SQL = r"""
+WITH toks AS (
+  SELECT unnest(
+    [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> '']
+  ) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+xy AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y, c
+  FROM vocab
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM xy
+)
+SELECT
+  ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 9) AS slope,
+  ROUND((sy - (CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx) / n, 9)
+    AS intercept,
+  CAST(n AS BIGINT) AS n_types, n_tokens
+FROM m
+"""
+
+
+def q216_cross_source_dup_matrix(spark, sf_dir):
+    """Provenance diagnostics: the near-dup pair set (q31 semantics,
+    jaccard >= 0.6) rolled up into a source x source duplication
+    matrix — which feeds copy which is the first question a curation
+    owner asks when dedup rates spike. Canonical (least, greatest)
+    source ordering; mean jaccard from micro-integer sums of the
+    6-dp pair values (no float-mean half-ulp risk)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    src = docs.select("doc_id", "source")
+    s1 = src.select(
+        F.col("doc_id").alias("id_1"), F.col("source").alias("__s1")
+    )
+    s2 = src.select(
+        F.col("doc_id").alias("id_2"), F.col("source").alias("__s2")
+    )
+    micro = F.round(F.col("jaccard") * 1e6).cast("long")
+    return (
+        pairs.join(s1, "id_1")
+        .join(s2, "id_2")
+        .groupBy(
+            F.least("__s1", "__s2").alias("source_a"),
+            F.greatest("__s1", "__s2").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum(micro) / (F.count("*") * 1e6), 9).alias(
+                "mean_jaccard"
+            ),
+        )
+    )
+
+
+_Q216_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2, ROUND(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = id_1
+  JOIN sizes s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+)
+SELECT least(d1.source, d2.source) AS source_a,
+       greatest(d1.source, d2.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(CAST(ROUND(jaccard * 1e6) AS BIGINT))
+             / (COUNT(*) * 1e6), 9) AS mean_jaccard
+FROM pairs
+JOIN documents d1 ON id_1 = d1.doc_id
+JOIN documents d2 ON id_2 = d2.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "q216_cross_source_dup_matrix": q216_cross_source_dup_matrix,
+    "q215_zipf_slope": q215_zipf_slope,
     "q214_text_lsh_pipeline": q214_text_lsh_pipeline,
     "q213_leakage_free_split": q213_leakage_free_split,
     "q212_threshold_sweep": q212_threshold_sweep,
@@ -6350,6 +6462,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q216_cross_source_dup_matrix": _Q216_SQL,
+    "q215_zipf_slope": _Q215_SQL,
     "q214_text_lsh_pipeline": _Q214_SQL,
     "q213_leakage_free_split": _Q213_SQL,
     "q212_threshold_sweep": _Q212_SQL,

@@ -111,3 +111,56 @@ def retention_cohorts(
         )
         .agg(F.count("*").cast("long").alias("n_active"))
     )
+
+
+def hourly_rate_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Event-rate anomaly flags: hourly counts per type z-scored
+    against that type's own distribution (population moments from
+    exact integer count sums — mean/var/z are then identical in any
+    IEEE engine), flagging hours with |z| >= ``z_threshold`` — the
+    ingestion-observability check that catches a collapsed producer
+    or a replay storm before it poisons training data.
+
+    Scale shape: one (type, hour) count aggregation, one type-keyed
+    moment aggregate (|types| rows, broadcast back), a map-only flag.
+
+    Returns: (event_type, hour timestamp, n long, z double 9 dp) for
+    flagged hours only. Types with zero variance never flag (their
+    every hour is the mean).
+    """
+    if z_threshold <= 0:
+        raise ValueError(f"z_threshold must be > 0, got {z_threshold}")
+    hourly = df.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("__k"),
+        F.sum("n").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).alias("__ss"),
+    )
+    mean = F.col("__s") / F.col("__k")
+    var = F.col("__ss") / F.col("__k") - mean * mean
+    enriched = hourly.join(
+        F.broadcast(
+            stats.select(
+                F.col("event_type").alias("__t"), mean.alias("__m"),
+                var.alias("__v"),
+            )
+        ),
+        F.col("event_type") == F.col("__t"),
+    )
+    z = (F.col("n") - F.col("__m")) / F.sqrt(F.col("__v"))
+    return (
+        enriched.filter(F.col("__v") > 0)
+        .select(
+            "event_type", "hour", F.col("n").cast("long").alias("n"),
+            F.round(z, 9).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_threshold)
+    )

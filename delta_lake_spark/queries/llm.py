@@ -6349,7 +6349,37 @@ GROUP BY 1, 2
 """
 
 
+def q217_event_rate_anomalies(spark, sf_dir):
+    """Ingestion observability: hourly event counts per type z-scored
+    against that type's own distribution (exact integer moment sums),
+    flagging |z| >= 2 hours — the collapsed-producer / replay-storm
+    check. The oracle replays bucketing, moments, and the flag."""
+    from ..operators.events import hourly_rate_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hourly_rate_anomalies(ev, "ts", "event_type", z_threshold=2.0)
+
+
+_Q217_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS k,
+         SUM(n) AS s, SUM(n * n) AS ss
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour, CAST(h.n AS BIGINT) AS n,
+  ROUND((h.n - s / k) / sqrt(ss / k - (s / k) * (s / k)), 9) AS z
+FROM hourly h JOIN stats t ON h.event_type = t.event_type
+WHERE ss / k - (s / k) * (s / k) > 0
+  AND abs((h.n - s / k) / sqrt(ss / k - (s / k) * (s / k))) >= 2.0
+"""
+
+
 QUERIES = {
+    "q217_event_rate_anomalies": q217_event_rate_anomalies,
     "q216_cross_source_dup_matrix": q216_cross_source_dup_matrix,
     "q215_zipf_slope": q215_zipf_slope,
     "q214_text_lsh_pipeline": q214_text_lsh_pipeline,
@@ -6462,6 +6492,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q217_event_rate_anomalies": _Q217_SQL,
     "q216_cross_source_dup_matrix": _Q216_SQL,
     "q215_zipf_slope": _Q215_SQL,
     "q214_text_lsh_pipeline": _Q214_SQL,

@@ -4299,3 +4299,28 @@ def test_leakage_free_split_quarantine(spark):
     assert out[10] == "quarantined"
     assert out[20] == "test"
     assert out[11] == "train" and out[21] == "train"
+
+
+def test_hourly_rate_anomalies_flags_spike(spark):
+    """A spike hour flags with the right z; constant-rate types never
+    flag (zero variance); threshold validates."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.events import hourly_rate_anomalies
+
+    rows = []
+    # type 'a': hours 0-3 with counts 1,1,1,9 -> mean 3, var 12
+    for h, c in enumerate([1, 1, 1, 9]):
+        rows += [(datetime(2024, 1, 1, h, 5), "a")] * c
+    # type 'b': constant 2 per hour -> zero variance, never flags
+    for h in range(4):
+        rows += [(datetime(2024, 1, 1, h, 5), "b")] * 2
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = hourly_rate_anomalies(df, z_threshold=1.5).collect()
+    assert [r.event_type for r in out] == ["a"]
+    assert out[0].n == 9
+    assert abs(out[0].z - 6.0 / (12 ** 0.5)) < 1e-9
+    with _pytest.raises(ValueError, match="z_threshold"):
+        hourly_rate_anomalies(df, z_threshold=0)

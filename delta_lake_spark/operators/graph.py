@@ -34,16 +34,22 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 2,
     strategy: str = "auto",
+    teleport: DataFrame | None = None,
+    teleport_node_col: str = "node",
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges count as
     parallel edges: they add weight, exactly like the SQL oracle's
     SUM over the raw edge relation).
 
-    rank_0(v) = 1/N;
-    rank_{k+1}(v) = (1-d)/N + d * (sum_{u->v} rank_k(u)/outdeg(u)
-                                   + dangling_mass_k / N)
+    rank_0(v) = t(v);
+    rank_{k+1}(v) = (1-d)*t(v) + d * (sum_{u->v} rank_k(u)/outdeg(u)
+                                      + dangling_mass_k * t(v))
 
-    Dangling nodes (outdeg 0) redistribute their mass uniformly — the
+    where the teleport distribution t is uniform 1/N by default
+    (classic PageRank) or, when ``teleport`` names a seed set, uniform
+    over the seeds present in the graph and 0 elsewhere — PERSONALIZED
+    PageRank (Haveliwala 2002), the influence/recommendation variant.
+    Dangling nodes (outdeg 0) redistribute their mass along t — the
     standard stochastic-matrix completion, so sum(rank) stays 1.
 
     ``strategy``: 'driver' (in-memory power iteration), 'distributed'
@@ -82,16 +88,29 @@ def pagerank(
         ).persist(),
         "pagerank",
     )
+    seeds = None
+    if teleport is not None:
+        seeds = register_persisted(
+            teleport.select(
+                F.col(teleport_node_col).alias("node")
+            ).distinct().persist(),
+            "pagerank",
+        )
     if strategy == "auto":
         m = e.count()
         strategy = "driver" if m <= _DRIVER_EDGE_BOUND else "distributed"
     if strategy == "driver":
-        return _pagerank_driver(e, iterations, damping)
-    return _pagerank_distributed(e, iterations, damping, checkpoint_every)
+        return _pagerank_driver(e, iterations, damping, seeds)
+    return _pagerank_distributed(
+        e, iterations, damping, checkpoint_every, seeds
+    )
 
 
 def _pagerank_driver(
-    e: DataFrame, iterations: int, damping: float
+    e: DataFrame,
+    iterations: int,
+    damping: float,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Classic power iteration on the collected edge list (bounded by
     the auto-strategy contract). The edge list crosses to Python as
@@ -118,20 +137,33 @@ def _pagerank_driver(
     np.add.at(deg, src, 1.0)
     dangling = deg == 0.0
     safe_deg = np.where(dangling, 1.0, deg)
-    rank = np.full(n, 1.0 / n, dtype=np.float64)
-    base = (1.0 - damping) / n
+    if seeds is None:
+        t = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        idx = {v: i for i, v in enumerate(uniques)}
+        hit = [idx[r.node] for r in seeds.collect() if r.node in idx]
+        if not hit:
+            raise ValueError("no teleport seed appears in the graph")
+        t = np.zeros(n, dtype=np.float64)
+        t[hit] = 1.0 / len(hit)
+    rank = t.copy()
+    base = (1.0 - damping) * t
     for _ in range(iterations):
         per_edge = rank / safe_deg
         contrib = np.zeros(n, dtype=np.float64)
         np.add.at(contrib, dst, per_edge[src])
         dm = float(rank[dangling].sum()) if dangling.any() else 0.0
-        rank = base + damping * (contrib + dm / float(n))
+        rank = base + damping * (contrib + dm * t)
     out = pd.DataFrame({"node": uniques, "rank": rank})
     return e.sparkSession.createDataFrame(out)
 
 
 def _pagerank_distributed(
-    e: DataFrame, iterations: int, damping: float, checkpoint_every: int
+    e: DataFrame,
+    iterations: int,
+    damping: float,
+    checkpoint_every: int,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     nodes = register_persisted(
         e.select(F.col("src").alias("node"))
@@ -141,6 +173,31 @@ def _pagerank_distributed(
         "pagerank",
     )
     n = nodes.count()  # the one driver scalar (parameterizes the formula)
+    if seeds is not None:
+        # teleport column t(v): 1/|seeds in graph| on seeds, 0 elsewhere
+        in_graph = register_persisted(
+            nodes.join(seeds, "node", "left_semi").persist(), "pagerank"
+        )
+        s_count = in_graph.count()
+        if s_count == 0:
+            raise ValueError("no teleport seed appears in the graph")
+        nodes = register_persisted(
+            nodes.join(
+                in_graph.select(F.col("node").alias("__sn")),
+                nodes["node"] == F.col("__sn"),
+                "left",
+            )
+            .select(
+                "node",
+                F.when(
+                    F.col("__sn").isNotNull(), F.lit(1.0 / s_count)
+                ).otherwise(F.lit(0.0)).alias("__t"),
+            )
+            .persist(),
+            "pagerank",
+        )
+    else:
+        nodes = nodes.select("node", F.lit(1.0 / n).alias("__t"))
     outdeg = register_persisted(
         e.groupBy("src")
         .agg(F.count("*").cast("double").alias("deg"))
@@ -162,8 +219,8 @@ def _pagerank_distributed(
         .count()
         > 0
     )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.col("__t").alias("rank"))
+    one_minus_d = 1.0 - damping
     for k in range(iterations):
         contrib = (
             weighted.join(ranks, weighted["src"] == ranks["node"])
@@ -180,11 +237,11 @@ def _pagerank_distributed(
                 outdeg, ranks["node"] == outdeg["src"], "left_anti"
             ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             next_ranks = next_ranks.crossJoin(F.broadcast(dangling))
-            redistributed = F.col("__dm") / F.lit(float(n))
+            redistributed = F.col("__dm") * F.col("__t")
         ranks = next_ranks.select(
             "node",
             (
-                F.lit(base)
+                F.lit(one_minus_d) * F.col("__t")
                 + F.lit(damping)
                 * (F.coalesce(F.col("__contrib"), F.lit(0.0)) + redistributed)
             ).alias("rank"),

@@ -6378,7 +6378,101 @@ WHERE ss / k - (s / k) * (s / k) > 0
 """
 
 
+_PPR_ITERATIONS = 4
+
+
+def q218_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (Haveliwala 2002): teleport mass confined
+    to region-0 customers on the trade graph — 'which suppliers does
+    this region's demand actually reach' — the influence/
+    recommendation variant of q199, same fixpoint machinery with a
+    seed-uniform teleport vector. Top 15 suppliers by rounded rank.
+    The oracle unrolls the identical 4 damped iterations with the
+    teleport CASE inlined."""
+    from ..operators.graph import pagerank
+
+    edges = _trade_edges(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    seeds = (
+        customer.join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ranks = pagerank(
+            edges, iterations=_PPR_ITERATIONS, damping=0.85, teleport=seeds
+        )
+        out = (
+            ranks.filter(F.col("node").startswith("s"))
+            .select("node", F.round("rank", 9).alias("rank"))
+            .orderBy(F.col("rank").desc(), "node")
+            .limit(15)
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def _q218_sql() -> str:
+    prev = "r0"
+    iters = []
+    for k in range(1, _PPR_ITERATIONS + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT tt.node, 0.15 * tt.t + 0.85 * COALESCE(c.contrib, 0) AS rank
+  FROM t tt
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank / o.deg) AS contrib
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    JOIN outdeg o ON e.src = o.node
+    GROUP BY e.dst
+  ) c USING (node))""")
+        prev = f"r{k}"
+    return (
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst AS node FROM edges),
+outdeg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+           FROM edges GROUP BY src),
+seeds AS (
+  SELECT DISTINCT 'c' || c_custkey AS node
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_regionkey = 0
+),
+sg AS (SELECT node FROM seeds WHERE node IN (SELECT node FROM nodes)),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM sg),
+t AS (
+  SELECT n.node,
+    CASE WHEN sg.node IS NOT NULL THEN 1.0 / sc.s ELSE 0.0 END AS t
+  FROM nodes n CROSS JOIN sc LEFT JOIN sg ON n.node = sg.node
+),
+r0 AS (SELECT node, t AS rank FROM t),"""
+        + ",".join(iters)
+        + f"""
+SELECT node, ROUND(rank, 9) AS rank FROM {prev}
+WHERE node LIKE 's%'
+ORDER BY ROUND(rank, 9) DESC, node LIMIT 15
+"""
+    )
+
+
+_Q218_SQL = _q218_sql()
+
+
 QUERIES = {
+    "q218_personalized_pagerank": q218_personalized_pagerank,
     "q217_event_rate_anomalies": q217_event_rate_anomalies,
     "q216_cross_source_dup_matrix": q216_cross_source_dup_matrix,
     "q215_zipf_slope": q215_zipf_slope,
@@ -6492,6 +6586,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q218_personalized_pagerank": _Q218_SQL,
     "q217_event_rate_anomalies": _Q217_SQL,
     "q216_cross_source_dup_matrix": _Q216_SQL,
     "q215_zipf_slope": _Q215_SQL,

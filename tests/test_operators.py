@@ -4324,3 +4324,41 @@ def test_hourly_rate_anomalies_flags_spike(spark):
     assert abs(out[0].z - 6.0 / (12 ** 0.5)) < 1e-9
     with _pytest.raises(ValueError, match="z_threshold"):
         hourly_rate_anomalies(df, z_threshold=0)
+
+
+def test_personalized_pagerank_teleport(spark):
+    """Teleport mass confines rank to the seed's reachable set, the
+    driver and distributed strategies agree, mass is conserved, and an
+    off-graph seed set raises."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.graph import pagerank
+
+    # two disconnected cycles; seed in the first one only
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    drv = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, iterations=4, strategy="driver", teleport=seeds
+        ).collect()
+    }
+    dist = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, iterations=4, strategy="distributed", teleport=seeds
+        ).collect()
+    }
+    for v in drv:
+        assert abs(drv[v] - dist[v]) < 1e-12, v
+    assert drv["x"] == 0.0 and drv["y"] == 0.0  # unreachable component
+    assert drv["a"] > drv["b"] > 0  # teleport favors the seed
+    assert abs(sum(drv.values()) - 1.0) < 1e-9
+    ghost = spark.createDataFrame([("zz",)], "node string")
+    with _pytest.raises(ValueError, match="teleport seed"):
+        pagerank(edges, strategy="driver", teleport=ghost)
+    with _pytest.raises(ValueError, match="teleport seed"):
+        pagerank(edges, strategy="distributed", teleport=ghost)

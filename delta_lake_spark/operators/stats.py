@@ -258,3 +258,63 @@ def threshold_sweep(
         F.round(recall, 9).alias("recall"),
         F.round(f1, 9).alias("f1"),
     ).orderBy("threshold")
+
+
+def auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group exact AUC (same tie-corrected Mann-Whitney arithmetic
+    as :func:`auc_score`, partitioned by ``group_col``) — the
+    per-domain / per-language fairness report that catches a quality
+    filter scoring one slice of the corpus well and another at coin
+    flip. Groups with a single class report null AUC but real counts.
+
+    The cumulative window partitions by group, so each group's ordered
+    scan is independent and bounded by ITS score granularity; the rest
+    is two grouped aggregations.
+
+    Returns: (group_col, auc double 9 dp, n_pos long, n_neg long),
+    one row per group.
+    """
+    from pyspark.sql import Window
+
+    pos = F.when(F.col(label_col), 1).otherwise(0)
+    g = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(score_col).alias("__s")
+    ).agg(
+        F.sum(pos).alias("__p"),
+        F.sum(1 - pos).alias("__n"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "__g",
+        "__p",
+        "__n",
+        F.coalesce(F.sum("__p").over(w), F.lit(0)).alias("__cp"),
+    )
+    num = c.groupBy("__g").agg(
+        F.sum(
+            2 * F.col("__cp") * F.col("__n") + F.col("__p") * F.col("__n")
+        ).alias("__num2x"),
+        F.sum("__p").alias("__P"),
+        F.sum("__n").alias("__N"),
+    )
+    defined = (F.col("__P") > 0) & (F.col("__N") > 0)
+    return num.select(
+        F.col("__g").alias(group_col),
+        F.when(
+            defined,
+            F.round(
+                F.col("__num2x") / (2.0 * F.col("__P") * F.col("__N")), 9
+            ),
+        ).alias("auc"),
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
+    )

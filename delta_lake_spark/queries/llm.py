@@ -6471,7 +6471,77 @@ ORDER BY ROUND(rank, 9) DESC, node LIMIT 15
 _Q218_SQL = _q218_sql()
 
 
+def q219_auc_by_source(spark, sf_dir):
+    """Per-source AUC of the quality classifier against the lang='en'
+    slice — the per-domain fairness report: a filter that ranks one
+    source well and another at coin flip shows up as a spread here
+    long before it skews the corpus. Same Mann-Whitney arithmetic as
+    q210, windows partitioned by source. Single-class sources report
+    null AUC with real counts."""
+    from ..operators.stats import auc_by_group
+    from ..operators.text import hashed_linear_score
+
+    docs = _docs(spark, sf_dir)
+    scored = hashed_linear_score(docs, "text", "doc_id").join(
+        docs.select(
+            "doc_id", "source", (F.col("lang") == "en").alias("__pos")
+        ),
+        "doc_id",
+    )
+    return auc_by_group(scored, "score", "__pos", "source")
+
+
+_Q219_SQL = """
+WITH weights AS (
+  SELECT CAST(i AS INTEGER) AS bucket,
+    CAST(CAST('0x' || substr(md5('qclf-v1-w' || CAST(i AS VARCHAR)), 1, 8)
+         AS BIGINT) % 2001 - 1000 AS BIGINT) AS weight_milli
+  FROM UNNEST(range(0, 4096)) AS t(i)
+),
+toks AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substr(md5('qclf-v1' || tok), 1, 8) AS BIGINT) % 4096
+         AS INTEGER) AS b
+  FROM (
+    SELECT doc_id, unnest([x FOR x IN
+      string_split_regex(lower(trim(text)), '\\s+') IF x <> '']) AS tok
+    FROM documents
+  )
+),
+agg AS (
+  SELECT doc_id, SUM(weight_milli) AS s, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks JOIN weights ON b = bucket
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT d.source, ROUND(s / (n_tokens * 1000.0), 9) AS score,
+         d.lang = 'en' AS pos
+  FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+),
+g AS (
+  SELECT source, score,
+    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS ng
+  FROM scored GROUP BY source, score
+),
+c AS (
+  SELECT source, p, ng,
+    COALESCE(SUM(p) OVER (PARTITION BY source ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+  FROM g
+)
+SELECT source,
+  ROUND(CASE WHEN SUM(p) > 0 AND SUM(ng) > 0
+        THEN SUM(2 * cp * ng + p * ng) / (2.0 * SUM(p) * SUM(ng)) END, 9)
+    AS auc,
+  CAST(SUM(p) AS BIGINT) AS n_pos,
+  CAST(SUM(ng) AS BIGINT) AS n_neg
+FROM c GROUP BY source
+"""
+
+
 QUERIES = {
+    "q219_auc_by_source": q219_auc_by_source,
     "q218_personalized_pagerank": q218_personalized_pagerank,
     "q217_event_rate_anomalies": q217_event_rate_anomalies,
     "q216_cross_source_dup_matrix": q216_cross_source_dup_matrix,
@@ -6586,6 +6656,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q219_auc_by_source": _Q219_SQL,
     "q218_personalized_pagerank": _Q218_SQL,
     "q217_event_rate_anomalies": _Q217_SQL,
     "q216_cross_source_dup_matrix": _Q216_SQL,

@@ -4362,3 +4362,20 @@ def test_personalized_pagerank_teleport(spark):
         pagerank(edges, strategy="driver", teleport=ghost)
     with _pytest.raises(ValueError, match="teleport seed"):
         pagerank(edges, strategy="distributed", teleport=ghost)
+
+
+def test_auc_by_group_isolation(spark):
+    """Each group's AUC is computed independently (a perfect group and
+    an inverted group coexist); single-class groups report null."""
+    from delta_lake_spark.operators.stats import auc_by_group
+
+    rows = [
+        ("good", 0.9, True), ("good", 0.1, False),
+        ("bad", 0.9, False), ("bad", 0.1, True),
+        ("mono", 0.5, True), ("mono", 0.6, True),
+    ]
+    df = spark.createDataFrame(rows, "src string, prob double, pos boolean")
+    out = {r.src: r for r in auc_by_group(df, "prob", "pos", "src").collect()}
+    assert out["good"].auc == 1.0
+    assert out["bad"].auc == 0.0
+    assert out["mono"].auc is None and out["mono"].n_pos == 2

@@ -1087,3 +1087,63 @@ def test_dsir_model_broadcasts_and_takeordered(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals fold
     assert "EvalPython" not in plan
+
+
+def test_tfidf_cosine_plan_discipline(spark):
+    """tf-idf pair scoring must broadcast the 1-row doc count, keep
+    Python out, and never go cartesian; the weight relation is
+    persisted (InMemoryTableScan) for its three consumers."""
+    from delta_lake_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(tfidf_cosine_pairs(docs, "text", "doc_id"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row ndocs fold
+    assert "InMemoryTableScan" in plan        # persisted weights reused
+
+
+def test_auc_windows_run_on_reduced_relations(spark):
+    """Both AUC variants must aggregate to the score-distinct relation
+    BEFORE any window (partial HashAggregate under the Window, no
+    corpus-wide row rank) and stay Python-free."""
+    from delta_lake_spark.operators.stats import auc_by_group, auc_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        (F.col("doc_id") % 100 / 100.0).alias("prob"),
+        (F.col("doc_id") % 3 == 0).alias("pos"),
+        F.col("source"),
+    )
+    for df in (
+        auc_score(docs, "prob", "pos"),
+        auc_by_group(docs, "prob", "pos", "source"),
+    ):
+        plan = _plan(df)
+        assert "EvalPython" not in plan
+        assert plan.index("HashAggregate") > plan.index("Window") or \
+            "HashAggregate" in plan.split("Window")[-1]
+
+
+def test_containment_and_leakage_no_cartesian(spark):
+    """The directional-containment and leakage-split pair joins must
+    stay equi-joins on the shingle key — never cartesian, never
+    Python."""
+    from delta_lake_spark.operators.dedup import (
+        containment_pairs,
+        leakage_free_split,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        containment_pairs(docs, "text", "doc_id"),
+        leakage_free_split(docs, "text", "doc_id", F.col("doc_id") % 10 == 0),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
+        # equi-join on the shingle key — AQE may pick broadcast at
+        # this tiny SF, sort-merge at scale; any of the three is fine
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )

@@ -30,7 +30,13 @@ from .similarity import (
     lsh_ann_pairs,
     standardize_embeddings,
 )
-from .stats import auc_score, calibration_bins, threshold_sweep
+from .events import hourly_rate_anomalies
+from .stats import (
+    auc_by_group,
+    auc_score,
+    calibration_bins,
+    threshold_sweep,
+)
 from .tokenizer import bpe_encode, train_bpe_merges
 from .text import (
     build_vocabulary,
@@ -38,6 +44,7 @@ from .text import (
     dsir_importance,
     hashed_linear_score,
     hashed_text_embedding,
+    zipf_slope,
     chunk_documents,
     fingerprint,
     lang_id,
@@ -87,6 +94,9 @@ __all__ = [
     "knn_label_transfer",
     "standardize_embeddings",
     "auc_score",
+    "auc_by_group",
     "calibration_bins",
     "threshold_sweep",
+    "zipf_slope",
+    "hourly_rate_anomalies",
 ]

@@ -6540,7 +6540,73 @@ FROM c GROUP BY source
 """
 
 
+def q220_dataset_card(spark, sf_dir):
+    """The one-row dataset datasheet a corpus release ships with:
+    volume (docs/tokens/sources), language share, exact-duplicate rate
+    (q30's whitespace-normalized identity), mean document length, and
+    type-token ratio — every number an exact count or an exact integer
+    ratio. Three bounded 1-row aggregates folded by broadcast cross
+    joins; the token stats are one explode-side aggregation."""
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(norm).alias("__nd"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("__en"),
+    )
+    toks = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')")
+        ).alias("__tok")
+    ).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("__tok").alias("n_types"),
+    )
+    return base.crossJoin(F.broadcast(toks)).select(
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        "n_sources",
+        F.round(F.col("__en") / F.col("n_docs"), 9).alias("pct_en"),
+        F.round(
+            (F.col("n_docs") - F.col("__nd")) / F.col("n_docs"), 9
+        ).alias("exact_dup_rate"),
+        F.round(F.col("n_tokens") / F.col("n_docs"), 9).alias(
+            "mean_doc_tokens"
+        ),
+        F.round(F.col("n_types") / F.col("n_tokens"), 9).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+_Q220_SQL = r"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    COUNT(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nd,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en
+  FROM documents
+),
+tk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
+  FROM (SELECT unnest(
+    [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> '']
+  ) AS t FROM documents)
+)
+SELECT n_docs, n_tokens, n_types, n_sources,
+  ROUND(en * 1.0 / n_docs, 9) AS pct_en,
+  ROUND((n_docs - nd) * 1.0 / n_docs, 9) AS exact_dup_rate,
+  ROUND(n_tokens * 1.0 / n_docs, 9) AS mean_doc_tokens,
+  ROUND(n_types * 1.0 / n_tokens, 9) AS type_token_ratio
+FROM base CROSS JOIN tk
+"""
+
+
 QUERIES = {
+    "q220_dataset_card": q220_dataset_card,
     "q219_auc_by_source": q219_auc_by_source,
     "q218_personalized_pagerank": q218_personalized_pagerank,
     "q217_event_rate_anomalies": q217_event_rate_anomalies,
@@ -6656,6 +6722,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q220_dataset_card": _Q220_SQL,
     "q219_auc_by_source": _Q219_SQL,
     "q218_personalized_pagerank": _Q218_SQL,
     "q217_event_rate_anomalies": _Q217_SQL,

@@ -1914,3 +1914,139 @@ def zipf_slope(
         F.col("__n").cast("long").alias("n_types"),
         F.col("n_tokens"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT
+    word ``n``-grams that appear in no other document — the
+    memorization-risk / boilerplate-burden diagnostic (a doc scoring
+    near 0 is assembled from corpus-common phrasing; near 1 it is the
+    sole source of its content). Complements repetition_ratio
+    (within-doc) and dedup_segments (removal): this one only scores.
+
+    One shingle doc-frequency aggregation + one doc rollup, both
+    map-side combined; ratios are exact integers. Documents shorter
+    than ``n`` words carry no n-gram evidence and are omitted.
+
+    Returns: (id_col, n_shingles long, n_unique long,
+    novelty double 9 dp).
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(df, text_col, id_col, n=n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    flagged = sh.join(freq, "shingle")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 9).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 4,
+    min_count: int = 20,
+    k: int = 40,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over a
+    sliding co-occurrence window (Church & Hanks 1990):
+
+        pmi(x, y) = ln( (c_xy / n_pairs) / ((c_x/n_tok) * (c_y/n_tok)) )
+
+    with c_xy counting UNORDERED occurrences of x and y within
+    ``window`` positions, a ``min_count`` support floor (PMI's
+    low-frequency pathology), and the top ``k`` by rounded PMI with a
+    pair tiebreak.
+
+    Scale shape: pair generation is MAP-ONLY (two shallow nested
+    transforms per row — never a positional self-join, which would
+    shuffle corpus x window rows); then one pair aggregation, two
+    broadcast unigram joins, 1-row totals, TakeOrdered.
+
+    Returns: (word_a, word_b, n_pair long, pmi double 9 dp).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    words = F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    pair_expr = (
+        "CASE WHEN size(__w) >= 2 THEN "
+        "flatten(transform(sequence(1, size(__w) - 1), "
+        f"i -> transform(sequence(1, least({window}, size(__w) - i)), "
+        "k -> concat(least(element_at(__w, i), element_at(__w, i + k)), ' ', "
+        "greatest(element_at(__w, i), element_at(__w, i + k))))))"
+        " ELSE cast(array() as array<string>) END"
+    )
+    staged = df.select(words.alias("__w"))
+    # ONE pass over the exploded pairs: the unfiltered (pair, count)
+    # relation is vocabulary^2-bounded, so totals and the floored set
+    # both derive from it without a second corpus scan
+    pairs_all = register_persisted(
+        staged.select(F.explode(F.expr(pair_expr)).alias("__pair"))
+        .groupBy("__pair")
+        .agg(F.count("*").alias("__cxy"))
+        .persist(),
+        "pmi",
+    )
+    pairs = pairs_all.filter(F.col("__cxy") >= min_count)
+    toks = staged.select(F.explode("__w").alias("__tok"))
+    uni = register_persisted(
+        toks.groupBy("__tok").agg(F.count("*").alias("__c")).persist(),
+        "pmi",
+    )
+    totals = pairs_all.agg(F.sum("__cxy").alias("__n_pairs")).crossJoin(
+        uni.agg(F.sum("__c").alias("__n_tok"))
+    )
+    split = pairs.select(
+        F.split(F.col("__pair"), " ")[0].alias("word_a"),
+        F.split(F.col("__pair"), " ")[1].alias("word_b"),
+        "__cxy",
+    )
+    ua = uni.select(F.col("__tok").alias("word_a"), F.col("__c").alias("__ca"))
+    ub = uni.select(F.col("__tok").alias("word_b"), F.col("__c").alias("__cb"))
+    scored = (
+        split.join(F.broadcast(ua), "word_a")
+        .join(F.broadcast(ub), "word_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "word_a",
+            "word_b",
+            F.col("__cxy").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("__cxy") / F.col("__n_pairs"))
+                    / (
+                        (F.col("__ca") / F.col("__n_tok"))
+                        * (F.col("__cb") / F.col("__n_tok"))
+                    )
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "word_a", "word_b"
+    ).limit(k)

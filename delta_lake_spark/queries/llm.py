@@ -6605,7 +6605,91 @@ FROM base CROSS JOIN tk
 """
 
 
+def q221_ngram_novelty(spark, sf_dir):
+    """Memorization-risk diagnostic: per-doc fraction of distinct
+    5-grams unique to that document (near 0 = assembled from
+    corpus-common phrasing). Exact integer ratios; one doc-frequency
+    aggregation + one doc rollup. The oracle replays shingles,
+    frequencies, and the ratio."""
+    from ..operators.text import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), "text", "doc_id", n=5)
+
+
+_Q221_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      AS shingle
+  FROM idx WHERE i + 4 <= len(w)
+),
+freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9)
+    AS novelty
+FROM sh JOIN freq USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def q222_pmi_collocations(spark, sf_dir):
+    """Collocation mining: top-40 PMI word pairs within a 4-position
+    co-occurrence window, support floor 20 (Church & Hanks 1990).
+    Map-only pair generation (never a positional self-join), one pair
+    aggregation, broadcast unigrams. The oracle counts the identical
+    pair multiset via a positional self-join and replays the PMI
+    formula division-for-division."""
+    from ..operators.text import pmi_collocations
+
+    return pmi_collocations(
+        _docs(spark, sf_dir), "text", "doc_id", window=4, min_count=20, k=40
+    )
+
+
+_Q222_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\s+') IF x <> ''] AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM w
+),
+pairs_all AS (
+  SELECT least(a.tok, b.tok) AS wa, greatest(a.tok, b.tok) AS wb,
+         COUNT(*) AS cxy
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 4
+  GROUP BY 1, 2
+),
+uni AS (SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok),
+tot AS (
+  SELECT (SELECT SUM(cxy) FROM pairs_all) AS np,
+         (SELECT SUM(c) FROM uni) AS nt
+)
+SELECT wa AS word_a, wb AS word_b, CAST(cxy AS BIGINT) AS n_pair,
+  ROUND(ln((cxy * 1.0 / np) / ((ua.c * 1.0 / nt) * (ub.c * 1.0 / nt))), 9)
+    AS pmi
+FROM pairs_all
+JOIN uni ua ON wa = ua.tok
+JOIN uni ub ON wb = ub.tok
+CROSS JOIN tot
+WHERE cxy >= 20
+ORDER BY ROUND(ln((cxy * 1.0 / np) / ((ua.c * 1.0 / nt) * (ub.c * 1.0 / nt))), 9) DESC,
+         wa, wb
+LIMIT 40
+"""
+
+
 QUERIES = {
+    "q222_pmi_collocations": q222_pmi_collocations,
+    "q221_ngram_novelty": q221_ngram_novelty,
     "q220_dataset_card": q220_dataset_card,
     "q219_auc_by_source": q219_auc_by_source,
     "q218_personalized_pagerank": q218_personalized_pagerank,
@@ -6722,6 +6806,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q222_pmi_collocations": _Q222_SQL,
+    "q221_ngram_novelty": _Q221_SQL,
     "q220_dataset_card": _Q220_SQL,
     "q219_auc_by_source": _Q219_SQL,
     "q218_personalized_pagerank": _Q218_SQL,

@@ -4379,3 +4379,61 @@ def test_auc_by_group_isolation(spark):
     assert out["good"].auc == 1.0
     assert out["bad"].auc == 0.0
     assert out["mono"].auc is None and out["mono"].n_pos == 2
+
+
+def test_ngram_novelty_bounds(spark):
+    """A fully-unique doc scores 1.0, an exact twin pair scores 0.0,
+    and sub-n-word docs are omitted."""
+    from delta_lake_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "one two three four five six seven"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs, "text", "doc_id", n=5).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0 and out[3].novelty == 0.0
+    assert 4 not in out
+
+
+def test_pmi_collocations_favors_true_pairs(spark):
+    """A word pair that always co-occurs outranks independent pairs;
+    the support floor drops rare pairs; window and min_count
+    validate."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.text import pmi_collocations
+
+    # 'hong kong' always adjacent and exclusive; 'the'/'of' co-occur
+    # just as often but are ubiquitous -> much lower PMI
+    rows = [
+        (i, f"hong kong the of filler{i % 7} the of filler{(i + 3) % 7}")
+        for i in range(30)
+    ] + [
+        # 'the'/'of' occur WITHOUT hong kong too — that asymmetry is
+        # what PMI rewards (a rigid template corpus is PMI-flat: every
+        # pair count is proportional to its unigrams)
+        (100 + i, f"the of filler{i % 7} the of the of filler{(i + 2) % 7}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rows2 = {
+        (r.word_a, r.word_b): r
+        for r in pmi_collocations(
+            docs, "text", "doc_id", window=4, min_count=10, k=50
+        ).collect()
+    }
+    hk = rows2[("hong", "kong")]
+    assert hk.n_pair == 30
+    assert all(hk.pmi >= r.pmi for r in rows2.values())
+    # the ubiquitous fillers pair with everything -> strictly lower
+    assert hk.pmi > rows2[("kong", "the")].pmi
+    with _pytest.raises(ValueError, match="window"):
+        pmi_collocations(docs, "text", "doc_id", window=0)
+    with _pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(docs, "text", "doc_id", min_count=0)

@@ -44,6 +44,8 @@ from .text import (
     dsir_importance,
     hashed_linear_score,
     hashed_text_embedding,
+    ngram_novelty,
+    pmi_collocations,
     zipf_slope,
     chunk_documents,
     fingerprint,
@@ -98,5 +100,7 @@ __all__ = [
     "calibration_bins",
     "threshold_sweep",
     "zipf_slope",
+    "ngram_novelty",
+    "pmi_collocations",
     "hourly_rate_anomalies",
 ]

@@ -23,6 +23,7 @@ from .dedup import (
 )
 from .graph import label_propagation, pagerank
 from .retrieval import hybrid_search_rrf, phrase_search
+from .sampling import hamilton_allocation
 from .similarity import (
     cosine_topk,
     ivf_topk,
@@ -103,4 +104,5 @@ __all__ = [
     "ngram_novelty",
     "pmi_collocations",
     "hourly_rate_anomalies",
+    "hamilton_allocation",
 ]

@@ -650,3 +650,62 @@ def select_by_token_budget(
         .join(kept, id_col, "left_semi")
         .select(*df.columns)
     )
+
+
+def hamilton_allocation(
+    df: DataFrame,
+    group_col: str,
+    target: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) quota allocation: split ``target``
+    slots across groups proportionally to row counts, floors first,
+    then one extra slot to the groups with the LARGEST integer
+    remainder (ties to the lexically smallest group) until the total
+    is exact — the allocation q130's plain floors can't give you when
+    the budget must be hit to the row (sum(quota) == target always,
+    the classic apportionment guarantee). Everything is integer
+    arithmetic: floor = (target*n) div N, remainder = (target*n) mod N
+    — no float fraction anywhere, so the oracle matches bit-for-bit.
+
+    One per-group count (|groups| rows), a 1-row total folded by
+    broadcast cross join, and one row_number window over the GROUPS
+    relation. Corpus cost is the single count scan.
+
+    Returns: (group_col, n_rows long, quota long), sum(quota)==target.
+    """
+    from pyspark.sql import Window
+
+    if target < 0:
+        raise ValueError(f"target must be >= 0, got {target}")
+    counts = df.groupBy(F.col(group_col)).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__N"))
+    based = counts.crossJoin(F.broadcast(total)).select(
+        F.col(group_col),
+        "n_rows",
+        ((F.lit(target) * F.col("n_rows")) - F.pmod(
+            F.lit(target) * F.col("n_rows"), F.col("__N")
+        )).alias("__floor_num"),
+        F.pmod(F.lit(target) * F.col("n_rows"), F.col("__N")).alias("__rem"),
+        F.col("__N"),
+    ).select(
+        F.col(group_col),
+        "n_rows",
+        (F.col("__floor_num") / F.col("__N")).cast("long").alias("__floor"),
+        "__rem",
+    )
+    leftover = based.agg(
+        (F.lit(target) - F.sum("__floor")).alias("__left")
+    )
+    w = Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc())
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            F.col(group_col),
+            "n_rows",
+            (
+                F.col("__floor")
+                + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )

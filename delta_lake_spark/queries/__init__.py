@@ -21,7 +21,7 @@ ORACLE_SQL = {**_REL_ORACLE, **_LLM_ORACLE, **_DELTA_ORACLE}
 
 # Backstop against a registry module losing entries without anyone
 # noticing: the count only ever grows round-over-round.
-_MIN_QUERIES = 217
+_MIN_QUERIES = 218
 if len(QUERIES) < _MIN_QUERIES:  # pragma: no cover - tripwire
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < {_MIN_QUERIES} — "

@@ -6687,7 +6687,37 @@ LIMIT 40
 """
 
 
+def q223_hamilton_quotas(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of a 1000-row budget
+    across sources — the exact-total allocation q130's floors can't
+    guarantee. All integer arithmetic (div/mod), bit-exact oracle;
+    one corpus count + windows over the |sources| relation."""
+    from ..operators.sampling import hamilton_allocation
+
+    return hamilton_allocation(_docs(spark, sf_dir), "source", 1000)
+
+
+_Q223_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_rows) AS N FROM counts),
+based AS (
+  SELECT source, n_rows,
+    (1000 * n_rows) // N AS fl,
+    (1000 * n_rows) % N AS rem
+  FROM counts CROSS JOIN tot
+),
+lft AS (SELECT 1000 - SUM(fl) AS leftover FROM based)
+SELECT source, n_rows,
+  CAST(fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                      <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM based CROSS JOIN lft
+"""
+
+
 QUERIES = {
+    "q223_hamilton_quotas": q223_hamilton_quotas,
     "q222_pmi_collocations": q222_pmi_collocations,
     "q221_ngram_novelty": q221_ngram_novelty,
     "q220_dataset_card": q220_dataset_card,
@@ -6806,6 +6836,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q223_hamilton_quotas": _Q223_SQL,
     "q222_pmi_collocations": _Q222_SQL,
     "q221_ngram_novelty": _Q221_SQL,
     "q220_dataset_card": _Q220_SQL,

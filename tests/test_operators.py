@@ -4437,3 +4437,28 @@ def test_pmi_collocations_favors_true_pairs(spark):
         pmi_collocations(docs, "text", "doc_id", window=0)
     with _pytest.raises(ValueError, match="min_count"):
         pmi_collocations(docs, "text", "doc_id", min_count=0)
+
+
+def test_hamilton_allocation_exact_total(spark):
+    """Quotas sum EXACTLY to the target, the largest remainder wins
+    the extra slot, ties break lexically, and target validates."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.sampling import hamilton_allocation
+
+    # counts 3, 3, 4 over target 10: exact quotas 3, 3, 4 -> no
+    # remainder seats; over target 11: 3.3/3.3/4.4 floors 3+3+4=10,
+    # one seat left, remainders .3/.3/.4 -> 'c' gets it
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 3 + [("c",)] * 4, "src string"
+    )
+    q10 = {r.src: r.quota for r in hamilton_allocation(df, "src", 10).collect()}
+    assert q10 == {"a": 3, "b": 3, "c": 4}
+    q11 = {r.src: r.quota for r in hamilton_allocation(df, "src", 11).collect()}
+    assert q11 == {"a": 3, "b": 3, "c": 5} and sum(q11.values()) == 11
+    # remainder tie (counts 1, 1 over target 3): lexically smaller wins
+    tie = spark.createDataFrame([("x",), ("y",)], "src string")
+    q3 = {r.src: r.quota for r in hamilton_allocation(tie, "src", 3).collect()}
+    assert q3 == {"x": 2, "y": 1}
+    with _pytest.raises(ValueError, match="target"):
+        hamilton_allocation(df, "src", -1)

@@ -56,6 +56,22 @@ SECONDARY = [
     "q199_pagerank_trade_graph",  # graph family: distributed path at sf0.1
 ]
 
+# Secondary rows whose quiet end-to-end time is >= ~5 s (BASELINE.md
+# quiet bands). They stay at best-of-3: the bench itself drives the box
+# to loadavg 4-6, but a >=5 s window is long enough that at least one
+# of 3 repeats spans a representative mix — and a universal best-of-5
+# would push total bench time past the 10-minute budget. Every LIGHTER
+# secondary row gets the same best-of-5 floor as the headline: the r8
+# driver reading showed code-untouched sub-3 s rows (q138/q154/q162)
+# inflating 1.6-1.8x in lockstep purely because a quiet START (loadavg
+# 1.99) kept them at best-of-3 while the bench's own mid-run load did
+# the inflating. Short windows need more draws for a trustworthy min.
+SECONDARY_HEAVY = {
+    "q147_pretrain_funnel_full",
+    "q170_pretrain_funnel_minhash",
+    "q199_pagerank_trade_graph",
+}
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -93,14 +109,15 @@ def main() -> None:
         loadavg = os.getloadavg()
     except OSError:  # platform without getloadavg
         loadavg = (-1.0, -1.0, -1.0)
-    # best-of-5 floor for the HEADLINE set: the widening rule keys on
-    # PRE-run load, but the bench itself drives a 32-thread box to
-    # loadavg 4-6 mid-run, so a quiet start still needs the extra
-    # repeats for a trustworthy min (r7: a quiet-start best-of-3 read
-    # 7.2 s where best-of-5 reads 5.6-6.2 s). The SECONDARY set keeps
-    # the old 3-or-5 rule: its rows run 4-30 s each end-to-end, and a
-    # universal 5/7 floor pushed the whole bench past a 10-minute
-    # budget for a trend-line signal the min-of-3 already carries.
+    # best-of-5 floor for the HEADLINE set AND the light secondary
+    # rows: the widening rule keys on PRE-run load, but the bench
+    # itself drives a 32-thread box to loadavg 4-6 mid-run, so a quiet
+    # start still needs the extra repeats for a trustworthy min (r7: a
+    # quiet-start best-of-3 headline read 7.2 s where best-of-5 reads
+    # 5.6-6.2 s; r8: quiet-start best-of-3 SECONDARY rows inflated
+    # 1.6-1.8x across the board with zero code changes). Only the
+    # >=5 s SECONDARY_HEAVY rows stay at 3 (7 when the start is
+    # already noisy) to keep the whole bench inside its time budget.
     noisy_host = loadavg[0] > 2.0
     extra = 2 if noisy_host else 0
     headline_extra = 4 if noisy_host else 2
@@ -160,21 +177,30 @@ def main() -> None:
         for name in names
     }
     total = round(sum(timings.values()), 3)
-    # the secondary set rides along (best-of-3, widened by the same
-    # loadavg rule as the headline — best-of-2 is what let a noisy
-    # q139 reading masquerade as a regression in round 5) without
-    # affecting the pinned headline metric. Secondary rows are timed
-    # END TO END (construction + materialization): composition queries
-    # may probe or mutate eagerly during construction, and hiding that
-    # would under-report them (see BASELINE.md round-4 note).
+    # the secondary set rides along without affecting the pinned
+    # headline metric: light rows at a best-of-5 floor (same rationale
+    # as the headline — mid-run self-load inflates short windows),
+    # heavy rows at best-of-3 (see SECONDARY_HEAVY). Secondary rows are
+    # timed END TO END (construction + materialization): composition
+    # queries may probe or mutate eagerly during construction, and
+    # hiding that would under-report them (see BASELINE.md round-4
+    # note).
     secondary = (
         {}
         if "--all" in sys.argv
         else {
-            name: bench_one(name, runs=3, include_build=True)
+            name: bench_one(
+                name,
+                runs=3 if name in SECONDARY_HEAVY else 5,
+                include_build=True,
+            )
             for name in SECONDARY
         }
     )
+    try:
+        loadavg_end = os.getloadavg()
+    except OSError:
+        loadavg_end = (-1.0, -1.0, -1.0)
     print(
         json.dumps(
             {
@@ -184,8 +210,10 @@ def main() -> None:
                 "queries": timings,
                 "secondary": secondary,
                 "loadavg": [round(x, 2) for x in loadavg],
+                "loadavg_end": [round(x, 2) for x in loadavg_end],
                 "runs_per_query": 3 + headline_extra,
-                "runs_per_secondary": 3 + extra,
+                "runs_per_secondary": 5 + extra,
+                "runs_per_secondary_heavy": 3 + extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

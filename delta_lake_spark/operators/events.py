@@ -126,8 +126,19 @@ def hourly_rate_anomalies(
     ingestion-observability check that catches a collapsed producer
     or a replay storm before it poisons training data.
 
-    Scale shape: one (type, hour) count aggregation, one type-keyed
-    moment aggregate (|types| rows, broadcast back), a map-only flag.
+    The per-type hourly relation is DENSIFIED over the corpus's
+    observed [min, max] hour window before z-scoring: an hour with
+    zero events gets an explicit n=0 row per type, so a producer that
+    stops emitting entirely still flags (without the spine, empty
+    hours are simply absent from both the moments and the flags, and
+    a fully-collapsed producer could never appear — only
+    low-but-nonzero hours could).
+
+    Scale shape: one (type, hour) count aggregation; the spine is
+    |types| x window-hours rows built from a 1-row broadcast span (two
+    scalar aggregates), metadata-sized next to the event scan; one
+    type-keyed moment aggregate (|types| rows, broadcast back); a
+    map-only flag.
 
     Returns: (event_type, hour timestamp, n long, z double 9 dp) for
     flagged hours only. Types with zero variance never flag (their
@@ -139,14 +150,34 @@ def hourly_rate_anomalies(
         F.col(type_col).alias("event_type"),
         F.date_trunc("hour", F.col(ts_col)).alias("hour"),
     ).agg(F.count("*").alias("n"))
-    stats = hourly.groupBy("event_type").agg(
+    span = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("__h1"),
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("__h0", "__h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+    stats = dense.groupBy("event_type").agg(
         F.count("*").cast("double").alias("__k"),
         F.sum("n").alias("__s"),
         F.sum(F.col("n") * F.col("n")).alias("__ss"),
     )
     mean = F.col("__s") / F.col("__k")
     var = F.col("__ss") / F.col("__k") - mean * mean
-    enriched = hourly.join(
+    enriched = dense.join(
         F.broadcast(
             stats.select(
                 F.col("event_type").alias("__t"), mean.alias("__m"),

@@ -315,12 +315,17 @@ def label_propagation(
             .groupBy(F.col("dst"), F.col("label"))
             .agg(F.count("*").alias("__c"))
         )
-        # argmax by (count DESC, label ASC): max over (count, -label)
+        # argmax by (count DESC, label ASC) via min_by over the
+        # (-count, label) struct: the COUNT is negated (always >= 1,
+        # can't overflow), never the label — the earlier max(count,
+        # -label) trick silently required labels to be negatable longs
+        # and would overflow (error under ANSI) on Long.MIN_VALUE.
+        # Deterministic: (dst, label) is unique after the vote groupBy,
+        # so the ordering struct has no ties within a group.
         argmax = votes.groupBy("dst").agg(
-            (
-                -F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl")))[
-                    "__nl"
-                ]
+            F.min_by(
+                "label",
+                F.struct((-F.col("__c")).alias("__nc"), F.col("label")),
             ).alias("__best")
         )
         current = (

@@ -679,19 +679,18 @@ def hamilton_allocation(
         raise ValueError(f"target must be >= 0, got {target}")
     counts = df.groupBy(F.col(group_col)).agg(F.count("*").alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("__N"))
+    # `div` is Spark's INTEGRAL division over longs — exact at any
+    # magnitude, matching the oracle's // (the earlier form divided
+    # the pmod-adjusted numerator with `/`, which is IEEE double
+    # division and can truncate wrong past 2^53 in target*n_rows,
+    # breaking the sum(quota)==target contract at extreme counts)
     based = counts.crossJoin(F.broadcast(total)).select(
         F.col(group_col),
         "n_rows",
-        ((F.lit(target) * F.col("n_rows")) - F.pmod(
-            F.lit(target) * F.col("n_rows"), F.col("__N")
-        )).alias("__floor_num"),
+        F.expr(f"(CAST({int(target)} AS BIGINT) * n_rows) div __N").alias(
+            "__floor"
+        ),
         F.pmod(F.lit(target) * F.col("n_rows"), F.col("__N")).alias("__rem"),
-        F.col("__N"),
-    ).select(
-        F.col(group_col),
-        "n_rows",
-        (F.col("__floor_num") / F.col("__N")).cast("long").alias("__floor"),
-        "__rem",
     )
     leftover = based.agg(
         (F.lit(target) - F.sum("__floor")).alias("__left")

@@ -2090,8 +2090,8 @@ def knn_label_transfer(
     (cosine_topk_pandas: broadcast query matrix, one matmul per Arrow
     batch, local top-k then a windowed global top-k — value-identical
     to the expression path, q44 == q34) plus one vote aggregation via
-    the max(struct(count, -label)) argmax — the same integer-exact
-    trick as label propagation.
+    the min_by-over-(-count, label) argmax — the same integer-exact,
+    overflow-safe shape as label propagation.
 
     Returns: (query id_col, predicted long) — join back to held-out
     truth for accuracy reporting.
@@ -2110,11 +2110,14 @@ def knn_label_transfer(
         .groupBy("query_id", "__l")
         .agg(F.count("*").alias("__c"))
     )
+    # argmax by (count DESC, label ASC) via min_by over (-count,
+    # label): only the count (always >= 1) is negated, so any long
+    # label — including Long.MIN_VALUE — is safe (see the same fix in
+    # graph.label_propagation); (query_id, __l) is unique after the
+    # vote groupBy, so the ordering has no in-group ties
     argmax = votes.groupBy("query_id").agg(
-        (
-            -F.max(F.struct(F.col("__c"), (-F.col("__l")).alias("__nl")))[
-                "__nl"
-            ]
+        F.min_by(
+            "__l", F.struct((-F.col("__c")).alias("__nc"), F.col("__l"))
         ).alias("predicted")
     )
     return argmax.select(
@@ -2146,11 +2149,28 @@ def standardize_embeddings(
     but the generated code was large enough that codegen compilation
     dominated (~6.5 s one-time vs ~0.1 s for this shape).
 
+    The ``dim`` contract is ENFORCED: any vector whose size differs
+    (ragged, short, or NULL) raises at execution time with the
+    offending id — without the check, zip_with against the dim-length
+    stat arrays would silently emit null z-components for the missing
+    positions and the advertised length-``dim`` output would be a lie.
+
     Returns: (id_col, zscored array<double> of length ``dim``).
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    v = F.col(vec_col).cast("array<double>")
+    raw = F.col(vec_col).cast("array<double>")
+    v = F.when(F.size(raw) == dim, raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("standardize_embeddings: vector for id "),
+                F.col(id_col).cast("string"),
+                F.lit(" has size "),
+                F.size(raw).cast("string"),
+                F.lit(f", expected dim={dim}"),
+            )
+        )
+    )
     ex = df.select(F.posexplode(v).alias("__d", "__e"))
     st = ex.groupBy("__d").agg(
         F.count("*").cast("double").alias("__n"),

@@ -428,12 +428,14 @@ def gopher_quality_filter(
         / nw_d
     )
     symbol_ratio = F.col("__sym") / nw_d
-    # doubled-quote escaping so a future stopword containing ' can't
-    # break the SQL parse (the expr-string form is kept deliberately:
-    # building the same tree from F.lit calls costs py4j round-trips)
-    stop_lits = ", ".join("'{}'".format(s.replace("'", "''")) for s in GOPHER_STOPWORDS)
-    n_stopwords = F.expr(
-        f"size(array_intersect(array_distinct(__w), array({stop_lits})))"
+    # literal array built from F.lit, never interpolated into a SQL
+    # string — a stopword containing a quote (or any other SQL
+    # metacharacter) can't break the parse. Unlike the HOF lambdas
+    # above (whole expression trees, ~0.7 s of py4j round-trips), one
+    # flat 8-literal array costs a handful of calls.
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stopwords = F.size(
+        F.array_intersect(F.array_distinct(F.col("__w")), stop_arr)
     )
     staged2 = staged.select(
         F.col(id_col),

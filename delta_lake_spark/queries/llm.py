@@ -5273,7 +5273,16 @@ def _q191_sql() -> str:
     chain = "[x[i] FOR i IN range(1, len(x)+1)]"
     for r in range(1, _BPE_N_MERGES + 1):
         chain = _bpe_duck_layer(chain, r)
-    froms = ", ".join(f"m{r}" for r in range(1, _BPE_N_MERGES + 1))
+    # each m{r} is attached TOTALLY (LEFT JOIN ON TRUE, never a plain
+    # cross join): on a degenerate corpus with fewer than n learnable
+    # a != b merges the empty m{r} then contributes NULL pair columns
+    # — the layer's match comprehension finds no position against a
+    # NULL pair and passes symbols through unchanged, mirroring the
+    # engine's early-stopped (shorter) merge chain — instead of
+    # emptying the whole encode relation
+    froms = " ".join(
+        f"LEFT JOIN m{r} ON TRUE" for r in range(1, _BPE_N_MERGES + 1)
+    )
     return (
         _bpe_train_ctes()
         + f""",
@@ -5282,7 +5291,7 @@ enc AS (
     flatten(list_transform(
       [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''],
       x -> {chain})) AS tokens
-  FROM documents, {froms}
+  FROM documents {froms}
 )
 SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(tokens)) AS BIGINT) AS n_types
@@ -6351,9 +6360,11 @@ GROUP BY 1, 2
 
 def q217_event_rate_anomalies(spark, sf_dir):
     """Ingestion observability: hourly event counts per type z-scored
-    against that type's own distribution (exact integer moment sums),
+    against that type's own distribution (exact integer moment sums)
+    over a DENSIFIED hour spine (zero-filled empty hours across the
+    corpus's observed window, so a fully-collapsed producer flags),
     flagging |z| >= 2 hours — the collapsed-producer / replay-storm
-    check. The oracle replays bucketing, moments, and the flag."""
+    check. The oracle replays spine, bucketing, moments, and flag."""
     from ..operators.events import hourly_rate_anomalies
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -6365,14 +6376,30 @@ WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
   FROM events GROUP BY 1, 2
 ),
+span AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, u.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
+  ) u
+),
+dense AS (
+  SELECT s.event_type, s.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+  FROM spine s
+  LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+),
 stats AS (
   SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS k,
          SUM(n) AS s, SUM(n * n) AS ss
-  FROM hourly GROUP BY event_type
+  FROM dense GROUP BY event_type
 )
 SELECT h.event_type, h.hour, CAST(h.n AS BIGINT) AS n,
   ROUND((h.n - s / k) / sqrt(ss / k - (s / k) * (s / k)), 9) AS z
-FROM hourly h JOIN stats t ON h.event_type = t.event_type
+FROM dense h JOIN stats t ON h.event_type = t.event_type
 WHERE ss / k - (s / k) * (s / k) > 0
   AND abs((h.n - s / k) / sqrt(ss / k - (s / k) * (s / k))) >= 2.0
 """

@@ -315,3 +315,98 @@ def test_commit_store_seam_is_pluggable(spark, tmp_path):
         vet.commit_next([CommitInfo(operation="WRITE").to_action()], retries=0)
     # the real log is untouched by the vetoed attempt
     assert DeltaLog(path).latest_version() == 1
+
+
+# ---------------------------------------------------------------------------
+# Funnel memo concurrency + cache-retention contracts (queries/llm.py).
+# These pin the two round-8 review findings: (1) a repeat q147
+# invocation must NOT lose its fresh report caches to the unpersist of
+# the previous invocation's plan-identical frames (uncacheQuery matches
+# by plan equality, so ordering matters), and (2) two concurrent FIRST
+# invocations of the shared funnel chain must build it exactly once —
+# the loser of the old unguarded race leaked its persisted frames until
+# session end.
+# ---------------------------------------------------------------------------
+
+from tests.conftest import SF_DIR
+
+
+def test_q147_repeat_invocation_keeps_fresh_caches(spark):
+    """Invoke q147 twice in one session: the second run must return
+    identical rows AND its per-query report frames must still be
+    cached afterwards (storageLevel reflects the live CacheManager
+    state — if _swap_extras unpersisted the old frames AFTER the new
+    plan-identical ones were persisted, these would read NONE and the
+    report would recompute uncached)."""
+    from delta_lake_spark.queries.llm import (
+        _funnel_slot,
+        clear_funnel_memo,
+        q147_pretrain_funnel_full,
+    )
+
+    clear_funnel_memo(spark)
+    try:
+        first = q147_pretrain_funnel_full(spark, SF_DIR).collect()
+        second_df = q147_pretrain_funnel_full(spark, SF_DIR)
+        second = second_df.collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+        frames = _funnel_slot(spark)["extras"]["q147"]
+        assert frames, "second invocation registered no report frames"
+        for f in frames:
+            lvl = f.storageLevel
+            assert lvl.useMemory or lvl.useDisk, (
+                "a fresh frame lost its cache to the previous "
+                f"invocation's unpersist: {lvl}"
+            )
+    finally:
+        clear_funnel_memo(spark)
+
+
+def test_funnel_concurrent_first_invocations_build_once(spark):
+    """Two threads race the FIRST _funnel_core invocation: the
+    double-checked memo under the slot's build lock must run exactly
+    one build, hand both callers the same memoized result tuple, and
+    leave no orphaned persisted frames behind (the persistent-RDD
+    census returns to its pre-test size once the memo is cleared)."""
+    import threading
+
+    from delta_lake_spark.queries import llm
+
+    llm.clear_funnel_memo(spark)
+    persistent_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    builds = []
+    orig = llm._funnel_build
+
+    def counting_build(spark_, slot, sf_dir, near_dup):
+        builds.append(near_dup)
+        return orig(spark_, slot, sf_dir, near_dup)
+
+    llm._funnel_build = counting_build
+    results = [None, None]
+    errors = []
+
+    def run(i):
+        try:
+            results[i] = llm._funnel_core(spark, SF_DIR)
+        except BaseException as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    try:
+        threads = [
+            threading.Thread(target=run, args=(i,)) for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert len(builds) == 1, f"chain built {len(builds)} times"
+        assert results[0] is results[1], "callers got different chains"
+    finally:
+        llm._funnel_build = orig
+        llm.clear_funnel_memo(spark)
+    persistent_after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert persistent_after == persistent_before, (
+        f"leaked persisted frames: {persistent_before} -> "
+        f"{persistent_after}"
+    )

@@ -4326,6 +4326,78 @@ def test_hourly_rate_anomalies_flags_spike(spark):
         hourly_rate_anomalies(df, z_threshold=0)
 
 
+def test_hourly_rate_anomalies_flags_collapsed_producer(spark):
+    """A producer that stops emitting entirely must flag: the hour
+    spine is densified over the corpus's observed window, so its empty
+    hours become explicit n=0 rows and z-score against its own
+    distribution (without the spine, zero-event hours are absent from
+    the relation and a fully-collapsed producer could never appear)."""
+    from datetime import datetime
+
+    from delta_lake_spark.operators.events import hourly_rate_anomalies
+
+    rows = []
+    # type 'a': 4/hour for hours 0-6, then silence in hour 7
+    for h in range(7):
+        rows += [(datetime(2024, 1, 1, h, 5), "a")] * 4
+    # type 'b': constant 3/hour across the full window 0-7 (defines
+    # the observed span; zero variance so it never flags)
+    for h in range(8):
+        rows += [(datetime(2024, 1, 1, h, 5), "b")] * 3
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = hourly_rate_anomalies(df, z_threshold=2.0).collect()
+    # dense 'a' counts: [4]*7 + [0] -> mean 3.5, var 1.75,
+    # z(0) = -3.5/sqrt(1.75) ~= -2.6458; the seven 4-count hours sit
+    # at z ~= 0.378 and stay quiet
+    assert [(r.event_type, r.n) for r in out] == [("a", 0)]
+    assert out[0].hour == datetime(2024, 1, 1, 7)
+    assert abs(out[0].z - (-3.5 / 1.75 ** 0.5)) < 1e-9
+
+
+def test_standardize_embeddings_enforces_dim(spark):
+    """The advertised length-dim output is a hard contract: a ragged
+    (or NULL) vector raises at execution time with the offending id
+    instead of silently zip_with-ing null z-components."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    good = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 6.0])], "vec_id long, embedding array<double>"
+    )
+    assert standardize_embeddings(good, dim=2).count() == 2
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (7, [3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="expected dim=2"):
+        standardize_embeddings(ragged, dim=2).collect()
+
+
+def test_label_argmax_survives_long_min_label(spark):
+    """The vote argmax negates the COUNT, never the label, so the full
+    long label domain works — including Long.MIN_VALUE, which the old
+    max(count, -label) trick would overflow on (silently wrapping to a
+    wrong winner, or erroring under ANSI mode)."""
+    from delta_lake_spark.operators.graph import label_propagation
+
+    lmin = -(2**63)
+    edges = spark.createDataFrame(
+        [("s1", "x"), ("s1", "x"), ("s2", "x")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("s1", lmin), ("s2", 5)], "node string, label long"
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, seeds, iterations=1).collect()
+    }
+    # lmin wins 2 votes to 1; under wrapped negation -lmin == lmin
+    # would have corrupted the (count, -label) ordering
+    assert got["x"] == lmin
+
+
 def test_personalized_pagerank_teleport(spark):
     """Teleport mass confines rank to the seed's reachable set, the
     driver and distributed strategies agree, mass is conserved, and an

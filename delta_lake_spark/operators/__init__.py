@@ -38,7 +38,12 @@ from .stats import (
     calibration_bins,
     threshold_sweep,
 )
-from .tokenizer import bpe_encode, train_bpe_merges
+from .tokenizer import (
+    bpe_encode,
+    train_bpe_merges,
+    train_unigram,
+    unigram_encode,
+)
 from .text import (
     build_vocabulary,
     dedup_segments,
@@ -81,6 +86,8 @@ __all__ = [
     "build_vocabulary",
     "train_bpe_merges",
     "bpe_encode",
+    "train_unigram",
+    "unigram_encode",
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "hashed_linear_score",

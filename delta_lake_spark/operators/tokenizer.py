@@ -286,3 +286,373 @@ def bpe_encode(
         F.col(id_col),
         F.expr("flatten(__sym)").alias("tokens"),
     ).withColumn("n_tokens", F.size("tokens").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — the second
+# member of the tokenizer family. Training is Viterbi-EM (hard EM): a
+# frequency-weighted substring seed vocabulary, then rounds of
+# (Viterbi-segment every distinct word under the current model ->
+# re-count pieces from the segmentations -> drop zero-count pieces),
+# finishing with a size cap that always retains every corpus character
+# (count floored at 1 — the character-coverage analogue that keeps the
+# encoder open-vocabulary).
+#
+# Determinism contract (what makes the DuckDB oracle value-exact): the
+# Viterbi score is a PRODUCT of piece probabilities, each an IEEE
+# double division count/total of exact integers, multiplied in DP
+# order — no logarithm anywhere, so there is no libm call whose last
+# ulp could differ between engines; every double op is individually
+# correctly rounded and both engines evaluate the identical expression
+# tree. Ties break by (score, fewer pieces, longer last piece) via a
+# struct comparison both engines define lexicographically. Scores
+# stay normal-range for words under ~150 pieces even at web-scale
+# totals (prob >= 1/2^53 each), far beyond real word lengths.
+#
+# Scale shape: ONE corpus shuffle (the word histogram); seeding is one
+# substring explode + piece aggregation over the DISTINCT-WORD
+# relation; each EM round is a model-sized 1-row broadcast (map +
+# total) cross-joined onto the word relation, a map-only DP
+# projection, and one piece-count aggregation; encoding is map-only
+# (broadcast model, per-word DP inside a words transform, zero
+# shuffles at any corpus size). Same auto driver/distributed strategy
+# as BPE: below the vocabulary bound the histogram collects once and
+# the identical loop runs in Python.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import DoubleType
+
+UNIGRAM_SCHEMA = StructType(
+    [
+        StructField("piece", StringType(), False),
+        StructField("count", LongType(), False),
+        StructField("prob", DoubleType(), False),
+    ]
+)
+
+
+def _unigram_dp_expr(w: str, L: int) -> str:
+    """SQL expression computing the Viterbi DP array for word column/
+    lambda var ``w`` against the in-scope 1-row model columns ``__m``
+    (piece -> count map) and ``__T`` (double total). Entry j+1 is the
+    best state for prefix length j: struct(s = best score as a product
+    of count/total probabilities, n = -pieces, b = -start of the best
+    last piece); (s, n, b) sort lexicographically, so array_max picks
+    (max score, fewer pieces, longer last piece) deterministically —
+    candidates within a position differ in b, so there is never a
+    residual tie. Unreachable prefixes carry the s = -1 sentinel."""
+    return f"""aggregate(
+  sequence(1, length({w})),
+  array(named_struct('s', CAST(1.0 AS DOUBLE), 'n', 0, 'b', 0)),
+  (acc, j) -> array_append(acc,
+    coalesce(
+      array_max(filter(
+        transform(sequence(greatest(j - {L}, 0), j - 1),
+          i -> named_struct(
+            's', element_at(acc, i + 1).s *
+                 (CAST(element_at(__m, substring({w}, i + 1, j - i)) AS DOUBLE) / __T),
+            'n', element_at(acc, i + 1).n - 1,
+            'b', -i)),
+        c -> c.s IS NOT NULL AND c.s >= CAST(0.0 AS DOUBLE))),
+      named_struct('s', CAST(-1.0 AS DOUBLE), 'n', 0, 'b', 0))))"""
+
+
+def _unigram_tokens_expr(w: str, dp: str) -> str:
+    """SQL expression backtracing DP array ``dp`` into the token array
+    for word ``w`` (best segmentation, left to right). A word whose
+    final position is unreachable under the model degrades to the
+    whole word as a single token — total by construction, though the
+    char-floored final model never hits it."""
+    return f"""CASE WHEN element_at({dp}, length({w}) + 1).s < CAST(0.0 AS DOUBLE)
+  THEN array({w})
+ELSE reverse(aggregate(
+  sequence(1, length({w})),
+  named_struct('p', length({w}), 't', CAST(array() AS array<string>)),
+  (st, x) -> IF(st.p <= 0, st,
+    named_struct(
+      'p', -element_at({dp}, st.p + 1).b,
+      't', array_append(st.t, substring({w}, -element_at({dp}, st.p + 1).b + 1,
+                                        st.p + element_at({dp}, st.p + 1).b)))),
+  st -> st.t)) END"""
+
+
+def _fold_model(model: DataFrame):
+    """1-row (map<piece,count>, double total) broadcast relation —
+    model-sized by contract, the same shape as a broadcast codebook."""
+    return model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "c"))
+        ).alias("__m"),
+        F.sum("c").cast("double").alias("__T"),
+    )
+
+
+def _viterbi_segment(vocab: DataFrame, model: DataFrame, L: int) -> DataFrame:
+    """Segment every (w, cnt) row under ``model`` (piece, c): returns
+    (w, cnt, toks array<string>). Two projections (DP, then backtrace)
+    so the DP array is bound once, never re-inlined."""
+    staged = vocab.crossJoin(F.broadcast(_fold_model(model))).select(
+        "w", "cnt", F.expr(_unigram_dp_expr("w", L)).alias("__dp")
+    )
+    return staged.select(
+        "w", "cnt", F.expr(_unigram_tokens_expr("w", "__dp")).alias("toks")
+    )
+
+
+def _unigram_seed_pieces(vocab: DataFrame, L: int) -> DataFrame:
+    """Occurrence-weighted counts of every substring of length <= L of
+    the distinct words: (piece, c) — the seed-candidate relation."""
+    subs = (
+        f"flatten(transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(1, least({L}, length(w) - i + 1)), "
+        f"l -> substring(w, i, l))))"
+    )
+    return (
+        vocab.select("cnt", F.explode(F.expr(subs)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def train_unigram(
+    docs: DataFrame,
+    text_col: str,
+    vocab_size: int = 4096,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 16384,
+    strategy: str = "auto",
+    driver_max_vocab: int = 100_000,
+) -> DataFrame:
+    """Train a unigram-LM subword vocabulary (piece, count, prob).
+
+    ``count`` is the piece's frequency-weighted occurrence count in
+    the final EM round's Viterbi segmentations (characters floored at
+    1 so the model always covers the corpus alphabet); ``prob`` is
+    count / sum(count) over the returned vocabulary, rounded to 9 dp
+    for reporting. Words are the same lowercased whitespace tokens as
+    BPE training. ``strategy`` follows :func:`train_bpe_merges`: auto
+    collects the word histogram when it fits ``driver_max_vocab`` and
+    runs the identical loop in Python (one Spark job total)."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    if max_piece_len < 1:
+        raise ValueError(
+            f"max_piece_len must be >= 1, got {max_piece_len}"
+        )
+    if strategy not in ("auto", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.expr(_words_expr(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if strategy == "auto":
+        hist = [
+            (r.w, r.cnt)
+            for r in words.limit(driver_max_vocab + 1).collect()
+        ]
+        if len(hist) <= driver_max_vocab:
+            return spark.createDataFrame(
+                _train_unigram_driver(
+                    hist, vocab_size, n_iters, max_piece_len, seed_size
+                ),
+                UNIGRAM_SCHEMA,
+            )
+    vocab = words.localCheckpoint()
+    pieces = _unigram_seed_pieces(vocab, max_piece_len).localCheckpoint()
+    # the alphabet relation is bounded by the charset; its size is the
+    # one extra driver scalar (the multi-piece quota needs it), and it
+    # is reused for the final character floor
+    chars = pieces.filter(F.length("piece") == 1).localCheckpoint()
+    n_chars = chars.count()
+    model = chars.union(
+        pieces.filter(F.length("piece") > 1)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(max(seed_size - n_chars, 0))
+    ).localCheckpoint()
+    for _ in range(n_iters):
+        seg = _viterbi_segment(vocab, model, max_piece_len)
+        model = (
+            seg.select("cnt", F.explode("toks").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("c"))
+        ).localCheckpoint()
+    # final cap: every character (count floored at 1) + top multi-char
+    # pieces by (count DESC, piece ASC)
+    kept_chars = (
+        chars.select("piece")
+        .join(model, "piece", "left")
+        .select(
+            "piece", F.coalesce(F.col("c"), F.lit(1)).cast("long").alias("c")
+        )
+    )
+    kept_multi = (
+        model.filter(F.length("piece") > 1)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(max(vocab_size - n_chars, 0))
+    )
+    final = kept_chars.union(kept_multi.select("piece", F.col("c")))
+    total = final.agg(F.sum("c").cast("double").alias("__T"))
+    return final.crossJoin(F.broadcast(total)).select(
+        F.col("piece"),
+        F.col("c").alias("count"),
+        F.round(F.col("c").cast("double") / F.col("__T"), 9).alias("prob"),
+    )
+
+
+def _viterbi_py(w: str, model: dict, total: float, L: int) -> list:
+    """Python replica of the DP expression — identical IEEE double
+    products and the same (s, -pieces, -start) tie-break, so the
+    driver strategy is bit-equal to the distributed one."""
+    n = len(w)
+    dp = [(1.0, 0, 0)] + [None] * n  # (s, n=-pieces, b=-start)
+    for j in range(1, n + 1):
+        best = None
+        for i in range(max(j - L, 0), j):
+            prev = dp[i]
+            if prev[0] < 0.0:
+                continue
+            c = model.get(w[i:j])
+            if c is None:
+                continue
+            cand = (prev[0] * (c / total), prev[1] - 1, -i)
+            if best is None or cand > best:
+                best = cand
+        dp[j] = best if best is not None else (-1.0, 0, 0)
+    if dp[n][0] < 0.0:
+        return [w]
+    toks, pos = [], n
+    while pos > 0:
+        start = -dp[pos][2]
+        toks.append(w[start:pos])
+        pos = start
+    return toks[::-1]
+
+
+def _train_unigram_driver(
+    hist: list, vocab_size: int, n_iters: int, L: int, seed_size: int
+) -> list:
+    """Driver-side unigram training over a collected word histogram —
+    semantics identical to the distributed rounds (property-tested)."""
+    seed: dict = {}
+    for w, cnt in hist:
+        for i in range(len(w)):
+            for l in range(1, min(L, len(w) - i) + 1):
+                p = w[i : i + l]
+                seed[p] = seed.get(p, 0) + int(cnt)
+    chars = sorted(p for p in seed if len(p) == 1)
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(seed_size - len(chars), 0)]
+    model = {p: seed[p] for p in chars}
+    model.update(dict(multi))
+    for _ in range(n_iters):
+        total = float(sum(model.values()))
+        counts: dict = {}
+        for w, cnt in hist:
+            for t in _viterbi_py(w, model, total, L):
+                counts[t] = counts.get(t, 0) + int(cnt)
+        model = counts
+    kept = {c: max(model.get(c, 0), 1) for c in chars}
+    for p, c in sorted(
+        ((p, c) for p, c in model.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(vocab_size - len(chars), 0)]:
+        kept[p] = c
+    total = float(sum(kept.values()))
+    return [
+        (p, int(c), round(c / total, 9)) for p, c in sorted(kept.items())
+    ]
+
+
+def unigram_encode(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    model,
+    max_piece_len: int = 4,
+    strategy: str = "vocab",
+) -> DataFrame:
+    """Encode every document with a trained unigram model. ``model``
+    is the DataFrame from :func:`train_unigram` or a list of
+    (piece, count) pairs. Returns (id_col, tokens, n_tokens).
+
+    Two identical-value strategies:
+
+    - ``"vocab"`` (default, the Zipfian-text production shape): run
+      the Viterbi DP once per DISTINCT word, then posexplode the
+      corpus to (doc, position, word), join the per-word segmentations
+      (AQE broadcasts the vocabulary relation when it is small), and
+      reassemble each document with a position-sorted flatten. Costs
+      one doc-keyed shuffle, but the DP work drops from one run per
+      word OCCURRENCE to one per word TYPE — a ~300x cut on natural
+      text (measured 122k -> multi-M tokens/s at 100k docs).
+    - ``"inline"``: zero shuffles — the model rides a 1-row broadcast
+      and every word occurrence's DP runs inside a words transform
+      (the DP array let-bound through a single-element-array
+      transform). The right call when the corpus is one pass of
+      mostly-unique strings (ids, URLs) where the vocabulary relation
+      would be corpus-sized anyway.
+    """
+    if strategy not in ("vocab", "inline"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    spark = docs.sparkSession
+    if isinstance(model, DataFrame):
+        mdf = model.select(F.col("piece"), F.col("count").alias("c"))
+    else:
+        mdf = spark.createDataFrame(
+            [(p, int(c)) for p, c in model], "piece string, c long"
+        )
+    if strategy == "inline":
+        dp = _unigram_dp_expr("w", max_piece_len)
+        toks = _unigram_tokens_expr("w", "__dp")
+        per_doc = (
+            f"flatten(transform({_words_expr(text_col)}, w -> "
+            f"element_at(transform(array({dp}), __dp -> {toks}), 1)))"
+        )
+        return (
+            docs.crossJoin(F.broadcast(_fold_model(mdf)))
+            .select(F.col(id_col), F.expr(per_doc).alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens").cast("long"))
+        )
+    wpos = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_words_expr(text_col))).alias("__pos", "w"),
+    )
+    seg = _viterbi_segment(
+        wpos.select("w").distinct().withColumn("cnt", F.lit(1)),
+        mdf,
+        max_piece_len,
+    ).select("w", "toks")
+    regrouped = (
+        wpos.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "toks"))
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+    )
+    # documents with no words still get an (empty) row — the inline
+    # path emits them, so the strategies must agree
+    return (
+        docs.select(F.col(id_col))
+        .join(regrouped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("tokens"), F.expr("CAST(array() AS array<string>)")
+            ).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )

@@ -2616,6 +2616,9 @@ def clear_funnel_memo(spark=None) -> None:
         for k in list(_BPE_MEMO):
             if spark is None or k[0] == id(spark):
                 del _BPE_MEMO[k]
+        for k in list(_UNIGRAM_MEMO):
+            if spark is None or k[0] == id(spark):
+                del _UNIGRAM_MEMO[k]
     for slot in slots:
         frames = [f for e in slot["chain"].values() for f in e["frames"]]
         frames += [f for dfs in slot["extras"].values() for f in dfs]
@@ -6743,7 +6746,215 @@ FROM based CROSS JOIN lft
 """
 
 
+# --------------------------------------------------------------------------
+# q224/q225: unigram-LM (SentencePiece-style) tokenizer training +
+# encoding (operators/tokenizer.py train_unigram/unigram_encode). The
+# oracle replays the ENTIRE Viterbi-EM loop in SQL: the substring seed
+# vocabulary, each round's per-word Viterbi DP (a list_reduce fold
+# whose scores are PRODUCTS of count/total double divisions — no
+# logarithm, so every float op is individually IEEE-rounded and the
+# engines agree bit-for-bit), the backtrace, the piece re-count, and
+# the char-floored final cap. Ties break on (score, fewer pieces,
+# longer last piece) — a struct comparison both engines define
+# lexicographically, never residual-tied because candidates at a
+# position differ in start offset.
+# --------------------------------------------------------------------------
+
+_UNI_VOCAB = 80
+_UNI_SEED = 160
+_UNI_ITERS = 2
+_UNI_LEN = 4
+
+# trained-model memo, (id(session), sf_dir) -> list[Row] — model-sized
+# (<= _UNI_VOCAB rows), same contract and lock discipline as _BPE_MEMO
+_UNIGRAM_MEMO: dict = {}
+
+
+def _unigram_model(spark, sf_dir):
+    from ..operators.tokenizer import train_unigram
+
+    key = (id(spark), sf_dir)
+    rows = _UNIGRAM_MEMO.get(key)
+    if rows is None:
+        trained = train_unigram(
+            _docs(spark, sf_dir),
+            "text",
+            vocab_size=_UNI_VOCAB,
+            n_iters=_UNI_ITERS,
+            max_piece_len=_UNI_LEN,
+            seed_size=_UNI_SEED,
+        ).collect()
+        with _FUNNEL_LOCK:
+            rows = _UNIGRAM_MEMO.setdefault(key, trained)
+    return rows
+
+
+def q224_unigram_train(spark, sf_dir):
+    """Train the unigram-LM subword vocabulary (2 Viterbi-EM rounds
+    over the word histogram, char-floored 80-piece cap) — the
+    SentencePiece-style sibling of q190's BPE. One corpus shuffle;
+    every EM round is a broadcast-model map-only DP over the
+    DISTINCT-WORD relation plus one piece-count aggregation.
+    Value-exact against the fully unrolled SQL replay (logarithm-free
+    product scores make the DP bit-reproducible cross-engine)."""
+    from ..operators.tokenizer import UNIGRAM_SCHEMA
+
+    return spark.createDataFrame(
+        _unigram_model(spark, sf_dir), UNIGRAM_SCHEMA
+    )
+
+
+def q225_unigram_encode(spark, sf_dir):
+    """Encode every document with q224's unigram model and report
+    per-doc token counts (total + distinct types). Encoding is
+    MAP-ONLY: the model rides a 1-row broadcast, each word's Viterbi
+    DP runs inside a words transform, zero shuffles at any corpus
+    size. The oracle replays training AND encoding."""
+    from ..operators.tokenizer import unigram_encode
+
+    docs = _docs(spark, sf_dir)
+    model = [(r.piece, r["count"]) for r in _unigram_model(spark, sf_dir)]
+    enc = unigram_encode(docs, "text", "doc_id", model, _UNI_LEN)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_types"),
+    )
+
+
+def _uni_duck_dp(w: str, L: int) -> str:
+    """DuckDB Viterbi DP over word term ``w`` against in-scope model
+    columns m (piece->count map) and T (double total) — the value
+    mirror of tokenizer._unigram_dp_expr. Two DuckDB-1.0 shape
+    constraints: the fold takes no separate initial value, so acc and
+    step elements share the list<struct> type (each step element
+    carries its position in the b field); and the TOKEN LIST rides in
+    the DP state's t field instead of a separate backtrace pass —
+    DuckDB 1.0 misaligns a computed list<struct> COLUMN captured
+    inside a list_reduce lambda across vector rows (plain-projection
+    and scalar captures are fine), so no lambda here may capture the
+    DP array. Candidates at a position always differ in b, so the
+    (s, n, b, t) struct sort decides on (s, n, b) exactly like the
+    Spark side and t is never consulted."""
+    return f"""list_reduce(
+      [[{{'s': CAST(1.0 AS DOUBLE), 'n': 0, 'b': 0, 't': CAST([] AS VARCHAR[])}}]] ||
+      [[{{'s': CAST(-2.0 AS DOUBLE), 'n': 0, 'b': j, 't': CAST([] AS VARCHAR[])}}]
+       FOR j IN range(1, len({w}) + 1)],
+      (acc, x) -> acc || [coalesce(
+        list_sort([
+          {{'s': acc[i + 1].s * (CAST(m[substring({w}, i + 1, x[1].b - i)][1] AS DOUBLE) / T),
+            'n': acc[i + 1].n - 1, 'b': -i,
+            't': list_append(acc[i + 1].t, substring({w}, i + 1, x[1].b - i))}}
+          FOR i IN range(greatest(x[1].b - {L}, 0), x[1].b)
+          IF acc[i + 1].s >= CAST(0.0 AS DOUBLE)
+             AND len(m[substring({w}, i + 1, x[1].b - i)]) > 0
+        ])[-1],
+        {{'s': CAST(-1.0 AS DOUBLE), 'n': 0, 'b': 0, 't': CAST([] AS VARCHAR[])}})])"""
+
+
+def _uni_duck_toks(w: str, fin: str) -> str:
+    """Token list from the final DP state ``fin`` (a plain struct
+    reference, never captured in a lambda): the state already carries
+    the best segmentation; an unreachable word degrades to itself."""
+    return (
+        f"CASE WHEN {fin}.s < CAST(0.0 AS DOUBLE) "
+        f"THEN [{w}] ELSE {fin}.t END"
+    )
+
+
+def _uni_train_ctes() -> str:
+    """WITH-chain replaying unigram training: w0 word histogram, sub0
+    substring seed weights, u{r} the model after round r, mf the
+    char-floored capped final model."""
+    parts = [
+        """w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+                       IF x <> '']) AS w
+        FROM documents)
+  GROUP BY w
+),
+sub0 AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt,
+      unnest(flatten([[substring(w, i, l)
+                       FOR l IN range(1, least(%(L)d, len(w) - i + 1) + 1)]
+                      FOR i IN range(1, len(w) + 1)])) AS piece
+    FROM w0)
+  GROUP BY piece
+),
+chars0 AS (SELECT piece, c FROM sub0 WHERE len(piece) = 1),
+nch AS (SELECT COUNT(*) AS n FROM chars0),
+u0 AS (
+  SELECT piece, c FROM chars0
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk
+    FROM sub0 WHERE len(piece) > 1) q CROSS JOIN nch
+  WHERE rk <= %(seed)d - n
+)"""
+        % {"L": _UNI_LEN, "seed": _UNI_SEED}
+    ]
+    for r in range(1, _UNI_ITERS + 1):
+        parts.append(
+            f"""f{r} AS (SELECT map(list(piece), list(c)) AS m,
+            CAST(SUM(c) AS DOUBLE) AS T FROM u{r - 1}),
+d{r} AS (SELECT w, cnt, ({_uni_duck_dp("w", _UNI_LEN)})[len(w) + 1] AS fin
+         FROM w0 CROSS JOIN f{r}),
+s{r} AS (SELECT w, cnt, {_uni_duck_toks("w", "fin")} AS toks FROM d{r}),
+u{r} AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, unnest(toks) AS piece FROM s{r})
+  GROUP BY piece
+)"""
+        )
+    parts.append(
+        f"""mf AS (
+  SELECT c0.piece, CAST(COALESCE(u.c, 1) AS BIGINT) AS c
+  FROM chars0 c0 LEFT JOIN u{_UNI_ITERS} u ON c0.piece = u.piece
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk
+    FROM u{_UNI_ITERS} WHERE len(piece) > 1) q CROSS JOIN nch
+  WHERE rk <= {_UNI_VOCAB} - n
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+_Q224_SQL = (
+    _uni_train_ctes()
+    + """,
+tf AS (SELECT CAST(SUM(c) AS DOUBLE) AS T FROM mf)
+SELECT piece, c AS count, ROUND(CAST(c AS DOUBLE) / T, 9) AS prob
+FROM mf CROSS JOIN tf
+"""
+)
+
+_Q225_SQL = (
+    _uni_train_ctes()
+    + f""",
+ff AS (SELECT map(list(piece), list(c)) AS m, CAST(SUM(c) AS DOUBLE) AS T FROM mf),
+dw AS (
+  SELECT doc_id,
+    unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+            IF x <> '']) AS w
+  FROM documents
+),
+wseg0 AS (SELECT w, ({_uni_duck_dp("w", _UNI_LEN)})[len(w) + 1] AS fin
+          FROM (SELECT DISTINCT w FROM dw) CROSS JOIN ff),
+wseg AS (SELECT w, {_uni_duck_toks("w", "fin")} AS toks FROM wseg0),
+x AS (SELECT doc_id, unnest(toks) AS tok FROM dw JOIN wseg USING (w))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+FROM x GROUP BY doc_id
+"""
+)
+
+
 QUERIES = {
+    "q225_unigram_encode": q225_unigram_encode,
+    "q224_unigram_train": q224_unigram_train,
     "q223_hamilton_quotas": q223_hamilton_quotas,
     "q222_pmi_collocations": q222_pmi_collocations,
     "q221_ngram_novelty": q221_ngram_novelty,
@@ -6863,6 +7074,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q225_unigram_encode": _Q225_SQL,
+    "q224_unigram_train": _Q224_SQL,
     "q223_hamilton_quotas": _Q223_SQL,
     "q222_pmi_collocations": _Q222_SQL,
     "q221_ngram_novelty": _Q221_SQL,

@@ -168,3 +168,183 @@ def test_bpe_memo_lifecycle(spark):
     assert llm._bpe_merges(spark, sf) is first  # served from the memo
     llm.clear_funnel_memo(spark)
     assert (id(spark), sf) not in llm._BPE_MEMO
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: train_unigram /
+# unigram_encode. The Viterbi score is a product of count/total double
+# divisions (no logarithm), so driver, distributed, and a pure-Python
+# replay must agree BIT-FOR-BIT, and encoding must pick the
+# max-probability segmentation.
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_hand_computed(spark):
+    from delta_lake_spark.operators.tokenizer import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    # one word corpus: 'abab' x3. Seed pieces (L=4): a b ab ba aba bab
+    # abab + counts; the EM keeps what Viterbi uses.
+    docs = _docs_df(spark, ["abab abab", "abab"])
+    model = train_unigram(
+        docs, "text", vocab_size=8, n_iters=2, seed_size=8
+    )
+    rows = {r.piece: r["count"] for r in model.collect()}
+    # chars always survive (floored), and the whole word dominates:
+    # p(abab) as one piece beats any split at equal seed weights
+    assert "a" in rows and "b" in rows
+    assert "abab" in rows
+    enc = unigram_encode(docs, "text", "doc_id", model)
+    got = {r.doc_id: r.tokens for r in enc.collect()}
+    assert got[0] == ["abab", "abab"] and got[1] == ["abab"]
+
+
+def test_unigram_driver_and_distributed_agree(spark):
+    from delta_lake_spark.operators.tokenizer import train_unigram
+
+    rng = random.Random(11)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(3, 15))
+        )
+        for _ in range(30)
+    ]
+    docs = _docs_df(spark, texts)
+    auto = sorted(
+        map(
+            tuple,
+            train_unigram(
+                docs, "text", vocab_size=24, n_iters=2, seed_size=48
+            ).collect(),
+        )
+    )
+    dist = sorted(
+        map(
+            tuple,
+            train_unigram(
+                docs,
+                "text",
+                vocab_size=24,
+                n_iters=2,
+                seed_size=48,
+                strategy="distributed",
+            ).collect(),
+        )
+    )
+    assert auto == dist and len(auto) > 0
+
+
+def test_unigram_encode_is_optimal_and_total(spark):
+    """The emitted segmentation reaches the brute-force max product
+    score (left-associated, same multiply order as the DP) with the
+    fewest pieces among max-score segmentations; a word containing a
+    character outside the model degrades to itself as one token."""
+    from delta_lake_spark.operators.tokenizer import unigram_encode
+
+    model = [("a", 5), ("b", 4), ("ab", 6), ("ba", 2), ("aba", 3)]
+    total = float(sum(c for _, c in model))
+    probs = {p: c / total for p, c in model}
+
+    def brute(word):
+        best = None
+        def rec(i, score, toks):
+            nonlocal best
+            if i == len(word):
+                cand = (score, -len(toks), tuple(toks))
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+                return
+            for j in range(i + 1, min(i + 4, len(word)) + 1):
+                p = probs.get(word[i:j])
+                if p is not None:
+                    rec(j, score * p, toks + [word[i:j]])
+        rec(0, 1.0, [])
+        return best
+
+    words = ["abab", "aba", "baba", "aabb", "b", "abba"]
+    docs = _docs_df(spark, [" ".join(words)])
+    enc = unigram_encode(docs, "text", "doc_id", model).collect()[0]
+    toks = enc.tokens
+    # re-split the flat token stream back into per-word segmentations
+    i = 0
+    for w in words:
+        seg = []
+        while "".join(seg) != w:
+            seg.append(toks[i])
+            i += 1
+        got_score = 1.0
+        for t in seg:
+            got_score = got_score * probs[t]
+        exp = brute(w)
+        assert got_score == exp[0], (w, seg, exp)
+        assert len(seg) == -exp[1], (w, seg, exp)
+    assert i == len(toks)
+    # totality: 'x' appears in no piece -> whole word single token
+    docs2 = _docs_df(spark, ["ax ab"])
+    enc2 = unigram_encode(docs2, "text", "doc_id", model).collect()[0]
+    assert enc2.tokens == ["ax", "ab"]
+
+
+def test_unigram_encode_plan_shuffle_discipline(spark):
+    import re
+
+    from delta_lake_spark.operators.tokenizer import unigram_encode
+
+    docs = _docs_df(spark, ["ab ba", "aba"])
+    model = [("a", 2), ("b", 1)]
+    # inline strategy: zero shuffles — only the 1-row model broadcast
+    inline = unigram_encode(
+        docs, "text", "doc_id", model, strategy="inline"
+    )
+    plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # vocab strategy: the DP runs on the distinct-word relation; every
+    # hash exchange keys on the word or the doc id (the regroup),
+    # never a corpus-wide catch-all
+    voc = unigram_encode(docs, "text", "doc_id", model, strategy="vocab")
+    vplan = voc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in vplan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#]+)", vplan)
+    assert shuffles, vplan
+    for cols in shuffles:
+        assert cols.strip().startswith(("w", "doc_id")), shuffles
+    # strategies agree value-for-value
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, voc.collect())
+    )
+    with pytest.raises(ValueError, match="strategy"):
+        unigram_encode(docs, "text", "doc_id", model, strategy="nope")
+
+
+def test_unigram_contract_errors(spark):
+    from delta_lake_spark.operators.tokenizer import train_unigram
+
+    docs = _docs_df(spark, ["ab"])
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(docs, "text", vocab_size=0)
+    with pytest.raises(ValueError, match="n_iters"):
+        train_unigram(docs, "text", n_iters=0)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        train_unigram(docs, "text", max_piece_len=0)
+    with pytest.raises(ValueError, match="strategy"):
+        train_unigram(docs, "text", strategy="magic")
+
+
+def test_unigram_memo_lifecycle(spark):
+    from delta_lake_spark.queries.llm import (
+        _UNIGRAM_MEMO,
+        _unigram_model,
+        clear_funnel_memo,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    clear_funnel_memo(spark)
+    first = _unigram_model(spark, sf)
+    assert (id(spark), sf) in _UNIGRAM_MEMO
+    assert _unigram_model(spark, sf) is first  # memo hit, no retrain
+    clear_funnel_memo(spark)
+    assert (id(spark), sf) not in _UNIGRAM_MEMO

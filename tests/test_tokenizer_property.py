@@ -96,3 +96,31 @@ def test_winnow_shared_run_guarantee(sp, pre, run, post):
     s1 = {r.fp for r in rows if r.doc_id == 0}
     s2 = {r.fp for r in rows if r.doc_id == 1}
     assert s1 & s2
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpora)
+def test_unigram_strategies_agree(sp, corpus):
+    """For ARBITRARY corpora, the auto (driver) and distributed
+    unigram-LM training paths must learn IDENTICAL vocabularies —
+    counts and 9-dp probabilities both: the Viterbi score is a product
+    of IEEE double divisions evaluated in the same order on both
+    paths, so there is no tolerance here, only equality."""
+    from delta_lake_spark.operators.tokenizer import train_unigram
+
+    docs = _df(sp, corpus)
+    kw = dict(vocab_size=16, n_iters=2, max_piece_len=3, seed_size=32)
+    auto = sorted(map(tuple, train_unigram(docs, "text", **kw).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            train_unigram(
+                docs, "text", strategy="distributed", **kw
+            ).collect(),
+        )
+    )
+    assert auto == dist and len(auto) > 0

@@ -6952,7 +6952,113 @@ FROM x GROUP BY doc_id
 )
 
 
+def q226_jpeg_decode_roundtrip(spark, sf_dir):
+    """REAL JPEG decode in the multimodal path — no stub, no external
+    codec: a deterministic grayscale baseline-JFIF corpus (8x8-constant
+    blocks, value arithmetic in the id, unit quantization tables) is
+    synthesized per document and decode_jpeg_features runs the full
+    T.81 inverse pipeline back — marker walk, DQT/SOF0/DHT/SOS parse,
+    canonical Huffman decode with DC prediction and byte-stuffing
+    removal, dequantization, zigzag inversion, floating IDCT, level
+    shift. Constant blocks make the lossy pipeline exact (integral DC,
+    zero AC), so the oracle states width/height/mean arithmetically
+    and one wrong bit anywhere in the entropy decode or IDCT shifts a
+    mean and fails the hash. Both steps map-only mapInPandas; payloads
+    never visit the driver. The general AC/Huffman/IDCT paths are
+    pinned against an independent numpy reference in pytest."""
+    from ..operators.jpeg import decode_jpeg_features, synthesize_jpeg_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_jpeg_features(synthesize_jpeg_corpus(docs)).select(
+        "media_id", "width", "height", "mode",
+        F.round("mean_luma", 9).alias("mean_luma"),
+    )
+
+
+_Q226_SQL = """
+WITH blk AS (
+  SELECT doc_id,
+    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w,
+    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h,
+    (doc_id * 31 + bx * 17 + by * 7) % 256 AS v
+  FROM documents,
+    UNNEST(range(0, 1 + doc_id % 3)) AS tx(bx),
+    UNNEST(range(0, 1 + doc_id % 2)) AS ty(by)
+)
+SELECT doc_id AS media_id, w AS width, h AS height, 'L' AS mode,
+  ROUND(CAST(SUM(v) * 64 AS DOUBLE) / (w * h), 9) AS mean_luma
+FROM blk GROUP BY doc_id, w, h
+"""
+
+
+def q227_jpeg_color_roundtrip(spark, sf_dir):
+    """q226's 4:2:0 color sibling: constant RGB per 16x16 macroblock,
+    JFIF-converted to YCbCr with explicit floor(x+0.5) rounding,
+    2x2-subsampled chroma (exact on constants), four Y blocks + Cb +
+    Cr per MCU with separate chroma Huffman/quantization tables — the
+    full interleaved-scan decode path, chroma upsampling, and the
+    YCbCr->RGB inverse with the same rounding. The oracle replays
+    BOTH color conversions arithmetically (every literal CAST to
+    DOUBLE so DuckDB stays in IEEE arithmetic), so a single wrong
+    pixel in any of the six blocks per MCU fails the hash."""
+    from ..operators.jpeg import (
+        decode_jpeg_features,
+        synthesize_jpeg_color_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_jpeg_features(synthesize_jpeg_color_corpus(docs)).select(
+        "media_id", "width", "height", "mode",
+        F.round("mean_luma", 9).alias("mean_luma"),
+    )
+
+
+_Q227_SQL = """
+WITH mb AS (
+  SELECT doc_id,
+    CAST(16 * (1 + doc_id % 2) AS INTEGER) AS w,
+    CAST(16 * (1 + doc_id % 3) AS INTEGER) AS h,
+    CAST((doc_id * 31 + mx * 17 + my * 7) % 256 AS DOUBLE) AS r,
+    CAST((doc_id * 29 + mx * 13 + my * 11) % 256 AS DOUBLE) AS g,
+    CAST((doc_id * 37 + mx * 19 + my * 5) % 256 AS DOUBLE) AS b
+  FROM documents,
+    UNNEST(range(0, 1 + doc_id % 2)) AS tx(mx),
+    UNNEST(range(0, 1 + doc_id % 3)) AS ty(my)
+),
+ycc AS (
+  SELECT doc_id, w, h,
+    LEAST(GREATEST(FLOOR(CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+      + CAST(0.114 AS DOUBLE) * b + CAST(0.5 AS DOUBLE)),
+      CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS y,
+    LEAST(GREATEST(FLOOR(CAST(-0.168736 AS DOUBLE) * r - CAST(0.331264 AS DOUBLE) * g
+      + CAST(0.5 AS DOUBLE) * b + CAST(128 AS DOUBLE) + CAST(0.5 AS DOUBLE)),
+      CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS cb,
+    LEAST(GREATEST(FLOOR(CAST(0.5 AS DOUBLE) * r - CAST(0.418688 AS DOUBLE) * g
+      - CAST(0.081312 AS DOUBLE) * b + CAST(128 AS DOUBLE) + CAST(0.5 AS DOUBLE)),
+      CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS cr
+  FROM mb
+),
+dec AS (
+  SELECT doc_id, w, h,
+    LEAST(GREATEST(FLOOR(y + CAST(1.402 AS DOUBLE) * (cr - CAST(128 AS DOUBLE))
+      + CAST(0.5 AS DOUBLE)), CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS r2,
+    LEAST(GREATEST(FLOOR(y - CAST(0.344136 AS DOUBLE) * (cb - CAST(128 AS DOUBLE))
+      - CAST(0.714136 AS DOUBLE) * (cr - CAST(128 AS DOUBLE))
+      + CAST(0.5 AS DOUBLE)), CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS g2,
+    LEAST(GREATEST(FLOOR(y + CAST(1.772 AS DOUBLE) * (cb - CAST(128 AS DOUBLE))
+      + CAST(0.5 AS DOUBLE)), CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS b2
+  FROM ycc
+)
+SELECT doc_id AS media_id, w AS width, h AS height, 'RGB' AS mode,
+  ROUND(CAST(SUM(CAST(299 * r2 + 587 * g2 + 114 * b2 AS BIGINT)) * 256 AS DOUBLE)
+        / (1000 * w * h), 9) AS mean_luma
+FROM dec GROUP BY doc_id, w, h
+"""
+
+
 QUERIES = {
+    "q227_jpeg_color_roundtrip": q227_jpeg_color_roundtrip,
+    "q226_jpeg_decode_roundtrip": q226_jpeg_decode_roundtrip,
     "q225_unigram_encode": q225_unigram_encode,
     "q224_unigram_train": q224_unigram_train,
     "q223_hamilton_quotas": q223_hamilton_quotas,
@@ -7074,6 +7180,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q227_jpeg_color_roundtrip": _Q227_SQL,
+    "q226_jpeg_decode_roundtrip": _Q226_SQL,
     "q225_unigram_encode": _Q225_SQL,
     "q224_unigram_train": _Q224_SQL,
     "q223_hamilton_quotas": _Q223_SQL,

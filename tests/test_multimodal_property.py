@@ -248,3 +248,131 @@ def test_wav_pcm_mixdown_stereo():
     )
     _, _, _, vals = _parse_wav_pcm(0, wav)
     assert vals == [float(v) for v in mono_vals]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (operators/jpeg.py): the writer emits real JFIF files
+# and the decoder's Huffman/zigzag/dequant/IDCT pipeline must equal an
+# independent numpy IDCT reference for ARBITRARY sparse coefficient
+# blocks (the q226/q227 gate corpora only exercise the DC path, which
+# is what makes their lossy roundtrip arithmetically exact — the
+# general transform is pinned here); malformed payloads raise with the
+# media id.
+# ---------------------------------------------------------------------------
+
+coeff_grids = st.lists(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=7),
+                st.integers(min_value=0, max_value=7),
+                st.integers(min_value=-300, max_value=300),
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=3,
+).filter(lambda g: len({len(r) for r in g}) == 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(grid=coeff_grids)
+def test_jpeg_entropy_and_idct_match_reference(grid):
+    import numpy as np
+
+    from delta_lake_spark.operators.jpeg import (
+        _parse_jpeg,
+        idct_2d,
+        tiny_jpeg_bytes,
+    )
+
+    blocks, ref = [], []
+    for row in grid:
+        brow = []
+        for spec in row:
+            c = np.zeros((8, 8), dtype=np.int64)
+            for u, v, val in spec:
+                c[u][v] = val
+            brow.append(c)
+            ref.append(
+                np.clip(
+                    np.floor(idct_2d(c.astype(float)) + 128.0 + 0.5),
+                    0,
+                    255,
+                )
+            )
+        blocks.append(brow)
+    h, w = 8 * len(grid), 8 * len(grid[0])
+    data = tiny_jpeg_bytes(w, h, blocks)
+    gw, gh, mode, planes = _parse_jpeg(0, data)
+    assert (gw, gh, mode) == (w, h, "L")
+    k = 0
+    for by in range(len(grid)):
+        for bx in range(len(grid[0])):
+            got = planes[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (got.astype(float) == ref[k]).all(), (by, bx)
+            k += 1
+
+
+def test_jpeg_malformed_payloads_raise():
+    import pytest
+
+    from delta_lake_spark.operators.jpeg import (
+        _const_block,
+        _parse_jpeg,
+        tiny_jpeg_bytes,
+    )
+
+    good = tiny_jpeg_bytes(8, 8, [[_const_block(200)]])
+    assert _parse_jpeg(1, good)[2] == "L"
+    with pytest.raises(ValueError, match="jpeg 2: missing SOI"):
+        _parse_jpeg(2, b"\x89PNG" + good[2:])
+    with pytest.raises(ValueError, match="jpeg 3: .*truncated"):
+        _parse_jpeg(3, good[:25])
+    # flip SOF0 -> SOF2 (progressive): explicit unsupported error
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="jpeg 4: only baseline"):
+        _parse_jpeg(4, prog)
+    # truncate inside the entropy-coded scan
+    with pytest.raises(ValueError, match="jpeg 5: .*(truncated|Huffman)"):
+        _parse_jpeg(5, good[:-3])
+    # EOI immediately after headers (no scan)
+    no_scan = good[: good.index(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="jpeg 6: EOI before SOS"):
+        _parse_jpeg(6, no_scan)
+
+
+def test_jpeg_color_roundtrip_exact():
+    """4:2:0 constant-MCU roundtrip: every decoded pixel equals the
+    JFIF-converted-and-back constant, including chroma upsampling and
+    both rounding passes (the q227 contract, checked per-pixel here
+    rather than via the mean)."""
+    import math
+
+    from delta_lake_spark.operators.jpeg import (
+        _const_block,
+        _jfif_forward,
+        _parse_jpeg,
+        tiny_jpeg_bytes,
+    )
+
+    r, g, b = 201, 57, 130
+    y, cb, cr = _jfif_forward(r, g, b)
+    yg = [[_const_block(y)] * 2 for _ in range(2)]
+    data = tiny_jpeg_bytes(
+        16, 16, yg, [[_const_block(cb)]], [[_const_block(cr)]]
+    )
+    w, h, mode, planes = _parse_jpeg(9, data)
+    assert (w, h, mode) == (16, 16, "RGB")
+    clamp = lambda x: min(max(math.floor(x), 0), 255)  # noqa: E731
+    exp = (
+        clamp(y + 1.402 * (cr - 128) + 0.5),
+        clamp(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+        clamp(y + 1.772 * (cb - 128) + 0.5),
+    )
+    for ch in range(3):
+        assert (planes[ch] == exp[ch]).all(), (ch, exp[ch])

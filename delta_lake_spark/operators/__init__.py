@@ -11,6 +11,8 @@ touches data only in the explicitly-marked pandas-UDF paths
 from .dedup import (
     containment_pairs,
     exact_dedup,
+    exact_substring_scrub,
+    exact_substring_spans,
     leakage_free_split,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -66,6 +68,8 @@ from .text import (
 
 __all__ = [
     "exact_dedup",
+    "exact_substring_spans",
+    "exact_substring_scrub",
     "word_shingles",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

@@ -1907,3 +1907,147 @@ def leakage_free_split(
         .alias("split"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): find every MAXIMAL token span of
+# length >= k that occurs more than once in the corpus, then scrub the
+# duplicated regions. Lee et al. build a corpus-wide suffix array; the
+# Spark-first equivalence used here: a token region is covered by a
+# duplicated substring of length >= k IFF it is covered by a
+# duplicated k-gram (every length-L >= k duplicate makes all its
+# L-k+1 k-grams duplicates, and a duplicated k-gram IS a length-k
+# duplicate), so counting k-gram occurrences and merging overlapping
+# duplicated starts per document yields exactly the suffix array's
+# maximal duplicated regions — with ONE corpus-wide count shuffle, one
+# semi join back, and doc-keyed windows, never a suffix sort's global
+# order or an all-pairs comparison. Grams are keyed by md5 of the gram
+# text so the DuckDB oracle computes the identical key (swap xxhash64
+# at 100 TB; any collision affects both engines identically).
+# ---------------------------------------------------------------------------
+
+
+def _position_grams(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id_col, pos, __g): 1-based start position and md5 key of every
+    token k-gram (lowercased whitespace tokens, empties dropped).
+    Documents shorter than k tokens produce no rows."""
+    words = (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    grams = (
+        f"CASE WHEN size(__ws) >= {k} THEN "
+        f"transform(sequence(1, size(__ws) - {k - 1}), "
+        f"i -> md5(array_join(slice(__ws, i, {k}), ' ')))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(words).alias("__ws"))
+        .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("__p", "__g"))
+        .select(F.col(id_col), (F.col("__p") + 1).alias("pos"), "__g")
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 10
+) -> DataFrame:
+    """Maximal duplicated token spans of length >= ``k``:
+    (id_col, start_pos, end_pos, n_tokens, n_grams), positions
+    1-based inclusive over the document's token sequence. A span is a
+    maximal contiguous region covered by k-grams that occur >= 2 times
+    corpus-wide (within- and cross-document repeats both count, as in
+    Lee et al.); overlapping and touching covered regions merge.
+
+    Scale shape: one gram-count shuffle (map-side combined), one hash
+    semi join back to positions, one doc-keyed window pass. All
+    integer arithmetic — the oracle replays it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grams = _position_grams(df, text_col, id_col, k)
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__g")
+    )
+    starts = grams.join(dup, "__g", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = starts.select(
+        F.col(id_col),
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        )
+        .otherwise(0)
+        .alias("__f"),
+    )
+    isl = flagged.select(
+        F.col(id_col),
+        "pos",
+        F.sum("__f").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "__isl"
+        ),
+    )
+    return isl.groupBy(id_col, "__isl").agg(
+        F.min("pos").cast("int").alias("start_pos"),
+        (F.max("pos") + (k - 1)).cast("int").alias("end_pos"),
+        (F.max("pos") + k - F.min("pos")).cast("int").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_grams"),
+    ).drop("__isl")
+
+
+def exact_substring_scrub(
+    df: DataFrame, text_col: str, id_col: str, k: int = 10
+) -> DataFrame:
+    """Lee et al.'s scrub step: remove every token covered by a
+    duplicated >= k span and report per document
+    (id_col, n_tokens long, n_removed long, clean_hash md5 of the
+    scrubbed token stream) — every input document appears, scrubbed or
+    not. The duplicated START positions ride back to each doc as one
+    sorted array (doc-keyed aggregation), and the scrub itself is a
+    map-side HOF filter — no per-token join."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grams = _position_grams(df, text_col, id_col, k)
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__g")
+    )
+    starts = (
+        grams.join(dup, "__g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+    )
+    words = (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    staged = (
+        df.select(F.col(id_col), F.expr(words).alias("__ws"))
+        .join(starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            "__ws",
+            F.coalesce(
+                F.col("__starts"), F.expr("CAST(array() AS array<int>)")
+            ).alias("__starts"),
+        )
+    )
+    kept = F.expr(
+        f"filter(__ws, (x, i) -> NOT exists(__starts, "
+        f"s -> i + 1 BETWEEN s AND s + {k - 1}))"
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("__ws").cast("long").alias("n_tokens"),
+        (F.size("__ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("clean_hash"),
+    )

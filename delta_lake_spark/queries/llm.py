@@ -7056,7 +7056,102 @@ FROM dec GROUP BY doc_id, w, h
 """
 
 
+_ESS_K = 8
+
+
+def q228_exact_substring_spans(spark, sf_dir):
+    """Exact-substring dedup, detection stage (Lee et al. 2022):
+    every maximal token span >= 8 tokens that occurs more than once
+    corpus-wide, as (doc_id, start_pos, end_pos, n_tokens, n_grams).
+    Relational equivalence to the paper's suffix array: duplicated
+    >= k regions == regions covered by duplicated k-grams, so one
+    md5-keyed gram count + a semi join + doc-keyed island windows
+    replace the global suffix sort (operators/dedup.py
+    exact_substring_spans). All integers — bit-exact oracle."""
+    from ..operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(_docs(spark, sf_dir), "text", "doc_id", k=_ESS_K)
+
+
+def q229_exact_substring_scrub(spark, sf_dir):
+    """Exact-substring dedup, scrub stage: remove every token covered
+    by a duplicated >= 8 span and report per document (n_tokens,
+    n_removed, md5 of the scrubbed token stream) — the training-corpus
+    cleaning pass the spans feed. Duplicated starts ride back as one
+    sorted per-doc array; the scrub is a map-side HOF filter."""
+    from ..operators.dedup import exact_substring_scrub
+
+    return exact_substring_scrub(_docs(spark, sf_dir), "text", "doc_id", k=_ESS_K)
+
+
+_ESS_CTES = f"""
+WITH words AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''] AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i + {_ESS_K - 1}], ' ')) AS g
+  FROM words, UNNEST(range(1, len(ws) - {_ESS_K} + 2)) t(i)
+  WHERE len(ws) >= {_ESS_K}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+starts AS (SELECT doc_id, pos FROM grams JOIN dup USING (g))"""
+
+_Q228_SQL = (
+    _ESS_CTES
+    + f""",
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {_ESS_K}
+         THEN 1 ELSE 0 END AS f
+  FROM starts WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS start_pos,
+       CAST(MAX(pos) + {_ESS_K - 1} AS INTEGER) AS end_pos,
+       CAST(MAX(pos) + {_ESS_K} - MIN(pos) AS INTEGER) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, g
+"""
+)
+
+_Q229_SQL = (
+    _ESS_CTES
+    + f""",
+covered AS (
+  SELECT DISTINCT doc_id, j
+  FROM starts, UNNEST(range(pos, pos + {_ESS_K})) t(j)
+),
+toks AS (
+  SELECT doc_id, i, ws[i] AS tok
+  FROM words, UNNEST(range(1, len(ws) + 1)) t(i)
+),
+keptt AS (
+  SELECT t.doc_id, t.i, t.tok FROM toks t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.i = c.j
+  WHERE c.j IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(tok ORDER BY i), ' ') AS txt
+  FROM keptt GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(len(w.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(a.txt, '')) AS clean_hash
+FROM words w LEFT JOIN agg a ON w.doc_id = a.doc_id
+"""
+)
+
+
 QUERIES = {
+    "q229_exact_substring_scrub": q229_exact_substring_scrub,
+    "q228_exact_substring_spans": q228_exact_substring_spans,
     "q227_jpeg_color_roundtrip": q227_jpeg_color_roundtrip,
     "q226_jpeg_decode_roundtrip": q226_jpeg_decode_roundtrip,
     "q225_unigram_encode": q225_unigram_encode,
@@ -7180,6 +7275,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q229_exact_substring_scrub": _Q229_SQL,
+    "q228_exact_substring_spans": _Q228_SQL,
     "q227_jpeg_color_roundtrip": _Q227_SQL,
     "q226_jpeg_decode_roundtrip": _Q226_SQL,
     "q225_unigram_encode": _Q225_SQL,

@@ -4534,3 +4534,67 @@ def test_hamilton_allocation_exact_total(spark):
     assert q3 == {"x": 2, "y": 1}
     with _pytest.raises(ValueError, match="target"):
         hamilton_allocation(df, "src", -1)
+
+
+def test_exact_substring_spans_semantics(spark):
+    """Hand-computed maximal duplicated spans: cross-doc duplicates
+    found, overlapping covered regions merged into one span, unique
+    text never flagged, within-doc repeats count as duplicates, and
+    k validates."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.dedup import exact_substring_spans
+
+    boiler = "the quick brown fox jumps"  # 5 tokens
+    docs = spark.createDataFrame(
+        [
+            # docs 0/1 share a 6-token run -> both get spans of >= 5
+            (0, f"alpha {boiler} gamma unique zero tail"),
+            (1, f"beta {boiler} gamma other one text"),
+            # doc 2: the 5-gram repeats INSIDE the doc (positions 1, 8)
+            (2, f"{boiler} w x y {boiler} z"),
+            # doc 3: fully unique
+            (3, "totally different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.start_pos): (r.end_pos, r.n_tokens, r.n_grams)
+        for r in exact_substring_spans(docs, "text", "doc_id", k=5).collect()
+    }
+    # docs 0/1: shared run is boiler+gamma (6 tokens at positions
+    # 2..7): two duplicated 5-gram starts (2, 3) merge into one span
+    assert spans[(0, 2)] == (8, 7, 2) or spans[(0, 2)] == (7, 6, 2), spans
+    # within-doc repeat: two spans in doc 2 (starts 1 and 9)
+    d2 = [k for k in spans if k[0] == 2]
+    assert len(d2) == 2, spans
+    assert not any(k[0] == 3 for k in spans)
+    with _pytest.raises(ValueError, match="k must be"):
+        exact_substring_spans(docs, "text", "doc_id", k=0)
+
+
+def test_exact_substring_scrub_semantics(spark):
+    """The scrub removes exactly the covered tokens and keeps every
+    document in the output; a doc with no duplicated span hashes to
+    its full token stream."""
+    import hashlib
+
+    from delta_lake_spark.operators.dedup import exact_substring_scrub
+
+    boiler = "a b c d e"
+    docs = spark.createDataFrame(
+        [
+            (0, f"x {boiler} y"),
+            (1, f"z {boiler} w"),
+            (2, "all original text with no duplicate run"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_hash)
+        for r in exact_substring_scrub(docs, "text", "doc_id", k=5).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[0] == (7, 5, md5("x y"))
+    assert out[1] == (7, 5, md5("z w"))
+    assert out[2] == (7, 0, md5("all original text with no duplicate run"))

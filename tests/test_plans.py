@@ -1147,3 +1147,38 @@ def test_containment_and_leakage_no_cartesian(spark):
             j in plan
             for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         )
+
+
+def test_q228_exact_substring_spans_shuffle_discipline(spark):
+    """Exact-substring span detection must stay suffix-sort-free and
+    all-pairs-free: the only exchanges are the md5-gram count (__g)
+    and the doc-keyed window/merge (doc_id); duplicated starts ride
+    back via a semi join, never a cartesian."""
+    import re
+
+    from delta_lake_spark.queries.llm import q228_exact_substring_spans
+
+    plan = _plan(q228_exact_substring_spans(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)
+    assert shuffles, plan
+    for cols in shuffles:
+        assert cols.strip().startswith(("__g", "doc_id")), shuffles
+
+
+def test_q229_exact_substring_scrub_shuffle_discipline(spark):
+    """The scrub stage adds only the doc-keyed starts aggregation and
+    doc join on top of q228's shape — the HOF token filter itself is
+    map-side (no per-token join)."""
+    import re
+
+    from delta_lake_spark.queries.llm import q229_exact_substring_scrub
+
+    plan = _plan(q229_exact_substring_scrub(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)
+    assert shuffles, plan
+    for cols in shuffles:
+        assert cols.strip().startswith(("__g", "doc_id")), shuffles

@@ -35,6 +35,7 @@ from .similarity import (
 )
 from .events import hourly_rate_anomalies
 from .stats import (
+    cohen_kappa,
     auc_by_group,
     auc_score,
     calibration_bins,
@@ -47,6 +48,7 @@ from .tokenizer import (
     unigram_encode,
 )
 from .text import (
+    blocklist_matches,
     build_vocabulary,
     dedup_segments,
     dsir_importance,
@@ -67,6 +69,8 @@ from .text import (
 )
 
 __all__ = [
+    "blocklist_matches",
+    "cohen_kappa",
     "exact_dedup",
     "exact_substring_spans",
     "exact_substring_scrub",

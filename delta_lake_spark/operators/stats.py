@@ -318,3 +318,44 @@ def auc_by_group(
         F.col("__P").cast("long").alias("n_pos"),
         F.col("__N").cast("long").alias("n_neg"),
     )
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Exact Cohen's kappa between two binary raters — the
+    inter-labeler agreement check a pipeline runs before trusting a
+    pair of quality classifiers to vote. One map-side-combined
+    aggregation produces the four confusion cells as exact longs;
+    kappa = (n*(n11+n00) - (r1*c1 + r0*c0)) / (n^2 - (r1*c1 + r0*c0))
+    is then a SINGLE double division of two exact integers, so any
+    IEEE engine reproduces it bit-for-bit (9 dp reported). Raters that
+    are both constant (chance agreement 1) report NULL kappa.
+
+    Returns one row: (n, n11, n10, n01, n00, kappa).
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    cells = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("long").alias("n00"),
+    )
+    r1 = F.col("n11") + F.col("n10")
+    r0 = F.col("n01") + F.col("n00")
+    c1 = F.col("n11") + F.col("n01")
+    c0 = F.col("n10") + F.col("n00")
+    chance = r1 * c1 + r0 * c0
+    num = F.col("n") * (F.col("n11") + F.col("n00")) - chance
+    den = F.col("n") * F.col("n") - chance
+    return cells.select(
+        F.col("n").cast("long").alias("n"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double"), 9),
+        ).alias("kappa"),
+    )

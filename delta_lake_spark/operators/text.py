@@ -2052,3 +2052,99 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), "word_a", "word_b"
     ).limit(k)
+
+
+def blocklist_matches(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    patterns,
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Multi-phrase blocklist screening — the policy/compliance filter
+    a training pipeline runs against thousands of banned phrases:
+    count every POSITIONAL occurrence of every blocklist phrase in
+    every document (token-exact, same lowercased whitespace tokens as
+    the rest of the text family) and report
+    (id_col, n_matches long, n_patterns long, blocked boolean) for
+    EVERY input document.
+
+    The Aho-Corasick-equivalent relational shape: phrases group by
+    token length L; ONE corpus pass emits each document's md5-keyed
+    L-grams for exactly the lengths the blocklist uses (|lengths| is
+    tiny for real blocklists), a broadcast join against the md5-keyed
+    phrase relation finds the hits, and one doc-keyed aggregation
+    rolls them up. Corpus-linear, zero UDFs; the phrase list is
+    model-sized by contract (collected when given as a DataFrame).
+
+    ``patterns``: list[str] or a DataFrame with ``pattern_col``.
+    Phrases tokenize like documents; empty phrases raise.
+    """
+    import hashlib
+
+    spark = df.sparkSession
+    if isinstance(patterns, DataFrame):
+        raw = [r[pattern_col] for r in patterns.select(pattern_col).collect()]
+    else:
+        raw = list(patterns)
+    if not raw:
+        raise ValueError("patterns must be non-empty")
+    toks = []
+    for p in raw:
+        t = tuple(x for x in str(p).lower().strip().split() if x)
+        if not t:
+            raise ValueError(f"pattern tokenizes to nothing: {p!r}")
+        toks.append(t)
+    keyed = sorted(
+        {
+            (
+                " ".join(t),
+                len(t),
+                hashlib.md5(" ".join(t).encode("utf-8")).hexdigest(),
+            )
+            for t in toks
+        }
+    )
+    lengths = sorted({l for _, l, _ in keyed})
+    pat = spark.createDataFrame(
+        [(p, k) for p, _, k in keyed], "pattern string, __k string"
+    )
+    words = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    parts = [
+        f"CASE WHEN size(__ws) >= {L} THEN "
+        f"transform(sequence(1, size(__ws) - {L - 1}), "
+        f"i -> md5(array_join(slice(__ws, i, {L}), ' ')))"
+        f" ELSE CAST(array() AS array<string>) END"
+        for L in lengths
+    ]
+    grams = (
+        df.select(F.col(id_col), F.expr(words).alias("__ws"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr("concat(" + ", ".join(parts) + ")")).alias(
+                "__k"
+            ),
+        )
+    )
+    hits = (
+        grams.join(F.broadcast(pat), "__k")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("__m"),
+            F.countDistinct("pattern").alias("__p"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__m"), F.lit(0)).cast("long").alias(
+                "n_matches"
+            ),
+            F.coalesce(F.col("__p"), F.lit(0)).cast("long").alias(
+                "n_patterns"
+            ),
+            (F.coalesce(F.col("__m"), F.lit(0)) > 0).alias("blocked"),
+        )
+    )

@@ -7149,7 +7149,116 @@ FROM words w LEFT JOIN agg a ON w.doc_id = a.doc_id
 )
 
 
+_BLOCKLIST = [
+    "table table",
+    "fast table",
+    "scan query big",
+    "value table part a",
+    "purple monkey dishwasher",
+]
+
+
+def q230_blocklist_screen(spark, sf_dir):
+    """Blocklist phrase screening: positional occurrence counts of a
+    5-phrase banned list (2-4 tokens each, one absent from the corpus)
+    over every document — the compliance filter stage. One corpus
+    gram pass for exactly the blocklist's token lengths, a broadcast
+    md5-keyed phrase join, one doc rollup; every doc in the output
+    (operators/text.py blocklist_matches). Integer-exact oracle."""
+    from ..operators.text import blocklist_matches
+
+    return blocklist_matches(
+        _docs(spark, sf_dir), "text", "doc_id", _BLOCKLIST
+    )
+
+
+def _gen_q230_sql() -> str:
+    lengths = sorted({len(p.split()) for p in _BLOCKLIST})
+    vals = ", ".join("('{}')".format(p.replace("'", "''")) for p in _BLOCKLIST)
+    gram_parts = [
+        f"""SELECT doc_id, md5(array_to_string(ws[i:i + {L - 1}], ' ')) AS k
+  FROM words, UNNEST(range(1, len(ws) - {L} + 2)) t(i)
+  WHERE len(ws) >= {L}"""
+        for L in lengths
+    ]
+    grams = "\n  UNION ALL\n  ".join(gram_parts)
+    return f"""
+WITH pats AS (SELECT * FROM (VALUES {vals}) p(pattern)),
+pk AS (SELECT pattern, md5(pattern) AS k FROM pats),
+words AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''] AS ws
+  FROM documents
+),
+grams AS (
+  {grams}
+),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS m, COUNT(DISTINCT p.pattern) AS np
+  FROM grams g JOIN pk p ON g.k = p.k GROUP BY g.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(h.m, 0) AS BIGINT) AS n_matches,
+       CAST(COALESCE(h.np, 0) AS BIGINT) AS n_patterns,
+       COALESCE(h.m, 0) > 0 AS blocked
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+_Q230_SQL = _gen_q230_sql()
+
+
+def q231_rater_agreement(spark, sf_dir):
+    """Cohen's kappa between two rule-based quality raters (doc length
+    >= 25 words vs type-token ratio >= 0.5 by integer cross-multiply)
+    — the inter-labeler agreement report a pipeline reads before
+    letting classifier votes gate data. Exact confusion cells, kappa
+    as a single double division of exact integers
+    (operators/stats.py cohen_kappa)."""
+    from ..operators.stats import cohen_kappa
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    rated = _docs(spark, sf_dir).select(
+        (F.expr(f"size({words})") >= 25).alias("rater_a"),
+        F.expr(
+            f"2 * size(array_distinct({words})) >= size({words})"
+        ).alias("rater_b"),
+    )
+    return cohen_kappa(rated, "rater_a", "rater_b")
+
+
+_Q231_SQL = """
+WITH words AS (
+  SELECT [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''] AS ws
+  FROM documents
+),
+r AS (
+  SELECT len(ws) >= 25 AS a, 2 * len(list_distinct(ws)) >= len(ws) AS b
+  FROM words
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM r
+)
+SELECT n, n11, n10, n01, n00,
+  CASE WHEN n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) <> 0
+  THEN ROUND(
+    CAST(n * (n11 + n00)
+         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+    / CAST(n * n
+         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE),
+    9)
+  END AS kappa
+FROM cells
+"""
+
+
 QUERIES = {
+    "q231_rater_agreement": q231_rater_agreement,
+    "q230_blocklist_screen": q230_blocklist_screen,
     "q229_exact_substring_scrub": q229_exact_substring_scrub,
     "q228_exact_substring_spans": q228_exact_substring_spans,
     "q227_jpeg_color_roundtrip": q227_jpeg_color_roundtrip,
@@ -7275,6 +7384,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q231_rater_agreement": _Q231_SQL,
+    "q230_blocklist_screen": _Q230_SQL,
     "q229_exact_substring_scrub": _Q229_SQL,
     "q228_exact_substring_spans": _Q228_SQL,
     "q227_jpeg_color_roundtrip": _Q227_SQL,

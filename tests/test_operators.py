@@ -4598,3 +4598,65 @@ def test_exact_substring_scrub_semantics(spark):
     assert out[0] == (7, 5, md5("x y"))
     assert out[1] == (7, 5, md5("z w"))
     assert out[2] == (7, 0, md5("all original text with no duplicate run"))
+
+
+def test_blocklist_matches_semantics(spark):
+    """Positional occurrence counting (overlaps count), multi-length
+    phrases in one pass, absent phrases never hit, every doc in the
+    output, DataFrame pattern input, empty patterns raise."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.text import blocklist_matches
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the bad phrase is here and the bad phrase repeats"),
+            (1, "table table table clean text"),
+            (2, "nothing objectionable at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pats = ["the bad phrase", "table table", "never present phrase"]
+    out = {
+        r.doc_id: (r.n_matches, r.n_patterns, r.blocked)
+        for r in blocklist_matches(docs, "text", "doc_id", pats).collect()
+    }
+    assert out[0] == (2, 1, True)
+    # "table table table" contains TWO positional "table table" matches
+    assert out[1] == (2, 1, True)
+    assert out[2] == (0, 0, False)
+    pdf = spark.createDataFrame([(p,) for p in pats], "pattern string")
+    out2 = {
+        r.doc_id: (r.n_matches, r.n_patterns, r.blocked)
+        for r in blocklist_matches(docs, "text", "doc_id", pdf).collect()
+    }
+    assert out2 == out
+    with _pytest.raises(ValueError, match="non-empty"):
+        blocklist_matches(docs, "text", "doc_id", [])
+    with _pytest.raises(ValueError, match="tokenizes to nothing"):
+        blocklist_matches(docs, "text", "doc_id", ["  "])
+
+
+def test_cohen_kappa_known_values(spark):
+    """Perfect agreement = 1, independent raters ~ 0, constant raters
+    (chance agreement 1) report NULL."""
+    from delta_lake_spark.operators.stats import cohen_kappa
+
+    perfect = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 5, "a boolean, b boolean"
+    )
+    r = cohen_kappa(perfect, "a", "b").collect()[0]
+    assert (r.n, r.n11, r.n00, r.kappa) == (8, 3, 5, 1.0)
+    # balanced independence: every cell 2 -> po = 0.5 = pe -> kappa 0
+    indep = spark.createDataFrame(
+        [(True, True)] * 2
+        + [(True, False)] * 2
+        + [(False, True)] * 2
+        + [(False, False)] * 2,
+        "a boolean, b boolean",
+    )
+    assert cohen_kappa(indep, "a", "b").collect()[0].kappa == 0.0
+    const = spark.createDataFrame(
+        [(True, True)] * 4, "a boolean, b boolean"
+    )
+    assert cohen_kappa(const, "a", "b").collect()[0].kappa is None

@@ -49,6 +49,8 @@ from .tokenizer import (
 )
 from .text import (
     blocklist_matches,
+    kneser_ney_bigram_model,
+    kneser_ney_surprise,
     build_vocabulary,
     dedup_segments,
     dsir_importance,
@@ -71,6 +73,8 @@ from .text import (
 __all__ = [
     "blocklist_matches",
     "cohen_kappa",
+    "kneser_ney_bigram_model",
+    "kneser_ney_surprise",
     "exact_dedup",
     "exact_substring_spans",
     "exact_substring_scrub",

@@ -2148,3 +2148,128 @@ def blocklist_matches(
             (F.coalesce(F.col("__m"), F.lit(0)) > 0).alias("blocked"),
         )
     )
+
+
+def kneser_ney_bigram_model(
+    df: DataFrame, text_col: str, discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    Goodman 1998) with a fixed discount — the smoothing every serious
+    n-gram LM data filter uses:
+
+      P(w|v) = max(c(v,w) - d, 0)/c(v)
+             + (d * N1+(v,.)/c(v)) * (N1+(.,w) / N1+(.,.))
+
+    All count relations are exact-integer aggregations of ONE bigram
+    extraction pass (adjacent lowercased whitespace tokens); the
+    probability is a fixed tree of IEEE divisions/multiplications of
+    those integers, so any engine reproduces it bit-for-bit — no
+    logarithm anywhere (the same determinism contract as the unigram
+    tokenizer's product scores).
+
+    Returns (v, w, c_vw long, p_kn double unrounded) for every seen
+    bigram. Scale shape: one corpus bigram shuffle (map-side
+    combined), then vocabulary-sized joins (context totals and
+    continuation counts are aggregations of the bigram relation, not
+    new corpus passes) and one 1-row broadcast for N1+(.,.).
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    words = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    bg = (
+        f"CASE WHEN size(__ws) >= 2 THEN "
+        f"transform(sequence(1, size(__ws) - 1), "
+        f"i -> struct(element_at(__ws, i) AS v, element_at(__ws, i + 1) AS w))"
+        f" ELSE CAST(array() AS array<struct<v:string,w:string>>) END"
+    )
+    bigrams = (
+        df.select(F.expr(words).alias("__ws"))
+        .select(F.explode(F.expr(bg)).alias("__b"))
+        .select(F.col("__b.v").alias("v"), F.col("__b.w").alias("w"))
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("c_vw"))
+    )
+    ctx = bigrams.groupBy("v").agg(
+        F.sum("c_vw").alias("__cv"), F.count("*").alias("__n1v")
+    )
+    cont = bigrams.groupBy("w").agg(F.count("*").alias("__n1w"))
+    total = bigrams.agg(F.count("*").alias("__n1all"))
+    d = float(discount)
+    term1 = (
+        F.greatest(F.col("c_vw").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("__cv")
+    )
+    term2 = (
+        (F.lit(d) * F.col("__n1v")) / F.col("__cv")
+    ) * (F.col("__n1w").cast("double") / F.col("__n1all"))
+    return (
+        bigrams.join(ctx, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "v",
+            "w",
+            F.col("c_vw").cast("long").alias("c_vw"),
+            (term1 + term2).alias("p_kn"),
+        )
+    )
+
+
+def kneser_ney_surprise(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Max-surprise LM filter without logarithms: score every document
+    by its LEAST-probable bigram under the self-trained Kneser-Ney
+    model — the outlier lens an LM-perplexity filter approximates,
+    exact instead of libm-dependent (a product/avg-log of 100 bigrams
+    would underflow or need ln; the min is a single comparison chain
+    over bit-exact doubles). Ties break on the lexicographically
+    smallest bigram text.
+
+    Returns (id_col, n_bigrams long, min_p double 9 dp,
+    argmin_bigram string); documents with < 2 tokens report
+    n_bigrams = 0 and NULLs.
+    """
+    model = kneser_ney_bigram_model(df, text_col, discount)
+    words = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    bg = (
+        f"CASE WHEN size(__ws) >= 2 THEN "
+        f"transform(sequence(1, size(__ws) - 1), "
+        f"i -> struct(element_at(__ws, i) AS v, element_at(__ws, i + 1) AS w))"
+        f" ELSE CAST(array() AS array<struct<v:string,w:string>>) END"
+    )
+    doc_bg = (
+        df.select(F.col(id_col), F.expr(words).alias("__ws"))
+        .select(F.col(id_col), F.explode(F.expr(bg)).alias("__b"))
+        .select(
+            F.col(id_col),
+            F.col("__b.v").alias("v"),
+            F.col("__b.w").alias("w"),
+        )
+    )
+    scored = doc_bg.join(model, ["v", "w"])
+    mins = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.min("p_kn"), 9).alias("min_p"),
+        F.min_by(
+            F.concat_ws(" ", "v", "w"),
+            F.struct(
+                F.col("p_kn"), F.concat_ws(" ", "v", "w").alias("__t")
+            ),
+        ).alias("argmin_bigram"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(mins, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "min_p",
+            "argmin_bigram",
+        )
+    )

@@ -7256,7 +7256,97 @@ FROM cells
 """
 
 
+def q232_kneser_ney_bigrams(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram model (d = 0.75), top-50 bigrams
+    by count with (v, w) tiebreak — the smoothed-LM training step an
+    n-gram quality filter builds on. Every probability is a fixed tree
+    of IEEE divisions over exact integer counts (no logarithm), so the
+    oracle replays it bit-for-bit (operators/text.py
+    kneser_ney_bigram_model)."""
+    from ..operators.text import kneser_ney_bigram_model
+
+    m = kneser_ney_bigram_model(_docs(spark, sf_dir), "text")
+    return (
+        m.select("v", "w", "c_vw", F.round("p_kn", 9).alias("p_kn"))
+        .orderBy(F.col("c_vw").desc(), "v", "w")
+        .limit(50)
+    )
+
+
+def q233_kneser_ney_surprise(spark, sf_dir):
+    """Max-surprise LM filter: each document's LEAST-probable bigram
+    under the self-trained KN model — the exact, logarithm-free
+    stand-in for a perplexity outlier filter (a 100-bigram product
+    would underflow; an avg-log would hang determinism on libm).
+    Ties to the lexicographically smallest bigram
+    (operators/text.py kneser_ney_surprise)."""
+    from ..operators.text import kneser_ney_surprise
+
+    return kneser_ney_surprise(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_KN_CTES = """
+WITH words AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''] AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
+  FROM words, UNNEST(range(1, len(ws))) t(i)
+  WHERE len(ws) >= 2
+),
+bc AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c_vw FROM bg GROUP BY v, w),
+ctx AS (SELECT v, SUM(c_vw) AS cv, COUNT(*) AS n1v FROM bc GROUP BY v),
+cont AS (SELECT w, COUNT(*) AS n1w FROM bc GROUP BY w),
+tot AS (SELECT COUNT(*) AS n1all FROM bc),
+p AS (
+  SELECT bc.v, bc.w, bc.c_vw,
+    GREATEST(CAST(bc.c_vw AS DOUBLE) - CAST(0.75 AS DOUBLE),
+             CAST(0.0 AS DOUBLE)) / cv
+    + ((CAST(0.75 AS DOUBLE) * n1v) / cv)
+      * (CAST(n1w AS DOUBLE) / n1all) AS p_kn
+  FROM bc JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot
+)"""
+
+_Q232_SQL = (
+    _KN_CTES
+    + """
+SELECT v, w, c_vw, ROUND(p_kn, 9) AS p_kn
+FROM p ORDER BY c_vw DESC, v, w LIMIT 50
+"""
+)
+
+_Q233_SQL = (
+    _KN_CTES
+    + """,
+sc AS (
+  SELECT bg.doc_id, bg.v || ' ' || bg.w AS b, p.p_kn
+  FROM bg JOIN p ON bg.v = p.v AND bg.w = p.w
+),
+m AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(MIN(p_kn), 9) AS min_p
+  FROM sc GROUP BY doc_id
+),
+am AS (
+  SELECT doc_id, b FROM (
+    SELECT doc_id, b,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p_kn, b) AS rn
+    FROM sc) WHERE rn = 1
+)
+SELECT d.doc_id, CAST(COALESCE(m.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       m.min_p, am.b AS argmin_bigram
+FROM documents d
+LEFT JOIN m ON d.doc_id = m.doc_id
+LEFT JOIN am ON d.doc_id = am.doc_id
+"""
+)
+
+
 QUERIES = {
+    "q233_kneser_ney_surprise": q233_kneser_ney_surprise,
+    "q232_kneser_ney_bigrams": q232_kneser_ney_bigrams,
     "q231_rater_agreement": q231_rater_agreement,
     "q230_blocklist_screen": q230_blocklist_screen,
     "q229_exact_substring_scrub": q229_exact_substring_scrub,
@@ -7384,6 +7474,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q233_kneser_ney_surprise": _Q233_SQL,
+    "q232_kneser_ney_bigrams": _Q232_SQL,
     "q231_rater_agreement": _Q231_SQL,
     "q230_blocklist_screen": _Q230_SQL,
     "q229_exact_substring_scrub": _Q229_SQL,

@@ -4660,3 +4660,41 @@ def test_cohen_kappa_known_values(spark):
         [(True, True)] * 4, "a boolean, b boolean"
     )
     assert cohen_kappa(const, "a", "b").collect()[0].kappa is None
+
+
+def test_kneser_ney_hand_computed(spark):
+    """KN probabilities on a corpus small enough to do by hand:
+    'a b a b a c' -> c(a,b)=2, c(b,a)=2, c(a,c)=1; cv(a)=3, cv(b)=2;
+    N1+(a,.)=2, N1+(b,.)=1; N1+(.,b)=N1+(.,a)=N1+(.,c)=1; N1+(..)=3.
+    P(b|a) = 1.25/3 + (1.5/3)(1/3) = 0.583..., P(a|b) = 0.75,
+    P(c|a) = 0.25; the doc's surprise bigram is 'a c'."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.text import (
+        kneser_ney_bigram_model,
+        kneser_ney_surprise,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string"
+    )
+    got = {
+        (r.v, r.w): (r.c_vw, round(r.p_kn, 9))
+        for r in kneser_ney_bigram_model(docs, "text").collect()
+    }
+    assert got[("a", "b")] == (2, round(1.25 / 3 + (0.75 * 2 / 3) * (1 / 3), 9))
+    assert got[("b", "a")] == (2, 0.75)
+    assert got[("a", "c")] == (1, 0.25)
+    s = kneser_ney_surprise(docs, "text", "doc_id").collect()[0]
+    assert (s.n_bigrams, s.min_p, s.argmin_bigram) == (5, 0.25, "a c")
+    # a one-token doc reports zero bigrams and NULLs
+    short = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "solo")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: (r.n_bigrams, r.min_p, r.argmin_bigram)
+        for r in kneser_ney_surprise(short, "text", "doc_id").collect()
+    }
+    assert rows[1] == (0, None, None)
+    with _pytest.raises(ValueError, match="discount"):
+        kneser_ney_bigram_model(docs, "text", discount=1.5)

@@ -36,6 +36,7 @@ from .similarity import (
 from .events import hourly_rate_anomalies
 from .stats import (
     cohen_kappa,
+    robust_group_stats,
     auc_by_group,
     auc_score,
     calibration_bins,
@@ -73,6 +74,7 @@ from .text import (
 __all__ = [
     "blocklist_matches",
     "cohen_kappa",
+    "robust_group_stats",
     "kneser_ney_bigram_model",
     "kneser_ney_surprise",
     "exact_dedup",

@@ -359,3 +359,91 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             F.round(num.cast("double") / den.cast("double"), 9),
         ).alias("kappa"),
     )
+
+
+def robust_group_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Exact per-group robust statistics — median, MAD (median
+    absolute deviation), and the |v - median| > k * MAD outlier count
+    — the distribution-free quality-control pass a pipeline runs on
+    per-source document lengths or scores, where one spam burst would
+    drag a mean/stddev fence but not a median/MAD one.
+
+    EXACT medians, not percentile_approx: each median is the average
+    of the (n+1)//2-th and (n+2)//2-th order statistics, selected by
+    a row_number window — for integer inputs every median is a .0/.5
+    value and every MAD a .0/.25 binary fraction, so the arithmetic
+    is engine-exact with no sketch tolerance. Scale shape: two
+    group-keyed sort windows (value pass, deviation pass) plus
+    group-sized joins; the heavy sort parallelizes across groups (a
+    single monster group serializes its own sort — the inherent cost
+    of an exact median, use the sketch family when approximation is
+    acceptable).
+
+    Returns (group_col, n long, median double, mad double,
+    n_outliers long).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        g.alias(group_col),
+        v.alias("__v"),
+        F.row_number().over(Window.partitionBy(group_col).orderBy(v)).alias(
+            "__rn"
+        ),
+        F.count("*").over(wn).alias("__n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("__rn") == F.expr("(__n + 1) div 2"))
+            | (F.col("__rn") == F.expr("(__n + 2) div 2"))
+        )
+        .groupBy(group_col)
+        .agg(F.avg("__v").alias("__med"), F.max("__n").alias("__cnt"))
+    )
+    dev = df.select(g.alias(group_col), v.alias("__v")).join(
+        med, group_col
+    ).select(
+        g.alias(group_col),
+        "__v",
+        "__med",
+        F.abs(F.col("__v") - F.col("__med")).alias("__d"),
+    )
+    ranked_d = dev.select(
+        g.alias(group_col),
+        "__d",
+        F.row_number()
+        .over(Window.partitionBy(group_col).orderBy(F.col("__d")))
+        .alias("__rn"),
+        F.count("*").over(wn).alias("__n"),
+    )
+    mad = (
+        ranked_d.filter(
+            (F.col("__rn") == F.expr("(__n + 1) div 2"))
+            | (F.col("__rn") == F.expr("(__n + 2) div 2"))
+        )
+        .groupBy(group_col)
+        .agg(F.avg("__d").alias("__mad"))
+    )
+    flags = dev.join(mad, group_col).groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("__med").alias("median"),
+        F.max("__mad").alias("mad"),
+        F.sum(
+            F.when(
+                F.col("__d") > F.lit(float(k)) * F.col("__mad"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return flags.select(group_col, "n", "median", "mad", "n_outliers")

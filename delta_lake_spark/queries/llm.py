@@ -7344,7 +7344,61 @@ LEFT JOIN am ON d.doc_id = am.doc_id
 )
 
 
+def q234_robust_length_outliers(spark, sf_dir):
+    """Per-source robust quality control: EXACT median / MAD / outlier
+    count over document token lengths (|len - median| > 3 * MAD) — the
+    distribution-free fence a mean/stddev rule can't give when one
+    spam burst drags the moments. Medians are order-statistic exact
+    (row_number windows, never percentile_approx), so integer lengths
+    make every reported value a .0/.25 binary fraction and the oracle
+    matches bit-for-bit (operators/stats.py robust_group_stats)."""
+    from ..operators.stats import robust_group_stats
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    vals = _docs(spark, sf_dir).select(
+        "source", F.expr(f"size({words})").alias("n_words")
+    )
+    return robust_group_stats(vals, "source", "n_words", k=3.0)
+
+
+_Q234_SQL = """
+WITH vals AS (
+  SELECT source AS g,
+    CAST(len([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+              IF x <> '']) AS DOUBLE) AS v
+  FROM documents
+),
+r AS (
+  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM vals
+),
+med AS (
+  SELECT g, AVG(v) AS med FROM r
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY g
+),
+dev AS (
+  SELECT vals.g, v, med, ABS(v - med) AS d FROM vals JOIN med USING (g)
+),
+rd AS (
+  SELECT g, d, ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM dev
+),
+mad AS (
+  SELECT g, AVG(d) AS mad FROM rd
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY g
+)
+SELECT dev.g AS source, CAST(COUNT(*) AS BIGINT) AS n,
+  MAX(dev.med) AS median, MAX(mad.mad) AS mad,
+  CAST(SUM(CASE WHEN dev.d > CAST(3.0 AS DOUBLE) * mad.mad
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (g) GROUP BY dev.g
+"""
+
+
 QUERIES = {
+    "q234_robust_length_outliers": q234_robust_length_outliers,
     "q233_kneser_ney_surprise": q233_kneser_ney_surprise,
     "q232_kneser_ney_bigrams": q232_kneser_ney_bigrams,
     "q231_rater_agreement": q231_rater_agreement,
@@ -7474,6 +7528,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q234_robust_length_outliers": _Q234_SQL,
     "q233_kneser_ney_surprise": _Q233_SQL,
     "q232_kneser_ney_bigrams": _Q232_SQL,
     "q231_rater_agreement": _Q231_SQL,

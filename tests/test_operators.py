@@ -4698,3 +4698,28 @@ def test_kneser_ney_hand_computed(spark):
     assert rows[1] == (0, None, None)
     with _pytest.raises(ValueError, match="discount"):
         kneser_ney_bigram_model(docs, "text", discount=1.5)
+
+
+def test_robust_group_stats_hand_computed(spark):
+    """Exact median/MAD on a hand-checkable group: values
+    [1,2,3,4,100] -> median 3, deviations [2,1,0,1,97] -> MAD 1,
+    outliers |v-3| > 3*1 -> only 100. Even-count group averages the
+    two middle order statistics exactly."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.stats import robust_group_stats
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4, 100]]
+        + [("b", v) for v in [10, 20, 30, 40]],
+        "g string, v long",
+    )
+    out = {
+        r.g: (r.n, r.median, r.mad, r.n_outliers)
+        for r in robust_group_stats(df, "g", "v", k=3.0).collect()
+    }
+    assert out["a"] == (5, 3.0, 1.0, 1)
+    # b: median (20+30)/2 = 25, deviations [15,5,5,15] -> MAD (5+15)/2=10
+    assert out["b"] == (4, 25.0, 10.0, 0)
+    with _pytest.raises(ValueError, match="k must be"):
+        robust_group_stats(df, "g", "v", k=0)

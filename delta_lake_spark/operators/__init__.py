@@ -52,6 +52,7 @@ from .text import (
     blocklist_matches,
     kneser_ney_bigram_model,
     kneser_ney_surprise,
+    rouge_n_recall_pairs,
     build_vocabulary,
     dedup_segments,
     dsir_importance,
@@ -75,6 +76,7 @@ __all__ = [
     "blocklist_matches",
     "cohen_kappa",
     "robust_group_stats",
+    "rouge_n_recall_pairs",
     "kneser_ney_bigram_model",
     "kneser_ney_surprise",
     "exact_dedup",

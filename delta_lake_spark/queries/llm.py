@@ -7397,7 +7397,76 @@ FROM dev JOIN mad USING (g) GROUP BY dev.g
 """
 
 
+def q235_rouge_pair_audit(spark, sf_dir):
+    """ROUGE-2 recall audit of the near-dup pair set (q31 semantics,
+    jaccard >= 0.6): multiset bigram recall of the candidate against
+    the reference for every flagged pair — the human-metric
+    cross-check that a shingle-jaccard dedup actually found textual
+    overlap. Exact integer multiset arithmetic; |pairs|-bounded joins
+    (operators/text.py rouge_n_recall_pairs)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.text import rouge_n_recall_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    return rouge_n_recall_pairs(docs, pairs, "text", "doc_id", n=2)
+
+
+_Q235_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM tok),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = id_1
+  JOIN sizes s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+),
+words AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''] AS ws
+  FROM documents
+),
+bgc AS (
+  SELECT doc_id, md5(array_to_string(ws[i:i + 1], ' ')) AS g,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM words, UNNEST(range(1, len(ws))) t(i)
+  WHERE len(ws) >= 2
+  GROUP BY doc_id, g
+),
+tot AS (SELECT doc_id, SUM(c) AS t FROM bgc GROUP BY doc_id),
+ov AS (
+  SELECT p.id_1, p.id_2, SUM(LEAST(a.c, b.c)) AS o
+  FROM pairs p
+  JOIN bgc a ON a.doc_id = p.id_1
+  JOIN bgc b ON b.doc_id = p.id_2 AND b.g = a.g
+  GROUP BY 1, 2
+)
+SELECT p.id_1, p.id_2,
+  CAST(COALESCE(ov.o, 0) AS BIGINT) AS overlap,
+  CAST(COALESCE(t.t, 0) AS BIGINT) AS ref_grams,
+  CASE WHEN COALESCE(t.t, 0) > 0
+       THEN ROUND(CAST(COALESCE(ov.o, 0) AS DOUBLE) / t.t, 9) END AS rouge
+FROM pairs p
+LEFT JOIN ov ON p.id_1 = ov.id_1 AND p.id_2 = ov.id_2
+LEFT JOIN tot t ON t.doc_id = p.id_1
+"""
+
+
 QUERIES = {
+    "q235_rouge_pair_audit": q235_rouge_pair_audit,
     "q234_robust_length_outliers": q234_robust_length_outliers,
     "q233_kneser_ney_surprise": q233_kneser_ney_surprise,
     "q232_kneser_ney_bigrams": q232_kneser_ney_bigrams,
@@ -7528,6 +7597,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q235_rouge_pair_audit": _Q235_SQL,
     "q234_robust_length_outliers": _Q234_SQL,
     "q233_kneser_ney_surprise": _Q233_SQL,
     "q232_kneser_ney_bigrams": _Q232_SQL,

@@ -4723,3 +4723,38 @@ def test_robust_group_stats_hand_computed(spark):
     assert out["b"] == (4, 25.0, 10.0, 0)
     with _pytest.raises(ValueError, match="k must be"):
         robust_group_stats(df, "g", "v", k=0)
+
+
+def test_rouge_n_recall_pairs_semantics(spark):
+    """Multiset ROUGE-2 by hand: identical docs recall 1; the overlap
+    uses MIN of counts (a bigram repeated 3x in the candidate but 1x
+    in the reference contributes 1); zero-overlap pairs appear with
+    rouge 0; a reference shorter than n reports NULL."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.text import rouge_n_recall_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b"),       # bigrams: ab bc ca ab -> {ab:2, bc:1, ca:1}
+            (1, "a b c a b"),       # identical
+            (2, "a b a b a b"),     # {ab:3, ba:2}
+            (3, "x y z"),           # disjoint from doc 0
+            (4, "solo"),            # < 2 tokens: no grams
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 0)], "id_1 long, id_2 long"
+    )
+    out = {
+        (r.id_1, r.id_2): (r.overlap, r.ref_grams, r.rouge)
+        for r in rouge_n_recall_pairs(docs, pairs, "text", "doc_id").collect()
+    }
+    assert out[(0, 1)] == (4, 4, 1.0)
+    # doc0 vs doc2: shared bigram 'a b' -> min(2, 3) = 2 of 4 ref grams
+    assert out[(0, 2)] == (2, 4, 0.5)
+    assert out[(0, 3)] == (0, 4, 0.0)
+    assert out[(4, 0)] == (0, 0, None)
+    with _pytest.raises(ValueError, match="n must be"):
+        rouge_n_recall_pairs(docs, pairs, "text", "doc_id", n=0)

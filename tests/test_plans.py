@@ -1182,3 +1182,59 @@ def test_q229_exact_substring_scrub_shuffle_discipline(spark):
     assert shuffles, plan
     for cols in shuffles:
         assert cols.strip().startswith(("__g", "doc_id")), shuffles
+
+
+def test_q230_blocklist_broadcast_discipline(spark):
+    """Blocklist screening: the phrase relation must BROADCAST (it is
+    model-sized by contract); the only hash exchanges are the doc
+    rollup and the left-join back — never a cartesian or a
+    corpus-sized nested loop."""
+    import re
+
+    from delta_lake_spark.queries.llm import q230_blocklist_screen
+
+    plan = _plan(q230_blocklist_screen(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)
+    for cols in shuffles:
+        assert cols.strip().startswith("doc_id"), shuffles
+
+
+def test_q232_kneser_ney_shuffle_discipline(spark):
+    """KN model build: one corpus bigram aggregation, then
+    vocabulary-keyed joins (v / w) and a 1-row broadcast total — no
+    corpus re-scan per statistic, no cartesian beyond that 1-row
+    broadcast."""
+    import re
+
+    from delta_lake_spark.queries.llm import q232_kneser_ney_bigrams
+
+    plan = _plan(q232_kneser_ney_bigrams(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)
+    assert shuffles, plan
+    for cols in shuffles:
+        assert cols.strip().startswith(("v", "w")), shuffles
+    # the N1+(.,.) total is the only nested-loop broadcast (1 row)
+    import re as _re
+
+    for m in _re.finditer(r"BroadcastNestedLoopJoin", plan):
+        assert "HashAggregate" in plan[m.start():]
+
+
+def test_q235_rouge_joins_are_pair_bounded(spark):
+    """ROUGE audit: gram joins key on ids/grams, the pair relation
+    bounds the expansion, no cartesian."""
+    import re
+
+    from delta_lake_spark.queries.llm import q235_rouge_pair_audit
+
+    plan = _plan(q235_rouge_pair_audit(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)
+    assert shuffles, plan
+    for cols in shuffles:
+        assert cols.strip().startswith(
+            ("id_1", "id_2", "doc_id", "__g", "shingle", "xxhash", "__h")
+        ), shuffles

@@ -2051,3 +2051,234 @@ def exact_substring_scrub(
         (F.size("__ws") - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.array_join(kept, " ")).alias("clean_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent exact-substring gram index — the incremental tier of the
+# exact-substring dedup above, joining the index-maintenance family
+# (LSH signatures, winnow fingerprints, BM25 postings, PQ codes).
+# Postings-only design: the index stores positional k-gram rows plus
+# per-doc sizes; NO count table is maintained, because the probe only
+# ever needs (a) EXISTENCE of a gram in the indexed corpus and (b)
+# counts WITHIN the probe batch — both dup-row tolerant, so a torn
+# append-replay window can never inflate a verdict (the same
+# countDistinct-style tolerance the winnow index relies on, where a
+# maintained count table would double-count on replay).
+# ---------------------------------------------------------------------------
+
+_SUB_PROP = "dls.substringIndex."
+
+
+def _substring_tables(index_path: str) -> tuple[str, str]:
+    return (
+        f"{index_path}/grams",  # (doc id, pos, g) positional postings
+        f"{index_path}/sizes",  # (doc id, n_grams) known-doc registry
+    )
+
+
+def _substring_params(spark, index_path: str) -> dict:
+    from ..log import DeltaLog
+
+    conf = DeltaLog(_substring_tables(index_path)[0]).snapshot().metadata.configuration
+    return {"k": int(conf[_SUB_PROP + "k"])}
+
+
+def build_substring_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    k: int = 8,
+    corpus_version: int | None = None,
+) -> None:
+    """Build the persistent gram index: positional k-gram postings and
+    the per-doc size registry, with ``k`` pinned as a table property
+    so every later update and probe provably grams under the same
+    family."""
+    from ..writer import write_delta
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    t_grams, t_sizes = _substring_tables(index_path)
+    grams = _position_grams(corpus, text_col, id_col, k)
+    props = {_SUB_PROP + "k": str(k)}
+    if corpus_version is not None:
+        props[_SUB_PROP + "syncedVersion"] = str(corpus_version)
+    write_delta(grams, t_grams, mode="overwrite", properties=props)
+    write_delta(
+        grams.groupBy(id_col).agg(F.count("*").alias("n_grams")),
+        t_sizes,
+        mode="overwrite",
+    )
+
+
+def update_substring_index(
+    new_docs: DataFrame, text_col: str, id_col: str, index_path: str
+) -> None:
+    """Incrementally gram newly-appended docs under the frozen k and
+    append transactionally; known ids are skipped so replays are
+    idempotent. Crash ordering — grams FIRST, sizes second: a crash
+    between the appends leaves ids grammed but unknown; the replay
+    re-grams them, and the duplicate (doc, pos, g) rows are absorbed
+    by the probe's existence semantics. Sizes-first would instead
+    lose the ids' grams forever."""
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    spark = new_docs.sparkSession
+    t_grams, t_sizes = _substring_tables(index_path)
+    k = _substring_params(spark, index_path)["k"]
+    known = read_delta(spark, t_sizes).select(id_col)
+    fresh = new_docs.join(known, id_col, "left_anti")
+    from ._cache import register_persisted
+
+    grams = register_persisted(
+        _position_grams(fresh, text_col, id_col, k).persist(),
+        "substring_grams",
+    )
+    write_delta(grams, t_grams, mode="append")
+    write_delta(
+        grams.groupBy(id_col).agg(F.count("*").alias("n_grams")),
+        t_sizes,
+        mode="append",
+    )
+
+
+def delete_from_substring_index(
+    ids: DataFrame, index_path: str, id_col: str = "doc_id"
+) -> None:
+    """GDPR delete propagation: MERGE-delete the ids' rows from both
+    tables, sizes FIRST (mirror of the append ordering — a crash after
+    the sizes delete leaves ghost gram rows that a replay removes and
+    that existence probes tolerate; grams-first would strand the ids
+    as known-but-gramless, unfindable after re-append)."""
+    from ..table import DeltaTable
+
+    spark = ids.sparkSession
+    t_grams, t_sizes = _substring_tables(index_path)
+    doomed = ids.select(id_col).distinct()
+    for path in (t_sizes, t_grams):  # sizes FIRST — see ordering note
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(doomed, f"t.{id_col} = s.{id_col}", source_alias="s")
+            .whenMatchedDelete()
+            .execute()
+        )
+
+
+def sync_substring_index_from_cdf(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Maintain the gram index from the corpus change feed — the same
+    four-step loop as the LSH/winnow twins: (1) table_changes bounded
+    by what changed, (2) delete stale rows for every touched id,
+    (3) re-gram the surviving touched docs from the current corpus,
+    (4) pin ``syncedVersion`` LAST so a crash anywhere replays
+    idempotent steps. Returns the number of touched ids."""
+    from ..cdf import table_changes
+    from ..log import DeltaLog
+    from ..reader import read_delta
+    from ..table import DeltaTable
+
+    t_grams, _ = _substring_tables(index_path)
+    conf = DeltaLog(t_grams).snapshot().metadata.configuration
+    synced = int(conf.get(_SUB_PROP + "syncedVersion", "0"))
+    current = DeltaLog(corpus_path).latest_version()
+    if current <= synced:
+        return 0
+    touched = (
+        table_changes(spark, corpus_path, synced + 1, current)
+        .select(id_col)
+        .distinct()
+    ).persist()
+    try:
+        n_touched = touched.count()
+        if n_touched:
+            delete_from_substring_index(touched, index_path, id_col)
+            update_substring_index(
+                read_delta(spark, corpus_path).join(
+                    touched, id_col, "left_semi"
+                ),
+                text_col,
+                id_col,
+                index_path,
+            )
+        DeltaTable.forPath(spark, t_grams).set_properties(
+            {_SUB_PROP + "syncedVersion": str(current)}
+        )
+    finally:
+        touched.unpersist()
+    return n_touched
+
+
+def spans_against_index(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+) -> DataFrame:
+    """Maximal duplicated spans of ``batch`` documents against the
+    indexed corpus AND the batch itself — the on-arrival form of
+    :func:`exact_substring_spans`: a batch k-gram is duplicated iff it
+    occurs >= 2 times in the batch or at all in the index. Existence
+    is a semi join against the postings pruned to the batch's gram
+    set, so the aggregation is BATCH-bounded (the corpus never
+    re-aggregates); within-batch counts come from the batch alone.
+    Same island-merge and output schema as exact_substring_spans."""
+    from pyspark.sql import Window
+
+    from ..reader import read_delta
+
+    spark = batch.sparkSession
+    t_grams, _ = _substring_tables(index_path)
+    k = _substring_params(spark, index_path)["k"]
+    from ._cache import register_persisted
+
+    grams = register_persisted(
+        _position_grams(batch, text_col, id_col, k).persist(),
+        "substring_grams",
+    )
+    batch_dup = (
+        grams.groupBy("__g")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__g")
+    )
+    stored_hit = (
+        read_delta(spark, t_grams)
+        .select("__g")
+        .join(grams.select("__g").distinct(), "__g", "left_semi")
+        .distinct()
+    )
+    dup = batch_dup.union(stored_hit).distinct()
+    starts = grams.join(dup, "__g", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = starts.select(
+        F.col(id_col),
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        )
+        .otherwise(0)
+        .alias("__f"),
+    )
+    isl = flagged.select(
+        F.col(id_col),
+        "pos",
+        F.sum("__f").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "__isl"
+        ),
+    )
+    return isl.groupBy(id_col, "__isl").agg(
+        F.min("pos").cast("int").alias("start_pos"),
+        (F.max("pos") + (k - 1)).cast("int").alias("end_pos"),
+        (F.max("pos") + k - F.min("pos")).cast("int").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_grams"),
+    ).drop("__isl")

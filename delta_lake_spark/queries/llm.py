@@ -7465,7 +7465,88 @@ LEFT JOIN tot t ON t.doc_id = p.id_1
 """
 
 
+def q236_substring_index_probe(spark, sf_dir):
+    """Persistent exact-substring gram index, on-arrival probe: build
+    the postings index over the historical corpus (doc_id >= 100),
+    incrementally UPDATE it with a day-2 band (50-99, exercising the
+    frozen-k append path), then detect every duplicated span in an
+    arriving batch (doc_id < 50) against index + batch — the
+    incremental form of q228 a streaming ingest runs per batch. The
+    probe's aggregation is BATCH-bounded (postings pruned to the
+    batch's gram set, existence semantics tolerate torn-replay
+    duplicate rows). The oracle replays the same split relationally
+    (operators/dedup.py build/update/spans_against_index)."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import (
+        build_substring_index,
+        spans_against_index,
+        update_substring_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    os.makedirs("/tmp/dls_query_tables", exist_ok=True)
+    idx = tempfile.mkdtemp(dir="/tmp/dls_query_tables", prefix="subidx_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        build_substring_index(
+            docs.filter(F.col("doc_id") >= 100), "text", "doc_id", idx, k=8
+        )
+        update_substring_index(
+            docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)),
+            "text",
+            "doc_id",
+            idx,
+        )
+        out = spans_against_index(
+            docs.filter(F.col("doc_id") < 50), "text", "doc_id", idx
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+_Q236_SQL = """
+WITH words AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''] AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i + 7], ' ')) AS g
+  FROM words, UNNEST(range(1, len(ws) - 8 + 2)) t(i)
+  WHERE len(ws) >= 8
+),
+batch AS (SELECT * FROM grams WHERE doc_id < 50),
+stored AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 50),
+bdup AS (SELECT g FROM batch GROUP BY g HAVING COUNT(*) >= 2),
+starts AS (
+  SELECT doc_id, pos FROM batch
+  WHERE g IN (SELECT g FROM stored) OR g IN (SELECT g FROM bdup)
+),
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+         THEN 1 ELSE 0 END AS f
+  FROM starts WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos, SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS gp
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS start_pos,
+       CAST(MAX(pos) + 7 AS INTEGER) AS end_pos,
+       CAST(MAX(pos) + 8 - MIN(pos) AS INTEGER) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, gp
+"""
+
+
 QUERIES = {
+    "q236_substring_index_probe": q236_substring_index_probe,
     "q235_rouge_pair_audit": q235_rouge_pair_audit,
     "q234_robust_length_outliers": q234_robust_length_outliers,
     "q233_kneser_ney_surprise": q233_kneser_ney_surprise,
@@ -7597,6 +7678,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q236_substring_index_probe": _Q236_SQL,
     "q235_rouge_pair_audit": _Q235_SQL,
     "q234_robust_length_outliers": _Q234_SQL,
     "q233_kneser_ney_surprise": _Q233_SQL,

@@ -4758,3 +4758,130 @@ def test_rouge_n_recall_pairs_semantics(spark):
     assert out[(4, 0)] == (0, 0, None)
     with _pytest.raises(ValueError, match="n must be"):
         rouge_n_recall_pairs(docs, pairs, "text", "doc_id", n=0)
+
+
+def test_substring_index_lifecycle(spark, tmp_path):
+    """Persistent gram index: incremental update must equal a
+    from-scratch rebuild (and replays be no-ops); the on-arrival probe
+    must equal batch-mode exact_substring_spans over batch+corpus
+    restricted to batch docs; GDPR delete scrubs both tables
+    idempotently and removes the deleted doc's contribution."""
+    from delta_lake_spark.operators.dedup import (
+        _substring_tables,
+        build_substring_index,
+        delete_from_substring_index,
+        exact_substring_spans,
+        spans_against_index,
+        update_substring_index,
+    )
+    from delta_lake_spark.reader import read_delta
+
+    boiler = "alpha beta gamma delta epsilon"
+    day1 = [
+        (1, f"one {boiler} tail text here"),
+        (2, "totally unrelated words in this document body"),
+    ]
+    day2 = [(10, f"ten {boiler} other suffix words")]
+    batch = [
+        (100, f"hundred {boiler} closing run"),   # hits corpus boiler
+        (101, "nothing shared with anything at all okay"),
+        (102, "repeat me now ok fine repeat me now ok fine"),  # self-dup
+    ]
+    df1 = spark.createDataFrame(day1, "doc_id long, text string")
+    df2 = spark.createDataFrame(day2, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+
+    inc = str(tmp_path / "inc")
+    build_substring_index(df1, "text", "doc_id", inc, k=5)
+    update_substring_index(df2, "text", "doc_id", inc)
+    update_substring_index(df2, "text", "doc_id", inc)  # replay no-op
+    full = str(tmp_path / "full")
+    build_substring_index(df1.union(df2), "text", "doc_id", full, k=5)
+    get = lambda p, t: sorted(
+        tuple(r) for r in read_delta(spark, _substring_tables(p)[t]).collect()
+    )
+    assert get(inc, 0) == get(full, 0)
+    assert get(inc, 1) == get(full, 1)
+
+    got = sorted(
+        tuple(r)
+        for r in spans_against_index(bdf, "text", "doc_id", inc).collect()
+    )
+    # reference: batch-mode spans over batch+corpus, batch docs only
+    ref = sorted(
+        tuple(r)
+        for r in exact_substring_spans(
+            bdf.union(df1).union(df2), "text", "doc_id", k=5
+        )
+        .filter("doc_id >= 100")
+        .collect()
+    )
+    assert got == ref and any(r[0] == 100 for r in got)
+    assert any(r[0] == 102 for r in got)  # within-batch self-dup found
+    assert not any(r[0] == 101 for r in got)
+
+    # GDPR: delete every boiler-carrying corpus doc; the batch doc that
+    # only matched the corpus no longer spans, the self-dup still does
+    doomed = spark.createDataFrame([(1,), (10,)], "doc_id long")
+    delete_from_substring_index(doomed, inc)
+    delete_from_substring_index(doomed, inc)  # replay no-op
+    for t in (0, 1):
+        assert not [r for r in get(inc, t) if r[0] in (1, 10)]
+    after = sorted(
+        tuple(r)
+        for r in spans_against_index(bdf, "text", "doc_id", inc).collect()
+    )
+    assert not any(r[0] == 100 for r in after)
+    assert any(r[0] == 102 for r in after)
+
+
+def test_substring_index_cdf_sync(spark, tmp_path):
+    """CDF-driven repair: append + delete on the corpus table flow
+    into the index through sync_substring_index_from_cdf, after which
+    the index equals a from-scratch rebuild of the current corpus;
+    a second sync is a no-op (version pin)."""
+    from delta_lake_spark.operators.dedup import (
+        _substring_tables,
+        build_substring_index,
+        sync_substring_index_from_cdf,
+    )
+    from delta_lake_spark.log import DeltaLog
+    from delta_lake_spark.reader import read_delta
+    from delta_lake_spark.table import DeltaTable
+    from delta_lake_spark.writer import write_delta
+
+    corpus = str(tmp_path / "corpus")
+    df1 = spark.createDataFrame(
+        [(i, f"doc number {i} alpha beta gamma delta epsilon zeta")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    write_delta(df1, corpus)
+    idx = str(tmp_path / "idx")
+    build_substring_index(
+        read_delta(spark, corpus), "text", "doc_id", idx, k=5,
+        corpus_version=DeltaLog(corpus).latest_version(),
+    )
+    # day 2: append 3 docs, GDPR-delete doc 2
+    write_delta(
+        spark.createDataFrame(
+            [(100 + i, f"new arrival {i} eta theta iota kappa lambda mu")
+             for i in range(3)],
+            "doc_id long, text string",
+        ),
+        corpus,
+        mode="append",
+    )
+    DeltaTable.forPath(spark, corpus).delete("doc_id = 2")
+    n = sync_substring_index_from_cdf(spark, corpus, idx)
+    assert n == 4  # 3 inserts + 1 delete
+    assert sync_substring_index_from_cdf(spark, corpus, idx) == 0
+    rebuilt = str(tmp_path / "rebuilt")
+    build_substring_index(
+        read_delta(spark, corpus), "text", "doc_id", rebuilt, k=5
+    )
+    get = lambda p, t: sorted(
+        tuple(r) for r in read_delta(spark, _substring_tables(p)[t]).collect()
+    )
+    assert get(idx, 0) == get(rebuilt, 0)
+    assert get(idx, 1) == get(rebuilt, 1)

@@ -1513,7 +1513,107 @@ FROM d
 """
 
 
+def q237_streaming_span_screen(spark, sf_dir):
+    """Streaming exact-substring screening: the gram index is built
+    over the historical corpus (doc_id >= 100), then two document
+    batches (ids 0-49, then 50-99) drain through the span-screen sink
+    — each batch's duplicated spans are detected ON ARRIVAL against
+    index + batch and appended behind a replay guard, and the index
+    absorbs the batch afterward, so batch 2 screens against batch 1's
+    text too. The oracle restates both epochs' span sets relationally
+    (sequencing included: a probe run against the wrong index
+    generation changes the span set and fails the gate)."""
+    import os as _os
+
+    from ..operators.dedup import build_substring_index
+    from ..streaming.incremental import stream_docs_with_span_screen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = _fresh("sss_idx")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        build_substring_index(
+            docs.filter(F.col("doc_id") >= 100), "text", "doc_id", idx, k=8
+        )
+        src = _fresh("sss_src")
+        _os.makedirs(src, exist_ok=True)
+        staging = _fresh("sss_stage")
+        batches = [
+            docs.filter(F.col("doc_id") < 50),
+            docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)),
+        ]
+        for i, b in enumerate(batches):
+            d = f"{staging}/b{i}"
+            b.coalesce(1).write.parquet(d)
+            part = next(
+                f for f in _os.listdir(d) if f.endswith(".parquet")
+            )
+            _os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+            # pin strictly increasing mtimes: the file source orders
+            # epochs by (mtime, path), and same-second writes would
+            # leave the batch sequencing to the path tiebreak alone
+            _os.utime(f"{src}/b{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+        spans = stream_docs_with_span_screen(
+            spark,
+            src,
+            _fresh("sss_corpus"),
+            idx,
+            _fresh("sss_spans"),
+            _fresh("sss_ckpt"),
+            txn_app_id="q237",
+        )
+        spans = spans.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spans
+
+
+_Q237_SQL = """
+WITH words AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''] AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i + 7], ' ')) AS g
+  FROM words, UNNEST(range(1, len(ws) - 8 + 2)) t(i)
+  WHERE len(ws) >= 8
+),
+starts AS (
+  SELECT doc_id, pos FROM grams WHERE doc_id < 50 AND (
+    g IN (SELECT g FROM grams WHERE doc_id >= 100)
+    OR g IN (SELECT g FROM grams WHERE doc_id < 50
+             GROUP BY g HAVING COUNT(*) >= 2))
+  UNION ALL
+  SELECT doc_id, pos FROM grams
+  WHERE doc_id >= 50 AND doc_id < 100 AND (
+    g IN (SELECT g FROM grams WHERE doc_id >= 100 OR doc_id < 50)
+    OR g IN (SELECT g FROM grams WHERE doc_id >= 50 AND doc_id < 100
+             GROUP BY g HAVING COUNT(*) >= 2))
+),
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+         THEN 1 ELSE 0 END AS f
+  FROM starts WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos, SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS gp
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS start_pos,
+       CAST(MAX(pos) + 7 AS INTEGER) AS end_pos,
+       CAST(MAX(pos) + 8 - MIN(pos) AS INTEGER) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, gp
+"""
+
+
 QUERIES = {
+    "q237_streaming_span_screen": q237_streaming_span_screen,
     "q209_streaming_media_keyframes": q209_streaming_media_keyframes,
     "q134_incremental_gold_maintenance": q134_incremental_gold_maintenance,
     "q50_delta_merge_upsert": q50_delta_merge_upsert,
@@ -1551,6 +1651,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q237_streaming_span_screen": _Q237_SQL,
     "q209_streaming_media_keyframes": _Q209_SQL,
     "q134_incremental_gold_maintenance": _Q134_SQL,
     "q57_streaming_windowed_counts": _Q57_SQL,

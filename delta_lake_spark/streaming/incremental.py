@@ -982,3 +982,97 @@ def stream_media_with_keyframes(
     )
     q.awaitTermination(timeout_sec)
     return read_delta(spark, keyframe_path)
+
+
+def stream_docs_with_span_screen(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_path: str,
+    index_path: str,
+    spans_path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    txn_app_id: str = "dls_span_screen",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming document ingestion with ON-ARRIVAL exact-substring
+    screening — the incremental Lee-et-al dedup a landing zone runs:
+    each micro-batch (1) appends its documents idempotently to the
+    versioned corpus, (2) probes its duplicated spans against the
+    PERSISTENT gram index as of the previous epoch plus the batch
+    itself (spans_against_index: batch-bounded, existence-semantics)
+    and appends them to a spans table, then (3) lets the index absorb
+    the batch. The corpus and spans appends carry the (txnAppId,
+    epoch) replay guard; the index update needs none — its known-ids
+    registry makes replays no-ops. The index update runs LAST so a
+    crash-retried epoch re-probes against the SAME pre-batch index
+    state (update-first would make the replayed probe see the batch
+    as already stored and flag every gram).
+
+    Requires the gram index to exist (build_substring_index) — its
+    frozen k governs every epoch. At scale each epoch costs the
+    batch's own gram pass plus postings pruned to the batch's gram
+    set; the corpus never re-aggregates. Returns the spans table."""
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..operators.dedup import (
+        spans_against_index,
+        update_substring_index,
+    )
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    def _replayed(path: str, epoch_id: int) -> bool:
+        log = DeltaLog(path)
+        try:
+            if log.exists():
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        return True
+        except TableNotFoundError:
+            pass
+        return False
+
+    def _write_batch(batch_df, epoch_id: int) -> None:
+        params = {
+            "txnAppId": txn_app_id,
+            "txnVersion": epoch_id,
+            "outputMode": "Append",
+        }
+        if not _replayed(corpus_path, epoch_id):
+            write_delta(
+                batch_df,
+                corpus_path,
+                mode="append",
+                operation="STREAMING DOC APPEND",
+                operation_parameters=params,
+            )
+        if not _replayed(spans_path, epoch_id):
+            write_delta(
+                spans_against_index(
+                    batch_df, "text", "doc_id", index_path
+                ),
+                spans_path,
+                mode="append",
+                operation="STREAMING SPAN APPEND",
+                operation_parameters=params,
+            )
+        # LAST: absorb the batch into the index (replay-idempotent via
+        # the known-ids registry — see ordering note in the docstring)
+        update_substring_index(batch_df, "text", "doc_id", index_path)
+
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(source_dir)
+    q = (
+        src.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return read_delta(spark, spans_path)

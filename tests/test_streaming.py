@@ -781,3 +781,63 @@ def test_stream_media_keyframes_replay_noop(spark, tmp_path):
     assert read_delta(spark, media).count() == 8
     # 8 media, frames = 1 + id % 4 -> 1+2+3+4 repeated twice = 20
     assert out1 == 20
+
+
+def test_streaming_span_screen_sequencing_and_replay(spark, tmp_path):
+    """On-arrival substring screening: batch 2 must screen against
+    batch 1's text (the index absorbs each epoch), replaying the
+    drained stream appends nothing, and the corpus lands exactly
+    once."""
+    import os
+
+    from delta_lake_spark.operators.dedup import build_substring_index
+    from delta_lake_spark.reader import read_delta
+    from delta_lake_spark.streaming.incremental import (
+        stream_docs_with_span_screen,
+    )
+
+    boiler = "alpha beta gamma delta epsilon"
+    hist = spark.createDataFrame(
+        [(100, f"history {boiler} closing words here")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_substring_index(hist, "text", "doc_id", idx, k=5)
+
+    b1 = [(1, f"one {boiler} tail"), (2, "fresh unshared text one here")]
+    b2 = [
+        (10, f"ten {boiler} ending"),              # dup vs history
+        (11, "fresh unshared text one here also"), # 5-gram dup vs b1 doc 2
+        (12, "totally novel closing line okay"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        d = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+        os.utime(f"{src}/b{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    corpus = str(tmp_path / "corpus")
+    spans_path = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ckpt")
+    spans = stream_docs_with_span_screen(
+        spark, src, corpus, idx, spans_path, ckpt, txn_app_id="t_sss"
+    )
+    got = {r.doc_id for r in spans.collect()}
+    assert 1 in got and 10 in got  # boiler matches across epochs
+    assert 11 in got  # batch 2 screened against BATCH 1's text
+    assert 2 not in got and 12 not in got
+    n_spans = spans.count()
+    n_corpus = read_delta(spark, corpus).count()
+    assert n_corpus == 5
+
+    # drained replay: no new files -> nothing appended anywhere
+    again = stream_docs_with_span_screen(
+        spark, src, corpus, idx, spans_path, ckpt, txn_app_id="t_sss"
+    )
+    assert again.count() == n_spans
+    assert read_delta(spark, corpus).count() == n_corpus

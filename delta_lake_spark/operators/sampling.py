@@ -708,3 +708,76 @@ def hamilton_allocation(
             ).cast("long").alias("quota"),
         )
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    weight_col_or_map,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Training-mixture planning: given per-source integer-MILLI
+    mixture weights and a total token ``budget``, report for every
+    source its available tokens, its target token allocation
+    (budget * w / 1000, integral div), the sampling rate it implies in
+    integer MICRO units ((target * 1e6) div available — >1e6 means the
+    source must repeat), and the epoch count that sustains it
+    (ceil(target / available) by integer arithmetic) — the
+    planning-sheet query a data-mixing run starts from (cf. Hoffmann
+    et al. 2022's mixture accounting). Everything stays in long
+    arithmetic, so the oracle matches bit-for-bit.
+
+    ``weight_col_or_map``: a column name holding milli-weights, or a
+    {group: milli_weight} dict applied via a broadcast literal map.
+    Sources with zero available tokens report NULL rate/epochs.
+
+    One corpus aggregation (token sums per source); the plan itself is
+    |sources|-sized.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if isinstance(weight_col_or_map, dict):
+        agg = df.groupBy(group_col).agg(
+            F.sum(F.col(token_col)).cast("long").alias("available_tokens")
+        )
+        pairs = []
+        for k, v in sorted(weight_col_or_map.items()):
+            pairs += [F.lit(k), F.lit(int(v))]
+        w = F.element_at(F.create_map(*pairs), F.col(group_col))
+    else:
+        # the weight column is functionally dependent on the group —
+        # carry it through the aggregation as max()
+        agg = df.groupBy(group_col).agg(
+            F.sum(F.col(token_col)).cast("long").alias("available_tokens"),
+            F.max(F.col(weight_col_or_map)).cast("long").alias("__w"),
+        )
+        w = F.col("__w")
+    planned = agg.select(
+        F.col(group_col),
+        "available_tokens",
+        w.cast("long").alias("milli_weight"),
+    ).select(
+        F.col(group_col),
+        "available_tokens",
+        "milli_weight",
+        F.expr(
+            f"(CAST({int(budget)} AS BIGINT) * milli_weight) div 1000"
+        ).alias("target_tokens"),
+    )
+    rate = F.expr(
+        "CASE WHEN available_tokens > 0 "
+        "THEN (target_tokens * 1000000) div available_tokens END"
+    )
+    epochs = F.expr(
+        "CASE WHEN available_tokens > 0 "
+        "THEN (target_tokens + available_tokens - 1) div available_tokens END"
+    )
+    return planned.select(
+        F.col(group_col),
+        "available_tokens",
+        "milli_weight",
+        "target_tokens",
+        rate.cast("long").alias("sample_rate_micro"),
+        epochs.cast("long").alias("epochs"),
+    )

@@ -7545,7 +7545,53 @@ FROM isl GROUP BY doc_id, gp
 """
 
 
+def q238_mixture_plan(spark, sf_dir):
+    """Training-mixture planning sheet: per-source token inventory,
+    target allocation for a 300k-token budget under milli-weights
+    derived from the source id (50 + 25 * (idx % 4)), the implied
+    integer-micro sampling rate, and the epoch count the source must
+    sustain — all long arithmetic, bit-exact oracle
+    (operators/sampling.py mixture_plan)."""
+    from ..operators.sampling import mixture_plan
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    vals = _docs(spark, sf_dir).select(
+        "source",
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.expr(
+            "50 + 25 * (CAST(substring(source, 4) AS INT) % 4)"
+        ).cast("long").alias("w_milli"),
+    )
+    return mixture_plan(vals, "source", "w_milli", "n_words", budget=300_000)
+
+
+_Q238_SQL = """
+WITH vals AS (
+  SELECT source,
+    CAST(len([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+              IF x <> '']) AS BIGINT) AS n_words,
+    CAST(50 + 25 * (CAST(SUBSTRING(source, 4) AS INT) % 4) AS BIGINT) AS w
+  FROM documents
+),
+agg AS (
+  SELECT source, SUM(n_words) AS available_tokens, MAX(w) AS milli_weight
+  FROM vals GROUP BY source
+)
+SELECT source, CAST(available_tokens AS BIGINT) AS available_tokens,
+  CAST(milli_weight AS BIGINT) AS milli_weight,
+  CAST((300000 * milli_weight) // 1000 AS BIGINT) AS target_tokens,
+  CAST(CASE WHEN available_tokens > 0 THEN
+    ((300000 * milli_weight) // 1000 * 1000000) // available_tokens
+  END AS BIGINT) AS sample_rate_micro,
+  CAST(CASE WHEN available_tokens > 0 THEN
+    ((300000 * milli_weight) // 1000 + available_tokens - 1) // available_tokens
+  END AS BIGINT) AS epochs
+FROM agg
+"""
+
+
 QUERIES = {
+    "q238_mixture_plan": q238_mixture_plan,
     "q236_substring_index_probe": q236_substring_index_probe,
     "q235_rouge_pair_audit": q235_rouge_pair_audit,
     "q234_robust_length_outliers": q234_robust_length_outliers,
@@ -7678,6 +7724,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q238_mixture_plan": _Q238_SQL,
     "q236_substring_index_probe": _Q236_SQL,
     "q235_rouge_pair_audit": _Q235_SQL,
     "q234_robust_length_outliers": _Q234_SQL,

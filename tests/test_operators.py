@@ -4885,3 +4885,53 @@ def test_substring_index_cdf_sync(spark, tmp_path):
     )
     assert get(idx, 0) == get(rebuilt, 0)
     assert get(idx, 1) == get(rebuilt, 1)
+
+
+def test_mixture_plan_arithmetic(spark):
+    """Integer plan arithmetic by hand: budget 1000, weights in milli;
+    a source whose target exceeds its inventory reports rate > 1e6 and
+    the matching epoch ceiling; dict and column weight inputs agree;
+    empty sources report NULLs."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("c", 0)],
+        "src string, toks long",
+    )
+    out = {
+        r.src: (
+            r.available_tokens,
+            r.target_tokens,
+            r.sample_rate_micro,
+            r.epochs,
+        )
+        for r in mixture_plan(
+            df, "src", {"a": 600, "b": 300, "c": 100}, "toks", budget=1000
+        ).collect()
+    }
+    # a: 200 avail, target 600 -> rate 3e6, epochs 3
+    assert out["a"] == (200, 600, 3_000_000, 3)
+    # b: 50 avail, target 300 -> rate 6e6, epochs 6
+    assert out["b"] == (50, 300, 6_000_000, 6)
+    # c: zero inventory -> NULL rate/epochs
+    assert out["c"] == (0, 100, None, None)
+    dfw = df.withColumn(
+        "w",
+        F.when(F.col("src") == "a", 600)
+        .when(F.col("src") == "b", 300)
+        .otherwise(100),
+    )
+    out2 = {
+        r.src: (
+            r.available_tokens,
+            r.target_tokens,
+            r.sample_rate_micro,
+            r.epochs,
+        )
+        for r in mixture_plan(dfw, "src", "w", "toks", budget=1000).collect()
+    }
+    assert out2 == out
+    with _pytest.raises(ValueError, match="budget"):
+        mixture_plan(df, "src", "w", "toks", budget=-1)

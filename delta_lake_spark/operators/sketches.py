@@ -767,3 +767,105 @@ FROM pcoords p
 LEFT JOIN bloom b ON b.word = CAST(p.pos // {w} AS INTEGER)
 GROUP BY p.v
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the frequent-items member of the sketch
+# family (HLL = distincts, count-min = point frequencies, Bloom =
+# membership; this one = the top-of-the-distribution item SET). Finds
+# every token with global frequency >= N/k WITHOUT a corpus-wide
+# wordcount shuffle: per-partition Misra-Gries summaries (k counters,
+# mergeable) nominate a bounded candidate set, then ONE narrow
+# aggregation counts only the candidates exactly. The guarantee is the
+# textbook one: an item with global count >= N/k has, in at least one
+# partition, local share >= 1/k > 1/(k+1), and MG with k counters
+# never evicts an item with local count > n_p/(k+1) — so the
+# candidate set is a superset of the true heavy hitters and the exact
+# verify pass makes the output EXACTLY the >= N/k set (false
+# candidates are filtered, so the sketch's approximation never reaches
+# the caller).
+#
+# Scale shape (100-TB contract): phase 1 is map-only (one Arrow pass
+# per partition, k counters of state, |partitions| summary rows
+# collected — bounded metadata, never data); phase 2 shuffles ONLY
+# candidate-token rows (<= k * partitions distinct tokens) after a
+# broadcast semi-join prune, plus a 1-row corpus-total aggregate. A
+# plain wordcount at web scale shuffles the full multi-billion-row
+# vocabulary; this shuffles thousands.
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    k: int = 50,
+    max_candidates: int = 100_000,
+) -> DataFrame:
+    """Exact >=N/k frequent tokens via per-partition Misra-Gries
+    nomination + exact verification. Returns (token, cnt, n_total):
+    every whitespace token (lowercased, the corpus-wide convention)
+    whose exact count ``cnt`` satisfies ``cnt * k >= n_total``.
+
+    ``max_candidates`` bounds the driver-side candidate collect
+    (contract: <= k * partitions rows); exceeding it raises rather
+    than silently truncating."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    toks_arr = df.select(F.expr(words).alias("__ws"))
+
+    def _partition_mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        seen = False
+        for pdf in batches:
+            for arr in pdf["__ws"]:
+                seen = True
+                for t in arr:
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < k:
+                        counters[t] = 1
+                    else:
+                        # decrement-all: removes k+1 distinct
+                        # occurrences, hence the n_p/(k+1) guarantee
+                        drop = [c for c in counters if counters[c] == 1]
+                        for c in counters:
+                            counters[c] -= 1
+                        for c in drop:
+                            del counters[c]
+        if seen and counters:
+            yield pd.DataFrame({"token": list(counters)})
+
+    cand = toks_arr.mapInPandas(_partition_mg, schema="token string").distinct()
+    # bounded probe-and-collect (sampling.py convention): one extra row
+    # detects overflow without a separate count job
+    cand_rows = cand.limit(max_candidates + 1).collect()
+    if len(cand_rows) > max_candidates:
+        raise ValueError(
+            f"candidate set exceeds max_candidates={max_candidates}; "
+            f"raise the bound or lower k (contract: <= k * partitions)"
+        )
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame(
+        [(r.token,) for r in cand_rows], "token string"
+    )
+    toks = df.select(F.explode(F.expr(words)).alias("token"))
+    total = toks_arr.agg(
+        F.coalesce(F.sum(F.size("__ws")), F.lit(0))
+        .cast("long")
+        .alias("n_total")
+    )
+    exact = (
+        toks.join(F.broadcast(cand_df), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(int(k)) >= F.col("n_total"))
+        .select("token", "cnt", "n_total")
+    )

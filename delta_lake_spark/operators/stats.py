@@ -447,3 +447,74 @@ def robust_group_stats(
         .alias("n_outliers"),
     )
     return flags.select(group_col, "n", "median", "mad", "n_outliers")
+
+
+def ols_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares diagnostics of integer-valued
+    ``y`` on integer-valued ``x`` — the regr_slope / regr_intercept /
+    regr_r2 / corr sheet a pipeline reads to sanity-check a cheap
+    feature against an expensive one (does token count predict byte
+    length per source? is a quality score drifting linearly with
+    document age?).
+
+    EXACT moments, not float accumulation: the five sums (Σx, Σy,
+    Σx², Σy², Σxy) aggregate as longs, which are order-free under any
+    partitioning, so every reported statistic is a fixed IEEE
+    expression of exact integers — bit-reproducible cross-engine
+    (float-summed regr_* aggregates are partition-order-dependent and
+    cannot be oracle-pinned). Numerators/denominators stay inside
+    long range while n·Σxy < 2^63 — petabyte-scale for typical
+    bounded features; past that, lift the moments to decimal (the
+    formulas are unchanged).
+
+    slope = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²); intercept from the means;
+    r² = cov² / (varx · vary) computed in doubles AFTER the exact
+    integer factors (their squares may exceed long range);
+    corr = cov / sqrt(varx · vary) — IEEE sqrt is correctly rounded,
+    so it is engine-exact too. Constant-x groups report NULL slope /
+    intercept / r2 / corr; constant-y groups report NULL r2 / corr
+    (zero variance to explain).
+
+    Scale shape: ONE map-side-combined aggregation keyed on the group
+    — no window, no second pass; the result relation is group-sized.
+
+    Returns (group_col, n, slope, intercept, r2, corr), doubles
+    rounded to 9 dp.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    m = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    cov = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov_d, varx_d, vary_d = (
+        cov.cast("double"),
+        varx.cast("double"),
+        vary.cast("double"),
+    )
+    slope = F.when(varx != 0, cov_d / varx_d)
+    intercept = (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double")) / F.col("n").cast("double")
+    r2 = F.when((varx != 0) & (vary != 0), (cov_d * cov_d) / (varx_d * vary_d))
+    corr = F.when(
+        (varx != 0) & (vary != 0), cov_d / F.sqrt(varx_d * vary_d)
+    )
+    return m.select(
+        group_col,
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+        F.round(corr, 9).alias("corr"),
+    )

@@ -2350,3 +2350,96 @@ def rouge_n_recall_pairs(
             ).alias("rouge"),
         )
     )
+
+
+def chi2_keywords(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-group chi-squared keyword extraction: for every (group,
+    token) the 2x2 contingency statistic over token occurrences
+    (token-in-group vs token-elsewhere vs other-tokens), keeping the
+    ``top_k`` most over-represented tokens per group — the
+    domain-signature report a pipeline reads beside TF-IDF keywords
+    (chi2 favors tokens DISTINCTIVE to a source, however common
+    globally; TF-IDF favors rare ones).
+
+    Exactness: the four contingency cells derive from three exact
+    long aggregates (cell, token marginal, group marginal) plus the
+    1-row total; chi2 = N*(ad-bc)^2 / (Ct*(N-Ct)*Ng*(N-Ng)) is then a
+    fixed IEEE expression of those integers (products computed in
+    double — ad alone can exceed long range at petabyte scale, and
+    IEEE multiply is engine-exact either way). Only positively
+    associated tokens qualify (observed > expected, the integer-exact
+    test a*N > Ng*Ct), so the output is keywords, not anti-keywords;
+    ties break on token.
+
+    Scale shape: one (group, token) aggregation (THE shuffle — keyed
+    on the pair, map-side combined), a vocabulary-sized token-marginal
+    relation joined on token, the group marginal and corpus total as
+    broadcasts, and a per-group top-k window over the candidate
+    relation. No corpus-wide window, no cartesian.
+
+    Returns (group_col, token, a, chi2) — ``a`` the exact in-group
+    count, chi2 rounded to 9 dp.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    words = (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    cells = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(F.expr(words)).alias("token"),
+        )
+        .groupBy("__g", "token")
+        .agg(F.count("*").cast("long").alias("a"))
+    )
+    tok_marg = cells.groupBy("token").agg(
+        F.sum("a").cast("long").alias("__ct")
+    )
+    grp_marg = cells.groupBy("__g").agg(
+        F.sum("a").cast("long").alias("__ng")
+    )
+    total = cells.agg(F.sum("a").cast("long").alias("__n"))
+    j = (
+        cells.join(tok_marg, "token")
+        .join(F.broadcast(grp_marg), "__g")
+        .crossJoin(F.broadcast(total))
+        # positive association, integer-exact: observed > expected
+        .filter(F.col("a") * F.col("__n") > F.col("__ng") * F.col("__ct"))
+    )
+    n_d = F.col("__n").cast("double")
+    ct_d = F.col("__ct").cast("double")
+    ng_d = F.col("__ng").cast("double")
+    a_d = F.col("a").cast("double")
+    # cells b, c, d in double from the exact longs
+    b_d = ct_d - a_d
+    c_d = ng_d - a_d
+    d_d = n_d - ct_d - c_d
+    diff = a_d * d_d - b_d * c_d
+    den = ct_d * (n_d - ct_d) * ng_d * (n_d - ng_d)
+    scored = j.select(
+        F.col("__g"),
+        "token",
+        "a",
+        F.when(den != 0, n_d * diff * diff / den).alias("__chi2"),
+    ).filter(F.col("__chi2").isNotNull())
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__chi2").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select(
+            F.col("__g").alias(group_col),
+            "token",
+            "a",
+            F.round("__chi2", 9).alias("chi2"),
+        )
+    )

@@ -80,14 +80,18 @@ def _words_expr(text_col: str) -> str:
     )
 
 
-def _rewrite_body(s: str, lhs: str, rhs: str) -> str:
+def _rewrite_body(
+    s: str, lhs: str, rhs: str, merged_sym: str | None = None
+) -> str:
     """Rewrite body over a symbol-array term ``s`` (a column name or an
     in-scope lambda variable — referenced several times, so it must be
-    cheap): replace every adjacent (lhs, rhs) pair with the
-    concatenated symbol. The match-position array is let-bound through
-    a single-element-array transform so it is computed once."""
+    cheap): replace every adjacent (lhs, rhs) pair with the merged
+    symbol (defaults to their concatenation; WordPiece passes the
+    continuation-prefix-stripped form). The match-position array is
+    let-bound through a single-element-array transform so it is
+    computed once."""
     a, b = _esc(lhs), _esc(rhs)
-    merged = _esc(lhs + rhs)
+    merged = _esc(lhs + rhs if merged_sym is None else merged_sym)
     return f"""element_at(transform(array(
       filter(sequence(1, greatest(size({s}) - 1, 1)),
              i -> i + 1 <= size({s})
@@ -654,5 +658,312 @@ def unigram_encode(
                 F.col("tokens"), F.expr("CAST(array() AS array<string>)")
             ).alias("tokens"),
         )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT vocabulary) —
+# the third member of the tokenizer family. Training is the BPE loop
+# with TWO changes: (1) symbols carry the '##' continuation prefix from
+# the start (a word splits into [c0, ##c1, ##c2, ...]), so every
+# learned piece is position-marked exactly like the BERT vocab; (2) the
+# merge argmax maximizes the LIKELIHOOD score
+# count(ab) / (count(a) * count(b)) instead of raw pair frequency — the
+# pair whose merge most increases a unigram LM's corpus likelihood.
+# Encoding is NOT merge-replay: WordPiece encodes by greedy
+# longest-match-first against the final vocabulary (word-initial form
+# at position 1, '##' form after), with whole-word [UNK] fallback —
+# the MaxMatch algorithm of the BERT tokenizer.
+#
+# Determinism contract (what makes the DuckDB oracle value-exact): the
+# score is ONE IEEE division of two exact longs (the pair weight and
+# the product of the two symbol counts), so both engines compute the
+# identical double; argmax ties break lexicographically on (lhs, rhs).
+# Greedy encoding is integer-only (substring membership probes against
+# a piece set), so it is bit-exact by construction.
+#
+# Scale shape: identical to BPE training — ONE corpus shuffle (the
+# word histogram); each round adds one vocab-sized symbol-count
+# aggregation (the score's denominators) beside the pair aggregation,
+# both over the DISTINCT-WORD relation, argmax collected as a single
+# bounded row. Encoding is map-only: the vocabulary rides a 1-row
+# broadcast map and each word's greedy scan runs inside a words
+# transform — zero shuffles at any corpus size. Same auto
+# driver/distributed strategy as BPE below the histogram bound.
+#
+# Prefix caveat (shared verbatim by the oracle, so cross-engine
+# agreement is unaffected): a corpus word that literally starts with
+# '##' collides with the continuation form of its suffix; real BERT
+# vocabularies accept the same ambiguity.
+# ---------------------------------------------------------------------------
+
+WORDPIECE_SCHEMA = StructType(
+    [
+        StructField("rank", IntegerType(), False),
+        StructField("lhs", StringType(), False),
+        StructField("rhs", StringType(), False),
+        StructField("merged", StringType(), False),
+        StructField("weight", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def _wp_symbols_expr(word: str) -> str:
+    """SQL expression splitting a word term into its WordPiece symbol
+    array: first character bare, every later character '##'-prefixed."""
+    return (
+        f"transform(sequence(1, length({word})), i -> "
+        f"IF(i = 1, substring({word}, 1, 1), "
+        f"'##' || substring({word}, i, 1)))"
+    )
+
+
+def _wp_merged(a: str, b: str) -> str:
+    """The merged symbol: right side's continuation prefix is absorbed
+    (the merged piece keeps only the LEFT side's position marker). The
+    right symbol always sits at position >= 2, so it always carries
+    '##'."""
+    if not b.startswith("##"):
+        raise ValueError(
+            f"WordPiece right-hand symbol must be a continuation: {b!r}"
+        )
+    return a + b[2:]
+
+
+def _train_wp_driver(hist: list, n_merges: int) -> list:
+    """Greedy likelihood-scored WordPiece training over a collected
+    word histogram — semantics identical to the distributed rounds
+    (property-tested). Scores are float(weight) / float(ca * cb): the
+    exact-int-to-double conversions and single division match the SQL
+    CAST(... AS DOUBLE) arithmetic bit-for-bit."""
+    vocab = [
+        (tuple([w[0]] + ["##" + ch for ch in w[1:]]), int(c))
+        for w, c in hist
+        if w
+    ]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        ucnt: dict = {}
+        pcnt: dict = {}
+        for s, c in vocab:
+            for sym in s:
+                ucnt[sym] = ucnt.get(sym, 0) + c
+            for i in range(len(s) - 1):
+                if s[i] != s[i + 1]:
+                    p = (s[i], s[i + 1])
+                    pcnt[p] = pcnt.get(p, 0) + c
+        if not pcnt:
+            break
+        (a, b), wgt = min(
+            pcnt.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / float(ucnt[kv[0][0]] * ucnt[kv[0][1]])),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        score = float(wgt) / float(ucnt[a] * ucnt[b])
+        ab = _wp_merged(a, b)
+        merges.append((rank, a, b, ab, int(wgt), score))
+        nxt = []
+        for s, c in vocab:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append((tuple(out), c))
+        vocab = nxt
+    return merges
+
+
+def train_wordpiece_merges(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+    strategy: str = "auto",
+    driver_max_vocab: int = 100_000,
+) -> DataFrame:
+    """Learn the top-``n_merges`` WordPiece merges from the corpus.
+
+    Returns an ``n_merges``-row DataFrame (rank, lhs, rhs, merged,
+    weight, score) — ``score`` is the UNROUNDED likelihood ratio
+    weight / (count(lhs) * count(rhs)) at selection time. Stops early
+    if no two-distinct-symbol pair remains. Strategy contract is
+    :func:`train_bpe_merges`'s."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if strategy not in ("auto", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.expr(_words_expr(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if strategy == "auto":
+        hist = [
+            (r.w, r.cnt) for r in words.limit(driver_max_vocab + 1).collect()
+        ]
+        if len(hist) <= driver_max_vocab:
+            return spark.createDataFrame(
+                _train_wp_driver(hist, n_merges), WORDPIECE_SCHEMA
+            )
+    # same eager-localCheckpoint iteration discipline as train_bpe_merges
+    # (lineage truncation per round; persist alone leaves the analyzer
+    # replaying r stacked HOF layers by round r)
+    vocab = words.select(
+        "cnt", F.expr(_wp_symbols_expr("w")).alias("s")
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        # symbol counts: the score's denominators — alphabet+merges
+        # sized, broadcast onto the pair relation twice
+        u = (
+            vocab.select("cnt", F.explode("s").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform("
+                        "  filter(sequence(1, greatest(size(s) - 1, 1)),"
+                        "         i -> i + 1 <= size(s)),"
+                        "  i -> struct(element_at(s, i) AS a,"
+                        "              element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.a", "p.b")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("weight"))
+        )
+        best = (
+            pairs.join(
+                F.broadcast(u.select(F.col("sym"), F.col("c").alias("__ca"))),
+                F.col("a") == F.col("sym"),
+            )
+            .drop("sym")
+            .join(
+                F.broadcast(u.select(F.col("sym"), F.col("c").alias("__cb"))),
+                F.col("b") == F.col("sym"),
+            )
+            .select(
+                "a",
+                "b",
+                "weight",
+                (
+                    F.col("weight").cast("double")
+                    / (F.col("__ca") * F.col("__cb")).cast("double")
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "a", "b")
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not best:
+            break
+        a, b = best[0].a, best[0].b
+        wgt, score = int(best[0].weight), float(best[0].score)
+        ab = _wp_merged(a, b)
+        merges.append((rank, a, b, ab, wgt, score))
+        if rank == n_merges:
+            break  # the last rewrite would never be read
+        vocab = vocab.select(
+            "cnt",
+            F.expr(
+                f"element_at(transform(array(s), s ->\n"
+                f"{_rewrite_body('s', a, b, ab)}\n), 1)"
+            ).alias("s"),
+        ).localCheckpoint()
+    return spark.createDataFrame(merges, WORDPIECE_SCHEMA)
+
+
+def _wp_greedy_expr(w: str, max_word_len: int, unk: str) -> str:
+    """SQL expression greedily segmenting word term ``w`` against the
+    in-scope 1-row vocab columns ``__m`` (piece -> 1 map) and ``__L``
+    (max piece core length, int). MaxMatch: at each position take the
+    LONGEST piece whose positional form (bare at position 1, '##'
+    after) is in the vocabulary; any dead position — or a word longer
+    than ``max_word_len`` (BERT's max_input_chars_per_word) — degrades
+    the whole word to the [UNK] token. At most one piece per
+    character, so the fold runs min(length, max_word_len) steps."""
+    u = _esc(unk)
+    probe = (
+        f"IF(st.p = 1, substring({w}, st.p, l), "
+        f"'##' || substring({w}, st.p, l))"
+    )
+    take = (
+        f"IF(st.p = 1, substring({w}, st.p, best), "
+        f"'##' || substring({w}, st.p, best))"
+    )
+    return f"""aggregate(
+  sequence(1, least(length({w}), {max_word_len})),
+  named_struct('p', 1,
+               't', CAST(array() AS array<string>),
+               'd', length({w}) > {max_word_len} OR length({w}) = 0),
+  (st, _x) -> IF(st.d OR st.p > length({w}), st,
+    element_at(transform(array(
+      array_max(filter(
+        transform(sequence(1, least(length({w}) - st.p + 1, __L)),
+                  l -> IF(element_at(__m, {probe}) IS NOT NULL, l, -1)),
+        v -> v >= 0))
+    ), best -> IF(best IS NULL,
+      named_struct('p', st.p, 't', st.t, 'd', true),
+      named_struct('p', st.p + best,
+                   't', array_append(st.t, {take}),
+                   'd', false))), 1)),
+  st -> IF(st.d, array('{u}'), st.t))"""
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab,
+    unk: str = "[UNK]",
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Encode every document by greedy longest-match (MaxMatch) against
+    a WordPiece vocabulary. ``vocab`` is a DataFrame with a ``piece``
+    column or a list of piece strings (word-initial pieces bare,
+    continuation pieces '##'-prefixed). Map-only: the vocabulary rides
+    a 1-row broadcast (membership map + max core length); each word's
+    greedy scan runs inside a words transform — zero shuffles at any
+    corpus size. Returns (id_col, tokens, n_tokens)."""
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    spark = docs.sparkSession
+    if isinstance(vocab, DataFrame):
+        vdf = vocab.select("piece")
+    else:
+        vdf = spark.createDataFrame(
+            [(p,) for p in vocab], "piece string"
+        )
+    folded = vdf.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.lit(1)))
+        ).alias("__m"),
+        F.max(
+            F.length("piece")
+            - F.when(F.col("piece").startswith("##"), 2).otherwise(0)
+        ).alias("__L"),
+    )
+    per_doc = (
+        f"flatten(transform({_words_expr(text_col)}, w -> "
+        f"{_wp_greedy_expr('w', max_word_len, unk)}))"
+    )
+    return (
+        docs.crossJoin(F.broadcast(folded))
+        .select(F.col(id_col), F.expr(per_doc).alias("tokens"))
         .withColumn("n_tokens", F.size("tokens").cast("long"))
     )

@@ -2619,6 +2619,9 @@ def clear_funnel_memo(spark=None) -> None:
         for k in list(_UNIGRAM_MEMO):
             if spark is None or k[0] == id(spark):
                 del _UNIGRAM_MEMO[k]
+        for k in list(_WP_MEMO):
+            if spark is None or k[0] == id(spark):
+                del _WP_MEMO[k]
     for slot in slots:
         frames = [f for e in slot["chain"].values() for f in e["frames"]]
         frames += [f for dfs in slot["extras"].values() for f in dfs]
@@ -5165,6 +5168,9 @@ _BPE_N_MERGES = 8
 # alongside it (clear_funnel_memo)
 _BPE_MEMO: dict = {}
 
+# learned WordPiece-merge memo, same contract as _BPE_MEMO
+_WP_MEMO: dict = {}
+
 
 def _bpe_merges(spark, sf_dir):
     from ..operators.tokenizer import train_bpe_merges
@@ -7590,7 +7596,393 @@ FROM agg
 """
 
 
+_WP_N_MERGES = 8
+_WP_MAXW = 24
+
+
+def _wp_merges(spark, sf_dir):
+    from ..operators.tokenizer import train_wordpiece_merges
+
+    key = (id(spark), sf_dir)
+    rows = _WP_MEMO.get(key)
+    if rows is None:
+        trained = train_wordpiece_merges(
+            _docs(spark, sf_dir), "text", n_merges=_WP_N_MERGES
+        ).collect()
+        with _FUNNEL_LOCK:
+            rows = _WP_MEMO.setdefault(key, trained)
+    return rows
+
+
+def _wp_duck_layer(prev: str, r: int) -> str:
+    """One DuckDB WordPiece merge layer over symbol-array expression
+    ``prev`` — _bpe_duck_layer with the replacement symbol taken from
+    the round's merged column (right side's '##' prefix absorbed)."""
+    return f"""list_transform([{prev}], s ->
+  list_transform([[i FOR i IN range(1, len(s)) IF s[i] = m{r}.a AND s[i+1] = m{r}.b]], p ->
+    [CASE WHEN list_contains(p, i) THEN m{r}.merged ELSE s[i] END
+     FOR i IN range(1, len(s)+1) IF NOT list_contains(p, i-1)])[1])[1]"""
+
+
+def _wp_train_ctes(n: int = _WP_N_MERGES) -> str:
+    """WITH-chain replaying WordPiece training: v0 is the
+    '##'-prefixed symbol split of the word histogram; round r derives
+    symbol counts u{r} (the score denominators), pair weights p{r},
+    the likelihood argmax m{r}, and the rewritten vocabulary v{r}."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+                       IF x <> '']) AS w
+        FROM documents)
+  GROUP BY w
+),
+v0 AS MATERIALIZED (SELECT cnt,
+  [CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END
+   FOR i IN range(1, len(w)+1)] AS s
+ FROM w0)"""
+    ]
+    for r in range(1, n + 1):
+        parts.append(f"""u{r} AS MATERIALIZED (
+  SELECT sym, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, unnest(s) AS sym FROM v{r - 1}) GROUP BY sym
+),
+p{r} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS weight FROM (
+    SELECT cnt, s[i] AS a, s[i+1] AS b
+    FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i FROM v{r - 1})
+  ) WHERE a <> b GROUP BY a, b
+),
+m{r} AS MATERIALIZED (
+  SELECT a, b, a || b[3:] AS merged, weight,
+         CAST(weight AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS score
+  FROM p{r} JOIN u{r} ua ON p{r}.a = ua.sym JOIN u{r} ub ON p{r}.b = ub.sym
+  ORDER BY score DESC, a, b LIMIT 1)""")
+        if r < n:
+            parts.append(f"""v{r} AS MATERIALIZED (
+  SELECT cnt, {_wp_duck_layer('s', r)} AS s
+  FROM v{r - 1}, m{r})""")
+    return "WITH " + ",\n".join(parts)
+
+
+def q239_wordpiece_train(spark, sf_dir):
+    """Learn the top-8 WordPiece merges (likelihood-scored BPE over
+    '##'-prefixed continuation symbols — the BERT vocabulary builder)
+    beside q190's frequency-scored BPE and q224's unigram-LM. One
+    corpus shuffle (the word histogram); each round adds one
+    vocab-sized symbol-count aggregation (the score denominators)
+    beside the pair aggregation, argmax collected as one bounded row.
+    The score is a SINGLE IEEE division of two exact longs, so the
+    fully unrolled SQL replay is value-exact
+    (operators/tokenizer.py train_wordpiece_merges)."""
+    from ..operators.tokenizer import WORDPIECE_SCHEMA
+
+    return spark.createDataFrame(
+        _wp_merges(spark, sf_dir), WORDPIECE_SCHEMA
+    ).select(
+        "rank", "lhs", "rhs", "merged", "weight",
+        F.round("score", 9).alias("score"),
+    )
+
+
+_Q239_SQL = (
+    _wp_train_ctes()
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, a AS lhs, b AS rhs, merged, weight,"
+        f" ROUND(score, 9) AS score FROM m{r}"
+        for r in range(1, _WP_N_MERGES + 1)
+    )
+)
+
+
+def q240_wordpiece_encode(spark, sf_dir):
+    """Encode every document by greedy longest-match (MaxMatch — the
+    BERT tokenizer's algorithm) against the vocabulary learned by
+    q239's WordPiece training: corpus alphabet (bare + '##' forms) plus
+    the 8 merge outputs. Encoding is MAP-ONLY: the vocabulary rides a
+    1-row broadcast membership map, each word's greedy scan runs
+    inside a words transform, zero shuffles at any corpus size.
+    Reports per-doc token totals, distinct types, and continuation
+    ('##') token counts. The oracle replays training, vocabulary
+    assembly, AND the greedy fold."""
+    from ..operators.tokenizer import wordpiece_encode
+
+    docs = _docs(spark, sf_dir)
+    merges = _wp_merges(spark, sf_dir)
+    # corpus alphabet in both positional forms — bounded by the charset
+    # (same contract as unigram training's chars relation)
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    alpha = [
+        r.ch
+        for r in docs.select(
+            F.explode(
+                F.expr(
+                    f"array_distinct(flatten(transform({words}, "
+                    "w -> transform(sequence(1, length(w)), "
+                    "i -> substring(w, i, 1)))))"
+                )
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    ]
+    vocab = sorted(set(alpha) | {"##" + c for c in alpha}
+                   | {r.merged for r in merges})
+    enc = wordpiece_encode(
+        docs, "text", "doc_id", vocab, max_word_len=_WP_MAXW
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_types"),
+        F.size(
+            F.filter("tokens", lambda t: t.startswith("##"))
+        ).cast("long").alias("n_cont"),
+    )
+
+
+def _wp_greedy_duck_layers(maxw: int = _WP_MAXW) -> str:
+    """One MATERIALIZED greedy-step CTE per position 1..maxw over the
+    distinct-word relation: state (w, p, t, d) advances by the longest
+    vocabulary match at p (bare form at position 1, '##' form after);
+    no match — or a word longer than maxw — sets the dead flag."""
+    probe = (
+        "CASE WHEN p = 1 THEN substring(w, p, l) "
+        "ELSE '##' || substring(w, p, l) END"
+    )
+    take = (
+        "CASE WHEN p = 1 THEN substring(w, p, best) "
+        "ELSE '##' || substring(w, p, best) END"
+    )
+    parts = [
+        f"""g0 AS MATERIALIZED (
+  SELECT w, CAST(1 AS BIGINT) AS p, CAST([] AS VARCHAR[]) AS t,
+         len(w) > {maxw} AS d
+  FROM (SELECT DISTINCT w FROM dw) CROSS JOIN vf)"""
+    ]
+    for j in range(1, maxw + 1):
+        parts.append(f"""g{j} AS MATERIALIZED (
+  SELECT w,
+    CASE WHEN d OR p > len(w) OR best IS NULL THEN p ELSE p + best END AS p,
+    CASE WHEN d OR p > len(w) OR best IS NULL THEN t
+         ELSE list_append(t, {take}) END AS t,
+    CASE WHEN d OR (p <= len(w) AND best IS NULL) THEN true ELSE false END AS d
+  FROM (
+    SELECT w, p, t, d,
+      list_max([l FOR l IN range(1, least(len(w) - p + 1, L) + 1)
+                IF len(m[{probe}]) > 0]) AS best
+    FROM g{j - 1} CROSS JOIN vf))""")
+    return ",\n".join(parts)
+
+
+_Q240_SQL = (
+    _wp_train_ctes()
+    + f""",
+alpha AS (
+  SELECT DISTINCT w[i] AS ch FROM w0, UNNEST(range(1, len(w)+1)) t(i)
+),
+vstack AS (
+  SELECT ch AS piece FROM alpha
+  UNION SELECT '##' || ch FROM alpha
+  {"".join(f" UNION SELECT merged FROM m{r}" for r in range(1, _WP_N_MERGES + 1))}
+),
+vf AS (
+  SELECT map(list(piece), list(1)) AS m,
+         MAX(len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END) AS L
+  FROM vstack
+),
+dw AS MATERIALIZED (
+  SELECT doc_id,
+    unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+            IF x <> '']) AS w
+  FROM documents
+),
+-- greedy MaxMatch unrolled one MATERIALIZED layer per position over
+-- the DISTINCT-WORD relation (the engine's vocab strategy): DuckDB's
+-- lambda engine miscompiles accumulator captures inside nested
+-- list_reduce lambdas, so `best` is computed in a plain projection
+"""
+    + _wp_greedy_duck_layers()
+    + f""",
+fw AS (
+  SELECT w, CASE WHEN d THEN ['[UNK]'] ELSE t END AS tl FROM g{_WP_MAXW}
+),
+per_doc AS (
+  -- the reported metrics are token-order-invariant, so the flatten
+  -- needs no positional sort
+  SELECT doc_id, flatten(list(tl)) AS tokens
+  FROM dw JOIN fw USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(len(p.tokens), 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(len(list_distinct(p.tokens)), 0) AS BIGINT) AS n_types,
+  CAST(COALESCE(len([t FOR t IN p.tokens IF t LIKE '##%']), 0) AS BIGINT)
+    AS n_cont
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+)
+
+
+
+def q241_length_regression(spark, sf_dir):
+    """Per-source OLS of byte length on word count (slope, intercept,
+    r-squared, correlation) — the regr_* diagnostic sheet that checks a
+    cheap feature (whitespace token count) against the stored n_chars
+    before trusting it as a proxy. EXACT long moments in ONE
+    map-side-combined group aggregation, every statistic a fixed IEEE
+    expression of exact integers (operators/stats.py ols_fit)."""
+    from ..operators.stats import ols_fit
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    feats = _docs(spark, sf_dir).select(
+        "source",
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return ols_fit(feats, "source", "n_words", "n_chars")
+
+
+_Q241_SQL = """
+WITH feats AS (
+  SELECT source,
+    CAST(len([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+              IF x <> '']) AS BIGINT) AS x,
+    CAST(n_chars AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM feats GROUP BY source
+),
+f AS (
+  SELECT source, n,
+    n * sxy - sx * sy AS cov,
+    n * sxx - sx * sx AS varx,
+    n * syy - sy * sy AS vary,
+    sx, sy
+  FROM m
+)
+SELECT source, n,
+  ROUND(CASE WHEN varx <> 0
+    THEN CAST(cov AS DOUBLE) / CAST(varx AS DOUBLE) END, 9) AS slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - (CASE WHEN varx <> 0
+            THEN CAST(cov AS DOUBLE) / CAST(varx AS DOUBLE) END)
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept,
+  ROUND(CASE WHEN varx <> 0 AND vary <> 0
+    THEN (CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE))
+         / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)) END, 9) AS r2,
+  ROUND(CASE WHEN varx <> 0 AND vary <> 0
+    THEN CAST(cov AS DOUBLE)
+         / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)) END, 9) AS corr
+FROM f
+"""
+
+
+
+def q242_heavy_hitters(spark, sf_dir):
+    """Exact >=N/k frequent tokens (k = 40) via per-partition
+    Misra-Gries nomination + one narrow exact-verify aggregation — the
+    frequent-items sketch beside HLL/count-min/Bloom. At web scale the
+    full wordcount shuffle disappears: only <= k * partitions
+    candidate tokens are ever shuffled, the summaries themselves are
+    bounded metadata (operators/sketches.py misra_gries_heavy_hitters).
+    The exact verify pass makes the output identical to the plain
+    threshold oracle."""
+    from ..operators.sketches import misra_gries_heavy_hitters
+
+    return misra_gries_heavy_hitters(
+        _docs(spark, sf_dir), "text", k=40
+    )
+
+
+_Q242_SQL = """
+WITH toks AS (
+  SELECT unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+                 IF x <> '']) AS token
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+)
+SELECT token, cnt, n AS n_total
+FROM c CROSS JOIN tot
+WHERE cnt * 40 >= n
+"""
+
+
+
+def q243_chi2_keywords(spark, sf_dir):
+    """Top-3 chi-squared keywords per source — the domain-signature
+    sheet beside q76's TF-IDF keywords (chi2 surfaces tokens
+    DISTINCTIVE to a source however common globally). One (source,
+    token) aggregation, vocabulary-sized marginal join, broadcast
+    group/total marginals, per-group top-k window; every statistic a
+    fixed IEEE expression of exact long cells
+    (operators/text.py chi2_keywords)."""
+    from ..operators.text import chi2_keywords
+
+    return chi2_keywords(_docs(spark, sf_dir), "text", "source", top_k=3)
+
+
+_Q243_SQL = """
+WITH cells AS (
+  SELECT source AS g, token, CAST(COUNT(*) AS BIGINT) AS a
+  FROM (
+    SELECT source,
+      unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+              IF x <> '']) AS token
+    FROM documents)
+  GROUP BY source, token
+),
+tm AS (SELECT token, CAST(SUM(a) AS BIGINT) AS ct FROM cells GROUP BY token),
+gm AS (SELECT g, CAST(SUM(a) AS BIGINT) AS ng FROM cells GROUP BY g),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM cells),
+j AS (
+  SELECT c.g, c.token, c.a, tm.ct, gm.ng, tot.n
+  FROM cells c JOIN tm USING (token) JOIN gm USING (g) CROSS JOIN tot
+  WHERE c.a * tot.n > gm.ng * tm.ct
+),
+scored AS (
+  SELECT g, token, a,
+    CASE WHEN CAST(ct AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ct AS DOUBLE))
+              * CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ng AS DOUBLE))
+              <> 0
+    THEN CAST(n AS DOUBLE)
+         * (CAST(a AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ct AS DOUBLE)
+              - (CAST(ng AS DOUBLE) - CAST(a AS DOUBLE)))
+            - (CAST(ct AS DOUBLE) - CAST(a AS DOUBLE))
+              * (CAST(ng AS DOUBLE) - CAST(a AS DOUBLE)))
+         * (CAST(a AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ct AS DOUBLE)
+              - (CAST(ng AS DOUBLE) - CAST(a AS DOUBLE)))
+            - (CAST(ct AS DOUBLE) - CAST(a AS DOUBLE))
+              * (CAST(ng AS DOUBLE) - CAST(a AS DOUBLE)))
+         / (CAST(ct AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ct AS DOUBLE))
+            * CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ng AS DOUBLE)))
+    END AS chi2
+  FROM j
+)
+SELECT g AS source, token, a, ROUND(chi2, 9) AS chi2
+FROM (
+  SELECT g, token, a, chi2,
+    row_number() OVER (PARTITION BY g ORDER BY chi2 DESC, token) AS rn
+  FROM scored WHERE chi2 IS NOT NULL)
+WHERE rn <= 3
+"""
+
+
+
 QUERIES = {
+    "q243_chi2_keywords": q243_chi2_keywords,
+    "q242_heavy_hitters": q242_heavy_hitters,
+    "q241_length_regression": q241_length_regression,
+    "q240_wordpiece_encode": q240_wordpiece_encode,
+    "q239_wordpiece_train": q239_wordpiece_train,
     "q238_mixture_plan": q238_mixture_plan,
     "q236_substring_index_probe": q236_substring_index_probe,
     "q235_rouge_pair_audit": q235_rouge_pair_audit,
@@ -7724,6 +8116,11 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q243_chi2_keywords": _Q243_SQL,
+    "q242_heavy_hitters": _Q242_SQL,
+    "q241_length_regression": _Q241_SQL,
+    "q240_wordpiece_encode": _Q240_SQL,
+    "q239_wordpiece_train": _Q239_SQL,
     "q238_mixture_plan": _Q238_SQL,
     "q236_substring_index_probe": _Q236_SQL,
     "q235_rouge_pair_audit": _Q235_SQL,

@@ -4935,3 +4935,107 @@ def test_mixture_plan_arithmetic(spark):
     assert out2 == out
     with _pytest.raises(ValueError, match="budget"):
         mixture_plan(df, "src", "w", "toks", budget=-1)
+
+
+def test_ols_fit_known_values(spark):
+    """Exact line y = 3x + 2 -> slope 3, intercept 2, r2 = corr = 1;
+    a noisy group matches numpy's closed form; degenerate groups
+    report NULLs."""
+    from delta_lake_spark.operators.stats import ols_fit
+
+    rows = [("a", x, 3 * x + 2) for x in (1, 2, 3, 4)]
+    rows += [("b", x, y) for x, y in ((1, 2), (2, 1), (3, 5), (4, 3))]
+    rows += [("cx", 7, y) for y in (1, 2, 3)]   # constant x
+    rows += [("cy", x, 9) for x in (1, 2, 3)]   # constant y
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in ols_fit(df, "g", "x", "y").collect()}
+    assert got["a"].slope == 3.0 and got["a"].intercept == 2.0
+    assert got["a"].r2 == 1.0 and got["a"].corr == 1.0
+    import numpy as np
+
+    xs, ys = np.array([1, 2, 3, 4.0]), np.array([2, 1, 5, 3.0])
+    sl, ic = np.polyfit(xs, ys, 1)
+    assert abs(got["b"].slope - sl) < 1e-9
+    assert abs(got["b"].intercept - ic) < 1e-9
+    cc = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got["b"].corr - cc) < 1e-9
+    assert abs(got["b"].r2 - cc * cc) < 1e-9
+    assert got["cx"].slope is None and got["cx"].r2 is None
+    assert got["cy"].slope == 0.0  # flat line fits exactly...
+    assert got["cy"].r2 is None    # ...but explains no variance
+    # ONE group-keyed exchange, no window
+    plan = (
+        ols_fit(df, "g", "x", "y")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Window" not in plan
+
+
+def test_misra_gries_exact_output_and_bounds(spark):
+    """Output must EQUAL the plain >= N/k threshold set regardless of
+    partitioning (the sketch only nominates; verification is exact),
+    and the candidate bound must raise rather than truncate."""
+    import random
+
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.sketches import misra_gries_heavy_hitters
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(40)]
+    weights = [40 - i for i in range(40)]
+    texts = [
+        " ".join(rng.choices(vocab, weights=weights, k=rng.randint(5, 30)))
+        for _ in range(60)
+    ]
+    for nparts in (1, 7):
+        df = spark.createDataFrame(
+            [(t,) for t in texts], "text string"
+        ).repartition(nparts)
+        k = 25
+        got = {
+            (r.token, r.cnt)
+            for r in misra_gries_heavy_hitters(df, "text", k=k).collect()
+        }
+        counts: dict = {}
+        for t in texts:
+            for w in t.lower().split():
+                counts[w] = counts.get(w, 0) + 1
+        n = sum(counts.values())
+        expect = {(t, c) for t, c in counts.items() if c * k >= n}
+        assert got == expect, f"nparts={nparts}"
+    with _pytest.raises(ValueError, match="max_candidates"):
+        misra_gries_heavy_hitters(df, "text", k=25, max_candidates=2)
+    with _pytest.raises(ValueError, match="k must be"):
+        misra_gries_heavy_hitters(df, "text", k=0)
+
+
+def test_chi2_keywords_distinctive_not_frequent(spark):
+    """A token concentrated in one group must outrank a globally
+    common one; anti-keywords (under-represented tokens) never
+    appear; chi2 matches the scipy-free hand formula."""
+    from delta_lake_spark.operators.text import chi2_keywords
+
+    rows = [("g1", "common common special special special")] * 3
+    rows += [("g2", "common common common other other")] * 3
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = chi2_keywords(df, "text", "src", top_k=2).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.src, []).append(r)
+    assert by_g["g1"][0].token == "special"
+    assert by_g["g2"][0].token == "other"
+    # 'common' is positively associated with g2 (9/15 vs 6/15 share)
+    assert [r.token for r in by_g["g2"]] == ["other", "common"]
+    assert all(r.token != "common" for r in by_g["g1"])
+    # hand check: special in g1: a=9, ct=9, ng=15, n=30
+    a, ct, ng, n = 9.0, 9.0, 15.0, 30.0
+    b, c = ct - a, ng - a
+    d = n - ct - c
+    chi2 = n * (a * d - b * c) ** 2 / (ct * (n - ct) * ng * (n - ng))
+    assert abs(by_g["g1"][0].chi2 - chi2) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_k"):
+        chi2_keywords(df, "text", "src", top_k=0)

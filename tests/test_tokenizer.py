@@ -348,3 +348,162 @@ def test_unigram_memo_lifecycle(spark):
     assert _unigram_model(spark, sf) is first  # memo hit, no retrain
     clear_funnel_memo(spark)
     assert (id(spark), sf) not in _UNIGRAM_MEMO
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (likelihood-scored merges + greedy MaxMatch encode)
+# ---------------------------------------------------------------------------
+
+
+def _py_wordpiece(word, vocab, L, maxw=24, unk="[UNK]"):
+    """Reference greedy MaxMatch encoder."""
+    if not word or len(word) > maxw:
+        return [unk]
+    p, toks = 0, []
+    while p < len(word):
+        best = None
+        for l in range(min(len(word) - p, L), 0, -1):
+            key = word[p : p + l] if p == 0 else "##" + word[p : p + l]
+            if key in vocab:
+                best = l
+                break
+        if best is None:
+            return [unk]
+        toks.append(
+            word[p : p + best] if p == 0 else "##" + word[p : p + best]
+        )
+        p += best
+    return toks
+
+
+def test_wordpiece_hand_computed(spark):
+    from delta_lake_spark.operators.tokenizer import train_wordpiece_merges
+
+    # hist: ab:2 b:1 a:1 -> symbols ab=(a,##b); counts a:3, ##b:2, b:1
+    # round 1: only pair (a,##b) weight 2, score 2/(3*2)
+    docs = _docs_df(spark, ["ab ab b", "a"])
+    rows = train_wordpiece_merges(docs, "text", n_merges=3).collect()
+    assert [
+        (r.rank, r.lhs, r.rhs, r.merged, r.weight) for r in rows
+    ] == [(1, "a", "##b", "ab", 2)]  # early stop: no pair remains
+    assert rows[0].score == 2.0 / 6.0
+
+
+def test_wordpiece_likelihood_beats_frequency(spark):
+    from delta_lake_spark.operators.tokenizer import (
+        train_bpe_merges,
+        train_wordpiece_merges,
+    )
+
+    # (x,y) is the most FREQUENT pair but both symbols are common;
+    # (q,u) is rarer as a pair but its symbols are exclusive to it, so
+    # the likelihood score must pick (q,u) first while BPE picks (x,y)
+    docs = _docs_df(spark, ["xy xy xy xa ya qu qu"])
+    wp = train_wordpiece_merges(docs, "text", n_merges=1).collect()[0]
+    assert (wp.lhs, wp.rhs, wp.merged) == ("q", "##u", "qu")
+    bpe = train_bpe_merges(docs, "text", n_merges=1).collect()[0]
+    assert (bpe.lhs, bpe.rhs) == ("x", "##y") or (bpe.lhs, bpe.rhs) == (
+        "x",
+        "y",
+    )
+
+
+def test_wordpiece_strategies_agree(spark):
+    import random
+
+    from delta_lake_spark.operators.tokenizer import train_wordpiece_merges
+
+    rng = random.Random(11)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 7)))
+            for _ in range(12)
+        )
+        for _ in range(8)
+    ]
+    docs = _docs_df(spark, texts)
+    drv = train_wordpiece_merges(docs, "text", n_merges=5).collect()
+    dist = train_wordpiece_merges(
+        docs, "text", n_merges=5, strategy="distributed"
+    ).collect()
+    # bit-equal including the IEEE score
+    assert [tuple(r) for r in drv] == [tuple(r) for r in dist]
+    for r in drv:
+        assert r.rhs.startswith("##")
+        assert r.merged == r.lhs + r.rhs[2:]
+
+
+def test_wordpiece_encode_semantics(spark):
+    from delta_lake_spark.operators.tokenizer import wordpiece_encode
+
+    vocab = ["a", "b", "c", "##a", "##b", "##c", "ab", "##bc", "abc"]
+    docs = _docs_df(
+        spark,
+        [
+            "abc ab a",       # longest-match-first: abc whole
+            "abcc cab",       # abc + ##c; c + ##a + ##b
+            "abq",            # q not in vocab -> whole-word UNK
+            "a" * 25,         # over max_word_len -> UNK
+        ],
+    )
+    got = {
+        r.doc_id: r.tokens
+        for r in wordpiece_encode(
+            docs, "text", "doc_id", vocab, max_word_len=24
+        ).collect()
+    }
+    assert got[0] == ["abc", "ab", "a"]
+    assert got[1] == ["abc", "##c", "c", "##a", "##b"]
+    assert got[2] == ["[UNK]"]
+    assert got[3] == ["[UNK]"]
+    vset = set(vocab)
+    for i, t in enumerate(["abc ab a", "abcc cab", "abq", "a" * 25]):
+        expect = [
+            tok for w in t.split() for tok in _py_wordpiece(w, vset, 3)
+        ]
+        assert got[i] == expect, f"doc {i}"
+
+
+def test_wordpiece_encode_plan_is_map_only(spark):
+    from delta_lake_spark.operators.tokenizer import wordpiece_encode
+
+    docs = _docs_df(spark, ["ab ab abc"])
+    enc = wordpiece_encode(docs, "text", "doc_id", ["a", "b", "##a", "##b"])
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # zero shuffles
+    assert "EvalPython" not in plan  # no Python UDFs, HOFs only
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab broadcast
+
+
+def test_wordpiece_contract_errors(spark):
+    from delta_lake_spark.operators.tokenizer import (
+        _wp_merged,
+        train_wordpiece_merges,
+        wordpiece_encode,
+    )
+
+    docs = _docs_df(spark, ["ab"])
+    with pytest.raises(ValueError, match="n_merges"):
+        train_wordpiece_merges(docs, "text", n_merges=0)
+    with pytest.raises(ValueError, match="strategy"):
+        train_wordpiece_merges(docs, "text", strategy="magic")
+    with pytest.raises(ValueError, match="max_word_len"):
+        wordpiece_encode(docs, "text", "doc_id", ["a"], max_word_len=0)
+    with pytest.raises(ValueError, match="continuation"):
+        _wp_merged("a", "b")
+
+
+def test_wordpiece_memo_lifecycle(spark):
+    from delta_lake_spark.queries.llm import (
+        _WP_MEMO,
+        _wp_merges,
+        clear_funnel_memo,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    clear_funnel_memo(spark)
+    assert not any(k[0] == id(spark) for k in _WP_MEMO)
+    first = _wp_merges(spark, sf)
+    assert _wp_merges(spark, sf) is first  # memo hit
+    clear_funnel_memo(spark)
+    assert not any(k[0] == id(spark) for k in _WP_MEMO)

@@ -781,3 +781,31 @@ def mixture_plan(
         rate.cast("long").alias("sample_rate_micro"),
         epochs.cast("long").alias("epochs"),
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    n_folds: int = 5,
+    seed: str = "fold-v1",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Add ``fold_col`` = 0..n_folds-1 from a content hash of
+    ``key_col`` — the cross-validation / sharded-eval assignment that
+    is stable across runs, partitionings, and engines (same md5 device
+    as deterministic_split: fold = first 60 hash bits mod n_folds, so
+    the DuckDB oracle replays it bit-for-bit). A pure projection: no
+    shuffle, no RNG state; folds are balanced to within the hash's
+    uniformity like any hash partitioner."""
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(fold_col, F.pmod(h60, F.lit(int(n_folds))))

@@ -518,3 +518,80 @@ def ols_fit(
         F.round(r2, 9).alias("r2"),
         F.round(corr, 9).alias("corr"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_milli: int = 100,
+) -> DataFrame:
+    """Per-group trimmed mean of an integer-valued column: drop the
+    lowest and highest floor(n * trim_milli / 1000) values, average
+    the rest — the outlier-resistant mean between the raw mean and
+    robust_group_stats' median (a 10% trim shrugs off spam bursts
+    while keeping the estimator efficient on clean groups).
+
+    Exactness: the trim count is integer arithmetic
+    ((n * trim_milli) div 1000), the kept multiset is selected by a
+    row_number rank (tie order irrelevant — equal values contribute
+    equally to the sum), and the mean is ONE IEEE division of an
+    exact long sum by an exact count. Bit-reproducible cross-engine.
+
+    Scale shape: one group-keyed sort window (parallel across groups;
+    a single monster group serializes its own sort — robust_group_
+    stats' documented inherent cost) + one group aggregation.
+
+    Returns (group_col, n, n_trim_each, mean_trimmed, mean_all),
+    means rounded to 9 dp; a group whose trim would drop everything
+    (trim_milli >= 500) reports NULL mean_trimmed.
+    """
+    if not 0 <= trim_milli < 1000:
+        raise ValueError(
+            f"trim_milli must be in [0, 1000), got {trim_milli}"
+        )
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    ranked = df.select(F.col(group_col), v.alias("__v")).select(
+        group_col,
+        "__v",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(F.col("__v").asc())
+        ).alias("__rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    t = F.expr(f"(__n * {int(trim_milli)}) div 1000")
+    agg = ranked.groupBy(group_col).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(t).cast("long").alias("n_trim_each"),
+        F.sum(
+            F.when(
+                (F.col("__rn") > t) & (F.col("__rn") <= F.col("__n") - t),
+                F.col("__v"),
+            )
+        ).alias("__kept_sum"),
+        F.sum(
+            F.when(
+                (F.col("__rn") > t) & (F.col("__rn") <= F.col("__n") - t),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("__kept_n"),
+        F.sum("__v").alias("__all_sum"),
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "n_trim_each",
+        F.round(
+            F.when(
+                F.col("__kept_n") > 0,
+                F.col("__kept_sum").cast("double")
+                / F.col("__kept_n").cast("double"),
+            ),
+            9,
+        ).alias("mean_trimmed"),
+        F.round(
+            F.col("__all_sum").cast("double") / F.col("n").cast("double"), 9
+        ).alias("mean_all"),
+    )

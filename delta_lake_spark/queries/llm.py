@@ -7977,7 +7977,128 @@ WHERE rn <= 3
 
 
 
+def q244_kfold_audit(spark, sf_dir):
+    """Deterministic 5-fold assignment audit: hash-fold every document
+    (md5 of the doc id — stable across runs, partitionings, engines)
+    and report per-fold document and token inventories, the sheet read
+    before sharded eval / cross-validation. Pure-projection
+    assignment + ONE map-side-combined aggregation
+    (operators/sampling.py kfold_assign)."""
+    from ..operators.sampling import kfold_assign
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    assigned = kfold_assign(_docs(spark, sf_dir), "doc_id", n_folds=5)
+    return (
+        assigned.select(
+            "fold", F.expr(f"size({words})").cast("long").alias("__nw")
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__nw").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_Q244_SQL = """
+WITH assigned AS (
+  SELECT CAST(CAST('0x' || substr(md5('fold-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 5 AS BIGINT) AS fold,
+    CAST(len([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+              IF x <> '']) AS BIGINT) AS nw
+  FROM documents
+)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY fold
+"""
+
+
+def q245_edit_distance_pairs(spark, sf_dir):
+    """Character-level near-duplicate pairs: 1-permutation MinHash
+    (each doc's minimum md5 5-shingle) nominates candidates, exact
+    Levenshtein over the normalized text verifies at >= 40% similarity
+    — the in-place-edit detector beside the set-based verifiers
+    (Jaccard q33, containment q208, tf-idf q203). Min-shingle computed
+    INSIDE the row (no explode shuffle); the only exchange is the
+    bucket self-join (operators/dedup.py edit_distance_pairs)."""
+    from ..operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", k=5, min_sim_milli=400
+    )
+
+
+_Q245_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+    list_min([md5(array_to_string(ws[i:i + 4], ' '))
+              FOR i IN range(1, greatest(len(ws) - 4, 1) + 1)]) AS key
+  FROM (
+    SELECT doc_id, text,
+      [x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+       IF x <> ''] AS ws
+    FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    levenshtein(a.norm, b.norm) AS lev,
+    greatest(len(a.norm), len(b.norm)) AS mx
+  FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+  CAST(1000 - (1000 * lev) // mx AS BIGINT) AS sim_milli
+FROM pairs
+WHERE mx > 0 AND 1000 - (1000 * lev) // mx >= 400
+"""
+
+
+def q246_trimmed_mean_lengths(spark, sf_dir):
+    """Per-source 10%-trimmed mean document length beside the raw
+    mean — the outlier-resistant location estimate between mean and
+    q234's median/MAD. Integer trim count, exact long sums, ONE IEEE
+    division each (operators/stats.py trimmed_mean)."""
+    from ..operators.stats import trimmed_mean
+
+    return trimmed_mean(
+        _docs(spark, sf_dir), "source", "n_chars", trim_milli=100
+    )
+
+
+_Q246_SQL = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+    CAST(MAX((n * 100) // 1000) AS BIGINT) AS n_trim_each,
+    CAST(SUM(CASE WHEN rn > (n * 100) // 1000
+                   AND rn <= n - (n * 100) // 1000 THEN v END) AS BIGINT)
+      AS kept_sum,
+    CAST(SUM(CASE WHEN rn > (n * 100) // 1000
+                   AND rn <= n - (n * 100) // 1000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS kept_n,
+    CAST(SUM(v) AS BIGINT) AS all_sum
+  FROM ranked GROUP BY source
+)
+SELECT source, n, n_trim_each,
+  ROUND(CASE WHEN kept_n > 0
+    THEN CAST(kept_sum AS DOUBLE) / CAST(kept_n AS DOUBLE) END, 9)
+    AS mean_trimmed,
+  ROUND(CAST(all_sum AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_all
+FROM agg
+"""
+
+
+
 QUERIES = {
+    "q246_trimmed_mean_lengths": q246_trimmed_mean_lengths,
+    "q245_edit_distance_pairs": q245_edit_distance_pairs,
+    "q244_kfold_audit": q244_kfold_audit,
     "q243_chi2_keywords": q243_chi2_keywords,
     "q242_heavy_hitters": q242_heavy_hitters,
     "q241_length_regression": q241_length_regression,
@@ -8116,6 +8237,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q246_trimmed_mean_lengths": _Q246_SQL,
+    "q245_edit_distance_pairs": _Q245_SQL,
+    "q244_kfold_audit": _Q244_SQL,
     "q243_chi2_keywords": _Q243_SQL,
     "q242_heavy_hitters": _Q242_SQL,
     "q241_length_regression": _Q241_SQL,

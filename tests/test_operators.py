@@ -5039,3 +5039,97 @@ def test_chi2_keywords_distinctive_not_frequent(spark):
 
     with _pytest.raises(ValueError, match="top_k"):
         chi2_keywords(df, "text", "src", top_k=0)
+
+
+def test_kfold_assign_stability_and_balance(spark):
+    from delta_lake_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    )
+    a = {r.doc_id: r.fold for r in kfold_assign(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.fold
+        for r in kfold_assign(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # partitioning-independent
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    sizes = [list(a.values()).count(f) for f in range(5)]
+    assert min(sizes) > 40  # hash-uniform, not degenerate
+    # seed changes the assignment
+    c = {
+        r.doc_id: r.fold
+        for r in kfold_assign(df, "doc_id", seed="other").collect()
+    }
+    assert c != a
+    plan = kfold_assign(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_folds"):
+        kfold_assign(df, "doc_id", n_folds=1)
+
+
+def test_edit_distance_pairs_semantics(spark):
+    from delta_lake_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "hazy")),      # 1 char edit
+        (3, base + " extra tail words here"),   # shared min-shingle likely
+        (4, "completely different content with no overlap at all ok"),
+        (5, "short doc"),                       # < k words
+        (6, "short doc"),                       # exact short dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.lev, r.sim_milli)
+        for r in edit_distance_pairs(
+            df, "text", "doc_id", k=5, min_sim_milli=300
+        ).collect()
+    }
+    assert got[(1, 2)][0] == 1  # single substitution
+    assert got[(1, 2)][1] == 1000 - (1000 * 1) // len(base)
+    assert got[(5, 6)] == (0, 1000)  # short exact dup still pairs
+    assert all(4 not in p for p in got)  # dissimilar doc never pairs
+    # threshold actually filters
+    strict = edit_distance_pairs(
+        df, "text", "doc_id", k=5, min_sim_milli=1000
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in strict} == {(5, 6)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_sim_milli"):
+        edit_distance_pairs(df, "text", "doc_id", min_sim_milli=1001)
+    with _pytest.raises(ValueError, match="k must be"):
+        edit_distance_pairs(df, "text", "doc_id", k=0)
+    # no cartesian product: the join is bucket-keyed
+    plan = (
+        edit_distance_pairs(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trimmed_mean_hand_computed(spark):
+    from delta_lake_spark.operators.stats import trimmed_mean
+
+    # g: values 0..9 plus outlier 1000 -> n=11, trim=1 each side
+    rows = [("g", v) for v in list(range(10)) + [1000]]
+    rows += [("h", 5)]  # singleton: trim 0, mean 5
+    df = spark.createDataFrame(rows, "src string, v long")
+    got = {r.src: r for r in trimmed_mean(df, "src", "v", 100).collect()}
+    assert got["g"].n == 11 and got["g"].n_trim_each == 1
+    assert got["g"].mean_trimmed == sum(range(1, 10)) / 9
+    assert abs(got["g"].mean_all - (sum(range(10)) + 1000) / 11) < 1e-9
+    assert got["h"].mean_trimmed == 5.0 and got["h"].n_trim_each == 0
+    # heavy trim that empties a group -> NULL
+    tiny = spark.createDataFrame([("t", 1), ("t", 2)], "src string, v long")
+    r = trimmed_mean(tiny, "src", "v", 999).collect()[0]
+    assert r.mean_trimmed is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="trim_milli"):
+        trimmed_mean(df, "src", "v", 1000)

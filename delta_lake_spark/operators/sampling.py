@@ -809,3 +809,124 @@ def kfold_assign(
         10,
     ).cast("long")
     return df.withColumn(fold_col, F.pmod(h60, F.lit(int(n_folds))))
+
+
+def hash_ring_negatives(
+    df: DataFrame,
+    id_col: str,
+    n_neg: int = 2,
+    seed: str = "neg-v1",
+    bucket_hex: int = 3,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs
+    via consistent hashing: every row sits on an md5 ring, and anchor
+    ``a``'s j-th negative is the ring SUCCESSOR of probe hash
+    md5(seed|a|j) — uniform over the corpus, stable across runs,
+    partitionings, and engines, with no RNG state and no corpus-wide
+    sort.
+
+    Scale shape: successor search is bucketed, never global. Probes
+    and candidates land in 16^``bucket_hex`` hash-prefix buckets; the
+    in-bucket successor is ONE bucket-keyed sort window over the
+    union (parallel across buckets). Probes whose bucket has no
+    successor consult the bucket-minimum relation (at most
+    min(16^bucket_hex, n_rows) rows — bounded metadata) and finally
+    the 1-row global minimum (ring wrap). No driver-side data, no
+    single-partition window.
+
+    Determinism details: probes sort before equal-hash candidates, so
+    a candidate AT the probe coordinate counts as its successor; md5
+    ties break on the candidate id. A probe whose successor is the
+    anchor itself is dropped (that anchor gets n_neg - 1 negatives) —
+    replacing it would need a second-successor pass for a
+    ~1/n_rows-probability event.
+
+    Returns (anchor id_col, neg_idx 1..n_neg, neg id_col suffixed
+    '_neg').
+    """
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1, got {n_neg}")
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    from pyspark.sql import Window
+
+    neg_col = f"{id_col}_neg"
+    cand = df.select(
+        F.col(id_col).alias("__cid"),
+        F.md5(
+            F.concat(F.lit("ring-"), F.lit(seed), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    probes = df.select(
+        F.col(id_col).alias("__aid"),
+        F.explode(F.expr(f"sequence(1, {int(n_neg)})")).alias("__j"),
+    ).select(
+        "__aid",
+        "__j",
+        F.md5(
+            F.concat(
+                F.lit(seed),
+                F.lit("|"),
+                F.col("__aid").cast("string"),
+                F.lit("|"),
+                F.col("__j").cast("string"),
+            )
+        ).alias("__h"),
+    )
+    bkt = F.substring(F.col("__h"), 1, bucket_hex)
+    u = cand.select(
+        bkt.alias("__bkt"),
+        "__h",
+        F.lit(1).alias("__side"),
+        F.col("__cid"),
+        F.lit(None).cast("long").alias("__j"),
+        F.lit(None).cast(cand.schema["__cid"].dataType).alias("__aid"),
+    ).unionByName(
+        probes.select(
+            bkt.alias("__bkt"),
+            "__h",
+            F.lit(0).alias("__side"),
+            F.lit(None).cast(cand.schema["__cid"].dataType).alias("__cid"),
+            "__j",
+            "__aid",
+        )
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__h", "__side", F.col("__cid").asc_nulls_first())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    with_succ = u.withColumn(
+        "__succ", F.first("__cid", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 0)
+    hits = with_succ.filter(F.col("__succ").isNotNull()).select(
+        "__aid", "__j", F.col("__succ").alias(neg_col)
+    )
+    # bucket minima: bounded by min(16^bucket_hex, n_rows) rows
+    bmins = cand.groupBy(F.substring("__h", 1, bucket_hex).alias("__cb")).agg(
+        F.min(F.struct("__h", "__cid")).alias("__m")
+    )
+    misses = with_succ.filter(F.col("__succ").isNull()).select(
+        "__aid", "__j", "__bkt"
+    )
+    later = (
+        misses.join(F.broadcast(bmins), F.col("__cb") > F.col("__bkt"))
+        .groupBy("__aid", "__j")
+        .agg(F.min(F.struct("__cb", "__m")).alias("__pick"))
+        .select("__aid", "__j", F.col("__pick.__m.__cid").alias(neg_col))
+    )
+    wrap_min = cand.agg(F.min(F.struct("__h", "__cid")).alias("__g"))
+    wrapped = (
+        misses.join(later.select("__aid", "__j"), ["__aid", "__j"], "left_anti")
+        .crossJoin(F.broadcast(wrap_min))
+        .select("__aid", "__j", F.col("__g.__cid").alias(neg_col))
+    )
+    out = hits.unionByName(later).unionByName(wrapped)
+    return (
+        out.filter(F.col(neg_col) != F.col("__aid"))
+        .select(
+            F.col("__aid").alias(id_col),
+            F.col("__j").cast("long").alias("neg_idx"),
+            neg_col,
+        )
+    )

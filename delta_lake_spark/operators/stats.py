@@ -595,3 +595,79 @@ def trimmed_mean(
             F.col("__all_sum").cast("double") / F.col("n").cast("double"), 9
         ).alias("mean_all"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    subject_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa over long-format ratings (one row per rating,
+    ``subject_col`` the rated item, ``category_col`` the assigned
+    category) — the multi-rater generalization of cohen_kappa, read
+    before trusting an ENSEMBLE of quality classifiers to vote. Every
+    subject must carry the same number of ratings (the statistic is
+    undefined otherwise — unbalanced input raises).
+
+    Exactness: with A = sum of squared per-(subject, category) counts,
+    E = sum of squared category marginals, N subjects and r raters,
+    kappa = ((A - N*r) * (N*r)^2 - E * N*r*(r-1))
+            / (N*r*(r-1) * ((N*r)^2 - E))
+    — every factor an exact long, combined in double with a fixed
+    expression tree ((N*r)^2 and E exceed long range at extreme
+    scale, and IEEE multiply is engine-exact either way), ONE
+    division at the end. Chance agreement 1 (every rating in one
+    category) reports NULL kappa.
+
+    Scale shape: one (subject, category) aggregation (THE shuffle),
+    one subject-sized rollup, one category-sized rollup (bounded by
+    the label set), two 1-row reductions. No window.
+
+    Returns one row: (n_subjects, n_raters, kappa 9 dp).
+    """
+    cells = (
+        df.select(
+            F.col(subject_col).alias("__s"),
+            F.col(category_col).cast("string").alias("__c"),
+        )
+        .groupBy("__s", "__c")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    per_subj = cells.groupBy("__s").agg(
+        F.sum("__n").cast("long").alias("__r"),
+        F.sum(F.col("__n") * F.col("__n")).cast("long").alias("__sq"),
+    )
+    balance = per_subj.agg(
+        F.min("__r").alias("__rmin"),
+        F.max("__r").alias("__rmax"),
+        F.count("*").cast("long").alias("__N"),
+        F.sum("__sq").cast("long").alias("__A"),
+    ).collect()[0]
+    if balance["__rmin"] != balance["__rmax"]:
+        raise ValueError(
+            "fleiss_kappa requires the same rating count per subject; "
+            f"saw {balance['__rmin']}..{balance['__rmax']}"
+        )
+    marg = cells.groupBy("__c").agg(F.sum("__n").cast("long").alias("__m"))
+    e = marg.agg(
+        F.sum(F.col("__m") * F.col("__m")).cast("long").alias("__E")
+    )
+    spark = df.sparkSession
+    nr = spark.createDataFrame(
+        [(int(balance["__N"]), int(balance["__rmax"]), int(balance["__A"]))],
+        "n_subjects long, n_raters long, __A long",
+    )
+    j = nr.crossJoin(F.broadcast(e))
+    n_d = F.col("n_subjects").cast("double")
+    r_d = F.col("n_raters").cast("double")
+    a_d = F.col("__A").cast("double")
+    e_d = F.col("__E").cast("double")
+    nr_d = n_d * r_d
+    b_d = nr_d * (r_d - F.lit(1.0))
+    num = (a_d - nr_d) * (nr_d * nr_d) - e_d * b_d
+    den = b_d * (nr_d * nr_d - e_d)
+    return j.select(
+        "n_subjects",
+        "n_raters",
+        F.round(F.when(den != 0, num / den), 9).alias("kappa"),
+    )

@@ -8095,7 +8095,117 @@ FROM agg
 
 
 
+def q247_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa across THREE rule-based quality raters (length,
+    type-token ratio, long-word share — each a deterministic integer
+    test) — the multi-rater agreement report beside q231's pairwise
+    Cohen kappa, read before letting an ensemble vote on data. Exact
+    integer cells and marginals, one fixed IEEE expression, single
+    division (operators/stats.py fleiss_kappa)."""
+    from ..operators.stats import fleiss_kappa
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    d = _docs(spark, sf_dir)
+    raters = []
+    for name, expr in (
+        ("len", f"size({words}) >= 25"),
+        ("ttr", f"2 * size(array_distinct({words})) >= size({words})"),
+        ("lw", f"size(filter({words}, x -> length(x) >= 6)) * 5"
+               f" >= size({words})"),
+    ):
+        raters.append(
+            d.select(
+                F.col("doc_id").alias("subject"),
+                F.expr(expr).cast("string").alias("category"),
+            )
+        )
+    ratings = raters[0].unionByName(raters[1]).unionByName(raters[2])
+    return fleiss_kappa(ratings, "subject", "category")
+
+
+_Q247_SQL = """
+WITH ws AS (
+  SELECT doc_id,
+    [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''] AS w
+  FROM documents
+),
+ratings AS (
+  SELECT doc_id AS s, CAST(len(w) >= 25 AS VARCHAR) AS c FROM ws
+  UNION ALL
+  SELECT doc_id, CAST(2 * len(list_distinct(w)) >= len(w) AS VARCHAR) FROM ws
+  UNION ALL
+  SELECT doc_id, CAST(len([x FOR x IN w IF len(x) >= 6]) * 5 >= len(w)
+                      AS VARCHAR) FROM ws
+),
+cells AS (
+  SELECT s, c, CAST(COUNT(*) AS BIGINT) AS n FROM ratings GROUP BY s, c
+),
+subj AS (SELECT s, SUM(n * n) AS sq FROM cells GROUP BY s),
+tots AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(sq) AS BIGINT) AS A
+  FROM subj
+),
+marg AS (SELECT CAST(SUM(SUM(n) * SUM(n)) OVER () AS BIGINT) AS E
+         FROM cells GROUP BY c LIMIT 1)
+SELECT N AS n_subjects, CAST(3 AS BIGINT) AS n_raters,
+  ROUND(CASE WHEN (CAST(N AS DOUBLE) * 3.0) * (3.0 - 1.0)
+                  * ((CAST(N AS DOUBLE) * 3.0) * (CAST(N AS DOUBLE) * 3.0)
+                     - CAST(E AS DOUBLE)) <> 0
+  THEN ((CAST(A AS DOUBLE) - CAST(N AS DOUBLE) * 3.0)
+        * ((CAST(N AS DOUBLE) * 3.0) * (CAST(N AS DOUBLE) * 3.0))
+        - CAST(E AS DOUBLE) * ((CAST(N AS DOUBLE) * 3.0) * (3.0 - 1.0)))
+       / (((CAST(N AS DOUBLE) * 3.0) * (3.0 - 1.0))
+          * ((CAST(N AS DOUBLE) * 3.0) * (CAST(N AS DOUBLE) * 3.0)
+             - CAST(E AS DOUBLE)))
+  END, 9) AS kappa
+FROM tots CROSS JOIN marg
+"""
+
+
+def q248_ring_negatives(spark, sf_dir):
+    """Deterministic contrastive negatives: each document's two
+    negatives are ring successors of md5 probe hashes (consistent
+    hashing) — uniform, stable across runs/engines, NO corpus-wide
+    sort: one bucket-keyed window plus a bounded bucket-minimum
+    relation (operators/sampling.py hash_ring_negatives). Reports the
+    per-anchor negative list sizes and a checksum of assignments."""
+    from ..operators.sampling import hash_ring_negatives
+
+    pairs = hash_ring_negatives(
+        _docs(spark, sf_dir), "doc_id", n_neg=2, seed="q248"
+    )
+    return pairs.select("doc_id", "neg_idx", "doc_id_neg")
+
+
+_Q248_SQL = """
+WITH cands AS (
+  SELECT doc_id, md5('ring-q248' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+probes AS (
+  SELECT d.doc_id AS a, j,
+    md5('q248|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)) AS p
+  FROM documents d, UNNEST([1, 2]) t(j)
+),
+succ AS (
+  SELECT a, j, c.doc_id AS neg,
+    row_number() OVER (PARTITION BY a, j ORDER BY c.h, c.doc_id) AS rn
+  FROM probes pr JOIN cands c ON c.h >= pr.p
+),
+wrap AS (SELECT doc_id AS neg FROM cands ORDER BY h, doc_id LIMIT 1)
+SELECT a AS doc_id, CAST(j AS BIGINT) AS neg_idx,
+  COALESCE(s.neg, w.neg) AS doc_id_neg
+FROM probes pr
+LEFT JOIN (SELECT a, j, neg FROM succ WHERE rn = 1) s USING (a, j)
+CROSS JOIN wrap w
+WHERE COALESCE(s.neg, w.neg) <> pr.a
+"""
+
+
+
 QUERIES = {
+    "q248_ring_negatives": q248_ring_negatives,
+    "q247_fleiss_kappa": q247_fleiss_kappa,
     "q246_trimmed_mean_lengths": q246_trimmed_mean_lengths,
     "q245_edit_distance_pairs": q245_edit_distance_pairs,
     "q244_kfold_audit": q244_kfold_audit,
@@ -8237,6 +8347,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q248_ring_negatives": _Q248_SQL,
+    "q247_fleiss_kappa": _Q247_SQL,
     "q246_trimmed_mean_lengths": _Q246_SQL,
     "q245_edit_distance_pairs": _Q245_SQL,
     "q244_kfold_audit": _Q244_SQL,

@@ -5133,3 +5133,95 @@ def test_trimmed_mean_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="trim_milli"):
         trimmed_mean(df, "src", "v", 1000)
+
+
+def test_fleiss_kappa_known_values(spark):
+    from delta_lake_spark.operators.stats import fleiss_kappa
+
+    # perfect agreement -> kappa 1
+    rows = [(s, "yes") for s in range(4) for _ in range(3)]
+    df = spark.createDataFrame(rows, "s long, c string")
+    # all-one-category is chance agreement 1 -> NULL
+    assert fleiss_kappa(df, "s", "c").collect()[0].kappa is None
+    rows = [(s, "yes" if s % 2 else "no") for s in range(4) for _ in range(3)]
+    df = spark.createDataFrame(rows, "s long, c string")
+    r = fleiss_kappa(df, "s", "c").collect()[0]
+    assert r.kappa == 1.0 and r.n_subjects == 4 and r.n_raters == 3
+    # textbook check vs the statsmodels-style reference formula
+    import random
+
+    rng = random.Random(3)
+    ratings = [
+        (s, rng.choice(["a", "b", "c"])) for s in range(20) for _ in range(4)
+    ]
+    df = spark.createDataFrame(ratings, "s long, c string")
+    got = fleiss_kappa(df, "s", "c").collect()[0].kappa
+    from collections import Counter
+
+    n, r = 20, 4
+    cells = Counter(ratings)
+    per_subj = {}
+    for (s, c), k in cells.items():
+        per_subj.setdefault(s, []).append(k)
+    A = sum(k * k for ks in per_subj.values() for k in ks)
+    pbar = (A - n * r) / (n * r * (r - 1))
+    marg = Counter()
+    for (s, c), k in cells.items():
+        marg[c] += k
+    pe = sum((m / (n * r)) ** 2 for m in marg.values())
+    expect = (pbar - pe) / (1 - pe)
+    assert abs(got - expect) < 1e-8
+    # unbalanced rating counts raise
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "s long, c string"
+    )
+    with _pytest.raises(ValueError, match="same rating count"):
+        fleiss_kappa(bad, "s", "c")
+
+
+def test_hash_ring_negatives_reference_and_plan(spark):
+    import hashlib
+
+    from delta_lake_spark.operators.sampling import hash_ring_negatives
+
+    ids = list(range(50))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    res = hash_ring_negatives(df, "doc_id", n_neg=3, seed="t")
+    got = {(r.doc_id, r.neg_idx): r.doc_id_neg for r in res.collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    ring = sorted((md5(f"ring-t{i}"), i) for i in ids)
+
+    def succ(p):
+        for h, i in ring:
+            if h >= p:
+                return i
+        return ring[0][1]
+
+    expect = {}
+    for a in ids:
+        for j in (1, 2, 3):
+            n = succ(md5(f"t|{a}|{j}"))
+            if n != a:
+                expect[(a, j)] = n
+    assert got == expect
+    # partitioning-independent
+    got2 = {
+        (r.doc_id, r.neg_idx): r.doc_id_neg
+        for r in hash_ring_negatives(
+            df.repartition(9), "doc_id", n_neg=3, seed="t"
+        ).collect()
+    }
+    assert got2 == expect
+    # the successor window is bucket-keyed, never single-partition
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] \
+        or "__bkt" in plan
+    assert "Exchange hashpartitioning(__bkt" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_neg"):
+        hash_ring_negatives(df, "doc_id", n_neg=0)
+    with _pytest.raises(ValueError, match="bucket_hex"):
+        hash_ring_negatives(df, "doc_id", bucket_hex=0)

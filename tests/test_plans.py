@@ -1238,3 +1238,68 @@ def test_q235_rouge_joins_are_pair_bounded(spark):
         assert cols.strip().startswith(
             ("id_1", "id_2", "doc_id", "__g", "shingle", "xxhash", "__h")
         ), shuffles
+
+
+def test_q242_heavy_hitters_verify_is_broadcast_pruned(spark):
+    """The exact-verify pass must shuffle only candidate tokens: the
+    candidate set joins as a BROADCAST before the count aggregation,
+    and the corpus total is a 1-row broadcast cross join."""
+    from delta_lake_spark.operators.sketches import misra_gries_heavy_hitters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(misra_gries_heavy_hitters(docs, "text", k=30))
+    assert "BroadcastHashJoin" in plan  # candidate prune before the agg
+    assert "CartesianProduct" not in plan
+    # exactly one hash exchange on the token key (the candidate-only
+    # count); the corpus-total reduction is a SinglePartition exchange
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)
+    assert all(c.strip() == "token" for c in shuffles), shuffles
+
+
+def test_q243_chi2_marginals_broadcast_no_cartesian(spark):
+    from delta_lake_spark.operators.text import chi2_keywords
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(chi2_keywords(docs, "text", "source", top_k=3))
+    assert "CartesianProduct" not in plan
+    # group marginal + total ride broadcasts; the token marginal join
+    # and the (group, token) agg key their exchanges on those columns
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#)]+)", plan)
+    assert shuffles
+    for cols in shuffles:
+        assert cols.strip() in ("__g", "token"), shuffles
+
+
+def test_q245_edit_distance_min_shingle_is_row_local(spark):
+    """The 1-permutation MinHash key must be computed inside the row:
+    no explode-shuffle before the bucket self-join, no cartesian."""
+    from delta_lake_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(edit_distance_pairs(docs, "text", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" not in plan  # no shingle explode anywhere
+    # at this SF the bucket join broadcasts outright (no exchange at
+    # all); any hash exchange that does appear must key on the bucket
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#)]+)", plan)
+    assert all(c.strip() == "__key" for c in shuffles), shuffles
+
+
+def test_q246_trimmed_mean_single_group_sort(spark):
+    from delta_lake_spark.operators.stats import trimmed_mean
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(trimmed_mean(docs, "source", "n_chars"))
+    assert "Exchange SinglePartition" not in plan  # never a global sort
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#)]+)", plan)
+    assert shuffles and all(c.strip() == "source" for c in shuffles), shuffles
+
+
+def test_q244_kfold_is_pure_projection(spark):
+    from delta_lake_spark.operators.sampling import kfold_assign
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(kfold_assign(docs, "doc_id"))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

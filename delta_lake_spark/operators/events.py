@@ -195,3 +195,72 @@ def hourly_rate_anomalies(
         )
         .filter(F.abs(F.col("z")) >= z_threshold)
     )
+
+
+def decayed_event_rates(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    half_life_days: int = 7,
+    horizon_halflives: int = 40,
+) -> DataFrame:
+    """Per-type exponentially decayed event score with FIXED-POINT
+    arithmetic — the freshness-weighted activity report (recent events
+    count fully, events one half-life old count half, ...) that a
+    float EWMA cannot oracle-pin because float summation is
+    partition-order-dependent.
+
+    The trick: decay steps are powers of two. An event ``a``
+    half-lives old (integer: age_days div half_life_days, relative to
+    the corpus max timestamp) contributes 2^(horizon - a) — an exact
+    LONG — and the per-type sum of longs is order-free, so the scaled
+    score is bit-exact under any partitioning and the reported score
+    is ONE IEEE division by 2^horizon. Events older than
+    ``horizon_halflives`` contribute 0 (they would be below 1 unit of
+    the fixed point anyway). Long capacity: n_events * 2^horizon must
+    stay under 2^63 — at the default horizon 40 that is ~8M events
+    per type per shard-sum; lower the horizon (or lift to decimal)
+    for larger corpora.
+
+    Scale shape: one 1-row max-timestamp broadcast, one map-side-
+    combined per-type aggregation. Returns (type_col, n_events,
+    score_fixed, score) with score = score_fixed / 2^horizon, 9 dp.
+    """
+    if half_life_days < 1:
+        raise ValueError(
+            f"half_life_days must be >= 1, got {half_life_days}"
+        )
+    if not 1 <= horizon_halflives <= 62:
+        raise ValueError(
+            f"horizon_halflives must be in [1, 62], got {horizon_halflives}"
+        )
+    ref = df.agg(F.max(F.to_date(ts_col)).alias("__ref"))
+    aged = df.crossJoin(F.broadcast(ref)).select(
+        F.col(type_col),
+        F.expr(
+            f"datediff(__ref, to_date({ts_col})) div {int(half_life_days)}"
+        ).alias("__a"),
+    )
+    h = int(horizon_halflives)
+    w = F.when(
+        (F.col("__a") >= 0) & (F.col("__a") <= h),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {h} - __a)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        aged.select(type_col, w.alias("__w"))
+        .groupBy(type_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("__w").cast("long").alias("score_fixed"),
+        )
+        .select(
+            type_col,
+            "n_events",
+            "score_fixed",
+            F.round(
+                F.col("score_fixed").cast("double")
+                / F.lit(float(2 ** h)),
+                9,
+            ).alias("score"),
+        )
+    )

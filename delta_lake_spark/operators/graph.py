@@ -338,3 +338,80 @@ def label_propagation(
         if (k + 1) % checkpoint_every == 0 and k + 1 < iterations:
             current = current.localCheckpoint(eager=True)
     return current
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected simple graph
+    (edges are canonicalized and deduplicated; self-loops dropped) —
+    the clustering-structure diagnostic beside pagerank's centrality
+    and label_propagation's communities.
+
+    Scale shape — the degree-ordered orientation (the compact-forward
+    / Latapy trick): every edge is oriented from its LOWER-(degree,
+    node) endpoint to the higher one, so each wedge apex enumerates
+    only its higher-degree neighbors and the wedge fan-out is bounded
+    by O(m^1.5) total across the graph, independent of hub degrees —
+    an unoriented self-join would square the hottest hub. Three
+    shuffles build the oriented relation (canonical dedup, degree agg,
+    degree join); triangle closure is one (apex-keyed) self-join plus
+    one membership join on the oriented edge key; counts are one
+    explode + aggregation. Every triangle is counted exactly once and
+    credited to all three corners.
+
+    Returns (node, triangles) for nodes in >= 1 triangle.
+    """
+    a = F.col(src_col).cast("string")
+    b = F.col(dst_col).cast("string")
+    canon = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    # orient each edge from lower (degree, node) to higher
+    withd = (
+        canon.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = withd.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("apex"),
+        F.col("hi").alias("x"),
+        F.col("dhi").alias("dx"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("apex"),
+        F.col("hi").alias("y"),
+        F.col("dhi").alias("dy"),
+    )
+    wedges = e1.join(e2, "apex").filter(
+        F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
+    corners = (
+        tris.select(F.col("apex").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("triangles")
+    )

@@ -8203,7 +8203,107 @@ WHERE COALESCE(s.neg, w.neg) <> pr.a
 
 
 
+def q249_triangle_parts(spark, sf_dir):
+    """Exact triangle counts over the part co-purchase graph (parts
+    joined when they share an order): the top-20 most
+    clustered parts — community structure beside q199's centrality.
+    Degree-ordered orientation bounds the wedge fan-out at O(m^1.5)
+    regardless of hub degrees (operators/graph.py triangle_count); the
+    oracle closes triangles with a plain canonical 3-way join."""
+    from ..operators.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+    )
+    tc = triangle_count(edges, "p1", "p2")
+    return (
+        tc.select("node", "triangles")
+        .orderBy(F.col("triangles").desc(), "node")
+        .limit(20)
+    )
+
+
+_Q249_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(a.l_partkey AS VARCHAR) AS u,
+                  CAST(b.l_partkey AS VARCHAR) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+canon AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM pairs WHERE u <> v
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.u = e1.v
+  JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node
+ORDER BY triangles DESC, node LIMIT 20
+"""
+
+
+
+def q250_decayed_event_rates(spark, sf_dir):
+    """Freshness-weighted per-type event activity: half-life-decayed
+    scores in FIXED POINT (decay steps are powers of two, so each
+    event's weight is an exact long and the per-type sum is
+    order-free — the oracle-pinnable EWMA). One 1-row max-timestamp
+    broadcast + one map-side-combined aggregation
+    (operators/events.py decayed_event_rates)."""
+    from ..operators.events import decayed_event_rates
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return decayed_event_rates(
+        events, "event_type", "ts", half_life_days=7, horizon_halflives=40
+    )
+
+
+_Q250_SQL = """
+WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM events),
+aged AS (
+  SELECT event_type,
+    date_diff('day', CAST(ts AS DATE), ref.r) // 7 AS a
+  FROM events CROSS JOIN ref
+),
+w AS (
+  SELECT event_type,
+    CASE WHEN a >= 0 AND a <= 40
+      THEN CAST(1 AS BIGINT) << CAST(40 - a AS INTEGER)
+      ELSE CAST(0 AS BIGINT) END AS wt
+  FROM aged
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(wt) AS BIGINT) AS score_fixed,
+  ROUND(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE) / 1099511627776.0, 9)
+    AS score
+FROM w GROUP BY event_type
+"""
+
+
+
 QUERIES = {
+    "q250_decayed_event_rates": q250_decayed_event_rates,
+    "q249_triangle_parts": q249_triangle_parts,
     "q248_ring_negatives": q248_ring_negatives,
     "q247_fleiss_kappa": q247_fleiss_kappa,
     "q246_trimmed_mean_lengths": q246_trimmed_mean_lengths,
@@ -8347,6 +8447,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q250_decayed_event_rates": _Q250_SQL,
+    "q249_triangle_parts": _Q249_SQL,
     "q248_ring_negatives": _Q248_SQL,
     "q247_fleiss_kappa": _Q247_SQL,
     "q246_trimmed_mean_lengths": _Q246_SQL,

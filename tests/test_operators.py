@@ -5225,3 +5225,86 @@ def test_hash_ring_negatives_reference_and_plan(spark):
         hash_ring_negatives(df, "doc_id", n_neg=0)
     with _pytest.raises(ValueError, match="bucket_hex"):
         hash_ring_negatives(df, "doc_id", bucket_hex=0)
+
+
+def test_triangle_count_known_graph(spark):
+    from delta_lake_spark.operators.graph import triangle_count
+
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant
+    # edge and a duplicate/self-loop that must be ignored
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("b", "a"), ("a", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # triangle-free graph -> empty
+    path = spark.createDataFrame(
+        [("x", "y"), ("y", "z")], "src string, dst string"
+    )
+    assert triangle_count(path).collect() == []
+    # per-node counts sum to 3 * n_triangles on a random graph
+    import itertools
+    import random
+
+    rng = random.Random(9)
+    nodes = [f"n{i}" for i in range(12)]
+    redges = [
+        (u, v) for u, v in itertools.combinations(nodes, 2)
+        if rng.random() < 0.4
+    ]
+    rdf = spark.createDataFrame(redges, "src string, dst string")
+    per_node = {r.node: r.triangles for r in triangle_count(rdf).collect()}
+    eset = {frozenset(e) for e in redges}
+    ref = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in eset
+            and frozenset((b, c)) in eset
+            and frozenset((a, c)) in eset
+        ):
+            for n in (a, b, c):
+                ref[n] = ref.get(n, 0) + 1
+    assert per_node == ref
+
+
+def test_decayed_event_rates_fixed_point(spark):
+    import datetime
+
+    from delta_lake_spark.operators.events import decayed_event_rates
+
+    d0 = datetime.datetime(2026, 1, 31, 12, 0, 0)
+    rows = [
+        ("click", d0),                                   # age 0 -> 2^4
+        ("click", d0 - datetime.timedelta(days=7)),      # 1 hl -> 2^3
+        ("click", d0 - datetime.timedelta(days=14)),     # 2 hl -> 2^2
+        ("click", d0 - datetime.timedelta(days=400)),    # beyond horizon
+        ("view", d0 - datetime.timedelta(days=3)),       # 0 hl -> 2^4
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r.event_type: r
+        for r in decayed_event_rates(
+            df, "event_type", "ts", half_life_days=7, horizon_halflives=4
+        ).collect()
+    }
+    assert got["click"].score_fixed == 16 + 8 + 4 + 0
+    assert got["click"].n_events == 4
+    assert got["click"].score == 28 / 16
+    assert got["view"].score_fixed == 16 and got["view"].score == 1.0
+    # partition-invariant (the whole point of fixed point)
+    got7 = {
+        r.event_type: r.score_fixed
+        for r in decayed_event_rates(
+            df.repartition(7), "event_type", "ts",
+            half_life_days=7, horizon_halflives=4,
+        ).collect()
+    }
+    assert got7 == {k: v.score_fixed for k, v in got.items()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="half_life_days"):
+        decayed_event_rates(df, "event_type", "ts", half_life_days=0)
+    with _pytest.raises(ValueError, match="horizon"):
+        decayed_event_rates(df, "event_type", "ts", horizon_halflives=63)

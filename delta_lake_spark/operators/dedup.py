@@ -2290,6 +2290,7 @@ def edit_distance_pairs(
     id_col: str,
     k: int = 5,
     min_sim_milli: int = 800,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs verified by EXACT edit distance: a
     1-permutation MinHash (each doc's minimum md5 word-``k``-shingle)
@@ -2316,7 +2317,12 @@ def edit_distance_pairs(
     map-only array_min over the shingle transform — no explode, no
     shuffle); the only exchange is the bucket-keyed self-join, whose
     fan-out is bounded by true near-dup cluster sizes (collisions of
-    dissimilar docs require a global md5 minimum collision). The
+    dissimilar docs require a global md5 minimum collision). Buckets
+    larger than ``max_bucket_size`` are dropped BEFORE the join (the
+    lsh_ann_pairs degenerate-bucket valve: a template flood sharing
+    one min-shingle would otherwise square) — dropped-bucket pairs
+    can still surface through nothing here, so the bound is part of
+    the operator's contract and the oracle replicates it. The
     Levenshtein verify is a map-side projection on the joined pairs.
 
     Returns (id_a, id_b, lev, sim_milli), id_a < id_b.
@@ -2326,6 +2332,10 @@ def edit_distance_pairs(
     if not 0 <= min_sim_milli <= 1000:
         raise ValueError(
             f"min_sim_milli must be in [0, 1000], got {min_sim_milli}"
+        )
+    if max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2, got {max_bucket_size}"
         )
     norm = (
         f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
@@ -2355,7 +2365,15 @@ def edit_distance_pairs(
         F.col("__norm").alias("__nb"),
         "__key",
     )
-    pairs = a.join(b, "__key").filter(F.col("id_a") < F.col("id_b"))
+    sizes = keyed.groupBy("__key").agg(F.count("*").alias("__n"))
+    ok_keys = sizes.filter(
+        (F.col("__n") > 1) & (F.col("__n") <= max_bucket_size)
+    ).select("__key")
+    pairs = (
+        a.join(ok_keys, "__key")
+        .join(b, "__key")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
     lev = F.levenshtein(F.col("__na"), F.col("__nb"))
     sim = F.lit(1000) - F.expr(
         "(1000 * CAST(__lev AS BIGINT)) div "

@@ -829,10 +829,13 @@ def hash_ring_negatives(
     and candidates land in 16^``bucket_hex`` hash-prefix buckets; the
     in-bucket successor is ONE bucket-keyed sort window over the
     union (parallel across buckets). Probes whose bucket has no
-    successor consult the bucket-minimum relation (at most
-    min(16^bucket_hex, n_rows) rows — bounded metadata) and finally
-    the 1-row global minimum (ring wrap). No driver-side data, no
-    single-partition window.
+    successor EQUI-join the bucket-successor relation (every bucket
+    mapped to the next non-empty bucket's minimum candidate — a
+    16^bucket_hex-row bounded-metadata relation, broadcast; its fill
+    window sorts those 16^bucket_hex rows on one partition, which is
+    why ``bucket_hex`` is capped at 5), and finally the 1-row global
+    minimum (ring wrap). No driver-side data, no data-sized
+    single-partition window, no non-equi join.
 
     Determinism details: probes sort before equal-hash candidates, so
     a candidate AT the probe coordinate counts as its successor; md5
@@ -846,8 +849,8 @@ def hash_ring_negatives(
     """
     if n_neg < 1:
         raise ValueError(f"n_neg must be >= 1, got {n_neg}")
-    if not 1 <= bucket_hex <= 8:
-        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    if not 1 <= bucket_hex <= 5:
+        raise ValueError(f"bucket_hex must be in [1, 5], got {bucket_hex}")
     from pyspark.sql import Window
 
     neg_col = f"{id_col}_neg"
@@ -906,18 +909,32 @@ def hash_ring_negatives(
     bmins = cand.groupBy(F.substring("__h", 1, bucket_hex).alias("__cb")).agg(
         F.min(F.struct("__h", "__cid")).alias("__m")
     )
+    # every possible bucket -> the next non-empty bucket's minimum
+    # candidate (STRICTLY later bucket: an in-bucket miss means no
+    # same-bucket candidate at or above the probe). The fill window
+    # runs on the 16^bucket_hex-row relation — bounded metadata.
+    spark = df.sparkSession
+    all_bkts = spark.range(16 ** bucket_hex).select(
+        F.lpad(F.lower(F.hex(F.col("id"))), bucket_hex, "0").alias("__cb")
+    )
+    wnext = Window.orderBy("__cb").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    succ_map = all_bkts.join(F.broadcast(bmins), "__cb", "left").select(
+        "__cb", F.first("__m", ignorenulls=True).over(wnext).alias("__nm")
+    )
     misses = with_succ.filter(F.col("__succ").isNull()).select(
         "__aid", "__j", "__bkt"
     )
-    later = (
-        misses.join(F.broadcast(bmins), F.col("__cb") > F.col("__bkt"))
-        .groupBy("__aid", "__j")
-        .agg(F.min(F.struct("__cb", "__m")).alias("__pick"))
-        .select("__aid", "__j", F.col("__pick.__m.__cid").alias(neg_col))
+    resolved = misses.join(
+        F.broadcast(succ_map), F.col("__bkt") == F.col("__cb")
+    )
+    later = resolved.filter(F.col("__nm").isNotNull()).select(
+        "__aid", "__j", F.col("__nm.__cid").alias(neg_col)
     )
     wrap_min = cand.agg(F.min(F.struct("__h", "__cid")).alias("__g"))
     wrapped = (
-        misses.join(later.select("__aid", "__j"), ["__aid", "__j"], "left_anti")
+        resolved.filter(F.col("__nm").isNull())
         .crossJoin(F.broadcast(wrap_min))
         .select("__aid", "__j", F.col("__g.__cid").alias(neg_col))
     )

@@ -932,16 +932,32 @@ def wordpiece_encode(
     vocab,
     unk: str = "[UNK]",
     max_word_len: int = 24,
+    strategy: str = "vocab",
 ) -> DataFrame:
     """Encode every document by greedy longest-match (MaxMatch) against
     a WordPiece vocabulary. ``vocab`` is a DataFrame with a ``piece``
     column or a list of piece strings (word-initial pieces bare,
-    continuation pieces '##'-prefixed). Map-only: the vocabulary rides
-    a 1-row broadcast (membership map + max core length); each word's
-    greedy scan runs inside a words transform — zero shuffles at any
-    corpus size. Returns (id_col, tokens, n_tokens)."""
+    continuation pieces '##'-prefixed). Returns
+    (id_col, tokens, n_tokens).
+
+    Two value-identical strategies (the unigram_encode convention —
+    HOF folds run interpreted per element, so per-TYPE work wins by
+    the corpus' type/token ratio on natural text; measured 12k ->
+    ~1M tokens/s at 100k docs in tools/r9_bench.py):
+
+    - ``"vocab"`` (default): run the greedy scan once per DISTINCT
+      word, then posexplode the corpus, join the per-word
+      segmentations, and reassemble each document position-sorted.
+      Costs one doc-keyed shuffle.
+    - ``"inline"``: zero shuffles — the vocabulary rides a 1-row
+      broadcast (membership map + max core length) and every word
+      occurrence's greedy fold runs inside a words transform. For
+      mostly-unique-string corpora.
+    """
     if max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    if strategy not in ("vocab", "inline"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = docs.sparkSession
     if isinstance(vocab, DataFrame):
         vdf = vocab.select("piece")
@@ -958,12 +974,51 @@ def wordpiece_encode(
             - F.when(F.col("piece").startswith("##"), 2).otherwise(0)
         ).alias("__L"),
     )
-    per_doc = (
-        f"flatten(transform({_words_expr(text_col)}, w -> "
-        f"{_wp_greedy_expr('w', max_word_len, unk)}))"
+    if strategy == "inline":
+        per_doc = (
+            f"flatten(transform({_words_expr(text_col)}, w -> "
+            f"{_wp_greedy_expr('w', max_word_len, unk)}))"
+        )
+        return (
+            docs.crossJoin(F.broadcast(folded))
+            .select(F.col(id_col), F.expr(per_doc).alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens").cast("long"))
+        )
+    wpos = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_words_expr(text_col))).alias("__pos", "w"),
+    )
+    seg = (
+        wpos.select("w")
+        .distinct()
+        .crossJoin(F.broadcast(folded))
+        .select(
+            "w",
+            F.expr(_wp_greedy_expr("w", max_word_len, unk)).alias("toks"),
+        )
+    )
+    regrouped = (
+        wpos.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "toks"))
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
     )
     return (
-        docs.crossJoin(F.broadcast(folded))
-        .select(F.col(id_col), F.expr(per_doc).alias("tokens"))
+        docs.select(F.col(id_col))
+        .join(regrouped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("tokens"), F.expr("CAST(array() AS array<string>)")
+            ).alias("tokens"),
+        )
         .withColumn("n_tokens", F.size("tokens").cast("long"))
     )

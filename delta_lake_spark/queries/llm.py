@@ -8041,11 +8041,16 @@ WITH keyed AS (
        IF x <> ''] AS ws
     FROM documents)
 ),
+ok_keys AS (
+  SELECT key FROM keyed GROUP BY key
+  HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
+),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     levenshtein(a.norm, b.norm) AS lev,
     greatest(len(a.norm), len(b.norm)) AS mx
-  FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+  FROM keyed a JOIN ok_keys USING (key)
+  JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
   CAST(1000 - (1000 * lev) // mx AS BIGINT) AS sim_milli

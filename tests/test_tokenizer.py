@@ -464,15 +464,39 @@ def test_wordpiece_encode_semantics(spark):
         assert got[i] == expect, f"doc {i}"
 
 
-def test_wordpiece_encode_plan_is_map_only(spark):
+def test_wordpiece_encode_plan_shuffle_discipline(spark):
+    import re
+
     from delta_lake_spark.operators.tokenizer import wordpiece_encode
 
-    docs = _docs_df(spark, ["ab ab abc"])
-    enc = wordpiece_encode(docs, "text", "doc_id", ["a", "b", "##a", "##b"])
-    plan = enc._jdf.queryExecution().executedPlan().toString()
+    docs = _docs_df(spark, ["ab ab abc", "ba ab"])
+    vocab = ["a", "b", "##a", "##b"]
+    # inline strategy: zero shuffles — only the 1-row vocab broadcast
+    inline = wordpiece_encode(
+        docs, "text", "doc_id", vocab, strategy="inline"
+    )
+    plan = inline._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan  # zero shuffles
     assert "EvalPython" not in plan  # no Python UDFs, HOFs only
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab broadcast
+    # vocab strategy (default): the greedy fold runs on the
+    # distinct-word relation; every hash exchange keys on the word or
+    # the doc id (the regroup), never a corpus-wide catch-all
+    voc = wordpiece_encode(docs, "text", "doc_id", vocab)
+    vplan = voc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in vplan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#]+)", vplan)
+    assert shuffles, vplan
+    for cols in shuffles:
+        assert cols.strip().startswith(("w", "doc_id")), shuffles
+    # strategies agree value-for-value
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, voc.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        wordpiece_encode(docs, "text", "doc_id", vocab, strategy="nope")
 
 
 def test_wordpiece_contract_errors(spark):

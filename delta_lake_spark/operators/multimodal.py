@@ -1404,3 +1404,95 @@ def gif_keyframes(df: DataFrame, threshold: float = 40.0) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=KEYFRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TAR archive shards — the container tier of web-scale ingestion
+# (WebDataset-style training shards ship exactly like this: millions of
+# small members inside large sequential archives). Structure walk +
+# member extraction run inside Arrow batches; payloads never visit the
+# driver.
+# ---------------------------------------------------------------------------
+
+TAR_MEMBER_SCHEMA = (
+    "media_id long, member_idx int, name string, size long, "
+    "content_md5 string"
+)
+
+
+def synthesize_tar_corpus(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ustar archives per id: 1 + id%4 text members;
+    member i is named m{id}_{i}.txt and holds 10 + (id*7 + i*13)%50
+    repeats of the letter chr(97 + (id+i)%26). Fixed mtime/uid/gid so
+    archive bytes are bit-stable. Map-only mapInPandas."""
+
+    def batches(it):
+        import hashlib  # noqa: F401  (parity with decode imports)
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for i in range(1 + mid % 4):
+                        size = 10 + (mid * 7 + i * 13) % 50
+                        body = chr(97 + (mid + i) % 26).encode() * size
+                        info = tarfile.TarInfo(name=f"m{mid}_{i}.txt")
+                        info.size = size
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        tf.addfile(info, io.BytesIO(body))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def decode_tar_members(df: DataFrame) -> DataFrame:
+    """Walk every archive's member table and hash each member's
+    content — one output row per member: (media_id, member_idx, name,
+    size, content_md5). Malformed archives raise with the media id.
+    Map-only mapInPandas; the member fan-out happens executor-side."""
+
+    def batches(it):
+        import hashlib
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        cols = ["media_id", "member_idx", "name", "size", "content_md5"]
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(payload)), mode="r"
+                    ) as tf:
+                        for i, info in enumerate(tf.getmembers()):
+                            body = tf.extractfile(info).read()
+                            rows["media_id"].append(int(mid))
+                            rows["member_idx"].append(i)
+                            rows["name"].append(info.name)
+                            rows["size"].append(int(info.size))
+                            rows["content_md5"].append(
+                                hashlib.md5(body).hexdigest()
+                            )
+                except tarfile.TarError as e:
+                    raise ValueError(
+                        f"malformed tar payload for media_id={int(mid)}: {e}"
+                    ) from e
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=TAR_MEMBER_SCHEMA)

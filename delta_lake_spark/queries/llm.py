@@ -8306,7 +8306,39 @@ FROM w GROUP BY event_type
 
 
 
+def q251_tar_member_walk(spark, sf_dir):
+    """Archive-shard ingestion (the WebDataset container tier): a
+    deterministic ustar corpus is synthesized per document id and
+    decode_tar_members walks every archive's member table back —
+    names, sizes, and content md5s recovered exactly. Both steps are
+    map-only mapInPandas over Arrow batches; payloads and members
+    never visit the driver. The oracle states the member arithmetic
+    relationally (operators/multimodal.py synthesize_tar_corpus /
+    decode_tar_members)."""
+    from ..operators.multimodal import (
+        decode_tar_members,
+        synthesize_tar_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_tar_members(synthesize_tar_corpus(docs))
+
+
+_Q251_SQL = """
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS member_idx,
+  'm' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '.txt'
+    AS name,
+  CAST(10 + (doc_id * 7 + i * 13) % 50 AS BIGINT) AS size,
+  md5(repeat(chr(97 + CAST((doc_id + i) % 26 AS INTEGER)),
+             CAST(10 + (doc_id * 7 + i * 13) % 50 AS INTEGER)))
+    AS content_md5
+FROM documents, UNNEST(range(0, 1 + doc_id % 4)) t(i)
+"""
+
+
+
 QUERIES = {
+    "q251_tar_member_walk": q251_tar_member_walk,
     "q250_decayed_event_rates": q250_decayed_event_rates,
     "q249_triangle_parts": q249_triangle_parts,
     "q248_ring_negatives": q248_ring_negatives,
@@ -8452,6 +8484,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q251_tar_member_walk": _Q251_SQL,
     "q250_decayed_event_rates": _Q250_SQL,
     "q249_triangle_parts": _Q249_SQL,
     "q248_ring_negatives": _Q248_SQL,

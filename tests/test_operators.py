@@ -5308,3 +5308,40 @@ def test_decayed_event_rates_fixed_point(spark):
         decayed_event_rates(df, "event_type", "ts", half_life_days=0)
     with _pytest.raises(ValueError, match="horizon"):
         decayed_event_rates(df, "event_type", "ts", horizon_halflives=63)
+
+
+def test_tar_member_walk_roundtrip_and_malformed(spark):
+    import hashlib
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_tar_members,
+        synthesize_tar_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = decode_tar_members(synthesize_tar_corpus(docs)).collect()
+    got = {(r.media_id, r.member_idx): r for r in out}
+    for mid in range(8):
+        for i in range(1 + mid % 4):
+            r = got[(mid, i)]
+            size = 10 + (mid * 7 + i * 13) % 50
+            body = chr(97 + (mid + i) % 26).encode() * size
+            assert r.name == f"m{mid}_{i}.txt"
+            assert r.size == size
+            assert r.content_md5 == hashlib.md5(body).hexdigest()
+    assert len(out) == sum(1 + m % 4 for m in range(8))
+    # malformed payload raises with the media id
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(99, b"definitely not a tar archive" * 20)],
+        "media_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="media_id=99"):
+        decode_tar_members(bad).collect()
+    # plan: both stages map-only (no exchange between synth and walk)
+    plan = (
+        decode_tar_members(synthesize_tar_corpus(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -250,3 +250,68 @@ def phrase_search(
         )
         .orderBy(id_col)
     )
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    rel: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Integer-exact ranking-quality metrics per query: precision@k,
+    recall, and MRR over a ranked result relation (``ranked``:
+    query/doc/rank) against a relevance relation (``rel``: query/doc)
+    — the eval sheet a retrieval pipeline reads beside the index
+    itself. All ratios are MICRO-integers (1e6-scaled integral div),
+    so every cell is exact and engine-portable: float means of
+    reciprocal ranks are summation-order-dependent and cannot be
+    oracle-pinned, 1000000 div rank can.
+
+    Scale shape: one rank-filter projection, one |results|-sized left
+    join onto rel, two group aggregations — everything keyed on the
+    query id; no window.
+
+    Returns (query_col, n_rel, hits, p_at_k_micro, recall_micro,
+    mrr_micro); recall/MRR are NULL for queries with no relevant doc
+    / no relevant doc retrieved.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    top = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).alias("__r"),
+    )
+    r = rel.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.lit(1).alias("__rel"),
+    ).distinct()
+    relc = r.groupBy("__q").agg(F.count("*").cast("long").alias("n_rel"))
+    hits = (
+        top.join(r, ["__q", "__d"], "left")
+        .groupBy("__q")
+        .agg(
+            F.sum(F.coalesce(F.col("__rel"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+            F.min(F.when(F.col("__rel").isNotNull(), F.col("__r")))
+            .cast("long")
+            .alias("__first"),
+        )
+    )
+    out = hits.join(relc, "__q", "left")
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        "hits",
+        F.expr(f"(1000000 * hits) div {int(k)}").alias("p_at_k_micro"),
+        F.expr(
+            "CASE WHEN n_rel > 0 THEN (1000000 * hits) div n_rel END"
+        ).alias("recall_micro"),
+        F.expr(
+            "CASE WHEN __first IS NOT NULL THEN 1000000 div __first END"
+        ).alias("mrr_micro"),
+    )

@@ -1916,6 +1916,10 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score FROM (
 ) WHERE rank <= 10
 """
 
+# the q142 WITH-chain up to and including `scored` — shared with
+# q252's metric tail so the two oracles rank identically by construction
+_BM25_ORACLE_BODY = _Q142_SQL[: _Q142_SQL.index("SELECT CAST(query_id")]
+
 
 def q140_index_cdf_sync(spark, sf_dir):
     """CDF-maintained LSH signature index with GDPR delete propagation —
@@ -8337,7 +8341,104 @@ FROM documents, UNNEST(range(0, 1 + doc_id % 4)) t(i)
 
 
 
+def q252_retrieval_eval(spark, sf_dir):
+    """Ranking-quality evaluation of q142's BM25 retrieval:
+    precision@10, recall, and MRR per query as MICRO-integers (1e6 div
+    arithmetic — float reciprocal-rank means are summation-order-
+    dependent and cannot be oracle-pinned). Relevance is deterministic
+    conjunctive containment: a doc is relevant iff it contains EVERY
+    query term — the label-free qrel a pipeline uses to smoke-test an
+    index. One rank filter + one results-sized left join + two
+    query-keyed aggregations (operators/retrieval.py retrieval_eval)."""
+    from ..operators.retrieval import retrieval_eval
+    from ..operators.text import bm25_topk
+
+    queries = spark.createDataFrame(
+        [
+            (1, "hash join merge"),
+            (2, "stream window agg"),
+            (3, "vector scan filter"),
+        ],
+        "query_id long, qtext string",
+    )
+    docs = _docs(spark, sf_dir)
+    ranked = bm25_topk(docs, queries, "text", "doc_id", k=10)
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("split(lower(qtext), '\\\\s+')")
+            )
+        ).alias("term"),
+    )
+    nq = qterms.groupBy("query_id").agg(F.count("*").alias("__nt"))
+    dterm = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("split(lower(coalesce(text, '')), '\\\\s+')")
+        ).alias("term"),
+    ).distinct()
+    rel = (
+        qterms.join(dterm, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("__m"))
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("__m") == F.col("__nt"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_eval(ranked, rel, k=10)
+
+
+_Q252_SQL = (
+    _BM25_ORACLE_BODY
+    + """, ranked AS (
+  SELECT query_id, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+),
+top AS (SELECT * FROM ranked WHERE rank <= 10),
+nq AS (SELECT query_id, COUNT(*) AS n_terms FROM qterms GROUP BY query_id),
+dterm AS (
+  SELECT DISTINCT doc_id,
+    unnest(string_split_regex(lower(COALESCE(text, '')), '\\s+')) AS term
+  FROM documents
+),
+rel AS (
+  SELECT qt.query_id, d.doc_id
+  FROM qterms qt JOIN dterm d USING (term) JOIN nq USING (query_id)
+  GROUP BY qt.query_id, d.doc_id, nq.n_terms
+  HAVING COUNT(DISTINCT d.term) = nq.n_terms
+),
+relc AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel
+  GROUP BY query_id
+),
+hitsq AS (
+  SELECT t.query_id,
+    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS hits,
+    CAST(MIN(CASE WHEN r.doc_id IS NOT NULL THEN t.rank END) AS BIGINT)
+      AS first_rel
+  FROM top t
+  LEFT JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+  GROUP BY t.query_id
+)
+SELECT CAST(h.query_id AS BIGINT) AS query_id,
+  COALESCE(rc.n_rel, 0) AS n_rel, h.hits,
+  CAST((1000000 * h.hits) // 10 AS BIGINT) AS p_at_k_micro,
+  CAST(CASE WHEN rc.n_rel > 0 THEN (1000000 * h.hits) // rc.n_rel END
+       AS BIGINT) AS recall_micro,
+  CAST(CASE WHEN h.first_rel IS NOT NULL THEN 1000000 // h.first_rel END
+       AS BIGINT) AS mrr_micro
+FROM hitsq h LEFT JOIN relc rc USING (query_id)
+"""
+)
+
+
+
 QUERIES = {
+    "q252_retrieval_eval": q252_retrieval_eval,
     "q251_tar_member_walk": q251_tar_member_walk,
     "q250_decayed_event_rates": q250_decayed_event_rates,
     "q249_triangle_parts": q249_triangle_parts,
@@ -8484,6 +8585,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q252_retrieval_eval": _Q252_SQL,
     "q251_tar_member_walk": _Q251_SQL,
     "q250_decayed_event_rates": _Q250_SQL,
     "q249_triangle_parts": _Q249_SQL,

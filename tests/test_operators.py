@@ -5345,3 +5345,37 @@ def test_tar_member_walk_roundtrip_and_malformed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_retrieval_eval_known_values(spark):
+    from delta_lake_spark.operators.retrieval import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([10, 20, 30, 40], 1)]
+        + [(2, d, r) for r, d in enumerate([50, 60], 1)]
+        + [(3, 70, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    rel = spark.createDataFrame(
+        # q1: rel {20, 40, 99} -> hits 2, first at rank 2
+        [(1, 20), (1, 40), (1, 99)]
+        # q2: nothing relevant retrieved, one relevant exists
+        + [(2, 77)],
+        # q3: no relevant docs at all
+        "query_id long, doc_id long",
+    )
+    got = {r.query_id: r for r in retrieval_eval(ranked, rel, k=3).collect()}
+    q1 = got[1]
+    assert (q1.n_rel, q1.hits) == (3, 1) or (q1.n_rel, q1.hits) == (3, 2)
+    # k=3 truncates: docs 10,20,30 -> hit only 20 at rank 2
+    assert (q1.hits, q1.p_at_k_micro) == (1, 1000000 // 3)
+    assert q1.recall_micro == 1000000 // 3
+    assert q1.mrr_micro == 500000
+    q2 = got[2]
+    assert (q2.hits, q2.recall_micro, q2.mrr_micro) == (0, 0, None)
+    q3 = got[3]
+    assert (q3.n_rel, q3.recall_micro, q3.mrr_micro) == (0, None, None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        retrieval_eval(ranked, rel, k=0)

@@ -108,13 +108,21 @@ def main() -> None:
         row[name], row["ring_pairs"] = secs, out
 
         n_edges = 100_000 * s
-        # ~2k nodes -> edge probability high enough for a real
-        # triangle population at every scale
+        # md5-derived endpoints over ~2k nodes: genuinely uniform, so
+        # the triangle population is real at every scale (~150k at
+        # 100k edges; arithmetic mixes collapse to degenerate cycles)
+        h = "md5(cast(id as string))"
         edges = (
             spark.range(n_edges)
             .select(
-                F.expr("pmod(id * 48271, 2003)").alias("src"),
-                F.expr("pmod(id * id * 16807 + id * 7 + 3, 2003)").alias("dst"),
+                F.expr(
+                    f"pmod(cast(conv(substr({h}, 1, 8), 16, 10) as bigint),"
+                    " 2003)"
+                ).alias("src"),
+                F.expr(
+                    f"pmod(cast(conv(substr({h}, 9, 8), 16, 10) as bigint),"
+                    " 2003)"
+                ).alias("dst"),
             )
             .localCheckpoint()
         )

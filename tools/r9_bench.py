@@ -34,7 +34,9 @@ def synthetic_docs(spark, n_docs: int):
     (so texts are otherwise unique)."""
     base = "(id - CASE WHEN id % 100 = 99 THEN 1 ELSE 0 END)"
     head = "concat('h', pmod({b} * {a}, 10))"
-    tail = "concat('t', pmod({b} * {a} + {c}, 10000))"
+    # 999983-token tail space: texts stay base-unique at 10M docs
+    # (a 10k space made every 10k-th base a FULL duplicate)
+    tail = "concat('t', pmod({b} * {a} + {c}, 999983))"
     words = ", ".join(
         [head.format(b=base, a=7), head.format(b=base, a=13)]
         + [
@@ -85,7 +87,11 @@ def main() -> None:
         )
         row[name], row["mg_hitters"] = secs, out
 
-        vocab = [f"t{i}" for i in range(10000)] + ["##" + str(d) for d in range(10)]
+        # char-granular vocab: every synthetic word segments without
+        # [UNK], and the distinct-word relation carries the real cost
+        vocab = ["t", "h"] + ["##" + str(d) for d in range(10)] + [
+            f"##{d}{e}" for d in range(10) for e in range(10)
+        ]
         name, secs, out = timed(
             "wordpiece_encode",
             lambda: wordpiece_encode(docs, "text", "doc_id", vocab)
@@ -108,20 +114,22 @@ def main() -> None:
         row[name], row["ring_pairs"] = secs, out
 
         n_edges = 100_000 * s
-        # md5-derived endpoints over ~2k nodes: genuinely uniform, so
-        # the triangle population is real at every scale (~150k at
-        # 100k edges; arithmetic mixes collapse to degenerate cycles)
+        # md5-derived endpoints (genuinely uniform — arithmetic mixes
+        # collapse to degenerate cycles) over a node set that scales
+        # with the edges, holding average degree ~100 so the triangle
+        # population grows linearly instead of going dense
+        n_nodes = max(2003, n_edges // 50)
         h = "md5(cast(id as string))"
         edges = (
             spark.range(n_edges)
             .select(
                 F.expr(
                     f"pmod(cast(conv(substr({h}, 1, 8), 16, 10) as bigint),"
-                    " 2003)"
+                    f" {n_nodes})"
                 ).alias("src"),
                 F.expr(
                     f"pmod(cast(conv(substr({h}, 9, 8), 16, 10) as bigint),"
-                    " 2003)"
+                    f" {n_nodes})"
                 ).alias("dst"),
             )
             .localCheckpoint()

@@ -671,3 +671,50 @@ def fleiss_kappa(
         "n_raters",
         F.round(F.when(den != 0, num / den), 9).alias("kappa"),
     )
+
+
+def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew report for a prospective join/aggregation key —
+    the diagnostic read BEFORE choosing a shuffle strategy at scale
+    (a top-key share near 1e6 micro means one task would receive the
+    whole relation; the cure is salting, AQE skew splits, or a
+    broadcast — joins.py salted_join).
+
+    Exact integers only: n_rows, n_keys, the heaviest key (count
+    tiebreak by key), and top-1/top-10 row shares as 1e6-scaled
+    integral divs. Scale shape: one key-count aggregation, a
+    TakeOrdered(10) over the key-frequency relation (never a global
+    sort), two 1-row reductions.
+
+    Returns (n_rows, n_keys, top_key, top1_share_micro,
+    top10_share_micro).
+    """
+    freq = (
+        df.select(F.col(key_col).cast("string").alias("__k"))
+        .groupBy("__k")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    totals = freq.agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max(F.struct("__c", "__k")).alias("__top"),
+    )
+    top10 = (
+        freq.orderBy(F.col("__c").desc(), "__k")
+        .limit(10)
+        .agg(F.sum("__c").cast("long").alias("__t10"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(top10))
+        .select(
+            "n_rows",
+            "n_keys",
+            F.col("__top.__k").alias("top_key"),
+            F.expr("(1000000 * __top.__c) div n_rows").alias(
+                "top1_share_micro"
+            ),
+            F.expr("(1000000 * __t10) div n_rows").alias(
+                "top10_share_micro"
+            ),
+        )
+    )

@@ -8437,7 +8437,244 @@ FROM hitsq h LEFT JOIN relc rc USING (query_id)
 
 
 
+def q253_key_skew_audit(spark, sf_dir):
+    """Join-key skew audit of the two hottest shuffle keys (lineitem's
+    order key, events' user id): exact row/key counts, the heaviest
+    key, and top-1/top-10 row shares as micro-integers — the report
+    read before choosing salting / AQE skew splits / broadcast at
+    scale. One key-count aggregation + a TakeOrdered(10) per key,
+    never a global sort (operators/stats.py key_skew_audit)."""
+    from ..operators.stats import key_skew_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = key_skew_audit(li, "l_orderkey").select(
+        F.lit("lineitem.l_orderkey").alias("key"), "*"
+    )
+    b = key_skew_audit(ev, "user_id").select(
+        F.lit("events.user_id").alias("key"), "*"
+    )
+    return a.unionByName(b)
+
+
+_Q253_SQL = """
+WITH f1 AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+),
+t1 AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         MAX(ROW(c, k)) AS top
+  FROM f1
+),
+x1 AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t10
+  FROM (SELECT c FROM f1 ORDER BY c DESC, k LIMIT 10)
+),
+f2 AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+t2 AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         MAX(ROW(c, k)) AS top
+  FROM f2
+),
+x2 AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t10
+  FROM (SELECT c FROM f2 ORDER BY c DESC, k LIMIT 10)
+)
+SELECT 'lineitem.l_orderkey' AS key, n_rows, n_keys,
+  top[2] AS top_key,
+  CAST((1000000 * top[1]) // n_rows AS BIGINT) AS top1_share_micro,
+  CAST((1000000 * t10) // n_rows AS BIGINT) AS top10_share_micro
+FROM t1 CROSS JOIN x1
+UNION ALL
+SELECT 'events.user_id', n_rows, n_keys, top[2],
+  CAST((1000000 * top[1]) // n_rows AS BIGINT),
+  CAST((1000000 * t10) // n_rows AS BIGINT)
+FROM t2 CROSS JOIN x2
+"""
+
+
+
+def q254_tokenizer_report(spark, sf_dir):
+    """Tokenizer bake-off: corpus totals for the three trained
+    tokenizers (q190 BPE merges, q224 unigram-LM, q239 WordPiece) —
+    total tokens, distinct token types, and chars-per-token as a
+    micro-integer, the compression sheet read before picking a
+    vocabulary. Spark side encodes with the memoized models (all
+    map-only / per-type paths); the oracle replays all three
+    trainings AND encodes in one statement, each replay scoped to its
+    own subquery so the WITH-chains cannot collide."""
+    from ..operators.tokenizer import (
+        bpe_encode,
+        unigram_encode,
+        wordpiece_encode,
+    )
+
+    docs = _docs(spark, sf_dir)
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    chars_row = docs.agg(
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"aggregate({words}, 0L, (a, x) -> a + length(x))"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__chars")
+    )
+
+    def report(name, enc):
+        totals = enc.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens")
+        )
+        types = (
+            enc.select(F.explode("tokens").alias("t"))
+            .agg(F.count_distinct("t").cast("long").alias("n_types"))
+        )
+        return (
+            totals.crossJoin(F.broadcast(types))
+            .crossJoin(F.broadcast(chars_row))
+            .select(
+                F.lit(name).alias("tokenizer"),
+                "n_tokens",
+                "n_types",
+                F.expr(
+                    "CASE WHEN n_tokens > 0"
+                    " THEN (1000000 * __chars) div n_tokens END"
+                ).alias("chars_per_token_micro"),
+            )
+        )
+
+    bpe = bpe_encode(
+        docs, "text", "doc_id",
+        [(r.lhs, r.rhs) for r in _bpe_merges(spark, sf_dir)],
+    )
+    uni = unigram_encode(
+        docs, "text", "doc_id",
+        [(r.piece, r["count"]) for r in _unigram_model(spark, sf_dir)],
+        _UNI_LEN,
+    )
+    merges = _wp_merges(spark, sf_dir)
+    alpha = [
+        r.ch
+        for r in docs.select(
+            F.explode(
+                F.expr(
+                    f"array_distinct(flatten(transform({words}, "
+                    "w -> transform(sequence(1, length(w)), "
+                    "i -> substring(w, i, 1)))))"
+                )
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    ]
+    vocab = sorted(
+        set(alpha) | {"##" + c for c in alpha} | {r.merged for r in merges}
+    )
+    wp = wordpiece_encode(docs, "text", "doc_id", vocab, max_word_len=_WP_MAXW)
+    return (
+        report("bpe", bpe)
+        .unionByName(report("unigram", uni))
+        .unionByName(report("wordpiece", wp))
+    )
+
+
+def _q254_sql() -> str:
+    """Three scoped replays: each subquery re-derives its tokenizer's
+    model from the corpus and reports type-weighted totals off the
+    word HISTOGRAM (cnt * tokens-per-type == the per-doc totals)."""
+    chars = "(SELECT CAST(SUM(len(w) * cnt) AS BIGINT) FROM w0)"
+    # BPE: one more rewrite layer than training keeps (v{n-1} -> final)
+    bpe_final = f"v{_BPE_N_MERGES - 1}f"
+    bpe = (
+        _bpe_train_ctes()
+        + f""",
+{bpe_final} AS (
+  SELECT cnt, {_bpe_duck_layer('s', _BPE_N_MERGES)} AS s
+  FROM v{_BPE_N_MERGES - 1}, m{_BPE_N_MERGES}),
+tt AS (SELECT CAST(SUM(cnt * len(s)) AS BIGINT) AS n_tokens FROM {bpe_final}),
+ty AS (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_types
+       FROM (SELECT unnest(s) AS sym FROM {bpe_final}))
+SELECT 'bpe' AS tokenizer, tt.n_tokens, ty.n_types,
+  CAST(CASE WHEN tt.n_tokens > 0
+    THEN (1000000 * {chars}) // tt.n_tokens END AS BIGINT)
+    AS chars_per_token_micro
+FROM tt CROSS JOIN ty"""
+    )
+    uni = (
+        _uni_train_ctes()
+        + f""",
+ff AS (SELECT map(list(piece), list(c)) AS m, CAST(SUM(c) AS DOUBLE) AS T
+       FROM mf),
+df AS (SELECT w, cnt, ({_uni_duck_dp("w", _UNI_LEN)})[len(w) + 1] AS fin
+       FROM w0 CROSS JOIN ff),
+sf AS (SELECT w, cnt, {_uni_duck_toks("w", "fin")} AS toks FROM df),
+tt AS (SELECT CAST(SUM(cnt * len(toks)) AS BIGINT) AS n_tokens FROM sf),
+ty AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
+       FROM (SELECT unnest(toks) AS t FROM sf))
+SELECT 'unigram' AS tokenizer, tt.n_tokens, ty.n_types,
+  CAST(CASE WHEN tt.n_tokens > 0
+    THEN (1000000 * {chars}) // tt.n_tokens END AS BIGINT)
+    AS chars_per_token_micro
+FROM tt CROSS JOIN ty"""
+    )
+    wp = (
+        _wp_train_ctes()
+        + f""",
+alpha AS (
+  SELECT DISTINCT w[i] AS ch FROM w0, UNNEST(range(1, len(w)+1)) t(i)
+),
+vstack AS (
+  SELECT ch AS piece FROM alpha
+  UNION SELECT '##' || ch FROM alpha
+  {"".join(f" UNION SELECT merged FROM m{r}" for r in range(1, _WP_N_MERGES + 1))}
+),
+vf AS (
+  SELECT map(list(piece), list(1)) AS m,
+         MAX(len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END) AS L
+  FROM vstack
+),
+dw AS MATERIALIZED (SELECT w, cnt FROM w0),
+{_wp_greedy_duck_layers()},
+fw AS (
+  SELECT w, CASE WHEN d THEN ['[UNK]'] ELSE t END AS tl FROM g{_WP_MAXW}
+),
+tt AS (SELECT CAST(SUM(w0.cnt * len(fw.tl)) AS BIGINT) AS n_tokens
+       FROM w0 JOIN fw USING (w)),
+ty AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
+       FROM (SELECT unnest(tl) AS t FROM fw))
+SELECT 'wordpiece' AS tokenizer, tt.n_tokens, ty.n_types,
+  CAST(CASE WHEN tt.n_tokens > 0
+    THEN (1000000 * {chars}) // tt.n_tokens END AS BIGINT)
+    AS chars_per_token_micro
+FROM tt CROSS JOIN ty"""
+    )
+    return (
+        "SELECT * FROM ("
+        + bpe
+        + ")\nUNION ALL\nSELECT * FROM ("
+        + uni
+        + ")\nUNION ALL\nSELECT * FROM ("
+        + wp
+        + ")"
+    )
+
+
+_Q254_SQL = _q254_sql()
+
+
+
 QUERIES = {
+    "q254_tokenizer_report": q254_tokenizer_report,
+    "q253_key_skew_audit": q253_key_skew_audit,
     "q252_retrieval_eval": q252_retrieval_eval,
     "q251_tar_member_walk": q251_tar_member_walk,
     "q250_decayed_event_rates": q250_decayed_event_rates,
@@ -8585,6 +8822,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q254_tokenizer_report": _Q254_SQL,
+    "q253_key_skew_audit": _Q253_SQL,
     "q252_retrieval_eval": _Q252_SQL,
     "q251_tar_member_walk": _Q251_SQL,
     "q250_decayed_event_rates": _Q250_SQL,

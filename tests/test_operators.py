@@ -5379,3 +5379,24 @@ def test_retrieval_eval_known_values(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         retrieval_eval(ranked, rel, k=0)
+
+
+def test_key_skew_audit_known_values(spark):
+    from delta_lake_spark.operators.stats import key_skew_audit
+
+    # key "hot" 50 rows, keys k0..k19 one row each -> n=70, 21 keys
+    rows = [("hot",)] * 50 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_audit(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys, r.top_key) == (70, 21, "hot")
+    assert r.top1_share_micro == (1000000 * 50) // 70
+    # top10 = hot + 9 singletons
+    assert r.top10_share_micro == (1000000 * 59) // 70
+    # uniform relation: top1 == 1/n of rows; tie goes to smallest key
+    u = spark.createDataFrame([(f"x{i}",) for i in range(10)], "k string")
+    ru = key_skew_audit(u, "k").collect()[0]
+    # ties break to the LARGEST key (max over the (count, key) struct
+    # — the same rule the oracle's MAX(ROW(c, k)) applies)
+    assert ru.top1_share_micro == 100000 and ru.top_key == "x9"
+    plan = key_skew_audit(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan  # top-10 never a global sort

@@ -947,3 +947,41 @@ def hash_ring_negatives(
             neg_col,
         )
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pct_micro",
+) -> DataFrame:
+    """Per-group percentile-rank normalization of an integer-valued
+    score as a MICRO-integer: pct = 1e6 * (rank - 1) div (n - 1)
+    (min-rank over value ties, 0 for singleton groups) — the
+    cross-domain calibration step before a GLOBAL threshold (CCNet
+    practice: a raw quality score is not comparable across languages;
+    its within-language percentile is). Equal values get equal
+    percentiles (RANK, not row_number), so the output is a pure
+    function of (group, value) and engine-exact.
+
+    Scale shape: one group-keyed sort window + the group-count
+    window on the same partitioning (one exchange total); a single
+    monster group serializes its own sort — the inherent cost, cured
+    upstream by splitting the group.
+
+    Returns df's columns plus ``out_col``.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy(v.asc())
+    wg = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rk", F.rank().over(w))
+        .withColumn("__n", F.count("*").over(wg))
+        .withColumn(
+            out_col,
+            F.expr("CASE WHEN __n > 1 THEN (1000000 * (__rk - 1)) div (__n - 1) ELSE 0 END"),
+        )
+        .drop("__rk", "__n")
+    )

@@ -8672,7 +8672,67 @@ _Q254_SQL = _q254_sql()
 
 
 
+def q255_percentile_normalized_selection(spark, sf_dir):
+    """Cross-language score calibration: each document's length score
+    becomes its WITHIN-LANGUAGE percentile rank (micro-integer, rank
+    over ties so equal scores calibrate equally), then one GLOBAL
+    threshold (>= 40th percentile) selects comparably across
+    languages — the CCNet normalization step that stops a verbose
+    language from monopolizing a raw-score cut. One group-keyed sort
+    window; the selection is a map-side filter
+    (operators/sampling.py percentile_normalize). Reports per-language
+    kept/total and the kept token share."""
+    from ..operators.sampling import percentile_normalize
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    scored = _docs(spark, sf_dir).select(
+        "lang",
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+    )
+    normed = percentile_normalize(scored, "lang", "n_words")
+    return (
+        normed.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("pct_micro") >= 400000, 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            F.sum("n_words").cast("long").alias("tokens_total"),
+            F.sum(
+                F.when(F.col("pct_micro") >= 400000, F.col("n_words"))
+                .otherwise(0)
+            ).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
+_Q255_SQL = """
+WITH scored AS (
+  SELECT lang,
+    CAST(len([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+              IF x <> '']) AS BIGINT) AS n_words
+  FROM documents
+),
+normed AS (
+  SELECT lang, n_words,
+    CASE WHEN COUNT(*) OVER (PARTITION BY lang) > 1
+      THEN (1000000 * (RANK() OVER (PARTITION BY lang ORDER BY n_words) - 1))
+           // (COUNT(*) OVER (PARTITION BY lang) - 1)
+      ELSE 0 END AS pct
+  FROM scored
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN pct >= 400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(n_words) AS BIGINT) AS tokens_total,
+  CAST(SUM(CASE WHEN pct >= 400000 THEN n_words ELSE 0 END) AS BIGINT)
+    AS tokens_kept
+FROM normed GROUP BY lang
+"""
+
+
+
 QUERIES = {
+    "q255_percentile_normalized_selection": q255_percentile_normalized_selection,
     "q254_tokenizer_report": q254_tokenizer_report,
     "q253_key_skew_audit": q253_key_skew_audit,
     "q252_retrieval_eval": q252_retrieval_eval,
@@ -8822,6 +8882,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q255_percentile_normalized_selection": _Q255_SQL,
     "q254_tokenizer_report": _Q254_SQL,
     "q253_key_skew_audit": _Q253_SQL,
     "q252_retrieval_eval": _Q252_SQL,

@@ -5400,3 +5400,30 @@ def test_key_skew_audit_known_values(spark):
     assert ru.top1_share_micro == 100000 and ru.top_key == "x9"
     plan = key_skew_audit(df, "k")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan  # top-10 never a global sort
+
+
+def test_percentile_normalize_semantics(spark):
+    from delta_lake_spark.operators.sampling import percentile_normalize
+
+    rows = [("a", v) for v in (10, 20, 20, 40)] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = sorted(
+        (r.g, r.v, r.pct_micro)
+        for r in percentile_normalize(df, "g", "v").collect()
+    )
+    # group a (n=4): ranks 1,2,2,4 -> pct 0, 333333, 333333, 1000000
+    assert got == [
+        ("a", 10, 0),
+        ("a", 20, 333333),
+        ("a", 20, 333333),
+        ("a", 40, 1000000),
+        ("b", 7, 0),  # singleton group pins to 0
+    ]
+    # pure function of (group, value): partition-invariant
+    got7 = sorted(
+        (r.g, r.v, r.pct_micro)
+        for r in percentile_normalize(
+            df.repartition(5), "g", "v"
+        ).collect()
+    )
+    assert got7 == got

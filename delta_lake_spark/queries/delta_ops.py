@@ -1612,7 +1612,83 @@ FROM isl GROUP BY doc_id, gp
 """
 
 
+def q256_streaming_decayed_rates(spark, sf_dir):
+    """Streaming fixed-point decay maintenance: events drain through
+    two replay-guarded micro-batches that append (type, calendar
+    half-life bucket, exact count) rows to a Delta state table; the
+    report is then served FROM STATE ALONE, weighting each bucket
+    2^(horizon - age) against the state's current max bucket — the
+    oracle-pinnable streaming EWMA (counts are not idempotent, so the
+    epoch guard is what makes replay safe). Bit-exact against the
+    batch replay of the same calendar-bucket arithmetic
+    (streaming/incremental.py stream_decayed_event_state /
+    estimate_decayed_state)."""
+    import os as _os
+
+    from ..streaming.incremental import (
+        estimate_decayed_state,
+        stream_decayed_event_state,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    src = _fresh("decay_src")
+    _os.makedirs(src, exist_ok=True)
+    staging = _fresh("decay_stage")
+    batches = [
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+    ]
+    for i, b in enumerate(batches):
+        d = f"{staging}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        part = next(f for f in _os.listdir(d) if f.endswith(".parquet"))
+        _os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+        _os.utime(
+            f"{src}/b{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i)
+        )
+    state = _fresh("decay_state")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream_decayed_event_state(
+            spark,
+            src,
+            state,
+            _fresh("decay_ckpt"),
+            "event_id long, ts timestamp, event_type string",
+            half_life_days=7,
+            txn_app_id="q256",
+        )
+        out = estimate_decayed_state(spark, state, horizon_halflives=40)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+_Q256_SQL = """
+WITH b AS (
+  SELECT event_type AS etype,
+    ((CAST(ts AS DATE) - DATE '1970-01-01') // 7) AS bucket
+  FROM events
+),
+ref AS (SELECT MAX(bucket) AS r FROM b)
+SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN ref.r - bucket >= 0 AND ref.r - bucket <= 40
+    THEN CAST(1 AS BIGINT) << CAST(40 - (ref.r - bucket) AS INTEGER)
+    ELSE 0 END) AS BIGINT) AS score_fixed,
+  ROUND(CAST(CAST(SUM(CASE WHEN ref.r - bucket >= 0 AND ref.r - bucket <= 40
+    THEN CAST(1 AS BIGINT) << CAST(40 - (ref.r - bucket) AS INTEGER)
+    ELSE 0 END) AS BIGINT) AS DOUBLE) / 1099511627776.0, 9) AS score
+FROM b CROSS JOIN ref GROUP BY etype
+"""
+
+
+
 QUERIES = {
+    "q256_streaming_decayed_rates": q256_streaming_decayed_rates,
     "q237_streaming_span_screen": q237_streaming_span_screen,
     "q209_streaming_media_keyframes": q209_streaming_media_keyframes,
     "q134_incremental_gold_maintenance": q134_incremental_gold_maintenance,
@@ -1651,6 +1727,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q256_streaming_decayed_rates": _Q256_SQL,
     "q237_streaming_span_screen": _Q237_SQL,
     "q209_streaming_media_keyframes": _Q209_SQL,
     "q134_incremental_gold_maintenance": _Q134_SQL,

@@ -1076,3 +1076,127 @@ def stream_docs_with_span_screen(
     )
     q.awaitTermination(timeout_sec)
     return read_delta(spark, spans_path)
+
+
+def stream_decayed_event_state(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    half_life_days: int = 7,
+    txn_app_id: str = "dls_decayed_events",
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming maintenance of the fixed-point decay state: each
+    micro-batch reduces to (type, calendar half-life bucket, exact
+    count) rows — bounded by types x buckets-in-batch — and appends
+    them to the state table behind the standard (txnAppId, epoch)
+    replay guard (counts are NOT idempotent, so a crash-retried batch
+    must skip). Decay weights are NOT applied here: the state stores
+    calendar buckets (epoch-days div half_life), so the reference
+    point can keep moving as data arrives and
+    :func:`estimate_decayed_state` weights against the CURRENT max
+    bucket at read time — a decayed score that never needs the raw
+    events again.
+    """
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..writer import write_delta
+    from pyspark.sql import functions as F
+
+    def _write_batch(batch_df, epoch_id: int) -> None:
+        log = DeltaLog(state_path)
+        try:
+            if log.exists():
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        return  # replayed epoch: adds must not re-land
+        except TableNotFoundError:
+            pass
+        buckets = (
+            batch_df.select(
+                F.col(type_col).alias("etype"),
+                F.expr(
+                    f"datediff(to_date({ts_col}), DATE '1970-01-01')"
+                    f" div {int(half_life_days)}"
+                ).alias("bucket"),
+            )
+            .groupBy("etype", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        write_delta(
+            buckets,
+            state_path,
+            mode="append",
+            operation="STREAMING DECAY BUCKETS",
+            operation_parameters={
+                "txnAppId": txn_app_id,
+                "txnVersion": epoch_id,
+                "outputMode": "Append",
+            },
+        )
+
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(source_dir)
+    q = (
+        src.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def estimate_decayed_state(
+    spark: SparkSession,
+    state_path: str,
+    horizon_halflives: int = 40,
+) -> DataFrame:
+    """Serve per-type decayed scores from the bucket state alone: the
+    reference is the state's CURRENT max bucket, each bucket's weight
+    is 2^(horizon - age) as an exact long (0 beyond the horizon), and
+    the reported score is one IEEE division — the streaming-state
+    mirror of operators/events.decayed_event_rates, bit-exact
+    against a batch replay of the same calendar-bucket arithmetic.
+    Returns (etype, n_events, score_fixed, score)."""
+    from ..reader import read_delta
+    from pyspark.sql import functions as F
+
+    if not 1 <= horizon_halflives <= 62:
+        raise ValueError(
+            f"horizon_halflives must be in [1, 62], got {horizon_halflives}"
+        )
+    h = int(horizon_halflives)
+    state = read_delta(spark, state_path)
+    ref = state.agg(F.max("bucket").alias("__ref"))
+    w = F.when(
+        (F.col("__ref") - F.col("bucket") >= 0)
+        & (F.col("__ref") - F.col("bucket") <= h),
+        F.expr(f"n * shiftleft(CAST(1 AS BIGINT), {h} - (__ref - bucket))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        state.crossJoin(F.broadcast(ref))
+        .select("etype", "n", w.alias("__w"))
+        .groupBy("etype")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("__w").cast("long").alias("score_fixed"),
+        )
+        .select(
+            "etype",
+            "n_events",
+            "score_fixed",
+            F.round(
+                F.col("score_fixed").cast("double") / F.lit(float(2 ** h)),
+                9,
+            ).alias("score"),
+        )
+    )

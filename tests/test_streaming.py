@@ -841,3 +841,53 @@ def test_streaming_span_screen_sequencing_and_replay(spark, tmp_path):
     )
     assert again.count() == n_spans
     assert read_delta(spark, corpus).count() == n_corpus
+
+
+def test_decayed_state_replay_guard(spark, tmp_path):
+    """A re-drained epoch (fresh checkpoint over the same files) must
+    NOT double-count: bucket adds are non-idempotent, so the
+    (txnAppId, epoch) guard is what makes restart safe."""
+    import datetime
+    import os
+    import shutil
+
+    from delta_lake_spark.streaming.incremental import (
+        estimate_decayed_state,
+        stream_decayed_event_state,
+    )
+
+    d0 = datetime.datetime(2026, 2, 1, 10, 0, 0)
+    rows = [
+        (1, d0, "click"),
+        (2, d0 - datetime.timedelta(days=7), "click"),
+        (3, d0, "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(f"{stage}/{part}", f"{src}/b0.parquet")
+    state = str(tmp_path / "state")
+    schema = "event_id long, ts timestamp, event_type string"
+    stream_decayed_event_state(
+        spark, src, state, str(tmp_path / "ck1"), schema,
+        half_life_days=7, txn_app_id="t-replay",
+    )
+    first = {
+        r.etype: (r.n_events, r.score_fixed)
+        for r in estimate_decayed_state(spark, state, 4).collect()
+    }
+    assert first == {"click": (2, 16 + 8), "view": (1, 16)}
+    # fresh checkpoint, same files: epoch 0 replays, guard must skip
+    stream_decayed_event_state(
+        spark, src, state, str(tmp_path / "ck2"), schema,
+        half_life_days=7, txn_app_id="t-replay",
+    )
+    second = {
+        r.etype: (r.n_events, r.score_fixed)
+        for r in estimate_decayed_state(spark, state, 4).collect()
+    }
+    assert second == first
+    shutil.rmtree(src, ignore_errors=True)

@@ -823,6 +823,8 @@ def misra_gries_heavy_hitters(
         seen = False
         for pdf in batches:
             for arr in pdf["__ws"]:
+                if arr is None:  # NULL text -> NULL token array
+                    continue
                 seen = True
                 for t in arr:
                     if t in counters:

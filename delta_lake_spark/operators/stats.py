@@ -643,6 +643,8 @@ def fleiss_kappa(
         F.count("*").cast("long").alias("__N"),
         F.sum("__sq").cast("long").alias("__A"),
     ).collect()[0]
+    if balance["__N"] == 0:
+        raise ValueError("fleiss_kappa requires at least one rating")
     if balance["__rmin"] != balance["__rmax"]:
         raise ValueError(
             "fleiss_kappa requires the same rating count per subject; "

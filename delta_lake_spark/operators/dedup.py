@@ -2320,9 +2320,11 @@ def edit_distance_pairs(
     dissimilar docs require a global md5 minimum collision). Buckets
     larger than ``max_bucket_size`` are dropped BEFORE the join (the
     lsh_ann_pairs degenerate-bucket valve: a template flood sharing
-    one min-shingle would otherwise square) — dropped-bucket pairs
-    can still surface through nothing here, so the bound is part of
-    the operator's contract and the oracle replicates it. The
+    one min-shingle would otherwise square). Unlike banded LSH there
+    is no second band to recover a dropped bucket's pairs, so the
+    bound is part of the operator's CONTRACT — the oracle replicates
+    it — and a template-heavy corpus should raise it or pre-dedup
+    exactly. The
     Levenshtein verify is a map-side projection on the joined pairs.
 
     Returns (id_a, id_b, lev, sim_milli), id_a < id_b.

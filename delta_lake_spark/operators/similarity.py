@@ -2198,3 +2198,87 @@ def standardize_embeddings(
     return df.crossJoin(F.broadcast(stats)).select(
         F.col(id_col), z.alias("zscored")
     )
+
+
+def kcenter_exemplars(
+    vectors: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center exemplar selection (Gonzalez 1985 farthest-
+    point traversal — the classic CORESET recipe): start from the
+    smallest id, then repeatedly take the point FARTHEST from the
+    chosen set. The selection 2-approximates the optimal k-center
+    cover, which is why it is the standard "pick k diverse
+    exemplars" pass over an embedded corpus (dataset cards, eval-set
+    seeding, dedup-cluster canonical review).
+
+    Determinism contract: squared L2 via the three-dot-product
+    identity d2 = <p,p> - 2<p,c> + <c,c> — each dot an in-order fold
+    of doubles, the combination a fixed IEEE tree, so engines agree
+    bit-for-bit; the per-point MIN over centers and the argmax are
+    order-free; ties break on ascending id.
+
+    Scale shape: k-1 rounds, each = one broadcast of the (<= k)-row
+    center relation, a map-side min-distance projection, and a
+    TakeOrdered(1) argmax — ONE bounded driver row per round, never
+    a corpus collect. The candidate relation is scanned per round
+    (persist it upstream for large k).
+
+    Returns (round, id_col, min_dist_sq) — round 1 is the seed with
+    NULL distance; min_dist_sq is the chosen point's distance to the
+    previously chosen set, UNROUNDED (callers round for cross-engine
+    reporting, like pagerank).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pts = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__pp", _dot(F.col("__v"), F.col("__v")))
+    spark = vectors.sparkSession
+    seed = pts.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], f"round int, {id_col} long, min_dist_sq double"
+        )
+    centers = [(1, seed[0][id_col], seed[0]["__v"], float(seed[0]["__pp"]), None)]
+    for rnd in range(2, k + 1):
+        cdf = spark.createDataFrame(
+            [(c[1], c[2], c[3]) for c in centers],
+            f"__cid long, __cv array<double>, __cc double",
+        )
+        best = (
+            pts.join(
+                F.broadcast(cdf.select("__cid")),
+                F.col(id_col) == F.col("__cid"),
+                "left_anti",
+            )
+            .crossJoin(F.broadcast(cdf))
+            .select(
+                id_col,
+                "__v",
+                "__pp",
+                (
+                    F.col("__pp")
+                    - F.lit(2.0) * _dot(F.col("__v"), F.col("__cv"))
+                    + F.col("__cc")
+                ).alias("__d2"),
+            )
+            .groupBy(id_col, "__v", "__pp")
+            .agg(F.min("__d2").alias("__md"))
+            .orderBy(F.col("__md").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not best:
+            break
+        b = best[0]
+        centers.append(
+            (rnd, b[id_col], b["__v"], float(b["__pp"]), float(b["__md"]))
+        )
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, _v, _pp, d in centers],
+        f"round int, {id_col} long, min_dist_sq double",
+    )

@@ -8731,7 +8731,65 @@ FROM normed GROUP BY lang
 
 
 
+_KC_K = 6
+
+
+def q257_kcenter_exemplars(spark, sf_dir):
+    """Greedy k-center exemplar selection over the embedding corpus
+    (Gonzalez farthest-point traversal, the coreset 2-approximation):
+    6 maximally diverse vectors, each round one broadcast of the
+    <= k-row center relation + a map-side min-distance projection +
+    a TakeOrdered(1) argmax — one bounded driver row per round. The
+    oracle unrolls the identical rounds; the three-dot-product
+    distance identity keeps every double bit-identical
+    (operators/similarity.py kcenter_exemplars)."""
+    from ..operators.similarity import kcenter_exemplars
+
+    out = kcenter_exemplars(_emb(spark, sf_dir), k=_KC_K)
+    return out.select(
+        "round", "vec_id", F.round("min_dist_sq", 9).alias("min_dist_sq")
+    )
+
+
+def _q257_sql(k: int = _KC_K) -> str:
+    def d2(c: str) -> str:
+        return (
+            f"list_dot_product(e.v, e.v)"
+            f" - 2.0 * list_dot_product(e.v, {c}.v)"
+            f" + list_dot_product({c}.v, {c}.v)"
+        )
+
+    parts = [
+        """pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c1 AS (SELECT vec_id AS id, v, CAST(NULL AS DOUBLE) AS md
+       FROM pts ORDER BY vec_id LIMIT 1)"""
+    ]
+    for r in range(2, k + 1):
+        prev = [f"c{i}" for i in range(1, r)]
+        joins = " CROSS JOIN ".join(prev)
+        excl = " AND ".join(f"e.vec_id <> {c}.id" for c in prev)
+        dists = ", ".join(d2(c) for c in prev)
+        least = f"LEAST({dists})" if len(prev) > 1 else d2(prev[0])
+        parts.append(f"""c{r} AS (
+  SELECT e.vec_id AS id, e.v, {least} AS md
+  FROM pts e CROSS JOIN {joins}
+  WHERE {excl}
+  ORDER BY md DESC, e.vec_id LIMIT 1)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, id AS vec_id, ROUND(md, 9) AS min_dist_sq FROM c{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+_Q257_SQL = _q257_sql()
+
+
+
 QUERIES = {
+    "q257_kcenter_exemplars": q257_kcenter_exemplars,
     "q255_percentile_normalized_selection": q255_percentile_normalized_selection,
     "q254_tokenizer_report": q254_tokenizer_report,
     "q253_key_skew_audit": q253_key_skew_audit,
@@ -8882,6 +8940,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q257_kcenter_exemplars": _Q257_SQL,
     "q255_percentile_normalized_selection": _Q255_SQL,
     "q254_tokenizer_report": _Q254_SQL,
     "q253_key_skew_audit": _Q253_SQL,

@@ -5427,3 +5427,32 @@ def test_percentile_normalize_semantics(spark):
         ).collect()
     )
     assert got7 == got
+
+
+def test_kcenter_exemplars_farthest_traversal(spark):
+    from delta_lake_spark.operators.similarity import kcenter_exemplars
+
+    # 1-D embedding: points at 0, 1, 10, 21. Seed = id 0 (value 0);
+    # farthest = 21 (d2 441); then 10 (min(100, 121) = 100); then 1
+    rows = [
+        (0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [21.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r.round, r.vec_id, r.min_dist_sq)
+        for r in kcenter_exemplars(df, k=4).orderBy("round").collect()
+    ]
+    assert got == [
+        (1, 0, None),
+        (2, 3, 441.0),
+        (3, 2, 100.0),
+        (4, 1, 1.0),
+    ]
+    # k beyond n stops early; empty input yields empty frame
+    assert kcenter_exemplars(df, k=9).count() == 4
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kcenter_exemplars(empty, k=3).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        kcenter_exemplars(df, k=0)

@@ -8788,7 +8788,163 @@ _Q257_SQL = _q257_sql()
 
 
 
+def q258_difficulty_reweighted_mixture(spark, sf_dir):
+    """DoReMi-lite end-to-end reweighting: per-source difficulty is
+    the exact OOV rate against the corpus top-1000 vocabulary
+    (micro-integer), difficulty becomes a normalized milli-weight
+    w = (1000 * (1e6 + oov)) div sum(1e6 + oov) — harder sources
+    upweighted, every step integral arithmetic — and the weights
+    feed straight into the q238 mixture planner for a 300k-token
+    budget. The measure -> reweight -> plan loop in one statement.
+    Shapes: one corpus token aggregation, a TakeOrdered(1000)
+    broadcast vocabulary, a |sources|-row weight relation, the
+    mixture plan on top (operators/sampling.py mixture_plan)."""
+    from ..operators.sampling import mixture_plan
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.expr(words)).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), "token")
+        .limit(1000)
+        .select("token")
+    )
+    per_src = (
+        toks.join(
+            F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            F.expr("(1000000 * oov_tokens) div total_tokens").alias(
+                "oov_micro"
+            ),
+        )
+    )
+    tot = per_src.agg(
+        F.sum(F.lit(1000000) + F.col("oov_micro")).cast("long").alias("__T")
+    )
+    weighted = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "total_tokens",
+        "oov_micro",
+        F.expr("(1000 * (1000000 + oov_micro)) div __T").alias("w_milli"),
+    )
+    plan = mixture_plan(
+        weighted, "source", "w_milli", "total_tokens", budget=300_000
+    )
+    return weighted.select("source", "oov_micro").join(plan, "source")
+
+
+_Q258_SQL = """
+WITH toks AS (
+  SELECT source,
+    unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+            IF x <> '']) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ORDER BY c DESC, token LIMIT 1000)
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+    CAST((1000000 * SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS oov_micro
+  FROM toks t LEFT JOIN vocab v USING (token)
+  GROUP BY source
+),
+tot AS (SELECT CAST(SUM(1000000 + oov_micro) AS BIGINT) AS T FROM per_src),
+weighted AS (
+  SELECT source, total_tokens, oov_micro,
+    CAST((1000 * (1000000 + oov_micro)) // T AS BIGINT) AS w
+  FROM per_src CROSS JOIN tot
+)
+SELECT source, oov_micro,
+  CAST(total_tokens AS BIGINT) AS available_tokens,
+  CAST(w AS BIGINT) AS milli_weight,
+  CAST((300000 * w) // 1000 AS BIGINT) AS target_tokens,
+  CAST(CASE WHEN total_tokens > 0 THEN
+    ((300000 * w) // 1000 * 1000000) // total_tokens
+  END AS BIGINT) AS sample_rate_micro,
+  CAST(CASE WHEN total_tokens > 0 THEN
+    ((300000 * w) // 1000 + total_tokens - 1) // total_tokens
+  END AS BIGINT) AS epochs
+FROM weighted
+"""
+
+
+
+def q259_hilbert_index(spark, sf_dir):
+    """Hilbert-curve clustering key (the locality-preserving successor
+    to q63's Z-order — continuous curve, tighter file min/max boxes,
+    the liquid-clustering layout): the 64x64 index of each event's
+    deterministic bucket pair, for the first 50 events. Pure integer
+    fold, bit-identical to the oracle's unrolled per-level replay
+    (delta_lake_spark/zorder.py hilbert_index_expr; hilbert_layout
+    adds quantile bucketing + the range-partition write discipline)."""
+    from ..zorder import hilbert_index_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") < 50
+    )
+    return ev.select(
+        "event_id",
+        F.expr("pmod(user_id, 64)").cast("int").alias("bx"),
+        F.expr("pmod(event_id * 7, 64)").cast("int").alias("by"),
+    ).withColumn("h", hilbert_index_expr("bx", "by", 6))
+
+
+def _q259_sql() -> str:
+    parts = [
+        """l0 AS (
+  SELECT event_id,
+    CAST(user_id % 64 AS BIGINT) AS x,
+    CAST((event_id * 7) % 64 AS BIGINT) AS y,
+    CAST(0 AS BIGINT) AS d
+  FROM events WHERE event_id < 50)"""
+    ]
+    levels = [32, 16, 8, 4, 2, 1]
+    for i, s in enumerate(levels, 1):
+        parts.append(f"""l{i} AS (
+  SELECT event_id,
+    CASE WHEN (y // {s}) % 2 = 0
+      THEN CASE WHEN (x // {s}) % 2 = 1 THEN 63 - y ELSE y END
+      ELSE x END AS x,
+    CASE WHEN (y // {s}) % 2 = 0
+      THEN CASE WHEN (x // {s}) % 2 = 1 THEN 63 - x ELSE x END
+      ELSE y END AS y,
+    d + {s} * {s} * (3 * ((x // {s}) % 2) + ((y // {s}) % 2)
+        - 2 * ((x // {s}) % 2) * ((y // {s}) % 2)) AS d
+  FROM l{i - 1})""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT e.event_id, CAST(e.x AS INTEGER) AS bx, CAST(e.y AS INTEGER) AS by,
+       CAST(f.d AS BIGINT) AS h
+FROM l0 e JOIN l6 f USING (event_id)"""
+    )
+
+
+_Q259_SQL = _q259_sql()
+
+
+
 QUERIES = {
+    "q259_hilbert_index": q259_hilbert_index,
+    "q258_difficulty_reweighted_mixture": q258_difficulty_reweighted_mixture,
     "q257_kcenter_exemplars": q257_kcenter_exemplars,
     "q255_percentile_normalized_selection": q255_percentile_normalized_selection,
     "q254_tokenizer_report": q254_tokenizer_report,
@@ -8940,6 +9096,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q259_hilbert_index": _Q259_SQL,
+    "q258_difficulty_reweighted_mixture": _Q258_SQL,
     "q257_kcenter_exemplars": _Q257_SQL,
     "q255_percentile_normalized_selection": _Q255_SQL,
     "q254_tokenizer_report": _Q254_SQL,

@@ -106,3 +106,75 @@ def zvalue_expr(stats_df: DataFrame, cols: list[str], bits: int = 6) -> Column:
             bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast("long")
             z = z + F.shiftleft(bit, i * n + j)
     return z
+
+
+def hilbert_index_expr(x_col, y_col, bits: int = 6) -> Column:
+    """Hilbert-curve index of two PRE-BUCKETED integer coordinates in
+    [0, 2^bits) — the locality-preserving alternative to the Morton
+    interleave (Z-order's jump discontinuities leave some file ranges
+    straddling the space; the Hilbert curve is continuous, so file
+    min/max boxes are tighter — the layout Databricks' liquid
+    clustering moved to). Pure integer column arithmetic: the
+    standard xy2d walk unrolled as one fold over the bit levels
+    (flip + swap rotation per level), XOR expressed arithmetically
+    (3rx + ry - 2*rx*ry*... = 3rx ^ ry for bits) so any engine
+    replays it bit-for-bit.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n = 1 << bits
+    levels = ", ".join(str(1 << i) for i in range(bits - 1, -1, -1))
+    x = f"CAST({x_col} AS BIGINT)" if isinstance(x_col, str) else None
+    y = f"CAST({y_col} AS BIGINT)" if isinstance(y_col, str) else None
+    if x is None or y is None:
+        raise ValueError("hilbert_index_expr takes column NAMES")
+    return F.expr(
+        f"""aggregate(
+  array({levels}),
+  named_struct('x', {x}, 'y', {y}, 'd', CAST(0 AS BIGINT)),
+  (st, s) -> named_struct(
+    'x', IF((st.y div s) % 2 = 0,
+            IF((st.x div s) % 2 = 1, {n} - 1 - st.y, st.y), st.x),
+    'y', IF((st.y div s) % 2 = 0,
+            IF((st.x div s) % 2 = 1, {n} - 1 - st.x, st.x), st.y),
+    'd', st.d + CAST(s AS BIGINT) * s *
+         (3 * ((st.x div s) % 2) + ((st.y div s) % 2)
+          - 2 * ((st.x div s) % 2) * ((st.y div s) % 2))),
+  st -> st.d)"""
+    )
+
+
+def hilbert_layout(df: DataFrame, cols: list[str], bits: int = 6) -> DataFrame:
+    """Rewrite-ready Hilbert clustering over two columns: quantile
+    buckets per column (the zvalue_expr device, so skew still spreads)
+    feed :func:`hilbert_index_expr`; the caller repartitions by range
+    on the returned ``__hilbert`` column and sorts within partitions —
+    one shuffle, identical write discipline to Z-order."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_layout clusters exactly 2 columns")
+    buckets = 1 << bits
+    probs = [i / buckets for i in range(1, buckets)]
+    proj = df.select(
+        *[_as_double(df, c).alias(f"__z{i}") for i, c in enumerate(cols)]
+    )
+    boundaries = proj.stat.approxQuantile(
+        [f"__z{i}" for i in range(2)], probs, 1.0 / (4 * buckets)
+    )
+    out = df
+    for j, c in enumerate(cols):
+        v = _as_double(df, c)
+        arr = F.array(*[F.lit(b) for b in boundaries[j]])
+        out = out.withColumn(
+            f"__hb{j}",
+            F.coalesce(
+                F.aggregate(
+                    arr,
+                    F.lit(0),
+                    lambda acc, x: acc + F.when(v >= x, 1).otherwise(0),
+                ),
+                F.lit(0),
+            ),
+        )
+    return out.withColumn(
+        "__hilbert", hilbert_index_expr("__hb0", "__hb1", bits)
+    ).drop("__hb0", "__hb1")

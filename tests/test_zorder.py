@@ -121,3 +121,69 @@ def test_detail_reports_clustering_columns(spark, tmp_path):
     )
     d = DeltaTable.forPath(spark, path).detail().collect()[0]
     assert d.clusteringColumns == ["k"]
+
+
+def test_hilbert_index_matches_reference_and_is_bijective(spark):
+    import itertools
+
+    from delta_lake_spark.zorder import hilbert_index_expr
+
+    def xy2d_ref(order, x, y):
+        n = 1 << order
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = list(itertools.product(range(16), range(16)))
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r.x, r.y): r.h
+        for r in df.withColumn(
+            "h", hilbert_index_expr("x", "y", 4)
+        ).collect()
+    }
+    ref = {(x, y): xy2d_ref(4, x, y) for x, y in pts}
+    assert got == ref
+    assert len(set(got.values())) == 256  # bijective over the grid
+    # continuity: consecutive indexes are grid-adjacent — the property
+    # Morton interleaving lacks and the reason file boxes are tighter
+    inv = {d: xy for xy, d in ref.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        hilbert_index_expr("x", "y", 0)
+
+
+def test_hilbert_layout_preserves_content(spark):
+    from delta_lake_spark.zorder import hilbert_layout
+
+    ev = spark.range(500).select(
+        F.col("id"),
+        F.expr("pmod(id * 48271, 97)").alias("a"),
+        F.expr("pmod(id * 16807, 89)").alias("b"),
+    )
+    laid = hilbert_layout(ev, ["a", "b"], bits=4)
+    out = (
+        laid.repartitionByRange(4, "__hilbert")
+        .sortWithinPartitions("__hilbert")
+        .drop("__hilbert")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ev.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly 2"):
+        hilbert_layout(ev, ["a"], bits=4)

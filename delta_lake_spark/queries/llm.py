@@ -8942,7 +8942,157 @@ _Q259_SQL = _q259_sql()
 
 
 
+def q260_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: q39's stopword-marker predictions
+    against the stored lang label — (true, predicted, count, row-share
+    micro), the eval sheet that says WHERE the classifier errs, not
+    just how often. One prediction projection (map-only) + one
+    (true, pred) aggregation + a true-lang marginal broadcast."""
+    from ..operators.text import lang_id
+
+    docs = _docs(spark, sf_dir)
+    preds = lang_id(docs, "text", "doc_id").select("doc_id", "pred_lang")
+    j = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        preds, "doc_id"
+    )
+    cells = j.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    marg = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("long").alias("__t")
+    )
+    return cells.join(F.broadcast(marg), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.expr("(1000000 * n) div __t").alias("row_share_micro"),
+    )
+
+
+_Q260_SQL = r"""
+WITH scores AS (
+  SELECT doc_id, lang AS true_lang,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS INTEGER) AS score_en,
+    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los)\b')) AS INTEGER) AS score_es,
+    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein)\b')) AS INTEGER) AS score_de,
+    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une)\b')) AS INTEGER) AS score_fr
+  FROM documents
+),
+preds AS (
+  SELECT true_lang,
+    CASE
+      WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+      WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+      WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+      WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+      ELSE 'fr'
+    END AS pred_lang
+  FROM scores
+),
+cells AS (
+  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM preds GROUP BY 1, 2
+),
+marg AS (SELECT true_lang, SUM(n) AS t FROM cells GROUP BY 1)
+SELECT c.true_lang, c.pred_lang, c.n,
+  CAST((1000000 * c.n) // m.t AS BIGINT) AS row_share_micro
+FROM cells c JOIN marg m USING (true_lang)
+"""
+
+
+def q261_packing_efficiency(spark, sf_dir):
+    """Context-window packing efficiency: q106's concat-and-split
+    packing (budget 512) rolled up per source — bins used, tokens
+    packed, capacity, utilization micro — the sheet that prices the
+    padding waste of a packing policy. Window packing is per-group
+    (no global sort); the rollup is one aggregation
+    (operators/text.py pack_sequences)."""
+    from ..operators.text import pack_sequences
+
+    bins = pack_sequences(
+        _docs(spark, sf_dir), "text", "doc_id", "source", budget=512
+    )
+    return bins.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("bin_tokens").cast("long").alias("tokens_packed"),
+        (F.count("*") * F.lit(512)).cast("long").alias("capacity"),
+        F.expr(
+            "(1000000 * CAST(SUM(bin_tokens) AS BIGINT))"
+            " div (COUNT(*) * 512)"
+        ).alias("util_micro"),
+    )
+
+
+_Q261_SQL = """
+WITH toks AS (
+  SELECT source, doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+binned AS (
+  SELECT source,
+    CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                - n_tok) / 512.0) AS BIGINT) AS bin_id,
+    n_tok
+  FROM toks
+),
+bins AS (
+  SELECT source, bin_id, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+  FROM binned GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+  CAST(SUM(bin_tokens) AS BIGINT) AS tokens_packed,
+  CAST(COUNT(*) * 512 AS BIGINT) AS capacity,
+  CAST((1000000 * SUM(bin_tokens)) // (COUNT(*) * 512) AS BIGINT)
+    AS util_micro
+FROM bins GROUP BY source
+"""
+
+
+def q262_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster size distribution: q86's connected components
+    rolled into (cluster_size, n_clusters) — the shape-of-duplication
+    report (a fat tail of large clusters means template floods, a
+    mass at size 2 means mirror pairs). Two tiny rollups on the
+    cluster relation."""
+    from ..operators.dedup import resolve_duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    clusters = resolve_duplicate_clusters(
+        pairs, docs.select("doc_id"), "doc_id"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+
+
+# q86's full component replay with the size histogram appended: the
+# recursive CTE body is shared verbatim, only the final SELECT differs
+_Q262_SQL = (
+    _Q86_SQL[: _Q86_SQL.index("SELECT node AS doc_id")]
+    + """, clusters AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id
+  FROM reach GROUP BY node
+),
+csizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM csizes GROUP BY cluster_size
+"""
+)
+
+
+
 QUERIES = {
+    "q262_cluster_size_histogram": q262_cluster_size_histogram,
+    "q261_packing_efficiency": q261_packing_efficiency,
+    "q260_langid_confusion": q260_langid_confusion,
     "q259_hilbert_index": q259_hilbert_index,
     "q258_difficulty_reweighted_mixture": q258_difficulty_reweighted_mixture,
     "q257_kcenter_exemplars": q257_kcenter_exemplars,
@@ -9096,6 +9246,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q262_cluster_size_histogram": _Q262_SQL,
+    "q261_packing_efficiency": _Q261_SQL,
+    "q260_langid_confusion": _Q260_SQL,
     "q259_hilbert_index": _Q259_SQL,
     "q258_difficulty_reweighted_mixture": _Q258_SQL,
     "q257_kcenter_exemplars": _Q257_SQL,

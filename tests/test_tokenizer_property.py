@@ -124,3 +124,66 @@ def test_unigram_strategies_agree(sp, corpus):
         )
     )
     assert auto == dist and len(auto) > 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpora)
+def test_wordpiece_strategies_agree_and_encode_is_maxmatch(sp, corpus):
+    """Driver and distributed WordPiece training must be bit-equal
+    (including the IEEE likelihood score), and greedy encoding against
+    the learned vocab must equal the pure-Python MaxMatch replay."""
+    from delta_lake_spark.operators.tokenizer import (
+        train_wordpiece_merges,
+        wordpiece_encode,
+    )
+
+    docs = _df(sp, corpus)
+    fast = [
+        tuple(r)
+        for r in train_wordpiece_merges(docs, "text", n_merges=3).collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in train_wordpiece_merges(
+            docs, "text", n_merges=3, strategy="distributed"
+        ).collect()
+    ]
+    assert fast == dist
+    chars = {c for ws in corpus for w in ws for c in w}
+    vocab = set(chars) | {"##" + c for c in chars} | {r[3] for r in fast}
+    vlist = sorted(vocab)
+    L = max(len(p) - (2 if p.startswith("##") else 0) for p in vlist)
+
+    def py_wp(word):
+        if not word or len(word) > 24:
+            return ["[UNK]"]
+        p, toks = 0, []
+        while p < len(word):
+            best = None
+            for l in range(min(len(word) - p, L), 0, -1):
+                key = word[p : p + l] if p == 0 else "##" + word[p : p + l]
+                if key in vocab:
+                    best = l
+                    break
+            if best is None:
+                return ["[UNK]"]
+            toks.append(
+                word[p : p + best] if p == 0 else "##" + word[p : p + best]
+            )
+            p += best
+        return toks
+
+    for strategy in ("vocab", "inline"):
+        got = {
+            r.doc_id: list(r.tokens)
+            for r in wordpiece_encode(
+                docs, "text", "doc_id", vlist, strategy=strategy
+            ).collect()
+        }
+        for i, ws in enumerate(corpus):
+            expect = [tok for w in ws for tok in py_wp(w)]
+            assert got[i] == expect, (strategy, i)

@@ -186,3 +186,115 @@ def test_hashed_linear_classifier_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=1,
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(min_value=2, max_value=8),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_misra_gries_equals_threshold_set(sp, corpus, k, nparts):
+    """For ANY corpus, k, and partitioning, the output must EQUAL the
+    plain >= N/k threshold set — the sketch only nominates, the exact
+    verify decides."""
+    from delta_lake_spark.operators.sketches import misra_gries_heavy_hitters
+
+    df = sp.createDataFrame(
+        [(" ".join(ws),) for ws in corpus], "text string"
+    ).repartition(nparts)
+    got = {
+        (r.token, r.cnt)
+        for r in misra_gries_heavy_hitters(df, "text", k=k).collect()
+    }
+    counts: dict = {}
+    for ws in corpus:
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    n = sum(counts.values())
+    expect = {(t, c) for t, c in counts.items() if c * k >= n}
+    assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    thresh=st.sampled_from([300, 600, 900]),
+)
+def test_edit_distance_pairs_subset_of_bruteforce(sp, corpus, thresh):
+    """Every emitted pair must match the brute-force Levenshtein
+    similarity filter exactly (soundness); and every pair of docs
+    sharing their min-shingle that passes the threshold must be
+    emitted (completeness within the nomination contract)."""
+    import hashlib
+    import re
+
+    from delta_lake_spark.operators.dedup import edit_distance_pairs
+
+    texts = [" ".join(ws) for ws in corpus]
+    df = sp.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.lev, r.sim_milli)
+        for r in edit_distance_pairs(
+            df, "text", "doc_id", k=3, min_sim_milli=thresh
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def key(t):
+        ws = [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        sh = [
+            hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()
+            for i in range(max(len(ws) - 2, 1))
+        ]
+        return min(sh)
+
+    norm = [re.sub(r"\s+", " ", t.strip().lower()) for t in texts]
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if key(texts[a]) != key(texts[b]):
+                continue
+            mx = max(len(norm[a]), len(norm[b]))
+            if mx == 0:
+                continue
+            d = lev(norm[a], norm[b])
+            sim = 1000 - (1000 * d) // mx
+            if sim >= thresh:
+                expect[(a, b)] = (d, sim)
+    assert got == expect

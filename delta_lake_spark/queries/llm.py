@@ -9089,7 +9089,103 @@ FROM csizes GROUP BY cluster_size
 
 
 
+def q263_calibrated_curation_funnel(spark, sf_dir):
+    """Round-9 tiers composed end-to-end the way a curation run chains
+    them: (1) within-language percentile calibration of length keeps
+    docs >= the 20th percentile (q255's cut, so no language is
+    squeezed out by a verbose one); (2) Levenshtein-verified near-dup
+    removal at >= 40% similarity, keep-smallest-id (q245's pairs);
+    (3) deterministic 5-fold assignment (q244); (4) per-(lang, fold)
+    document/token inventory. Every stage integer-exact, the oracle
+    replays all four in one statement."""
+    from ..operators.dedup import edit_distance_pairs
+    from ..operators.sampling import kfold_assign, percentile_normalize
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+    )
+    calibrated = percentile_normalize(docs, "lang", "n_words").filter(
+        F.col("pct_micro") >= 200000
+    )
+    dups = (
+        edit_distance_pairs(
+            calibrated, "text", "doc_id", k=5, min_sim_milli=400
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = calibrated.join(dups, "doc_id", "left_anti")
+    folded = kfold_assign(kept, "doc_id", n_folds=5)
+    return folded.groupBy("lang", "fold").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )
+
+
+_Q263_SQL = """
+WITH docs AS (
+  SELECT doc_id, lang, text,
+    CAST(len([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+              IF x <> '']) AS BIGINT) AS n_words
+  FROM documents
+),
+calibrated AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, text, n_words,
+      CASE WHEN COUNT(*) OVER (PARTITION BY lang) > 1
+        THEN (1000000 *
+              (RANK() OVER (PARTITION BY lang ORDER BY n_words) - 1))
+             // (COUNT(*) OVER (PARTITION BY lang) - 1)
+        ELSE 0 END AS pct
+    FROM docs)
+  WHERE pct >= 200000
+),
+keyed AS (
+  SELECT doc_id,
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+    list_min([md5(array_to_string(ws[i:i + 4], ' '))
+              FOR i IN range(1, greatest(len(ws) - 4, 1) + 1)]) AS key
+  FROM (
+    SELECT doc_id, text,
+      [x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+       IF x <> ''] AS ws
+    FROM calibrated)
+),
+ok_keys AS (
+  SELECT key FROM keyed GROUP BY key
+  HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
+),
+dups AS (
+  SELECT DISTINCT b.doc_id
+  FROM keyed a JOIN ok_keys USING (key)
+  JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+  WHERE greatest(len(a.norm), len(b.norm)) > 0
+    AND 1000 - (1000 * levenshtein(a.norm, b.norm))
+        // greatest(len(a.norm), len(b.norm)) >= 400
+),
+kept AS (
+  SELECT c.* FROM calibrated c LEFT JOIN dups d USING (doc_id)
+  WHERE d.doc_id IS NULL
+),
+folded AS (
+  SELECT lang, n_words,
+    CAST(CAST('0x' || substr(md5('fold-v1' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) % 5 AS BIGINT) AS fold
+  FROM kept
+)
+SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+FROM folded GROUP BY lang, fold
+"""
+
+
+
 QUERIES = {
+    "q263_calibrated_curation_funnel": q263_calibrated_curation_funnel,
     "q262_cluster_size_histogram": q262_cluster_size_histogram,
     "q261_packing_efficiency": q261_packing_efficiency,
     "q260_langid_confusion": q260_langid_confusion,
@@ -9246,6 +9342,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q263_calibrated_curation_funnel": _Q263_SQL,
     "q262_cluster_size_histogram": _Q262_SQL,
     "q261_packing_efficiency": _Q261_SQL,
     "q260_langid_confusion": _Q260_SQL,

@@ -72,3 +72,53 @@ def test_weighted_sample_huge_weights_not_id_biased(spark):
     # normalized, light rows' priorities underflow toward 0 while every
     # heavy row keeps a spread u^1 priority: the heavy 20% fills the top-k
     assert all(i % 5 == 0 for i in picked)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    n_neg=st.integers(min_value=1, max_value=3),
+    bucket_hex=st.integers(min_value=1, max_value=3),
+)
+def test_ring_negatives_bucket_invariance(spark, ids, n_neg, bucket_hex):
+    """bucket_hex is an EXECUTION parameter: the ring successor of a
+    probe is a pure function of the hashes, so any bucket granularity
+    (and any partitioning) must produce the identical assignment —
+    checked against the direct python ring walk."""
+    import hashlib
+
+    from delta_lake_spark.operators.sampling import hash_ring_negatives
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r.doc_id, r.neg_idx): r.doc_id_neg
+        for r in hash_ring_negatives(
+            df.repartition(3), "doc_id", n_neg=n_neg,
+            seed="p", bucket_hex=bucket_hex,
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    ring = sorted((md5(f"ring-p{i}"), i) for i in ids)
+
+    def succ(p):
+        for h, i in ring:
+            if h >= p:
+                return i
+        return ring[0][1]
+
+    expect = {}
+    for a in ids:
+        for j in range(1, n_neg + 1):
+            n = succ(md5(f"p|{a}|{j}"))
+            if n != a:
+                expect[(a, j)] = n
+    assert got == expect

@@ -141,6 +141,46 @@ def main() -> None:
         )
         row[name], row["tri_total"] = secs, int(out or 0) // 3
         row["n_edges"] = n_edges
+
+        from delta_lake_spark.operators.similarity import kcenter_exemplars
+        from delta_lake_spark.zorder import hilbert_index_expr
+        from delta_lake_spark.operators.multimodal import (
+            decode_tar_members,
+            synthesize_tar_corpus,
+        )
+
+        n_vecs = 100_000 * s
+        vecs = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 16), j -> "
+                "CAST(pmod(id * (48271 + j * 977) + j, 1009) AS DOUBLE))"
+            ).alias("embedding"),
+        ).localCheckpoint()
+        name, secs, out = timed(
+            "kcenter", lambda: kcenter_exemplars(vecs, k=6).count()
+        )
+        row[name], row["kc_rows"] = secs, out
+
+        name, secs, out = timed(
+            "hilbert_index",
+            lambda: spark.range(n_vecs)
+            .select(
+                F.expr("CAST(pmod(id * 7, 64) AS INT)").alias("x"),
+                F.expr("CAST(pmod(id * 13, 64) AS INT)").alias("y"),
+            )
+            .withColumn("h", hilbert_index_expr("x", "y", 6))
+            .agg(F.sum("h")).collect()[0][0],
+        )
+        row[name] = secs
+
+        n_tars = 10_000 * s
+        ids = spark.range(n_tars).select(F.col("id").alias("doc_id"))
+        name, secs, out = timed(
+            "tar_walk",
+            lambda: decode_tar_members(synthesize_tar_corpus(ids)).count(),
+        )
+        row[name], row["tar_members"] = secs, out
         print(json.dumps(row), flush=True)
     spark.stop()
 

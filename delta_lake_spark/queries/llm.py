@@ -9184,7 +9184,57 @@ FROM folded GROUP BY lang, fold
 
 
 
+def q264_release_manifest(spark, sf_dir):
+    """Reproducible-release manifest: per deterministic train/test
+    split (q153's md5 device, 80/20), document and token inventories
+    plus an ORDER-FREE integrity checksum — bit_xor over each doc's
+    60-bit content hash (XOR commutes, never overflows, and any
+    changed/missing/extra document flips it), so two independently
+    produced releases can be compared without sorting or
+    concatenating anything at any scale. One map-only projection +
+    one split-keyed aggregation."""
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    from ..operators.sampling import deterministic_split
+
+    d = deterministic_split(
+        _docs(spark, sf_dir), "doc_id", train_frac=0.8
+    ).select(
+        "split",
+        F.expr(f"size({words})").cast("long").alias("__nw"),
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',"
+            " text)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("__h"),
+    )
+    return d.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__nw").cast("long").alias("n_tokens"),
+        F.expr("bit_xor(__h)").cast("long").alias("content_checksum"),
+    )
+
+
+_Q264_SQL = """
+WITH d AS (
+  SELECT
+    CASE WHEN substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < 'cccccccd'
+         THEN 'train' ELSE 'test' END AS split,
+    CAST(len([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+              IF x <> '']) AS BIGINT) AS nw,
+    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                             1, 15) AS BIGINT) AS BIGINT) AS h
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(nw) AS BIGINT) AS n_tokens,
+  CAST(bit_xor(h) AS BIGINT) AS content_checksum
+FROM d GROUP BY split
+"""
+
+
+
 QUERIES = {
+    "q264_release_manifest": q264_release_manifest,
     "q263_calibrated_curation_funnel": q263_calibrated_curation_funnel,
     "q262_cluster_size_histogram": q262_cluster_size_histogram,
     "q261_packing_efficiency": q261_packing_efficiency,
@@ -9342,6 +9392,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q264_release_manifest": _Q264_SQL,
     "q263_calibrated_curation_funnel": _Q263_SQL,
     "q262_cluster_size_histogram": _Q262_SQL,
     "q261_packing_efficiency": _Q261_SQL,

@@ -219,8 +219,11 @@ def decayed_event_rates(
     ``horizon_halflives`` contribute 0 (they would be below 1 unit of
     the fixed point anyway). Long capacity: n_events * 2^horizon must
     stay under 2^63 — at the default horizon 40 that is ~8M events
-    per type per shard-sum; lower the horizon (or lift to decimal)
-    for larger corpora.
+    per type; the per-type sum is therefore aggregated as
+    decimal(38,0) (order-free exact, no wrap) and the cast back to
+    the long ``score_fixed`` is GUARDED: exceeding 2^63-1 raises
+    loudly instead of producing a plausible-looking wrapped score.
+    Lower the horizon for larger corpora.
 
     Scale shape: one 1-row max-timestamp broadcast, one map-side-
     combined per-type aggregation. Returns (type_col, n_events,
@@ -246,20 +249,36 @@ def decayed_event_rates(
         (F.col("__a") >= 0) & (F.col("__a") <= h),
         F.expr(f"shiftleft(CAST(1 AS BIGINT), {h} - __a)"),
     ).otherwise(F.lit(0).cast("long"))
+    # Sum in decimal(38,0): exact and order-free like long, but cannot
+    # wrap. The guard below runs on the one-row-per-type aggregate, so
+    # the raise_error branch costs nothing in the hot path.
+    guarded = F.when(
+        F.col("__sf_dec") > F.lit(2 ** 63 - 1).cast("decimal(38,0)"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "decayed_event_rates: fixed-point sum exceeds 2^63-1 "
+                    "at horizon_halflives="
+                    + str(h)
+                    + " — lower the horizon; overflowing sum="
+                ),
+                F.col("__sf_dec").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__sf_dec").cast("long"))
     return (
         aged.select(type_col, w.alias("__w"))
         .groupBy(type_col)
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum("__w").cast("long").alias("score_fixed"),
+            F.sum(F.col("__w").cast("decimal(38,0)")).alias("__sf_dec"),
         )
         .select(
             type_col,
             "n_events",
-            "score_fixed",
+            guarded.alias("score_fixed"),
             F.round(
-                F.col("score_fixed").cast("double")
-                / F.lit(float(2 ** h)),
+                F.col("__sf_dec").cast("double") / F.lit(float(2 ** h)),
                 9,
             ).alias("score"),
         )

@@ -270,8 +270,12 @@ def retrieval_eval(
     oracle-pinned, 1000000 div rank can.
 
     Scale shape: one rank-filter projection, one |results|-sized left
-    join onto rel, two group aggregations — everything keyed on the
-    query id; no window.
+    join onto rel, two group aggregations joined FULL OUTER on the
+    query id — so the output covers the whole query universe
+    (ranked-at-k ∪ rel): a query with relevant docs but ZERO retrieved
+    rows reports hits=0 / recall_micro=0 explicitly instead of
+    vanishing from the sheet. Everything keyed on the query id; no
+    window.
 
     Returns (query_col, n_rel, hits, p_at_k_micro, recall_micro,
     mrr_micro); recall/MRR are NULL for queries with no relevant doc
@@ -302,7 +306,11 @@ def retrieval_eval(
             .alias("__first"),
         )
     )
-    out = hits.join(relc, "__q", "left")
+    # FULL OUTER: a query present in rel but absent from the top-k
+    # (nothing retrieved) must still report a zero row, not vanish.
+    out = hits.join(relc, "__q", "full").withColumn(
+        "hits", F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+    )
     return out.select(
         F.col("__q").alias(query_col),
         F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),

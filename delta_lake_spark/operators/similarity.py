@@ -2223,8 +2223,12 @@ def kcenter_exemplars(
     Scale shape: k-1 rounds, each = one broadcast of the (<= k)-row
     center relation, a map-side min-distance projection, and a
     TakeOrdered(1) argmax — ONE bounded driver row per round, never
-    a corpus collect. The candidate relation is scanned per round
-    (persist it upstream for large k).
+    a corpus collect. The projected candidate relation is persisted
+    for the k-1 rounds and unpersisted on exit, so each round rescans
+    cached partitions rather than the source.
+
+    The id column keeps its INPUT type (long, int, string, ...): the
+    result schemas derive the id field from ``vectors.schema``.
 
     Returns (round, id_col, min_dist_sq) — round 1 is the seed with
     NULL distance; min_dist_sq is the chosen point's distance to the
@@ -2233,52 +2237,80 @@ def kcenter_exemplars(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    pts = vectors.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__pp", _dot(F.col("__v"), F.col("__v")))
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    id_type = vectors.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("round", IntegerType(), False),
+            StructField(id_col, id_type, True),
+            StructField("min_dist_sq", DoubleType(), True),
+        ]
+    )
+    pts = (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn("__pp", _dot(F.col("__v"), F.col("__v")))
+        .persist()
+    )
     spark = vectors.sparkSession
-    seed = pts.orderBy(F.col(id_col).asc()).limit(1).collect()
-    if not seed:
-        return spark.createDataFrame(
-            [], f"round int, {id_col} long, min_dist_sq double"
+    try:
+        seed = pts.orderBy(F.col(id_col).asc()).limit(1).collect()
+        if not seed:
+            return spark.createDataFrame([], out_schema)
+        centers = [
+            (1, seed[0][id_col], seed[0]["__v"], float(seed[0]["__pp"]), None)
+        ]
+        cdf_schema = StructType(
+            [
+                StructField("__cid", id_type, True),
+                StructField("__cv", ArrayType(DoubleType()), True),
+                StructField("__cc", DoubleType(), True),
+            ]
         )
-    centers = [(1, seed[0][id_col], seed[0]["__v"], float(seed[0]["__pp"]), None)]
-    for rnd in range(2, k + 1):
-        cdf = spark.createDataFrame(
-            [(c[1], c[2], c[3]) for c in centers],
-            f"__cid long, __cv array<double>, __cc double",
-        )
-        best = (
-            pts.join(
-                F.broadcast(cdf.select("__cid")),
-                F.col(id_col) == F.col("__cid"),
-                "left_anti",
+        for rnd in range(2, k + 1):
+            cdf = spark.createDataFrame(
+                [(c[1], c[2], c[3]) for c in centers], cdf_schema
             )
-            .crossJoin(F.broadcast(cdf))
-            .select(
-                id_col,
-                "__v",
-                "__pp",
-                (
-                    F.col("__pp")
-                    - F.lit(2.0) * _dot(F.col("__v"), F.col("__cv"))
-                    + F.col("__cc")
-                ).alias("__d2"),
+            best = (
+                pts.join(
+                    F.broadcast(cdf.select("__cid")),
+                    F.col(id_col) == F.col("__cid"),
+                    "left_anti",
+                )
+                .crossJoin(F.broadcast(cdf))
+                .select(
+                    id_col,
+                    "__v",
+                    "__pp",
+                    (
+                        F.col("__pp")
+                        - F.lit(2.0) * _dot(F.col("__v"), F.col("__cv"))
+                        + F.col("__cc")
+                    ).alias("__d2"),
+                )
+                .groupBy(id_col, "__v", "__pp")
+                .agg(F.min("__d2").alias("__md"))
+                .orderBy(F.col("__md").desc(), F.col(id_col).asc())
+                .limit(1)
+                .collect()  # bounded: exactly one row per round
             )
-            .groupBy(id_col, "__v", "__pp")
-            .agg(F.min("__d2").alias("__md"))
-            .orderBy(F.col("__md").desc(), F.col(id_col).asc())
-            .limit(1)
-            .collect()  # bounded: exactly one row per round
-        )
-        if not best:
-            break
-        b = best[0]
-        centers.append(
-            (rnd, b[id_col], b["__v"], float(b["__pp"]), float(b["__md"]))
-        )
+            if not best:
+                break
+            b = best[0]
+            centers.append(
+                (rnd, b[id_col], b["__v"], float(b["__pp"]), float(b["__md"]))
+            )
+    finally:
+        pts.unpersist()
     return spark.createDataFrame(
-        [(r, i, d) for r, i, _v, _pp, d in centers],
-        f"round int, {id_col} long, min_dist_sq double",
+        [(r, i, d) for r, i, _v, _pp, d in centers], out_schema
     )

@@ -2372,9 +2372,10 @@ def chi2_keywords(
     fixed IEEE expression of those integers (products computed in
     double — ad alone can exceed long range at petabyte scale, and
     IEEE multiply is engine-exact either way). Only positively
-    associated tokens qualify (observed > expected, the integer-exact
-    test a*N > Ng*Ct), so the output is keywords, not anti-keywords;
-    ties break on token.
+    associated tokens qualify (observed > expected, the exact test
+    a*N > Ng*Ct computed in decimal(38,0) so the products cannot wrap
+    past 2^63 however large the corpus), so the output is keywords,
+    not anti-keywords; ties break on token.
 
     Scale shape: one (group, token) aggregation (THE shuffle — keyed
     on the pair, map-side combined), a vocabulary-sized token-marginal
@@ -2411,8 +2412,15 @@ def chi2_keywords(
         cells.join(tok_marg, "token")
         .join(F.broadcast(grp_marg), "__g")
         .crossJoin(F.broadcast(total))
-        # positive association, integer-exact: observed > expected
-        .filter(F.col("a") * F.col("__n") > F.col("__ng") * F.col("__ct"))
+        # positive association, integer-exact: observed > expected.
+        # decimal(38,0) products — a*N at petabyte token counts exceeds
+        # 2^63 and would silently wrap as long under non-ANSI Spark.
+        .filter(
+            F.col("a").cast("decimal(38,0)")
+            * F.col("__n").cast("decimal(38,0)")
+            > F.col("__ng").cast("decimal(38,0)")
+            * F.col("__ct").cast("decimal(38,0)")
+        )
     )
     n_d = F.col("__n").cast("double")
     ct_d = F.col("__ct").cast("double")

@@ -8424,14 +8424,16 @@ hitsq AS (
   LEFT JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
   GROUP BY t.query_id
 )
-SELECT CAST(h.query_id AS BIGINT) AS query_id,
-  COALESCE(rc.n_rel, 0) AS n_rel, h.hits,
-  CAST((1000000 * h.hits) // 10 AS BIGINT) AS p_at_k_micro,
-  CAST(CASE WHEN rc.n_rel > 0 THEN (1000000 * h.hits) // rc.n_rel END
+SELECT CAST(COALESCE(h.query_id, rc.query_id) AS BIGINT) AS query_id,
+  COALESCE(rc.n_rel, 0) AS n_rel,
+  COALESCE(h.hits, 0) AS hits,
+  CAST((1000000 * COALESCE(h.hits, 0)) // 10 AS BIGINT) AS p_at_k_micro,
+  CAST(CASE WHEN rc.n_rel > 0
+       THEN (1000000 * COALESCE(h.hits, 0)) // rc.n_rel END
        AS BIGINT) AS recall_micro,
   CAST(CASE WHEN h.first_rel IS NOT NULL THEN 1000000 // h.first_rel END
        AS BIGINT) AS mrr_micro
-FROM hitsq h LEFT JOIN relc rc USING (query_id)
+FROM hitsq h FULL JOIN relc rc ON h.query_id = rc.query_id
 """
 )
 

@@ -1166,6 +1166,10 @@ def estimate_decayed_state(
     the reported score is one IEEE division — the streaming-state
     mirror of operators/events.decayed_event_rates, bit-exact
     against a batch replay of the same calendar-bucket arithmetic.
+    The weighted sum is carried in decimal(38,0) (exact, order-free,
+    cannot wrap) and the cast back to the long ``score_fixed`` raises
+    loudly if the total exceeds 2^63-1 — exceeding the fixed-point
+    contract fails instead of wrapping silently.
     Returns (etype, n_events, score_fixed, score)."""
     from ..reader import read_delta
     from pyspark.sql import functions as F
@@ -1177,25 +1181,45 @@ def estimate_decayed_state(
     h = int(horizon_halflives)
     state = read_delta(spark, state_path)
     ref = state.agg(F.max("bucket").alias("__ref"))
+    # per-row product and the sum both in decimal(38,0): n * 2^(h-age)
+    # can itself exceed 2^63 for a heavy bucket at high horizons.
     w = F.when(
         (F.col("__ref") - F.col("bucket") >= 0)
         & (F.col("__ref") - F.col("bucket") <= h),
-        F.expr(f"n * shiftleft(CAST(1 AS BIGINT), {h} - (__ref - bucket))"),
-    ).otherwise(F.lit(0).cast("long"))
+        F.expr(
+            f"CAST(n AS DECIMAL(38,0))"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), {h} - (__ref - bucket))"
+            f"        AS DECIMAL(38,0))"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    guarded = F.when(
+        F.col("__sf_dec") > F.lit(2 ** 63 - 1).cast("decimal(38,0)"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "estimate_decayed_state: fixed-point sum exceeds"
+                    " 2^63-1 at horizon_halflives="
+                    + str(h)
+                    + " — lower the horizon; overflowing sum="
+                ),
+                F.col("__sf_dec").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__sf_dec").cast("long"))
     return (
         state.crossJoin(F.broadcast(ref))
         .select("etype", "n", w.alias("__w"))
         .groupBy("etype")
         .agg(
             F.sum("n").cast("long").alias("n_events"),
-            F.sum("__w").cast("long").alias("score_fixed"),
+            F.sum("__w").alias("__sf_dec"),
         )
         .select(
             "etype",
             "n_events",
-            "score_fixed",
+            guarded.alias("score_fixed"),
             F.round(
-                F.col("score_fixed").cast("double") / F.lit(float(2 ** h)),
+                F.col("__sf_dec").cast("double") / F.lit(float(2 ** h)),
                 9,
             ).alias("score"),
         )

@@ -5308,6 +5308,15 @@ def test_decayed_event_rates_fixed_point(spark):
         decayed_event_rates(df, "event_type", "ts", half_life_days=0)
     with _pytest.raises(ValueError, match="horizon"):
         decayed_event_rates(df, "event_type", "ts", horizon_halflives=63)
+    # exceeding the fixed-point capacity fails loudly, never wraps:
+    # two age-0 events at horizon 62 sum to 2^63 > 2^63-1
+    over = spark.createDataFrame(
+        [("click", d0), ("click", d0)], "event_type string, ts timestamp"
+    )
+    with _pytest.raises(Exception, match="fixed-point sum exceeds"):
+        decayed_event_rates(
+            over, "event_type", "ts", half_life_days=7, horizon_halflives=62
+        ).collect()
 
 
 def test_tar_member_walk_roundtrip_and_malformed(spark):
@@ -5360,7 +5369,9 @@ def test_retrieval_eval_known_values(spark):
         # q1: rel {20, 40, 99} -> hits 2, first at rank 2
         [(1, 20), (1, 40), (1, 99)]
         # q2: nothing relevant retrieved, one relevant exists
-        + [(2, 77)],
+        + [(2, 77)]
+        # q4: relevant docs exist but NOTHING was retrieved at all
+        + [(4, 88), (4, 89)],
         # q3: no relevant docs at all
         "query_id long, doc_id long",
     )
@@ -5375,6 +5386,10 @@ def test_retrieval_eval_known_values(spark):
     assert (q2.hits, q2.recall_micro, q2.mrr_micro) == (0, 0, None)
     q3 = got[3]
     assert (q3.n_rel, q3.recall_micro, q3.mrr_micro) == (0, None, None)
+    # q4 retrieved nothing: must report explicit zeros, not vanish
+    q4 = got[4]
+    assert (q4.n_rel, q4.hits) == (2, 0)
+    assert (q4.p_at_k_micro, q4.recall_micro, q4.mrr_micro) == (0, 0, None)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="k must be"):
@@ -5452,6 +5467,24 @@ def test_kcenter_exemplars_farthest_traversal(spark):
     assert kcenter_exemplars(df, k=9).count() == 4
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kcenter_exemplars(empty, k=3).count() == 0
+    # id column keeps its input type: string ids work end-to-end
+    sdf = spark.createDataFrame(
+        [("a", [0.0]), ("b", [1.0]), ("c", [10.0]), ("d", [21.0])],
+        "vec_id string, embedding array<double>",
+    )
+    sgot = kcenter_exemplars(sdf, k=3).orderBy("round")
+    assert dict(sgot.dtypes)["vec_id"] == "string"
+    assert [(r.round, r.vec_id) for r in sgot.collect()] == [
+        (1, "a"), (2, "d"), (3, "c"),
+    ]
+    # int ids too (schema derives from the input, never hardcoded long)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    idf = spark.createDataFrame(
+        [(7, [0.0]), (8, [5.0])], "vec_id int, embedding array<double>"
+    )
+    assert dict(kcenter_exemplars(idf, k=2).dtypes)["vec_id"] == "int"
+    # the candidate relation is persisted for the rounds, then released
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="k must be"):

@@ -890,4 +890,30 @@ def test_decayed_state_replay_guard(spark, tmp_path):
         for r in estimate_decayed_state(spark, state, 4).collect()
     }
     assert second == first
+    # exceeding the fixed-point capacity fails loudly, never wraps.
+    # A fresh app id + checkpoint re-lands b0 (epoch guard is per app)
+    # and adds one more age-0 click, leaving buckets click={age0:3,
+    # age1:2}, view={age0:2}. At horizon 62 click = 3*2^62 + 2*2^61
+    # = 2^64 > 2^63-1 -> the decimal carry raises at the long cast.
+    import pytest as _pytest
+
+    extra = spark.createDataFrame(
+        [(4, d0, "click")], "event_id long, ts timestamp, event_type string"
+    )
+    stage2 = str(tmp_path / "stage2")
+    extra.coalesce(1).write.parquet(stage2)
+    part2 = next(f for f in os.listdir(stage2) if f.endswith(".parquet"))
+    os.replace(f"{stage2}/{part2}", f"{src}/b1.parquet")
+    stream_decayed_event_state(
+        spark, src, state, str(tmp_path / "ck3"), schema,
+        half_life_days=7, txn_app_id="t-replay-2",
+    )
+    with _pytest.raises(Exception, match="fixed-point sum exceeds"):
+        estimate_decayed_state(spark, state, 62).collect()
+    # the guard is per-horizon, not a table poison: low horizons serve
+    third = {
+        r.etype: r.score_fixed
+        for r in estimate_decayed_state(spark, state, 4).collect()
+    }
+    assert third == {"click": 3 * 16 + 2 * 8, "view": 2 * 16}
     shutil.rmtree(src, ignore_errors=True)

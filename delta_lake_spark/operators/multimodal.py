@@ -1496,3 +1496,333 @@ def decode_tar_members(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=TAR_MEMBER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container walk (the video-shard ingestion tier).
+# Video at corpus scale arrives as MP4, not GIF: the metadata a pipeline
+# needs (per-track codec, timescale, duration, sample count, keyframe
+# index) lives entirely in the moov box tree — no codec decode required.
+# Synthesis and walk are pure stdlib struct packing/unpacking, mirroring
+# the TAR tier (synthesize_tar_corpus / decode_tar_members) so both
+# directions are testable in this container-less environment while the
+# Spark-side plumbing (schemas, map-only mapInPandas, malformed raises)
+# is the real production shape.
+# ---------------------------------------------------------------------------
+
+MP4_TRACK_SCHEMA = (
+    "media_id long, track_idx int, track_id long, handler string, "
+    "codec string, timescale long, n_samples long, duration long, "
+    "sample_bytes long, n_keyframes long, first_keyframe long, "
+    "last_keyframe long"
+)
+
+_MP4_CONTAINERS = {"moov", "trak", "mdia", "minf", "stbl"}
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_full_box(btype: bytes, version: int, payload: bytes) -> bytes:
+    import struct
+
+    return _mp4_box(btype, struct.pack(">I", version << 24) + payload)
+
+
+def _mp4_track_params(mid: int, i: int) -> dict:
+    """Deterministic per-(media, track) parameters shared by synthesis,
+    the walk's expectations, and the SQL oracle (q267)."""
+    is_video = (mid + i) % 2 == 0
+    k = 1 + (mid + i) % 5
+    n_samples = 5 + (mid * 3 + i * 7) % 20
+    return {
+        "handler": "vide" if is_video else "soun",
+        "codec": "avc1" if is_video else "mp4a",
+        "timescale": 600 + 100 * ((mid + i) % 3),
+        "n_samples": n_samples,
+        "delta": 100 + (mid + i) % 50,
+        "sizes": [20 + (mid + i + j) % 30 for j in range(n_samples)],
+        "key_step": k if is_video else None,
+    }
+
+
+def synthesize_mp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic minimal-but-valid ISO-BMFF files per id: ftyp +
+    mdat + moov with 1 + id%3 tracks (alternating avc1 video / mp4a
+    audio sample entries), full stbl sample tables (stsd/stts/stsz/
+    stsc/stco) and, for video tracks, an stss sync-sample (keyframe)
+    table marking every k-th sample. All fields derive from
+    _mp4_track_params so the walk and the SQL oracle can state the
+    same arithmetic. Map-only mapInPandas; pure stdlib struct."""
+
+    def batches(it):
+        import struct
+
+        import pandas as pd
+
+        def build(mid: int) -> bytes:
+            n_tracks = 1 + mid % 3
+            params = [_mp4_track_params(mid, i) for i in range(n_tracks)]
+            ftyp = _mp4_box(
+                b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42"
+            )
+            bodies = [
+                bytes(
+                    (mid + i + j) % 256
+                    for j, sz in enumerate(p["sizes"])
+                    for _ in range(sz)
+                )
+                for i, p in enumerate(params)
+            ]
+            mdat = _mp4_box(b"mdat", b"".join(bodies))
+            # chunk offsets are absolute file offsets into mdat's body
+            base = len(ftyp) + 8
+            offsets, off = [], base
+            for body in bodies:
+                offsets.append(off)
+                off += len(body)
+            traks = []
+            movie_ts = 1000
+            max_dur = 0
+            for i, p in enumerate(params):
+                dur = p["n_samples"] * p["delta"]
+                movie_dur = dur * movie_ts // p["timescale"]
+                max_dur = max(max_dur, movie_dur)
+                tkhd = _mp4_full_box(
+                    b"tkhd",
+                    0,
+                    struct.pack(
+                        ">IIIII", 0, 0, i + 1, 0, movie_dur
+                    )
+                    + b"\x00" * 60,
+                )
+                mdhd = _mp4_full_box(
+                    b"mdhd",
+                    0,
+                    struct.pack(">IIIIIHH", 0, 0, p["timescale"], dur, 0, 0, 0)[
+                        :20
+                    ],
+                )
+                hdlr = _mp4_full_box(
+                    b"hdlr",
+                    0,
+                    struct.pack(">I", 0)
+                    + p["handler"].encode()
+                    + b"\x00" * 12
+                    + b"\x00",
+                )
+                entry = struct.pack(
+                    ">I4s", 16, p["codec"].encode()
+                ) + b"\x00" * 8
+                stsd = _mp4_full_box(
+                    b"stsd", 0, struct.pack(">I", 1) + entry
+                )
+                stts = _mp4_full_box(
+                    b"stts",
+                    0,
+                    struct.pack(">III", 1, p["n_samples"], p["delta"]),
+                )
+                stsz = _mp4_full_box(
+                    b"stsz",
+                    0,
+                    struct.pack(">II", 0, p["n_samples"])
+                    + b"".join(struct.pack(">I", s) for s in p["sizes"]),
+                )
+                stsc = _mp4_full_box(
+                    b"stsc",
+                    0,
+                    struct.pack(">IIII", 1, 1, p["n_samples"], 1),
+                )
+                stco = _mp4_full_box(
+                    b"stco", 0, struct.pack(">II", 1, offsets[i])
+                )
+                stbl_children = [stsd, stts, stsz, stsc, stco]
+                if p["key_step"] is not None:
+                    keys = list(
+                        range(1, p["n_samples"] + 1, p["key_step"])
+                    )
+                    stbl_children.append(
+                        _mp4_full_box(
+                            b"stss",
+                            0,
+                            struct.pack(">I", len(keys))
+                            + b"".join(
+                                struct.pack(">I", s) for s in keys
+                            ),
+                        )
+                    )
+                stbl = _mp4_box(b"stbl", b"".join(stbl_children))
+                minf = _mp4_box(b"minf", stbl)
+                mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+                traks.append(_mp4_box(b"trak", tkhd + mdia))
+            mvhd = _mp4_full_box(
+                b"mvhd",
+                0,
+                struct.pack(">IIII", 0, 0, movie_ts, max_dur)
+                + b"\x00" * 80,
+            )
+            moov = _mp4_box(b"moov", mvhd + b"".join(traks))
+            return ftyp + mdat + moov
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [build(int(m)) for m in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def decode_mp4_tracks(df: DataFrame) -> DataFrame:
+    """Walk each payload's ISO-BMFF box tree (ftyp/moov/trak/mdia/minf/
+    stbl) and emit one row per track with the metadata a video-corpus
+    pipeline partitions and filters on: handler + sample-entry codec
+    fourcc, media timescale, sample count and duration from stts,
+    total sample bytes from stsz, and the stss keyframe index (count,
+    first, last; NULL for tracks without a sync table, e.g. audio).
+    stco chunk offsets are validated to land inside the mdat box —
+    a truncated or spliced file raises with its media id, as do
+    unterminated/oversized boxes. Map-only mapInPandas; payloads
+    never visit the driver; no codec decode."""
+
+    def batches(it):
+        import struct
+
+        import pandas as pd
+
+        def children(buf, start, end):
+            off = start
+            while off + 8 <= end:
+                size, btype = struct.unpack_from(">I4s", buf, off)
+                header = 8
+                if size == 1:
+                    (size,) = struct.unpack_from(">Q", buf, off + 8)
+                    header = 16
+                elif size == 0:
+                    size = end - off
+                if size < header or off + size > end:
+                    raise ValueError(
+                        f"box {btype!r} at {off} has bad size {size}"
+                    )
+                yield btype.decode("latin-1"), off + header, off + size
+                off += size
+            if off != end:
+                raise ValueError(f"trailing bytes after {off} (end {end})")
+
+        def find(buf, start, end, btype):
+            for t, s, e in children(buf, start, end):
+                if t == btype:
+                    return s, e
+            return None
+
+        def walk(buf):
+            mdat_span = None
+            moov = None
+            for t, s, e in children(buf, 0, len(buf)):
+                if t == "mdat":
+                    mdat_span = (s, e)
+                elif t == "moov":
+                    moov = (s, e)
+            if moov is None:
+                raise ValueError("no moov box")
+            out = []
+            idx = 0
+            for t, s, e in children(buf, *moov):
+                if t != "trak":
+                    continue
+                tkhd = find(buf, s, e, "tkhd")
+                if tkhd is None:
+                    raise ValueError("trak without tkhd")
+                track_id = struct.unpack_from(">I", buf, tkhd[0] + 12)[0]
+                mdia = find(buf, s, e, "mdia")
+                mdhd = find(buf, *mdia, "mdhd")
+                timescale = struct.unpack_from(">I", buf, mdhd[0] + 12)[0]
+                hdlr = find(buf, *mdia, "hdlr")
+                handler = buf[hdlr[0] + 8 : hdlr[0] + 12].decode("latin-1")
+                stbl = find(buf, *find(buf, *mdia, "minf"), "stbl")
+                stsd = find(buf, *stbl, "stsd")
+                codec = buf[stsd[0] + 12 : stsd[0] + 16].decode("latin-1")
+                stts = find(buf, *stbl, "stts")
+                (n_ent,) = struct.unpack_from(">I", buf, stts[0] + 4)
+                n_samples = duration = 0
+                for j in range(n_ent):
+                    c, d = struct.unpack_from(
+                        ">II", buf, stts[0] + 8 + 8 * j
+                    )
+                    n_samples += c
+                    duration += c * d
+                stsz = find(buf, *stbl, "stsz")
+                fixed, count = struct.unpack_from(">II", buf, stsz[0] + 4)
+                if fixed:
+                    sample_bytes = fixed * count
+                else:
+                    sample_bytes = sum(
+                        struct.unpack_from(
+                            f">{count}I", buf, stsz[0] + 12
+                        )
+                    )
+                stco = find(buf, *stbl, "stco")
+                (n_chunks,) = struct.unpack_from(">I", buf, stco[0] + 4)
+                for j in range(n_chunks):
+                    (coff,) = struct.unpack_from(
+                        ">I", buf, stco[0] + 8 + 4 * j
+                    )
+                    if mdat_span is None or not (
+                        mdat_span[0] <= coff <= mdat_span[1]
+                    ):
+                        raise ValueError(
+                            f"stco offset {coff} outside mdat"
+                        )
+                stss = find(buf, *stbl, "stss")
+                if stss is not None:
+                    (nk,) = struct.unpack_from(">I", buf, stss[0] + 4)
+                    keys = struct.unpack_from(
+                        f">{nk}I", buf, stss[0] + 8
+                    )
+                    kf = (nk, keys[0], keys[-1]) if nk else (0, None, None)
+                else:
+                    kf = (None, None, None)
+                out.append(
+                    (
+                        idx,
+                        track_id,
+                        handler,
+                        codec,
+                        timescale,
+                        n_samples,
+                        duration,
+                        sample_bytes,
+                    )
+                    + kf
+                )
+                idx += 1
+            return out
+
+        cols = [
+            "media_id", "track_idx", "track_id", "handler", "codec",
+            "timescale", "n_samples", "duration", "sample_bytes",
+            "n_keyframes", "first_keyframe", "last_keyframe",
+        ]
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    tracks = walk(bytes(payload))
+                except (ValueError, struct.error) as e:
+                    raise ValueError(
+                        f"malformed mp4 payload for media_id={int(mid)}: {e}"
+                    ) from e
+                for t in tracks:
+                    rows["media_id"].append(int(mid))
+                    for k, v in zip(cols[1:], t):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=MP4_TRACK_SCHEMA)

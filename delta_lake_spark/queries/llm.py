@@ -9234,8 +9234,152 @@ FROM d GROUP BY split
 """
 
 
+def q265_semdedup_centroid_prune(spark, sf_dir):
+    """SemDeDup with the PAPER's survivor rule (Abbas et al. 2023,
+    arXiv:2303.09540 §3): within each near-duplicate group keep the
+    member with the LOWEST cosine to its cluster centroid — the
+    farthest-from-centroid exemplar, preserving cluster diversity —
+    instead of q113's cheaper min-id rule. Same cluster-confined
+    quadratic step (one cell-keyed self-join, never cross-cluster),
+    plus one per-cell centroid aggregation and a broadcast join for
+    the priority cosines. The oracle replays the full pipeline
+    (unrolled k-means CTE, final-centroid recompute, 1e-9-rounded
+    priority and pair cosines), so the verdict is value-exact
+    (operators/similarity.py semantic_dedup, keep='centroid_far')."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir),
+        n_cells=8,
+        threshold=0.45,
+        iterations=2,
+        dim=64,
+        keep="centroid_far",
+    )
+
+
+_Q265_MEANS = ", ".join(f"ROUND(avg(v[{i + 1}]), 9)" for i in range(64))
+_Q265_SQL = (
+    _kmeans_cte_sql()
+    + f""",
+c2 AS (SELECT cell_id, [{_Q265_MEANS}] AS cv FROM a1 GROUP BY cell_id),
+m AS (
+  SELECT a1.vec_id, a1.v, a1.cell_id,
+    ROUND({_cos_sql('a1.v', 'c2.cv')}, 9) AS csim
+  FROM a1 JOIN c2 USING (cell_id)
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cell_id = b.cell_id
+    AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+  WHERE ROUND({_cos_sql('a.v', 'b.v')}, 9) >= 0.45
+)
+SELECT m.vec_id, m.cell_id, d.vec_id IS NULL AS kept
+FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id
+"""
+)
+
+
+def q266_semdedup_arrow(spark, sf_dir):
+    """q265's centroid_far SemDeDup through the Arrow/BLAS engine: one
+    applyInPandas per k-means cell computes the full cell similarity
+    matrix with a single GEMM and applies the same one-pass
+    higher-priority prune — the throughput path the paper runs per
+    cluster at web scale. Pair cosines rounded to 1e-6 (q44 precedent)
+    so the SQL oracle replays the verdicts despite BLAS summation
+    order (operators/similarity.py semantic_dedup, engine='arrow')."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir),
+        n_cells=8,
+        threshold=0.45,
+        iterations=2,
+        dim=64,
+        keep="centroid_far",
+        engine="arrow",
+    )
+
+
+_Q266_SQL = (
+    _kmeans_cte_sql()
+    + f""",
+c2 AS (SELECT cell_id, [{_Q265_MEANS}] AS cv FROM a1 GROUP BY cell_id),
+m AS (
+  SELECT a1.vec_id, a1.v, a1.cell_id,
+    ROUND({_cos_sql('a1.v', 'c2.cv')}, 9) AS csim
+  FROM a1 JOIN c2 USING (cell_id)
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cell_id = b.cell_id
+    AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+  WHERE ROUND({_cos_sql('a.v', 'b.v')}, 6) >= 0.45
+)
+SELECT m.vec_id, m.cell_id, d.vec_id IS NULL AS kept
+FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id
+"""
+)
+
+
+def q267_mp4_track_walk(spark, sf_dir):
+    """Video-shard ingestion (the MP4/ISO-BMFF container tier): a
+    deterministic minimal-but-valid MP4 corpus is synthesized per
+    document id (ftyp + mdat + moov with alternating avc1/mp4a tracks
+    and full stsd/stts/stsz/stsc/stco — plus stss keyframe tables on
+    video tracks) and decode_mp4_tracks walks the box tree back —
+    per-track codec, timescale, sample count/duration, byte totals,
+    and the keyframe index recovered exactly, with stco offsets
+    validated against the mdat span. No codec decode; both steps are
+    map-only mapInPandas and payloads never visit the driver. The
+    oracle states the track arithmetic relationally
+    (operators/multimodal.py synthesize_mp4_corpus /
+    decode_mp4_tracks)."""
+    from ..operators.multimodal import (
+        decode_mp4_tracks,
+        synthesize_mp4_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_mp4_tracks(synthesize_mp4_corpus(docs))
+
+
+_Q267_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS track_idx,
+    (doc_id + i) % 2 = 0 AS is_video,
+    5 + (doc_id * 3 + i * 7) % 20 AS ns,
+    100 + (doc_id + i) % 50 AS delta,
+    1 + (doc_id + i) % 5 AS k
+  FROM documents, UNNEST(range(0, 1 + doc_id % 3)) u(i)
+),
+sb AS (
+  SELECT doc_id, track_idx,
+    CAST(SUM(20 + (doc_id + track_idx + j) % 30) AS BIGINT) AS sample_bytes
+  FROM t, UNNEST(range(0, ns)) v(j)
+  GROUP BY doc_id, track_idx
+)
+SELECT t.doc_id AS media_id, t.track_idx,
+  CAST(t.track_idx + 1 AS BIGINT) AS track_id,
+  CASE WHEN is_video THEN 'vide' ELSE 'soun' END AS handler,
+  CASE WHEN is_video THEN 'avc1' ELSE 'mp4a' END AS codec,
+  CAST(600 + 100 * ((t.doc_id + t.track_idx) % 3) AS BIGINT) AS timescale,
+  CAST(ns AS BIGINT) AS n_samples,
+  CAST(ns * delta AS BIGINT) AS duration,
+  sb.sample_bytes,
+  CASE WHEN is_video THEN CAST((ns + k - 1) // k AS BIGINT) END
+    AS n_keyframes,
+  CASE WHEN is_video THEN CAST(1 AS BIGINT) END AS first_keyframe,
+  CASE WHEN is_video THEN CAST(1 + k * ((ns - 1) // k) AS BIGINT) END
+    AS last_keyframe
+FROM t JOIN sb USING (doc_id, track_idx)
+"""
+
 
 QUERIES = {
+    "q267_mp4_track_walk": q267_mp4_track_walk,
+    "q266_semdedup_arrow": q266_semdedup_arrow,
+    "q265_semdedup_centroid_prune": q265_semdedup_centroid_prune,
     "q264_release_manifest": q264_release_manifest,
     "q263_calibrated_curation_funnel": q263_calibrated_curation_funnel,
     "q262_cluster_size_histogram": q262_cluster_size_histogram,
@@ -9394,6 +9538,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q267_mp4_track_walk": _Q267_SQL,
+    "q266_semdedup_arrow": _Q266_SQL,
+    "q265_semdedup_centroid_prune": _Q265_SQL,
     "q264_release_manifest": _Q264_SQL,
     "q263_calibrated_curation_funnel": _Q263_SQL,
     "q262_cluster_size_histogram": _Q262_SQL,

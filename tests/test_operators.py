@@ -742,6 +742,82 @@ def test_semantic_dedup_semantics(spark):
     )
     got = {r.vec_id: r.kept for r in out.collect()}
     assert got == {0: True, 8: False, 16: True, 24: True}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep must be"):
+        semantic_dedup(vecs, n_cells=1, keep="best")
+
+
+def test_semantic_dedup_centroid_far_keep_rule(spark):
+    """keep='centroid_far' (the SemDeDup paper rule): the group member
+    FARTHEST from the cluster centroid survives, not the min-id one.
+    Single cluster of three near-identical vectors plus one outlier:
+    the centroid sits between them, the outlier-most member has the
+    lowest centroid cosine and must be the survivor."""
+    from delta_lake_spark.operators.similarity import semantic_dedup
+
+    # one cell: 0/8/16 are a tight near-dup group along e1 with slight
+    # e2 tilts; 24 is orthogonal-ish (kept either way). Centroid leans
+    # toward the group + a bit of 24's direction, so within the group
+    # the member tilted AWAY from 24 (id 16, negative e2) has the
+    # lowest centroid cosine -> survives under centroid_far.
+    rows = [
+        (0, [1.0, 0.02, 0.0, 0.0]),
+        (8, [1.0, 0.01, 0.0, 0.0]),
+        (16, [1.0, -0.30, 0.0, 0.0]),
+        (24, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    far = semantic_dedup(
+        vecs, n_cells=1, threshold=0.9, iterations=1, dim=4,
+        keep="centroid_far",
+    )
+    got = {r.vec_id: r.kept for r in far.collect()}
+    assert got == {0: False, 8: False, 16: True, 24: True}
+    # min_id on the same input keeps 0 instead — the rules differ
+    mid = semantic_dedup(
+        vecs, n_cells=1, threshold=0.9, iterations=1, dim=4, keep="min_id"
+    )
+    got2 = {r.vec_id: r.kept for r in mid.collect()}
+    assert got2 == {0: True, 8: False, 16: False, 24: True}
+
+
+def test_semantic_dedup_arrow_engine_agrees(spark):
+    """The per-cell BLAS engine must reproduce the builtin self-join's
+    verdicts (both keep rules) away from rounding boundaries, and must
+    raise loudly when a cell exceeds max_cell."""
+    from delta_lake_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (i, [1.0 + 0.001 * (i % 5), 0.02 * (i % 7) - 0.06, 0.5, 0.0])
+        for i in range(40)
+    ] + [(100 + i, [0.0, 1.0, 0.01 * i, 0.0]) for i in range(10)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for keep in ("min_id", "centroid_far"):
+        built = {
+            r.vec_id: (r.cell_id, r.kept)
+            for r in semantic_dedup(
+                vecs, n_cells=2, threshold=0.95, iterations=2, dim=4,
+                keep=keep,
+            ).collect()
+        }
+        arrow = {
+            r.vec_id: (r.cell_id, r.kept)
+            for r in semantic_dedup(
+                vecs, n_cells=2, threshold=0.95, iterations=2, dim=4,
+                keep=keep, engine="arrow",
+            ).collect()
+        }
+        assert arrow == built, keep
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_cell"):
+        semantic_dedup(
+            vecs, n_cells=1, threshold=0.95, iterations=1, dim=4,
+            engine="arrow", max_cell=10,
+        ).collect()
+    with _pytest.raises(ValueError, match="engine must be"):
+        semantic_dedup(vecs, n_cells=1, engine="gpu")
 
 
 def test_dedup_against_corpus_exact_and_bloom_agree(spark, docs):
@@ -5351,6 +5427,63 @@ def test_tar_member_walk_roundtrip_and_malformed(spark):
     # plan: both stages map-only (no exchange between synth and walk)
     plan = (
         decode_tar_members(synthesize_tar_corpus(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_mp4_track_walk_roundtrip_and_malformed(spark):
+    from delta_lake_spark.operators.multimodal import (
+        _mp4_track_params,
+        decode_mp4_tracks,
+        synthesize_mp4_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    out = decode_mp4_tracks(synthesize_mp4_corpus(docs)).collect()
+    assert len(out) == sum(1 + i % 3 for i in range(9))
+    for r in out:
+        p = _mp4_track_params(r.media_id, r.track_idx)
+        assert (r.handler, r.codec) == (p["handler"], p["codec"])
+        assert r.track_id == r.track_idx + 1
+        assert r.timescale == p["timescale"]
+        assert r.n_samples == p["n_samples"]
+        assert r.duration == p["n_samples"] * p["delta"]
+        assert r.sample_bytes == sum(p["sizes"])
+        if p["key_step"] is None:
+            assert r.n_keyframes is None and r.first_keyframe is None
+        else:
+            k = p["key_step"]
+            assert r.n_keyframes == (p["n_samples"] + k - 1) // k
+            assert r.first_keyframe == 1
+            assert r.last_keyframe == 1 + k * ((p["n_samples"] - 1) // k)
+    import pytest as _pytest
+
+    # garbage payload raises with the media id
+    bad = spark.createDataFrame(
+        [(99, b"definitely not an mp4" * 10)], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="media_id=99"):
+        decode_mp4_tracks(bad).collect()
+    # a valid file with its mdat sliced out (spliced metadata) must
+    # fail the stco-offset-in-mdat validation, not parse quietly
+    one = synthesize_mp4_corpus(
+        spark.createDataFrame([(3,)], "doc_id long")
+    ).collect()[0]
+    buf = bytes(one.payload)
+    import struct as _struct
+
+    ftyp_len = _struct.unpack_from(">I", buf, 0)[0]
+    mdat_len = _struct.unpack_from(">I", buf, ftyp_len)[0]
+    spliced = buf[:ftyp_len] + buf[ftyp_len + mdat_len:]
+    bad2 = spark.createDataFrame(
+        [(3, spliced)], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="media_id=3"):
+        decode_mp4_tracks(bad2).collect()
+    # plan: both stages map-only (no exchange between synth and walk)
+    plan = (
+        decode_mp4_tracks(synthesize_mp4_corpus(docs))
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan

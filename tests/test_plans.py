@@ -399,6 +399,22 @@ def test_semantic_dedup_pairwise_confined_to_clusters(spark):
     )
 
 
+def test_semdedup_centroid_prune_confined_to_clusters(spark):
+    """The centroid_far variant adds a per-cell centroid aggregation
+    and a priority-cosine join, but the quadratic step must stay
+    cluster-confined exactly like q113: cell_id equi-join, no
+    cartesian, no cross-cluster pairs, centroids joined by broadcast."""
+    from delta_lake_spark.queries.llm import q265_semdedup_centroid_prune
+
+    plan = _plan(q265_semdedup_centroid_prune(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cell_id", plan)
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastExchange IdentityBroadcastMode"
+    )
+
+
 def test_row_id_read_is_broadcast_only(spark, tmp_table):
     """Row tracking read path: attaching _row_id joins the O(#files)
     (file, baseRowId) map by broadcast — the data side must not

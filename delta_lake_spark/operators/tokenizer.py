@@ -72,6 +72,27 @@ def _chars_expr(word: str) -> str:
     return f"transform(sequence(1, length({word})), i -> substring({word}, i, 1))"
 
 
+def _byte_syms_expr(word: str) -> str:
+    """SQL expression splitting a (bound lambda variable) word into the
+    lowercase-hex symbols of its UTF-8 BYTES ('byte' alphabet, the
+    GPT-2 convention): every word is representable from the 256-entry
+    seed alphabet, multi-byte characters split across symbols, and NO
+    unknown token can ever occur (byte fallback). The hex string is
+    let-bound through a single-element-array transform so encode+hex
+    run once per word."""
+    return (
+        f"element_at(transform(array(lower(hex(encode({word}, 'UTF-8')))),"
+        f" h -> transform(sequence(1, length(h) div 2),"
+        f" i -> substring(h, 2 * i - 1, 2))), 1)"
+    )
+
+
+def _byte_syms_py(word: str) -> tuple:
+    """Driver-path mirror of _byte_syms_expr."""
+    hx = word.encode("utf-8").hex()
+    return tuple(hx[i : i + 2] for i in range(0, len(hx), 2))
+
+
 def _words_expr(text_col: str) -> str:
     """Lowercased whitespace tokenization, empties dropped — matches the
     corpus tokenization used across text.py oracles."""
@@ -168,6 +189,7 @@ def train_bpe_merges(
     n_merges: int = 8,
     strategy: str = "auto",
     driver_max_vocab: int = 100_000,
+    alphabet: str = "char",
 ) -> DataFrame:
     """Learn the top-``n_merges`` BPE merges from the corpus.
 
@@ -175,6 +197,18 @@ def train_bpe_merges(
     weight) — weight is the frequency-weighted count of adjacent
     occurrences the pair had when it was chosen. Stops early if no
     two-distinct-symbol pair remains.
+
+    ``alphabet`` selects the seed symbols; everything downstream of
+    the seed (pair counting, argmax, rewrite) is the SAME loop:
+
+    - ``"char"`` — characters of the lowercased whitespace-split words
+      (Sennrich et al. 2016).
+    - ``"byte"`` — lowercase-hex symbols of each word's UTF-8 bytes
+      (the GPT-2 byte-level convention): the seed alphabet is at most
+      256 symbols, multi-byte characters split across symbols, merged
+      tokens concatenate hex pairs, and unhex(concat(tokens of word))
+      always round-trips the word's exact bytes — no unknown token is
+      possible at any vocabulary size.
 
     Strategy (same auto convention as the dedup operators): the merge
     loop only ever touches the DISTINCT-WORD histogram, so when that
@@ -189,6 +223,8 @@ def train_bpe_merges(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if strategy not in ("auto", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if alphabet not in ("char", "byte"):
+        raise ValueError(f"alphabet must be 'char' or 'byte', got {alphabet!r}")
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(F.expr(_words_expr(text_col))).alias("w"))
@@ -202,6 +238,8 @@ def train_bpe_merges(
             (r.w, r.cnt) for r in words.limit(driver_max_vocab + 1).collect()
         ]
         if len(hist) <= driver_max_vocab:
+            if alphabet == "byte":
+                hist = [(_byte_syms_py(w), c) for w, c in hist]
             return spark.createDataFrame(
                 _train_driver(hist, n_merges), MERGE_SCHEMA
             )
@@ -212,9 +250,8 @@ def train_bpe_merges(
     # with truncation). Checkpointing each round's vocabulary is the
     # MLlib convention for iterative algorithms; on a real cluster
     # prefer reliable checkpoints if executor loss matters.
-    vocab = words.select(
-        "cnt", F.expr(_chars_expr("w")).alias("s")
-    ).localCheckpoint()
+    seed = _chars_expr("w") if alphabet == "char" else _byte_syms_expr("w")
+    vocab = words.select("cnt", F.expr(seed).alias("s")).localCheckpoint()
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -257,26 +294,33 @@ def bpe_encode(
     text_col: str,
     id_col: str,
     merges,
+    alphabet: str = "char",
 ) -> DataFrame:
     """Encode every document with a learned merge table.
 
     ``merges`` is the DataFrame from :func:`train_bpe_merges` (collected
     here — model-sized by contract, like a broadcast codebook) or a
-    rank-ordered list of (lhs, rhs) pairs. Map-only: one projection per
-    merge, each applying a single shallow HOF rewrite layer to the
-    per-word symbol arrays (Catalyst collapses the projections; one
-    giant nested expression instead would blow the analyzer's
-    resolution fixed point at real merge counts). Zero shuffles at any
-    corpus size. Returns (id_col, tokens, n_tokens)."""
+    rank-ordered list of (lhs, rhs) pairs. ``alphabet`` must match the
+    training alphabet ('char' or 'byte' — see train_bpe_merges; byte
+    tokens are lowercase-hex strings whose per-word concatenation
+    always unhexes back to the word's exact UTF-8 bytes). Map-only:
+    one projection per merge, each applying a single shallow HOF
+    rewrite layer to the per-word symbol arrays (Catalyst collapses
+    the projections; one giant nested expression instead would blow
+    the analyzer's resolution fixed point at real merge counts). Zero
+    shuffles at any corpus size. Returns (id_col, tokens, n_tokens)."""
+    if alphabet not in ("char", "byte"):
+        raise ValueError(f"alphabet must be 'char' or 'byte', got {alphabet!r}")
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("rank").collect()
         pairs = [(r.lhs, r.rhs) for r in rows]
     else:
         pairs = [(a, b) for a, b in merges]
+    seed = _chars_expr("x") if alphabet == "char" else _byte_syms_expr("x")
     out = docs.select(
         F.col(id_col),
         F.expr(
-            f"transform({_words_expr(text_col)}, x -> {_chars_expr('x')})"
+            f"transform({_words_expr(text_col)}, x -> {seed})"
         ).alias("__sym"),
     )
     for a, b in pairs:

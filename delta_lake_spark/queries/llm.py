@@ -5208,10 +5208,19 @@ def _bpe_duck_layer(prev: str, r: int) -> str:
      FOR i IN range(1, len(s)+1) IF NOT list_contains(p, i-1)])[1])[1]"""
 
 
-def _bpe_train_ctes(n: int = _BPE_N_MERGES) -> str:
-    """WITH-chain learning ``n`` merges: v0 is the char-split word
-    histogram; round r derives pair weights p{r}, argmax m{r}, and the
-    rewritten vocabulary v{r}."""
+def _bpe_train_ctes(n: int = _BPE_N_MERGES, alphabet: str = "char") -> str:
+    """WITH-chain learning ``n`` merges: v0 is the word histogram split
+    into seed symbols — characters ('char') or lowercase-hex UTF-8
+    bytes ('byte', the GPT-2 convention); round r derives pair weights
+    p{r}, argmax m{r}, and the rewritten vocabulary v{r}."""
+    if alphabet == "char":
+        v0 = "v0 AS (SELECT cnt, [w[i] FOR i IN range(1, len(w)+1)] AS s FROM w0)"
+    else:
+        v0 = (
+            "v0 AS (SELECT cnt,"
+            " [substr(h, 2*i - 1, 2) FOR i IN range(1, len(h)//2 + 1)] AS s"
+            " FROM (SELECT cnt, lower(hex(encode(w))) AS h FROM w0))"
+        )
     parts = [
         """w0 AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -5220,7 +5229,8 @@ def _bpe_train_ctes(n: int = _BPE_N_MERGES) -> str:
         FROM documents)
   GROUP BY w
 ),
-v0 AS (SELECT cnt, [w[i] FOR i IN range(1, len(w)+1)] AS s FROM w0)"""
+"""
+        + v0
     ]
     for r in range(1, n + 1):
         parts.append(f"""p{r} AS (
@@ -9376,7 +9386,115 @@ FROM t JOIN sb USING (doc_id, track_idx)
 """
 
 
+# learned byte-level-merge memo, same contract as _BPE_MEMO
+_BYTE_BPE_MEMO: dict = {}
+
+
+def _byte_bpe_merges(spark, sf_dir):
+    from ..operators.tokenizer import train_bpe_merges
+
+    key = (id(spark), sf_dir)
+    rows = _BYTE_BPE_MEMO.get(key)
+    if rows is None:
+        trained = train_bpe_merges(
+            _docs(spark, sf_dir), "text", n_merges=_BPE_N_MERGES,
+            alphabet="byte",
+        ).collect()
+        with _FUNNEL_LOCK:
+            rows = _BYTE_BPE_MEMO.setdefault(key, trained)
+    return rows
+
+
+def q268_byte_bpe_train(spark, sf_dir):
+    """Learn the top-8 BYTE-LEVEL BPE merges (the GPT-2 convention:
+    seed symbols are the lowercase-hex UTF-8 bytes of each word, so
+    the alphabet is <= 256 entries, multi-byte characters split across
+    symbols, and byte fallback makes an unknown token impossible) —
+    q190's sibling with the production vocab type. Identical merge
+    loop and scale shape (one corpus shuffle, vocabulary-relation
+    rounds); value-exact against the fully unrolled SQL replay
+    (operators/tokenizer.py train_bpe_merges, alphabet='byte')."""
+    from ..operators.tokenizer import MERGE_SCHEMA
+
+    return spark.createDataFrame(_byte_bpe_merges(spark, sf_dir), MERGE_SCHEMA)
+
+
+_Q268_SQL = (
+    _bpe_train_ctes(alphabet="byte")
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, a AS lhs, b AS rhs,"
+        f" a || b AS merged, CAST(weight AS BIGINT) AS weight FROM m{r}"
+        for r in range(1, _BPE_N_MERGES + 1)
+    )
+)
+
+
+def q269_byte_bpe_encode(spark, sf_dir):
+    """Encode every document with q268's byte-level merges and report
+    per-doc token counts plus the exact UTF-8 byte total (n_bytes =
+    what unhex(concat(tokens)) would reproduce — the byte-fallback
+    invariant stated relationally). Training is the q268 loop;
+    encoding is MAP-ONLY (one shallow HOF layer per merge, zero
+    shuffles at any corpus size). The oracle replays training AND
+    encoding (operators/tokenizer.py bpe_encode, alphabet='byte')."""
+    from ..operators.tokenizer import bpe_encode
+
+    docs = _docs(spark, sf_dir)
+    pairs = [(r.lhs, r.rhs) for r in _byte_bpe_merges(spark, sf_dir)]
+    enc = bpe_encode(docs, "text", "doc_id", pairs, alphabet="byte")
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_types"),
+        (
+            F.aggregate(
+                "tokens",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t).cast("long"),
+            )
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("n_bytes"),
+    )
+
+
+def _q269_sql() -> str:
+    chain = (
+        "list_transform([lower(hex(encode(x)))], h ->"
+        " [substr(h, 2*i - 1, 2) FOR i IN range(1, len(h)//2 + 1)])[1]"
+    )
+    for r in range(1, _BPE_N_MERGES + 1):
+        chain = _bpe_duck_layer(chain, r)
+    froms = " ".join(
+        f"LEFT JOIN m{r} ON TRUE" for r in range(1, _BPE_N_MERGES + 1)
+    )
+    return (
+        _bpe_train_ctes(alphabet="byte")
+        + f""",
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform(
+      [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''],
+      x -> {chain})) AS tokens
+  FROM documents {froms}
+)
+SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tokens)) AS BIGINT) AS n_types,
+       CAST(COALESCE(list_sum([CAST(len(t) AS BIGINT) FOR t IN tokens]), 0)
+            // 2 AS BIGINT) AS n_bytes
+FROM enc
+"""
+    )
+
+
+_Q269_SQL = _q269_sql()
+
+
 QUERIES = {
+    "q269_byte_bpe_encode": q269_byte_bpe_encode,
+    "q268_byte_bpe_train": q268_byte_bpe_train,
     "q267_mp4_track_walk": q267_mp4_track_walk,
     "q266_semdedup_arrow": q266_semdedup_arrow,
     "q265_semdedup_centroid_prune": q265_semdedup_centroid_prune,
@@ -9538,6 +9656,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q269_byte_bpe_encode": _Q269_SQL,
+    "q268_byte_bpe_train": _Q268_SQL,
     "q267_mp4_track_walk": _Q267_SQL,
     "q266_semdedup_arrow": _Q266_SQL,
     "q265_semdedup_centroid_prune": _Q265_SQL,

@@ -75,6 +75,73 @@ def test_bpe_strategies_agree_and_encode_replays(sp, corpus):
         assert got[i] == expect
 
 
+unicode_words = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Z", "C")
+    ),
+    min_size=1,
+    max_size=6,
+)
+unicode_corpora = st.lists(
+    st.lists(unicode_words, min_size=1, max_size=10), min_size=1, max_size=4
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=unicode_corpora)
+def test_byte_bpe_strategies_agree_and_bytes_roundtrip(sp, corpus):
+    """Byte-level alphabet over ARBITRARY unicode words: the driver and
+    distributed strategies must learn identical merge tables, and the
+    byte-fallback invariant must hold — per document, the hex tokens
+    concatenate and unhex back to the exact UTF-8 bytes of the
+    lowercased whitespace-joined words, whatever was merged."""
+    from delta_lake_spark.operators.tokenizer import (
+        bpe_encode,
+        train_bpe_merges,
+    )
+
+    docs = _df(sp, corpus)
+    fast = [
+        tuple(r)
+        for r in train_bpe_merges(
+            docs, "text", n_merges=4, alphabet="byte"
+        ).collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in train_bpe_merges(
+            docs, "text", n_merges=4, alphabet="byte",
+            strategy="distributed",
+        ).collect()
+    ]
+    assert fast == dist
+    pairs = [(r[1], r[2]) for r in fast]
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_encode(
+            docs, "text", "doc_id", pairs, alphabet="byte"
+        ).collect()
+    }
+    # expectation from Spark's OWN tokenization (engine lower()/split
+    # casing rules, not Python's — they differ on exotic casefolds)
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.tokenizer import _words_expr
+
+    expected = {
+        r.doc_id: "".join(r.ws).encode("utf-8")
+        for r in docs.select(
+            "doc_id", F.expr(_words_expr("text")).alias("ws")
+        ).collect()
+    }
+    for i in expected:
+        assert bytes.fromhex("".join(got[i])) == expected[i]
+
+
 @settings(
     max_examples=8,
     deadline=None,

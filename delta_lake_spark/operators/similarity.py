@@ -412,6 +412,83 @@ def _kmeans_assign(
     return assigned
 
 
+def _kmeans_assign_arrow(
+    vectors: DataFrame,
+    n_cells: int,
+    iterations: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Vectorized mirror of _kmeans_assign for LARGE n_cells: the
+    builtin assignment is a crossJoin of |corpus| x n_cells codegen'd
+    64-step cosine folds — at 1M vectors x 500 cells that is 500M
+    folds per iteration and the measured wall-clock wall (the round-10
+    1M bench spent >30 min there). Here each iteration broadcasts the
+    (n_cells x dim) centroid matrix (bounded: cells are the model) and
+    one mapInPandas GEMM per Arrow batch assigns argmax-cosine cells,
+    ties to the LOWEST cell id (np.argmax first-max). Seeding and the
+    1e-9-rounded per-position-avg centroid recompute are the SAME
+    exact relational steps as the builtin path, so the two paths agree
+    except where a member's top-two cosines tie within one GEMM-vs-
+    fold ulp (~1e-16 — measure-zero; the oracle-pinned queries keep
+    the builtin path). Returns (id_col, __v, cell_id)."""
+    import numpy as np
+    import pandas as pd
+
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    centroids = (
+        v.groupBy(
+            F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell_id")
+        )
+        .agg(F.min_by("__v", F.col(id_col)).alias("__cv"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        rows = cents.orderBy("cell_id").collect()  # bounded: the model
+        cell_ids = np.array([r.cell_id for r in rows], dtype=np.int32)
+        cmat = np.array([r["__cv"] for r in rows], dtype=np.float64)
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.array(list(pdf["__v"]), dtype=np.float64)
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                best = np.argmax(mat @ cmat.T, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        "__v": pdf["__v"].values,
+                        "cell_id": cell_ids[best],
+                    }
+                )
+
+        return v.mapInPandas(
+            score,
+            schema=f"{id_col} {v.schema[id_col].dataType.simpleString()},"
+            " __v array<double>, cell_id int",
+        )
+
+    # eager localCheckpoint per round: the recomputed-centroid collect
+    # would otherwise replay every earlier round's mapInPandas pass
+    assigned = assign(centroids).localCheckpoint(eager=True)
+    for _ in range(iterations - 1):
+        centroids = assigned.groupBy("cell_id").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("__v", i + 1)), 9)
+                    for i in range(dim)
+                ]
+            ).alias("__cv")
+        )
+        assigned = assign(centroids).localCheckpoint(eager=True)
+    return assigned
+
+
 def semantic_dedup(
     vectors: DataFrame,
     n_cells: int | None = None,
@@ -423,6 +500,7 @@ def semantic_dedup(
     keep: str = "min_id",
     engine: str = "builtin",
     max_cell: int = 20_000,
+    assign: str = "builtin",
 ) -> DataFrame:
     """Semantic deduplication, cluster-then-prune (the SemDeDup recipe:
     Abbas et al. 2023, arXiv:2303.09540): k-means-bucket the embedding
@@ -466,6 +544,13 @@ def semantic_dedup(
       matrix is the memory contract (20k members = 3.2 GB of float64
       sims), raise ``n_cells`` instead.
 
+    ``assign`` independently selects the k-means assignment
+    realization: 'builtin' (codegen crossJoin + window — plan-
+    transparent, oracle-exact) or 'arrow' (_kmeans_assign_arrow: one
+    GEMM per Arrow batch against the broadcast centroid matrix — the
+    required path once |corpus| x n_cells cosine folds dominate, e.g.
+    1M x 500; agrees with builtin except within ~1e-16 cosine ties).
+
     100 TB design: the quadratic pairwise step is confined WITHIN
     clusters — ``n_cells ~ |corpus| / few-thousand`` keeps each cluster
     a bounded local problem; the self-join shuffles once on cell_id.
@@ -493,9 +578,14 @@ def semantic_dedup(
         raise ValueError(
             f"engine must be 'builtin' or 'arrow', got {engine!r}"
         )
+    if assign not in ("builtin", "arrow"):
+        raise ValueError(
+            f"assign must be 'builtin' or 'arrow', got {assign!r}"
+        )
     if n_cells is None:
         n_cells = max(8, -(-vectors.count() // 2000))
-    assigned = _kmeans_assign(vectors, n_cells, iterations, dim, id_col, vec_col)
+    assign_fn = _kmeans_assign if assign == "builtin" else _kmeans_assign_arrow
+    assigned = assign_fn(vectors, n_cells, iterations, dim, id_col, vec_col)
     if keep == "centroid_far":
         # final centroids from the last assignment (same 1e-9-rounded
         # per-position avg as the iteration step), then each member's

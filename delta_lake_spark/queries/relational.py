@@ -1261,6 +1261,49 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q270_avro_roundtrip(spark, sf_dir):
+    """Avro OCF sink + scan through the pure-stdlib container
+    implementation (delta_lake_spark/avro.py — the spark-avro external
+    module and the Python avro packages are absent in this
+    environment, probed round 10; the OCF framing, zigzag varints, and
+    null/deflate codecs are implemented from the public spec instead).
+    Orders roundtrip executor-side with the deflate codec — nullable
+    unions, date logical type, string/long/double fields — then the
+    read-back relation aggregates; the oracle aggregates the same rows
+    straight from parquet, so the verdict is value-exact over the full
+    write+read path."""
+    import shutil
+
+    from ..avro import read_avro, write_avro
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _dec("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate",
+    )
+    path = "/tmp/dls_query_tables/avro_rt"
+    shutil.rmtree(path, ignore_errors=True)
+    write_avro(orders, path, codec="deflate")
+    back = read_avro(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).alias("total"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+_Q270_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+         AS total,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q195_xml_roundtrip(spark, sf_dir):
     """XML sink + declared-schema scan (Spark 4's built-in XML source —
     the ETL landing format CSV/ORC parity was missing; schema-on-read
@@ -2700,6 +2743,7 @@ QUERIES = {
     "q93_csv_roundtrip": q93_csv_roundtrip,
     "q94_orc_roundtrip": q94_orc_roundtrip,
     "q195_xml_roundtrip": q195_xml_roundtrip,
+    "q270_avro_roundtrip": q270_avro_roundtrip,
     "q99_daily_gapfill": q99_daily_gapfill,
     "q107_asof_operator": q107_asof_operator,
     "q108_hopping_window": q108_hopping_window,
@@ -2771,6 +2815,7 @@ ORACLE_SQL = {
     "q93_csv_roundtrip": _Q93_SQL,
     "q94_orc_roundtrip": _Q94_SQL,
     "q195_xml_roundtrip": _Q195_SQL,
+    "q270_avro_roundtrip": _Q270_SQL,
     "q99_daily_gapfill": _Q99_SQL,
     "q107_asof_operator": _Q107_SQL,
     "q108_hopping_window": _Q108_SQL,

@@ -809,6 +809,23 @@ def test_semantic_dedup_arrow_engine_agrees(spark):
             ).collect()
         }
         assert arrow == built, keep
+    # the GEMM assignment path must agree too (ulp-tie cases aside,
+    # which this spread-out data cannot hit)
+    ga = {
+        r.vec_id: (r.cell_id, r.kept)
+        for r in semantic_dedup(
+            vecs, n_cells=2, threshold=0.95, iterations=2, dim=4,
+            keep="centroid_far", engine="arrow", assign="arrow",
+        ).collect()
+    }
+    gb = {
+        r.vec_id: (r.cell_id, r.kept)
+        for r in semantic_dedup(
+            vecs, n_cells=2, threshold=0.95, iterations=2, dim=4,
+            keep="centroid_far", engine="arrow", assign="builtin",
+        ).collect()
+    }
+    assert ga == gb
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="max_cell"):
@@ -818,6 +835,8 @@ def test_semantic_dedup_arrow_engine_agrees(spark):
         ).collect()
     with _pytest.raises(ValueError, match="engine must be"):
         semantic_dedup(vecs, n_cells=1, engine="gpu")
+    with _pytest.raises(ValueError, match="assign must be"):
+        semantic_dedup(vecs, n_cells=1, assign="gpu")
 
 
 def test_dedup_against_corpus_exact_and_bloom_agree(spark, docs):

@@ -21,7 +21,10 @@ Measured per scale (one JSON line each):
                aggressively; both engines must agree on it).
 
 The builtin leg is skipped above 200k vectors (pair count makes it the
-known-slow baseline; the arrow leg is the scale path).
+known-slow baseline; the arrow leg is the scale path), and above 200k
+the arrow leg also uses assign='arrow' — the codegen'd crossJoin
+assignment is |corpus| x n_cells cosine folds and was the measured
+>30-minute wall at 1M x 500 before the GEMM assignment existed.
 
 Usage:  python tools/semdedup_bench.py [n_vectors ...]  (default 1e5 1e6)
 """
@@ -95,6 +98,7 @@ def main() -> None:
             semantic_dedup(
                 vecs, n_cells=n_cells, threshold=0.9, iterations=2,
                 dim=DIM, keep="centroid_far", engine="arrow",
+                assign="arrow" if n > 200_000 else "builtin",
             )
             .filter("kept")
             .count()

@@ -1826,3 +1826,90 @@ def decode_mp4_tracks(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=MP4_TRACK_SCHEMA)
+
+
+def keyframe_sampling_plan(tracks: DataFrame, n_slots: int = 4) -> DataFrame:
+    """Uniform keyframe sampling plan over decode_mp4_tracks output —
+    the pre-step of every frame-sampling pipeline: for each VIDEO
+    track pick up to ``n_slots`` keyframes spread evenly across its
+    stss sync-sample list (slot j maps to keyframe ordinal
+    floor(j*(nk-1)/(m-1)), strictly increasing whenever the list is
+    long enough, so slots never collide), and report the exact sample
+    number plus its media-timescale presentation offset in
+    MICROSECONDS (all integral division — the walk's duration is
+    n_samples * delta by construction, so delta recovers exactly).
+    A fetcher/decoder then seeks exactly these samples; nothing else
+    in the mdat is ever read. Map-only: one bounded explode of
+    <= n_slots rows per video track; audio tracks (no sync table)
+    drop out.
+
+    Returns (media_id, track_idx, slot, keyframe_ordinal,
+    sample_number, time_offset_micros)."""
+    if n_slots < 1:
+        raise ValueError(f"n_slots must be >= 1, got {n_slots}")
+    v = tracks.filter(
+        F.col("n_keyframes").isNotNull() & (F.col("n_keyframes") > 0)
+    ).select(
+        "media_id",
+        "track_idx",
+        "timescale",
+        "n_samples",
+        "duration",
+        "n_keyframes",
+        "first_keyframe",
+        # keyframe stride from the walk's index summary (exact: the
+        # stss list is arithmetic by construction of the sync table;
+        # integral DIV, never a float division)
+        F.expr(
+            "CAST(IF(n_keyframes > 1,"
+            " (last_keyframe - first_keyframe) DIV (n_keyframes - 1),"
+            " 0) AS BIGINT)"
+        ).alias("__k"),
+        F.least(F.lit(int(n_slots)), F.col("n_keyframes")).alias("__m"),
+    )
+    slots = v.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.col("__m") - 1)).alias("slot"),
+    )
+    return (
+        slots.select(
+            "media_id",
+            "track_idx",
+            F.col("slot").cast("int").alias("slot"),
+            F.expr(
+                "CAST(IF(__m > 1, (slot * (n_keyframes - 1)) DIV (__m - 1),"
+                " 0) AS BIGINT)"
+            ).alias("keyframe_ordinal"),
+            "first_keyframe",
+            "__k",
+            "timescale",
+            "n_samples",
+            "duration",
+        )
+        .select(
+            "media_id",
+            "track_idx",
+            "slot",
+            "keyframe_ordinal",
+            (
+                F.col("first_keyframe")
+                + F.col("__k") * F.col("keyframe_ordinal")
+            )
+            .cast("long")
+            .alias("sample_number"),
+            "timescale",
+            "n_samples",
+            "duration",
+        )
+        .select(
+            "media_id",
+            "track_idx",
+            "slot",
+            "keyframe_ordinal",
+            "sample_number",
+            F.expr(
+                "CAST(((sample_number - 1) * (duration DIV n_samples)"
+                " * 1000000) DIV timescale AS BIGINT)"
+            ).alias("time_offset_micros"),
+        )
+    )

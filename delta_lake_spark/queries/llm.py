@@ -9492,7 +9492,63 @@ FROM enc
 _Q269_SQL = _q269_sql()
 
 
+def q271_keyframe_sampling_plan(spark, sf_dir):
+    """Uniform keyframe sampling plan over q267's MP4 track walk: for
+    each video track, up to 4 keyframes spread evenly across the stss
+    sync list, with exact sample numbers and microsecond presentation
+    offsets (all integral division) — the seek plan a frame-sampling
+    pipeline hands its fetch/decode stage so nothing else in the mdat
+    is ever read. Map-only explode bounded by slots x video tracks
+    (operators/multimodal.py keyframe_sampling_plan)."""
+    from ..operators.multimodal import (
+        decode_mp4_tracks,
+        keyframe_sampling_plan,
+        synthesize_mp4_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    tracks = decode_mp4_tracks(synthesize_mp4_corpus(docs))
+    return keyframe_sampling_plan(tracks, n_slots=4)
+
+
+_Q271_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS track_idx,
+    5 + (doc_id * 3 + i * 7) % 20 AS ns,
+    100 + (doc_id + i) % 50 AS delta,
+    600 + 100 * ((doc_id + i) % 3) AS tsc,
+    1 + (doc_id + i) % 5 AS k
+  FROM documents, UNNEST(range(0, 1 + doc_id % 3)) u(i)
+  WHERE (doc_id + i) % 2 = 0
+),
+v AS (
+  SELECT doc_id, track_idx, ns, delta, tsc, k,
+    (ns + k - 1) // k AS nk
+  FROM t
+),
+s AS (
+  SELECT doc_id, track_idx, ns, delta, tsc, k, nk,
+    CAST(j AS INTEGER) AS slot,
+    LEAST(4, nk) AS m
+  FROM v, UNNEST(range(0, LEAST(4, nk))) w(j)
+),
+p AS (
+  SELECT doc_id, track_idx, slot,
+    CAST(CASE WHEN m > 1 THEN (slot * (nk - 1)) // (m - 1)
+         ELSE 0 END AS BIGINT) AS keyframe_ordinal,
+    ns, delta, tsc, k, nk, m
+  FROM s
+)
+SELECT doc_id AS media_id, track_idx, slot, keyframe_ordinal,
+  CAST(1 + k * keyframe_ordinal AS BIGINT) AS sample_number,
+  CAST(((1 + k * keyframe_ordinal - 1) * delta * 1000000) // tsc
+       AS BIGINT) AS time_offset_micros
+FROM p
+"""
+
+
 QUERIES = {
+    "q271_keyframe_sampling_plan": q271_keyframe_sampling_plan,
     "q269_byte_bpe_encode": q269_byte_bpe_encode,
     "q268_byte_bpe_train": q268_byte_bpe_train,
     "q267_mp4_track_walk": q267_mp4_track_walk,
@@ -9656,6 +9712,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q271_keyframe_sampling_plan": _Q271_SQL,
     "q269_byte_bpe_encode": _Q269_SQL,
     "q268_byte_bpe_train": _Q268_SQL,
     "q267_mp4_track_walk": _Q267_SQL,

@@ -5508,6 +5508,63 @@ def test_mp4_track_walk_roundtrip_and_malformed(spark):
     assert "Exchange" not in plan
 
 
+def test_keyframe_sampling_plan_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_mp4_tracks,
+        keyframe_sampling_plan,
+        synthesize_mp4_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    tracks = decode_mp4_tracks(synthesize_mp4_corpus(docs))
+    plan = keyframe_sampling_plan(tracks, n_slots=4).collect()
+    vids = {
+        (r.media_id, r.track_idx): r
+        for r in tracks.filter(F.col("n_keyframes").isNotNull()).collect()
+    }
+    # audio tracks contribute nothing; every video track appears
+    assert {(r.media_id, r.track_idx) for r in plan} == set(vids)
+    by_track = {}
+    for r in plan:
+        by_track.setdefault((r.media_id, r.track_idx), []).append(r)
+    for key, rows in by_track.items():
+        t = vids[key]
+        assert len(rows) == min(4, t.n_keyframes)
+        ordinals = [r.keyframe_ordinal for r in sorted(rows, key=lambda x: x.slot)]
+        # strictly increasing (no slot collisions), spanning the list
+        assert ordinals == sorted(set(ordinals))
+        assert ordinals[0] == 0
+        if len(rows) > 1:
+            assert ordinals[-1] == t.n_keyframes - 1
+        delta = t.duration // t.n_samples
+        for r in rows:
+            # every chosen sample is a real stss keyframe in range
+            assert r.sample_number >= t.first_keyframe
+            assert r.sample_number <= t.last_keyframe
+            stride = (
+                (t.last_keyframe - t.first_keyframe) // (t.n_keyframes - 1)
+                if t.n_keyframes > 1 else 1
+            )
+            assert (r.sample_number - t.first_keyframe) % max(stride, 1) == 0
+            assert r.time_offset_micros == (
+                (r.sample_number - 1) * delta * 1_000_000
+            ) // t.timescale
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_slots"):
+        keyframe_sampling_plan(tracks, n_slots=0)
+    # map-only after the walk: no exchange introduced by the plan step
+    p = (
+        keyframe_sampling_plan(
+            decode_mp4_tracks(synthesize_mp4_corpus(docs)), n_slots=4
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p
+
+
 def test_retrieval_eval_known_values(spark):
     from delta_lake_spark.operators.retrieval import retrieval_eval
 

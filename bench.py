@@ -54,6 +54,7 @@ SECONDARY = [
     "q165_hll_state_vocab",  # persistent sketch-state maintenance path
     "q170_pretrain_funnel_minhash",  # LSH-tier funnel (production shape)
     "q242_heavy_hitters",  # frequent-items sketch trend line at sf0.1
+    "q266_semdedup_arrow",  # SemDeDup GEMM-prune trend line at sf0.1
     # graph family: distributed path at sf0.1. ~5.5-6.5 s of this
     # row is local-mode stage-SCHEDULING floor over the 5 iterations'
     # ~10 join/agg stages on a 16k-node state — measured invariant to

@@ -10,6 +10,12 @@ with a 12-word boilerplate run spliced into every 10th document, so
 skew resembles real boilerplate.
 
 Usage:  python tools/substring_bench.py [n_docs ...]  (default 1e5 1e6)
+        python tools/substring_bench.py --stages [n_docs ...]
+          also times the span pipeline's stages separately: the
+          gram-count shuffle alone (duplicated-gram relation count)
+          vs the full spans pass (semi join + island windows) — the
+          split that locates which stage breaks first as the corpus
+          grows a decade.
 """
 
 from __future__ import annotations
@@ -36,7 +42,10 @@ def main() -> None:
         exact_substring_spans,
     )
 
-    sizes = [int(float(a)) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    args = sys.argv[1:]
+    stages = "--stages" in args
+    args = [a for a in args if a != "--stages"]
+    sizes = [int(float(a)) for a in args] or [100_000, 1_000_000]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -62,6 +71,21 @@ def main() -> None:
         )
         n_docs = docs.count()  # materialize: timings exclude synthesis
 
+        t_grams = n_dup_grams = None
+        if stages:
+            # stage 1 alone: the corpus-sized gram-count shuffle
+            from delta_lake_spark.operators.dedup import _position_grams
+
+            t0 = time.monotonic()
+            n_dup_grams = (
+                _position_grams(docs, "text", "doc_id", K)
+                .groupBy("__g")
+                .agg(F.count("*").alias("__c"))
+                .filter(F.col("__c") >= 2)
+                .count()
+            )
+            t_grams = round(time.monotonic() - t0, 2)
+
         t0 = time.monotonic()
         spans = exact_substring_spans(docs, "text", "doc_id", k=K)
         n_spans, tok_covered = spans.agg(
@@ -81,6 +105,11 @@ def main() -> None:
                 {
                     "n_docs": n_docs,
                     "k": K,
+                    **(
+                        {"t_gramcount_s": t_grams, "n_dup_grams": n_dup_grams}
+                        if stages
+                        else {}
+                    ),
                     "t_spans_s": round(t_spans, 2),
                     "n_spans": int(n_spans),
                     "tokens_covered": int(tok_covered or 0),

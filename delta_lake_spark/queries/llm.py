@@ -9547,7 +9547,87 @@ FROM p
 """
 
 
+def q272_semantic_curation_report(spark, sf_dir):
+    """Semantic-dedup curation report: q265's centroid_far SemDeDup
+    verdicts joined back to the document relation and rolled up per
+    source — docs kept/dropped and the exact token inventory each way,
+    plus the kept-token share as a micro-integer. The
+    which-sources-lose-mass observability sheet a curation run reads
+    after the semantic pass (q263/q264 pattern). One broadcast-sized
+    verdict join + one source-keyed aggregation beyond the q265
+    pipeline."""
+    from ..operators.similarity import semantic_dedup
+
+    words = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    verdicts = semantic_dedup(
+        _emb(spark, sf_dir),
+        n_cells=8,
+        threshold=0.45,
+        iterations=2,
+        dim=64,
+        keep="centroid_far",
+    ).select(F.col("vec_id").alias("doc_id"), "kept")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(f"size({words})").cast("long").alias("__nw")
+    )
+    j = d.join(verdicts, "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias(
+            "n_kept"
+        ),
+        F.sum(F.when(F.col("kept"), F.col("__nw")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.sum(F.when(~F.col("kept"), F.col("__nw")).otherwise(0))
+        .cast("long")
+        .alias("tokens_dropped"),
+        F.expr(
+            "CAST((1000000 * SUM(IF(kept, __nw, 0)))"
+            " DIV GREATEST(SUM(__nw), 1) AS BIGINT)"
+        ).alias("kept_share_micro"),
+    )
+
+
+_Q272_SQL = (
+    _kmeans_cte_sql()
+    + f""",
+c2 AS (SELECT cell_id, [{_Q265_MEANS}] AS cv FROM a1 GROUP BY cell_id),
+m AS (
+  SELECT a1.vec_id, a1.v, a1.cell_id,
+    ROUND({_cos_sql('a1.v', 'c2.cv')}, 9) AS csim
+  FROM a1 JOIN c2 USING (cell_id)
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cell_id = b.cell_id
+    AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+  WHERE ROUND({_cos_sql('a.v', 'b.v')}, 9) >= 0.45
+),
+verdicts AS (
+  SELECT m.vec_id AS doc_id, d.vec_id IS NULL AS kept
+  FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id
+),
+dd AS (
+  SELECT doc_id, source,
+    CAST(len([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+              IF x <> '']) AS BIGINT) AS nw
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN kept THEN nw ELSE 0 END) AS BIGINT) AS tokens_kept,
+  CAST(SUM(CASE WHEN kept THEN 0 ELSE nw END) AS BIGINT) AS tokens_dropped,
+  CAST((1000000 * SUM(CASE WHEN kept THEN nw ELSE 0 END))
+       // GREATEST(SUM(nw), 1) AS BIGINT) AS kept_share_micro
+FROM dd JOIN verdicts USING (doc_id)
+GROUP BY source
+"""
+)
+
+
 QUERIES = {
+    "q272_semantic_curation_report": q272_semantic_curation_report,
     "q271_keyframe_sampling_plan": q271_keyframe_sampling_plan,
     "q269_byte_bpe_encode": q269_byte_bpe_encode,
     "q268_byte_bpe_train": q268_byte_bpe_train,
@@ -9712,6 +9792,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q272_semantic_curation_report": _Q272_SQL,
     "q271_keyframe_sampling_plan": _Q271_SQL,
     "q269_byte_bpe_encode": _Q269_SQL,
     "q268_byte_bpe_train": _Q268_SQL,

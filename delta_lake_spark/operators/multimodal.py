@@ -1913,3 +1913,160 @@ def keyframe_sampling_plan(tracks: DataFrame, n_slots: int = 4) -> DataFrame:
             ).alias("time_offset_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC container walk (the web-crawl ingestion tier). CommonCrawl-style
+# corpora arrive as WARC files — the records' headers (type, target
+# URI, content length) plus payload digests are what the ingestion
+# stage extracts before any text processing. Same pure-stdlib
+# synth/walk pattern as the TAR (q251) and MP4 (q267) tiers.
+# ---------------------------------------------------------------------------
+
+WARC_RECORD_SCHEMA = (
+    "media_id long, record_idx int, warc_type string, target_uri string, "
+    "content_length long, payload_md5 string"
+)
+
+
+def synthesize_warc_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WARC/1.0 files per id: a 'warcinfo' head record
+    followed by 1 + id%3 'response' records; response i targets
+    http://site-{id%50}.test/page/{i} and carries 30 + (id*11 + i*17)
+    % 90 repeats of the letter chr(97 + (id+i) % 26). CRLF framing and
+    the two empty lines between records per the ISO 28500 spec.
+    Map-only mapInPandas."""
+
+    def batches(it):
+        import pandas as pd
+
+        def record(headers: list, body: bytes) -> bytes:
+            head = b"WARC/1.0\r\n" + b"".join(
+                k.encode() + b": " + v.encode() + b"\r\n"
+                for k, v in headers
+            )
+            return (
+                head
+                + b"Content-Length: "
+                + str(len(body)).encode()
+                + b"\r\n\r\n"
+                + body
+                + b"\r\n\r\n"
+            )
+
+        def build(mid: int) -> bytes:
+            out = [
+                record(
+                    [
+                        ("WARC-Type", "warcinfo"),
+                        ("WARC-Record-ID", f"<urn:test:{mid}:info>"),
+                    ],
+                    b"software: synthetic-warc/1.0",
+                )
+            ]
+            for i in range(1 + mid % 3):
+                size = 30 + (mid * 11 + i * 17) % 90
+                body = chr(97 + (mid + i) % 26).encode() * size
+                out.append(
+                    record(
+                        [
+                            ("WARC-Type", "response"),
+                            ("WARC-Record-ID", f"<urn:test:{mid}:{i}>"),
+                            (
+                                "WARC-Target-URI",
+                                f"http://site-{mid % 50}.test/page/{i}",
+                            ),
+                        ],
+                        body,
+                    )
+                )
+            return b"".join(out)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [build(int(m)) for m in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def decode_warc_records(df: DataFrame) -> DataFrame:
+    """Walk each payload's WARC records: one output row per record
+    with (media_id, record_idx, warc_type, target_uri, content_length,
+    payload_md5). Framing is enforced — a record without the
+    WARC/ version line, a missing Content-Length, a body shorter than
+    declared, or missing CRLFCRLF terminators raise with the media id.
+    Map-only mapInPandas; payloads never visit the driver."""
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        def walk(buf: bytes):
+            out = []
+            pos = 0
+            idx = 0
+            while pos < len(buf):
+                eol = buf.find(b"\r\n", pos)
+                if eol < 0 or not buf[pos:eol].startswith(b"WARC/"):
+                    raise ValueError(f"bad record header at byte {pos}")
+                pos = eol + 2
+                headers = {}
+                while True:
+                    eol = buf.find(b"\r\n", pos)
+                    if eol < 0:
+                        raise ValueError("unterminated header block")
+                    line = buf[pos:eol]
+                    pos = eol + 2
+                    if not line:
+                        break
+                    k, _, v = line.partition(b": ")
+                    headers[k.decode().lower()] = v.decode()
+                if "content-length" not in headers:
+                    raise ValueError("record without Content-Length")
+                n = int(headers["content-length"])
+                body = buf[pos : pos + n]
+                if len(body) != n:
+                    raise ValueError("body shorter than Content-Length")
+                pos += n
+                if buf[pos : pos + 4] != b"\r\n\r\n":
+                    raise ValueError("missing record terminator")
+                pos += 4
+                out.append(
+                    (
+                        idx,
+                        headers.get("warc-type", ""),
+                        headers.get("warc-target-uri"),
+                        n,
+                        hashlib.md5(body).hexdigest(),
+                    )
+                )
+                idx += 1
+            return out
+
+        cols = [
+            "media_id", "record_idx", "warc_type", "target_uri",
+            "content_length", "payload_md5",
+        ]
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    recs = walk(bytes(payload))
+                except (ValueError, UnicodeDecodeError) as e:
+                    raise ValueError(
+                        f"malformed warc payload for media_id={int(mid)}: {e}"
+                    ) from e
+                for r in recs:
+                    rows["media_id"].append(int(mid))
+                    for k, v in zip(cols[1:], r):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=WARC_RECORD_SCHEMA)

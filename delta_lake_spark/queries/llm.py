@@ -9626,7 +9626,98 @@ GROUP BY source
 )
 
 
+def q273_warc_record_walk(spark, sf_dir):
+    """Web-crawl shard ingestion (the WARC/ISO-28500 container tier —
+    how CommonCrawl-style corpora actually arrive): a deterministic
+    WARC corpus is synthesized per document id (one warcinfo head
+    record + 1 + id%3 response records with CRLF framing) and
+    decode_warc_records walks the records back — types, target URIs,
+    content lengths, payload md5s — with the framing enforced
+    (truncated bodies, missing Content-Length, or missing CRLFCRLF
+    terminators raise with the media id). Both steps map-only
+    mapInPandas; the oracle states the record arithmetic relationally
+    (operators/multimodal.py synthesize_warc_corpus /
+    decode_warc_records)."""
+    from ..operators.multimodal import (
+        decode_warc_records,
+        synthesize_warc_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_warc_records(synthesize_warc_corpus(docs))
+
+
+_Q273_SQL = """
+SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+  'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+  CAST(28 AS BIGINT) AS content_length,
+  md5('software: synthetic-warc/1.0') AS payload_md5
+FROM documents
+UNION ALL
+SELECT doc_id AS media_id, CAST(i + 1 AS INTEGER) AS record_idx,
+  'response' AS warc_type,
+  'http://site-' || CAST(doc_id % 50 AS VARCHAR) || '.test/page/'
+    || CAST(i AS VARCHAR) AS target_uri,
+  CAST(30 + (doc_id * 11 + i * 17) % 90 AS BIGINT) AS content_length,
+  md5(repeat(chr(97 + CAST((doc_id + i) % 26 AS INTEGER)),
+             CAST(30 + (doc_id * 11 + i * 17) % 90 AS INTEGER)))
+    AS payload_md5
+FROM documents, UNNEST(range(0, 1 + doc_id % 3)) t(i)
+"""
+
+
+def q274_url_dedup(spark, sf_dir):
+    """URL-level dedup — the FIRST dedup tier of a web pipeline,
+    before any text processing: four deterministic messy variants of
+    each base page (uppercase host + default port + tracking params +
+    fragment + trailing slash + shuffled param order) are synthesized
+    per document id, canonicalized by the module's stated rules, and
+    deduplicated keeping the min-id row per canonical URL. The oracle
+    states each variant's canonical form analytically (the q251/q267
+    pattern: the synthesis arithmetic is the spec) and replays the
+    min-id verdicts — so the whole normalization expression is
+    value-checked end to end (operators/web.py normalize_urls /
+    url_dedup)."""
+    from ..operators.web import url_dedup
+
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 4 AS INT)"
+            " WHEN 0 THEN 'HTTP://Site-' || CAST(doc_id % 97 AS STRING)"
+            "   || '.COM:80/p/' || CAST(doc_id % 97 AS STRING)"
+            "   || '/?b=2&a=1&utm_source=x#frag'"
+            " WHEN 1 THEN 'http://site-' || CAST(doc_id % 97 AS STRING)"
+            "   || '.com/p/' || CAST(doc_id % 97 AS STRING) || '?a=1&b=2'"
+            " WHEN 2 THEN 'http://site-' || CAST(doc_id % 97 AS STRING)"
+            "   || '.com:80/p/' || CAST(doc_id % 97 AS STRING)"
+            "   || '/?fbclid=q&a=1&b=2'"
+            " ELSE 'http://site-' || CAST(doc_id % 97 AS STRING)"
+            "   || '.com/other/' || CAST(doc_id % 97 AS STRING)"
+            " END"
+        ).alias("url"),
+    )
+    return url_dedup(urls, "url", "doc_id")
+
+
+_Q274_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    'http://site-' || CAST(doc_id % 97 AS VARCHAR) || '.com'
+    || CASE WHEN doc_id % 4 <= 2
+       THEN '/p/' || CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2'
+       ELSE '/other/' || CAST(doc_id % 97 AS VARCHAR) END AS url_norm
+  FROM documents
+)
+SELECT doc_id, url_norm,
+  doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) AS kept
+FROM u
+"""
+
+
 QUERIES = {
+    "q274_url_dedup": q274_url_dedup,
+    "q273_warc_record_walk": q273_warc_record_walk,
     "q272_semantic_curation_report": q272_semantic_curation_report,
     "q271_keyframe_sampling_plan": q271_keyframe_sampling_plan,
     "q269_byte_bpe_encode": q269_byte_bpe_encode,
@@ -9792,6 +9883,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q274_url_dedup": _Q274_SQL,
+    "q273_warc_record_walk": _Q273_SQL,
     "q272_semantic_curation_report": _Q272_SQL,
     "q271_keyframe_sampling_plan": _Q271_SQL,
     "q269_byte_bpe_encode": _Q269_SQL,

@@ -5565,6 +5565,93 @@ def test_keyframe_sampling_plan_semantics(spark):
     assert "Exchange" not in p
 
 
+def test_warc_record_walk_roundtrip_and_malformed(spark):
+    import hashlib
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_warc_records,
+        synthesize_warc_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    out = decode_warc_records(synthesize_warc_corpus(docs)).collect()
+    assert len(out) == sum(1 + (1 + i % 3) for i in range(9))
+    got = {(r.media_id, r.record_idx): r for r in out}
+    for mid in range(9):
+        head = got[(mid, 0)]
+        assert head.warc_type == "warcinfo" and head.target_uri is None
+        assert head.content_length == 28
+        for i in range(1 + mid % 3):
+            r = got[(mid, i + 1)]
+            size = 30 + (mid * 11 + i * 17) % 90
+            body = chr(97 + (mid + i) % 26).encode() * size
+            assert r.warc_type == "response"
+            assert r.target_uri == f"http://site-{mid % 50}.test/page/{i}"
+            assert r.content_length == size
+            assert r.payload_md5 == hashlib.md5(body).hexdigest()
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(42, b"HTTP/1.1 200 OK\r\nnot a warc\r\n\r\n")],
+        "media_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="media_id=42"):
+        decode_warc_records(bad).collect()
+    # truncated body (Content-Length longer than the bytes present)
+    trunc = spark.createDataFrame(
+        [(7, b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nshort")],
+        "media_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="media_id=7"):
+        decode_warc_records(trunc).collect()
+    plan = (
+        decode_warc_records(synthesize_warc_corpus(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_url_normalize_and_dedup(spark):
+    from delta_lake_spark.operators.web import normalize_urls, url_dedup
+
+    rows = [
+        (1, "HTTP://Site.COM:80/a/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://site.com/a?a=1&b=2"),
+        (3, "https://Example.ORG:443/path///"),
+        (4, "https://example.org/path"),
+        (5, "http://site.com/a?b=2&a=1&fbclid=zz&ref=tw"),
+        (6, "http://sub.site.co.uk/x?gclid=1"),
+        (7, "http://site.com"),
+        (8, "http://site.com/?utm_campaign=c"),
+        (9, "http://site.com:8080/a?a=1&b=2"),  # NON-default port kept
+        (10, "http://site.com/a?a=1&b=2&utmx=keep"),  # utmx is not utm_
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r for r in normalize_urls(df, "url", "id").collect()}
+    assert got[1].url_norm == "http://site.com/a?a=1&b=2"
+    assert got[2].url_norm == got[1].url_norm == got[5].url_norm
+    assert got[3].url_norm == "https://example.org/path" == got[4].url_norm
+    assert got[6].url_norm == "http://sub.site.co.uk/x"
+    assert got[7].url_norm == "http://site.com" == got[8].url_norm
+    assert got[9].url_norm == "http://site.com:8080/a?a=1&b=2"
+    assert got[10].url_norm == "http://site.com/a?a=1&b=2&utmx=keep"
+    assert got[6].host == "sub.site.co.uk"
+    assert got[6].registered_domain == "co.uk"  # documented heuristic
+    assert got[1].url_hash == got[2].url_hash
+    kept = {r.id: r.kept for r in url_dedup(df, "url", "id").collect()}
+    assert kept == {
+        1: True, 2: False, 5: False,
+        3: True, 4: False,
+        6: True, 7: True, 8: False, 9: True, 10: True,
+    }
+    # normalization is map-only; dedup is one hash aggregation
+    plan = (
+        normalize_urls(df, "url", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_retrieval_eval_known_values(spark):
     from delta_lake_spark.operators.retrieval import retrieval_eval
 

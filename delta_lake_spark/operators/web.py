@@ -124,3 +124,43 @@ def url_dedup(
             (F.col(id_col) == F.col("__keep_id")).alias("kept"),
         )
     )
+
+
+def html_extract_text(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
+    """HTML -> text extraction (the step between container walk and
+    text processing in a web pipeline), as a fixed chain of
+    regexp_replace passes both engines define identically:
+
+    1. drop ``<script>``/``<style>`` elements WITH their content
+       (non-greedy, dot-matches-newline, case-insensitive tags);
+    2. drop ``<!-- comments -->``;
+    3. strip every remaining tag;
+    4. decode the five basic entities (&amp; &lt; &gt; &quot; &#39;)
+       — &amp; LAST, so ``&amp;lt;`` decodes to the literal ``&lt;``
+       the author wrote, not a spurious ``<``;
+    5. collapse whitespace runs to single spaces and trim.
+
+    Map-only, zero Python, zero shuffles. This is the deterministic
+    80%-case extractor (the trafilatura/jusText class of
+    readability heuristics is a model-weighted layer ON TOP of this,
+    not a replacement for it). Returns (id_col, text, n_chars).
+    """
+    steps = [
+        (r"(?is)<script\b[^>]*>.*?</script>", " "),
+        (r"(?is)<style\b[^>]*>.*?</style>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"<[^>]*>", " "),
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", "\""),
+        (r"&#39;", "'"),
+        (r"&amp;", "&"),
+        (r"\s+", " "),
+    ]
+    col = F.col(html_col)
+    for pat, rep in steps:
+        col = F.regexp_replace(col, pat, rep)
+    return df.select(
+        F.col(id_col),
+        F.trim(col).alias("text"),
+    ).withColumn("n_chars", F.length("text").cast("long"))

@@ -9715,7 +9715,74 @@ FROM u
 """
 
 
+_Q275_HTML_SYNTH_SPARK = (
+    "'<html><head><title>Doc</title>"
+    "<style type=\"text/css\">p { color: red; }</style>"
+    "<script>var x = 1 < 2 && doc;</script></head>"
+    "<body><!-- comment ' || CAST(doc_id AS STRING) || ' -->"
+    "<h1>Doc ' || CAST(doc_id AS STRING) || '</h1>"
+    "<p class=\"main\">' || text || '</p>"
+    "<p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39;"
+    " &amp;lt;kept&amp;gt;</p></body></html>'"
+)
+
+
+def q275_html_text_extract(spark, sf_dir):
+    """HTML -> text extraction over a deterministic page wrapper
+    (title/style/script/comment boilerplate + the document text + an
+    entity sampler including the double-escaped &amp;lt; case): the
+    fixed regexp_replace chain drops script/style WITH content, strips
+    comments and tags, decodes the five basic entities (&amp; last so
+    double-escapes surface as the literal entity), and collapses
+    whitespace. Map-only, zero Python; the oracle replays the exact
+    same chain (both regex dialects agree on these patterns), so the
+    extractor is value-checked end to end
+    (operators/web.py html_extract_text)."""
+    from ..operators.web import html_extract_text
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q275_HTML_SYNTH_SPARK).alias("html")
+    )
+    return html_extract_text(pages, "html", "doc_id")
+
+
+_Q275_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><title>Doc</title>'
+    || '<style type="text/css">p { color: red; }</style>'
+    || '<script>var x = 1 < 2 && doc;</script></head>'
+    || '<body><!-- comment ' || CAST(doc_id AS VARCHAR) || ' -->'
+    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+    || '<p class="main">' || text || '</p>'
+    || '<p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39;'
+    || ' &amp;lt;kept&amp;gt;</p></body></html>' AS html
+  FROM documents
+),
+x AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(
+      html,
+      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '<[^>]*>', ' ', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', CHR(39), 'g'),
+      '&amp;', '&', 'g'),
+      '\s+', ' ', 'g')) AS text
+  FROM pages
+)
+SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM x
+"""
+
+
 QUERIES = {
+    "q275_html_text_extract": q275_html_text_extract,
     "q274_url_dedup": q274_url_dedup,
     "q273_warc_record_walk": q273_warc_record_walk,
     "q272_semantic_curation_report": q272_semantic_curation_report,
@@ -9883,6 +9950,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q275_html_text_extract": _Q275_SQL,
     "q274_url_dedup": _Q274_SQL,
     "q273_warc_record_walk": _Q273_SQL,
     "q272_semantic_curation_report": _Q272_SQL,

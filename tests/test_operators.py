@@ -5652,6 +5652,35 @@ def test_url_normalize_and_dedup(spark):
     assert "Exchange" not in plan
 
 
+def test_html_extract_text_known_values(spark):
+    from delta_lake_spark.operators.web import html_extract_text
+
+    rows = [
+        (1, "<html><body><h1>Title</h1><p>Hello   world</p></body></html>"),
+        (2, "<script>drop();</script>keep<style>p{}</style> me"),
+        (3, "<!-- hidden -->visible<br/>text"),
+        (4, "Fish &amp; chips &lt;b&gt; &quot;q&quot; &#39;s&#39;"),
+        (5, "&amp;lt;literal&amp;gt;"),  # double-escape stays an entity
+        (6, "<SCRIPT TYPE='x'>upper();</SCRIPT>ok"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {r.id: (r.text, r.n_chars) for r in
+           html_extract_text(df, "html", "id").collect()}
+    assert got[1] == ("Title Hello world", 17)
+    assert got[2] == ("keep me", 7)
+    assert got[3] == ("visible text", 12)
+    assert got[4] == ("Fish & chips <b> \"q\" 's'", 24)
+    assert got[5] == ("&lt;literal&gt;", 15)
+    assert got[6] == ("ok", 2)
+    assert got[7] == ("", 0)
+    plan = (
+        html_extract_text(df, "html", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_retrieval_eval_known_values(spark):
     from delta_lake_spark.operators.retrieval import retrieval_eval
 

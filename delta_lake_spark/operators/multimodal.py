@@ -2070,3 +2070,218 @@ def decode_warc_records(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=WARC_RECORD_SCHEMA)
+
+
+def _fmp4_track_params(mid: int, f: int) -> dict:
+    """Deterministic per-(media, fragment) parameters shared by
+    synthesis, the walk's expectations, and the SQL oracle (q276)."""
+    n = 3 + (mid + 7 * f) % 6
+    return {
+        "n_samples": n,
+        "delta": 50 + (mid + f) % 20,
+        "sizes": [10 + (mid + f + j) % 15 for j in range(n)],
+    }
+
+
+def synthesize_fmp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic FRAGMENTED MP4 (CMAF/DASH delivery shape) per id:
+    an init segment (ftyp + moov holding one trak whose stbl declares
+    the codec but carries empty sample tables, the fMP4 convention)
+    followed by 1 + id%3 moof+mdat fragment pairs — each moof carries
+    mfhd sequence numbering and a traf/tfhd/trun whose per-sample
+    duration+size table describes exactly the bytes in its mdat.
+    Pure stdlib struct; map-only mapInPandas."""
+
+    def batches(it):
+        import struct
+
+        import pandas as pd
+
+        def build(mid: int) -> bytes:
+            ftyp = _mp4_box(
+                b"ftyp", b"iso6" + struct.pack(">I", 1) + b"iso6cmfc"
+            )
+            # init-segment moov: stsd with the codec, zero-entry tables
+            stsd = _mp4_full_box(
+                b"stsd",
+                0,
+                struct.pack(">I", 1)
+                + struct.pack(">I4s", 16, b"avc1")
+                + b"\x00" * 8,
+            )
+            empty = b"".join(
+                _mp4_full_box(t, 0, struct.pack(">I", 0))
+                for t in (b"stts", b"stsc", b"stco")
+            ) + _mp4_full_box(b"stsz", 0, struct.pack(">II", 0, 0))
+            stbl = _mp4_box(b"stbl", stsd + empty)
+            mdhd = _mp4_full_box(
+                b"mdhd",
+                0,
+                struct.pack(">IIIII", 0, 0, 600, 0, 0),
+            )
+            hdlr = _mp4_full_box(
+                b"hdlr",
+                0,
+                struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00",
+            )
+            mdia = _mp4_box(
+                b"mdia", mdhd + hdlr + _mp4_box(b"minf", stbl)
+            )
+            tkhd = _mp4_full_box(
+                b"tkhd",
+                0,
+                struct.pack(">IIIII", 0, 0, 1, 0, 0) + b"\x00" * 60,
+            )
+            mvhd = _mp4_full_box(
+                b"mvhd",
+                0,
+                struct.pack(">IIII", 0, 0, 1000, 0) + b"\x00" * 80,
+            )
+            moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+            frags = []
+            for f in range(1, 2 + mid % 3):
+                p = _fmp4_track_params(mid, f)
+                mfhd = _mp4_full_box(b"mfhd", 0, struct.pack(">I", f))
+                tfhd = _mp4_full_box(b"tfhd", 0, struct.pack(">I", 1))
+                trun_body = struct.pack(">I", p["n_samples"]) + b"".join(
+                    struct.pack(">II", p["delta"], s) for s in p["sizes"]
+                )
+                # flags 0x000300: sample-duration + sample-size present
+                trun = _mp4_box(
+                    b"trun", struct.pack(">I", 0x000300) + trun_body
+                )
+                traf = _mp4_box(b"traf", tfhd + trun)
+                moof = _mp4_box(b"moof", mfhd + traf)
+                body = bytes(
+                    (mid + f + j) % 256
+                    for j, s in enumerate(p["sizes"])
+                    for _ in range(s)
+                )
+                frags.append(moof + _mp4_box(b"mdat", body))
+            return ftyp + moov + b"".join(frags)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [build(int(m)) for m in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+FMP4_FRAGMENT_SCHEMA = (
+    "media_id long, fragment_seq long, track_id long, n_samples long, "
+    "duration long, sample_bytes long"
+)
+
+
+def decode_fmp4_fragments(df: DataFrame) -> DataFrame:
+    """Walk a fragmented MP4's moof+mdat pairs: per fragment, the mfhd
+    sequence number, traf's tfhd track id, and the trun sample table's
+    count / total duration / total bytes — VALIDATED against the
+    paired mdat's actual body size (a fragment whose trun promises
+    more bytes than its mdat carries raises with the media id, as do
+    unpaired moofs and malformed boxes). This is the integrity walk a
+    pipeline runs over CMAF/DASH-delivered shards before slicing them.
+    Map-only mapInPandas; no codec decode."""
+
+    def batches(it):
+        import struct
+
+        import pandas as pd
+
+        def children(buf, start, end):
+            off = start
+            while off + 8 <= end:
+                size, btype = struct.unpack_from(">I4s", buf, off)
+                header = 8
+                if size == 1:
+                    (size,) = struct.unpack_from(">Q", buf, off + 8)
+                    header = 16
+                elif size == 0:
+                    size = end - off
+                if size < header or off + size > end:
+                    raise ValueError(
+                        f"box {btype!r} at {off} has bad size {size}"
+                    )
+                yield btype.decode("latin-1"), off + header, off + size
+                off += size
+            if off != end:
+                raise ValueError(f"trailing bytes after {off}")
+
+        def find(buf, start, end, btype):
+            for t, s, e in children(buf, start, end):
+                if t == btype:
+                    return s, e
+            return None
+
+        def walk(buf):
+            out = []
+            pending = None  # (seq, track, n, dur, bytes) awaiting mdat
+            for t, s, e in children(buf, 0, len(buf)):
+                if t == "moof":
+                    if pending is not None:
+                        raise ValueError("moof without its mdat")
+                    mfhd = find(buf, s, e, "mfhd")
+                    traf = find(buf, s, e, "traf")
+                    if mfhd is None or traf is None:
+                        raise ValueError("moof missing mfhd/traf")
+                    (seq,) = struct.unpack_from(">I", buf, mfhd[0] + 4)
+                    tfhd = find(buf, *traf, "tfhd")
+                    trun = find(buf, *traf, "trun")
+                    if tfhd is None or trun is None:
+                        raise ValueError("traf missing tfhd/trun")
+                    (track,) = struct.unpack_from(">I", buf, tfhd[0] + 4)
+                    (flags,) = struct.unpack_from(">I", buf, trun[0])
+                    flags &= 0xFFFFFF
+                    if flags & 0x300 != 0x300:
+                        raise ValueError(
+                            "trun without per-sample duration+size"
+                        )
+                    (n,) = struct.unpack_from(">I", buf, trun[0] + 4)
+                    dur = total = 0
+                    for j in range(n):
+                        d, sz = struct.unpack_from(
+                            ">II", buf, trun[0] + 8 + 8 * j
+                        )
+                        dur += d
+                        total += sz
+                    pending = (seq, track, n, dur, total)
+                elif t == "mdat":
+                    if pending is None:
+                        continue  # init segment has no floating mdat
+                    if e - s != pending[4]:
+                        raise ValueError(
+                            f"mdat size {e - s} != trun total {pending[4]}"
+                        )
+                    out.append(pending)
+                    pending = None
+            if pending is not None:
+                raise ValueError("trailing moof without mdat")
+            return out
+
+        cols = [
+            "media_id", "fragment_seq", "track_id", "n_samples",
+            "duration", "sample_bytes",
+        ]
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frags = walk(bytes(payload))
+                except (ValueError, struct.error) as e:
+                    raise ValueError(
+                        f"malformed fmp4 payload for media_id={int(mid)}:"
+                        f" {e}"
+                    ) from e
+                for fr in frags:
+                    rows["media_id"].append(int(mid))
+                    for k, v in zip(cols[1:], fr):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=FMP4_FRAGMENT_SCHEMA)

@@ -9781,7 +9781,53 @@ SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM x
 """
 
 
+def q276_fmp4_fragment_walk(spark, sf_dir):
+    """Fragmented-MP4 integrity walk (the CMAF/DASH delivery shape —
+    streaming video shards arrive as moof+mdat pairs, not a single
+    moov-indexed file): a deterministic fMP4 corpus is synthesized per
+    document id (init segment + 1 + id%3 fragments) and
+    decode_fmp4_fragments walks the pairs back — mfhd sequence
+    numbers, tfhd track ids, trun sample counts/durations/byte totals
+    — validating each trun's byte total against its paired mdat's
+    actual size (over-promising truns, unpaired moofs, malformed
+    boxes raise with the media id). Map-only both ways; the oracle
+    states the fragment arithmetic relationally
+    (operators/multimodal.py synthesize_fmp4_corpus /
+    decode_fmp4_fragments)."""
+    from ..operators.multimodal import (
+        decode_fmp4_fragments,
+        synthesize_fmp4_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_fmp4_fragments(synthesize_fmp4_corpus(docs))
+
+
+_Q276_SQL = """
+WITH f AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS fragment_seq,
+    3 + (doc_id + 7 * i) % 6 AS ns,
+    50 + (doc_id + i) % 20 AS delta
+  FROM documents, UNNEST(range(1, 2 + doc_id % 3)) u(i)
+),
+sb AS (
+  SELECT doc_id, fragment_seq,
+    CAST(SUM(10 + (doc_id + fragment_seq + j) % 15) AS BIGINT)
+      AS sample_bytes
+  FROM f, UNNEST(range(0, ns)) v(j)
+  GROUP BY doc_id, fragment_seq
+)
+SELECT f.doc_id AS media_id, f.fragment_seq,
+  CAST(1 AS BIGINT) AS track_id,
+  CAST(ns AS BIGINT) AS n_samples,
+  CAST(ns * delta AS BIGINT) AS duration,
+  sb.sample_bytes
+FROM f JOIN sb USING (doc_id, fragment_seq)
+"""
+
+
 QUERIES = {
+    "q276_fmp4_fragment_walk": q276_fmp4_fragment_walk,
     "q275_html_text_extract": q275_html_text_extract,
     "q274_url_dedup": q274_url_dedup,
     "q273_warc_record_walk": q273_warc_record_walk,
@@ -9950,6 +9996,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q276_fmp4_fragment_walk": _Q276_SQL,
     "q275_html_text_extract": _Q275_SQL,
     "q274_url_dedup": _Q274_SQL,
     "q273_warc_record_walk": _Q273_SQL,

@@ -5652,6 +5652,58 @@ def test_url_normalize_and_dedup(spark):
     assert "Exchange" not in plan
 
 
+def test_fmp4_fragment_walk_roundtrip_and_malformed(spark):
+    import struct as _struct
+
+    from delta_lake_spark.operators.multimodal import (
+        _fmp4_track_params,
+        decode_fmp4_fragments,
+        synthesize_fmp4_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    out = decode_fmp4_fragments(synthesize_fmp4_corpus(docs)).collect()
+    assert len(out) == sum(1 + i % 3 for i in range(9))
+    for r in out:
+        p = _fmp4_track_params(r.media_id, r.fragment_seq)
+        assert r.track_id == 1
+        assert r.n_samples == p["n_samples"]
+        assert r.duration == p["n_samples"] * p["delta"]
+        assert r.sample_bytes == sum(p["sizes"])
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(5, b"not an fmp4 stream at all.......")],
+        "media_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="media_id=5"):
+        decode_fmp4_fragments(bad).collect()
+    # integrity: shrink the LAST mdat so its size no longer matches
+    # the trun's promised byte total -> must raise, not under-report
+    one = synthesize_fmp4_corpus(
+        spark.createDataFrame([(4,)], "doc_id long")
+    ).collect()[0]
+    buf = bytes(one.payload)
+    last_mdat = buf.rfind(b"mdat")
+    start = last_mdat - 4
+    (size,) = _struct.unpack_from(">I", buf, start)
+    shrunk = (
+        buf[:start]
+        + _struct.pack(">I", size - 1)
+        + buf[start + 4 : start + size - 1]
+    )
+    bad2 = spark.createDataFrame(
+        [(4, shrunk)], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="media_id=4"):
+        decode_fmp4_fragments(bad2).collect()
+    plan = (
+        decode_fmp4_fragments(synthesize_fmp4_corpus(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_html_extract_text_known_values(spark):
     from delta_lake_spark.operators.web import html_extract_text
 

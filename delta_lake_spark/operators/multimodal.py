@@ -1995,13 +1995,19 @@ def synthesize_warc_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def decode_warc_records(df: DataFrame) -> DataFrame:
+def decode_warc_records(
+    df: DataFrame, include_payload: bool = False
+) -> DataFrame:
     """Walk each payload's WARC records: one output row per record
     with (media_id, record_idx, warc_type, target_uri, content_length,
-    payload_md5). Framing is enforced — a record without the
-    WARC/ version line, a missing Content-Length, a body shorter than
-    declared, or missing CRLFCRLF terminators raise with the media id.
-    Map-only mapInPandas; payloads never visit the driver."""
+    payload_md5). With ``include_payload=True`` a ``payload_text``
+    column carries each body decoded as UTF-8 (the crawl-processing
+    shape: the body flows straight into HTML extraction; an
+    undecodable body raises with the media id). Framing is enforced —
+    a record without the WARC/ version line, a missing Content-Length,
+    a body shorter than declared, or missing CRLFCRLF terminators
+    raise with the media id. Map-only mapInPandas; payloads never
+    visit the driver."""
 
     def batches(it):
         import hashlib
@@ -2038,22 +2044,23 @@ def decode_warc_records(df: DataFrame) -> DataFrame:
                 if buf[pos : pos + 4] != b"\r\n\r\n":
                     raise ValueError("missing record terminator")
                 pos += 4
-                out.append(
-                    (
-                        idx,
-                        headers.get("warc-type", ""),
-                        headers.get("warc-target-uri"),
-                        n,
-                        hashlib.md5(body).hexdigest(),
-                    )
+                rec = (
+                    idx,
+                    headers.get("warc-type", ""),
+                    headers.get("warc-target-uri"),
+                    n,
+                    hashlib.md5(body).hexdigest(),
                 )
+                if include_payload:
+                    rec += (body.decode("utf-8"),)
+                out.append(rec)
                 idx += 1
             return out
 
         cols = [
             "media_id", "record_idx", "warc_type", "target_uri",
             "content_length", "payload_md5",
-        ]
+        ] + (["payload_text"] if include_payload else [])
         for pdf in it:
             rows = {k: [] for k in cols}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -2069,7 +2076,99 @@ def decode_warc_records(df: DataFrame) -> DataFrame:
                         rows[k].append(v)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(batches, schema=WARC_RECORD_SCHEMA)
+    schema = WARC_RECORD_SCHEMA + (
+        ", payload_text string" if include_payload else ""
+    )
+    return df.mapInPandas(batches, schema=schema)
+
+
+def synthesize_crawl_warc_corpus(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic single-page crawl shards: one WARC/1.0 file per
+    document whose sole response record targets a MESSY URL variant
+    (uppercase host / default port / tracking params / fragment /
+    trailing slash / shuffled param order by id%4 — the q274
+    construction) and whose body is the deterministic HTML page
+    wrapper around the document's text (the q275 construction,
+    UTF-8-encoded, Content-Length in BYTES). Feeds the end-to-end
+    web-ingestion pipeline: decode -> extract -> normalize -> dedup.
+    Map-only mapInPandas."""
+
+    def batches(it):
+        import pandas as pd
+
+        def messy_url(mid: int) -> str:
+            b = mid % 97
+            v = mid % 4
+            if v == 0:
+                return (
+                    f"HTTP://Site-{b}.COM:80/p/{b}/"
+                    f"?b=2&a=1&utm_source=x#frag"
+                )
+            if v == 1:
+                return f"http://site-{b}.com/p/{b}?a=1&b=2"
+            if v == 2:
+                return f"http://site-{b}.com:80/p/{b}/?fbclid=q&a=1&b=2"
+            return f"http://site-{b}.com/other/{b}"
+
+        def page(mid: int, text: str) -> bytes:
+            return (
+                "<html><head><title>Doc</title>"
+                '<style type="text/css">p { color: red; }</style>'
+                "<script>var x = 1 < 2 && doc;</script></head>"
+                f"<body><!-- comment {mid} -->"
+                f"<h1>Doc {mid}</h1>"
+                f'<p class="main">{text}</p>'
+                "<p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39;"
+                " &amp;lt;kept&amp;gt;</p></body></html>"
+            ).encode("utf-8")
+
+        def record(headers: list, body: bytes) -> bytes:
+            head = b"WARC/1.0\r\n" + b"".join(
+                k.encode() + b": " + v.encode() + b"\r\n"
+                for k, v in headers
+            )
+            return (
+                head
+                + b"Content-Length: "
+                + str(len(body)).encode()
+                + b"\r\n\r\n"
+                + body
+                + b"\r\n\r\n"
+            )
+
+        for pdf in it:
+            payloads = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                payloads.append(
+                    record(
+                        [
+                            ("WARC-Type", "warcinfo"),
+                            ("WARC-Record-ID", f"<urn:test:{mid}:info>"),
+                        ],
+                        b"software: synthetic-warc/1.0",
+                    )
+                    + record(
+                        [
+                            ("WARC-Type", "response"),
+                            ("WARC-Record-ID", f"<urn:test:{mid}:0>"),
+                            ("WARC-Target-URI", messy_url(mid)),
+                        ],
+                        page(mid, str(text)),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
 
 
 def _fmp4_track_params(mid: int, f: int) -> dict:

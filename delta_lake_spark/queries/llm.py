@@ -9826,7 +9826,108 @@ FROM f JOIN sb USING (doc_id, fragment_seq)
 """
 
 
+def q277_web_ingestion_pipeline(spark, sf_dir):
+    """The whole web-ingestion tier END TO END in one statement —
+    exactly the flow a crawl corpus takes: deterministic single-page
+    WARC shards (messy URLs + HTML bodies) -> record walk WITH
+    payloads -> HTML text extraction -> URL canonicalization ->
+    URL-level dedup (min-id per canonical) -> per-registered-domain
+    report (pages fetched, unique canonical URLs, pages kept, exact
+    chars kept). Every stage is the already-oracle-pinned operator
+    (q273/q275/q274) composed; the oracle rebuilds the same pages and
+    canonical forms relationally and replays the rollup, so the full
+    pipeline — WARC framing round-trip included — is value-exact
+    (operators/multimodal.py synthesize_crawl_warc_corpus /
+    decode_warc_records(include_payload), operators/web.py
+    html_extract_text / normalize_urls)."""
+    from ..operators.multimodal import (
+        decode_warc_records,
+        synthesize_crawl_warc_corpus,
+    )
+    from ..operators.web import html_extract_text, normalize_urls
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recs = decode_warc_records(
+        synthesize_crawl_warc_corpus(docs), include_payload=True
+    ).filter(F.col("warc_type") == "response")
+    extracted = html_extract_text(recs, "payload_text", "media_id")
+    urls = normalize_urls(
+        recs.select("media_id", "target_uri"), "target_uri", "media_id"
+    )
+    page = extracted.join(urls, "media_id").select(
+        "media_id", "n_chars", "url_norm", "registered_domain"
+    )
+    keepers = page.groupBy("url_norm").agg(
+        F.min("media_id").alias("__keep_id")
+    )
+    verdicts = page.join(keepers, "url_norm").withColumn(
+        "kept", F.col("media_id") == F.col("__keep_id")
+    )
+    return verdicts.groupBy("registered_domain").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("url_norm").cast("long").alias("n_unique_urls"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )
+
+
+_Q277_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+    doc_id % 97 AS b,
+    '<html><head><title>Doc</title>'
+    || '<style type="text/css">p { color: red; }</style>'
+    || '<script>var x = 1 < 2 && doc;</script></head>'
+    || '<body><!-- comment ' || CAST(doc_id AS VARCHAR) || ' -->'
+    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+    || '<p class="main">' || text || '</p>'
+    || '<p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39;'
+    || ' &amp;lt;kept&amp;gt;</p></body></html>' AS html
+  FROM documents
+),
+x AS (
+  SELECT doc_id, b,
+    'http://site-' || CAST(b AS VARCHAR) || '.com'
+    || CASE WHEN doc_id % 4 <= 2
+       THEN '/p/' || CAST(b AS VARCHAR) || '?a=1&b=2'
+       ELSE '/other/' || CAST(b AS VARCHAR) END AS url_norm,
+    'site-' || CAST(b AS VARCHAR) || '.com' AS registered_domain,
+    CAST(LENGTH(trim(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
+      html,
+      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '<[^>]*>', ' ', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', CHR(39), 'g'),
+      '&amp;', '&', 'g'),
+      '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+  FROM pages
+),
+v AS (
+  SELECT doc_id, url_norm, registered_domain, n_chars,
+    doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) AS kept
+  FROM x
+)
+SELECT registered_domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_unique_urls,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+    AS chars_kept
+FROM v GROUP BY registered_domain
+"""
+
+
 QUERIES = {
+    "q277_web_ingestion_pipeline": q277_web_ingestion_pipeline,
     "q276_fmp4_fragment_walk": q276_fmp4_fragment_walk,
     "q275_html_text_extract": q275_html_text_extract,
     "q274_url_dedup": q274_url_dedup,
@@ -9996,6 +10097,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q277_web_ingestion_pipeline": _Q277_SQL,
     "q276_fmp4_fragment_walk": _Q276_SQL,
     "q275_html_text_extract": _Q275_SQL,
     "q274_url_dedup": _Q274_SQL,

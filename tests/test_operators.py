@@ -5611,6 +5611,55 @@ def test_warc_record_walk_roundtrip_and_malformed(spark):
     assert "Exchange" not in plan
 
 
+def test_warc_payload_mode_and_crawl_synth(spark):
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_warc_records,
+        synthesize_crawl_warc_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello crawl world"), (6, "ünïcode tëxt")],
+        "doc_id long, text string",
+    )
+    recs = decode_warc_records(
+        synthesize_crawl_warc_corpus(docs), include_payload=True
+    )
+    resp = {r.media_id: r for r in
+            recs.filter(F.col("warc_type") == "response").collect()}
+    assert "hello crawl world" in resp[1].payload_text
+    assert "ünïcode tëxt" in resp[6].payload_text
+    # Content-Length counts BYTES: multi-byte text body longer than chars
+    assert resp[6].content_length == len(
+        resp[6].payload_text.encode("utf-8")
+    )
+    # messy URL variants by id%4 (1 -> plain, 6 -> :80 + fbclid form)
+    assert resp[1].target_uri == "http://site-1.com/p/1?a=1&b=2"
+    assert resp[6].target_uri == "http://site-6.com:80/p/6/?fbclid=q&a=1&b=2"
+    # default (no payload) schema is unchanged
+    lean = decode_warc_records(synthesize_crawl_warc_corpus(docs))
+    assert "payload_text" not in lean.columns
+    # undecodable body raises with the media id in payload mode
+    import pytest as _pytest
+
+    bad_body = b"\xff\xfe garbage bytes"
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: "
+        + str(len(bad_body)).encode()
+        + b"\r\n\r\n"
+        + bad_body
+        + b"\r\n\r\n"
+    )
+    bad = spark.createDataFrame(
+        [(9, raw)], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="media_id=9"):
+        decode_warc_records(bad, include_payload=True).collect()
+    # ...but the md5-only walk accepts binary bodies fine
+    assert decode_warc_records(bad).count() == 1
+
+
 def test_url_normalize_and_dedup(spark):
     from delta_lake_spark.operators.web import normalize_urls, url_dedup
 

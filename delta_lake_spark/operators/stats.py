@@ -720,3 +720,163 @@ def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def _perceptron_features(
+    df: DataFrame, text_col: str, label_col: str, dim: int
+) -> tuple:
+    """Shared feature/label extraction for the batch perceptron:
+    (features(doc, bin, cnt long), labels(doc, y in {+1,-1})). Bins
+    are md5-hashed lowercased whitespace words modulo ``dim`` — the
+    same engine-portable hash device as the sampling/dedup oracles."""
+    words = (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    feats = (
+        df.select(
+            F.col("__doc"),
+            F.explode(F.expr(words.replace(text_col, "__txt"))).alias("w"),
+        )
+        .select(
+            "__doc",
+            F.pmod(
+                F.expr("CAST(conv(substr(md5(w), 1, 6), 16, 10) AS BIGINT)"),
+                F.lit(dim),
+            ).cast("int").alias("bin"),
+        )
+        .groupBy("__doc", "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    labels = df.select("__doc", F.col("__y").alias("y"))
+    return feats, labels
+
+
+def perceptron_train(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    dim: int = 64,
+    epochs: int = 3,
+) -> DataFrame:
+    """BATCH perceptron training over hashed word-bin counts — linear
+    text classification learned IN the engine with nothing but exact
+    integer arithmetic (the reason it can be trained here at all:
+    logistic regression's sigmoid gradients are float sums whose
+    partition order no oracle can replay; the batch perceptron's
+    update is the plain integer sum of misclassified feature vectors,
+    order-free under any partitioning).
+
+    Per epoch: margins = one broadcast join of the <= ``dim``-row
+    weight relation onto the (doc, bin, cnt) features + one doc-keyed
+    aggregation; misclassified docs (y * margin <= 0, zero-feature
+    docs count as misclassified at margin 0) contribute
+    delta(bin) = SUM(y * cnt); the new weight vector collects as
+    <= dim rows (bounded, model-sized — the k-means/kcenter
+    convention). Features hash by md5 modulo ``dim`` so an external
+    SQL engine replays training bit-for-bit.
+
+    Returns the final (dim int, weight long) relation — only bins
+    with nonzero weight appear.
+    """
+    if dim < 1 or epochs < 1:
+        raise ValueError(f"dim and epochs must be >= 1, got {dim}, {epochs}")
+    staged = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(text_col).alias("__txt"),
+        F.when(F.col(label_col).cast("boolean"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("__y"),
+    )
+    feats, labels = _perceptron_features(staged, "__txt", "__y", dim)
+    feats = feats.join(labels, "__doc").localCheckpoint(eager=True)
+    spark = df.sparkSession
+    w: dict[int, int] = {}
+    for _ in range(epochs):
+        if w:
+            w_df = spark.createDataFrame(
+                list(w.items()), "bin int, weight long"
+            )
+            margins = (
+                feats.join(F.broadcast(w_df), "bin", "left")
+                .groupBy("__doc", "y")
+                .agg(
+                    F.sum(
+                        F.coalesce(F.col("weight"), F.lit(0)) * F.col("cnt")
+                    ).alias("__m")
+                )
+            )
+        else:
+            margins = feats.groupBy("__doc", "y").agg(
+                F.lit(0).cast("long").alias("__m")
+            )
+        mis = margins.filter(F.col("y") * F.col("__m") <= 0).select("__doc")
+        delta = (
+            feats.join(mis, "__doc", "left_semi")
+            .groupBy("bin")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+            .collect()  # bounded: <= dim rows (the model)
+        )
+        if not delta:
+            break
+        for r in delta:
+            w[r.bin] = w.get(r.bin, 0) + int(r.d)
+    rows = sorted((b, wt) for b, wt in w.items() if wt != 0)
+    return spark.createDataFrame(rows, "dim int, weight long")
+
+
+def perceptron_eval(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Confusion counts of a trained perceptron over a corpus:
+    prediction = sign of the integer margin (zero margin predicts -1,
+    the tie-negative convention; zero-feature docs score 0). One
+    broadcast weight join + one doc-keyed aggregation + one 4-cell
+    rollup. Returns (y long, pred long, n long, share_micro long) with
+    share_micro = 1e6 * n div total."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    staged = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(text_col).alias("__txt"),
+        F.when(F.col(label_col).cast("boolean"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("__y"),
+    )
+    feats, labels = _perceptron_features(staged, "__txt", "__y", dim)
+    w_df = weights.select(
+        F.col("dim").alias("bin"), F.col("weight")
+    )
+    margins = (
+        feats.join(F.broadcast(w_df), "bin", "left")
+        .groupBy("__doc")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("weight"), F.lit(0)) * F.col("cnt")
+            ).alias("__m")
+        )
+    )
+    scored = labels.join(margins, "__doc", "left").select(
+        F.col("y"),
+        F.when(F.coalesce(F.col("__m"), F.lit(0)) > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("pred"),
+    )
+    cells = scored.groupBy("y", "pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = cells.agg(F.sum("n").alias("__t"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "y",
+        "pred",
+        "n",
+        F.expr("CAST((1000000 * n) DIV __t AS BIGINT)").alias("share_micro"),
+    )

@@ -9926,7 +9926,146 @@ FROM v GROUP BY registered_domain
 """
 
 
+# trained-perceptron memo, same contract as _BPE_MEMO
+_PERCEPTRON_MEMO: dict = {}
+
+
+def _perceptron_weights(spark, sf_dir):
+    from ..operators.stats import perceptron_train
+
+    key = (id(spark), sf_dir)
+    rows = _PERCEPTRON_MEMO.get(key)
+    if rows is None:
+        trained = perceptron_train(
+            _docs(spark, sf_dir).withColumn("is_en", F.col("lang") == "en"),
+            "text", "is_en", "doc_id", dim=64, epochs=3,
+        ).collect()
+        with _FUNNEL_LOCK:
+            rows = _PERCEPTRON_MEMO.setdefault(key, trained)
+    return rows
+
+
+_Q278_FEATS_CTE = """
+WITH lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 64 AS INTEGER)
+      AS bin,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id,
+          unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
+                  IF x <> '']) AS w
+        FROM documents)
+  GROUP BY doc_id, bin
+),
+fy AS (SELECT f.doc_id, f.bin, f.cnt, lab.y FROM f JOIN lab USING (doc_id)),
+w1 AS (
+  SELECT bin, CAST(SUM(y * cnt) AS BIGINT) AS weight FROM fy GROUP BY bin
+),
+m2 AS (
+  SELECT fy.doc_id, fy.y, SUM(COALESCE(w1.weight, 0) * fy.cnt) AS m
+  FROM fy LEFT JOIN w1 USING (bin) GROUP BY fy.doc_id, fy.y
+),
+d2 AS (
+  SELECT bin, CAST(SUM(y * cnt) AS BIGINT) AS d FROM fy
+  WHERE doc_id IN (SELECT doc_id FROM m2 WHERE y * m <= 0)
+  GROUP BY bin
+),
+w2 AS (
+  SELECT COALESCE(w1.bin, d2.bin) AS bin,
+    CAST(COALESCE(w1.weight, 0) + COALESCE(d2.d, 0) AS BIGINT) AS weight
+  FROM w1 FULL JOIN d2 ON w1.bin = d2.bin
+),
+m3 AS (
+  SELECT fy.doc_id, fy.y, SUM(COALESCE(w2.weight, 0) * fy.cnt) AS m
+  FROM fy LEFT JOIN w2 ON fy.bin = w2.bin GROUP BY fy.doc_id, fy.y
+),
+d3 AS (
+  SELECT bin, CAST(SUM(y * cnt) AS BIGINT) AS d FROM fy
+  WHERE doc_id IN (SELECT doc_id FROM m3 WHERE y * m <= 0)
+  GROUP BY bin
+),
+w3 AS (
+  SELECT COALESCE(w2.bin, d3.bin) AS bin,
+    CAST(COALESCE(w2.weight, 0) + COALESCE(d3.d, 0) AS BIGINT) AS weight
+  FROM w2 FULL JOIN d3 ON w2.bin = d3.bin
+)"""
+
+
+def q278_perceptron_train(spark, sf_dir):
+    """Linear text-classifier TRAINING in the engine: a batch
+    perceptron over md5-hashed word-bin counts learning lang=='en'
+    from text, 3 epochs, 64 bins — chosen precisely because its
+    update rule is an exact INTEGER sum of misclassified feature
+    vectors (order-free under any partitioning; logistic gradients
+    are float sums no oracle can replay). Per epoch one broadcast
+    weight join + one doc-keyed margin aggregation + one <= 64-row
+    bounded delta collect. The oracle replays all three epochs as
+    unrolled CTEs, bit-for-bit (operators/stats.py
+    perceptron_train)."""
+    return spark.createDataFrame(
+        _perceptron_weights(spark, sf_dir), "dim int, weight long"
+    )
+
+
+_Q278_SQL = (
+    _Q278_FEATS_CTE
+    + "\nSELECT bin AS dim, weight FROM w3 WHERE weight <> 0\n"
+)
+
+
+def q279_perceptron_eval(spark, sf_dir):
+    """Confusion matrix of q278's trained perceptron over its own
+    corpus: (true y, predicted sign, exact count, micro share). Zero
+    margins and zero-feature docs predict -1 (the tie-negative
+    convention). On THIS synthetic corpus the languages share one
+    vocabulary pool, so the task is near-inseparable by construction
+    and the classifier honestly settles to the majority class — the
+    eval sheet shows exactly that (the separable-signal behavior is
+    pinned by the pytest toy corpus; the oracle's job here is the
+    bit-exact replay of training AND scoring). One broadcast weight
+    join + one doc-keyed margin aggregation + a 4-cell rollup
+    (operators/stats.py perceptron_eval)."""
+    from ..operators.stats import perceptron_eval
+
+    weights = spark.createDataFrame(
+        _perceptron_weights(spark, sf_dir), "dim int, weight long"
+    )
+    return perceptron_eval(
+        _docs(spark, sf_dir).withColumn("is_en", F.col("lang") == "en"),
+        weights, "text", "is_en", "doc_id", dim=64,
+    )
+
+
+_Q279_SQL = (
+    _Q278_FEATS_CTE
+    + """,
+mf AS (
+  SELECT fy.doc_id, SUM(COALESCE(w3.weight, 0) * fy.cnt) AS m
+  FROM fy LEFT JOIN w3 ON fy.bin = w3.bin GROUP BY fy.doc_id
+),
+scored AS (
+  SELECT lab.y,
+    CASE WHEN COALESCE(mf.m, 0) > 0 THEN 1 ELSE -1 END AS pred
+  FROM lab LEFT JOIN mf USING (doc_id)
+),
+cells AS (
+  SELECT y, pred, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY y, pred
+)
+SELECT CAST(y AS BIGINT) AS y, CAST(pred AS BIGINT) AS pred, n,
+  CAST((1000000 * n) // (SELECT SUM(n) FROM cells) AS BIGINT)
+    AS share_micro
+FROM cells
+"""
+)
+
+
 QUERIES = {
+    "q279_perceptron_eval": q279_perceptron_eval,
+    "q278_perceptron_train": q278_perceptron_train,
     "q277_web_ingestion_pipeline": q277_web_ingestion_pipeline,
     "q276_fmp4_fragment_walk": q276_fmp4_fragment_walk,
     "q275_html_text_extract": q275_html_text_extract,
@@ -10097,6 +10236,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q279_perceptron_eval": _Q279_SQL,
+    "q278_perceptron_train": _Q278_SQL,
     "q277_web_ingestion_pipeline": _Q277_SQL,
     "q276_fmp4_fragment_walk": _Q276_SQL,
     "q275_html_text_extract": _Q275_SQL,

@@ -5753,6 +5753,45 @@ def test_fmp4_fragment_walk_roundtrip_and_malformed(spark):
     assert "Exchange" not in plan
 
 
+def test_perceptron_learns_separable_corpus(spark):
+    """On a linearly separable toy corpus (positive docs draw from one
+    vocabulary, negative docs from another) the batch perceptron must
+    reach perfect training accuracy; weights/eval are exact integers
+    and deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.stats import (
+        perceptron_eval,
+        perceptron_train,
+    )
+
+    pos_words = ["alpha", "beta", "gamma", "delta"]
+    neg_words = ["omega", "sigma", "theta", "kappa"]
+    rows = []
+    for i in range(40):
+        ws = [pos_words[(i + j) % 4] for j in range(5)]
+        rows.append((i, " ".join(ws), True))
+    for i in range(40, 80):
+        ws = [neg_words[(i + j) % 4] for j in range(5)]
+        rows.append((i, " ".join(ws), False))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w = perceptron_train(docs, "text", "y", "doc_id", dim=32, epochs=3)
+    cells = perceptron_eval(
+        docs, w, "text", "y", "doc_id", dim=32
+    ).collect()
+    acc = sum(r.n for r in cells if r.y == r.pred) / sum(r.n for r in cells)
+    assert acc == 1.0
+    # deterministic under partitioning: same weights from a reshuffle
+    w2 = perceptron_train(
+        docs.repartition(7), "text", "y", "doc_id", dim=32, epochs=3
+    )
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim and epochs"):
+        perceptron_train(docs, "text", "y", "doc_id", dim=0)
+
+
 def test_html_extract_text_known_values(spark):
     from delta_lake_spark.operators.web import html_extract_text
 

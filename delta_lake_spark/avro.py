@@ -15,8 +15,13 @@ deflate codecs — no third-party code.
 Scope (the flat-record subset an ETL landing zone uses): records whose
 fields are boolean / int / long / float / double / string / bytes,
 date (int + logicalType date) and timestamp-micros (long), each
-optionally nullable as the union ["null", T]. Nested records, arrays,
-maps, enums and fixed raise loudly.
+optionally nullable as a two-branch union with "null" (the sink always
+writes ["null", T]; the source accepts either order, honoring the
+declared null-branch index per the spec). timestamp-micros is an
+instant: encode/decode go through spark.sql.session.timeZone, so the
+on-disk epoch micros are correct for external readers under any
+session zone. Nested records, arrays, maps, enums and fixed raise
+loudly.
 
 Scale shape: writing is one ``mapInPandas`` pass — every partition
 serializes its own ``part-NNNNN.avro`` file executor-side and yields
@@ -115,19 +120,26 @@ def avro_schema_for(df: DataFrame, name: str = "row") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
-def _field_plan(schema: dict) -> list[tuple[str, str, bool]]:
-    """(name, primitive avro type, nullable) per field; logical types
-    collapse to their storage primitive tagged 'date'/'timestamp'."""
+def _field_plan(schema: dict) -> list[tuple[str, str, bool, int]]:
+    """(name, primitive avro type, nullable, null_branch_index) per
+    field; logical types collapse to their storage primitive tagged
+    'date'/'timestamp'. The spec allows the union in either order
+    (["null", T] or [T, "null"]) — the null branch's index is recorded
+    per field and used by BOTH the encode and decode paths, so a
+    spec-valid foreign file declaring [T, "null"] decodes correctly
+    instead of reading every value as null."""
     if schema.get("type") != "record":
         raise ValueError(f"not a record schema: {schema.get('type')!r}")
     plan = []
     for f in schema["fields"]:
         t = f["type"]
         nullable = False
+        null_idx = 0
         if isinstance(t, list):
             if len(t) != 2 or "null" not in t:
                 raise ValueError(f"unsupported union for field {f['name']}")
             nullable = True
+            null_idx = t.index("null")
             t = t[0] if t[1] == "null" else t[1]
         if isinstance(t, dict):
             lt = t.get("logicalType")
@@ -146,11 +158,22 @@ def _field_plan(schema: dict) -> list[tuple[str, str, bool]]:
             raise ValueError(
                 f"unsupported Avro type {t!r} for field {f['name']}"
             )
-        plan.append((f["name"], t, nullable))
+        plan.append((f["name"], t, nullable, null_idx))
     return plan
 
 
-def _encode_value(t: str, v, out: bytearray) -> None:
+def _tzinfo(tz: str):
+    """tzinfo for a Spark session-timezone string."""
+    import datetime
+
+    if tz.upper() in ("UTC", "GMT", "Z", "ETC/UTC", "ETC/GMT"):
+        return datetime.timezone.utc
+    from zoneinfo import ZoneInfo
+
+    return ZoneInfo(tz)
+
+
+def _encode_value(t: str, v, out: bytearray, tz: str = "UTC") -> None:
     if t == "boolean":
         out.append(1 if v else 0)
     elif t in ("int", "long"):
@@ -159,7 +182,26 @@ def _encode_value(t: str, v, out: bytearray) -> None:
         import datetime
 
         out += _zigzag_encode((v - datetime.date(1970, 1, 1)).days)
-    elif t in ("timestamp", "timestamp_ntz"):
+    elif t == "timestamp":
+        # Avro timestamp-micros is an INSTANT (micros since the UTC
+        # epoch). Arrow hands the pandas UDF session-local naive
+        # datetimes, so localize in the session zone before taking the
+        # epoch delta — a spec-compliant external reader then sees the
+        # correct instant under any spark.sql.session.timeZone.
+        import datetime
+
+        dt = v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_tzinfo(tz))
+        delta = dt - datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        )
+        micros = (
+            delta.days * 86_400 + delta.seconds
+        ) * 1_000_000 + delta.microseconds
+        out += _zigzag_encode(micros)
+    elif t == "timestamp_ntz":
+        # local-timestamp-micros is a WALL CLOCK — zone-free by spec
         import calendar
 
         micros = (
@@ -180,7 +222,7 @@ def _encode_value(t: str, v, out: bytearray) -> None:
         raise ValueError(f"unsupported type {t}")
 
 
-def _decode_value(t: str, buf: bytes, pos: int):
+def _decode_value(t: str, buf: bytes, pos: int, tz: str = "UTC"):
     if t == "boolean":
         return buf[pos] != 0, pos + 1
     if t in ("int", "long"):
@@ -190,7 +232,17 @@ def _decode_value(t: str, buf: bytes, pos: int):
 
         days, pos = _zigzag_decode(buf, pos)
         return datetime.date(1970, 1, 1) + datetime.timedelta(days=days), pos
-    if t in ("timestamp", "timestamp_ntz"):
+    if t == "timestamp":
+        # instant -> session-local naive wall clock (what Spark expects
+        # back from a pandas UDF for a timestamp column)
+        import datetime
+
+        micros, pos = _zigzag_decode(buf, pos)
+        aware = datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        ) + datetime.timedelta(microseconds=micros)
+        return aware.astimezone(_tzinfo(tz)).replace(tzinfo=None), pos
+    if t == "timestamp_ntz":
         import datetime
 
         micros, pos = _zigzag_decode(buf, pos)
@@ -280,7 +332,8 @@ def write_avro(
     plan = _field_plan(schema)
     os.makedirs(path, exist_ok=True)
     spark = df.sparkSession
-    names = [n for n, _, _ in plan]
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    names = [n for n, _, _, _ in plan]
 
     def part(batches):
         import pandas as pd
@@ -312,7 +365,7 @@ def write_avro(
 
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    for (name, t, nullable), v in zip(plan, row):
+                    for (name, t, nullable, null_idx), v in zip(plan, row):
                         # pandas surfaces nulls as None/NaN/NaT, and
                         # Spark's Arrow interchange itself unifies
                         # float NaN with null — so a nullable float
@@ -326,14 +379,16 @@ def write_avro(
                         if isnull and not nullable and t in ("float", "double"):
                             isnull = v is None
                         if nullable:
-                            block += _zigzag_encode(1 if not isnull else 0)
+                            block += _zigzag_encode(
+                                null_idx if isnull else 1 - null_idx
+                            )
                             if isnull:
                                 continue
                         elif isnull:
                             raise ValueError(
                                 f"null in non-nullable field {name}"
                             )
-                        _encode_value(t, v, block)
+                        _encode_value(t, v, block, tz)
                     n_block += 1
                     n_total += 1
                     if n_block >= records_per_block:
@@ -378,14 +433,15 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         timestamp="timestamp",
         timestamp_ntz="timestamp_ntz",
     )
-    ddl = ", ".join(f"`{n}` {spark_types[t]}" for n, t, _ in plan)
+    ddl = ", ".join(f"`{n}` {spark_types[t]}" for n, t, _, _ in plan)
+    tz = spark.conf.get("spark.sql.session.timeZone")
     paths = spark.createDataFrame([(f,) for f in files], "file string")
 
     def parse(batches):
         import pandas as pd
 
         for pdf in batches:
-            cols = {n: [] for n, _, _ in plan}
+            cols = {n: [] for n, _, _, _ in plan}
             for fname in pdf["file"]:
                 with open(fname, "rb") as fh:
                     buf = fh.read()
@@ -408,13 +464,18 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                             data = zlib.decompress(data, wbits=-15)
                         dpos = 0
                         for _ in range(n_rec):
-                            for name, t, nullable in fplan:
+                            for name, t, nullable, null_idx in fplan:
                                 if nullable:
                                     idx, dpos = _zigzag_decode(data, dpos)
-                                    if idx == 0:
+                                    if idx not in (0, 1):
+                                        raise ValueError(
+                                            f"bad union index {idx} for "
+                                            f"field {name}"
+                                        )
+                                    if idx == null_idx:
                                         cols[name].append(None)
                                         continue
-                                v, dpos = _decode_value(t, data, dpos)
+                                v, dpos = _decode_value(t, data, dpos, tz)
                                 cols[name].append(v)
                         if dpos != len(data):
                             raise ValueError("trailing bytes in block")

@@ -450,15 +450,27 @@ def _kmeans_assign_arrow(
         rows = cents.orderBy("cell_id").collect()  # bounded: the model
         cell_ids = np.array([r.cell_id for r in rows], dtype=np.int32)
         cmat = np.array([r["__cv"] for r in rows], dtype=np.float64)
-        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+        cmat = cmat / np.where(cnorm == 0, 1.0, cnorm)
+        czero = cnorm.ravel() == 0
 
         def score(batches):
             for pdf in batches:
                 if pdf.empty:
                     continue
                 mat = np.array(list(pdf["__v"]), dtype=np.float64)
-                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-                best = np.argmax(mat @ cmat.T, axis=1)
+                mnorm = np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = mat / np.where(mnorm == 0, 1.0, mnorm)
+                sims = mat @ cmat.T
+                # builtin semantics for degenerate inputs: a zero
+                # vector's cosine is NULL, and NULLs sort LAST in the
+                # desc window — mirror that as -inf, so a zero member
+                # (all sims null) lands on the lowest cell id and a
+                # zero centroid never wins a non-zero member (instead
+                # of NaN poisoning argmax with a RuntimeWarning)
+                sims[mnorm.ravel() == 0, :] = -np.inf
+                sims[:, czero] = -np.inf
+                best = np.argmax(sims, axis=1)
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col].values,
@@ -695,8 +707,15 @@ def _semantic_dedup_arrow_prune(
             (pdf[id_col].to_numpy(), pdf["__csim"].to_numpy())
         )
         mat = np.array(list(pdf["__v"].iloc[order]), dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norm == 0, 1.0, norm)
         sims = np.round(mat @ mat.T, 6)
+        # builtin semantics for zero vectors: pair cosine is NULL, and
+        # NULL >= thr filters to false — a zero member is always kept
+        # and never shields anyone. Mirror as -inf on its row+column.
+        zero = norm.ravel() == 0
+        sims[zero, :] = -np.inf
+        sims[:, zero] = -np.inf
         # column j dropped iff any strictly-higher-priority row i < j
         # has sims[i, j] >= thr (one-pass rule, same as the self-join)
         above = np.where(

@@ -51,7 +51,7 @@ def _norm_expr(url: str) -> str:
     return f"""element_at(transform(array(split(trim({url}), '#')[0]), u ->
   element_at(transform(array(named_struct(
       'scheme', lower(substring_index(u, '://', 1)),
-      'rest', substring_index(u, '://', -1))), s ->
+      'rest', substring(u, length(substring_index(u, '://', 1)) + 4))), s ->
     element_at(transform(array(named_struct(
         'scheme', s.scheme,
         'hp', lower(substring_index(substring_index(s.rest, '/', 1),
@@ -85,9 +85,14 @@ def normalize_urls(
         F.col(url_col),
         F.expr(_norm_expr(url_col)).alias("url_norm"),
     ).withColumn(
+        # after the FIRST '://' (a query value may embed another
+        # absolute URL — substring_index(…, -1) would grab ITS host),
+        # then up to the first '/' and the first '?'
         "host",
         F.expr(
-            "substring_index(substring_index(url_norm, '://', -1), '/', 1)"
+            "substring_index(substring_index("
+            "  substring(url_norm, instr(url_norm, '://') + 3),"
+            "  '/', 1), '?', 1)"
         ),
     )
     return out.select(

@@ -113,6 +113,96 @@ def test_avro_malformed_raises(spark, tmp_path):
         read_avro(spark, str(tmp_path / "empty_dir_nope"))
 
 
+def test_avro_reversed_union_order_foreign_file(spark, tmp_path):
+    """A spec-valid foreign file may declare the union as [T, "null"]
+    (value branch 0, null branch 1). The reader must honor the
+    declared null-branch index instead of assuming ["null", T]."""
+    import os
+
+    from delta_lake_spark.avro import _write_header, _zigzag_encode
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["long", "null"]},  # reversed order
+        ],
+    }
+    block = bytearray()
+    # row 1: id=1, v=42 -> union index 0 (the value branch here)
+    block += _zigzag_encode(1) + _zigzag_encode(0) + _zigzag_encode(42)
+    # row 2: id=2, v=null -> union index 1 (the null branch here)
+    block += _zigzag_encode(2) + _zigzag_encode(1)
+    d = str(tmp_path / "rev")
+    os.makedirs(d)
+    sync = b"S" * 16
+    with open(d + "/part-00000.avro", "wb") as out:
+        _write_header(out, schema, "null", sync)
+        out.write(_zigzag_encode(2))
+        out.write(_zigzag_encode(len(block)))
+        out.write(bytes(block))
+        out.write(sync)
+    got = {r.id: r.v for r in read_avro(spark, d).collect()}
+    assert got == {1: 42, 2: None}
+    # a union index outside {0, 1} raises loudly, not silent garbage
+    bad = bytearray()
+    bad += _zigzag_encode(3) + _zigzag_encode(2)
+    d2 = str(tmp_path / "badunion")
+    os.makedirs(d2)
+    with open(d2 + "/part-00000.avro", "wb") as out:
+        _write_header(out, schema, "null", sync)
+        out.write(_zigzag_encode(1))
+        out.write(_zigzag_encode(len(bad)))
+        out.write(bytes(bad))
+        out.write(sync)
+    with pytest.raises(Exception, match="bad union index"):
+        read_avro(spark, d2).collect()
+
+
+def test_avro_timestamp_instant_under_session_timezone(spark, tmp_path):
+    """timestamp-micros is an INSTANT: under a non-UTC session zone the
+    on-disk epoch micros must be zone-corrected (an external
+    spec-compliant reader sees the true instant), and the roundtrip
+    back through read_avro must return the original session-local wall
+    clock."""
+    import calendar
+    import glob
+
+    from delta_lake_spark.avro import _read_header, _zigzag_decode
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        from pyspark.sql import functions as F
+
+        dt = datetime.datetime(2024, 6, 1, 12, 0, 0, 250000)
+        df = spark.createDataFrame(
+            [(1, dt)], "id long, ts timestamp"
+        ).coalesce(1)
+        # the instant Spark itself holds (epoch micros) is the spec for
+        # what must land on disk — independent of how createDataFrame
+        # zoned the naive input
+        want = df.select(F.unix_micros("ts")).collect()[0][0]
+        path = str(tmp_path / "tzinst")
+        write_avro(df, path)
+        buf = open(glob.glob(path + "/*.avro")[0], "rb").read()
+        _, _, _, pos = _read_header(buf)
+        _, pos = _zigzag_decode(buf, pos)  # n_records
+        _, pos = _zigzag_decode(buf, pos)  # block size
+        _, pos = _zigzag_decode(buf, pos)  # id union index
+        _, pos = _zigzag_decode(buf, pos)  # id value
+        _, pos = _zigzag_decode(buf, pos)  # ts union index
+        micros, _ = _zigzag_decode(buf, pos)
+        # the UDF saw the NY wall clock, so a timegm()-style encode
+        # (the old bug) would land 4-5 h off this instant
+        assert micros == want
+        back = read_avro(spark, path).collect()[0]
+        assert back.ts == dt
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
 def test_avro_nan_encodes_as_ieee_value():
     """The binary encoder itself preserves NaN — the NaN->null
     unification happens only at the nullable-field writer branch."""

@@ -839,6 +839,42 @@ def test_semantic_dedup_arrow_engine_agrees(spark):
         semantic_dedup(vecs, n_cells=1, assign="gpu")
 
 
+def test_semantic_dedup_zero_vectors_all_engines_agree(spark):
+    """Degenerate (all-zero) vectors: the builtin path's cosine is NULL
+    — a zero vector lands on the lowest cell id (NULLS LAST in the
+    desc ranking), is always kept, and never shields anyone. The GEMM
+    paths must reproduce that instead of NaN-poisoning argmax. Vector
+    id 0 seeds cell 0 with a ZERO centroid, so the zero-centroid
+    column is exercised too (id 9's best real cosine is NEGATIVE — a
+    zero-centroid column scored 0.0 instead of -inf would steal it)."""
+    from delta_lake_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (7, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),
+        (3, [1.0, 0.012, 0.0, 0.0]),  # near-dup of 1
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (9, [-1.0, -0.01, 0.2, 0.0]),  # negative cosine to every centroid
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    expect = {0: True, 7: True, 1: True, 3: False, 5: True, 9: True}
+    got = {}
+    for engine in ("builtin", "arrow"):
+        for assign in ("builtin", "arrow"):
+            got[(engine, assign)] = {
+                r.vec_id: (r.cell_id, r.kept)
+                for r in semantic_dedup(
+                    vecs, n_cells=2, threshold=0.95, iterations=2,
+                    dim=4, engine=engine, assign=assign,
+                ).collect()
+            }
+    base = got[("builtin", "builtin")]
+    assert {k: v[1] for k, v in base.items()} == expect
+    for key, verdicts in got.items():
+        assert verdicts == base, key
+
+
 def test_dedup_against_corpus_exact_and_bloom_agree(spark, docs):
     """Bloom pre-filter must never change the result: bloom path ==
     plain anti-join path == the expected survivor set."""
@@ -5674,6 +5710,11 @@ def test_url_normalize_and_dedup(spark):
         (8, "http://site.com/?utm_campaign=c"),
         (9, "http://site.com:8080/a?a=1&b=2"),  # NON-default port kept
         (10, "http://site.com/a?a=1&b=2&utmx=keep"),  # utmx is not utm_
+        # absolute URL embedded in a query VALUE (redirect/share links
+        # — ubiquitous in crawl data): must split on the FIRST '://',
+        # not collapse onto the embedded host
+        (11, "http://a.com/r?u=http://b.com"),
+        (12, "http://a.com?u=https://c.org/x"),
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     got = {r.id: r for r in normalize_urls(df, "url", "id").collect()}
@@ -5687,11 +5728,17 @@ def test_url_normalize_and_dedup(spark):
     assert got[6].host == "sub.site.co.uk"
     assert got[6].registered_domain == "co.uk"  # documented heuristic
     assert got[1].url_hash == got[2].url_hash
+    assert got[11].url_norm == "http://a.com/r?u=http://b.com"
+    assert got[11].host == "a.com"
+    assert got[11].registered_domain == "a.com"
+    assert got[12].url_norm == "http://a.com?u=https://c.org/x"
+    assert got[12].host == "a.com"
     kept = {r.id: r.kept for r in url_dedup(df, "url", "id").collect()}
     assert kept == {
         1: True, 2: False, 5: False,
         3: True, 4: False,
         6: True, 7: True, 8: False, 9: True, 10: True,
+        11: True, 12: True,
     }
     # normalization is map-only; dedup is one hash aggregation
     plan = (

@@ -1995,19 +1995,58 @@ def synthesize_warc_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _warc_walk(buf: bytes):
+    """Shared WARC/1.0 record walk: yields (record_idx, headers dict
+    with lowercased keys, body bytes) per record. Framing is enforced —
+    a record without the WARC/ version line, a missing Content-Length,
+    a body shorter than declared, or missing CRLFCRLF terminators
+    raise."""
+    pos = 0
+    idx = 0
+    while pos < len(buf):
+        eol = buf.find(b"\r\n", pos)
+        if eol < 0 or not buf[pos:eol].startswith(b"WARC/"):
+            raise ValueError(f"bad record header at byte {pos}")
+        pos = eol + 2
+        headers = {}
+        while True:
+            eol = buf.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("unterminated header block")
+            line = buf[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, _, v = line.partition(b": ")
+            headers[k.decode().lower()] = v.decode()
+        if "content-length" not in headers:
+            raise ValueError("record without Content-Length")
+        n = int(headers["content-length"])
+        body = buf[pos : pos + n]
+        if len(body) != n:
+            raise ValueError("body shorter than Content-Length")
+        pos += n
+        if buf[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError("missing record terminator")
+        pos += 4
+        yield idx, headers, body
+        idx += 1
+
+
 def decode_warc_records(
     df: DataFrame, include_payload: bool = False
 ) -> DataFrame:
     """Walk each payload's WARC records: one output row per record
     with (media_id, record_idx, warc_type, target_uri, content_length,
     payload_md5). With ``include_payload=True`` a ``payload_text``
-    column carries each body decoded as UTF-8 (the crawl-processing
-    shape: the body flows straight into HTML extraction; an
-    undecodable body raises with the media id). Framing is enforced —
-    a record without the WARC/ version line, a missing Content-Length,
-    a body shorter than declared, or missing CRLFCRLF terminators
-    raise with the media id. Map-only mapInPandas; payloads never
-    visit the driver."""
+    column carries each body decoded as UTF-8 (the bare-body corpus
+    shape where the record payload IS the document; an undecodable
+    body raises with the media id — for wild crawls whose response
+    payloads carry an HTTP message with arbitrary charsets, use
+    ``decode_warc_http_responses``, which parses the envelope and
+    selects the charset instead of raising). Framing is enforced per
+    ``_warc_walk``. Map-only mapInPandas; payloads never visit the
+    driver."""
 
     def batches(it):
         import hashlib
@@ -2016,45 +2055,17 @@ def decode_warc_records(
 
         def walk(buf: bytes):
             out = []
-            pos = 0
-            idx = 0
-            while pos < len(buf):
-                eol = buf.find(b"\r\n", pos)
-                if eol < 0 or not buf[pos:eol].startswith(b"WARC/"):
-                    raise ValueError(f"bad record header at byte {pos}")
-                pos = eol + 2
-                headers = {}
-                while True:
-                    eol = buf.find(b"\r\n", pos)
-                    if eol < 0:
-                        raise ValueError("unterminated header block")
-                    line = buf[pos:eol]
-                    pos = eol + 2
-                    if not line:
-                        break
-                    k, _, v = line.partition(b": ")
-                    headers[k.decode().lower()] = v.decode()
-                if "content-length" not in headers:
-                    raise ValueError("record without Content-Length")
-                n = int(headers["content-length"])
-                body = buf[pos : pos + n]
-                if len(body) != n:
-                    raise ValueError("body shorter than Content-Length")
-                pos += n
-                if buf[pos : pos + 4] != b"\r\n\r\n":
-                    raise ValueError("missing record terminator")
-                pos += 4
+            for idx, headers, body in _warc_walk(buf):
                 rec = (
                     idx,
                     headers.get("warc-type", ""),
                     headers.get("warc-target-uri"),
-                    n,
+                    len(body),
                     hashlib.md5(body).hexdigest(),
                 )
                 if include_payload:
                     rec += (body.decode("utf-8"),)
                 out.append(rec)
-                idx += 1
             return out
 
         cols = [
@@ -2169,6 +2180,262 @@ def synthesize_crawl_warc_corpus(
     return df.select(id_col, text_col).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
+
+
+def synthesize_http_warc_corpus(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic crawl shards whose response payloads carry a FULL
+    HTTP message (status line + headers + CRLFCRLF + body) — the shape
+    WARC `response` records actually have in the wild, where bodies
+    are frequently NOT UTF-8. Five variants by id % 5 exercise every
+    charset-selection path of ``decode_warc_http_responses``:
+
+    - v0: 200, ``Content-Type: text/html; charset=utf-8`` — header
+      declares; UTF-8 body.
+    - v1: 200, ``Content-Type: text/html`` (no charset); the body's
+      ``<meta charset="iso-8859-1">`` declares; latin-1 body with an
+      0xE9 ('é') byte.
+    - v2: 200, ``Content-Type: text/html``; NOTHING declares; latin-1
+      body with an 0xE9 byte (invalid as UTF-8 -> fallback path).
+    - v3: 404 Not Found, text/html — screened out (non-2xx).
+    - v4: 200, ``Content-Type: application/pdf`` + a binary body —
+      screened out (non-HTML).
+
+    The HTML body is ``<html><body><p>{text}{marker}</p></body></html>``
+    where the marker is '' (v0), ' café 1' (v1), ' café 2' (v2) — the
+    accents force the non-UTF-8 bytes. Map-only mapInPandas; the q273
+    record/CRLF framing unchanged."""
+
+    def batches(it):
+        import pandas as pd
+
+        def record(headers: list, body: bytes) -> bytes:
+            head = b"WARC/1.0\r\n" + b"".join(
+                k.encode() + b": " + v.encode() + b"\r\n"
+                for k, v in headers
+            )
+            return (
+                head
+                + b"Content-Length: "
+                + str(len(body)).encode()
+                + b"\r\n\r\n"
+                + body
+                + b"\r\n\r\n"
+            )
+
+        def http(status: str, ctype: str, body: bytes) -> bytes:
+            return (
+                f"HTTP/1.1 {status}\r\n"
+                f"Content-Type: {ctype}\r\n"
+                "X-Crawler: synthetic/1.0\r\n\r\n"
+            ).encode("ascii") + body
+
+        def page(mid: int, text: str) -> tuple[bytes, bytes]:
+            v = mid % 5
+            if v == 1:
+                html = (
+                    '<html><head><meta charset="iso-8859-1"></head>'
+                    f"<body><p>{text} café 1</p></body></html>"
+                )
+                return http("200 OK", "text/html", html.encode("latin-1"))
+            if v == 2:
+                html = f"<html><body><p>{text} café 2</p></body></html>"
+                return http("200 OK", "text/html", html.encode("latin-1"))
+            html = f"<html><body><p>{text}</p></body></html>"
+            if v == 3:
+                return http(
+                    "404 Not Found", "text/html; charset=utf-8",
+                    html.encode("utf-8"),
+                )
+            if v == 4:
+                return http(
+                    "200 OK", "application/pdf",
+                    b"%PDF-1.4\x00" + bytes([mid % 256]) * 16,
+                )
+            return http(
+                "200 OK", "text/html; charset=utf-8", html.encode("utf-8")
+            )
+
+        for pdf in it:
+            payloads = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                payloads.append(
+                    record(
+                        [
+                            ("WARC-Type", "warcinfo"),
+                            ("WARC-Record-ID", f"<urn:test:{mid}:info>"),
+                        ],
+                        b"software: synthetic-warc/1.0",
+                    )
+                    + record(
+                        [
+                            ("WARC-Type", "response"),
+                            ("WARC-Record-ID", f"<urn:test:{mid}:0>"),
+                            (
+                                "WARC-Target-URI",
+                                f"http://site-{mid % 97}.com/p/{mid % 97}",
+                            ),
+                        ],
+                        page(mid, str(text)),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+WARC_HTTP_SCHEMA = (
+    "media_id long, record_idx int, warc_type string, target_uri string, "
+    "content_length long, http_status int, content_type string, "
+    "charset string, charset_source string, is_html boolean, "
+    "body_bytes long, body_text string"
+)
+
+
+def decode_warc_http_responses(df: DataFrame) -> DataFrame:
+    """Walk WARC records AND parse each ``response`` record's HTTP
+    envelope — the first thing real crawl data (CommonCrawl et al.)
+    needs that the bare-body walk (q273) does not handle: status line,
+    headers, and a body in an arbitrary charset.
+
+    Per record: (media_id, record_idx, warc_type, target_uri,
+    content_length, http_status, content_type, charset,
+    charset_source, is_html, body_bytes, body_text). Non-``response``
+    records carry NULL HTTP columns. For responses:
+
+    - ``http_status``: from the status line (``HTTP/x.y NNN ...``); a
+      response record whose payload is not an HTTP message, or whose
+      header block lacks the CRLFCRLF terminator, raises with the
+      media id (malformed crawl shard, not data).
+    - ``content_type``: the media type, lowercased, parameters
+      stripped. ``is_html`` = text/html or application/xhtml+xml.
+    - Screening is RELATIONAL, not silent: ``body_text`` is non-NULL
+      iff 2xx AND is_html — non-2xx and non-HTML rows stay in the
+      relation with NULL charset/body so a downstream filter states
+      the screen.
+    - Charset selection (the production crawl order): ``charset=``
+      parameter of the Content-Type header, else a ``<meta
+      charset=..>`` / ``http-equiv Content-Type`` sniff of the first
+      1024 body bytes (latin-1-decoded for the scan), else strict
+      UTF-8 trial, else latin-1 (never fails). ``charset_source`` in
+      ('header', 'meta', 'fallback'); the fallback's ``charset`` is
+      'utf-8' or 'latin-1' by which branch decoded. Declared charsets
+      decode with errors='replace' (a lying server must not kill the
+      pipeline); unknown declared charset names raise with the media
+      id. ``body_bytes`` is the raw HTTP-body byte count (before any
+      decode).
+
+    Map-only mapInPandas; payloads never visit the driver. 100-TB
+    shape: one pass, no shuffle — the per-record work is O(bytes) and
+    the meta sniff is capped at 1 KiB."""
+    import re
+
+    meta_re = re.compile(
+        r"(?is)<meta[^>]+charset\s*=\s*[\"']?([\w\-:.]+)"
+    )
+
+    def batches(it):
+        import codecs
+
+        import pandas as pd
+
+        def parse_http(body: bytes):
+            split = body.find(b"\r\n\r\n")
+            if split < 0:
+                raise ValueError("HTTP message without header terminator")
+            head, payload = body[:split], body[split + 4 :]
+            lines = head.split(b"\r\n")
+            status_parts = lines[0].split(None, 2)
+            if (
+                len(status_parts) < 2
+                or not status_parts[0].startswith(b"HTTP/")
+                or not status_parts[1].isdigit()
+            ):
+                raise ValueError(f"bad HTTP status line {lines[0]!r}")
+            status = int(status_parts[1])
+            headers = {}
+            for line in lines[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.decode("latin-1").strip().lower()] = v.decode(
+                    "latin-1"
+                ).strip()
+            ct_full = headers.get("content-type", "")
+            ctype = ct_full.split(";")[0].strip().lower() or None
+            is_html = ctype in ("text/html", "application/xhtml+xml")
+            charset = source = text = None
+            if 200 <= status < 300 and is_html:
+                m = re.search(
+                    r"(?i)charset\s*=\s*[\"']?([\w\-:.]+)", ct_full
+                )
+                if m:
+                    charset, source = m.group(1).lower(), "header"
+                else:
+                    sniff = meta_re.search(
+                        payload[:1024].decode("latin-1")
+                    )
+                    if sniff:
+                        charset, source = sniff.group(1).lower(), "meta"
+                if charset is not None:
+                    try:
+                        codecs.lookup(charset)
+                    except LookupError:
+                        raise ValueError(
+                            f"unknown declared charset {charset!r}"
+                        ) from None
+                    text = payload.decode(charset, errors="replace")
+                else:
+                    source = "fallback"
+                    try:
+                        text = payload.decode("utf-8")
+                        charset = "utf-8"
+                    except UnicodeDecodeError:
+                        text = payload.decode("latin-1")
+                        charset = "latin-1"
+            return (
+                status, ctype, charset, source, is_html,
+                len(payload), text,
+            )
+
+        cols = [
+            "media_id", "record_idx", "warc_type", "target_uri",
+            "content_length", "http_status", "content_type", "charset",
+            "charset_source", "is_html", "body_bytes", "body_text",
+        ]
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    for idx, headers, body in _warc_walk(bytes(payload)):
+                        wtype = headers.get("warc-type", "")
+                        if wtype == "response":
+                            http = parse_http(body)
+                        else:
+                            http = (None,) * 5 + (None, None)
+                        rows["media_id"].append(int(mid))
+                        rows["record_idx"].append(idx)
+                        rows["warc_type"].append(wtype)
+                        rows["target_uri"].append(
+                            headers.get("warc-target-uri")
+                        )
+                        rows["content_length"].append(len(body))
+                        for k, v in zip(cols[5:], http):
+                            rows[k].append(v)
+                except ValueError as e:
+                    raise ValueError(
+                        f"malformed warc payload for media_id={int(mid)}: {e}"
+                    ) from e
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=WARC_HTTP_SCHEMA)
 
 
 def _fmp4_track_params(mid: int, f: int) -> dict:

@@ -10063,7 +10063,96 @@ FROM cells
 )
 
 
+def q280_http_charset_decode(spark, sf_dir):
+    """HTTP-envelope + charset handling for wild crawl shards — the
+    first thing real WARC data needs beyond the bare-body walk: each
+    response payload is a FULL HTTP message (status line + headers +
+    body) and bodies are frequently NOT UTF-8. A five-variant corpus
+    (header-declared utf-8 / meta-declared iso-8859-1 with latin-1
+    bytes / undeclared latin-1 hitting the fallback / a 404 / an
+    application/pdf) is synthesized per document and
+    decode_warc_http_responses parses it back: status, media type,
+    selected charset WITH provenance (header -> meta sniff -> utf-8
+    try -> latin-1), and the decoded body — with non-2xx / non-HTML
+    screening stated relationally (NULL charset/body, rows kept). The
+    oracle rebuilds every variant's columns analytically, so charset
+    selection and both non-UTF-8 decode paths are value-exact
+    (operators/multimodal.py synthesize_http_warc_corpus /
+    decode_warc_http_responses)."""
+    from ..operators.multimodal import (
+        decode_warc_http_responses,
+        synthesize_http_warc_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return decode_warc_http_responses(synthesize_http_warc_corpus(docs))
+
+
+_Q280_SQL = """
+WITH v AS (
+  SELECT doc_id, text, CAST(doc_id % 5 AS INTEGER) AS var,
+    'http://site-' || CAST(doc_id % 97 AS VARCHAR) || '.com/p/'
+      || CAST(doc_id % 97 AS VARCHAR) AS uri
+  FROM documents
+),
+b AS (
+  SELECT doc_id, var, uri,
+    CASE var
+      WHEN 1 THEN '<html><head><meta charset="iso-8859-1"></head>'
+        || '<body><p>' || text || ' café 1</p></body></html>'
+      WHEN 2 THEN '<html><body><p>' || text || ' café 2</p></body></html>'
+      ELSE '<html><body><p>' || text || '</p></body></html>'
+    END AS html,
+    CASE var WHEN 3 THEN 404 ELSE 200 END AS status,
+    CASE var WHEN 4 THEN 'application/pdf' ELSE 'text/html' END AS ctype,
+    CASE var WHEN 0 THEN 'text/html; charset=utf-8'
+             WHEN 3 THEN 'text/html; charset=utf-8'
+             WHEN 4 THEN 'application/pdf'
+             ELSE 'text/html' END AS ctype_full,
+    CASE var WHEN 3 THEN '404 Not Found' ELSE '200 OK' END AS status_txt
+  FROM v
+),
+r AS (
+  SELECT doc_id, var, uri, status, ctype, status_txt, ctype_full,
+    -- body byte count: latin-1 variants are 1 byte/char (char length),
+    -- utf-8 variants are octet_length; the pdf body is 9 + 16 bytes
+    CASE var
+      WHEN 1 THEN LENGTH(html) WHEN 2 THEN LENGTH(html)
+      WHEN 4 THEN 25
+      ELSE STRLEN(html) END AS body_bytes,
+    CASE WHEN var IN (1, 2) THEN html
+         WHEN var = 0 THEN html ELSE NULL END AS body_text,
+    CASE var WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+             WHEN 2 THEN 'latin-1' ELSE NULL END AS charset,
+    CASE var WHEN 0 THEN 'header' WHEN 1 THEN 'meta'
+             WHEN 2 THEN 'fallback' ELSE NULL END AS charset_source,
+    var <> 4 AS is_html
+  FROM b
+)
+SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+  'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+  CAST(28 AS BIGINT) AS content_length,
+  CAST(NULL AS INTEGER) AS http_status, CAST(NULL AS VARCHAR) AS content_type,
+  CAST(NULL AS VARCHAR) AS charset, CAST(NULL AS VARCHAR) AS charset_source,
+  CAST(NULL AS BOOLEAN) AS is_html, CAST(NULL AS BIGINT) AS body_bytes,
+  CAST(NULL AS VARCHAR) AS body_text
+FROM documents
+UNION ALL
+SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS record_idx,
+  'response' AS warc_type, uri AS target_uri,
+  -- HTTP head: 'HTTP/1.1 ' + status + CRLF + 'Content-Type: ' + ctype
+  -- + CRLF + 'X-Crawler: synthetic/1.0' + CRLF + CRLF = 55 fixed chars
+  CAST(55 + LENGTH(status_txt) + LENGTH(ctype_full) + body_bytes
+       AS BIGINT) AS content_length,
+  CAST(status AS INTEGER) AS http_status, ctype AS content_type,
+  charset, charset_source, is_html,
+  CAST(body_bytes AS BIGINT) AS body_bytes, body_text
+FROM r
+"""
+
+
 QUERIES = {
+    "q280_http_charset_decode": q280_http_charset_decode,
     "q279_perceptron_eval": q279_perceptron_eval,
     "q278_perceptron_train": q278_perceptron_train,
     "q277_web_ingestion_pipeline": q277_web_ingestion_pipeline,
@@ -10236,6 +10325,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q280_http_charset_decode": _Q280_SQL,
     "q279_perceptron_eval": _Q279_SQL,
     "q278_perceptron_train": _Q278_SQL,
     "q277_web_ingestion_pipeline": _Q277_SQL,

@@ -5696,6 +5696,82 @@ def test_warc_payload_mode_and_crawl_synth(spark):
     assert decode_warc_records(bad).count() == 1
 
 
+def test_warc_http_envelope_and_charset_selection(spark):
+    """decode_warc_http_responses: all three charset-selection paths,
+    relational non-2xx/non-HTML screening, and loud raises on
+    malformed HTTP messages."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_warc_http_responses,
+        synthesize_http_warc_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(5)], "doc_id long, text string"
+    )
+    out = decode_warc_http_responses(synthesize_http_warc_corpus(docs))
+    resp = {r.media_id: r for r in
+            out.filter(F.col("warc_type") == "response").collect()}
+    assert resp[0].http_status == 200
+    assert (resp[0].charset, resp[0].charset_source) == ("utf-8", "header")
+    assert resp[0].body_text == (
+        "<html><body><p>doc body 0</p></body></html>"
+    )
+    assert (resp[1].charset, resp[1].charset_source) == (
+        "iso-8859-1", "meta",
+    )
+    assert "café 1" in resp[1].body_text
+    assert (resp[2].charset, resp[2].charset_source) == (
+        "latin-1", "fallback",
+    )
+    assert "café 2" in resp[2].body_text
+    # latin-1 bodies: byte count == char count; the é proves non-UTF-8
+    assert resp[2].body_bytes == len(resp[2].body_text)
+    assert resp[2].body_bytes < len(resp[2].body_text.encode("utf-8"))
+    # 404 screened: envelope parsed, body NULL, row kept
+    assert resp[3].http_status == 404 and resp[3].is_html
+    assert resp[3].charset is None and resp[3].body_text is None
+    # non-HTML screened likewise
+    assert resp[4].content_type == "application/pdf"
+    assert not resp[4].is_html and resp[4].body_text is None
+    assert resp[4].body_bytes == 25
+    # warcinfo rows carry NULL HTTP columns
+    info = out.filter(F.col("warc_type") == "warcinfo").collect()
+    assert len(info) == 5
+    assert all(r.http_status is None and r.body_text is None for r in info)
+    # ASCII body with no declaration: utf-8 succeeds on the fallback
+    def shard(body: bytes, wtype: bytes = b"response") -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: " + wtype + b"\r\nContent-Length: "
+            + str(len(body)).encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+        )
+
+    plain = shard(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhi")
+    one = decode_warc_http_responses(
+        spark.createDataFrame([(1, plain)], "media_id long, payload binary")
+    ).collect()[0]
+    assert (one.charset, one.charset_source) == ("utf-8", "fallback")
+    assert one.body_text == "hi"
+    # malformed HTTP raises with the media id: no CRLFCRLF terminator,
+    # non-HTTP payload, unknown declared charset
+    import pytest as _pytest
+
+    for bad in (
+        shard(b"HTTP/1.1 200 OK\r\nContent-Type: text/html"),
+        shard(b"not an http message at all"),
+        shard(
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=klingon-8\r\n\r\nx"
+        ),
+    ):
+        df = spark.createDataFrame(
+            [(7, bad)], "media_id long, payload binary"
+        )
+        with _pytest.raises(Exception, match="media_id=7"):
+            decode_warc_http_responses(df).collect()
+
+
 def test_url_normalize_and_dedup(spark):
     from delta_lake_spark.operators.web import normalize_urls, url_dedup
 

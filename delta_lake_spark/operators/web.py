@@ -21,17 +21,116 @@ rule is stated so an external SQL engine replays it byte-for-byte:
    host keeps no slash at all).
 
 Contract: absolute ``scheme://`` URLs (the web-crawl case). The
-registered-domain column is the last-two-labels heuristic — a full
-public-suffix-list lookup is a broadcast join against that list's
-~9k rows, noted rather than shipped since the list itself is data,
-not code.
+registered-domain column defaults to the last-two-labels heuristic
+(the public-suffix list's implicit ``*`` rule); pass a public-suffix
+relation (one ``suffix`` string column — the real list is ~9k rows of
+DATA the caller ships) and ``with_registered_domain`` /
+``normalize_urls(suffixes=...)`` resolve it by LONGEST-match broadcast
+joins instead, so ``site.co.uk`` buckets as ``site.co.uk``, not
+``co.uk``. A ~30-entry sample fixture ships for tests/demos.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _TRACKING_KEYS = ("fbclid", "gclid", "ref")
+
+# Sample of public-suffix-list entries (publicsuffix.org classes: plain
+# TLDs, multi-label country suffixes, private registries). A real
+# deployment feeds the full list — it is data, not code.
+PUBLIC_SUFFIX_SAMPLE = (
+    "com", "org", "net", "io", "edu", "gov", "mil", "int", "info",
+    "dev", "app", "test", "example",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "au", "com.au", "net.au", "org.au", "edu.au",
+    "jp", "co.jp", "ne.jp", "or.jp",
+    "br", "com.br", "net.br",
+    "in", "co.in", "nz", "co.nz", "za", "co.za",
+    "github.io", "gitlab.io", "blogspot.com", "s3.amazonaws.com",
+)
+
+
+def suffix_relation(spark: SparkSession) -> DataFrame:
+    """The sample public-suffix fixture as a relation (suffix string)."""
+    return spark.createDataFrame(
+        [(s,) for s in PUBLIC_SUFFIX_SAMPLE], "suffix string"
+    )
+
+
+_HEURISTIC_DOMAIN = (
+    "CASE WHEN size(split({h}, '\\\\.')) >= 2"
+    " THEN concat_ws('.', slice(split({h}, '\\\\.'),"
+    "      size(split({h}, '\\\\.')) - 1, 2))"
+    " ELSE {h} END"
+)
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    suffixes: DataFrame | None = None,
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Add ``registered_domain`` for a host column.
+
+    Without ``suffixes``: the last-two-labels heuristic (the PSL's
+    implicit ``*`` rule — correct for plain TLDs, wrong for
+    ``site.co.uk``-class hosts).
+
+    With ``suffixes`` (one lowercase ``suffix`` string column):
+    public-suffix semantics by LONGEST match — for k =
+    ``max_suffix_labels``..1 the host's last-k-label tail is
+    left-joined against the k-label suffixes (each side tiny ->
+    ``broadcast``; the probe is map-only, NO shuffle on the corpus),
+    and the longest matching suffix plus its preceding label is the
+    registered domain. A host that IS a public suffix returns itself;
+    a host matching no rule falls back to the ``*`` heuristic (the
+    PSL's own prevailing rule). 100-TB shape: ``max_suffix_labels``
+    bounded broadcast hash joins over a <=9k-row build side, zero
+    Python, zero shuffles."""
+    h = F.col(host_col)
+    heuristic = F.expr(_HEURISTIC_DOMAIN.format(h=host_col))
+    if suffixes is None:
+        return df.withColumn("registered_domain", heuristic)
+    out = df.withColumn(
+        "__labels", F.split(h, r"\.")
+    ).withColumn("__n", F.size("__labels"))
+    regs = []
+    for k in range(max_suffix_labels, 0, -1):
+        sfx = f"__sfx{k}"
+        side = (
+            suffixes.select(F.lower("suffix").alias(sfx))
+            .where(F.size(F.split(F.col(sfx), r"\.")) == k)
+            .distinct()
+        )
+        cand = F.when(
+            F.col("__n") >= k,
+            F.concat_ws(
+                ".", F.slice("__labels", F.col("__n") - k + 1, k)
+            ),
+        )
+        out = out.join(
+            F.broadcast(side), cand == F.col(sfx), "left"
+        )
+        regs.append(
+            F.when(
+                F.col(sfx).isNotNull(),
+                F.when(
+                    F.col("__n") > k,
+                    F.concat_ws(
+                        ".",
+                        F.slice("__labels", F.col("__n") - k, k + 1),
+                    ),
+                ).otherwise(h),
+            )
+        )
+    out = out.withColumn(
+        "registered_domain", F.coalesce(*regs, heuristic)
+    )
+    return out.drop(
+        "__labels", "__n", *[f"__sfx{k}" for k in range(1, max_suffix_labels + 1)]
+    )
 
 
 def _norm_expr(url: str) -> str:
@@ -74,12 +173,17 @@ def _norm_expr(url: str) -> str:
 
 
 def normalize_urls(
-    df: DataFrame, url_col: str, id_col: str
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """Canonicalize a URL column (module rules above). Map-only, zero
     Python. Returns (id_col, url_col, url_norm, host,
     registered_domain, url_hash) — url_hash is xxhash64 of the
-    canonical form, the key URL-level dedup buckets on."""
+    canonical form, the key URL-level dedup buckets on.
+    ``registered_domain`` uses the last-two-labels heuristic unless a
+    public-suffix relation is passed (see with_registered_domain)."""
     out = df.select(
         F.col(id_col),
         F.col(url_col),
@@ -95,17 +199,13 @@ def normalize_urls(
             "  '/', 1), '?', 1)"
         ),
     )
+    out = with_registered_domain(out, "host", suffixes)
     return out.select(
         id_col,
         url_col,
         "url_norm",
         "host",
-        F.expr(
-            "CASE WHEN size(split(host, '\\\\.')) >= 2"
-            " THEN concat_ws('.', slice(split(host, '\\\\.'),"
-            "      size(split(host, '\\\\.')) - 1, 2))"
-            " ELSE host END"
-        ).alias("registered_domain"),
+        "registered_domain",
         F.xxhash64("url_norm").alias("url_hash"),
     )
 

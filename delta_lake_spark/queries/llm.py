@@ -10151,7 +10151,71 @@ FROM r
 """
 
 
+def q281_registered_domain_psl(spark, sf_dir):
+    """Public-suffix registered domains — the correction the
+    last-two-labels heuristic needs on any non-US corpus (it buckets
+    ``site.co.uk`` under ``co.uk``, corrupting URL-dedup buckets and
+    per-domain reports): six host shapes per document (www+co.uk /
+    deep multi-sub .com / github.io private registry / deep .com.au /
+    an unknown TLD exercising the PSL '*' fallback / ftp+ac.uk) are
+    resolved by longest-match broadcast joins against the sample
+    suffix relation. Map-only over the corpus — the suffix list is the
+    broadcast build side, zero shuffles (plan-tested). The oracle
+    states each shape's registered domain analytically
+    (operators/web.py with_registered_domain / suffix_relation)."""
+    from ..operators.web import normalize_urls, suffix_relation
+
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "'http://' || CASE CAST(doc_id % 6 AS INT)"
+            " WHEN 0 THEN 'www.shop-' || CAST(doc_id % 31 AS STRING)"
+            "   || '.co.uk'"
+            " WHEN 1 THEN 'a.b.site-' || CAST(doc_id % 31 AS STRING)"
+            "   || '.com'"
+            " WHEN 2 THEN 'user-' || CAST(doc_id % 31 AS STRING)"
+            "   || '.github.io'"
+            " WHEN 3 THEN 'deep.sub.corp-' || CAST(doc_id % 31 AS STRING)"
+            "   || '.com.au'"
+            " WHEN 4 THEN 'site-' || CAST(doc_id % 31 AS STRING) || '.zz'"
+            " ELSE 'ftp.edu-' || CAST(doc_id % 31 AS STRING) || '.ac.uk'"
+            " END || '/x?a=1'"
+        ).alias("url"),
+    )
+    return normalize_urls(
+        urls, "url", "doc_id", suffixes=suffix_relation(spark)
+    ).select("doc_id", "host", "registered_domain")
+
+
+_Q281_SQL = """
+WITH h AS (
+  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS v,
+    CAST(doc_id % 31 AS VARCHAR) AS b
+  FROM documents
+)
+SELECT doc_id,
+  CASE v
+    WHEN 0 THEN 'www.shop-' || b || '.co.uk'
+    WHEN 1 THEN 'a.b.site-' || b || '.com'
+    WHEN 2 THEN 'user-' || b || '.github.io'
+    WHEN 3 THEN 'deep.sub.corp-' || b || '.com.au'
+    WHEN 4 THEN 'site-' || b || '.zz'
+    ELSE 'ftp.edu-' || b || '.ac.uk'
+  END AS host,
+  CASE v
+    WHEN 0 THEN 'shop-' || b || '.co.uk'
+    WHEN 1 THEN 'site-' || b || '.com'
+    WHEN 2 THEN 'user-' || b || '.github.io'
+    WHEN 3 THEN 'corp-' || b || '.com.au'
+    WHEN 4 THEN 'site-' || b || '.zz'
+    ELSE 'edu-' || b || '.ac.uk'
+  END AS registered_domain
+FROM h
+"""
+
+
 QUERIES = {
+    "q281_registered_domain_psl": q281_registered_domain_psl,
     "q280_http_charset_decode": q280_http_charset_decode,
     "q279_perceptron_eval": q279_perceptron_eval,
     "q278_perceptron_train": q278_perceptron_train,
@@ -10325,6 +10389,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q281_registered_domain_psl": _Q281_SQL,
     "q280_http_charset_decode": _Q280_SQL,
     "q279_perceptron_eval": _Q279_SQL,
     "q278_perceptron_train": _Q278_SQL,

@@ -5696,6 +5696,63 @@ def test_warc_payload_mode_and_crawl_synth(spark):
     assert decode_warc_records(bad).count() == 1
 
 
+def test_registered_domain_public_suffix_longest_match(spark):
+    """with_registered_domain(suffixes=...): longest suffix wins
+    (co.uk over uk, github.io over io), a host that IS a suffix
+    returns itself, unknown TLDs fall back to the '*' heuristic, and
+    the corpus side never shuffles (broadcast joins only)."""
+    from delta_lake_spark.operators.web import (
+        suffix_relation,
+        with_registered_domain,
+    )
+
+    rows = [
+        (1, "www.shop.co.uk"),
+        (2, "a.b.site.com"),
+        (3, "user.github.io"),
+        (4, "deep.sub.corp.com.au"),
+        (5, "site.zz"),           # unknown TLD -> '*' fallback
+        (6, "co.uk"),             # host IS a public suffix
+        (7, "bucket.s3.amazonaws.com"),  # 3-label private registry
+        (8, "localhost"),         # single label, no rule
+        (9, "blog.example.blogspot.com"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string")
+    sfx = suffix_relation(spark)
+    got = {
+        r.id: r.registered_domain
+        for r in with_registered_domain(df, "host", sfx).collect()
+    }
+    assert got == {
+        1: "shop.co.uk",
+        2: "site.com",
+        3: "user.github.io",
+        4: "corp.com.au",
+        5: "site.zz",
+        6: "co.uk",
+        7: "bucket.s3.amazonaws.com",
+        8: "localhost",
+        9: "example.blogspot.com",
+    }
+    # default (no table) keeps the documented heuristic
+    heur = {
+        r.id: r.registered_domain
+        for r in with_registered_domain(df, "host").collect()
+    }
+    assert heur[1] == "co.uk" and heur[3] == "github.io"
+    # scale shape: broadcast build sides, no shuffle of the corpus
+    plan = (
+        with_registered_domain(df, "host", sfx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges are the distinct() on the <=9k-row suffix
+    # BUILD side (feeding BroadcastExchange); the corpus never shuffles
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "suffix" in line or "__sfx" in line, line
+
+
 def test_warc_http_envelope_and_charset_selection(spark):
     """decode_warc_http_responses: all three charset-selection paths,
     relational non-2xx/non-HTML screening, and loud raises on

@@ -231,6 +231,179 @@ def url_dedup(
     )
 
 
+# jusText/Kohlschütter-class boilerplate removal: deterministic
+# block-level layer between raw HTML extraction (q275) and document
+# quality filters (the Gopher rules, q133). English stopword fixture —
+# the rule compares densities, so a ~30-word core list is what the
+# published heuristics use.
+BOILERPLATE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "were", "be", "been", "it", "that", "this", "with", "as",
+    "for", "on", "at", "by", "from", "not", "have", "has", "had",
+    "but", "they", "we", "you", "he", "she",
+)
+
+_BLOCK_TAG_SPLIT = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|td|tr|th|table|blockquote|pre|br|"
+    r"section|article|header|footer|nav|aside|form)\b[^>]*>"
+)
+_ANCHOR_CAPTURE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def boilerplate_blocks(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    min_chars: int = 30,
+    max_link_density_pct: int = 34,
+    min_stopword_density_pct: int = 15,
+    min_words_for_stopword_rule: int = 5,
+) -> DataFrame:
+    """Block-level boilerplate classification (the jusText /
+    Kohlschütter text-density family, stated with INTEGER-exact rules
+    so an external SQL engine replays every verdict):
+
+    1. pre-clean: drop script/style elements with content, drop
+       comments (the html_extract_text steps 1-3);
+    2. split into blocks on block-level tag boundaries (p, div, h1-h6,
+       li, td, table parts, br, section/article/header/footer/nav/
+       aside/form — the tag itself is the delimiter, discarded);
+    3. per block: ``text`` = tag-stripped, five-entity-decoded,
+       whitespace-collapsed, trimmed; ``link_chars`` = summed length of
+       each ``<a>..</a>`` anchor's tag-stripped collapsed text;
+       ``n_words`` / ``stop_words`` over single-space word splits
+       (stopwords lowercased, exact-token match);
+    4. audit flags, each a stated integer comparison:
+       - ``flag_short``: n_chars < min_chars;
+       - ``flag_link_heavy``: link_chars * 100 >= n_chars *
+         max_link_density_pct;
+       - ``flag_low_stopword``: n_words >= min_words_for_stopword_rule
+         AND stop_words * 100 < n_words * min_stopword_density_pct;
+       - ``is_content``: none of the above.
+
+    Blocks whose text is empty are dropped; ``block_idx`` keeps the
+    ORIGINAL split position so the block order (and any later
+    re-assembly) is stable. Map-only: one posexplode, zero Python,
+    zero shuffles. Returns (id_col, block_idx, text, n_chars, n_words,
+    link_chars, stop_words, flag_short, flag_link_heavy,
+    flag_low_stopword, is_content)."""
+    pre = F.col(html_col)
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script>",
+        r"(?is)<style\b[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+    ):
+        pre = F.regexp_replace(pre, pat, " ")
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(pre, _BLOCK_TAG_SPLIT)).alias(
+            "block_idx", "__blk"
+        ),
+    )
+
+    def clean(col):
+        steps = [
+            (r"<[^>]*>", " "),
+            (r"&lt;", "<"),
+            (r"&gt;", ">"),
+            (r"&quot;", "\""),
+            (r"&#39;", "'"),
+            (r"&amp;", "&"),
+            (r"\s+", " "),
+        ]
+        for pat, rep in steps:
+            col = F.regexp_replace(col, pat, rep)
+        return F.trim(col)
+
+    link_chars = F.aggregate(
+        F.regexp_extract_all(F.col("__blk"), F.lit(_ANCHOR_CAPTURE), 1),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.length(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(x, "<[^>]*>", " "), r"\s+", " "
+                )
+            )
+        ),
+    )
+    scored = blocks.select(
+        id_col,
+        "block_idx",
+        clean(F.col("__blk")).alias("text"),
+        link_chars.alias("link_chars"),
+    ).filter(F.length("text") > 0)
+    scored = scored.select(
+        id_col,
+        "block_idx",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).cast("long").alias("n_words"),
+        "link_chars",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "),
+                lambda w: w.isin(*BOILERPLATE_STOPWORDS),
+            )
+        ).cast("long").alias("stop_words"),
+    )
+    flag_short = F.col("n_chars") < min_chars
+    flag_link = (
+        F.col("link_chars") * 100
+        >= F.col("n_chars") * max_link_density_pct
+    )
+    flag_stop = (F.col("n_words") >= min_words_for_stopword_rule) & (
+        F.col("stop_words") * 100
+        < F.col("n_words") * min_stopword_density_pct
+    )
+    return scored.select(
+        "*",
+        flag_short.alias("flag_short"),
+        flag_link.alias("flag_link_heavy"),
+        flag_stop.alias("flag_low_stopword"),
+        (~(flag_short | flag_link | flag_stop)).alias("is_content"),
+    )
+
+
+def boilerplate_clean_docs(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    **rule_kwargs,
+) -> DataFrame:
+    """Document-level composition of ``boilerplate_blocks``: the
+    surviving (is_content) blocks re-assembled in block order — the
+    relation a funnel feeds to token/quality stages instead of the
+    raw q275 extraction. One hash aggregation on the id. Returns
+    (id_col, content_text, content_chars, n_blocks,
+    n_content_blocks)."""
+    blocks = boilerplate_blocks(df, html_col, id_col, **rule_kwargs)
+    return blocks.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_content"),
+                            F.struct("block_idx", "text"),
+                        )
+                    )
+                ),
+                lambda s: s.text,
+            ),
+            " ",
+        ).alias("content_text"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("is_content"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_content_blocks"),
+    ).withColumn(
+        "content_chars", F.length("content_text").cast("long")
+    )
+
+
 def html_extract_text(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
     """HTML -> text extraction (the step between container walk and
     text processing in a web pipeline), as a fixed chain of

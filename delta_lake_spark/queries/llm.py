@@ -10214,7 +10214,170 @@ FROM h
 """
 
 
+_Q282_PAGE_SPARK = (
+    "'<html><head><title>Doc</title><style>p { color: red; }</style>"
+    "</head><body>"
+    "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>"
+    " <a href=\"/contact\">Contact us</a></nav>"
+    "<h1>Doc ' || CAST(doc_id AS STRING) || '</h1>"
+    "<p>' || text || ' this is the body of the page and it has the"
+    " usual words</p>"
+    "<p>ok</p>"
+    "<footer>copyright 2024 acme corp all rights reserved</footer>"
+    "</body></html>'"
+)
+
+_Q282_PAGE_DUCK = """
+    '<html><head><title>Doc</title><style>p { color: red; }</style>'
+    || '</head><body>'
+    || '<nav><a href="/">Home</a> <a href="/about">About</a>'
+    || ' <a href="/contact">Contact us</a></nav>'
+    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+    || '<p>' || text || ' this is the body of the page and it has the'
+    || ' usual words</p>'
+    || '<p>ok</p>'
+    || '<footer>copyright 2024 acme corp all rights reserved</footer>'
+    || '</body></html>'
+"""
+
+# DuckDB replay of the boilerplate_blocks pipeline (same regexes, same
+# integer rules) — shared by q282 (block relation) and q283 (doc roll).
+_Q282_BLOCKS_CTE = r"""
+WITH pages AS (
+  SELECT doc_id, {page} AS html FROM documents
+),
+pre AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g') AS html
+  FROM pages
+),
+split_blocks AS (
+  SELECT doc_id,
+    string_split_regex(html,
+      '(?i)</?(?:p|div|h[1-6]|li|ul|ol|td|tr|th|table|blockquote|pre|br|section|article|header|footer|nav|aside|form)\b[^>]*>'
+    ) AS l
+  FROM pre
+),
+raw_blocks AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS block_idx,
+    l[CAST(i AS INTEGER)] AS blk
+  FROM split_blocks, UNNEST(range(1, len(l) + 1)) u(i)
+),
+scored AS (
+  SELECT doc_id, block_idx,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
+      blk,
+      '<[^>]*>', ' ', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', CHR(39), 'g'),
+      '&amp;', '&', 'g'),
+      '\s+', ' ', 'g')) AS text,
+    CAST(COALESCE(list_sum(list_transform(
+      regexp_extract_all(blk, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+      x -> length(trim(regexp_replace(regexp_replace(x,
+             '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))
+    )), 0) AS BIGINT) AS link_chars
+  FROM raw_blocks
+),
+blocks AS (
+  SELECT doc_id, block_idx, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+         AS BIGINT) AS n_words,
+    link_chars,
+    CAST(len(list_filter(string_split(lower(text), ' '),
+         w -> w IN ({stops}))) AS BIGINT) AS stop_words
+  FROM scored WHERE length(text) > 0
+),
+flagged AS (
+  SELECT *,
+    n_chars < 30 AS flag_short,
+    link_chars * 100 >= n_chars * 34 AS flag_link_heavy,
+    n_words >= 5 AND stop_words * 100 < n_words * 15
+      AS flag_low_stopword
+  FROM blocks
+)
+"""
+
+
+def _q282_cte() -> str:
+    from ..operators.web import BOILERPLATE_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in BOILERPLATE_STOPWORDS)
+    return _Q282_BLOCKS_CTE.format(page=_Q282_PAGE_DUCK, stops=stops)
+
+
+def q282_boilerplate_blocks(spark, sf_dir):
+    """Block-level boilerplate removal (the jusText/Kohlschütter
+    text-density layer between raw HTML extraction and the Gopher
+    quality filter): a deterministic page wrapper (nav of links /
+    heading / stopword-enriched body / a short block / a
+    zero-stopword footer) is classified block by block with
+    integer-exact link-density + stopword-density + length rules, and
+    every audit flag is a column. Map-only (one posexplode, zero
+    Python); the oracle replays the whole pipeline — pre-clean, block
+    split, per-block text and anchor-char arithmetic, all three rules
+    — so every verdict is value-exact (operators/web.py
+    boilerplate_blocks)."""
+    from ..operators.web import boilerplate_blocks
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q282_PAGE_SPARK).alias("html")
+    )
+    return boilerplate_blocks(pages, "html", "doc_id")
+
+
+def _q282_sql() -> str:
+    return _q282_cte() + """
+SELECT doc_id, block_idx, text, n_chars, n_words, link_chars,
+  stop_words, flag_short, flag_link_heavy, flag_low_stopword,
+  NOT (flag_short OR flag_link_heavy OR flag_low_stopword) AS is_content
+FROM flagged
+"""
+
+
+def q283_boilerplate_clean_docs(spark, sf_dir):
+    """Document-level boilerplate funnel: the q282 block verdicts
+    re-assembled per document — surviving blocks concatenated in
+    block order plus the block counts a curation report needs. One
+    hash aggregation on doc_id after the map-only block stage
+    (operators/web.py boilerplate_clean_docs)."""
+    from ..operators.web import boilerplate_clean_docs
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q282_PAGE_SPARK).alias("html")
+    )
+    return boilerplate_clean_docs(pages, "html", "doc_id")
+
+
+def _q283_sql() -> str:
+    return _q282_cte() + """
+SELECT doc_id,
+  COALESCE(string_agg(text, ' ' ORDER BY block_idx)
+           FILTER (WHERE NOT (flag_short OR flag_link_heavy
+                              OR flag_low_stopword)), '')
+    AS content_text,
+  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+  CAST(SUM(CASE WHEN NOT (flag_short OR flag_link_heavy
+                          OR flag_low_stopword) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_content_blocks,
+  CAST(length(COALESCE(string_agg(text, ' ' ORDER BY block_idx)
+       FILTER (WHERE NOT (flag_short OR flag_link_heavy
+                          OR flag_low_stopword)), '')) AS BIGINT)
+    AS content_chars
+FROM flagged GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "q283_boilerplate_clean_docs": q283_boilerplate_clean_docs,
+    "q282_boilerplate_blocks": q282_boilerplate_blocks,
     "q281_registered_domain_psl": q281_registered_domain_psl,
     "q280_http_charset_decode": q280_http_charset_decode,
     "q279_perceptron_eval": q279_perceptron_eval,
@@ -10389,6 +10552,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q283_boilerplate_clean_docs": _q283_sql(),
+    "q282_boilerplate_blocks": _q282_sql(),
     "q281_registered_domain_psl": _Q281_SQL,
     "q280_http_charset_decode": _Q280_SQL,
     "q279_perceptron_eval": _Q279_SQL,

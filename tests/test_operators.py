@@ -5753,6 +5753,59 @@ def test_registered_domain_public_suffix_longest_match(spark):
             assert "suffix" in line or "__sfx" in line, line
 
 
+def test_boilerplate_blocks_rules_and_doc_roll(spark):
+    """boilerplate_blocks: each rule fires on its designed block (nav
+    of links -> link-heavy, title fragment -> short, zero-stopword
+    footer -> low_stopword, stopword-rich body -> content), empty
+    blocks drop, and the doc roll re-assembles survivors in block
+    order. Block stage is map-only (no exchange before the roll)."""
+    from delta_lake_spark.operators.web import (
+        boilerplate_blocks,
+        boilerplate_clean_docs,
+    )
+
+    body = (
+        "the cat and the dog are in the house with a ball and it is"
+        " good that they play for hours on end"
+    )
+    html = (
+        "<html><head><title>T</title><style>p {x}</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/a">About</a>'
+        ' <a href="/c">Contact us</a></nav>'
+        f"<p>{body}</p>"
+        "<p>ok</p>"
+        "<footer>copyright 2024 acme corp all rights reserved</footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    blocks = {
+        r.text: r for r in boilerplate_blocks(df, "html", "id").collect()
+    }
+    nav = blocks["Home About Contact us"]
+    assert nav.link_chars == 19 and nav.flag_link_heavy and nav.flag_short
+    assert not nav.is_content
+    title = blocks["T"]
+    assert title.flag_short and not title.flag_link_heavy
+    main = blocks[body]
+    assert main.is_content and main.link_chars == 0
+    assert main.stop_words * 100 >= main.n_words * 15
+    foot = blocks["copyright 2024 acme corp all rights reserved"]
+    assert foot.flag_low_stopword and not foot.flag_short
+    assert not foot.is_content
+    assert blocks["ok"].flag_short
+    assert len(blocks) == 5  # empty inter-tag fragments dropped
+    docs = boilerplate_clean_docs(df, "html", "id").collect()[0]
+    assert docs.content_text == body
+    assert docs.n_blocks == 5 and docs.n_content_blocks == 1
+    assert docs.content_chars == len(body)
+    # block stage is map-only
+    plan = (
+        boilerplate_blocks(df, "html", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_warc_http_envelope_and_charset_selection(spark):
     """decode_warc_http_responses: all three charset-selection paths,
     relational non-2xx/non-HTML screening, and loud raises on

@@ -1687,7 +1687,116 @@ FROM b CROSS JOIN ref GROUP BY etype
 
 
 
+def q284_streaming_warc_ingestion(spark, sf_dir):
+    """Streaming web ingestion end to end: crawl WARC shards (messy
+    URLs + HTML bodies, the q277 construction) drain through TWO
+    file-source micro-batches (ids < 250, then the rest) of the
+    replay-guarded incremental pattern — on-arrival record walk, HTML
+    extraction, URL canonicalization, then URL dedup against the batch
+    AND the persisted canonical-URL state, every page receiving a
+    verdict row with its rejection provenance. The oracle restates
+    both epochs relationally — dup_source distinguishes 'state'
+    (canonical URL already ingested by an EARLIER batch) from 'batch'
+    (within-batch loser), so processing both batches as one would flip
+    verdicts and fail the gate (streaming/incremental.py
+    stream_warc_ingestion)."""
+    import os as _os
+
+    from ..operators.multimodal import synthesize_crawl_warc_corpus
+    from ..streaming.incremental import stream_warc_ingestion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = _fresh("warc_src")
+        _os.makedirs(src, exist_ok=True)
+        staging = _fresh("warc_stage")
+        batches = [
+            docs.filter(F.col("doc_id") < 250),
+            docs.filter(F.col("doc_id") >= 250),
+        ]
+        for i, b in enumerate(batches):
+            d = f"{staging}/b{i}"
+            synthesize_crawl_warc_corpus(b).coalesce(1).write.parquet(d)
+            part = next(
+                f for f in _os.listdir(d) if f.endswith(".parquet")
+            )
+            _os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+            # pin strictly increasing mtimes (file-source epoch order)
+            _os.utime(
+                f"{src}/b{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        verdicts = stream_warc_ingestion(
+            spark,
+            src,
+            _fresh("warc_verdicts"),
+            _fresh("warc_ckpt"),
+            txn_app_id="q284",
+        )
+        verdicts = verdicts.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return verdicts
+
+
+_Q284_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+    doc_id % 97 AS b,
+    CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS batch,
+    '<html><head><title>Doc</title>'
+    || '<style type="text/css">p { color: red; }</style>'
+    || '<script>var x = 1 < 2 && doc;</script></head>'
+    || '<body><!-- comment ' || CAST(doc_id AS VARCHAR) || ' -->'
+    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+    || '<p class="main">' || text || '</p>'
+    || '<p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39;'
+    || ' &amp;lt;kept&amp;gt;</p></body></html>' AS html
+  FROM documents
+),
+x AS (
+  SELECT doc_id, batch,
+    'http://site-' || CAST(b AS VARCHAR) || '.com'
+    || CASE WHEN doc_id % 4 <= 2
+       THEN '/p/' || CAST(b AS VARCHAR) || '?a=1&b=2'
+       ELSE '/other/' || CAST(b AS VARCHAR) END AS url_norm,
+    'site-' || CAST(b AS VARCHAR) || '.com' AS registered_domain,
+    CAST(LENGTH(trim(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
+      html,
+      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '<[^>]*>', ' ', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', CHR(39), 'g'),
+      '&amp;', '&', 'g'),
+      '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+  FROM pages
+),
+w AS (
+  SELECT doc_id, batch, url_norm, registered_domain, n_chars,
+    MIN(doc_id) OVER (PARTITION BY url_norm, batch) AS bmin,
+    MIN(batch) OVER (PARTITION BY url_norm) AS fbatch
+  FROM x
+)
+SELECT doc_id AS media_id, url_norm, registered_domain, n_chars,
+  (batch = fbatch AND doc_id = bmin) AS kept,
+  CASE WHEN batch > fbatch THEN 'state'
+       WHEN doc_id <> bmin THEN 'batch' END AS dup_source
+FROM w
+"""
+
+
 QUERIES = {
+    "q284_streaming_warc_ingestion": q284_streaming_warc_ingestion,
     "q256_streaming_decayed_rates": q256_streaming_decayed_rates,
     "q237_streaming_span_screen": q237_streaming_span_screen,
     "q209_streaming_media_keyframes": q209_streaming_media_keyframes,
@@ -1727,6 +1836,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q284_streaming_warc_ingestion": _Q284_SQL,
     "q256_streaming_decayed_rates": _Q256_SQL,
     "q237_streaming_span_screen": _Q237_SQL,
     "q209_streaming_media_keyframes": _Q209_SQL,

@@ -1078,6 +1078,129 @@ def stream_docs_with_span_screen(
     return read_delta(spark, spans_path)
 
 
+def stream_warc_ingestion(
+    spark: SparkSession,
+    source_dir: str,
+    verdicts_path: str,
+    checkpoint_dir: str,
+    schema: str = "media_id long, payload binary",
+    txn_app_id: str = "dls_warc_ingest",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """STREAMING web ingestion — the q277 pipeline composed through
+    the replay-guarded incremental pattern (the q209/q237 precedent):
+    WARC shards arrive as files, and each micro-batch runs the
+    on-arrival record walk + HTML text extraction + URL
+    canonicalization, then URL-level dedup against BOTH the batch
+    (min-id keeper per canonical URL) and the PERSISTED canonical-URL
+    state (the kept rows of the verdicts table so far). Every page
+    gets a verdict row — kept, or rejected with its provenance
+    (``dup_source`` = 'state' for a URL already in the corpus, checked
+    first; 'batch' for a within-batch loser) — so the sequencing is
+    OBSERVABLE: replaying both batches as one would turn every 'state'
+    into a 'batch'.
+
+    Exactly-once via the (txnAppId, epoch) idempotent-append guard; a
+    crash-retried epoch re-reads the SAME pre-batch state because the
+    epoch's own append is skipped on replay. 100-TB shape: the decode/
+    extract/normalize stages are map-only; per epoch one batch-keyed
+    aggregation plus one join against the state's distinct canonical
+    URLs (at scale that relation is the batch's bloom/bucket residue,
+    not a full scan — the corpus grows append-only and stays
+    time-travelable). Returns the verdicts table: (media_id, url_norm,
+    registered_domain, n_chars, kept boolean, dup_source string)."""
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..operators.multimodal import decode_warc_records
+    from ..operators.web import html_extract_text, normalize_urls
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    def _write_batch(batch_df, epoch_id: int) -> None:
+        log = DeltaLog(verdicts_path)
+        exists = False
+        try:
+            if log.exists():
+                exists = True
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        return  # replayed epoch
+        except TableNotFoundError:
+            pass
+
+        recs = decode_warc_records(
+            batch_df, include_payload=True
+        ).filter(F.col("warc_type") == "response")
+        extracted = html_extract_text(recs, "payload_text", "media_id")
+        urls = normalize_urls(
+            recs.select("media_id", "target_uri"),
+            "target_uri",
+            "media_id",
+        )
+        pages = extracted.join(urls, "media_id").select(
+            "media_id", "url_norm", "registered_domain", "n_chars"
+        )
+        keeper = pages.groupBy("url_norm").agg(
+            F.min("media_id").alias("__keep_id")
+        )
+        pages = pages.join(keeper, "url_norm")
+        if exists:
+            seen = (
+                read_delta(spark, verdicts_path)
+                .filter(F.col("kept"))
+                .select("url_norm")
+                .distinct()
+                .withColumn("__seen", F.lit(True))
+            )
+            pages = pages.join(seen, "url_norm", "left")
+        else:
+            pages = pages.withColumn(
+                "__seen", F.lit(None).cast("boolean")
+            )
+        verdicts = pages.select(
+            "media_id",
+            "url_norm",
+            "registered_domain",
+            "n_chars",
+            (
+                F.col("__seen").isNull()
+                & (F.col("media_id") == F.col("__keep_id"))
+            ).alias("kept"),
+            F.when(F.col("__seen").isNotNull(), F.lit("state"))
+            .when(
+                F.col("media_id") != F.col("__keep_id"), F.lit("batch")
+            )
+            .alias("dup_source"),
+        )
+        write_delta(
+            verdicts,
+            verdicts_path,
+            mode="append",
+            operation="STREAMING WARC INGEST",
+            operation_parameters={
+                "txnAppId": txn_app_id,
+                "txnVersion": epoch_id,
+                "outputMode": "Append",
+            },
+        )
+
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(source_dir)
+    q = (
+        src.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return read_delta(spark, verdicts_path)
+
+
 def stream_decayed_event_state(
     spark: SparkSession,
     source_dir: str,

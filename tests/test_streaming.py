@@ -843,6 +843,69 @@ def test_streaming_span_screen_sequencing_and_replay(spark, tmp_path):
     assert read_delta(spark, corpus).count() == n_corpus
 
 
+def test_stream_warc_ingestion_provenance_and_replay(spark, tmp_path):
+    """Streaming WARC ingestion: batch 2's duplicate of a batch-1 URL
+    is rejected with dup_source='state' (NOT 'batch' — the sequencing
+    is observable), within-batch losers get 'batch', replaying the
+    drained stream appends nothing, and a fresh-checkpoint re-drain is
+    a no-op thanks to the (txnAppId, epoch) guard."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.multimodal import (
+        synthesize_crawl_warc_corpus,
+    )
+    from delta_lake_spark.streaming.incremental import stream_warc_ingestion
+
+    # messy_url buckets by id%97 and form by id%4 (<=2 -> /p/, else
+    # /other/): 100 and 197 share (b=3, /p/) within batch 1; 294
+    # duplicates it from batch 2; 391 is (b=3, /other/) — novel.
+    b1 = [(100, "alpha text"), (197, "beta text"), (5, "gamma text")]
+    b2 = [(294, "delta text"), (391, "epsilon text")]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        d = str(tmp_path / f"stage{i}")
+        synthesize_crawl_warc_corpus(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+        os.utime(f"{src}/b{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    verdicts_path = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    out = stream_warc_ingestion(
+        spark, src, verdicts_path, ckpt, txn_app_id="t_warc"
+    )
+    got = {r.media_id: r for r in out.collect()}
+    assert len(got) == 5
+    assert got[100].kept and got[100].dup_source is None
+    assert got[5].kept
+    assert not got[197].kept and got[197].dup_source == "batch"
+    assert not got[294].kept and got[294].dup_source == "state"
+    assert got[391].kept  # same bucket, different canonical path
+    assert got[100].url_norm == got[294].url_norm
+    assert got[100].registered_domain == "site-3.com"
+    assert got[100].n_chars > 0
+
+    # drained replay: nothing new
+    n = out.count()
+    again = stream_warc_ingestion(
+        spark, src, verdicts_path, ckpt, txn_app_id="t_warc"
+    )
+    assert again.count() == n
+    # fresh checkpoint over the same files: the epoch guard makes the
+    # re-drain a no-op (appends are NOT idempotent without it)
+    third = stream_warc_ingestion(
+        spark, src, verdicts_path, str(tmp_path / "ckpt2"),
+        txn_app_id="t_warc",
+    )
+    assert third.count() == n
+    assert third.filter(F.col("kept")).count() == 3
+
+
 def test_decayed_state_replay_guard(spark, tmp_path):
     """A re-drained epoch (fresh checkpoint over the same files) must
     NOT double-count: bucket adds are non-idempotent, so the

@@ -404,7 +404,65 @@ def boilerplate_clean_docs(
     )
 
 
-def html_extract_text(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
+def _decode_numeric_entities(col):
+    """Decode ``&#NNN;`` / ``&#xHH;`` numeric character references in a
+    string column with built-ins only: entity payloads are fenced with
+    an \\x01 sentinel (regexp capture), the string split on it, and
+    every odd-indexed piece converted to its codepoint's character —
+    BMP codepoints via a UTF-16BE unhex-decode, supplementary ones via
+    the computed surrogate pair. Invalid references (0, > U+10FFFF, or
+    a surrogate codepoint) pass through as their literal ``&#..;``
+    text. Contract: the input must not contain \\x01 (a control char
+    no HTML carries)."""
+    marked = F.regexp_replace(
+        col, r"&#([xX][0-9a-fA-F]{1,6}|[0-9]{1,7});", "\x01$1\x01"
+    )
+    parts = F.split(marked, "\x01")
+
+    def dec(p):
+        code = F.when(
+            F.lower(F.substring(p, 1, 1)) == "x",
+            F.conv(F.substring(p, 2, 16), 16, 10).cast("long"),
+        ).otherwise(p.cast("long"))
+        valid = (
+            code.isNotNull()
+            & (code >= 1)
+            & (code <= 0x10FFFF)
+            & ~((code >= 0xD800) & (code <= 0xDFFF))
+        )
+        bmp = F.decode(F.unhex(F.lpad(F.hex(code), 4, "0")), "UTF-16BE")
+        hi = F.lit(0xD800) + F.floor(
+            (code - F.lit(0x10000)) / F.lit(1024)
+        ).cast("long")
+        lo = F.lit(0xDC00) + (code - F.lit(0x10000)) % F.lit(1024)
+        supp = F.decode(
+            F.unhex(
+                F.concat(
+                    F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0")
+                )
+            ),
+            "UTF-16BE",
+        )
+        return (
+            F.when(valid & (code < 0x10000), bmp)
+            .when(valid, supp)
+            .otherwise(F.concat(F.lit("&#"), p, F.lit(";")))
+        )
+
+    return F.array_join(
+        F.transform(
+            parts, lambda p, i: F.when(i % 2 == 1, dec(p)).otherwise(p)
+        ),
+        "",
+    )
+
+
+def html_extract_text(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    decode_numeric_entities: bool = False,
+) -> DataFrame:
     """HTML -> text extraction (the step between container walk and
     text processing in a web pipeline), as a fixed chain of
     regexp_replace passes both engines define identically:
@@ -413,21 +471,32 @@ def html_extract_text(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
        (non-greedy, dot-matches-newline, case-insensitive tags);
     2. drop ``<!-- comments -->``;
     3. strip every remaining tag;
-    4. decode the five basic entities (&amp; &lt; &gt; &quot; &#39;)
+    4. with ``decode_numeric_entities``: decode ``&#NNN;``/``&#xHH;``
+       references (see _decode_numeric_entities) — BEFORE the named
+       entities, so the common double-escape ``&amp;#65;`` stays the
+       literal ``&#65;`` the author wrote (corner: a numeric ``&#38;``
+       whose output '&' ends up feeding a following named entity, e.g.
+       ``&#38;lt;`` -> '<', decodes one level deeper than a spec HTML
+       parser — deterministic and identical in both engines);
+    5. decode the five basic entities (&amp; &lt; &gt; &quot; &#39;)
        — &amp; LAST, so ``&amp;lt;`` decodes to the literal ``&lt;``
-       the author wrote, not a spurious ``<``;
-    5. collapse whitespace runs to single spaces and trim.
+       the author wrote, not a spurious ``<``. Named entities beyond
+       these five (``&nbsp;`` etc.) pass through as text — the
+       documented 80%-case contract;
+    6. collapse whitespace runs to single spaces and trim.
 
     Map-only, zero Python, zero shuffles. This is the deterministic
     80%-case extractor (the trafilatura/jusText class of
     readability heuristics is a model-weighted layer ON TOP of this,
     not a replacement for it). Returns (id_col, text, n_chars).
     """
-    steps = [
+    pre = [
         (r"(?is)<script\b[^>]*>.*?</script>", " "),
         (r"(?is)<style\b[^>]*>.*?</style>", " "),
         (r"(?s)<!--.*?-->", " "),
         (r"<[^>]*>", " "),
+    ]
+    post = [
         (r"&lt;", "<"),
         (r"&gt;", ">"),
         (r"&quot;", "\""),
@@ -436,7 +505,11 @@ def html_extract_text(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
         (r"\s+", " "),
     ]
     col = F.col(html_col)
-    for pat, rep in steps:
+    for pat, rep in pre:
+        col = F.regexp_replace(col, pat, rep)
+    if decode_numeric_entities:
+        col = _decode_numeric_entities(col)
+    for pat, rep in post:
         col = F.regexp_replace(col, pat, rep)
     return df.select(
         F.col(id_col),

@@ -10375,7 +10375,101 @@ FROM flagged GROUP BY doc_id
 """
 
 
+_Q285_PAGE_SPARK = (
+    "'<html><body><h1>Doc ' || CAST(doc_id AS STRING) || '</h1>"
+    "<p>' || text || '</p>"
+    "<p>&#65;ngstrom &#x48;ex caf&#233; snow &#x2603; emoji &#x1F600;"
+    " bad &#0; &#xD800; &#1114112; double &amp;#65;"
+    " quote &#34;q&#34; apos &#39;s&#39;</p></body></html>'"
+)
+
+
+def q285_html_numeric_entities(spark, sf_dir):
+    """HTML extraction with NUMERIC character-reference decoding
+    (&#NNN; / &#xHH;): a page carrying decimal, hex, BMP,
+    supplementary-plane (surrogate-pair), invalid (0 / lone surrogate
+    / > U+10FFFF -> literal passthrough), and double-escaped
+    (&amp;#65; -> literal &#65;) references is extracted with
+    decode_numeric_entities=True. Pure built-ins — sentinel-fenced
+    split + per-piece codepoint arithmetic, zero Python — and the
+    oracle replays the identical staged pipeline with DuckDB's chr(),
+    so every decode branch is value-exact (operators/web.py
+    _decode_numeric_entities / html_extract_text)."""
+    from ..operators.web import html_extract_text
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q285_PAGE_SPARK).alias("html")
+    )
+    return html_extract_text(
+        pages, "html", "doc_id", decode_numeric_entities=True
+    )
+
+
+_Q285_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+    || '<p>' || text || '</p>'
+    || '<p>&#65;ngstrom &#x48;ex caf&#233; snow &#x2603; emoji &#x1F600;'
+    || ' bad &#0; &#xD800; &#1114112; double &amp;#65;'
+    || ' quote &#34;q&#34; apos &#39;s&#39;</p></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      html,
+      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '<[^>]*>', ' ', 'g') AS t
+  FROM pages
+),
+numdec AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      string_split(
+        regexp_replace(t, '&#([xX][0-9a-fA-F]{1,6}|[0-9]{1,7});',
+                       chr(1) || '\1' || chr(1), 'g'),
+        chr(1)),
+      (p, i) -> CASE WHEN i % 2 = 1 THEN p ELSE
+        CASE WHEN
+          (CASE WHEN lower(substr(p, 1, 1)) = 'x'
+                THEN CAST('0x' || substr(p, 2) AS BIGINT)
+                ELSE CAST(p AS BIGINT) END) >= 1
+          AND (CASE WHEN lower(substr(p, 1, 1)) = 'x'
+                    THEN CAST('0x' || substr(p, 2) AS BIGINT)
+                    ELSE CAST(p AS BIGINT) END) <= 1114111
+          AND NOT ((CASE WHEN lower(substr(p, 1, 1)) = 'x'
+                         THEN CAST('0x' || substr(p, 2) AS BIGINT)
+                         ELSE CAST(p AS BIGINT) END)
+                   BETWEEN 55296 AND 57343)
+        THEN chr(CAST((CASE WHEN lower(substr(p, 1, 1)) = 'x'
+                            THEN CAST('0x' || substr(p, 2) AS BIGINT)
+                            ELSE CAST(p AS BIGINT) END) AS INTEGER))
+        ELSE '&#' || p || ';' END
+      END), '') AS t
+  FROM stripped
+),
+x AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(
+      t,
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', CHR(39), 'g'),
+      '&amp;', '&', 'g'),
+      '\s+', ' ', 'g')) AS text
+  FROM numdec
+)
+SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM x
+"""
+
+
 QUERIES = {
+    "q285_html_numeric_entities": q285_html_numeric_entities,
     "q283_boilerplate_clean_docs": q283_boilerplate_clean_docs,
     "q282_boilerplate_blocks": q282_boilerplate_blocks,
     "q281_registered_domain_psl": q281_registered_domain_psl,
@@ -10552,6 +10646,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q285_html_numeric_entities": _Q285_SQL,
     "q283_boilerplate_clean_docs": _q283_sql(),
     "q282_boilerplate_blocks": _q282_sql(),
     "q281_registered_domain_psl": _Q281_SQL,

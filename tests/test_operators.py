@@ -5753,6 +5753,30 @@ def test_registered_domain_public_suffix_longest_match(spark):
             assert "suffix" in line or "__sfx" in line, line
 
 
+def test_html_numeric_entity_decode(spark):
+    """decode_numeric_entities: decimal/hex/BMP/supplementary decode,
+    invalid references pass through literally, &amp;#65; stays the
+    literal &#65; (numeric runs before the named chain), and the
+    default path is unchanged."""
+    from delta_lake_spark.operators.web import html_extract_text
+
+    html = (
+        "<p>&#65;B &#x48;i caf&#233; snow &#x2603; emoji &#x1F600;"
+        " bad &#0; &#xD800; &#1114112; double &amp;#65; q&#34;q</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    got = html_extract_text(
+        df, "html", "id", decode_numeric_entities=True
+    ).collect()[0]
+    assert got.text == (
+        "AB Hi café snow ☃ emoji 😀"
+        " bad &#0; &#xD800; &#1114112; double &#65; q\"q"
+    )
+    # default: numeric references (beyond &#39;) pass through
+    plain = html_extract_text(df, "html", "id").collect()[0]
+    assert "&#65;B" in plain.text and "caf&#233;" in plain.text
+
+
 def test_boilerplate_blocks_rules_and_doc_roll(spark):
     """boilerplate_blocks: each rule fires on its designed block (nav
     of links -> link-heavy, title fragment -> short, zero-stopword

@@ -1929,12 +1929,45 @@ WARC_RECORD_SCHEMA = (
 )
 
 
-def synthesize_warc_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _gzip_member(raw: bytes) -> bytes:
+    """One deterministic gzip member (zlib writes a zero-MTIME gzip
+    header, unlike the gzip module's wall-clock stamp)."""
+    import zlib
+
+    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return c.compress(raw) + c.flush()
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the CommonCrawl
+    convention: each WARC record its own member, members abutted).
+    Truncated members and trailing garbage raise."""
+    import zlib
+
+    out = []
+    while buf:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(buf))
+        except zlib.error as e:
+            raise ValueError(f"bad gzip member: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        buf = d.unused_data
+    return b"".join(out)
+
+
+def synthesize_warc_corpus(
+    df: DataFrame, id_col: str = "doc_id", gzip_records: bool = False
+) -> DataFrame:
     """Deterministic WARC/1.0 files per id: a 'warcinfo' head record
     followed by 1 + id%3 'response' records; response i targets
     http://site-{id%50}.test/page/{i} and carries 30 + (id*11 + i*17)
     % 90 repeats of the letter chr(97 + (id+i) % 26). CRLF framing and
-    the two empty lines between records per the ISO 28500 spec.
+    the two empty lines between records per the ISO 28500 spec. With
+    ``gzip_records`` each record is its own gzip member and the
+    members are concatenated — exactly how CommonCrawl ships .warc.gz
+    (record-level members keep the file seekable by offset).
     Map-only mapInPandas."""
 
     def batches(it):
@@ -1980,6 +2013,8 @@ def synthesize_warc_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         body,
                     )
                 )
+            if gzip_records:
+                return b"".join(_gzip_member(r) for r in out)
             return b"".join(out)
 
         for pdf in it:
@@ -2034,7 +2069,9 @@ def _warc_walk(buf: bytes):
 
 
 def decode_warc_records(
-    df: DataFrame, include_payload: bool = False
+    df: DataFrame,
+    include_payload: bool = False,
+    compression: str | None = None,
 ) -> DataFrame:
     """Walk each payload's WARC records: one output row per record
     with (media_id, record_idx, warc_type, target_uri, content_length,
@@ -2045,8 +2082,14 @@ def decode_warc_records(
     payloads carry an HTTP message with arbitrary charsets, use
     ``decode_warc_http_responses``, which parses the envelope and
     selects the charset instead of raising). Framing is enforced per
-    ``_warc_walk``. Map-only mapInPandas; payloads never visit the
-    driver."""
+    ``_warc_walk``. ``compression='gzip'`` accepts the .warc.gz shape
+    (one gzip member per record, members concatenated — the
+    CommonCrawl convention); truncated members raise with the media
+    id. Map-only mapInPandas; payloads never visit the driver."""
+    if compression not in (None, "gzip"):
+        raise ValueError(
+            f"compression must be None or 'gzip', got {compression!r}"
+        )
 
     def batches(it):
         import hashlib
@@ -2054,6 +2097,8 @@ def decode_warc_records(
         import pandas as pd
 
         def walk(buf: bytes):
+            if compression == "gzip":
+                buf = _gunzip_members(buf)
             out = []
             for idx, headers, body in _warc_walk(buf):
                 rec = (
@@ -2301,7 +2346,9 @@ WARC_HTTP_SCHEMA = (
 )
 
 
-def decode_warc_http_responses(df: DataFrame) -> DataFrame:
+def decode_warc_http_responses(
+    df: DataFrame, compression: str | None = None
+) -> DataFrame:
     """Walk WARC records AND parse each ``response`` record's HTTP
     envelope — the first thing real crawl data (CommonCrawl et al.)
     needs that the bare-body walk (q273) does not handle: status line,
@@ -2334,11 +2381,16 @@ def decode_warc_http_responses(df: DataFrame) -> DataFrame:
       id. ``body_bytes`` is the raw HTTP-body byte count (before any
       decode).
 
-    Map-only mapInPandas; payloads never visit the driver. 100-TB
-    shape: one pass, no shuffle — the per-record work is O(bytes) and
-    the meta sniff is capped at 1 KiB."""
+    ``compression='gzip'`` accepts the .warc.gz member-per-record
+    shape. Map-only mapInPandas; payloads never visit the driver.
+    100-TB shape: one pass, no shuffle — the per-record work is
+    O(bytes) and the meta sniff is capped at 1 KiB."""
     import re
 
+    if compression not in (None, "gzip"):
+        raise ValueError(
+            f"compression must be None or 'gzip', got {compression!r}"
+        )
     meta_re = re.compile(
         r"(?is)<meta[^>]+charset\s*=\s*[\"']?([\w\-:.]+)"
     )
@@ -2414,7 +2466,10 @@ def decode_warc_http_responses(df: DataFrame) -> DataFrame:
             rows = {k: [] for k in cols}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    for idx, headers, body in _warc_walk(bytes(payload)):
+                    raw = bytes(payload)
+                    if compression == "gzip":
+                        raw = _gunzip_members(raw)
+                    for idx, headers, body in _warc_walk(raw):
                         wtype = headers.get("warc-type", "")
                         if wtype == "response":
                             http = parse_http(body)

@@ -10468,7 +10468,32 @@ SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM x
 """
 
 
+def q286_warc_gzip_members(spark, sf_dir):
+    """The .warc.gz shape — how CommonCrawl actually ships crawl data:
+    each WARC record is its OWN gzip member and the members are
+    concatenated (record-level members keep shards seekable by
+    offset). The q273 corpus is synthesized with per-record gzip
+    members (stdlib zlib, deterministic zero-MTIME headers) and walked
+    back with compression='gzip' — decompress member chain, then the
+    identical record walk, truncated members raising with the media
+    id. The oracle is q273's record arithmetic unchanged: compression
+    must be invisible to the relational output
+    (operators/multimodal.py _gzip_member / _gunzip_members /
+    decode_warc_records(compression='gzip'))."""
+    from ..operators.multimodal import (
+        decode_warc_records,
+        synthesize_warc_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_warc_records(
+        synthesize_warc_corpus(docs, gzip_records=True),
+        compression="gzip",
+    )
+
+
 QUERIES = {
+    "q286_warc_gzip_members": q286_warc_gzip_members,
     "q285_html_numeric_entities": q285_html_numeric_entities,
     "q283_boilerplate_clean_docs": q283_boilerplate_clean_docs,
     "q282_boilerplate_blocks": q282_boilerplate_blocks,
@@ -10646,6 +10671,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q286_warc_gzip_members": _Q273_SQL,
     "q285_html_numeric_entities": _Q285_SQL,
     "q283_boilerplate_clean_docs": _q283_sql(),
     "q282_boilerplate_blocks": _q282_sql(),

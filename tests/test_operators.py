@@ -5753,6 +5753,54 @@ def test_registered_domain_public_suffix_longest_match(spark):
             assert "suffix" in line or "__sfx" in line, line
 
 
+def test_warc_gzip_member_roundtrip_and_malformed(spark):
+    """.warc.gz member-per-record: gzipped and plain corpora walk to
+    identical relations; truncated members and plain payloads under
+    compression='gzip' raise with the media id."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_warc_records,
+        synthesize_warc_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    plain = decode_warc_records(synthesize_warc_corpus(docs))
+    gz = decode_warc_records(
+        synthesize_warc_corpus(docs, gzip_records=True),
+        compression="gzip",
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, gz.collect()))
+    assert a == b and len(a) > 12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compression must be"):
+        decode_warc_records(docs, compression="zstd")
+    # truncated member
+    gz_payload = bytes(
+        synthesize_warc_corpus(docs.limit(1), gzip_records=True)
+        .collect()[0]
+        .payload
+    )
+    bad = spark.createDataFrame(
+        [(3, gz_payload[:-5])], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="media_id=3"):
+        decode_warc_records(bad, compression="gzip").collect()
+    # plain (non-gzip) payload under compression='gzip'
+    plain_payload = bytes(
+        synthesize_warc_corpus(docs.limit(1)).collect()[0].payload
+    )
+    bad2 = spark.createDataFrame(
+        [(4, plain_payload)], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="media_id=4"):
+        decode_warc_records(bad2, compression="gzip").collect()
+
+
 def test_html_numeric_entity_decode(spark):
     """decode_numeric_entities: decimal/hex/BMP/supplementary decode,
     invalid references pass through literally, &amp;#65; stays the

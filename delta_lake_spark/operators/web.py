@@ -231,6 +231,77 @@ def url_dedup(
     )
 
 
+def extract_outlinks(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    base_url_col: str | None = None,
+) -> DataFrame:
+    """Extract anchor hrefs from HTML and resolve them to absolute
+    URLs — the edge-extraction step of the web link graph (PageRank
+    seeds, spam-domain propagation, crawl frontier expansion).
+
+    Extraction order is stated so both engines agree byte for byte:
+    all DOUBLE-quoted ``href="..."`` values in document order, then
+    all single-quoted ones (two regexp_extract_all passes,
+    concatenated; ``link_idx`` numbers the concatenation). Resolution
+    against ``base_url_col`` (when given):
+
+    - ``http://``/``https://`` hrefs pass through;
+    - protocol-relative ``//host/..`` takes the base's scheme;
+    - root-relative ``/path`` takes the base's ``scheme://host``;
+    - anything else (path-relative, mailto:, javascript:, bare
+      ``#fragment``) resolves to NULL — path-relative resolution
+      needs RFC 3986 dot-segment math, out of the deterministic-core
+      contract and stated as such.
+
+    Map-only, zero Python, zero shuffles. Returns (id_col, link_idx,
+    href, url)."""
+    dq = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r"(?is)<a\b[^>]*?\bhref\s*=\s*\"([^\"]*)\""),
+        1,
+    )
+    sq = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r"(?is)<a\b[^>]*?\bhref\s*=\s*'([^']*)'"),
+        1,
+    )
+    cols = [F.col(id_col)]
+    if base_url_col is not None:
+        cols.append(F.col(base_url_col))
+    links = df.select(
+        *cols, F.posexplode(F.concat(dq, sq)).alias("link_idx", "href")
+    ).withColumn("href", F.trim("href"))
+    absolute = F.col("href").startswith("http://") | F.col(
+        "href"
+    ).startswith("https://")
+    if base_url_col is None:
+        url = F.when(absolute, F.col("href"))
+    else:
+        scheme = F.expr(f"substring_index({base_url_col}, '://', 1)")
+        host = F.expr(
+            f"substring_index(substring_index("
+            f"  substring({base_url_col},"
+            f"            instr({base_url_col}, '://') + 3),"
+            f"  '/', 1), '?', 1)"
+        )
+        url = (
+            F.when(absolute, F.col("href"))
+            .when(
+                F.col("href").startswith("//"),
+                F.concat(scheme, F.lit(":"), F.col("href")),
+            )
+            .when(
+                F.col("href").startswith("/"),
+                F.concat(scheme, F.lit("://"), host, F.col("href")),
+            )
+        )
+    return links.select(
+        id_col, "link_idx", "href", url.alias("url")
+    )
+
+
 # jusText/Kohlschütter-class boilerplate removal: deterministic
 # block-level layer between raw HTML extraction (q275) and document
 # quality filters (the Gopher rules, q133). English stopword fixture —

@@ -10492,7 +10492,174 @@ def q286_warc_gzip_members(spark, sf_dir):
     )
 
 
+_Q287_PAGE_SPARK = (
+    "'<html><body>"
+    "<a href=\"http://site-' || CAST((doc_id % 23 + 1) % 23 AS STRING)"
+    " || '.com/x\">next</a>"
+    " <a href=\"https://site-' || CAST((doc_id % 23 + 7) % 23 AS STRING)"
+    " || '.com/y?z=1\">cross</a>"
+    " <a href=\"/local/page\">self</a>"
+    " <a href=\"mailto:x@y.test\">mail</a>"
+    " <a href=\"relative/path\">rel</a>"
+    " <a href=''//cdn-' || CAST(doc_id % 23 % 5 AS STRING)"
+    " || '.net/asset''>cdn</a>"
+    "</body></html>'"
+)
+
+
+def _q287_links(spark, sf_dir):
+    from ..operators.web import extract_outlinks
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_Q287_PAGE_SPARK).alias("html"),
+        F.expr(
+            "'http://site-' || CAST(doc_id % 23 AS STRING) || '.com/p/'"
+            " || CAST(doc_id AS STRING)"
+        ).alias("base_url"),
+    )
+    return extract_outlinks(pages, "html", "doc_id", "base_url")
+
+
+def q287_outlink_extraction(spark, sf_dir):
+    """Anchor extraction + URL resolution — the edge-extraction step
+    of the web link graph: six links per page exercise every
+    resolution branch (absolute http/https pass-through,
+    root-relative and protocol-relative resolved against the base
+    URL, mailto: and path-relative stated as NULL), with the
+    double-then-single-quote extraction order pinned by link_idx.
+    Map-only, zero Python; the oracle states each link analytically
+    (operators/web.py extract_outlinks)."""
+    return _q287_links(spark, sf_dir)
+
+
+_Q287_SQL = """
+SELECT doc_id, CAST(i AS INTEGER) AS link_idx,
+  CASE i
+    WHEN 0 THEN 'http://site-' || CAST((doc_id % 23 + 1) % 23 AS VARCHAR)
+      || '.com/x'
+    WHEN 1 THEN 'https://site-' || CAST((doc_id % 23 + 7) % 23 AS VARCHAR)
+      || '.com/y?z=1'
+    WHEN 2 THEN '/local/page'
+    WHEN 3 THEN 'mailto:x@y.test'
+    WHEN 4 THEN 'relative/path'
+    ELSE '//cdn-' || CAST(doc_id % 23 % 5 AS VARCHAR) || '.net/asset'
+  END AS href,
+  CASE i
+    WHEN 0 THEN 'http://site-' || CAST((doc_id % 23 + 1) % 23 AS VARCHAR)
+      || '.com/x'
+    WHEN 1 THEN 'https://site-' || CAST((doc_id % 23 + 7) % 23 AS VARCHAR)
+      || '.com/y?z=1'
+    WHEN 2 THEN 'http://site-' || CAST(doc_id % 23 AS VARCHAR)
+      || '.com/local/page'
+    WHEN 5 THEN 'http://cdn-' || CAST(doc_id % 23 % 5 AS VARCHAR)
+      || '.net/asset'
+    ELSE NULL
+  END AS url
+FROM documents, UNNEST(range(0, 6)) t(i)
+"""
+
+
+def q288_host_pagerank(spark, sf_dir):
+    """PageRank over the registered-domain link graph built from the
+    q287 outlinks — the full web-graph composition: extract + resolve
+    anchors, map both endpoints to registered domains, drop
+    self-loops, and run 5 damped iterations where duplicate
+    (src, dst) pairs act as parallel weighted edges. The cdn-*.net
+    targets have no outlinks, so the DANGLING-mass redistribution of
+    the operator is exercised and value-checked (q199's trade graph
+    is symmetric and never hits it); the oracle unrolls the identical
+    iterations with an explicit per-round dangling aggregate
+    (operators/web.py extract_outlinks + with_registered_domain,
+    operators/graph.py pagerank)."""
+    from ..operators.graph import pagerank
+    from ..operators.web import with_registered_domain
+
+    links = _q287_links(spark, sf_dir).filter(F.col("url").isNotNull())
+    links = links.withColumn(
+        "src_host",
+        F.expr(
+            "substring_index(substring_index("
+            "  substring(concat('http://site-',"
+            "    CAST(doc_id % 23 AS STRING), '.com'), 8), '/', 1),"
+            " '?', 1)"
+        ),
+    ).withColumn(
+        "dst_host",
+        F.expr(
+            "substring_index(substring_index("
+            "  substring(url, instr(url, '://') + 3), '/', 1), '?', 1)"
+        ),
+    )
+    links = with_registered_domain(links, "src_host").withColumnRenamed(
+        "registered_domain", "src"
+    )
+    links = with_registered_domain(links, "dst_host").withColumnRenamed(
+        "registered_domain", "dst"
+    )
+    edges = links.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ranks = pagerank(edges, iterations=_PR_ITERATIONS, damping=0.85)
+        out = ranks.select("node", F.round("rank", 9).alias("rank"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def _q288_sql() -> str:
+    prev = "r0"
+    iters = []
+    for k in range(1, _PR_ITERATIONS + 1):
+        iters.append(f"""
+d{k} AS (
+  SELECT COALESCE(SUM(p.rank), 0) AS m
+  FROM {prev} p LEFT JOIN outdeg o ON p.node = o.node
+  WHERE o.node IS NULL),
+r{k} AS (
+  SELECT n.node,
+    0.15 / nn.n + 0.85 * (COALESCE(c.contrib, 0) + d{k}.m / nn.n) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank / o.deg) AS contrib
+    FROM e JOIN {prev} p ON e.src = p.node
+    JOIN outdeg o ON e.src = o.node
+    GROUP BY e.dst
+  ) c USING (node))""")
+        prev = f"r{k}"
+    return (
+        """
+WITH e AS (
+  SELECT 'site-' || CAST(doc_id % 23 AS VARCHAR) || '.com' AS src,
+    'site-' || CAST((doc_id % 23 + 1) % 23 AS VARCHAR) || '.com' AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'site-' || CAST(doc_id % 23 AS VARCHAR) || '.com',
+    'site-' || CAST((doc_id % 23 + 7) % 23 AS VARCHAR) || '.com'
+  FROM documents
+  UNION ALL
+  SELECT 'site-' || CAST(doc_id % 23 AS VARCHAR) || '.com',
+    'cdn-' || CAST(doc_id % 23 % 5 AS VARCHAR) || '.net'
+  FROM documents
+),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+           FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"""
+        + ",".join(iters)
+        + f"""
+SELECT node, ROUND(rank, 9) AS rank FROM {prev}
+"""
+    )
+
+
 QUERIES = {
+    "q288_host_pagerank": q288_host_pagerank,
+    "q287_outlink_extraction": q287_outlink_extraction,
     "q286_warc_gzip_members": q286_warc_gzip_members,
     "q285_html_numeric_entities": q285_html_numeric_entities,
     "q283_boilerplate_clean_docs": q283_boilerplate_clean_docs,
@@ -10671,6 +10838,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q288_host_pagerank": _q288_sql(),
+    "q287_outlink_extraction": _Q287_SQL,
     "q286_warc_gzip_members": _Q273_SQL,
     "q285_html_numeric_entities": _Q285_SQL,
     "q283_boilerplate_clean_docs": _q283_sql(),

@@ -5825,6 +5825,46 @@ def test_html_numeric_entity_decode(spark):
     assert "&#65;B" in plain.text and "caf&#233;" in plain.text
 
 
+def test_extract_outlinks_resolution_and_order(spark):
+    """extract_outlinks: dq-then-sq extraction order, all four
+    resolution branches, NULL for unresolvable schemes, and the
+    no-base variant keeping only absolute links."""
+    from delta_lake_spark.operators.web import extract_outlinks
+
+    html = (
+        '<p><a href="https://a.com/x">x</a>'
+        '<a class="z" href = "/root">r</a>'
+        "<a href='//b.net/y'>y</a>"
+        '<a href="mailto:z@q.test">m</a>'
+        '<a href="sub/page.html">rel</a>'
+        '<a href="#frag">f</a></p>'
+    )
+    df = spark.createDataFrame(
+        [(1, html, "http://base.org:8080/dir/page?q=1")],
+        "id long, html string, base string",
+    )
+    got = {
+        r.link_idx: r
+        for r in extract_outlinks(df, "html", "id", "base").collect()
+    }
+    # dq matches first (doc order), then the single sq match last
+    assert [got[i].href for i in range(6)] == [
+        "https://a.com/x", "/root", "mailto:z@q.test",
+        "sub/page.html", "#frag", "//b.net/y",
+    ]
+    assert got[0].url == "https://a.com/x"
+    assert got[1].url == "http://base.org:8080/root"
+    assert got[5].url == "http://b.net/y"
+    assert got[2].url is None and got[3].url is None and got[4].url is None
+    # without a base: absolute links only, everything else NULL
+    nb = {
+        r.link_idx: r.url
+        for r in extract_outlinks(df, "html", "id").collect()
+    }
+    assert nb[0] == "https://a.com/x"
+    assert all(nb[i] is None for i in (1, 2, 3, 4, 5))
+
+
 def test_boilerplate_blocks_rules_and_doc_roll(spark):
     """boilerplate_blocks: each rule fires on its designed block (nav
     of links -> link-heavy, title fragment -> short, zero-stopword

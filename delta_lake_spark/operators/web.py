@@ -32,7 +32,7 @@ joins instead, so ``site.co.uk`` buckets as ``site.co.uk``, not
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 _TRACKING_KEYS = ("fbclid", "gclid", "ref")
 
@@ -299,6 +299,134 @@ def extract_outlinks(
         )
     return links.select(
         id_col, "link_idx", "href", url.alias("url")
+    )
+
+
+def parse_robots(
+    df: DataFrame, robots_col: str, id_col: str
+) -> DataFrame:
+    """Parse robots.txt text into a rule relation (RFC 9309 grammar,
+    literal-prefix subset): one row per (group, directive) with the
+    group's user-agents attached. Grouping is positional — consecutive
+    ``User-agent:`` lines open a group, Allow/Disallow lines belong to
+    the most recent group; ``#`` comments and empty Disallow values
+    (allow-all, rule-free per the RFC) are dropped. ``*``/``$``
+    wildcards inside paths are NOT interpreted (the deterministic-core
+    contract; they match literally). All window/aggregate over
+    per-domain line counts — tiny. Returns (id_col, group_id, agent
+    array<string>, rule 'allow'|'disallow', path)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias(
+            "__ln", "__line"
+        ),
+    ).select(
+        id_col,
+        "__ln",
+        F.trim(F.regexp_replace("__line", "#.*$", "")).alias("__line"),
+    )
+    parsed = lines.select(
+        id_col,
+        "__ln",
+        F.lower(
+            F.trim(F.regexp_extract("__line", r"^([^:]+):", 1))
+        ).alias("__field"),
+        F.trim(F.regexp_extract("__line", r"^[^:]+:(.*)$", 1)).alias(
+            "__value"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("__ln")
+    grouped = parsed.withColumn(
+        "__is_ua", F.col("__field") == "user-agent"
+    ).withColumn(
+        "__new",
+        (
+            F.col("__is_ua")
+            & ~F.coalesce(F.lag("__is_ua").over(w), F.lit(False))
+        ).cast("int"),
+    ).withColumn(
+        "group_id",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    agents = (
+        grouped.filter(F.col("__is_ua"))
+        .groupBy(id_col, "group_id")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.lower("__value"))
+            ).alias("agents")
+        )
+    )
+    rules = grouped.filter(
+        F.col("__field").isin("allow", "disallow")
+        & (F.col("__value") != "")
+    ).select(
+        id_col,
+        "group_id",
+        F.col("__field").alias("rule"),
+        F.col("__value").alias("path"),
+    )
+    return rules.join(agents, [id_col, "group_id"]).select(
+        id_col, "group_id", "agents", "rule", "path"
+    )
+
+
+def robots_verdicts(
+    robots_df: DataFrame,
+    robots_col: str,
+    urls_df: DataFrame,
+    path_col: str,
+    id_col: str,
+    agent: str,
+) -> DataFrame:
+    """Evaluate URL paths against per-domain robots.txt rules for one
+    crawler token (RFC 9309 evaluation over the parse_robots
+    relation): the group with the exact (lowercased) agent match wins;
+    domains without one fall back to their ``*`` groups; within the
+    chosen groups the LONGEST-prefix rule decides, an allow/disallow
+    tie at equal length resolving to allow; no matching rule means
+    allowed. One equi-join on the domain id (the startswith test is a
+    post-join filter, never a cartesian) + one per-URL window.
+    Returns (id_col, path_col, allowed boolean, matched_rule,
+    matched_path — NULL when no rule matched)."""
+    rules = parse_robots(robots_df, robots_col, id_col)
+    agent = agent.lower()
+    mine = rules.filter(F.array_contains("agents", agent))
+    spec_ids = mine.select(id_col).distinct()
+    star = rules.filter(F.array_contains("agents", "*")).join(
+        spec_ids, id_col, "left_anti"
+    )
+    scoped = mine.unionByName(star).select(
+        F.col(id_col).alias("__rid"),
+        F.col("rule").alias("__rrule"),
+        F.col("path").alias("__rpath"),
+    )
+    u = urls_df.select(id_col, path_col)
+    # LEFT join with the prefix test IN the condition: a URL whose
+    # domain has rules but no matching prefix keeps its NULL row
+    matches = u.join(
+        scoped,
+        (F.col(id_col) == F.col("__rid"))
+        & F.col(path_col).startswith(F.col("__rpath")),
+        "left",
+    )
+    w = Window.partitionBy(id_col, path_col).orderBy(
+        F.length("__rpath").desc_nulls_last(),
+        (F.col("__rrule") == "allow").desc(),
+    )
+    best = matches.withColumn(
+        "__rn", F.row_number().over(w)
+    ).filter(F.col("__rn") == 1)
+    return best.select(
+        id_col,
+        path_col,
+        (
+            F.col("__rrule").isNull() | (F.col("__rrule") == "allow")
+        ).alias("allowed"),
+        F.col("__rrule").alias("matched_rule"),
+        F.col("__rpath").alias("matched_path"),
     )
 
 

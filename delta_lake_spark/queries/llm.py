@@ -10657,7 +10657,111 @@ SELECT node, ROUND(rank, 9) AS rank FROM {prev}
     )
 
 
+def q289_robots_verdicts(spark, sf_dir):
+    """robots.txt parsing + RFC 9309 rule evaluation — the crawl
+    pipeline's politeness gate: per-domain robots files (a ``*`` group
+    with an allow/disallow pair, a same-length allow/disallow tie, a
+    two-user-agent specific group with per-domain paths, comments, and
+    an empty rule-free Disallow) are parsed positionally and six URL
+    paths per domain are evaluated for TWO crawler tokens — GraftBot
+    (hits the specific group; the ``*`` group must be ignored for it)
+    and newbot (falls back to ``*``). Longest-prefix wins, equal-length
+    ties go to allow, no match means allowed. One equi-join + one
+    per-URL window; the oracle states every verdict analytically
+    (operators/web.py parse_robots / robots_verdicts)."""
+    from ..operators.web import robots_verdicts
+
+    b = (F.col("doc_id") % 7).cast("string")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    robots = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "# synthetic robots\n"
+                "User-agent: *\n"
+                "Disallow: /private\n"
+                "Allow: /private/ok\n"
+                "Disallow: /tie\n"
+                "Allow: /tie\n"
+                "\n"
+                "User-agent: GraftBot\n"
+                "User-agent: otherbot2\n"
+                "Disallow: /p/"
+            ),
+            b,
+            F.lit("\nAllow: /p/"),
+            b,
+            F.lit("/keep\nDisallow:\n"),
+        ).alias("robots"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("/p/"), b),
+                F.concat(F.lit("/p/"), b, F.lit("/keep/x")),
+                F.lit("/private/z"),
+                F.lit("/private/ok/z"),
+                F.lit("/other"),
+                F.lit("/tie/x"),
+            )
+        ).alias("path"),
+    )
+    out = None
+    for crawler in ("GraftBot", "newbot"):
+        v = robots_verdicts(
+            robots, "robots", urls, "path", "doc_id", crawler
+        ).withColumn("crawler", F.lit(crawler.lower()))
+        out = v if out is None else out.unionByName(v)
+    return out
+
+
+_Q289_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS b FROM documents
+),
+v AS (
+  SELECT doc_id, b, i, crawler FROM d,
+    UNNEST(range(0, 6)) t(i),
+    (SELECT UNNEST(['graftbot', 'newbot']) AS crawler)
+)
+SELECT doc_id,
+  CASE i
+    WHEN 0 THEN '/p/' || b
+    WHEN 1 THEN '/p/' || b || '/keep/x'
+    WHEN 2 THEN '/private/z'
+    WHEN 3 THEN '/private/ok/z'
+    WHEN 4 THEN '/other'
+    ELSE '/tie/x'
+  END AS path,
+  CASE
+    WHEN crawler = 'graftbot' AND i = 0 THEN FALSE
+    WHEN crawler = 'newbot' AND i = 2 THEN FALSE
+    ELSE TRUE
+  END AS allowed,
+  CASE
+    WHEN crawler = 'graftbot' AND i = 0 THEN 'disallow'
+    WHEN crawler = 'graftbot' AND i = 1 THEN 'allow'
+    WHEN crawler = 'newbot' AND i = 2 THEN 'disallow'
+    WHEN crawler = 'newbot' AND i = 3 THEN 'allow'
+    WHEN crawler = 'newbot' AND i = 5 THEN 'allow'
+    ELSE NULL
+  END AS matched_rule,
+  CASE
+    WHEN crawler = 'graftbot' AND i = 0 THEN '/p/' || b
+    WHEN crawler = 'graftbot' AND i = 1 THEN '/p/' || b || '/keep'
+    WHEN crawler = 'newbot' AND i = 2 THEN '/private'
+    WHEN crawler = 'newbot' AND i = 3 THEN '/private/ok'
+    WHEN crawler = 'newbot' AND i = 5 THEN '/tie'
+    ELSE NULL
+  END AS matched_path,
+  crawler
+FROM v
+"""
+
+
 QUERIES = {
+    "q289_robots_verdicts": q289_robots_verdicts,
     "q288_host_pagerank": q288_host_pagerank,
     "q287_outlink_extraction": q287_outlink_extraction,
     "q286_warc_gzip_members": q286_warc_gzip_members,
@@ -10838,6 +10942,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q289_robots_verdicts": _Q289_SQL,
     "q288_host_pagerank": _q288_sql(),
     "q287_outlink_extraction": _Q287_SQL,
     "q286_warc_gzip_members": _Q273_SQL,

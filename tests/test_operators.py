@@ -5825,6 +5825,73 @@ def test_html_numeric_entity_decode(spark):
     assert "&#65;B" in plain.text and "caf&#233;" in plain.text
 
 
+def test_robots_parse_and_verdicts(spark):
+    """parse_robots grouping (multi-UA groups, comments, empty
+    Disallow dropped) and robots_verdicts evaluation: specific group
+    beats and HIDES '*', longest prefix wins, equal-length tie goes to
+    allow, rule-less domains and unmatched paths stay allowed."""
+    from delta_lake_spark.operators.web import (
+        parse_robots,
+        robots_verdicts,
+    )
+
+    txt = (
+        "# politeness\n"
+        "User-agent: *\n"
+        "Disallow: /a\n"
+        "Allow: /a/ok\n"
+        "Disallow: /t\n"
+        "Allow: /t\n"
+        "\n"
+        "User-agent: MyBot\n"
+        "User-agent: SecondBot\n"
+        "Disallow: /b\n"
+        "Disallow:\n"
+    )
+    robots = spark.createDataFrame(
+        [(1, txt), (2, "User-agent: *\nDisallow:\n")],
+        "id long, robots string",
+    )
+    rules = parse_robots(robots, "robots", "id").collect()
+    assert {(r.id, r.group_id, r.rule, r.path) for r in rules} == {
+        (1, 1, "disallow", "/a"),
+        (1, 1, "allow", "/a/ok"),
+        (1, 1, "disallow", "/t"),
+        (1, 1, "allow", "/t"),
+        (1, 2, "disallow", "/b"),
+    }
+    multi = next(r for r in rules if r.group_id == 2)
+    assert multi.agents == ["mybot", "secondbot"]
+
+    urls = spark.createDataFrame(
+        [(1, "/a/x"), (1, "/a/ok/x"), (1, "/b/x"), (1, "/t/x"),
+         (1, "/free"), (2, "/anything")],
+        "id long, path string",
+    )
+    got = {
+        (r.id, r.path): r
+        for r in robots_verdicts(
+            robots, "robots", urls, "path", "id", "MYBOT"
+        ).collect()
+    }
+    # MyBot hits the specific group: only /b applies; '*' is hidden
+    assert got[(1, "/a/x")].allowed and got[(1, "/a/x")].matched_rule is None
+    assert not got[(1, "/b/x")].allowed
+    assert got[(1, "/b/x")].matched_path == "/b"
+    assert got[(1, "/free")].allowed
+    assert got[(2, "/anything")].allowed  # rule-free domain
+    star = {
+        (r.id, r.path): r
+        for r in robots_verdicts(
+            robots, "robots", urls, "path", "id", "strangerbot"
+        ).collect()
+    }
+    assert not star[(1, "/a/x")].allowed
+    assert star[(1, "/a/ok/x")].allowed  # longest prefix wins
+    assert star[(1, "/t/x")].allowed     # equal-length tie -> allow
+    assert star[(1, "/b/x")].allowed     # /b is the specific group's
+
+
 def test_extract_outlinks_resolution_and_order(spark):
     """extract_outlinks: dq-then-sq extraction order, all four
     resolution branches, NULL for unresolvable schemes, and the

@@ -2228,7 +2228,10 @@ def synthesize_crawl_warc_corpus(
 
 
 def synthesize_http_warc_corpus(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gzip_records: bool = False,
 ) -> DataFrame:
     """Deterministic crawl shards whose response payloads carry a FULL
     HTTP message (status line + headers + CRLFCRLF + body) — the shape
@@ -2249,8 +2252,9 @@ def synthesize_http_warc_corpus(
 
     The HTML body is ``<html><body><p>{text}{marker}</p></body></html>``
     where the marker is '' (v0), ' café 1' (v1), ' café 2' (v2) — the
-    accents force the non-UTF-8 bytes. Map-only mapInPandas; the q273
-    record/CRLF framing unchanged."""
+    accents force the non-UTF-8 bytes. ``gzip_records`` wraps each
+    record in its own gzip member (the .warc.gz convention). Map-only
+    mapInPandas; the q273 record/CRLF framing unchanged."""
 
     def batches(it):
         import pandas as pd
@@ -2306,15 +2310,15 @@ def synthesize_http_warc_corpus(
             payloads = []
             for mid, text in zip(pdf[id_col], pdf[text_col]):
                 mid = int(mid)
-                payloads.append(
+                recs = [
                     record(
                         [
                             ("WARC-Type", "warcinfo"),
                             ("WARC-Record-ID", f"<urn:test:{mid}:info>"),
                         ],
                         b"software: synthetic-warc/1.0",
-                    )
-                    + record(
+                    ),
+                    record(
                         [
                             ("WARC-Type", "response"),
                             ("WARC-Record-ID", f"<urn:test:{mid}:0>"),
@@ -2324,7 +2328,12 @@ def synthesize_http_warc_corpus(
                             ),
                         ],
                         page(mid, str(text)),
-                    )
+                    ),
+                ]
+                payloads.append(
+                    b"".join(
+                        _gzip_member(r) for r in recs
+                    ) if gzip_records else b"".join(recs)
                 )
             yield pd.DataFrame(
                 {

@@ -10760,7 +10760,116 @@ FROM v
 """
 
 
+def q290_crawl_ingestion_report(spark, sf_dir):
+    """The hardened crawl-ingestion tier END TO END — every round-11
+    layer composed in one statement, exactly the shape a real
+    .warc.gz drop takes: gzip member-per-record shards whose response
+    payloads carry full HTTP messages (the q280 five-variant corpus)
+    -> member-chain decompression + record walk + HTTP envelope parse
+    + charset selection -> relational 2xx/HTML screening -> HTML text
+    extraction of the decoded bodies -> URL canonicalization -> a
+    per-registered-domain ingestion report (responses fetched, ok-html
+    pages, charset-provenance counts, exact extracted chars). The
+    oracle rebuilds every variant's charset verdict and replays the
+    extraction chain, so compression, envelope, charset, and
+    extraction are value-checked as ONE pipeline
+    (operators/multimodal.py synthesize_http_warc_corpus(gzip) /
+    decode_warc_http_responses(compression='gzip'), operators/web.py
+    html_extract_text / normalize_urls)."""
+    from ..operators.multimodal import (
+        decode_warc_http_responses,
+        synthesize_http_warc_corpus,
+    )
+    from ..operators.web import html_extract_text, normalize_urls
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recs = decode_warc_http_responses(
+        synthesize_http_warc_corpus(docs, gzip_records=True),
+        compression="gzip",
+    ).filter(F.col("warc_type") == "response")
+    ok = recs.filter(
+        (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+        & F.col("is_html")
+    )
+    ext = html_extract_text(ok, "body_text", "media_id").select(
+        "media_id", F.col("n_chars").alias("__text_chars")
+    )
+    urls = normalize_urls(
+        recs.select("media_id", "target_uri"), "target_uri", "media_id"
+    ).select("media_id", "registered_domain")
+    page = recs.join(urls, "media_id").join(ext, "media_id", "left")
+    return page.groupBy("registered_domain").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.sum(
+            F.when(F.col("__text_chars").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_ok_html"),
+        F.sum(
+            F.when(F.col("charset_source") == "header", 1).otherwise(0)
+        ).cast("long").alias("n_header"),
+        F.sum(
+            F.when(F.col("charset_source") == "meta", 1).otherwise(0)
+        ).cast("long").alias("n_meta"),
+        F.sum(
+            F.when(F.col("charset_source") == "fallback", 1).otherwise(0)
+        ).cast("long").alias("n_fallback"),
+        F.sum(F.coalesce("__text_chars", F.lit(0)))
+        .cast("long")
+        .alias("text_chars"),
+    )
+
+
+_Q290_SQL = r"""
+WITH v AS (
+  SELECT doc_id, text, CAST(doc_id % 5 AS INTEGER) AS var,
+    'site-' || CAST(doc_id % 97 AS VARCHAR) || '.com'
+      AS registered_domain
+  FROM documents
+),
+b AS (
+  SELECT doc_id, var, registered_domain,
+    CASE var
+      WHEN 1 THEN '<html><head><meta charset="iso-8859-1"></head>'
+        || '<body><p>' || text || ' café 1</p></body></html>'
+      WHEN 2 THEN '<html><body><p>' || text || ' café 2</p></body></html>'
+      ELSE '<html><body><p>' || text || '</p></body></html>'
+    END AS html
+  FROM v
+),
+x AS (
+  SELECT doc_id, var, registered_domain,
+    CASE WHEN var IN (0, 1, 2) THEN
+      CAST(LENGTH(trim(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+        html,
+        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '<[^>]*>', ' ', 'g'),
+        '&lt;', '<', 'g'),
+        '&gt;', '>', 'g'),
+        '&quot;', '"', 'g'),
+        '&#39;', CHR(39), 'g'),
+        '&amp;', '&', 'g'),
+        '\s+', ' ', 'g'))) AS BIGINT)
+    ELSE NULL END AS text_chars
+  FROM b
+)
+SELECT registered_domain,
+  CAST(COUNT(*) AS BIGINT) AS n_responses,
+  CAST(SUM(CASE WHEN var IN (0, 1, 2) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_ok_html,
+  CAST(SUM(CASE WHEN var = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_header,
+  CAST(SUM(CASE WHEN var = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_meta,
+  CAST(SUM(CASE WHEN var = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback,
+  CAST(SUM(COALESCE(text_chars, 0)) AS BIGINT) AS text_chars
+FROM x GROUP BY registered_domain
+"""
+
+
 QUERIES = {
+    "q290_crawl_ingestion_report": q290_crawl_ingestion_report,
     "q289_robots_verdicts": q289_robots_verdicts,
     "q288_host_pagerank": q288_host_pagerank,
     "q287_outlink_extraction": q287_outlink_extraction,
@@ -10942,6 +11051,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q290_crawl_ingestion_report": _Q290_SQL,
     "q289_robots_verdicts": _Q289_SQL,
     "q288_host_pagerank": _q288_sql(),
     "q287_outlink_extraction": _Q287_SQL,

@@ -302,6 +302,85 @@ def extract_outlinks(
     )
 
 
+def frontier_plan(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    interval_ms: int = 1000,
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
+    """Crawl-frontier politeness schedule: canonicalize the frontier's
+    URLs, bucket them by registered domain, and assign each a
+    per-domain fetch sequence and millisecond offset so no domain is
+    hit more often than once per ``interval_ms`` (the crawl-delay
+    contract every polite crawler honors). Ordering within a domain is
+    ascending id — deterministic and replayable. One shuffle (the
+    per-domain window); at 100 TB the frontier partitions by domain
+    hash and each partition's windows are independent. Returns
+    (id_col, url_norm, registered_domain, fetch_seq 1-based,
+    fetch_offset_ms)."""
+    normed = normalize_urls(df, url_col, id_col, suffixes=suffixes)
+    w = Window.partitionBy("registered_domain").orderBy(F.col(id_col))
+    return normed.select(
+        id_col,
+        "url_norm",
+        "registered_domain",
+        F.row_number().over(w).alias("fetch_seq"),
+        (
+            (F.row_number().over(w) - 1) * F.lit(int(interval_ms))
+        ).cast("long").alias("fetch_offset_ms"),
+    )
+
+
+def parse_sitemap(
+    df: DataFrame, xml_col: str, id_col: str
+) -> DataFrame:
+    """Parse sitemap XML (sitemaps.org urlset schema, the crawl
+    frontier's seed source) with built-ins only: one
+    regexp_extract_all over ``<url>..</url>`` blocks, then per-block
+    ``<loc>`` (required; blocks without one are dropped) and optional
+    ``<lastmod>``/``<changefreq>``/``<priority>`` extracts —
+    regexp_extract returns '' for absent tags, stated back to NULL.
+    Map-only, zero Python, zero shuffles. Returns (id_col, entry_idx,
+    loc, lastmod, changefreq, priority double)."""
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(r"(?is)<url>(.*?)</url>"), 1
+            )
+        ).alias("entry_idx", "__blk"),
+    )
+
+    def tag(name):
+        return F.trim(
+            F.regexp_extract(
+                "__blk", rf"(?is)<{name}>\s*(.*?)\s*</{name}>", 1
+            )
+        )
+
+    out = blocks.select(
+        id_col,
+        "entry_idx",
+        tag("loc").alias("loc"),
+        tag("lastmod").alias("lastmod"),
+        tag("changefreq").alias("changefreq"),
+        tag("priority").alias("priority"),
+    ).filter(F.col("loc") != "")
+    return out.select(
+        id_col,
+        "entry_idx",
+        "loc",
+        F.when(F.col("lastmod") != "", F.col("lastmod")).alias("lastmod"),
+        F.when(F.col("changefreq") != "", F.col("changefreq")).alias(
+            "changefreq"
+        ),
+        F.when(F.col("priority") != "", F.col("priority"))
+        .cast("double")
+        .alias("priority"),
+    )
+
+
 def parse_robots(
     df: DataFrame, robots_col: str, id_col: str
 ) -> DataFrame:

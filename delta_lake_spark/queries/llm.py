@@ -10868,7 +10868,102 @@ FROM x GROUP BY registered_domain
 """
 
 
+def q291_frontier_politeness_plan(spark, sf_dir):
+    """Crawl-frontier politeness scheduling — the constraint that
+    shapes every crawler's fetch order: frontier URLs are
+    canonicalized, bucketed by registered domain, and assigned a
+    per-domain fetch sequence plus millisecond offset at a 500 ms
+    crawl-delay, ascending-id order within each domain. One
+    per-domain window; the oracle replays the same ROW_NUMBER
+    arithmetic (operators/web.py frontier_plan)."""
+    from ..operators.web import frontier_plan
+
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "'http://site-' || CAST(doc_id % 13 AS STRING) || '.com/p/'"
+            " || CAST(doc_id AS STRING)"
+        ).alias("url"),
+    )
+    return frontier_plan(urls, "url", "doc_id", interval_ms=500)
+
+
+_Q291_SQL = """
+WITH u AS (
+  SELECT doc_id, CAST(doc_id % 13 AS VARCHAR) AS b FROM documents
+)
+SELECT doc_id,
+  'http://site-' || b || '.com/p/' || CAST(doc_id AS VARCHAR) AS url_norm,
+  'site-' || b || '.com' AS registered_domain,
+  CAST(ROW_NUMBER() OVER (PARTITION BY b ORDER BY doc_id) AS INTEGER)
+    AS fetch_seq,
+  CAST((ROW_NUMBER() OVER (PARTITION BY b ORDER BY doc_id) - 1) * 500
+       AS BIGINT) AS fetch_offset_ms
+FROM u
+"""
+
+
+def q292_sitemap_parse(spark, sf_dir):
+    """Sitemap XML parsing (the sitemaps.org urlset schema — the crawl
+    frontier's seed source): per-domain sitemaps with three entries of
+    varying optional tags (lastmod on even entries, changefreq on the
+    first, priority on two, whitespace-padded loc on the first) plus a
+    loc-less block that must be dropped while its index is preserved.
+    Map-only regexp extraction; the oracle states every entry
+    analytically (operators/web.py parse_sitemap)."""
+    from ..operators.web import parse_sitemap
+
+    b = (F.col("doc_id") % 13).cast("string")
+    d = F.col("doc_id").cast("string")
+
+    def loc(j):
+        return F.concat(
+            F.lit("http://site-"), b, F.lit(f".com/p/"), d, F.lit(f"/{j}")
+        )
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc> "), loc(0), F.lit(" </loc>"),
+        F.lit(
+            "<lastmod>2024-01-01</lastmod>"
+            "<changefreq>daily</changefreq>"
+            "<priority>0.5</priority></url>"
+        ),
+        F.lit("<url><loc>"), loc(1), F.lit("</loc></url>"),
+        F.lit("<url><loc>"), loc(2), F.lit("</loc>"),
+        F.lit(
+            "<lastmod>2024-03-01</lastmod>"
+            "<priority>0.7</priority></url>"
+            "<url><lastmod>2024-01-01</lastmod></url></urlset>"
+        ),
+    )
+    sitemaps = _docs(spark, sf_dir).select(
+        "doc_id", xml.alias("xml")
+    )
+    return parse_sitemap(sitemaps, "xml", "doc_id")
+
+
+_Q292_SQL = """
+WITH u AS (
+  SELECT doc_id, CAST(doc_id % 13 AS VARCHAR) AS b,
+    CAST(doc_id AS VARCHAR) AS d
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS entry_idx,
+  'http://site-' || b || '.com/p/' || d || '/' || CAST(i AS VARCHAR)
+    AS loc,
+  CASE i WHEN 0 THEN '2024-01-01' WHEN 2 THEN '2024-03-01'
+         ELSE NULL END AS lastmod,
+  CASE i WHEN 0 THEN 'daily' ELSE NULL END AS changefreq,
+  CAST(CASE i WHEN 0 THEN 0.5 WHEN 2 THEN 0.7 ELSE NULL END AS DOUBLE)
+    AS priority
+FROM u, UNNEST(range(0, 3)) t(i)
+"""
+
+
 QUERIES = {
+    "q292_sitemap_parse": q292_sitemap_parse,
+    "q291_frontier_politeness_plan": q291_frontier_politeness_plan,
     "q290_crawl_ingestion_report": q290_crawl_ingestion_report,
     "q289_robots_verdicts": q289_robots_verdicts,
     "q288_host_pagerank": q288_host_pagerank,
@@ -11051,6 +11146,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q292_sitemap_parse": _Q292_SQL,
+    "q291_frontier_politeness_plan": _Q291_SQL,
     "q290_crawl_ingestion_report": _Q290_SQL,
     "q289_robots_verdicts": _Q289_SQL,
     "q288_host_pagerank": _q288_sql(),

@@ -5825,6 +5825,39 @@ def test_html_numeric_entity_decode(spark):
     assert "&#65;B" in plain.text and "caf&#233;" in plain.text
 
 
+def test_frontier_plan_and_sitemap_parse(spark):
+    """frontier_plan: per-domain politeness offsets, ascending-id
+    order. parse_sitemap: optional tags NULL, loc-less blocks dropped
+    with index preserved, whitespace-padded loc trimmed."""
+    from delta_lake_spark.operators.web import frontier_plan, parse_sitemap
+
+    urls = spark.createDataFrame(
+        [(3, "http://a.com/z"), (1, "http://a.com/x"),
+         (2, "http://b.com/y")],
+        "id long, url string",
+    )
+    got = {
+        r.id: r for r in frontier_plan(urls, "url", "id", 700).collect()
+    }
+    assert (got[1].fetch_seq, got[1].fetch_offset_ms) == (1, 0)
+    assert (got[3].fetch_seq, got[3].fetch_offset_ms) == (2, 700)
+    assert (got[2].fetch_seq, got[2].fetch_offset_ms) == (1, 0)
+
+    xml = (
+        "<urlset><url><loc> http://a.com/1 </loc>"
+        "<priority>0.8</priority></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # no loc: dropped
+        "<url><loc>http://a.com/2</loc><changefreq>weekly</changefreq>"
+        "</url></urlset>"
+    )
+    sm = spark.createDataFrame([(1, xml)], "id long, xml string")
+    rows = {r.entry_idx: r for r in parse_sitemap(sm, "xml", "id").collect()}
+    assert set(rows) == {0, 2}  # index 1 (loc-less) dropped, gap kept
+    assert rows[0].loc == "http://a.com/1" and rows[0].priority == 0.8
+    assert rows[0].lastmod is None
+    assert rows[2].changefreq == "weekly" and rows[2].priority is None
+
+
 def test_robots_parse_and_verdicts(spark):
     """parse_robots grouping (multi-UA groups, comments, empty
     Disallow dropped) and robots_verdicts evaluation: specific group

@@ -390,10 +390,10 @@ def parse_robots(
     ``User-agent:`` lines open a group, Allow/Disallow lines belong to
     the most recent group; ``#`` comments and empty Disallow values
     (allow-all, rule-free per the RFC) are dropped. ``*``/``$``
-    wildcards inside paths are NOT interpreted (the deterministic-core
-    contract; they match literally). All window/aggregate over
-    per-domain line counts — tiny. Returns (id_col, group_id, agent
-    array<string>, rule 'allow'|'disallow', path)."""
+    wildcards pass through verbatim (robots_verdicts interprets
+    them). All window/aggregate over per-domain line counts — tiny.
+    Returns (id_col, group_id, agent array<string>, rule
+    'allow'|'disallow', path)."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(robots_col), "\n")).alias(
@@ -464,12 +464,17 @@ def robots_verdicts(
     crawler token (RFC 9309 evaluation over the parse_robots
     relation): the group with the exact (lowercased) agent match wins;
     domains without one fall back to their ``*`` groups; within the
-    chosen groups the LONGEST-prefix rule decides, an allow/disallow
-    tie at equal length resolving to allow; no matching rule means
-    allowed. One equi-join on the domain id (the startswith test is a
-    post-join filter, never a cartesian) + one per-URL window.
+    chosen groups the LONGEST rule (most pattern octets, the RFC's
+    specificity measure) decides, an allow/disallow tie at equal
+    length resolving to allow; no matching rule means allowed.
+    Patterns support the RFC's ``*`` (any octet sequence) and a
+    trailing ``$`` end-anchor — wildcard-free rules keep the plain
+    startswith fast path; wildcard rules compile to an anchored regex
+    (metacharacters escaped, ``*`` -> ``.*``) evaluated in the join
+    condition. One equi-join on the domain id (the match test is a
+    post-join condition, never a cartesian) + one per-URL window.
     Returns (id_col, path_col, allowed boolean, matched_rule,
-    matched_path — NULL when no rule matched)."""
+    matched_path — the raw pattern; NULL when no rule matched)."""
     rules = parse_robots(robots_df, robots_col, id_col)
     agent = agent.lower()
     mine = rules.filter(F.array_contains("agents", agent))
@@ -482,13 +487,32 @@ def robots_verdicts(
         F.col("rule").alias("__rrule"),
         F.col("path").alias("__rpath"),
     )
+    # wildcard rules -> anchored regex; plain rules keep startswith
+    anchored = F.col("__rpath").endswith("$")
+    raw = F.when(
+        anchored,
+        F.expr("substring(__rpath, 1, length(__rpath) - 1)"),
+    ).otherwise(F.col("__rpath"))
+    esc = F.regexp_replace(
+        raw, r"([\\.\^\$\+\?\(\)\{\}\|\[\]])", r"\\$1"
+    )
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    scoped = scoped.withColumn(
+        "__wild", F.col("__rpath").contains("*") | anchored
+    ).withColumn("__rx", F.when(F.col("__wild"), rx))
     u = urls_df.select(id_col, path_col)
-    # LEFT join with the prefix test IN the condition: a URL whose
-    # domain has rules but no matching prefix keeps its NULL row
+    # LEFT join with the match test IN the condition: a URL whose
+    # domain has rules but no matching pattern keeps its NULL row
     matches = u.join(
         scoped,
         (F.col(id_col) == F.col("__rid"))
-        & F.col(path_col).startswith(F.col("__rpath")),
+        & F.when(
+            F.col("__wild"), F.expr(f"{path_col} rlike __rx")
+        ).otherwise(F.col(path_col).startswith(F.col("__rpath"))),
         "left",
     )
     w = Window.partitionBy(id_col, path_col).orderBy(

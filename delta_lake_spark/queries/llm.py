@@ -10661,13 +10661,16 @@ def q289_robots_verdicts(spark, sf_dir):
     """robots.txt parsing + RFC 9309 rule evaluation — the crawl
     pipeline's politeness gate: per-domain robots files (a ``*`` group
     with an allow/disallow pair, a same-length allow/disallow tie, a
-    two-user-agent specific group with per-domain paths, comments, and
-    an empty rule-free Disallow) are parsed positionally and six URL
-    paths per domain are evaluated for TWO crawler tokens — GraftBot
-    (hits the specific group; the ``*`` group must be ignored for it)
-    and newbot (falls back to ``*``). Longest-prefix wins, equal-length
-    ties go to allow, no match means allowed. One equi-join + one
-    per-URL window; the oracle states every verdict analytically
+    two-user-agent specific group with per-domain paths, comments, an
+    empty rule-free Disallow, and the RFC's wildcard forms — a
+    ``/*.pdf$`` anchored disallow and a ``/p/*/print`` wildcard allow)
+    are parsed positionally and nine URL paths per domain are
+    evaluated for TWO crawler tokens — GraftBot (hits the specific
+    group; the ``*`` group must be ignored for it) and newbot (falls
+    back to ``*``). Longest pattern wins, equal-length ties go to
+    allow, no match means allowed, and the ``$`` anchor is honored
+    (``/doc.pdfx`` escapes ``/*.pdf$``). One equi-join + one per-URL
+    window; the oracle states every verdict analytically
     (operators/web.py parse_robots / robots_verdicts)."""
     from ..operators.web import robots_verdicts
 
@@ -10683,6 +10686,8 @@ def q289_robots_verdicts(spark, sf_dir):
                 "Allow: /private/ok\n"
                 "Disallow: /tie\n"
                 "Allow: /tie\n"
+                "Disallow: /*.pdf$\n"
+                "Allow: /p/*/print\n"
                 "\n"
                 "User-agent: GraftBot\n"
                 "User-agent: otherbot2\n"
@@ -10704,6 +10709,9 @@ def q289_robots_verdicts(spark, sf_dir):
                 F.lit("/private/ok/z"),
                 F.lit("/other"),
                 F.lit("/tie/x"),
+                F.lit("/doc.pdf"),
+                F.lit("/doc.pdfx"),
+                F.concat(F.lit("/p/"), b, F.lit("/print")),
             )
         ).alias("path"),
     )
@@ -10722,7 +10730,7 @@ WITH d AS (
 ),
 v AS (
   SELECT doc_id, b, i, crawler FROM d,
-    UNNEST(range(0, 6)) t(i),
+    UNNEST(range(0, 9)) t(i),
     (SELECT UNNEST(['graftbot', 'newbot']) AS crawler)
 )
 SELECT doc_id,
@@ -10732,27 +10740,31 @@ SELECT doc_id,
     WHEN 2 THEN '/private/z'
     WHEN 3 THEN '/private/ok/z'
     WHEN 4 THEN '/other'
-    ELSE '/tie/x'
+    WHEN 5 THEN '/tie/x'
+    WHEN 6 THEN '/doc.pdf'
+    WHEN 7 THEN '/doc.pdfx'
+    ELSE '/p/' || b || '/print'
   END AS path,
   CASE
-    WHEN crawler = 'graftbot' AND i = 0 THEN FALSE
-    WHEN crawler = 'newbot' AND i = 2 THEN FALSE
+    WHEN crawler = 'graftbot' AND i IN (0, 8) THEN FALSE
+    WHEN crawler = 'newbot' AND i IN (2, 6) THEN FALSE
     ELSE TRUE
   END AS allowed,
   CASE
-    WHEN crawler = 'graftbot' AND i = 0 THEN 'disallow'
+    WHEN crawler = 'graftbot' AND i IN (0, 8) THEN 'disallow'
     WHEN crawler = 'graftbot' AND i = 1 THEN 'allow'
-    WHEN crawler = 'newbot' AND i = 2 THEN 'disallow'
-    WHEN crawler = 'newbot' AND i = 3 THEN 'allow'
-    WHEN crawler = 'newbot' AND i = 5 THEN 'allow'
+    WHEN crawler = 'newbot' AND i IN (2, 6) THEN 'disallow'
+    WHEN crawler = 'newbot' AND i IN (3, 5, 8) THEN 'allow'
     ELSE NULL
   END AS matched_rule,
   CASE
-    WHEN crawler = 'graftbot' AND i = 0 THEN '/p/' || b
+    WHEN crawler = 'graftbot' AND i IN (0, 8) THEN '/p/' || b
     WHEN crawler = 'graftbot' AND i = 1 THEN '/p/' || b || '/keep'
     WHEN crawler = 'newbot' AND i = 2 THEN '/private'
     WHEN crawler = 'newbot' AND i = 3 THEN '/private/ok'
     WHEN crawler = 'newbot' AND i = 5 THEN '/tie'
+    WHEN crawler = 'newbot' AND i = 6 THEN '/*.pdf$'
+    WHEN crawler = 'newbot' AND i = 8 THEN '/p/*/print'
     ELSE NULL
   END AS matched_path,
   crawler

@@ -5875,6 +5875,7 @@ def test_robots_parse_and_verdicts(spark):
         "Allow: /a/ok\n"
         "Disallow: /t\n"
         "Allow: /t\n"
+        "Disallow: /img/*.gif$\n"
         "\n"
         "User-agent: MyBot\n"
         "User-agent: SecondBot\n"
@@ -5891,6 +5892,7 @@ def test_robots_parse_and_verdicts(spark):
         (1, 1, "allow", "/a/ok"),
         (1, 1, "disallow", "/t"),
         (1, 1, "allow", "/t"),
+        (1, 1, "disallow", "/img/*.gif$"),
         (1, 2, "disallow", "/b"),
     }
     multi = next(r for r in rules if r.group_id == 2)
@@ -5898,7 +5900,8 @@ def test_robots_parse_and_verdicts(spark):
 
     urls = spark.createDataFrame(
         [(1, "/a/x"), (1, "/a/ok/x"), (1, "/b/x"), (1, "/t/x"),
-         (1, "/free"), (2, "/anything")],
+         (1, "/free"), (2, "/anything"),
+         (1, "/img/deep/pic.gif"), (1, "/img/pic.gifv")],
         "id long, path string",
     )
     got = {
@@ -5923,6 +5926,12 @@ def test_robots_parse_and_verdicts(spark):
     assert star[(1, "/a/ok/x")].allowed  # longest prefix wins
     assert star[(1, "/t/x")].allowed     # equal-length tie -> allow
     assert star[(1, "/b/x")].allowed     # /b is the specific group's
+    # RFC wildcards: '*' spans segments, '$' anchors the end
+    assert not star[(1, "/img/deep/pic.gif")].allowed
+    assert star[(1, "/img/deep/pic.gif")].matched_path == "/img/*.gif$"
+    assert star[(1, "/img/pic.gifv")].allowed
+    # wildcard rules are invisible to the specific-group crawler
+    assert got[(1, "/img/deep/pic.gif")].allowed
 
 
 def test_extract_outlinks_resolution_and_order(spark):

@@ -38,8 +38,12 @@ def _norm(a):
 
 
 def cosine_similarity_col(a, b):
-    """Cosine similarity between two array<numeric> columns (double)."""
-    return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+    """Cosine similarity between two array<numeric> columns (double).
+    A zero-norm side yields NULL — stated via nullif so the semantics
+    hold under ANSI mode too (Spark 4 defaults ansi.enabled=true,
+    where a bare double/0 RAISES instead of following IEEE)."""
+    den = _norm(a) * _norm(b)
+    return (_dot(a, b) / F.nullif(den, F.lit(0.0))).cast("double")
 
 
 def cosine_topk(
@@ -649,9 +653,10 @@ def semantic_dedup(
         (F.col("__ca") == F.col("__cb"))
         & (F.col("__id_a") < F.col("__id_b"))
     )
-    # same IEEE tree as cosine_similarity_col — norms just hoisted
-    pair_cos = _dot(F.col("__va"), F.col("__vb")) / (
-        F.col("__na") * F.col("__nb")
+    # same IEEE tree as cosine_similarity_col — norms just hoisted;
+    # nullif keeps the zero-norm NULL semantics under ANSI mode
+    pair_cos = _dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
     dups = (
         a.join(b, "cell_id")
@@ -860,9 +865,10 @@ def quantized_cosine_topk(
     nq, qv = F.col("__nq"), F.col("__qq")
     sim = (
         idot(nq, qv).cast("double")
-        / (
+        / F.nullif(
             F.sqrt(idot(nq, nq).cast("double"))
-            * F.sqrt(idot(qv, qv).cast("double"))
+            * F.sqrt(idot(qv, qv).cast("double")),
+            F.lit(0.0),
         )
     ).alias("sim")
     scored = joined.select("query_id", "neighbor_id", sim)
@@ -2329,7 +2335,7 @@ def semantic_decontaminate(
         F.expr(
             "round(array_max(transform(__evs, s -> "
             "cast(aggregate(zip_with(__v, s.v, (x, y) -> x * y), 0.0D, "
-            "(a, p) -> a + p) / (__vn * s.n) as double))), 9)"
+            "(a, p) -> a + p) / nullif(__vn * s.n, 0.0D) as double))), 9)"
         ).alias("max_eval_sim"),
     )
     return sim.select(

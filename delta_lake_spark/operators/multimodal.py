@@ -2502,6 +2502,187 @@ def decode_warc_http_responses(
     return df.mapInPandas(batches, schema=WARC_HTTP_SCHEMA)
 
 
+ZIP_MEMBER_SCHEMA = (
+    "media_id long, member_idx int, name string, method string, "
+    "uncompressed_size long, payload_md5 string"
+)
+
+
+def synthesize_zip_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ZIP archives per id, built byte-by-byte from the
+    APPNOTE spec (local file headers + central directory + EOCD, no
+    zipfile module — the same from-the-spec pattern as the TAR/MP4/
+    WARC tiers): 1 + id%3 members, member j named
+    ``doc{id}/part{j}.txt`` with 20 + (id*7 + j*13) % 60 repeats of
+    chr(97 + (id+j) % 26), STORED when (id+j) is even, DEFLATE (raw,
+    zlib level 9) when odd; zeroed DOS timestamps so archives are
+    bit-reproducible. Map-only mapInPandas."""
+
+    def batches(it):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def build(mid: int) -> bytes:
+            out = bytearray()
+            central = bytearray()
+            offsets = []
+            for j in range(1 + mid % 3):
+                name = f"doc{mid}/part{j}.txt".encode()
+                size = 20 + (mid * 7 + j * 13) % 60
+                data = chr(97 + (mid + j) % 26).encode() * size
+                crc = zlib.crc32(data)
+                if (mid + j) % 2 == 0:
+                    method, payload = 0, data
+                else:
+                    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+                    method, payload = 8, c.compress(data) + c.flush()
+                offsets.append(len(out))
+                out += struct.pack(
+                    "<IHHHHHIIIHH",
+                    0x04034B50, 20, 0, method, 0, 0,
+                    crc, len(payload), len(data), len(name), 0,
+                )
+                out += name + payload
+                central += struct.pack(
+                    "<IHHHHHHIIIHHHHHII",
+                    0x02014B50, 20, 20, 0, method, 0, 0,
+                    crc, len(payload), len(data), len(name),
+                    0, 0, 0, 0, 0, offsets[-1],
+                )
+                central += name
+            cd_off = len(out)
+            n = 1 + mid % 3
+            out += central
+            out += struct.pack(
+                "<IHHHHIIH",
+                0x06054B50, 0, 0, n, n, len(central), cd_off, 0,
+            )
+            return bytes(out)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [build(int(m)) for m in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def decode_zip_members(df: DataFrame) -> DataFrame:
+    """Walk each payload's ZIP members from the central directory (the
+    spec's source of truth — streaming from local headers alone is the
+    classic zip-parsing bug): locate the EOCD, parse the directory,
+    verify each member's local-header signature and name agree, inflate
+    (raw deflate) or copy (stored), and validate CRC-32 and declared
+    sizes. A missing/duplicate EOCD signature, an unknown method, a
+    local/central mismatch, or a CRC/size mismatch raises with the
+    media id — archive corruption is data loss, not a warning.
+    Map-only mapInPandas; payloads never visit the driver. Returns
+    (media_id, member_idx, name, method 'stored'|'deflate',
+    uncompressed_size, payload_md5) — compressed size is
+    implementation-defined for deflate, so it is validated internally
+    but not part of the relational contract."""
+
+    def batches(it):
+        import hashlib
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def walk(buf: bytes):
+            eocd = buf.rfind(struct.pack("<I", 0x06054B50))
+            if eocd < 0:
+                raise ValueError("no end-of-central-directory record")
+            (
+                _, _, _, n_disk, n_total, cd_size, cd_off, comment_len,
+            ) = struct.unpack("<IHHHHIIH", buf[eocd : eocd + 22])
+            if eocd + 22 + comment_len != len(buf):
+                raise ValueError("trailing bytes after EOCD")
+            if n_disk != n_total:
+                raise ValueError("multi-disk archive not supported")
+            pos = cd_off
+            out = []
+            for idx in range(n_total):
+                (
+                    sig, _, _, _, method, _, _, crc, csize, usize,
+                    namelen, extralen, commentlen, _, _, _, loc_off,
+                ) = struct.unpack("<IHHHHHHIIIHHHHHII", buf[pos : pos + 46])
+                if sig != 0x02014B50:
+                    raise ValueError(
+                        f"bad central-directory signature at member {idx}"
+                    )
+                name = buf[pos + 46 : pos + 46 + namelen].decode("utf-8")
+                pos += 46 + namelen + extralen + commentlen
+                (lsig, _, _, lmethod, _, _, lcrc, _, _, lnamelen, lextra) = (
+                    struct.unpack("<IHHHHHIIIHH", buf[loc_off : loc_off + 30])
+                )
+                if lsig != 0x04034B50:
+                    raise ValueError(f"bad local-header signature for {name}")
+                lname = buf[
+                    loc_off + 30 : loc_off + 30 + lnamelen
+                ].decode("utf-8")
+                if lname != name or lmethod != method:
+                    raise ValueError(
+                        f"local/central mismatch for member {name}"
+                    )
+                start = loc_off + 30 + lnamelen + lextra
+                payload = buf[start : start + csize]
+                if len(payload) != csize:
+                    raise ValueError(f"truncated member {name}")
+                if method == 0:
+                    data = payload
+                elif method == 8:
+                    data = zlib.decompress(payload, wbits=-15)
+                else:
+                    raise ValueError(
+                        f"unsupported compression method {method} for {name}"
+                    )
+                if len(data) != usize:
+                    raise ValueError(f"size mismatch for member {name}")
+                if zlib.crc32(data) != crc or lcrc != crc:
+                    raise ValueError(f"CRC mismatch for member {name}")
+                out.append(
+                    (
+                        idx,
+                        name,
+                        "stored" if method == 0 else "deflate",
+                        usize,
+                        hashlib.md5(data).hexdigest(),
+                    )
+                )
+            if pos != eocd:
+                raise ValueError("central directory size mismatch")
+            return out
+
+        cols = [
+            "media_id", "member_idx", "name", "method",
+            "uncompressed_size", "payload_md5",
+        ]
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    members = walk(bytes(payload))
+                except (ValueError, struct.error, zlib.error) as e:
+                    raise ValueError(
+                        f"malformed zip payload for media_id={int(mid)}: {e}"
+                    ) from e
+                for m in members:
+                    rows["media_id"].append(int(mid))
+                    for k, v in zip(cols[1:], m):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=ZIP_MEMBER_SCHEMA)
+
+
 def _fmp4_track_params(mid: int, f: int) -> dict:
     """Deterministic per-(media, fragment) parameters shared by
     synthesis, the walk's expectations, and the SQL oracle (q276)."""

@@ -10973,7 +10973,127 @@ FROM u, UNNEST(range(0, 3)) t(i)
 """
 
 
+def q293_frontier_expansion(spark, sf_dir):
+    """The crawl LOOP closed: pages already ingested (the q287 corpus
+    with its six-link pages) have their outlinks extracted and
+    resolved, canonicalized, deduped within the discovery batch
+    (min discoverer id per canonical URL), anti-screened against the
+    ALREADY-CRAWLED canonical set (the pages' own base URLs — a
+    crawler never re-queues what it has), and the surviving frontier
+    additions get the per-domain politeness schedule. This is
+    discover -> canonicalize -> known-set screen -> schedule, the
+    iteration every crawler runs; four already-pinned operators
+    composed, one anti-join against the crawled set, one window. The
+    oracle restates the surviving link set and its schedule
+    analytically (operators/web.py extract_outlinks / normalize_urls /
+    frontier_plan)."""
+    from ..operators.web import frontier_plan, normalize_urls
+
+    links = _q287_links(spark, sf_dir).filter(F.col("url").isNotNull())
+    # canonical discovered URLs, min discoverer per canonical form
+    discovered = normalize_urls(links, "url", "doc_id").groupBy(
+        "url_norm"
+    ).agg(F.min("doc_id").alias("doc_id"))
+    # the crawled set: every page's own canonical base URL
+    crawled = _docs(spark, sf_dir).select(
+        F.expr(
+            "'http://site-' || CAST(doc_id % 23 AS STRING) || '.com/p/'"
+            " || CAST(doc_id AS STRING)"
+        ).alias("url_norm")
+    ).distinct()
+    fresh = discovered.join(crawled, "url_norm", "left_anti").select(
+        "doc_id", F.col("url_norm").alias("url")
+    )
+    return frontier_plan(fresh, "url", "doc_id", interval_ms=1000)
+
+
+_Q293_SQL = """
+WITH links AS (
+  SELECT doc_id,
+    'http://site-' || CAST((doc_id % 23 + 1) % 23 AS VARCHAR)
+      || '.com/x' AS u
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+    'https://site-' || CAST((doc_id % 23 + 7) % 23 AS VARCHAR)
+      || '.com/y?z=1'
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+    'http://site-' || CAST(doc_id % 23 AS VARCHAR) || '.com/local/page'
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+    'http://cdn-' || CAST(doc_id % 23 % 5 AS VARCHAR) || '.net/asset'
+  FROM documents
+),
+discovered AS (
+  SELECT u AS url_norm, MIN(doc_id) AS doc_id FROM links GROUP BY u
+),
+fresh AS (
+  -- every crawled base URL is /p/<doc_id>; none of the discovered
+  -- paths (/x, /y?z=1, /local/page, /asset) collide with it, so the
+  -- anti-join keeps all — stated explicitly so a regression that
+  -- DID drop rows would fail the count
+  SELECT doc_id, url_norm FROM discovered
+  WHERE url_norm NOT IN (
+    SELECT 'http://site-' || CAST(doc_id % 23 AS VARCHAR) || '.com/p/'
+      || CAST(doc_id AS VARCHAR) FROM documents)
+),
+n AS (
+  SELECT doc_id, url_norm,
+    regexp_extract(url_norm, '^https?://([^/?]+)', 1)
+      AS registered_domain
+  FROM fresh
+)
+SELECT doc_id, url_norm, registered_domain,
+  CAST(ROW_NUMBER() OVER (PARTITION BY registered_domain ORDER BY doc_id)
+       AS INTEGER) AS fetch_seq,
+  CAST((ROW_NUMBER() OVER (PARTITION BY registered_domain ORDER BY doc_id)
+        - 1) * 1000 AS BIGINT) AS fetch_offset_ms
+FROM n
+"""
+
+
+def q294_zip_member_walk(spark, sf_dir):
+    """ZIP container walk (the APPNOTE spec implemented byte-by-byte,
+    like the TAR/MP4/WARC tiers — datasets ship as zip archives
+    constantly): deterministic archives with mixed STORED and raw-
+    DEFLATE members are synthesized per document and walked back FROM
+    THE CENTRAL DIRECTORY (the spec's source of truth), each member's
+    local header cross-checked and its CRC-32 and declared sizes
+    validated during extraction — corruption raises with the media
+    id. Compressed size is implementation-defined for deflate, so the
+    relational contract carries names, methods, uncompressed sizes,
+    and content md5s, all stated analytically by the oracle
+    (operators/multimodal.py synthesize_zip_corpus /
+    decode_zip_members)."""
+    from ..operators.multimodal import (
+        decode_zip_members,
+        synthesize_zip_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_zip_members(synthesize_zip_corpus(docs))
+
+
+_Q294_SQL = """
+SELECT doc_id AS media_id, CAST(j AS INTEGER) AS member_idx,
+  'doc' || CAST(doc_id AS VARCHAR) || '/part' || CAST(j AS VARCHAR)
+    || '.txt' AS name,
+  CASE WHEN (doc_id + j) % 2 = 0 THEN 'stored' ELSE 'deflate' END
+    AS method,
+  CAST(20 + (doc_id * 7 + j * 13) % 60 AS BIGINT) AS uncompressed_size,
+  md5(repeat(chr(97 + CAST((doc_id + j) % 26 AS INTEGER)),
+             CAST(20 + (doc_id * 7 + j * 13) % 60 AS INTEGER)))
+    AS payload_md5
+FROM documents, UNNEST(range(0, 1 + doc_id % 3)) t(j)
+"""
+
+
 QUERIES = {
+    "q294_zip_member_walk": q294_zip_member_walk,
+    "q293_frontier_expansion": q293_frontier_expansion,
     "q292_sitemap_parse": q292_sitemap_parse,
     "q291_frontier_politeness_plan": q291_frontier_politeness_plan,
     "q290_crawl_ingestion_report": q290_crawl_ingestion_report,
@@ -11158,6 +11278,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q294_zip_member_walk": _Q294_SQL,
+    "q293_frontier_expansion": _Q293_SQL,
     "q292_sitemap_parse": _Q292_SQL,
     "q291_frontier_politeness_plan": _Q291_SQL,
     "q290_crawl_ingestion_report": _Q290_SQL,

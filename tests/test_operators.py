@@ -5825,6 +5825,66 @@ def test_html_numeric_entity_decode(spark):
     assert "&#65;B" in plain.text and "caf&#233;" in plain.text
 
 
+def test_zip_member_walk_interop_and_malformed(spark):
+    """ZIP walk: our from-spec archives are readable by the stdlib
+    zipfile module AND our decoder reads zipfile-written archives
+    (bidirectional spec compliance); payload corruption (CRC) and
+    truncation raise with the media id."""
+    import io
+    import zipfile
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_zip_members,
+        synthesize_zip_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in synthesize_zip_corpus(docs).collect()
+    }
+    # 1) stdlib reads ours, contents byte-identical
+    zf = zipfile.ZipFile(io.BytesIO(payloads[5]))
+    assert zf.namelist() == ["doc5/part0.txt", "doc5/part1.txt", "doc5/part2.txt"]
+    assert zf.read("doc5/part1.txt") == b"g" * (20 + (5 * 7 + 13) % 60)
+    assert zf.testzip() is None  # stdlib CRC sweep agrees
+    # 2) our decoder reads a stdlib-written archive (mixed methods)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        out.writestr(
+            zipfile.ZipInfo("a.txt"), b"hello stored world",
+            compress_type=zipfile.ZIP_STORED,
+        )
+        out.writestr(
+            zipfile.ZipInfo("b/c.txt"), b"deflate me " * 40,
+            compress_type=zipfile.ZIP_DEFLATED,
+        )
+    foreign = spark.createDataFrame(
+        [(9, buf.getvalue())], "media_id long, payload binary"
+    )
+    got = {r.name: r for r in decode_zip_members(foreign).collect()}
+    assert got["a.txt"].method == "stored"
+    assert got["a.txt"].uncompressed_size == 18
+    assert got["b/c.txt"].method == "deflate"
+    assert got["b/c.txt"].uncompressed_size == 440
+    # 3) corruption raises loudly
+    import pytest as _pytest
+
+    raw = bytearray(payloads[3])
+    flip = raw.find(b"doc3/part0.txt") + 20  # inside member payload
+    raw[flip] ^= 0xFF
+    bad = spark.createDataFrame(
+        [(3, bytes(raw))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="media_id=3"):
+        decode_zip_members(bad).collect()
+    trunc = spark.createDataFrame(
+        [(4, payloads[4][:-10])], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="media_id=4"):
+        decode_zip_members(trunc).collect()
+
+
 def test_frontier_plan_and_sitemap_parse(spark):
     """frontier_plan: per-domain politeness offsets, ascending-id
     order. parse_sitemap: optional tags NULL, loc-less blocks dropped

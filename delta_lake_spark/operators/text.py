@@ -61,11 +61,16 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .alias("__alpha"),
     )
     n_tokens = F.size("__w").cast("double")
-    n_chars = F.col("__nc")
+    # nullif: an EMPTY document states NULL ratios instead of raising
+    # under ANSI mode (Spark 4 default), matching the zero-norm cosine
+    # convention in similarity.py
+    n_chars = F.nullif(F.col("__nc"), F.lit(0.0))
     mean_tok_len = (
-        (n_chars - (n_tokens - 1)) / n_tokens
+        (F.col("__nc") - (n_tokens - 1)) / F.nullif(n_tokens, F.lit(0.0))
     )  # chars minus separators, per token
-    uniq_ratio = F.size(F.array_distinct("__w")).cast("double") / n_tokens
+    uniq_ratio = F.size(F.array_distinct("__w")).cast("double") / F.nullif(
+        n_tokens, F.lit(0.0)
+    )
     alpha_ratio = F.col("__alpha") / n_chars
     quality = (
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.3
@@ -738,8 +743,13 @@ def strip_markup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "clean_text",
         "n_raw",
         F.length("clean_text").cast("long").alias("n_clean"),
+        # nullif: zero-length raw text states a NULL ratio instead of
+        # raising under ANSI mode
         F.round(
-            F.lit(1.0) - F.length("clean_text") / F.col("n_raw"), 9
+            F.lit(1.0)
+            - F.length("clean_text")
+            / F.nullif(F.col("n_raw"), F.lit(0)).cast("double"),
+            9,
         ).alias("markup_ratio"),
     )
 

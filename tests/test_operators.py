@@ -5825,6 +5825,32 @@ def test_html_numeric_entity_decode(spark):
     assert "&#65;B" in plain.text and "caf&#233;" in plain.text
 
 
+def test_text_operators_degenerate_docs_ansi_safe(spark):
+    """Empty / whitespace-only / punctuation-only documents must state
+    NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where
+    a bare division by zero RAISES, so every ratio denominator that a
+    degenerate document zeroes needs an explicit nullif (same
+    convention as the zero-norm cosine guards)."""
+    from delta_lake_spark.operators.text import (
+        quality_score,
+        strip_markup,
+        token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "normal words here"), (4, "!!!")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_score(docs, "text", "doc_id").collect()}
+    assert q[1].alpha_ratio is None and q[1].quality is None
+    assert q[3].alpha_ratio is not None and q[3].quality is not None
+    s = {r.doc_id: r for r in strip_markup(docs, "text", "doc_id").collect()}
+    assert s[1].markup_ratio is None and s[1].n_raw == 0
+    assert s[3].markup_ratio == 0.0
+    t = {r.doc_id: r for r in token_stats(docs, "text", "doc_id").collect()}
+    assert t[1] is not None  # no raise is the contract
+
+
 def test_zip_member_walk_interop_and_malformed(spark):
     """ZIP walk: our from-spec archives are readable by the stdlib
     zipfile module AND our decoder reads zipfile-written archives

@@ -11091,7 +11091,117 @@ FROM documents, UNNEST(range(0, 1 + doc_id % 3)) t(j)
 """
 
 
+def q295_robots_screened_frontier(spark, sf_dir):
+    """The politeness gate WIRED INTO the frontier — the composition a
+    real crawler runs between discovery and fetch: frontier URLs
+    (four paths per domain, two of them under robots rules) are
+    canonicalized, evaluated against each domain's robots.txt for the
+    crawler token (per-domain disallow of /p/{b} with an /p/{b}/keep
+    carve-out, q289's grammar), and ONLY the allowed URLs receive the
+    per-domain politeness schedule — with the verdict columns kept on
+    the screened-out rows (fetch_seq NULL) so the report states what
+    was withheld and why. One equi-join + two windows; the oracle
+    restates verdicts AND the allowed-only sequence numbering
+    analytically (operators/web.py robots_verdicts + frontier_plan
+    composition)."""
+    from pyspark.sql import Window
+
+    from ..operators.web import normalize_urls, robots_verdicts
+
+    b = (F.col("doc_id") % 11).cast("string")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    robots = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("User-agent: graftbot\nDisallow: /p/"),
+            b,
+            F.lit("\nAllow: /p/"),
+            b,
+            F.lit("/keep\n"),
+        ).alias("robots"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("http://site-"), b, F.lit(".com/p/"), b
+                ),
+                F.concat(
+                    F.lit("http://site-"), b, F.lit(".com/p/"), b,
+                    F.lit("/keep/x"),
+                ),
+                F.concat(F.lit("http://site-"), b, F.lit(".com/about")),
+                F.concat(F.lit("http://site-"), b, F.lit(".com/news")),
+            )
+        ).alias("url"),
+    )
+    normed = normalize_urls(urls, "url", "doc_id").select(
+        "doc_id", "url_norm", "registered_domain",
+        F.expr(
+            "substring(url_norm, instr(substring(url_norm, 9), '/') + 8)"
+        ).alias("__path"),
+    )
+    verdicts = robots_verdicts(
+        robots, "robots", normed, "__path", "doc_id", "graftbot"
+    )
+    screened = normed.join(verdicts, ["doc_id", "__path"])
+    return screened.select(
+        "doc_id",
+        "url_norm",
+        "registered_domain",
+        "allowed",
+        "matched_rule",
+        F.when(
+            F.col("allowed"),
+            F.row_number().over(
+                Window.partitionBy(
+                    "registered_domain", "allowed"
+                ).orderBy("doc_id", "url_norm")
+            ),
+        ).cast("int").alias("fetch_seq"),
+    ).withColumn(
+        "fetch_offset_ms",
+        ((F.col("fetch_seq") - 1) * 1000).cast("long"),
+    )
+
+
+_Q295_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 11 AS VARCHAR) AS b FROM documents
+),
+u AS (
+  SELECT doc_id, b, i,
+    CASE i
+      WHEN 0 THEN '/p/' || b
+      WHEN 1 THEN '/p/' || b || '/keep/x'
+      WHEN 2 THEN '/about'
+      ELSE '/news'
+    END AS path,
+    i <> 0 AS allowed,
+    CASE i WHEN 0 THEN 'disallow' WHEN 1 THEN 'allow' ELSE NULL END
+      AS matched_rule
+  FROM d, UNNEST(range(0, 4)) t(i)
+),
+s AS (
+  SELECT doc_id, b, path, allowed, matched_rule,
+    'http://site-' || b || '.com' || path AS url_norm,
+    'site-' || b || '.com' AS registered_domain,
+    CASE WHEN allowed THEN
+      ROW_NUMBER() OVER (
+        PARTITION BY b, allowed ORDER BY doc_id, 'http://site-' || b || '.com' || path)
+    END AS seq
+  FROM u
+)
+SELECT doc_id, url_norm, registered_domain, allowed, matched_rule,
+  CAST(seq AS INTEGER) AS fetch_seq,
+  CAST((seq - 1) * 1000 AS BIGINT) AS fetch_offset_ms
+FROM s
+"""
+
+
 QUERIES = {
+    "q295_robots_screened_frontier": q295_robots_screened_frontier,
     "q294_zip_member_walk": q294_zip_member_walk,
     "q293_frontier_expansion": q293_frontier_expansion,
     "q292_sitemap_parse": q292_sitemap_parse,
@@ -11278,6 +11388,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q295_robots_screened_frontier": _Q295_SQL,
     "q294_zip_member_walk": _Q294_SQL,
     "q293_frontier_expansion": _Q293_SQL,
     "q292_sitemap_parse": _Q292_SQL,

@@ -375,6 +375,65 @@ def synthesize_png_rgb_corpus(
     )
 
 
+def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    cheap near-duplicate key for image corpora (robust to re-encoding
+    and mild rescaling, unlike the byte md5): REAL stdlib PNG decode
+    (:func:`_parse_png_pixels`), RGB collapsed to integer ITU-R 601
+    luma ((299 r + 587 g + 114 b) // 1000), nearest-neighbor resample
+    to (hash_size+1) x hash_size with the module's exact
+    ``src = (dst * src_dim) // dst_dim`` mapping, then one bit per
+    horizontally adjacent pair (left < right), emitted as a
+    2-hex-chars-per-row string so the hash is engine-portable without
+    signed-64-bit shift corner cases. Every step is integer-exact, so
+    an external engine replays the hash from the synthesis arithmetic.
+    Malformed payloads raise with the media id. Map-only mapInPandas.
+    Returns (media_id, dhash string of 2*hash_size hex chars)."""
+    if hash_size <= 0:
+        raise ValueError("hash_size must be positive")
+
+    def one(mid, content: bytes) -> str:
+        w, h, mode, rows = _parse_png_pixels(mid, content)
+        if mode == "RGB":
+            rows = [
+                [
+                    (299 * sr[3 * c] + 587 * sr[3 * c + 1]
+                     + 114 * sr[3 * c + 2]) // 1000
+                    for c in range(w)
+                ]
+                for sr in rows
+            ]
+        ow, oh = hash_size + 1, hash_size
+        grid = [
+            [rows[(r * h) // oh][(c * w) // ow] for c in range(ow)]
+            for r in range(oh)
+        ]
+        out = []
+        for r in range(oh):
+            byte = 0
+            for c in range(hash_size):
+                if grid[r][c + 1] > grid[r][c]:
+                    byte |= 1 << (hash_size - 1 - c)
+            out.append(f"{byte:02x}")
+        return "".join(out)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [
+                        one(mid, content)
+                        for mid, content in zip(
+                            pdf["media_id"], pdf["content"]
+                        )
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema="media_id long, dhash string")
+
+
 def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """REAL image resize — not a stub, no external library: each PNG
     payload is decoded by the full stdlib pipeline

@@ -11200,7 +11200,175 @@ FROM s
 """
 
 
+def q296_image_dhash_dedup(spark, sf_dir):
+    """Perceptual image dedup by difference-hash — the cheap
+    near-duplicate key every image-corpus pipeline buckets on before
+    any embedding pass: the deterministic PNG corpus is REALLY decoded
+    (stdlib chunk walk + inflate + defilter), nearest-neighbor
+    resampled to 9x8, and hashed one bit per horizontal gradient; the
+    min-id member of each hash bucket survives. On this corpus the
+    gradient field depends only on the (width, height) class, so the
+    buckets are exactly the id % 30 classes — which the oracle
+    reproduces from the synthesis arithmetic alone, replaying decode,
+    resample, and bit packing as integer SQL
+    (operators/multimodal.py image_dhash)."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import image_dhash, synthesize_png_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hashes = image_dhash(synthesize_png_corpus(docs))
+    w = Window.partitionBy("dhash")
+    return hashes.select(
+        "media_id",
+        "dhash",
+        (F.col("media_id") == F.min("media_id").over(w)).alias("kept"),
+    )
+
+
+_Q296_SQL = """
+WITH img AS (
+  SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, r, c,
+    CASE WHEN ((doc_id * 31 + ((r * h) // 8) * 17
+                + (((c + 1) * w) // 9) * 7) % 256)
+            > ((doc_id * 31 + ((r * h) // 8) * 17
+                + ((c * w) // 9) * 7) % 256)
+    THEN 1 ELSE 0 END AS b
+  FROM img, UNNEST(range(0, 8)) t(r), UNNEST(range(0, 8)) u(c)
+),
+bytes_ AS (
+  SELECT doc_id, r,
+    CAST(SUM(b * (1 << CAST(7 - c AS INTEGER))) AS BIGINT) AS byte
+  FROM bits GROUP BY doc_id, r
+),
+hsh AS (
+  SELECT doc_id,
+    string_agg(lpad(lower(to_hex(byte)), 2, '0'), '' ORDER BY r)
+      AS dhash
+  FROM bytes_ GROUP BY doc_id
+)
+SELECT doc_id AS media_id, dhash,
+  doc_id = MIN(doc_id) OVER (PARTITION BY dhash) AS kept
+FROM hsh
+"""
+
+
+_Q297_JSON_SPARK = """
+'[' ||
+IF(doc_id % 4 = 0,
+   '{"role":"system","content":"be helpful"},', '') ||
+array_join(transform(sequence(0, CAST(doc_id % 3 AS INT)), j ->
+  IF(j = 0 AND doc_id % 7 = 0,
+     '{"role":"assistant","content":"ans ' || CAST(doc_id AS STRING)
+       || ' ' || CAST(j AS STRING) || ' ok"},'
+       || '{"role":"user","content":"ask ' || CAST(doc_id AS STRING)
+       || ' ' || CAST(j AS STRING) || '"}',
+     '{"role":"user","content":"ask ' || CAST(doc_id AS STRING)
+       || ' ' || CAST(j AS STRING) || '"},'
+       || '{"role":"assistant","content":"ans ' || CAST(doc_id AS STRING)
+       || ' ' || CAST(j AS STRING) || ' ok"}')), ',')
+|| ']'
+"""
+
+
+def q297_conversation_stats(spark, sf_dir):
+    """SFT conversation-format audit — the structural screen every
+    post-training loader runs on chat transcripts: deterministic JSON
+    message arrays (1-3 user/assistant pairs, a system prefix on
+    every 4th, and every 7th transcript's FIRST pair role-swapped to
+    violate alternation) are parsed with from_json and audited with
+    higher-order array functions — message/role counts, per-role
+    character volume, and the three invariants (system start, strict
+    user/assistant alternation after leading system messages,
+    trainable final assistant turn). Map-only, zero Python; the
+    oracle states every count and invariant from the synthesis
+    arithmetic (operators/chat.py conversation_stats)."""
+    from ..operators.chat import conversation_stats
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q297_JSON_SPARK).alias("convo")
+    )
+    return conversation_stats(convos, "convo", "doc_id")
+
+
+_Q297_SQL = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS p,
+    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS sys,
+    doc_id % 7 = 0 AS corrupt,
+    LENGTH(CAST(doc_id AS VARCHAR)) AS li
+  FROM documents
+)
+SELECT doc_id,
+  CAST(sys + 2 * p AS BIGINT) AS n_messages,
+  CAST(sys AS BIGINT) AS n_system,
+  CAST(p AS BIGINT) AS n_user,
+  CAST(p AS BIGINT) AS n_assistant,
+  CAST(p * (6 + li) AS BIGINT) AS user_chars,
+  CAST(p * (9 + li) AS BIGINT) AS assistant_chars,
+  sys = 1 AS starts_with_system,
+  NOT corrupt AS alternation_ok,
+  (NOT corrupt) OR p > 1 AS ends_with_assistant
+FROM d
+"""
+
+
+def q298_preference_pair_audit(spark, sf_dir):
+    """Preference-pair (DPO/RLHF) integrity audit: deterministic
+    (prompt, chosen, rejected) triples — prompts bucketed so some
+    repeat, every 5th pair degenerately identical, the rest
+    chosen-longer — screened for the three failure modes a
+    preference-data review checks first: zero-signal identical pairs,
+    the corpus length-bias rate, and per-prompt duplication. One
+    window on the prompt; the oracle restates every flag analytically
+    (operators/chat.py preference_pair_audit)."""
+    from ..operators.chat import preference_pair_audit
+
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "'prompt ' || CAST(doc_id % 101 AS STRING)"
+        ).alias("prompt"),
+        F.expr(
+            "'answer ' || CAST(doc_id AS STRING) || ' with detail'"
+        ).alias("chosen"),
+        F.expr(
+            "IF(doc_id % 5 = 0,"
+            " 'answer ' || CAST(doc_id AS STRING) || ' with detail',"
+            " 'short ' || CAST(doc_id AS STRING))"
+        ).alias("rejected"),
+    )
+    return preference_pair_audit(
+        pairs, "prompt", "chosen", "rejected", "doc_id"
+    )
+
+
+_Q298_SQL = """
+WITH d AS (
+  SELECT doc_id, LENGTH(CAST(doc_id AS VARCHAR)) AS li,
+    doc_id % 5 = 0 AS ident
+  FROM documents
+)
+SELECT doc_id,
+  CAST(19 + li AS BIGINT) AS chosen_chars,
+  CAST(CASE WHEN ident THEN 19 + li ELSE 6 + li END AS BIGINT)
+    AS rejected_chars,
+  NOT ident AS chosen_longer,
+  ident AS identical_pair,
+  CAST(COUNT(*) OVER (PARTITION BY doc_id % 101) AS BIGINT)
+    AS prompt_dup_count
+FROM d
+"""
+
+
 QUERIES = {
+    "q298_preference_pair_audit": q298_preference_pair_audit,
+    "q297_conversation_stats": q297_conversation_stats,
+    "q296_image_dhash_dedup": q296_image_dhash_dedup,
     "q295_robots_screened_frontier": q295_robots_screened_frontier,
     "q294_zip_member_walk": q294_zip_member_walk,
     "q293_frontier_expansion": q293_frontier_expansion,
@@ -11388,6 +11556,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q298_preference_pair_audit": _Q298_SQL,
+    "q297_conversation_stats": _Q297_SQL,
+    "q296_image_dhash_dedup": _Q296_SQL,
     "q295_robots_screened_frontier": _Q295_SQL,
     "q294_zip_member_walk": _Q294_SQL,
     "q293_frontier_expansion": _Q293_SQL,

@@ -5825,6 +5825,59 @@ def test_html_numeric_entity_decode(spark):
     assert "&#65;B" in plain.text and "caf&#233;" in plain.text
 
 
+def test_conversation_stats_and_preference_audit(spark):
+    """conversation_stats: invariants on well-formed, multi-system,
+    role-broken, assistant-only, empty, and UNPARSEABLE transcripts
+    (NULL stats, no raise). preference_pair_audit: identical pairs,
+    length bias, prompt duplication."""
+    from delta_lake_spark.operators.chat import (
+        conversation_stats,
+        preference_pair_audit,
+    )
+
+    rows = [
+        (1, '[{"role":"user","content":"hi"},'
+            '{"role":"assistant","content":"hello there"}]'),
+        (2, '[{"role":"system","content":"a"},'
+            '{"role":"system","content":"b"},'
+            '{"role":"user","content":"q"},'
+            '{"role":"assistant","content":"r"}]'),
+        (3, '[{"role":"assistant","content":"i speak first"}]'),
+        (4, "not json at all"),
+        (5, "[]"),
+        (6, '[{"role":"user","content":"q"},'
+            '{"role":"user","content":"q again"}]'),
+    ]
+    df = spark.createDataFrame(rows, "id long, convo string")
+    got = {r.id: r for r in conversation_stats(df, "convo", "id").collect()}
+    assert got[1].alternation_ok and got[1].ends_with_assistant
+    assert got[1].n_user == 1 and got[1].assistant_chars == 11
+    # multiple LEADING system messages are skipped by the invariant
+    assert got[2].n_system == 2 and got[2].alternation_ok
+    assert got[2].starts_with_system
+    assert not got[3].alternation_ok and got[3].ends_with_assistant
+    assert got[4].n_messages is None and got[4].alternation_ok is None
+    assert got[5].n_messages == 0 and not got[5].alternation_ok
+    assert not got[6].alternation_ok  # user twice in a row
+
+    pairs = spark.createDataFrame(
+        [(1, "p1", "long answer", "short"),
+         (2, "p1", "same", "same"),
+         (3, "p2", "a", "bb")],
+        "id long, prompt string, chosen string, rejected string",
+    )
+    audit = {
+        r.id: r
+        for r in preference_pair_audit(
+            pairs, "prompt", "chosen", "rejected", "id"
+        ).collect()
+    }
+    assert audit[1].chosen_longer and not audit[1].identical_pair
+    assert audit[1].prompt_dup_count == 2
+    assert audit[2].identical_pair and not audit[2].chosen_longer
+    assert not audit[3].chosen_longer and audit[3].prompt_dup_count == 1
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

@@ -100,6 +100,64 @@ def conversation_stats(
     )
 
 
+def chat_loss_spans(
+    df: DataFrame, json_col: str, id_col: str
+) -> DataFrame:
+    """Loss-mask arithmetic for SFT packing: render each transcript
+    with the fixed template ``<|{role}|>{content}<|end|>`` per message
+    (4 + len(role) + len(content) + 7 chars) and emit one row per
+    ASSISTANT turn with the [start, end) character span of its content
+    inside the rendered string — exactly the assistant-only loss mask
+    a trainer applies after tokenization-with-offsets. One
+    higher-order aggregate folds (offset, spans) across the message
+    array — map-only, zero Python; the rendered string itself is
+    recoverable from the template and is pinned by tests, the
+    relational contract being the integer span arithmetic. Returns
+    (id_col, span_idx, loss_start, loss_end, rendered_chars);
+    transcripts with no assistant turn produce no rows."""
+    msgs = F.from_json(F.col(json_col), MESSAGE_SCHEMA)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.array().cast(
+            "array<struct<s: bigint, e: bigint>>"
+        ).alias("spans"),
+    )
+
+    def step(acc, m):
+        start = acc.pos + 4 + F.length(m.role)
+        end = start + F.length(m.content)
+        return F.struct(
+            (end + 7).cast("long").alias("pos"),
+            F.when(
+                m.role == F.lit("assistant"),
+                F.concat(
+                    acc.spans,
+                    F.array(
+                        F.struct(
+                            start.cast("long").alias("s"),
+                            end.cast("long").alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(acc.spans).alias("spans"),
+        )
+
+    folded = df.select(
+        F.col(id_col), F.aggregate(msgs, zero, step).alias("__f")
+    )
+    return folded.select(
+        id_col,
+        F.col("__f.pos").alias("rendered_chars"),
+        F.posexplode("__f.spans").alias("span_idx", "__sp"),
+    ).select(
+        id_col,
+        "span_idx",
+        F.col("__sp.s").alias("loss_start"),
+        F.col("__sp.e").alias("loss_end"),
+        "rendered_chars",
+    )
+
+
 def preference_pair_audit(
     df: DataFrame,
     prompt_col: str,

@@ -11365,7 +11365,47 @@ FROM d
 """
 
 
+def q299_chat_loss_spans(spark, sf_dir):
+    """SFT loss-mask spans — the arithmetic between a chat template
+    and the trainer's assistant-only loss: the q297 transcripts are
+    rendered with the fixed ``<|role|>content<|end|>`` template and
+    every assistant turn's [start, end) content span inside the
+    rendered string is computed by one higher-order fold over the
+    message array. The per-message block lengths are integer functions
+    of the synthesis, so the oracle restates every span and the total
+    rendered length analytically — including the role-swapped first
+    pair, whose assistant span shifts to the front of its block
+    (operators/chat.py chat_loss_spans)."""
+    from ..operators.chat import chat_loss_spans
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q297_JSON_SPARK).alias("convo")
+    )
+    return chat_loss_spans(convos, "convo", "doc_id")
+
+
+_Q299_SQL = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS p,
+    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS sys,
+    doc_id % 7 = 0 AS corrupt,
+    LENGTH(CAST(doc_id AS VARCHAR)) AS li
+  FROM documents
+)
+SELECT doc_id, CAST(j AS INTEGER) AS span_idx,
+  CAST(27 * sys + j * (50 + 2 * li)
+       + CASE WHEN corrupt AND j = 0 THEN 13 ELSE 34 + li END
+       AS BIGINT) AS loss_start,
+  CAST(27 * sys + j * (50 + 2 * li)
+       + CASE WHEN corrupt AND j = 0 THEN 13 ELSE 34 + li END
+       + 9 + li AS BIGINT) AS loss_end,
+  CAST(27 * sys + p * (50 + 2 * li) AS BIGINT) AS rendered_chars
+FROM d, UNNEST(range(0, p)) t(j)
+"""
+
+
 QUERIES = {
+    "q299_chat_loss_spans": q299_chat_loss_spans,
     "q298_preference_pair_audit": q298_preference_pair_audit,
     "q297_conversation_stats": q297_conversation_stats,
     "q296_image_dhash_dedup": q296_image_dhash_dedup,
@@ -11556,6 +11596,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q299_chat_loss_spans": _Q299_SQL,
     "q298_preference_pair_audit": _Q298_SQL,
     "q297_conversation_stats": _Q297_SQL,
     "q296_image_dhash_dedup": _Q296_SQL,

@@ -5878,6 +5878,42 @@ def test_conversation_stats_and_preference_audit(spark):
     assert not audit[3].chosen_longer and audit[3].prompt_dup_count == 1
 
 
+def test_chat_loss_spans_point_at_assistant_content(spark):
+    """The [start, end) spans must slice EXACTLY the assistant
+    contents out of the template-rendered string (the property the
+    trainer's loss mask depends on)."""
+    from delta_lake_spark.operators.chat import chat_loss_spans
+
+    convo = (
+        '[{"role":"system","content":"sys msg"},'
+        '{"role":"user","content":"what is up"},'
+        '{"role":"assistant","content":"not much"},'
+        '{"role":"user","content":"ok"},'
+        '{"role":"assistant","content":"bye now"}]'
+    )
+    df = spark.createDataFrame([(1, convo)], "id long, convo string")
+    rendered = (
+        "<|system|>sys msg<|end|>"
+        "<|user|>what is up<|end|>"
+        "<|assistant|>not much<|end|>"
+        "<|user|>ok<|end|>"
+        "<|assistant|>bye now<|end|>"
+    )
+    rows = sorted(
+        chat_loss_spans(df, "convo", "id").collect(),
+        key=lambda r: r.span_idx,
+    )
+    assert [r.rendered_chars for r in rows] == [len(rendered)] * 2
+    assert rendered[rows[0].loss_start : rows[0].loss_end] == "not much"
+    assert rendered[rows[1].loss_start : rows[1].loss_end] == "bye now"
+    # no assistant turn -> no rows; unparseable -> no rows
+    none = spark.createDataFrame(
+        [(2, '[{"role":"user","content":"q"}]'), (3, "broken")],
+        "id long, convo string",
+    )
+    assert chat_loss_spans(none, "convo", "id").count() == 0
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

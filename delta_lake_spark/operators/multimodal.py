@@ -1518,6 +1518,158 @@ def synthesize_tar_corpus(
     )
 
 
+def synthesize_webdataset_shards(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic WebDataset shards — the de-facto format
+    multimodal training corpora ship in: one ustar archive per id
+    holding 2 + id%3 SAMPLES, each sample a pair of same-stem members
+    ``{key}.png`` (a tiny real PNG whose pixel matrix derives from the
+    sample seed s = id*5 + k: w = 3 + s%6, h = 2 + s%5, pixel =
+    (s*31 + r*17 + c*7) % 256 — the q173 arithmetic re-seeded) and
+    ``{key}.json`` ({"caption": "img {id} {k}", "label": (id+k)%10});
+    keys are ``{id:06d}{k}``, members pair-adjacent as the format
+    requires. Fixed mtime/uid/gid for bit-stable archives. Map-only
+    mapInPandas."""
+
+    def batches(it):
+        import io
+        import json as _json
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for k in range(2 + mid % 3):
+                        s = mid * 5 + k
+                        w, h = 3 + s % 6, 2 + s % 5
+                        rows = [
+                            [(s * 31 + r * 17 + c * 7) % 256
+                             for c in range(w)]
+                            for r in range(h)
+                        ]
+                        png = tiny_png_bytes(rows)
+                        meta = _json.dumps(
+                            {
+                                "caption": f"img {mid} {k}",
+                                "label": (mid + k) % 10,
+                            },
+                            sort_keys=True,
+                        ).encode()
+                        key = f"{mid:06d}{k}"
+                        for name, body in (
+                            (f"{key}.png", png),
+                            (f"{key}.json", meta),
+                        ):
+                            info = tarfile.TarInfo(name=name)
+                            info.size = len(body)
+                            info.mtime = 0
+                            info.uid = info.gid = 0
+                            tf.addfile(info, io.BytesIO(body))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def decode_webdataset_samples(df: DataFrame) -> DataFrame:
+    """Walk WebDataset shards into a SAMPLE relation: members group by
+    key stem (the name before the first '.'), every sample must carry
+    exactly its ``.png`` + ``.json`` pair (the format contract —
+    a missing half, an unknown extension, or out-of-order interleaving
+    raises with the media id), the PNG is REALLY decoded
+    (:func:`_parse_png`) and the JSON parsed. This is the
+    shard-to-training-rows step of every multimodal loader, as a
+    relation instead of an iterator. Map-only mapInPandas; payloads
+    never visit the driver. Returns (media_id, sample_key, width,
+    height, mean_luma 1e-9-rounded, caption, label)."""
+
+    def batches(it):
+        import io
+        import json as _json
+        import tarfile
+
+        import pandas as pd
+
+        cols = [
+            "media_id", "sample_key", "width", "height", "mean_luma",
+            "caption", "label",
+        ]
+
+        def walk(mid, payload: bytes):
+            out = []
+            with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
+                pending_key = None
+                pending = {}
+                for info in tf:
+                    stem, dot, ext = info.name.partition(".")
+                    if ext not in ("png", "json"):
+                        raise ValueError(
+                            f"unknown member extension {info.name!r}"
+                        )
+                    if pending_key is None:
+                        pending_key = stem
+                    elif stem != pending_key:
+                        raise ValueError(
+                            f"interleaved sample members at {info.name!r}"
+                        )
+                    pending[ext] = tf.extractfile(info).read()
+                    if len(pending) == 2:
+                        _, w, h, _, luma = _parse_png(mid, pending["png"])
+                        meta = _json.loads(pending["json"])
+                        out.append(
+                            (
+                                pending_key,
+                                w,
+                                h,
+                                round(luma, 9),
+                                meta["caption"],
+                                int(meta["label"]),
+                            )
+                        )
+                        pending_key = None
+                        pending = {}
+                if pending:
+                    raise ValueError(
+                        f"sample {pending_key!r} missing its pair"
+                    )
+            return out
+
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples = walk(int(mid), bytes(payload))
+                except (ValueError, KeyError, tarfile.TarError) as e:
+                    raise ValueError(
+                        "malformed webdataset shard for "
+                        f"media_id={int(mid)}: {e}"
+                    ) from e
+                for srow in samples:
+                    rows["media_id"].append(int(mid))
+                    for kc, v in zip(cols[1:], srow):
+                        rows[kc].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        batches,
+        schema="media_id long, sample_key string, width int, "
+        "height int, mean_luma double, caption string, label int",
+    )
+
+
 def decode_tar_members(df: DataFrame) -> DataFrame:
     """Walk every archive's member table and hash each member's
     content — one output row per member: (media_id, member_idx, name,

@@ -11404,7 +11404,55 @@ FROM d, UNNEST(range(0, p)) t(j)
 """
 
 
+def q300_webdataset_samples(spark, sf_dir):
+    """WebDataset shard ingestion — the de-facto multimodal training
+    format (tar shards of same-stem sample pairs): deterministic
+    shards of 2-4 (png, json) samples per document are synthesized and
+    walked back into a SAMPLE relation — pair grouping enforced
+    (missing halves, unknown extensions, interleaving raise with the
+    media id), the PNG REALLY decoded (stdlib chunk walk + inflate +
+    defilter) and the JSON parsed. The oracle restates every sample's
+    dimensions, exact mean luminance (the q173 pixel arithmetic
+    re-seeded per sample), caption, and label analytically
+    (operators/multimodal.py synthesize_webdataset_shards /
+    decode_webdataset_samples)."""
+    from ..operators.multimodal import (
+        decode_webdataset_samples,
+        synthesize_webdataset_shards,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_webdataset_samples(synthesize_webdataset_shards(docs))
+
+
+_Q300_SQL = """
+WITH samples AS (
+  SELECT doc_id, k, doc_id * 5 + k AS s
+  FROM documents, UNNEST(range(0, 2 + doc_id % 3)) t(k)
+),
+px AS (
+  SELECT doc_id, k,
+    CAST(3 + s % 6 AS INTEGER) AS w,
+    CAST(2 + s % 5 AS INTEGER) AS h,
+    (s * 31 + r * 17 + c * 7) % 256 AS v
+  FROM samples,
+    UNNEST(range(0, 2 + s % 5)) tr(r),
+    UNNEST(range(0, 3 + s % 6)) tc(c)
+)
+SELECT doc_id AS media_id,
+  lpad(CAST(doc_id AS VARCHAR), 6, '0') || CAST(k AS VARCHAR)
+    AS sample_key,
+  w AS width, h AS height,
+  ROUND(SUM(v) * 1.0 / (w * h), 9) AS mean_luma,
+  'img ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(k AS VARCHAR)
+    AS caption,
+  CAST((doc_id + k) % 10 AS INTEGER) AS label
+FROM px GROUP BY doc_id, k, w, h
+"""
+
+
 QUERIES = {
+    "q300_webdataset_samples": q300_webdataset_samples,
     "q299_chat_loss_spans": q299_chat_loss_spans,
     "q298_preference_pair_audit": q298_preference_pair_audit,
     "q297_conversation_stats": q297_conversation_stats,
@@ -11596,6 +11644,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q300_webdataset_samples": _Q300_SQL,
     "q299_chat_loss_spans": _Q299_SQL,
     "q298_preference_pair_audit": _Q298_SQL,
     "q297_conversation_stats": _Q297_SQL,

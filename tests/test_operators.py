@@ -5878,6 +5878,54 @@ def test_conversation_stats_and_preference_audit(spark):
     assert not audit[3].chosen_longer and audit[3].prompt_dup_count == 1
 
 
+def test_webdataset_pairing_contract(spark):
+    """decode_webdataset_samples enforces the format: same-stem pairs
+    decode; a missing half, an unknown extension, or interleaved
+    members raise with the media id."""
+    import io
+    import tarfile
+
+    from delta_lake_spark.operators.multimodal import (
+        decode_webdataset_samples,
+        synthesize_webdataset_shards,
+        tiny_png_bytes,
+    )
+
+    docs = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    got = decode_webdataset_samples(
+        synthesize_webdataset_shards(docs)
+    ).collect()
+    by_key = {r.sample_key: r for r in got}
+    assert len(by_key) == (2 + 3 % 3) + (2 + 7 % 3)
+    assert by_key["0000030"].caption == "img 3 0"
+    assert by_key["0000071"].label == 8
+    assert by_key["0000030"].width == 3 + (15 % 6)
+
+    def shard(members):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, body in members:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(body)
+                tf.addfile(info, io.BytesIO(body))
+        return buf.getvalue()
+
+    png = tiny_png_bytes([[1, 2], [3, 4]])
+    import pytest as _pytest
+
+    bad_cases = [
+        [("a.png", png)],  # missing json half
+        [("a.png", png), ("a.txt", b"x")],  # unknown extension
+        [("a.png", png), ("b.json", b"{}")],  # interleaved stems
+    ]
+    for i, members in enumerate(bad_cases):
+        df = spark.createDataFrame(
+            [(i, shard(members))], "media_id long, payload binary"
+        )
+        with _pytest.raises(Exception, match=f"media_id={i}"):
+            decode_webdataset_samples(df).collect()
+
+
 def test_chat_loss_spans_point_at_assistant_content(spark):
     """The [start, end) spans must slice EXACTLY the assistant
     contents out of the template-rendered string (the property the

@@ -163,11 +163,36 @@ def _field_plan(schema: dict) -> list[tuple[str, str, bool, int]]:
 
 
 def _tzinfo(tz: str):
-    """tzinfo for a Spark session-timezone string."""
-    import datetime
+    """tzinfo for a Spark session-timezone string.
 
-    if tz.upper() in ("UTC", "GMT", "Z", "ETC/UTC", "ETC/GMT"):
+    Spark's ``spark.sql.session.timeZone`` accepts the full java.time
+    ZoneId grammar, not only region IDs: bare offsets ('+08:00',
+    '-0530', '+8'), prefixed offsets ('GMT+8', 'UTC+08:00', 'UT-5'),
+    and 'Z'. Parse the offset forms into a fixed ``datetime.timezone``
+    directly — ZoneInfo only knows region IDs and would raise
+    ZoneInfoNotFoundError on them — and fall back to ZoneInfo for
+    region IDs like 'America/New_York'."""
+    import datetime
+    import re
+
+    if tz.upper() in ("UTC", "GMT", "UT", "Z", "ETC/UTC", "ETC/GMT"):
         return datetime.timezone.utc
+    m = re.fullmatch(
+        r"(?:GMT|UTC|UT)?([+-])(\d{1,2})"
+        r"(?::?(\d{2}))?(?::?(\d{2}))?",
+        tz,
+        re.IGNORECASE,
+    )
+    if m:
+        sign = -1 if m.group(1) == "-" else 1
+        hh = int(m.group(2))
+        mm = int(m.group(3) or 0)
+        ss = int(m.group(4) or 0)
+        if hh > 18 or mm > 59 or ss > 59:
+            raise ValueError(f"invalid zone offset {tz!r}")
+        return datetime.timezone(
+            sign * datetime.timedelta(hours=hh, minutes=mm, seconds=ss)
+        )
     from zoneinfo import ZoneInfo
 
     return ZoneInfo(tz)

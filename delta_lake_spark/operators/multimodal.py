@@ -334,6 +334,54 @@ def synthesize_png_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_mixed_image_corpus(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Mixed-format sibling of :func:`synthesize_png_corpus` — the
+    real-corpus shape where a dedup key must sniff its payload: EVEN
+    ids carry the exact PNG of synthesize_png_corpus (w = 3 + id % 6,
+    h = 2 + id % 5, pixel (id*31 + r*17 + c*7) % 256, cycling
+    filters); ODD ids carry a baseline JPEG of 8x8-CONSTANT blocks
+    (grid (1 + id % 3) x (1 + id % 2), block value
+    (id*31 + bx*17 + by*7) % 256 — integral DC, zero AC, unit
+    quantization, so the lossy pipeline reproduces every block value
+    exactly and an oracle states the decoded raster arithmetically)."""
+    from .jpeg import _const_block, tiny_jpeg_bytes
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h = 3 + i % 6, 2 + i % 5
+                    rows = [
+                        [(i * 31 + r * 17 + c * 7) % 256 for c in range(w)]
+                        for r in range(h)
+                    ]
+                    payloads.append(
+                        tiny_png_bytes(
+                            rows, filters=[(i + r) % 5 for r in range(h)]
+                        )
+                    )
+                else:
+                    bw_, bh_ = 1 + i % 3, 1 + i % 2
+                    grid = [
+                        [
+                            _const_block((i * 31 + bx * 17 + by * 7) % 256)
+                            for bx in range(bw_)
+                        ]
+                        for by in range(bh_)
+                    ]
+                    payloads.append(tiny_jpeg_bytes(8 * bw_, 8 * bh_, grid))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+
+
 def synthesize_png_rgb_corpus(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -378,46 +426,77 @@ def synthesize_png_rgb_corpus(
 def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
     """Perceptual difference-hash (dHash) per image — the standard
     cheap near-duplicate key for image corpora (robust to re-encoding
-    and mild rescaling, unlike the byte md5): REAL stdlib PNG decode
-    (:func:`_parse_png_pixels`), RGB collapsed to integer ITU-R 601
-    luma ((299 r + 587 g + 114 b) // 1000), nearest-neighbor resample
-    to (hash_size+1) x hash_size with the module's exact
+    and mild rescaling, unlike the byte md5). The payload format is
+    SNIFFED from its magic bytes: PNG goes through the REAL stdlib
+    decode (:func:`_parse_png_pixels`), JPEG through the full baseline
+    decoder (:func:`~delta_lake_spark.operators.jpeg._parse_jpeg`) —
+    real image corpora are overwhelmingly JPEG, so the dedup key must
+    not be PNG-only. RGB collapses to integer ITU-R 601 luma
+    ((299 r + 587 g + 114 b) // 1000), nearest-neighbor resample to
+    (hash_size+1) x hash_size with the module's exact
     ``src = (dst * src_dim) // dst_dim`` mapping, then one bit per
     horizontally adjacent pair (left < right), emitted as a
     2-hex-chars-per-row string so the hash is engine-portable without
     signed-64-bit shift corner cases. Every step is integer-exact, so
     an external engine replays the hash from the synthesis arithmetic.
-    Malformed payloads raise with the media id. Map-only mapInPandas.
-    Returns (media_id, dhash string of 2*hash_size hex chars)."""
+    The raster math (luma collapse, resample, bit pack) is vectorized
+    numpy over the whole image — no per-pixel Python in the hot path.
+    Malformed or non-image payloads raise with the media id. Map-only
+    mapInPandas. Returns (media_id, dhash string of 2*hash_size hex
+    chars)."""
     if hash_size <= 0:
         raise ValueError("hash_size must be positive")
 
-    def one(mid, content: bytes) -> str:
-        w, h, mode, rows = _parse_png_pixels(mid, content)
-        if mode == "RGB":
-            rows = [
-                [
-                    (299 * sr[3 * c] + 587 * sr[3 * c + 1]
-                     + 114 * sr[3 * c + 2]) // 1000
-                    for c in range(w)
-                ]
-                for sr in rows
-            ]
-        ow, oh = hash_size + 1, hash_size
-        grid = [
-            [rows[(r * h) // oh][(c * w) // ow] for c in range(ow)]
-            for r in range(oh)
-        ]
-        out = []
-        for r in range(oh):
-            byte = 0
-            for c in range(hash_size):
-                if grid[r][c + 1] > grid[r][c]:
-                    byte |= 1 << (hash_size - 1 - c)
-            out.append(f"{byte:02x}")
-        return "".join(out)
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg import _parse_jpeg
+
+        ow, oh = hash_size + 1, hash_size
+        weights = (
+            np.int64(1) << np.arange(hash_size - 1, -1, -1, dtype=np.int64)
+        )
+
+        def one(mid, content) -> str:
+            content = bytes(content)
+            if content[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h, mode, rows = _parse_png_pixels(mid, content)
+                # rows are raw bpp-strided scanline bytes
+                arr = np.frombuffer(b"".join(rows), dtype=np.uint8).astype(
+                    np.int64
+                )
+                if mode == "RGB":
+                    arr = arr.reshape(h, w, 3)
+                    luma = (
+                        299 * arr[:, :, 0]
+                        + 587 * arr[:, :, 1]
+                        + 114 * arr[:, :, 2]
+                    ) // 1000
+                else:
+                    luma = arr.reshape(h, w)
+            elif content[:2] == b"\xff\xd8":
+                w, h, mode, planes = _parse_jpeg(mid, content)
+                if mode == "L":
+                    luma = planes[0].astype(np.int64)
+                else:
+                    luma = (
+                        299 * planes[0].astype(np.int64)
+                        + 587 * planes[1].astype(np.int64)
+                        + 114 * planes[2].astype(np.int64)
+                    ) // 1000
+            else:
+                raise ValueError(
+                    f"image_dhash media_id={mid}: payload is neither"
+                    " PNG nor JPEG"
+                )
+            grid = luma[
+                np.ix_((np.arange(oh) * h) // oh, (np.arange(ow) * w) // ow)
+            ]
+            row_bytes = (
+                (grid[:, 1:] > grid[:, :-1]).astype(np.int64) * weights
+            ).sum(axis=1)
+            return "".join(f"{int(b):02x}" for b in row_bytes)
+
         for pdf in it:
             yield pd.DataFrame(
                 {
@@ -1584,17 +1663,21 @@ def synthesize_webdataset_shards(
     )
 
 
-def decode_webdataset_samples(df: DataFrame) -> DataFrame:
-    """Walk WebDataset shards into a SAMPLE relation: members group by
-    key stem (the name before the first '.'), every sample must carry
-    exactly its ``.png`` + ``.json`` pair (the format contract —
-    a missing half, an unknown extension, or out-of-order interleaving
-    raises with the media id), the PNG is REALLY decoded
-    (:func:`_parse_png`) and the JSON parsed. This is the
-    shard-to-training-rows step of every multimodal loader, as a
-    relation instead of an iterator. Map-only mapInPandas; payloads
-    never visit the driver. Returns (media_id, sample_key, width,
-    height, mean_luma 1e-9-rounded, caption, label)."""
+def synthesize_webdataset_mixed_shards(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real-corpus sibling of :func:`synthesize_webdataset_shards`:
+    samples mix member formats the way foreign shards do. Per sample
+    seed s = id*5 + k: EVEN s carries ``{key}.png`` (the same pixel
+    arithmetic as the plain shards), ODD s carries ``{key}.jpg`` — a
+    baseline JPEG of 8x8-constant blocks, grid (1 + s%3) x (1 + s%2),
+    block value (s*31 + bx*17 + by*7) % 256 (integral DC, unit
+    quantization: decode is exact). Metadata: s % 3 == 0 ships as
+    separate ``{key}.txt`` (caption) + ``{key}.cls`` (label) members,
+    else as ``{key}.json``. Captions/labels are the plain shards'
+    ("img {id} {k}", (id+k) % 10). Fixed mtime/uid/gid for bit-stable
+    archives. Map-only mapInPandas."""
+    from .jpeg import _const_block, tiny_jpeg_bytes
 
     def batches(it):
         import io
@@ -1603,48 +1686,184 @@ def decode_webdataset_samples(df: DataFrame) -> DataFrame:
 
         import pandas as pd
 
+        for pdf in it:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for k in range(2 + mid % 3):
+                        s = mid * 5 + k
+                        if s % 2 == 0:
+                            w, h = 3 + s % 6, 2 + s % 5
+                            rows = [
+                                [(s * 31 + r * 17 + c * 7) % 256
+                                 for c in range(w)]
+                                for r in range(h)
+                            ]
+                            img = ("png", tiny_png_bytes(rows))
+                        else:
+                            bw_, bh_ = 1 + s % 3, 1 + s % 2
+                            grid = [
+                                [
+                                    _const_block(
+                                        (s * 31 + bx * 17 + by * 7) % 256
+                                    )
+                                    for bx in range(bw_)
+                                ]
+                                for by in range(bh_)
+                            ]
+                            img = (
+                                "jpg",
+                                tiny_jpeg_bytes(8 * bw_, 8 * bh_, grid),
+                            )
+                        caption = f"img {mid} {k}"
+                        label = (mid + k) % 10
+                        if s % 3 == 0:
+                            metas = [
+                                ("txt", caption.encode()),
+                                ("cls", str(label).encode()),
+                            ]
+                        else:
+                            metas = [
+                                (
+                                    "json",
+                                    _json.dumps(
+                                        {"caption": caption, "label": label},
+                                        sort_keys=True,
+                                    ).encode(),
+                                )
+                            ]
+                        key = f"{mid:06d}{k}"
+                        for ext, body in [img] + metas:
+                            info = tarfile.TarInfo(name=f"{key}.{ext}")
+                            info.size = len(body)
+                            info.mtime = 0
+                            info.uid = info.gid = 0
+                            tf.addfile(info, io.BytesIO(body))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def decode_webdataset_samples(df: DataFrame) -> DataFrame:
+    """Walk WebDataset shards into a SAMPLE relation: members group by
+    key stem (the name before the first '.'), and each stem's
+    contiguous member group must resolve to exactly one sample — one
+    image member (``.png`` REALLY decoded by :func:`_parse_png`, or
+    ``.jpg`` by the full baseline decoder in
+    :func:`~delta_lake_spark.operators.jpeg._parse_jpeg`), a caption
+    (``.json``'s ``caption`` field, else a ``.txt`` member), and a
+    label (``.json``'s ``label`` field, else an integer ``.cls``
+    member) — the real-corpus member mix. The format contract stays
+    loud: an unknown extension, a duplicate same-stem same-extension
+    member, a stem split across non-contiguous runs, a sample missing
+    its image or metadata, or two image members all raise with the
+    media id. This is the shard-to-training-rows step of every
+    multimodal loader, as a relation instead of an iterator. Map-only
+    mapInPandas; payloads never visit the driver. Returns (media_id,
+    sample_key, width, height, mean_luma 1e-9-rounded, caption,
+    label)."""
+
+    def batches(it):
+        import io
+        import json as _json
+        import tarfile
+
+        import pandas as pd
+
+        from .jpeg import _parse_jpeg
+
         cols = [
             "media_id", "sample_key", "width", "height", "mean_luma",
             "caption", "label",
         ]
 
+        def finalize(mid, key, pending):
+            imgs = [e for e in ("png", "jpg") if e in pending]
+            if len(imgs) != 1:
+                raise ValueError(
+                    f"sample {key!r} needs exactly one image member,"
+                    f" got {imgs or 'none'}"
+                )
+            if imgs[0] == "png":
+                _, w, h, _, luma = _parse_png(mid, pending["png"])
+            else:
+                w, h, mode, planes = _parse_jpeg(mid, pending["jpg"])
+                if mode == "L":
+                    num = int(planes[0].astype("int64").sum())
+                    den = w * h
+                else:
+                    num = int(
+                        299 * planes[0].astype("int64").sum()
+                        + 587 * planes[1].astype("int64").sum()
+                        + 114 * planes[2].astype("int64").sum()
+                    )
+                    den = 1000 * w * h
+                luma = num / den
+            meta = (
+                _json.loads(pending["json"]) if "json" in pending else {}
+            )
+            if "caption" in meta:
+                caption = meta["caption"]
+            elif "txt" in pending:
+                caption = pending["txt"].decode("utf-8")
+            else:
+                raise ValueError(
+                    f"sample {key!r} missing its caption"
+                    " (.json caption or .txt)"
+                )
+            if "label" in meta:
+                label = int(meta["label"])
+            elif "cls" in pending:
+                label = int(pending["cls"].decode("ascii").strip())
+            else:
+                raise ValueError(
+                    f"sample {key!r} missing its label"
+                    " (.json label or .cls)"
+                )
+            return (key, w, h, round(luma, 9), caption, label)
+
         def walk(mid, payload: bytes):
             out = []
+            seen_stems = set()
             with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
                 pending_key = None
                 pending = {}
                 for info in tf:
                     stem, dot, ext = info.name.partition(".")
-                    if ext not in ("png", "json"):
+                    if ext not in ("png", "jpg", "json", "txt", "cls"):
                         raise ValueError(
                             f"unknown member extension {info.name!r}"
                         )
                     if pending_key is None:
                         pending_key = stem
                     elif stem != pending_key:
+                        out.append(finalize(mid, pending_key, pending))
+                        seen_stems.add(pending_key)
+                        pending_key = stem
+                        pending = {}
+                    if stem in seen_stems:
                         raise ValueError(
-                            f"interleaved sample members at {info.name!r}"
+                            f"interleaved sample members at {info.name!r}:"
+                            f" stem {stem!r} already finalized"
+                        )
+                    if ext in pending:
+                        raise ValueError(
+                            f"duplicate member {info.name!r}: extension"
+                            f" .{ext} already present for stem {stem!r}"
                         )
                     pending[ext] = tf.extractfile(info).read()
-                    if len(pending) == 2:
-                        _, w, h, _, luma = _parse_png(mid, pending["png"])
-                        meta = _json.loads(pending["json"])
-                        out.append(
-                            (
-                                pending_key,
-                                w,
-                                h,
-                                round(luma, 9),
-                                meta["caption"],
-                                int(meta["label"]),
-                            )
-                        )
-                        pending_key = None
-                        pending = {}
                 if pending:
-                    raise ValueError(
-                        f"sample {pending_key!r} missing its pair"
-                    )
+                    out.append(finalize(mid, pending_key, pending))
             return out
 
         for pdf in it:
@@ -2657,12 +2876,18 @@ def decode_warc_http_responses(
                     if sniff:
                         charset, source = sniff.group(1).lower(), "meta"
                 if charset is not None:
+                    # A lying server must not kill the pipeline: a
+                    # typo'd charset label ('utf8mb4', 'win-1252') is
+                    # exactly as wild as undecodable bytes, so an
+                    # unknown declared name falls through to the same
+                    # fallback trial as a missing declaration instead
+                    # of raising (the raise stays for structurally
+                    # malformed HTTP only).
                     try:
                         codecs.lookup(charset)
                     except LookupError:
-                        raise ValueError(
-                            f"unknown declared charset {charset!r}"
-                        ) from None
+                        charset = None
+                if charset is not None:
                     text = payload.decode(charset, errors="replace")
                 else:
                     source = "fallback"

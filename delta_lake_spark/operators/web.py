@@ -617,17 +617,15 @@ def boilerplate_blocks(
             col = F.regexp_replace(col, pat, rep)
         return F.trim(col)
 
+    # Anchor text gets the SAME clean chain as block text (tag strip,
+    # five-entity decode, whitespace collapse, trim) — measuring link
+    # chars on entity-ENCODED anchors ('&amp;' as 5 chars) against an
+    # entity-DECODED denominator would inflate link density past 100%
+    # on entity-heavy anchors and skew flag_link_heavy.
     link_chars = F.aggregate(
         F.regexp_extract_all(F.col("__blk"), F.lit(_ANCHOR_CAPTURE), 1),
         F.lit(0).cast("long"),
-        lambda acc, x: acc
-        + F.length(
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace(x, "<[^>]*>", " "), r"\s+", " "
-                )
-            )
-        ),
+        lambda acc, x: acc + F.length(clean(x)),
     )
     scored = blocks.select(
         id_col,

@@ -10218,7 +10218,8 @@ _Q282_PAGE_SPARK = (
     "'<html><head><title>Doc</title><style>p { color: red; }</style>"
     "</head><body>"
     "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>"
-    " <a href=\"/contact\">Contact us</a></nav>"
+    " <a href=\"/contact\">Contact us</a>"
+    " <a href=\"/tips\">Tips &amp; tricks</a></nav>"
     "<h1>Doc ' || CAST(doc_id AS STRING) || '</h1>"
     "<p>' || text || ' this is the body of the page and it has the"
     " usual words</p>"
@@ -10231,7 +10232,8 @@ _Q282_PAGE_DUCK = """
     '<html><head><title>Doc</title><style>p { color: red; }</style>'
     || '</head><body>'
     || '<nav><a href="/">Home</a> <a href="/about">About</a>'
-    || ' <a href="/contact">Contact us</a></nav>'
+    || ' <a href="/contact">Contact us</a>'
+    || ' <a href="/tips">Tips &amp; tricks</a></nav>'
     || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
     || '<p>' || text || ' this is the body of the page and it has the'
     || ' usual words</p>'
@@ -10280,8 +10282,16 @@ scored AS (
       '\s+', ' ', 'g')) AS text,
     CAST(COALESCE(list_sum(list_transform(
       regexp_extract_all(blk, '(?is)<a\b[^>]*>(.*?)</a>', 1),
-      x -> length(trim(regexp_replace(regexp_replace(x,
-             '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))
+      x -> length(trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(x,
+             '<[^>]*>', ' ', 'g'),
+             '&lt;', '<', 'g'),
+             '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'),
+             '&#39;', CHR(39), 'g'),
+             '&amp;', '&', 'g'),
+             '\s+', ' ', 'g')))
     )), 0) AS BIGINT) AS link_chars
   FROM raw_blocks
 ),
@@ -11451,7 +11461,153 @@ FROM px GROUP BY doc_id, k, w, h
 """
 
 
+def q301_image_dhash_mixed(spark, sf_dir):
+    """Perceptual dedup over a MIXED-format image corpus — the
+    real-corpus shape where the payload format must be sniffed per
+    image: even ids are the q296 PNGs (really decoded: chunk walk +
+    inflate + defilter), odd ids are baseline JPEGs of 8x8-constant
+    blocks (really decoded: Huffman + dequant + IDCT; constants make
+    the lossy pipeline exact), both collapsed to the same dHash with
+    vectorized numpy raster math. On this corpus the gradient field
+    is a function of the (format, shape) class, so buckets span
+    formats only through identical gradients. The oracle replays both
+    decode branches and the 9x8 resample + bit packing as integer SQL
+    (operators/multimodal.py image_dhash /
+    synthesize_mixed_image_corpus)."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import (
+        image_dhash,
+        synthesize_mixed_image_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hashes = image_dhash(synthesize_mixed_image_corpus(docs))
+    w = Window.partitionBy("dhash")
+    return hashes.select(
+        "media_id",
+        "dhash",
+        (F.col("media_id") == F.min("media_id").over(w)).alias("kept"),
+    )
+
+
+# even ids: the q296 PNG pixel field sampled at the 9x8 grid; odd ids:
+# the constant-block JPEG raster (pixel = block value at (c//8, r//8))
+# sampled at the same grid — both stated as integer arithmetic
+_Q301_SQL = """
+WITH img AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 6
+         ELSE 8 * (1 + doc_id % 3) END AS w,
+    CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 5
+         ELSE 8 * (1 + doc_id % 2) END AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, r, c,
+    CASE WHEN
+      (CASE WHEN doc_id % 2 = 0
+        THEN (doc_id * 31 + ((r * h) // 8) * 17
+              + (((c + 1) * w) // 9) * 7) % 256
+        ELSE (doc_id * 31 + ((((c + 1) * w) // 9) // 8) * 17
+              + (((r * h) // 8) // 8) * 7) % 256 END)
+      >
+      (CASE WHEN doc_id % 2 = 0
+        THEN (doc_id * 31 + ((r * h) // 8) * 17
+              + ((c * w) // 9) * 7) % 256
+        ELSE (doc_id * 31 + (((c * w) // 9) // 8) * 17
+              + (((r * h) // 8) // 8) * 7) % 256 END)
+    THEN 1 ELSE 0 END AS b
+  FROM img, UNNEST(range(0, 8)) t(r), UNNEST(range(0, 8)) u(c)
+),
+bytes_ AS (
+  SELECT doc_id, r,
+    CAST(SUM(b * (1 << CAST(7 - c AS INTEGER))) AS BIGINT) AS byte
+  FROM bits GROUP BY doc_id, r
+),
+hsh AS (
+  SELECT doc_id,
+    string_agg(lpad(lower(to_hex(byte)), 2, '0'), '' ORDER BY r)
+      AS dhash
+  FROM bytes_ GROUP BY doc_id
+)
+SELECT doc_id AS media_id, dhash,
+  doc_id = MIN(doc_id) OVER (PARTITION BY dhash) AS kept
+FROM hsh
+"""
+
+
+def q302_webdataset_mixed_samples(spark, sf_dir):
+    """WebDataset ingestion over the REAL-corpus member mix: shards
+    whose samples alternate PNG and baseline-JPEG image members (both
+    REALLY decoded — the JPEG constants make the lossy pipeline
+    exact) and ship metadata either as a ``.json`` member or as
+    separate ``.txt`` caption + ``.cls`` label members. Pair grouping
+    stays loudly enforced (duplicate extensions, missing halves,
+    unknown extensions, interleaving raise with the media id). The
+    oracle restates every sample's dimensions, exact mean luminance
+    (per-pixel PNG sum vs per-block JPEG sum), caption, and label
+    analytically (operators/multimodal.py
+    synthesize_webdataset_mixed_shards / decode_webdataset_samples)."""
+    from ..operators.multimodal import (
+        decode_webdataset_samples,
+        synthesize_webdataset_mixed_shards,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_webdataset_samples(
+        synthesize_webdataset_mixed_shards(docs)
+    )
+
+
+_Q302_SQL = """
+WITH samples AS (
+  SELECT doc_id, k, doc_id * 5 + k AS s
+  FROM documents, UNNEST(range(0, 2 + doc_id % 3)) t(k)
+),
+png_px AS (
+  SELECT doc_id, k,
+    CAST(3 + s % 6 AS INTEGER) AS w,
+    CAST(2 + s % 5 AS INTEGER) AS h,
+    (s * 31 + r * 17 + c * 7) % 256 AS v
+  FROM samples,
+    UNNEST(range(0, 2 + s % 5)) tr(r),
+    UNNEST(range(0, 3 + s % 6)) tc(c)
+  WHERE s % 2 = 0
+),
+jpg_bx AS (
+  SELECT doc_id, k,
+    CAST(8 * (1 + s % 3) AS INTEGER) AS w,
+    CAST(8 * (1 + s % 2) AS INTEGER) AS h,
+    (s * 31 + bx * 17 + by * 7) % 256 AS v
+  FROM samples,
+    UNNEST(range(0, 1 + s % 2)) tb(by),
+    UNNEST(range(0, 1 + s % 3)) tc(bx)
+  WHERE s % 2 = 1
+),
+means AS (
+  SELECT doc_id, k, w, h,
+    ROUND(SUM(v) * 1.0 / (w * h), 9) AS mean_luma
+  FROM png_px GROUP BY doc_id, k, w, h
+  UNION ALL
+  SELECT doc_id, k, w, h,
+    ROUND(SUM(v) * 1.0 / ((w // 8) * (h // 8)), 9) AS mean_luma
+  FROM jpg_bx GROUP BY doc_id, k, w, h
+)
+SELECT doc_id AS media_id,
+  lpad(CAST(doc_id AS VARCHAR), 6, '0') || CAST(k AS VARCHAR)
+    AS sample_key,
+  w AS width, h AS height, mean_luma,
+  'img ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(k AS VARCHAR)
+    AS caption,
+  CAST((doc_id + k) % 10 AS INTEGER) AS label
+FROM means
+"""
+
+
 QUERIES = {
+    "q302_webdataset_mixed_samples": q302_webdataset_mixed_samples,
+    "q301_image_dhash_mixed": q301_image_dhash_mixed,
     "q300_webdataset_samples": q300_webdataset_samples,
     "q299_chat_loss_spans": q299_chat_loss_spans,
     "q298_preference_pair_audit": q298_preference_pair_audit,
@@ -11644,6 +11800,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q302_webdataset_mixed_samples": _Q302_SQL,
+    "q301_image_dhash_mixed": _Q301_SQL,
     "q300_webdataset_samples": _Q300_SQL,
     "q299_chat_loss_spans": _Q299_SQL,
     "q298_preference_pair_audit": _Q298_SQL,

@@ -203,6 +203,60 @@ def test_avro_timestamp_instant_under_session_timezone(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", tz0)
 
 
+def test_avro_tzinfo_offset_style_zones():
+    """Spark's session timezone accepts java.time ZoneId OFFSET forms
+    ('+08:00', 'GMT+8', '-0530'), not only region IDs — _tzinfo must
+    parse them into fixed offsets instead of raising
+    ZoneInfoNotFoundError."""
+    import pytest as _pytest
+
+    from delta_lake_spark.avro import _tzinfo
+
+    ref = datetime.datetime(2024, 1, 1)
+    cases = {
+        "+08:00": 8 * 3600,
+        "+8": 8 * 3600,
+        "-0530": -(5 * 3600 + 30 * 60),
+        "GMT+8": 8 * 3600,
+        "UTC+08:00": 8 * 3600,
+        "UT-5": -5 * 3600,
+        "gmt-02:30": -(2 * 3600 + 30 * 60),
+        "+08:00:30": 8 * 3600 + 30,
+    }
+    for zone, secs in cases.items():
+        off = _tzinfo(zone).utcoffset(ref)
+        assert off.total_seconds() == secs, zone
+    # region IDs still resolve via ZoneInfo; garbage still raises
+    assert _tzinfo("America/New_York").utcoffset(ref) is not None
+    with _pytest.raises(Exception):
+        _tzinfo("+25:00")
+    with _pytest.raises(Exception):
+        _tzinfo("Not/AZone")
+
+
+def test_avro_timestamp_roundtrip_offset_session_zone(spark, tmp_path):
+    """End-to-end write/read of a timestamp column under an
+    offset-style session timezone ('+08:00') — the config shape that
+    used to raise ZoneInfoNotFoundError at runtime."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "+08:00")
+    try:
+        from pyspark.sql import functions as F
+
+        dt = datetime.datetime(2024, 6, 1, 12, 0, 0, 250000)
+        df = spark.createDataFrame(
+            [(1, dt)], "id long, ts timestamp"
+        ).coalesce(1)
+        want = df.select(F.unix_micros("ts")).collect()[0][0]
+        path = str(tmp_path / "tzoff")
+        write_avro(df, path)
+        back = read_avro(spark, path)
+        assert back.select(F.unix_micros("ts")).collect()[0][0] == want
+        assert back.collect()[0].ts == dt
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
 def test_avro_nan_encodes_as_ieee_value():
     """The binary encoder itself preserves NaN — the NaN->null
     unification happens only at the nullable-field writer branch."""

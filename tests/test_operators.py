@@ -5913,10 +5913,24 @@ def test_webdataset_pairing_contract(spark):
     png = tiny_png_bytes([[1, 2], [3, 4]])
     import pytest as _pytest
 
+    meta = b'{"caption": "c", "label": 1}'
     bad_cases = [
-        [("a.png", png)],  # missing json half
-        [("a.png", png), ("a.txt", b"x")],  # unknown extension
-        [("a.png", png), ("b.json", b"{}")],  # interleaved stems
+        [("a.png", png)],  # missing metadata entirely
+        [("a.png", png), ("a.txt", b"x")],  # caption but no label
+        [("a.png", png), ("a.cls", b"3")],  # label but no caption
+        [("a.png", png), ("b.json", meta)],  # img-only group at b
+        [("a.png", png), ("a.bin", b"x")],  # unknown extension
+        # duplicate same-stem same-extension member (the silent-
+        # overwrite ADVICE case) must raise
+        [("a.png", png), ("a.png", png), ("a.json", meta)],
+        # two image members in one sample
+        [("a.png", png), ("a.jpg", png), ("a.json", meta)],
+        # non-contiguous stem runs (true interleave)
+        [
+            ("a.png", png), ("a.json", meta),
+            ("b.png", png), ("b.json", meta),
+            ("a.txt", b"late"),
+        ],
     ]
     for i, members in enumerate(bad_cases):
         df = spark.createDataFrame(
@@ -5924,6 +5938,86 @@ def test_webdataset_pairing_contract(spark):
         )
         with _pytest.raises(Exception, match=f"media_id={i}"):
             decode_webdataset_samples(df).collect()
+
+    # the real-corpus member mix decodes: .jpg image + .txt caption +
+    # .cls label, and .json fields take precedence over siblings
+    from delta_lake_spark.operators.jpeg import _const_block, tiny_jpeg_bytes
+
+    jpg = tiny_jpeg_bytes(8, 8, [[_const_block(40)]])
+    ok = shard(
+        [
+            ("s1.jpg", jpg), ("s1.txt", b"a jpeg sample"), ("s1.cls", b"7"),
+            ("s2.png", png), ("s2.json", meta), ("s2.txt", b"ignored"),
+        ]
+    )
+    rows = {
+        r.sample_key: r
+        for r in decode_webdataset_samples(
+            spark.createDataFrame(
+                [(42, ok)], "media_id long, payload binary"
+            )
+        ).collect()
+    }
+    assert rows["s1"].caption == "a jpeg sample" and rows["s1"].label == 7
+    assert rows["s1"].width == 8 and rows["s1"].mean_luma == 40.0
+    assert rows["s2"].caption == "c" and rows["s2"].label == 1
+    assert rows["s2"].width == 2 and rows["s2"].height == 2
+
+
+def test_image_dhash_sniffs_png_and_jpeg(spark):
+    """image_dhash sniffs the payload format: the SAME raster encoded
+    as PNG and as constant-block JPEG must produce the SAME perceptual
+    hash (the whole point of a format-robust dedup key); non-image
+    payloads raise with the media id."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.jpeg import _const_block, tiny_jpeg_bytes
+    from delta_lake_spark.operators.multimodal import (
+        image_dhash,
+        tiny_png_bytes,
+    )
+
+    # 16x16 raster of four constant 8x8 blocks
+    vals = [[10, 200], [90, 40]]
+    rows = [
+        [vals[r // 8][c // 8] for c in range(16)] for r in range(16)
+    ]
+    png = tiny_png_bytes(rows)
+    jpg = tiny_jpeg_bytes(
+        16, 16,
+        [[_const_block(v) for v in row] for row in vals],
+    )
+    got = {
+        r.media_id: r.dhash
+        for r in image_dhash(
+            spark.createDataFrame(
+                [(1, png), (2, jpg)], "media_id long, content binary"
+            )
+        ).collect()
+    }
+    assert got[1] == got[2] and len(got[1]) == 16
+    # RGB PNG path still hashes (luma collapse)
+    rgb = tiny_png_bytes(
+        [
+            [
+                (vals[r // 8][c // 8],) * 3
+                for c in range(16)
+            ]
+            for r in range(16)
+        ],
+        color="RGB",
+    )
+    got_rgb = image_dhash(
+        spark.createDataFrame([(3, rgb)], "media_id long, content binary")
+    ).collect()[0]
+    assert got_rgb.dhash == got[1]
+    with _pytest.raises(Exception, match="media_id=9"):
+        image_dhash(
+            spark.createDataFrame(
+                [(9, b"GIF89a not supported here")],
+                "media_id long, content binary",
+            )
+        ).collect()
 
 
 def test_chat_loss_spans_point_at_assistant_content(spark):
@@ -6250,6 +6344,31 @@ def test_boilerplate_blocks_rules_and_doc_roll(spark):
     assert "Exchange" not in plan
 
 
+def test_boilerplate_link_chars_entity_decoded(spark):
+    """Anchor text gets the SAME five-entity decode as block text, so
+    entity-heavy anchors ('&amp;' = 1 char, not 5) cannot inflate link
+    density past 100% of n_chars."""
+    from delta_lake_spark.operators.web import boilerplate_blocks
+
+    html = (
+        "<html><body>"
+        '<p><a href="/t">Tips &amp; tricks</a></p>'
+        '<p><a href="/q">&quot;Q&quot; &lt;A&gt; &#39;s&#39;</a></p>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    blocks = {
+        r.text: r for r in boilerplate_blocks(df, "html", "id").collect()
+    }
+    tips = blocks["Tips & tricks"]
+    # anchor text IS the whole block: link_chars == n_chars exactly
+    assert tips.link_chars == tips.n_chars == 13
+    q = blocks["\"Q\" <A> 's'"]
+    assert q.link_chars == q.n_chars == 11
+    for b in blocks.values():
+        assert b.link_chars <= b.n_chars
+
+
 def test_warc_http_envelope_and_charset_selection(spark):
     """decode_warc_http_responses: all three charset-selection paths,
     relational non-2xx/non-HTML screening, and loud raises on
@@ -6307,17 +6426,38 @@ def test_warc_http_envelope_and_charset_selection(spark):
     ).collect()[0]
     assert (one.charset, one.charset_source) == ("utf-8", "fallback")
     assert one.body_text == "hi"
-    # malformed HTTP raises with the media id: no CRLFCRLF terminator,
-    # non-HTTP payload, unknown declared charset
+    # an UNKNOWN declared charset is a lying server, not malformed
+    # HTTP: it must fall through to the fallback trial (utf-8 then
+    # latin-1) with charset_source='fallback', never kill the job
+    lying = shard(
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=klingon-8\r\n\r\nx"
+    )
+    lied = decode_warc_http_responses(
+        spark.createDataFrame([(9, lying)], "media_id long, payload binary")
+    ).collect()[0]
+    assert (lied.charset, lied.charset_source) == ("utf-8", "fallback")
+    assert lied.body_text == "x"
+    # same for a typo'd charset in the meta sniff path
+    meta_lying = shard(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b'<meta charset="utf8mb4"><p>caf\xe9</p>'
+    )
+    mlied = decode_warc_http_responses(
+        spark.createDataFrame(
+            [(10, meta_lying)], "media_id long, payload binary"
+        )
+    ).collect()[0]
+    # the \xe9 byte is invalid utf-8, so the fallback lands on latin-1
+    assert (mlied.charset, mlied.charset_source) == ("latin-1", "fallback")
+    assert "café" in mlied.body_text
+    # malformed HTTP still raises with the media id: no CRLFCRLF
+    # terminator, non-HTTP payload
     import pytest as _pytest
 
     for bad in (
         shard(b"HTTP/1.1 200 OK\r\nContent-Type: text/html"),
         shard(b"not an http message at all"),
-        shard(
-            b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=klingon-8\r\n\r\nx"
-        ),
     ):
         df = spark.createDataFrame(
             [(7, bad)], "media_id long, payload binary"

@@ -101,6 +101,72 @@ def _words_expr(text_col: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# GPT-2 pre-tokenization (Radford et al. 2019; the published pattern in
+# openai/gpt-2 src/encoder.py): contraction suffixes, then optionally-
+# space-prefixed letter / number / punctuation runs, then whitespace.
+# The original ends ``\s+(?!\S)|\s+`` — "a whitespace run keeps its last
+# char for the next token's optional leading space". RE2 (DuckDB's
+# engine) has no lookahead, so both engines state the EXACT same
+# segmentation lookahead-free: one regexp_replace first inserts an
+# \x01 sentinel BEFORE the last whitespace char of every
+# whitespace-then-non-space boundary ('(\s)(\S)' -> '\x01$1$2'), which
+# (a) terminates the greedy \s+ one char early exactly where the
+# lookahead would and (b) leaves that char for the ' ?' prefix (a
+# space) or a single \s+ match (tab/newline — GPT-2's ' ?' only ever
+# binds a literal space). The sentinel is excluded from the
+# punctuation class and never matched, so tokens concatenate back to
+# the original text exactly (the GPT-2 partition property). Contract:
+# input must not contain \x01 (a control char no text corpus carries —
+# same contract as web._decode_numeric_entities). Case is PRESERVED
+# (byte-level BPE needs no case folding to stay open-vocabulary).
+# ---------------------------------------------------------------------------
+
+GPT2_SPLIT_SENTINEL = "\x01"
+
+# the regex itself (single-backslash level)
+GPT2_PRETOKEN_REGEX = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+"
+    "| ?[^\\s\\p{L}\\p{N}" + GPT2_SPLIT_SENTINEL + "]+|\\s+"
+)
+
+
+def _gpt2_words_expr(text_col: str) -> str:
+    """Spark SQL expression: GPT-2 pre-token array of ``text_col``.
+    Pure built-ins (one regexp_replace + one regexp_extract_all), so
+    the whole pre-tokenization runs JVM-side inside codegen."""
+    pat = GPT2_PRETOKEN_REGEX.replace("\\", "\\\\").replace("'", "''")
+    return (
+        f"regexp_extract_all(regexp_replace({text_col},"
+        f" '(\\\\s)(\\\\S)', '{GPT2_SPLIT_SENTINEL}$1$2'), '{pat}', 0)"
+    )
+
+
+def gpt2_words_duck_expr(text_col: str) -> str:
+    """DuckDB statement of the SAME segmentation (RE2: no lookahead
+    needed thanks to the sentinel construction; no backslash
+    processing in standard SQL literals)."""
+    pat = GPT2_PRETOKEN_REGEX.replace("'", "''")
+    return (
+        f"regexp_extract_all(regexp_replace({text_col},"
+        f" '(\\s)(\\S)', '{GPT2_SPLIT_SENTINEL}\\1\\2', 'g'), '{pat}')"
+    )
+
+
+def _resolve_pretokenize(pretokenize: str | None, alphabet: str) -> str:
+    """'gpt2' is the byte-alphabet default (the GPT-2 convention the
+    byte seed symbols come from); char-level BPE keeps the corpus-wide
+    lowercased whitespace convention."""
+    if pretokenize is None:
+        return "gpt2" if alphabet == "byte" else "whitespace"
+    if pretokenize not in ("whitespace", "gpt2"):
+        raise ValueError(
+            f"pretokenize must be 'whitespace' or 'gpt2', got {pretokenize!r}"
+        )
+    return pretokenize
+
+
 def _rewrite_body(
     s: str, lhs: str, rhs: str, merged_sym: str | None = None
 ) -> str:
@@ -190,6 +256,7 @@ def train_bpe_merges(
     strategy: str = "auto",
     driver_max_vocab: int = 100_000,
     alphabet: str = "char",
+    pretokenize: str | None = None,
 ) -> DataFrame:
     """Learn the top-``n_merges`` BPE merges from the corpus.
 
@@ -210,6 +277,14 @@ def train_bpe_merges(
       always round-trips the word's exact bytes — no unknown token is
       possible at any vocabulary size.
 
+    ``pretokenize`` selects the word segmentation the merge statistics
+    run over: ``"whitespace"`` (lowercased split, the corpus-oracle
+    convention, char default) or ``"gpt2"`` (the published GPT-2
+    contraction/category regex, case-preserving, byte default — see
+    GPT2_PRETOKEN_REGEX; tokens then PARTITION the text, whitespace
+    included, so merges can learn the leading-space word forms real
+    byte-level vocabularies carry).
+
     Strategy (same auto convention as the dedup operators): the merge
     loop only ever touches the DISTINCT-WORD histogram, so when that
     vocabulary fits the ``driver_max_vocab`` contract (default 100k
@@ -225,9 +300,15 @@ def train_bpe_merges(
         raise ValueError(f"unknown strategy {strategy!r}")
     if alphabet not in ("char", "byte"):
         raise ValueError(f"alphabet must be 'char' or 'byte', got {alphabet!r}")
+    pretokenize = _resolve_pretokenize(pretokenize, alphabet)
     spark = docs.sparkSession
+    words_expr = (
+        _gpt2_words_expr(text_col)
+        if pretokenize == "gpt2"
+        else _words_expr(text_col)
+    )
     words = (
-        docs.select(F.explode(F.expr(_words_expr(text_col))).alias("w"))
+        docs.select(F.explode(F.expr(words_expr)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
@@ -295,32 +376,43 @@ def bpe_encode(
     id_col: str,
     merges,
     alphabet: str = "char",
+    pretokenize: str | None = None,
 ) -> DataFrame:
     """Encode every document with a learned merge table.
 
     ``merges`` is the DataFrame from :func:`train_bpe_merges` (collected
     here — model-sized by contract, like a broadcast codebook) or a
-    rank-ordered list of (lhs, rhs) pairs. ``alphabet`` must match the
-    training alphabet ('char' or 'byte' — see train_bpe_merges; byte
-    tokens are lowercase-hex strings whose per-word concatenation
-    always unhexes back to the word's exact UTF-8 bytes). Map-only:
-    one projection per merge, each applying a single shallow HOF
-    rewrite layer to the per-word symbol arrays (Catalyst collapses
-    the projections; one giant nested expression instead would blow
-    the analyzer's resolution fixed point at real merge counts). Zero
-    shuffles at any corpus size. Returns (id_col, tokens, n_tokens)."""
+    rank-ordered list of (lhs, rhs) pairs. ``alphabet`` and
+    ``pretokenize`` must match the training configuration ('char' or
+    'byte'; 'whitespace' or 'gpt2', defaulting like train_bpe_merges —
+    byte tokens are lowercase-hex strings whose per-word concatenation
+    always unhexes back to the word's exact UTF-8 bytes; under the
+    gpt2 pre-tokenizer the pre-tokens PARTITION the text, so
+    unhex(concat(ALL tokens)) reproduces the whole document).
+    Map-only: one projection per merge, each applying a single shallow
+    HOF rewrite layer to the per-word symbol arrays (Catalyst
+    collapses the projections; one giant nested expression instead
+    would blow the analyzer's resolution fixed point at real merge
+    counts). Zero shuffles at any corpus size. Returns (id_col,
+    tokens, n_tokens)."""
     if alphabet not in ("char", "byte"):
         raise ValueError(f"alphabet must be 'char' or 'byte', got {alphabet!r}")
+    pretokenize = _resolve_pretokenize(pretokenize, alphabet)
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("rank").collect()
         pairs = [(r.lhs, r.rhs) for r in rows]
     else:
         pairs = [(a, b) for a, b in merges]
     seed = _chars_expr("x") if alphabet == "char" else _byte_syms_expr("x")
+    words_expr = (
+        _gpt2_words_expr(text_col)
+        if pretokenize == "gpt2"
+        else _words_expr(text_col)
+    )
     out = docs.select(
         F.col(id_col),
         F.expr(
-            f"transform({_words_expr(text_col)}, x -> {seed})"
+            f"transform({words_expr}, x -> {seed})"
         ).alias("__sym"),
     )
     for a, b in pairs:

@@ -5210,22 +5210,30 @@ def _bpe_duck_layer(prev: str, r: int) -> str:
 
 def _bpe_train_ctes(n: int = _BPE_N_MERGES, alphabet: str = "char") -> str:
     """WITH-chain learning ``n`` merges: v0 is the word histogram split
-    into seed symbols — characters ('char') or lowercase-hex UTF-8
-    bytes ('byte', the GPT-2 convention); round r derives pair weights
-    p{r}, argmax m{r}, and the rewritten vocabulary v{r}."""
+    into seed symbols — characters ('char', over lowercased
+    whitespace-split words) or lowercase-hex UTF-8 bytes ('byte', over
+    the GPT-2 regex pre-tokens — tokenizer.gpt2_words_duck_expr states
+    the identical lookahead-free segmentation); round r derives pair
+    weights p{r}, argmax m{r}, and the rewritten vocabulary v{r}."""
+    from ..operators.tokenizer import gpt2_words_duck_expr
+
     if alphabet == "char":
         v0 = "v0 AS (SELECT cnt, [w[i] FOR i IN range(1, len(w)+1)] AS s FROM w0)"
+        words = (
+            "[x FOR x IN string_split_regex(lower(trim(text)), '\\s+')"
+            " IF x <> '']"
+        )
     else:
         v0 = (
             "v0 AS (SELECT cnt,"
             " [substr(h, 2*i - 1, 2) FOR i IN range(1, len(h)//2 + 1)] AS s"
             " FROM (SELECT cnt, lower(hex(encode(w))) AS h FROM w0))"
         )
+        words = gpt2_words_duck_expr("text")
     parts = [
-        """w0 AS (
+        f"""w0 AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest([x FOR x IN string_split_regex(lower(trim(text)), '\\s+')
-                       IF x <> '']) AS w
+  FROM (SELECT unnest({words}) AS w
         FROM documents)
   GROUP BY w
 ),
@@ -9407,13 +9415,18 @@ def _byte_bpe_merges(spark, sf_dir):
 
 def q268_byte_bpe_train(spark, sf_dir):
     """Learn the top-8 BYTE-LEVEL BPE merges (the GPT-2 convention:
-    seed symbols are the lowercase-hex UTF-8 bytes of each word, so
-    the alphabet is <= 256 entries, multi-byte characters split across
-    symbols, and byte fallback makes an unknown token impossible) —
-    q190's sibling with the production vocab type. Identical merge
-    loop and scale shape (one corpus shuffle, vocabulary-relation
-    rounds); value-exact against the fully unrolled SQL replay
-    (operators/tokenizer.py train_bpe_merges, alphabet='byte')."""
+    seed symbols are the lowercase-hex UTF-8 bytes of each PRE-TOKEN,
+    so the alphabet is <= 256 entries, multi-byte characters split
+    across symbols, and byte fallback makes an unknown token
+    impossible) — q190's sibling with the production vocab type.
+    Pre-tokenization is the published GPT-2 regex (contractions,
+    optionally-space-prefixed category runs, case-preserving), stated
+    lookahead-free so BOTH engines run the identical segmentation
+    (tokenizer.GPT2_PRETOKEN_REGEX / gpt2_words_duck_expr). Identical
+    merge loop and scale shape (one corpus shuffle,
+    vocabulary-relation rounds); value-exact against the fully
+    unrolled SQL replay (operators/tokenizer.py train_bpe_merges,
+    alphabet='byte', pretokenize='gpt2' default)."""
     from ..operators.tokenizer import MERGE_SCHEMA
 
     return spark.createDataFrame(_byte_bpe_merges(spark, sf_dir), MERGE_SCHEMA)
@@ -9432,12 +9445,15 @@ _Q268_SQL = (
 
 def q269_byte_bpe_encode(spark, sf_dir):
     """Encode every document with q268's byte-level merges and report
-    per-doc token counts plus the exact UTF-8 byte total (n_bytes =
-    what unhex(concat(tokens)) would reproduce — the byte-fallback
-    invariant stated relationally). Training is the q268 loop;
-    encoding is MAP-ONLY (one shallow HOF layer per merge, zero
+    per-doc token counts plus the exact UTF-8 byte total. Under the
+    GPT-2 pre-tokenizer the pre-tokens PARTITION the text (whitespace
+    included), so n_bytes = what unhex(concat(tokens)) reproduces =
+    the byte length of the WHOLE document — the byte-fallback
+    round-trip invariant stated relationally. Training is the q268
+    loop; encoding is MAP-ONLY (one shallow HOF layer per merge, zero
     shuffles at any corpus size). The oracle replays training AND
-    encoding (operators/tokenizer.py bpe_encode, alphabet='byte')."""
+    encoding (operators/tokenizer.py bpe_encode, alphabet='byte',
+    pretokenize='gpt2' default)."""
     from ..operators.tokenizer import bpe_encode
 
     docs = _docs(spark, sf_dir)
@@ -9461,6 +9477,8 @@ def q269_byte_bpe_encode(spark, sf_dir):
 
 
 def _q269_sql() -> str:
+    from ..operators.tokenizer import gpt2_words_duck_expr
+
     chain = (
         "list_transform([lower(hex(encode(x)))], h ->"
         " [substr(h, 2*i - 1, 2) FOR i IN range(1, len(h)//2 + 1)])[1]"
@@ -9476,7 +9494,7 @@ def _q269_sql() -> str:
 enc AS (
   SELECT doc_id,
     flatten(list_transform(
-      [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''],
+      {gpt2_words_duck_expr("text")},
       x -> {chain})) AS tokens
   FROM documents {froms}
 )

@@ -96,9 +96,10 @@ unicode_corpora = st.lists(
 def test_byte_bpe_strategies_agree_and_bytes_roundtrip(sp, corpus):
     """Byte-level alphabet over ARBITRARY unicode words: the driver and
     distributed strategies must learn identical merge tables, and the
-    byte-fallback invariant must hold — per document, the hex tokens
-    concatenate and unhex back to the exact UTF-8 bytes of the
-    lowercased whitespace-joined words, whatever was merged."""
+    byte-fallback invariant must hold. Under the GPT-2 pre-tokenizer
+    (the byte default) the pre-tokens PARTITION the text, so the hex
+    tokens concatenate and unhex back to the exact UTF-8 bytes of the
+    WHOLE document — whitespace included, whatever was merged."""
     from delta_lake_spark.operators.tokenizer import (
         bpe_encode,
         train_bpe_merges,
@@ -126,20 +127,81 @@ def test_byte_bpe_strategies_agree_and_bytes_roundtrip(sp, corpus):
             docs, "text", "doc_id", pairs, alphabet="byte"
         ).collect()
     }
-    # expectation from Spark's OWN tokenization (engine lower()/split
-    # casing rules, not Python's — they differ on exotic casefolds)
+    expected = {
+        i: " ".join(ws).encode("utf-8") for i, ws in enumerate(corpus)
+    }
+    for i in expected:
+        assert bytes.fromhex("".join(got[i])) == expected[i]
+    # the legacy lowercased-whitespace pre-tokenizer stays selectable
+    # and keeps ITS invariant (whitespace dropped, words lowercased)
     from pyspark.sql import functions as F
 
     from delta_lake_spark.operators.tokenizer import _words_expr
 
-    expected = {
+    ws_pairs = [
+        (r.lhs, r.rhs)
+        for r in train_bpe_merges(
+            docs, "text", n_merges=4, alphabet="byte",
+            pretokenize="whitespace",
+        ).collect()
+    ]
+    ws_got = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_encode(
+            docs, "text", "doc_id", ws_pairs, alphabet="byte",
+            pretokenize="whitespace",
+        ).collect()
+    }
+    ws_expected = {
         r.doc_id: "".join(r.ws).encode("utf-8")
         for r in docs.select(
             "doc_id", F.expr(_words_expr("text")).alias("ws")
         ).collect()
     }
-    for i in expected:
-        assert bytes.fromhex("".join(got[i])) == expected[i]
+    for i in ws_expected:
+        assert bytes.fromhex("".join(ws_got[i])) == ws_expected[i]
+
+
+# GPT-2 pre-tokenization reference: the ORIGINAL published pattern with
+# its lookahead, over ASCII (where \p{L}/\p{N} are unambiguous) — the
+# engine implementation must reproduce it exactly, lookahead-free.
+_GPT2_ASCII_REF = __import__("re").compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+
+ascii_texts = st.text(
+    alphabet="ab N0!,.'\t\n", min_size=0, max_size=40
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(ascii_texts, min_size=1, max_size=4))
+def test_gpt2_pretokenize_matches_published_pattern(sp, texts):
+    """The sentinel-based lookahead-free GPT-2 segmentation equals the
+    published lookahead pattern on arbitrary ASCII (letters, digits,
+    punctuation, contractions, space/tab/newline runs, leading and
+    trailing whitespace), and the pre-tokens partition the text."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.tokenizer import _gpt2_words_expr
+
+    df = sp.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.w)
+        for r in df.select(
+            "doc_id", F.expr(_gpt2_words_expr("text")).alias("w")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _GPT2_ASCII_REF.findall(t), repr(t)
+        assert "".join(got[i]) == t
 
 
 @settings(

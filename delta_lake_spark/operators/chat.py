@@ -158,6 +158,220 @@ def chat_loss_spans(
     )
 
 
+def _conv_token_counts(
+    df: DataFrame,
+    json_col: str,
+    id_col: str,
+    merges,
+    alphabet,
+    pretokenize,
+    keep: tuple = (),
+):
+    """Shared map-only core of the token-level mask operators: parse
+    the message array and compute PER-MESSAGE token counts under the
+    chat-template token convention — one special token per role
+    marker, the content's subword tokens, one end-of-turn special
+    (count = 2 + n_content_tokens). The BPE merge chain is applied as
+    one shallow HOF layer per merge over the nested per-message
+    per-word symbol arrays, exactly like
+    :func:`~delta_lake_spark.operators.tokenizer.bpe_encode` but
+    WITHOUT exploding the conversation — zero shuffles, zero joins.
+    Returns df extended with ``__msgs`` (the parsed array) and
+    ``__cnt`` (array<bigint> of per-message token counts)."""
+    from pyspark.sql import DataFrame as _DF
+
+    from .tokenizer import (
+        _byte_syms_expr,
+        _chars_expr,
+        _gpt2_words_expr,
+        _resolve_pretokenize,
+        _rewrite_body,
+        _words_expr,
+    )
+
+    pretokenize = _resolve_pretokenize(pretokenize, alphabet)
+    if isinstance(merges, _DF):
+        pairs = [
+            (r.lhs, r.rhs) for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        pairs = [(a, b) for a, b in merges]
+    seed = _chars_expr("x") if alphabet == "char" else _byte_syms_expr("x")
+    words = (
+        _gpt2_words_expr("m.content")
+        if pretokenize == "gpt2"
+        else _words_expr("m.content")
+    )
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.from_json(F.col(json_col), MESSAGE_SCHEMA).alias("__msgs"),
+    ).withColumn(
+        "__sym",
+        F.expr(f"transform(__msgs, m -> transform({words}, x -> {seed}))"),
+    )
+    for a, b in pairs:
+        if a == b:
+            raise ValueError("token loss masks require lhs != rhs merges")
+        out = out.withColumn(
+            "__sym",
+            F.expr(
+                "transform(__sym, ws -> transform(ws, s ->"
+                f" {_rewrite_body('s', a, b)}))"
+            ),
+        )
+    return out.withColumn(
+        "__cnt",
+        F.expr(
+            "transform(__sym, ws ->"
+            " aggregate(ws, CAST(2 AS BIGINT), (a, w) -> a + size(w)))"
+        ),
+    ).drop("__sym")
+
+
+def chat_token_loss_masks(
+    df: DataFrame,
+    json_col: str,
+    id_col: str,
+    merges,
+    alphabet: str = "byte",
+    pretokenize: str | None = None,
+) -> DataFrame:
+    """TOKEN-level SFT loss masks — what a trainer actually consumes
+    (q299's character spans are template arithmetic; the loss tensor
+    is indexed by token position). Token convention per message:
+    ``[<|role|> special] + subword tokens of content + [<|end|>
+    special]`` — role markers and turn terminators are single special
+    tokens (every production chat template reserves them), content is
+    encoded with the learned BPE ``merges`` (byte alphabet + GPT-2
+    pre-tokenization by default, matching
+    :func:`~delta_lake_spark.operators.tokenizer.bpe_encode`). Emits
+    one row per ASSISTANT turn with the [token_start, token_end)
+    span of its CONTENT tokens — the assistant-only mask — plus the
+    conversation's total token count for packing. Wholly map-only:
+    the per-message counts, prefix sums, and span selection all run
+    as higher-order array functions inside one projection chain —
+    zero shuffles, zero Python, at any corpus size. Transcripts with
+    no assistant turn (or unparseable JSON) produce no rows. Returns
+    (id_col, span_idx, token_start, token_end, n_tokens)."""
+    out = _conv_token_counts(
+        df, json_col, id_col, merges, alphabet, pretokenize
+    )
+    spans = """
+    CASE WHEN __cnt IS NULL OR size(__cnt) < 1 THEN
+      array()
+    ELSE filter(
+      transform(sequence(1, size(__cnt)), i -> struct(
+        element_at(__msgs, i).role AS role,
+        aggregate(slice(__cnt, 1, i - 1), CAST(0 AS BIGINT),
+                  (a, x) -> a + x) + 1 AS s,
+        aggregate(slice(__cnt, 1, i - 1), CAST(0 AS BIGINT),
+                  (a, x) -> a + x) + element_at(__cnt, i) - 1 AS e)),
+      p -> p.role = 'assistant')
+    END"""
+    return out.select(
+        F.col(id_col),
+        F.expr(
+            "aggregate(coalesce(__cnt, array()), CAST(0 AS BIGINT),"
+            " (a, x) -> a + x)"
+        ).alias("n_tokens"),
+        F.posexplode(F.expr(spans)).alias("span_idx", "__sp"),
+    ).select(
+        id_col,
+        "span_idx",
+        F.col("__sp.s").alias("token_start"),
+        F.col("__sp.e").alias("token_end"),
+        "n_tokens",
+    )
+
+
+def sft_pack_with_masks(
+    df: DataFrame,
+    json_col: str,
+    id_col: str,
+    group_col: str,
+    merges,
+    budget: int,
+    alphabet: str = "byte",
+    pretokenize: str | None = None,
+) -> DataFrame:
+    """Packed-window composition of :func:`chat_token_loss_masks` —
+    the relation an SFT trainer's dataloader reads: conversations
+    concatenate per ``group_col`` in id order into a token stream
+    split into ``budget``-sized windows (the q68/q261 concat-and-split
+    packing convention), and every assistant mask span lands at its
+    BIN-RELATIVE token position. A span crossing a window edge is
+    SPLIT across the windows it intersects — exactly what happens to
+    a sequence when packing splits it. One window shuffle on the
+    group (the same shape as pack_sequences); everything else is the
+    map-only mask arithmetic. Returns (group_col, bin_id, id_col,
+    span_idx, token_start, token_end) with [token_start, token_end)
+    bin-relative."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    out = _conv_token_counts(
+        df, json_col, id_col, merges, alphabet, pretokenize,
+        keep=(group_col,),
+    ).withColumn(
+        "__tot",
+        F.expr(
+            "aggregate(coalesce(__cnt, array()), CAST(0 AS BIGINT),"
+            " (a, x) -> a + x)"
+        ),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn(
+        "__off", F.sum("__tot").over(w) - F.col("__tot")
+    )
+    spans = """
+    CASE WHEN __cnt IS NULL OR size(__cnt) < 1 THEN
+      array()
+    ELSE filter(
+      transform(sequence(1, size(__cnt)), i -> struct(
+        element_at(__msgs, i).role AS role,
+        __off + aggregate(slice(__cnt, 1, i - 1), CAST(0 AS BIGINT),
+                  (a, x) -> a + x) + 1 AS s,
+        __off + aggregate(slice(__cnt, 1, i - 1), CAST(0 AS BIGINT),
+                  (a, x) -> a + x) + element_at(__cnt, i) - 1 AS e)),
+      p -> p.role = 'assistant')
+    END"""
+    stream = out.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.posexplode(F.expr(spans)).alias("span_idx", "__sp"),
+        # an EMPTY assistant content has nothing to mask — and its
+        # zero-length span must not reach the descending-sequence
+        # corner of the bin explode
+    ).filter(F.col("__sp.e") > F.col("__sp.s"))
+    return stream.select(
+        group_col,
+        F.explode(
+            F.expr(
+                f"sequence(__sp.s div {budget},"
+                f" (__sp.e - 1) div {budget})"
+            )
+        ).alias("bin_id"),
+        id_col,
+        "span_idx",
+        "__sp",
+    ).select(
+        group_col,
+        "bin_id",
+        id_col,
+        "span_idx",
+        F.greatest(
+            F.col("__sp.s") - F.col("bin_id") * budget, F.lit(0)
+        ).cast("long").alias("token_start"),
+        F.least(
+            F.col("__sp.e") - F.col("bin_id") * budget, F.lit(budget)
+        ).cast("long").alias("token_end"),
+    )
+
+
 def preference_pair_audit(
     df: DataFrame,
     prompt_col: str,

@@ -11623,7 +11623,164 @@ FROM means
 """
 
 
+# shared DuckDB replay of the q297 transcript synthesis as a message
+# RELATION (doc_id, msg_idx, role, content) — q303/q304 build on it
+_CHAT_MSGS_CTE = """
+d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS p,
+    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS sys,
+    doc_id % 7 = 0 AS corrupt
+  FROM documents
+),
+msgs AS (
+  SELECT doc_id, 0 AS msg_idx, 'system' AS role,
+    'be helpful' AS content
+  FROM d WHERE sys = 1
+  UNION ALL
+  SELECT doc_id,
+    sys + 2 * j + CASE WHEN corrupt AND j = 0 THEN 1 ELSE 0 END,
+    'user',
+    'ask ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(j AS VARCHAR)
+  FROM d, UNNEST(range(0, p)) t(j)
+  UNION ALL
+  SELECT doc_id,
+    sys + 2 * j + CASE WHEN corrupt AND j = 0 THEN 0 ELSE 1 END,
+    'assistant',
+    'ans ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(j AS VARCHAR)
+      || ' ok'
+  FROM d, UNNEST(range(0, p)) t(j)
+)"""
+
+
+def _chat_token_count_ctes() -> str:
+    """Byte-BPE training replay + per-message token counts (2 specials
+    + encoded content) + per-conversation prefix sums — the shared
+    trunk of the q303/q304 oracles."""
+    from ..operators.tokenizer import gpt2_words_duck_expr
+
+    chain = (
+        "list_transform([lower(hex(encode(x)))], h ->"
+        " [substr(h, 2*i - 1, 2) FOR i IN range(1, len(h)//2 + 1)])[1]"
+    )
+    for r in range(1, _BPE_N_MERGES + 1):
+        chain = _bpe_duck_layer(chain, r)
+    froms = " ".join(
+        f"LEFT JOIN m{r} ON TRUE" for r in range(1, _BPE_N_MERGES + 1)
+    )
+    return (
+        _bpe_train_ctes(alphabet="byte")
+        + ","
+        + _CHAT_MSGS_CTE
+        + f""",
+counts AS (
+  SELECT doc_id, msg_idx, role,
+    2 + CAST(len(flatten(list_transform(
+      {gpt2_words_duck_expr("content")},
+      x -> {chain}))) AS BIGINT) AS n_tok
+  FROM msgs {froms}
+),
+cum AS (
+  SELECT doc_id, msg_idx, role, n_tok,
+    COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY msg_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st,
+    SUM(n_tok) OVER (PARTITION BY doc_id) AS total
+  FROM counts
+)"""
+    )
+
+
+def q303_sft_token_loss_masks(spark, sf_dir):
+    """TOKEN-level SFT loss masks — q299's character spans lifted to
+    what a trainer actually consumes: the q297 transcripts are
+    tokenized under the chat-template token convention (one special
+    per role marker, byte-level BPE with q268's learned merges and
+    GPT-2 pre-tokenization over the content, one end-of-turn special)
+    and every assistant turn emits the [token_start, token_end) span
+    of its content tokens plus the conversation's total token count.
+    Wholly map-only — counts, prefix sums, and span selection are
+    higher-order array functions; zero shuffles, zero joins, zero
+    Python. The oracle replays byte-BPE training, the per-message
+    encode, and the span arithmetic end to end (operators/chat.py
+    chat_token_loss_masks)."""
+    from ..operators.chat import chat_token_loss_masks
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q297_JSON_SPARK).alias("convo")
+    )
+    pairs = [(r.lhs, r.rhs) for r in _byte_bpe_merges(spark, sf_dir)]
+    return chat_token_loss_masks(convos, "convo", "doc_id", pairs)
+
+
+def _q303_sql() -> str:
+    return _chat_token_count_ctes() + """
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY msg_idx) - 1
+       AS INTEGER) AS span_idx,
+  CAST(st + 1 AS BIGINT) AS token_start,
+  CAST(st + n_tok - 1 AS BIGINT) AS token_end,
+  CAST(total AS BIGINT) AS n_tokens
+FROM cum WHERE role = 'assistant'
+"""
+
+
+_Q304_BUDGET = 48
+
+
+def q304_sft_packed_loss_masks(spark, sf_dir):
+    """Packed-window loss masks — the q303 masks composed with the
+    q68/q261 concat-and-split packing so every training window
+    carries its own mask relation: conversations concatenate per
+    SOURCE in doc order into a token stream cut into 48-token
+    windows, and each assistant span lands at its bin-relative
+    position, SPLIT across windows when packing splits the turn. One
+    window shuffle on the source (pack_sequences' shape); the mask
+    arithmetic stays map-only. The oracle replays training, encoding,
+    stream offsets, and the window intersection arithmetic
+    (operators/chat.py sft_pack_with_masks)."""
+    from ..operators.chat import sft_pack_with_masks
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(_Q297_JSON_SPARK).alias("convo")
+    )
+    pairs = [(r.lhs, r.rhs) for r in _byte_bpe_merges(spark, sf_dir)]
+    return sft_pack_with_masks(
+        convos, "convo", "doc_id", "source", pairs, budget=_Q304_BUDGET
+    )
+
+
+def _q304_sql() -> str:
+    b = _Q304_BUDGET
+    return _chat_token_count_ctes() + f""",
+totals AS (
+  SELECT doc_id, SUM(n_tok) AS tot FROM counts GROUP BY doc_id
+),
+offs AS (
+  SELECT t.doc_id, d.source,
+    COALESCE(SUM(tot) OVER (PARTITION BY d.source ORDER BY t.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM totals t JOIN documents d ON t.doc_id = d.doc_id
+),
+sp AS (
+  SELECT c.doc_id, o.source,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY c.msg_idx)
+         - 1 AS INTEGER) AS span_idx,
+    o.off + c.st + 1 AS s,
+    o.off + c.st + c.n_tok - 1 AS e
+  FROM cum c JOIN offs o ON c.doc_id = o.doc_id
+  WHERE c.role = 'assistant'
+)
+SELECT source, CAST(b AS BIGINT) AS bin_id, doc_id, span_idx,
+  CAST(GREATEST(s - b * {b}, 0) AS BIGINT) AS token_start,
+  CAST(LEAST(e - b * {b}, {b}) AS BIGINT) AS token_end
+FROM sp, UNNEST(range(CAST(s // {b} AS BIGINT),
+                      CAST((e - 1) // {b} + 1 AS BIGINT))) u(b)
+WHERE e > s
+"""
+
+
 QUERIES = {
+    "q304_sft_packed_loss_masks": q304_sft_packed_loss_masks,
+    "q303_sft_token_loss_masks": q303_sft_token_loss_masks,
     "q302_webdataset_mixed_samples": q302_webdataset_mixed_samples,
     "q301_image_dhash_mixed": q301_image_dhash_mixed,
     "q300_webdataset_samples": q300_webdataset_samples,
@@ -11818,6 +11975,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q304_sft_packed_loss_masks": _q304_sql(),
+    "q303_sft_token_loss_masks": _q303_sql(),
     "q302_webdataset_mixed_samples": _Q302_SQL,
     "q301_image_dhash_mixed": _Q301_SQL,
     "q300_webdataset_samples": _Q300_SQL,

@@ -372,6 +372,115 @@ def sft_pack_with_masks(
     )
 
 
+def serialize_conversations(
+    df: DataFrame, json_col: str, id_col: str
+) -> DataFrame:
+    """Canonical role-aware serialization of chat transcripts — the
+    text a conversation-level dedup keys on: one ``role: content``
+    line per message, newline-joined, so role swaps and turn edits
+    move the near-dup needle the way content edits do (a role-blind
+    concat would call a user/assistant swap an exact dup). Unparseable
+    JSON serializes NULL (from_json semantics) — screened data, not a
+    crash. Map-only, zero Python. Returns (id_col, conv_text)."""
+    msgs = F.from_json(F.col(json_col), MESSAGE_SCHEMA)
+    return df.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(
+                msgs, lambda m: F.concat_ws(": ", m.role, m.content)
+            ),
+            "\n",
+        ).alias("conv_text"),
+    )
+
+
+def conversation_near_dup_pairs(
+    df: DataFrame,
+    json_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_doc_freq: float | None = 0.1,
+) -> DataFrame:
+    """Conversation-level near-duplicate pairs — pretraining dedup
+    stops at documents, but SFT corpora duplicate at the TRANSCRIPT
+    level (re-collected sessions, templated rollouts, A/B'd system
+    prompts): serialize role-aware
+    (:func:`serialize_conversations`), then reuse the document
+    MinHash+LSH machinery verbatim — banded buckets with the
+    stop-shingle guard, exact jaccard verification over full shingle
+    sets on candidates only
+    (:func:`~delta_lake_spark.operators.dedup.minhash_lsh_pairs`).
+    Same scale shape: one signature shuffle, bucket-confined pair
+    generation, never all-pairs. Returns (id_1, id_2, jaccard)."""
+    from .dedup import minhash_lsh_pairs
+
+    ser = serialize_conversations(df, json_col, id_col).filter(
+        F.col("conv_text").isNotNull()
+    )
+    return minhash_lsh_pairs(
+        ser, "conv_text", id_col,
+        n=n, threshold=threshold, k=k, bands=bands, seed=seed,
+        max_doc_freq=max_doc_freq,
+    )
+
+
+def preference_decontaminate(
+    df: DataFrame,
+    prompt_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str,
+    eval_id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: float | None = 0.1,
+) -> DataFrame:
+    """Screen preference pairs for PROMPT-side eval leakage — the
+    decontamination step a DPO/RLHF data release runs before training
+    (a prompt that near-duplicates a benchmark item teaches the model
+    the benchmark): word-``n``-gram jaccard between every pair's
+    prompt and the eval set via the cross-corpus MinHash band join
+    (:func:`~delta_lake_spark.operators.dedup.cross_corpus_near_dups`
+    — the eval side is benchmark-sized and broadcasts; the corpus
+    side is never self-joined). Every input row is returned with its
+    verdict. Returns (id_col, n_eval_matches, max_jaccard NULL when
+    clean, contaminated)."""
+    from .dedup import cross_corpus_near_dups
+
+    hits = cross_corpus_near_dups(
+        df.select(F.col(id_col), F.col(prompt_col).alias("__txt")),
+        eval_df.select(
+            F.col(eval_id_col).alias(id_col),
+            F.col(eval_text_col).alias("__txt"),
+        ),
+        "__txt",
+        id_col,
+        n=n,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
+    )
+    per_id = hits.groupBy("batch_id").agg(
+        F.count("*").cast("long").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_id, F.col(id_col) == F.col("batch_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_matches", F.lit(0).cast("long")).alias(
+                "n_eval_matches"
+            ),
+            "max_jaccard",
+            F.col("batch_id").isNotNull().alias("contaminated"),
+        )
+    )
+
+
 def preference_pair_audit(
     df: DataFrame,
     prompt_col: str,

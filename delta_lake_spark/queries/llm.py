@@ -11778,7 +11778,325 @@ WHERE e > s
 """
 
 
+# q305/q307 transcript synthesis: groups of four members (g = id div 4,
+# m = id % 4) — members 0/1 are IDENTICAL transcripts (serialization
+# jaccard 1.0), member 2 appends one extra id-keyed pair (a ~0.9
+# near-dup of 0/1: its serialization contains theirs as a prefix —
+# high enough that banded-LSH recall is deterministic-1 at every SF),
+# member 3 keys every content by its own id (a non-duplicate).
+_Q305_KEY_SPARK = (
+    "CASE WHEN doc_id % 4 = 3 THEN 'u' || CAST(doc_id AS STRING)"
+    " ELSE CAST(doc_id div 4 AS STRING) END"
+)
+
+_Q305_JSON_SPARK = f"""
+'[' || array_join(transform(sequence(0, 7), j ->
+  '{{"role":"user","content":"ask ' || {_Q305_KEY_SPARK} || ' '
+    || CAST(j AS STRING) || ' about topic"}},'
+  || '{{"role":"assistant","content":"ans ' || {_Q305_KEY_SPARK} || ' '
+    || CAST(j AS STRING) || ' ok fine"}}'), ',')
+|| IF(doc_id % 4 = 2,
+   ',{{"role":"user","content":"ask extra ' || CAST(doc_id AS STRING)
+     || ' again"}},'
+   || '{{"role":"assistant","content":"ans extra ' || CAST(doc_id AS STRING)
+     || ' done now"}}', '')
+|| ']'
+"""
+
+_Q305_KEY_DUCK = (
+    "CASE WHEN doc_id % 4 = 3 THEN 'u' || CAST(doc_id AS VARCHAR)"
+    " ELSE CAST(doc_id // 4 AS VARCHAR) END"
+)
+
+# the role-aware serialization of the same transcripts, constructed
+# directly (role || ': ' || content lines, newline-joined)
+_Q305_CONV_CTE = f"""
+conv AS (
+  SELECT doc_id,
+    array_to_string(flatten([[
+      'user: ask ' || {_Q305_KEY_DUCK} || ' ' || CAST(j AS VARCHAR)
+        || ' about topic',
+      'assistant: ans ' || {_Q305_KEY_DUCK} || ' ' || CAST(j AS VARCHAR)
+        || ' ok fine'
+    ] FOR j IN range(0, 8)]), chr(10))
+    || CASE WHEN doc_id % 4 = 2 THEN
+         chr(10) || 'user: ask extra ' || CAST(doc_id AS VARCHAR)
+         || ' again'
+         || chr(10) || 'assistant: ans extra ' || CAST(doc_id AS VARCHAR)
+         || ' done now'
+       ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def q305_conversation_near_dups(spark, sf_dir):
+    """Conversation-level near-duplicate pairs — transcript dedup for
+    SFT corpora: grouped synthetic conversations (identical twins,
+    a prefix-extended ~0.9 near-dup, and a unique member per group)
+    are serialized role-aware and pushed through the document
+    MinHash+LSH machinery (banded buckets, stop-shingle guard, exact
+    jaccard verify on candidates only). The oracle replays the
+    serialization and the exact inverted-index jaccard — q31's shape
+    over transcript text (operators/chat.py
+    conversation_near_dup_pairs / serialize_conversations)."""
+    from ..operators.chat import conversation_near_dup_pairs
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q305_JSON_SPARK).alias("convo")
+    )
+    pairs = conversation_near_dup_pairs(
+        convos, "convo", "doc_id", n=3, threshold=0.6
+    )
+    return pairs.select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_Q305_SQL = f"""
+WITH {_Q305_CONV_CTE},
+tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM conv
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, ROUND(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = id_1
+JOIN sizes s2 ON s2.doc_id = id_2
+WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+"""
+
+
+# q306 prompts: topic-bucketed instruction prompts; buckets 0-9 exactly
+# match an eval item (jaccard 1.0), bucket 10 near-matches one
+# (6-of-7-word overlap, jaccard 2/3), buckets 11+ share only template
+# words (far below threshold)
+_Q306_PROMPT_SPARK = (
+    "'explain topic ' || CAST(doc_id % 50 AS STRING)"
+    " || ' in detail with examples'"
+)
+_Q306_PROMPT_DUCK = (
+    "'explain topic ' || CAST(doc_id % 50 AS VARCHAR)"
+    " || ' in detail with examples'"
+)
+
+
+def _q306_eval_df(spark):
+    return spark.range(11).select(
+        F.col("id").alias("eval_id"),
+        F.when(
+            F.col("id") < 10,
+            F.concat(
+                F.lit("explain topic "),
+                F.col("id").cast("string"),
+                F.lit(" in detail with examples"),
+            ),
+        )
+        .otherwise(F.lit("explain topic 10 in detail with samples"))
+        .alias("eval_text"),
+    )
+
+
+def q306_preference_decontamination(spark, sf_dir):
+    """Prompt-side eval decontamination of preference pairs — the
+    screen a DPO data release runs against its benchmark suite:
+    topic-bucketed prompts vs an 11-item eval set (ten exact matches,
+    one 6/7-word near match at jaccard 2/3, everything else sharing
+    only template words) through the cross-corpus MinHash band join
+    with exact jaccard verification; every pair returns with its
+    verdict. The oracle replays the prompt construction, the eval
+    set, and the exact cross-relation jaccard (operators/chat.py
+    preference_decontaminate; q213's leakage precedent lifted to the
+    two-relation preference shape)."""
+    from ..operators.chat import preference_decontaminate
+
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q306_PROMPT_SPARK).alias("prompt")
+    )
+    out = preference_decontaminate(
+        pairs, "prompt", "doc_id", _q306_eval_df(spark),
+        "eval_text", "eval_id", n=3, threshold=0.6,
+    )
+    return out.select(
+        "doc_id",
+        "n_eval_matches",
+        F.round("max_jaccard", 6).alias("max_jaccard"),
+        "contaminated",
+    )
+
+
+def _q306_sql() -> str:
+    return f"""
+WITH prompts AS (
+  SELECT doc_id, {_Q306_PROMPT_DUCK} AS p FROM documents
+),
+evals AS (
+  SELECT e,
+    CASE WHEN e < 10 THEN 'explain topic ' || CAST(e AS VARCHAR)
+           || ' in detail with examples'
+         ELSE 'explain topic 10 in detail with samples' END AS t
+  FROM UNNEST(range(0, 11)) u(e)
+),
+psh AS (
+  SELECT DISTINCT doc_id,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(p), '\\s+') AS w
+        FROM prompts),
+    UNNEST(range(1, greatest(len(w) - 1, 1))) t(i)
+  WHERE i + 2 <= len(w)
+),
+esh AS (
+  SELECT DISTINCT e,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT e, string_split_regex(lower(t), '\\s+') AS w FROM evals),
+    UNNEST(range(1, greatest(len(w) - 1, 1))) t(i)
+  WHERE i + 2 <= len(w)
+),
+pn AS (SELECT doc_id, COUNT(*) AS n FROM psh GROUP BY doc_id),
+en AS (SELECT e, COUNT(*) AS n FROM esh GROUP BY e),
+inter AS (
+  SELECT p.doc_id, x.e, COUNT(*) AS i
+  FROM psh p JOIN esh x ON p.shingle = x.shingle
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT inter.doc_id, inter.e,
+    inter.i * 1.0 / (pn.n + en.n - inter.i) AS j
+  FROM inter
+  JOIN pn ON pn.doc_id = inter.doc_id
+  JOIN en ON en.e = inter.e
+  WHERE inter.i * 1.0 / (pn.n + en.n - inter.i) >= 0.6
+),
+roll AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+    ROUND(MAX(j), 6) AS max_jaccard
+  FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(r.n_eval_matches, 0) AS n_eval_matches,
+  r.max_jaccard,
+  r.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN roll r ON d.doc_id = r.doc_id
+"""
+
+
+def q307_post_training_funnel(spark, sf_dir):
+    """End-to-end POST-TRAINING curation funnel (the q137 pretraining
+    funnel's SFT sibling): the q305 transcript corpus audited
+    (conversation_stats), deduplicated at the conversation level
+    (near-dup pairs -> min-id keeper, the exact-dedup convention),
+    and rolled up per source — transcripts seen, duplicates dropped,
+    kept, and the assistant-character volume that survives (the
+    trainable mass a data sheet reports). One pair relation + one
+    rollup beyond the map-only audit. The oracle replays
+    serialization, exact jaccard pairs, the keeper rule, the
+    analytically-stated assistant volume, and the rollup
+    (operators/chat.py conversation_near_dup_pairs /
+    conversation_stats)."""
+    from ..operators.chat import (
+        conversation_near_dup_pairs,
+        conversation_stats,
+    )
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(_Q305_JSON_SPARK).alias("convo")
+    )
+    pairs = conversation_near_dup_pairs(
+        convos, "convo", "doc_id", n=3, threshold=0.6
+    )
+    dropped = pairs.select(F.col("id_2").alias("doc_id")).distinct()
+    stats = conversation_stats(convos, "convo", "doc_id")
+    joined = (
+        convos.select("doc_id", "source")
+        .join(stats, "doc_id")
+        .join(
+            dropped.withColumn("__dup", F.lit(True)), "doc_id", "left"
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_dropped"),
+        F.sum(F.when(F.col("__dup").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("__dup").isNull(), F.col("assistant_chars"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("assistant_chars_kept"),
+    )
+
+
+def _q307_sql() -> str:
+    # assistant volume per member: 4 base turns of (14 + len(K)) chars
+    # + member 2's extra (19 + len(id)) tail
+    return f"""
+WITH {_Q305_CONV_CTE},
+tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM conv
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx WHERE i + 2 <= len(w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT id_2 AS doc_id
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = id_1
+  JOIN sizes s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+),
+base_vol AS (
+  SELECT doc_id, source,
+    8 * (14 + LENGTH({_Q305_KEY_DUCK}))
+    + CASE WHEN doc_id % 4 = 2
+           THEN 19 + LENGTH(CAST(doc_id AS VARCHAR)) ELSE 0 END
+      AS assistant_chars
+  FROM documents
+),
+vol AS (
+  SELECT b.doc_id, b.source, b.assistant_chars,
+    dr.doc_id IS NOT NULL AS dup
+  FROM base_vol b LEFT JOIN dropped dr ON b.doc_id = dr.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_convs,
+  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+  CAST(SUM(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN dup THEN 0 ELSE assistant_chars END) AS BIGINT)
+    AS assistant_chars_kept
+FROM vol GROUP BY source
+"""
+
+
 QUERIES = {
+    "q307_post_training_funnel": q307_post_training_funnel,
+    "q306_preference_decontamination": q306_preference_decontamination,
+    "q305_conversation_near_dups": q305_conversation_near_dups,
     "q304_sft_packed_loss_masks": q304_sft_packed_loss_masks,
     "q303_sft_token_loss_masks": q303_sft_token_loss_masks,
     "q302_webdataset_mixed_samples": q302_webdataset_mixed_samples,
@@ -11975,6 +12293,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q307_post_training_funnel": _q307_sql(),
+    "q306_preference_decontamination": _q306_sql(),
+    "q305_conversation_near_dups": _Q305_SQL,
     "q304_sft_packed_loss_masks": _q304_sql(),
     "q303_sft_token_loss_masks": _q303_sql(),
     "q302_webdataset_mixed_samples": _Q302_SQL,

@@ -6175,6 +6175,98 @@ def test_sft_pack_with_masks_splits_and_conserves(spark):
             assert b2 == b1 + 1 and e1 == budget and s2 == 0
 
 
+def test_conversation_near_dups_role_aware(spark):
+    """Conversation dedup keys on the ROLE-AWARE serialization:
+    identical transcripts pair at jaccard 1.0, a transcript with the
+    same text but swapped roles is NOT an exact dup, and unparseable
+    JSON is screened out rather than raising."""
+    import json
+
+    from delta_lake_spark.operators.chat import (
+        conversation_near_dup_pairs,
+        serialize_conversations,
+    )
+
+    base = [
+        {"role": "user", "content": f"question {j} about the thing"}
+        for j in range(4)
+    ]
+    msgs = []
+    for j in range(4):
+        msgs.append({"role": "user", "content": f"q {j} one two three"})
+        msgs.append({"role": "assistant", "content": f"a {j} four five six"})
+    swapped = [
+        {"role": ("assistant" if m["role"] == "user" else "user"),
+         "content": m["content"]}
+        for m in msgs
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, json.dumps(msgs)),
+            (2, json.dumps(msgs)),
+            (3, json.dumps(swapped)),
+            (4, "broken json"),
+            (5, json.dumps(base)),
+        ],
+        "doc_id long, convo string",
+    )
+    ser = {
+        r.doc_id: r.conv_text
+        for r in serialize_conversations(df, "convo", "doc_id").collect()
+    }
+    assert ser[1] == ser[2] and ser[1] != ser[3]
+    assert ser[1].startswith("user: q 0 one two three\nassistant:")
+    assert ser[4] is None
+    # max_doc_freq=None: at 5 documents the 10% stop-shingle cutoff
+    # would mark EVERY shingle hot (guard semantics, not a dedup bug)
+    pairs = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in conversation_near_dup_pairs(
+            df, "convo", "doc_id", max_doc_freq=None
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # the role-swapped twin shares every WORD but not the role-prefixed
+    # lines; its jaccard against 1/2 sits below 1.0
+    assert all(j < 1.0 for k, j in pairs.items() if k != (1, 2))
+
+
+def test_preference_decontaminate_verdicts(spark):
+    """Prompt-side decontamination: an exact eval match flags at
+    jaccard 1.0, a near match above threshold flags with its exact
+    jaccard, clean prompts return contaminated=false with NULL
+    max_jaccard — and every input row comes back."""
+    from delta_lake_spark.operators.chat import preference_decontaminate
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "explain the rules of chess in detail"),
+            (2, "explain the rules of chess in short"),
+            (3, "summarize a completely different topic now"),
+        ],
+        "pid long, prompt string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "explain the rules of chess in detail")],
+        "eid long, etext string",
+    )
+    got = {
+        r.pid: r
+        for r in preference_decontaminate(
+            pairs, "prompt", "pid", evals, "etext", "eid",
+            max_doc_freq=None,
+        ).collect()
+    }
+    assert len(got) == 3
+    assert got[1].contaminated and got[1].max_jaccard == 1.0
+    assert got[1].n_eval_matches == 1
+    # 7 words -> 5 shingles; last word differs -> 4 shared / 6 union
+    assert got[2].contaminated
+    assert abs(got[2].max_jaccard - 4 / 6) < 1e-12
+    assert not got[3].contaminated and got[3].max_jaccard is None
+    assert got[3].n_eval_matches == 0
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

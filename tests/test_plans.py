@@ -1319,3 +1319,72 @@ def test_q244_kfold_is_pure_projection(spark):
     plan = _plan(kfold_assign(docs, "doc_id"))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q303_token_loss_masks_map_only(spark):
+    """chat_token_loss_masks must be wholly map-only — counts, prefix
+    sums, and span selection are higher-order array expressions, so
+    the executed plan carries NO exchange and NO Python eval at any
+    corpus size (the lever that makes per-conversation mask derivation
+    free at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.chat import chat_token_loss_masks
+    from delta_lake_spark.queries.llm import _Q297_JSON_SPARK
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.expr(_Q297_JSON_SPARK).alias("convo")
+    )
+    plan = _plan(chat_token_loss_masks(docs, "convo", "doc_id", []))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q304_packing_single_group_window(spark):
+    """sft_pack_with_masks adds exactly ONE exchange — the per-source
+    packing window (pack_sequences' shape); the mask arithmetic and
+    the bin-intersection explode stay map-side around it."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.chat import sft_pack_with_masks
+    from delta_lake_spark.queries.llm import _Q297_JSON_SPARK
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", F.expr(_Q297_JSON_SPARK).alias("convo")
+    )
+    plan = _plan(
+        sft_pack_with_masks(docs, "convo", "doc_id", "source", [], 64)
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(source" in plan
+    assert "EvalPython" not in plan
+
+
+def test_q306_decontamination_eval_side_broadcasts(spark):
+    """preference_decontaminate: the eval set is benchmark-sized, so
+    every join against it must broadcast — the corpus side is never
+    shuffled by the candidate join (cross_corpus_near_dups' band join
+    broadcasts the small side) and no cartesian product appears."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.chat import preference_decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.expr(
+            "'explain topic ' || CAST(doc_id % 50 AS STRING)"
+            " || ' in detail with examples'"
+        ).alias("prompt"),
+    )
+    evals = spark.range(11).select(
+        F.col("id").alias("eval_id"),
+        F.concat(F.lit("explain topic "), F.col("id").cast("string"),
+                 F.lit(" in detail with examples")).alias("eval_text"),
+    )
+    plan = _plan(
+        preference_decontaminate(
+            docs, "prompt", "doc_id", evals, "eval_text", "eval_id"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

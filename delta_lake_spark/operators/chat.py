@@ -481,6 +481,146 @@ def preference_decontaminate(
     )
 
 
+def dpo_token_masks(
+    df: DataFrame,
+    prompt_col: str,
+    chosen_col: str,
+    rejected_col: str,
+    id_col: str,
+    merges,
+    alphabet: str = "byte",
+    pretokenize: str | None = None,
+) -> DataFrame:
+    """TOKEN masks for preference (DPO/RLHF) pairs — the two numbers a
+    DPO trainer needs per branch: where the completion tokens start
+    and end inside each rendered sequence. Both branches render as
+    ``[<|user|>] prompt tokens [<|end|>] [<|assistant|>] completion
+    tokens [<|end|>]``, so the completion span starts at
+    ``n_prompt_tokens + 3`` in BOTH (the stated invariant: DPO
+    logprobs are compared over completion tokens at identical
+    positions). Content tokenizes like
+    :func:`~delta_lake_spark.operators.tokenizer.bpe_encode`
+    (byte alphabet + GPT-2 pre-tokens by default); the three texts
+    encode through ONE shared merge-chain projection over a 3-element
+    array — map-only, zero shuffles, zero Python. Returns (id_col,
+    prompt_tokens, completion_start, chosen_end, chosen_total,
+    rejected_end, rejected_total) with [completion_start, *_end) the
+    per-branch completion span and *_total the branch's full sequence
+    length including specials."""
+    from pyspark.sql import DataFrame as _DF
+
+    from .tokenizer import (
+        _byte_syms_expr,
+        _chars_expr,
+        _gpt2_words_expr,
+        _resolve_pretokenize,
+        _rewrite_body,
+        _words_expr,
+    )
+
+    pretokenize = _resolve_pretokenize(pretokenize, alphabet)
+    if isinstance(merges, _DF):
+        pairs = [(r.lhs, r.rhs) for r in merges.orderBy("rank").collect()]
+    else:
+        pairs = [(a, b) for a, b in merges]
+    seed = _chars_expr("x") if alphabet == "char" else _byte_syms_expr("x")
+    words = (
+        _gpt2_words_expr("t") if pretokenize == "gpt2" else _words_expr("t")
+    )
+    out = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(array({prompt_col}, {chosen_col}, {rejected_col}),"
+            f" t -> transform({words}, x -> {seed}))"
+        ).alias("__sym"),
+    )
+    for a, b in pairs:
+        if a == b:
+            raise ValueError("dpo_token_masks requires lhs != rhs merges")
+        out = out.withColumn(
+            "__sym",
+            F.expr(
+                "transform(__sym, ws -> transform(ws, s ->"
+                f" {_rewrite_body('s', a, b)}))"
+            ),
+        )
+    out = out.withColumn(
+        "__cnt",
+        F.expr(
+            "transform(__sym, ws ->"
+            " aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + size(w)))"
+        ),
+    )
+    np_, nc, nr = (
+        F.expr("element_at(__cnt, 1)"),
+        F.expr("element_at(__cnt, 2)"),
+        F.expr("element_at(__cnt, 3)"),
+    )
+    start = np_ + 3  # [user special] prompt [end special] [asst special]
+    return out.select(
+        F.col(id_col),
+        np_.alias("prompt_tokens"),
+        start.alias("completion_start"),
+        (start + nc).alias("chosen_end"),
+        (start + nc + 1).alias("chosen_total"),
+        (start + nr).alias("rejected_end"),
+        (start + nr + 1).alias("rejected_total"),
+    )
+
+
+def conversation_decontaminate(
+    df: DataFrame,
+    json_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    eval_json_col: str,
+    eval_id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: float | None = 0.1,
+) -> DataFrame:
+    """TRANSCRIPT-level eval decontamination — q213's leakage screen
+    lifted to conversations: an SFT corpus must not contain
+    transcripts that near-duplicate held-out eval dialogues (the
+    whole-conversation analogue of prompt-side
+    :func:`preference_decontaminate`). Both relations serialize
+    role-aware (:func:`serialize_conversations`), then the
+    cross-corpus MinHash band join with exact jaccard verification;
+    every input transcript returns with its verdict. Returns (id_col,
+    n_eval_matches, max_jaccard NULL when clean, contaminated)."""
+    from .dedup import cross_corpus_near_dups
+
+    ser = serialize_conversations(df, json_col, id_col)
+    eser = serialize_conversations(eval_df, eval_json_col, eval_id_col)
+    hits = cross_corpus_near_dups(
+        ser.filter(F.col("conv_text").isNotNull()),
+        eser.filter(F.col("conv_text").isNotNull()).select(
+            F.col(eval_id_col).alias(id_col), "conv_text"
+        ),
+        "conv_text",
+        id_col,
+        n=n,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
+    )
+    per_id = hits.groupBy("batch_id").agg(
+        F.count("*").cast("long").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_id, F.col(id_col) == F.col("batch_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_matches", F.lit(0).cast("long")).alias(
+                "n_eval_matches"
+            ),
+            "max_jaccard",
+            F.col("batch_id").isNotNull().alias("contaminated"),
+        )
+    )
+
+
 def preference_pair_audit(
     df: DataFrame,
     prompt_col: str,

@@ -12093,7 +12093,185 @@ FROM vol GROUP BY source
 """
 
 
+def q308_dpo_token_masks(spark, sf_dir):
+    """TOKEN masks for DPO pairs — the per-branch completion spans a
+    preference trainer indexes logprobs with: the q298 triples
+    tokenized under the chat-template convention ([user special]
+    prompt [end] [assistant special] completion [end]) with q268's
+    byte-BPE merges; both branches share the completion start
+    (n_prompt + 3 — the invariant DPO's position-aligned comparison
+    depends on), each states its end and total. One shared
+    merge-chain projection over a 3-element array — map-only, zero
+    Python. The oracle replays training and all three encodes
+    (operators/chat.py dpo_token_masks)."""
+    from ..operators.chat import dpo_token_masks
+
+    pairs_df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "'prompt ' || CAST(doc_id % 101 AS STRING)"
+        ).alias("prompt"),
+        F.expr(
+            "'answer ' || CAST(doc_id AS STRING) || ' with detail'"
+        ).alias("chosen"),
+        F.expr(
+            "IF(doc_id % 5 = 0,"
+            " 'answer ' || CAST(doc_id AS STRING) || ' with detail',"
+            " 'short ' || CAST(doc_id AS STRING))"
+        ).alias("rejected"),
+    )
+    merges = [(r.lhs, r.rhs) for r in _byte_bpe_merges(spark, sf_dir)]
+    return dpo_token_masks(
+        pairs_df, "prompt", "chosen", "rejected", "doc_id", merges
+    )
+
+
+def _q308_sql() -> str:
+    from ..operators.tokenizer import gpt2_words_duck_expr
+
+    chain = (
+        "list_transform([lower(hex(encode(x)))], h ->"
+        " [substr(h, 2*i - 1, 2) FOR i IN range(1, len(h)//2 + 1)])[1]"
+    )
+    for r in range(1, _BPE_N_MERGES + 1):
+        chain = _bpe_duck_layer(chain, r)
+    froms = " ".join(
+        f"LEFT JOIN m{r} ON TRUE" for r in range(1, _BPE_N_MERGES + 1)
+    )
+
+    def ntok(col):
+        return (
+            "CAST(len(flatten(list_transform("
+            + gpt2_words_duck_expr(col)
+            + f", x -> {chain}))) AS BIGINT)"
+        )
+
+    return (
+        _bpe_train_ctes(alphabet="byte")
+        + f""",
+triples AS (
+  SELECT doc_id,
+    'prompt ' || CAST(doc_id % 101 AS VARCHAR) AS p,
+    'answer ' || CAST(doc_id AS VARCHAR) || ' with detail' AS c,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'answer ' || CAST(doc_id AS VARCHAR) || ' with detail'
+         ELSE 'short ' || CAST(doc_id AS VARCHAR) END AS r
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+    {ntok("p")} AS np, {ntok("c")} AS nc, {ntok("r")} AS nr
+  FROM triples {froms}
+)
+SELECT doc_id, np AS prompt_tokens,
+  np + 3 AS completion_start,
+  np + 3 + nc AS chosen_end, np + 4 + nc AS chosen_total,
+  np + 3 + nr AS rejected_end, np + 4 + nr AS rejected_total
+FROM counts
+"""
+    )
+
+
+_Q309_EVAL_JSON_SPARK = """
+'[' || array_join(transform(sequence(0, 7), j ->
+  '{"role":"user","content":"ask ' || CAST(id AS STRING) || ' '
+    || CAST(j AS STRING) || ' about topic"},'
+  || '{"role":"assistant","content":"ans ' || CAST(id AS STRING) || ' '
+    || CAST(j AS STRING) || ' ok fine"}'), ',')
+|| ']'
+"""
+
+
+def q309_conversation_decontamination(spark, sf_dir):
+    """TRANSCRIPT-level eval decontamination — the q305 SFT corpus
+    screened against two held-out eval dialogues that equal groups
+    0/1's base conversations: members 0/1 of those groups match
+    exactly (jaccard 1.0), member 2 near-matches (~0.9, its
+    serialization extends the eval's), member 3 and every other group
+    stay clean. Role-aware serialization on both sides, cross-corpus
+    MinHash band join, exact jaccard verdicts per transcript. The
+    oracle replays both serializations and the exact cross-relation
+    jaccard (operators/chat.py conversation_decontaminate)."""
+    from ..operators.chat import conversation_decontaminate
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_Q305_JSON_SPARK).alias("convo")
+    )
+    evals = spark.range(2).select(
+        F.col("id").alias("eval_id"),
+        F.expr(_Q309_EVAL_JSON_SPARK).alias("econvo"),
+    )
+    out = conversation_decontaminate(
+        convos, "convo", "doc_id", evals, "econvo", "eval_id"
+    )
+    return out.select(
+        "doc_id",
+        "n_eval_matches",
+        F.round("max_jaccard", 6).alias("max_jaccard"),
+        "contaminated",
+    )
+
+
+def _q309_sql() -> str:
+    return f"""
+WITH {_Q305_CONV_CTE},
+econv AS (
+  SELECT e,
+    array_to_string(flatten([[
+      'user: ask ' || CAST(e AS VARCHAR) || ' ' || CAST(j AS VARCHAR)
+        || ' about topic',
+      'assistant: ans ' || CAST(e AS VARCHAR) || ' ' || CAST(j AS VARCHAR)
+        || ' ok fine'
+    ] FOR j IN range(0, 8)]), chr(10)) AS text
+  FROM UNNEST(range(0, 2)) u(e)
+),
+csh AS (
+  SELECT DISTINCT doc_id,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        FROM conv),
+    UNNEST(range(1, greatest(len(w) - 1, 1))) t(i)
+  WHERE i + 2 <= len(w)
+),
+esh AS (
+  SELECT DISTINCT e,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT e, string_split_regex(lower(text), '\\s+') AS w
+        FROM econv),
+    UNNEST(range(1, greatest(len(w) - 1, 1))) t(i)
+  WHERE i + 2 <= len(w)
+),
+cn AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id),
+en AS (SELECT e, COUNT(*) AS n FROM esh GROUP BY e),
+inter AS (
+  SELECT c.doc_id, x.e, COUNT(*) AS i
+  FROM csh c JOIN esh x ON c.shingle = x.shingle
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT inter.doc_id, inter.e,
+    inter.i * 1.0 / (cn.n + en.n - inter.i) AS j
+  FROM inter
+  JOIN cn ON cn.doc_id = inter.doc_id
+  JOIN en ON en.e = inter.e
+  WHERE inter.i * 1.0 / (cn.n + en.n - inter.i) >= 0.6
+),
+roll AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+    ROUND(MAX(j), 6) AS max_jaccard
+  FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(r.n_eval_matches, 0) AS n_eval_matches,
+  r.max_jaccard,
+  r.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN roll r ON d.doc_id = r.doc_id
+"""
+
+
 QUERIES = {
+    "q309_conversation_decontamination": q309_conversation_decontamination,
+    "q308_dpo_token_masks": q308_dpo_token_masks,
     "q307_post_training_funnel": q307_post_training_funnel,
     "q306_preference_decontamination": q306_preference_decontamination,
     "q305_conversation_near_dups": q305_conversation_near_dups,
@@ -12293,6 +12471,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q309_conversation_decontamination": _q309_sql(),
+    "q308_dpo_token_masks": _q308_sql(),
     "q307_post_training_funnel": _q307_sql(),
     "q306_preference_decontamination": _q306_sql(),
     "q305_conversation_near_dups": _Q305_SQL,

@@ -6267,6 +6267,103 @@ def test_preference_decontaminate_verdicts(spark):
     assert got[3].n_eval_matches == 0
 
 
+def test_dpo_token_masks_match_independent_encode(spark):
+    """The DPO completion spans must agree with an INDEPENDENT
+    bpe_encode of each field: completion_start = prompt_tokens + 3 in
+    BOTH branches (the position-alignment invariant), ends/totals add
+    the branch's encoded length, and the plan is map-only."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.chat import dpo_token_masks
+    from delta_lake_spark.operators.tokenizer import bpe_encode
+
+    rows = [
+        (i, f"explain thing {i}?", f"a detailed answer {i}!",
+         f"nope {i}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, prompt string, chosen string, rejected string"
+    )
+    pairs = [("20", "74"), ("2074", "68")]
+    got = {
+        r.pid: r
+        for r in dpo_token_masks(
+            df, "prompt", "chosen", "rejected", "pid", pairs
+        ).collect()
+    }
+    enc = {}
+    for col in ("prompt", "chosen", "rejected"):
+        enc[col] = {
+            r.pid: r.n_tokens
+            for r in bpe_encode(
+                df, col, "pid", pairs, alphabet="byte"
+            ).collect()
+        }
+    for i, *_ in rows:
+        g = got[i]
+        assert g.prompt_tokens == enc["prompt"][i]
+        assert g.completion_start == g.prompt_tokens + 3
+        assert g.chosen_end == g.completion_start + enc["chosen"][i]
+        assert g.chosen_total == g.chosen_end + 1
+        assert g.rejected_end == g.completion_start + enc["rejected"][i]
+        assert g.rejected_total == g.rejected_end + 1
+    plan = (
+        dpo_token_masks(df, "prompt", "chosen", "rejected", "pid", pairs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_conversation_decontaminate_verdicts(spark):
+    """Transcript-level decontamination: an exact eval-dialogue match
+    flags at 1.0, a role-swapped twin of an eval dialogue does NOT
+    flag as exact (role-aware serialization), a clean transcript
+    returns contaminated=false, and every input row comes back."""
+    import json
+
+    from delta_lake_spark.operators.chat import conversation_decontaminate
+
+    base = []
+    for j in range(4):
+        base.append({"role": "user", "content": f"eval q {j} alpha beta"})
+        base.append(
+            {"role": "assistant", "content": f"eval a {j} gamma delta"}
+        )
+    other = [
+        {"role": "user", "content": "entirely different words here now"},
+        {"role": "assistant", "content": "yes completely unrelated reply"},
+    ]
+    swapped = [
+        {"role": ("assistant" if m["role"] == "user" else "user"),
+         "content": m["content"]}
+        for m in base
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, json.dumps(base)),
+            (2, json.dumps(other)),
+            (3, json.dumps(swapped)),
+        ],
+        "doc_id long, convo string",
+    )
+    evals = spark.createDataFrame(
+        [(100, json.dumps(base))], "eval_id long, econvo string"
+    )
+    got = {
+        r.doc_id: r
+        for r in conversation_decontaminate(
+            df, "convo", "doc_id", evals, "econvo", "eval_id",
+            max_doc_freq=None,
+        ).collect()
+    }
+    assert len(got) == 3
+    assert got[1].contaminated and got[1].max_jaccard == 1.0
+    assert not got[2].contaminated and got[2].max_jaccard is None
+    # swapped roles: same words, different role-prefixed lines
+    assert got[3].max_jaccard is None or got[3].max_jaccard < 1.0
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

@@ -1795,7 +1795,107 @@ FROM w
 """
 
 
+def q310_streaming_chat_ingestion(spark, sf_dir):
+    """Streaming SFT transcript ingestion end to end: the q305
+    grouped conversations — plus a trailing-user corruption on every
+    7th transcript (a format-audit failure: no trainable final turn)
+    — drain through TWO file-source micro-batches split by id PARITY
+    (even ids first), so each identical-twin pair (members 0/1 of a
+    group) straddles the batch boundary and the second twin's
+    rejection provenance MUST read 'state' (persisted-key dedup), not
+    'batch'. On-arrival per epoch: format audit, role-aware
+    serialization, md5 key, exact dedup against batch + state,
+    verdict rows with provenance; exactly-once via the (txnAppId,
+    epoch) guard. The oracle restates both epochs relationally —
+    collapsing them into one batch would flip every 'state' verdict
+    and fail the gate (streaming/incremental.py
+    stream_chat_ingestion)."""
+    import os as _os
+
+    from ..streaming.incremental import stream_chat_ingestion
+    from .llm import _Q305_JSON_SPARK
+
+    convo = (
+        f"concat(substring(({_Q305_JSON_SPARK}), 1,"
+        f" length(({_Q305_JSON_SPARK})) - 1),"
+        " IF(doc_id % 7 = 0,"
+        " ',{\"role\":\"user\",\"content\":\"trailing '"
+        " || CAST(doc_id AS STRING) || '\"}', ''),"
+        " ']')"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(convo).alias("convo")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = _fresh("chat_src")
+        _os.makedirs(src, exist_ok=True)
+        staging = _fresh("chat_stage")
+        batches = [
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ]
+        for i, b in enumerate(batches):
+            d = f"{staging}/b{i}"
+            b.coalesce(1).write.parquet(d)
+            part = next(
+                f for f in _os.listdir(d) if f.endswith(".parquet")
+            )
+            _os.replace(f"{d}/{part}", f"{src}/b{i}.parquet")
+            _os.utime(
+                f"{src}/b{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        verdicts = stream_chat_ingestion(
+            spark,
+            src,
+            _fresh("chat_verdicts"),
+            _fresh("chat_ckpt"),
+            txn_app_id="q310",
+        )
+        verdicts = verdicts.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return verdicts
+
+
+def _q310_sql() -> str:
+    from .llm import _Q305_CONV_CTE
+
+    corrupt = (
+        "\n    || CASE WHEN doc_id % 7 = 0 THEN chr(10)"
+        " || 'user: trailing ' || CAST(doc_id AS VARCHAR)"
+        " ELSE '' END"
+    )
+    cte = _Q305_CONV_CTE.replace(
+        " AS text\n  FROM documents", corrupt + " AS text\n  FROM documents"
+    )
+    return f"""
+WITH {cte},
+k AS (
+  SELECT doc_id, md5(text) AS conv_key,
+    CAST(doc_id % 2 AS INTEGER) AS batch,
+    doc_id % 7 <> 0 AS fok
+  FROM conv
+),
+w AS (
+  SELECT doc_id, conv_key, batch,
+    MIN(doc_id) OVER (PARTITION BY conv_key, batch) AS bmin,
+    MIN(batch) OVER (PARTITION BY conv_key) AS fbatch
+  FROM k WHERE fok
+)
+SELECT k.doc_id, k.conv_key, k.fok AS format_ok,
+  COALESCE(k.batch = w.fbatch AND k.doc_id = w.bmin, FALSE) AS kept,
+  CASE WHEN NOT k.fok THEN NULL
+       WHEN k.batch > w.fbatch THEN 'state'
+       WHEN k.doc_id <> w.bmin THEN 'batch' END AS dup_source
+FROM k LEFT JOIN w ON k.doc_id = w.doc_id
+"""
+
+
 QUERIES = {
+    "q310_streaming_chat_ingestion": q310_streaming_chat_ingestion,
     "q284_streaming_warc_ingestion": q284_streaming_warc_ingestion,
     "q256_streaming_decayed_rates": q256_streaming_decayed_rates,
     "q237_streaming_span_screen": q237_streaming_span_screen,
@@ -1836,6 +1936,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q310_streaming_chat_ingestion": _q310_sql(),
     "q284_streaming_warc_ingestion": _Q284_SQL,
     "q256_streaming_decayed_rates": _Q256_SQL,
     "q237_streaming_span_screen": _Q237_SQL,

@@ -1201,6 +1201,128 @@ def stream_warc_ingestion(
     return read_delta(spark, verdicts_path)
 
 
+def stream_chat_ingestion(
+    spark: SparkSession,
+    source_dir: str,
+    verdicts_path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, convo string",
+    txn_app_id: str = "dls_chat_ingest",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """STREAMING SFT transcript ingestion — the post-training arrival
+    path through the replay-guarded incremental pattern (the
+    q284/q209/q237 precedent): transcript shards arrive as files, and
+    each micro-batch runs the on-arrival format audit
+    (conversation_stats: strict alternation + trainable final turn),
+    role-aware serialization, and EXACT conversation dedup against
+    BOTH the batch (min-id keeper per serialization key) and the
+    PERSISTED key state (the kept rows of the verdicts table so far).
+    Every transcript gets a verdict row — kept, or rejected with its
+    provenance: ``format_ok`` false (audit failure — format-failed
+    rows never claim a dedup key), ``dup_source`` = 'state' (key
+    already ingested by an earlier batch) or 'batch' (within-batch
+    loser) — so the epoch sequencing is observable exactly like the
+    WARC tier. Exactly-once via the (txnAppId, epoch)
+    idempotent-append guard. 100-TB shape: audit and serialization
+    are map-only; per epoch one key-keyed aggregation plus one join
+    against the state's distinct keys. The key is md5 of the
+    serialization (engine-portable, oracle-replayable; swap xxhash64
+    at scale — collisions would hit both engines identically).
+    Returns the verdicts table: (doc_id, conv_key, format_ok, kept,
+    dup_source)."""
+    from ..errors import TableNotFoundError
+    from ..log import DeltaLog
+    from ..operators.chat import conversation_stats, serialize_conversations
+    from ..reader import read_delta
+    from ..writer import write_delta
+
+    def _write_batch(batch_df, epoch_id: int) -> None:
+        log = DeltaLog(verdicts_path)
+        exists = False
+        try:
+            if log.exists():
+                exists = True
+                for h in log.history():
+                    op = h.get("operationParameters") or {}
+                    if (
+                        op.get("txnAppId") == txn_app_id
+                        and op.get("txnVersion") == epoch_id
+                    ):
+                        return  # replayed epoch
+        except TableNotFoundError:
+            pass
+
+        stats = conversation_stats(batch_df, "convo", "doc_id").select(
+            "doc_id",
+            F.coalesce(
+                F.col("alternation_ok") & F.col("ends_with_assistant"),
+                F.lit(False),
+            ).alias("format_ok"),
+        )
+        keyed = (
+            serialize_conversations(batch_df, "convo", "doc_id")
+            .select("doc_id", F.md5("conv_text").alias("conv_key"))
+            .join(stats, "doc_id")
+        )
+        keeper = (
+            keyed.filter("format_ok")
+            .groupBy("conv_key")
+            .agg(F.min("doc_id").alias("__keep_id"))
+        )
+        keyed = keyed.join(keeper, "conv_key", "left")
+        if exists:
+            seen = (
+                read_delta(spark, verdicts_path)
+                .filter(F.col("kept"))
+                .select("conv_key")
+                .distinct()
+                .withColumn("__seen", F.lit(True))
+            )
+            keyed = keyed.join(seen, "conv_key", "left")
+        else:
+            keyed = keyed.withColumn(
+                "__seen", F.lit(None).cast("boolean")
+            )
+        verdicts = keyed.select(
+            "doc_id",
+            "conv_key",
+            "format_ok",
+            (
+                F.col("format_ok")
+                & F.col("__seen").isNull()
+                & (F.col("doc_id") == F.col("__keep_id"))
+            ).alias("kept"),
+            F.when(~F.col("format_ok"), F.lit(None).cast("string"))
+            .when(F.col("__seen").isNotNull(), F.lit("state"))
+            .when(F.col("doc_id") != F.col("__keep_id"), F.lit("batch"))
+            .alias("dup_source"),
+        )
+        write_delta(
+            verdicts,
+            verdicts_path,
+            mode="append",
+            operation="STREAMING CHAT INGEST",
+            operation_parameters={
+                "txnAppId": txn_app_id,
+                "txnVersion": epoch_id,
+                "outputMode": "Append",
+            },
+        )
+
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(source_dir)
+    q = (
+        src.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return read_delta(spark, verdicts_path)
+
+
 def stream_decayed_event_state(
     spark: SparkSession,
     source_dir: str,

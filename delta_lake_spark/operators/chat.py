@@ -621,6 +621,120 @@ def conversation_decontaminate(
     )
 
 
+def rejection_sample_topk(
+    df: DataFrame,
+    prompt_col: str,
+    completion_col: str,
+    reward_col: str,
+    id_col: str,
+    k: int = 1,
+) -> DataFrame:
+    """Rejection-sampling (best-of-n / RFT) data builder — the step
+    that turns sampled rollouts + reward scores into an SFT corpus:
+    per prompt, drop EXACT-duplicate completions first (keeping the
+    highest-reward instance — a duplicate carries zero extra signal
+    but would double its gradient weight), then keep the top-``k``
+    survivors by reward (ties break on the smaller id, so the
+    verdict is deterministic under equal rewards). Every input row
+    returns with its verdict: ``is_dup`` (lost the per-completion
+    dedup), ``rank`` (1-based among survivors of its prompt, NULL for
+    dups), ``kept``. Two windows on the prompt key — no other
+    shuffle, no Python. Returns (id_col, prompt_col, reward_col,
+    is_dup, rank, kept)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w_dup = Window.partitionBy(prompt_col, completion_col).orderBy(
+        F.desc(reward_col), F.asc(id_col)
+    )
+    out = df.withColumn("__rn", F.row_number().over(w_dup)).withColumn(
+        "is_dup", F.col("__rn") > 1
+    )
+    # dup rows still participate in the numbering but sort LAST
+    # (is_dup asc first), so survivor ranks are exactly 1..n_survivors
+    # and the dup rows' numbers are never emitted
+    w_rank = Window.partitionBy(prompt_col).orderBy(
+        F.col("is_dup").asc(), F.desc(reward_col), F.asc(id_col)
+    )
+    out = out.withColumn(
+        "rank",
+        F.when(~F.col("is_dup"), F.row_number().over(w_rank)).cast("int"),
+    )
+    return out.select(
+        id_col,
+        prompt_col,
+        reward_col,
+        "is_dup",
+        "rank",
+        F.coalesce(F.col("rank") <= k, F.lit(False)).alias("kept"),
+    )
+
+
+# the document-tier PII regexes (text.redact_pii), reused verbatim so
+# the chat scrub states the same contract
+def chat_pii_scrub(
+    df: DataFrame, json_col: str, id_col: str
+) -> DataFrame:
+    """Per-TURN PII scrub of chat transcripts — the compliance pass a
+    post-training corpus runs message by message (document-level
+    redaction would blind the audit to WHICH turn leaked): every
+    message's content is screened with the document tier's exact
+    regexes (emails, long digit runs — text.redact_pii's contract)
+    and redacted in place; the transcript re-serializes to JSON with
+    the same {role, content} shape so the scrubbed corpus feeds the
+    same loaders. Map-only higher-order built-ins, zero Python.
+    Returns (id_col, n_emails, n_longnums, n_dirty_messages,
+    redacted_convo)."""
+    from .text import EMAIL_RE, LONGNUM_RE
+
+    msgs = F.from_json(F.col(json_col), MESSAGE_SCHEMA)
+
+    def redact(content):
+        return F.regexp_replace(
+            F.regexp_replace(content, EMAIL_RE, "<EMAIL>"),
+            LONGNUM_RE,
+            "<NUM>",
+        )
+
+    def n_hits(content, pat, pre=None):
+        base = content if pre is None else F.regexp_replace(
+            content, pre, "<EMAIL>"
+        )
+        return F.size(F.regexp_extract_all(base, F.lit(pat), F.lit(0)))
+
+    return df.select(
+        F.col(id_col),
+        F.aggregate(
+            msgs,
+            F.lit(0).cast("long"),
+            lambda a, m: a + n_hits(m.content, EMAIL_RE),
+        ).alias("n_emails"),
+        F.aggregate(
+            msgs,
+            F.lit(0).cast("long"),
+            lambda a, m: a + n_hits(m.content, LONGNUM_RE, pre=EMAIL_RE),
+        ).alias("n_longnums"),
+        F.size(
+            F.filter(
+                msgs,
+                lambda m: (
+                    n_hits(m.content, EMAIL_RE)
+                    + n_hits(m.content, LONGNUM_RE, pre=EMAIL_RE)
+                )
+                > 0,
+            )
+        ).cast("long").alias("n_dirty_messages"),
+        F.to_json(
+            F.transform(
+                msgs,
+                lambda m: F.struct(
+                    m.role.alias("role"),
+                    redact(m.content).alias("content"),
+                ),
+            )
+        ).alias("redacted_convo"),
+    )
+
+
 def preference_pair_audit(
     df: DataFrame,
     prompt_col: str,

@@ -12269,7 +12269,123 @@ FROM documents d LEFT JOIN roll r ON d.doc_id = r.doc_id
 """
 
 
+def q311_rejection_sampling(spark, sf_dir):
+    """Rejection-sampling (best-of-n / RFT) builder — sampled rollouts
+    scored by a reward become an SFT corpus: per prompt, exact
+    duplicate completions drop first (keeping the highest-reward
+    instance — a dup would double its gradient weight for zero extra
+    signal), then the top-2 survivors by reward keep (ties to the
+    smaller id). Every rollout returns with its verdict (is_dup /
+    rank / kept). Two prompt-keyed windows, nothing else. The oracle
+    replays both windows over the analytic (prompt, completion,
+    reward) synthesis (operators/chat.py rejection_sample_topk)."""
+    from ..operators.chat import rejection_sample_topk
+
+    rollouts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("'prompt ' || CAST(doc_id % 101 AS STRING)").alias(
+            "prompt"
+        ),
+        F.expr("'ans ' || CAST(doc_id % 13 AS STRING)").alias(
+            "completion"
+        ),
+        # CAST: a bare 1000.0 literal is DECIMAL in Spark SQL and the
+        # division would come back decimal(27,6), not the double the
+        # oracle computes
+        F.expr(
+            "CAST(doc_id * 37 % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)"
+        ).alias("reward"),
+    )
+    return rejection_sample_topk(
+        rollouts, "prompt", "completion", "reward", "doc_id", k=2
+    )
+
+
+_Q311_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    'prompt ' || CAST(doc_id % 101 AS VARCHAR) AS prompt,
+    'ans ' || CAST(doc_id % 13 AS VARCHAR) AS completion,
+    (doc_id * 37 % 1000) / 1000.0 AS reward
+  FROM documents
+),
+d AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY prompt, completion ORDER BY reward DESC, doc_id
+  ) AS rn
+  FROM t
+),
+r AS (
+  SELECT *, rn > 1 AS is_dup,
+    ROW_NUMBER() OVER (
+      PARTITION BY prompt ORDER BY (rn > 1), reward DESC, doc_id
+    ) AS rk
+  FROM d
+)
+SELECT doc_id, prompt, reward, is_dup,
+  CASE WHEN is_dup THEN NULL ELSE CAST(rk AS INTEGER) END AS rank,
+  (NOT is_dup AND rk <= 2) AS kept
+FROM r
+"""
+
+
+def q312_chat_pii_scrub(spark, sf_dir):
+    """Per-TURN PII scrub of transcripts — the compliance pass at
+    message granularity (document-level redaction can't say WHICH
+    turn leaked): synthetic three-turn conversations plant an email
+    on every 3rd transcript and a card-like digit run on every 5th;
+    the scrub counts hits with the document tier's exact regexes,
+    flags dirty messages, and re-serializes the redacted transcript
+    to the same {role, content} JSON shape. Map-only higher-order
+    built-ins. The oracle states counts and the full redacted JSON
+    analytically (operators/chat.py chat_pii_scrub)."""
+    from ..operators.chat import chat_pii_scrub
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            """'[{"role":"user","content":"' ||
+            IF(doc_id % 3 = 0,
+               'my email is user' || CAST(doc_id AS STRING)
+                 || '@example.com please',
+               'hello case ' || CAST(doc_id % 7 AS STRING) || ' here')
+            || '"},{"role":"assistant","content":"' ||
+            IF(doc_id % 5 = 0,
+               'card 4111222233334444 flagged',
+               'no sensitive data ' || CAST(doc_id % 9 AS STRING))
+            || '"},{"role":"user","content":"thanks agent '
+            || CAST(doc_id % 4 AS STRING) || '"}]'"""
+        ).alias("convo"),
+    )
+    return chat_pii_scrub(convos, "convo", "doc_id")
+
+
+_Q312_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_emails,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_longnums,
+  CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dirty_messages,
+  '[{"role":"user","content":"'
+  || CASE WHEN doc_id % 3 = 0 THEN 'my email is <EMAIL> please'
+          ELSE 'hello case ' || CAST(doc_id % 7 AS VARCHAR) || ' here'
+     END
+  || '"},{"role":"assistant","content":"'
+  || CASE WHEN doc_id % 5 = 0 THEN 'card <NUM> flagged'
+          ELSE 'no sensitive data ' || CAST(doc_id % 9 AS VARCHAR)
+     END
+  || '"},{"role":"user","content":"thanks agent '
+  || CAST(doc_id % 4 AS VARCHAR) || '"}]' AS redacted_convo
+FROM documents
+"""
+
+
 QUERIES = {
+    "q312_chat_pii_scrub": q312_chat_pii_scrub,
+    "q311_rejection_sampling": q311_rejection_sampling,
     "q309_conversation_decontamination": q309_conversation_decontamination,
     "q308_dpo_token_masks": q308_dpo_token_masks,
     "q307_post_training_funnel": q307_post_training_funnel,
@@ -12471,6 +12587,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q312_chat_pii_scrub": _Q312_SQL,
+    "q311_rejection_sampling": _Q311_SQL,
     "q309_conversation_decontamination": _q309_sql(),
     "q308_dpo_token_masks": _q308_sql(),
     "q307_post_training_funnel": _q307_sql(),

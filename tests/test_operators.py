@@ -6364,6 +6364,83 @@ def test_conversation_decontaminate_verdicts(spark):
     assert got[3].max_jaccard is None or got[3].max_jaccard < 1.0
 
 
+def test_rejection_sample_topk_verdicts(spark):
+    """Best-of-n builder: exact-duplicate completions lose to their
+    highest-reward instance, survivor ranks are dense 1..n per
+    prompt, kept = rank <= k, ties break to the smaller id, and every
+    input row returns."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.chat import rejection_sample_topk
+
+    rows = [
+        # prompt A: dup completions 'x' (0.9 wins over 0.2), plus 'y'
+        (1, "A", "x", 0.9),
+        (2, "A", "x", 0.2),
+        (3, "A", "y", 0.5),
+        (4, "A", "z", 0.9),  # reward tie with id 1 -> id 1 ranks first
+        # prompt B: single rollout
+        (5, "B", "w", 0.1),
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, prompt string, completion string, reward double"
+    )
+    got = {
+        r.rid: r
+        for r in rejection_sample_topk(
+            df, "prompt", "completion", "reward", "rid", k=2
+        ).collect()
+    }
+    assert len(got) == 5
+    assert not got[1].is_dup and got[1].rank == 1 and got[1].kept
+    assert got[2].is_dup and got[2].rank is None and not got[2].kept
+    assert got[4].rank == 2 and got[4].kept  # tie -> larger id second
+    assert got[3].rank == 3 and not got[3].kept
+    assert got[5].rank == 1 and got[5].kept
+    with _pytest.raises(ValueError):
+        rejection_sample_topk(df, "prompt", "completion", "reward", "rid", 0)
+
+
+def test_chat_pii_scrub_per_turn(spark):
+    """Per-turn PII scrub: counts land on the right messages, the
+    redacted transcript keeps the {role, content} shape and parses
+    back, clean transcripts pass through byte-identical."""
+    import json
+
+    from delta_lake_spark.operators.chat import chat_pii_scrub
+
+    dirty = [
+        {"role": "user", "content": "mail me at a.b@x.org or c@y.io"},
+        {"role": "assistant", "content": "card 1234567890123456 noted"},
+        {"role": "user", "content": "thanks"},
+    ]
+    clean = [
+        {"role": "user", "content": "just words"},
+        {"role": "assistant", "content": "only text 123"},
+    ]
+    df = spark.createDataFrame(
+        [(1, json.dumps(dirty)), (2, json.dumps(clean))],
+        "doc_id long, convo string",
+    )
+    got = {r.doc_id: r for r in chat_pii_scrub(df, "convo", "doc_id").collect()}
+    assert got[1].n_emails == 2 and got[1].n_longnums == 1
+    assert got[1].n_dirty_messages == 2
+    red = json.loads(got[1].redacted_convo)
+    assert red[0]["content"] == "mail me at <EMAIL> or <EMAIL>"
+    assert red[1]["content"] == "card <NUM> noted"
+    assert red[2]["content"] == "thanks"
+    assert [m["role"] for m in red] == ["user", "assistant", "user"]
+    assert got[2].n_emails == 0 and got[2].n_dirty_messages == 0
+    # short digit runs (< 4) are not PII per the document-tier contract
+    assert json.loads(got[2].redacted_convo)[1]["content"] == "only text 123"
+    # map-only
+    plan = (
+        chat_pii_scrub(df, "convo", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

@@ -880,3 +880,83 @@ def perceptron_eval(
         "n",
         F.expr("CAST((1000000 * n) DIV __t AS BIGINT)").alias("share_micro"),
     )
+
+
+def bradley_terry_strengths(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """Bradley-Terry strength estimation from pairwise preference
+    outcomes — the model-ranking / preference-data-QA fit (Hunter
+    2004's MM algorithm): per iteration
+
+        s_i <- W_i / sum_j n_ij / (s_i + s_j)
+
+    with W_i = wins of item i and n_ij = comparisons between i and j,
+    then strengths normalize to sum 1 (the fixed point is defined up
+    to scale). Standard applicability contract (documented, not
+    silently patched): every item needs at least one win and the
+    comparison graph should be connected, else the MM fixed point
+    degenerates — a zero-win item states strength 0 and, via the
+    nullif guard, a 0+0 denominator term states NULL instead of
+    raising under ANSI.
+
+    Scale shape: the corpus-sized pair relation aggregates ONCE into
+    (wins per item, comparisons per unordered pair) — both
+    item-bounded, i.e. model-sized by contract like a codebook — and
+    every MM iteration then runs on those relations alone (two joins
+    + one aggregation per round over O(items^2) rows, never the raw
+    pairs again). Returns (item, strength) with strength summing to 1.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = F.col(winner_col)
+    l_ = F.col(loser_col)
+    items = (
+        df.select(w.alias("item"))
+        .unionByName(df.select(l_.alias("item")))
+        .distinct()
+    )
+    wins = df.groupBy(w.alias("item")).agg(
+        F.count("*").cast("double").alias("__w")
+    )
+    wins = items.join(wins, "item", "left").select(
+        "item", F.coalesce("__w", F.lit(0.0)).alias("__w")
+    )
+    half = df.select(
+        F.least(w, l_).alias("i"), F.greatest(w, l_).alias("j")
+    ).groupBy("i", "j").agg(F.count("*").cast("double").alias("n"))
+    edges = half.unionByName(
+        half.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "n"
+        )
+    )
+    # item-bounded relations from here on: materialize once
+    edges = edges.localCheckpoint(eager=True)
+    wins = wins.localCheckpoint(eager=True)
+    s = wins.select("item", F.lit(1.0).alias("s"))
+    for _ in range(iterations):
+        si = s.select(F.col("item").alias("i"), F.col("s").alias("si"))
+        sj = s.select(F.col("item").alias("j"), F.col("s").alias("sj"))
+        denom = (
+            edges.join(F.broadcast(si), "i")
+            .join(F.broadcast(sj), "j")
+            .groupBy(F.col("i").alias("item"))
+            .agg(
+                F.sum(
+                    F.col("n")
+                    / F.nullif(F.col("si") + F.col("sj"), F.lit(0.0))
+                ).alias("__d")
+            )
+        )
+        s = wins.join(denom, "item", "left").select(
+            "item",
+            (F.col("__w") / F.col("__d")).alias("s"),
+        )
+        total = s.agg(F.sum("s").alias("__t"))
+        s = s.crossJoin(F.broadcast(total)).select(
+            "item", (F.col("s") / F.col("__t")).alias("s")
+        )
+    return s.select("item", F.col("s").alias("strength"))

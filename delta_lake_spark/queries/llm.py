@@ -12383,7 +12383,97 @@ FROM documents
 """
 
 
+_BT_ITERS = 3
+
+
+def q313_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strengths from pairwise preference outcomes —
+    the model-ranking / preference-data-QA fit (Hunter 2004 MM):
+    deterministic matches between eight 'model_k' items (a 60/40
+    winner rule over id arithmetic) aggregate once into wins and
+    per-pair comparison counts, then 3 MM iterations with
+    sum-to-one normalization run on those item-bounded relations.
+    The oracle unrolls the identical iterations as CTEs — the q288
+    pagerank / q278 perceptron precedent for iterative fits
+    (operators/stats.py bradley_terry_strengths)."""
+    from ..operators.stats import bradley_terry_strengths
+
+    matches = (
+        _docs(spark, sf_dir)
+        .select(
+            F.expr("doc_id % 8").alias("a"),
+            F.expr("(doc_id * 3 + 1) % 8").alias("b"),
+            F.expr("(doc_id * 7) % 10 < 6").alias("awin"),
+        )
+        .filter("a <> b")
+        .select(
+            F.expr(
+                "'model_' || CAST(IF(awin, a, b) AS STRING)"
+            ).alias("winner"),
+            F.expr(
+                "'model_' || CAST(IF(awin, b, a) AS STRING)"
+            ).alias("loser"),
+        )
+    )
+    s = bradley_terry_strengths(
+        matches, "winner", "loser", iterations=_BT_ITERS
+    )
+    return s.select("item", F.round("strength", 9).alias("strength"))
+
+
+def _q313_sql() -> str:
+    parts = [
+        """p AS (
+  SELECT doc_id % 8 AS a, (doc_id * 3 + 1) % 8 AS b,
+    (doc_id * 7) % 10 < 6 AS awin
+  FROM documents
+  WHERE doc_id % 8 <> (doc_id * 3 + 1) % 8
+),
+c AS (
+  SELECT 'model_' || CAST(CASE WHEN awin THEN a ELSE b END AS VARCHAR)
+           AS w,
+         'model_' || CAST(CASE WHEN awin THEN b ELSE a END AS VARCHAR)
+           AS l
+  FROM p
+),
+items AS (SELECT DISTINCT w AS item FROM c
+          UNION SELECT DISTINCT l AS item FROM c),
+wins AS (
+  SELECT i.item, CAST(COALESCE(x.n, 0) AS DOUBLE) AS wn
+  FROM items i
+  LEFT JOIN (SELECT w AS item, COUNT(*) AS n FROM c GROUP BY w) x
+    ON i.item = x.item
+),
+h AS (
+  SELECT LEAST(w, l) AS i, GREATEST(w, l) AS j,
+    CAST(COUNT(*) AS DOUBLE) AS n
+  FROM c GROUP BY 1, 2
+),
+edges AS (SELECT i, j, n FROM h UNION ALL SELECT j, i, n FROM h),
+s0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS s FROM items)"""
+    ]
+    for r in range(1, _BT_ITERS + 1):
+        parts.append(f"""d{r} AS (
+  SELECT e.i AS item, SUM(e.n / nullif(si.s + sj.s, 0)) AS d
+  FROM edges e
+  JOIN s{r - 1} si ON si.item = e.i
+  JOIN s{r - 1} sj ON sj.item = e.j
+  GROUP BY e.i
+),
+u{r} AS (
+  SELECT w.item, w.wn / d{r}.d AS s
+  FROM wins w LEFT JOIN d{r} ON w.item = d{r}.item
+),
+s{r} AS (SELECT item, s / (SELECT SUM(s) FROM u{r}) AS s FROM u{r})""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT item, ROUND(s, 9) AS strength FROM s{_BT_ITERS}"
+    )
+
+
 QUERIES = {
+    "q313_bradley_terry": q313_bradley_terry,
     "q312_chat_pii_scrub": q312_chat_pii_scrub,
     "q311_rejection_sampling": q311_rejection_sampling,
     "q309_conversation_decontamination": q309_conversation_decontamination,
@@ -12587,6 +12677,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q313_bradley_terry": _q313_sql(),
     "q312_chat_pii_scrub": _Q312_SQL,
     "q311_rejection_sampling": _Q311_SQL,
     "q309_conversation_decontamination": _q309_sql(),

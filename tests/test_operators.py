@@ -6441,6 +6441,43 @@ def test_chat_pii_scrub_per_turn(spark):
     assert "Exchange" not in plan and "EvalPython" not in plan
 
 
+def test_bradley_terry_known_ratios(spark):
+    """BT sanity against closed forms: a 3-1 head-to-head converges to
+    0.75/0.25 in one MM step (two-item BT has the exact solution
+    W_A/(W_A+W_B)); a zero-win item states strength 0; iterations
+    must be >= 1."""
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.stats import bradley_terry_strengths
+
+    df = spark.createDataFrame(
+        [("A", "B")] * 3 + [("B", "A")],
+        "winner string, loser string",
+    )
+    got = {
+        r.item: r.strength
+        for r in bradley_terry_strengths(df, "winner", "loser").collect()
+    }
+    assert abs(got["A"] - 0.75) < 1e-12 and abs(got["B"] - 0.25) < 1e-12
+    # three items, C never wins -> strength 0; A/B keep the 3-1 ratio
+    # among themselves plus their wins over C
+    df3 = spark.createDataFrame(
+        [("A", "B")] * 3 + [("B", "A")] + [("A", "C"), ("B", "C")],
+        "winner string, loser string",
+    )
+    got3 = {
+        r.item: r.strength
+        for r in bradley_terry_strengths(
+            df3, "winner", "loser", iterations=5
+        ).collect()
+    }
+    assert got3["C"] == 0.0
+    assert got3["A"] > got3["B"] > 0.0
+    assert abs(sum(got3.values()) - 1.0) < 1e-9
+    with _pytest.raises(ValueError):
+        bradley_terry_strengths(df, "winner", "loser", iterations=0)
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

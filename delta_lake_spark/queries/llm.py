@@ -12472,7 +12472,88 @@ s{r} AS (SELECT item, s / (SELECT SUM(s) FROM u{r}) AS s FROM u{r})""")
     )
 
 
+def q314_chat_packing_efficiency(spark, sf_dir):
+    """Context-window packing efficiency for the SFT tier — q261's
+    sheet over TRANSCRIPT token totals: the q297 conversations'
+    chat-template token counts (role/end specials + byte-BPE content,
+    the q303 arithmetic) concat-and-split per source into 48-token
+    windows, rolled up to (source, n_bins, tokens_packed, capacity,
+    util_micro) — the padding-waste price of the packing policy. The
+    map-only token counts plus one per-source window plus one rollup.
+    The oracle replays training, encoding, and the q261 binning
+    convention (operators/chat.py _conv_token_counts +
+    pack_sequences' binning)."""
+    from pyspark.sql import Window
+
+    from ..operators.chat import _conv_token_counts
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(_Q297_JSON_SPARK).alias("convo")
+    )
+    pairs = [(r.lhs, r.rhs) for r in _byte_bpe_merges(spark, sf_dir)]
+    totals = _conv_token_counts(
+        convos, "convo", "doc_id", pairs, "byte", None, keep=("source",)
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "aggregate(coalesce(__cnt, array()), CAST(0 AS BIGINT),"
+            " (a, x) -> a + x)"
+        ).alias("n_tok"),
+    )
+    b = _Q304_BUDGET
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = totals.withColumn(
+        "bin_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(float(b)))
+        .cast("bigint"),
+    )
+    bins = binned.groupBy("source", "bin_id").agg(
+        F.sum("n_tok").alias("bin_tokens")
+    )
+    return bins.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("bin_tokens").cast("long").alias("tokens_packed"),
+        (F.count("*") * F.lit(b)).cast("long").alias("capacity"),
+        F.expr(
+            f"(1000000 * CAST(SUM(bin_tokens) AS BIGINT))"
+            f" div (COUNT(*) * {b})"
+        ).alias("util_micro"),
+    )
+
+
+def _q314_sql() -> str:
+    b = _Q304_BUDGET
+    return _chat_token_count_ctes() + f""",
+totals AS (
+  SELECT doc_id, SUM(n_tok) AS tot FROM counts GROUP BY doc_id
+),
+binned AS (
+  SELECT d.source,
+    CAST(floor((SUM(t.tot) OVER (PARTITION BY d.source ORDER BY d.doc_id)
+                - t.tot) / {b}.0) AS BIGINT) AS bin_id,
+    t.tot AS n_tok
+  FROM totals t JOIN documents d ON t.doc_id = d.doc_id
+),
+bins AS (
+  SELECT source, bin_id, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+  FROM binned GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+  CAST(SUM(bin_tokens) AS BIGINT) AS tokens_packed,
+  CAST(COUNT(*) * {b} AS BIGINT) AS capacity,
+  CAST((1000000 * SUM(bin_tokens)) // (COUNT(*) * {b}) AS BIGINT)
+    AS util_micro
+FROM bins GROUP BY source
+"""
+
+
 QUERIES = {
+    "q314_chat_packing_efficiency": q314_chat_packing_efficiency,
     "q313_bradley_terry": q313_bradley_terry,
     "q312_chat_pii_scrub": q312_chat_pii_scrub,
     "q311_rejection_sampling": q311_rejection_sampling,
@@ -12677,6 +12758,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q314_chat_packing_efficiency": _q314_sql(),
     "q313_bradley_terry": _q313_sql(),
     "q312_chat_pii_scrub": _Q312_SQL,
     "q311_rejection_sampling": _Q311_SQL,

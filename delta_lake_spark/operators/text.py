@@ -195,6 +195,68 @@ def pack_sequences(
     )
 
 
+def pack_sequences_nextfit(
+    df: DataFrame,
+    ntok_col: str,
+    id_col: str,
+    part_col: str,
+    budget: int = 512,
+) -> DataFrame:
+    """NEXT-FIT whole-sequence packing — the packer that never SPLITS
+    a sequence (concat-and-split cuts documents at window edges; many
+    SFT recipes refuse that): within each ``part_col`` group,
+    sequences are taken in ``id_col`` order and a new bin opens
+    whenever the current one cannot hold the next sequence whole; a
+    sequence longer than the budget occupies its own bin and is
+    flagged ``overflow``. The fold is inherently sequential per
+    group, so it runs as ONE Arrow-batched applyInPandas over the
+    group — exactly the place the operator catalog reserves Python
+    for (custom sequential state), never per-row UDFs. At 100 TB the
+    parallelism is the group count; skewed groups pre-split by
+    adding a shard key to part_col (pack_sequences' contract).
+    Expects a precomputed ``ntok_col`` (any token convention — the
+    caller decides what a 'token' is). Returns one row per input
+    sequence: (part_col, id_col, n_tok, bin_id, overflow)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+
+    import pandas as pd
+
+    out_schema = (
+        f"{part_col} string, {id_col} long, n_tok long, "
+        "bin_id long, overflow boolean"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bins, fill, bin_id = [], 0, 0
+        for n in pdf["__n"].astype("int64"):
+            if fill > 0 and fill + n > budget:
+                bin_id += 1
+                fill = 0
+            bins.append(bin_id)
+            fill += int(n)
+        return pd.DataFrame(
+            {
+                part_col: pdf[part_col],
+                id_col: pdf[id_col],
+                "n_tok": pdf["__n"].astype("int64"),
+                "bin_id": pd.Series(bins, index=pdf.index, dtype="int64"),
+                "overflow": pdf["__n"].astype("int64") > budget,
+            }
+        )
+
+    return (
+        df.select(
+            F.col(part_col),
+            F.col(id_col),
+            F.col(ntok_col).cast("long").alias("__n"),
+        )
+        .groupBy(part_col)
+        .applyInPandas(fold, schema=out_schema)
+    )
+
+
 # PII patterns shared by the Spark and oracle sides (RE2/Java compatible)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 LONGNUM_RE = r"[0-9]{4,}"

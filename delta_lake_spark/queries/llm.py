@@ -12552,7 +12552,81 @@ FROM bins GROUP BY source
 """
 
 
+def q315_nextfit_packing(spark, sf_dir):
+    """NEXT-FIT whole-sequence packing — the no-split packer many SFT
+    recipes require (concat-and-split cuts sequences at window
+    edges): the q297 transcripts' chat-template token totals pack per
+    source in doc order, opening a new 48-token bin whenever the next
+    conversation doesn't fit whole; oversized conversations own their
+    bin and flag overflow. The sequential fold runs as ONE
+    Arrow-batched applyInPandas per source group — the reserved
+    place for Python (custom sequential state). The oracle replays
+    the fold with a RECURSIVE CTE advancing every source's rank in
+    lockstep (operators/text.py pack_sequences_nextfit +
+    operators/chat.py _conv_token_counts)."""
+    from ..operators.chat import _conv_token_counts
+    from ..operators.text import pack_sequences_nextfit
+
+    convos = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(_Q297_JSON_SPARK).alias("convo")
+    )
+    pairs = [(r.lhs, r.rhs) for r in _byte_bpe_merges(spark, sf_dir)]
+    totals = _conv_token_counts(
+        convos, "convo", "doc_id", pairs, "byte", None, keep=("source",)
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "aggregate(coalesce(__cnt, array()), CAST(0 AS BIGINT),"
+            " (a, x) -> a + x)"
+        ).alias("n_tok"),
+    )
+    return pack_sequences_nextfit(
+        totals, "n_tok", "doc_id", "source", budget=_Q304_BUDGET
+    )
+
+
+def _q315_sql() -> str:
+    b = _Q304_BUDGET
+    return _chat_token_count_ctes() + f""",
+totals AS (
+  SELECT t.doc_id, d.source, SUM(t.n_tok) AS tot
+  FROM (SELECT doc_id, n_tok FROM counts) t
+  JOIN documents d ON t.doc_id = d.doc_id
+  GROUP BY t.doc_id, d.source
+),
+ranked AS MATERIALIZED (
+  -- MATERIALIZED: the recursive fold below joins this relation once
+  -- per rank step; inlined, the whole BPE-encode chain would
+  -- re-evaluate every iteration
+  SELECT source, doc_id, tot,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM totals
+),
+packed AS (
+  WITH RECURSIVE st AS (
+    SELECT source, rn, doc_id, tot,
+      CAST(0 AS BIGINT) AS bin_id, tot AS fill
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.source, r.rn, r.doc_id, r.tot,
+      CASE WHEN st.fill > 0 AND st.fill + r.tot > {b}
+           THEN st.bin_id + 1 ELSE st.bin_id END,
+      CASE WHEN st.fill > 0 AND st.fill + r.tot > {b}
+           THEN r.tot ELSE st.fill + r.tot END
+    FROM st JOIN ranked r
+      ON r.source = st.source AND r.rn = st.rn + 1
+  )
+  SELECT * FROM st
+)
+SELECT source, doc_id, CAST(tot AS BIGINT) AS n_tok,
+  CAST(bin_id AS BIGINT) AS bin_id, tot > {b} AS overflow
+FROM packed
+"""
+
+
 QUERIES = {
+    "q315_nextfit_packing": q315_nextfit_packing,
     "q314_chat_packing_efficiency": q314_chat_packing_efficiency,
     "q313_bradley_terry": q313_bradley_terry,
     "q312_chat_pii_scrub": q312_chat_pii_scrub,
@@ -12758,6 +12832,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q315_nextfit_packing": _q315_sql(),
     "q314_chat_packing_efficiency": _q314_sql(),
     "q313_bradley_terry": _q313_sql(),
     "q312_chat_pii_scrub": _Q312_SQL,

@@ -6478,6 +6478,41 @@ def test_bradley_terry_known_ratios(spark):
         bradley_terry_strengths(df, "winner", "loser", iterations=0)
 
 
+def test_pack_sequences_nextfit_invariants(spark):
+    """Next-fit whole-sequence packing: no sequence is ever split, a
+    bin's total never exceeds the budget unless it holds exactly one
+    oversized (flagged) sequence, bins fill in id order with no
+    look-back, and groups pack independently."""
+    import pytest as _pytest
+    from collections import defaultdict
+
+    from delta_lake_spark.operators.text import pack_sequences_nextfit
+
+    rows = [
+        ("s0", 1, 10), ("s0", 2, 30), ("s0", 3, 20),  # 10+30 | 20
+        ("s0", 4, 60),                                  # oversized
+        ("s0", 5, 5), ("s0", 6, 36),                    # 5+36 fit (41)
+        ("s1", 7, 48), ("s1", 8, 1),                    # exact fit | 1
+    ]
+    df = spark.createDataFrame(rows, "src string, sid long, n long")
+    got = pack_sequences_nextfit(df, "n", "sid", "src", budget=48).collect()
+    by_id = {r.sid: r for r in got}
+    assert [by_id[i].bin_id for i in (1, 2, 3, 4, 5, 6)] == [
+        0, 0, 1, 2, 3, 3,
+    ]
+    assert by_id[4].overflow and not by_id[3].overflow
+    assert by_id[7].bin_id == 0 and by_id[8].bin_id == 1
+    assert not by_id[7].overflow
+    fills = defaultdict(int)
+    for r in got:
+        fills[(r.src, r.bin_id)] += r.n_tok
+    for (src, b), tot in fills.items():
+        members = [r for r in got if r.src == src and r.bin_id == b]
+        assert tot <= 48 or (len(members) == 1 and members[0].overflow)
+    with _pytest.raises(ValueError):
+        pack_sequences_nextfit(df, "n", "sid", "src", budget=0)
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

@@ -415,3 +415,142 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("triangles")
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    checkpoint_every: int = 2,
+    strategy: str = "auto",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list — PageRank's link-quality sibling, the crawl-prioritization
+    and link-spam lens PageRank can't state (a page that POINTS at
+    good content scores as a hub even with no in-links). Duplicate
+    edges count as parallel (weight = multiplicity, like the SQL
+    oracle's SUM over the raw relation). Per iteration:
+
+        authority(v) = sum_{u->v} w * hub(u),     then L2-normalize;
+        hub(u)       = sum_{u->v} w * authority(v), then L2-normalize.
+
+    Nodes with no in-edges state authority 0, no out-edges hub 0; a
+    degenerate all-zero side states NULL via the nullif-guarded norm
+    (never an ANSI divide-by-zero). Same auto strategy contract as
+    :func:`pagerank`: 'driver' runs the power iteration in numpy off
+    one bounded collect of the AGGREGATED weighted-edge relation;
+    'distributed' runs join/agg rounds on the persisted weighted
+    edges (two joins + two aggregations + two 1-row norm broadcasts
+    per iteration, lineage truncated every ``checkpoint_every``
+    rounds). Returns (node string, hub double, authority double),
+    unrounded."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if strategy == "auto":
+        m = e.count()
+        strategy = "driver" if m <= _DRIVER_EDGE_BOUND else "distributed"
+    if strategy == "driver":
+        import numpy as np
+
+        rows = e.collect()  # bounded by the auto contract above
+        labels = sorted(
+            {r.src for r in rows} | {r.dst for r in rows}
+        )
+        idx = {n: i for i, n in enumerate(labels)}
+        n = len(labels)
+        src = np.array([idx[r.src] for r in rows], dtype=np.int64)
+        dst = np.array([idx[r.dst] for r in rows], dtype=np.int64)
+        w = np.array([r.w for r in rows], dtype=np.float64)
+        hub = np.ones(n)
+        auth = np.ones(n)
+        for _ in range(iterations):
+            a_new = np.zeros(n)
+            np.add.at(a_new, dst, w * hub[src])
+            nrm = float(np.sqrt((a_new * a_new).sum()))
+            auth = a_new / nrm if nrm > 0 else a_new * float("nan")
+            h_new = np.zeros(n)
+            np.add.at(h_new, src, w * auth[dst])
+            nrm = float(np.sqrt((h_new * h_new).sum()))
+            hub = h_new / nrm if nrm > 0 else h_new * float("nan")
+        spark = edges.sparkSession
+        out = [
+            (labels[i], float(hub[i]), float(auth[i])) for i in range(n)
+        ]
+        return spark.createDataFrame(
+            out, "node string, hub double, authority double"
+        )
+    e = e.persist()
+    e.count()
+    nodes = nodes.persist()
+    state = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    )
+    for k in range(iterations):
+        hsrc = state.select(
+            F.col("node").alias("src"), F.col("hub").alias("__h")
+        )
+        a_raw = (
+            nodes.join(
+                e.join(hsrc, "src").select(
+                    F.col("dst").alias("node"),
+                    (F.col("w") * F.col("__h")).alias("__c"),
+                ),
+                "node",
+                "left",
+            )
+            .groupBy("node")
+            .agg(F.coalesce(F.sum("__c"), F.lit(0.0)).alias("__a"))
+        )
+        a_norm = a_raw.agg(
+            F.sqrt(F.sum(F.col("__a") * F.col("__a"))).alias("__n")
+        )
+        a_df = a_raw.crossJoin(F.broadcast(a_norm)).select(
+            "node",
+            (F.col("__a") / F.nullif(F.col("__n"), F.lit(0.0))).alias(
+                "authority"
+            ),
+        )
+        adst = a_df.select(
+            F.col("node").alias("dst"), F.col("authority").alias("__a")
+        )
+        h_raw = (
+            nodes.join(
+                e.join(adst, "dst").select(
+                    F.col("src").alias("node"),
+                    (F.col("w") * F.col("__a")).alias("__c"),
+                ),
+                "node",
+                "left",
+            )
+            .groupBy("node")
+            .agg(F.coalesce(F.sum("__c"), F.lit(0.0)).alias("__h"))
+        )
+        h_norm = h_raw.agg(
+            F.sqrt(F.sum(F.col("__h") * F.col("__h"))).alias("__n")
+        )
+        h_df = h_raw.crossJoin(F.broadcast(h_norm)).select(
+            "node",
+            (F.col("__h") / F.nullif(F.col("__n"), F.lit(0.0))).alias(
+                "hub"
+            ),
+        )
+        state = h_df.join(a_df, "node").select("node", "hub", "authority")
+        if (k + 1) % checkpoint_every == 0 and k + 1 < iterations:
+            state = state.localCheckpoint(eager=True)
+    return state

@@ -12625,7 +12625,94 @@ FROM packed
 """
 
 
+_HITS_ITERS = 3
+
+
+def q316_hits_hubs_authorities(spark, sf_dir):
+    """HITS hubs & authorities over a deterministic directed graph —
+    PageRank's link-quality sibling for crawl prioritization (a page
+    pointing at good content scores as a hub even with zero
+    in-links): 3 mutual-reinforcement iterations with L2
+    normalization, duplicate edges as parallel weights; six nodes
+    have no out-edges (hub mass 0) so the asymmetric paths are
+    value-checked. The oracle unrolls the identical iterations as
+    CTEs — the q288/q313 iterative-fit precedent (operators/graph.py
+    hits)."""
+    from ..operators.graph import hits
+
+    edges = (
+        _docs(spark, sf_dir)
+        .select(
+            F.expr("'n' || CAST(doc_id % 17 AS STRING)").alias("src"),
+            F.expr(
+                "'n' || CAST((doc_id * 5 + 3) % 23 AS STRING)"
+            ).alias("dst"),
+        )
+        .filter("src <> dst")
+    )
+    out = hits(edges, iterations=_HITS_ITERS)
+    return out.select(
+        "node",
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
+def _q316_sql() -> str:
+    parts = [
+        """raw AS (
+  SELECT 'n' || CAST(doc_id % 17 AS VARCHAR) AS src,
+         'n' || CAST((doc_id * 5 + 3) % 23 AS VARCHAR) AS dst
+  FROM documents
+  WHERE 'n' || CAST(doc_id % 17 AS VARCHAR)
+     <> 'n' || CAST((doc_id * 5 + 3) % 23 AS VARCHAR)
+),
+e AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM raw GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    ]
+    for r in range(1, _HITS_ITERS + 1):
+        parts.append(f"""ar{r} AS MATERIALIZED (
+  SELECT n.node, COALESCE(SUM(e.w * s.hub), 0) AS a
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN s{r - 1} s ON s.node = e.src
+  GROUP BY n.node
+),
+an{r} AS MATERIALIZED (
+  SELECT node,
+    a / nullif((SELECT sqrt(SUM(a * a)) FROM ar{r}), 0) AS authority
+  FROM ar{r}
+),
+hr{r} AS MATERIALIZED (
+  SELECT n.node, COALESCE(SUM(e.w * an.authority), 0) AS h
+  FROM nodes n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN an{r} an ON an.node = e.dst
+  GROUP BY n.node
+),
+s{r} AS MATERIALIZED (
+  SELECT h.node,
+    h.h / nullif((SELECT sqrt(SUM(h2.h * h2.h)) FROM hr{r} h2), 0)
+      AS hub
+  FROM hr{r} h
+)""")
+    n = _HITS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT s.node, ROUND(s.hub, 9) AS hub,
+  ROUND(an.authority, 9) AS authority
+FROM s{n} s JOIN an{n} an ON an.node = s.node
+"""
+    )
+
+
 QUERIES = {
+    "q316_hits_hubs_authorities": q316_hits_hubs_authorities,
     "q315_nextfit_packing": q315_nextfit_packing,
     "q314_chat_packing_efficiency": q314_chat_packing_efficiency,
     "q313_bradley_terry": q313_bradley_terry,
@@ -12832,6 +12919,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q316_hits_hubs_authorities": _q316_sql(),
     "q315_nextfit_packing": _q315_sql(),
     "q314_chat_packing_efficiency": _q314_sql(),
     "q313_bradley_terry": _q313_sql(),

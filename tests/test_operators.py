@@ -6513,6 +6513,46 @@ def test_pack_sequences_nextfit_invariants(spark):
         pack_sequences_nextfit(df, "n", "sid", "src", budget=0)
 
 
+def test_hits_known_values_and_strategy_parity(spark):
+    """HITS sanity: on a star (h -> a1, a2, a3) the center is the only
+    hub (1.0) and the leaves share authority 1/sqrt(3); driver and
+    distributed strategies agree to 1e-9 on a multigraph with
+    parallel edges and hub-less/authority-less nodes."""
+    import math
+
+    from delta_lake_spark.operators.graph import hits
+
+    star = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3")], "src string, dst string"
+    )
+    got = {r.node: r for r in hits(star, iterations=2).collect()}
+    assert abs(got["h"].hub - 1.0) < 1e-12
+    assert got["h"].authority == 0.0
+    for leaf in ("a1", "a2", "a3"):
+        assert abs(got[leaf].authority - 1 / math.sqrt(3)) < 1e-12
+        assert got[leaf].hub == 0.0
+    multi = spark.createDataFrame(
+        [("x", "y"), ("x", "y"), ("y", "z"), ("w", "y"), ("x", "z")],
+        "src string, dst string",
+    )
+    drv = {
+        r.node: r
+        for r in hits(multi, iterations=3, strategy="driver").collect()
+    }
+    dist = {
+        r.node: r
+        for r in hits(
+            multi, iterations=3, strategy="distributed"
+        ).collect()
+    }
+    assert set(drv) == set(dist)
+    for n in drv:
+        assert abs(drv[n].hub - dist[n].hub) < 1e-9, n
+        assert abs(drv[n].authority - dist[n].authority) < 1e-9, n
+    # z has no out-edges, w no in-edges
+    assert drv["z"].hub == 0.0 and drv["w"].authority == 0.0
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

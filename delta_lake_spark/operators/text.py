@@ -257,6 +257,88 @@ def pack_sequences_nextfit(
     )
 
 
+FIM_PRE, FIM_SUF, FIM_MID = "<fim_prefix>", "<fim_suffix>", "<fim_middle>"
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    spm_permille: int = 500,
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022) — the
+    document rewrite code/pretraining pipelines apply to a fraction of
+    the corpus so the model learns infilling: split each document at
+    two DETERMINISTIC character positions derived from the id (no RNG
+    — reproducible and oracle-replayable) into (prefix, middle,
+    suffix), then emit the sentinel form
+
+      PSM: <fim_prefix> P <fim_suffix> S <fim_middle> M
+      SPM: <fim_suffix> S <fim_prefix> P <fim_middle> M
+
+    choosing SPM for ``id % 1000 < spm_permille`` (the paper's 50/50
+    default). Documents shorter than 3 chars pass through untouched
+    with mode 'raw'. Pure substring/length built-ins — map-only, zero
+    Python. Returns (id_col, mode, prefix_chars, middle_chars,
+    suffix_chars, transformed)."""
+    if not 0 <= spm_permille <= 1000:
+        raise ValueError(f"spm_permille must be in [0, 1000], got {spm_permille}")
+    t = F.col(text_col)
+    i = F.col(id_col)
+    L = F.length(t)
+    # split points: a in [1, L-2] and b in [a+1, L-1], so all three
+    # parts are non-empty on any document of >= 3 chars
+    a = (F.lit(1) + F.pmod(i * 13, F.greatest(L - 2, F.lit(1)))).cast(
+        "int"
+    )
+    staged = df.withColumn("__a", a)
+    b = (
+        F.col("__a")
+        + F.lit(1)
+        + F.pmod(i * 7, F.greatest(L - F.col("__a") - 1, F.lit(1)))
+    ).cast("int")
+    staged = staged.withColumn("__b", b)
+    prefix = F.substring(t, F.lit(1), F.col("__a"))
+    middle = F.substring(
+        t, F.col("__a") + F.lit(1), F.col("__b") - F.col("__a")
+    )
+    suffix = F.substring(
+        t, F.col("__b") + F.lit(1), L - F.col("__b")
+    )
+    spm = F.pmod(i, F.lit(1000)) < spm_permille
+    psm_form = F.concat(
+        F.lit(FIM_PRE), prefix, F.lit(FIM_SUF), suffix, F.lit(FIM_MID),
+        middle,
+    )
+    spm_form = F.concat(
+        F.lit(FIM_SUF), suffix, F.lit(FIM_PRE), prefix, F.lit(FIM_MID),
+        middle,
+    )
+    raw = L < 3
+    return staged.select(
+        F.col(id_col),
+        F.when(raw, F.lit("raw"))
+        .when(spm, F.lit("spm"))
+        .otherwise(F.lit("psm"))
+        .alias("mode"),
+        F.when(raw, F.lit(None)).otherwise(F.col("__a"))
+        .cast("long")
+        .alias("prefix_chars"),
+        F.when(raw, F.lit(None))
+        .otherwise(F.col("__b") - F.col("__a"))
+        .cast("long")
+        .alias("middle_chars"),
+        F.when(raw, F.lit(None))
+        .otherwise(L - F.col("__b"))
+        .cast("long")
+        .alias("suffix_chars"),
+        F.when(raw, t)
+        .when(spm, spm_form)
+        .otherwise(psm_form)
+        .alias("transformed"),
+    )
+
+
 # PII patterns shared by the Spark and oracle sides (RE2/Java compatible)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 LONGNUM_RE = r"[0-9]{4,}"

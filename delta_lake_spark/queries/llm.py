@@ -12711,7 +12711,60 @@ FROM s{n} s JOIN an{n} an ON an.node = s.node
     )
 
 
+def q317_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle corpus rewrite (Bavarian et al. 2022) — the
+    infilling transformation applied to a corpus fraction so the
+    model learns to complete middles: deterministic id-derived split
+    points carve every document into non-empty (prefix, middle,
+    suffix) and emit the sentinel PSM/SPM forms at the paper's 50/50
+    mix. Pure substring/length built-ins, map-only. The oracle
+    replays the split arithmetic and both sentinel layouts
+    character-exactly (operators/text.py fim_transform)."""
+    from ..operators.text import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_Q317_SQL = """
+WITH s1 AS (
+  SELECT doc_id, text, LENGTH(text) AS L,
+    CAST(1 + (doc_id * 13) % GREATEST(LENGTH(text) - 2, 1) AS INTEGER)
+      AS a
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, text, L, a,
+    CAST(a + 1 + (doc_id * 7) % GREATEST(L - a - 1, 1) AS INTEGER) AS b,
+    doc_id % 1000 < 500 AS spm
+  FROM s1
+),
+parts AS (
+  SELECT doc_id, L, a, b, spm,
+    substr(text, 1, a) AS p,
+    substr(text, a + 1, b - a) AS m,
+    substr(text, b + 1, L - b) AS s,
+    text
+  FROM s2
+)
+SELECT doc_id,
+  CASE WHEN L < 3 THEN 'raw' WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+  CASE WHEN L < 3 THEN NULL ELSE CAST(a AS BIGINT) END AS prefix_chars,
+  CASE WHEN L < 3 THEN NULL ELSE CAST(b - a AS BIGINT) END
+    AS middle_chars,
+  CASE WHEN L < 3 THEN NULL ELSE CAST(L - b AS BIGINT) END
+    AS suffix_chars,
+  CASE WHEN L < 3 THEN text
+       WHEN spm THEN '<fim_suffix>' || s || '<fim_prefix>' || p
+         || '<fim_middle>' || m
+       ELSE '<fim_prefix>' || p || '<fim_suffix>' || s
+         || '<fim_middle>' || m
+  END AS transformed
+FROM parts
+"""
+
+
 QUERIES = {
+    "q317_fim_transform": q317_fim_transform,
     "q316_hits_hubs_authorities": q316_hits_hubs_authorities,
     "q315_nextfit_packing": q315_nextfit_packing,
     "q314_chat_packing_efficiency": q314_chat_packing_efficiency,
@@ -12919,6 +12972,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q317_fim_transform": _Q317_SQL,
     "q316_hits_hubs_authorities": _q316_sql(),
     "q315_nextfit_packing": _q315_sql(),
     "q314_chat_packing_efficiency": _q314_sql(),

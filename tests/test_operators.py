@@ -6553,6 +6553,51 @@ def test_hits_known_values_and_strategy_parity(spark):
     assert drv["z"].hub == 0.0 and drv["w"].authority == 0.0
 
 
+def test_fim_transform_reconstructs(spark):
+    """FIM invariants: prefix+middle+suffix reconstruct the document
+    exactly, all parts are non-empty on >=3-char docs, the sentinel
+    layouts match the mode, and short docs pass through raw."""
+    from delta_lake_spark.operators.text import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+
+    rows = [
+        (0, "abcdefghij"),      # id%1000<500 -> spm
+        (777, "the quick brown fox jumps"),  # psm
+        (2, "ab"),               # raw passthrough
+        (501, "xyz"),            # minimal 3-char split
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in fim_transform(df, "text", "doc_id").collect()}
+    for i, text in rows:
+        g = got[i]
+        if len(text) < 3:
+            assert g.mode == "raw" and g.transformed == text
+            assert g.prefix_chars is None
+            continue
+        assert g.prefix_chars >= 1 and g.middle_chars >= 1
+        assert g.suffix_chars >= 1
+        assert g.prefix_chars + g.middle_chars + g.suffix_chars == len(text)
+        tr = g.transformed
+        if g.mode == "psm":
+            assert tr.startswith(FIM_PRE)
+            p, rest = tr[len(FIM_PRE):].split(FIM_SUF)
+            s, m = rest.split(FIM_MID)
+        else:
+            assert tr.startswith(FIM_SUF)
+            s, rest = tr[len(FIM_SUF):].split(FIM_PRE)
+            p, m = rest.split(FIM_MID)
+        assert p + m + s == text
+        assert (len(p), len(m), len(s)) == (
+            g.prefix_chars, g.middle_chars, g.suffix_chars
+        )
+    assert got[0].mode == "spm" and got[777].mode == "psm"
+    assert got[501].transformed.count("<fim_") == 3
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

@@ -222,9 +222,12 @@ def pack_sequences_nextfit(
 
     import pandas as pd
 
+    # carry the caller's actual key dtypes (sources may be ints, ids
+    # may be strings) instead of assuming string/long
+    dtypes = dict(df.dtypes)
     out_schema = (
-        f"{part_col} string, {id_col} long, n_tok long, "
-        "bin_id long, overflow boolean"
+        f"{part_col} {dtypes[part_col]}, {id_col} {dtypes[id_col]}, "
+        "n_tok long, bin_id long, overflow boolean"
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:

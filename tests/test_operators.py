@@ -6598,6 +6598,44 @@ def test_fim_transform_reconstructs(spark):
     assert got[501].transformed.count("<fim_") == 3
 
 
+def test_char_and_token_masks_agree_on_structure(spark):
+    """Cross-operator consistency: chat_loss_spans (character masks)
+    and chat_token_loss_masks (token masks) must emit the SAME
+    (conversation, span_idx) rows — one per assistant turn, in the
+    same order — whatever the tokenization; and each token span is
+    never longer than its character span (a token covers >= 1
+    char)."""
+    import json
+
+    from delta_lake_spark.operators.chat import (
+        chat_loss_spans,
+        chat_token_loss_masks,
+    )
+
+    convos = []
+    for i in range(10):
+        msgs = [{"role": "system", "content": "sys"}] if i % 2 else []
+        for j in range(1 + i % 3):
+            msgs.append({"role": "user", "content": f"q {i} {j} words"})
+            msgs.append(
+                {"role": "assistant", "content": f"a {i}-{j} reply here"}
+            )
+        convos.append((i, json.dumps(msgs)))
+    df = spark.createDataFrame(convos, "doc_id long, convo string")
+    chars = {
+        (r.doc_id, r.span_idx): (r.loss_end - r.loss_start)
+        for r in chat_loss_spans(df, "convo", "doc_id").collect()
+    }
+    toks = {
+        (r.doc_id, r.span_idx): (r.token_end - r.token_start)
+        for r in chat_token_loss_masks(df, "convo", "doc_id", [])
+        .collect()
+    }
+    assert set(chars) == set(toks)
+    for key, ctoks in toks.items():
+        assert 1 <= ctoks <= chars[key], key
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

@@ -1388,3 +1388,37 @@ def test_q306_decontamination_eval_side_broadcasts(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q311_rejection_sampling_prompt_keyed_windows_only(spark):
+    """rejection_sample_topk: every exchange in the plan is keyed on
+    the prompt (the two window stages); no other shuffle and no
+    Python eval."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.chat import rejection_sample_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.expr("'p' || CAST(doc_id % 101 AS STRING)").alias("prompt"),
+        F.expr("'a' || CAST(doc_id % 13 AS STRING)").alias("completion"),
+        F.expr("CAST(doc_id * 37 % 1000 AS DOUBLE)").alias("reward"),
+    )
+    plan = _plan(
+        rejection_sample_topk(
+            docs, "prompt", "completion", "reward", "doc_id", 2
+        )
+    )
+    assert "EvalPython" not in plan
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert seg.startswith("prompt"), seg[:60]
+
+
+def test_q317_fim_transform_map_only(spark):
+    """fim_transform is a pure projection: no exchange, no Python."""
+    from delta_lake_spark.operators.text import fim_transform
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(fim_transform(docs, "text", "doc_id"))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

@@ -960,3 +960,48 @@ def bradley_terry_strengths(
             "item", (F.col("s") / F.col("__t")).alias("s")
         )
     return s.select("item", F.col("s").alias("strength"))
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem_col: str,
+    passed_col: str,
+    ks: tuple = (1, 10),
+) -> DataFrame:
+    """Unbiased pass@k estimation (Chen et al. 2021, eq. 1) from
+    per-sample eval outcomes — the headline metric of every
+    code/LLM eval pipeline:
+
+        pass@k = 1 - C(n-c, k) / C(n, k)
+               = 1 - prod_{i=0}^{k-1} (n-c-i) / (n-i)
+
+    with n samples and c passes per problem. Stated as the exact
+    product form both engines evaluate in the same IEEE order (one
+    per-term division, then a left-fold multiply — so the oracle is
+    bit-equal, not approximately equal). Edge semantics: c = 0 states
+    0.0; n - c < k (including n < k with at least one pass) states
+    1.0. One aggregation on the problem key; the k-products are
+    per-row folds over a k-element sequence — map-side, zero Python.
+    Returns (problem_col, n_samples, n_passed, pass_at_{k} ... )."""
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints, got {ks}")
+    agg = df.groupBy(problem_col).agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum(F.when(F.col(passed_col), 1).otherwise(0))
+        .cast("long")
+        .alias("n_passed"),
+    )
+    cols = [F.col(problem_col), F.col("n_samples"), F.col("n_passed")]
+    for k in ks:
+        prod = F.expr(
+            f"aggregate(sequence(0, {k - 1}), CAST(1.0 AS DOUBLE),"
+            " (acc, i) -> acc * (CAST(n_samples - n_passed - i AS DOUBLE)"
+            " / CAST(n_samples - i AS DOUBLE)))"
+        )
+        cols.append(
+            F.when(F.col("n_passed") == 0, F.lit(0.0))
+            .when(F.col("n_samples") - F.col("n_passed") < k, F.lit(1.0))
+            .otherwise(F.lit(1.0) - prod)
+            .alias(f"pass_at_{k}")
+        )
+    return agg.select(*cols)

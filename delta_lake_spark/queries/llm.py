@@ -12763,7 +12763,58 @@ FROM parts
 """
 
 
+def q318_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k (Chen et al. 2021) over per-sample eval
+    outcomes — the eval-pipeline headline metric: deterministic
+    (problem, passed) samples (40 problems, ~43% pass rule) roll to
+    per-problem n/c and the exact product-form estimator for k=1 and
+    k=10, stated in the same IEEE evaluation order on both engines.
+    One aggregation; the k-products are per-row folds
+    (operators/stats.py pass_at_k)."""
+    from ..operators.stats import pass_at_k
+
+    samples = _docs(spark, sf_dir).select(
+        F.expr("doc_id % 40").alias("problem_id"),
+        F.expr("(doc_id * 11) % 7 < 3").alias("passed"),
+    )
+    out = pass_at_k(samples, "problem_id", "passed", ks=(1, 10))
+    return out.select(
+        "problem_id",
+        "n_samples",
+        "n_passed",
+        F.round("pass_at_1", 9).alias("pass_at_1"),
+        F.round("pass_at_10", 9).alias("pass_at_10"),
+    )
+
+
+_Q318_SQL = """
+WITH s AS (
+  SELECT doc_id % 40 AS problem_id, (doc_id * 11) % 7 < 3 AS passed
+  FROM documents
+),
+agg AS (
+  SELECT problem_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+    CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+  FROM s GROUP BY problem_id
+)
+SELECT problem_id, n_samples, n_passed,
+  ROUND(CASE WHEN n_passed = 0 THEN 0.0
+       WHEN n_samples - n_passed < 1 THEN 1.0
+       ELSE 1.0 - CAST(n_samples - n_passed AS DOUBLE)
+                  / CAST(n_samples AS DOUBLE)
+  END, 9) AS pass_at_1,
+  ROUND(CASE WHEN n_passed = 0 THEN 0.0
+       WHEN n_samples - n_passed < 10 THEN 1.0
+       ELSE 1.0 - list_product(
+         [CAST(n_samples - n_passed - i AS DOUBLE)
+          / CAST(n_samples - i AS DOUBLE) FOR i IN range(0, 10)])
+  END, 9) AS pass_at_10
+FROM agg
+"""
+
+
 QUERIES = {
+    "q318_pass_at_k": q318_pass_at_k,
     "q317_fim_transform": q317_fim_transform,
     "q316_hits_hubs_authorities": q316_hits_hubs_authorities,
     "q315_nextfit_packing": q315_nextfit_packing,
@@ -12972,6 +13023,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q318_pass_at_k": _Q318_SQL,
     "q317_fim_transform": _Q317_SQL,
     "q316_hits_hubs_authorities": _q316_sql(),
     "q315_nextfit_packing": _q315_sql(),

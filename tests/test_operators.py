@@ -6636,6 +6636,51 @@ def test_char_and_token_masks_agree_on_structure(spark):
         assert 1 <= ctoks <= chars[key], key
 
 
+def test_pass_at_k_matches_reference_combinatorics(spark):
+    """pass@k sanity vs the combinatorial definition
+    1 - C(n-c,k)/C(n,k) computed independently with math.comb, plus
+    the edge semantics (c=0 -> 0, n-c<k -> 1, k>n with a pass -> 1)."""
+    import math
+
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.stats import pass_at_k
+
+    rows = []
+    # p0: n=20, c=5; p1: n=8 (< k=10), c=2; p2: n=12, c=0; p3: n=15, c=14
+    for i in range(20):
+        rows.append(("p0", i < 5))
+    for i in range(8):
+        rows.append(("p1", i < 2))
+    for i in range(12):
+        rows.append(("p2", False))
+    for i in range(15):
+        rows.append(("p3", i < 14))
+    df = spark.createDataFrame(rows, "pid string, ok boolean")
+    got = {
+        r.pid: r for r in pass_at_k(df, "pid", "ok", ks=(1, 10)).collect()
+    }
+
+    def ref(n, c, k):
+        if c == 0:
+            return 0.0
+        if n - c < k:
+            return 1.0
+        return 1.0 - math.comb(n - c, k) / math.comb(n, k)
+
+    for pid, (n, c) in {
+        "p0": (20, 5), "p1": (8, 2), "p2": (12, 0), "p3": (15, 14)
+    }.items():
+        assert got[pid].n_samples == n and got[pid].n_passed == c
+        assert abs(got[pid].pass_at_1 - ref(n, c, 1)) < 1e-12, pid
+        assert abs(got[pid].pass_at_10 - ref(n, c, 10)) < 1e-12, pid
+    assert got["p2"].pass_at_10 == 0.0
+    assert got["p1"].pass_at_10 == 1.0  # k > n with at least one pass
+    assert got["p3"].pass_at_10 == 1.0  # n - c < k
+    with _pytest.raises(ValueError):
+        pass_at_k(df, "pid", "ok", ks=())
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

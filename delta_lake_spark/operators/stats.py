@@ -1005,3 +1005,47 @@ def pass_at_k(
             .alias(f"pass_at_{k}")
         )
     return agg.select(*cols)
+
+
+def wilson_interval(
+    df: DataFrame,
+    group_col: str,
+    passed_col: str,
+    z_centi: int = 196,
+) -> DataFrame:
+    """Wilson score confidence interval for per-group pass rates —
+    the error bar an eval report puts next to pass@1 (the normal
+    approximation misbehaves at small n / extreme p; Wilson is the
+    standard fix). ``z_centi`` is the z-score in centi-units
+    (196 = 1.96 = 95%) so the quantile stays an exact integer ratio
+    both engines derive identically — no statistical tables, no RNG.
+    The formula is stated as ONE shared expression tree (each IEEE op
+    correctly rounded), so the oracle is value-exact, not
+    approximately equal. One aggregation on the group key. Returns
+    (group_col, n_samples, n_passed, rate, ci_lo, ci_hi) with the
+    interval clamped to [0, 1]."""
+    if z_centi < 1:
+        raise ValueError(f"z_centi must be >= 1, got {z_centi}")
+    agg = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum(F.when(F.col(passed_col), 1).otherwise(0))
+        .cast("long")
+        .alias("n_passed"),
+    )
+    n = F.col("n_samples").cast("double")
+    p = F.col("n_passed").cast("double") / n
+    z = F.lit(float(z_centi)) / F.lit(100.0)
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (z / denom) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * (n * n))
+    )
+    return agg.select(
+        group_col,
+        "n_samples",
+        "n_passed",
+        p.alias("rate"),
+        F.greatest(center - half, F.lit(0.0)).alias("ci_lo"),
+        F.least(center + half, F.lit(1.0)).alias("ci_hi"),
+    )

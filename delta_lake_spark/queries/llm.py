@@ -12813,7 +12813,68 @@ FROM agg
 """
 
 
+def q319_wilson_intervals(spark, sf_dir):
+    """Wilson 95% score intervals for per-problem pass rates — the
+    error bars an eval sheet reports next to pass@1 (normal
+    approximation misbehaves at small n / extreme p): the q318
+    sample synthesis rolled per problem with the interval stated as
+    one shared IEEE expression tree, so the oracle is value-exact.
+    One aggregation (operators/stats.py wilson_interval)."""
+    from ..operators.stats import wilson_interval
+
+    samples = _docs(spark, sf_dir).select(
+        F.expr("doc_id % 40").alias("problem_id"),
+        F.expr("(doc_id * 11) % 7 < 3").alias("passed"),
+    )
+    out = wilson_interval(samples, "problem_id", "passed")
+    return out.select(
+        "problem_id",
+        "n_samples",
+        "n_passed",
+        F.round("rate", 9).alias("rate"),
+        F.round("ci_lo", 9).alias("ci_lo"),
+        F.round("ci_hi", 9).alias("ci_hi"),
+    )
+
+
+_Q319_SQL = """
+WITH s AS (
+  SELECT doc_id % 40 AS problem_id, (doc_id * 11) % 7 < 3 AS passed
+  FROM documents
+),
+agg AS (
+  SELECT problem_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+    CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+  FROM s GROUP BY problem_id
+),
+w AS (
+  SELECT problem_id, n_samples, n_passed,
+    CAST(n_samples AS DOUBLE) AS n,
+    CAST(n_passed AS DOUBLE) / CAST(n_samples AS DOUBLE) AS p,
+    (CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE)) AS z
+  FROM agg
+),
+x AS (
+  SELECT problem_id, n_samples, n_passed, n, p, z,
+    1.0 + (z * z) / n AS denom
+  FROM w
+)
+SELECT problem_id, n_samples, n_passed,
+  ROUND(p, 9) AS rate,
+  ROUND(GREATEST(
+    (p + (z * z) / (2.0 * n)) / denom
+    - (z / denom) * sqrt(p * (1.0 - p) / n + (z * z) / (4.0 * (n * n))),
+    0.0), 9) AS ci_lo,
+  ROUND(LEAST(
+    (p + (z * z) / (2.0 * n)) / denom
+    + (z / denom) * sqrt(p * (1.0 - p) / n + (z * z) / (4.0 * (n * n))),
+    1.0), 9) AS ci_hi
+FROM x
+"""
+
+
 QUERIES = {
+    "q319_wilson_intervals": q319_wilson_intervals,
     "q318_pass_at_k": q318_pass_at_k,
     "q317_fim_transform": q317_fim_transform,
     "q316_hits_hubs_authorities": q316_hits_hubs_authorities,
@@ -13023,6 +13084,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q319_wilson_intervals": _Q319_SQL,
     "q318_pass_at_k": _Q318_SQL,
     "q317_fim_transform": _Q317_SQL,
     "q316_hits_hubs_authorities": _q316_sql(),

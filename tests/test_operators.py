@@ -6681,6 +6681,45 @@ def test_pass_at_k_matches_reference_combinatorics(spark):
         pass_at_k(df, "pid", "ok", ks=())
 
 
+def test_wilson_interval_reference_values(spark):
+    """Wilson CI sanity against an independent Python statement of
+    the formula, plus edge clamps (p=0 lower bound 0, p=1 upper
+    bound 1, interval always contains the rate)."""
+    import math
+
+    import pytest as _pytest
+
+    from delta_lake_spark.operators.stats import wilson_interval
+
+    rows = (
+        [("a", True)] * 7 + [("a", False)] * 3
+        + [("b", False)] * 5
+        + [("c", True)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, ok boolean")
+    got = {r.g: r for r in wilson_interval(df, "g", "ok").collect()}
+
+    def ref(n, c, z=1.96):
+        p = c / n
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2.0 * n)) / denom
+        half = (z / denom) * math.sqrt(
+            p * (1.0 - p) / n + z * z / (4.0 * (n * n))
+        )
+        return max(center - half, 0.0), min(center + half, 1.0)
+
+    for g, (n, c) in {"a": (10, 7), "b": (5, 0), "c": (4, 4)}.items():
+        lo, hi = ref(n, c)
+        assert abs(got[g].ci_lo - lo) < 1e-12, g
+        assert abs(got[g].ci_hi - hi) < 1e-12, g
+        assert got[g].ci_lo <= got[g].rate <= got[g].ci_hi
+    assert got["b"].rate == 0.0 and got["b"].ci_lo == 0.0
+    assert got["c"].rate == 1.0 and got["c"].ci_hi == 1.0
+    assert got["b"].ci_hi > 0.0 and got["c"].ci_lo < 1.0
+    with _pytest.raises(ValueError):
+        wilson_interval(df, "g", "ok", z_centi=0)
+
+
 def test_text_operators_degenerate_docs_ansi_safe(spark):
     """Empty / whitespace-only / punctuation-only documents must state
     NULL ratios, not raise — Spark 4 defaults ansi.enabled=true, where

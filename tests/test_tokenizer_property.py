@@ -316,3 +316,44 @@ def test_wordpiece_strategies_agree_and_encode_is_maxmatch(sp, corpus):
         for i, ws in enumerate(corpus):
             expect = [tok for w in ws for tok in py_wp(w)]
             assert got[i] == expect, (strategy, i)
+
+
+unicode_mixed = st.text(
+    alphabet=st.characters(
+        blacklist_characters="\x01",
+        blacklist_categories=("Cs",),  # no lone surrogates
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(unicode_mixed, min_size=1, max_size=3))
+def test_gpt2_pretokens_partition_any_unicode(sp, texts):
+    """The GPT-2 pre-tokens PARTITION arbitrary unicode text (emoji,
+    CJK, combining marks, control chars — everything except the \\x01
+    sentinel): concatenating the tokens reproduces the input exactly,
+    and no token is empty. This is the invariant byte-level BPE's
+    whole-document round-trip rests on."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.tokenizer import _gpt2_words_expr
+
+    df = sp.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.w)
+        for r in df.select(
+            "doc_id", F.expr(_gpt2_words_expr("text")).alias("w")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = got[i]
+        assert "".join(toks) == t, repr(t)
+        assert all(toks), repr(t)

@@ -914,20 +914,31 @@ def bradley_terry_strengths(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     w = F.col(winner_col)
     l_ = F.col(loser_col)
+    # ONE corpus-sized aggregation: directed win counts per ordered
+    # pair. Everything below (items, per-item wins, symmetric
+    # comparison counts) derives from this item-bounded relation —
+    # the raw pairs are never scanned again.
+    dw = (
+        df.groupBy(w.alias("__w"), l_.alias("__l"))
+        .agg(F.count("*").cast("double").alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     items = (
-        df.select(w.alias("item"))
-        .unionByName(df.select(l_.alias("item")))
+        dw.select(F.col("__w").alias("item"))
+        .unionByName(dw.select(F.col("__l").alias("item")))
         .distinct()
     )
-    wins = df.groupBy(w.alias("item")).agg(
-        F.count("*").cast("double").alias("__w")
+    wins = dw.groupBy(F.col("__w").alias("item")).agg(
+        F.sum("__n").alias("__wn")
     )
     wins = items.join(wins, "item", "left").select(
-        "item", F.coalesce("__w", F.lit(0.0)).alias("__w")
+        "item", F.coalesce("__wn", F.lit(0.0)).alias("__w")
     )
-    half = df.select(
-        F.least(w, l_).alias("i"), F.greatest(w, l_).alias("j")
-    ).groupBy("i", "j").agg(F.count("*").cast("double").alias("n"))
+    half = dw.select(
+        F.least("__w", "__l").alias("i"),
+        F.greatest("__w", "__l").alias("j"),
+        "__n",
+    ).groupBy("i", "j").agg(F.sum("__n").alias("n"))
     edges = half.unionByName(
         half.select(
             F.col("j").alias("i"), F.col("i").alias("j"), "n"

@@ -1422,3 +1422,30 @@ def test_q317_fim_transform_map_only(spark):
     plan = _plan(fim_transform(docs, "text", "doc_id"))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q313_bradley_terry_single_corpus_aggregation(spark):
+    """bradley_terry_strengths scans the raw pair relation exactly
+    ONCE (the directed win-count aggregation); wins, items, and
+    symmetric comparison counts all derive from that item-bounded
+    relation, and every MM iteration joins broadcast strengths."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_spark.operators.stats import bradley_terry_strengths
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.expr("'m' || CAST(doc_id % 8 AS STRING)").alias("winner"),
+        F.expr("'m' || CAST((doc_id * 3 + 1) % 8 AS STRING)").alias(
+            "loser"
+        ),
+    ).filter("winner <> loser")
+    out = bradley_terry_strengths(docs, "winner", "loser", iterations=2)
+    ep = out._jdf.queryExecution().executedPlan()
+    if "Adaptive" in ep.getClass().getName():
+        ep = ep.executedPlan()
+    leaves = ep.collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    # the localCheckpointed directed-win relation replaces the file
+    # scan everywhere: ZERO parquet scans in the returned plan
+    assert sum(1 for n in names if "Scan parquet" in n) == 0, names
+    assert "BroadcastHashJoin" in _plan(out) or "BroadcastNestedLoopJoin" in _plan(out)

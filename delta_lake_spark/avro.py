@@ -171,28 +171,43 @@ def _tzinfo(tz: str):
     and 'Z'. Parse the offset forms into a fixed ``datetime.timezone``
     directly — ZoneInfo only knows region IDs and would raise
     ZoneInfoNotFoundError on them — and fall back to ZoneInfo for
-    region IDs like 'America/New_York'."""
+    region IDs like 'America/New_York'.
+
+    The grammar is anchored to the exact java.time ZoneOffset forms
+    (+h, +hh, +hh:mm, +hhmm, +hh:mm:ss, +hhmmss — separators
+    consistent within one string), and the TOTAL is bounded at
+    ±18:00, matching ZoneOffset's invariants: mixed separators
+    ('+08:0030') and over-bound totals with minutes ('+18:30') must
+    raise, never silently yield a fixed offset."""
     import datetime
     import re
 
     if tz.upper() in ("UTC", "GMT", "UT", "Z", "ETC/UTC", "ETC/GMT"):
         return datetime.timezone.utc
     m = re.fullmatch(
-        r"(?:GMT|UTC|UT)?([+-])(\d{1,2})"
-        r"(?::?(\d{2}))?(?::?(\d{2}))?",
+        r"(?:GMT|UTC|UT)?([+-])"
+        r"(?:(\d{1,2})"                      # +h / +hh
+        r"|(\d{2}):(\d{2})(?::(\d{2}))?"     # +hh:mm[:ss]
+        r"|(\d{2})(\d{2})(\d{2})?)",         # +hhmm[ss]
         tz,
         re.IGNORECASE,
     )
     if m:
         sign = -1 if m.group(1) == "-" else 1
-        hh = int(m.group(2))
-        mm = int(m.group(3) or 0)
-        ss = int(m.group(4) or 0)
-        if hh > 18 or mm > 59 or ss > 59:
+        hh = int(m.group(2) or m.group(3) or m.group(6))
+        mm = int(m.group(4) or m.group(7) or 0)
+        ss = int(m.group(5) or m.group(8) or 0)
+        total = hh * 3600 + mm * 60 + ss
+        if mm > 59 or ss > 59 or total > 18 * 3600:
             raise ValueError(f"invalid zone offset {tz!r}")
         return datetime.timezone(
-            sign * datetime.timedelta(hours=hh, minutes=mm, seconds=ss)
+            sign * datetime.timedelta(seconds=total)
         )
+    if re.match(r"(?:GMT|UTC|UT)?[+-]", tz, re.IGNORECASE):
+        # offset-shaped but outside the ZoneOffset grammar (mixed
+        # separators, wrong digit counts) — ZoneInfo would also
+        # reject it, but raise the precise error here
+        raise ValueError(f"invalid zone offset {tz!r}")
     from zoneinfo import ZoneInfo
 
     return ZoneInfo(tz)

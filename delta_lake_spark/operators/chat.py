@@ -379,7 +379,11 @@ def serialize_conversations(
     text a conversation-level dedup keys on: one ``role: content``
     line per message, newline-joined, so role swaps and turn edits
     move the near-dup needle the way content edits do (a role-blind
-    concat would call a user/assistant swap an exact dup). Unparseable
+    concat would call a user/assistant swap an exact dup). Role and
+    content coalesce to '' BEFORE joining so the serialization stays
+    injective over {role, content} messages — concat_ws would drop a
+    NULL silently, making a NULL-content message collide with a
+    NULL-role message carrying the same other field. Unparseable
     JSON serializes NULL (from_json semantics) — screened data, not a
     crash. Map-only, zero Python. Returns (id_col, conv_text)."""
     msgs = F.from_json(F.col(json_col), MESSAGE_SCHEMA)
@@ -387,7 +391,12 @@ def serialize_conversations(
         F.col(id_col),
         F.array_join(
             F.transform(
-                msgs, lambda m: F.concat_ws(": ", m.role, m.content)
+                msgs,
+                lambda m: F.concat(
+                    F.coalesce(m.role, F.lit("")),
+                    F.lit(": "),
+                    F.coalesce(m.content, F.lit("")),
+                ),
             ),
             "\n",
         ).alias("conv_text"),
@@ -445,38 +454,40 @@ def preference_decontaminate(
     the benchmark): word-``n``-gram jaccard between every pair's
     prompt and the eval set via the cross-corpus MinHash band join
     (:func:`~delta_lake_spark.operators.dedup.cross_corpus_near_dups`
-    — the eval side is benchmark-sized and broadcasts; the corpus
+    — the eval set rides the helper's BATCH side, honoring its
+    small-broadcasting-side contract, so the preference corpus can
+    never be the side a future explicit broadcast picks; the corpus
     side is never self-joined). Every input row is returned with its
     verdict. Returns (id_col, n_eval_matches, max_jaccard NULL when
     clean, contaminated)."""
     from .dedup import cross_corpus_near_dups
 
     hits = cross_corpus_near_dups(
-        df.select(F.col(id_col), F.col(prompt_col).alias("__txt")),
         eval_df.select(
             F.col(eval_id_col).alias(id_col),
             F.col(eval_text_col).alias("__txt"),
         ),
+        df.select(F.col(id_col), F.col(prompt_col).alias("__txt")),
         "__txt",
         id_col,
         n=n,
         threshold=threshold,
         max_doc_freq=max_doc_freq,
     )
-    per_id = hits.groupBy("batch_id").agg(
+    per_id = hits.groupBy("corpus_id").agg(
         F.count("*").cast("long").alias("n_eval_matches"),
         F.max("jaccard").alias("max_jaccard"),
     )
     return (
         df.select(id_col)
-        .join(per_id, F.col(id_col) == F.col("batch_id"), "left")
+        .join(per_id, F.col(id_col) == F.col("corpus_id"), "left")
         .select(
             id_col,
             F.coalesce("n_eval_matches", F.lit(0).cast("long")).alias(
                 "n_eval_matches"
             ),
             "max_jaccard",
-            F.col("batch_id").isNotNull().alias("contaminated"),
+            F.col("corpus_id").isNotNull().alias("contaminated"),
         )
     )
 
@@ -585,38 +596,40 @@ def conversation_decontaminate(
     whole-conversation analogue of prompt-side
     :func:`preference_decontaminate`). Both relations serialize
     role-aware (:func:`serialize_conversations`), then the
-    cross-corpus MinHash band join with exact jaccard verification;
-    every input transcript returns with its verdict. Returns (id_col,
-    n_eval_matches, max_jaccard NULL when clean, contaminated)."""
+    cross-corpus MinHash band join with exact jaccard verification
+    (the eval set as the helper's small-broadcasting BATCH side, the
+    SFT corpus as the corpus side); every input transcript returns
+    with its verdict. Returns (id_col, n_eval_matches, max_jaccard
+    NULL when clean, contaminated)."""
     from .dedup import cross_corpus_near_dups
 
     ser = serialize_conversations(df, json_col, id_col)
     eser = serialize_conversations(eval_df, eval_json_col, eval_id_col)
     hits = cross_corpus_near_dups(
-        ser.filter(F.col("conv_text").isNotNull()),
         eser.filter(F.col("conv_text").isNotNull()).select(
             F.col(eval_id_col).alias(id_col), "conv_text"
         ),
+        ser.filter(F.col("conv_text").isNotNull()),
         "conv_text",
         id_col,
         n=n,
         threshold=threshold,
         max_doc_freq=max_doc_freq,
     )
-    per_id = hits.groupBy("batch_id").agg(
+    per_id = hits.groupBy("corpus_id").agg(
         F.count("*").cast("long").alias("n_eval_matches"),
         F.max("jaccard").alias("max_jaccard"),
     )
     return (
         df.select(id_col)
-        .join(per_id, F.col(id_col) == F.col("batch_id"), "left")
+        .join(per_id, F.col(id_col) == F.col("corpus_id"), "left")
         .select(
             id_col,
             F.coalesce("n_eval_matches", F.lit(0).cast("long")).alias(
                 "n_eval_matches"
             ),
             "max_jaccard",
-            F.col("batch_id").isNotNull().alias("contaminated"),
+            F.col("corpus_id").isNotNull().alias("contaminated"),
         )
     )
 

@@ -479,18 +479,31 @@ def hits(
         w = np.array([r.w for r in rows], dtype=np.float64)
         hub = np.ones(n)
         auth = np.ones(n)
+        # zero-norm flags mirror the distributed strategy exactly: a
+        # degenerate all-zero side states NULL (nullif-guarded norm),
+        # and its NULL scores contribute 0 to the next half-step
+        # (sum-over-NULLs coalesced to 0.0), so both strategies stay
+        # value-identical even on the degenerate case
+        auth_null = hub_null = False
         for _ in range(iterations):
             a_new = np.zeros(n)
             np.add.at(a_new, dst, w * hub[src])
             nrm = float(np.sqrt((a_new * a_new).sum()))
-            auth = a_new / nrm if nrm > 0 else a_new * float("nan")
+            auth_null = nrm == 0.0
+            auth = a_new / nrm if nrm > 0 else np.zeros(n)
             h_new = np.zeros(n)
             np.add.at(h_new, src, w * auth[dst])
             nrm = float(np.sqrt((h_new * h_new).sum()))
-            hub = h_new / nrm if nrm > 0 else h_new * float("nan")
+            hub_null = nrm == 0.0
+            hub = h_new / nrm if nrm > 0 else np.zeros(n)
         spark = edges.sparkSession
         out = [
-            (labels[i], float(hub[i]), float(auth[i])) for i in range(n)
+            (
+                labels[i],
+                None if hub_null else float(hub[i]),
+                None if auth_null else float(auth[i]),
+            )
+            for i in range(n)
         ]
         return spark.createDataFrame(
             out, "node string, hub double, authority double"

@@ -234,6 +234,33 @@ def test_avro_tzinfo_offset_style_zones():
         _tzinfo("Not/AZone")
 
 
+def test_avro_tzinfo_rejects_non_zoneoffset_forms():
+    """The offset grammar is anchored to the exact java.time
+    ZoneOffset forms: mixed separators, over-bound totals WITH
+    minutes (not just hh > 18), and one-digit-hour colon forms must
+    raise — never silently parse into a fixed offset."""
+    import pytest as _pytest
+
+    from delta_lake_spark.avro import _tzinfo
+
+    for bad in (
+        "+08:0030",   # mixed separators
+        "+0800:30",   # mixed separators the other way
+        "+18:30",     # total over +18:00 with hh == 18
+        "+1830",      # same, compact form
+        "+18:00:01",  # one second over the bound
+        "+8:30",      # colon forms require a two-digit hour
+        "+080",       # three digits fit no form
+        "GMT+18:30",  # prefix does not relax the bound
+    ):
+        with _pytest.raises(ValueError):
+            _tzinfo(bad)
+    # the exact boundary stays accepted
+    ref = __import__("datetime").datetime(2024, 1, 1)
+    assert _tzinfo("+18:00").utcoffset(ref).total_seconds() == 18 * 3600
+    assert _tzinfo("-180000").utcoffset(ref).total_seconds() == -18 * 3600
+
+
 def test_avro_timestamp_roundtrip_offset_session_zone(spark, tmp_path):
     """End-to-end write/read of a timestamp column under an
     offset-style session timezone ('+08:00') — the config shape that

@@ -6231,6 +6231,33 @@ def test_conversation_near_dups_role_aware(spark):
     assert all(j < 1.0 for k, j in pairs.items() if k != (1, 2))
 
 
+def test_serialize_conversations_injective_over_nulls(spark):
+    """A NULL-content message and a NULL-role message with the same
+    other field must serialize DIFFERENTLY (concat_ws would drop the
+    NULL and the separator, colliding both onto the bare string) —
+    the dedup/ingestion key stays injective over {role, content}."""
+    import json
+
+    from delta_lake_spark.operators.chat import serialize_conversations
+
+    df = spark.createDataFrame(
+        [
+            (1, json.dumps([{"role": "user", "content": None}])),
+            (2, json.dumps([{"role": None, "content": "user"}])),
+            (3, json.dumps([{"role": "user", "content": "hi"}])),
+        ],
+        "doc_id long, convo string",
+    )
+    ser = {
+        r.doc_id: r.conv_text
+        for r in serialize_conversations(df, "convo", "doc_id").collect()
+    }
+    assert ser[1] == "user: "
+    assert ser[2] == ": user"
+    assert ser[1] != ser[2]
+    assert ser[3] == "user: hi"
+
+
 def test_preference_decontaminate_verdicts(spark):
     """Prompt-side decontamination: an exact eval match flags at
     jaccard 1.0, a near match above threshold flags with its exact
@@ -6551,6 +6578,18 @@ def test_hits_known_values_and_strategy_parity(spark):
         assert abs(drv[n].authority - dist[n].authority) < 1e-9, n
     # z has no out-edges, w no in-edges
     assert drv["z"].hub == 0.0 and drv["w"].authority == 0.0
+
+
+def test_hits_empty_edges_and_null_parity(spark):
+    """Degenerate inputs: an empty edge list yields an empty result
+    under both strategies, and the driver path's zero-norm guard
+    states NULL (matching the distributed nullif) rather than NaN —
+    strategy parity on the degenerate case the docstring promises."""
+    from delta_lake_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits(empty, strategy="driver").count() == 0
+    assert hits(empty, strategy="distributed").count() == 0
 
 
 def test_fim_transform_reconstructs(spark):

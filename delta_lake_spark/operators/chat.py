@@ -158,29 +158,37 @@ def chat_loss_spans(
     )
 
 
-def _conv_token_counts(
-    df: DataFrame,
-    json_col: str,
+def _texts_token_counts(
+    base: DataFrame,
     id_col: str,
-    merges,
+    txts_col: str,
+    pairs: list,
     alphabet,
     pretokenize,
-    keep: tuple = (),
-):
-    """Shared map-only core of the token-level mask operators: parse
-    the message array and compute PER-MESSAGE token counts under the
-    chat-template token convention — one special token per role
-    marker, the content's subword tokens, one end-of-turn special
-    (count = 2 + n_content_tokens). The BPE merge chain is applied as
-    one shallow HOF layer per merge over the nested per-message
-    per-word symbol arrays, exactly like
-    :func:`~delta_lake_spark.operators.tokenizer.bpe_encode` but
-    WITHOUT exploding the conversation — zero shuffles, zero joins.
-    Returns df extended with ``__msgs`` (the parsed array) and
-    ``__cnt`` (array<bigint> of per-message token counts)."""
-    from pyspark.sql import DataFrame as _DF
+    per_elem_base: int,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Shared token-count core of the mask operators: extend ``base``
+    (which must carry unique ``id_col`` rows and an array<string>
+    column ``txts_col``) with ``__cnt`` — array<bigint> aligned with
+    the texts, ``cnt[i] = per_elem_base + n_subword_tokens(txt[i])``,
+    NULL for a NULL text (and a NULL array stays NULL). Subword
+    tokenization matches
+    :func:`~delta_lake_spark.operators.tokenizer.bpe_encode`, and so
+    does the strategy contract:
 
+    - ``"inline"``: zero shuffles, zero joins — the merge chain runs
+      as one shallow HOF layer per merge over the nested per-text
+      per-word symbol arrays of every word OCCURRENCE.
+    - ``"vocab"``: the chain runs once per DISTINCT pre-token (the
+      production shape at real merge counts — encode cost bounded by
+      types x merges); per-text counts come back through a
+      (text-index keyed) join + regroup, one id-keyed shuffle.
+    - ``"auto"``: vocab once len(pairs) >= VOCAB_AUTO_MIN_MERGES.
+    """
     from .tokenizer import (
+        VOCAB_AUTO_MIN_MERGES,
+        _apply_merge_chain,
         _byte_syms_expr,
         _chars_expr,
         _gpt2_words_expr,
@@ -189,44 +197,124 @@ def _conv_token_counts(
         _words_expr,
     )
 
+    if strategy not in ("auto", "vocab", "inline"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     pretokenize = _resolve_pretokenize(pretokenize, alphabet)
-    if isinstance(merges, _DF):
-        pairs = [
-            (r.lhs, r.rhs) for r in merges.orderBy("rank").collect()
-        ]
-    else:
-        pairs = [(a, b) for a, b in merges]
+    if strategy == "auto":
+        strategy = (
+            "vocab" if len(pairs) >= VOCAB_AUTO_MIN_MERGES else "inline"
+        )
     seed = _chars_expr("x") if alphabet == "char" else _byte_syms_expr("x")
+    base_lit = f"CAST({per_elem_base} AS BIGINT)"
+    if strategy == "inline":
+        words = (
+            _gpt2_words_expr("t") if pretokenize == "gpt2"
+            else _words_expr("t")
+        )
+        out = base.withColumn(
+            "__sym",
+            F.expr(
+                f"transform({txts_col}, t -> transform({words},"
+                f" x -> {seed}))"
+            ),
+        )
+        for a, b in pairs:
+            if a == b:
+                raise ValueError(
+                    "token loss masks require lhs != rhs merges"
+                )
+            out = out.withColumn(
+                "__sym",
+                F.expr(
+                    "transform(__sym, ws -> transform(ws, s ->"
+                    f" {_rewrite_body('s', a, b)}))"
+                ),
+            )
+        return out.withColumn(
+            "__cnt",
+            F.expr(
+                "transform(__sym, ws ->"
+                f" aggregate(ws, {base_lit}, (a, w) -> a + size(w)))"
+            ),
+        ).drop("__sym")
     words = (
-        _gpt2_words_expr("m.content")
-        if pretokenize == "gpt2"
-        else _words_expr("m.content")
+        _gpt2_words_expr("t") if pretokenize == "gpt2" else _words_expr("t")
     )
-    out = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep],
-        F.from_json(F.col(json_col), MESSAGE_SCHEMA).alias("__msgs"),
-    ).withColumn(
-        "__sym",
-        F.expr(f"transform(__msgs, m -> transform({words}, x -> {seed}))"),
+    wrow = base.select(
+        F.col(id_col), F.posexplode(txts_col).alias("__ti", "t")
+    ).select(
+        id_col, "__ti", F.explode(F.expr(words)).alias("w")
+    )
+    types = wrow.select("w").distinct().select(
+        "w",
+        F.expr(
+            f"element_at(transform(array(w), x -> {seed}), 1)"
+        ).alias("toks"),
     )
     for a, b in pairs:
         if a == b:
             raise ValueError("token loss masks require lhs != rhs merges")
-        out = out.withColumn(
-            "__sym",
+    seg = _apply_merge_chain(types, "toks", pairs).select(
+        "w", F.size("toks").cast("long").alias("__n")
+    )
+    per_txt = (
+        wrow.join(seg, "w")
+        .groupBy(id_col, "__ti")
+        .agg(F.sum("__n").alias("__wc"))
+    )
+    cmap = per_txt.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__ti", "__wc"))
+        ).alias("__cm")
+    )
+    return (
+        base.join(cmap, id_col, "left")
+        .withColumn(
+            "__cnt",
             F.expr(
-                "transform(__sym, ws -> transform(ws, s ->"
-                f" {_rewrite_body('s', a, b)}))"
+                f"transform({txts_col}, (t, i) ->"
+                " IF(t IS NULL, CAST(NULL AS BIGINT),"
+                f" {base_lit} + coalesce(element_at(__cm, i),"
+                " CAST(0 AS BIGINT))))"
             ),
         )
-    return out.withColumn(
-        "__cnt",
-        F.expr(
-            "transform(__sym, ws ->"
-            " aggregate(ws, CAST(2 AS BIGINT), (a, w) -> a + size(w)))"
-        ),
-    ).drop("__sym")
+        .drop("__cm")
+    )
+
+
+def _conv_token_counts(
+    df: DataFrame,
+    json_col: str,
+    id_col: str,
+    merges,
+    alphabet,
+    pretokenize,
+    keep: tuple = (),
+    strategy: str = "auto",
+):
+    """Per-MESSAGE token counts under the chat-template token
+    convention — one special token per role marker, the content's
+    subword tokens, one end-of-turn special (count = 2 +
+    n_content_tokens) — via :func:`_texts_token_counts` over the
+    parsed message contents (strategy contract documented there; the
+    merge chain matches
+    :func:`~delta_lake_spark.operators.tokenizer.bpe_encode`).
+    Returns df extended with ``__msgs`` (the parsed array) and
+    ``__cnt`` (array<bigint> of per-message token counts)."""
+    from .tokenizer import _resolve_merge_pairs
+
+    pairs = _resolve_merge_pairs(merges)
+    parsed = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.from_json(F.col(json_col), MESSAGE_SCHEMA).alias("__msgs"),
+    ).withColumn(
+        "__txts", F.expr("transform(__msgs, m -> m.content)")
+    )
+    return _texts_token_counts(
+        parsed, id_col, "__txts", pairs, alphabet, pretokenize,
+        per_elem_base=2, strategy=strategy,
+    ).drop("__txts")
 
 
 def chat_token_loss_masks(
@@ -236,6 +324,7 @@ def chat_token_loss_masks(
     merges,
     alphabet: str = "byte",
     pretokenize: str | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """TOKEN-level SFT loss masks — what a trainer actually consumes
     (q299's character spans are template arithmetic; the loss tensor
@@ -248,14 +337,17 @@ def chat_token_loss_masks(
     :func:`~delta_lake_spark.operators.tokenizer.bpe_encode`). Emits
     one row per ASSISTANT turn with the [token_start, token_end)
     span of its CONTENT tokens — the assistant-only mask — plus the
-    conversation's total token count for packing. Wholly map-only:
-    the per-message counts, prefix sums, and span selection all run
-    as higher-order array functions inside one projection chain —
-    zero shuffles, zero Python, at any corpus size. Transcripts with
-    no assistant turn (or unparseable JSON) produce no rows. Returns
-    (id_col, span_idx, token_start, token_end, n_tokens)."""
+    conversation's total token count for packing. The prefix sums
+    and span selection run as higher-order array functions inside
+    one projection chain; the per-message counts follow the
+    bpe_encode ``strategy`` contract (zero-shuffle inline chain for
+    small merge tables, per-DISTINCT-word encoding at production
+    merge counts — see :func:`_texts_token_counts`). Transcripts
+    with no assistant turn (or unparseable JSON) produce no rows.
+    Returns (id_col, span_idx, token_start, token_end, n_tokens)."""
     out = _conv_token_counts(
-        df, json_col, id_col, merges, alphabet, pretokenize
+        df, json_col, id_col, merges, alphabet, pretokenize,
+        strategy=strategy,
     )
     spans = """
     CASE WHEN __cnt IS NULL OR size(__cnt) < 1 THEN
@@ -294,6 +386,7 @@ def sft_pack_with_masks(
     budget: int,
     alphabet: str = "byte",
     pretokenize: str | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Packed-window composition of :func:`chat_token_loss_masks` —
     the relation an SFT trainer's dataloader reads: conversations
@@ -311,7 +404,7 @@ def sft_pack_with_masks(
         raise ValueError(f"budget must be >= 1, got {budget}")
     out = _conv_token_counts(
         df, json_col, id_col, merges, alphabet, pretokenize,
-        keep=(group_col,),
+        keep=(group_col,), strategy=strategy,
     ).withColumn(
         "__tot",
         F.expr(
@@ -501,6 +594,7 @@ def dpo_token_masks(
     merges,
     alphabet: str = "byte",
     pretokenize: str | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """TOKEN masks for preference (DPO/RLHF) pairs — the two numbers a
     DPO trainer needs per branch: where the completion tokens start
@@ -510,57 +604,28 @@ def dpo_token_masks(
     ``n_prompt_tokens + 3`` in BOTH (the stated invariant: DPO
     logprobs are compared over completion tokens at identical
     positions). Content tokenizes like
-    :func:`~delta_lake_spark.operators.tokenizer.bpe_encode`
-    (byte alphabet + GPT-2 pre-tokens by default); the three texts
-    encode through ONE shared merge-chain projection over a 3-element
-    array — map-only, zero shuffles, zero Python. Returns (id_col,
-    prompt_tokens, completion_start, chosen_end, chosen_total,
-    rejected_end, rejected_total) with [completion_start, *_end) the
-    per-branch completion span and *_total the branch's full sequence
-    length including specials."""
-    from pyspark.sql import DataFrame as _DF
+    :func:`~delta_lake_spark.operators.tokenizer.bpe_encode` (byte
+    alphabet + GPT-2 pre-tokens by default); the three texts count
+    through the shared :func:`_texts_token_counts` core over a
+    3-element array, inheriting its ``strategy`` contract (inline:
+    one shared merge-chain projection, zero shuffles; vocab:
+    per-DISTINCT-word encoding at production merge counts). Returns
+    (id_col, prompt_tokens, completion_start, chosen_end,
+    chosen_total, rejected_end, rejected_total) with
+    [completion_start, *_end) the per-branch completion span and
+    *_total the branch's full sequence length including specials."""
+    from .tokenizer import _resolve_merge_pairs
 
-    from .tokenizer import (
-        _byte_syms_expr,
-        _chars_expr,
-        _gpt2_words_expr,
-        _resolve_pretokenize,
-        _rewrite_body,
-        _words_expr,
-    )
-
-    pretokenize = _resolve_pretokenize(pretokenize, alphabet)
-    if isinstance(merges, _DF):
-        pairs = [(r.lhs, r.rhs) for r in merges.orderBy("rank").collect()]
-    else:
-        pairs = [(a, b) for a, b in merges]
-    seed = _chars_expr("x") if alphabet == "char" else _byte_syms_expr("x")
-    words = (
-        _gpt2_words_expr("t") if pretokenize == "gpt2" else _words_expr("t")
-    )
-    out = df.select(
+    pairs = _resolve_merge_pairs(merges)
+    base = df.select(
         F.col(id_col),
         F.expr(
-            f"transform(array({prompt_col}, {chosen_col}, {rejected_col}),"
-            f" t -> transform({words}, x -> {seed}))"
-        ).alias("__sym"),
+            f"array({prompt_col}, {chosen_col}, {rejected_col})"
+        ).alias("__txts"),
     )
-    for a, b in pairs:
-        if a == b:
-            raise ValueError("dpo_token_masks requires lhs != rhs merges")
-        out = out.withColumn(
-            "__sym",
-            F.expr(
-                "transform(__sym, ws -> transform(ws, s ->"
-                f" {_rewrite_body('s', a, b)}))"
-            ),
-        )
-    out = out.withColumn(
-        "__cnt",
-        F.expr(
-            "transform(__sym, ws ->"
-            " aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + size(w)))"
-        ),
+    out = _texts_token_counts(
+        base, id_col, "__txts", pairs, alphabet, pretokenize,
+        per_elem_base=0, strategy=strategy,
     )
     np_, nc, nr = (
         F.expr("element_at(__cnt, 1)"),

@@ -370,6 +370,53 @@ def train_bpe_merges(
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
+# strategy="auto" switches bpe_encode (and the chat token-mask chain
+# riding it) from the zero-shuffle per-OCCURRENCE chain to the
+# per-DISTINCT-word path once the merge table reaches this size: below
+# it the doc-keyed reassembly shuffle costs more than it saves; at
+# production merge counts (1k-50k+) the per-type path bounds encode
+# cost by types x merges instead of corpus tokens x merges (the
+# unigram/wordpiece vocab-strategy precedent, ~type/token-ratio gain)
+VOCAB_AUTO_MIN_MERGES = 32
+
+# the per-type merge chain truncates lineage every K layers: analysis
+# and optimization cost grow superlinearly with stacked HOF projection
+# depth, and the checkpointed relation is vocabulary-sized (distinct
+# pre-tokens), so the cut is cheap at any corpus size
+MERGE_CHAIN_CHECKPOINT_EVERY = 64
+
+
+def _apply_merge_chain(
+    df: DataFrame,
+    col: str,
+    pairs,
+    checkpoint_every: int = MERGE_CHAIN_CHECKPOINT_EVERY,
+) -> DataFrame:
+    """Apply a rank-ordered merge chain to symbol-array column ``col``,
+    one shallow HOF rewrite projection per merge, lazily
+    localCheckpoint-ing every ``checkpoint_every`` layers so plan
+    depth stays bounded at real merge counts. The relation must be
+    small enough to materialize per cut (vocabulary-sized by the
+    vocab-strategy contract)."""
+    for i, (a, b) in enumerate(pairs, 1):
+        if a == b:
+            raise ValueError("merge chains require lhs != rhs merges")
+        df = df.withColumn(col, F.expr(_rewrite_body(col, a, b)))
+        if (
+            checkpoint_every
+            and i % checkpoint_every == 0
+            and i < len(pairs)
+        ):
+            df = df.localCheckpoint(eager=False)
+    return df
+
+
+def _resolve_merge_pairs(merges) -> list:
+    if isinstance(merges, DataFrame):
+        return [(r.lhs, r.rhs) for r in merges.orderBy("rank").collect()]
+    return [(a, b) for a, b in merges]
+
+
 def bpe_encode(
     docs: DataFrame,
     text_col: str,
@@ -377,6 +424,7 @@ def bpe_encode(
     merges,
     alphabet: str = "char",
     pretokenize: str | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Encode every document with a learned merge table.
 
@@ -389,43 +437,109 @@ def bpe_encode(
     always unhexes back to the word's exact UTF-8 bytes; under the
     gpt2 pre-tokenizer the pre-tokens PARTITION the text, so
     unhex(concat(ALL tokens)) reproduces the whole document).
-    Map-only: one projection per merge, each applying a single shallow
-    HOF rewrite layer to the per-word symbol arrays (Catalyst
-    collapses the projections; one giant nested expression instead
-    would blow the analyzer's resolution fixed point at real merge
-    counts). Zero shuffles at any corpus size. Returns (id_col,
-    tokens, n_tokens)."""
+    Returns (id_col, tokens, n_tokens).
+
+    Three value-identical strategies (the unigram/wordpiece
+    convention):
+
+    - ``"inline"``: zero shuffles — one projection per merge, each a
+      single shallow HOF rewrite layer over the per-word symbol
+      arrays of every word OCCURRENCE (Catalyst collapses the
+      projections; one giant nested expression instead would blow
+      the analyzer's resolution fixed point at real merge counts).
+      Cost scales with corpus tokens x merges — right for small
+      merge tables or mostly-unique-string corpora.
+    - ``"vocab"``: run the merge chain once per DISTINCT pre-token,
+      then posexplode the corpus to (doc, position, word), join the
+      per-type encodings back (AQE broadcasts the vocabulary relation
+      when small) and reassemble position-sorted. Costs one
+      doc-keyed shuffle, but encode work is bounded by word TYPES x
+      merges — the production shape at real (1k-50k) merge counts,
+      where per-occurrence cost would be orders of magnitude larger.
+      Lineage of the type relation truncates every
+      MERGE_CHAIN_CHECKPOINT_EVERY layers.
+    - ``"auto"`` (default): vocab once len(merges) >=
+      VOCAB_AUTO_MIN_MERGES, else inline.
+    """
     if alphabet not in ("char", "byte"):
         raise ValueError(f"alphabet must be 'char' or 'byte', got {alphabet!r}")
+    if strategy not in ("auto", "vocab", "inline"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     pretokenize = _resolve_pretokenize(pretokenize, alphabet)
-    if isinstance(merges, DataFrame):
-        rows = merges.orderBy("rank").collect()
-        pairs = [(r.lhs, r.rhs) for r in rows]
-    else:
-        pairs = [(a, b) for a, b in merges]
+    pairs = _resolve_merge_pairs(merges)
+    if strategy == "auto":
+        strategy = (
+            "vocab" if len(pairs) >= VOCAB_AUTO_MIN_MERGES else "inline"
+        )
     seed = _chars_expr("x") if alphabet == "char" else _byte_syms_expr("x")
     words_expr = (
         _gpt2_words_expr(text_col)
         if pretokenize == "gpt2"
         else _words_expr(text_col)
     )
-    out = docs.select(
-        F.col(id_col),
-        F.expr(
-            f"transform({words_expr}, x -> {seed})"
-        ).alias("__sym"),
-    )
-    for a, b in pairs:
-        if a == b:
-            raise ValueError("bpe_encode requires lhs != rhs merges")
-        out = out.withColumn(
-            "__sym",
-            F.expr(f"transform(__sym, s -> {_rewrite_body('s', a, b)})"),
+    if strategy == "inline":
+        out = docs.select(
+            F.col(id_col),
+            F.expr(
+                f"transform({words_expr}, x -> {seed})"
+            ).alias("__sym"),
         )
-    return out.select(
+        for a, b in pairs:
+            if a == b:
+                raise ValueError("bpe_encode requires lhs != rhs merges")
+            out = out.withColumn(
+                "__sym",
+                F.expr(f"transform(__sym, s -> {_rewrite_body('s', a, b)})"),
+            )
+        return out.select(
+            F.col(id_col),
+            F.expr("flatten(__sym)").alias("tokens"),
+        ).withColumn("n_tokens", F.size("tokens").cast("long"))
+    wpos = docs.select(
         F.col(id_col),
-        F.expr("flatten(__sym)").alias("tokens"),
-    ).withColumn("n_tokens", F.size("tokens").cast("long"))
+        F.posexplode(F.expr(words_expr)).alias("__pos", "w"),
+    )
+    types = wpos.select("w").distinct().select(
+        "w",
+        F.expr(
+            f"element_at(transform(array(w), x -> {seed}), 1)"
+        ).alias("toks"),
+    )
+    seg = _apply_merge_chain(types, "toks", pairs)
+    regrouped = (
+        wpos.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "toks"))
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+    )
+    # wordless documents still get an (empty-tokens) row; a NULL text
+    # stays NULL, exactly as the inline path's flatten(NULL) states
+    return (
+        docs.select(
+            F.col(id_col), F.expr(f"{text_col} IS NULL").alias("__tnull")
+        )
+        .join(regrouped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__tnull"), F.lit(None))
+            .otherwise(
+                F.coalesce(
+                    F.col("tokens"),
+                    F.expr("CAST(array() AS array<string>)"),
+                )
+            )
+            .alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -126,6 +126,77 @@ def test_contract_errors(spark):
         train_bpe_merges(docs, "text", strategy="magic")
     with pytest.raises(ValueError, match="lhs != rhs"):
         apply_merge_expr("s", "a", "a")
+    with pytest.raises(ValueError, match="strategy"):
+        bpe_encode(docs, "text", "doc_id", [("a", "b")], strategy="nope")
+
+
+def test_bpe_encode_vocab_strategy_plan_and_parity(spark):
+    """The per-DISTINCT-word strategy: the merge chain runs on the
+    type relation, every hash exchange keys on the word or the doc id
+    (the regroup) — never a corpus-wide catch-all, no cartesian
+    product — and values match the inline chain exactly."""
+    import re
+
+    docs = _docs_df(spark, ["ab ba abc", "aba ab", "cab abc ab"])
+    pairs = [("a", "b"), ("ab", "c")]
+    inline = bpe_encode(
+        docs, "text", "doc_id", pairs, strategy="inline"
+    )
+    plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    voc = bpe_encode(docs, "text", "doc_id", pairs, strategy="vocab")
+    vplan = voc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in vplan
+    assert "EvalPython" not in vplan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,#]+)", vplan)
+    assert shuffles, vplan
+    for cols in shuffles:
+        assert cols.strip().startswith(("w", "doc_id")), shuffles
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, voc.collect())
+    )
+
+
+def test_bpe_encode_vocab_strategy_long_chain_and_auto(spark):
+    """A merge table past VOCAB_AUTO_MIN_MERGES routes auto to the
+    per-type path, the chain's periodic lineage truncation engages
+    (> MERGE_CHAIN_CHECKPOINT_EVERY layers), and the result still
+    replays the classic greedy loop word for word."""
+    from delta_lake_spark.operators.tokenizer import (
+        MERGE_CHAIN_CHECKPOINT_EVERY,
+        VOCAB_AUTO_MIN_MERGES,
+    )
+
+    rng = random.Random(7)
+    letters = "abcdefgh"
+    texts = [
+        " ".join(
+            "".join(rng.choice(letters) for _ in range(rng.randint(2, 9)))
+            for _ in range(20)
+        )
+        for _ in range(6)
+    ]
+    docs = _docs_df(spark, texts)
+    # 56 distinct-letter pairs + chained multi-symbol merges: enough
+    # to cross both the auto threshold and one checkpoint cut
+    pairs = [
+        (a, b) for a in letters for b in letters if a != b
+    ]
+    pairs += [("ab", "cd"), ("ef", "gh"), ("abcd", "efgh"),
+              ("ba", "dc"), ("fe", "hg"), ("badc", "fehg"),
+              ("c", "abcdefgh"), ("abcdefgh", "d"), ("e", "badcfehg"),
+              ("badcfehg", "f"), ("gh", "ab"), ("ghab", "cd")]
+    assert len(pairs) >= VOCAB_AUTO_MIN_MERGES
+    assert len(pairs) > MERGE_CHAIN_CHECKPOINT_EVERY
+    got = {
+        r.doc_id: r.tokens
+        for r in bpe_encode(docs, "text", "doc_id", pairs).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = [
+            tok for w in t.split() for tok in _py_encode(w, pairs)
+        ]
+        assert got[i] == expect, f"doc {i}"
 
 
 def test_early_stop_and_quote_safety(spark):

@@ -73,6 +73,14 @@ def test_bpe_strategies_agree_and_encode_replays(sp, corpus):
     for i, ws in enumerate(corpus):
         expect = [tok for w in ws for tok in _py_bpe_encode(w, pairs)]
         assert got[i] == expect
+    # the per-DISTINCT-word strategy states identical values
+    vocab = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_encode(
+            docs, "text", "doc_id", pairs, strategy="vocab"
+        ).collect()
+    }
+    assert vocab == got
 
 
 unicode_words = st.text(
@@ -132,6 +140,16 @@ def test_byte_bpe_strategies_agree_and_bytes_roundtrip(sp, corpus):
     }
     for i in expected:
         assert bytes.fromhex("".join(got[i])) == expected[i]
+    # the per-DISTINCT-word strategy states identical values on
+    # arbitrary unicode under the GPT-2 pre-tokenizer
+    vocab = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_encode(
+            docs, "text", "doc_id", pairs, alphabet="byte",
+            strategy="vocab",
+        ).collect()
+    }
+    assert vocab == got
     # the legacy lowercased-whitespace pre-tokenizer stays selectable
     # and keeps ITS invariant (whitespace dropped, words lowercased)
     from pyspark.sql import functions as F
@@ -357,3 +375,83 @@ def test_gpt2_pretokens_partition_any_unicode(sp, texts):
         toks = got[i]
         assert "".join(toks) == t, repr(t)
         assert all(toks), repr(t)
+
+
+special_surfaces = st.sampled_from(
+    ["<|assistant|>", "<|user|>", "<|end|>", "<|system|>"]
+)
+plain_chunks = st.text(
+    alphabet=st.characters(
+        blacklist_characters="\x01\\\"", blacklist_categories=("Cs", "Cc")
+    ),
+    min_size=0,
+    max_size=12,
+)
+adversarial_content = st.lists(
+    st.one_of(plain_chunks, special_surfaces), min_size=1, max_size=4
+).map("".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    contents=st.lists(adversarial_content, min_size=1, max_size=4),
+    quote_role=st.booleans(),
+)
+def test_special_token_surfaces_cannot_alias_into_specials(
+    sp, contents, quote_role
+):
+    """Adversarial special-token safety: user-controlled content that
+    QUOTES the chat template's special-token surface strings
+    ('<|assistant|>', '<|end|>', ...) must tokenize as ordinary
+    content — per-message counts stay exactly 2 + bpe_encode token
+    count of the content (the two specials are POSITIONAL, injected
+    by the template renderer, never recognized from text), and a
+    quoted '<|assistant|>' inside a user turn must never mint an
+    assistant loss span."""
+    import json
+
+    from delta_lake_spark.operators.chat import chat_token_loss_masks
+    from delta_lake_spark.operators.tokenizer import bpe_encode
+
+    msgs = []
+    for j, c in enumerate(contents):
+        role = "user" if j % 2 == 0 else "assistant"
+        if quote_role and j == 0:
+            c = "<|assistant|>" + c + "<|end|>"
+        msgs.append({"role": role, "content": c})
+    convo = sp.createDataFrame(
+        [(1, json.dumps(msgs))], "doc_id long, convo string"
+    )
+    merges = [("20", "3c"), ("7c", "3e"), ("61", "73"), ("73", "69")]
+    got = chat_token_loss_masks(
+        convo, "convo", "doc_id", merges, alphabet="byte"
+    ).collect()
+    # reference counts: encode each content as a standalone document
+    docs = sp.createDataFrame(
+        [(j, m["content"]) for j, m in enumerate(msgs)],
+        "doc_id long, text string",
+    )
+    n_content = {
+        r.doc_id: r.n_tokens
+        for r in bpe_encode(
+            docs, "text", "doc_id", merges, alphabet="byte"
+        ).collect()
+    }
+    counts = [2 + n_content[j] for j in range(len(msgs))]
+    # spans exist ONLY for genuine assistant-role turns, at positions
+    # derived purely from the counts — quoting the surfaces moves
+    # nothing but the content token count
+    expect = []
+    off = 0
+    for j, m in enumerate(msgs):
+        if m["role"] == "assistant":
+            expect.append((1, off + 1, off + counts[j] - 1))
+        off += counts[j]
+    assert sorted((r.doc_id, r.token_start, r.token_end) for r in got) \
+        == sorted(expect)
+    for r in got:
+        assert r.n_tokens == sum(counts)

@@ -341,16 +341,18 @@ def _signatures_from_hashed(
     all k positions or none; banded recall collapses from
     1-(1-j^r)^b to ~j). Seeded xxhash64 is a genuinely independent
     64-bit family, evaluated JVM-side."""
-    mins = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(seed * 1_000_003 + i))).alias(
-            f"h{i}"
+    # ONE SQL-string expression for the whole signature array: the
+    # k-column Python construction (F.min(F.xxhash64(...)) x k, then
+    # F.array over k aliases) cost hundreds of py4j round trips per
+    # invocation — measured ~1s of pure driver time at k=64 (same fix
+    # as semantic_decontaminate's expression-build note). The parsed
+    # plan, and therefore every value, is identical.
+    sig_expr = "array({})".format(
+        ", ".join(
+            f"min(xxhash64(__h, {seed * 1_000_003 + i}))" for i in range(k)
         )
-        for i in range(k)
-    ]
-    agg = hashed.groupBy(id_col).agg(*mins)
-    return agg.select(
-        id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig")
     )
+    return hashed.groupBy(id_col).agg(F.expr(sig_expr).alias("sig"))
 
 
 def minhash_signatures(
@@ -403,17 +405,19 @@ def minhash_lsh_candidates(
         hashed = hashed.join(F.broadcast(hot), "__h", "left_anti")
 
     sig = _signatures_from_hashed(hashed, id_col, k=k, seed=seed)
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows).cast("string")).alias(
-                "bucket"
-            ),
+    # one SQL-string expression for the banded struct array (see the
+    # signature-expression note in _signatures_from_hashed): identical
+    # parsed plan, none of the per-band py4j construction cost
+    bands_expr = "array({})".format(
+        ", ".join(
+            f"struct({i} as band, "
+            f"xxhash64(cast(slice(sig, {i * rows + 1}, {rows}) as string))"
+            f" as bucket)"
+            for i in range(bands)
         )
-        for i in range(bands)
-    ]
+    )
     banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+        F.col(id_col), F.explode(F.expr(bands_expr)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
     # within-bucket pair generation: ONE shuffle (groupBy band+bucket)

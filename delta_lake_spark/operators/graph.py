@@ -221,31 +221,63 @@ def _pagerank_distributed(
     )
     ranks = nodes.select("node", F.col("__t").alias("rank"))
     one_minus_d = 1.0 - damping
+    # On the common shape (uniform teleport, no dangling mass) each
+    # iteration folds the zero-contribution nodes into the SAME
+    # aggregation that sums the edge contributions: the per-node zero
+    # row unions in before the dst-keyed exchange, so the iteration is
+    # ONE join + ONE aggregation — no second (nodes-left-join) pass.
+    # Adding the 0.0 row is IEEE-exact (x + 0.0 == x for the positive
+    # partial sums here; a contribution-less node folds to exactly
+    # 0.0), so ranks are bit-identical to the join/coalesce shape.
+    # The personalized / dangling variants keep the explicit left join
+    # (their formula needs per-node t(v) next to the dangling scalar).
+    fold_zeros = seeds is None and not has_dangling
     for k in range(iterations):
-        contrib = (
-            weighted.join(ranks, weighted["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("deg")).alias("__w"))
-            .groupBy("dst")
-            .agg(F.sum("__w").alias("__contrib"))
-        )
-        redistributed = F.lit(0.0)
-        next_ranks = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
-        )
-        if has_dangling:
-            dangling = ranks.join(
-                outdeg, ranks["node"] == outdeg["src"], "left_anti"
-            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
-            next_ranks = next_ranks.crossJoin(F.broadcast(dangling))
-            redistributed = F.col("__dm") * F.col("__t")
-        ranks = next_ranks.select(
-            "node",
-            (
-                F.lit(one_minus_d) * F.col("__t")
-                + F.lit(damping)
-                * (F.coalesce(F.col("__contrib"), F.lit(0.0)) + redistributed)
-            ).alias("rank"),
-        )
+        contrib_rows = weighted.join(
+            ranks, weighted["src"] == ranks["node"]
+        ).select("dst", (F.col("rank") / F.col("deg")).alias("__w"))
+        if fold_zeros:
+            ranks = (
+                contrib_rows.unionByName(
+                    nodes.select(
+                        F.col("node").alias("dst"), F.lit(0.0).alias("__w")
+                    )
+                )
+                .groupBy("dst")
+                .agg(F.sum("__w").alias("__contrib"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (
+                        F.lit(one_minus_d) * F.lit(1.0 / n)
+                        + F.lit(damping) * F.col("__contrib")
+                    ).alias("rank"),
+                )
+            )
+        else:
+            contrib = contrib_rows.groupBy("dst").agg(
+                F.sum("__w").alias("__contrib")
+            )
+            redistributed = F.lit(0.0)
+            next_ranks = nodes.join(
+                contrib, nodes["node"] == contrib["dst"], "left"
+            )
+            if has_dangling:
+                dangling = ranks.join(
+                    outdeg, ranks["node"] == outdeg["src"], "left_anti"
+                ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+                next_ranks = next_ranks.crossJoin(F.broadcast(dangling))
+                redistributed = F.col("__dm") * F.col("__t")
+            ranks = next_ranks.select(
+                "node",
+                (
+                    F.lit(one_minus_d) * F.col("__t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__contrib"), F.lit(0.0))
+                        + redistributed
+                    )
+                ).alias("rank"),
+            )
         if (k + 1) % checkpoint_every == 0 and k + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

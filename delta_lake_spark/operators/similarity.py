@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import register_persisted
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -196,11 +198,17 @@ def ivf_topk(
     ranked = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    centroids = (
+    # persist the n_cells-row centroid relation: it feeds BOTH the
+    # corpus-assignment branch and the query-routing branch, and
+    # per-branch column pruning defeats exchange reuse (see _cache.py)
+    # — without the cache each broadcast build re-aggregates the corpus
+    centroids = register_persisted(
         ranked.groupBy(
             F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell_id")
         )
         .agg(F.min_by("__v", F.col(id_col)).alias("__cv"))
+        .persist(),
+        "ann_quantizer",
     )
 
     # assign every vector to its nearest centroid (broadcast centroids)
@@ -1077,7 +1085,10 @@ def _pq_rank_or_rerank(
         .select("query_id", "neighbor_id")
     )
     exact = (
-        shortlist.join(
+        # broadcast the |Q|*rerank*k-row shortlist so the corpus side
+        # is NEVER shuffled for the rerank join (at scale the float
+        # vectors stay where they are; only the bounded shortlist moves)
+        F.broadcast(shortlist).join(
             v.select(F.col(id_col).alias("neighbor_id"), "__v"), "neighbor_id"
         )
         .join(F.broadcast(q), "query_id")
@@ -1174,7 +1185,14 @@ def pq_topk(
         )
     subdim = dim // m
 
-    cents_one = _pq_codebook_row(v, id_col, m, k_codes, subdim)
+    # persist the 1-row codebook: it broadcasts into BOTH the encode
+    # and the query-ADC branches, and per-branch pruning defeats
+    # exchange reuse — uncached, each broadcast build would re-run the
+    # corpus-sized codebook aggregation (a full extra corpus pass)
+    cents_one = register_persisted(
+        _pq_codebook_row(v, id_col, m, k_codes, subdim).persist(),
+        "ann_quantizer",
+    )
 
     # encode: map-only projection (scan -> broadcast 1-row codebook ->
     # codes array), no explode, no window
@@ -2042,7 +2060,13 @@ def query_pq_index(
                     F.transform(nearest, lambda e: e["cell"])
                 ).alias("cell_id"),
             )
-            .join(q_adc.select("query_id", "__qmap"), "query_id")
+            .join(
+                # |Q|-row ADC-map relation: broadcast it so the routing
+                # join never sort-merges (unestimated tiny sides made
+                # the planner pick SMJ: 2 exchanges + sorts)
+                F.broadcast(q_adc.select("query_id", "__qmap")),
+                "query_id",
+            )
         )
 
     coded = read_delta(spark, t_codes).select(
@@ -2151,14 +2175,21 @@ def ivfpq_topk(
         )
     subdim = dim // m
 
-    # coarse quantizer: n_cells centroids as ONE broadcastable row
-    cells_one = (
+    # coarse quantizer: n_cells centroids as ONE broadcastable row.
+    # Persisted: the row broadcasts into the corpus-assignment branch
+    # AND the query-routing branch (and, on the residual path, the
+    # codebook-train branch) — per-branch pruning defeats exchange
+    # reuse (see _cache.py), so uncached each broadcast build would
+    # re-run the corpus-sized centroid aggregation.
+    cells_one = register_persisted(
         v.groupBy(
             F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("cell")
         )
         .agg(F.min_by("__v", F.col(id_col)).alias("cv"))
         .groupBy()
         .agg(F.collect_list(F.struct("cell", "cv")).alias("__cells"))
+        .persist(),
+        "ann_quantizer",
     )
     # nearest-cell expression over a vector column name (map-only
     # argmin); the centroid vector rides the struct so the residual
@@ -2199,7 +2230,13 @@ def ivfpq_topk(
                 ).alias("__v"),
             )
         )
-        cents_one = _pq_codebook_row(vres, id_col, m, k_codes, subdim)
+        # 1-row residual codebook, persisted for the same reason as
+        # cells_one: it broadcasts into both the encode and the
+        # per-probe ADC-map branches
+        cents_one = register_persisted(
+            _pq_codebook_row(vres, id_col, m, k_codes, subdim).persist(),
+            "ann_quantizer",
+        )
         subs_expr, codes_expr = _pq_encode_expr(m, subdim)
         coded = (
             vres.join(F.broadcast(cents_one))
@@ -2230,7 +2267,10 @@ def ivfpq_topk(
             .select("query_id", "cell_id", _pq_qmap_expr(k_codes).alias("__qmap"))
         )
     else:
-        cents_one = _pq_codebook_row(v, id_col, m, k_codes, subdim)
+        cents_one = register_persisted(
+            _pq_codebook_row(v, id_col, m, k_codes, subdim).persist(),
+            "ann_quantizer",
+        )
         subs_expr, codes_expr = _pq_encode_expr(m, subdim)
 
         # ONE map-side projection: cell assignment + PQ codes per vector
@@ -2258,7 +2298,13 @@ def ivfpq_topk(
                     )
                 ).alias("cell_id"),
             )
-            .join(q_adc.select("query_id", "__qmap"), "query_id")
+            .join(
+                # |Q|-row ADC-map relation: broadcast it so the routing
+                # join never sort-merges (unestimated tiny sides made
+                # the planner pick SMJ: 2 exchanges + sorts)
+                F.broadcast(q_adc.select("query_id", "__qmap")),
+                "query_id",
+            )
         )
 
     # candidate generation = broadcast HASH join on cell_id: the scan

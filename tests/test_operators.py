@@ -4007,6 +4007,36 @@ def test_pagerank_strategy_agreement_and_dangling(spark):
     assert drv["d"] > 0.15 / 4  # dangling node still accumulates rank
 
 
+def test_pagerank_distributed_fold_path_agreement(spark):
+    """The dangling-free uniform-teleport iteration folds the
+    zero-contribution rows into the contribution aggregation (one join
+    + one agg per round, no second nodes join). Ranks must agree with
+    the driver power iteration bit-tight, including for a node with
+    out-edges but NO in-edges (the row the fold's union supplies)."""
+    from delta_lake_spark.operators.graph import pagerank
+
+    # every node has an out-edge (no dangling); 'a' has no in-edge
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    drv = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=5, strategy="driver").collect()
+    }
+    dist = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, iterations=5, strategy="distributed", checkpoint_every=2
+        ).collect()
+    }
+    assert set(drv) == set(dist) == {"a", "b", "c"}
+    for v in drv:
+        assert abs(drv[v] - dist[v]) < 1e-15, v
+    # the in-edge-less node holds exactly the teleport floor each round
+    assert abs(dist["a"] - 0.15 * (1.0 / 3)) < 1e-15
+
+
 def test_pagerank_validation_and_empty(spark):
     import pytest as _pytest
 

@@ -956,6 +956,26 @@ def _pq_empty_result(vectors: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`_dot` — parses to the identical
+    expression tree (zip_with product fold), so values are unchanged;
+    building big PQ expressions as ONE parsed string instead of nested
+    Python lambdas removes hundreds of py4j round trips per plan
+    construction (measured ~0.9 s per ivfpq_topk invocation)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`_sqdist` (same three-dot-product
+    recipe, same evaluation order)."""
+    return (
+        f"({_dot_sql(a, a)} - 2.0D * {_dot_sql(a, b)} + {_dot_sql(b, b)})"
+    )
+
+
 def _pq_codebook_row(v: DataFrame, id_col: str, m: int, k_codes: int, subdim: int):
     """The PQ codebook as ONE broadcastable row: ``__cents`` is an array
     of up to m*k_codes {s, code, cv} structs (centroid j of subspace s =
@@ -966,13 +986,10 @@ def _pq_codebook_row(v: DataFrame, id_col: str, m: int, k_codes: int, subdim: in
     reps = v.groupBy(
         F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("code")
     ).agg(F.min_by("__v", F.col(id_col)).alias("__rep"))
-    per_rep = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.struct(
-            s.cast("int").alias("s"),
-            F.col("code").alias("code"),
-            F.slice(F.col("__rep"), s * subdim + 1, subdim).alias("cv"),
-        ),
+    per_rep = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> struct("
+        f"cast(s as int) as s, code as code, "
+        f"slice(__rep, s * {subdim} + 1, {subdim}) as cv))"
     )
     return reps.select(per_rep.alias("__e")).groupBy().agg(
         F.flatten(F.collect_list("__e")).alias("__cents")
@@ -986,53 +1003,44 @@ def _pq_encode_expr(m: int, subdim: int, vcol: str = "__v"):
     subspace, lexicographic sort by (s, d, code), keep the first entry
     per s (its argmin, ties by ascending code — the same 1e-9-rounded
     compare the SQL oracle uses)."""
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.slice(F.col(vcol), s * subdim + 1, subdim),
+    # SQL-string construction (see _dot_sql): identical parsed plan,
+    # none of the per-lambda py4j chatter
+    subs = F.expr(
+        f"transform(sequence(0, {m - 1}),"
+        f" s -> slice({vcol}, s * {subdim} + 1, {subdim}))"
     )
-    dists = F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            c["s"].alias("s"),
-            F.round(
-                _sqdist(F.element_at(F.col("__subs"), c["s"] + 1), c["cv"]), 9
-            ).alias("d"),
-            c["code"].alias("code"),
-        ),
+    dists = (
+        "transform(__cents, c -> struct(c.s as s, round("
+        + _sqdist_sql("element_at(__subs, c.s + 1)", "c.cv")
+        + ", 9) as d, c.code as code))"
     )
     # first-struct-per-s over the sorted array == per-subspace argmin
-    winners = F.aggregate(
-        F.array_sort(dists),
-        F.expr("cast(array() as array<struct<s:int,d:double,code:int>>)"),
-        lambda acc, e: F.when(
-            (F.size(acc) > 0) & (F.element_at(acc, -1)["s"] == e["s"]), acc
-        ).otherwise(F.concat(acc, F.array(e))),
+    winners = (
+        f"aggregate(array_sort({dists}), "
+        "cast(array() as array<struct<s:int,d:double,code:int>>), "
+        "(acc, e) -> CASE WHEN size(acc) > 0"
+        " AND element_at(acc, -1).s = e.s"
+        " THEN acc ELSE concat(acc, array(e)) END)"
     )
-    return subs, F.transform(winners, lambda w: w["code"])
+    return subs, F.expr(f"transform({winners}, w -> w.code)")
 
 
 def _pq_qsubs_expr(m: int, subdim: int, vcol: str):
     """The m subvector slices of ``vcol`` as one array expression."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.slice(F.col(vcol), s * subdim + 1, subdim),
+    return F.expr(
+        f"transform(sequence(0, {m - 1}),"
+        f" s -> slice({vcol}, s * {subdim} + 1, {subdim}))"
     )
 
 
 def _pq_qmap_expr(k_codes: int):
     """The ADC lookup map ((s * k_codes + code) -> 1e-9-rounded exact
     query-subvector-to-centroid squared L2) over (__qsubs, __cents)."""
-    return F.map_from_entries(
-        F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                (c["s"] * k_codes + c["code"]).alias("key"),
-                F.round(
-                    _sqdist(F.element_at(F.col("__qsubs"), c["s"] + 1), c["cv"]),
-                    9,
-                ).alias("value"),
-            ),
-        )
+    return F.expr(
+        "map_from_entries(transform(__cents, c -> struct("
+        f"c.s * {k_codes} + c.code as key, round("
+        + _sqdist_sql("element_at(__qsubs, c.s + 1)", "c.cv")
+        + ", 9) as value)))"
     )
 
 
@@ -1050,17 +1058,10 @@ def _pq_query_adc(q: DataFrame, cents_one: DataFrame, m: int, subdim: int, k_cod
 def _pq_adc_dist_expr(m: int, k_codes: int):
     """ADC distance fold: one ``aggregate`` over the vector's code array
     against the broadcast __qmap — pure projection, zero shuffle."""
-    return F.round(
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.element_at(
-                F.col("__qmap"),
-                (s * k_codes + F.element_at(F.col("__codes"), s + 1)).cast("int"),
-            ),
-        ),
-        9,
+    return F.expr(
+        f"round(aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> "
+        f"acc + element_at(__qmap, cast(s * {k_codes}"
+        f" + element_at(__codes, s + 1) as int))), 9)"
     )
 
 
@@ -2195,16 +2196,12 @@ def ivfpq_topk(
     # argmin); the centroid vector rides the struct so the residual
     # path can subtract it — (d, cell) is already a unique sort key,
     # so carrying cv never changes the ordering
-    def nearest_cells(vcol: str):
-        return F.array_sort(
-            F.transform(
-                F.col("__cells"),
-                lambda c: F.struct(
-                    F.round(_sqdist(F.col(vcol), c["cv"]), 9).alias("d"),
-                    c["cell"].alias("cell"),
-                    c["cv"].alias("cv"),
-                ),
-            )
+    def nearest_cells(vcol: str) -> str:
+        # SQL-string construction (see _dot_sql): identical parsed plan
+        return (
+            "array_sort(transform(__cells, c -> struct(round("
+            + _sqdist_sql(vcol, "c.cv")
+            + ", 9) as d, c.cell as cell, c.cv as cv)))"
         )
 
     q = queries.select(
@@ -2219,14 +2216,14 @@ def ivfpq_topk(
         # so one shared codebook spends its k_codes^m resolution on the
         # (small) displacement instead of the (large) absolute position
         # — the standard recall fix over raw-vector encoding.
-        best = F.element_at(nearest_cells("__v"), 1)
+        best = f"element_at({nearest_cells('__v')}, 1)"
         vres = (
             v.join(F.broadcast(cells_one))
             .select(
                 F.col(id_col),
-                best["cell"].alias("cell_id"),
-                F.zip_with(
-                    F.col("__v"), best["cv"], lambda x, y: x - y
+                F.expr(f"{best}.cell").alias("cell_id"),
+                F.expr(
+                    f"zip_with(__v, {best}.cv, (x, y) -> x - y)"
                 ).alias("__v"),
             )
         )
@@ -2251,15 +2248,15 @@ def ivfpq_topk(
             .select(
                 "query_id",
                 "__qv",
-                F.explode(F.slice(nearest_cells("__qv"), 1, nprobe)).alias(
-                    "__p"
-                ),
+                F.explode(
+                    F.expr(f"slice({nearest_cells('__qv')}, 1, {nprobe})")
+                ).alias("__p"),
             )
             .select(
                 "query_id",
                 F.col("__p.cell").alias("cell_id"),
-                F.zip_with(
-                    F.col("__qv"), F.col("__p.cv"), lambda x, y: x - y
+                F.expr(
+                    "zip_with(__qv, __p.cv, (x, y) -> x - y)"
                 ).alias("__qr"),
             )
             .join(F.broadcast(cents_one))
@@ -2280,7 +2277,9 @@ def ivfpq_topk(
             .withColumn("__subs", subs_expr)
             .select(
                 F.col(id_col),
-                F.element_at(nearest_cells("__v"), 1)["cell"].alias("cell_id"),
+                F.expr(
+                    f"element_at({nearest_cells('__v')}, 1).cell"
+                ).alias("cell_id"),
                 codes_expr.alias("__codes"),
             )
         )
@@ -2292,9 +2291,9 @@ def ivfpq_topk(
             .select(
                 "query_id",
                 F.explode(
-                    F.transform(
-                        F.slice(nearest_cells("__qv"), 1, nprobe),
-                        lambda e: e["cell"],
+                    F.expr(
+                        f"transform(slice({nearest_cells('__qv')},"
+                        f" 1, {nprobe}), e -> e.cell)"
                     )
                 ).alias("cell_id"),
             )

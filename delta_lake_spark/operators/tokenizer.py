@@ -213,29 +213,63 @@ def apply_merge_expr(s_expr: str, lhs: str, rhs: str) -> str:
     )
 
 
+def _word_pairs(s, c):
+    """Per-word (a != b) adjacent-pair weight contributions."""
+    d: dict = {}
+    for i in range(len(s) - 1):
+        if s[i] != s[i + 1]:
+            p = (s[i], s[i + 1])
+            d[p] = d.get(p, 0) + c
+    return d
+
+
 def _train_driver(hist: list, n_merges: int) -> list:
     """Classic greedy BPE over a collected word histogram — the
     small-vocabulary fast path. Identical semantics to the distributed
     rounds: a != b candidates only (so greedy replace-all is
-    order-independent), argmax ties by lexicographic (lhs, rhs)."""
-    vocab = [(tuple(w), int(c)) for w, c in hist]
+    order-independent), argmax ties by lexicographic (lhs, rhs).
+
+    INCREMENTAL pair maintenance (r13 optimization): a round only
+    re-counts the words that actually CONTAIN the chosen pair (exact
+    integer deltas against the global pair-count table, so every
+    round's counts equal a full recount bit for bit), and the argmax
+    pops from a lazily-invalidated heap keyed (-count, lhs, rhs) —
+    the same tie-break as the full min(). The previous shape rescanned
+    the whole histogram every round: O(rounds x corpus symbol
+    positions) — measured 20.8 s at 1024 merges on a 15k-type
+    histogram, where this shape is sub-second."""
+    import heapq
+
+    vocab = [[tuple(w), int(c)] for w, c in hist]
+    counts: dict = {}
+    occ: dict = {}  # pair -> set of vocab indices containing it
+    for idx, (s, c) in enumerate(vocab):
+        for p, w in _word_pairs(s, c).items():
+            counts[p] = counts.get(p, 0) + w
+            occ.setdefault(p, set()).add(idx)
+    heap = [(-w, p) for p, w in counts.items()]
+    heapq.heapify(heap)
     merges = []
     for rank in range(1, n_merges + 1):
-        counts: dict = {}
-        for s, c in vocab:
-            for i in range(len(s) - 1):
-                if s[i] != s[i + 1]:
-                    p = (s[i], s[i + 1])
-                    counts[p] = counts.get(p, 0) + c
-        if not counts:
+        # pop stale entries until one matches the live count table
+        best = None
+        while heap:
+            negw, p = heap[0]
+            if counts.get(p, 0) == -negw:
+                best = (p, -negw)
+                break
+            heapq.heappop(heap)
+        if best is None:
             break
-        (a, b), wgt = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
+        (a, b), wgt = best
         merges.append((rank, a, b, a + b, wgt))
+        if rank == n_merges:
+            break
         ab = a + b
-        nxt = []
-        for s, c in vocab:
+        touched: set = set()
+        for idx in sorted(occ.get((a, b), ())):
+            s, c = vocab[idx]
+            old = _word_pairs(s, c)
             out, i = [], 0
             while i < len(s):
                 if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
@@ -244,8 +278,24 @@ def _train_driver(hist: list, n_merges: int) -> list:
                 else:
                     out.append(s[i])
                     i += 1
-            nxt.append((tuple(out), c))
-        vocab = nxt
+            s2 = tuple(out)
+            vocab[idx][0] = s2
+            new = _word_pairs(s2, c)
+            for p in old.keys() | new.keys():
+                delta = new.get(p, 0) - old.get(p, 0)
+                if delta:
+                    counts[p] = counts.get(p, 0) + delta
+                    if counts[p] <= 0:
+                        del counts[p]
+                    touched.add(p)
+                if p in new:
+                    occ.setdefault(p, set()).add(idx)
+                elif p in occ:
+                    occ[p].discard(idx)
+        occ.pop((a, b), None)
+        for p in touched:
+            if p in counts:
+                heapq.heappush(heap, (-counts[p], p))
     return merges
 
 
@@ -385,6 +435,49 @@ VOCAB_AUTO_MIN_MERGES = 32
 # pre-tokens), so the cut is cheap at any corpus size
 MERGE_CHAIN_CHECKPOINT_EVERY = 64
 
+# past this many merges the vocab strategy applies the chain to the
+# DISTINCT types with one Arrow-batched mapInPandas instead of stacked
+# HOF projections: per-layer plan/analysis/eval overhead is paid per
+# MERGE in the expression shape (measured: 64 layers ~ 8 s on a
+# 15k-type relation; 1024 layers did not finish inside 9 minutes),
+# while the Python scan applies only the merges actually PRESENT in
+# each word (sub-second for the same table — see tools/bpe_bench.py
+# --merges). The relation crossing the Python boundary is the
+# vocabulary, never the corpus, which is exactly where the operator
+# catalog reserves Python (cf. pack_sequences_nextfit). Both shapes
+# are value-identical (rank-order replace-all; property-tested)
+MERGE_CHAIN_PY_MIN_MERGES = 129
+
+
+def _apply_merges_py(sym: list, pairs: list, rank_of: dict) -> list:
+    """Python twin of the rank-ordered merge chain: apply each merge
+    at most once, in rank order, replace-all per application (equal to
+    the classic left scan because lhs != rhs). Instead of scanning all
+    K merges per word, each step finds the LOWEST rank above the last
+    applied one whose pair is currently adjacent — identical result
+    (a rank skipped in the ordered scan is exactly one whose pair was
+    not adjacent when its turn came), O(applications x |word|) work."""
+    last = -1
+    while True:
+        best = None
+        for i in range(len(sym) - 1):
+            r = rank_of.get((sym[i], sym[i + 1]))
+            if r is not None and r > last and (best is None or r < best):
+                best = r
+        if best is None:
+            return sym
+        a, b = pairs[best]
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+        last = best
+
 
 def _apply_merge_chain(
     df: DataFrame,
@@ -457,7 +550,12 @@ def bpe_encode(
       merges — the production shape at real (1k-50k) merge counts,
       where per-occurrence cost would be orders of magnitude larger.
       Lineage of the type relation truncates every
-      MERGE_CHAIN_CHECKPOINT_EVERY layers.
+      MERGE_CHAIN_CHECKPOINT_EVERY layers; past
+      MERGE_CHAIN_PY_MIN_MERGES merges the chain applies to the types
+      with one Arrow-batched mapInPandas instead (per-merge plan
+      layers stop scaling past a few hundred merges — the boundary
+      crossing is the VOCABULARY, never the corpus, and the Python
+      scan is value-identical, property-tested).
     - ``"auto"`` (default): vocab once len(merges) >=
       VOCAB_AUTO_MIN_MERGES, else inline.
     """
@@ -505,7 +603,28 @@ def bpe_encode(
             f"element_at(transform(array(w), x -> {seed}), 1)"
         ).alias("toks"),
     )
-    seg = _apply_merge_chain(types, "toks", pairs)
+    if len(pairs) >= MERGE_CHAIN_PY_MIN_MERGES:
+        # realistic-vocab tier: one Arrow pass over the DISTINCT types
+        # (see MERGE_CHAIN_PY_MIN_MERGES); the expression chain below
+        # pays per-merge plan layers and cannot reach 1k+ merges
+        for a, b in pairs:
+            if a == b:
+                raise ValueError("merge chains require lhs != rhs merges")
+        rank_of = {tuple(p): i for i, p in enumerate(pairs)}
+        pair_list = [tuple(p) for p in pairs]
+
+        def _chain(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["toks"] = [
+                    _apply_merges_py(list(t), pair_list, rank_of)
+                    for t in pdf["toks"]
+                ]
+                yield pdf
+
+        seg = types.mapInPandas(_chain, schema="w string, toks array<string>")
+    else:
+        seg = _apply_merge_chain(types, "toks", pairs)
     regrouped = (
         wpos.join(seg, "w")
         .groupBy(id_col)

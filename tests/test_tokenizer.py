@@ -199,6 +199,60 @@ def test_bpe_encode_vocab_strategy_long_chain_and_auto(spark):
         assert got[i] == expect, f"doc {i}"
 
 
+def test_bpe_encode_python_chain_tier_parity(spark):
+    """Past MERGE_CHAIN_PY_MIN_MERGES the vocab strategy applies the
+    merge chain to the distinct types via one Arrow mapInPandas (the
+    expression chain's per-merge plan layers stop scaling there). The
+    result must replay the classic rank-order greedy scan word for
+    word, including merges that only become applicable after later
+    context changes (the chain NEVER revisits an earlier rank)."""
+    from delta_lake_spark.operators.tokenizer import (
+        MERGE_CHAIN_PY_MIN_MERGES,
+        _apply_merges_py,
+    )
+
+    rng = random.Random(11)
+    letters = "abcdef"
+    texts = [
+        " ".join(
+            "".join(rng.choice(letters) for _ in range(rng.randint(2, 10)))
+            for _ in range(15)
+        )
+        for _ in range(5)
+    ]
+    docs = _docs_df(spark, texts)
+    pairs = [(a, b) for a in letters for b in letters if a != b]
+    pairs += [("ab", "cd"), ("cd", "ab"), ("abcd", "ef"),
+              ("ba", "dc"), ("fe", "ab"), ("a", "bcdef"),
+              ("ef", "abcd")]
+    # pad with chained multi-symbol merges to cross the Python tier
+    syms = [a + b for a in letters for b in letters if a != b]
+    pairs += [(s, t) for s in syms[:12] for t in syms[:12] if s != t][
+        : MERGE_CHAIN_PY_MIN_MERGES - len(pairs) + 5
+    ]
+    assert len(pairs) >= MERGE_CHAIN_PY_MIN_MERGES
+    got = {
+        r.doc_id: r.tokens
+        for r in bpe_encode(
+            docs, "text", "doc_id", pairs, strategy="vocab"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = [
+            tok for w in t.split() for tok in _py_encode(w, pairs)
+        ]
+        assert got[i] == expect, f"doc {i}"
+    # the fast scan's skip rule equals the full rank-order scan on a
+    # case where a low-rank pair becomes adjacent only AFTER its turn:
+    # merge 0 (c,d) never re-applies when merge 2 creates a new c|d
+    tricky = [("c", "d"), ("a", "b"), ("ab", "c")]
+    rank_of = {p: i for i, p in enumerate(tricky)}
+    for word in ("abcd", "abcdcd", "cdabcd", "ababcd"):
+        assert _apply_merges_py(list(word), tricky, rank_of) == _py_encode(
+            word, tricky
+        ), word
+
+
 def test_early_stop_and_quote_safety(spark):
     # vocabulary exhausts after one merge; quote-bearing symbols must
     # escape cleanly into the generated expressions

@@ -20,6 +20,16 @@ Measured per scale (one JSON line each):
     the learned 16-merge chain, total token count as witness
 
 Usage:  python tools/bpe_bench.py [n_docs ...]   (default 1e5 1e6)
+
+``--merges M`` adds the REALISTIC-vocab tier (r13 optimization round):
+train M merges (byte-level + gpt2 pre-tokenization, the production
+default), then encode the corpus with strategy="vocab" (cost bounded
+by word TYPES x merges) and — on a 1/32 corpus slice, extrapolated —
+strategy="inline" (cost scales with corpus TOKENS x merges), printing
+both throughputs. This is the evidence row for the per-DISTINCT-word
+encode strategy: at production merge counts the per-type path's
+advantage is the type/token ratio (~20x on this corpus, growing with
+corpus size at fixed vocabulary).
 """
 
 from __future__ import annotations
@@ -76,7 +86,13 @@ def main() -> None:
         train_bpe_merges,
     )
 
-    sizes = [int(float(a)) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    args = sys.argv[1:]
+    hi_merges = None
+    if "--merges" in args:
+        i = args.index("--merges")
+        hi_merges = int(args[i + 1])
+        del args[i : i + 2]
+    sizes = [int(float(a)) for a in args] or [100_000, 1_000_000]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -123,6 +139,54 @@ def main() -> None:
             ),
             flush=True,
         )
+        if hi_merges:
+            # realistic-vocab tier: byte-level + gpt2 pre-tokenization
+            # (the production default), M merges, BOTH encode strategies
+            t0 = time.monotonic()
+            big = train_bpe_merges(
+                docs, "text", n_merges=hi_merges, alphabet="byte",
+                pretokenize="gpt2",
+            )
+            big_rows = [(r.lhs, r.rhs) for r in big.orderBy("rank").collect()]
+            t_train = time.monotonic() - t0
+
+            t0 = time.monotonic()
+            enc_v = bpe_encode(
+                docs, "text", "doc_id", big_rows, alphabet="byte",
+                pretokenize="gpt2", strategy="vocab",
+            )
+            tok_v = enc_v.agg(F.sum("n_tokens")).collect()[0][0]
+            t_vocab = time.monotonic() - t0
+
+            # inline strategy on a 1/32 slice (its cost scales with
+            # corpus tokens x merges — the full corpus would take ~32x
+            # this reading; reported per-token so the two strategies
+            # compare directly)
+            slice_docs = docs.filter(F.pmod("doc_id", F.lit(32)) == 0)
+            t0 = time.monotonic()
+            enc_i = bpe_encode(
+                slice_docs, "text", "doc_id", big_rows, alphabet="byte",
+                pretokenize="gpt2", strategy="inline",
+            )
+            tok_i = enc_i.agg(F.sum("n_tokens")).collect()[0][0]
+            t_inline = time.monotonic() - t0
+
+            print(
+                json.dumps(
+                    {
+                        "n_docs": n_docs,
+                        "tier": "realistic_vocab",
+                        "n_merges": len(big_rows),
+                        "t_train_s": round(t_train, 2),
+                        "t_encode_vocab_s": round(t_vocab, 2),
+                        "vocab_tokens_per_sec": int(tok_v / t_vocab),
+                        "inline_slice_docs": int(n_docs // 32) + 1,
+                        "t_encode_inline_slice_s": round(t_inline, 2),
+                        "inline_tokens_per_sec": int(tok_i / t_inline),
+                    }
+                ),
+                flush=True,
+            )
         docs.unpersist()
     spark.stop()
 

@@ -677,51 +677,47 @@ def simhash_pairs(
         assert bits <= 60, "portable simhash needs bits <= 60 (positive long)"
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     tokens = df.select(F.col(id_col), F.explode(words).alias("tok"))
+    # SQL-string construction throughout (see _signatures_from_hashed):
+    # the per-bit Python Column loops cost ~bits x 6 py4j round trips
+    # per invocation; one parsed string yields the identical plan
     if portable:
         # one hex->long conversion per token (first ceil(bits/4) md5 hex
         # digits); the per-bit extraction is then a shift+mask on a long,
         # which codegen folds — not 60 separate digit conversions
         n_hex = (bits + 3) // 4
-        hval = F.conv(F.substring(F.md5("tok"), 1, n_hex), 16, 10).cast("long")
-
-        def _tok_bit(i):
-            return F.shiftright(hval, i).bitwiseAND(F.lit(1))
-
+        hval = f"cast(conv(substring(md5(tok), 1, {n_hex}), 16, 10) as bigint)"
         bit_sums = [
-            F.sum(F.when(_tok_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            f"sum(CASE WHEN (shiftright({hval}, {i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) as b{i}"
             for i in range(bits)
         ]
     else:
-        h = F.xxhash64("tok")
         bit_sums = [
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            f"sum(CASE WHEN (shiftright(xxhash64(tok), {i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) as b{i}"
             for i in range(bits)
         ]
-    agg = tokens.groupBy(id_col).agg(*bit_sums)
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    signatures = agg.select(F.col(id_col), sig.alias("simhash"))
+    agg = tokens.groupBy(id_col).agg(
+        F.expr(bit_sums[0]), *[F.expr(e) for e in bit_sums[1:]]
+    )
+    sig = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(cast(1 as bigint), {i})"
+        f" ELSE cast(0 as bigint) END)"
+        for i in range(bits)
+    )
+    signatures = agg.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
     width = bits // bands
     mask = (1 << width) - 1
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), i * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("key"),
+    bands_expr = "array({})".format(
+        ", ".join(
+            f"struct({i} as band, "
+            f"shiftrightunsigned(simhash, {i * width}) & {mask} as key)"
+            for i in range(bands)
         )
-        for i in range(bands)
-    ]
+    )
     banded = signatures.select(
-        id_col, "simhash", F.explode(F.array(*band_cols)).alias("bb")
+        id_col, "simhash", F.explode(F.expr(bands_expr)).alias("bb")
     ).select(id_col, "simhash", "bb.band", "bb.key")
     # within-bucket pair generation (one shuffle; see minhash_lsh_pairs)
     bucketed = (

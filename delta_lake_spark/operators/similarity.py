@@ -413,11 +413,16 @@ def _kmeans_assign(
     assigned = assign(centroids)
     for _ in range(iterations - 1):
         centroids = assigned.groupBy("cell_id").agg(
-            F.array(
-                *[
-                    F.round(F.avg(F.element_at("__v", i + 1)), 9)
-                    for i in range(dim)
-                ]
+            # one parsed SQL string instead of dim x (round/avg/
+            # element_at) py4j Column calls — identical expression
+            # tree (see _dot_sql)
+            F.expr(
+                "array({})".format(
+                    ", ".join(
+                        f"round(avg(element_at(__v, {i + 1})), 9)"
+                        for i in range(dim)
+                    )
+                )
             ).alias("__cv")
         )
         assigned = assign(centroids)
@@ -502,11 +507,16 @@ def _kmeans_assign_arrow(
     assigned = assign(centroids).localCheckpoint(eager=True)
     for _ in range(iterations - 1):
         centroids = assigned.groupBy("cell_id").agg(
-            F.array(
-                *[
-                    F.round(F.avg(F.element_at("__v", i + 1)), 9)
-                    for i in range(dim)
-                ]
+            # one parsed SQL string instead of dim x (round/avg/
+            # element_at) py4j Column calls — identical expression
+            # tree (see _dot_sql)
+            F.expr(
+                "array({})".format(
+                    ", ".join(
+                        f"round(avg(element_at(__v, {i + 1})), 9)"
+                        for i in range(dim)
+                    )
+                )
             ).alias("__cv")
         )
         assigned = assign(centroids).localCheckpoint(eager=True)
@@ -615,11 +625,16 @@ def semantic_dedup(
         # per-position avg as the iteration step), then each member's
         # centroid cosine — the group-survivor priority key.
         cents = assigned.groupBy("cell_id").agg(
-            F.array(
-                *[
-                    F.round(F.avg(F.element_at("__v", i + 1)), 9)
-                    for i in range(dim)
-                ]
+            # one parsed SQL string instead of dim x (round/avg/
+            # element_at) py4j Column calls — identical expression
+            # tree (see _dot_sql)
+            F.expr(
+                "array({})".format(
+                    ", ".join(
+                        f"round(avg(element_at(__v, {i + 1})), 9)"
+                        for i in range(dim)
+                    )
+                )
             ).alias("__cv")
         )
         assigned = assigned.join(F.broadcast(cents), "cell_id").select(

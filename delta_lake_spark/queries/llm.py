@@ -5431,7 +5431,15 @@ def q199_pagerank_trade_graph(spark, sf_dir):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        ranks = pagerank(edges, iterations=_PR_ITERATIONS, damping=0.85)
+        # one lineage cut at iteration 3: with the fold-zeros iteration
+        # shape (one join + one agg) the 5-deep plan needs exactly one
+        # truncation — measured 5.1-5.4 s vs 5.9 (every 2) and 6.9-8.7
+        # (never) at sf0.1; checkpoint cadence only changes execution,
+        # never values
+        ranks = pagerank(
+            edges, iterations=_PR_ITERATIONS, damping=0.85,
+            checkpoint_every=3,
+        )
         out = (
             ranks.select("node", F.round("rank", 9).alias("rank"))
             .orderBy(F.col("rank").desc(), "node")

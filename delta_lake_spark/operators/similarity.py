@@ -1296,31 +1296,24 @@ def _encode_against(
     drift from ad-hoc ones. ``residual`` encodes v - coarse_centroid
     instead of v (IVFADC — see ivfpq_topk)."""
     subs_expr, codes_expr = _pq_encode_expr(m, subdim)
-    best = F.element_at(
-        F.array_sort(
-            F.transform(
-                F.col("__cells"),
-                lambda c: F.struct(
-                    F.round(_sqdist(F.col("__v"), c["cv"]), 9).alias("d"),
-                    c["cell"].alias("cell"),
-                    c["cv"].alias("cv"),
-                ),
-            )
-        ),
-        1,
+    # SQL-string construction (see _dot_sql): identical parsed plan
+    best = (
+        "element_at(array_sort(transform(__cells, c -> struct(round("
+        + _sqdist_sql("__v", "c.cv")
+        + ", 9) as d, c.cell as cell, c.cv as cv))), 1)"
     )
     staged = v.join(F.broadcast(cells_one))
     if residual:
         staged = staged.select(
             F.col(id_col),
-            best["cell"].alias("cell_id"),
-            F.zip_with(F.col("__v"), best["cv"], lambda x, y: x - y).alias(
+            F.expr(f"{best}.cell").alias("cell_id"),
+            F.expr(f"zip_with(__v, {best}.cv, (x, y) -> x - y)").alias(
                 "__v"
             ),
         )
     else:
         staged = staged.select(
-            F.col(id_col), best["cell"].alias("cell_id"), "__v"
+            F.col(id_col), F.expr(f"{best}.cell").alias("cell_id"), "__v"
         )
     return (
         staged.join(F.broadcast(cents_one))
@@ -1726,25 +1719,16 @@ def build_pq_index(
                 cells_one = _one_row(
                     read_delta(spark, t_cells), "cell", "cv"
                 )
-                best = F.element_at(
-                    F.array_sort(
-                        F.transform(
-                            F.col("__cells"),
-                            lambda c: F.struct(
-                                F.round(
-                                    _sqdist(F.col("__v"), c["cv"]), 9
-                                ).alias("d"),
-                                c["cell"].alias("cell"),
-                                c["cv"].alias("cv"),
-                            ),
-                        )
-                    ),
-                    1,
+                best = (
+                    "element_at(array_sort(transform(__cells, c -> "
+                    "struct(round("
+                    + _sqdist_sql("__v", "c.cv")
+                    + ", 9) as d, c.cell as cell, c.cv as cv))), 1)"
                 )
                 venc = v.join(F.broadcast(cells_one)).select(
                     F.col(id_col),
-                    F.zip_with(
-                        F.col("__v"), best["cv"], lambda x, y: x - y
+                    F.expr(
+                        f"zip_with(__v, {best}.cv, (x, y) -> x - y)"
                     ).alias("__v"),
                 )
         else:

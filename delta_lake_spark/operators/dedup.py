@@ -676,7 +676,6 @@ def simhash_pairs(
     if portable:
         assert bits <= 60, "portable simhash needs bits <= 60 (positive long)"
     words = F.split(F.lower(F.col(text_col)), r"\s+")
-    tokens = df.select(F.col(id_col), F.explode(words).alias("tok"))
     # SQL-string construction throughout (see _signatures_from_hashed):
     # the per-bit Python Column loops cost ~bits x 6 py4j round trips
     # per invocation; one parsed string yields the identical plan
@@ -686,17 +685,23 @@ def simhash_pairs(
         # which codegen folds — not 60 separate digit conversions
         n_hex = (bits + 3) // 4
         hval = f"cast(conv(substring(md5(tok), 1, {n_hex}), 16, 10) as bigint)"
-        bit_sums = [
-            f"sum(CASE WHEN (shiftright({hval}, {i}) & 1) = 1"
-            f" THEN 1 ELSE -1 END) as b{i}"
-            for i in range(bits)
-        ]
     else:
-        bit_sums = [
-            f"sum(CASE WHEN (shiftright(xxhash64(tok), {i}) & 1) = 1"
-            f" THEN 1 ELSE -1 END) as b{i}"
-            for i in range(bits)
-        ]
+        hval = "xxhash64(tok)"
+    # hash ONCE per token in a projection BELOW the aggregate: inlining
+    # ``hval`` into every per-bit sum made each aggregate function carry
+    # its own copy of the md5/xxhash subtree — ``bits`` hash evaluations
+    # per token unless codegen's subexpression elimination caught all of
+    # them. Factoring it out pins the cost at one hash per token by
+    # construction; the per-bit shift+mask over the staged long is the
+    # cheap part. Values are unchanged (same expression, same input).
+    tokens = df.select(F.col(id_col), F.explode(words).alias("tok")).select(
+        F.col(id_col), F.expr(f"{hval} as __h")
+    )
+    bit_sums = [
+        f"sum(CASE WHEN (shiftright(__h, {i}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) as b{i}"
+        for i in range(bits)
+    ]
     agg = tokens.groupBy(id_col).agg(
         F.expr(bit_sums[0]), *[F.expr(e) for e in bit_sums[1:]]
     )

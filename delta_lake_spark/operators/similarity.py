@@ -1736,14 +1736,13 @@ def build_pq_index(
         reps = venc.groupBy(
             F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("code")
         ).agg(F.min_by("__v", F.col(id_col)).alias("__rep"))
+        # SQL-string construction (see _dot_sql): identical parsed plan
         codebook = reps.select(
             "code",
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: F.slice(
-                        F.col("__rep"), s * subdim + 1, subdim
-                    ),
+                F.expr(
+                    f"transform(sequence(0, {m - 1}),"
+                    f" s -> slice(__rep, s * {subdim} + 1, {subdim}))"
                 )
             ).alias("s", "cv"),
         ).select("s", "code", "cv")
@@ -1991,58 +1990,50 @@ def query_pq_index(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    ranked_cells = F.array_sort(
-        F.transform(
-            F.col("__cells"),
-            lambda c: F.struct(
-                F.round(_sqdist(F.col("__qv"), c["cv"]), 9).alias("d"),
-                c["cell"].alias("cell"),
-                c["cv"].alias("cv"),
-                *([c["sz"].alias("sz")] if adaptive else []),
-            ),
-        )
+    # SQL-string construction throughout (see _dot_sql): identical
+    # parsed expression trees, hundreds fewer py4j round trips per
+    # invocation (the same ~0.9 s/invocation construction class the
+    # ad-hoc ivfpq_topk paths shed in the previous round)
+    sz_field = ", c.sz as sz" if adaptive else ""
+    ranked_sql = (
+        "array_sort(transform(__cells, c -> struct(round("
+        + _sqdist_sql("__qv", "c.cv")
+        + f", 9) as d, c.cell as cell, c.cv as cv{sz_field})))"
     )
     if adaptive:
         # smallest routing prefix whose cumulative stored-code count
         # reaches the rerank target (floor nprobe, cap n_cells): a
-        # prefix-sum over the sorted array, evaluated per query row
-        runsums = F.aggregate(
-            ranked_cells,
-            F.expr("cast(array() as array<bigint>)"),
-            # try_element_at: element_at(-1) THROWS on the empty
-            # accumulator (first fold step) instead of returning NULL
-            lambda acc, e: F.concat(
-                acc,
-                F.array(
-                    F.coalesce(
-                        F.try_element_at(acc, F.lit(-1)),
-                        F.lit(0).cast("bigint"),
-                    )
-                    + e["sz"]
-                ),
-            ),
+        # prefix-sum over the sorted array, evaluated per query row.
+        # try_element_at: element_at(-1) THROWS on the empty
+        # accumulator (first fold step) instead of returning NULL
+        runsums_sql = (
+            f"aggregate({ranked_sql}, cast(array() as array<bigint>), "
+            "(acc, e) -> concat(acc, array(coalesce("
+            "try_element_at(acc, -1), cast(0 as bigint)) + e.sz)))"
         )
-        need = (
-            F.size(F.filter(runsums, lambda s: s < F.lit(rerank * k))) + 1
+        need_sql = (
+            f"(size(filter({runsums_sql}, s -> s < {rerank * k})) + 1)"
         )
-        take_n = F.least(
-            F.greatest(F.lit(nprobe), need), F.size(ranked_cells)
+        take_sql = (
+            f"least(greatest({nprobe}, {need_sql}), size({ranked_sql}))"
         )
     else:
-        take_n = F.lit(nprobe)
-    nearest = F.slice(ranked_cells, 1, take_n)
+        take_sql = str(nprobe)
+    nearest_sql = f"slice({ranked_sql}, 1, {take_sql})"
     if p["residual"]:
         # per-probe ADC maps from the query residual to each probed
         # cell's centroid — must mirror the stored codes' convention
         probes = (
             q.join(F.broadcast(cells_one))
-            .select("query_id", "__qv", F.explode(nearest).alias("__p"))
+            .select(
+                "query_id", "__qv", F.explode(F.expr(nearest_sql)).alias("__p")
+            )
             .select(
                 "query_id",
                 F.col("__p.cell").alias("cell_id"),
-                F.zip_with(
-                    F.col("__qv"), F.col("__p.cv"), lambda x, y: x - y
-                ).alias("__qr"),
+                F.expr("zip_with(__qv, __p.cv, (x, y) -> x - y)").alias(
+                    "__qr"
+                ),
             )
             .join(F.broadcast(cents_one))
             .withColumn("__qsubs", _pq_qsubs_expr(m, subdim, "__qr"))
@@ -2057,7 +2048,7 @@ def query_pq_index(
             .select(
                 "query_id",
                 F.explode(
-                    F.transform(nearest, lambda e: e["cell"])
+                    F.expr(f"transform({nearest_sql}, e -> e.cell)")
                 ).alias("cell_id"),
             )
             .join(
@@ -2226,6 +2217,15 @@ def ivfpq_topk(
                 ).alias("__v"),
             )
         )
+        # persist the residual corpus: it feeds BOTH the codebook-train
+        # aggregation and the encode projection, and per-branch pruning
+        # would otherwise evaluate the nearest-cell argmin + subtraction
+        # over every vector twice. One corpus-sized pass instead of two;
+        # MEMORY_AND_DISK (persist default) spills rather than OOMs, and
+        # the registry (its own group — never evicts the tiny quantizer
+        # rows) / bench memo-clearing bound its lifetime exactly like
+        # the quantizer persists
+        vres = register_persisted(vres.persist(), "ann_residual_corpus")
         # 1-row residual codebook, persisted for the same reason as
         # cells_one: it broadcasts into both the encode and the
         # per-probe ADC-map branches

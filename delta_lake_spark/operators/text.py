@@ -550,6 +550,41 @@ def gopher_quality_filter(
     ok_mean_word_len, ok_symbol_ratio, ok_alpha_words, ok_stopwords,
     passes (boolean).
     """
+    return _gopher_metrics_frame(
+        df,
+        text_col,
+        id_col,
+        (),
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_ratio,
+        min_alpha_word_ratio,
+        min_stopwords,
+    )
+
+
+def _gopher_metrics_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra_cols: tuple,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """gopher_quality_filter's body with optional passthrough columns
+    (``extra_cols``, carried unchanged after ``id_col``). The funnel
+    composition uses it to keep the document text alongside the
+    verdict, so quality filtering and exact dedup fuse into ONE corpus
+    pass — sharing this builder (not re-deriving the predicate) is
+    what guarantees the verdicts can never drift between the public
+    operator and the fused path."""
     # NULL text is normalized to '' BEFORE tokenizing: Spark's legacy
     # size(split(NULL)) = -1 would otherwise produce n_words=-1 and
     # non-null ratios while a SQL oracle yields NULLs — coalescing makes
@@ -559,8 +594,10 @@ def gopher_quality_filter(
     symbol_hits = F.size(
         F.regexp_extract_all(text, F.lit(r"#|\.\.\."), F.lit(0))
     )
+    passthrough = [F.col(c) for c in extra_cols]
     staged = df.select(
         F.col(id_col),
+        *passthrough,
         words.alias("__w"),
         symbol_hits.cast("double").alias("__sym"),
     )
@@ -591,6 +628,7 @@ def gopher_quality_filter(
     )
     staged2 = staged.select(
         F.col(id_col),
+        *passthrough,
         n_words.cast("int").alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),

@@ -51,6 +51,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ._cache import register_persisted
+
 MERGE_SCHEMA = StructType(
     [
         StructField("rank", IntegerType(), False),
@@ -448,6 +450,18 @@ MERGE_CHAIN_CHECKPOINT_EVERY = 64
 # are value-identical (rank-order replace-all; property-tested)
 MERGE_CHAIN_PY_MIN_MERGES = 129
 
+# vocab-strategy reassembly gate: at or below this many DISTINCT
+# pre-token types the per-type encodings fold into ONE broadcast map
+# row and encoding is a map-only projection over the corpus — no
+# posexplode, no type join, no doc-keyed reassembly shuffle. Above it
+# the join path keeps working at any vocabulary size. 4M entries of a
+# ~16-char word + a handful of short tokens is roughly 0.5-1 GB framed
+# — inside Spark's broadcast cap (8 GB / 512M rows) with headroom for
+# wide outliers; natural-language vocabularies (even byte-level ones)
+# sit orders of magnitude below it. Tune per deployment if executor
+# memory is tight.
+ENCODE_BROADCAST_MAX_TYPES = 4_000_000
+
 
 def _apply_merges_py(sym: list, pairs: list, rank_of: dict) -> list:
     """Python twin of the rank-ordered merge chain: apply each merge
@@ -593,16 +607,27 @@ def bpe_encode(
             F.col(id_col),
             F.expr("flatten(__sym)").alias("tokens"),
         ).withColumn("n_tokens", F.size("tokens").cast("long"))
-    wpos = docs.select(
-        F.col(id_col),
-        F.posexplode(F.expr(words_expr)).alias("__pos", "w"),
+    # DISTINCT pre-token types, persisted: the relation feeds the gate
+    # probe below AND the merge chain, and it is vocabulary-sized by
+    # construction (the registry + bench memo-clearing bound its
+    # lifetime; a repeat run re-pays the distinct)
+    types = register_persisted(
+        docs.select(F.explode(F.expr(words_expr)).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            F.expr(
+                f"element_at(transform(array(w), x -> {seed}), 1)"
+            ).alias("toks"),
+        )
+        .persist(),
+        "bpe_types",
     )
-    types = wpos.select("w").distinct().select(
-        "w",
-        F.expr(
-            f"element_at(transform(array(w), x -> {seed}), 1)"
-        ).alias("toks"),
-    )
+    # one vocabulary-sized count: decides whether the per-type
+    # encodings can ride a broadcast map (zero corpus shuffles) or must
+    # take the doc-keyed reassembly join. The count also fills the
+    # types cache the merge chain consumes, so it adds no extra pass.
+    n_types = types.count()
     if len(pairs) >= MERGE_CHAIN_PY_MIN_MERGES:
         # realistic-vocab tier: one Arrow pass over the DISTINCT types
         # (see MERGE_CHAIN_PY_MIN_MERGES); the expression chain below
@@ -625,6 +650,37 @@ def bpe_encode(
         seg = types.mapInPandas(_chain, schema="w string, toks array<string>")
     else:
         seg = _apply_merge_chain(types, "toks", pairs)
+    if n_types <= ENCODE_BROADCAST_MAX_TYPES:
+        # vocabulary fits a broadcast: fold the per-type encodings into
+        # ONE map row and encode as a map-only projection over the
+        # corpus — per-word map lookups in document order replace the
+        # posexplode + type join + doc-keyed collect_list reassembly,
+        # so the corpus is never exploded OR shuffled (the reassembly
+        # exchange was corpus-sized; the map is vocabulary-sized).
+        # Every word is a key by construction (the map is built from
+        # the same words_expr over the same docs), so element_at never
+        # misses. NULL text: words_expr yields NULL, transform/flatten
+        # propagate it — identical to the join path's __tnull branch.
+        vmap = seg.groupBy().agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "toks"))
+            ).alias("__vmap")
+        )
+        return (
+            docs.join(F.broadcast(vmap))
+            .select(
+                F.col(id_col),
+                F.expr(
+                    f"flatten(transform({words_expr},"
+                    f" w -> element_at(__vmap, w)))"
+                ).alias("tokens"),
+            )
+            .withColumn("n_tokens", F.size("tokens").cast("long"))
+        )
+    wpos = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(words_expr)).alias("__pos", "w"),
+    )
     regrouped = (
         wpos.join(seg, "w")
         .groupBy(id_col)

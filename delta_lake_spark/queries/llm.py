@@ -2697,14 +2697,6 @@ def _funnel_core(spark, sf_dir, near_dup: str = "ngram"):
     builds are serialized per session by the slot's build lock —
     concurrent first invocations double-check the memo under it, so
     only one builds and no persisted frame set can leak."""
-    from ..operators.dedup import (
-        exact_dedup,
-        minhash_lsh_pairs,
-        ngram_jaccard_pairs,
-        resolve_duplicate_clusters,
-    )
-    from ..operators.text import decontaminate, gopher_quality_filter
-
     slot = _funnel_slot(spark)
     with _FUNNEL_LOCK:
         hit = slot["chain"].get((sf_dir, near_dup))
@@ -2722,12 +2714,12 @@ def _funnel_build(spark, slot, sf_dir, near_dup):
     """Build + memoize one funnel chain. Caller holds slot's
     build_lock (NOT _FUNNEL_LOCK — Spark jobs run here)."""
     from ..operators.dedup import (
-        exact_dedup,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        normalize_text,
         resolve_duplicate_clusters,
     )
-    from ..operators.text import decontaminate, gopher_quality_filter
+    from ..operators.text import _gopher_metrics_frame, decontaminate
 
     all_docs = _docs(spark, sf_dir).select("doc_id", "text")
     eval_df = all_docs.filter(F.col("doc_id") < 25)
@@ -2739,28 +2731,46 @@ def _funnel_build(spark, slot, sf_dir, near_dup):
         # min_stopwords calibrated to the synthetic corpus (its
         # vocabulary carries ~1 Gopher function word per doc); every
         # other rule keeps the published Gopher defaults (min_words=50
-        # etc.)
-        passes = (
-            gopher_quality_filter(raw, "text", "doc_id", min_stopwords=1)
-            .filter("passes")
-            .select("doc_id")
+        # etc.). The quality verdict AND the exact-dedup keeper
+        # election fuse into ONE corpus pass: _gopher_metrics_frame
+        # (gopher_quality_filter's own builder — the predicate cannot
+        # drift) keeps the text beside the verdict, and the keeper is
+        # doc_id == min(doc_id) over a window keyed on the SAME
+        # normalized text exact_dedup groups by — identical id sets,
+        # but the previous shape's second corpus scan and its
+        # corpus-sized semi-join (raw x passes: at scale the passes
+        # set outgrows broadcast, so that join shuffled the corpus
+        # TEXT by doc_id) are gone; the one exchange left carries
+        # (norm-text, id) into the window, and a giant duplicate
+        # group sort-spills instead of OOMing a collect_list
+        qp = _gopher_metrics_frame(
+            raw, "text", "doc_id", ("text",), min_stopwords=1
+        ).filter("passes")
+        base_frame = (
+            qp.select("doc_id", normalize_text("text").alias("__norm"))
+            .select(
+                "doc_id",
+                (
+                    F.col("doc_id")
+                    == F.min("doc_id").over(Window.partitionBy("__norm"))
+                ).alias("__keep"),
+            )
         ).persist()
-        s1 = raw.join(passes, "doc_id", "left_semi")
-        keepers = (
-            exact_dedup(s1, "text", "doc_id").select("doc_id").persist()
-        )
-        # ONE job fills both caches: keepers' lineage contains passes'
-        # persisted subtree exactly once (linear nesting), so its count
-        # materializes passes too — no branch-scheduling race (the
-        # 10-25 s swings the eager staging fixed came from one action
-        # racing FOUR sibling cache builds), and one fewer barrier
-        keepers.count()
-        base = {"result": (passes, keepers), "frames": [passes, keepers]}
+        # ONE job fills the single base cache (the previous shape's
+        # two linearly-nested caches kept this at one barrier too —
+        # now it is one frame outright)
+        base_frame.count()
+        passes = base_frame.select("doc_id")
+        keepers = base_frame.filter("__keep").select("doc_id")
+        base = {"result": (passes, keepers), "frames": [base_frame]}
         with _FUNNEL_LOCK:
             slot["chain"][(sf_dir, "__base__")] = base
     passes, keepers = base["result"]
-    s1 = raw.join(passes, "doc_id", "left_semi")
-    s2 = s1.join(keepers, "doc_id", "left_semi")
+    # keepers is a subset of passes by construction (keepers are
+    # elected among quality passers), so the stage-2 survivor set is
+    # raw ∩ keepers directly — the chained raw ∩ passes ∩ keepers
+    # join produced the identical rows through one more corpus join
+    s2 = raw.join(keepers, "doc_id", "left_semi")
     if near_dup == "minhash":
         pairs = minhash_lsh_pairs(s2, "text", "doc_id", n=3, threshold=0.6)
     else:

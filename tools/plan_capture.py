@@ -32,7 +32,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
 

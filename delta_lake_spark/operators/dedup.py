@@ -173,6 +173,19 @@ def exact_dedup_keep_best(
     )
 
 
+def _shingle_arr_expr(n: int) -> Column:
+    """Word n-gram shingle array over a staged ``__words`` column.
+    Documents shorter than n words produce NO shingles: the CASE guard
+    avoids sequence(1, 0), which Spark evaluates DESCENDING ([1, 0])
+    and would feed element_at an invalid 0 index."""
+    return F.expr(
+        f"CASE WHEN size(__words) >= {n} THEN "
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> concat_ws(' ', {', '.join(f'element_at(__words, i + {j})' for j in range(n))}))"
+        f" ELSE array() END"
+    )
+
+
 def word_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
@@ -181,15 +194,7 @@ def word_shingles(
     1-indexed element_at arithmetic matches the ANSI-SQL oracle exactly.
     """
     words = F.split(F.lower(F.col(text_col)), r"\s+")
-    # documents shorter than n words produce NO shingles: the CASE guard
-    # avoids sequence(1, 0), which Spark evaluates DESCENDING ([1, 0])
-    # and would feed element_at an invalid 0 index
-    shingle_arr = F.expr(
-        f"CASE WHEN size(__words) >= {n} THEN "
-        f"transform(sequence(1, size(__words) - {n - 1}), "
-        f"i -> concat_ws(' ', {', '.join(f'element_at(__words, i + {j})' for j in range(n))}))"
-        f" ELSE array() END"
-    )
+    shingle_arr = _shingle_arr_expr(n)
     # per-doc dedup is LOCAL (array_distinct before the explode) — the
     # equivalent row-level .distinct() would shuffle the whole exploded
     # doc x shingle relation. Repartition the compact doc rows FIRST so
@@ -201,6 +206,43 @@ def word_shingles(
     ).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingle_arr)).alias("shingle"),
+    )
+
+
+def _word_shingles_sized(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """word_shingles with the per-document DISTINCT shingle count
+    carried on every exploded row: (id_col, shingle, n_sh). n_sh is
+    ``size(array_distinct(...))`` of the SAME array the explode
+    consumes, so it is computed map-side for free — the pair
+    generators read it off the row instead of aggregating a separate
+    |docs|-row sizes relation and joining it back onto every surviving
+    pair (one exchange and two joins per invocation, and at scale one
+    whole extra pass over the shingle relation)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    shingle_arr = _shingle_arr_expr(n)
+    return (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words.alias("__words"))
+        .select(F.col(id_col), F.array_distinct(shingle_arr).alias("__dsh"))
+        # size staged as a SCALAR projection before the explode, and
+        # explode_OUTER + an explicit NULL drop instead of explode:
+        # plain explode makes Catalyst infer a size(__dsh) > 0 filter
+        # on the staged array attribute and push it below the
+        # repartition, where the inlined higher-order shingle
+        # expression re-evaluates split() per lambda element —
+        # O(words^2) per document (measured 0.6 s -> 18 s at sf0.1).
+        # explode_outer infers no such filter; its one extra NULL row
+        # per shingle-less document is dropped right here, so the
+        # output is row-identical to explode
+        .select(F.col(id_col), "__dsh", F.size("__dsh").alias("n_sh"))
+        .select(
+            F.col(id_col),
+            F.explode_outer("__dsh").alias("shingle"),
+            F.col("n_sh"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -238,10 +280,17 @@ def ngram_jaccard_pairs(
     if prefix_filter is None:
         prefix_filter = df.count() > PREFIX_FILTER_MIN_DOCS
 
-    sh = _cache_shingles(word_shingles(df, text_col, id_col, n))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # per-doc set sizes ride every shingle row (map-side, free — see
+    # _word_shingles_sized) instead of a separate |docs|-row sizes
+    # aggregation joined back onto the surviving pairs: one fewer
+    # exchange and two fewer joins per invocation, and the jaccard
+    # denominators group out of the intersection count itself (n_sh is
+    # functionally determined by the id, so widening the groupBy key
+    # never changes the groups)
+    sh = _word_shingles_sized(df, text_col, id_col, n)
 
     if prefix_filter:
+        sh = _cache_shingles(sh)
         # only globally-rarest prefix shingles generate candidates;
         # exact verification (join back against the FULL shingle sets)
         # keeps the output identical
@@ -249,10 +298,8 @@ def ngram_jaccard_pairs(
         w = Window.partitionBy(id_col).orderBy(
             F.col("__df").asc(), F.col("shingle")
         )
-        ranked = (
-            sh.join(doc_freq, "shingle")
-            .withColumn("__pos", F.row_number().over(w))
-            .join(sizes, id_col)
+        ranked = sh.join(doc_freq, "shingle").withColumn(
+            "__pos", F.row_number().over(w)
         )
         index_src = ranked.filter(
             F.col("__pos")
@@ -273,47 +320,51 @@ def ngram_jaccard_pairs(
         # change applied to the verify path (a phantom intersection row
         # needs a within-pair 64-bit collision: P ~ n_sh^2 / 2^64)
         sh1 = sh.select(
-            F.col(id_col).alias("id_1"), F.xxhash64("shingle").alias("__sh")
+            F.col(id_col).alias("id_1"),
+            F.xxhash64("shingle").alias("__sh"),
+            F.col("n_sh").alias("__n1"),
         )
         sh2 = sh.select(
-            F.col(id_col).alias("id_2"), F.xxhash64("shingle").alias("__sh")
+            F.col(id_col).alias("id_2"),
+            F.xxhash64("shingle").alias("__sh"),
+            F.col("n_sh").alias("__n2"),
         )
         inter = (
             candidates.join(sh1, "id_1")
             .join(sh2, ["id_2", "__sh"])
-            .groupBy("id_1", "id_2")
+            .groupBy("id_1", "id_2", "__n1", "__n2")
             .agg(F.count("*").alias("n_inter"))
         )
     else:
         # full index: every shared shingle emits one pair row, so the
         # groupBy count IS the exact intersection size — one shuffle to
-        # build postings, one to count, no verification joins needed
+        # build postings, one to count, no verification joins needed.
+        # The shingle relation is consumed exactly ONCE here, so it is
+        # not cached (the cache fill was pure overhead on this path).
         postings = sh.groupBy("shingle").agg(
-            F.collect_set(id_col).alias("ids")
+            F.collect_set(F.struct(id_col, "n_sh")).alias("ids")
         )
         inter = (
             postings.filter(F.size("ids") > 1)
-            .select(F.explode("ids").alias("id_1"), F.col("ids"))
-            .select("id_1", F.explode("ids").alias("id_2"))
-            .filter(F.col("id_1") < F.col("id_2"))
-            .groupBy("id_1", "id_2")
+            .select(F.explode("ids").alias("m1"), F.col("ids"))
+            .select("m1", F.explode("ids").alias("m2"))
+            .filter(F.col(f"m1.{id_col}") < F.col(f"m2.{id_col}"))
+            .groupBy(
+                F.col(f"m1.{id_col}").alias("id_1"),
+                F.col(f"m2.{id_col}").alias("id_2"),
+                F.col("m1.n_sh").alias("__n1"),
+                F.col("m2.n_sh").alias("__n2"),
+            )
             .agg(F.count("*").alias("n_inter"))
         )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
-    return (
-        inter.join(s1, F.col("id_1") == F.col(f"s1.{id_col}"))
-        .join(s2, F.col("id_2") == F.col(f"s2.{id_col}"))
-        .select(
-            "id_1",
-            "id_2",
-            (
-                F.col("n_inter")
-                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "id_1",
+        "id_2",
+        (
+            F.col("n_inter")
+            / (F.col("__n1") + F.col("__n2") - F.col("n_inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def _hash_shingles(shingle_df: DataFrame, id_col: str) -> DataFrame:
@@ -472,8 +523,11 @@ def minhash_lsh_pairs(
 
     Returns: id_1, id_2, jaccard.
     """
-    sh = _cache_shingles(word_shingles(df, text_col, id_col, n))
-    sh.count()  # materialize once: reused by signatures, sizes, and verify
+    # per-doc set sizes ride the shingle rows (see ngram_jaccard_pairs
+    # / _word_shingles_sized): the |docs|-row sizes aggregation and its
+    # two pair-side joins fold into the intersection groupBy
+    sh = _cache_shingles(_word_shingles_sized(df, text_col, id_col, n))
+    sh.count()  # materialize once: reused by signatures and verify
     candidates = minhash_lsh_candidates(
         sh,
         id_col,
@@ -489,35 +543,31 @@ def minhash_lsh_pairs(
     # exact verification restricted to candidates: start FROM the (small)
     # candidate set so intersection rows are only materialized for pairs
     # that banded together — never the full inverted-index cross product
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # hashed intersection key — see ngram_jaccard_pairs' verify note
     sh1 = sh.select(
-        F.col(id_col).alias("id_1"), F.xxhash64("shingle").alias("__sh")
+        F.col(id_col).alias("id_1"),
+        F.xxhash64("shingle").alias("__sh"),
+        F.col("n_sh").alias("__n1"),
     )
     sh2 = sh.select(
-        F.col(id_col).alias("id_2"), F.xxhash64("shingle").alias("__sh")
+        F.col(id_col).alias("id_2"),
+        F.xxhash64("shingle").alias("__sh"),
+        F.col("n_sh").alias("__n2"),
     )
     inter = (
         candidates.join(sh1, "id_1")
         .join(sh2, ["id_2", "__sh"])
-        .groupBy("id_1", "id_2")
+        .groupBy("id_1", "id_2", "__n1", "__n2")
         .agg(F.count("*").alias("n_inter"))
     )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
-    return (
-        inter.join(s1, F.col("id_1") == F.col(f"s1.{id_col}"))
-        .join(s2, F.col("id_2") == F.col(f"s2.{id_col}"))
-        .select(
-            "id_1",
-            "id_2",
-            (
-                F.col("n_inter")
-                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "id_1",
+        "id_2",
+        (
+            F.col("n_inter")
+            / (F.col("__n1") + F.col("__n2") - F.col("n_inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def resolve_duplicate_clusters(

@@ -2510,18 +2510,27 @@ def test_shingle_and_funnel_caches_are_session_scoped(spark, docs):
         [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
     )
 
-    dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
+    # prefix_filter=True is the path that caches the shingle relation
+    # (the full-index path consumes it exactly once and skips the
+    # cache); outputs are identical either way
+    dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", prefix_filter=True
+    ).count()
     cache1 = dedup._last_shingle_cache[spark]
     assert cache1.is_cached
 
-    dedup.ngram_jaccard_pairs(docs2, "text", "doc_id").count()
+    dedup.ngram_jaccard_pairs(
+        docs2, "text", "doc_id", prefix_filter=True
+    ).count()
     # session 2's call registered its own entry without evicting s1's
     assert dedup._last_shingle_cache[s2].is_cached
     assert cache1.is_cached
     assert dedup._last_shingle_cache[spark] is cache1
 
     # a SECOND call in s1 evicts only s1's previous cache
-    dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
+    dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", prefix_filter=True
+    ).count()
     assert not cache1.is_cached
     assert dedup._last_shingle_cache[s2].is_cached
 

@@ -22,8 +22,13 @@ from pyspark.sql import functions as F
 
 from ._cache import register_persisted
 
-# above this many edges the driver no longer sees the edge list
-_DRIVER_EDGE_BOUND = 1_000_000
+# above this many edges the driver no longer sees the edge list.
+# 2M edges is ~60-100 MB as a collected Arrow table even with string
+# node ids — comfortably inside any practical driver heap, and the
+# numpy power iteration on it is milliseconds where the distributed
+# loop pays iterations x (join + agg) stage rounds; the same
+# bounded-collect contract as dedup clustering's union-find
+_DRIVER_EDGE_BOUND = 2_000_000
 
 
 def pagerank(

@@ -507,6 +507,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     max_doc_freq: float | None = 0.1,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
 
@@ -520,6 +521,11 @@ def minhash_lsh_pairs(
     The ``max_doc_freq`` stop-shingle guard defaults ON (0.1); exact
     jaccard is always computed over the FULL shingle sets, so the guard
     only prunes candidate generation, never changes surviving values.
+    ``n_docs`` lets a caller that already knows the document count
+    (cached survivor ids, table stats, a parquet footer) skip the
+    count job over ``df`` that sizes the guard — it must EQUAL
+    df.count(), since the stop-shingle cutoff (and therefore the
+    signatures and the candidate set) depends on it.
 
     Returns: id_1, id_2, jaccard.
     """
@@ -535,9 +541,14 @@ def minhash_lsh_pairs(
         bands=bands,
         seed=seed,
         max_doc_freq=max_doc_freq,
-        # corpus size from the compact source relation (parquet metadata
-        # count), not a distinct over the exploded shingle rows
-        n_docs=df.count() if max_doc_freq is not None else None,
+        # corpus size from the caller when known, else one count of the
+        # compact source relation (never a distinct over the exploded
+        # shingle rows)
+        n_docs=(
+            (df.count() if n_docs is None else n_docs)
+            if max_doc_freq is not None
+            else None
+        ),
     )
 
     # exact verification restricted to candidates: start FROM the (small)

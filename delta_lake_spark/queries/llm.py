@@ -2772,7 +2772,14 @@ def _funnel_build(spark, slot, sf_dir, near_dup):
     # join produced the identical rows through one more corpus join
     s2 = raw.join(keepers, "doc_id", "left_semi")
     if near_dup == "minhash":
-        pairs = minhash_lsh_pairs(s2, "text", "doc_id", n=3, threshold=0.6)
+        # |s2| == |keepers| exactly (semi join on the unique doc_id),
+        # and keepers is a filter over the cached base frame — so the
+        # stop-shingle guard is sized from the cache instead of a
+        # corpus-scan count inside minhash_lsh_pairs
+        pairs = minhash_lsh_pairs(
+            s2, "text", "doc_id", n=3, threshold=0.6,
+            n_docs=keepers.count(),
+        )
     else:
         # strategy hint from the parquet footer (driver-side metadata,
         # no Spark job): |s2| <= |documents|, and the auto-probe's only

@@ -349,12 +349,17 @@ def ngram_jaccard_pairs(
             .select(F.explode("ids").alias("m1"), F.col("ids"))
             .select("m1", F.explode("ids").alias("m2"))
             .filter(F.col(f"m1.{id_col}") < F.col(f"m2.{id_col}"))
-            .groupBy(
+            # project the struct fields to NAMED columns before the
+            # groupBy so the exchange keys keep their names (grouping
+            # directly on m1.x expressions yields opaque
+            # _groupingexpression aliases in the plan)
+            .select(
                 F.col(f"m1.{id_col}").alias("id_1"),
                 F.col(f"m2.{id_col}").alias("id_2"),
                 F.col("m1.n_sh").alias("__n1"),
                 F.col("m2.n_sh").alias("__n2"),
             )
+            .groupBy("id_1", "id_2", "__n1", "__n2")
             .agg(F.count("*").alias("n_inter"))
         )
     return inter.select(

@@ -2028,16 +2028,21 @@ def hashed_text_embedding(
         == 0,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
+    # SQL-string construction for the dim-wide aggregate and the array
+    # assembly (see similarity._dot_sql): identical parsed plan, py4j
+    # round trips independent of ``dim``
+    bucket_sums = [
+        f"sum(CASE WHEN __b = {j} THEN __s ELSE 0.0D END) as __v{j}"
+        for j in range(dim)
+    ]
     comps = toks.select(
         F.col(id_col), bucket.alias("__b"), sign.alias("__s")
     ).groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.col("__b") == j, F.col("__s")).otherwise(0.0))
-            .alias(f"__v{j}")
-            for j in range(dim)
-        ]
+        F.expr(bucket_sums[0]), *[F.expr(e) for e in bucket_sums[1:]]
     )
-    arr = F.array(*[F.col(f"__v{j}") for j in range(dim)])
+    arr = F.expr(
+        "array({})".format(", ".join(f"__v{j}" for j in range(dim)))
+    )
     norm = F.sqrt(
         F.aggregate(
             arr, F.lit(0.0), lambda acc, x: acc + x * x

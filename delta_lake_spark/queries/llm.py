@@ -96,8 +96,13 @@ def q32_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidates verified by exact jaccard — with k=64/b=16
     the verified output equals the exact inverted-index result (recall
     at j>=0.6 is ~1), so it shares q31's oracle."""
+    # the input is the UNFILTERED documents table, so the parquet
+    # footer row count equals df.count() exactly — the stop-shingle
+    # guard sizes from metadata instead of a count job (None falls
+    # back to the operator's own count)
     pairs = minhash_lsh_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.6, k=64, bands=16
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.6,
+        k=64, bands=16, n_docs=_docs_rowcount(sf_dir),
     )
     return pairs.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
 
@@ -2533,6 +2538,21 @@ def _funnel_report(raw, stages, vocab: bool = False):
             "est_vocab", F.coalesce(F.col("est_distinct"), F.lit(0.0))
         ).select("stage_id", "stage", "n_docs", "n_tokens", "est_vocab")
     return out.orderBy("stage_id")
+
+
+def _docs_rowcount(sf_dir: str) -> int | None:
+    """Documents-table row count from the parquet footer (driver-side
+    metadata read, no Spark job). None when the footer is unreadable —
+    callers fall back to a count job. Only valid as a substitute for
+    df.count() when df is the UNFILTERED table."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            f"{sf_dir}/documents.parquet"
+        ).metadata.num_rows
+    except Exception:
+        return None
 
 
 def _corpus_size_hint(sf_dir: str) -> bool | None:

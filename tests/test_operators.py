@@ -3407,7 +3407,18 @@ def test_funnel_memo_reuses_and_clears(spark):
         _, _, _, stages1, caches1 = _funnel_core(spark, sf)
         _, _, _, stages2, caches2 = _funnel_core(spark, sf)
         assert [id(df) for df in caches1] == [id(df) for df in caches2]
-        assert all(df.storageLevel.useMemory for df in caches1)
+
+        # the quality/exact-dedup sets are now lazy filters over the
+        # ONE persisted base frame, so "cached" means either the frame
+        # itself is persisted (canon/hits) or its executed plan reads
+        # an InMemoryRelation (passes/keepers)
+        def _served_from_cache(df):
+            if df.storageLevel.useMemory:
+                return True
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return "InMemoryTableScan" in plan
+
+        assert all(_served_from_cache(df) for df in caches1)
         clear_funnel_memo(spark)
         assert not any(df.storageLevel.useMemory for df in caches1)
         _, _, _, _, caches3 = _funnel_core(spark, sf)

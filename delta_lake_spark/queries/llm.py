@@ -2813,7 +2813,11 @@ def _funnel_build(spark, slot, sf_dir, near_dup):
             prefix_filter=_corpus_size_hint(sf_dir),
         )
     canon = (
-        resolve_duplicate_clusters(pairs, s2.select("doc_id"), "doc_id")
+        # the stage-2 survivor id set IS keepers (semi join on the
+        # unique doc_id), and keepers is a filter over the cached base
+        # frame — passing it instead of s2.select("doc_id") spares the
+        # labels side a corpus scan + join re-derivation
+        resolve_duplicate_clusters(pairs, keepers, "doc_id")
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
     ).persist()
@@ -3132,7 +3136,16 @@ def q147_pretrain_funnel_full(spark, sf_dir):
     # pin the s4 survivor ids: the report flags and the LM model would
     # otherwise each re-derive the whole quality->dedup->decontaminate
     # chain; staged eagerly like the chain sets
-    s4ids = s4.select("doc_id").persist()
+    # s4's id set == canon minus hits (s3 ids are exactly canon, the
+    # near-dup survivors among the cached stage-2 ids), so the pin
+    # derives from two tiny cached id frames instead of re-deriving
+    # the corpus chain
+    _by_stage = {name: ids for name, ids, _ in stages}
+    s4ids = (
+        _by_stage["near_dedup"]
+        .join(_by_stage["decontaminated"], "doc_id", "left_anti")
+        .persist()
+    )
     s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
         unigram_lm_score(s4r, "text", "doc_id")
@@ -3231,7 +3244,16 @@ def q159_pretrain_funnel_bigram(spark, sf_dir):
     _release_extras(spark, "q159")
     # shared + concurrent semantic pass — see q147 / _semantic_dirty_all
     sem_join = _semantic_dirty_async(spark, sf_dir)
-    s4ids = s4.select("doc_id").persist()
+    # s4's id set == canon minus hits (s3 ids are exactly canon, the
+    # near-dup survivors among the cached stage-2 ids), so the pin
+    # derives from two tiny cached id frames instead of re-deriving
+    # the corpus chain
+    _by_stage = {name: ids for name, ids, _ in stages}
+    s4ids = (
+        _by_stage["near_dedup"]
+        .join(_by_stage["decontaminated"], "doc_id", "left_anti")
+        .persist()
+    )
     s4r = raw.join(s4ids, "doc_id", "left_semi")
     keep = (
         bigram_lm_score(s4r, "text", "doc_id", lam=0.5)

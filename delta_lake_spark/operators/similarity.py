@@ -502,9 +502,15 @@ def _kmeans_assign_arrow(
             " __v array<double>, cell_id int",
         )
 
-    # eager localCheckpoint per round: the recomputed-centroid collect
-    # would otherwise replay every earlier round's mapInPandas pass
-    assigned = assign(centroids).localCheckpoint(eager=True)
+    # No per-round checkpoint: each round's centroid matrix crosses
+    # through the DRIVER (the collect inside assign), so round plans
+    # never nest — an intermediate round's assignment is consumed
+    # exactly once, by the next round's centroid collect, and caching
+    # it only added an eager barrier + a corpus-sized write per round.
+    # Only the LAST round's assignment has multiple downstream
+    # consumers (the final-centroid aggregation and the dedup prune),
+    # so it alone is checkpointed.
+    assigned = assign(centroids)
     for _ in range(iterations - 1):
         centroids = assigned.groupBy("cell_id").agg(
             # one parsed SQL string instead of dim x (round/avg/
@@ -519,8 +525,8 @@ def _kmeans_assign_arrow(
                 )
             ).alias("__cv")
         )
-        assigned = assign(centroids).localCheckpoint(eager=True)
-    return assigned
+        assigned = assign(centroids)
+    return assigned.localCheckpoint(eager=True)
 
 
 def semantic_dedup(
